@@ -16,7 +16,11 @@ object SparkEntry {
 
   private val queryPacks: Seq[(Map[String, (SparkSession, String) => DataFrame],
                                Map[String, String])] = Seq(
-    (graft.queries.RefQueries.all, graft.queries.RefQueries.oracles)
+    (graft.queries.RefQueries.all, graft.queries.RefQueries.oracles),
+    (graft.queries.JoinQueries.all, graft.queries.JoinQueries.oracles),
+    (graft.queries.WindowQueries.all, graft.queries.WindowQueries.oracles),
+    (graft.queries.EventQueries.all, graft.queries.EventQueries.oracles),
+    (graft.queries.ExtAggQueries.all, graft.queries.ExtAggQueries.oracles)
   )
 
   /** One entry per implemented operator from SURVEY.md §2. */

@@ -19,8 +19,16 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    spark.read.parquet(s"$sfDir/$name.parquet")
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    if (name == "events") {
+      // events.ts is TIMESTAMP(NANOS) parquet, which Spark's vectorized
+      // reader rejects; read nanos as long and truncate to microseconds
+      // (same floor DuckDB applies when it narrows ns → us).
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val raw = spark.read.parquet(s"$sfDir/$name.parquet")
+      raw.withColumn("ts", timestamp_micros((col("ts") / 1000).cast("long")))
+    } else spark.read.parquet(s"$sfDir/$name.parquet")
+  }
 
   /** Register every table as a temp view (ref: DS_cust_lifetime_value.py:67
     * createOrReplaceTempView bridging DataFrame ↔ SQL worlds). */

@@ -1,0 +1,124 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** [EXT] Event-time analytics over the `events` table (SURVEY.md §2.10).
+  * These are the *batch* forms — the DuckDB oracle can check them; the
+  * true Structured Streaming variants of the same shapes live in
+  * [[graft.streaming.EventStreams]] and are unit-tested with memory
+  * sources (not oracle-checkable).
+  *
+  * Scale notes: tumbling/sliding windows are plain hash aggregations on
+  * the bucketed time key (map-side combine → shuffle on bucket);
+  * sessionization shuffles once on user_id then sorts within partitions —
+  * the same shape Structured Streaming state-store partitioning uses.
+  */
+object EventQueries {
+
+  private def ev(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "events")
+
+  /** Tumbling 1-hour windows: count + decimal-summed value per
+    * (window, event_type). `window().start` == date_trunc('hour') here. */
+  def hourlyEventStats(s: SparkSession, dir: String): DataFrame =
+    ev(s, dir)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(18, 2))).cast("double")
+          .as("total_value"))
+      .select(Tables.isoTs(col("window.start")).as("hour_start"),
+        col("event_type"), col("n"), col("total_value"))
+      .orderBy(col("hour_start"), col("event_type"))
+
+  /** Session windows (30-min gap) per user via Spark's native
+    * `session_window`; session end = last event + gap. */
+  def userSessions(s: SparkSession, dir: String): DataFrame =
+    ev(s, dir)
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast(DecimalType(18, 2))).cast("double")
+          .as("total_value"))
+      .select(col("user_id"),
+        Tables.isoTs(col("session_window.start")).as("session_start"),
+        Tables.isoTs(col("session_window.end")).as("session_end"),
+        col("n_events"), col("total_value"))
+      .orderBy(col("user_id"), col("session_start"))
+
+  /** JSON scalar extraction (F4): props -> $.k as BIGINT, aggregated. */
+  def propsKeyStats(s: SparkSession, dir: String): DataFrame =
+    ev(s, dir)
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"),
+        (sum(col("k")).cast("double") / count(col("k"))).as("avg_k"))
+      .orderBy(col("event_type"))
+
+  /** Sliding windows (1h length, 30m slide) — each event lands in exactly
+    * two windows; start times align to 30-minute boundaries. */
+  def slidingWindowCounts(s: SparkSession, dir: String): DataFrame =
+    ev(s, dir)
+      .groupBy(window(col("ts"), "1 hour", "30 minutes"))
+      .agg(count(lit(1)).as("n"))
+      .select(Tables.isoTs(col("window.start")).as("window_start"), col("n"))
+      .orderBy(col("window_start"))
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q40_hourly_event_stats" -> (hourlyEventStats _),
+    "q41_user_sessions"      -> (userSessions _),
+    "q42_props_key_stats"    -> (propsKeyStats _),
+    "q44_sliding_windows"    -> (slidingWindowCounts _)
+  )
+
+  private val SumVal =
+    "CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)"
+
+  val oracles: Map[String, String] = Map(
+    "q40_hourly_event_stats" ->
+      s"""SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,
+         |       event_type, count(*) AS n, $SumVal AS total_value
+         |FROM events GROUP BY hour_start, event_type
+         |ORDER BY hour_start, event_type""".stripMargin,
+    // Gaps-and-islands sessionization; new session when the gap from the
+    // previous event is >= 30 min (matches Spark session_window merge
+    // semantics: [ts, ts+gap) intervals merged while overlapping).
+    "q41_user_sessions" ->
+      s"""WITH e AS (
+         |  SELECT user_id, ts, event_id, value,
+         |         epoch_us(ts) - lag(epoch_us(ts)) OVER (
+         |             PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+         |  FROM events),
+         |f AS (
+         |  SELECT user_id, ts, value,
+         |         SUM(CASE WHEN gap_us IS NULL OR gap_us >= 1800000000
+         |                  THEN 1 ELSE 0 END) OVER (
+         |             PARTITION BY user_id ORDER BY ts, event_id
+         |             ROWS UNBOUNDED PRECEDING) AS sid
+         |  FROM e)
+         |SELECT user_id,
+         |       strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+         |       strftime(max(ts) + INTERVAL 30 MINUTE,
+         |                '%Y-%m-%d %H:%M:%S') AS session_end,
+         |       count(*) AS n_events, $SumVal AS total_value
+         |FROM f GROUP BY user_id, sid
+         |ORDER BY user_id, session_start""".stripMargin,
+    "q42_props_key_stats" ->
+      """SELECT event_type, count(*) AS n,
+        |       SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+        |       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS DOUBLE)
+        |         / count(json_extract_string(props, '$.k')) AS avg_k
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q44_sliding_windows" ->
+      """SELECT strftime(make_timestamp(start_us), '%Y-%m-%d %H:%M:%S')
+        |         AS window_start, count(*) AS n
+        |FROM (
+        |  SELECT (epoch_us(ts) // 1800000000) * 1800000000 AS start_us
+        |  FROM events
+        |  UNION ALL
+        |  SELECT (epoch_us(ts) // 1800000000) * 1800000000 - 1800000000
+        |  FROM events) t
+        |GROUP BY start_us ORDER BY window_start""".stripMargin
+  )
+}

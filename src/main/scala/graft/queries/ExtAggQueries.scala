@@ -1,0 +1,61 @@
+package graft.queries
+
+import graft.Tables
+import graft.Tables.sumMoney
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** [EXT] Aggregation extensions (SURVEY.md §2.4 A11): ROLLUP grouping
+  * sets and HLL-based approximate distinct counts — the 100 TB substitute
+  * for exact COUNT(DISTINCT) when the distinct key no longer fits a
+  * shuffle (approx_count_distinct is a single-pass, mergeable sketch; no
+  * Expand explosion, no second shuffle).
+  */
+object ExtAggQueries {
+
+  /** ROLLUP (yr, mo): per-month, per-year subtotal, and grand total rows.
+    * Null ordering pinned NULLS FIRST to match across engines. */
+  def revenueRollup(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "orders")
+      .rollup(
+        year(col("o_orderdate")).cast("long").as("yr"),
+        month(col("o_orderdate")).cast("long").as("mo"))
+      .agg(count(lit(1)).as("n"), sumMoney(col("o_totalprice")).as("revenue"))
+      .orderBy(col("yr").asc_nulls_first, col("mo").asc_nulls_first)
+
+  /** CUBE over (status, priority): all 4 grouping-set combinations. */
+  def statusPriorityCube(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "orders")
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("o_orderstatus").asc_nulls_first,
+        col("o_orderpriority").asc_nulls_first)
+
+  /** HLL approximate distinct (no oracle — sketch implementations differ;
+    * unit-tested to be within 5% of exact). */
+  def approxDistinctParts(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "lineitem")
+      .agg(
+        approx_count_distinct(col("l_partkey")).as("approx_parts"),
+        approx_count_distinct(col("l_suppkey")).as("approx_supps"))
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q45_revenue_rollup"       -> (revenueRollup _),
+    "q46_status_priority_cube" -> (statusPriorityCube _),
+    "q47_approx_distinct"      -> (approxDistinctParts _)
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q45_revenue_rollup" ->
+      """SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
+        |       CAST(month(o_orderdate) AS BIGINT) AS mo,
+        |       count(*) AS n,
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM orders GROUP BY ROLLUP (yr, mo)
+        |ORDER BY yr NULLS FIRST, mo NULLS FIRST""".stripMargin,
+    "q46_status_priority_cube" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n
+        |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin
+  )
+}

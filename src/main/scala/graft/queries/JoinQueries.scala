@@ -1,0 +1,131 @@
+package graft.queries
+
+import graft.Tables
+import graft.Tables.sumMoney
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** [EXT] Join surface over the star schema (SURVEY.md §2.5 — the reference
+  * has zero joins; the extension adds equi/semi/anti/outer joins so
+  * star-schema queries are answerable).
+  *
+  * Scale notes (100 TB): `nation`/`region` are tiny dims → explicit
+  * `broadcast()`, no shuffle. orders⋈customer and lineitem⋈orders are
+  * fact⋈fact-sized at scale → shuffle hash/sort-merge on the key, left to
+  * Catalyst + AQE (skew split, partition coalescing). Aggregations happen
+  * after the join on already-shuffled keys where possible.
+  */
+object JoinQueries {
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame =
+    Tables.load(s, dir, n)
+
+  /** Shuffle equi-join orders⋈customer → revenue by market segment. */
+  def mktsegmentRevenue(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    val c = t(s, dir, "customer")
+    o.join(c, o("o_custkey") === c("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_orders"),
+        sumMoney(col("o_totalprice")).as("revenue"))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  /** 5-table star join: lineitem⋈orders⋈customer⋈nation⋈region →
+    * discounted revenue per region. Dims broadcast; facts shuffle. */
+  def regionRevenue(s: SparkSession, dir: String): DataFrame = {
+    val l = t(s, dir, "lineitem")
+    val o = t(s, dir, "orders")
+    val c = t(s, dir, "customer")
+    val n = t(s, dir, "nation")
+    val r = t(s, dir, "region")
+    l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .groupBy(col("r_name"))
+      .agg(
+        // DECIMAL(18,4): the product of two 2-decimal quantities has ≤4
+        // decimal digits, so the nearest 1e-4 grid point is the exact
+        // value in both engines — no half-cent rounding-mode divergence.
+        sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .cast(DecimalType(18, 4))).cast("double").as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("r_name"))
+  }
+
+  /** Left-semi join (EXISTS): customers that have at least one order,
+    * counted per nation. */
+  def customersWithOrders(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer")
+    val o = t(s, dir, "orders")
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+      .groupBy(col("c_nationkey").cast("long").as("nationkey"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("nationkey"))
+  }
+
+  /** Left-anti join (NOT EXISTS): customers with no order above 450k,
+    * per nation (non-empty by data: ~1/3 of customers qualify). */
+  def customersWithoutBigOrders(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer")
+    val o = t(s, dir, "orders").filter(col("o_totalprice") > 450000)
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+      .groupBy(col("c_nationkey").cast("long").as("nationkey"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("nationkey"))
+  }
+
+  /** Left-outer join: supplier counts per nation (count(col) skips the
+    * null-extended rows, matching ANSI semantics in both engines). */
+  def nationSupplierCounts(s: SparkSession, dir: String): DataFrame = {
+    val n  = t(s, dir, "nation")
+    val su = t(s, dir, "supplier")
+    n.join(su, n("n_nationkey") === su("s_nationkey"), "left_outer")
+      .groupBy(col("n_name"))
+      .agg(count(col("s_suppkey")).as("n_supp"))
+      .orderBy(col("n_name"))
+  }
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q20_mktsegment_revenue"  -> (mktsegmentRevenue _),
+    "q21_region_revenue"      -> (regionRevenue _),
+    "q22_semi_customers"      -> (customersWithOrders _),
+    "q23_anti_no_big_orders"  -> (customersWithoutBigOrders _),
+    "q24_left_supplier_count" -> (nationSupplierCounts _)
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q20_mktsegment_revenue" ->
+      """SELECT c_mktsegment, count(*) AS n_orders,
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "q21_region_revenue" ->
+      """SELECT r_name,
+        |       CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+        |                     AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+        |       count(*) AS n_items
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name ORDER BY r_name""".stripMargin,
+    "q22_semi_customers" ->
+      """SELECT CAST(c_nationkey AS BIGINT) AS nationkey, count(*) AS n
+        |FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |GROUP BY nationkey ORDER BY nationkey""".stripMargin,
+    "q23_anti_no_big_orders" ->
+      """SELECT CAST(c_nationkey AS BIGINT) AS nationkey, count(*) AS n
+        |FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey AND o_totalprice > 450000)
+        |GROUP BY nationkey ORDER BY nationkey""".stripMargin,
+    "q24_left_supplier_count" ->
+      """SELECT n_name, count(s_suppkey) AS n_supp
+        |FROM nation LEFT JOIN supplier ON n_nationkey = s_nationkey
+        |GROUP BY n_name ORDER BY n_name""".stripMargin
+  )
+}

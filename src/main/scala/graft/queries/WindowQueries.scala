@@ -1,0 +1,112 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** [EXT] Window-function surface (SURVEY.md §2.9 — absent in the
+  * reference; the "rank customers" goal there used a global ORDER BY).
+  *
+  * Scale notes: all per-customer windows partition on the natural key →
+  * one shuffle on o_custkey, then sort within partitions; no global sort.
+  * Window order keys always include a unique tiebreaker (o_orderkey) so
+  * results are deterministic for the oracle diff. The one global window
+  * (rank over nation revenue) runs on a 25-row aggregate — safe; a global
+  * window over fact-sized data would single-partition and is avoided.
+  */
+object WindowQueries {
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame =
+    Tables.load(s, dir, n)
+
+  /** row_number top-N per group: top-3 orders per customer by price. */
+  def top3OrdersPerCustomer(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    t(s, dir, "orders")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("o_custkey"), col("rn").cast("long").as("rn"),
+        col("o_orderkey"), col("o_totalprice"))
+      .orderBy(col("o_custkey"), col("rn"))
+  }
+
+  /** lag: change in order value vs the customer's previous order. */
+  def priceDeltaPrev(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    t(s, dir, "orders")
+      .withColumn("delta",
+        col("o_totalprice") - lag(col("o_totalprice"), 1).over(w))
+      .select(col("o_custkey"), col("o_orderkey"), col("delta"))
+      .orderBy(col("o_custkey"), col("o_orderkey"))
+  }
+
+  /** Running cumulative spend per customer (frame: unbounded preceding →
+    * current row), summed through DECIMAL for order-insensitive totals. */
+  def runningSpend(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t(s, dir, "orders")
+      .withColumn("running_spend",
+        sum(col("o_totalprice").cast(DecimalType(18, 2))).over(w)
+          .cast("double"))
+      .select(col("o_custkey"), col("o_orderkey"), col("running_spend"))
+      .orderBy(col("o_custkey"), col("o_orderkey"))
+  }
+
+  /** rank over an aggregate: nations ranked by total revenue (dim-sized
+    * input → the single-partition global window is intentional). */
+  def nationRevenueRank(s: SparkSession, dir: String): DataFrame = {
+    val base = RefQueries.revenueByNation(s, dir)
+    base
+      .withColumn("rnk",
+        rank().over(Window.orderBy(col("revenue").desc, col("n_name")))
+          .cast("long"))
+      .select(col("rnk"), col("n_name"), col("revenue"))
+      .orderBy(col("rnk"), col("n_name"))
+  }
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q30_top3_orders_per_cust" -> (top3OrdersPerCustomer _),
+    "q31_price_delta_prev"     -> (priceDeltaPrev _),
+    "q32_running_spend"        -> (runningSpend _),
+    "q33_nation_revenue_rank"  -> (nationRevenueRank _)
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q30_top3_orders_per_cust" ->
+      """SELECT o_custkey, CAST(rn AS BIGINT) AS rn, o_orderkey, o_totalprice
+        |FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+        |             row_number() OVER (PARTITION BY o_custkey
+        |                 ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |      FROM orders) t
+        |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin,
+    "q31_price_delta_prev" ->
+      """SELECT o_custkey, o_orderkey,
+        |       o_totalprice - lag(o_totalprice, 1) OVER (
+        |           PARTITION BY o_custkey
+        |           ORDER BY o_orderdate, o_orderkey) AS delta
+        |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "q32_running_spend" ->
+      """SELECT o_custkey, o_orderkey,
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+        |           PARTITION BY o_custkey
+        |           ORDER BY o_orderdate, o_orderkey
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |         AS DOUBLE) AS running_spend
+        |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "q33_nation_revenue_rank" ->
+      """WITH rev AS (
+        |  SELECT n_name,
+        |         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey GROUP BY n_name)
+        |SELECT CAST(rank() OVER (ORDER BY revenue DESC, n_name) AS BIGINT) AS rnk,
+        |       n_name, revenue
+        |FROM rev ORDER BY rnk, n_name""".stripMargin
+  )
+}

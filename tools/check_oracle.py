@@ -32,13 +32,14 @@ def main(sf_dir, out_dir):
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
-    n_pass = n_fail = 0
+    n_pass = n_fail = n_skip = 0
     import os
     produced = sorted(d for d in os.listdir(out_dir)
                       if os.path.isdir(os.path.join(out_dir, d)))
     for name in produced:
         if name not in oracle:
             print(f"  SKIP {name}: no oracle (rows-only check)")
+            n_skip += 1
             continue
         got_rel = con.sql(
             f"SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')")
@@ -83,8 +84,7 @@ def main(sf_dir, out_dir):
     for m in missing:
         print(f"FAIL {m}: oracle declared but no result parquet produced")
         n_fail += 1
-    print(f"== {n_pass} pass, {n_fail} fail, "
-          f"{len(produced) - n_pass - n_fail} rows-only ==")
+    print(f"== {n_pass} pass, {n_fail} fail, {n_skip} rows-only ==")
     return 1 if n_fail else 0
 
 
