@@ -20,7 +20,8 @@ object SparkEntry {
     (graft.queries.JoinQueries.all, graft.queries.JoinQueries.oracles),
     (graft.queries.WindowQueries.all, graft.queries.WindowQueries.oracles),
     (graft.queries.EventQueries.all, graft.queries.EventQueries.oracles),
-    (graft.queries.ExtAggQueries.all, graft.queries.ExtAggQueries.oracles)
+    (graft.queries.ExtAggQueries.all, graft.queries.ExtAggQueries.oracles),
+    (graft.queries.ClvQueries.all, graft.queries.ClvQueries.oracles)
   )
 
   /** One entry per implemented operator from SURVEY.md §2. */

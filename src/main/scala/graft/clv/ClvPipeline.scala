@@ -1,0 +1,124 @@
+package graft.clv
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Per-customer RFM inputs for the fit (the reference's `sales_summmary`
+  * shape, DS_cust_lifetime_value.py:428-435, with the GroupKey partition
+  * column). */
+final case class RfmRow(
+    group_key: Long,
+    custkey: Long,
+    frequency: Double,
+    recency: Double,
+    t_weeks: Double,
+    avg_monetary: Double)
+
+/** Output row — the reference's `ltv_results` table shape (declared UDF
+  * schema at DS_cust_lifetime_value.py:444-454), snake_cased. */
+final case class ClvResult(
+    group_key: Long,
+    custkey: Long,
+    frequency: Long,
+    recency: Double,
+    age: Double,
+    avg_monetary: Double,
+    pred_visits: Double,
+    prob_alive: Double,
+    pred_clv: Double,
+    cond_exp_avg_profit: Double)
+
+/** The CLV pipeline: RFM summarization → per-group MLE fit → per-customer
+  * prediction — the reference's grouped-map pattern
+  * (DS_cust_lifetime_value.py:465-494) re-expressed as
+  * `groupByKey(...).flatMapGroups(...)`: one shuffle on the synthetic
+  * GroupKey, then the whole fit+predict runs as a JVM closure on the
+  * executor that owns the group. No Arrow/Python boundary exists in this
+  * design — the model math is ordinary Scala executing inside the task.
+  *
+  * Scale notes (100 TB): the RFM aggregation is a hash aggregate on
+  * customer key (map-side partials → one shuffle); the fit stage shuffles
+  * only the *summarized* rows (one per customer, not per order). nGroups
+  * bounds fit parallelism — at cluster scale set it ≈ executor count;
+  * each group's fit is O(customers-in-group × iterations) and groups fit
+  * independently.
+  */
+object ClvPipeline {
+
+  /** Prediction horizon in weeks for PRED_VISITS (ref DS:204,:498). */
+  val HorizonWeeks: Double = 52.08
+
+  /** RFM input frame with group key (ref DS:428-435; `%20+1` per the
+    * stated 1..20 group intent at DS:414-418). */
+  def rfm(spark: SparkSession, sfDir: String, nGroups: Int = 20): Dataset[RfmRow] = {
+    import spark.implicits._
+    val wk = floor(
+      datediff(to_date(col("o_orderdate")), lit("1995-01-01")) / 7).cast("long")
+    Tables.load(spark, sfDir, "orders")
+      .groupBy(col("o_custkey"))
+      .agg(
+        (count(lit(1)) - 1).cast("double").as("frequency"),
+        (max(wk) - min(wk)).cast("double").as("recency"),
+        (lit(graft.queries.RefQueries.EndWeek) - min(wk)).cast("double")
+          .as("t_weeks"),
+        Tables.avgMoney(col("o_totalprice")).as("avg_monetary"))
+      .select(
+        (col("o_custkey") % nGroups + 1).as("group_key"),
+        col("o_custkey").as("custkey"),
+        col("frequency"), col("recency"), col("t_weeks"), col("avg_monetary"))
+      .as[RfmRow]
+  }
+
+  /** Fit both models on one group and predict every customer in it —
+    * the body of the reference's grouped-map UDF (DS:465-494). Rows are
+    * sorted by customer key so double-summation order (and therefore the
+    * fitted parameters) is reproducible. */
+  def fitPredict(rows: IndexedSeq[RfmRow],
+                 months: Int = 12,
+                 discount: Double = 0.01): Seq[ClvResult] = {
+    if (rows.isEmpty) return Nil
+    val sorted = rows.sortBy(_.custkey)
+    val bg = BetaGeoModel.fit(
+      sorted.map(r => (r.frequency, r.recency, r.t_weeks)))
+    // Gamma-Gamma needs repeat buyers (ref DS:276,:476 FREQUENCY > 1)
+    val repeat = sorted.filter(r => r.frequency > 1 && r.avg_monetary > 0)
+    val ggInput = if (repeat.nonEmpty) repeat
+                  else sorted.filter(r => r.frequency >= 1 && r.avg_monetary > 0)
+    val gg = GammaGammaModel.fit(
+      ggInput.map(r => (r.frequency, r.avg_monetary)))
+    sorted.map { r =>
+      val predVisits = bg.conditionalExpectedPurchases(
+        HorizonWeeks, r.frequency, r.recency, r.t_weeks)
+      val pAlive =
+        if (r.frequency > 0) bg.probAlive(r.frequency, r.recency, r.t_weeks)
+        else 1.0 // ref UDF hardcodes PROB_ALIVE=1 for the no-repeat case (DS:491-492)
+      val condExp =
+        gg.conditionalExpectedAverageProfit(r.frequency, r.avg_monetary)
+      val clv = Clv.customerLifetimeValue(
+        bg, condExp, r.frequency, r.recency, r.t_weeks, months, discount)
+      ClvResult(r.group_key, r.custkey, r.frequency.toLong, r.recency,
+        r.t_weeks, r.avg_monetary, predVisits, pAlive, clv, condExp)
+    }
+  }
+
+  /** Distributed path (U7): shuffle summarized customers by group key,
+    * fit+predict per group on executors. */
+  def run(spark: SparkSession, sfDir: String,
+          nGroups: Int = 20): Dataset[ClvResult] = {
+    import spark.implicits._
+    rfm(spark, sfDir, nGroups)
+      .groupByKey(_.group_key)
+      .flatMapGroups((_: Long, it: Iterator[RfmRow]) =>
+        fitPredict(it.toIndexedSeq).iterator)
+  }
+
+  /** Driver-local path (U8/S10 — the reference's `toPandas()` + direct
+    * `.func` invocation, DS:173,:500-502): collect the summarized frame,
+    * fit once on the driver, redistribute. */
+  def runOnDriver(spark: SparkSession, sfDir: String): Dataset[ClvResult] = {
+    import spark.implicits._
+    val local = rfm(spark, sfDir, nGroups = 1).collect().toIndexedSeq
+    spark.createDataset(fitPredict(local))
+  }
+}

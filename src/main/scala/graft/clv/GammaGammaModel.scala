@@ -1,0 +1,58 @@
+package graft.clv
+
+import graft.clv.SpecialFunctions._
+
+/** Gamma-Gamma monetary-value model — Fader & Hardie 2013, "The
+  * Gamma-Gamma Model of Monetary Value" (ref fit calls
+  * DS_cust_lifetime_value.py:297-298, in-UDF :477-478). Assumes spend per
+  * transaction ~ Gamma(p, ν) with customer-level heterogeneity
+  * ν ~ Gamma(q, γ/v); requires repeat buyers (x ≥ 1) and monetary ⊥
+  * frequency (the reference checks corr at DS:287 — our A10 query).
+  */
+final case class GammaGammaParams(p: Double, q: Double, v: Double) {
+
+  /** Per-customer log-likelihood for (x, m̄x): frequency and observed
+    * mean transaction value (Fader/Hardie 2013 eq. (1a) log form). */
+  def logLikelihood(x: Double, mx: Double): Double = {
+    val px = p * x
+    lgamma(px + q) - lgamma(px) - lgamma(q) +
+      q * math.log(v) +
+      (px - 1) * math.log(mx) +
+      px * math.log(x) -
+      (px + q) * math.log(v + mx * x)
+  }
+
+  /** E(M | p, q, v; m̄x, x) — conditional expected average transaction
+    * value (Fader/Hardie 2013 eq. (5); ref usage DS:316-319). */
+  def conditionalExpectedAverageProfit(x: Double, mx: Double): Double =
+    p * (v + mx * x) / (p * x + q - 1)
+}
+
+object GammaGammaModel {
+
+  /** MLE over log-params; mean NLL + L2 penalty on natural params
+    * (coefficient at ref DS:477 → 0.01). `data` rows: (x, m̄x), repeat
+    * buyers only (x ≥ 1, m̄x > 0) — the caller filters (ref DS:276). */
+  def fit(data: IndexedSeq[(Double, Double)],
+          penalizer: Double = 0.01): GammaGammaParams = {
+    require(data.nonEmpty, "Gamma-Gamma fit needs at least one customer")
+    val n = data.length.toDouble
+
+    def nll(logParams: Array[Double]): Double = {
+      val g = GammaGammaParams(
+        math.exp(logParams(0)), math.exp(logParams(1)), math.exp(logParams(2)))
+      var s = 0.0
+      var i = 0
+      while (i < data.length) {
+        val (x, mx) = data(i)
+        s += g.logLikelihood(x, mx)
+        i += 1
+      }
+      val pen = penalizer * (g.p * g.p + g.q * g.q + g.v * g.v)
+      -s / n + pen
+    }
+
+    val res = NelderMead.minimize(nll, Array(0.1, 0.1, 0.1))
+    GammaGammaParams(math.exp(res.x(0)), math.exp(res.x(1)), math.exp(res.x(2)))
+  }
+}

