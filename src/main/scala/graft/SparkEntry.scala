@@ -21,7 +21,9 @@ object SparkEntry {
     (graft.queries.WindowQueries.all, graft.queries.WindowQueries.oracles),
     (graft.queries.EventQueries.all, graft.queries.EventQueries.oracles),
     (graft.queries.ExtAggQueries.all, graft.queries.ExtAggQueries.oracles),
-    (graft.queries.ClvQueries.all, graft.queries.ClvQueries.oracles)
+    (graft.queries.ClvQueries.all, graft.queries.ClvQueries.oracles),
+    (graft.queries.TextQueries.all, graft.queries.TextQueries.oracles),
+    (graft.queries.VectorQueries.all, graft.queries.VectorQueries.oracles)
   )
 
   /** One entry per implemented operator from SURVEY.md §2. */

@@ -1,0 +1,122 @@
+package graft.queries
+
+import graft.Tables
+import graft.dedup.{MinHash, SimHash}
+import graft.text.TextFunctions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** [EXT] Text-analysis + deduplication queries over `documents`
+  * (LLM-data-pipeline surface). Integer-valued outputs wherever an oracle
+  * exists; hash/model-dependent outputs are rows-only and covered by
+  * TextDedupSpec.
+  */
+object TextQueries {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+
+  /** Token statistics per language (oracle: ints only). */
+  def langTokenStats(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(tokenCount(col("text")).cast("long")).as("total_tokens"),
+        sum(alphaLen(col("text")).cast("long")).as("total_alpha_chars"),
+        min(col("n_chars")).as("min_chars"),
+        max(col("n_chars")).as("max_chars"))
+      .orderBy(col("lang"))
+
+  /** Length-band quality buckets per source (oracle: ints only). */
+  def qualityBuckets(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .withColumn("band",
+        when(col("n_chars") < 100, "1_short")
+          .when(col("n_chars") < 300, "2_medium")
+          .otherwise("3_long"))
+      .groupBy(col("source"), col("band"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("source"), col("band"))
+
+  /** Language-ID heuristic vs labeled lang (rows-only — the profiles are
+    * ours; totality is unit-tested). */
+  def langIdConfusion(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .withColumn("predicted", langId(col("text")))
+      .groupBy(col("lang"), col("predicted"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("lang"), col("predicted"))
+
+  /** Exact + normalized + vocabulary dedup cardinalities (rows-only:
+    * xxhash64 values are engine-specific). */
+  def dedupCardinalities(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).agg(
+      count(lit(1)).as("n_docs"),
+      countDistinct(col("text")).as("distinct_text"),
+      countDistinct(normalized(col("text"))).as("distinct_normalized"),
+      countDistinct(fingerprint64(col("text"))).as("distinct_fp64"),
+      countDistinct(vocabFingerprint(col("text"))).as("distinct_vocab"))
+
+  /** Vocabulary-fingerprint duplicate groups (oracle: md5 is portable).
+    * Groups >1 are real near-dups in this corpus: same word set,
+    * different order/multiplicity. */
+  def vocabDedupGroups(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .groupBy(vocabFingerprint(col("text")).as("vocab_fp"))
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("canonical_doc"))
+      .filter(col("n_docs") > 1)
+      .orderBy(col("vocab_fp"))
+
+  /** MinHash-LSH verified near-duplicate pairs (rows-only; recall vs
+    * exact Jaccard is unit-tested). */
+  def minhashNearDups(s: SparkSession, dir: String): DataFrame =
+    MinHash.nearDuplicatePairs(docs(s, dir), "doc_id", "text",
+        shingleN = 2, bands = 16, rowsPerBand = 4, threshold = 0.3)
+      .orderBy(col("id_a"), col("id_b"))
+
+  /** SimHash near-duplicate pairs (rows-only). */
+  def simhashNearDups(s: SparkSession, dir: String): DataFrame =
+    SimHash.nearDuplicatePairs(docs(s, dir), "doc_id", "text",
+        maxDist = 10, nChunks = 16)
+      .orderBy(col("id_a"), col("id_b"))
+
+  /** Per-document quality scores + language (rows-only). */
+  def docQuality(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(col("doc_id"), qualityScore(col("text")).as("quality"),
+        langId(col("text")).as("predicted_lang"),
+        tokenCount(col("text")).cast("long").as("n_tokens"))
+      .orderBy(col("doc_id"))
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q50_lang_token_stats" -> (langTokenStats _),
+    "q51_quality_buckets"  -> (qualityBuckets _),
+    "q52_langid_confusion" -> (langIdConfusion _),
+    "q53_dedup_cardinalities" -> (dedupCardinalities _),
+    "q54_vocab_dedup_groups"  -> (vocabDedupGroups _),
+    "q55_minhash_neardups"    -> (minhashNearDups _),
+    "q56_simhash_neardups"    -> (simhashNearDups _),
+    "q57_doc_quality"         -> (docQuality _)
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q50_lang_token_stats" ->
+      """SELECT lang, count(*) AS n_docs,
+        |       SUM(len(string_split_regex(trim(text), '\s+'))) AS total_tokens,
+        |       SUM(length(regexp_replace(text, '\s+', '', 'g'))) AS total_alpha_chars,
+        |       min(n_chars) AS min_chars, max(n_chars) AS max_chars
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    "q51_quality_buckets" ->
+      """SELECT source, CASE WHEN n_chars < 100 THEN '1_short'
+        |                    WHEN n_chars < 300 THEN '2_medium'
+        |                    ELSE '3_long' END AS band, count(*) AS n
+        |FROM documents GROUP BY source, band ORDER BY source, band""".stripMargin,
+    "q54_vocab_dedup_groups" ->
+      """SELECT md5(array_to_string(list_sort(list_distinct(
+        |         string_split_regex(trim(text), '\s+'))), ' ')) AS vocab_fp,
+        |       count(*) AS n_docs, min(doc_id) AS canonical_doc
+        |FROM documents
+        |GROUP BY vocab_fp HAVING count(*) > 1 ORDER BY vocab_fp""".stripMargin
+  )
+}

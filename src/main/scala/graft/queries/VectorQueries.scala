@@ -1,0 +1,115 @@
+package graft.queries
+
+import graft.Tables
+import graft.vector.VectorFunctions
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** [EXT] Similarity-search queries over `embeddings` (64-dim float
+  * vectors). Cosine math runs in sequential double precision on both
+  * engines, so similarity values agree to ~1e-15 and 4-decimal rounding
+  * is stable; neighbor *ranking* gaps in this corpus are ≥2e-4, far above
+  * any float/double divergence.
+  */
+object VectorQueries {
+
+  private def emb(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "embeddings")
+
+  /** Brute-force cosine top-10 for query vectors vec_id < 5 (the
+    * correctness baseline; oracle in DuckDB on double-cast lists). */
+  def knnBrute(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    VectorFunctions.bruteForceTopK(
+        e.filter(col("vec_id") < 5), e,
+        "vec_id", "embedding", "vec_id", "embedding", k = 10)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        round(col("sim"), 4).as("sim"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** IVF/LSH approximate top-10 (rows-only; recall vs brute force is
+    * unit-tested — the scale path for corpora too big to scan per query). */
+  def knnIvf(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    VectorFunctions.ivfTopK(
+        e.filter(col("vec_id") < 5), e,
+        "vec_id", "embedding", "vec_id", "embedding", k = 10)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        round(col("sim"), 4).as("sim"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** Embedding near-duplicate pairs, exact over all pairs (oracle-able at
+    * verify scale; the LSH-bucketed variant is q63). */
+  def embedNearDupsExact(s: SparkSession, dir: String): DataFrame = {
+    val l = emb(s, dir).select(col("vec_id").as("id_a"),
+      col("embedding").as("va"))
+    val r = emb(s, dir).select(col("vec_id").as("id_b"),
+      col("embedding").as("vb"))
+    l.crossJoin(r)
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("sim", VectorFunctions.cosine(col("va"), col("vb")))
+      .filter(col("sim") >= 0.85)
+      .select(col("id_a"), col("id_b"), round(col("sim"), 4).as("sim"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** LSH-bucketed near-dup pairs — the 100 TB path (rows-only; recall
+    * unit-tested against q62). */
+  def embedNearDupsLsh(s: SparkSession, dir: String): DataFrame =
+    VectorFunctions.nearDuplicateEmbeddings(
+        emb(s, dir), "vec_id", "embedding", threshold = 0.85)
+      .select(col("id_a"), col("id_b"), round(col("sim"), 4).as("sim"))
+      .orderBy(col("id_a"), col("id_b"))
+
+  /** Per-label centroids via posexplode (oracle: UNNEST WITH ORDINALITY).
+    * Double sums of ~50 floats: cross-engine divergence ~1e-16 against a
+    * 5e-7 rounding grid — safe. */
+  def labelCentroids(s: SparkSession, dir: String): DataFrame =
+    emb(s, dir)
+      .select(col("label").cast("long").as("label"),
+        posexplode(col("embedding")).as(Seq("pos", "v")))
+      .groupBy(col("label"), col("pos").cast("long").as("pos"))
+      .agg(round(avg(col("v").cast("double")), 6).as("avg_v"),
+        count(lit(1)).as("n"))
+      .orderBy(col("label"), col("pos"))
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q60_knn_brute"        -> (knnBrute _),
+    "q61_knn_ivf"          -> (knnIvf _),
+    "q62_embed_neardups"   -> (embedNearDupsExact _),
+    "q63_embed_neardups_lsh" -> (embedNearDupsLsh _),
+    "q64_label_centroids"  -> (labelCentroids _)
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q60_knn_brute" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS qe
+        |           FROM embeddings WHERE vec_id < 5),
+        |p AS (SELECT q.query_id, e.vec_id AS neighbor_id,
+        |             list_cosine_similarity(q.qe::DOUBLE[],
+        |                                    e.embedding::DOUBLE[]) AS sim,
+        |             row_number() OVER (PARTITION BY q.query_id
+        |                 ORDER BY list_cosine_similarity(q.qe::DOUBLE[],
+        |                     e.embedding::DOUBLE[]) DESC, e.vec_id) AS rank
+        |      FROM q JOIN embeddings e ON e.vec_id != q.query_id)
+        |SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id,
+        |       round(sim, 4) AS sim
+        |FROM p WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+    "q62_embed_neardups" ->
+      """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |       round(list_cosine_similarity(a.embedding::DOUBLE[],
+        |                                    b.embedding::DOUBLE[]), 4) AS sim
+        |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |WHERE list_cosine_similarity(a.embedding::DOUBLE[],
+        |                             b.embedding::DOUBLE[]) >= 0.85
+        |ORDER BY id_a, id_b""".stripMargin,
+    "q64_label_centroids" ->
+      """SELECT CAST(label AS BIGINT) AS label, r.range AS pos,
+        |       round(avg(embedding[r.range::INT + 1]::DOUBLE), 6) AS avg_v,
+        |       count(*) AS n
+        |FROM embeddings CROSS JOIN range(0, 64) r
+        |GROUP BY label, pos ORDER BY label, pos""".stripMargin
+  )
+}

@@ -1,0 +1,116 @@
+package graft.vector
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Vector similarity over `array<float>` embedding columns ([EXT]
+  * similarity-search surface). Dot products and norms are sequential
+  * double-precision folds over the array (`aggregate`/`zip_with` —
+  * codegen'd builtins), so results are deterministic and engine-portable.
+  *
+  * Scale design (100 TB): brute-force top-k is the correctness baseline —
+  * a broadcast of the (small) query set against a full scan, no shuffle
+  * of the corpus. The scale path is [[ivfTopK]]: vectors are bucketed by
+  * a coarse quantizer (here: sign-bit LSH over fixed hyperplanes), the
+  * query probes only matching buckets → the scan touches ~1/buckets of
+  * the corpus; recall is tested against the brute-force baseline.
+  */
+object VectorFunctions {
+
+  /** Σ aᵢ·bᵢ in double precision, sequential element order. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Brute-force cosine top-k: for each query row, rank the corpus.
+    * Query set must be small (it is broadcast as a literal cross join). */
+  def bruteForceTopK(
+      queries: DataFrame, corpus: DataFrame,
+      qId: String, qVec: String, cId: String, cVec: String,
+      k: Int): DataFrame = {
+    val joined = queries.select(col(qId).as("query_id"), col(qVec).as("qv"))
+      .crossJoin(corpus.select(col(cId).as("neighbor_id"), col(cVec).as("cv")))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("sim", cosine(col("qv"), col("cv")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    joined
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("neighbor_id"), col("sim"))
+  }
+
+  /** Deterministic pseudo-random hyperplanes (splitmix64-seeded, values
+    * in [-1,1]) for the sign-bit coarse quantizer. */
+  private def hyperplanes(nPlanes: Int, dim: Int): Array[Array[Double]] = {
+    var state = 0x9e3779b97f4a7c15L
+    def next(): Double = {
+      state += 0x9e3779b97f4a7c15L
+      var z = state
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      z = z ^ (z >>> 31)
+      (z >>> 11) * (1.0 / (1L << 53)) * 2.0 - 1.0
+    }
+    Array.fill(nPlanes, dim)(next())
+  }
+
+  /** Sign-bit LSH bucket id (0 .. 2^nPlanes-1) of an embedding. */
+  def lshBucket(vec: Column, nPlanes: Int, dim: Int): Column = {
+    val planes = hyperplanes(nPlanes, dim)
+    planes.zipWithIndex.map { case (p, i) =>
+      val planeLit = array(p.map(lit): _*)
+      when(dot(vec, planeLit) >= 0, lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ + _)
+  }
+
+  /** IVF/LSH-bucketed approximate top-k: corpus pre-bucketed by
+    * [[lshBucket]]; each query probes only its own bucket plus the
+    * single-bit-flip neighbor buckets (multi-probe). Trades recall for a
+    * corpus-scan factor of ~(nPlanes+1)/2^nPlanes. */
+  def ivfTopK(
+      queries: DataFrame, corpus: DataFrame,
+      qId: String, qVec: String, cId: String, cVec: String,
+      k: Int, nPlanes: Int = 4, dim: Int = 64): DataFrame = {
+    val bucketed = corpus.select(col(cId).as("neighbor_id"), col(cVec).as("cv"),
+      lshBucket(col(cVec), nPlanes, dim).as("bucket"))
+    // query probes: own bucket + all 1-bit flips
+    val probes = explode(array((0 to nPlanes).map { i =>
+      if (i == 0) col("qbucket")
+      else col("qbucket").bitwiseXOR(lit(1L << (i - 1)))
+    }: _*))
+    val q = queries.select(col(qId).as("query_id"), col(qVec).as("qv"),
+        lshBucket(col(qVec), nPlanes, dim).as("qbucket"))
+      .withColumn("bucket", probes)
+    val joined = q.join(bucketed, Seq("bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("sim", cosine(col("qv"), col("cv")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    joined
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("neighbor_id"), col("sim"))
+  }
+
+  /** Embedding near-duplicate pairs: cosine ≥ threshold. Brute force
+    * within LSH buckets (the scale path); exact for bucket-mates. */
+  def nearDuplicateEmbeddings(
+      corpus: DataFrame, cId: String, cVec: String,
+      threshold: Double, nPlanes: Int = 4, dim: Int = 64): DataFrame = {
+    val b = corpus.select(col(cId).as("id"), col(cVec).as("v"),
+      lshBucket(col(cVec), nPlanes, dim).as("bucket"))
+    val l = b.alias("l"); val r = b.alias("r")
+    l.join(r, col("l.bucket") === col("r.bucket") && col("l.id") < col("r.id"))
+      .withColumn("sim", cosine(col("l.v"), col("r.v")))
+      .filter(col("sim") >= threshold)
+      .select(col("l.id").as("id_a"), col("r.id").as("id_b"), col("sim"))
+  }
+}

@@ -1,0 +1,102 @@
+package graft
+
+import graft.dedup.{MinHash, SimHash}
+import graft.queries.TextQueries
+import graft.text.TextFunctions
+import org.apache.spark.sql.functions._
+
+class TextDedupSpec extends SparkSpec {
+
+  private lazy val docs = Tables.load(spark, sf, "documents")
+
+  test("langid confusion matrix is total over the corpus") {
+    val total = TextQueries.langIdConfusion(spark, sf)
+      .agg(sum("n")).head().getLong(0)
+    assert(total == docs.count())
+  }
+
+  test("quality scores are in [0,1]") {
+    val bad = TextQueries.docQuality(spark, sf)
+      .filter(col("quality") < 0 || col("quality") > 1).count()
+    assert(bad == 0)
+  }
+
+  test("vocab fingerprint: identical word sets collide, different don't") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "the quick brown fox"),
+      (2L, "fox brown quick the the"),   // same vocab, reordered+dup
+      (3L, "a completely different doc")
+    ).toDF("id", "text")
+      .withColumn("fp", TextFunctions.vocabFingerprint(col("text")))
+    val fps = df.select("fp").collect().map(_.getString(0))
+    assert(fps(0) == fps(1))
+    assert(fps(0) != fps(2))
+  }
+
+  test("minhash estimate tracks exact jaccard on controlled pairs") {
+    import spark.implicits._
+    val base = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val half = ((1 to 20).map(i => s"tok$i") ++
+      (1 to 20).map(i => s"other$i")).mkString(" ")
+    val df = Seq((1L, base), (2L, base), (3L, half)).toDF("id", "text")
+      .withColumn("sh", MinHash.wordShingles(col("text"), 1))
+      .withColumn("sig", MinHash.signature(col("sh"), 64))
+    val rows = df.select("id", "sig").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val agree12 = rows(1L).zip(rows(2L)).count(p => p._1 == p._2) / 64.0
+    val agree13 = rows(1L).zip(rows(3L)).count(p => p._1 == p._2) / 64.0
+    assert(agree12 == 1.0, s"identical docs must have identical sigs")
+    // true jaccard(1,3) = 20/60 = 0.333; 64 hashes → s.e. ~0.06
+    assert(agree13 > 0.13 && agree13 < 0.53, s"agree13=$agree13")
+  }
+
+  test("minhash-LSH finds the vocabulary-identical near-dup pairs") {
+    // ground truth: pairs with identical vocab fingerprints (exist in
+    // this corpus by construction) have word-shingle jaccard high enough
+    // for a 2-token shingle run at threshold 0.3 to surface some pairs
+    val pairs = TextQueries.minhashNearDups(spark, sf).collect()
+    assert(pairs.nonEmpty, "expected at least one verified near-dup pair")
+    pairs.foreach { r =>
+      assert(r.getAs[Double]("jaccard") >= 0.3)
+      assert(r.getAs[Long]("id_a") < r.getAs[Long]("id_b"))
+    }
+  }
+
+  test("minhash-LSH recall: contains every pair with exact jaccard >= 0.6") {
+    // brute-force exact jaccard on 2-shingles over the sf0.001 corpus
+    val sh = docs.select(col("doc_id"),
+      MinHash.wordShingles(col("text"), 2).as("sh"))
+    val l = sh.select(col("doc_id").as("id_a"), col("sh").as("sha"))
+    val r = sh.select(col("doc_id").as("id_b"), col("sh").as("shb"))
+    val truth = l.crossJoin(r).filter(col("id_a") < col("id_b"))
+      .withColumn("j", MinHash.exactJaccard(col("sha"), col("shb")))
+      .filter(col("j") >= 0.6)
+      .select("id_a", "id_b").collect()
+      .map(x => (x.getLong(0), x.getLong(1))).toSet
+    val found = TextQueries.minhashNearDups(spark, sf).collect()
+      .map(x => (x.getAs[Long]("id_a"), x.getAs[Long]("id_b"))).toSet
+    val missed = truth -- found
+    assert(missed.isEmpty,
+      s"LSH missed ${missed.size} of ${truth.size} high-jaccard pairs")
+  }
+
+  test("simhash: identical docs → distance 0; unrelated docs far") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma delta epsilon zeta"),
+      (3L, "one two three four five six seven eight nine ten")
+    ).toDF("id", "text")
+      .withColumn("sig", SimHash.simhash64(col("text")))
+    val sigs = df.select("id", "sig").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sigs(1L) == sigs(2L))
+    assert(java.lang.Long.bitCount(sigs(1L) ^ sigs(3L)) > 10)
+  }
+
+  test("simhash pigeonhole join returns only pairs within maxDist") {
+    val pairs = TextQueries.simhashNearDups(spark, sf).collect()
+    pairs.foreach(r => assert(r.getAs[Integer]("hamming") <= 10))
+  }
+}

@@ -1,0 +1,67 @@
+package graft
+
+import graft.queries.VectorQueries
+import graft.vector.VectorFunctions
+import org.apache.spark.sql.functions._
+
+class VectorSpec extends SparkSpec {
+
+  test("cosine of a vector with itself is 1") {
+    import spark.implicits._
+    val df = Seq((Array(1.0f, 2.0f, 3.0f), Array(1.0f, 2.0f, 3.0f)))
+      .toDF("a", "b")
+    val c = df.select(VectorFunctions.cosine(col("a"), col("b"))).head()
+      .getDouble(0)
+    assert(math.abs(c - 1.0) < 1e-12)
+  }
+
+  test("cosine of orthogonal vectors is 0") {
+    import spark.implicits._
+    val df = Seq((Array(1.0f, 0.0f), Array(0.0f, 1.0f))).toDF("a", "b")
+    assert(math.abs(df.select(VectorFunctions.cosine(col("a"), col("b")))
+      .head().getDouble(0)) < 1e-12)
+  }
+
+  test("brute-force knn: k rows per query, descending sim, no self") {
+    val res = VectorQueries.knnBrute(spark, sf).collect()
+    val byQuery = res.groupBy(_.getAs[Long]("query_id"))
+    assert(byQuery.size == 5)
+    byQuery.foreach { case (qid, rows) =>
+      assert(rows.length == 10)
+      val sims = rows.sortBy(_.getAs[Long]("rank")).map(_.getAs[Double]("sim"))
+      assert(sims.sliding(2).forall(p => p.length < 2 || p(0) >= p(1)))
+      assert(!rows.exists(_.getAs[Long]("neighbor_id") == qid))
+    }
+  }
+
+  test("IVF top-k recall@10 vs brute force is reasonable") {
+    val brute = VectorQueries.knnBrute(spark, sf).collect()
+      .groupBy(_.getAs[Long]("query_id"))
+      .view.mapValues(_.map(_.getAs[Long]("neighbor_id")).toSet).toMap
+    val ivf = VectorQueries.knnIvf(spark, sf).collect()
+      .groupBy(_.getAs[Long]("query_id"))
+      .view.mapValues(_.map(_.getAs[Long]("neighbor_id")).toSet).toMap
+    val recalls = brute.keys.toSeq.map { q =>
+      val hit = ivf.getOrElse(q, Set.empty).intersect(brute(q)).size
+      hit.toDouble / brute(q).size
+    }
+    val mean = recalls.sum / recalls.length
+    // multi-probe over 16 buckets scans ~1/3 of the corpus; random
+    // 64-dim embeddings are a worst case for sign-LSH — expect partial
+    // but non-trivial recall
+    assert(mean > 0.2, s"mean recall@10 = $mean")
+  }
+
+  test("LSH near-dup pairs are a subset of exact near-dup pairs") {
+    val exact = VectorQueries.embedNearDupsExact(spark, sf).collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    val lsh = VectorQueries.embedNearDupsLsh(spark, sf).collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    assert(lsh.subsetOf(exact), s"LSH produced pairs not in exact set")
+  }
+
+  test("label centroids: 10 labels x 64 positions") {
+    val c = VectorQueries.labelCentroids(spark, sf)
+    assert(c.count() == 640)
+  }
+}
