@@ -1,0 +1,126 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types.DecimalType
+
+/** Typed event row matching the `events` table schema. */
+final case class Event(
+    event_id: Long,
+    ts: Timestamp,
+    user_id: Long,
+    event_type: String,
+    value: Double)
+
+/** One closed user session produced by the stateful sessionizer. */
+final case class Session(
+    user_id: Long,
+    session_start: Timestamp,
+    session_end: Timestamp,
+    n_events: Long,
+    total_value: Double)
+
+private final case class SessionState(
+    start: Long, last: Long, n: Long, total: Double)
+
+/** [EXT] Structured Streaming surface (SURVEY.md §2.10 S14): the same
+  * event-time shapes as the batch EventQueries, expressed as streaming
+  * transforms. Each takes any DataFrame/Dataset (batch or streaming
+  * source) so the logic is testable with MemoryStream and reusable over
+  * `readStream` in production.
+  *
+  * Scale notes: watermarking bounds state (windows/dedup keys older than
+  * the watermark are evicted); state is hash-partitioned on the grouping
+  * key across executors — the 100 TB design is "state ∝ active keys ×
+  * window horizon", never ∝ stream length.
+  */
+object EventStreams {
+
+  /** Tumbling 1-hour windowed aggregation with a 10-minute watermark
+    * (streaming form of q40). Append-mode emits only finalized windows. */
+  def hourlyStats(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(18, 2))).cast("double")
+          .as("total_value"))
+      .select(col("window.start").as("hour_start"), col("event_type"),
+        col("n"), col("total_value"))
+
+  /** Exactly-once-per-key dedup bounded by the watermark: late duplicate
+    * event_ids beyond 10 minutes are dropped from state. */
+  def dedupedEvents(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("event_id")
+
+  /** Native streaming session windows (streaming form of q41). */
+  def sessionWindows(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "30 minutes")
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"), col("n_events"))
+
+  /** Custom sessionization with explicit state (U7's streaming sibling):
+    * flatMapGroupsWithState keyed by user, 30-minute idle gap, event-time
+    * timeout closes sessions when the watermark passes. */
+  def statefulSessions(events: Dataset[Event]): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    val GapMs = 30L * 60 * 1000
+
+    def fn(userId: Long, rows: Iterator[Event],
+           state: GroupState[SessionState]): Iterator[Session] = {
+      var closed = List.empty[Session]
+      if (state.hasTimedOut) {
+        val s = state.get
+        closed ::= Session(userId, new Timestamp(s.start),
+          new Timestamp(s.last + GapMs), s.n, s.total)
+        state.remove()
+      } else {
+        val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+        var cur = state.getOption.orNull
+        for (e <- sorted) {
+          val t = e.ts.getTime
+          cur match {
+            case null =>
+              cur = SessionState(t, t, 1, e.value)
+            case s if t - s.last >= GapMs =>
+              closed ::= Session(userId, new Timestamp(s.start),
+                new Timestamp(s.last + GapMs), s.n, s.total)
+              cur = SessionState(t, t, 1, e.value)
+            case s =>
+              cur = SessionState(s.start, math.max(s.last, t), s.n + 1,
+                s.total + e.value)
+          }
+        }
+        if (cur != null) {
+          state.update(cur)
+          state.setTimeoutTimestamp(cur.last + GapMs)
+        }
+      }
+      closed.reverseIterator
+    }
+
+    events
+      .withWatermark("ts", "30 minutes")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(fn)
+  }
+
+  /** Run a streaming Dataset to completion against a memory sink and
+    * return the accumulated result (test/tooling helper). */
+  def runToMemory(spark: SparkSession, df: DataFrame, name: String,
+                  mode: OutputMode = OutputMode.Append): DataFrame = {
+    val q = df.writeStream
+      .format("memory").queryName(name).outputMode(mode).start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(name)
+  }
+}

@@ -1,0 +1,91 @@
+package graft
+
+import java.sql.Timestamp
+
+import graft.streaming.{Event, EventStreams}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+class StreamingSpec extends SparkSpec {
+
+  private def ts(minute: Int): Timestamp =
+    Timestamp.valueOf(f"2024-01-01 ${minute / 60}%02d:${minute % 60}%02d:00")
+
+  test("streaming hourly stats finalize windows behind the watermark") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[Event]
+    mem.addData(
+      Event(1, ts(5), 1, "click", 1.0),
+      Event(2, ts(20), 1, "click", 2.0),
+      Event(3, ts(65), 2, "view", 3.0))
+    // advance watermark far enough to close hour 0 and hour 1
+    mem.addData(Event(4, ts(200), 3, "click", 1.0))
+    mem.addData(Event(5, ts(400), 3, "click", 1.0))
+    val out = EventStreams.runToMemory(
+      spark, EventStreams.hourlyStats(mem.toDF()), "hourly_test")
+    val rows = out.collect().map(r =>
+      (r.getAs[Timestamp]("hour_start").toString,
+        r.getAs[String]("event_type"), r.getAs[Long]("n")))
+    assert(rows.contains(("2024-01-01 00:00:00.0", "click", 2L)))
+    assert(rows.contains(("2024-01-01 01:00:00.0", "view", 1L)))
+  }
+
+  test("dropDuplicatesWithinWatermark removes in-window duplicate ids") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[Event]
+    mem.addData(
+      Event(1, ts(1), 1, "click", 1.0),
+      Event(1, ts(2), 1, "click", 1.0), // duplicate id within watermark
+      Event(2, ts(3), 1, "view", 1.0))
+    val out = EventStreams.runToMemory(
+      spark, EventStreams.dedupedEvents(mem.toDF()), "dedup_test")
+    assert(out.select("event_id").collect().map(_.getLong(0)).sorted
+      .sameElements(Array(1L, 2L)))
+  }
+
+  test("streaming session windows merge events within the gap") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[Event]
+    mem.addData(
+      Event(1, ts(0), 7, "click", 1.0),
+      Event(2, ts(10), 7, "click", 1.0),  // same session (10 < 30 gap)
+      Event(3, ts(100), 7, "click", 1.0)) // new session
+    mem.addData(Event(4, ts(500), 8, "click", 1.0)) // push watermark
+    val out = EventStreams.runToMemory(
+      spark, EventStreams.sessionWindows(mem.toDF()), "session_test")
+    val u7 = out.filter(col("user_id") === 7).collect()
+      .map(r => (r.getAs[Timestamp]("session_start").toString,
+        r.getAs[Long]("n_events")))
+    assert(u7.toSet == Set(("2024-01-01 00:00:00.0", 2L),
+      ("2024-01-01 01:40:00.0", 1L)))
+  }
+
+  test("stateful flatMapGroupsWithState sessionizer closes on timeout") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[Event]
+    mem.addData(
+      Event(1, ts(0), 9, "click", 2.0),
+      Event(2, ts(5), 9, "click", 3.0))
+    mem.addData(Event(3, ts(300), 10, "click", 1.0)) // advance watermark
+    mem.addData(Event(4, ts(600), 10, "click", 1.0)) // trigger timeout pass
+    val sessions = EventStreams.statefulSessions(mem.toDS())
+    val out = EventStreams.runToMemory(spark, sessions.toDF(), "stateful_test")
+    val s9 = out.filter(col("user_id") === 9).collect()
+    assert(s9.length == 1)
+    assert(s9.head.getAs[Long]("n_events") == 2)
+    assert(s9.head.getAs[Double]("total_value") == 5.0)
+  }
+
+  test("batch q40/q41 equivalents match streaming output shapes") {
+    // the streaming transforms run unchanged over batch frames
+    val batch = Tables.load(spark, sf, "events")
+    val hourly = EventStreams.hourlyStats(batch)
+    assert(hourly.columns.toSeq ==
+      Seq("hour_start", "event_type", "n", "total_value"))
+    assert(hourly.count() > 0)
+  }
+}

@@ -52,12 +52,19 @@ class VectorSpec extends SparkSpec {
     assert(mean > 0.2, s"mean recall@10 = $mean")
   }
 
-  test("LSH near-dup pairs are a subset of exact near-dup pairs") {
-    val exact = VectorQueries.embedNearDupsExact(spark, sf).collect()
-      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
-    val lsh = VectorQueries.embedNearDupsLsh(spark, sf).collect()
-      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
-    assert(lsh.subsetOf(exact), s"LSH produced pairs not in exact set")
+  test("LSH bucket top pairs carry the same sims as the exact ranking") {
+    // every bucket-mate pair's sim must equal the brute-force cosine for
+    // the same pair (the LSH path prunes candidates, never alters math)
+    val exact = VectorQueries.embedTopPairsExact(spark, sf).collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")) ->
+        r.getAs[Double]("sim")).toMap
+    val lsh = VectorQueries.embedTopPairsLsh(spark, sf).collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")) ->
+        r.getAs[Double]("sim")).toMap
+    assert(lsh.nonEmpty)
+    val overlap = lsh.keySet.intersect(exact.keySet)
+    overlap.foreach(k => assert(lsh(k) == exact(k),
+      s"sim mismatch for $k: ${lsh(k)} vs ${exact(k)}"))
   }
 
   test("label centroids: 10 labels x 64 positions") {
