@@ -69,21 +69,38 @@ object BetaGeoModel {
   def fit(data: IndexedSeq[(Double, Double, Double)],
           penalizer: Double = 1e-4): BetaGeoParams = {
     require(data.nonEmpty, "BG/NBD fit needs at least one customer")
-    val n = data.length.toDouble
+    val n = data.length
+    // primitive arrays + hoisted per-eval constants: the naive per-row
+    // form recomputes lgamma(r), lgamma(a+b), lgamma(b) n times per
+    // objective evaluation — 8 lgamma/row instead of 3 (2.5× hot-path)
+    val xs = new Array[Double](n); val txs = new Array[Double](n)
+    val ts = new Array[Double](n)
+    var i0 = 0
+    while (i0 < n) {
+      val (x, tx, t) = data(i0); xs(i0) = x; txs(i0) = tx; ts(i0) = t
+      i0 += 1
+    }
 
     def nll(logParams: Array[Double]): Double = {
-      val p = BetaGeoParams(
-        math.exp(logParams(0)), math.exp(logParams(1)),
-        math.exp(logParams(2)), math.exp(logParams(3)))
+      val r = math.exp(logParams(0)); val alpha = math.exp(logParams(1))
+      val a = math.exp(logParams(2)); val b = math.exp(logParams(3))
+      val const = r * math.log(alpha) - lgamma(r) + lgamma(a + b) - lgamma(b)
+      val logA = math.log(a)
       var s = 0.0
       var i = 0
-      while (i < data.length) {
-        val (x, tx, t) = data(i)
-        s += p.logLikelihood(x, tx, t)
+      while (i < n) {
+        val x = xs(i); val tx = txs(i); val t = ts(i)
+        val rx = r + x
+        val lA3 = -rx * math.log(alpha + t)
+        val ll3 =
+          if (x > 0)
+            logSumExp(lA3, logA - math.log(b + x - 1) - rx * math.log(alpha + tx))
+          else lA3
+        s += lgamma(rx) + lgamma(b + x) - lgamma(a + b + x) + ll3
         i += 1
       }
-      val pen = penalizer *
-        (sq(p.r) + sq(p.alpha) + sq(p.a) + sq(p.b))
+      s += n * const
+      val pen = penalizer * (sq(r) + sq(alpha) + sq(a) + sq(b))
       -s / n + pen
     }
 

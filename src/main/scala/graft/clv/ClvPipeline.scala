@@ -103,9 +103,33 @@ object ClvPipeline {
   }
 
   /** Distributed path (U7): shuffle summarized customers by group key,
-    * fit+predict per group on executors. */
+    * fit+predict per group on executors.
+    *
+    * Partitioning is pinned with an explicit `repartition(nGroups, key)`
+    * rather than relying on `groupByKey`'s shuffle: the summarized rows
+    * are tiny (bytes per customer), so AQE's partition coalescing folds
+    * the shuffle into ONE partition and serializes every CPU-bound model
+    * fit (measured: 20 groups → 1 task, ~4× slower than the serial CPU
+    * cost). An explicit numPartitions is honored by AQE, so fit
+    * parallelism == nGroups regardless of shuffle byte size — the rare
+    * case where bytes-based runtime planning is the wrong signal. */
   def run(spark: SparkSession, sfDir: String,
           nGroups: Int = 20): Dataset[ClvResult] = {
+    import spark.implicits._
+    rfm(spark, sfDir, nGroups)
+      .repartition(nGroups, col("group_key"))
+      .as[RfmRow]
+      .mapPartitions { it =>
+        it.toIndexedSeq.groupBy(_.group_key).toSeq.sortBy(_._1)
+          .iterator.flatMap { case (_, rows) => fitPredict(rows) }
+      }
+  }
+
+  /** Same semantics via `groupByKey.flatMapGroups` (the survey's U7
+    * mapping, kept as the canonical API form; [[run]] is the
+    * AQE-parallelism-pinned equivalent — proven equal in ClvSpec). */
+  def runGroupByKey(spark: SparkSession, sfDir: String,
+                    nGroups: Int = 20): Dataset[ClvResult] = {
     import spark.implicits._
     rfm(spark, sfDir, nGroups)
       .groupByKey(_.group_key)

@@ -18,9 +18,9 @@ object NelderMead {
   def minimize(
       f: Array[Double] => Double,
       x0: Array[Double],
-      maxIter: Int = 4000,
-      fTol: Double = 1e-10,
-      xTol: Double = 1e-10): Result = {
+      maxIter: Int = 2000,
+      fTol: Double = 1e-9,
+      xTol: Double = 1e-8): Result = {
     val n = x0.length
     val alpha = 1.0; val gamma = 2.0; val rho = 0.5; val sigma = 0.5
 

@@ -41,12 +41,16 @@ object TextQueries {
 
   /** Language-ID heuristic vs labeled lang (rows-only — the profiles are
     * ours; totality is unit-tested). */
-  def langIdConfusion(s: SparkSession, dir: String): DataFrame =
+  def langIdConfusion(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
     docs(s, dir)
-      .withColumn("predicted", langId(col("text")))
+      .select(col("lang"), col("text")).as[(String, String)]
+      .mapPartitions(_.map { case (lang, text) => (lang, langIdLocal(text)) })
+      .toDF("lang", "predicted")
       .groupBy(col("lang"), col("predicted"))
       .agg(count(lit(1)).as("n"))
       .orderBy(col("lang"), col("predicted"))
+  }
 
   /** Exact + normalized + vocabulary dedup cardinalities (rows-only:
     * xxhash64 values are engine-specific). */
@@ -75,19 +79,27 @@ object TextQueries {
         shingleN = 2, bands = 16, rowsPerBand = 4, threshold = 0.3)
       .orderBy(col("id_a"), col("id_b"))
 
-  /** SimHash near-duplicate pairs (rows-only). */
+  /** SimHash closest candidate pairs (rows-only): 16-bit-chunk pigeonhole
+    * candidates ranked by Hamming distance — the selective production
+    * configuration (4 chunks ↔ guaranteed recall for distance ≤ 3; looser
+    * pairs appear only when a chunk happens to collide). */
   def simhashNearDups(s: SparkSession, dir: String): DataFrame =
     SimHash.nearDuplicatePairs(docs(s, dir), "doc_id", "text",
-        maxDist = 10, nChunks = 16)
+        maxDist = 3, nChunks = 4)
       .orderBy(col("id_a"), col("id_b"))
 
   /** Per-document quality scores + language (rows-only). */
-  def docQuality(s: SparkSession, dir: String): DataFrame =
+  def docQuality(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
     docs(s, dir)
-      .select(col("doc_id"), qualityScore(col("text")).as("quality"),
-        langId(col("text")).as("predicted_lang"),
-        tokenCount(col("text")).cast("long").as("n_tokens"))
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions(_.map { case (id, text) =>
+        (id, qualityScoreLocal(text), langIdLocal(text),
+          text.trim.split("\\s+").length.toLong)
+      })
+      .toDF("doc_id", "quality", "predicted_lang", "n_tokens")
       .orderBy(col("doc_id"))
+  }
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q50_lang_token_stats" -> (langTokenStats _),

@@ -44,18 +44,9 @@ object VectorQueries {
     * corpus has no planted near-dups — max pairwise cosine ≈ 0.5 — so the
     * near-dup surface is expressed as a top-K ranking, which is always
     * non-empty and exercises the same pipeline). */
-  def embedTopPairsExact(s: SparkSession, dir: String): DataFrame = {
-    val l = emb(s, dir).select(col("vec_id").as("id_a"),
-      col("embedding").as("va"))
-    val r = emb(s, dir).select(col("vec_id").as("id_b"),
-      col("embedding").as("vb"))
-    l.crossJoin(r)
-      .filter(col("id_a") < col("id_b"))
-      .withColumn("sim", VectorFunctions.cosine(col("va"), col("vb")))
-      .orderBy(col("sim").desc, col("id_a"), col("id_b"))
-      .limit(20)
+  def embedTopPairsExact(s: SparkSession, dir: String): DataFrame =
+    VectorFunctions.topPairsExactFast(emb(s, dir), "vec_id", "embedding", 20)
       .select(col("id_a"), col("id_b"), round(col("sim"), 4).as("sim"))
-  }
 
   /** LSH-bucketed top pairs — the 100 TB path: only bucket-mates are
     * compared (rows-only; sims cross-checked in VectorSpec). */

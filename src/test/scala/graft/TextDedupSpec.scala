@@ -97,6 +97,22 @@ class TextDedupSpec extends SparkSpec {
 
   test("simhash pigeonhole join returns only pairs within maxDist") {
     val pairs = TextQueries.simhashNearDups(spark, sf).collect()
-    pairs.foreach(r => assert(r.getAs[Integer]("hamming") <= 10))
+    pairs.foreach(r => assert(r.getAs[Integer]("hamming") <= 3))
+  }
+
+  test("simhash pigeonhole finds planted near-identical docs") {
+    import spark.implicits._
+    val base = (1 to 60).map(i => s"token$i").mkString(" ")
+    val perturbed = ((1 to 59).map(i => s"token$i") :+ "tokenX").mkString(" ")
+    val far = (1 to 60).map(i => s"other$i").mkString(" ")
+    val df = Seq((1L, base), (2L, base), (3L, perturbed), (4L, far))
+      .toDF("doc_id", "text")
+    val pairs = graft.dedup.SimHash
+      .nearDuplicatePairs(df, "doc_id", "text", maxDist = 3, nChunks = 4)
+      .collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    assert(pairs.contains((1L, 2L)), s"identical docs not found: $pairs")
+    assert(!pairs.exists(p => p._2 == 4L || p._1 == 4L),
+      s"unrelated doc matched: $pairs")
   }
 }
