@@ -35,6 +35,13 @@ object Tables {
   def registerAll(spark: SparkSession, sfDir: String): Unit =
     names.foreach(n => load(spark, sfDir, n).createOrReplaceTempView(n))
 
+  /** S13: cached scan (ref DS:66 `.cache()` on the train table) — use for
+    * a table re-read by several queries in one session; storage is
+    * MEMORY_AND_DISK so at cluster scale hot partitions pin in executor
+    * memory and cold ones spill instead of failing. */
+  def loadCached(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    load(spark, sfDir, name).cache()
+
   // ---------------------------------------------------------------------
   // Determinism helpers for the DuckDB-oracle differential gate.
   //

@@ -69,11 +69,16 @@ object RefQueries {
         sumMoney(col("o_totalprice")).as("revenue"))
       .orderBy(col("yr"), col("mo"))
 
-  /** P3+F1 (ref DS:89 `WHERE year(invdate) = 2011`): filter on a derived
-    * year — Catalyst pushes the underlying column scan to parquet. */
+  /** P3+F1 (ref DS:89 `WHERE year(invdate) = 2011`). The year() form is
+    * NOT pushdown-able (parquet sees only IsNotNull and scans every row
+    * group); the equivalent half-open timestamp range reaches the scan as
+    * `PushedFilters: [GreaterThanOrEqual, LessThan]` → row-group pruning,
+    * which is the difference between reading one year and reading all of
+    * a 100 TB fact table. Semantics identical under the UTC session TZ. */
   def priorityCounts1995(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "orders")
-      .filter(year(col("o_orderdate")) === 1995)
+      .filter(col("o_orderdate") >= lit("1995-01-01") &&
+        col("o_orderdate") < lit("1996-01-01"))
       .groupBy(col("o_orderpriority"))
       .agg(count(lit(1)).as("n"))
       .orderBy(col("o_orderpriority"))
@@ -211,6 +216,53 @@ object RefQueries {
       .limit(25)
   }
 
+  /** Q3 [EXT] scalar subquery through the SQL path; the scalar is a
+    * decimal-exact mean so both engines filter on the identical double. */
+  def aboveAvgPriority(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "orders").createOrReplaceTempView("orders")
+    s.sql(
+      """SELECT o_orderpriority, count(*) AS n
+        |FROM orders
+        |WHERE o_totalprice > (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+        |                                  AS DOUBLE) / COUNT(*) FROM orders)
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
+  }
+
+  /** Q3 [EXT] correlated EXISTS through the SQL path (decorrelated by
+    * Catalyst into a semi join). */
+  def existsBigOrderByNation(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "customer").createOrReplaceTempView("customer")
+    t(s, dir, "nation").createOrReplaceTempView("nation")
+    t(s, dir, "orders").createOrReplaceTempView("orders")
+    s.sql(
+      """SELECT n_name, count(*) AS n
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |              WHERE o_custkey = c_custkey AND o_totalprice > 400000)
+        |GROUP BY n_name ORDER BY n_name""".stripMargin)
+  }
+
+  /** P7 surrogate keys via monotonically_increasing_id()+1 (ref DS:166).
+    * Values are partition-dependent, so the checked output is the
+    * uniqueness contract, not the ids. */
+  def surrogateIds(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .withColumn("sk", monotonically_increasing_id() + 1)
+      .agg(count(lit(1)).as("n_rows"),
+        countDistinct(col("sk")).as("n_distinct_sk"),
+        min(col("sk")).cast("long").as("min_sk"))
+
+  /** F4 [EXT] string scalar functions: lower/substring/regexp/lpad. */
+  def stringFuncs(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "part")
+      .select(
+        lower(col("p_brand")).as("brand_lower"),
+        regexp_extract(col("p_type"), "^(\\w+)", 1).as("type_head"),
+        lpad(col("p_size").cast("string"), 3, "0").as("size_padded"))
+      .groupBy(col("brand_lower"), col("type_head"))
+      .agg(count(lit(1)).as("n"), max(col("size_padded")).as("max_size_padded"))
+      .orderBy(col("brand_lower"), col("type_head"))
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_revenue_by_nation"    -> (revenueByNation _),
     "q02_monthly_active"       -> (monthlyActiveCustomers _),
@@ -229,7 +281,11 @@ object RefQueries {
     "q15_union_nationkeys"     -> (unionNationKeys _),
     "q16_intersect_nationkeys" -> (intersectNationKeys _),
     "q17_except_sizes"         -> (exceptSizes _),
-    "q18_active_year_nation"   -> (activeByYearNation _)
+    "q18_active_year_nation"   -> (activeByYearNation _),
+    "q19_above_avg_priority"   -> (aboveAvgPriority _),
+    "q25_surrogate_ids"        -> (surrogateIds _),
+    "q26_string_funcs"         -> (stringFuncs _),
+    "q27_exists_big_orders"    -> (existsBigOrderByNation _)
   )
 
   private val SumPrice =
@@ -329,6 +385,30 @@ object RefQueries {
         |       count(DISTINCT o_custkey) AS active
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |JOIN nation ON c_nationkey = n_nationkey
-        |GROUP BY yr, n_name ORDER BY active DESC, yr, n_name LIMIT 25""".stripMargin
+        |GROUP BY yr, n_name ORDER BY active DESC, yr, n_name LIMIT 25""".stripMargin,
+    "q19_above_avg_priority" ->
+      """SELECT o_orderpriority, count(*) AS n
+        |FROM orders
+        |WHERE o_totalprice > (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+        |                                  AS DOUBLE) / COUNT(*) FROM orders)
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    // surrogate ids are partition-dependent; the oracle checks the
+    // uniqueness contract (n_distinct == n_rows, ids start at >= 1)
+    "q25_surrogate_ids" ->
+      """SELECT count(*) AS n_rows, count(*) AS n_distinct_sk,
+        |       CAST(1 AS BIGINT) AS min_sk FROM orders""".stripMargin,
+    "q26_string_funcs" ->
+      """SELECT lower(p_brand) AS brand_lower,
+        |       regexp_extract(p_type, '^(\w+)', 1) AS type_head,
+        |       count(*) AS n,
+        |       max(lpad(CAST(p_size AS VARCHAR), 3, '0')) AS max_size_padded
+        |FROM part GROUP BY brand_lower, type_head
+        |ORDER BY brand_lower, type_head""".stripMargin,
+    "q27_exists_big_orders" ->
+      """SELECT n_name, count(*) AS n
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |              WHERE o_custkey = c_custkey AND o_totalprice > 400000)
+        |GROUP BY n_name ORDER BY n_name""".stripMargin
   )
 }

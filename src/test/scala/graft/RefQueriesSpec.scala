@@ -49,6 +49,20 @@ class RefQueriesSpec extends SparkSpec {
     assert(spends.sliding(2).forall(p => p.length < 2 || p(0) >= p(1)))
   }
 
+  test("q25 surrogate ids: unique per row, min is 1") {
+    val r = RefQueries.surrogateIds(spark, sf).head()
+    assert(r.getAs[Long]("n_rows") == r.getAs[Long]("n_distinct_sk"))
+    assert(r.getAs[Long]("min_sk") == 1L)
+  }
+
+  test("S13 cached scan reports an active storage level") {
+    val df = Tables.loadCached(spark, sf, "nation")
+    try {
+      df.count()
+      assert(df.storageLevel.useMemory || df.storageLevel.useDisk)
+    } finally df.unpersist()
+  }
+
   test("q02 monthly active: yr/mo pairs are unique and ordered") {
     val rows = RefQueries.monthlyActiveCustomers(spark, sf)
       .select("yr", "mo").collect().map(r => (r.getLong(0), r.getLong(1)))
