@@ -84,10 +84,12 @@ object MinHash {
         val shingleStrs: Iterator[String] =
           if (toks.length >= shingleN) toks.sliding(shingleN).map(_.mkString(" "))
           else Iterator(toks.mkString(" "))
+        // shingle identity keeps the full 64-bit hash (collision odds
+        // ~2⁻⁶⁴ — safe for exact-Jaccard equality checks); the minhash
+        // permutations reduce mod P internally
         val set = new java.util.TreeSet[java.lang.Long]()
         shingleStrs.foreach { s =>
-          set.add(math.floorMod(
-            mix64(scala.util.hashing.MurmurHash3.stringHash(s)), P))
+          set.add(mix64(scala.util.hashing.MurmurHash3.stringHash(s)))
         }
         val sh = new Array[Long](set.size)
         var i = 0
@@ -100,7 +102,7 @@ object MinHash {
           var best = Long.MaxValue
           var m = 0
           while (m < sh.length) {
-            val v = math.floorMod(a * sh(m) + b, P)
+            val v = math.floorMod(a * math.floorMod(sh(m), P) + b, P)
             if (v < best) best = v
             m += 1
           }
@@ -117,6 +119,68 @@ object MinHash {
     z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
     z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
     z ^ (z >>> 31)
+  }
+
+  /** Exact top-k document pairs by n-gram Jaccard similarity, computed
+    * with a broadcast nested loop over per-doc sorted shingle-hash sets
+    * and per-partition top-k pruning (same shape as
+    * [[graft.vector.VectorFunctions.topPairsExactFast]]). Jaccard values
+    * are ratios of small integers — deterministic and engine-portable.
+    * The heap orders by the full output total order (j desc, id_a,
+    * id_b), so ties at the cutoff resolve identically everywhere.
+    * For corpora beyond broadcast size use [[nearDuplicatePairs]]. */
+  def jaccardTopPairs(docs: DataFrame, idCol: String, textCol: String,
+                      shingleN: Int, k: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val sets: Array[(Long, Array[Long])] =
+      signatureDataset(docs, idCol, textCol, shingleN, 1)
+        .select(col("id"), col("sh")).as[(Long, Array[Long])]
+        .collect().sortBy(_._1)
+    val bc = spark.sparkContext.broadcast(sets)
+    // total order for "better": higher j, then smaller ids
+    implicit val ord: Ordering[(Double, Long, Long)] =
+      Ordering.fromLessThan[(Double, Long, Long)] { (p, q) =>
+        if (p._1 != q._1) p._1 < q._1
+        else if (p._2 != q._2) p._2 > q._2
+        else p._3 > q._3
+      }
+    val ids = docs.select(col(idCol).cast("long")).as[Long]
+    val cands = ids.mapPartitions { it =>
+      val all = bc.value
+      val idArr = all.map(_._1)
+      val byId = all.toMap
+      val heap = scala.collection.mutable.PriorityQueue
+        .empty[(Double, Long, Long)](ord.reverse) // min-heap: worst on top
+      for (lid <- it) {
+        val a = byId(lid)
+        var j = java.util.Arrays.binarySearch(idArr, lid) + 1
+        while (j < all.length) {
+          val (rid, b) = all(j)
+          val inter = sortedIntersectionSize(a, b)
+          val jac = inter.toDouble / (a.length + b.length - inter)
+          val cand = (jac, lid, rid)
+          if (heap.size < k) heap.enqueue(cand)
+          else if (ord.gt(cand, heap.head)) { heap.dequeue(); heap.enqueue(cand) }
+          j += 1
+        }
+      }
+      heap.iterator
+    }
+    cands.toDF("jaccard", "id_a", "id_b")
+      .orderBy(col("jaccard").desc, col("id_a"), col("id_b"))
+      .limit(k)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
+  private def sortedIntersectionSize(a: Array[Long], b: Array[Long]): Int = {
+    var i = 0; var j = 0; var n = 0
+    while (i < a.length && j < b.length) {
+      if (a(i) == b(j)) { n += 1; i += 1; j += 1 }
+      else if (a(i) < b(j)) i += 1
+      else j += 1
+    }
+    n
   }
 
   /** Candidate near-duplicate pairs via banded LSH + exact verification.

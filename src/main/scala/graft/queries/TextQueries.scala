@@ -101,6 +101,34 @@ object TextQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** Exact 1-gram (token-set) Jaccard top-20 pairs — the n-gram-Jaccard
+    * dedup method as a ranking (oracle-checkable: ratios of small ints). */
+  def tokenJaccardTopPairs(s: SparkSession, dir: String): DataFrame =
+    MinHash.jaccardTopPairs(docs(s, dir), "doc_id", "text",
+      shingleN = 1, k = 20)
+
+  /** Composition query: the full cleaning pipeline a pretraining corpus
+    * goes through — quality gate → language ID → vocab dedup (keep the
+    * lowest doc_id per vocabulary) → per-language survivor counts.
+    * Rows-only (depends on our quality/langid heuristics). */
+  def cleanPipeline(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val scored = docs(s, dir)
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions(_.map { case (id, text) =>
+        (id, text, qualityScoreLocal(text), langIdLocal(text))
+      })
+      .toDF("doc_id", "text", "quality", "predicted_lang")
+      .filter(col("quality") >= 0.5)
+      .withColumn("vocab_fp", vocabFingerprint(col("text")))
+    val keep = scored.groupBy(col("vocab_fp"))
+      .agg(min(col("doc_id")).as("doc_id"))
+    scored.join(keep, Seq("vocab_fp", "doc_id"), "left_semi")
+      .groupBy(col("predicted_lang"))
+      .agg(count(lit(1)).as("n_kept"))
+      .orderBy(col("predicted_lang"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q50_lang_token_stats" -> (langTokenStats _),
     "q51_quality_buckets"  -> (qualityBuckets _),
@@ -109,7 +137,9 @@ object TextQueries {
     "q54_vocab_dedup_groups"  -> (vocabDedupGroups _),
     "q55_minhash_neardups"    -> (minhashNearDups _),
     "q56_simhash_neardups"    -> (simhashNearDups _),
-    "q57_doc_quality"         -> (docQuality _)
+    "q57_doc_quality"         -> (docQuality _),
+    "q58_token_jaccard_pairs" -> (tokenJaccardTopPairs _),
+    "q59_clean_pipeline"      -> (cleanPipeline _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -129,6 +159,16 @@ object TextQueries {
         |         string_split_regex(trim(text), '\s+'))), ' ')) AS vocab_fp,
         |       count(*) AS n_docs, min(doc_id) AS canonical_doc
         |FROM documents
-        |GROUP BY vocab_fp HAVING count(*) > 1 ORDER BY vocab_fp""".stripMargin
+        |GROUP BY vocab_fp HAVING count(*) > 1 ORDER BY vocab_fp""".stripMargin,
+    "q58_token_jaccard_pairs" ->
+      """WITH w AS (SELECT doc_id,
+        |                  list_distinct(string_split_regex(trim(text), '\s+')) AS ws
+        |           FROM documents)
+        |SELECT id_a, id_b, round(j, 6) AS jaccard FROM (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |         CAST(len(list_intersect(a.ws, b.ws)) AS DOUBLE) /
+        |           (len(a.ws) + len(b.ws) - len(list_intersect(a.ws, b.ws))) AS j
+        |  FROM w a JOIN w b ON a.doc_id < b.doc_id) t
+        |ORDER BY j DESC, id_a, id_b LIMIT 20""".stripMargin
   )
 }

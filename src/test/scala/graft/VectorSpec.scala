@@ -71,4 +71,13 @@ class VectorSpec extends SparkSpec {
     val c = VectorQueries.labelCentroids(spark, sf)
     assert(c.count() == 640)
   }
+
+  test("cosine_similarity is callable from SQL after registration") {
+    graft.functions.GraftFunctions.register(spark)
+    Tables.load(spark, sf, "embeddings").createOrReplaceTempView("emb_sql")
+    val r = spark.sql(
+      "SELECT cosine_similarity(embedding, embedding) AS s FROM emb_sql LIMIT 5")
+      .collect()
+    r.foreach(row => assert(math.abs(row.getDouble(0) - 1.0) < 1e-9))
+  }
 }
