@@ -1,0 +1,69 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** As-of (backward) join: for each left row, attach the most recent right
+  * row with the same key and right.time ≤ left.time — the standard
+  * time-series enrichment operator (absent from both the reference and
+  * stock Spark).
+  *
+  * Implementation is the union-sort composition (preference (a) from the
+  * build rules — no custom physical operator needed): tag both sides,
+  * union, and run one window pass per key ordered by (time, side-tag,
+  * tiebreak), carrying the last-seen right payload forward. Cost: ONE
+  * shuffle on the key + an in-partition sort — never the key-range
+  * explosion of a naive `left.time >= right.time` theta join. Ties:
+  * right rows sort before left rows at equal time (inclusive ≤), equal
+  * right times resolve by the caller's tiebreak column, so output is
+  * deterministic.
+  *
+  * Scale notes: state per key is a single "last right payload" struct
+  * inside the window — memory ∝ 1 per key, and the shuffle moves each
+  * row once. Skewed keys are split by AQE like any other sort window.
+  */
+object AsOfJoin {
+
+  /** @param left      left (probe) side
+    * @param right     right (reference) side
+    * @param key       equi-join key column name present on both sides
+    * @param leftTime  left event-time column name
+    * @param rightTime right event-time column name
+    * @param rightTiebreak right column that totally orders equal times
+    * @param payload   right columns to attach (prefixed `asof_`)
+    */
+  def joinAsOf(
+      left: DataFrame, right: DataFrame,
+      key: String, leftTime: String, rightTime: String,
+      rightTiebreak: String, payload: Seq[String]): DataFrame = {
+    val leftCols = left.columns
+    val payloadStruct = struct(
+      (Seq(rightTime, rightTiebreak) ++ payload).distinct.map(col): _*)
+
+    val taggedRight = right.select(
+      col(key).as("_k"), col(rightTime).as("_t"), lit(0).as("_side"),
+      col(rightTiebreak).cast("long").as("_tb"),
+      payloadStruct.as("_payload"))
+    val taggedLeft = left.select(
+      (leftCols.map(col) :+
+        col(key).as("_k") :+ col(leftTime).as("_t") :+ lit(1).as("_side") :+
+        lit(Long.MaxValue).as("_tb") :+
+        lit(null).cast(taggedRight.schema("_payload").dataType)
+          .as("_payload")): _*)
+
+    val unioned = taggedRight
+      .select((leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c))
+        ++ Seq(col("_k"), col("_t"), col("_side"), col("_tb"),
+          col("_payload"))): _*)
+      .union(taggedLeft)
+
+    val w = Window.partitionBy(col("_k"))
+      .orderBy(col("_t"), col("_side"), col("_tb"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    unioned
+      .withColumn("_asof", last(col("_payload"), ignoreNulls = true).over(w))
+      .filter(col("_side") === 1)
+      .select(leftCols.map(col) :+ col("_asof"): _*)
+  }
+}

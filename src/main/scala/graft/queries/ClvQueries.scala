@@ -30,9 +30,24 @@ object ClvQueries {
         round(sum(col("pred_clv")), 2).as("total_pred_clv"))
       .orderBy(col("visit_band"))
 
+  /** Per-group fitted BG/NBD parameters via the SQL aggregate form
+    * (U9 — `fit_bgnbd` as a TypedImperativeAggregate in a GROUP BY). */
+  def groupModelParams(s: SparkSession, dir: String): DataFrame =
+    ClvPipeline.rfm(s, dir, nGroups = 20).toDF()
+      .groupBy(col("group_key"))
+      .agg(graft.functions.BetaGeoFitAgg.fitBgnbd(
+        col("frequency"), col("recency"), col("t_weeks")).as("params"))
+      .select(col("group_key"),
+        round(col("params.r"), 6).as("r"),
+        round(col("params.alpha"), 6).as("alpha"),
+        round(col("params.a"), 6).as("a"),
+        round(col("params.b"), 6).as("b"))
+      .orderBy(col("group_key"))
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q80_clv_results"  -> (clvResults _),
-    "q81_clv_segments" -> (clvSegments _)
+    "q81_clv_segments" -> (clvSegments _),
+    "q82_group_params" -> (groupModelParams _)
   )
 
   /** No oracle SQL — MLE output is not expressible in DuckDB. */

@@ -65,7 +65,29 @@ object EventQueries {
       .select(Tables.isoTs(col("window.start")).as("window_start"), col("n"))
       .orderBy(col("window_start"))
 
+  /** As-of join: each event enriched with the user's most recent order
+    * at-or-before the event time (orders all predate events in this
+    * data, so every event matches; ties resolved by max orderkey). */
+  def asofLastOrder(s: SparkSession, dir: String): DataFrame = {
+    // align time types for the union inside the as-of (events carry
+    // TIMESTAMP, orders TIMESTAMP_NTZ; session TZ is UTC so the cast is
+    // the identity on wall-clock values)
+    val events = ev(s, dir).select(col("event_id"), col("user_id"),
+      col("ts").cast("timestamp_ntz").as("ts"))
+    val orders = Tables.load(s, dir, "orders")
+      .select(col("o_custkey").as("user_id"), col("o_orderdate"),
+        col("o_orderkey"))
+    graft.operators.AsOfJoin
+      .joinAsOf(events, orders, "user_id", "ts", "o_orderdate",
+        "o_orderkey", Seq("o_orderkey", "o_orderdate"))
+      .select(col("event_id"), col("user_id"),
+        Tables.isoDate(col("_asof.o_orderdate")).as("last_order_date"),
+        col("_asof.o_orderkey").as("last_orderkey"))
+      .orderBy(col("event_id"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q28_asof_last_order"    -> (asofLastOrder _),
     "q40_hourly_event_stats" -> (hourlyEventStats _),
     "q41_user_sessions"      -> (userSessions _),
     "q42_props_key_stats"    -> (propsKeyStats _),
@@ -76,6 +98,16 @@ object EventQueries {
     "CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)"
 
   val oracles: Map[String, String] = Map(
+    "q28_asof_last_order" ->
+      """SELECT event_id, user_id,
+        |       strftime(o_orderdate, '%Y-%m-%d') AS last_order_date,
+        |       o_orderkey AS last_orderkey
+        |FROM (SELECT e.event_id, e.user_id, o.o_orderdate, o.o_orderkey,
+        |             row_number() OVER (PARTITION BY e.event_id
+        |                 ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+        |      FROM events e JOIN orders o
+        |        ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts) t
+        |WHERE rn = 1 ORDER BY event_id""".stripMargin,
     "q40_hourly_event_stats" ->
       s"""SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,
          |       event_type, count(*) AS n, $SumVal AS total_value

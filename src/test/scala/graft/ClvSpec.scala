@@ -126,6 +126,28 @@ class ClvSpec extends SparkSpec {
     a.zip(b).foreach { case (x, y) => assert(x == y) }
   }
 
+  test("fit_bgnbd SQL aggregate matches the library fit per group") {
+    import org.apache.spark.sql.functions.col
+    val viaAgg = graft.queries.ClvQueries.groupModelParams(spark, sf)
+      .collect().map(r => r.getAs[Long]("group_key") ->
+        (r.getAs[Double]("r"), r.getAs[Double]("alpha"),
+          r.getAs[Double]("a"), r.getAs[Double]("b"))).toMap
+    val rfm = ClvPipeline.rfm(spark, sf, 20).collect()
+    val viaLib = rfm.groupBy(_.group_key).map { case (k, rows) =>
+      val sorted = rows.toIndexedSeq
+        .map(r => (r.frequency, r.recency, r.t_weeks))
+        .sortBy(identity)
+      val p = BetaGeoModel.fit(sorted)
+      k -> (round6(p.r), round6(p.alpha), round6(p.a), round6(p.b))
+    }
+    viaLib.foreach { case (k, expect) =>
+      assert(viaAgg(k) == expect, s"group $k: ${viaAgg(k)} vs $expect")
+    }
+  }
+
+  private def round6(v: Double): Double =
+    BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
   test("driver-local path matches distributed path with one group") {
     val d = ClvPipeline.runOnDriver(spark, sf).collect()
       .sortBy(_.custkey).map(r => r.copy(group_key = 0))
