@@ -129,6 +129,26 @@ object TextQueries {
       .orderBy(col("predicted_lang"))
   }
 
+  /** Global vocabulary frequency via explode (the Generator/UDTF surface):
+    * top-50 tokens. At scale: map-side partial counts absorb the token
+    * explosion before the shuffle. */
+  def topTokens(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(explode(tokens(col("text"))).as("token"))
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token"))
+      .limit(50)
+
+  /** Top-30 word bigrams via the shingle generator. */
+  def topBigrams(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(explode(MinHash.wordShingles(col("text"), 2)).as("bigram"))
+      .groupBy(col("bigram"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("bigram"))
+      .limit(30)
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q50_lang_token_stats" -> (langTokenStats _),
     "q51_quality_buckets"  -> (qualityBuckets _),
@@ -139,7 +159,9 @@ object TextQueries {
     "q56_simhash_neardups"    -> (simhashNearDups _),
     "q57_doc_quality"         -> (docQuality _),
     "q58_token_jaccard_pairs" -> (tokenJaccardTopPairs _),
-    "q59_clean_pipeline"      -> (cleanPipeline _)
+    "q59_clean_pipeline"      -> (cleanPipeline _),
+    "q65_top_tokens"          -> (topTokens _),
+    "q66_top_bigrams"         -> (topBigrams _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -169,6 +191,22 @@ object TextQueries {
         |         CAST(len(list_intersect(a.ws, b.ws)) AS DOUBLE) /
         |           (len(a.ws) + len(b.ws) - len(list_intersect(a.ws, b.ws))) AS j
         |  FROM w a JOIN w b ON a.doc_id < b.doc_id) t
-        |ORDER BY j DESC, id_a, id_b LIMIT 20""".stripMargin
+        |ORDER BY j DESC, id_a, id_b LIMIT 20""".stripMargin,
+    "q65_top_tokens" ->
+      """SELECT token, count(*) AS n FROM (
+        |  SELECT UNNEST(string_split_regex(trim(text), '\s+')) AS token
+        |  FROM documents) t
+        |GROUP BY token ORDER BY n DESC, token LIMIT 50""".stripMargin,
+    // per-doc DISTINCT bigrams (wordShingles dedups within a doc →
+    // counts are document frequencies)
+    "q66_top_bigrams" ->
+      """WITH w AS (SELECT string_split_regex(trim(text), '\s+') AS ws
+        |           FROM documents)
+        |SELECT bigram, count(*) AS n FROM (
+        |  SELECT UNNEST(CASE WHEN len(ws) >= 2
+        |    THEN list_distinct(list_transform(range(1, len(ws)),
+        |                                      i -> ws[i] || ' ' || ws[i+1]))
+        |    ELSE [array_to_string(ws, ' ')] END) AS bigram FROM w) t
+        |GROUP BY bigram ORDER BY n DESC, bigram LIMIT 30""".stripMargin
   )
 }

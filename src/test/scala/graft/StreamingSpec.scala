@@ -80,6 +80,37 @@ class StreamingSpec extends SparkSpec {
     assert(s9.head.getAs[Double]("total_value") == 5.0)
   }
 
+  test("file-based readStream over parquet drives the same transform") {
+    // S14 source surface: stream the events parquet as files (one batch),
+    // run the identical windowed transform, compare against batch totals
+    val batch = Tables.load(spark, sf, "events")
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream_src")
+    try {
+      batch.write.mode("overwrite").parquet(dir.toString)
+      val streamed = spark.readStream
+        .schema(batch.schema)
+        .parquet(dir.toString)
+      val out = EventStreams.runToMemory(
+        spark, EventStreams.hourlyStats(streamed), "file_stream_test")
+      // append mode emits only windows closed by the watermark; totals of
+      // emitted windows must match the batch aggregation for those windows
+      val batchAgg = EventStreams.hourlyStats(batch)
+        .collect().map(r => (r.getAs[java.sql.Timestamp]("hour_start"),
+          r.getAs[String]("event_type")) -> r.getAs[Long]("n")).toMap
+      val emitted = out.collect()
+      assert(emitted.nonEmpty)
+      emitted.foreach { r =>
+        val k = (r.getAs[java.sql.Timestamp]("hour_start"),
+          r.getAs[String]("event_type"))
+        assert(batchAgg(k) == r.getAs[Long]("n"), s"window $k mismatch")
+      }
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverse
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+  }
+
   test("batch q40/q41 equivalents match streaming output shapes") {
     // the streaming transforms run unchanged over batch frames
     val batch = Tables.load(spark, sf, "events")
