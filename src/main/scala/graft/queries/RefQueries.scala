@@ -252,6 +252,21 @@ object RefQueries {
         countDistinct(col("sk")).as("n_distinct_sk"),
         min(col("sk")).cast("long").as("min_sk"))
 
+  /** [EXT] Exact interpolated percentiles per group (Spark `percentile`
+    * and DuckDB `quantile_cont` both use linear interpolation at rank
+    * (n-1)·p over the sorted values, so results agree to the ulp;
+    * rounded to cents for the oracle hash). At 100 TB exact percentiles
+    * need a full sort per group — `approx_percentile` (t-digest) is the
+    * scale substitute, same API shape. */
+  def pricePercentiles(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .groupBy(col("o_orderstatus"))
+      .agg(
+        round(expr("percentile(o_totalprice, 0.5)"), 2).as("p50"),
+        round(expr("percentile(o_totalprice, 0.9)"), 2).as("p90"),
+        round(expr("percentile(o_totalprice, 0.99)"), 2).as("p99"))
+      .orderBy(col("o_orderstatus"))
+
   /** F4 [EXT] string scalar functions: lower/substring/regexp/lpad. */
   def stringFuncs(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "part")
@@ -284,6 +299,7 @@ object RefQueries {
     "q18_active_year_nation"   -> (activeByYearNation _),
     "q19_above_avg_priority"   -> (aboveAvgPriority _),
     "q25_surrogate_ids"        -> (surrogateIds _),
+    "q29_price_percentiles"    -> (pricePercentiles _),
     "q26_string_funcs"         -> (stringFuncs _),
     "q27_exists_big_orders"    -> (existsBigOrderByNation _)
   )
@@ -397,6 +413,12 @@ object RefQueries {
     "q25_surrogate_ids" ->
       """SELECT count(*) AS n_rows, count(*) AS n_distinct_sk,
         |       CAST(1 AS BIGINT) AS min_sk FROM orders""".stripMargin,
+    "q29_price_percentiles" ->
+      """SELECT o_orderstatus,
+        |       round(quantile_cont(o_totalprice, 0.5), 2) AS p50,
+        |       round(quantile_cont(o_totalprice, 0.9), 2) AS p90,
+        |       round(quantile_cont(o_totalprice, 0.99), 2) AS p99
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     "q26_string_funcs" ->
       """SELECT lower(p_brand) AS brand_lower,
         |       regexp_extract(p_type, '^(\w+)', 1) AS type_head,
