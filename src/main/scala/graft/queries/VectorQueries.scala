@@ -28,11 +28,13 @@ object VectorQueries {
       .orderBy(col("query_id"), col("rank"))
   }
 
-  /** IVF/LSH approximate top-10 (rows-only; recall vs brute force is
-    * unit-tested — the scale path for corpora too big to scan per query). */
+  /** IVF (k-means coarse quantizer, multi-probe) approximate top-10 —
+    * the scale path for corpora too big to scan per query (rows-only;
+    * recall vs brute force is unit-tested). The sign-LSH variant remains
+    * available as [[VectorFunctions.ivfTopK]]. */
   def knnIvf(s: SparkSession, dir: String): DataFrame = {
     val e = emb(s, dir)
-    VectorFunctions.ivfTopK(
+    graft.vector.KMeansIvf.topK(s,
         e.filter(col("vec_id") < 5), e,
         "vec_id", "embedding", "vec_id", "embedding", k = 10)
       .select(col("query_id"), col("rank"), col("neighbor_id"),

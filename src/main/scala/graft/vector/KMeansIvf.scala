@@ -1,0 +1,124 @@
+package graft.vector
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** IVF (inverted-file) approximate nearest-neighbor index with a proper
+  * coarse quantizer: deterministic k-means centroids instead of the
+  * sign-LSH buckets in [[VectorFunctions.ivfTopK]] — on isotropic
+  * embeddings, data-adapted centroids partition by actual density and
+  * multi-probe recall is far higher than random hyperplanes.
+  *
+  * Scale design (100 TB): train on a bounded sample collected to the
+  * driver (centroids are tiny: k × dim doubles), broadcast centroids,
+  * assign each corpus vector in one mapPartitions pass (no shuffle of
+  * vectors — the bucket id rides along), then probe joins touch only
+  * nProbe/k of the corpus per query. Everything is seeded and
+  * iteration-capped — bit-deterministic across runs and partitionings.
+  */
+object KMeansIvf {
+
+  /** Deterministic k-means: first-k-by-id init (data order is sorted by
+    * id), fixed iteration count, sequential double accumulation. */
+  def fitCentroids(data: Array[(Long, Array[Double])], k: Int,
+                   iters: Int = 10): Array[Array[Double]] = {
+    require(data.length >= k, s"need >= $k vectors to fit $k centroids")
+    val sorted = data.sortBy(_._1)
+    val dim = sorted.head._2.length
+    var centroids = Array.tabulate(k)(i => sorted(i * (sorted.length / k))._2.clone())
+    var it = 0
+    while (it < iters) {
+      val sums = Array.fill(k, dim)(0.0)
+      val counts = new Array[Long](k)
+      for ((_, v) <- sorted) {
+        val c = nearest(centroids, v)
+        counts(c) += 1
+        var d = 0
+        while (d < dim) { sums(c)(d) += v(d); d += 1 }
+      }
+      centroids = Array.tabulate(k) { c =>
+        if (counts(c) == 0) centroids(c)
+        else {
+          val m = new Array[Double](dim)
+          var d = 0
+          while (d < dim) { m(d) = sums(c)(d) / counts(c); d += 1 }
+          m
+        }
+      }
+      it += 1
+    }
+    centroids
+  }
+
+  /** Index of the nearest centroid by Euclidean distance (ties → lowest
+    * index, deterministic). */
+  def nearest(centroids: Array[Array[Double]], v: Array[Double]): Int = {
+    var best = 0; var bestD = Double.MaxValue
+    var c = 0
+    while (c < centroids.length) {
+      val cent = centroids(c)
+      var s = 0.0; var d = 0
+      while (d < v.length) { val x = v(d) - cent(d); s += x * x; d += 1 }
+      if (s < bestD) { bestD = s; best = c }
+      c += 1
+    }
+    best
+  }
+
+  /** Indices of the nProbe nearest centroids (ascending distance, ties by
+    * index). */
+  def nearestN(centroids: Array[Array[Double]], v: Array[Double],
+               nProbe: Int): Array[Int] = {
+    centroids.indices.map { c =>
+      val cent = centroids(c)
+      var s = 0.0; var d = 0
+      while (d < v.length) { val x = v(d) - cent(d); s += x * x; d += 1 }
+      (s, c)
+    }.sorted.take(nProbe).map(_._2).toArray
+  }
+
+  /** Approximate cosine top-k: k-means buckets + multi-probe queries.
+    * Training pulls only a bounded, deterministic sample (first
+    * maxTrainSample ids) to the driver — centroid quality needs a
+    * sample, not the corpus. */
+  def topK(spark: SparkSession, queries: DataFrame, corpus: DataFrame,
+           qId: String, qVec: String, cId: String, cVec: String,
+           k: Int, nCentroids: Int = 16, nProbe: Int = 4,
+           maxTrainSample: Int = 4096): DataFrame = {
+    import spark.implicits._
+    val corpusLocal = corpus
+      .select(col(cId).cast("long"), col(cVec)).as[(Long, Array[Float])]
+      .orderBy(col(cId)).limit(maxTrainSample).collect()
+      .map { case (id, v) => (id, v.map(_.toDouble)) }
+    val centroids = fitCentroids(corpusLocal, nCentroids)
+    val bcCent = spark.sparkContext.broadcast(centroids)
+
+    val bucketed = corpus
+      .select(col(cId).cast("long"), col(cVec)).as[(Long, Array[Float])]
+      .mapPartitions { it =>
+        val cents = bcCent.value
+        it.map { case (id, v) =>
+          (id, v, nearest(cents, v.map(_.toDouble)))
+        }
+      }.toDF("neighbor_id", "cv", "bucket")
+
+    val probed = queries
+      .select(col(qId).cast("long"), col(qVec)).as[(Long, Array[Float])]
+      .flatMap { case (id, v) =>
+        val cents = bcCent.value
+        nearestN(cents, v.map(_.toDouble), nProbe).map(b => (id, v, b))
+      }.toDF("query_id", "qv", "bucket")
+
+    val joined = probed.join(bucketed, Seq("bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("sim", VectorFunctions.cosine(col("qv"), col("cv")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    joined
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("neighbor_id"), col("sim"))
+  }
+}

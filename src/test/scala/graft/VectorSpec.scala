@@ -46,10 +46,9 @@ class VectorSpec extends SparkSpec {
       hit.toDouble / brute(q).size
     }
     val mean = recalls.sum / recalls.length
-    // multi-probe over 16 buckets scans ~1/3 of the corpus; random
-    // 64-dim embeddings are a worst case for sign-LSH — expect partial
-    // but non-trivial recall
-    assert(mean > 0.2, s"mean recall@10 = $mean")
+    // k-means coarse quantizer, 4 of 16 buckets probed → ~1/4 of the
+    // corpus scanned; measured recall ≈ 0.52–0.64 across SFs
+    assert(mean > 0.4, s"mean recall@10 = $mean")
   }
 
   test("LSH bucket top pairs carry the same sims as the exact ranking") {
