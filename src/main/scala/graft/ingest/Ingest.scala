@@ -60,6 +60,29 @@ object Ingest {
   def describe(spark: SparkSession, table: String): DataFrame =
     spark.sql(s"DESCRIBE $table")
 
+  /** Bucketed managed table: pre-shuffles data into `buckets` files per
+    * the key so equi-joins and aggregations on that key plan with NO
+    * exchange (Catalyst recognizes the bucketing as a satisfied
+    * HashClusteredDistribution). At 100 TB this converts every recurring
+    * fact⋈fact join on the bucket key from a full shuffle into a local
+    * zip of co-located buckets — the single biggest recurring-shuffle
+    * eliminator Spark offers. */
+  def saveBucketed(df: DataFrame, table: String, bucketKey: String,
+                   buckets: Int): Unit = {
+    val spark = df.sparkSession
+    dropTable(spark, table)
+    val warehouse = spark.conf.get("spark.sql.warehouse.dir")
+    val loc = new org.apache.hadoop.fs.Path(
+      warehouse, table.toLowerCase.replace('.', '/'))
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true)
+    df.write.format("parquet")
+      .bucketBy(buckets, bucketKey)
+      .sortBy(bucketKey)
+      .mode(SaveMode.Overwrite)
+      .saveAsTable(table)
+  }
+
   /** Reference-fixture replay: ingest an RFM summary CSV shaped like the
     * reference's Summary_2011 (CustomerID,T1,recency1,FREQUENCY,profit)
     * into the catalog and return it (ref DE:55-77). */

@@ -1,0 +1,52 @@
+package graft
+
+import graft.ingest.Ingest
+import graft.operators.SkewedAgg
+import org.apache.spark.sql.functions._
+
+/** Tests for the explicit scale techniques: salted aggregation and
+  * bucketed exchange-free joins. */
+class ScaleOpsSpec extends SparkSpec {
+
+  test("salted sum equals direct groupBy sum (skew-safe aggregation)") {
+    val orders = Tables.load(spark, sf, "orders")
+    val direct = orders.groupBy(col("o_custkey"))
+      .agg(sum(col("o_totalprice")).as("spend"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val salted = SkewedAgg.saltedSum(orders, "o_custkey",
+        col("o_totalprice"), "spend", salts = 8)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(salted.keySet == direct.keySet)
+    salted.foreach { case (k, v) =>
+      assert(math.abs(v - direct(k)) < 1e-6 * math.max(1.0, math.abs(v)),
+        s"key $k: $v vs ${direct(k)}")
+    }
+  }
+
+  test("bucketed tables join without a shuffle exchange") {
+    val orders = Tables.load(spark, sf, "orders")
+    val customer = Tables.load(spark, sf, "customer")
+    Ingest.saveBucketed(orders, "orders_b", "o_custkey", 4)
+    Ingest.saveBucketed(
+      customer.withColumnRenamed("c_custkey", "o_custkey"),
+      "customer_b", "o_custkey", 4)
+    try {
+      // disable auto-broadcast so the join would otherwise shuffle
+      val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try {
+        val joined = spark.table("orders_b")
+          .join(spark.table("customer_b"), "o_custkey")
+        val plan = joined.queryExecution.executedPlan.toString
+        assert(!plan.contains("Exchange hashpartitioning"),
+          s"bucketed join still shuffles:\n$plan")
+        assert(joined.count() == orders.count())
+      } finally {
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      }
+    } finally {
+      Ingest.dropTable(spark, "orders_b")
+      Ingest.dropTable(spark, "customer_b")
+    }
+  }
+}
