@@ -96,6 +96,65 @@ class ClvSpec extends SparkSpec {
     assert(c6 >= 0 && c12 >= c6)
   }
 
+  test("BG/NBD fit recovers generating parameters from simulated data") {
+    // simulate the generative model with a deterministic LCG:
+    // λ ~ Gamma(r, rate α) per customer, churn prob p ~ Beta(a, b);
+    // exponential interpurchase waits, churn trial after each purchase
+    val (rTrue, aTrue, aa, bb) = (1.2, 8.0, 0.8, 3.5)
+    var seed = 42L
+    def nextU(): Double = {
+      seed = seed * 6364136223846793005L + 1442695040888963407L
+      ((seed >>> 11).toDouble / (1L << 53).toDouble)
+    }
+    // Marsaglia-free gamma via sum of exponentials for integer part +
+    // Johnk for fractional part (deterministic, adequate here)
+    def gamma(shape: Double): Double = {
+      val k = shape.floor.toInt
+      var g = 0.0
+      var i = 0
+      while (i < k) { g += -math.log(1 - nextU()); i += 1 }
+      val frac = shape - k
+      if (frac > 1e-12) {
+        var x = 0.0; var y = 0.0; var ok = false
+        while (!ok) {
+          val u = math.pow(nextU(), 1 / frac)
+          val v = math.pow(nextU(), 1 / (1 - frac))
+          if (u + v <= 1) { x = u / (u + v); y = -math.log(1 - nextU()); ok = true }
+        }
+        g += x * y
+      }
+      g
+    }
+    def beta(a: Double, b: Double): Double = {
+      val x = gamma(a); val y = gamma(b)
+      x / (x + y)
+    }
+    val bigT = 52.0
+    val data = (1 to 4000).map { _ =>
+      val lam = gamma(rTrue) / aTrue
+      val p = beta(aa, bb)
+      var t = 0.0; var x = 0; var tx = 0.0; var alive = true
+      while (alive) {
+        t += -math.log(1 - nextU()) / math.max(lam, 1e-12)
+        if (t > bigT) alive = false
+        else {
+          x += 1; tx = t
+          if (nextU() < p) alive = false
+        }
+      }
+      (x.toDouble, tx, bigT)
+    }
+    val fit = BetaGeoModel.fit(data, penalizer = 0.0)
+    assert(math.abs(fit.r - rTrue) / rTrue < 0.25, s"r: $fit")
+    assert(math.abs(fit.alpha - aTrue) / aTrue < 0.25, s"alpha: $fit")
+    // a, b are weakly identified individually; their implied mean churn
+    // probability a/(a+b) is the stable quantity
+    val churnTrue = aa / (aa + bb)
+    val churnFit = fit.a / (fit.a + fit.b)
+    assert(math.abs(churnFit - churnTrue) / churnTrue < 0.3,
+      s"churn mean: $churnFit vs $churnTrue ($fit)")
+  }
+
   // --- pipeline ----------------------------------------------------------
 
   test("distributed fit covers every customer exactly once") {
