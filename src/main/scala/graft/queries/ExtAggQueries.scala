@@ -39,10 +39,34 @@ object ExtAggQueries {
         approx_count_distinct(col("l_partkey")).as("approx_parts"),
         approx_count_distinct(col("l_suppkey")).as("approx_supps"))
 
+  /** Pivot: order counts by year × status (columns per status value). */
+  def yearStatusPivot(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "orders")
+      .groupBy(year(col("o_orderdate")).cast("long").as("yr"))
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .count()
+      .na.fill(0L)
+      .orderBy(col("yr"))
+
+  /** Content-defined reproducible sampling (the data-curation way to
+    * sample at scale: membership depends only on the row's key, never on
+    * partitioning/seed state — re-runs and engines agree exactly).
+    * Keeps keys whose md5 starts with 0 or 1 (≈1/8 sample). */
+  def contentSample(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "orders")
+      .filter(substring(md5(col("o_orderkey").cast("string")), 1, 1)
+        .isin("0", "1"))
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"),
+        sumMoney(col("o_totalprice")).as("revenue"))
+      .orderBy(col("o_orderstatus"))
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q45_revenue_rollup"       -> (revenueRollup _),
     "q46_status_priority_cube" -> (statusPriorityCube _),
-    "q47_approx_distinct"      -> (approxDistinctParts _)
+    "q47_approx_distinct"      -> (approxDistinctParts _),
+    "q34_year_status_pivot"    -> (yearStatusPivot _),
+    "q35_content_sample"       -> (contentSample _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -56,6 +80,18 @@ object ExtAggQueries {
     "q46_status_priority_cube" ->
       """SELECT o_orderstatus, o_orderpriority, count(*) AS n
         |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
-        |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin
+        |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
+    "q34_year_status_pivot" ->
+      """SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
+        |       count(*) FILTER (o_orderstatus = 'F') AS F,
+        |       count(*) FILTER (o_orderstatus = 'O') AS O,
+        |       count(*) FILTER (o_orderstatus = 'P') AS P
+        |FROM orders GROUP BY yr ORDER BY yr""".stripMargin,
+    "q35_content_sample" ->
+      """SELECT o_orderstatus, count(*) AS n,
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM orders
+        |WHERE substring(md5(CAST(o_orderkey AS VARCHAR)), 1, 1) IN ('0','1')
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
   )
 }

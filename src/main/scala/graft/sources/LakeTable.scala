@@ -1,0 +1,135 @@
+package graft.sources
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** A minimal versioned table format over parquet — the lakehouse storage
+  * semantics the reference rides Delta for (SURVEY §1.1: the reference
+  * only ever creates/overwrites and full-scans tables, but the *format
+  * capability surface* of a lakehouse includes snapshots, upserts and
+  * time travel, so this layer provides them without Delta jars).
+  *
+  * Layout:
+  * {{{
+  *   <root>/data/<uuid>/part-*.parquet     immutable data file groups
+  *   <root>/_versions/v00000001.json       manifest: list of data dirs
+  * }}}
+  *
+  * Commit protocol: data is written first into a fresh uuid directory
+  * (invisible until referenced), then the next manifest version is
+  * written via temp-file + atomic rename. Readers resolve the latest
+  * manifest (or any historical one — time travel) and read exactly the
+  * file groups it lists. Single-writer semantics (no lock service in
+  * scope); crash between data write and manifest commit leaves only an
+  * orphaned uuid dir, never a corrupt table.
+  *
+  * Scale notes: MERGE is copy-on-write over the logical table — at
+  * 100 TB you'd partition data dirs by a key range so a merge rewrites
+  * only affected partitions; the manifest-swap commit works unchanged.
+  */
+object LakeTable {
+
+  private def fs(spark: SparkSession, root: String): FileSystem =
+    new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def versionsDir(root: String) = new Path(root, "_versions")
+
+  private def manifestPath(root: String, v: Int) =
+    new Path(versionsDir(root), f"v$v%08d.json")
+
+  /** All committed versions, ascending. */
+  def versions(spark: SparkSession, root: String): Seq[Int] = {
+    val f = fs(spark, root)
+    val dir = versionsDir(root)
+    if (!f.exists(dir)) Seq.empty
+    else f.listStatus(dir).map(_.getPath.getName)
+      .filter(n => n.startsWith("v") && n.endsWith(".json"))
+      .map(n => n.substring(1, n.length - 5).toInt)
+      .sorted.toSeq
+  }
+
+  def latestVersion(spark: SparkSession, root: String): Option[Int] =
+    versions(spark, root).lastOption
+
+  private def readManifest(spark: SparkSession, root: String,
+                           v: Int): Seq[String] = {
+    val f = fs(spark, root)
+    val in = f.open(manifestPath(root, v))
+    try {
+      val txt = new String(in.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8)
+      // manifest format: one data-dir name per line (keep it trivially
+      // parseable without a JSON lib on the read path)
+      txt.split("\n").map(_.trim).filter(_.nonEmpty).toSeq
+    } finally in.close()
+  }
+
+  private def writeDataFiles(spark: SparkSession, root: String,
+                             df: DataFrame): String = {
+    val uuid = java.util.UUID.randomUUID().toString
+    df.write.mode(SaveMode.ErrorIfExists)
+      .parquet(new Path(root, s"data/$uuid").toString)
+    s"data/$uuid"
+  }
+
+  private def commit(spark: SparkSession, root: String,
+                     dataDirs: Seq[String]): Int = {
+    val f = fs(spark, root)
+    f.mkdirs(versionsDir(root))
+    val v = latestVersion(spark, root).getOrElse(0) + 1
+    val tmp = new Path(versionsDir(root), s".tmp-$v-${System.nanoTime()}")
+    val out = f.create(tmp, false)
+    try out.write(dataDirs.mkString("\n")
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    if (!f.rename(tmp, manifestPath(root, v)))
+      throw new IllegalStateException(
+        s"concurrent commit detected for version $v at $root")
+    v
+  }
+
+  /** Create version 1 from a DataFrame. */
+  def create(spark: SparkSession, root: String, df: DataFrame): Int = {
+    require(latestVersion(spark, root).isEmpty, s"table exists at $root")
+    commit(spark, root, Seq(writeDataFiles(spark, root, df)))
+  }
+
+  /** Append-only commit: new version = old file groups + new ones. */
+  def append(spark: SparkSession, root: String, df: DataFrame): Int = {
+    val cur = latestVersion(spark, root)
+      .getOrElse(throw new IllegalStateException(s"no table at $root"))
+    commit(spark, root, readManifest(spark, root, cur) :+
+      writeDataFiles(spark, root, df))
+  }
+
+  /** Snapshot read; `version = None` → latest (time travel otherwise). */
+  def read(spark: SparkSession, root: String,
+           version: Option[Int] = None): DataFrame = {
+    val v = version.orElse(latestVersion(spark, root))
+      .getOrElse(throw new IllegalStateException(s"no table at $root"))
+    val dirs = readManifest(spark, root, v)
+      .map(d => new Path(root, d).toString)
+    spark.read.parquet(dirs: _*)
+  }
+
+  /** MERGE (upsert): rows in `updates` replace current rows with equal
+    * `key`; unmatched update rows are inserted. Copy-on-write: writes a
+    * full new file group for the merged table, commits a new version.
+    * Concurrent readers keep their snapshot. */
+  def merge(spark: SparkSession, root: String, updates: DataFrame,
+            key: String): Int = {
+    val current = read(spark, root)
+    val merged = current
+      .join(updates.select(col(key)), Seq(key), "left_anti")
+      .unionByName(updates)
+    commit(spark, root, Seq(writeDataFiles(spark, root, merged)))
+  }
+
+  /** DELETE WHERE: copy-on-write removal of matching rows. */
+  def deleteWhere(spark: SparkSession, root: String,
+                  predicate: org.apache.spark.sql.Column): Int = {
+    val remaining = read(spark, root).filter(!predicate)
+    commit(spark, root, Seq(writeDataFiles(spark, root, remaining)))
+  }
+}

@@ -1,0 +1,81 @@
+package graft
+
+import graft.sources.LakeTable
+import org.apache.spark.sql.functions._
+
+class LakeTableSpec extends SparkSpec {
+
+  private def withTable(f: String => Unit): Unit = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_lake").toString
+    try f(dir)
+    finally {
+      import scala.jdk.CollectionConverters._
+      val p = java.nio.file.Paths.get(dir)
+      java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+        .foreach(q => java.nio.file.Files.deleteIfExists(q))
+    }
+  }
+
+  test("create/append accumulate rows across versions") {
+    withTable { root =>
+      val nation = Tables.load(spark, sf, "nation")
+      val v1 = LakeTable.create(spark, root, nation.filter(col("n_nationkey") < 10))
+      val v2 = LakeTable.append(spark, root, nation.filter(col("n_nationkey") >= 10))
+      assert(v1 == 1 && v2 == 2)
+      assert(LakeTable.read(spark, root).count() == 25)
+    }
+  }
+
+  test("time travel reads historical snapshots unchanged") {
+    withTable { root =>
+      val nation = Tables.load(spark, sf, "nation")
+      LakeTable.create(spark, root, nation.filter(col("n_nationkey") < 10))
+      LakeTable.append(spark, root, nation.filter(col("n_nationkey") >= 10))
+      assert(LakeTable.read(spark, root, Some(1)).count() == 10)
+      assert(LakeTable.read(spark, root, Some(2)).count() == 25)
+      assert(LakeTable.versions(spark, root) == Seq(1, 2))
+    }
+  }
+
+  test("merge upserts matched keys and inserts unmatched ones") {
+    withTable { root =>
+      import spark.implicits._
+      val base = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0))
+        .toDF("id", "name", "v")
+      LakeTable.create(spark, root, base)
+      val updates = Seq((2L, "b2", 99.0), (4L, "d", 40.0))
+        .toDF("id", "name", "v")
+      LakeTable.merge(spark, root, updates, "id")
+      val now = LakeTable.read(spark, root).collect()
+        .map(r => r.getLong(0) -> (r.getString(1), r.getDouble(2))).toMap
+      assert(now == Map(
+        1L -> ("a", 10.0), 2L -> ("b2", 99.0),
+        3L -> ("c", 30.0), 4L -> ("d", 40.0)))
+      // pre-merge snapshot is intact
+      assert(LakeTable.read(spark, root, Some(1)).count() == 3)
+    }
+  }
+
+  test("deleteWhere removes rows copy-on-write") {
+    withTable { root =>
+      val orders = Tables.load(spark, sf, "orders").limit(100)
+      LakeTable.create(spark, root, orders)
+      LakeTable.deleteWhere(spark, root, col("o_totalprice") > 200000)
+      val left = LakeTable.read(spark, root)
+      assert(left.filter(col("o_totalprice") > 200000).count() == 0)
+      assert(left.count() ==
+        orders.filter(!(col("o_totalprice") > 200000)).count())
+    }
+  }
+
+  test("crash between data write and commit leaves table readable") {
+    withTable { root =>
+      val nation = Tables.load(spark, sf, "nation")
+      LakeTable.create(spark, root, nation)
+      // simulate an uncommitted writer: orphan data dir, no manifest
+      nation.limit(1).write.parquet(s"$root/data/orphan-uuid")
+      assert(LakeTable.read(spark, root).count() == 25)
+      assert(LakeTable.versions(spark, root) == Seq(1))
+    }
+  }
+}
