@@ -132,4 +132,37 @@ object LakeTable {
     val remaining = read(spark, root).filter(!predicate)
     commit(spark, root, Seq(writeDataFiles(spark, root, remaining)))
   }
+
+  /** OPTIMIZE-style compaction: rewrite all current file groups as one
+    * group of `targetPartitions` files, optionally sorted within files
+    * by a clustering key (gives parquet min/max stats real pruning
+    * power — the poor man's Z-order). Appended stream micro-batches are
+    * the classic small-files source; compaction is what keeps scan task
+    * counts sane at 100 TB. Old versions still read the old files. */
+  def compact(spark: SparkSession, root: String, targetPartitions: Int,
+              clusterBy: Option[String] = None): Int = {
+    val cur = read(spark, root)
+    val arranged = clusterBy match {
+      case Some(k) => cur.repartition(targetPartitions, col(k))
+        .sortWithinPartitions(col(k))
+      case None => cur.coalesce(targetPartitions)
+    }
+    commit(spark, root, Seq(writeDataFiles(spark, root, arranged)))
+  }
+
+  /** Streaming ingestion: each micro-batch commits one append version
+    * (foreachBatch — the streaming→table-format bridge; batch id is
+    * ignored because the manifest commit is the idempotency point for
+    * this single-writer format). */
+  def streamAppend(df: DataFrame, root: String)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val spark = df.sparkSession
+    df.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (latestVersion(spark, root).isEmpty) create(spark, root, batch)
+        else append(spark, root, batch)
+        ()
+      }
+      .start()
+  }
 }

@@ -68,6 +68,42 @@ class LakeTableSpec extends SparkSpec {
     }
   }
 
+  test("compaction reduces file groups, preserves rows, enables pruning sort") {
+    withTable { root =>
+      val orders = Tables.load(spark, sf, "orders")
+      LakeTable.create(spark, root, orders.filter(col("o_orderkey") % 3 === 0))
+      LakeTable.append(spark, root, orders.filter(col("o_orderkey") % 3 === 1))
+      LakeTable.append(spark, root, orders.filter(col("o_orderkey") % 3 === 2))
+      val before = LakeTable.read(spark, root).count()
+      LakeTable.compact(spark, root, targetPartitions = 2,
+        clusterBy = Some("o_custkey"))
+      val after = LakeTable.read(spark, root)
+      assert(after.count() == before)
+      assert(after.rdd.getNumPartitions <= 2)
+      // history intact
+      assert(LakeTable.read(spark, root, Some(3)).count() == before)
+    }
+  }
+
+  test("streaming micro-batches append as table versions") {
+    withTable { root =>
+      implicit val sq = spark.sqlContext
+      import spark.implicits._
+      val mem = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, String)]
+      val q = LakeTable.streamAppend(mem.toDF(), root)
+      try {
+        mem.addData((1L, "a"), (2L, "b"))
+        q.processAllAvailable()
+        assert(LakeTable.read(spark, root).count() == 2)
+        mem.addData((3L, "c"))
+        q.processAllAvailable()
+        assert(LakeTable.read(spark, root).count() == 3)
+        assert(LakeTable.versions(spark, root).size == 2)
+      } finally q.stop()
+    }
+  }
+
   test("crash between data write and commit leaves table readable") {
     withTable { root =>
       val nation = Tables.load(spark, sf, "nation")
