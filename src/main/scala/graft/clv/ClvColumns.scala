@@ -1,0 +1,73 @@
+package graft.clv
+
+import graft.functions.Hyp2F1Expr
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** CLV closed forms as *Column expressions* — the 100 TB scoring
+  * architecture: fit the handful of model parameters on the summarized
+  * frame (small), then score every customer with pure expression
+  * arithmetic that runs inside whole-stage codegen. No per-row closure,
+  * no shuffle beyond the input's own partitioning, bit-identical to the
+  * JVM pipeline math (same formulas, same ₂F₁ implementation —
+  * proven in ClvSpec).
+  *
+  * Inputs are column names for (frequency x, recency t_x, age T).
+  */
+object ClvColumns {
+
+  /** P(alive | x, t_x, T) (ref DS:240; x=0 → 1 per ref UDF :491-492). */
+  def probAlive(p: BetaGeoParams, x: Column, tx: Column, t: Column): Column =
+    when(x <= 0, lit(1.0)).otherwise(
+      lit(1.0) / (lit(1.0) + exp(
+        log(lit(p.a)) - log(lit(p.b) + x - 1) +
+          (lit(p.r) + x) * (log(lit(p.alpha) + t) - log(lit(p.alpha) + tx)))))
+
+  /** E[Y(horizon) | x, t_x, T] (ref DS:213; Fader/Hardie 2005 eq. 10). */
+  def expectedPurchases(p: BetaGeoParams, horizon: Double,
+                        x: Column, tx: Column, t: Column): Column = {
+    val rx = lit(p.r) + x
+    val z = lit(horizon) / (lit(p.alpha) + t + horizon)
+    val hyp = Hyp2F1Expr(rx, lit(p.b) + x,
+      lit(p.a) + lit(p.b) + x - 1, z)
+    val num = (lit(p.a) + lit(p.b) + x - 1) / lit(p.a - 1) *
+      (lit(1.0) - pow((lit(p.alpha) + t) / (lit(p.alpha) + t + horizon), rx) * hyp)
+    val den = when(x > 0,
+      lit(1.0) + lit(p.a) / (lit(p.b) + x - 1) *
+        pow((lit(p.alpha) + t) / (lit(p.alpha) + tx), rx))
+      .otherwise(lit(1.0))
+    num / den
+  }
+
+  /** E(M | x, m̄x) (ref DS:316-319; Fader/Hardie 2013 eq. 5). */
+  def expectedAvgProfit(g: GammaGammaParams, x: Column, mx: Column): Column =
+    lit(g.p) * (lit(g.v) + mx * x) / (lit(g.p) * x + lit(g.q) - 1)
+
+  /** Monthly-discounted CLV on the weekly clock (ref DS:305-314),
+    * unrolled as expression arithmetic over the horizon months. */
+  def clv(p: BetaGeoParams, g: GammaGammaParams,
+          x: Column, tx: Column, t: Column, mx: Column,
+          months: Int = 12, discount: Double = 0.01): Column = {
+    val profit = expectedAvgProfit(g, x, mx)
+    (1 to months).map { i =>
+      val cum = expectedPurchases(p, i * Clv.WeeksPerMonth, x, tx, t)
+      val prev =
+        if (i == 1) lit(0.0)
+        else expectedPurchases(p, (i - 1) * Clv.WeeksPerMonth, x, tx, t)
+      profit * (cum - prev) / math.pow(1.0 + discount, i)
+    }.reduce(_ + _)
+  }
+
+  /** Score a summarized frame with fitted params: adds the four
+    * prediction columns in one codegen'd projection. */
+  def scoreAll(rfm: DataFrame, p: BetaGeoParams, g: GammaGammaParams,
+               horizon: Double = ClvPipeline.HorizonWeeks): DataFrame = {
+    val x = col("frequency"); val tx = col("recency")
+    val t = col("t_weeks"); val m = col("avg_monetary")
+    rfm
+      .withColumn("pred_visits", expectedPurchases(p, horizon, x, tx, t))
+      .withColumn("prob_alive", probAlive(p, x, tx, t))
+      .withColumn("cond_exp_avg_profit", expectedAvgProfit(g, x, m))
+      .withColumn("pred_clv", clv(p, g, x, tx, t, m))
+  }
+}

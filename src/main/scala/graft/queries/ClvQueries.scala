@@ -44,10 +44,33 @@ object ClvQueries {
         round(col("params.b"), 6).as("b"))
       .orderBy(col("group_key"))
 
+  /** The fit-small / score-wide architecture (100 TB shape): fit the two
+    * models once on the collected *summarized* frame (one row per
+    * customer — at real scale, a sample), then score every customer with
+    * pure Column expressions inside whole-stage codegen
+    * ([[graft.clv.ClvColumns]]; proven bit-faithful to the JVM math). */
+  def clvScoredColumns(s: SparkSession, dir: String): DataFrame = {
+    import graft.clv._
+    val rfm = ClvPipeline.rfm(s, dir, nGroups = 1)
+    val local = rfm.collect().toIndexedSeq.sortBy(_.custkey)
+    val bg = BetaGeoModel.fit(local.map(r => (r.frequency, r.recency, r.t_weeks)))
+    val gg = GammaGammaModel.fit(
+      local.filter(r => r.frequency > 1 && r.avg_monetary > 0)
+        .map(r => (r.frequency, r.avg_monetary)))
+    ClvColumns.scoreAll(rfm.toDF(), bg, gg)
+      .select(col("custkey"), col("frequency"),
+        round(col("pred_visits"), 6).as("pred_visits"),
+        round(col("prob_alive"), 6).as("prob_alive"),
+        round(col("cond_exp_avg_profit"), 4).as("cond_exp_avg_profit"),
+        round(col("pred_clv"), 4).as("pred_clv"))
+      .orderBy(col("custkey"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q80_clv_results"  -> (clvResults _),
     "q81_clv_segments" -> (clvSegments _),
-    "q82_group_params" -> (groupModelParams _)
+    "q82_group_params" -> (groupModelParams _),
+    "q83_clv_scored_columns" -> (clvScoredColumns _)
   )
 
   /** No oracle SQL — MLE output is not expressible in DuckDB. */

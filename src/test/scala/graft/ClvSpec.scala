@@ -155,6 +155,33 @@ class ClvSpec extends SparkSpec {
       s"churn mean: $churnFit vs $churnTrue ($fit)")
   }
 
+  test("Column-expression scoring matches the JVM pipeline math") {
+    import org.apache.spark.sql.functions.col
+    val rfmRows = ClvPipeline.rfm(spark, sf, nGroups = 1).collect()
+      .toIndexedSeq.sortBy(_.custkey)
+    val bg = BetaGeoModel.fit(rfmRows.map(r => (r.frequency, r.recency, r.t_weeks)))
+    val gg = GammaGammaModel.fit(
+      rfmRows.filter(r => r.frequency > 1 && r.avg_monetary > 0)
+        .map(r => (r.frequency, r.avg_monetary)))
+    val viaColumns = ClvColumns
+      .scoreAll(ClvPipeline.rfm(spark, sf, nGroups = 1).toDF(), bg, gg)
+      .orderBy(col("custkey")).collect()
+    rfmRows.zip(viaColumns).foreach { case (r, row) =>
+      val pv = bg.conditionalExpectedPurchases(
+        ClvPipeline.HorizonWeeks, r.frequency, r.recency, r.t_weeks)
+      val pa = if (r.frequency > 0)
+        bg.probAlive(r.frequency, r.recency, r.t_weeks) else 1.0
+      val cp = gg.conditionalExpectedAverageProfit(r.frequency, r.avg_monetary)
+      val cl = Clv.customerLifetimeValue(bg, cp, r.frequency, r.recency,
+        r.t_weeks)
+      assert(math.abs(row.getAs[Double]("pred_visits") - pv) < 1e-9)
+      assert(math.abs(row.getAs[Double]("prob_alive") - pa) < 1e-9)
+      assert(math.abs(row.getAs[Double]("cond_exp_avg_profit") - cp) < 1e-9)
+      assert(math.abs(row.getAs[Double]("pred_clv") - cl) < 1e-7,
+        s"clv ${row.getAs[Double]("pred_clv")} vs $cl for cust ${r.custkey}")
+    }
+  }
+
   // --- pipeline ----------------------------------------------------------
 
   test("distributed fit covers every customer exactly once") {
