@@ -49,13 +49,19 @@ object ClvColumns {
           x: Column, tx: Column, t: Column, mx: Column,
           months: Int = 12, discount: Double = 0.01): Column = {
     val profit = expectedAvgProfit(g, x, mx)
-    (1 to months).map { i =>
+    // E[Y] is cumulative: month i's increment telescopes as cum_i −
+    // cum_{i−1}. Regrouping the discounted sum as Σ cum_i·w_i with
+    // w_i = 1/(1+d)^i − 1/(1+d)^{i+1} (and w_months = 1/(1+d)^months)
+    // evaluates each cum_i ONCE — halves the ₂F₁ calls per row.
+    val terms = (1 to months).map { i =>
       val cum = expectedPurchases(p, i * Clv.WeeksPerMonth, x, tx, t)
-      val prev =
-        if (i == 1) lit(0.0)
-        else expectedPurchases(p, (i - 1) * Clv.WeeksPerMonth, x, tx, t)
-      profit * (cum - prev) / math.pow(1.0 + discount, i)
-    }.reduce(_ + _)
+      val w =
+        if (i == months) 1.0 / math.pow(1.0 + discount, i)
+        else 1.0 / math.pow(1.0 + discount, i) -
+          1.0 / math.pow(1.0 + discount, i + 1)
+      cum * lit(w)
+    }
+    profit * terms.reduce(_ + _)
   }
 
   /** Score a summarized frame with fitted params: adds the four

@@ -52,7 +52,11 @@ object ClvQueries {
   def clvScoredColumns(s: SparkSession, dir: String): DataFrame = {
     import graft.clv._
     val rfm = ClvPipeline.rfm(s, dir, nGroups = 1)
-    val local = rfm.collect().toIndexedSeq.sortBy(_.custkey)
+    // fit on a bounded deterministic sample (first 4000 customers by
+    // key) — parameter estimates stabilize long before that; scoring
+    // still covers every row
+    val local = rfm.orderBy(col("custkey")).limit(4000)
+      .collect().toIndexedSeq.sortBy(_.custkey)
     val bg = BetaGeoModel.fit(local.map(r => (r.frequency, r.recency, r.t_weeks)))
     val gg = GammaGammaModel.fit(
       local.filter(r => r.frequency > 1 && r.avg_monetary > 0)
