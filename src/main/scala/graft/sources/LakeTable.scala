@@ -150,6 +150,26 @@ object LakeTable {
     commit(spark, root, Seq(writeDataFiles(spark, root, arranged)))
   }
 
+  /** VACUUM: physically delete data file groups referenced only by
+    * versions older than `keepVersions` manifests, then drop those
+    * manifests. Time travel remains available for the retained window.
+    * (At scale this is the storage-cost companion to [[compact]] —
+    * copy-on-write keeps every historical byte until vacuumed.) */
+  def vacuum(spark: SparkSession, root: String, keepVersions: Int): Unit = {
+    val vs = versions(spark, root)
+    if (vs.size <= keepVersions) return
+    val keep = vs.takeRight(keepVersions)
+    val drop = vs.dropRight(keepVersions)
+    val kept = keep.flatMap(readManifest(spark, root, _)).toSet
+    val f = fs(spark, root)
+    drop.foreach { v =>
+      readManifest(spark, root, v)
+        .filterNot(kept.contains)
+        .foreach(d => f.delete(new Path(root, d), true))
+      f.delete(manifestPath(root, v), false)
+    }
+  }
+
   /** Streaming ingestion: each micro-batch commits one append version
     * (foreachBatch — the streaming→table-format bridge; batch id is
     * ignored because the manifest commit is the idempotency point for

@@ -104,6 +104,21 @@ class LakeTableSpec extends SparkSpec {
     }
   }
 
+  test("vacuum drops old versions' files but keeps shared file groups") {
+    withTable { root =>
+      val nation = Tables.load(spark, sf, "nation")
+      LakeTable.create(spark, root, nation.filter(col("n_nationkey") < 10)) // v1
+      LakeTable.append(spark, root, nation.filter(col("n_nationkey") >= 10)) // v2 (shares v1's group)
+      LakeTable.compact(spark, root, 1) // v3 (new group only)
+      LakeTable.vacuum(spark, root, keepVersions = 2)
+      // v1 dropped; its file group survives because v2 still references it
+      assert(LakeTable.versions(spark, root) == Seq(2, 3))
+      assert(LakeTable.read(spark, root, Some(2)).count() == 25)
+      assert(LakeTable.read(spark, root).count() == 25)
+      intercept[Exception] { LakeTable.read(spark, root, Some(1)).count() }
+    }
+  }
+
   test("crash between data write and commit leaves table readable") {
     withTable { root =>
       val nation = Tables.load(spark, sf, "nation")

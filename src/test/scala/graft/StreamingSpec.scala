@@ -111,6 +111,32 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("stream-stream interval join matches events within the time bound") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val views = MemoryStream[Event]
+    val buys = MemoryStream[Event]
+    val v = views.toDF().withWatermark("ts", "1 hour")
+      .select(col("user_id").as("v_user"), col("ts").as("v_ts"),
+        col("event_id").as("view_id"))
+    val b = buys.toDF().withWatermark("ts", "1 hour")
+      .select(col("user_id").as("b_user"), col("ts").as("b_ts"),
+        col("event_id").as("buy_id"))
+    // buys attributed to a view by the same user within the prior 30 min
+    val joined = v.join(b,
+      col("v_user") === col("b_user") &&
+        col("b_ts") >= col("v_ts") &&
+        col("b_ts") <= col("v_ts") + expr("INTERVAL 30 MINUTES"))
+    views.addData(Event(1, ts(0), 1, "view", 0), Event(2, ts(0), 2, "view", 0))
+    buys.addData(
+      Event(10, ts(10), 1, "buy", 5.0),   // within 30 min of view 1
+      Event(11, ts(100), 2, "buy", 5.0))  // outside the window for view 2
+    val out = EventStreams.runToMemory(spark, joined, "ss_join_test")
+    val pairs = out.collect().map(r =>
+      (r.getAs[Long]("view_id"), r.getAs[Long]("buy_id")))
+    assert(pairs.toSet == Set((1L, 10L)), s"got ${pairs.toSeq}")
+  }
+
   test("checkpointed file sink is exactly-once across restart") {
     import org.apache.spark.sql.streaming.Trigger
     val base = java.nio.file.Files.createTempDirectory("graft_ckpt")

@@ -15,6 +15,23 @@ class TextDedupSpec extends SparkSpec {
     assert(total == docs.count())
   }
 
+  test("Column-form langId and qualityScore agree with the JVM fast paths") {
+    val sample = docs.limit(50)
+    val viaCols = sample
+      .select(col("doc_id"), TextFunctions.langId(col("text")).as("l"),
+        TextFunctions.qualityScore(col("text")).as("q"))
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getDouble(2)))
+      .toMap
+    val viaLocal = sample.select("doc_id", "text").collect().map { r =>
+      r.getLong(0) -> (TextFunctions.langIdLocal(r.getString(1)),
+        TextFunctions.qualityScoreLocal(r.getString(1)))
+    }.toMap
+    viaLocal.foreach { case (id, (lang, q)) =>
+      assert(viaCols(id)._1 == lang, s"langId mismatch doc $id")
+      assert(math.abs(viaCols(id)._2 - q) < 1e-9, s"quality mismatch doc $id")
+    }
+  }
+
   test("quality scores are in [0,1]") {
     val bad = TextQueries.docQuality(spark, sf)
       .filter(col("quality") < 0 || col("quality") > 1).count()

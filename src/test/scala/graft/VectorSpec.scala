@@ -51,6 +51,19 @@ class VectorSpec extends SparkSpec {
     assert(mean > 0.4, s"mean recall@10 = $mean")
   }
 
+  test("sign-LSH ivfTopK variant returns valid ranked neighbors") {
+    val e = Tables.load(spark, sf, "embeddings")
+    val res = VectorFunctions.ivfTopK(
+      e.filter(col("vec_id") < 3), e,
+      "vec_id", "embedding", "vec_id", "embedding", k = 5).collect()
+    assert(res.nonEmpty)
+    res.groupBy(_.getAs[Long]("query_id")).foreach { case (qid, rows) =>
+      val sims = rows.sortBy(_.getAs[Long]("rank")).map(_.getAs[Double]("sim"))
+      assert(sims.sliding(2).forall(p => p.length < 2 || p(0) >= p(1)))
+      assert(!rows.exists(_.getAs[Long]("neighbor_id") == qid))
+    }
+  }
+
   test("LSH bucket top pairs carry the same sims as the exact ranking") {
     // every bucket-mate pair's sim must equal the brute-force cosine for
     // the same pair (the LSH path prunes candidates, never alters math)
