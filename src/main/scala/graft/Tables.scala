@@ -26,7 +26,10 @@ object Tables {
       // (same floor DuckDB applies when it narrows ns → us).
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val raw = spark.read.parquet(s"$sfDir/$name.parquet")
-      raw.withColumn("ts", timestamp_micros((col("ts") / 1000).cast("long")))
+      // integer `div`, NOT `/ 1000`: epoch-ns exceeds 2^53, so the double
+      // division path rounds ~12% of values by 1 µs off DuckDB's exact
+      // ns→µs floor and can flip window membership at second boundaries
+      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
     } else spark.read.parquet(s"$sfDir/$name.parquet")
   }
 

@@ -85,8 +85,16 @@ object ClvPipeline {
     val repeat = sorted.filter(r => r.frequency > 1 && r.avg_monetary > 0)
     val ggInput = if (repeat.nonEmpty) repeat
                   else sorted.filter(r => r.frequency >= 1 && r.avg_monetary > 0)
-    val gg = GammaGammaModel.fit(
-      ggInput.map(r => (r.frequency, r.avg_monetary)))
+    val gg =
+      if (ggInput.nonEmpty)
+        GammaGammaModel.fit(ggInput.map(r => (r.frequency, r.avg_monetary)))
+      else {
+        // degenerate group (all one-time buyers / non-positive spend):
+        // prior-only model centered on the group's mean spend
+        val pos = sorted.map(_.avg_monetary).filter(_ > 0)
+        GammaGammaModel.degenerate(
+          if (pos.nonEmpty) pos.sum / pos.length else 1.0)
+      }
     sorted.map { r =>
       val predVisits = bg.conditionalExpectedPurchases(
         HorizonWeeks, r.frequency, r.recency, r.t_weeks)

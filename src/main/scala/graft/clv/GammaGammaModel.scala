@@ -30,6 +30,14 @@ final case class GammaGammaParams(p: Double, q: Double, v: Double) {
 
 object GammaGammaModel {
 
+  /** Degenerate fallback when a group has no fit-eligible customers
+    * (no repeat buyers with positive spend): p=1, q=2, v=populationMean
+    * makes the conditional mean E(M|x,m̄) = (v + x·m̄)/(x+1) — the
+    * Bayesian-shrinkage blend of the population mean and the observed
+    * mean, which is the sane prior-only prediction. */
+  def degenerate(populationMean: Double): GammaGammaParams =
+    GammaGammaParams(1.0, 2.0, math.max(populationMean, 1e-9))
+
   /** MLE over log-params; mean NLL + L2 penalty on natural params
     * (coefficient at ref DS:477 → 0.01). `data` rows: (x, m̄x), repeat
     * buyers only (x ≥ 1, m̄x > 0) — the caller filters (ref DS:276). */

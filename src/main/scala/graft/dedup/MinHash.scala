@@ -72,8 +72,12 @@ object MinHash {
   /** JVM fast path: per-partition computation of distinct shingle hashes
     * and the minhash signature in tight loops (the HOF form interpreted
     * k×|shingles| lambda calls per doc — measured ~6× slower at bench
-    * scale). Same hash family and seeds; shingle identity is its 64-bit
-    * mixed hash (collisions ~2⁻⁶⁴ — negligible for Jaccard estimates). */
+    * scale). Shares the (a,b) permutation seeds with the Column
+    * [[signature]] form but uses a DIFFERENT base shingle hash
+    * (MurmurHash3+splitmix64 here vs xxhash64 there) — signatures from
+    * the two forms are NOT comparable with each other; use one form
+    * consistently per pipeline. Shingle identity keeps the full 64-bit
+    * hash (collisions ~2⁻⁶⁴ — negligible for Jaccard). */
   def signatureDataset(docs: DataFrame, idCol: String, textCol: String,
                        shingleN: Int, k: Int): DataFrame = {
     import docs.sparkSession.implicits._
@@ -205,17 +209,20 @@ object MinHash {
     val k = bands * rowsPerBand
     val prepared = signatureDataset(docs, idCol, textCol, shingleN, k)
 
-    // explode into (band, bucket) entries; bucket = hash of band slice
+    // explode ONLY (id, band, bucket) into the candidate-generation
+    // shuffle — carrying the shingle array through the explode would
+    // multiply shuffle volume by `bands`; the (much larger) shingle sets
+    // are joined back onto the candidate PAIRS for verification, which
+    // are few
     val entries = prepared.select(
-      col("id"), col("sh"),
+      col("id"),
       explode(transform(sequence(lit(0), lit(bands - 1)), b =>
         struct(b.as("band"),
           xxhash64(to_json(slice(col("sig"), b * rowsPerBand + 1,
               lit(rowsPerBand))))
             .as("bucket"))))
         .as("bb"))
-      .select(col("id"), col("sh"),
-        col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+      .select(col("id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
 
     val a = entries.alias("a")
     val b = entries.alias("b")
@@ -223,11 +230,13 @@ object MinHash {
         col("a.band") === col("b.band") &&
         col("a.bucket") === col("b.bucket") &&
         col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        col("a.sh").as("sh_a"), col("b.sh").as("sh_b"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .dropDuplicates("id_a", "id_b")
 
+    val shingles = prepared.select(col("id"), col("sh"))
     candidates
+      .join(shingles.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
+      .join(shingles.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
       .withColumn("jaccard", exactJaccard(col("sh_a"), col("sh_b")))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))

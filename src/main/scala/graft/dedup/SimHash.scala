@@ -19,8 +19,10 @@ object SimHash {
     * higher-order-function expressions are interpreted (not codegen'd) in
     * Spark, and the 64-lane accumulation per token made the pure-Column
     * form ~50× slower at bench scale. The closure runs per partition with
-    * no shuffle; same algorithm, deterministic (xxhash64-compatible
-    * mixing via splitmix64 of the token hash). */
+    * no shuffle; same algorithm, deterministic. NOTE: the token hash here
+    * (MurmurHash3+splitmix64) differs from the Column [[simhash64]]'s
+    * xxhash64, so fingerprints from the two forms are NOT comparable —
+    * use one form consistently per pipeline. */
   def simhashDataset(docs: DataFrame, idCol: String, textCol: String)
       : DataFrame = {
     import docs.sparkSession.implicits._

@@ -37,12 +37,24 @@ object Ingest {
   def saveAsManagedTable(df: DataFrame, table: String): Unit = {
     val spark = df.sparkSession
     dropTable(spark, table)
-    val warehouse = spark.conf.get("spark.sql.warehouse.dir")
+    cleanOrphanLocation(spark, table)
+    df.write.format("parquet").mode(SaveMode.Overwrite).saveAsTable(table)
+  }
+
+  /** Remove a managed-table directory left behind by a previous process
+    * whose in-memory catalog is gone. The location is resolved through
+    * the session catalog (handles `db.table` → `<wh>/db.db/table`), never
+    * by naive string substitution. */
+  private def cleanOrphanLocation(spark: SparkSession, table: String): Unit = {
+    val parts = table.split('.')
+    val ident =
+      if (parts.length == 2)
+        org.apache.spark.sql.catalyst.TableIdentifier(parts(1), Some(parts(0)))
+      else org.apache.spark.sql.catalyst.TableIdentifier(table)
     val loc = new org.apache.hadoop.fs.Path(
-      warehouse, table.toLowerCase.replace('.', '/'))
+      spark.sessionState.catalog.defaultTablePath(ident))
     val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(loc)) fs.delete(loc, true)
-    df.write.format("parquet").mode(SaveMode.Overwrite).saveAsTable(table)
   }
 
   /** S7: CREATE TABLE AS SELECT. */
@@ -71,11 +83,7 @@ object Ingest {
                    buckets: Int): Unit = {
     val spark = df.sparkSession
     dropTable(spark, table)
-    val warehouse = spark.conf.get("spark.sql.warehouse.dir")
-    val loc = new org.apache.hadoop.fs.Path(
-      warehouse, table.toLowerCase.replace('.', '/'))
-    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(loc)) fs.delete(loc, true)
+    cleanOrphanLocation(spark, table)
     df.write.format("parquet")
       .bucketBy(buckets, bucketKey)
       .sortBy(bucketKey)

@@ -58,9 +58,15 @@ object ClvQueries {
     val local = rfm.orderBy(col("custkey")).limit(4000)
       .collect().toIndexedSeq.sortBy(_.custkey)
     val bg = BetaGeoModel.fit(local.map(r => (r.frequency, r.recency, r.t_weeks)))
-    val gg = GammaGammaModel.fit(
-      local.filter(r => r.frequency > 1 && r.avg_monetary > 0)
-        .map(r => (r.frequency, r.avg_monetary)))
+    val repeat = local.filter(r => r.frequency > 1 && r.avg_monetary > 0)
+    val gg =
+      if (repeat.nonEmpty)
+        GammaGammaModel.fit(repeat.map(r => (r.frequency, r.avg_monetary)))
+      else {
+        val pos = local.map(_.avg_monetary).filter(_ > 0)
+        GammaGammaModel.degenerate(
+          if (pos.nonEmpty) pos.sum / pos.length else 1.0)
+      }
     ClvColumns.scoreAll(rfm.toDF(), bg, gg)
       .select(col("custkey"), col("frequency"),
         round(col("pred_visits"), 6).as("pred_visits"),

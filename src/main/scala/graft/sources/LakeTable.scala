@@ -52,18 +52,34 @@ object LakeTable {
   def latestVersion(spark: SparkSession, root: String): Option[Int] =
     versions(spark, root).lastOption
 
-  private def readManifest(spark: SparkSession, root: String,
-                           v: Int): Seq[String] = {
+  private def readManifestLines(spark: SparkSession, root: String,
+                                v: Int): Seq[String] = {
     val f = fs(spark, root)
     val in = f.open(manifestPath(root, v))
     try {
       val txt = new String(in.readAllBytes(),
         java.nio.charset.StandardCharsets.UTF_8)
-      // manifest format: one data-dir name per line (keep it trivially
-      // parseable without a JSON lib on the read path)
       txt.split("\n").map(_.trim).filter(_.nonEmpty).toSeq
     } finally in.close()
   }
+
+  /** Data-dir entries of a manifest. Format: one data-dir name per line;
+    * lines starting with '#' are key=value metadata (kept trivially
+    * parseable without a JSON lib on the read path). */
+  private def readManifest(spark: SparkSession, root: String,
+                           v: Int): Seq[String] =
+    readManifestLines(spark, root, v).filterNot(_.startsWith("#"))
+
+  private def manifestMeta(spark: SparkSession, root: String,
+                           v: Int): Map[String, String] =
+    readManifestLines(spark, root, v)
+      .filter(_.startsWith("#"))
+      .flatMap { l =>
+        l.drop(1).split("=", 2) match {
+          case Array(k, v2) => Some(k -> v2)
+          case _ => None
+        }
+      }.toMap
 
   private def writeDataFiles(spark: SparkSession, root: String,
                              df: DataFrame): String = {
@@ -74,14 +90,16 @@ object LakeTable {
   }
 
   private def commit(spark: SparkSession, root: String,
-                     dataDirs: Seq[String]): Int = {
+                     dataDirs: Seq[String],
+                     meta: Map[String, String] = Map.empty): Int = {
     val f = fs(spark, root)
     f.mkdirs(versionsDir(root))
     val v = latestVersion(spark, root).getOrElse(0) + 1
     val tmp = new Path(versionsDir(root), s".tmp-$v-${System.nanoTime()}")
     val out = f.create(tmp, false)
-    try out.write(dataDirs.mkString("\n")
-      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val body = (meta.toSeq.sorted.map { case (k, v2) => s"#$k=$v2" } ++
+      dataDirs).mkString("\n")
+    try out.write(body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
     if (!f.rename(tmp, manifestPath(root, v)))
       throw new IllegalStateException(
@@ -170,17 +188,35 @@ object LakeTable {
     }
   }
 
-  /** Streaming ingestion: each micro-batch commits one append version
-    * (foreachBatch — the streaming→table-format bridge; batch id is
-    * ignored because the manifest commit is the idempotency point for
-    * this single-writer format). */
+  /** Streaming ingestion: each micro-batch commits one append version.
+    * The batch id is recorded in the manifest and re-delivered batches
+    * (foreachBatch retries a batch if the driver dies between the sink
+    * action and the checkpoint commit) are skipped — the manifest is the
+    * idempotency ledger, same role Delta's txn log plays for its
+    * foreachBatch pattern. Assumes ONE logical stream (one checkpoint
+    * lineage) per table: batch ids persist in the checkpoint and stay
+    * monotonic across restarts, which is what makes the comparison
+    * sound; a different stream must write to a different table. */
   def streamAppend(df: DataFrame, root: String)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     val spark = df.sparkSession
     df.writeStream
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        if (latestVersion(spark, root).isEmpty) create(spark, root, batch)
-        else append(spark, root, batch)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val committed = latestVersion(spark, root)
+          .flatMap(v => manifestMeta(spark, root, v).get("batchId"))
+          .map(_.toLong)
+        if (committed.exists(_ >= batchId)) {
+          // duplicate delivery after restart — already committed
+        } else {
+          val meta = Map("batchId" -> batchId.toString)
+          latestVersion(spark, root) match {
+            case None => commit(spark, root,
+              Seq(writeDataFiles(spark, root, batch)), meta)
+            case Some(cur) => commit(spark, root,
+              readManifest(spark, root, cur) :+
+                writeDataFiles(spark, root, batch), meta)
+          }
+        }
         ()
       }
       .start()

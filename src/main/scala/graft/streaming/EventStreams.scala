@@ -23,8 +23,10 @@ final case class Session(
     n_events: Long,
     total_value: Double)
 
-private final case class SessionState(
+private final case class SessionInterval(
     start: Long, last: Long, n: Long, total: Double)
+
+private final case class SessionState(sessions: List[SessionInterval])
 
 /** [EXT] Structured Streaming surface (SURVEY.md §2.10 S14): the same
   * event-time shapes as the batch EventQueries, expressed as streaming
@@ -68,43 +70,45 @@ object EventStreams {
         col("session_window.end").as("session_end"), col("n_events"))
 
   /** Custom sessionization with explicit state (U7's streaming sibling):
-    * flatMapGroupsWithState keyed by user, 30-minute idle gap, event-time
-    * timeout closes sessions when the watermark passes. */
+    * flatMapGroupsWithState keyed by user, 30-minute idle gap.
+    *
+    * State is a LIST of open session intervals, not a single one: late
+    * events inside the watermark can arrive before, between, or bridging
+    * existing sessions. Each event becomes a singleton interval, then
+    * intervals within the gap of each other merge (extending session
+    * start backward when a late event precedes it — a single-interval
+    * formulation silently swallows such events into the wrong session).
+    * Sessions emit only once the event-time watermark passes their close
+    * (last + gap), so no further in-watermark event can reopen them. */
   def statefulSessions(events: Dataset[Event]): Dataset[Session] = {
     import events.sparkSession.implicits._
     val GapMs = 30L * 60 * 1000
 
+    def normalize(intervals: List[SessionInterval]): List[SessionInterval] =
+      intervals.sortBy(i => (i.start, i.last))
+        .foldLeft(List.empty[SessionInterval]) {
+          case (prev :: rest, cur) if cur.start <= prev.last + GapMs =>
+            SessionInterval(prev.start, math.max(prev.last, cur.last),
+              prev.n + cur.n, prev.total + cur.total) :: rest
+          case (acc, cur) => cur :: acc
+        }.reverse
+
     def fn(userId: Long, rows: Iterator[Event],
            state: GroupState[SessionState]): Iterator[Session] = {
-      var closed = List.empty[Session]
-      if (state.hasTimedOut) {
-        val s = state.get
-        closed ::= Session(userId, new Timestamp(s.start),
-          new Timestamp(s.last + GapMs), s.n, s.total)
-        state.remove()
-      } else {
-        val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
-        var cur = state.getOption.orNull
-        for (e <- sorted) {
-          val t = e.ts.getTime
-          cur match {
-            case null =>
-              cur = SessionState(t, t, 1, e.value)
-            case s if t - s.last >= GapMs =>
-              closed ::= Session(userId, new Timestamp(s.start),
-                new Timestamp(s.last + GapMs), s.n, s.total)
-              cur = SessionState(t, t, 1, e.value)
-            case s =>
-              cur = SessionState(s.start, math.max(s.last, t), s.n + 1,
-                s.total + e.value)
-          }
-        }
-        if (cur != null) {
-          state.update(cur)
-          state.setTimeoutTimestamp(cur.last + GapMs)
-        }
+      val existing = state.getOption.map(_.sessions).getOrElse(Nil)
+      val incoming = rows.toList.map(e =>
+        SessionInterval(e.ts.getTime, e.ts.getTime, 1, e.value))
+      val merged = normalize(existing ++ incoming)
+      val watermark = state.getCurrentWatermarkMs()
+      val (closed, open) = merged.partition(_.last + GapMs <= watermark)
+      if (open.isEmpty) state.remove()
+      else {
+        state.update(SessionState(open))
+        state.setTimeoutTimestamp(open.map(_.last).min + GapMs)
       }
-      closed.reverseIterator
+      closed.sortBy(_.start).iterator.map(i =>
+        Session(userId, new Timestamp(i.start),
+          new Timestamp(i.last + GapMs), i.n, i.total))
     }
 
     events

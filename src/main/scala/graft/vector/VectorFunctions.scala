@@ -131,12 +131,21 @@ object VectorFunctions {
       }
     val bc = spark.sparkContext.broadcast(normed)
     val ids = corpus.select(col(idCol).cast("long")).as[Long]
+    // heap ordered by the output total order (sim desc, id_a, id_b) so
+    // ties at the cutoff resolve identically to the oracle's ORDER BY
+    // regardless of partition arrival order
+    implicit val better: Ordering[(Double, Long, Long)] =
+      Ordering.fromLessThan[(Double, Long, Long)] { (p, q) =>
+        if (p._1 != q._1) p._1 < q._1
+        else if (p._2 != q._2) p._2 > q._2
+        else p._3 > q._3
+      }
     val candidates = ids.mapPartitions { it =>
       val all = bc.value
       val idArr = all.map(_._1)
       val byId = all.toMap
       val heap = scala.collection.mutable.PriorityQueue
-        .empty[(Double, Long, Long)](Ordering.by(-_._1)) // min-heap on sim
+        .empty[(Double, Long, Long)](better.reverse) // worst candidate on top
       for (lid <- it) {
         val lv = byId(lid)
         var j = java.util.Arrays.binarySearch(idArr, lid) + 1
@@ -145,8 +154,11 @@ object VectorFunctions {
           var s = 0.0
           var d = 0
           while (d < lv.length) { s += lv(d) * rv(d); d += 1 }
-          if (heap.size < k) heap.enqueue((s, lid, rid))
-          else if (s > heap.head._1) { heap.dequeue(); heap.enqueue((s, lid, rid)) }
+          val cand = (s, lid, rid)
+          if (heap.size < k) heap.enqueue(cand)
+          else if (better.gt(cand, heap.head)) {
+            heap.dequeue(); heap.enqueue(cand)
+          }
           j += 1
         }
       }

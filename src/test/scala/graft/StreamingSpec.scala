@@ -111,6 +111,28 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("stateful sessionizer merges a late in-watermark event backward") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[Event]
+    // batch 1: event at minute 20 (watermark will trail by 30 min)
+    mem.addData(Event(1, ts(20), 11, "click", 1.0))
+    // batch 2: LATE event at minute 10 — earlier than the open session's
+    // start but within the watermark; must extend the session backward
+    mem.addData(Event(2, ts(10), 11, "click", 2.0))
+    // advance watermark far enough to close user 11's session
+    mem.addData(Event(3, ts(300), 12, "click", 0.0))
+    mem.addData(Event(4, ts(600), 12, "click", 0.0))
+    val out = EventStreams.runToMemory(
+      spark, EventStreams.statefulSessions(mem.toDS()).toDF(), "late_test")
+    val s11 = out.filter(col("user_id") === 11).collect()
+    assert(s11.length == 1, s"expected one merged session, got ${s11.length}")
+    assert(s11.head.getAs[java.sql.Timestamp]("session_start").toString
+      == "2024-01-01 00:10:00.0", "session start must extend to the late event")
+    assert(s11.head.getAs[Long]("n_events") == 2)
+    assert(s11.head.getAs[Double]("total_value") == 3.0)
+  }
+
   test("stream-stream interval join matches events within the time bound") {
     implicit val sq = spark.sqlContext
     import spark.implicits._
