@@ -52,14 +52,15 @@ object TextQueries {
       .orderBy(col("lang"), col("predicted"))
   }
 
-  /** Exact + normalized + vocabulary dedup cardinalities (rows-only:
-    * xxhash64 values are engine-specific). */
+  /** Exact + normalized + vocabulary dedup cardinalities (portable:
+    * md5-keyed fingerprints so DuckDB computes identical counts; the
+    * xxhash64 fast-path fingerprint is covered separately in specs). */
   def dedupCardinalities(s: SparkSession, dir: String): DataFrame =
     docs(s, dir).agg(
       count(lit(1)).as("n_docs"),
       countDistinct(col("text")).as("distinct_text"),
       countDistinct(normalized(col("text"))).as("distinct_normalized"),
-      countDistinct(fingerprint64(col("text"))).as("distinct_fp64"),
+      countDistinct(md5(normalized(col("text")))).as("distinct_norm_md5"),
       countDistinct(vocabFingerprint(col("text"))).as("distinct_vocab"))
 
   /** Vocabulary-fingerprint duplicate groups (oracle: md5 is portable).
@@ -160,6 +161,18 @@ object TextQueries {
       .limit(30)
   }
 
+  /** Top-30 word trigrams via the custom [[graft.functions.NGramsGenerator]]
+    * Generator expression (per-doc occurrences, NOT deduped — unlike the
+    * bigram query — so both generator conventions are exercised). */
+  def topTrigrams(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(graft.functions.NGramsGenerator.ngrams(col("text"), 3)
+        .as(Seq("pos", "trigram")))
+      .groupBy(col("trigram"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("trigram"))
+      .limit(30)
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q50_lang_token_stats" -> (langTokenStats _),
     "q51_quality_buckets"  -> (qualityBuckets _),
@@ -172,7 +185,8 @@ object TextQueries {
     "q58_token_jaccard_pairs" -> (tokenJaccardTopPairs _),
     "q59_clean_pipeline"      -> (cleanPipeline _),
     "q65_top_tokens"          -> (topTokens _),
-    "q66_top_bigrams"         -> (topBigrams _)
+    "q66_top_bigrams"         -> (topBigrams _),
+    "q67_top_trigrams"        -> (topTrigrams _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -182,6 +196,17 @@ object TextQueries {
         |       SUM(length(regexp_replace(text, '\s+', '', 'g'))) AS total_alpha_chars,
         |       min(n_chars) AS min_chars, max(n_chars) AS max_chars
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    "q53_dedup_cardinalities" ->
+      """SELECT count(*) AS n_docs,
+        |       count(DISTINCT text) AS distinct_text,
+        |       count(DISTINCT regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
+        |         AS distinct_normalized,
+        |       count(DISTINCT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')))
+        |         AS distinct_norm_md5,
+        |       count(DISTINCT md5(array_to_string(list_sort(list_distinct(
+        |         string_split_regex(trim(text), '\s+'))), ' ')))
+        |         AS distinct_vocab
+        |FROM documents""".stripMargin,
     "q51_quality_buckets" ->
       """SELECT source, CASE WHEN n_chars < 100 THEN '1_short'
         |                    WHEN n_chars < 300 THEN '2_medium'
@@ -208,6 +233,16 @@ object TextQueries {
         |  SELECT UNNEST(string_split_regex(trim(text), '\s+')) AS token
         |  FROM documents) t
         |GROUP BY token ORDER BY n DESC, token LIMIT 50""".stripMargin,
+    // per-doc occurrences (generator emits every position)
+    "q67_top_trigrams" ->
+      """WITH w AS (SELECT string_split_regex(trim(text), '\s+') AS ws
+        |           FROM documents)
+        |SELECT trigram, count(*) AS n FROM (
+        |  SELECT UNNEST(CASE WHEN len(ws) >= 3
+        |    THEN list_transform(range(1, len(ws) - 1),
+        |                        i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])
+        |    ELSE [array_to_string(ws, ' ')] END) AS trigram FROM w) t
+        |GROUP BY trigram ORDER BY n DESC, trigram LIMIT 30""".stripMargin,
     // per-doc DISTINCT bigrams (wordShingles dedups within a doc →
     // counts are document frequencies)
     "q66_top_bigrams" ->
