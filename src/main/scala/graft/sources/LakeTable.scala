@@ -107,18 +107,81 @@ object LakeTable {
     v
   }
 
-  /** Create version 1 from a DataFrame. */
-  def create(spark: SparkSession, root: String, df: DataFrame): Int = {
+  /** Per-group min/max stats for the named numeric/timestamp columns,
+    * recorded in the manifest as `#stat:<dir>:<col>=<min>,<max>` — the
+    * data-skipping index: one extra aggregation job per commit buys
+    * file-group pruning on every subsequent filtered read. */
+  private def statsMeta(df: DataFrame, dataDir: String,
+                        statsCols: Seq[String]): Map[String, String] =
+    if (statsCols.isEmpty) Map.empty
+    else {
+      val aggs = statsCols.flatMap(c => Seq(
+        min(col(c).cast("double")).as(s"min_$c"),
+        max(col(c).cast("double")).as(s"max_$c")))
+      val row = df.agg(aggs.head, aggs.tail: _*).head()
+      statsCols.flatMap { c =>
+        val lo = row.getAs[Any](s"min_$c")
+        val hi = row.getAs[Any](s"max_$c")
+        if (lo == null || hi == null) None
+        else Some(s"stat:$dataDir:$c" -> s"$lo,$hi")
+      }.toMap
+    }
+
+  /** Create version 1 from a DataFrame. `statsCols` opts into per-group
+    * min/max tracking for data skipping (see [[readWhere]]). */
+  def create(spark: SparkSession, root: String, df: DataFrame,
+             statsCols: Seq[String] = Nil): Int = {
     require(latestVersion(spark, root).isEmpty, s"table exists at $root")
-    commit(spark, root, Seq(writeDataFiles(spark, root, df)))
+    val dir = writeDataFiles(spark, root, df)
+    commit(spark, root, Seq(dir), statsMeta(df, dir, statsCols))
   }
 
-  /** Append-only commit: new version = old file groups + new ones. */
-  def append(spark: SparkSession, root: String, df: DataFrame): Int = {
+  /** Append-only commit: new version = old file groups + new ones.
+    * Prior groups' stats are carried forward in the new manifest. */
+  def append(spark: SparkSession, root: String, df: DataFrame,
+             statsCols: Seq[String] = Nil): Int = {
     val cur = latestVersion(spark, root)
       .getOrElse(throw new IllegalStateException(s"no table at $root"))
-    commit(spark, root, readManifest(spark, root, cur) :+
-      writeDataFiles(spark, root, df))
+    val dir = writeDataFiles(spark, root, df)
+    val carried = manifestMeta(spark, root, cur)
+      .filter(_._1.startsWith("stat:"))
+    commit(spark, root, readManifest(spark, root, cur) :+ dir,
+      carried ++ statsMeta(df, dir, statsCols))
+  }
+
+  /** File groups of the latest version whose [min,max] for `column`
+    * intersects [lo, hi]; groups without stats are conservatively kept.
+    * Exposed for tests/inspection — [[readWhere]] is the read path. */
+  def selectGroups(spark: SparkSession, root: String, column: String,
+                   lo: Double, hi: Double): Seq[String] = {
+    val v = latestVersion(spark, root)
+      .getOrElse(throw new IllegalStateException(s"no table at $root"))
+    val meta = manifestMeta(spark, root, v)
+    readManifest(spark, root, v).filter { dir =>
+      meta.get(s"stat:$dir:$column") match {
+        case Some(s) =>
+          val Array(mn, mx) = s.split(",").map(_.toDouble)
+          mx >= lo && mn <= hi
+        case None => true
+      }
+    }
+  }
+
+  /** Data-skipping read: scans only the file groups whose stats admit
+    * `column ∈ [lo, hi]`, then applies the exact filter. At scale this is
+    * the manifest-level pruning layer ABOVE parquet row-group pruning —
+    * skipped groups cost zero file opens. */
+  def readWhere(spark: SparkSession, root: String, column: String,
+                lo: Double, hi: Double): DataFrame = {
+    val dirs = selectGroups(spark, root, column, lo, hi)
+      .map(d => new Path(root, d).toString)
+    if (dirs.isEmpty)
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        read(spark, root).schema)
+    else
+      spark.read.parquet(dirs: _*)
+        .filter(col(column).cast("double").between(lo, hi))
   }
 
   /** Snapshot read; `version = None` → latest (time travel otherwise). */

@@ -104,6 +104,29 @@ class LakeTableSpec extends SparkSpec {
     }
   }
 
+  test("data skipping prunes file groups by manifest min/max stats") {
+    withTable { root =>
+      val orders = Tables.load(spark, sf, "orders")
+      LakeTable.create(spark, root,
+        orders.filter(col("o_custkey") < 50), statsCols = Seq("o_custkey"))
+      LakeTable.append(spark, root,
+        orders.filter(col("o_custkey").between(50, 99)),
+        statsCols = Seq("o_custkey"))
+      LakeTable.append(spark, root,
+        orders.filter(col("o_custkey") >= 100), statsCols = Seq("o_custkey"))
+      // a range inside the middle group must prune the other two
+      val groups = LakeTable.selectGroups(spark, root, "o_custkey", 60, 70)
+      assert(groups.size == 1, s"expected 1 group scanned, got $groups")
+      val got = LakeTable.readWhere(spark, root, "o_custkey", 60, 70)
+      val expect = orders.filter(col("o_custkey").between(60, 70))
+      assert(got.count() == expect.count())
+      // a disjoint range scans nothing
+      assert(LakeTable.selectGroups(spark, root, "o_custkey", 5000, 6000).isEmpty)
+      assert(LakeTable.readWhere(spark, root, "o_custkey", 5000, 6000)
+        .count() == 0)
+    }
+  }
+
   test("vacuum drops old versions' files but keeps shared file groups") {
     withTable { root =>
       val nation = Tables.load(spark, sf, "nation")
