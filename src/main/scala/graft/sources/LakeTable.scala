@@ -184,14 +184,16 @@ object LakeTable {
         .filter(col(column).cast("double").between(lo, hi))
   }
 
-  /** Snapshot read; `version = None` → latest (time travel otherwise). */
+  /** Snapshot read; `version = None` → latest (time travel otherwise).
+    * mergeSchema handles additive schema evolution: groups written
+    * before a column existed read it as null. */
   def read(spark: SparkSession, root: String,
            version: Option[Int] = None): DataFrame = {
     val v = version.orElse(latestVersion(spark, root))
       .getOrElse(throw new IllegalStateException(s"no table at $root"))
     val dirs = readManifest(spark, root, v)
       .map(d => new Path(root, d).toString)
-    spark.read.parquet(dirs: _*)
+    spark.read.option("mergeSchema", "true").parquet(dirs: _*)
   }
 
   /** MERGE (upsert): rows in `updates` replace current rows with equal

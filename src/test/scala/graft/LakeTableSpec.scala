@@ -142,6 +142,20 @@ class LakeTableSpec extends SparkSpec {
     }
   }
 
+  test("additive schema evolution: old groups read new columns as null") {
+    withTable { root =>
+      import spark.implicits._
+      LakeTable.create(spark, root, Seq((1L, "a")).toDF("id", "name"))
+      LakeTable.append(spark, root,
+        Seq((2L, "b", 9.5)).toDF("id", "name", "score"))
+      val df = LakeTable.read(spark, root)
+      assert(df.columns.toSet == Set("id", "name", "score"))
+      val byId = df.collect().map(r => r.getAs[Long]("id") ->
+        Option(r.getAs[Any]("score"))).toMap
+      assert(byId(1L).isEmpty && byId(2L).contains(9.5))
+    }
+  }
+
   test("crash between data write and commit leaves table readable") {
     withTable { root =>
       val nation = Tables.load(spark, sf, "nation")
