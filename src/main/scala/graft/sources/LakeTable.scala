@@ -91,19 +91,29 @@ object LakeTable {
 
   private def commit(spark: SparkSession, root: String,
                      dataDirs: Seq[String],
-                     meta: Map[String, String] = Map.empty): Int = {
+                     meta: Map[String, String] = Map.empty): Int =
+    commitVersion(spark, root,
+      latestVersion(spark, root).getOrElse(0) + 1, dataDirs, meta)
+
+  /** Commit a specific version number — the atomic-rename conflict point
+    * (package-visible so the losing-writer path is testable). */
+  private[graft] def commitVersion(spark: SparkSession, root: String, v: Int,
+                                   dataDirs: Seq[String],
+                                   meta: Map[String, String]): Int = {
     val f = fs(spark, root)
     f.mkdirs(versionsDir(root))
-    val v = latestVersion(spark, root).getOrElse(0) + 1
     val tmp = new Path(versionsDir(root), s".tmp-$v-${System.nanoTime()}")
     val out = f.create(tmp, false)
     val body = (meta.toSeq.sorted.map { case (k, v2) => s"#$k=$v2" } ++
       dataDirs).mkString("\n")
     try out.write(body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
-    if (!f.rename(tmp, manifestPath(root, v)))
+    val dest = manifestPath(root, v)
+    if (f.exists(dest) || !f.rename(tmp, dest)) {
+      f.delete(tmp, false)
       throw new IllegalStateException(
         s"concurrent commit detected for version $v at $root")
+    }
     v
   }
 

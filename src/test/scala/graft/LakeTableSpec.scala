@@ -156,6 +156,23 @@ class LakeTableSpec extends SparkSpec {
     }
   }
 
+  test("conflicting concurrent commit is detected, not silently clobbered") {
+    withTable { root =>
+      val nation = Tables.load(spark, sf, "nation")
+      LakeTable.create(spark, root, nation)
+      // simulate a racing writer that claims version 2 first; the loser
+      // (committing the same version) must fail, not clobber
+      val v2 = java.nio.file.Paths.get(root, "_versions", "v00000002.json")
+      java.nio.file.Files.createDirectories(v2.getParent)
+      java.nio.file.Files.writeString(v2, "data/raced-in")
+      intercept[IllegalStateException] {
+        LakeTable.commitVersion(spark, root, 2, Seq("data/loser"), Map.empty)
+      }
+      // the winner's manifest content is untouched
+      assert(java.nio.file.Files.readString(v2) == "data/raced-in")
+    }
+  }
+
   test("crash between data write and commit leaves table readable") {
     withTable { root =>
       val nation = Tables.load(spark, sf, "nation")
