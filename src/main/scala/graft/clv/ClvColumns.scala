@@ -8,9 +8,12 @@ import org.apache.spark.sql.functions._
   * architecture: fit the handful of model parameters on the summarized
   * frame (small), then score every customer with pure expression
   * arithmetic that runs inside whole-stage codegen. No per-row closure,
-  * no shuffle beyond the input's own partitioning, bit-identical to the
-  * JVM pipeline math (same formulas, same ₂F₁ implementation —
-  * proven in ClvSpec).
+  * no shuffle beyond the input's own partitioning. probAlive,
+  * expectedPurchases and expectedAvgProfit are bit-identical to the JVM
+  * pipeline math (same formulas, same ₂F₁ implementation); clv() uses a
+  * telescoped-weight regrouping of the discounted sum that is
+  * algebraically equal but rounds differently in the last ulps
+  * (ClvSpec bounds the difference at 1e-7).
   *
   * Inputs are column names for (frequency x, recency t_x, age T).
   */

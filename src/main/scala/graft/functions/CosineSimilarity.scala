@@ -47,7 +47,11 @@ case class CosineSimilarity(left: Expression, right: Expression)
   override def nullSafeEval(l: Any, r: Any): Any = {
     val a = l.asInstanceOf[ArrayData]
     val b = r.asInstanceOf[ArrayData]
-    val n = math.min(a.numElements(), b.numElements())
+    if (a.numElements() != b.numElements())
+      throw new IllegalArgumentException(
+        s"cosine_similarity: dimension mismatch " +
+          s"(${a.numElements()} vs ${b.numElements()})")
+    val n = a.numElements()
     val lf = elemIsFloat(left); val rf = elemIsFloat(right)
     var dot = 0.0; var na = 0.0; var nb = 0.0
     var i = 0
@@ -78,7 +82,12 @@ case class CosineSimilarity(left: Expression, right: Expression)
       val getB = if (elemIsFloat(right)) s"(double) $b.getFloat($i)"
                  else s"$b.getDouble($i)"
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |if ($a.numElements() != $b.numElements()) {
+         |  throw new IllegalArgumentException(
+         |    "cosine_similarity: dimension mismatch (" + $a.numElements() +
+         |    " vs " + $b.numElements() + ")");
+         |}
+         |int $n = $a.numElements();
          |double $dot = 0.0, $na = 0.0, $nb = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
          |  double $x = $getA;

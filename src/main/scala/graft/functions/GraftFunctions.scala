@@ -14,7 +14,12 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 object GraftFunctions {
 
   val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
-    "cosine_similarity" -> (exprs => CosineSimilarity(exprs(0), exprs(1)))
+    "cosine_similarity" -> (exprs => {
+      if (exprs.length != 2)
+        throw new IllegalArgumentException(
+          s"cosine_similarity requires exactly 2 arguments, got ${exprs.length}")
+      CosineSimilarity(exprs(0), exprs(1))
+    })
   )
 
   /** Register on an existing session (temp functions, this session only). */

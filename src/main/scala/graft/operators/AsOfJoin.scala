@@ -37,6 +37,12 @@ object AsOfJoin {
       left: DataFrame, right: DataFrame,
       key: String, leftTime: String, rightTime: String,
       rightTiebreak: String, payload: Seq[String]): DataFrame = {
+    // the tiebreak is cast to long for the sort — a non-numeric column
+    // would silently null out and break the determinism guarantee
+    val tbType = right.schema(rightTiebreak).dataType
+    require(tbType.isInstanceOf[org.apache.spark.sql.types.NumericType],
+      s"rightTiebreak '$rightTiebreak' must be numeric, got " +
+        tbType.catalogString)
     val leftCols = left.columns
     val payloadStruct = struct(
       (Seq(rightTime, rightTiebreak) ++ payload).distinct.map(col): _*)

@@ -14,9 +14,13 @@ import org.apache.spark.sql.functions._
   *
   * AQE's skew handling covers *join* skew automatically; aggregation
   * skew with a hash-agg that can't split a key is where explicit salting
-  * still earns its keep. The salt is `pmod(hash(entire row), salts)` —
-  * deterministic per row content, no rand() (rand would break retry
-  * idempotency and oracle determinism).
+  * still earns its keep. The salt hashes a per-row ordinal
+  * (monotonically_increasing_id) — hashing row *content* would send
+  * identical rows (the classic hot key: millions of identical
+  * (url, 1) pairs) to a single salt bucket and flatten nothing. The
+  * ordinal is partitioning-dependent, but only the salt assignment is;
+  * the second-stage re-aggregation makes the final result invariant, and
+  * a task retry re-executes with the same partition's ordinals.
   */
 object SkewedAgg {
 
@@ -27,7 +31,7 @@ object SkewedAgg {
   def saltedSum(df: DataFrame, key: String, valueCol: Column,
                 resultName: String, salts: Int = 16): DataFrame = {
     val salted = df
-      .withColumn("_salt", pmod(hash(struct(df.columns.map(col): _*)),
+      .withColumn("_salt", pmod(hash(monotonically_increasing_id()),
         lit(salts)))
       .groupBy(col(key), col("_salt"))
       .agg(sum(valueCol).as("_partial"))

@@ -121,14 +121,19 @@ object LakeTable {
     * recorded in the manifest as `#stat:<dir>:<col>=<min>,<max>` — the
     * data-skipping index: one extra aggregation job per commit buys
     * file-group pruning on every subsequent filtered read. */
-  private def statsMeta(df: DataFrame, dataDir: String,
+  /** Stats are computed by re-reading the files just written — NOT by
+    * re-running the input DataFrame's lineage, which for nondeterministic
+    * inputs (sample(), rand()-derived columns) could disagree with the
+    * persisted rows and produce pruning stats that drop real matches. */
+  private def statsMeta(spark: SparkSession, root: String, dataDir: String,
                         statsCols: Seq[String]): Map[String, String] =
     if (statsCols.isEmpty) Map.empty
     else {
+      val written = spark.read.parquet(new Path(root, dataDir).toString)
       val aggs = statsCols.flatMap(c => Seq(
         min(col(c).cast("double")).as(s"min_$c"),
         max(col(c).cast("double")).as(s"max_$c")))
-      val row = df.agg(aggs.head, aggs.tail: _*).head()
+      val row = written.agg(aggs.head, aggs.tail: _*).head()
       statsCols.flatMap { c =>
         val lo = row.getAs[Any](s"min_$c")
         val hi = row.getAs[Any](s"max_$c")
@@ -143,20 +148,25 @@ object LakeTable {
              statsCols: Seq[String] = Nil): Int = {
     require(latestVersion(spark, root).isEmpty, s"table exists at $root")
     val dir = writeDataFiles(spark, root, df)
-    commit(spark, root, Seq(dir), statsMeta(df, dir, statsCols))
+    commit(spark, root, Seq(dir), statsMeta(spark, root, dir, statsCols))
   }
 
   /** Append-only commit: new version = old file groups + new ones.
-    * Prior groups' stats are carried forward in the new manifest. */
+    * Prior groups' stats (and any other carried meta) survive. */
   def append(spark: SparkSession, root: String, df: DataFrame,
-             statsCols: Seq[String] = Nil): Int = {
+             statsCols: Seq[String] = Nil): Int =
+    appendInternal(spark, root, df, statsCols, Map.empty)
+
+  private def appendInternal(spark: SparkSession, root: String,
+                             df: DataFrame, statsCols: Seq[String],
+                             extraMeta: Map[String, String]): Int = {
     val cur = latestVersion(spark, root)
       .getOrElse(throw new IllegalStateException(s"no table at $root"))
     val dir = writeDataFiles(spark, root, df)
     val carried = manifestMeta(spark, root, cur)
       .filter(_._1.startsWith("stat:"))
     commit(spark, root, readManifest(spark, root, cur) :+ dir,
-      carried ++ statsMeta(df, dir, statsCols))
+      carried ++ statsMeta(spark, root, dir, statsCols) ++ extraMeta)
   }
 
   /** File groups of the latest version whose [min,max] for `column`
@@ -190,7 +200,7 @@ object LakeTable {
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         read(spark, root).schema)
     else
-      spark.read.parquet(dirs: _*)
+      spark.read.option("mergeSchema", "true").parquet(dirs: _*)
         .filter(col(column).cast("double").between(lo, hi))
   }
 
@@ -272,25 +282,30 @@ object LakeTable {
     * lineage) per table: batch ids persist in the checkpoint and stay
     * monotonic across restarts, which is what makes the comparison
     * sound; a different stream must write to a different table. */
-  def streamAppend(df: DataFrame, root: String)
+  /** Most recent committed streaming batch id, scanning versions newest
+    * to oldest — interleaved maintenance commits (compact/merge/append)
+    * have no batchId meta and must not erase the idempotency ledger. */
+  private def lastCommittedBatchId(spark: SparkSession,
+                                   root: String): Option[Long] =
+    versions(spark, root).reverseIterator
+      .map(v => manifestMeta(spark, root, v).get("batchId"))
+      .collectFirst { case Some(b) => b.toLong }
+
+  def streamAppend(df: DataFrame, root: String,
+                   statsCols: Seq[String] = Nil)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     val spark = df.sparkSession
     df.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val committed = latestVersion(spark, root)
-          .flatMap(v => manifestMeta(spark, root, v).get("batchId"))
-          .map(_.toLong)
-        if (committed.exists(_ >= batchId)) {
+        if (lastCommittedBatchId(spark, root).exists(_ >= batchId)) {
           // duplicate delivery after restart — already committed
         } else {
           val meta = Map("batchId" -> batchId.toString)
-          latestVersion(spark, root) match {
-            case None => commit(spark, root,
-              Seq(writeDataFiles(spark, root, batch)), meta)
-            case Some(cur) => commit(spark, root,
-              readManifest(spark, root, cur) :+
-                writeDataFiles(spark, root, batch), meta)
-          }
+          if (latestVersion(spark, root).isEmpty) {
+            val dir = writeDataFiles(spark, root, batch)
+            commit(spark, root, Seq(dir),
+              statsMeta(spark, root, dir, statsCols) ++ meta)
+          } else appendInternal(spark, root, batch, statsCols, meta)
         }
         ()
       }

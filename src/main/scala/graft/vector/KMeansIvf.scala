@@ -19,8 +19,9 @@ import org.apache.spark.sql.functions._
   */
 object KMeansIvf {
 
-  /** Deterministic k-means: first-k-by-id init (data order is sorted by
-    * id), fixed iteration count, sequential double accumulation. */
+  /** Deterministic k-means: centroids seeded by an even stride over the
+    * id-sorted sample (index i·⌊n/k⌋), fixed iteration count, sequential
+    * double accumulation. */
   def fitCentroids(data: Array[(Long, Array[Double])], k: Int,
                    iters: Int = 10): Array[Array[Double]] = {
     require(data.length >= k, s"need >= $k vectors to fit $k centroids")
