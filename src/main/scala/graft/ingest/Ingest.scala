@@ -21,6 +21,15 @@ object Ingest {
       .option("sep", sep)
       .csv(path)
 
+  /** JSON-lines scan with schema inference ([EXT] source format). */
+  def readJson(spark: SparkSession, path: String): DataFrame =
+    spark.read.json(path)
+
+  /** ORC scan ([EXT] source format — columnar alternative to parquet,
+    * same pushdown/pruning machinery). */
+  def readOrc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+
   /** S5: idempotent database creation. */
   def createDatabase(spark: SparkSession, db: String): Unit =
     spark.sql(s"CREATE DATABASE IF NOT EXISTS $db")

@@ -56,6 +56,18 @@ object EventQueries {
         (sum(col("k")).cast("double") / count(col("k"))).as("avg_k"))
       .orderBy(col("event_type"))
 
+  /** MapType JSON parsing (F4): props parsed into map<string,bigint> via
+    * from_json, exploded into key/value rows, aggregated per key (the
+    * corpus uses a single key 'k', which the oracle states directly). */
+  def propsMapStats(s: SparkSession, dir: String): DataFrame =
+    ev(s, dir)
+      .select(explode(from_json(col("props"),
+          org.apache.spark.sql.types.DataType.fromDDL("map<string,bigint>")))
+        .as(Seq("key", "v")))
+      .groupBy(col("key"))
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("sum_v"))
+      .orderBy(col("key"))
+
   /** Sliding windows (1h length, 30m slide) — each event lands in exactly
     * two windows; start times align to 30-minute boundaries. */
   def slidingWindowCounts(s: SparkSession, dir: String): DataFrame =
@@ -91,6 +103,7 @@ object EventQueries {
     "q40_hourly_event_stats" -> (hourlyEventStats _),
     "q41_user_sessions"      -> (userSessions _),
     "q42_props_key_stats"    -> (propsKeyStats _),
+    "q43_props_map_stats"    -> (propsMapStats _),
     "q44_sliding_windows"    -> (slidingWindowCounts _)
   )
 
@@ -142,6 +155,10 @@ object EventQueries {
         |       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS DOUBLE)
         |         / count(json_extract_string(props, '$.k')) AS avg_k
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q43_props_map_stats" ->
+      """SELECT 'k' AS key, count(*) AS n,
+        |       SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_v
+        |FROM events GROUP BY key ORDER BY key""".stripMargin,
     "q44_sliding_windows" ->
       """SELECT strftime(make_timestamp(start_us), '%Y-%m-%d %H:%M:%S')
         |         AS window_start, count(*) AS n

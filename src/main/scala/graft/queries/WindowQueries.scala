@@ -70,7 +70,25 @@ object WindowQueries {
       .orderBy(col("rnk"), col("n_name"))
   }
 
+  /** ntile: customers split into spend quartiles (total order under the
+    * window so both engines assign identical tiles). The global window
+    * runs over the *summarized* one-row-per-customer frame; at extreme
+    * scale swap the exact global sort for approx-percentile bucketing. */
+  def spendQuartiles(s: SparkSession, dir: String): DataFrame = {
+    val spend = t(s, dir, "orders")
+      .groupBy(col("o_custkey"))
+      .agg(graft.Tables.sumMoney(col("o_totalprice")).as("spend"))
+    val w = Window.orderBy(col("spend").desc, col("o_custkey"))
+    spend
+      .withColumn("quartile", ntile(4).over(w).cast("long"))
+      .groupBy(col("quartile"))
+      .agg(count(lit(1)).as("n_cust"),
+        graft.Tables.sumMoney(col("spend")).as("total_spend"))
+      .orderBy(col("quartile"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q36_spend_quartiles"      -> (spendQuartiles _),
     "q30_top3_orders_per_cust" -> (top3OrdersPerCustomer _),
     "q31_price_delta_prev"     -> (priceDeltaPrev _),
     "q32_running_spend"        -> (runningSpend _),
@@ -78,6 +96,17 @@ object WindowQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q36_spend_quartiles" ->
+      """WITH spend AS (
+        |  SELECT o_custkey,
+        |         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS spend
+        |  FROM orders GROUP BY o_custkey)
+        |SELECT CAST(q AS BIGINT) AS quartile, count(*) AS n_cust,
+        |       CAST(SUM(CAST(spend AS DECIMAL(18,2))) AS DOUBLE) AS total_spend
+        |FROM (SELECT spend,
+        |             ntile(4) OVER (ORDER BY spend DESC, o_custkey) AS q
+        |      FROM spend) t
+        |GROUP BY q ORDER BY quartile""".stripMargin,
     "q30_top3_orders_per_cust" ->
       """SELECT o_custkey, CAST(rn AS BIGINT) AS rn, o_orderkey, o_totalprice
         |FROM (SELECT o_custkey, o_orderkey, o_totalprice,

@@ -57,6 +57,29 @@ class MultimodalIngestSpec extends SparkSpec {
     Ingest.dropTable(spark, "summary_2011")
   }
 
+  test("JSON and ORC source formats round-trip events") {
+    val events = Tables.load(spark, sf, "events")
+    val base = java.nio.file.Files.createTempDirectory("graft_fmt")
+    try {
+      events.write.json(s"$base/ev_json")
+      events.write.orc(s"$base/ev_orc")
+      val viaJson = Ingest.readJson(spark, s"$base/ev_json")
+      val viaOrc = Ingest.readOrc(spark, s"$base/ev_orc")
+      assert(viaJson.count() == events.count())
+      assert(viaOrc.count() == events.count())
+      // ORC preserves types exactly; JSON infers (ts becomes string)
+      assert(viaOrc.schema("value").dataType.typeName == "double")
+      assert(viaJson.columns.sorted.sameElements(events.columns.sorted))
+      // ORC gets the same pushdown machinery: filtered count matches
+      val n = events.filter(col("event_type") === "click").count()
+      assert(viaOrc.filter(col("event_type") === "click").count() == n)
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(base).iterator().asScala.toSeq.reverse
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+  }
+
   test("CTAS materializes a query as a table") {
     Tables.load(spark, sf, "nation").createOrReplaceTempView("nation_v")
     val t = Ingest.ctas(spark, "nation_copy",
