@@ -72,12 +72,12 @@ object MinHash {
   /** JVM fast path: per-partition computation of distinct shingle hashes
     * and the minhash signature in tight loops (the HOF form interpreted
     * k×|shingles| lambda calls per doc — measured ~6× slower at bench
-    * scale). Shares the (a,b) permutation seeds with the Column
-    * [[signature]] form but uses a DIFFERENT base shingle hash
-    * (MurmurHash3+splitmix64 here vs xxhash64 there) — signatures from
-    * the two forms are NOT comparable with each other; use one form
-    * consistently per pipeline. Shingle identity keeps the full 64-bit
-    * hash (collisions ~2⁻⁶⁴ — negligible for Jaccard). */
+    * scale). Shares both the (a,b) permutation seeds AND the base
+    * shingle hash ([[graft.functions.Hash64.xxhash64String]] ==
+    * Spark's `xxhash64`) with the Column [[signature]] form, so the two
+    * forms produce IDENTICAL signatures (verified in MinHashSpec).
+    * Shingle identity keeps the full 64-bit hash (collisions ~2⁻⁶⁴ —
+    * negligible for exact-Jaccard verification). */
   def signatureDataset(docs: DataFrame, idCol: String, textCol: String,
                        shingleN: Int, k: Int): DataFrame = {
     import docs.sparkSession.implicits._
@@ -93,7 +93,7 @@ object MinHash {
         // permutations reduce mod P internally
         val set = new java.util.TreeSet[java.lang.Long]()
         shingleStrs.foreach { s =>
-          set.add(mix64(scala.util.hashing.MurmurHash3.stringHash(s)))
+          set.add(graft.functions.Hash64.xxhash64String(s))
         }
         val sh = new Array[Long](set.size)
         var i = 0
@@ -116,13 +116,6 @@ object MinHash {
         (id, sh, sig)
       })
       .toDF("id", "sh", "sig")
-  }
-
-  private def mix64(seed: Int): Long = {
-    var z = seed.toLong + 0x9e3779b97f4a7c15L
-    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
-    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
-    z ^ (z >>> 31)
   }
 
   /** Exact top-k document pairs by n-gram Jaccard similarity, computed

@@ -19,10 +19,10 @@ object SimHash {
     * higher-order-function expressions are interpreted (not codegen'd) in
     * Spark, and the 64-lane accumulation per token made the pure-Column
     * form ~50× slower at bench scale. The closure runs per partition with
-    * no shuffle; same algorithm, deterministic. NOTE: the token hash here
-    * (MurmurHash3+splitmix64) differs from the Column [[simhash64]]'s
-    * xxhash64, so fingerprints from the two forms are NOT comparable —
-    * use one form consistently per pipeline. */
+    * no shuffle; same algorithm, deterministic. The token hash
+    * ([[graft.functions.Hash64.xxhash64String]] == Spark's `xxhash64`)
+    * matches the Column [[simhash64]] form, so fingerprints from the two
+    * forms are identical (verified in TextDedupSpec). */
   def simhashDataset(docs: DataFrame, idCol: String, textCol: String)
       : DataFrame = {
     import docs.sparkSession.implicits._
@@ -31,13 +31,13 @@ object SimHash {
       .toDF("id", "sig")
   }
 
-  /** Deterministic local simhash (token hash = splitmix64 of
-    * MurmurHash3(token), ±1 per bit lane, sign → fingerprint). */
+  /** Deterministic local simhash (token hash = xxhash64 of the token's
+    * UTF-8 bytes, ±1 per bit lane, sign → fingerprint). */
   def simhashLocal(text: String): Long = {
     val counts = new Array[Int](64)
     val it = text.trim.split("\\s+").iterator
     while (it.hasNext) {
-      val h = mix64(scala.util.hashing.MurmurHash3.stringHash(it.next()))
+      val h = graft.functions.Hash64.xxhash64String(it.next())
       var i = 0
       while (i < 64) {
         if (((h >>> i) & 1L) == 1L) counts(i) += 1 else counts(i) -= 1
@@ -48,13 +48,6 @@ object SimHash {
     var i = 0
     while (i < 64) { if (counts(i) > 0) sig |= (1L << i); i += 1 }
     sig
-  }
-
-  private def mix64(seed: Int): Long = {
-    var z = seed.toLong + 0x9e3779b97f4a7c15L
-    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
-    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
-    z ^ (z >>> 31)
   }
 
   /** 64-bit SimHash of whitespace tokens (duplicated tokens weigh more,

@@ -37,12 +37,18 @@ object AsOfJoin {
       left: DataFrame, right: DataFrame,
       key: String, leftTime: String, rightTime: String,
       rightTiebreak: String, payload: Seq[String]): DataFrame = {
-    // the tiebreak is cast to long for the sort — a non-numeric column
-    // would silently null out and break the determinism guarantee
+    // the tiebreak is cast to long for the sort — fractional types would
+    // truncate (equal-time rows differing only in the fraction become
+    // indistinguishable, breaking the determinism guarantee, and ANSI
+    // mode throws on out-of-range doubles), so only integral types are
+    // accepted
+    import org.apache.spark.sql.types._
     val tbType = right.schema(rightTiebreak).dataType
-    require(tbType.isInstanceOf[org.apache.spark.sql.types.NumericType],
-      s"rightTiebreak '$rightTiebreak' must be numeric, got " +
-        tbType.catalogString)
+    val integral = tbType == ByteType || tbType == ShortType ||
+      tbType == IntegerType || tbType == LongType
+    require(integral,
+      s"rightTiebreak '$rightTiebreak' must be an integral type " +
+        s"(byte/short/int/long), got " + tbType.catalogString)
     val leftCols = left.columns
     val payloadStruct = struct(
       (Seq(rightTime, rightTiebreak) ++ payload).distinct.map(col): _*)

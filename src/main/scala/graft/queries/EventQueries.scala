@@ -151,13 +151,13 @@ object EventQueries {
          |ORDER BY user_id, session_start""".stripMargin,
     "q42_props_key_stats" ->
       """SELECT event_type, count(*) AS n,
-        |       SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+        |       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
         |       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS DOUBLE)
         |         / count(json_extract_string(props, '$.k')) AS avg_k
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q43_props_map_stats" ->
       """SELECT 'k' AS key, count(*) AS n,
-        |       SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_v
+        |       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_v
         |FROM events GROUP BY key ORDER BY key""".stripMargin,
     "q44_sliding_windows" ->
       """SELECT strftime(make_timestamp(start_us), '%Y-%m-%d %H:%M:%S')

@@ -192,8 +192,8 @@ object TextQueries {
   val oracles: Map[String, String] = Map(
     "q50_lang_token_stats" ->
       """SELECT lang, count(*) AS n_docs,
-        |       SUM(len(string_split_regex(trim(text), '\s+'))) AS total_tokens,
-        |       SUM(length(regexp_replace(text, '\s+', '', 'g'))) AS total_alpha_chars,
+        |       CAST(SUM(len(string_split_regex(trim(text), '\s+'))) AS BIGINT) AS total_tokens,
+        |       CAST(SUM(length(regexp_replace(text, '\s+', '', 'g'))) AS BIGINT) AS total_alpha_chars,
         |       min(n_chars) AS min_chars, max(n_chars) AS max_chars
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
     "q53_dedup_cardinalities" ->

@@ -229,10 +229,14 @@ object LakeTable {
     commit(spark, root, Seq(writeDataFiles(spark, root, merged)))
   }
 
-  /** DELETE WHERE: copy-on-write removal of matching rows. */
+  /** DELETE WHERE: copy-on-write removal of matching rows. SQL DELETE
+    * semantics: only rows where the predicate is TRUE are removed —
+    * rows where it evaluates NULL (three-valued logic) are KEPT, hence
+    * the coalesce rather than a bare negation. */
   def deleteWhere(spark: SparkSession, root: String,
                   predicate: org.apache.spark.sql.Column): Int = {
-    val remaining = read(spark, root).filter(!predicate)
+    val remaining =
+      read(spark, root).filter(not(coalesce(predicate, lit(false))))
     commit(spark, root, Seq(writeDataFiles(spark, root, remaining)))
   }
 

@@ -35,6 +35,16 @@ class AsOfJoinSpec extends SparkSpec {
     assert(joined(4L).isEmpty, "unmatched key → null")
   }
 
+  test("as-of join rejects fractional tiebreak types (would truncate)") {
+    import spark.implicits._
+    val left = Seq((1L, 9L, t("2024-01-01 08:00:00"))).toDF("lid", "k", "lt")
+    val right = Seq((0.5, 9L, t("2024-01-01 08:00:00"))).toDF("rid", "k", "rt")
+    val e = intercept[IllegalArgumentException] {
+      AsOfJoin.joinAsOf(left, right, "k", "lt", "rt", "rid", Seq("rid"))
+    }
+    assert(e.getMessage.contains("integral"))
+  }
+
   test("as-of inclusive boundary: right row at exactly left time matches") {
     import spark.implicits._
     val left = Seq((1L, 9L, t("2024-01-01 08:00:00"))).toDF("lid", "k", "lt")

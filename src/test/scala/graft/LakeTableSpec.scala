@@ -68,6 +68,21 @@ class LakeTableSpec extends SparkSpec {
     }
   }
 
+  test("deleteWhere keeps rows where the predicate evaluates NULL") {
+    withTable { root =>
+      import spark.implicits._
+      val base = Seq[(Long, Option[Double])](
+        (1L, Some(10.0)), (2L, Some(99.0)), (3L, None))
+        .toDF("id", "x")
+      LakeTable.create(spark, root, base)
+      // predicate is NULL for id=3 — SQL DELETE must NOT remove it
+      LakeTable.deleteWhere(spark, root, col("x") > 50)
+      val left = LakeTable.read(spark, root).select("id")
+        .collect().map(_.getLong(0)).toSet
+      assert(left == Set(1L, 3L), s"got $left")
+    }
+  }
+
   test("compaction reduces file groups, preserves rows, enables pruning sort") {
     withTable { root =>
       val orders = Tables.load(spark, sf, "orders")

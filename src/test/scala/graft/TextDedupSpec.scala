@@ -51,6 +51,51 @@ class TextDedupSpec extends SparkSpec {
     assert(fps(0) != fps(2))
   }
 
+  test("Hash64.xxhash64String is bit-identical to Spark's xxhash64") {
+    import spark.implicits._
+    val strings = Seq("", "a", "ab", "abc", "abcd", "abcdefg", "abcdefgh",
+      "exactly-sixteen_b", "twenty-one chars here",
+      "thirty-two bytes of input text!!",
+      "a much longer string that exceeds the thirty-two byte stripe " +
+        "threshold of the xxh64 algorithm by a comfortable margin",
+      "unicode: héllo wörld ünïcödé 日本語 🎉")
+    val viaSpark = strings.toDF("s")
+      .select(col("s"), xxhash64(col("s")).as("h"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    strings.foreach { s =>
+      assert(graft.functions.Hash64.xxhash64String(s) == viaSpark(s),
+        s"xxhash64 mismatch for '$s'")
+    }
+  }
+
+  test("JVM signatureDataset equals the Column signature form") {
+    import spark.implicits._
+    val sample = docs.limit(30)
+    val k = 16
+    val viaJvm = MinHash.signatureDataset(sample, "doc_id", "text",
+        shingleN = 2, k = k)
+      .select(col("id"), col("sig")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val viaCols = sample
+      .select(col("doc_id"),
+        MinHash.signature(MinHash.wordShingles(col("text"), 2), k).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    viaJvm.foreach { case (id, sig) =>
+      assert(sig == viaCols(id), s"signature mismatch doc $id")
+    }
+  }
+
+  test("JVM simhashLocal equals the Column simhash64 form") {
+    val sample = docs.limit(30)
+    val viaCols = sample
+      .select(col("doc_id"), SimHash.simhash64(col("text")).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    sample.select("doc_id", "text").collect().foreach { r =>
+      assert(SimHash.simhashLocal(r.getString(1)) == viaCols(r.getLong(0)),
+        s"simhash mismatch doc ${r.getLong(0)}")
+    }
+  }
+
   test("minhash estimate tracks exact jaccard on controlled pairs") {
     import spark.implicits._
     val base = (1 to 40).map(i => s"tok$i").mkString(" ")
