@@ -45,18 +45,52 @@ object GammaGammaModel {
           penalizer: Double = 0.01): GammaGammaParams = {
     require(data.nonEmpty, "Gamma-Gamma fit needs at least one customer")
     val n = data.length.toDouble
+    val m = data.length
+    val xsA = new Array[Double](m); val mxA = new Array[Double](m)
+    val logMx = new Array[Double](m) // log(m̄x) is eval-invariant
+    var i0 = 0
+    while (i0 < m) {
+      val (x, mx) = data(i0); xsA(i0) = x; mxA(i0) = mx
+      logMx(i0) = math.log(mx); i0 += 1
+    }
+    // Frequency takes few distinct values — hoist the two lgamma terms
+    // and px·log(x) per distinct x per evaluation (cached values equal
+    // the per-row ones and the row summation order is unchanged, so the
+    // fit is bit-identical to evaluating logLikelihood per row).
+    val distinctX: Array[Double] = xsA.distinct.sorted
+    val k = distinctX.length
+    val xi = new Array[Int](m)
+    var i1 = 0
+    while (i1 < m) {
+      xi(i1) = java.util.Arrays.binarySearch(distinctX, xsA(i1)); i1 += 1
+    }
 
     def nll(logParams: Array[Double]): Double = {
-      val g = GammaGammaParams(
-        math.exp(logParams(0)), math.exp(logParams(1)), math.exp(logParams(2)))
+      val p = math.exp(logParams(0)); val q = math.exp(logParams(1))
+      val v = math.exp(logParams(2))
+      val lgQ = lgamma(q); val qLogV = q * math.log(v)
+      val cLg = new Array[Double](k)  // lgamma(px+q) − lgamma(px)
+      val cPx = new Array[Double](k)  // px
+      val cPxLogX = new Array[Double](k) // px·log(x)
+      var d = 0
+      while (d < k) {
+        val px = p * distinctX(d)
+        cLg(d) = lgamma(px + q) - lgamma(px)
+        cPx(d) = px
+        cPxLogX(d) = px * math.log(distinctX(d))
+        d += 1
+      }
       var s = 0.0
       var i = 0
-      while (i < data.length) {
-        val (x, mx) = data(i)
-        s += g.logLikelihood(x, mx)
+      while (i < m) {
+        val j = xi(i); val px = cPx(j)
+        // same association order as GammaGammaParams.logLikelihood
+        s += cLg(j) - lgQ + qLogV +
+          (px - 1) * logMx(i) + cPxLogX(j) -
+          (px + q) * math.log(v + mxA(i) * xsA(i))
         i += 1
       }
-      val pen = penalizer * (g.p * g.p + g.q * g.q + g.v * g.v)
+      val pen = penalizer * (p * p + q * q + v * v)
       -s / n + pen
     }
 

@@ -90,15 +90,18 @@ object MinHash {
           else Iterator(toks.mkString(" "))
         // shingle identity keeps the full 64-bit hash (collision odds
         // ~2⁻⁶⁴ — safe for exact-Jaccard equality checks); the minhash
-        // permutations reduce mod P internally
-        val set = new java.util.TreeSet[java.lang.Long]()
-        shingleStrs.foreach { s =>
-          set.add(graft.functions.Hash64.xxhash64String(s))
+        // permutations reduce mod P internally. Sorted primitive array +
+        // in-place dedup (no boxed TreeSet in the per-doc hot path).
+        val raw = shingleStrs
+          .map(graft.functions.Hash64.xxhash64String).toArray
+        java.util.Arrays.sort(raw)
+        var w = 0
+        var rIdx = 0
+        while (rIdx < raw.length) {
+          if (w == 0 || raw(rIdx) != raw(w - 1)) { raw(w) = raw(rIdx); w += 1 }
+          rIdx += 1
         }
-        val sh = new Array[Long](set.size)
-        var i = 0
-        val it = set.iterator()
-        while (it.hasNext) { sh(i) = it.next(); i += 1 }
+        val sh = if (w == raw.length) raw else java.util.Arrays.copyOf(raw, w)
         val sig = new Array[Long](k)
         var j = 0
         while (j < k) {
@@ -154,11 +157,43 @@ object MinHash {
         var j = java.util.Arrays.binarySearch(idArr, lid) + 1
         while (j < all.length) {
           val (rid, b) = all(j)
-          val inter = sortedIntersectionSize(a, b)
-          val jac = inter.toDouble / (a.length + b.length - inter)
-          val cand = (jac, lid, rid)
-          if (heap.size < k) heap.enqueue(cand)
-          else if (ord.gt(cand, heap.head)) { heap.dequeue(); heap.enqueue(cand) }
+          // once the heap is full, a pair can only enter with
+          // jac ≥ heap-min — that needs intersection ≥ needInter
+          // (jac = m/(|a|+|b|−m) is monotone in m); pairs that cannot
+          // reach it are skipped before/while merging, and the merge
+          // aborts as soon as the remaining elements can't reach it.
+          // Ties at exactly heap-min still merge fully, so id-tiebreak
+          // ordering is preserved and the result is unchanged.
+          val union0 = a.length + b.length
+          val needInter =
+            if (heap.size < k) 0
+            else {
+              val hj = heap.head._1
+              math.ceil(hj * union0 / (1.0 + hj)).toInt
+            }
+          if (math.min(a.length, b.length) >= needInter) {
+            var i = 0; var jj = 0; var inter = 0
+            var live = true
+            while (live && i < a.length && jj < b.length) {
+              if (a(i) == b(jj)) { inter += 1; i += 1; jj += 1 }
+              else if (a(i) < b(jj)) i += 1
+              else jj += 1
+              if (inter + math.min(a.length - i, b.length - jj) < needInter)
+                live = false
+            }
+            if (live || needInter == 0) {
+              val jac = inter.toDouble / (union0 - inter)
+              if (heap.size < k) heap.enqueue((jac, lid, rid))
+              else {
+                val h = heap.head
+                // primitive compare first; allocate only on admit
+                if (jac > h._1 || (jac == h._1 &&
+                    (lid < h._2 || (lid == h._2 && rid < h._3)))) {
+                  heap.dequeue(); heap.enqueue((jac, lid, rid))
+                }
+              }
+            }
+          }
           j += 1
         }
       }
@@ -200,7 +235,11 @@ object MinHash {
       rowsPerBand: Int = 4,
       threshold: Double = 0.5): DataFrame = {
     val k = bands * rowsPerBand
+    // persisted: the signature scan feeds three plan branches (band
+    // entries + both sides of the pair verification join) — without it
+    // the shingle/signature computation runs three times
     val prepared = signatureDataset(docs, idCol, textCol, shingleN, k)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // explode ONLY (id, band, bucket) into the candidate-generation
     // shuffle — carrying the shingle array through the explode would
@@ -211,8 +250,9 @@ object MinHash {
       col("id"),
       explode(transform(sequence(lit(0), lit(bands - 1)), b =>
         struct(b.as("band"),
-          xxhash64(to_json(slice(col("sig"), b * rowsPerBand + 1,
-              lit(rowsPerBand))))
+          // xxhash64 hashes array<bigint> elementwise-recursively —
+          // no JSON string materialization per (doc, band)
+          xxhash64(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)))
             .as("bucket"))))
         .as("bb"))
       .select(col("id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))

@@ -51,7 +51,10 @@ object ClvQueries {
     * ([[graft.clv.ClvColumns]]; proven bit-faithful to the JVM math). */
   def clvScoredColumns(s: SparkSession, dir: String): DataFrame = {
     import graft.clv._
+    // cached: the summarized frame feeds both the fit-sample collect and
+    // the full scoring pass — one aggregation instead of two
     val rfm = ClvPipeline.rfm(s, dir, nGroups = 1)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // fit on a bounded deterministic sample (first 4000 customers by
     // key) — parameter estimates stabilize long before that; scoring
     // still covers every row
