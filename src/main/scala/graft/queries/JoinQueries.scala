@@ -40,18 +40,28 @@ object JoinQueries {
     val c = t(s, dir, "customer")
     val n = t(s, dir, "nation")
     val r = t(s, dir, "region")
-    l.join(o, l("l_orderkey") === o("o_orderkey"))
+    // Partial aggregation below the join (100 TB shape): collapse
+    // lineitem (the largest fact) to one exact-decimal row per order
+    // BEFORE the join chain, so the orders join shuffles |orders| rows
+    // instead of |lineitems|. DECIMAL(18,4): the product of two
+    // 2-decimal quantities has ≤4 decimal digits, so the nearest 1e-4
+    // grid point is the exact value in both engines, and decimal
+    // partial sums re-sum exactly — identical to aggregating after.
+    val perOrder = l
+      .groupBy(col("l_orderkey"))
+      .agg(
+        sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .cast(DecimalType(18, 4))).as("rev_part"),
+        count(lit(1)).as("items_part"))
+    perOrder
+      .join(o, perOrder("l_orderkey") === o("o_orderkey"))
       .join(c, o("o_custkey") === c("c_custkey"))
       .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
       .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
       .groupBy(col("r_name"))
       .agg(
-        // DECIMAL(18,4): the product of two 2-decimal quantities has ≤4
-        // decimal digits, so the nearest 1e-4 grid point is the exact
-        // value in both engines — no half-cent rounding-mode divergence.
-        sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
-          .cast(DecimalType(18, 4))).cast("double").as("revenue"),
-        count(lit(1)).as("n_items"))
+        sum(col("rev_part")).cast("double").as("revenue"),
+        sum(col("items_part")).as("n_items"))
       .orderBy(col("r_name"))
   }
 

@@ -4,6 +4,7 @@ import graft.Tables
 import graft.Tables.{avgMoney, isoDate, sumMoney}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /** Reference-surface relational queries (SURVEY.md §2.1–§2.8), re-expressed
   * over the driver star schema: `orders`/`lineitem` stand in for the
@@ -35,11 +36,19 @@ object RefQueries {
     val orders   = t(s, dir, "orders")
     val customer = t(s, dir, "customer")
     val nation   = t(s, dir, "nation")
-    orders
-      .join(customer, orders("o_custkey") === customer("c_custkey"))
+    // Partial aggregation below the join (100 TB shape): collapse the
+    // orders fact to one exact-decimal row per customer BEFORE joining,
+    // so the join shuffles |customers| rows instead of |orders|.
+    // Decimal partial sums re-sum exactly, so the result is identical
+    // to aggregating after the join.
+    val perCust = orders
+      .groupBy(col("o_custkey"))
+      .agg(sum(col("o_totalprice").cast(DecimalType(18, 2))).as("rev_part"))
+    perCust
+      .join(customer, perCust("o_custkey") === customer("c_custkey"))
       .join(broadcast(nation), customer("c_nationkey") === nation("n_nationkey"))
       .groupBy(col("n_name"))
-      .agg(sumMoney(col("o_totalprice")).as("revenue"))
+      .agg(sum(col("rev_part")).cast("double").as("revenue"))
       .orderBy(col("revenue").desc, col("n_name"))
   }
 
@@ -207,11 +216,19 @@ object RefQueries {
     val orders   = t(s, dir, "orders")
     val customer = t(s, dir, "customer")
     val nation   = t(s, dir, "nation")
-    orders
-      .join(customer, orders("o_custkey") === customer("c_custkey"))
+    // Dedup below the join (100 TB shape): the COUNT(DISTINCT custkey)
+    // per (year, nation) only needs the distinct (year, custkey) pairs —
+    // collapsing the fact first shrinks the join input from |orders| to
+    // |active customer-years|, and the distinct-aggregate becomes a
+    // plain count afterwards (each customer maps to exactly one nation).
+    val activePairs = orders
+      .select(year(col("o_orderdate")).cast("long").as("yr"), col("o_custkey"))
+      .distinct()
+    activePairs
+      .join(customer, activePairs("o_custkey") === customer("c_custkey"))
       .join(broadcast(nation), customer("c_nationkey") === nation("n_nationkey"))
-      .groupBy(year(col("o_orderdate")).cast("long").as("yr"), col("n_name"))
-      .agg(countDistinct(col("o_custkey")).as("active"))
+      .groupBy(col("yr"), col("n_name"))
+      .agg(count(lit(1)).as("active"))
       .orderBy(col("active").desc, col("yr"), col("n_name"))
       .limit(25)
   }
