@@ -21,6 +21,7 @@ object SparkEntry {
     (graft.queries.WindowQueries.all, graft.queries.WindowQueries.oracles),
     (graft.queries.EventQueries.all, graft.queries.EventQueries.oracles),
     (graft.queries.ExtAggQueries.all, graft.queries.ExtAggQueries.oracles),
+    (graft.queries.MiscQueries.all, graft.queries.MiscQueries.oracles),
     (graft.queries.ClvQueries.all, graft.queries.ClvQueries.oracles),
     (graft.queries.TextQueries.all, graft.queries.TextQueries.oracles),
     (graft.queries.VectorQueries.all, graft.queries.VectorQueries.oracles)

@@ -31,13 +31,25 @@ object ExtAggQueries {
       .orderBy(col("o_orderstatus").asc_nulls_first,
         col("o_orderpriority").asc_nulls_first)
 
-  /** HLL approximate distinct (no oracle — sketch implementations differ;
-    * unit-tested to be within 5% of exact). */
+  /** HLL approximate distinct. Sketch estimates differ between engines,
+    * so the oracle-checked output is the exact count plus a boolean
+    * asserting the HLL estimate landed within the configured 5% rsd
+    * bound — this exercises approx_count_distinct end-to-end (the
+    * sketch is deterministic for fixed data: HLL merge is commutative)
+    * while keeping the result engine-portable. */
   def approxDistinctParts(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "lineitem")
       .agg(
-        approx_count_distinct(col("l_partkey")).as("approx_parts"),
-        approx_count_distinct(col("l_suppkey")).as("approx_supps"))
+        countDistinct(col("l_partkey")).as("exact_parts"),
+        countDistinct(col("l_suppkey")).as("exact_supps"),
+        (abs(approx_count_distinct(col("l_partkey"), 0.05).cast("double") -
+          countDistinct(col("l_partkey")).cast("double")) /
+          countDistinct(col("l_partkey")).cast("double") <= 0.05)
+          .as("parts_within_bound"),
+        (abs(approx_count_distinct(col("l_suppkey"), 0.05).cast("double") -
+          countDistinct(col("l_suppkey")).cast("double")) /
+          countDistinct(col("l_suppkey")).cast("double") <= 0.05)
+          .as("supps_within_bound"))
 
   /** Pivot: order counts by year × status (columns per status value). */
   def yearStatusPivot(s: SparkSession, dir: String): DataFrame =
@@ -70,6 +82,12 @@ object ExtAggQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q47_approx_distinct" ->
+      """SELECT count(DISTINCT l_partkey) AS exact_parts,
+        |       count(DISTINCT l_suppkey) AS exact_supps,
+        |       true AS parts_within_bound,
+        |       true AS supps_within_bound
+        |FROM lineitem""".stripMargin,
     "q45_revenue_rollup" ->
       """SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
         |       CAST(month(o_orderdate) AS BIGINT) AS mo,

@@ -1,0 +1,247 @@
+package graft.queries
+
+import graft.Tables
+import graft.Tables.isoDate
+import graft.operators.{RangeJoin, SkewedAgg}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** [EXT] Relational-surface widening: unpivot/stack, date functions,
+  * null handling, GROUPING SETS, array functions, analytic windows
+  * (percent_rank/cume_dist, first/last/nth_value), conditional
+  * aggregates, the bin-bucketed range join, and the salted skew-safe
+  * aggregation — every query oracle-checked against DuckDB.
+  */
+object MiscQueries {
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame =
+    Tables.load(s, dir, n)
+
+  /** Unpivot via stack(): two part metrics into (metric, value) rows.
+    * Decimal sums keep the oracle exact. */
+  def unpivotMetrics(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "part")
+      .select(col("p_brand"),
+        expr("""stack(2,
+                'retailprice', CAST(p_retailprice AS DECIMAL(18,2)),
+                'size',        CAST(p_size        AS DECIMAL(18,2)))
+                AS (metric, value)"""))
+      .groupBy(col("p_brand"), col("metric"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value")).cast("double").as("total"))
+      .orderBy(col("p_brand"), col("metric"))
+
+  /** Date-function surface: date_trunc to quarter, last_day,
+    * add_months — all rendered as ISO strings for engine portability. */
+  def quarterlyOrders(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .groupBy(
+        date_format(date_trunc("quarter", col("o_orderdate")), "yyyy-MM-dd")
+          .as("quarter_start"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        max(isoDate(last_day(col("o_orderdate")))).as("max_month_end"),
+        min(isoDate(add_months(col("o_orderdate"), 3))).as("min_plus3m"))
+      .orderBy(col("quarter_start"))
+
+  /** NULL-handling surface: NULLIF introduces nulls, COALESCE removes
+    * them, and the aggregate counts both sides (nulls excluded from
+    * count(col) but not count(*)). */
+  def nullHandling(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer")
+      .select(
+        coalesce(nullif(col("c_mktsegment"), lit("BUILDING")), lit("REDACTED"))
+          .as("seg"),
+        nullif(col("c_mktsegment"), lit("BUILDING")).as("seg_nullable"))
+      .groupBy(col("seg"))
+      .agg(count(lit(1)).as("n_rows"),
+        count(col("seg_nullable")).as("n_nonnull"))
+      .orderBy(col("seg"))
+
+  /** GROUPING SETS: per-status, per-priority, and grand-total rows in
+    * one pass (the general form behind rollup/cube). */
+  def groupingSets(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "orders").createOrReplaceTempView("orders_gs")
+    s.sql(
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n
+        |FROM orders_gs
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        |ORDER BY o_orderstatus ASC NULLS FIRST,
+        |         o_orderpriority ASC NULLS FIRST""".stripMargin)
+  }
+
+  /** Array-function surface over document vocabularies: size, sort,
+    * first/last element (binary string order in both engines). */
+  def arrayFuncs(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"),
+        array_sort(array_distinct(graft.text.TextFunctions.tokens(col("text"))))
+          .as("vocab"))
+      .select(col("doc_id"),
+        size(col("vocab")).as("n_vocab"),
+        element_at(col("vocab"), 1).as("first_tok"),
+        element_at(col("vocab"), -1).as("last_tok"))
+      .orderBy(col("doc_id"))
+
+  /** Analytic windows: percent_rank + cume_dist of account balance
+    * within market segment (rank statistics are tie-invariant, so the
+    * result is deterministic under any partitioning). */
+  def spendAnalytics(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("c_mktsegment")).orderBy(col("c_acctbal"))
+    t(s, dir, "customer")
+      .select(col("c_mktsegment"), col("c_custkey"), col("c_acctbal"),
+        round(percent_rank().over(w), 6).as("pct_rank"),
+        round(cume_dist().over(w), 6).as("cume"))
+      .orderBy(col("c_mktsegment"), col("c_acctbal"), col("c_custkey"))
+
+  }
+
+  /** Frame-spec windows: first/last/nth order date per customer over
+    * the full partition frame (unbounded both ways). */
+  def orderBounds(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    t(s, dir, "orders")
+      .select(col("o_custkey"),
+        isoDate(first_value(col("o_orderdate")).over(w)).as("first_date"),
+        isoDate(last_value(col("o_orderdate")).over(w)).as("last_date"),
+        isoDate(nth_value(col("o_orderdate"), 2).over(w)).as("second_date"))
+      .distinct()
+      .orderBy(col("o_custkey"))
+  }
+
+  /** Conditional aggregates: count_if / every / some (bool_and /
+    * bool_or in DuckDB). */
+  def conditionalAgg(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .groupBy(col("o_orderstatus"))
+      .agg(
+        count_if(col("o_totalprice") > 100000).as("n_big"),
+        some(col("o_totalprice") > 400000).as("any_huge"),
+        every(col("o_totalprice") > 0).as("all_positive"))
+      .orderBy(col("o_orderstatus"))
+
+  /** Bin-bucketed range join ([[RangeJoin.binnedContainment]]): events
+    * against synthetic 4-hour maintenance windows every 6 hours —
+    * equi-join on the time bin instead of a nested-loop theta join. */
+  def rangeJoinBinned(s: SparkSession, dir: String): DataFrame = {
+    val windows = s.range(0, 120).select(
+      col("id").as("win_id"),
+      expr("TIMESTAMP'2024-01-01 00:00:00' + make_interval(0,0,0,0,CAST(id*6 AS INT),0,0)")
+        .as("win_start"),
+      expr("TIMESTAMP'2024-01-01 00:00:00' + make_interval(0,0,0,0,CAST(id*6+4 AS INT),0,0)")
+        .as("win_end"))
+    RangeJoin.binnedContainment(
+        t(s, dir, "events"), "ts", windows, "win_start", "win_end",
+        binSeconds = 6 * 3600)
+      .groupBy(col("win_id"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast(DecimalType(18, 2))).cast("double")
+          .as("total_value"))
+      .orderBy(col("win_id"))
+  }
+
+  /** Skew-safe salted aggregation ([[SkewedAgg.saltedSum]]): decimal
+    * partials make the two-stage result exactly equal to the direct
+    * group-by, so the oracle is the plain SQL aggregate. */
+  def saltedSpend(s: SparkSession, dir: String): DataFrame =
+    SkewedAgg.saltedSum(
+        t(s, dir, "orders"), "o_custkey",
+        col("o_totalprice").cast(DecimalType(18, 2)), "spend", salts = 16)
+      .select(col("o_custkey"), col("spend").cast("double").as("spend"))
+      .orderBy(col("o_custkey"))
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q37_unpivot_metrics" -> (unpivotMetrics _),
+    "q38_quarterly_orders" -> (quarterlyOrders _),
+    "q39_null_handling"   -> (nullHandling _),
+    "q48_grouping_sets"   -> (groupingSets _),
+    "q49_array_funcs"     -> (arrayFuncs _),
+    "q68_spend_analytics" -> (spendAnalytics _),
+    "q69_order_bounds"    -> (orderBounds _),
+    "q70_conditional_agg" -> (conditionalAgg _),
+    "q71_range_join_binned" -> (rangeJoinBinned _),
+    "q72_salted_spend"    -> (saltedSpend _)
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q37_unpivot_metrics" ->
+      """SELECT p_brand, metric, count(*) AS n,
+        |       CAST(SUM(value) AS DOUBLE) AS total
+        |FROM (
+        |  SELECT p_brand, 'retailprice' AS metric,
+        |         CAST(p_retailprice AS DECIMAL(18,2)) AS value FROM part
+        |  UNION ALL
+        |  SELECT p_brand, 'size', CAST(p_size AS DECIMAL(18,2)) FROM part
+        |) t GROUP BY p_brand, metric ORDER BY p_brand, metric""".stripMargin,
+    "q38_quarterly_orders" ->
+      """SELECT strftime(date_trunc('quarter', o_orderdate), '%Y-%m-%d')
+        |         AS quarter_start,
+        |       count(*) AS n_orders,
+        |       strftime(max(last_day(CAST(o_orderdate AS DATE))), '%Y-%m-%d')
+        |         AS max_month_end,
+        |       strftime(min(CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH),
+        |                '%Y-%m-%d') AS min_plus3m
+        |FROM orders GROUP BY quarter_start ORDER BY quarter_start""".stripMargin,
+    "q39_null_handling" ->
+      """SELECT coalesce(nullif(c_mktsegment, 'BUILDING'), 'REDACTED') AS seg,
+        |       count(*) AS n_rows,
+        |       count(nullif(c_mktsegment, 'BUILDING')) AS n_nonnull
+        |FROM customer GROUP BY seg ORDER BY seg""".stripMargin,
+    "q48_grouping_sets" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        |ORDER BY o_orderstatus ASC NULLS FIRST,
+        |         o_orderpriority ASC NULLS FIRST""".stripMargin,
+    "q49_array_funcs" ->
+      """SELECT doc_id, len(vocab) AS n_vocab,
+        |       vocab[1] AS first_tok, vocab[-1] AS last_tok
+        |FROM (SELECT doc_id,
+        |             list_sort(list_distinct(
+        |               string_split_regex(trim(text), '\s+'))) AS vocab
+        |      FROM documents) t
+        |ORDER BY doc_id""".stripMargin,
+    "q68_spend_analytics" ->
+      """SELECT c_mktsegment, c_custkey, c_acctbal,
+        |       round(percent_rank() OVER w, 6) AS pct_rank,
+        |       round(cume_dist() OVER w, 6) AS cume
+        |FROM customer
+        |WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal)
+        |ORDER BY c_mktsegment, c_acctbal, c_custkey""".stripMargin,
+    "q69_order_bounds" ->
+      """SELECT DISTINCT o_custkey,
+        |       strftime(first_value(o_orderdate) OVER w, '%Y-%m-%d') AS first_date,
+        |       strftime(last_value(o_orderdate) OVER w, '%Y-%m-%d') AS last_date,
+        |       strftime(nth_value(o_orderdate, 2) OVER w, '%Y-%m-%d') AS second_date
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |ORDER BY o_custkey""".stripMargin,
+    "q70_conditional_agg" ->
+      """SELECT o_orderstatus,
+        |       count(*) FILTER (o_totalprice > 100000) AS n_big,
+        |       bool_or(o_totalprice > 400000) AS any_huge,
+        |       bool_and(o_totalprice > 0) AS all_positive
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "q71_range_join_binned" ->
+      """SELECT win_id, count(*) AS n_events,
+        |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM events
+        |JOIN (SELECT i AS win_id,
+        |             TIMESTAMP '2024-01-01 00:00:00' + i * INTERVAL 6 HOUR
+        |               AS win_start,
+        |             TIMESTAMP '2024-01-01 00:00:00' + (i*6+4) * INTERVAL 1 HOUR
+        |               AS win_end
+        |      FROM range(0, 120) t(i)) w
+        |  ON ts >= win_start AND ts < win_end
+        |GROUP BY win_id ORDER BY win_id""".stripMargin,
+    "q72_salted_spend" ->
+      """SELECT o_custkey,
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS spend
+        |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin
+  )
+}

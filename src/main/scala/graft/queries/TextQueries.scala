@@ -89,18 +89,16 @@ object TextQueries {
         maxDist = 3, nChunks = 4)
       .orderBy(col("id_a"), col("id_b"))
 
-  /** Per-document quality scores + language (rows-only). */
-  def docQuality(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
+  /** Per-document quality scores (oracle-checked: the composite score is
+    * pure arithmetic over token statistics, reproduced term-for-term in
+    * DuckDB SQL; language ID stays in q52, which rows-only checks the
+    * non-SQL heuristic). */
+  def docQuality(s: SparkSession, dir: String): DataFrame =
     docs(s, dir)
-      .select(col("doc_id"), col("text")).as[(Long, String)]
-      .mapPartitions(_.map { case (id, text) =>
-        (id, qualityScoreLocal(text), langIdLocal(text),
-          text.trim.split("\\s+").length.toLong)
-      })
-      .toDF("doc_id", "quality", "predicted_lang", "n_tokens")
+      .select(col("doc_id"),
+        qualityScore(col("text")).as("quality"),
+        tokenCount(col("text")).cast("long").as("n_tokens"))
       .orderBy(col("doc_id"))
-  }
 
   /** Exact 1-gram (token-set) Jaccard top-20 pairs — the n-gram-Jaccard
     * dedup method as a ranking (oracle-checkable: ratios of small ints). */
@@ -189,7 +187,34 @@ object TextQueries {
     "q67_top_trigrams"        -> (topTrigrams _)
   )
 
+  private val stopwordListSql: String =
+    graft.text.TextFunctions.langProfiles.flatMap(_._2)
+      .map(w => s"'$w'").mkString("[", ",", "]")
+
   val oracles: Map[String, String] = Map(
+    // same arithmetic term-for-term as TextFunctions.qualityScore
+    "q57_doc_quality" ->
+      s"""WITH t AS (
+         |  SELECT doc_id,
+         |         string_split_regex(trim(text), '\\s+') AS toks,
+         |         CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS DOUBLE)
+         |           AS alpha
+         |  FROM documents),
+         |s AS (
+         |  SELECT doc_id, toks,
+         |         CAST(len(toks) AS DOUBLE) AS ntok, alpha,
+         |         CAST(len(list_filter(toks,
+         |           tk -> list_contains($stopwordListSql, tk))) AS DOUBLE)
+         |           AS hits
+         |  FROM t)
+         |SELECT doc_id,
+         |       round(least(ntok/50.0, 1.0) * 0.4 +
+         |             (CASE WHEN alpha/greatest(ntok, 1.0) BETWEEN 2.0 AND 12.0
+         |                   THEN 1.0 ELSE 0.3 END) * 0.3 +
+         |             least(hits/greatest(ntok*0.05, 1.0), 1.0) * 0.3,
+         |             6) AS quality,
+         |       CAST(len(toks) AS BIGINT) AS n_tokens
+         |FROM s ORDER BY doc_id""".stripMargin,
     "q50_lang_token_stats" ->
       """SELECT lang, count(*) AS n_docs,
         |       CAST(SUM(len(string_split_regex(trim(text), '\s+'))) AS BIGINT) AS total_tokens,

@@ -68,8 +68,10 @@ class ExtQueriesSpec extends SparkSpec {
     val row = ExtAggQueries.approxDistinctParts(spark, sf).head()
     val exactParts = Tables.load(spark, sf, "lineitem")
       .select("l_partkey").distinct().count()
-    val approx = row.getAs[Long]("approx_parts")
-    assert(math.abs(approx - exactParts).toDouble / exactParts < 0.05,
-      s"approx $approx vs exact $exactParts")
+    assert(row.getAs[Long]("exact_parts") == exactParts)
+    assert(row.getAs[Boolean]("parts_within_bound"),
+      "HLL parts estimate outside the 5% bound")
+    assert(row.getAs[Boolean]("supps_within_bound"),
+      "HLL supps estimate outside the 5% bound")
   }
 }
