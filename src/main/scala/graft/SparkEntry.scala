@@ -22,6 +22,7 @@ object SparkEntry {
     (graft.queries.EventQueries.all, graft.queries.EventQueries.oracles),
     (graft.queries.ExtAggQueries.all, graft.queries.ExtAggQueries.oracles),
     (graft.queries.MiscQueries.all, graft.queries.MiscQueries.oracles),
+    (graft.queries.MultimodalQueries.all, graft.queries.MultimodalQueries.oracles),
     (graft.queries.ClvQueries.all, graft.queries.ClvQueries.oracles),
     (graft.queries.TextQueries.all, graft.queries.TextQueries.oracles),
     (graft.queries.VectorQueries.all, graft.queries.VectorQueries.oracles)

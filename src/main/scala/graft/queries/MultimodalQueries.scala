@@ -1,0 +1,70 @@
+package graft.queries
+
+import graft.multimodal.Multimodal
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** [EXT] Multimodal-column queries: the binary-payload plumbing
+  * (schema, per-partition decode batches, frame-sample explode) driven
+  * through the named-query surface. The byte-level columns are
+  * oracle-checked (binary length/packing is engine-portable arithmetic);
+  * the stubbed decode *features* are covered by MultimodalIngestSpec.
+  */
+object MultimodalQueries {
+
+  /** Per-kind asset stats over the binary payload column: row counts,
+    * total payload bytes, declared-length bounds. `length(binary)` is
+    * the byte length — matches DuckDB `octet_length(encode(text))`. */
+  def mediaKindStats(s: SparkSession, dir: String): DataFrame =
+    Multimodal.syntheticMediaTable(s, dir).toDF()
+      .groupBy(col("kind"))
+      .agg(
+        count(lit(1)).as("n_assets"),
+        sum(length(col("bytes")).cast("long")).as("total_bytes"),
+        min(col("declared_len")).cast("long").as("min_declared"),
+        max(col("declared_len")).cast("long").as("max_declared"))
+      .orderBy(col("kind"))
+
+  /** Frame sampling for video assets (stride 4 over 16-byte chunks):
+    * the explode/flatMap plumbing counted per asset — sampled frames =
+    * ceil(ceil(bytes/16) / 4), pure arithmetic the oracle reproduces. */
+  def videoFrameSample(s: SparkSession, dir: String): DataFrame = {
+    val media = Multimodal.syntheticMediaTable(s, dir)
+    Multimodal.sampleFrames(media, stride = 4)
+      .groupBy(col("media_id"))
+      .agg(count(lit(1)).as("n_sampled"),
+        sum(length(col("frame_bytes")).cast("long")).as("sampled_bytes"))
+      .orderBy(col("media_id"))
+  }
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q73_media_kind_stats"  -> (mediaKindStats _),
+    "q74_video_frame_sample" -> (videoFrameSample _)
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q73_media_kind_stats" ->
+      """SELECT ['image','audio','video'][CAST(doc_id % 3 + 1 AS INT)] AS kind,
+        |       count(*) AS n_assets,
+        |       CAST(SUM(octet_length(encode(text))) AS BIGINT) AS total_bytes,
+        |       CAST(min(n_chars) AS BIGINT) AS min_declared,
+        |       CAST(max(n_chars) AS BIGINT) AS max_declared
+        |FROM documents GROUP BY kind ORDER BY kind""".stripMargin,
+    // sampled chunk i kept when i % 4 == 0, i in [0, ceil(len/16)) →
+    // n_sampled = ceil(ceil(len/16)/4); sampled bytes = 16 per full
+    // chunk, len % 16 for a kept trailing partial chunk
+    "q74_video_frame_sample" ->
+      """WITH v AS (
+        |  SELECT doc_id AS media_id, octet_length(encode(text)) AS len,
+        |         CAST(ceil(octet_length(encode(text)) / 16.0) AS BIGINT)
+        |           AS n_chunks
+        |  FROM documents
+        |  WHERE doc_id % 3 = 2 AND octet_length(encode(text)) > 0)
+        |SELECT media_id,
+        |       CAST(ceil(n_chunks / 4.0) AS BIGINT) AS n_sampled,
+        |       CAST(ceil(n_chunks / 4.0) AS BIGINT) * 16
+        |         - (CASE WHEN (n_chunks - 1) % 4 = 0 AND len % 16 != 0
+        |                 THEN 16 - (len % 16) ELSE 0 END) AS sampled_bytes
+        |FROM v ORDER BY media_id""".stripMargin
+  )
+}
