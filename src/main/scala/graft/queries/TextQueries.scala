@@ -106,26 +106,22 @@ object TextQueries {
     MinHash.jaccardTopPairs(docs(s, dir), "doc_id", "text",
       shingleN = 1, k = 20)
 
-  /** Composition query: the full cleaning pipeline a pretraining corpus
-    * goes through — quality gate → language ID → vocab dedup (keep the
-    * lowest doc_id per vocabulary) → per-language survivor counts.
-    * Rows-only (depends on our quality/langid heuristics). */
+  /** Composition query: the cleaning pipeline a pretraining corpus goes
+    * through — quality gate → vocab dedup (keep the lowest doc_id per
+    * vocabulary) → per-language survivor counts. Oracle-checked: the
+    * quality score and fingerprints are reproduced in DuckDB SQL (the
+    * non-SQL language-ID heuristic is exercised separately by q52). */
   def cleanPipeline(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
     val scored = docs(s, dir)
-      .select(col("doc_id"), col("text")).as[(Long, String)]
-      .mapPartitions(_.map { case (id, text) =>
-        (id, text, qualityScoreLocal(text), langIdLocal(text))
-      })
-      .toDF("doc_id", "text", "quality", "predicted_lang")
-      .filter(col("quality") >= 0.5)
+      .select(col("doc_id"), col("lang"), col("text"))
+      .filter(qualityScore(col("text")) >= 0.5)
       .withColumn("vocab_fp", vocabFingerprint(col("text")))
     val keep = scored.groupBy(col("vocab_fp"))
       .agg(min(col("doc_id")).as("doc_id"))
     scored.join(keep, Seq("vocab_fp", "doc_id"), "left_semi")
-      .groupBy(col("predicted_lang"))
+      .groupBy(col("lang"))
       .agg(count(lit(1)).as("n_kept"))
-      .orderBy(col("predicted_lang"))
+      .orderBy(col("lang"))
   }
 
   /** Global vocabulary frequency via explode (the Generator/UDTF surface):
@@ -192,6 +188,36 @@ object TextQueries {
       .map(w => s"'$w'").mkString("[", ",", "]")
 
   val oracles: Map[String, String] = Map(
+    // quality gate → vocab dedup (min doc_id) → per-lang survivor counts
+    "q59_clean_pipeline" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, lang, text,
+         |         string_split_regex(trim(text), '\\s+') AS toks,
+         |         CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS DOUBLE)
+         |           AS alpha
+         |  FROM documents),
+         |s AS (
+         |  SELECT doc_id, lang, text,
+         |         CAST(len(toks) AS DOUBLE) AS ntok, alpha,
+         |         CAST(len(list_filter(toks,
+         |           tk -> list_contains($stopwordListSql, tk))) AS DOUBLE)
+         |           AS hits
+         |  FROM t),
+         |scored AS (
+         |  SELECT doc_id, lang,
+         |         md5(array_to_string(list_sort(list_distinct(
+         |           string_split_regex(trim(text), '\\s+'))), ' ')) AS vocab_fp
+         |  FROM s
+         |  WHERE round(least(ntok/50.0, 1.0) * 0.4 +
+         |              (CASE WHEN alpha/greatest(ntok, 1.0) BETWEEN 2.0 AND 12.0
+         |                    THEN 1.0 ELSE 0.3 END) * 0.3 +
+         |              least(hits/greatest(ntok*0.05, 1.0), 1.0) * 0.3,
+         |              6) >= 0.5),
+         |keep AS (SELECT vocab_fp, min(doc_id) AS doc_id
+         |         FROM scored GROUP BY vocab_fp)
+         |SELECT lang, count(*) AS n_kept
+         |FROM scored SEMI JOIN keep USING (vocab_fp, doc_id)
+         |GROUP BY lang ORDER BY lang""".stripMargin,
     // same arithmetic term-for-term as TextFunctions.qualityScore
     "q57_doc_quality" ->
       s"""WITH t AS (
