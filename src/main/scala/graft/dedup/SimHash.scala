@@ -88,7 +88,10 @@ object SimHash {
     require(nChunks > maxDist, "pigeonhole needs nChunks > maxDist")
     val bitsPer = 64 / nChunks
     val mask = (1L << bitsPer) - 1
+    // persisted: the fingerprint scan feeds both sides of the pigeonhole
+    // self-join — without it the simhash computation runs twice
     val withSig = simhashDataset(docs, idCol, textCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     val entries = withSig.select(col("id"), col("sig"),
       explode(transform(sequence(lit(0), lit(nChunks - 1)), i =>

@@ -98,12 +98,56 @@ object JoinQueries {
       .orderBy(col("n_name"))
   }
 
+  /** Full-outer join: customer presence vs supplier presence per nation
+    * key — null-extended sides surface as zero counts via coalesce. */
+  def nationCoverage(s: SparkSession, dir: String): DataFrame = {
+    val cc = t(s, dir, "customer")
+      .groupBy(col("c_nationkey").cast("long").as("nationkey"))
+      .agg(count(lit(1)).as("n_cust"))
+    val sc = t(s, dir, "supplier")
+      .groupBy(col("s_nationkey").cast("long").as("nationkey"))
+      .agg(count(lit(1)).as("n_supp"))
+    cc.join(sc, Seq("nationkey"), "full_outer")
+      .select(col("nationkey"),
+        coalesce(col("n_cust"), lit(0L)).as("n_cust"),
+        coalesce(col("n_supp"), lit(0L)).as("n_supp"))
+      .orderBy(col("nationkey"))
+  }
+
+  /** Sorted list aggregation: distinct order statuses per market
+    * segment as a comma-joined sorted string (collect_set is
+    * partitioning-dependent; array_sort makes it deterministic). */
+  def segmentStatusList(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    val c = t(s, dir, "customer")
+    o.join(c, o("o_custkey") === c("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(array_join(array_sort(collect_set(col("o_orderstatus"))), ",")
+        .as("statuses"),
+        count(lit(1)).as("n_orders"))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  /** Cross join: every region × order-status combination with the
+    * status's global order count (explicit crossJoin surface). */
+  def regionStatusMatrix(s: SparkSession, dir: String): DataFrame = {
+    val r = t(s, dir, "region").select(col("r_name"))
+    val sc = t(s, dir, "orders")
+      .groupBy(col("o_orderstatus")).agg(count(lit(1)).as("n_orders"))
+    r.crossJoin(sc)
+      .select(col("r_name"), col("o_orderstatus"), col("n_orders"))
+      .orderBy(col("r_name"), col("o_orderstatus"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q20_mktsegment_revenue"  -> (mktsegmentRevenue _),
     "q21_region_revenue"      -> (regionRevenue _),
     "q22_semi_customers"      -> (customersWithOrders _),
     "q23_anti_no_big_orders"  -> (customersWithoutBigOrders _),
-    "q24_left_supplier_count" -> (nationSupplierCounts _)
+    "q24_left_supplier_count" -> (nationSupplierCounts _),
+    "q75_nation_coverage"     -> (nationCoverage _),
+    "q76_segment_status_list" -> (segmentStatusList _),
+    "q77_region_status_matrix" -> (regionStatusMatrix _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -112,6 +156,29 @@ object JoinQueries {
         |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "q75_nation_coverage" ->
+      """SELECT coalesce(c.nationkey, s.nationkey) AS nationkey,
+        |       coalesce(n_cust, 0) AS n_cust,
+        |       coalesce(n_supp, 0) AS n_supp
+        |FROM (SELECT CAST(c_nationkey AS BIGINT) AS nationkey,
+        |             count(*) AS n_cust FROM customer GROUP BY 1) c
+        |FULL JOIN (SELECT CAST(s_nationkey AS BIGINT) AS nationkey,
+        |           count(*) AS n_supp FROM supplier GROUP BY 1) s
+        |  USING (nationkey)
+        |ORDER BY nationkey""".stripMargin,
+    "q76_segment_status_list" ->
+      """SELECT c_mktsegment,
+        |       string_agg(DISTINCT o_orderstatus, ','
+        |                  ORDER BY o_orderstatus) AS statuses,
+        |       count(*) AS n_orders
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "q77_region_status_matrix" ->
+      """SELECT r_name, o_orderstatus, n_orders
+        |FROM region
+        |CROSS JOIN (SELECT o_orderstatus, count(*) AS n_orders
+        |            FROM orders GROUP BY o_orderstatus) t
+        |ORDER BY r_name, o_orderstatus""".stripMargin,
     "q21_region_revenue" ->
       """SELECT r_name,
         |       CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
