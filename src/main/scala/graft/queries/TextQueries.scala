@@ -112,10 +112,15 @@ object TextQueries {
     * quality score and fingerprints are reproduced in DuckDB SQL (the
     * non-SQL language-ID heuristic is exercised separately by q52). */
   def cleanPipeline(s: SparkSession, dir: String): DataFrame = {
+    // persisted: the scored frame feeds both the keep-list aggregation
+    // and the semi join — without it the quality filter and fingerprint
+    // are evaluated twice
     val scored = docs(s, dir)
       .select(col("doc_id"), col("lang"), col("text"))
       .filter(qualityScore(col("text")) >= 0.5)
       .withColumn("vocab_fp", vocabFingerprint(col("text")))
+      .select(col("doc_id"), col("lang"), col("vocab_fp"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val keep = scored.groupBy(col("vocab_fp"))
       .agg(min(col("doc_id")).as("doc_id"))
     scored.join(keep, Seq("vocab_fp", "doc_id"), "left_semi")
