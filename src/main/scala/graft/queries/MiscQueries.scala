@@ -154,6 +154,40 @@ object MiscQueries {
       .select(col("o_custkey"), col("spend").cast("double").as("spend"))
       .orderBy(col("o_custkey"))
 
+  /** Map-function surface: per-priority status→count maps built with
+    * map_from_entries, then map_filter / transform_values / map_values /
+    * aggregate over them. The oracle states the equivalent flat
+    * aggregates (map ops over grouped counts reduce to plain SQL). */
+  def statusMaps(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .groupBy(col("o_orderpriority"), col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy(col("o_orderpriority"))
+      .agg(map_from_entries(
+        array_sort(collect_list(struct(col("o_orderstatus"), col("n")))))
+        .as("m"))
+      .select(
+        col("o_orderpriority"),
+        size(col("m")).as("n_statuses"),
+        size(map_filter(col("m"), (_, v) => v > 100)).as("n_common"),
+        aggregate(map_values(transform_values(col("m"), (_, v) => v * 2)),
+          lit(0L), (acc, v) => acc + v).as("doubled_total"))
+      .orderBy(col("o_orderpriority"))
+
+  /** Sketch percentiles with a correctness bound (same pattern as q47):
+    * exact interpolated quantile plus a boolean asserting the
+    * percentile_approx estimate lands within 1%. */
+  def approxPercentileBound(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .groupBy(col("o_orderstatus"))
+      .agg(
+        round(expr("percentile(o_totalprice, 0.5)"), 2).as("p50_exact"),
+        (abs(expr("percentile_approx(o_totalprice, 0.5, 10000)") -
+          expr("percentile(o_totalprice, 0.5)")) /
+          expr("percentile(o_totalprice, 0.5)") <= 0.01)
+          .as("approx_within_1pct"))
+      .orderBy(col("o_orderstatus"))
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q37_unpivot_metrics" -> (unpivotMetrics _),
     "q38_quarterly_orders" -> (quarterlyOrders _),
@@ -164,7 +198,9 @@ object MiscQueries {
     "q69_order_bounds"    -> (orderBounds _),
     "q70_conditional_agg" -> (conditionalAgg _),
     "q71_range_join_binned" -> (rangeJoinBinned _),
-    "q72_salted_spend"    -> (saltedSpend _)
+    "q72_salted_spend"    -> (saltedSpend _),
+    "q78_status_maps"     -> (statusMaps _),
+    "q79_approx_pct_bound" -> (approxPercentileBound _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -242,6 +278,19 @@ object MiscQueries {
     "q72_salted_spend" ->
       """SELECT o_custkey,
         |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS spend
-        |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin
+        |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
+    "q78_status_maps" ->
+      """SELECT o_orderpriority,
+        |       CAST(count(*) AS INT) AS n_statuses,
+        |       CAST(count(*) FILTER (n > 100) AS INT) AS n_common,
+        |       2 * sum(n) AS doubled_total
+        |FROM (SELECT o_orderpriority, o_orderstatus, count(*) AS n
+        |      FROM orders GROUP BY 1, 2) t
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q79_approx_pct_bound" ->
+      """SELECT o_orderstatus,
+        |       round(quantile_cont(o_totalprice, 0.5), 2) AS p50_exact,
+        |       true AS approx_within_1pct
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
   )
 }
