@@ -169,7 +169,15 @@ object MinHash {
             if (heap.size < k) 0
             else {
               val hj = heap.head._1
-              math.ceil(hj * union0 / (1.0 + hj)).toInt
+              // 1e-9 slack: the exact threshold is a ratio of small
+              // ints; double rounding can land an ulp ABOVE an integer
+              // (e.g. 1.0000000000000002) and ceil would then prune a
+              // pair tied exactly at heap-min that should win its id
+              // tiebreak. The slack is far larger than the ~1e-11
+              // arithmetic error and far smaller than the ~1e-5 gap
+              // between distinct small-int ratios, so pruning stays
+              // tight and never drops a tie.
+              math.ceil(hj * union0 / (1.0 + hj) - 1e-9).toInt
             }
           if (math.min(a.length, b.length) >= needInter) {
             var i = 0; var jj = 0; var inter = 0

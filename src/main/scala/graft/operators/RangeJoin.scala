@@ -34,6 +34,9 @@ object RangeJoin {
       right: DataFrame, startCol: String, endCol: String,
       binSeconds: Long): DataFrame = {
     require(binSeconds > 0, "binSeconds must be positive")
+    require(!left.columns.contains("_rj_bin") &&
+        !right.columns.contains("_rj_bin"),
+      "inputs must not contain the reserved column name _rj_bin")
     val w = lit(binSeconds)
     val lb = left.withColumn("_rj_bin",
       floor(unix_timestamp(col(leftTs)) / w))

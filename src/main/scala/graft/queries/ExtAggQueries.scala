@@ -42,11 +42,15 @@ object ExtAggQueries {
       .agg(
         countDistinct(col("l_partkey")).as("exact_parts"),
         countDistinct(col("l_suppkey")).as("exact_supps"),
-        (abs(approx_count_distinct(col("l_partkey"), 0.05).cast("double") -
+        // rsd 0.02 sketch vs 5% asserted bound = 2.5 sigma of margin,
+        // so the hardcoded-true oracle is robust to dataset changes
+        // (a bound equal to the 1-sigma rsd would fail ~1/3 of the time
+        // on fresh data)
+        (abs(approx_count_distinct(col("l_partkey"), 0.02).cast("double") -
           countDistinct(col("l_partkey")).cast("double")) /
           countDistinct(col("l_partkey")).cast("double") <= 0.05)
           .as("parts_within_bound"),
-        (abs(approx_count_distinct(col("l_suppkey"), 0.05).cast("double") -
+        (abs(approx_count_distinct(col("l_suppkey"), 0.02).cast("double") -
           countDistinct(col("l_suppkey")).cast("double")) /
           countDistinct(col("l_suppkey")).cast("double") <= 0.05)
           .as("supps_within_bound"))
