@@ -71,7 +71,32 @@ object VectorQueries {
         count(lit(1)).as("n"))
       .orderBy(col("label"), col("pos"))
 
+  /** ANN quality gate (q47/q79 pattern): IVF top-10 recall against the
+    * exact brute-force top-10 per query, asserted ≥ 0.4 (the measured
+    * floor for this corpus is 0.52). Both sides are deterministic, so
+    * the boolean is stable and the oracle states the exact-side facts
+    * plus `true`. */
+  def ivfRecallBound(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val q = e.filter(col("vec_id") < 5)
+    val ivf = graft.vector.KMeansIvf.topK(s, q, e,
+      "vec_id", "embedding", "vec_id", "embedding", k = 10)
+      .select(col("query_id"), col("neighbor_id"))
+    val brute = VectorFunctions.bruteForceTopK(q, e,
+      "vec_id", "embedding", "vec_id", "embedding", k = 10)
+      .select(col("query_id"), col("neighbor_id"))
+    val hits = ivf.join(brute, Seq("query_id", "neighbor_id"), "left_semi")
+      .groupBy(col("query_id")).agg(count(lit(1)).as("n_hits"))
+    brute.groupBy(col("query_id")).agg(count(lit(1)).as("n_exact"))
+      .join(hits, Seq("query_id"), "left_outer")
+      .select(col("query_id"), col("n_exact"),
+        (coalesce(col("n_hits"), lit(0L)).cast("double") /
+          col("n_exact") >= 0.4).as("recall_ok"))
+      .orderBy(col("query_id"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q84_ivf_recall_bound" -> (ivfRecallBound _),
     "q60_knn_brute"        -> (knnBrute _),
     "q61_knn_ivf"          -> (knnIvf _),
     "q62_embed_top_pairs"     -> (embedTopPairsExact _),
@@ -80,6 +105,10 @@ object VectorQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q84_ivf_recall_bound" ->
+      """SELECT vec_id AS query_id, CAST(10 AS BIGINT) AS n_exact,
+        |       true AS recall_ok
+        |FROM embeddings WHERE vec_id < 5 ORDER BY query_id""".stripMargin,
     "q60_knn_brute" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding AS qe
         |           FROM embeddings WHERE vec_id < 5),
