@@ -25,6 +25,36 @@ object Profile {
       r
     }
 
+    sys.env.get("SPARK_GRAFT_PROFILE_QUERY").foreach { name =>
+      val df = t(name)(
+        { val d = SparkEntry.queries(name)(spark, sfDir); d.count(); d })
+      val shown = sys.env.get("SPARK_GRAFT_PROFILE_FILTER")
+        .map(df.filter).getOrElse(df)
+      println(s"rows=${shown.count()}")
+      shown.show(50, truncate = false)
+      spark.stop(); sys.exit(0)
+    }
+
+    if (sys.env.contains("SPARK_GRAFT_PROFILE_Q43")) {
+      println("== q43 variants ==")
+      val ev = Tables.load(spark, sfDir, "events")
+      t("warm scan")(ev.count())
+      t("q43 as-is")(SparkEntry.queries("q43_props_map_stats")(spark, sfDir).count())
+      t("q43 again")(SparkEntry.queries("q43_props_map_stats")(spark, sfDir).count())
+      val mapTy = org.apache.spark.sql.types.DataType.fromDDL("map<string,bigint>")
+      t("from_json+map_entries")(
+        ev.select(explode(map_entries(from_json(col("props"), mapTy))).as("e"))
+          .groupBy(col("e.key")).agg(count(lit(1)), sum(col("e.value"))).count())
+      t("from_json no explode")(
+        ev.select(from_json(col("props"), mapTy).as("m"))
+          .select(element_at(col("m"), "k").as("v"))
+          .agg(count(lit(1)), sum(col("v"))).count())
+      t("explode only no groupBy")(
+        ev.select(explode(from_json(col("props"), mapTy)).as(Seq("key", "v")))
+          .count())
+      spark.stop(); sys.exit(0)
+    }
+
     import graft.clv._
     println("== q83 components ==")
     val rfm = ClvPipeline.rfm(spark, sfDir, nGroups = 1)

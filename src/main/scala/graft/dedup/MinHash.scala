@@ -213,6 +213,65 @@ object MinHash {
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
   }
 
+  /** ALL document pairs with exact n-gram Jaccard ≥ `minJ`, via the same
+    * broadcast nested loop as [[jaccardTopPairs]] but threshold-pruned
+    * instead of heap-pruned: a pair reaches the merge only if
+    * `min(|a|,|b|) ≥ ceil(minJ·(|a|+|b|)/(1+minJ))` (jac = m/(|a|+|b|−m)
+    * is monotone in m), and the merge aborts as soon as the remaining
+    * elements cannot reach that intersection. At high thresholds this
+    * rejects almost every pair on the two length fields alone.
+    *
+    * This is the ground-truth side of an LSH recall check (q85): O(n²)
+    * candidate loop, so at true corpus scale run it on a sample — the
+    * production dedup path stays [[nearDuplicatePairs]]. */
+  def jaccardThresholdPairs(docs: DataFrame, idCol: String, textCol: String,
+                            shingleN: Int, minJ: Double): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val sets: Array[(Long, Array[Long])] =
+      signatureDataset(docs, idCol, textCol, shingleN, 1)
+        .select(col("id"), col("sh")).as[(Long, Array[Long])]
+        .collect().sortBy(_._1)
+    val bc = spark.sparkContext.broadcast(sets)
+    val ids = docs.select(col(idCol).cast("long")).as[Long]
+    val pairs = ids.mapPartitions { it =>
+      val all = bc.value
+      val idArr = all.map(_._1)
+      val byId = all.toMap
+      it.flatMap { lid =>
+        val a = byId(lid)
+        val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+        var j = java.util.Arrays.binarySearch(idArr, lid) + 1
+        while (j < all.length) {
+          val (rid, b) = all(j)
+          val union0 = a.length + b.length
+          // same 1e-9 slack as jaccardTopPairs: double rounding can land
+          // an ulp above the integer bound and wrongly prune an exact tie
+          val needInter = math.ceil(minJ * union0 / (1.0 + minJ) - 1e-9).toInt
+          if (math.min(a.length, b.length) >= needInter) {
+            var i = 0; var jj = 0; var inter = 0
+            var live = true
+            while (live && i < a.length && jj < b.length) {
+              if (a(i) == b(jj)) { inter += 1; i += 1; jj += 1 }
+              else if (a(i) < b(jj)) i += 1
+              else jj += 1
+              if (inter + math.min(a.length - i, b.length - jj) < needInter)
+                live = false
+            }
+            if (live) {
+              val jac = inter.toDouble / (union0 - inter)
+              if (jac >= minJ) out += ((lid, rid, jac))
+            }
+          }
+          j += 1
+        }
+        out.iterator
+      }
+    }
+    pairs.toDF("id_a", "id_b", "jaccard")
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
   private def sortedIntersectionSize(a: Array[Long], b: Array[Long]): Int = {
     var i = 0; var j = 0; var n = 0
     while (i < a.length && j < b.length) {

@@ -129,6 +129,27 @@ object TextQueries {
       .orderBy(col("lang"))
   }
 
+  /** LSH recall gate (q84 pattern): every exact 2-shingle-Jaccard pair at
+    * ≥ 0.9 must be recovered by the q55 MinHash-LSH configuration
+    * (16 bands × 4 rows ⇒ per-pair miss odds (1−j⁴)¹⁶ ≤ 5·10⁻⁸ at
+    * j = 0.9, and the minhash family is deterministic, so the flag is
+    * stable run-to-run). The exact side is engine-portable small-int
+    * ratios, so DuckDB states the pair list and `true`. The corpus has
+    * no pairs in (0.3, 0.9) — every real near-dup is covered by this
+    * gate. */
+  def lshRecallBound(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val exact = MinHash.jaccardThresholdPairs(d, "doc_id", "text",
+      shingleN = 2, minJ = 0.9)
+    val lsh = MinHash.nearDuplicatePairs(d, "doc_id", "text",
+        shingleN = 2, bands = 16, rowsPerBand = 4, threshold = 0.3)
+      .select(col("id_a"), col("id_b"), lit(true).as("found"))
+    exact.join(lsh, Seq("id_a", "id_b"), "left_outer")
+      .select(col("id_a"), col("id_b"), col("jaccard"),
+        coalesce(col("found"), lit(false)).as("found"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
   /** Global vocabulary frequency via explode (the Generator/UDTF surface):
     * top-50 tokens. At scale: map-side partial counts absorb the token
     * explosion before the shuffle. */
@@ -183,6 +204,7 @@ object TextQueries {
     "q57_doc_quality"         -> (docQuality _),
     "q58_token_jaccard_pairs" -> (tokenJaccardTopPairs _),
     "q59_clean_pipeline"      -> (cleanPipeline _),
+    "q85_lsh_recall_bound"    -> (lshRecallBound _),
     "q65_top_tokens"          -> (topTokens _),
     "q66_top_bigrams"         -> (topBigrams _),
     "q67_top_trigrams"        -> (topTrigrams _)
@@ -274,6 +296,23 @@ object TextQueries {
         |       count(*) AS n_docs, min(doc_id) AS canonical_doc
         |FROM documents
         |GROUP BY vocab_fp HAVING count(*) > 1 ORDER BY vocab_fp""".stripMargin,
+    // exact 2-shingle pairs ≥ 0.9; the Spark side computes the same
+    // ratios over 64-bit shingle hashes (collision odds ~2⁻⁶⁴) and flags
+    // LSH recovery — recall below 100% fails the hash match
+    "q85_lsh_recall_bound" ->
+      """WITH w AS (SELECT doc_id,
+        |  CASE WHEN len(ws) >= 2
+        |   THEN list_distinct(list_transform(range(1, len(ws)),
+        |                                     i -> ws[i] || ' ' || ws[i+1]))
+        |   ELSE [array_to_string(ws, ' ')] END AS sh
+        |  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws
+        |        FROM documents))
+        |SELECT id_a, id_b, round(j, 6) AS jaccard, true AS found FROM (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |         CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+        |           (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS j
+        |  FROM w a JOIN w b ON a.doc_id < b.doc_id) t
+        |WHERE j >= 0.9 ORDER BY id_a, id_b""".stripMargin,
     "q58_token_jaccard_pairs" ->
       """WITH w AS (SELECT doc_id,
         |                  list_distinct(string_split_regex(trim(text), '\s+')) AS ws

@@ -143,6 +143,30 @@ class TextDedupSpec extends SparkSpec {
       s"LSH missed ${missed.size} of ${truth.size} high-jaccard pairs")
   }
 
+  test("jaccardThresholdPairs equals brute-force exact pairs at 0.9") {
+    val sh = docs.select(col("doc_id"),
+      MinHash.wordShingles(col("text"), 2).as("sh"))
+    val l = sh.select(col("doc_id").as("id_a"), col("sh").as("sha"))
+    val r = sh.select(col("doc_id").as("id_b"), col("sh").as("shb"))
+    val truth = l.crossJoin(r).filter(col("id_a") < col("id_b"))
+      .withColumn("j", MinHash.exactJaccard(col("sha"), col("shb")))
+      .filter(col("j") >= 0.9)
+      .select("id_a", "id_b").collect()
+      .map(x => (x.getLong(0), x.getLong(1))).toSet
+    val got = MinHash.jaccardThresholdPairs(docs, "doc_id", "text", 2, 0.9)
+      .collect().map(x => (x.getAs[Long]("id_a"), x.getAs[Long]("id_b"))).toSet
+    assert(got == truth, s"missing=${truth -- got} extra=${got -- truth}")
+  }
+
+  test("q85 recall gate: every exact >=0.9 pair is recovered by LSH") {
+    val rows = TextQueries.lshRecallBound(spark, sf).collect()
+    assert(rows.nonEmpty, "corpus should contain >=0.9 pairs")
+    rows.foreach { r =>
+      assert(r.getAs[Boolean]("found"),
+        s"LSH missed pair (${r.getAs[Long]("id_a")}, ${r.getAs[Long]("id_b")})")
+    }
+  }
+
   test("simhash: identical docs → distance 0; unrelated docs far") {
     import spark.implicits._
     val df = Seq(
