@@ -242,4 +242,12 @@ class ClvSpec extends SparkSpec {
     assert(d.length == g.length)
     d.zip(g).foreach { case (x, y) => assert(x == y) }
   }
+
+  test("holdout validation gate: all model-quality booleans hold") {
+    val row = graft.queries.ClvQueries.clvHoldoutValidation(spark, sf).head()
+    assert(row.getAs[Long]("n_custs") > 0)
+    assert(row.getAs[Boolean]("calibration_ok"), "aggregate prediction off by >2x")
+    assert(row.getAs[Boolean]("mae_ok"), "per-customer MAE above noise floor")
+    assert(row.getAs[Boolean]("bounds_ok"), "prediction outside domain bounds")
+  }
 }
