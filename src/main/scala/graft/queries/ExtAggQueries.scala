@@ -77,15 +77,92 @@ object ExtAggQueries {
         sumMoney(col("o_totalprice")).as("revenue"))
       .orderBy(col("o_orderstatus"))
 
+  /** Bloom-filter membership gate (q84-q86 pattern): build a Bloom
+    * filter over the ordering customers, probe it with every customer
+    * key (all present) and with shifted keys guaranteed absent. The
+    * filter's no-false-negative guarantee is exact, and with the filter
+    * sized for 4M items the false-positive rate on this corpus is far
+    * under the 2% gate — both booleans are deterministic (fixed Murmur3
+    * seeding) and the row counts are SQL-knowable.
+    *
+    * Scale role: the Bloom filter is the shuffle-free semi-join — build
+    * once over the fact side's keys (mergeable per-partition sketches),
+    * broadcast ~4 MB, and pre-filter a 100 TB probe side down to
+    * candidate rows without exchanging either table. */
+  def bloomMembership(s: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.load(s, dir, "orders")
+    val bloom = orders.stat.bloomFilter("o_custkey", 4000000L, 0.01)
+    val bc = s.sparkContext.broadcast(bloom)
+    import s.implicits._
+    val probes = Tables.load(s, dir, "customer")
+      .select(col("c_custkey")).as[Long]
+      .mapPartitions { it =>
+        val b = bc.value
+        it.map(k => (b.mightContainLong(k), b.mightContainLong(k + 1000000000L)))
+      }
+      .toDF("present_hit", "absent_hit")
+    probes.agg(
+      count(lit(1)).as("n_probes"),
+      (count(when(col("present_hit"), 1)) === count(lit(1)))
+        .as("no_false_negatives"),
+      (count(when(col("absent_hit"), 1)).cast("double") /
+        count(lit(1)).cast("double") <= 0.02).as("fp_rate_ok"))
+  }
+
+  /** Count-Min-Sketch heavy-hitter gate: sketch the lineitem supplier
+    * column (eps 1e-4, fixed seed), then check each of the exact top-10
+    * suppliers' estimates against the CMS guarantee — estimates never
+    * undercount, and overcount by at most eps·N (gate at 2× that
+    * slack). The exact top-10 list and counts are SQL-knowable; the
+    * estimate checks are deterministic for fixed data + seed.
+    *
+    * Scale role: the CMS is the fixed-memory (~800 KB here) substitute
+    * for a full groupBy-count when only frequent-item queries are
+    * needed — single pass, mergeable across partitions, no shuffle of
+    * the key space. */
+  def cmsHeavyHitters(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(s, dir, "lineitem")
+    val n = li.count()
+    val cms = li.stat.countMinSketch(col("l_suppkey"), 1e-4, 0.99, 42)
+    val slack = math.ceil(2 * 1e-4 * n).toLong
+    val bc = s.sparkContext.broadcast(cms)
+    import s.implicits._
+    li.groupBy(col("l_suppkey").as("suppkey"))
+      .agg(count(lit(1)).as("exact_n"))
+      .orderBy(col("exact_n").desc, col("suppkey"))
+      .limit(10)
+      .as[(Long, Long)]
+      .mapPartitions { it =>
+        val sk = bc.value
+        it.map { case (k, exact) =>
+          val est = sk.estimateCount(k)
+          (k, exact, est >= exact && est <= exact + slack)
+        }
+      }
+      .toDF("suppkey", "exact_n", "within_bound")
+      .orderBy(col("exact_n").desc, col("suppkey"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q45_revenue_rollup"       -> (revenueRollup _),
     "q46_status_priority_cube" -> (statusPriorityCube _),
+    "q87_bloom_membership"     -> (bloomMembership _),
+    "q88_cms_heavy_hitters"    -> (cmsHeavyHitters _),
     "q47_approx_distinct"      -> (approxDistinctParts _),
     "q34_year_status_pivot"    -> (yearStatusPivot _),
     "q35_content_sample"       -> (contentSample _)
   )
 
   val oracles: Map[String, String] = Map(
+    "q87_bloom_membership" ->
+      """SELECT count(*) AS n_probes,
+        |       true AS no_false_negatives, true AS fp_rate_ok
+        |FROM customer""".stripMargin,
+    "q88_cms_heavy_hitters" ->
+      """SELECT l_suppkey AS suppkey, count(*) AS exact_n,
+        |       true AS within_bound
+        |FROM lineitem GROUP BY l_suppkey
+        |ORDER BY exact_n DESC, suppkey LIMIT 10""".stripMargin,
     "q47_approx_distinct" ->
       """SELECT count(DISTINCT l_partkey) AS exact_parts,
         |       count(DISTINCT l_suppkey) AS exact_supps,

@@ -64,6 +64,20 @@ class ExtQueriesSpec extends SparkSpec {
       Tables.load(spark, sf, "orders").count())
   }
 
+  test("q87 bloom filter: no false negatives, absent-key FP rate under gate") {
+    val row = graft.queries.ExtAggQueries.bloomMembership(spark, sf).head()
+    assert(row.getAs[Long]("n_probes") > 0)
+    assert(row.getAs[Boolean]("no_false_negatives"))
+    assert(row.getAs[Boolean]("fp_rate_ok"))
+  }
+
+  test("q88 count-min sketch: heavy-hitter estimates within one-sided bound") {
+    val rows = graft.queries.ExtAggQueries.cmsHeavyHitters(spark, sf).collect()
+    assert(rows.length == 10)
+    rows.foreach(r => assert(r.getAs[Boolean]("within_bound"),
+      s"suppkey ${r.getAs[Long]("suppkey")} estimate outside CMS bound"))
+  }
+
   test("q47 approx distinct within 5% of exact") {
     val row = ExtAggQueries.approxDistinctParts(spark, sf).head()
     val exactParts = Tables.load(spark, sf, "lineitem")
