@@ -118,6 +118,37 @@ object EventStreams {
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(fn)
   }
 
+  /** Stream-stream interval join: attribute each event of type
+    * `effectType` to the same user's preceding `causeType` event within
+    * `withinMinutes`. Both sides carry watermarks, so the join state for
+    * a cause event is dropped once the effect-side watermark passes its
+    * attribution window — state is bounded by (active users × window),
+    * never by stream length. The time-range predicate is what makes the
+    * state finite: an unconstrained stream-stream equi-join would have
+    * to retain every row forever. */
+  def attributionJoin(causes: DataFrame, effects: DataFrame,
+                      causeType: String, effectType: String,
+                      withinMinutes: Int,
+                      watermark: String = "1 hour"): DataFrame = {
+    val c = causes
+      .filter(col("event_type") === causeType)
+      .withWatermark("ts", watermark)
+      .select(col("user_id").as("c_user"), col("ts").as("cause_ts"),
+        col("event_id").as("cause_id"))
+    val e = effects
+      .filter(col("event_type") === effectType)
+      .withWatermark("ts", watermark)
+      .select(col("user_id").as("e_user"), col("ts").as("effect_ts"),
+        col("event_id").as("effect_id"))
+    c.join(e,
+        col("c_user") === col("e_user") &&
+          col("effect_ts") >= col("cause_ts") &&
+          col("effect_ts") <= col("cause_ts") +
+            expr(s"INTERVAL $withinMinutes MINUTES"))
+      .select(col("c_user").as("user_id"), col("cause_id"),
+        col("effect_id"), col("cause_ts"), col("effect_ts"))
+  }
+
   /** Run a streaming Dataset to completion against a memory sink and
     * return the accumulated result (test/tooling helper). */
   def runToMemory(spark: SparkSession, df: DataFrame, name: String,

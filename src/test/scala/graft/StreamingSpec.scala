@@ -138,25 +138,34 @@ class StreamingSpec extends SparkSpec {
     import spark.implicits._
     val views = MemoryStream[Event]
     val buys = MemoryStream[Event]
-    val v = views.toDF().withWatermark("ts", "1 hour")
-      .select(col("user_id").as("v_user"), col("ts").as("v_ts"),
-        col("event_id").as("view_id"))
-    val b = buys.toDF().withWatermark("ts", "1 hour")
-      .select(col("user_id").as("b_user"), col("ts").as("b_ts"),
-        col("event_id").as("buy_id"))
     // buys attributed to a view by the same user within the prior 30 min
-    val joined = v.join(b,
-      col("v_user") === col("b_user") &&
-        col("b_ts") >= col("v_ts") &&
-        col("b_ts") <= col("v_ts") + expr("INTERVAL 30 MINUTES"))
+    val joined = EventStreams.attributionJoin(
+      views.toDF(), buys.toDF(), "view", "buy", withinMinutes = 30)
     views.addData(Event(1, ts(0), 1, "view", 0), Event(2, ts(0), 2, "view", 0))
     buys.addData(
       Event(10, ts(10), 1, "buy", 5.0),   // within 30 min of view 1
       Event(11, ts(100), 2, "buy", 5.0))  // outside the window for view 2
     val out = EventStreams.runToMemory(spark, joined, "ss_join_test")
     val pairs = out.collect().map(r =>
-      (r.getAs[Long]("view_id"), r.getAs[Long]("buy_id")))
+      (r.getAs[Long]("cause_id"), r.getAs[Long]("effect_id")))
     assert(pairs.toSet == Set((1L, 10L)), s"got ${pairs.toSeq}")
+  }
+
+  test("attribution join over the batch events table is non-trivial") {
+    // the same transform runs over a batch frame; 'click' causes with
+    // 'purchase' effects within 30 minutes per user
+    val batch = Tables.load(spark, sf, "events")
+    val types = batch.select("event_type").distinct()
+      .collect().map(_.getString(0)).toSet
+    assert(types.size >= 2, s"need 2+ event types, got $types")
+    val Seq(a, b) = types.toSeq.sorted.take(2)
+    val out = EventStreams.attributionJoin(batch, batch, a, b, 30)
+    assert(out.columns.toSeq == Seq("user_id", "cause_id", "effect_id",
+      "cause_ts", "effect_ts"))
+    // every attributed effect is within the window and after the cause
+    val bad = out.filter(col("effect_ts") < col("cause_ts") ||
+      col("effect_ts") > col("cause_ts") + expr("INTERVAL 30 MINUTES")).count()
+    assert(bad == 0)
   }
 
   test("checkpointed file sink is exactly-once across restart") {
