@@ -150,6 +150,22 @@ object TextQueries {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** Winnowing fingerprint gate: every exact near-duplicate pair
+    * (2-shingle Jaccard ≥ 0.9, the q85 ground-truth list) must share at
+    * least one rolling-hash winnow fingerprint — the MOSS guarantee
+    * (shared substring ≥ w+k−1 chars ⇒ shared fingerprint) applied to
+    * pairs that by construction share long word runs. Fingerprints are
+    * deterministic, so the flag is stable and the oracle states the
+    * exact pair list plus `true`. */
+  def winnowRecallBound(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val exact = MinHash.jaccardThresholdPairs(d, "doc_id", "text",
+      shingleN = 2, minJ = 0.9)
+    graft.dedup.Winnow.sharesFingerprint(d, "doc_id", "text", exact)
+      .select(col("id_a"), col("id_b"), col("jaccard"), col("shares_fp"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
   /** Global vocabulary frequency via explode (the Generator/UDTF surface):
     * top-50 tokens. At scale: map-side partial counts absorb the token
     * explosion before the shuffle. */
@@ -205,6 +221,7 @@ object TextQueries {
     "q58_token_jaccard_pairs" -> (tokenJaccardTopPairs _),
     "q59_clean_pipeline"      -> (cleanPipeline _),
     "q85_lsh_recall_bound"    -> (lshRecallBound _),
+    "q89_winnow_recall_bound" -> (winnowRecallBound _),
     "q65_top_tokens"          -> (topTokens _),
     "q66_top_bigrams"         -> (topBigrams _),
     "q67_top_trigrams"        -> (topTrigrams _)
@@ -296,6 +313,21 @@ object TextQueries {
         |       count(*) AS n_docs, min(doc_id) AS canonical_doc
         |FROM documents
         |GROUP BY vocab_fp HAVING count(*) > 1 ORDER BY vocab_fp""".stripMargin,
+    // same exact pair list as q85; the winnow-sharing flag is pinned true
+    "q89_winnow_recall_bound" ->
+      """WITH w AS (SELECT doc_id,
+        |  CASE WHEN len(ws) >= 2
+        |   THEN list_distinct(list_transform(range(1, len(ws)),
+        |                                     i -> ws[i] || ' ' || ws[i+1]))
+        |   ELSE [array_to_string(ws, ' ')] END AS sh
+        |  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws
+        |        FROM documents))
+        |SELECT id_a, id_b, round(j, 6) AS jaccard, true AS shares_fp FROM (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |         CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+        |           (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS j
+        |  FROM w a JOIN w b ON a.doc_id < b.doc_id) t
+        |WHERE j >= 0.9 ORDER BY id_a, id_b""".stripMargin,
     // exact 2-shingle pairs ≥ 0.9; the Spark side computes the same
     // ratios over 64-bit shingle hashes (collision odds ~2⁻⁶⁴) and flags
     // LSH recovery — recall below 100% fails the hash match

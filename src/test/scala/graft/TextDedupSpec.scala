@@ -167,6 +167,37 @@ class TextDedupSpec extends SparkSpec {
     }
   }
 
+  test("winnowing: substring >= w+k-1 chars guarantees a shared fingerprint") {
+    import graft.dedup.Winnow
+    val k = 8; val w = 4
+    val shared = "a common run of characters long enough to span windows"
+    val d1 = "prefix one " + shared + " suffix alpha"
+    val d2 = "totally different head " + shared + " other tail"
+    val f1 = Winnow.fingerprintsLocal(d1, k, w).toSet
+    val f2 = Winnow.fingerprintsLocal(d2, k, w).toSet
+    assert(shared.length >= w + k - 1)
+    assert((f1 & f2).nonEmpty, "guaranteed shared fingerprint missing")
+    // identical docs → identical fingerprint sets
+    assert(Winnow.fingerprintsLocal(d1, k, w).sameElements(
+      Winnow.fingerprintsLocal(d1, k, w)))
+    // disjoint alphabets → disjoint fingerprints
+    val fA = Winnow.fingerprintsLocal("aaaa bbbb cccc dddd eeee", k, w).toSet
+    val fB = Winnow.fingerprintsLocal("zzzz yyyy xxxx wwww vvvv", k, w).toSet
+    assert((fA & fB).isEmpty)
+    // short text degenerates to a single whole-string hash
+    assert(Winnow.fingerprintsLocal("tiny", k, w).length == 1)
+  }
+
+  test("q89 winnow gate: every exact >=0.9 pair shares a fingerprint") {
+    val rows = TextQueries.winnowRecallBound(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Boolean]("shares_fp"),
+        s"pair (${r.getAs[Long]("id_a")}, ${r.getAs[Long]("id_b")}) " +
+          "shares no winnow fingerprint")
+    }
+  }
+
   test("simhash: identical docs → distance 0; unrelated docs far") {
     import spark.implicits._
     val df = Seq(
