@@ -166,6 +166,24 @@ object TextQueries {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** Edit-distance dedup surface: exact Levenshtein distance on the
+    * near-duplicate pair list (both engines implement the standard
+    * dynamic-programming distance, so the oracle matches VALUES, not a
+    * pinned boolean). At scale the candidate pairs come from LSH; the
+    * O(len²) distance runs only on those few pairs — never all-pairs. */
+  def editDistancePairs(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val exact = MinHash.jaccardThresholdPairs(d, "doc_id", "text",
+      shingleN = 2, minJ = 0.9)
+    val texts = d.select(col("doc_id"), col("text"))
+    exact
+      .join(texts.select(col("doc_id").as("id_a"), col("text").as("t_a")), "id_a")
+      .join(texts.select(col("doc_id").as("id_b"), col("text").as("t_b")), "id_b")
+      .select(col("id_a"), col("id_b"), col("jaccard"),
+        levenshtein(col("t_a"), col("t_b")).as("edit_dist"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
   /** Global vocabulary frequency via explode (the Generator/UDTF surface):
     * top-50 tokens. At scale: map-side partial counts absorb the token
     * explosion before the shuffle. */
@@ -222,6 +240,7 @@ object TextQueries {
     "q59_clean_pipeline"      -> (cleanPipeline _),
     "q85_lsh_recall_bound"    -> (lshRecallBound _),
     "q89_winnow_recall_bound" -> (winnowRecallBound _),
+    "q90_editdist_pairs"      -> (editDistancePairs _),
     "q65_top_tokens"          -> (topTokens _),
     "q66_top_bigrams"         -> (topBigrams _),
     "q67_top_trigrams"        -> (topTrigrams _)
@@ -313,6 +332,25 @@ object TextQueries {
         |       count(*) AS n_docs, min(doc_id) AS canonical_doc
         |FROM documents
         |GROUP BY vocab_fp HAVING count(*) > 1 ORDER BY vocab_fp""".stripMargin,
+    // exact VALUE oracle: DuckDB's levenshtein == Spark's levenshtein
+    // (standard unit-cost edit distance) on the same exact pair list
+    "q90_editdist_pairs" ->
+      """WITH w AS (SELECT doc_id, text,
+        |  CASE WHEN len(ws) >= 2
+        |   THEN list_distinct(list_transform(range(1, len(ws)),
+        |                                     i -> ws[i] || ' ' || ws[i+1]))
+        |   ELSE [array_to_string(ws, ' ')] END AS sh
+        |  FROM (SELECT doc_id, text,
+        |               string_split_regex(trim(text), '\s+') AS ws
+        |        FROM documents))
+        |SELECT id_a, id_b, round(j, 6) AS jaccard,
+        |       CAST(levenshtein(t_a, t_b) AS INT) AS edit_dist FROM (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |         a.text AS t_a, b.text AS t_b,
+        |         CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+        |           (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS j
+        |  FROM w a JOIN w b ON a.doc_id < b.doc_id) t
+        |WHERE j >= 0.9 ORDER BY id_a, id_b""".stripMargin,
     // same exact pair list as q85; the winnow-sharing flag is pinned true
     "q89_winnow_recall_bound" ->
       """WITH w AS (SELECT doc_id,
