@@ -25,7 +25,8 @@ object SparkEntry {
     (graft.queries.MultimodalQueries.all, graft.queries.MultimodalQueries.oracles),
     (graft.queries.ClvQueries.all, graft.queries.ClvQueries.oracles),
     (graft.queries.TextQueries.all, graft.queries.TextQueries.oracles),
-    (graft.queries.VectorQueries.all, graft.queries.VectorQueries.oracles)
+    (graft.queries.VectorQueries.all, graft.queries.VectorQueries.oracles),
+    (graft.queries.LakeQueries.all, graft.queries.LakeQueries.oracles)
   )
 
   /** One entry per implemented operator from SURVEY.md §2. */
