@@ -102,14 +102,20 @@ object MinHash {
           rIdx += 1
         }
         val sh = if (w == raw.length) raw else java.util.Arrays.copyOf(raw, w)
+        // hoist the mod-P reduction of each shingle hash out of the
+        // permutation loop (it is identical for every j) — bit-identical
+        // signatures, k× fewer floorMods in the hot path
+        val hm = new Array[Long](sh.length)
+        var m0 = 0
+        while (m0 < sh.length) { hm(m0) = math.floorMod(sh(m0), P); m0 += 1 }
         val sig = new Array[Long](k)
         var j = 0
         while (j < k) {
           val (a, b) = sd(j)
           var best = Long.MaxValue
           var m = 0
-          while (m < sh.length) {
-            val v = math.floorMod(a * math.floorMod(sh(m), P) + b, P)
+          while (m < hm.length) {
+            val v = math.floorMod(a * hm(m) + b, P)
             if (v < best) best = v
             m += 1
           }

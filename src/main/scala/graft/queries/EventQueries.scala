@@ -98,8 +98,64 @@ object EventQueries {
       .orderBy(col("event_id"))
   }
 
+  /** Structured Streaming under the oracle gate: stream the events
+    * parquet through the watermarked hourly aggregation
+    * ([[graft.streaming.EventStreams.hourlyStats]], append mode) and
+    * return the FINALIZED windows — those whose end the 10-minute
+    * watermark passed. The oracle replays the watermark rule in SQL:
+    * window_end ≤ max(ts) − 10 min. Deterministic: one file batch, then
+    * the watermark-advance batch flushes eligible state.
+    *
+    * Scale note: this is the production shape — bounded state (windows
+    * at or behind the horizon are emitted and evicted), hash-partitioned
+    * by group key across executors; a replayed history gives the same
+    * answer as the batch query restricted to closed windows. */
+  def streamHourlyFinalized(s: SparkSession, dir: String): DataFrame = {
+    import graft.streaming.EventStreams
+    // same nanos→micros shim as Tables.load, applied on the stream read
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val path = s"$dir/events.parquet"
+    val rawSchema = s.read.parquet(path).schema
+    // FileStreamSource requires a directory — stage the single source
+    // file into a per-run temp dir (streaming "landing zone" shape)
+    val stage = java.nio.file.Files.createTempDirectory("graft_q92_src")
+    val emitted =
+      try {
+        java.nio.file.Files.copy(java.nio.file.Paths.get(path),
+          stage.resolve("events.parquet"))
+        val streamed = s.readStream.schema(rawSchema).parquet(stage.toString)
+          .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        val sink = "q92_sink_" +
+          java.util.UUID.randomUUID().toString.replace("-", "")
+        val rows = EventStreams.runToMemory(
+            s, EventStreams.hourlyStats(streamed), sink)
+          .select(Tables.isoTs(col("hour_start")).as("hour_start"),
+            col("event_type"), col("n"), col("total_value"))
+          .collect()
+        s.catalog.dropTempView(sink)
+        rows
+      } finally {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(stage).iterator().asScala.toSeq.reverse
+          .foreach(f => java.nio.file.Files.deleteIfExists(f))
+      }
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("hour_start",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("event_type",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("n",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("total_value",
+        org.apache.spark.sql.types.DoubleType)))
+    s.createDataFrame(
+        new java.util.ArrayList(java.util.Arrays.asList(emitted: _*)), schema)
+      .orderBy(col("hour_start"), col("event_type"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q28_asof_last_order"    -> (asofLastOrder _),
+    "q92_stream_hourly"      -> (streamHourlyFinalized _),
     "q40_hourly_event_stats" -> (hourlyEventStats _),
     "q41_user_sessions"      -> (userSessions _),
     "q42_props_key_stats"    -> (propsKeyStats _),
@@ -111,6 +167,18 @@ object EventQueries {
     "CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)"
 
   val oracles: Map[String, String] = Map(
+    // the watermark rule replayed in SQL: a window is finalized when its
+    // end is at or behind max(event time) − the 10-minute delay
+    "q92_stream_hourly" ->
+      s"""WITH m AS (SELECT max(ts) AS mx FROM events),
+         |w AS (SELECT date_trunc('hour', ts) AS hs, event_type,
+         |             count(*) AS n, $SumVal AS total_value
+         |      FROM events GROUP BY hs, event_type)
+         |SELECT strftime(hs, '%Y-%m-%d %H:%M:%S') AS hour_start,
+         |       event_type, n, total_value
+         |FROM w, m
+         |WHERE hs + INTERVAL 1 HOUR <= mx - INTERVAL 10 MINUTE
+         |ORDER BY hour_start, event_type""".stripMargin,
     "q28_asof_last_order" ->
       """SELECT event_id, user_id,
         |       strftime(o_orderdate, '%Y-%m-%d') AS last_order_date,
