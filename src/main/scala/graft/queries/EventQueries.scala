@@ -153,9 +153,67 @@ object EventQueries {
       .orderBy(col("hour_start"), col("event_type"))
   }
 
+  /** The custom stateful sessionizer
+    * ([[graft.streaming.EventStreams.statefulSessions]] —
+    * flatMapGroupsWithState with a merge-correct interval list) under
+    * the oracle gate: stream the events file, emit sessions the
+    * 30-minute watermark has closed, and let DuckDB rebuild the same
+    * sessions with gaps-and-islands SQL at the operator's OWN clock
+    * precision (milliseconds — `Timestamp.getTime`), keeping the merge
+    * rule and the closure rule (session_end ≤ max(ts) − 30 min)
+    * bit-compatible. Money totals are exact cents on both sides. */
+  def streamStatefulSessions(s: SparkSession, dir: String): DataFrame = {
+    import graft.streaming.{Event, EventStreams}
+    import s.implicits._
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val path = s"$dir/events.parquet"
+    val rawSchema = s.read.parquet(path).schema
+    val stage = java.nio.file.Files.createTempDirectory("graft_q94_src")
+    val emitted =
+      try {
+        java.nio.file.Files.copy(java.nio.file.Paths.get(path),
+          stage.resolve("events.parquet"))
+        val streamed = s.readStream.schema(rawSchema).parquet(stage.toString)
+          .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+          .select(col("event_id"), col("ts"), col("user_id"),
+            col("event_type"), col("value"))
+          .as[Event]
+        val sink = "q94_sink_" +
+          java.util.UUID.randomUUID().toString.replace("-", "")
+        val rows = EventStreams.runToMemory(
+            s, EventStreams.statefulSessions(streamed).toDF(), sink)
+          .select(col("user_id"),
+            Tables.isoTs(col("session_start")).as("session_start"),
+            Tables.isoTs(col("session_end")).as("session_end"),
+            col("n_events"), col("total_value"))
+          .collect()
+        s.catalog.dropTempView(sink)
+        rows
+      } finally {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(stage).iterator().asScala.toSeq.reverse
+          .foreach(f => java.nio.file.Files.deleteIfExists(f))
+      }
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("user_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("session_start",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("session_end",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("n_events",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("total_value",
+        org.apache.spark.sql.types.DoubleType)))
+    s.createDataFrame(
+        new java.util.ArrayList(java.util.Arrays.asList(emitted: _*)), schema)
+      .orderBy(col("user_id"), col("session_start"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q28_asof_last_order"    -> (asofLastOrder _),
     "q92_stream_hourly"      -> (streamHourlyFinalized _),
+    "q94_stream_sessions"    -> (streamStatefulSessions _),
     "q40_hourly_event_stats" -> (hourlyEventStats _),
     "q41_user_sessions"      -> (userSessions _),
     "q42_props_key_stats"    -> (propsKeyStats _),
@@ -179,6 +237,32 @@ object EventQueries {
          |FROM w, m
          |WHERE hs + INTERVAL 1 HOUR <= mx - INTERVAL 10 MINUTE
          |ORDER BY hour_start, event_type""".stripMargin,
+    // gaps-and-islands at the operator's ms clock; merge on gap ≤ 30 min
+    // (the interval rule), close when session_end ≤ watermark =
+    // floor_ms(max ts) − 30 min; money as exact cents
+    "q94_stream_sessions" ->
+      s"""WITH m AS (SELECT epoch_ms(max(ts)) AS wm_base FROM events),
+         |e AS (
+         |  SELECT user_id, ts, event_id, value, epoch_ms(ts) AS tms,
+         |         epoch_ms(ts) - lag(epoch_ms(ts)) OVER (
+         |             PARTITION BY user_id ORDER BY ts, event_id) AS gap_ms
+         |  FROM events),
+         |f AS (
+         |  SELECT user_id, ts, value, tms,
+         |         SUM(CASE WHEN gap_ms IS NULL OR gap_ms > 1800000
+         |                  THEN 1 ELSE 0 END) OVER (
+         |             PARTITION BY user_id ORDER BY ts, event_id
+         |             ROWS UNBOUNDED PRECEDING) AS sid
+         |  FROM e)
+         |SELECT user_id,
+         |       strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+         |       strftime(make_timestamp((max(tms) + 1800000) * 1000),
+         |                '%Y-%m-%d %H:%M:%S') AS session_end,
+         |       count(*) AS n_events, $SumVal AS total_value
+         |FROM f, m
+         |GROUP BY user_id, sid, wm_base
+         |HAVING max(tms) + 1800000 <= wm_base - 1800000
+         |ORDER BY user_id, session_start""".stripMargin,
     "q28_asof_last_order" ->
       """SELECT event_id, user_id,
         |       strftime(o_orderdate, '%Y-%m-%d') AS last_order_date,

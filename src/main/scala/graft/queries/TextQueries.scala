@@ -184,6 +184,25 @@ object TextQueries {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** BPE-ish regex tokenizer pattern (GPT-2 shape without lookarounds so
+    * Java regex and RE2 agree): contraction suffixes, letter runs,
+    * 1-3-digit number chunks, punctuation runs. */
+  val BpePattern: String =
+    "'(?:s|t|re|ve|m|ll|d)|[A-Za-z]+|[0-9]{1,3}|[^A-Za-z0-9\\s]+"
+
+  /** Token counting, BPE-regex flavor (vs q50's whitespace counts): the
+    * pretraining-cost estimator. Both engines run the same
+    * lookaround-free pattern, so counts match exactly. */
+  def bpeTokenStats(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(size(regexp_extract_all(col("text"), lit(BpePattern), lit(0)))
+          .cast("long")).as("total_bpe_tokens"),
+        sum(tokenCount(col("text")).cast("long")).as("total_ws_tokens"))
+      .orderBy(col("source"))
+
   /** Global vocabulary frequency via explode (the Generator/UDTF surface):
     * top-50 tokens. At scale: map-side partial counts absorb the token
     * explosion before the shuffle. */
@@ -241,6 +260,7 @@ object TextQueries {
     "q85_lsh_recall_bound"    -> (lshRecallBound _),
     "q89_winnow_recall_bound" -> (winnowRecallBound _),
     "q90_editdist_pairs"      -> (editDistancePairs _),
+    "q93_bpe_token_stats"     -> (bpeTokenStats _),
     "q65_top_tokens"          -> (topTokens _),
     "q66_top_bigrams"         -> (topBigrams _),
     "q67_top_trigrams"        -> (topTrigrams _)
@@ -332,6 +352,15 @@ object TextQueries {
         |       count(*) AS n_docs, min(doc_id) AS canonical_doc
         |FROM documents
         |GROUP BY vocab_fp HAVING count(*) > 1 ORDER BY vocab_fp""".stripMargin,
+    // same lookaround-free pattern in both engines; exact value match
+    "q93_bpe_token_stats" ->
+      """SELECT source, count(*) AS n_docs,
+        |  CAST(SUM(len(regexp_extract_all(text,
+        |    '''(?:s|t|re|ve|m|ll|d)|[A-Za-z]+|[0-9]{1,3}|[^A-Za-z0-9\s]+')))
+        |    AS BIGINT) AS total_bpe_tokens,
+        |  CAST(SUM(len(string_split_regex(trim(text), '\s+'))) AS BIGINT)
+        |    AS total_ws_tokens
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
     // exact VALUE oracle: DuckDB's levenshtein == Spark's levenshtein
     // (standard unit-cost edit distance) on the same exact pair list
     "q90_editdist_pairs" ->

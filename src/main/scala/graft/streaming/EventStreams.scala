@@ -23,8 +23,10 @@ final case class Session(
     n_events: Long,
     total_value: Double)
 
+// money is carried as exact integer cents so the emitted total is
+// independent of merge order and equals a decimal-summing oracle
 private final case class SessionInterval(
-    start: Long, last: Long, n: Long, total: Double)
+    start: Long, last: Long, n: Long, totalCents: Long)
 
 private final case class SessionState(sessions: List[SessionInterval])
 
@@ -89,7 +91,7 @@ object EventStreams {
         .foldLeft(List.empty[SessionInterval]) {
           case (prev :: rest, cur) if cur.start <= prev.last + GapMs =>
             SessionInterval(prev.start, math.max(prev.last, cur.last),
-              prev.n + cur.n, prev.total + cur.total) :: rest
+              prev.n + cur.n, prev.totalCents + cur.totalCents) :: rest
           case (acc, cur) => cur :: acc
         }.reverse
 
@@ -97,7 +99,8 @@ object EventStreams {
            state: GroupState[SessionState]): Iterator[Session] = {
       val existing = state.getOption.map(_.sessions).getOrElse(Nil)
       val incoming = rows.toList.map(e =>
-        SessionInterval(e.ts.getTime, e.ts.getTime, 1, e.value))
+        SessionInterval(e.ts.getTime, e.ts.getTime, 1,
+          math.round(e.value * 100)))
       val merged = normalize(existing ++ incoming)
       val watermark = state.getCurrentWatermarkMs()
       val (closed, open) = merged.partition(_.last + GapMs <= watermark)
@@ -108,7 +111,7 @@ object EventStreams {
       }
       closed.sortBy(_.start).iterator.map(i =>
         Session(userId, new Timestamp(i.start),
-          new Timestamp(i.last + GapMs), i.n, i.total))
+          new Timestamp(i.last + GapMs), i.n, i.totalCents / 100.0))
     }
 
     events
