@@ -41,12 +41,8 @@ object MinHash {
         math.floorMod(splitmix64(2L * i + 2), P))
     }
 
-  private def splitmix64(seed: Long): Long = {
-    var z = seed + 0x9e3779b97f4a7c15L
-    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
-    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
-    z ^ (z >>> 31)
-  }
+  private def splitmix64(seed: Long): Long =
+    graft.functions.Hash64.splitmix64(seed)
 
   /** MinHash signature (array<long>, length k) over a shingle array. */
   def signature(shingles: Column, k: Int): Column = {
@@ -139,11 +135,8 @@ object MinHash {
                       shingleN: Int, k: Int): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val sets: Array[(Long, Array[Long])] =
-      signatureDataset(docs, idCol, textCol, shingleN, 1)
-        .select(col("id"), col("sh")).as[(Long, Array[Long])]
-        .collect().sortBy(_._1)
-    val bc = spark.sparkContext.broadcast(sets)
+    val bc = spark.sparkContext.broadcast(
+      collectShingleSets(docs, idCol, textCol, shingleN))
     // total order for "better": higher j, then smaller ids
     implicit val ord: Ordering[(Double, Long, Long)] =
       Ordering.fromLessThan[(Double, Long, Long)] { (p, q) =>
@@ -164,47 +157,21 @@ object MinHash {
         while (j < all.length) {
           val (rid, b) = all(j)
           // once the heap is full, a pair can only enter with
-          // jac ≥ heap-min — that needs intersection ≥ needInter
-          // (jac = m/(|a|+|b|−m) is monotone in m); pairs that cannot
-          // reach it are skipped before/while merging, and the merge
-          // aborts as soon as the remaining elements can't reach it.
-          // Ties at exactly heap-min still merge fully, so id-tiebreak
-          // ordering is preserved and the result is unchanged.
+          // jac ≥ heap-min — prune with the shared threshold machinery
           val union0 = a.length + b.length
           val needInter =
             if (heap.size < k) 0
+            else needIntersection(heap.head._1, union0)
+          val inter = prunedIntersection(a, b, needInter)
+          if (inter >= 0) {
+            val jac = inter.toDouble / (union0 - inter)
+            if (heap.size < k) heap.enqueue((jac, lid, rid))
             else {
-              val hj = heap.head._1
-              // 1e-9 slack: the exact threshold is a ratio of small
-              // ints; double rounding can land an ulp ABOVE an integer
-              // (e.g. 1.0000000000000002) and ceil would then prune a
-              // pair tied exactly at heap-min that should win its id
-              // tiebreak. The slack is far larger than the ~1e-11
-              // arithmetic error and far smaller than the ~1e-5 gap
-              // between distinct small-int ratios, so pruning stays
-              // tight and never drops a tie.
-              math.ceil(hj * union0 / (1.0 + hj) - 1e-9).toInt
-            }
-          if (math.min(a.length, b.length) >= needInter) {
-            var i = 0; var jj = 0; var inter = 0
-            var live = true
-            while (live && i < a.length && jj < b.length) {
-              if (a(i) == b(jj)) { inter += 1; i += 1; jj += 1 }
-              else if (a(i) < b(jj)) i += 1
-              else jj += 1
-              if (inter + math.min(a.length - i, b.length - jj) < needInter)
-                live = false
-            }
-            if (live || needInter == 0) {
-              val jac = inter.toDouble / (union0 - inter)
-              if (heap.size < k) heap.enqueue((jac, lid, rid))
-              else {
-                val h = heap.head
-                // primitive compare first; allocate only on admit
-                if (jac > h._1 || (jac == h._1 &&
-                    (lid < h._2 || (lid == h._2 && rid < h._3)))) {
-                  heap.dequeue(); heap.enqueue((jac, lid, rid))
-                }
+              val h = heap.head
+              // primitive compare first; allocate only on admit
+              if (jac > h._1 || (jac == h._1 &&
+                  (lid < h._2 || (lid == h._2 && rid < h._3)))) {
+                heap.dequeue(); heap.enqueue((jac, lid, rid))
               }
             }
           }
@@ -234,11 +201,8 @@ object MinHash {
                             shingleN: Int, minJ: Double): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val sets: Array[(Long, Array[Long])] =
-      signatureDataset(docs, idCol, textCol, shingleN, 1)
-        .select(col("id"), col("sh")).as[(Long, Array[Long])]
-        .collect().sortBy(_._1)
-    val bc = spark.sparkContext.broadcast(sets)
+    val bc = spark.sparkContext.broadcast(
+      collectShingleSets(docs, idCol, textCol, shingleN))
     val ids = docs.select(col(idCol).cast("long")).as[Long]
     val pairs = ids.mapPartitions { it =>
       val all = bc.value
@@ -251,23 +215,10 @@ object MinHash {
         while (j < all.length) {
           val (rid, b) = all(j)
           val union0 = a.length + b.length
-          // same 1e-9 slack as jaccardTopPairs: double rounding can land
-          // an ulp above the integer bound and wrongly prune an exact tie
-          val needInter = math.ceil(minJ * union0 / (1.0 + minJ) - 1e-9).toInt
-          if (math.min(a.length, b.length) >= needInter) {
-            var i = 0; var jj = 0; var inter = 0
-            var live = true
-            while (live && i < a.length && jj < b.length) {
-              if (a(i) == b(jj)) { inter += 1; i += 1; jj += 1 }
-              else if (a(i) < b(jj)) i += 1
-              else jj += 1
-              if (inter + math.min(a.length - i, b.length - jj) < needInter)
-                live = false
-            }
-            if (live) {
-              val jac = inter.toDouble / (union0 - inter)
-              if (jac >= minJ) out += ((lid, rid, jac))
-            }
+          val inter = prunedIntersection(a, b, needIntersection(minJ, union0))
+          if (inter >= 0) {
+            val jac = inter.toDouble / (union0 - inter)
+            if (jac >= minJ) out += ((lid, rid, jac))
           }
           j += 1
         }
@@ -278,14 +229,43 @@ object MinHash {
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
   }
 
-  private def sortedIntersectionSize(a: Array[Long], b: Array[Long]): Int = {
-    var i = 0; var j = 0; var n = 0
+  /** Collected, id-sorted (id, sorted-distinct shingle-hash set) array —
+    * the broadcast side of the exact pair scans. */
+  private def collectShingleSets(docs: DataFrame, idCol: String,
+                                 textCol: String, shingleN: Int)
+      : Array[(Long, Array[Long])] = {
+    import docs.sparkSession.implicits._
+    signatureDataset(docs, idCol, textCol, shingleN, 1)
+      .select(col("id"), col("sh")).as[(Long, Array[Long])]
+      .collect().sortBy(_._1)
+  }
+
+  /** Minimal intersection size for jac ≥ minJ at a given size-sum
+    * (jac = m/(union0−m) is monotone in m). 1e-9 slack: the exact
+    * threshold is a ratio of small ints; double rounding can land an ulp
+    * ABOVE an integer and ceil would then prune a pair tied exactly at
+    * the threshold that should survive. The slack is far larger than the
+    * ~1e-11 arithmetic error and far smaller than the ~1e-5 gap between
+    * distinct small-int ratios, so pruning stays tight and never drops
+    * a tie. */
+  private def needIntersection(minJ: Double, union0: Int): Int =
+    math.ceil(minJ * union0 / (1.0 + minJ) - 1e-9).toInt
+
+  /** Sorted-merge intersection size, or −1 as soon as the remaining
+    * elements cannot reach `needInter` (0 never aborts). Ties exactly at
+    * `needInter` complete fully, so threshold/tiebreak semantics of the
+    * callers are unaffected by the pruning. */
+  private def prunedIntersection(a: Array[Long], b: Array[Long],
+                                 needInter: Int): Int = {
+    if (math.min(a.length, b.length) < needInter) return -1
+    var i = 0; var j = 0; var inter = 0
     while (i < a.length && j < b.length) {
-      if (a(i) == b(j)) { n += 1; i += 1; j += 1 }
+      if (a(i) == b(j)) { inter += 1; i += 1; j += 1 }
       else if (a(i) < b(j)) i += 1
       else j += 1
+      if (inter + math.min(a.length - i, b.length - j) < needInter) return -1
     }
-    n
+    inter
   }
 
   /** Candidate near-duplicate pairs via banded LSH + exact verification.

@@ -71,12 +71,8 @@ object Winnow {
 
   /** Mix the raw polynomial value so window minima are uniformly
     * distributed (raw poly hashes of similar strings cluster). */
-  private def finalize64(x: Long): Long = {
-    var z = x + 0x9e3779b97f4a7c15L
-    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
-    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
-    z ^ (z >>> 31)
-  }
+  private def finalize64(x: Long): Long =
+    graft.functions.Hash64.splitmix64(x)
 
   private def polyHash(s: String, from: Int, until: Int): Long = {
     var h = 0L
@@ -102,7 +98,10 @@ object Winnow {
     * pairs regardless of how common the k-grams are. */
   def sharesFingerprint(docs: DataFrame, idCol: String, textCol: String,
                         pairs: DataFrame, k: Int = 8, w: Int = 4): DataFrame = {
+    // persisted: the fingerprint frame feeds both sides of the pair
+    // join — without it the whole-corpus rolling-hash scan runs twice
     val fps = fingerprintDataset(docs, idCol, textCol, k, w)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     pairs
       .join(fps.select(col("id").as("id_a"), col("fps").as("fps_a")), "id_a")
       .join(fps.select(col("id").as("id_b"), col("fps").as("fps_b")), "id_b")

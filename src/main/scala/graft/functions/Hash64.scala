@@ -22,6 +22,23 @@ object Hash64 {
   /** Spark's xxhash64 seed for column hashing. */
   final val SparkSeed = 42L
 
+  /** splitmix64's golden-ratio increment. */
+  final val Golden = 0x9e3779b97f4a7c15L
+
+  /** The splitmix64 avalanche finalizer (Steele et al.) — the single
+    * shared implementation behind every derived-seed / fingerprint-mix
+    * use in the library (MinHash permutation seeds, winnow fingerprint
+    * finalization, hyperplane generation). */
+  @inline def mix64(x: Long): Long = {
+    var z = x
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  /** One splitmix64 draw for a given seed: mix64(seed + Golden). */
+  @inline def splitmix64(seed: Long): Long = mix64(seed + Golden)
+
   /** xxhash64 of a string's UTF-8 bytes with Spark's seed — matches
     * `functions.xxhash64(col)` on a StringType column. */
   def xxhash64String(s: String): Long =

@@ -98,6 +98,35 @@ object EventQueries {
       .orderBy(col("event_id"))
   }
 
+  /** Shared scaffold for the streaming-under-oracle queries: stage the
+    * events parquet into a temp landing dir (FileStreamSource requires a
+    * directory), apply the nanos→micros shim, run `transform` to a
+    * memory sink, materialize `select`'s rows, and rebuild a local
+    * DataFrame that owns its data (the staging dir and sink view are
+    * gone by the time the caller's frame is consumed). */
+  private def runStagedEventStream(s: SparkSession, dir: String,
+                                   sinkPrefix: String)(
+      transform: DataFrame => DataFrame)(
+      select: DataFrame => DataFrame): DataFrame = {
+    import graft.streaming.EventStreams
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val path = s"$dir/events.parquet"
+    val rawSchema = s.read.parquet(path).schema
+    val (rows, schema) =
+      graft.util.Tmp.withStagedFile(sinkPrefix + "src", path) { stage =>
+        val streamed = s.readStream.schema(rawSchema).parquet(stage.toString)
+          .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        val sink = sinkPrefix +
+          java.util.UUID.randomUUID().toString.replace("-", "")
+        val sel = select(EventStreams.runToMemory(s, transform(streamed), sink))
+        val out = (sel.collect(), sel.schema)
+        s.catalog.dropTempView(sink)
+        out
+      }
+    s.createDataFrame(
+      new java.util.ArrayList(java.util.Arrays.asList(rows: _*)), schema)
+  }
+
   /** Structured Streaming under the oracle gate: stream the events
     * parquet through the watermarked hourly aggregation
     * ([[graft.streaming.EventStreams.hourlyStats]], append mode) and
@@ -110,48 +139,12 @@ object EventQueries {
     * at or behind the horizon are emitted and evicted), hash-partitioned
     * by group key across executors; a replayed history gives the same
     * answer as the batch query restricted to closed windows. */
-  def streamHourlyFinalized(s: SparkSession, dir: String): DataFrame = {
-    import graft.streaming.EventStreams
-    // same nanos→micros shim as Tables.load, applied on the stream read
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val path = s"$dir/events.parquet"
-    val rawSchema = s.read.parquet(path).schema
-    // FileStreamSource requires a directory — stage the single source
-    // file into a per-run temp dir (streaming "landing zone" shape)
-    val stage = java.nio.file.Files.createTempDirectory("graft_q92_src")
-    val emitted =
-      try {
-        java.nio.file.Files.copy(java.nio.file.Paths.get(path),
-          stage.resolve("events.parquet"))
-        val streamed = s.readStream.schema(rawSchema).parquet(stage.toString)
-          .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-        val sink = "q92_sink_" +
-          java.util.UUID.randomUUID().toString.replace("-", "")
-        val rows = EventStreams.runToMemory(
-            s, EventStreams.hourlyStats(streamed), sink)
-          .select(Tables.isoTs(col("hour_start")).as("hour_start"),
-            col("event_type"), col("n"), col("total_value"))
-          .collect()
-        s.catalog.dropTempView(sink)
-        rows
-      } finally {
-        import scala.jdk.CollectionConverters._
-        java.nio.file.Files.walk(stage).iterator().asScala.toSeq.reverse
-          .foreach(f => java.nio.file.Files.deleteIfExists(f))
-      }
-    val schema = org.apache.spark.sql.types.StructType(Seq(
-      org.apache.spark.sql.types.StructField("hour_start",
-        org.apache.spark.sql.types.StringType),
-      org.apache.spark.sql.types.StructField("event_type",
-        org.apache.spark.sql.types.StringType),
-      org.apache.spark.sql.types.StructField("n",
-        org.apache.spark.sql.types.LongType),
-      org.apache.spark.sql.types.StructField("total_value",
-        org.apache.spark.sql.types.DoubleType)))
-    s.createDataFrame(
-        new java.util.ArrayList(java.util.Arrays.asList(emitted: _*)), schema)
+  def streamHourlyFinalized(s: SparkSession, dir: String): DataFrame =
+    runStagedEventStream(s, dir, "q92_sink_")(
+      graft.streaming.EventStreams.hourlyStats)(
+      _.select(Tables.isoTs(col("hour_start")).as("hour_start"),
+        col("event_type"), col("n"), col("total_value")))
       .orderBy(col("hour_start"), col("event_type"))
-  }
 
   /** The custom stateful sessionizer
     * ([[graft.streaming.EventStreams.statefulSessions]] —
@@ -160,53 +153,20 @@ object EventQueries {
     * 30-minute watermark has closed, and let DuckDB rebuild the same
     * sessions with gaps-and-islands SQL at the operator's OWN clock
     * precision (milliseconds — `Timestamp.getTime`), keeping the merge
-    * rule and the closure rule (session_end ≤ max(ts) − 30 min)
+    * rule and the closure rule (session_end STRICTLY before
+    * max(ts) − 30 min, matching Spark's strict timeout firing)
     * bit-compatible. Money totals are exact cents on both sides. */
   def streamStatefulSessions(s: SparkSession, dir: String): DataFrame = {
     import graft.streaming.{Event, EventStreams}
     import s.implicits._
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val path = s"$dir/events.parquet"
-    val rawSchema = s.read.parquet(path).schema
-    val stage = java.nio.file.Files.createTempDirectory("graft_q94_src")
-    val emitted =
-      try {
-        java.nio.file.Files.copy(java.nio.file.Paths.get(path),
-          stage.resolve("events.parquet"))
-        val streamed = s.readStream.schema(rawSchema).parquet(stage.toString)
-          .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-          .select(col("event_id"), col("ts"), col("user_id"),
-            col("event_type"), col("value"))
-          .as[Event]
-        val sink = "q94_sink_" +
-          java.util.UUID.randomUUID().toString.replace("-", "")
-        val rows = EventStreams.runToMemory(
-            s, EventStreams.statefulSessions(streamed).toDF(), sink)
-          .select(col("user_id"),
-            Tables.isoTs(col("session_start")).as("session_start"),
-            Tables.isoTs(col("session_end")).as("session_end"),
-            col("n_events"), col("total_value"))
-          .collect()
-        s.catalog.dropTempView(sink)
-        rows
-      } finally {
-        import scala.jdk.CollectionConverters._
-        java.nio.file.Files.walk(stage).iterator().asScala.toSeq.reverse
-          .foreach(f => java.nio.file.Files.deleteIfExists(f))
-      }
-    val schema = org.apache.spark.sql.types.StructType(Seq(
-      org.apache.spark.sql.types.StructField("user_id",
-        org.apache.spark.sql.types.LongType),
-      org.apache.spark.sql.types.StructField("session_start",
-        org.apache.spark.sql.types.StringType),
-      org.apache.spark.sql.types.StructField("session_end",
-        org.apache.spark.sql.types.StringType),
-      org.apache.spark.sql.types.StructField("n_events",
-        org.apache.spark.sql.types.LongType),
-      org.apache.spark.sql.types.StructField("total_value",
-        org.apache.spark.sql.types.DoubleType)))
-    s.createDataFrame(
-        new java.util.ArrayList(java.util.Arrays.asList(emitted: _*)), schema)
+    runStagedEventStream(s, dir, "q94_sink_")(streamed =>
+      EventStreams.statefulSessions(
+        streamed.select(col("event_id"), col("ts"), col("user_id"),
+          col("event_type"), col("value")).as[Event]).toDF())(
+      _.select(col("user_id"),
+        Tables.isoTs(col("session_start")).as("session_start"),
+        Tables.isoTs(col("session_end")).as("session_end"),
+        col("n_events"), col("total_value")))
       .orderBy(col("user_id"), col("session_start"))
   }
 
@@ -238,8 +198,9 @@ object EventQueries {
          |WHERE hs + INTERVAL 1 HOUR <= mx - INTERVAL 10 MINUTE
          |ORDER BY hour_start, event_type""".stripMargin,
     // gaps-and-islands at the operator's ms clock; merge on gap ≤ 30 min
-    // (the interval rule), close when session_end ≤ watermark =
-    // floor_ms(max ts) − 30 min; money as exact cents
+    // (the interval rule), close when session_end < watermark =
+    // floor_ms(max ts) − 30 min (strict, matching Spark's timeout
+    // firing); money as exact cents
     "q94_stream_sessions" ->
       s"""WITH m AS (SELECT epoch_ms(max(ts)) AS wm_base FROM events),
          |e AS (
@@ -261,7 +222,7 @@ object EventQueries {
          |       count(*) AS n_events, $SumVal AS total_value
          |FROM f, m
          |GROUP BY user_id, sid, wm_base
-         |HAVING max(tms) + 1800000 <= wm_base - 1800000
+         |HAVING max(tms) + 1800000 < wm_base - 1800000
          |ORDER BY user_id, session_start""".stripMargin,
     "q28_asof_last_order" ->
       """SELECT event_id, user_id,

@@ -122,9 +122,9 @@ object ExtAggQueries {
     * the key space. */
   def cmsHeavyHitters(s: SparkSession, dir: String): DataFrame = {
     val li = Tables.load(s, dir, "lineitem")
-    val n = li.count()
     val cms = li.stat.countMinSketch(col("l_suppkey"), 1e-4, 0.99, 42)
-    val slack = math.ceil(2 * 1e-4 * n).toLong
+    // the sketch already carries N — no separate count() scan
+    val slack = math.ceil(2 * 1e-4 * cms.totalCount()).toLong
     val bc = s.sparkContext.broadcast(cms)
     import s.implicits._
     li.groupBy(col("l_suppkey").as("suppkey"))

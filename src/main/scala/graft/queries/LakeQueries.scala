@@ -19,34 +19,27 @@ object LakeQueries {
     * cleanup so the returned frame owns its data. */
   def lakeVersionCounts(s: SparkSession, dir: String): DataFrame = {
     val orders = graft.Tables.load(s, dir, "orders")
-    val root = java.nio.file.Files
-      .createTempDirectory("graft_lake_q91").toString
-    val counts =
-      try {
-        // v1: snapshot of pre-2000 orders
-        LakeTable.create(s, root,
-          orders.filter(to_date(col("o_orderdate")) < lit("2000-01-01")))
-        // v2: append the rest — full table
-        LakeTable.append(s, root,
-          orders.filter(to_date(col("o_orderdate")) >= lit("2000-01-01")))
-        // v3: DELETE WHERE status = 'F' (TRUE-only removal)
-        LakeTable.deleteWhere(s, root, col("o_orderstatus") === "F")
-        // v4: MERGE of rows with shifted keys — pure inserts (no real
-        // o_orderkey reaches 10⁹ at any test SF)
-        LakeTable.merge(s, root,
-          orders.filter(col("o_custkey") % 97 === 0)
-            .withColumn("o_orderkey", col("o_orderkey") + lit(1000000000L)),
-          "o_orderkey")
-        LakeTable.versions(s, root).sorted.zipWithIndex.map {
-          case (v, i) =>
-            ((i + 1).toLong, LakeTable.read(s, root, Some(v)).count())
-        }
-      } finally {
-        import scala.jdk.CollectionConverters._
-        val p = java.nio.file.Paths.get(root)
-        java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
-          .foreach(f => java.nio.file.Files.deleteIfExists(f))
+    val counts = graft.util.Tmp.withTempDir("graft_lake_q91") { rootPath =>
+      val root = rootPath.toString
+      // v1: snapshot of pre-2000 orders
+      LakeTable.create(s, root,
+        orders.filter(to_date(col("o_orderdate")) < lit("2000-01-01")))
+      // v2: append the rest — full table
+      LakeTable.append(s, root,
+        orders.filter(to_date(col("o_orderdate")) >= lit("2000-01-01")))
+      // v3: DELETE WHERE status = 'F' (TRUE-only removal)
+      LakeTable.deleteWhere(s, root, col("o_orderstatus") === "F")
+      // v4: MERGE of rows with shifted keys — pure inserts (no real
+      // o_orderkey reaches 10⁹ at any test SF)
+      LakeTable.merge(s, root,
+        orders.filter(col("o_custkey") % 97 === 0)
+          .withColumn("o_orderkey", col("o_orderkey") + lit(1000000000L)),
+        "o_orderkey")
+      LakeTable.versions(s, root).sorted.zipWithIndex.map {
+        case (v, i) =>
+          ((i + 1).toLong, LakeTable.read(s, root, Some(v)).count())
       }
+    }
     import s.implicits._
     counts.toDF("version_ord", "n_rows").orderBy(col("version_ord"))
   }

@@ -103,7 +103,12 @@ object EventStreams {
           math.round(e.value * 100)))
       val merged = normalize(existing ++ incoming)
       val watermark = state.getCurrentWatermarkMs()
-      val (closed, open) = merged.partition(_.last + GapMs <= watermark)
+      // STRICT <: Spark invokes the timeout path only for states whose
+      // timeoutTimestamp < watermark (equality does NOT fire), so a
+      // session closing exactly at the watermark would sit in state
+      // unvisited — the emission rule must match or such a session is
+      // claimed closed by an <= rule yet never emitted
+      val (closed, open) = merged.partition(_.last + GapMs < watermark)
       if (open.isEmpty) state.remove()
       else {
         state.update(SessionState(open))

@@ -54,13 +54,11 @@ object VectorFunctions {
   /** Deterministic pseudo-random hyperplanes (splitmix64-seeded, values
     * in [-1,1]) for the sign-bit coarse quantizer. */
   private def hyperplanes(nPlanes: Int, dim: Int): Array[Array[Double]] = {
-    var state = 0x9e3779b97f4a7c15L
+    import graft.functions.Hash64
+    var state = Hash64.Golden
     def next(): Double = {
-      state += 0x9e3779b97f4a7c15L
-      var z = state
-      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
-      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
-      z = z ^ (z >>> 31)
+      state += Hash64.Golden
+      val z = Hash64.mix64(state)
       (z >>> 11) * (1.0 / (1L << 53)) * 2.0 - 1.0
     }
     Array.fill(nPlanes, dim)(next())
