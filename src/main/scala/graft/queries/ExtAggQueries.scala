@@ -143,17 +143,53 @@ object ExtAggQueries {
       .orderBy(col("exact_n").desc, col("suppkey"))
   }
 
+  /** The production Bloom pattern end-to-end: build the filter over the
+    * build side's keys (year-2000 orderers), pre-filter the probe side
+    * with the broadcast sketch, then run the EXACT semi join on the
+    * survivors. No false negatives ⇒ the pre-filter provably cannot
+    * change the result, so the oracle is the plain semi join — the
+    * "scale path preserves exact semantics" statement as a hash-match.
+    * At 100 TB the pre-filter prunes the probe side before any shuffle;
+    * the exact join then touches only candidate rows. */
+  def bloomSemiJoin(s: SparkSession, dir: String): DataFrame = {
+    val orderers2000 = Tables.load(s, dir, "orders")
+      .filter(year(col("o_orderdate")) === 2000)
+      .select(col("o_custkey"))
+    val bloom = orderers2000.stat.bloomFilter("o_custkey", 4000000L, 0.01)
+    val bc = s.sparkContext.broadcast(bloom)
+    import s.implicits._
+    val cust = Tables.load(s, dir, "customer")
+    val preFiltered = cust
+      .filter(udf((k: Long) => bc.value.mightContainLong(k))
+        .apply(col("c_custkey")))
+    preFiltered
+      .join(orderers2000.distinct().withColumnRenamed("o_custkey", "c_custkey"),
+        Seq("c_custkey"), "left_semi")
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_customers"))
+      .orderBy(col("c_mktsegment"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q45_revenue_rollup"       -> (revenueRollup _),
     "q46_status_priority_cube" -> (statusPriorityCube _),
     "q87_bloom_membership"     -> (bloomMembership _),
     "q88_cms_heavy_hitters"    -> (cmsHeavyHitters _),
+    "q95_bloom_semijoin"       -> (bloomSemiJoin _),
     "q47_approx_distinct"      -> (approxDistinctParts _),
     "q34_year_status_pivot"    -> (yearStatusPivot _),
     "q35_content_sample"       -> (contentSample _)
   )
 
   val oracles: Map[String, String] = Map(
+    // plain semi join — the bloom pre-filter provably cannot change it
+    "q95_bloom_semijoin" ->
+      """SELECT c_mktsegment, count(*) AS n_customers
+        |FROM customer c
+        |SEMI JOIN (SELECT o_custkey FROM orders
+        |           WHERE year(o_orderdate) = 2000) o
+        |  ON c.c_custkey = o.o_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
     "q87_bloom_membership" ->
       """SELECT count(*) AS n_probes,
         |       true AS no_false_negatives, true AS fp_rate_ok
