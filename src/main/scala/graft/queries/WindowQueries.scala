@@ -87,7 +87,23 @@ object WindowQueries {
       .orderBy(col("quartile"))
   }
 
+  /** The custom whole-operator path (§2 extension mechanism (c)):
+    * [[graft.plans.TopKPerGroup]] — logical node + planner strategy +
+    * bounded-heap physical operator — computing top-3 orders per
+    * customer by price. Same semantics as q30's window form, but the
+    * physical plan keeps k rows per key instead of sorting every group;
+    * the oracle is the row_number() formulation. */
+  def top3PerCustomerCustomOp(s: SparkSession, dir: String): DataFrame =
+    graft.plans.TopKPerGroup.topK(
+        Tables.load(s, dir, "orders")
+          .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice")),
+        groupCols = Seq("o_custkey"),
+        orderCols = Seq(("o_totalprice", false), ("o_orderkey", true)),
+        k = 3)
+      .orderBy(col("o_custkey"), col("o_totalprice").desc, col("o_orderkey"))
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q96_topk_custom_op"       -> (top3PerCustomerCustomOp _),
     "q36_spend_quartiles"      -> (spendQuartiles _),
     "q30_top3_orders_per_cust" -> (top3OrdersPerCustomer _),
     "q31_price_delta_prev"     -> (priceDeltaPrev _),
@@ -96,6 +112,14 @@ object WindowQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q96_topk_custom_op" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |         row_number() OVER (PARTITION BY o_custkey
+        |             ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM orders) t
+        |WHERE rn <= 3
+        |ORDER BY o_custkey, o_totalprice DESC, o_orderkey""".stripMargin,
     "q36_spend_quartiles" ->
       """WITH spend AS (
         |  SELECT o_custkey,
