@@ -170,18 +170,103 @@ object ExtAggQueries {
       .orderBy(col("c_mktsegment"))
   }
 
+  /** KLL quantile sketch (the DataSketches mergeable-quantile surface,
+    * Spark 4 built-in) gated q79-style: per order status, the sketched
+    * p50/p90 of o_totalprice must land inside the exact p40–p60 /
+    * p85–p95 VALUE bands (default k=200 KLL has ~1.65% rank error at
+    * 99% confidence — the band allows 10% rank error, so the boolean is
+    * stable even though the raw estimate varies with partition merge
+    * order, which is why only booleans and exact facts are emitted). */
+  def kllQuantileGate(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "orders")
+      .groupBy(col("o_orderstatus"))
+      .agg(
+        count(lit(1)).as("n"),
+        kll_sketch_get_quantile_double(
+          kll_sketch_agg_double(col("o_totalprice")), lit(0.5)).as("est50"),
+        kll_sketch_get_quantile_double(
+          kll_sketch_agg_double(col("o_totalprice")), lit(0.9)).as("est90"),
+        expr("percentile(o_totalprice, 0.40)").as("p40"),
+        expr("percentile(o_totalprice, 0.60)").as("p60"),
+        expr("percentile(o_totalprice, 0.85)").as("p85"),
+        expr("percentile(o_totalprice, 0.95)").as("p95"))
+      .select(col("o_orderstatus"), col("n"),
+        col("est50").between(col("p40"), col("p60")).as("q50_ok"),
+        col("est90").between(col("p85"), col("p95")).as("q90_ok"))
+      .orderBy(col("o_orderstatus"))
+
+  /** Theta sketch set algebra (Spark 4 built-in DataSketches): distinct
+    * 1999-orderers vs 2000-orderers — union, intersection, and
+    * difference estimated from two mergeable sketches and gated within
+    * 5% of the exact SQL counts (default k=4096 theta has ~1.6% rse;
+    * the sketch keeps the k smallest key hashes, so its content — and
+    * the gate — is independent of aggregation order). This is the
+    * 100 TB distinct-set-algebra path: one pass builds per-partition
+    * sketches, set ops happen on kilobyte summaries, never on keys. */
+  def thetaSetOps(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.load(s, dir, "orders")
+    val y = year(col("o_orderdate"))
+    val est = o.agg(
+        theta_sketch_agg(when(y === 1999, col("o_custkey"))).as("ska"),
+        theta_sketch_agg(when(y === 2000, col("o_custkey"))).as("skb"))
+      .select(
+        theta_sketch_estimate(theta_union(col("ska"), col("skb")))
+          .cast("double").as("est_union"),
+        theta_sketch_estimate(theta_intersection(col("ska"), col("skb")))
+          .cast("double").as("est_inter"),
+        theta_sketch_estimate(theta_difference(col("ska"), col("skb")))
+          .cast("double").as("est_diff"))
+    val exact = o.agg(
+      countDistinct(when(y === 1999, col("o_custkey"))).as("n_1999"),
+      countDistinct(when(y === 2000, col("o_custkey"))).as("n_2000"),
+      countDistinct(when(y === 1999 || y === 2000, col("o_custkey")))
+        .as("n_union"))
+    val both = o.filter(y === 1999).select(col("o_custkey")).distinct()
+      .join(o.filter(y === 2000).select(col("o_custkey")).distinct(),
+        Seq("o_custkey"), "left_semi")
+      .agg(count(lit(1)).as("n_inter"))
+    def ok(estC: org.apache.spark.sql.Column,
+           exactC: org.apache.spark.sql.Column) =
+      abs(estC - exactC.cast("double")) <= exactC.cast("double") * 0.05
+    est.crossJoin(exact).crossJoin(both)
+      .select(col("n_1999"), col("n_2000"), col("n_union"), col("n_inter"),
+        ok(col("est_union"), col("n_union")).as("union_ok"),
+        ok(col("est_inter"), col("n_inter")).as("inter_ok"),
+        ok(col("est_diff"), col("n_1999") - col("n_inter")).as("diff_ok"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q45_revenue_rollup"       -> (revenueRollup _),
     "q46_status_priority_cube" -> (statusPriorityCube _),
     "q87_bloom_membership"     -> (bloomMembership _),
     "q88_cms_heavy_hitters"    -> (cmsHeavyHitters _),
     "q95_bloom_semijoin"       -> (bloomSemiJoin _),
+    "q97_kll_quantile_gate"    -> (kllQuantileGate _),
+    "q98_theta_setops"         -> (thetaSetOps _),
     "q47_approx_distinct"      -> (approxDistinctParts _),
     "q34_year_status_pivot"    -> (yearStatusPivot _),
     "q35_content_sample"       -> (contentSample _)
   )
 
   val oracles: Map[String, String] = Map(
+    "q97_kll_quantile_gate" ->
+      """SELECT o_orderstatus, count(*) AS n,
+        |       true AS q50_ok, true AS q90_ok
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "q98_theta_setops" ->
+      """SELECT
+        |  (SELECT count(DISTINCT o_custkey) FROM orders
+        |   WHERE year(o_orderdate) = 1999) AS n_1999,
+        |  (SELECT count(DISTINCT o_custkey) FROM orders
+        |   WHERE year(o_orderdate) = 2000) AS n_2000,
+        |  (SELECT count(DISTINCT o_custkey) FROM orders
+        |   WHERE year(o_orderdate) IN (1999, 2000)) AS n_union,
+        |  (SELECT count(*) FROM
+        |    (SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1999) a
+        |    SEMI JOIN
+        |    (SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 2000) b
+        |    ON a.o_custkey = b.o_custkey) AS n_inter,
+        |  true AS union_ok, true AS inter_ok, true AS diff_ok""".stripMargin,
     // plain semi join — the bloom pre-filter provably cannot change it
     "q95_bloom_semijoin" ->
       """SELECT c_mktsegment, count(*) AS n_customers
