@@ -283,7 +283,7 @@ object MiscQueries {
       """SELECT o_orderpriority,
         |       CAST(count(*) AS INT) AS n_statuses,
         |       CAST(count(*) FILTER (n > 100) AS INT) AS n_common,
-        |       2 * sum(n) AS doubled_total
+        |       CAST(2 * sum(n) AS BIGINT) AS doubled_total
         |FROM (SELECT o_orderpriority, o_orderstatus, count(*) AS n
         |      FROM orders GROUP BY 1, 2) t
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
