@@ -55,6 +55,11 @@ object Bench {
     // JSON line well under that (short qNN keys, 3-decimal seconds) so it
     // survives the tail window intact and parses.
     def f(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    // short keys must stay unique or one query's timing silently
+    // shadows another in the driver's JSON parse
+    val shortKeys = results.map(_._1.takeWhile(_ != '_'))
+    require(shortKeys.distinct.size == results.size,
+      s"duplicate short bench keys: ${shortKeys.diff(shortKeys.distinct).mkString(",")}")
     val qs = results.map { case (k, v) => s"\"" + k.takeWhile(_ != '_') + "\":" + f(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0

@@ -97,6 +97,11 @@ case class TopKPerGroupExec(
     val childOutput = child.output
     child.execute().mapPartitions({ it =>
       val keyProj = UnsafeProjection.create(keyExprs, childOutput)
+      // identity projection: children normally emit UnsafeRows, but a
+      // row-based child (codegen off, custom sources) may not — the
+      // HashMap keying below relies on UnsafeRow byte-equality
+      val toUnsafe = UnsafeProjection.create(
+        childOutput.map(_.asInstanceOf[Expression]), childOutput)
       val baseOrd = GenerateOrdering.generate(ordSeq, childOutput)
       val rowOrd: Ordering[UnsafeRow] = new Ordering[UnsafeRow] {
         override def compare(x: UnsafeRow, y: UnsafeRow): Int =
@@ -108,7 +113,10 @@ case class TopKPerGroupExec(
       val heaps = new java.util.HashMap[
         UnsafeRow, scala.collection.mutable.PriorityQueue[UnsafeRow]]()
       while (it.hasNext) {
-        val row = it.next().asInstanceOf[UnsafeRow]
+        val row = it.next() match {
+          case u: UnsafeRow => u
+          case r => toUnsafe(r) // buffer reused; copied below before keeping
+        }
         val key = keyProj(row)
         var heap = heaps.get(key)
         if (heap == null) {

@@ -109,22 +109,32 @@ object EventQueries {
       transform: DataFrame => DataFrame)(
       select: DataFrame => DataFrame): DataFrame = {
     import graft.streaming.EventStreams
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val path = s"$dir/events.parquet"
-    val rawSchema = s.read.parquet(path).schema
-    val (rows, schema) =
-      graft.util.Tmp.withStagedFile(sinkPrefix + "src", path) { stage =>
-        val streamed = s.readStream.schema(rawSchema).parquet(stage.toString)
-          .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-        val sink = sinkPrefix +
-          java.util.UUID.randomUUID().toString.replace("-", "")
-        val sel = select(EventStreams.runToMemory(s, transform(streamed), sink))
-        val out = (sel.collect(), sel.schema)
-        s.catalog.dropTempView(sink)
-        out
-      }
-    s.createDataFrame(
-      new java.util.ArrayList(java.util.Arrays.asList(rows: _*)), schema)
+    // everything below runs to completion (collect) before the frame is
+    // returned, so the legacy-parquet toggle can be scoped here instead
+    // of leaking into every later query on the shared session
+    val nanosKey = "spark.sql.legacy.parquet.nanosAsLong"
+    val priorNanos = s.conf.getOption(nanosKey)
+    s.conf.set(nanosKey, "true")
+    try {
+      val path = s"$dir/events.parquet"
+      val rawSchema = s.read.parquet(path).schema
+      val (rows, schema) =
+        graft.util.Tmp.withStagedFile(sinkPrefix + "src", path) { stage =>
+          val streamed = s.readStream.schema(rawSchema).parquet(stage.toString)
+            .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+          val sink = sinkPrefix +
+            java.util.UUID.randomUUID().toString.replace("-", "")
+          val sel = select(EventStreams.runToMemory(s, transform(streamed), sink))
+          val out = (sel.collect(), sel.schema)
+          s.catalog.dropTempView(sink)
+          out
+        }
+      s.createDataFrame(
+        new java.util.ArrayList(java.util.Arrays.asList(rows: _*)), schema)
+    } finally priorNanos match {
+      case Some(v) => s.conf.set(nanosKey, v)
+      case None    => s.conf.unset(nanosKey)
+    }
   }
 
   /** Structured Streaming under the oracle gate: stream the events

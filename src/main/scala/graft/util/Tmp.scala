@@ -25,7 +25,10 @@ object Tmp {
 
   def deleteRecursively(dir: Path): Unit = {
     import scala.jdk.CollectionConverters._
-    Files.walk(dir).iterator().asScala.toSeq.reverse
-      .foreach(p => Files.deleteIfExists(p))
+    val walk = Files.walk(dir)
+    // materialize before closing: deleting while the walk is open is
+    // undefined; closing releases the directory file descriptor
+    val paths = try walk.iterator().asScala.toSeq finally walk.close()
+    paths.reverse.foreach(p => Files.deleteIfExists(p))
   }
 }
