@@ -5,30 +5,81 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** CLV query surface (SURVEY.md §2.11 — the reference's modeling core).
-  * These depend on MLE fits, so they are not SQL-expressible and carry no
-  * DuckDB oracle (rows-only checks); correctness is covered by golden and
-  * property tests in ClvSpec plus the Summary_2011 replay.
+  * The MLE score VALUES are not SQL-expressible (ClvSpec's golden /
+  * property / replay tests cover them); what the DuckDB oracle CAN state
+  * exactly is the RFM plumbing around the fit (grouping, week clock,
+  * decimal money) plus model-invariant booleans a broken fit would blow
+  * (probabilities in [0,1], predictions ≥ 0, segment ordering). q80/q81/
+  * q83 are therefore quality gates in the q86 pattern: every emitted
+  * column is either SQL-knowable or a pinned deterministic boolean.
   */
 object ClvQueries {
 
-  /** The `ltv_results` table (ref DS:352-354): distributed grouped fit,
-    * one row per customer, ordered for determinism. */
+  /** Model-invariant per-row gates shared by q80/q83: domains a broken
+    * fit or scoring path would violate. `alive_ok` also pins the
+    * reference's hardcoded PROB_ALIVE=1 for no-repeat customers
+    * (ref DS:491-492). `profit_ok` is conditional on frequency > 1
+    * because that is the population the Gamma-Gamma is FIT on (ref
+    * DS:276): for a zero-repeat customer the conditional mean collapses
+    * to the prior mean p·v/(q−1), which is legitimately negative when
+    * the fitted q < 1 (this corpus at sf0.01; `lifetimes` yields the
+    * same) — unconditional positivity is NOT a model invariant.
+    * `clv_ok` pins the sign consistency of the discounting loop: CLV is
+    * a nonnegative mixture of expected profit, so it can only go
+    * negative when expected profit does. */
+  private def rowGates = Seq(
+    (col("prob_alive").between(0.0, 1.0) &&
+      (col("frequency") > 0 || col("prob_alive") === 1.0)).as("alive_ok"),
+    (col("pred_visits") >= 0.0).as("visits_ok"),
+    (col("frequency") <= 1 || col("cond_exp_avg_profit") > 0.0)
+      .as("profit_ok"),
+    (col("pred_clv") >= 0.0 || col("cond_exp_avg_profit") < 0.0)
+      .as("clv_ok"))
+
+  /** The `ltv_results` table (ref DS:352-354) as a quality gate: the
+    * distributed grouped fit runs end-to-end, the oracle re-derives every
+    * RFM input column (group key, frequency, recency, age, decimal-exact
+    * avg monetary — the q08 conventions) and the model outputs collapse
+    * to the domain booleans. One row per customer, ordered. The full
+    * score table remains the library surface (ClvPipeline.run). */
   def clvResults(s: SparkSession, dir: String): DataFrame =
-    ClvPipeline.run(s, dir).toDF().orderBy(col("custkey"))
+    ClvPipeline.run(s, dir).toDF()
+      .select(Seq(col("group_key"), col("custkey"), col("frequency"),
+        col("recency"), col("age"), col("avg_monetary")) ++ rowGates: _*)
+      .orderBy(col("custkey"))
 
   /** Segmentation over predicted visits (ref DS:371-383 CASE bucketing on
-    * PRED_VISITS feeding the dashboard). */
-  def clvSegments(s: SparkSession, dir: String): DataFrame =
-    ClvPipeline.run(s, dir).toDF()
+    * PRED_VISITS feeding the dashboard), as a structure gate: band
+    * membership is model-derived, so the oracle pins the SQL-knowable
+    * total plus orderings a sane model must produce — customers banded
+    * "higher" by predicted visits have strictly higher average OBSERVED
+    * frequency and higher average predicted CLV than lower bands. */
+  def clvSegments(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val bands = ClvPipeline.run(s, dir).toDF()
       .withColumn("visit_band",
         when(col("pred_visits") >= 8, "1_high")
           .when(col("pred_visits") >= 4, "2_mid")
           .when(col("pred_visits") >= 2, "3_low")
           .otherwise("4_minimal"))
       .groupBy(col("visit_band"))
-      .agg(count(lit(1)).as("n_customers"),
-        round(sum(col("pred_clv")), 2).as("total_pred_clv"))
-      .orderBy(col("visit_band"))
+      .agg(count(lit(1)).as("n"),
+        avg(col("frequency")).as("avg_freq"),
+        avg(col("pred_clv")).as("avg_clv"))
+    // 2-4 rows: the window sort is trivial; lag compares adjacent
+    // nonempty bands in label order (1_high first)
+    val w = Window.orderBy(col("visit_band"))
+    bands
+      .withColumn("prev_freq", lag(col("avg_freq"), 1).over(w))
+      .withColumn("prev_clv", lag(col("avg_clv"), 1).over(w))
+      .agg(
+        sum(col("n")).as("n_customers"),
+        (count(lit(1)) <= 4).as("bands_le4"),
+        min(coalesce(col("prev_freq") > col("avg_freq"), lit(true)))
+          .as("freq_ordering_ok"),
+        min(coalesce(col("prev_clv") > col("avg_clv"), lit(true)))
+          .as("clv_ordering_ok"))
+  }
 
   /** Per-group fitted BG/NBD parameters via the SQL aggregate form
     * (U9 — `fit_bgnbd` as a TypedImperativeAggregate in a GROUP BY). */
@@ -71,11 +122,7 @@ object ClvQueries {
           if (pos.nonEmpty) pos.sum / pos.length else 1.0)
       }
     ClvColumns.scoreAll(rfm.toDF(), bg, gg)
-      .select(col("custkey"), col("frequency"),
-        round(col("pred_visits"), 6).as("pred_visits"),
-        round(col("prob_alive"), 6).as("prob_alive"),
-        round(col("cond_exp_avg_profit"), 4).as("cond_exp_avg_profit"),
-        round(col("pred_clv"), 4).as("pred_clv"))
+      .select(Seq(col("custkey"), col("frequency")) ++ rowGates: _*)
       .orderBy(col("custkey"))
   }
 
@@ -146,10 +193,36 @@ object ClvQueries {
     "q86_clv_holdout" -> (clvHoldoutValidation _)
   )
 
-  /** The MLE outputs themselves (q80-q83) are not SQL-expressible; the
-    * holdout gate q86 states the SQL-knowable facts and pins the model
-    * gates to `true`. */
+  /** The MLE score values are not SQL-expressible (q82 stays rows-only:
+    * its output IS fitted parameters); q80/q81/q83/q86 state the
+    * SQL-knowable facts and pin the model gates to `true`. */
   val oracles: Map[String, String] = Map(
+    "q80_clv_results" ->
+      """SELECT CAST(o_custkey % 20 + 1 AS BIGINT) AS group_key,
+        |       o_custkey AS custkey,
+        |       count(*) - 1 AS frequency,
+        |       CAST(max(wk) - min(wk) AS DOUBLE) AS recency,
+        |       CAST(344 - min(wk) AS DOUBLE) AS age,
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |         / count(o_totalprice) AS avg_monetary,
+        |       true AS alive_ok, true AS visits_ok,
+        |       true AS profit_ok, true AS clv_ok
+        |FROM (SELECT o_custkey, o_totalprice,
+        |             date_diff('day', DATE '1995-01-01',
+        |                       CAST(o_orderdate AS DATE)) // 7 AS wk
+        |      FROM orders) t
+        |GROUP BY o_custkey ORDER BY custkey""".stripMargin,
+    "q81_clv_segments" ->
+      """SELECT count(DISTINCT o_custkey) AS n_customers,
+        |       true AS bands_le4, true AS freq_ordering_ok,
+        |       true AS clv_ordering_ok
+        |FROM orders""".stripMargin,
+    "q83_clv_scored_columns" ->
+      """SELECT o_custkey AS custkey,
+        |       CAST(count(*) - 1 AS DOUBLE) AS frequency,
+        |       true AS alive_ok, true AS visits_ok,
+        |       true AS profit_ok, true AS clv_ok
+        |FROM orders GROUP BY o_custkey ORDER BY custkey""".stripMargin,
     "q86_clv_holdout" ->
       """WITH c AS (SELECT o_custkey, count(*) AS n_calib
         |           FROM orders WHERE o_orderdate < '2000-01-01'

