@@ -114,6 +114,11 @@ object LakeTable {
       throw new IllegalStateException(
         s"concurrent commit detected for version $v at $root")
     }
+    // mirror the committed version into the Delta-protocol-shaped
+    // _delta_log (after the rename — the log never references an
+    // uncommitted version; see DeltaLog for the documented scope)
+    val prevDirs = if (v > 1) readManifest(spark, root, v - 1) else Seq.empty
+    DeltaLog.mirrorCommit(spark, root, v, prevDirs, dataDirs)
     v
   }
 

@@ -37,6 +37,43 @@ class LakeTableSpec extends SparkSpec {
     }
   }
 
+  test("_delta_log mirrors every commit: log-replay read == manifest read") {
+    withTable { root =>
+      import graft.sources.DeltaLog
+      import spark.implicits._
+      val base = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0))
+        .toDF("id", "name", "v")
+      LakeTable.create(spark, root, base)
+      LakeTable.append(spark, root, Seq((4L, "d", 40.0)).toDF("id", "name", "v"))
+      LakeTable.merge(spark, root,
+        Seq((2L, "b2", 99.0)).toDF("id", "name", "v"), "id")
+      LakeTable.deleteWhere(spark, root, col("id") === 1L)
+      // one 0-based zero-padded log file per manifest version
+      assert(DeltaLog.versions(spark, root) == Seq(0L, 1L, 2L, 3L))
+      assert(java.nio.file.Files.exists(java.nio.file.Paths.get(
+        root, "_delta_log", "00000000000000000000.json")))
+      // first commit carries protocol + metaData with the Spark schema
+      val v0 = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(root, "_delta_log",
+          "00000000000000000000.json")))
+      assert(v0.contains(""""protocol":{"minReaderVersion":1"""))
+      assert(v0.contains(""""schemaString":""") && v0.contains("struct"))
+      // the from-scratch log replay reconstructs every manifest snapshot
+      for (mv <- 1 to 4) {
+        val viaLog = DeltaLog.read(spark, root, Some(mv - 1L))
+          .orderBy("id").collect().toSeq
+        val viaManifest = LakeTable.read(spark, root, Some(mv))
+          .orderBy("id").collect().toSeq
+        assert(viaLog == viaManifest, s"version $mv")
+      }
+      // copy-on-write versions actually emit remove actions
+      val v3 = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(root, "_delta_log",
+          "00000000000000000003.json")))
+      assert(v3.contains(""""remove":{"path":"""))
+    }
+  }
+
   test("merge upserts matched keys and inserts unmatched ones") {
     withTable { root =>
       import spark.implicits._
