@@ -26,7 +26,8 @@ object SparkEntry {
     (graft.queries.ClvQueries.all, graft.queries.ClvQueries.oracles),
     (graft.queries.TextQueries.all, graft.queries.TextQueries.oracles),
     (graft.queries.VectorQueries.all, graft.queries.VectorQueries.oracles),
-    (graft.queries.LakeQueries.all, graft.queries.LakeQueries.oracles)
+    (graft.queries.LakeQueries.all, graft.queries.LakeQueries.oracles),
+    (graft.queries.SqlQueries.all, graft.queries.SqlQueries.oracles)
   )
 
   /** One entry per implemented operator from SURVEY.md §2. */
