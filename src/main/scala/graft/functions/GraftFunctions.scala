@@ -3,6 +3,7 @@ package graft.functions
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.types.Decimal
 
 /** Registration of graft's native Catalyst expressions as SQL functions,
   * both on a live session (temp functions) and via
@@ -13,12 +14,57 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   */
 object GraftFunctions {
 
+  private def arity(name: String, exprs: Seq[Expression], ns: Int*): Unit =
+    if (!ns.contains(exprs.length))
+      throw new IllegalArgumentException(
+        s"$name requires ${ns.mkString(" or ")} arguments, got ${exprs.length}")
+
+  /** Sketch sizings arrive as SQL literals (`bloom_agg(k, 20000, 0.01)`);
+    * the parser types `20000` as INT and `0.01` as DECIMAL(2,2), so fold
+    * and widen rather than pattern-match a single literal type. */
+  private def litNum(name: String, e: Expression): Double = {
+    if (!e.foldable)
+      throw new IllegalArgumentException(
+        s"$name sizing arguments must be literals")
+    e.eval() match {
+      case l: Long => l.toDouble
+      case i: Int => i.toDouble
+      case s: Short => s.toDouble
+      case b: Byte => b.toDouble
+      case d: Double => d
+      case f: Float => f.toDouble
+      case d: Decimal => d.toDouble
+      case other => throw new IllegalArgumentException(
+        s"$name sizing arguments must be numeric literals, got $other")
+    }
+  }
+
   val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "cosine_similarity" -> (exprs => {
-      if (exprs.length != 2)
-        throw new IllegalArgumentException(
-          s"cosine_similarity requires exactly 2 arguments, got ${exprs.length}")
+      arity("cosine_similarity", exprs, 2)
       CosineSimilarity(exprs(0), exprs(1))
+    }),
+    "hyp2f1" -> (exprs => {
+      arity("hyp2f1", exprs, 4)
+      Hyp2F1Expr(exprs(0), exprs(1), exprs(2), exprs(3))
+    }),
+    "bloom_agg" -> (exprs => {
+      arity("bloom_agg", exprs, 3)
+      BloomBuildAgg(exprs(0), litNum("bloom_agg", exprs(1)).toLong,
+        litNum("bloom_agg", exprs(2)))
+    }),
+    "cms_agg" -> (exprs => {
+      arity("cms_agg", exprs, 4)
+      CmsBuildAgg(exprs(0), litNum("cms_agg", exprs(1)).toInt,
+        litNum("cms_agg", exprs(2)).toInt, litNum("cms_agg", exprs(3)).toInt)
+    }),
+    "bloom_might_contain" -> (exprs => {
+      arity("bloom_might_contain", exprs, 2)
+      BloomMightContain(exprs(0), exprs(1))
+    }),
+    "cms_estimate" -> (exprs => {
+      arity("cms_estimate", exprs, 2)
+      CmsEstimate(exprs(0), exprs(1))
     })
   )
 
@@ -37,7 +83,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     GraftFunctions.builders.foreach { case (name, b) =>
       e.injectFunction((
         FunctionIdentifier(name),
-        new ExpressionInfo("graft.functions.CosineSimilarity", name),
+        new ExpressionInfo("graft.functions.GraftFunctions", name),
         b))
     }
 }

@@ -180,6 +180,84 @@ object ExtAggQueries {
       .orderBy(col("c_mktsegment"))
   }
 
+  /** Per-GROUP Bloom filters via the native `bloom_agg`
+    * TypedImperativeAggregate (vs q87's single driver-built filter): one
+    * `groupBy(nation).agg(bloom_agg(custkey))` builds all 25 nation
+    * filters in a single shuffle of kilobyte partials. The finished
+    * filters are then collected (bounded: one ~24 KB row per nation — the
+    * runtime-filter pattern; sketches are small by design) and broadcast
+    * for the probe pass: every customer must hit its OWN nation's filter
+    * (no false negatives — exact at any scale), and probing the NEXT
+    * nation's filter measures the false-positive rate (customers belong
+    * to exactly one nation, so any cross-hit is a FP; gate at 5% = 5× the
+    * 1% design point, deterministic for fixed data — Bloom hashing is
+    * seedless Murmur3). */
+  def groupBloomMembership(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val cust = Tables.load(s, dir, "customer")
+      .select(col("c_nationkey").cast("long").as("nk"), col("c_custkey"))
+    val bloomRows = cust.groupBy(col("nk"))
+      .agg(graft.functions.SketchAggs.bloomAgg(col("c_custkey"), 20000L, 0.01)
+        .as("bf"))
+      .collect()
+    val blooms = bloomRows.map { r =>
+      r.getLong(0) -> org.apache.spark.util.sketch.BloomFilter.readFrom(
+        new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](1)))
+    }.toMap
+    val ks = blooms.keys.toArray.sorted
+    val nextOf = ks.zipWithIndex.map { case (k, i) =>
+      k -> ks((i + 1) % ks.length)
+    }.toMap
+    val bc = s.sparkContext.broadcast((blooms, nextOf))
+    cust.as[(Long, Long)]
+      .mapPartitions { it =>
+        val (m, nxt) = bc.value
+        it.map { case (nk, ck) =>
+          (nk, m(nk).mightContainLong(ck), m(nxt(nk)).mightContainLong(ck))
+        }
+      }
+      .toDF("nk", "own_hit", "other_hit")
+      .groupBy(col("nk"))
+      .agg(
+        count(lit(1)).as("n_members"),
+        (count(when(col("own_hit"), 1)) === count(lit(1)))
+          .as("no_false_negatives"),
+        (count(when(col("other_hit"), 1)).cast("double") /
+          count(lit(1)).cast("double") <= 0.05).as("fp_rate_ok"))
+      .orderBy(col("nk"))
+  }
+
+  /** Per-GROUP Count-Min sketches via the native `cms_agg` aggregate: one
+    * sketch per returnflag in a single shuffle, then each flag's exact
+    * top-5 suppliers (window row_number) probe their flag's sketch
+    * through the `cms_estimate` scalar — the probe side is 15 rows joined
+    * to 3 sketch rows, so the binary column never fans out over the fact
+    * table. Gates: CMS never undercounts (exact property), and overcount
+    * ≤ 2× the eps·N_flag guarantee (+8 slack for tiny groups); both
+    * deterministic for the fixed seed. */
+  def groupCmsTopSuppliers(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val li = Tables.load(s, dir, "lineitem")
+    val sk = li.groupBy(col("l_returnflag"))
+      .agg(graft.functions.SketchAggs.cmsAgg(col("l_suppkey"), 5, 8192, 42)
+        .as("sk"),
+        count(lit(1)).as("flag_n"))
+    val top = li.groupBy(col("l_returnflag"), col("l_suppkey"))
+      .agg(count(lit(1)).as("exact_n"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("l_returnflag"))
+          .orderBy(col("exact_n").desc, col("l_suppkey"))))
+      .filter(col("rn") <= 5).drop("rn")
+    val est = graft.functions.SketchAggs.cmsEstimate(col("sk"), col("l_suppkey"))
+    top.join(broadcast(sk), Seq("l_returnflag"))
+      .select(col("l_returnflag"), col("l_suppkey"), col("exact_n"),
+        (est >= col("exact_n")).as("no_underest"),
+        (est <= col("exact_n") +
+          ceil(col("flag_n") * lit(4.0 / 8192)).cast("long") + lit(8))
+          .as("within_slack"))
+      .orderBy(col("l_returnflag"), col("exact_n").desc, col("l_suppkey"))
+  }
+
   /** KLL quantile sketch (the DataSketches mergeable-quantile surface,
     * Spark 4 built-in) gated q79-style: per order status, the sketched
     * p50/p90 of o_totalprice must land inside the exact p40–p60 /
@@ -251,6 +329,8 @@ object ExtAggQueries {
     "q87_bloom_membership"     -> (bloomMembership _),
     "q88_cms_heavy_hitters"    -> (cmsHeavyHitters _),
     "q95_bloom_semijoin"       -> (bloomSemiJoin _),
+    "q103_group_bloom"         -> (groupBloomMembership _),
+    "q104_group_cms_topk"      -> (groupCmsTopSuppliers _),
     "q97_kll_quantile_gate"    -> (kllQuantileGate _),
     "q98_theta_setops"         -> (thetaSetOps _),
     "q47_approx_distinct"      -> (approxDistinctParts _),
@@ -285,6 +365,19 @@ object ExtAggQueries {
         |           WHERE year(o_orderdate) = 2000) o
         |  ON c.c_custkey = o.o_custkey
         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "q103_group_bloom" ->
+      """SELECT CAST(c_nationkey AS BIGINT) AS nk, count(*) AS n_members,
+        |       true AS no_false_negatives, true AS fp_rate_ok
+        |FROM customer GROUP BY nk ORDER BY nk""".stripMargin,
+    "q104_group_cms_topk" ->
+      """SELECT l_returnflag, l_suppkey, exact_n,
+        |       true AS no_underest, true AS within_slack
+        |FROM (SELECT l_returnflag, l_suppkey, count(*) AS exact_n,
+        |             row_number() OVER (PARTITION BY l_returnflag
+        |               ORDER BY count(*) DESC, l_suppkey) AS rn
+        |      FROM lineitem GROUP BY l_returnflag, l_suppkey)
+        |WHERE rn <= 5
+        |ORDER BY l_returnflag, exact_n DESC, l_suppkey""".stripMargin,
     "q87_bloom_membership" ->
       """SELECT count(*) AS n_probes,
         |       true AS no_false_negatives, true AS fp_rate_ok

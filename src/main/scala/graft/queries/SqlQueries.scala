@@ -91,11 +91,58 @@ object SqlQueries {
          |FROM rev ORDER BY rnk, n_name""".stripMargin)
   }
 
+  /** The sketch aggregates through the PARSER path: `bloom_agg` /
+    * `bloom_might_contain` registered as SQL functions
+    * (GraftFunctions/GraftExtensions), per-nation filters built in SQL,
+    * probed by a bounded 100-row probe list (top customers by balance —
+    * a deterministic total order). Members always hit (no false
+    * negatives); shifted keys (+1e9, guaranteed absent) gate the FP count
+    * at 10/100 vs the ~0.03% actual rate of a 20k-sized filter holding
+    * ≤6k keys. */
+  def sqlBloomProbe(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val customer = view(s, dir, "customer")
+    s.sql(
+      s"""WITH blooms AS (
+         |  SELECT c_nationkey AS nk, bloom_agg(c_custkey, 20000, 0.01) AS bf
+         |  FROM $customer GROUP BY c_nationkey),
+         |top_cust AS (
+         |  SELECT c_custkey, c_nationkey FROM $customer
+         |  ORDER BY c_acctbal DESC, c_custkey LIMIT 100)
+         |SELECT count(*) AS n_probes,
+         |       every(bloom_might_contain(bf, c_custkey)) AS all_present,
+         |       count_if(bloom_might_contain(bf, c_custkey + 1000000000))
+         |         <= 10 AS fp_ok
+         |FROM top_cust JOIN blooms ON c_nationkey = nk""".stripMargin)
+  }
+
+  /** `cms_agg` / `cms_estimate` through the parser: one global sketch as
+    * a scalar-subquery-style CTE crossed with the exact top-10 orderers.
+    * Estimates never undercount; overcount gated at 2× eps·N (+8). */
+  def sqlCmsProbe(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val orders = view(s, dir, "orders")
+    s.sql(
+      s"""WITH sk AS (
+         |  SELECT cms_agg(o_custkey, 5, 8192, 42) AS s, count(*) AS total
+         |  FROM $orders),
+         |hh AS (
+         |  SELECT o_custkey, count(*) AS exact_n FROM $orders
+         |  GROUP BY o_custkey ORDER BY exact_n DESC, o_custkey LIMIT 10)
+         |SELECT o_custkey, exact_n,
+         |       cms_estimate(s, o_custkey) >= exact_n AS no_underest,
+         |       cms_estimate(s, o_custkey) <= exact_n +
+         |         CAST(ceil(total * 4.0 / 8192) AS BIGINT) + 8 AS within_slack
+         |FROM hh CROSS JOIN sk ORDER BY exact_n DESC, o_custkey""".stripMargin)
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q99_sql_order_segments"  -> (sqlOrderSegments _),
     "q100_sql_rfm_view_chain" -> (sqlRfmViewChain _),
     "q101_sql_revenue_rollup" -> (sqlRevenueRollup _),
-    "q102_sql_nation_rank"    -> (sqlNationRevenueRank _)
+    "q102_sql_nation_rank"    -> (sqlNationRevenueRank _),
+    "q105_sql_bloom_probe"    -> (sqlBloomProbe _),
+    "q106_sql_cms_probe"      -> (sqlCmsProbe _)
   )
 
   /** Same results as the DataFrame twins → the twins' oracles verbatim. */
@@ -103,6 +150,14 @@ object SqlQueries {
     "q99_sql_order_segments"  -> RefQueries.oracles("q06_order_value_segments"),
     "q100_sql_rfm_view_chain" -> RefQueries.oracles("q08_rfm_summary"),
     "q101_sql_revenue_rollup" -> ExtAggQueries.oracles("q45_revenue_rollup"),
-    "q102_sql_nation_rank"    -> WindowQueries.oracles("q33_nation_revenue_rank")
+    "q102_sql_nation_rank"    -> WindowQueries.oracles("q33_nation_revenue_rank"),
+    "q105_sql_bloom_probe" ->
+      """SELECT CAST(100 AS BIGINT) AS n_probes,
+        |       true AS all_present, true AS fp_ok""".stripMargin,
+    "q106_sql_cms_probe" ->
+      """SELECT o_custkey, count(*) AS exact_n,
+        |       true AS no_underest, true AS within_slack
+        |FROM orders GROUP BY o_custkey
+        |ORDER BY exact_n DESC, o_custkey LIMIT 10""".stripMargin
   )
 }
