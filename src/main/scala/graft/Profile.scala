@@ -35,6 +35,30 @@ object Profile {
       spark.stop(); sys.exit(0)
     }
 
+    if (sys.env.contains("SPARK_GRAFT_PROFILE_Q42")) {
+      println("== q42 variants ==")
+      val ev = Tables.load(spark, sfDir, "events")
+      t("warm scan")(ev.count())
+      def agg(d: org.apache.spark.sql.DataFrame) = d
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"))
+        .count()
+      t("get_json_object")(agg(ev.withColumn("k",
+        get_json_object(col("props"), "$.k").cast("long"))))
+      t("get_json_object again")(agg(ev.withColumn("k",
+        get_json_object(col("props"), "$.k").cast("long"))))
+      t("from_json struct")(agg(ev.withColumn("k",
+        from_json(col("props"),
+          org.apache.spark.sql.types.DataType.fromDDL("k BIGINT"))("k"))))
+      t("from_json struct again")(agg(ev.withColumn("k",
+        from_json(col("props"),
+          org.apache.spark.sql.types.DataType.fromDDL("k BIGINT"))("k"))))
+      t("json_tuple")(agg(ev.select(col("event_type"),
+        json_tuple(col("props"), "k").as("ks")).withColumn("k",
+        col("ks").cast("long"))))
+      spark.stop(); sys.exit(0)
+    }
+
     if (sys.env.contains("SPARK_GRAFT_PROFILE_Q43")) {
       println("== q43 variants ==")
       val ev = Tables.load(spark, sfDir, "events")

@@ -105,7 +105,10 @@ object EventQueries {
     * DataFrame that owns its data (the staging dir and sink view are
     * gone by the time the caller's frame is consumed). */
   private def runStagedEventStream(s: SparkSession, dir: String,
-                                   sinkPrefix: String)(
+                                   sinkPrefix: String,
+                                   prepareStage: (SparkSession, String,
+                                     java.nio.file.Path) => Unit =
+                                     (_, _, _) => ())(
       transform: DataFrame => DataFrame)(
       select: DataFrame => DataFrame): DataFrame = {
     import graft.streaming.EventStreams
@@ -120,6 +123,7 @@ object EventQueries {
       val rawSchema = s.read.parquet(path).schema
       val (rows, schema) =
         graft.util.Tmp.withStagedFile(sinkPrefix + "src", path) { stage =>
+          prepareStage(s, path, stage)
           val streamed = s.readStream.schema(rawSchema).parquet(stage.toString)
             .withColumn("ts", timestamp_micros(expr("ts div 1000")))
           val sink = sinkPrefix +
@@ -180,10 +184,39 @@ object EventQueries {
       .orderBy(col("user_id"), col("session_start"))
   }
 
+  /** Streaming dedup under the oracle: a duplicate slice (every 100th
+    * event_id, full rows) is staged as a SECOND file beside the events
+    * file, and `dropDuplicatesWithinWatermark("event_id")` must remove
+    * every injected copy. The outcome is deterministic in both file-
+    * ordering scenarios: processed in one batch, the state match drops
+    * the copy; processed after the watermark advanced, the copy is
+    * either still covered by its original's state entry (dup ts >
+    * watermark ⇒ original expires at ts+delay > watermark) or filtered
+    * as late data — so the streamed result is exactly the distinct
+    * event set and the oracle is the plain per-type aggregation of the
+    * ORIGINAL table. This is the streaming half of the exact-dedup
+    * surface (batch half: q53/q54); state is bounded by keys within the
+    * watermark horizon, never by stream length. */
+  def streamDedupCounts(s: SparkSession, dir: String): DataFrame = {
+    val injectDupes = (sess: SparkSession, path: String,
+                       stage: java.nio.file.Path) =>
+      sess.read.parquet(path)
+        .filter(col("event_id") % 100 === 0)
+        .write.mode("append").parquet(stage.toString)
+    runStagedEventStream(s, dir, "q107_sink_", injectDupes)(
+      graft.streaming.EventStreams.dedupedEvents)(
+      _.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+            .cast("double").as("total_value")))
+      .orderBy(col("event_type"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q28_asof_last_order"    -> (asofLastOrder _),
     "q92_stream_hourly"      -> (streamHourlyFinalized _),
     "q94_stream_sessions"    -> (streamStatefulSessions _),
+    "q107_stream_dedup"      -> (streamDedupCounts _),
     "q40_hourly_event_stats" -> (hourlyEventStats _),
     "q41_user_sessions"      -> (userSessions _),
     "q42_props_key_stats"    -> (propsKeyStats _),
@@ -197,6 +230,13 @@ object EventQueries {
   val oracles: Map[String, String] = Map(
     // the watermark rule replayed in SQL: a window is finalized when its
     // end is at or behind max(event time) − the 10-minute delay
+    // the streamed dedup provably restores the distinct event set, so
+    // the oracle aggregates the original (duplicate-free) table directly
+    "q107_stream_dedup" ->
+      """SELECT event_type, count(*) AS n,
+        |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+        |         AS total_value
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q92_stream_hourly" ->
       s"""WITH m AS (SELECT max(ts) AS mx FROM events),
          |w AS (SELECT date_trunc('hour', ts) AS hs, event_type,
