@@ -100,6 +100,19 @@ object Ingest {
       .saveAsTable(table)
   }
 
+  /** Hive-style directory partitioning: the other half of the layout
+    * story beside [[saveBucketed]]. Partition columns become directories
+    * (`yr=1998/...`), so any scan filtered on them prunes whole
+    * directories at PLANNING time — the `PartitionFilters` line in the
+    * physical plan, zero I/O for excluded partitions. At 100 TB this is
+    * the date-partitioned fact-table pattern: a year's query touches a
+    * year's files, never the decade's. */
+  def savePartitioned(df: DataFrame, path: String,
+                      partitionCols: String*): Unit =
+    df.write.mode(SaveMode.Overwrite)
+      .partitionBy(partitionCols: _*)
+      .parquet(path)
+
   /** Reference-fixture replay: ingest an RFM summary CSV shaped like the
     * reference's Summary_2011 (CustomerID,T1,recency1,FREQUENCY,profit)
     * into the catalog and return it (ref DE:55-77). */

@@ -188,7 +188,32 @@ object MiscQueries {
           .as("approx_within_1pct"))
       .orderBy(col("o_orderstatus"))
 
+  /** Partition-pruned scan round trip: write orders Hive-partitioned by
+    * year ([[graft.ingest.Ingest.savePartitioned]]), read back filtered
+    * to one year, aggregate. The filter on the partition column prunes
+    * at planning time (`PartitionFilters` in the plan; asserted in
+    * ScaleOpsSpec) — only `yr=1998/` files are ever opened. The result
+    * must equal the same aggregation with an ordinary row filter, which
+    * is exactly what the oracle runs on the unpartitioned table. */
+  def partitionPrunedScan(s: SparkSession, dir: String): DataFrame =
+    graft.util.Tmp.withTempDir("q108_part_") { tmp =>
+      val orders = t(s, dir, "orders")
+        .withColumn("yr", year(col("o_orderdate")))
+      graft.ingest.Ingest.savePartitioned(orders, tmp.toString, "yr")
+      val res = s.read.parquet(tmp.toString)
+        .filter(col("yr") === 1998)
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"),
+          Tables.sumMoney(col("o_totalprice")).as("revenue"))
+        .orderBy(col("o_orderstatus"))
+      // materialize before the temp dir is deleted
+      val (rows, schema) = (res.collect(), res.schema)
+      s.createDataFrame(
+        new java.util.ArrayList(java.util.Arrays.asList(rows: _*)), schema)
+    }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q108_partition_pruned" -> (partitionPrunedScan _),
     "q37_unpivot_metrics" -> (unpivotMetrics _),
     "q38_quarterly_orders" -> (quarterlyOrders _),
     "q39_null_handling"   -> (nullHandling _),
@@ -291,6 +316,13 @@ object MiscQueries {
       """SELECT o_orderstatus,
         |       round(quantile_cont(o_totalprice, 0.5), 2) AS p50_exact,
         |       true AS approx_within_1pct
-        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    // the pruned partitioned read must equal a plain row filter
+    "q108_partition_pruned" ->
+      """SELECT o_orderstatus, count(*) AS n,
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |         AS revenue
+        |FROM orders WHERE year(o_orderdate) = 1998
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
   )
 }

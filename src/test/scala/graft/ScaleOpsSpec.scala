@@ -23,6 +23,32 @@ class ScaleOpsSpec extends SparkSpec {
     }
   }
 
+  test("partitioned write prunes non-matching partitions at planning time") {
+    graft.util.Tmp.withTempDir("scaleops_part_") { tmp =>
+      val orders = Tables.load(spark, sf, "orders")
+        .withColumn("yr", year(col("o_orderdate")))
+      Ingest.savePartitioned(orders, tmp.toString, "yr")
+      val pruned = spark.read.parquet(tmp.toString).filter(col("yr") === 1998)
+      val scan = pruned.queryExecution.executedPlan.collectLeaves()
+        .collectFirst {
+          case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+        }.getOrElse(fail("no FileSourceScanExec in plan"))
+      assert(scan.partitionFilters.nonEmpty,
+        "partition filter did not reach the scan")
+      // only the matching year's directory is selected — zero I/O
+      // against the other years, the point of the layout
+      val selected = scan.selectedPartitions
+      assert(selected.partitionCount == 1,
+        s"expected exactly the yr=1998 partition, got " +
+          s"${selected.partitionCount}")
+      assert(selected.toPartitionArray.forall(
+        _.filePath.toString.contains("yr=1998")),
+        "scan selected files outside the yr=1998 partition")
+      val expected = orders.filter(year(col("o_orderdate")) === 1998).count()
+      assert(pruned.count() == expected)
+    }
+  }
+
   test("bucketed tables join without a shuffle exchange") {
     val orders = Tables.load(spark, sf, "orders")
     val customer = Tables.load(spark, sf, "customer")
