@@ -111,6 +111,24 @@ object TextQueries {
         maxDist = 3, nChunks = 4)
       .orderBy(col("id_a"), col("id_b"))
 
+  /** Near-dup CLUSTERING: connected components over the verified MinHash
+    * pair list ([[graft.dedup.Components]] min-label propagation) — the
+    * step that turns pairs into dedup GROUPS, each labeled by its
+    * canonical (minimum) doc id. The oracle rebuilds the identical
+    * components in DuckDB with a recursive CTE over the exact all-pairs
+    * edge list (q55 proved LSH pairs ≡ exact pairs on this corpus), so
+    * every (doc, component, size) row is value-checked. */
+  def neardupComponents(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pairs = MinHash.nearDuplicatePairs(docs(s, dir), "doc_id", "text",
+      shingleN = 2, bands = 16, rowsPerBand = 4, threshold = 0.3)
+    graft.dedup.Components.connectedComponents(pairs, "id_a", "id_b")
+      .select(col("id").as("doc_id"), col("lbl").as("component"))
+      .withColumn("n_docs",
+        count(lit(1)).over(Window.partitionBy(col("component"))))
+      .orderBy(col("doc_id"))
+  }
+
   /** Per-document quality scores (oracle-checked: the composite score is
     * pure arithmetic over token statistics, reproduced term-for-term in
     * DuckDB SQL; language ID stays in q52, which rows-only checks the
@@ -272,6 +290,7 @@ object TextQueries {
     "q53_dedup_cardinalities" -> (dedupCardinalities _),
     "q54_vocab_dedup_groups"  -> (vocabDedupGroups _),
     "q55_minhash_neardups"    -> (minhashNearDups _),
+    "q109_neardup_components" -> (neardupComponents _),
     "q56_simhash_neardups"    -> (simhashNearDups _),
     "q57_doc_quality"         -> (docQuality _),
     "q58_token_jaccard_pairs" -> (tokenJaccardTopPairs _),
@@ -387,6 +406,34 @@ object TextQueries {
         |           (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS j
         |  FROM w a JOIN w b ON a.doc_id < b.doc_id) t
         |WHERE j >= 0.3 ORDER BY id_a, id_b""".stripMargin,
+    // identical components from the exact edge list: min reachable id
+    // via a recursive CTE (UNION dedups, so the fixpoint terminates)
+    "q109_neardup_components" ->
+      """WITH RECURSIVE w AS (SELECT doc_id,
+        |  CASE WHEN len(ws) >= 2
+        |   THEN list_distinct(list_transform(range(1, len(ws)),
+        |                                     i -> ws[i] || ' ' || ws[i+1]))
+        |   ELSE [array_to_string(ws, ' ')] END AS sh
+        |  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws
+        |        FROM documents)),
+        |p AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM w a JOIN w b ON a.doc_id < b.doc_id
+        |  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+        |        (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))
+        |        >= 0.3),
+        |e AS (SELECT id_a AS src, id_b AS dst FROM p
+        |      UNION SELECT id_b, id_a FROM p),
+        |n AS (SELECT DISTINCT src AS id FROM e),
+        |reach(id, lbl) AS (
+        |  SELECT id, id FROM n
+        |  UNION
+        |  SELECT e.dst, r.lbl FROM reach r JOIN e ON e.src = r.id),
+        |comp AS (SELECT id AS doc_id, min(lbl) AS component
+        |         FROM reach GROUP BY id)
+        |SELECT doc_id, component,
+        |       count(*) OVER (PARTITION BY component) AS n_docs
+        |FROM comp ORDER BY doc_id""".stripMargin,
     // same lookaround-free pattern in both engines; exact value match
     "q93_bpe_token_stats" ->
       """SELECT source, count(*) AS n_docs,
