@@ -44,8 +44,71 @@ object LakeQueries {
     counts.toDF("version_ord", "n_rows").orderBy(col("version_ord"))
   }
 
+  /** Streaming sink INTO the table format under the oracle (S14's sink
+    * half; the memory-sink queries q92/q94/q107 cover the source+state
+    * half): the events parquet is split into two staged files and
+    * streamed with `maxFilesPerTrigger=1`, so the idempotent foreachBatch
+    * sink ([[LakeTable.streamAppend]] — batchId recorded in each commit's
+    * manifest, replayed batches skipped) commits exactly one table
+    * version per micro-batch. The final table must hold every source
+    * event exactly once, and the version count must equal the batch
+    * count — both restated in plain SQL by the oracle. */
+  def streamSinkCounts(s: SparkSession, dir: String): DataFrame = {
+    import java.nio.file.Files
+    import scala.jdk.CollectionConverters._
+    val nanosKey = "spark.sql.legacy.parquet.nanosAsLong"
+    val prior = s.conf.getOption(nanosKey)
+    s.conf.set(nanosKey, "true")
+    try {
+      val path = s"$dir/events.parquet"
+      val rawSchema = s.read.parquet(path).schema
+      graft.util.Tmp.withTempDir("q110_stage_") { stage =>
+        // two single-file slices → two deterministic micro-batches
+        def writeSlice(f: DataFrame, name: String): Unit = {
+          val out = stage.resolve(s"${name}_out")
+          f.coalesce(1).write.parquet(out.toString)
+          val part = {
+            val l = Files.list(out)
+            try l.iterator().asScala
+              .find(_.getFileName.toString.endsWith(".parquet")).get
+            finally l.close()
+          }
+          Files.move(part, stage.resolve(s"$name.parquet"))
+          graft.util.Tmp.deleteRecursively(out)
+        }
+        val src = s.read.parquet(path)
+        writeSlice(src.filter(col("event_id") % 2 === 0), "even")
+        writeSlice(src.filter(col("event_id") % 2 =!= 0), "odd")
+        val streamed = s.readStream.schema(rawSchema)
+          .option("maxFilesPerTrigger", "1")
+          .parquet(stage.toString)
+          .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        graft.util.Tmp.withTempDir("q110_lake_") { rootPath =>
+          val root = rootPath.toString
+          val q = LakeTable.streamAppend(streamed, root)
+          try q.processAllAvailable() finally q.stop()
+          val nVersions = LakeTable.versions(s, root).size.toLong
+          val res = LakeTable.read(s, root)
+            .groupBy(col("event_type"))
+            .agg(count(lit(1)).as("n"),
+              sum(col("value").cast("decimal(18,2)")).cast("double")
+                .as("total_value"))
+            .withColumn("n_versions", lit(nVersions))
+            .orderBy(col("event_type"))
+          val (rows, schema) = (res.collect(), res.schema)
+          s.createDataFrame(
+            new java.util.ArrayList(java.util.Arrays.asList(rows: _*)), schema)
+        }
+      }
+    } finally prior match {
+      case Some(v) => s.conf.set(nanosKey, v)
+      case None    => s.conf.unset(nanosKey)
+    }
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q91_lake_versions" -> (lakeVersionCounts _)
+    "q91_lake_versions" -> (lakeVersionCounts _),
+    "q110_stream_sink"  -> (streamSinkCounts _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -62,6 +125,14 @@ object LakeQueries {
         |                       WHERE o_orderstatus <> 'F')
         |                    + (SELECT count(*) FROM orders
         |                       WHERE o_custkey % 97 = 0)
-        |) t ORDER BY version_ord""".stripMargin
+        |) t ORDER BY version_ord""".stripMargin,
+    // the streamed table holds each event exactly once; one version
+    // per micro-batch (two staged files at maxFilesPerTrigger=1)
+    "q110_stream_sink" ->
+      """SELECT event_type, count(*) AS n,
+        |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+        |         AS total_value,
+        |       CAST(2 AS BIGINT) AS n_versions
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
   )
 }
