@@ -22,6 +22,22 @@ object GraftFunctions {
   /** Sketch sizings arrive as SQL literals (`bloom_agg(k, 20000, 0.01)`);
     * the parser types `20000` as INT and `0.01` as DECIMAL(2,2), so fold
     * and widen rather than pattern-match a single literal type. */
+  /** Integral sizings (items/depth/width/seed) must BE integral and fit
+    * the target width — a truncated 5.9 or an Int-saturated 3e9 would
+    * otherwise run with a silently different (or absurdly allocated)
+    * sketch instead of failing analysis. */
+  private def litIntegral(name: String, e: Expression, lo: Long,
+                          hi: Long): Long = {
+    val v = litNum(name, e)
+    if (v != math.floor(v) || v.isInfinite)
+      throw new IllegalArgumentException(
+        s"$name sizing arguments must be integral, got $v")
+    if (v < lo || v > hi)
+      throw new IllegalArgumentException(
+        s"$name sizing argument $v out of range [$lo, $hi]")
+    v.toLong
+  }
+
   private def litNum(name: String, e: Expression): Double = {
     if (!e.foldable)
       throw new IllegalArgumentException(
@@ -50,13 +66,17 @@ object GraftFunctions {
     }),
     "bloom_agg" -> (exprs => {
       arity("bloom_agg", exprs, 3)
-      BloomBuildAgg(exprs(0), litNum("bloom_agg", exprs(1)).toLong,
+      BloomBuildAgg(exprs(0),
+        litIntegral("bloom_agg", exprs(1), 1L, 1L << 40),
         litNum("bloom_agg", exprs(2)))
     }),
     "cms_agg" -> (exprs => {
       arity("cms_agg", exprs, 4)
-      CmsBuildAgg(exprs(0), litNum("cms_agg", exprs(1)).toInt,
-        litNum("cms_agg", exprs(2)).toInt, litNum("cms_agg", exprs(3)).toInt)
+      CmsBuildAgg(exprs(0),
+        litIntegral("cms_agg", exprs(1), 1L, 64L).toInt,
+        litIntegral("cms_agg", exprs(2), 1L, 1L << 24).toInt,
+        litIntegral("cms_agg", exprs(3), Int.MinValue.toLong,
+          Int.MaxValue.toLong).toInt)
     }),
     "bloom_might_contain" -> (exprs => {
       arity("bloom_might_contain", exprs, 2)

@@ -112,13 +112,11 @@ object EventQueries {
       transform: DataFrame => DataFrame)(
       select: DataFrame => DataFrame): DataFrame = {
     import graft.streaming.EventStreams
+    import graft.util.LocalFrame
     // everything below runs to completion (collect) before the frame is
     // returned, so the legacy-parquet toggle can be scoped here instead
     // of leaking into every later query on the shared session
-    val nanosKey = "spark.sql.legacy.parquet.nanosAsLong"
-    val priorNanos = s.conf.getOption(nanosKey)
-    s.conf.set(nanosKey, "true")
-    try {
+    LocalFrame.withNanosAsLong(s) {
       val path = s"$dir/events.parquet"
       val rawSchema = s.read.parquet(path).schema
       val (rows, schema) =
@@ -133,11 +131,7 @@ object EventQueries {
           s.catalog.dropTempView(sink)
           out
         }
-      s.createDataFrame(
-        new java.util.ArrayList(java.util.Arrays.asList(rows: _*)), schema)
-    } finally priorNanos match {
-      case Some(v) => s.conf.set(nanosKey, v)
-      case None    => s.conf.unset(nanosKey)
+      LocalFrame.of(s, rows, schema)
     }
   }
 
@@ -228,8 +222,6 @@ object EventQueries {
     "CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)"
 
   val oracles: Map[String, String] = Map(
-    // the watermark rule replayed in SQL: a window is finalized when its
-    // end is at or behind max(event time) − the 10-minute delay
     // the streamed dedup provably restores the distinct event set, so
     // the oracle aggregates the original (duplicate-free) table directly
     "q107_stream_dedup" ->
@@ -237,6 +229,8 @@ object EventQueries {
         |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
         |         AS total_value
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // the watermark rule replayed in SQL: a window is finalized when its
+    // end is at or behind max(event time) − the 10-minute delay
     "q92_stream_hourly" ->
       s"""WITH m AS (SELECT max(ts) AS mx FROM events),
          |w AS (SELECT date_trunc('hour', ts) AS hs, event_type,

@@ -56,10 +56,7 @@ object LakeQueries {
   def streamSinkCounts(s: SparkSession, dir: String): DataFrame = {
     import java.nio.file.Files
     import scala.jdk.CollectionConverters._
-    val nanosKey = "spark.sql.legacy.parquet.nanosAsLong"
-    val prior = s.conf.getOption(nanosKey)
-    s.conf.set(nanosKey, "true")
-    try {
+    graft.util.LocalFrame.withNanosAsLong(s) {
       val path = s"$dir/events.parquet"
       val rawSchema = s.read.parquet(path).schema
       graft.util.Tmp.withTempDir("q110_stage_") { stage =>
@@ -95,14 +92,9 @@ object LakeQueries {
                 .as("total_value"))
             .withColumn("n_versions", lit(nVersions))
             .orderBy(col("event_type"))
-          val (rows, schema) = (res.collect(), res.schema)
-          s.createDataFrame(
-            new java.util.ArrayList(java.util.Arrays.asList(rows: _*)), schema)
+          graft.util.LocalFrame.materialize(res)
         }
       }
-    } finally prior match {
-      case Some(v) => s.conf.set(nanosKey, v)
-      case None    => s.conf.unset(nanosKey)
     }
   }
 

@@ -207,9 +207,7 @@ object MiscQueries {
           Tables.sumMoney(col("o_totalprice")).as("revenue"))
         .orderBy(col("o_orderstatus"))
       // materialize before the temp dir is deleted
-      val (rows, schema) = (res.collect(), res.schema)
-      s.createDataFrame(
-        new java.util.ArrayList(java.util.Arrays.asList(rows: _*)), schema)
+      graft.util.LocalFrame.materialize(res)
     }
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -31,8 +31,7 @@ object TextQueries {
         shingleN = 2, minJ = 0.9)
       (df.collect(), df.schema)
     })
-    s.createDataFrame(
-      new java.util.ArrayList(java.util.Arrays.asList(rows: _*)), schema)
+    graft.util.LocalFrame.of(s, rows, schema)
   }
 
   /** Token statistics per language (oracle: ints only). */

@@ -1,0 +1,35 @@
+package graft.util
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+/** Shared scaffolding for queries whose results must outlive transient
+  * inputs (temp dirs, staged streams, per-run tables). */
+object LocalFrame {
+
+  /** Rebuild a DataFrame from already-collected rows — the frame owns
+    * its data, so the source it was computed from can be deleted. */
+  def of(s: SparkSession, rows: Array[Row], schema: StructType): DataFrame =
+    s.createDataFrame(
+      new java.util.ArrayList(java.util.Arrays.asList(rows: _*)), schema)
+
+  /** Materialize a frame into a driver-local copy (bounded results only). */
+  def materialize(df: DataFrame): DataFrame =
+    of(df.sparkSession, df.collect(), df.schema)
+
+  /** Scope the legacy parquet nanos-as-long toggle to `body`, restoring
+    * the prior session value even on failure — the events parquet
+    * carries nanosecond timestamps that the streaming file source can
+    * only read as longs, and leaking the toggle would silently change
+    * timestamp decoding for every later query on the shared session. */
+  def withNanosAsLong[A](s: SparkSession)(body: => A): A = {
+    val key = "spark.sql.legacy.parquet.nanosAsLong"
+    val prior = s.conf.getOption(key)
+    s.conf.set(key, "true")
+    try body
+    finally prior match {
+      case Some(v) => s.conf.set(key, v)
+      case None    => s.conf.unset(key)
+    }
+  }
+}

@@ -99,6 +99,24 @@ class SketchAggsSpec extends SparkSpec {
     assert(out(1L)._2.estimateCount("alpha") >= 1L)
   }
 
+  test("SQL sizing literals must be integral and in range") {
+    GraftFunctions.register(spark)
+    rows.toDF("g", "k").createOrReplaceTempView("sketch_sizing")
+    // fractional depth would silently truncate; oversize width would
+    // attempt a multi-GB counter allocation — both must fail analysis
+    intercept[Exception] {
+      spark.sql("SELECT cms_agg(k, 5.9, 8192, 42) FROM sketch_sizing")
+        .collect()
+    }
+    intercept[Exception] {
+      spark.sql("SELECT cms_agg(k, 5, 3000000000, 42) FROM sketch_sizing")
+        .collect()
+    }
+    intercept[Exception] {
+      spark.sql("SELECT bloom_agg(k, 0, 0.01) FROM sketch_sizing").collect()
+    }
+  }
+
   test("SQL parity: registered bloom_agg/cms_agg match the Column API") {
     GraftFunctions.register(spark)
     rows.toDF("g", "k").createOrReplaceTempView("sketch_in")

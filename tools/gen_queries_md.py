@@ -9,13 +9,23 @@ for path in sorted(glob.glob(f"{root}/src/main/scala/graft/queries/*.scala")):
     pack = os.path.basename(path)[:-6]
     src = open(path).read()
     m = re.search(r"val all:.*?=\s*Map\((.*?)\n  \)", src, re.S)
+    # every pack MUST yield queries and (except rows-only-only packs)
+    # oracle entries — a silent regex miss would under-report coverage
     if not m:
-        continue
-    for q in re.findall(r'"(q\d+_\w+)"\s*->', m.group(1)):
+        raise SystemExit(f"{pack}: `val all` Map not matched — fix the "
+                         "regex or the pack's formatting")
+    qs = re.findall(r'"(q\d+_\w+)"\s*->', m.group(1))
+    if not qs:
+        raise SystemExit(f"{pack}: `val all` matched but contains no "
+                         "query entries")
+    for q in qs:
+        if q in packs:
+            raise SystemExit(f"{q}: duplicated across {packs[q]} and {pack}")
         packs[q] = pack
     mo = re.search(r"val oracles:.*?=\s*Map\((.*?)\n  \)\n", src, re.S)
-    if mo:
-        oracle_keys.update(re.findall(r'"(q\d+_\w+)"\s*->', mo.group(1)))
+    if not mo:
+        raise SystemExit(f"{pack}: `val oracles` Map not matched")
+    oracle_keys.update(re.findall(r'"(q\d+_\w+)"\s*->', mo.group(1)))
 
 
 def qnum(name):
