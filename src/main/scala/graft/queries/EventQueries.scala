@@ -48,6 +48,22 @@ object EventQueries {
       .orderBy(col("user_id"), col("session_start"))
 
   /** JSON scalar extraction (F4): props -> $.k as BIGINT, aggregated. */
+  /** Spark 4 VARIANT ingestion (F4's modern form): props parsed ONCE
+    * into the binary variant encoding (`parse_json`), then path-extracted
+    * with `variant_get` — at scale the parse cost is paid at ingestion
+    * and every later extraction reads the pre-shredded encoding instead
+    * of re-parsing JSON text per query. Results must agree with the
+    * text-path q42/q43 semantics, which is what the oracle restates. */
+  def variantProps(s: SparkSession, dir: String): DataFrame =
+    ev(s, dir)
+      .withColumn("v", parse_json(col("props")))
+      .select(col("event_type"),
+        expr("variant_get(v, '$.k', 'bigint')").as("k"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"),
+        countDistinct(col("k")).as("n_distinct_k"))
+      .orderBy(col("event_type"))
+
   def propsKeyStats(s: SparkSession, dir: String): DataFrame =
     ev(s, dir)
       .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
@@ -211,6 +227,7 @@ object EventQueries {
     "q92_stream_hourly"      -> (streamHourlyFinalized _),
     "q94_stream_sessions"    -> (streamStatefulSessions _),
     "q107_stream_dedup"      -> (streamDedupCounts _),
+    "q111_variant_props"     -> (variantProps _),
     "q40_hourly_event_stats" -> (hourlyEventStats _),
     "q41_user_sessions"      -> (userSessions _),
     "q42_props_key_stats"    -> (propsKeyStats _),
@@ -222,6 +239,14 @@ object EventQueries {
     "CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)"
 
   val oracles: Map[String, String] = Map(
+    // variant path extraction must agree with text-path JSON semantics
+    "q111_variant_props" ->
+      """SELECT event_type, count(*) AS n,
+        |       SUM(CAST(json_extract_string(props, '$.k') AS BIGINT))
+        |         AS sum_k,
+        |       count(DISTINCT CAST(json_extract_string(props, '$.k')
+        |                           AS BIGINT)) AS n_distinct_k
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     // the streamed dedup provably restores the distinct event set, so
     // the oracle aggregates the original (duplicate-free) table directly
     "q107_stream_dedup" ->
