@@ -283,6 +283,40 @@ object ExtAggQueries {
         col("est90").between(col("p85"), col("p95")).as("q90_ok"))
       .orderBy(col("o_orderstatus"))
 
+  /** HLL sketch ALGEBRA (Spark 4 DataSketches built-ins; extends q47's
+    * one-shot approx_count_distinct): one distinct-count sketch per
+    * order-year built in a single groupBy pass, then the per-year
+    * sketches union-merged (`hll_union_agg`) into the all-years distinct
+    * estimate — the mergeable-summaries pattern that replaces a global
+    * COUNT(DISTINCT) shuffle at 100 TB: per-partition kilobyte sketches
+    * roll up along any grouping hierarchy without touching keys again.
+    * Estimates are gated at 5% vs the exact SQL counts (lgK=14 ≈ 0.8%
+    * rse, so the booleans are stable; HLL register content is
+    * merge-order-invariant → deterministic). */
+  def hllUnionYears(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.load(s, dir, "orders")
+    val perYear = o
+      .groupBy(year(col("o_orderdate")).cast("long").as("yr"))
+      .agg(hll_sketch_agg(col("o_custkey"), lit(14)).as("sk"),
+        countDistinct(col("o_custkey")).as("exact_in_year"))
+    val unioned = perYear.agg(
+      hll_sketch_estimate(hll_union_agg(col("sk"), lit(false)))
+        .as("est_all_years"))
+    val exactAll = o.agg(countDistinct(col("o_custkey")).as("exact_all"))
+    def ok(est: org.apache.spark.sql.Column,
+           exact: org.apache.spark.sql.Column) =
+      abs(est.cast("double") - exact.cast("double")) <=
+        exact.cast("double") * 0.05
+    perYear
+      .select(col("yr"), col("exact_in_year"),
+        ok(hll_sketch_estimate(col("sk")), col("exact_in_year"))
+          .as("year_est_ok"))
+      .crossJoin(unioned.crossJoin(exactAll)
+        .select(col("exact_all"),
+          ok(col("est_all_years"), col("exact_all")).as("union_est_ok")))
+      .orderBy(col("yr"))
+  }
+
   /** Theta sketch set algebra (Spark 4 built-in DataSketches): distinct
     * 1999-orderers vs 2000-orderers — union, intersection, and
     * difference estimated from two mergeable sketches and gated within
@@ -330,6 +364,7 @@ object ExtAggQueries {
     "q88_cms_heavy_hitters"    -> (cmsHeavyHitters _),
     "q95_bloom_semijoin"       -> (bloomSemiJoin _),
     "q103_group_bloom"         -> (groupBloomMembership _),
+    "q112_hll_union_years"     -> (hllUnionYears _),
     "q104_group_cms_topk"      -> (groupCmsTopSuppliers _),
     "q97_kll_quantile_gate"    -> (kllQuantileGate _),
     "q98_theta_setops"         -> (thetaSetOps _),
@@ -365,6 +400,13 @@ object ExtAggQueries {
         |           WHERE year(o_orderdate) = 2000) o
         |  ON c.c_custkey = o.o_custkey
         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "q112_hll_union_years" ->
+      """SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
+        |       count(DISTINCT o_custkey) AS exact_in_year,
+        |       true AS year_est_ok,
+        |       (SELECT count(DISTINCT o_custkey) FROM orders) AS exact_all,
+        |       true AS union_est_ok
+        |FROM orders GROUP BY yr ORDER BY yr""".stripMargin,
     "q103_group_bloom" ->
       """SELECT CAST(c_nationkey AS BIGINT) AS nk, count(*) AS n_members,
         |       true AS no_false_negatives, true AS fp_rate_ok
