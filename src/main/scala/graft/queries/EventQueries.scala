@@ -222,8 +222,28 @@ object EventQueries {
       .orderBy(col("event_type"))
   }
 
+  /** Stream-stream interval join under the oracle
+    * ([[graft.streaming.EventStreams.attributionJoin]]): each `purchase`
+    * event attributed to the same user's preceding `view` events within
+    * 30 minutes, both sides of the join being the SAME watermarked file
+    * stream. Deterministic: the single staged file lands in one
+    * micro-batch, and the initial watermark (epoch 0) cannot have evicted
+    * any cause-side state or late-dropped any row before matching — so
+    * the inner-join output is exactly the batch interval join, which is
+    * what the oracle restates in SQL. State at scale is bounded by
+    * (users active inside watermark+window), never stream length. */
+  def streamAttribution(s: SparkSession, dir: String): DataFrame =
+    runStagedEventStream(s, dir, "q113_sink_")(streamed =>
+      graft.streaming.EventStreams.attributionJoin(
+        streamed, streamed, "view", "purchase", 30))(
+      _.select(col("user_id"), col("cause_id"), col("effect_id"),
+        Tables.isoTs(col("cause_ts")).as("cause_ts"),
+        Tables.isoTs(col("effect_ts")).as("effect_ts")))
+      .orderBy(col("cause_id"), col("effect_id"))
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q28_asof_last_order"    -> (asofLastOrder _),
+    "q113_stream_attribution" -> (streamAttribution _),
     "q92_stream_hourly"      -> (streamHourlyFinalized _),
     "q94_stream_sessions"    -> (streamStatefulSessions _),
     "q107_stream_dedup"      -> (streamDedupCounts _),
@@ -239,6 +259,17 @@ object EventQueries {
     "CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)"
 
   val oracles: Map[String, String] = Map(
+    // the streamed inner interval join equals the batch interval join
+    // (single-batch staging; see streamAttribution scaladoc)
+    "q113_stream_attribution" ->
+      """SELECT c.user_id, c.event_id AS cause_id, e.event_id AS effect_id,
+        |       strftime(c.ts, '%Y-%m-%d %H:%M:%S') AS cause_ts,
+        |       strftime(e.ts, '%Y-%m-%d %H:%M:%S') AS effect_ts
+        |FROM events c JOIN events e
+        |  ON e.user_id = c.user_id
+        | AND c.event_type = 'view' AND e.event_type = 'purchase'
+        | AND e.ts >= c.ts AND e.ts <= c.ts + INTERVAL 30 MINUTE
+        |ORDER BY cause_id, effect_id""".stripMargin,
     // variant path extraction must agree with text-path JSON semantics
     "q111_variant_props" ->
       """SELECT event_type, count(*) AS n,
