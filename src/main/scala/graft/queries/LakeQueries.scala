@@ -98,12 +98,50 @@ object LakeQueries {
     }
   }
 
+  /** The DSv2 connector under the oracle: build a three-version table
+    * (create pre-2000 orders → append the rest → DELETE 'F'), then read
+    * BOTH the latest snapshot and version 1 through
+    * `spark.read.format("graft-lake")` — the format-string path a user
+    * porting `format("delta")` code would take. The per-status counts of
+    * the latest snapshot and the time-travelled v1 row count are all
+    * derivable from `orders` in plain SQL, which the oracle restates.
+    * The scan itself is Spark's vectorized parquet (the connector only
+    * resolves the manifest), so this also pins "format read ≡ API read"
+    * by value. */
+  def dsv2FormatRead(s: SparkSession, dir: String): DataFrame = {
+    val orders = graft.Tables.load(s, dir, "orders")
+    graft.util.Tmp.withTempDir("graft_lake_q114") { rootPath =>
+      val root = rootPath.toString
+      LakeTable.create(s, root,
+        orders.filter(to_date(col("o_orderdate")) < lit("2000-01-01")))
+      LakeTable.append(s, root,
+        orders.filter(to_date(col("o_orderdate")) >= lit("2000-01-01")))
+      LakeTable.deleteWhere(s, root, col("o_orderstatus") === "F")
+      val latest = s.read.format("graft-lake").load(root)
+      val v1Rows = s.read.format("graft-lake")
+        .option("versionAsOf", 1).load(root).count()
+      graft.util.LocalFrame.materialize(
+        latest.groupBy(col("o_orderstatus"))
+          .agg(count(lit(1)).as("n"))
+          .withColumn("v1_rows", lit(v1Rows))
+          .orderBy(col("o_orderstatus")))
+    }
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q91_lake_versions" -> (lakeVersionCounts _),
-    "q110_stream_sink"  -> (streamSinkCounts _)
+    "q110_stream_sink"  -> (streamSinkCounts _),
+    "q114_dsv2_format_read" -> (dsv2FormatRead _)
   )
 
   val oracles: Map[String, String] = Map(
+    // latest snapshot = orders minus DELETEd 'F'; v1 = pre-2000 snapshot
+    "q114_dsv2_format_read" ->
+      """SELECT o_orderstatus, count(*) AS n,
+        |       (SELECT count(*) FROM orders
+        |        WHERE o_orderdate < '2000-01-01') AS v1_rows
+        |FROM orders WHERE o_orderstatus <> 'F'
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     // the four version counts, each restated from the source table
     "q91_lake_versions" ->
       """SELECT * FROM (

@@ -1,0 +1,81 @@
+package graft.sources
+
+import java.util.{Map => JMap}
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.ScanBuilder
+import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetTable
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** DataSourceV2 read connector for [[LakeTable]]:
+  * {{{
+  *   spark.read.format("graft-lake").load(root)                  // latest
+  *   spark.read.format("graft-lake")
+  *        .option("versionAsOf", 2).load(root)                   // time travel
+  * }}}
+  *
+  * This is the architecture Delta Lake's own connector uses (reference
+  * workshop reads `format("delta")` paths — DS_cust_lifetime_value.py:152):
+  * the format resolves the transaction metadata into a concrete file
+  * list, then DELEGATES the scan to Spark's native vectorized parquet
+  * machinery — so snapshot resolution costs one manifest read at
+  * planning time and the data path keeps every built-in optimization
+  * (whole-stage codegen over columnar batches, predicate pushdown to
+  * row groups, column pruning, partition coalescing). Nothing here is
+  * per-row; at 100 TB the connector's overhead is unchanged from
+  * reading the parquet paths directly.
+  *
+  * The table is deliberately READ-ONLY ([[TableCapability.BATCH_READ]]
+  * only): `df.write.format("graft-lake")` fails analysis instead of
+  * bypassing the commit protocol — writes go through the LakeTable API
+  * (create/append/merge/deleteWhere/streamAppend), which is what keeps
+  * the manifest the single source of truth.
+  */
+final class GraftLakeSource extends TableProvider with DataSourceRegister {
+
+  override def shortName(): String = "graft-lake"
+
+  override def supportsExternalMetadata(): Boolean = false
+
+  private def delegate(options: JMap[String, String],
+                       userSchema: Option[StructType]): ParquetTable = {
+    val spark = SparkSession.active
+    val opts = new CaseInsensitiveStringMap(options)
+    val root = Option(opts.get("path")).getOrElse(throw new IllegalArgumentException(
+      "graft-lake requires a table root: spark.read.format(\"graft-lake\").load(<root>)"))
+    val version = Option(opts.get("versionAsOf")).map(_.toInt)
+    val paths = LakeTable.dataDirPaths(spark, root, version)
+    // additive schema evolution: groups written before a column existed
+    // read it as null (same contract as LakeTable.read)
+    val withMerge = new java.util.HashMap[String, String](options)
+    withMerge.put("mergeSchema", "true")
+    ParquetTable(
+      s"graft-lake `$root`" + version.fold("")(v => s"@v$v"),
+      spark, new CaseInsensitiveStringMap(withMerge), paths.toList,
+      userSchema, classOf[ParquetFileFormat])
+  }
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    delegate(options, None).schema
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: JMap[String, String]): Table =
+    new GraftLakeTable(delegate(properties, Option(schema)))
+}
+
+/** Read-only wrapper: exposes the delegate's schema and scan builder but
+  * none of its write capabilities. */
+private final class GraftLakeTable(delegate: ParquetTable)
+    extends Table with SupportsRead {
+  override def name(): String = delegate.name
+  override def schema(): StructType = delegate.schema
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    delegate.newScanBuilder(options)
+}

@@ -209,15 +209,25 @@ object LakeTable {
         .filter(col(column).cast("double").between(lo, hi))
   }
 
+  /** Resolved absolute data-dir paths of a snapshot (`version = None` →
+    * latest) — the metadata half of the read path, shared by [[read]]
+    * and the DSv2 connector ([[GraftLakeSource]]). */
+  def dataDirPaths(spark: SparkSession, root: String,
+                   version: Option[Int] = None): Seq[String] = {
+    val vs = versions(spark, root)
+    if (vs.isEmpty) throw new IllegalStateException(s"no table at $root")
+    val v = version.getOrElse(vs.last)
+    require(vs.contains(v),
+      s"version $v does not exist at $root (have ${vs.mkString(",")})")
+    readManifest(spark, root, v).map(d => new Path(root, d).toString)
+  }
+
   /** Snapshot read; `version = None` → latest (time travel otherwise).
     * mergeSchema handles additive schema evolution: groups written
     * before a column existed read it as null. */
   def read(spark: SparkSession, root: String,
            version: Option[Int] = None): DataFrame = {
-    val v = version.orElse(latestVersion(spark, root))
-      .getOrElse(throw new IllegalStateException(s"no table at $root"))
-    val dirs = readManifest(spark, root, v)
-      .map(d => new Path(root, d).toString)
+    val dirs = dataDirPaths(spark, root, version)
     spark.read.option("mergeSchema", "true").parquet(dirs: _*)
   }
 

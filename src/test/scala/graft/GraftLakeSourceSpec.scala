@@ -1,0 +1,90 @@
+package graft
+
+import graft.sources.LakeTable
+import org.apache.spark.sql.functions._
+
+/** DSv2 connector ([[graft.sources.GraftLakeSource]]): format-string
+  * reads must equal the LakeTable API reads, time travel must work via
+  * option, the scan must keep parquet pushdown/pruning, and writes must
+  * be rejected (the commit protocol is API-only). */
+class GraftLakeSourceSpec extends SparkSpec {
+
+  private def withTable(f: String => Unit): Unit = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_lake_ds").toString
+    try f(dir)
+    finally graft.util.Tmp.deleteRecursively(java.nio.file.Paths.get(dir))
+  }
+
+  test("format read equals API read, including time travel") {
+    withTable { root =>
+      val nation = Tables.load(spark, sf, "nation")
+      LakeTable.create(spark, root, nation.filter(col("n_nationkey") < 10))
+      LakeTable.append(spark, root, nation.filter(col("n_nationkey") >= 10))
+
+      val latest = spark.read.format("graft-lake").load(root)
+      assert(latest.count() == 25)
+      assert(latest.schema.fieldNames.sorted.sameElements(
+        nation.schema.fieldNames.sorted))
+
+      val v1 = spark.read.format("graft-lake")
+        .option("versionAsOf", 1).load(root)
+      assert(v1.count() == 10)
+      // value-level: snapshot equals the API's snapshot
+      assert(v1.orderBy("n_nationkey").collect()
+        .sameElements(LakeTable.read(spark, root, Some(1))
+          .orderBy("n_nationkey").collect()))
+    }
+  }
+
+  test("scan delegates to vectorized parquet with pushdown and pruning") {
+    withTable { root =>
+      val nation = Tables.load(spark, sf, "nation")
+      LakeTable.create(spark, root, nation)
+      val df = spark.read.format("graft-lake").load(root)
+        .filter(col("n_nationkey") < 5)
+        .select("n_name")
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("PushedFilters: [IsNotNull(n_nationkey), LessThan(n_nationkey,5)]"),
+        s"filter not pushed:\n$plan")
+      // column pruning reached the scan: only the two referenced columns
+      assert(plan.contains("ReadSchema: struct<n_nationkey:int,n_name:string>"),
+        s"columns not pruned:\n$plan")
+      assert(df.collect().map(_.getString(0)).length == 5)
+    }
+  }
+
+  test("additive schema evolution: old groups read new column as null") {
+    withTable { root =>
+      val nation = Tables.load(spark, sf, "nation")
+      LakeTable.create(spark, root, nation.select("n_nationkey", "n_name"))
+      LakeTable.append(spark, root, nation.select("n_nationkey", "n_name")
+        .withColumn("extra", lit(1L)))
+      val df = spark.read.format("graft-lake").load(root)
+      assert(df.schema.fieldNames.contains("extra"))
+      assert(df.filter(col("extra").isNull).count() == 25)
+      assert(df.filter(col("extra") === 1L).count() == 25)
+    }
+  }
+
+  test("writes through the format are rejected") {
+    withTable { root =>
+      val nation = Tables.load(spark, sf, "nation")
+      LakeTable.create(spark, root, nation)
+      intercept[Exception] {
+        nation.write.format("graft-lake").mode("append").save(root)
+      }
+      // the rejected write must not have committed anything
+      assert(LakeTable.versions(spark, root) == Seq(1))
+    }
+  }
+
+  test("unknown version fails fast with the available versions") {
+    withTable { root =>
+      LakeTable.create(spark, root, Tables.load(spark, sf, "nation"))
+      val e = intercept[Exception] {
+        spark.read.format("graft-lake").option("versionAsOf", 7).load(root)
+      }
+      assert(e.getMessage.contains("version 7"))
+    }
+  }
+}
