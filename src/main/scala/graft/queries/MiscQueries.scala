@@ -210,8 +210,38 @@ object MiscQueries {
       graft.util.LocalFrame.materialize(res)
     }
 
+  /** Dynamic partition pruning (q108's runtime sibling): the fact side
+    * is Hive-partitioned by year, but the year set to scan is only
+    * knowable at RUNTIME — it comes from a dimension table filtered on a
+    * non-partition attribute. Catalyst's DPP rule turns the broadcast
+    * join's build side into a pruning subquery on the fact scan
+    * (`dynamicpruningexpression` in PartitionFilters; asserted in
+    * ScaleOpsSpec), so only the qualifying year directories are opened.
+    * At 100 TB this is THE fact⋈dim pattern: "revenue for the dim rows
+    * matching X" touches the matching partitions' files, not the whole
+    * fact table. The oracle restates the join as a plain row filter. */
+  def dynamicPartitionPruned(s: SparkSession, dir: String): DataFrame =
+    graft.util.Tmp.withTempDir("q115_dpp_") { tmp =>
+      val orders = t(s, dir, "orders")
+        .withColumn("yr", year(col("o_orderdate")))
+      graft.ingest.Ingest.savePartitioned(orders, s"$tmp/fact", "yr")
+      orders.select(col("yr")).distinct()
+        .withColumn("era",
+          when(col("yr") >= 1998, lit("late")).otherwise(lit("early")))
+        .write.parquet(s"$tmp/dim")
+      val fact = s.read.parquet(s"$tmp/fact")
+      val dim = s.read.parquet(s"$tmp/dim").filter(col("era") === "late")
+      val res = fact.join(dim, Seq("yr"))
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"),
+          Tables.sumMoney(col("o_totalprice")).as("revenue"))
+        .orderBy(col("o_orderstatus"))
+      graft.util.LocalFrame.materialize(res)
+    }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q108_partition_pruned" -> (partitionPrunedScan _),
+    "q115_dpp_join"         -> (dynamicPartitionPruned _),
     "q37_unpivot_metrics" -> (unpivotMetrics _),
     "q38_quarterly_orders" -> (quarterlyOrders _),
     "q39_null_handling"   -> (nullHandling _),
@@ -315,6 +345,13 @@ object MiscQueries {
         |       round(quantile_cont(o_totalprice, 0.5), 2) AS p50_exact,
         |       true AS approx_within_1pct
         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    // the DPP join equals a plain row filter over the fact table
+    "q115_dpp_join" ->
+      """SELECT o_orderstatus, count(*) AS n,
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |         AS revenue
+        |FROM orders WHERE year(o_orderdate) >= 1998
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     // the pruned partitioned read must equal a plain row filter
     "q108_partition_pruned" ->
       """SELECT o_orderstatus, count(*) AS n,
