@@ -17,19 +17,24 @@ object LocalFrame {
   def materialize(df: DataFrame): DataFrame =
     of(df.sparkSession, df.collect(), df.schema)
 
-  /** Scope the legacy parquet nanos-as-long toggle to `body`, restoring
-    * the prior session value even on failure — the events parquet
-    * carries nanosecond timestamps that the streaming file source can
-    * only read as longs, and leaking the toggle would silently change
-    * timestamp decoding for every later query on the shared session. */
-  def withNanosAsLong[A](s: SparkSession)(body: => A): A = {
-    val key = "spark.sql.legacy.parquet.nanosAsLong"
+  /** Scope a session conf to `body`, restoring the prior value (or
+    * unsetting) even on failure — queries on the shared session must not
+    * leak conf changes into later queries. */
+  def withConf[A](s: SparkSession, key: String, value: String)(body: => A): A = {
     val prior = s.conf.getOption(key)
-    s.conf.set(key, "true")
+    s.conf.set(key, value)
     try body
     finally prior match {
       case Some(v) => s.conf.set(key, v)
       case None    => s.conf.unset(key)
     }
   }
+
+  /** Scope the legacy parquet nanos-as-long toggle to `body` — the
+    * events parquet carries nanosecond timestamps that the streaming
+    * file source can only read as longs, and leaking the toggle would
+    * silently change timestamp decoding for every later query on the
+    * shared session. */
+  def withNanosAsLong[A](s: SparkSession)(body: => A): A =
+    withConf(s, "spark.sql.legacy.parquet.nanosAsLong", "true")(body)
 }
