@@ -128,13 +128,52 @@ object LakeQueries {
     }
   }
 
+  /** The SQL-catalog path under the oracle (q114's parser-path sibling):
+    * the same three-version table, registered under a
+    * [[graft.sources.GraftLakeCatalog]] warehouse and queried purely as
+    * SQL text — name-based resolution plus the standard `VERSION AS OF`
+    * time-travel clause. A fresh catalog name is registered per run
+    * because Spark caches catalog instances by name and each run uses a
+    * new temp warehouse. */
+  def catalogSqlRead(s: SparkSession, dir: String): DataFrame = {
+    val orders = graft.Tables.load(s, dir, "orders")
+    graft.util.Tmp.withTempDir("graft_lake_q117") { whPath =>
+      val wh = whPath.toString
+      val root = s"$wh/orders_t"
+      LakeTable.create(s, root,
+        orders.filter(to_date(col("o_orderdate")) < lit("2000-01-01")))
+      LakeTable.append(s, root,
+        orders.filter(to_date(col("o_orderdate")) >= lit("2000-01-01")))
+      LakeTable.deleteWhere(s, root, col("o_orderstatus") === "F")
+      val cat = "lake_" +
+        java.util.UUID.randomUUID().toString.replace("-", "").take(12)
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftLakeCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+      val res = s.sql(
+        s"""SELECT o_orderpriority, count(*) AS n,
+           |       (SELECT count(*) FROM $cat.orders_t VERSION AS OF 1)
+           |         AS v1_rows
+           |FROM $cat.orders_t
+           |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
+      graft.util.LocalFrame.materialize(res)
+    }
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q91_lake_versions" -> (lakeVersionCounts _),
     "q110_stream_sink"  -> (streamSinkCounts _),
-    "q114_dsv2_format_read" -> (dsv2FormatRead _)
+    "q114_dsv2_format_read" -> (dsv2FormatRead _),
+    "q117_catalog_sql_read" -> (catalogSqlRead _)
   )
 
   val oracles: Map[String, String] = Map(
+    // same derivations as q114, through the SQL catalog + VERSION AS OF
+    "q117_catalog_sql_read" ->
+      """SELECT o_orderpriority, count(*) AS n,
+        |       (SELECT count(*) FROM orders
+        |        WHERE o_orderdate < '2000-01-01') AS v1_rows
+        |FROM orders WHERE o_orderstatus <> 'F'
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     // latest snapshot = orders minus DELETEd 'F'; v1 = pre-2000 snapshot
     "q114_dsv2_format_read" ->
       """SELECT o_orderstatus, count(*) AS n,

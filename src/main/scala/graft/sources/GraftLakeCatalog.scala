@@ -1,0 +1,106 @@
+package graft.sources
+
+import java.util.{Collections, Map => JMap}
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.connector.catalog.{Identifier, Table, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** Catalog plugin exposing a warehouse directory of [[LakeTable]]s to
+  * SQL — the parser path of the DSv2 surface:
+  * {{{
+  *   spark.conf.set("spark.sql.catalog.lake",
+  *     "graft.sources.GraftLakeCatalog")
+  *   spark.conf.set("spark.sql.catalog.lake.warehouse", "/data/lake")
+  *   spark.sql("SELECT * FROM lake.orders")                 -- latest
+  *   spark.sql("SELECT * FROM lake.orders VERSION AS OF 1") -- time travel
+  * }}}
+  *
+  * Each `<warehouse>/<name>` directory holding a `_versions/` manifest
+  * dir is a table; `VERSION AS OF n` resolves through the standard DSv2
+  * time-travel hook (`loadTable(ident, version)`), so the SQL syntax,
+  * the format path's `versionAsOf` option and the LakeTable API all read
+  * the same snapshot. Read-only by design (see [[GraftLakeSource]]):
+  * every mutation DDL throws, keeping the manifest commit protocol the
+  * only write path.
+  *
+  * Scale note: resolution cost is one directory listing + one manifest
+  * read at planning time; the scan is the same delegated vectorized
+  * parquet as the format path — the catalog adds zero per-row overhead.
+  */
+final class GraftLakeCatalog extends TableCatalog {
+
+  private var catalogName: String = _
+  private var warehouse: String = _
+
+  override def initialize(name: String,
+                          options: CaseInsensitiveStringMap): Unit = {
+    catalogName = name
+    warehouse = Option(options.get("warehouse")).getOrElse(
+      throw new IllegalArgumentException(
+        s"catalog $name requires spark.sql.catalog.$name.warehouse"))
+  }
+
+  override def name(): String = catalogName
+
+  /** Tables live directly under the warehouse; the empty and "default"
+    * namespaces are interchangeable. */
+  private def requireFlat(namespace: Array[String]): Unit =
+    require(namespace.isEmpty || namespace.sameElements(Array("default")),
+      s"graft-lake catalog has no namespace ${namespace.mkString(".")}")
+
+  private def rootOf(ident: Identifier): String = {
+    requireFlat(ident.namespace())
+    new Path(warehouse, ident.name()).toString
+  }
+
+  override def listTables(namespace: Array[String]): Array[Identifier] = {
+    requireFlat(namespace)
+    val spark = SparkSession.active
+    val wh = new Path(warehouse)
+    val fs = wh.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(wh)) Array.empty
+    else fs.listStatus(wh).toSeq
+      .filter(st => st.isDirectory &&
+        fs.exists(new Path(st.getPath, "_versions")))
+      .map(st => Identifier.of(namespace, st.getPath.getName))
+      .sortBy(_.name())
+      .toArray
+  }
+
+  private def load(ident: Identifier, version: Option[Int]): Table =
+    new GraftLakeTable(GraftLakeSource.delegate(SparkSession.active,
+      rootOf(ident), version, None, Collections.emptyMap[String, String]()))
+
+  override def loadTable(ident: Identifier): Table = load(ident, None)
+
+  /** `VERSION AS OF n` — Spark routes the SQL time-travel clause here. */
+  override def loadTable(ident: Identifier, version: String): Table =
+    load(ident, Some(version.toInt))
+
+  override def tableExists(ident: Identifier): Boolean =
+    try { LakeTable.latestVersion(SparkSession.active, rootOf(ident)).nonEmpty }
+    catch { case _: IllegalArgumentException => false }
+
+  private def readOnly(op: String): Nothing =
+    throw new UnsupportedOperationException(
+      s"graft-lake catalog is read-only: $op must go through the " +
+        "LakeTable API (create/append/merge/deleteWhere/streamAppend)")
+
+  override def createTable(ident: Identifier, schema: StructType,
+                           partitions: Array[Transform],
+                           properties: JMap[String, String]): Table =
+    readOnly(s"CREATE TABLE $ident")
+
+  override def alterTable(ident: Identifier, changes: TableChange*): Table =
+    readOnly(s"ALTER TABLE $ident")
+
+  override def dropTable(ident: Identifier): Boolean =
+    readOnly(s"DROP TABLE $ident")
+
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
+    readOnly(s"RENAME TABLE $oldIdent")
+}

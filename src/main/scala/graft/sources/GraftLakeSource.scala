@@ -37,18 +37,37 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * the manifest the single source of truth.
   */
 final class GraftLakeSource extends TableProvider with DataSourceRegister {
+  import GraftLakeSource.delegate
 
   override def shortName(): String = "graft-lake"
 
   override def supportsExternalMetadata(): Boolean = false
 
-  private def delegate(options: JMap[String, String],
-                       userSchema: Option[StructType]): ParquetTable = {
-    val spark = SparkSession.active
+  private def fromOptions(options: JMap[String, String],
+                          userSchema: Option[StructType]): ParquetTable = {
     val opts = new CaseInsensitiveStringMap(options)
     val root = Option(opts.get("path")).getOrElse(throw new IllegalArgumentException(
       "graft-lake requires a table root: spark.read.format(\"graft-lake\").load(<root>)"))
     val version = Option(opts.get("versionAsOf")).map(_.toInt)
+    delegate(SparkSession.active, root, version, userSchema, options)
+  }
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    fromOptions(options, None).schema
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: JMap[String, String]): Table =
+    new GraftLakeTable(fromOptions(properties, Option(schema)))
+}
+
+private[sources] object GraftLakeSource {
+  /** Resolve a snapshot into the vectorized-parquet delegate table —
+    * shared by the format path ([[GraftLakeSource]]) and the catalog
+    * path ([[GraftLakeCatalog]]). */
+  private[sources] def delegate(spark: SparkSession, root: String,
+                                version: Option[Int],
+                                userSchema: Option[StructType],
+                                options: JMap[String, String]): ParquetTable = {
     val paths = LakeTable.dataDirPaths(spark, root, version)
     // additive schema evolution: groups written before a column existed
     // read it as null (same contract as LakeTable.read)
@@ -59,18 +78,11 @@ final class GraftLakeSource extends TableProvider with DataSourceRegister {
       spark, new CaseInsensitiveStringMap(withMerge), paths.toList,
       userSchema, classOf[ParquetFileFormat])
   }
-
-  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
-    delegate(options, None).schema
-
-  override def getTable(schema: StructType, partitioning: Array[Transform],
-                        properties: JMap[String, String]): Table =
-    new GraftLakeTable(delegate(properties, Option(schema)))
 }
 
 /** Read-only wrapper: exposes the delegate's schema and scan builder but
   * none of its write capabilities. */
-private final class GraftLakeTable(delegate: ParquetTable)
+private[sources] final class GraftLakeTable(delegate: ParquetTable)
     extends Table with SupportsRead {
   override def name(): String = delegate.name
   override def schema(): StructType = delegate.schema

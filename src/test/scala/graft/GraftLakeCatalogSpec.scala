@@ -1,0 +1,75 @@
+package graft
+
+import graft.sources.LakeTable
+import org.apache.spark.sql.functions._
+
+/** SQL-catalog path of the DSv2 surface ([[graft.sources.GraftLakeCatalog]]):
+  * name-based SQL reads, `VERSION AS OF` time travel, table listing, and
+  * mutation rejection. Catalog instances are cached per name by Spark,
+  * so each test registers its own catalog name against its own
+  * warehouse. */
+class GraftLakeCatalogSpec extends SparkSpec {
+
+  private def withWarehouse(catalog: String)(f: String => Unit): Unit = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_lake_cat").toString
+    spark.conf.set(s"spark.sql.catalog.$catalog",
+      "graft.sources.GraftLakeCatalog")
+    spark.conf.set(s"spark.sql.catalog.$catalog.warehouse", dir)
+    try f(dir)
+    finally graft.util.Tmp.deleteRecursively(java.nio.file.Paths.get(dir))
+  }
+
+  test("SQL reads resolve by name, latest and VERSION AS OF") {
+    withWarehouse("lakeA") { wh =>
+      val nation = Tables.load(spark, sf, "nation")
+      LakeTable.create(spark, s"$wh/nation_t",
+        nation.filter(col("n_nationkey") < 10))
+      LakeTable.append(spark, s"$wh/nation_t",
+        nation.filter(col("n_nationkey") >= 10))
+      assert(spark.sql("SELECT count(*) AS n FROM lakeA.nation_t")
+        .head().getLong(0) == 25)
+      assert(spark.sql(
+        "SELECT count(*) AS n FROM lakeA.nation_t VERSION AS OF 1")
+        .head().getLong(0) == 10)
+      // joins and aggregates through the catalog plan like any table
+      val agg = spark.sql(
+        """SELECT n_regionkey, count(*) AS n FROM lakeA.nation_t
+          |GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin)
+      assert(agg.collect().map(_.getLong(1)).sum == 25)
+    }
+  }
+
+  test("listTables sees exactly the committed tables") {
+    withWarehouse("lakeB") { wh =>
+      val nation = Tables.load(spark, sf, "nation")
+      LakeTable.create(spark, s"$wh/t1", nation)
+      LakeTable.create(spark, s"$wh/t2", nation.limit(5))
+      // a plain directory without a manifest is not a table
+      java.nio.file.Files.createDirectory(java.nio.file.Paths.get(wh, "junk"))
+      val cat = spark.sessionState.catalogManager
+        .catalog("lakeB").asInstanceOf[graft.sources.GraftLakeCatalog]
+      assert(cat.listTables(Array.empty).map(_.name()).toSeq == Seq("t1", "t2"))
+      assert(cat.tableExists(
+        org.apache.spark.sql.connector.catalog.Identifier.of(
+          Array.empty[String], "t1")))
+      assert(!cat.tableExists(
+        org.apache.spark.sql.connector.catalog.Identifier.of(
+          Array.empty[String], "junk")))
+    }
+  }
+
+  test("mutation DDL and DML through the catalog are rejected") {
+    withWarehouse("lakeC") { wh =>
+      LakeTable.create(spark, s"$wh/t1", Tables.load(spark, sf, "nation"))
+      intercept[Exception] {
+        spark.sql("INSERT INTO lakeC.t1 SELECT * FROM lakeC.t1")
+      }
+      intercept[Exception] { spark.sql("DROP TABLE lakeC.t1") }
+      intercept[Exception] {
+        spark.sql("CREATE TABLE lakeC.t9 (x INT) USING parquet")
+      }
+      // nothing committed by the rejected statements
+      assert(LakeTable.versions(spark, s"$wh/t1") == Seq(1))
+    }
+  }
+}
