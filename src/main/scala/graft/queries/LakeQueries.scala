@@ -159,14 +159,62 @@ object LakeQueries {
     }
   }
 
+  /** The table-maintenance chain under the oracle (q91 covers the DML
+    * chain; this covers the OPERATIONAL one): five small appends — the
+    * classic streaming small-files pathology — then OPTIMIZE-style
+    * compaction clustered by status, then VACUUM retaining two versions.
+    * The oracle pins what SQL can know: the final per-status counts
+    * (compaction must not change data), the retained version count, the
+    * pre-compaction snapshot's row count (time travel must survive
+    * vacuum for retained versions), and a files-reduced boolean (the
+    * point of compaction). At 100 TB this chain is what keeps scan task
+    * counts sane under continuous ingestion. */
+  def maintenanceChain(s: SparkSession, dir: String): DataFrame = {
+    val orders = graft.Tables.load(s, dir, "orders")
+    graft.util.Tmp.withTempDir("graft_lake_q118") { rootPath =>
+      val root = rootPath.toString
+      LakeTable.create(s, root, orders.filter(col("o_custkey") % 5 === 0))
+      (1 to 4).foreach(i =>
+        LakeTable.append(s, root, orders.filter(col("o_custkey") % 5 === i)))
+      def nFiles: Long =
+        LakeTable.read(s, root).select(input_file_name()).distinct().count()
+      val filesBefore = nFiles
+      val vCompact = LakeTable.compact(s, root, targetPartitions = 2,
+        clusterBy = Some("o_orderstatus"))
+      val filesAfter = nFiles
+      LakeTable.vacuum(s, root, keepVersions = 2)
+      val nVersions = LakeTable.versions(s, root).size.toLong
+      // the retained pre-compaction version must still time-travel
+      val prevRows = LakeTable.read(s, root, Some(vCompact - 1)).count()
+      graft.util.LocalFrame.materialize(
+        LakeTable.read(s, root)
+          .groupBy(col("o_orderstatus"))
+          .agg(count(lit(1)).as("n"))
+          .withColumn("n_versions", lit(nVersions))
+          .withColumn("files_reduced", lit(filesAfter < filesBefore))
+          .withColumn("prev_version_rows", lit(prevRows))
+          .orderBy(col("o_orderstatus")))
+    }
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q91_lake_versions" -> (lakeVersionCounts _),
     "q110_stream_sink"  -> (streamSinkCounts _),
     "q114_dsv2_format_read" -> (dsv2FormatRead _),
-    "q117_catalog_sql_read" -> (catalogSqlRead _)
+    "q117_catalog_sql_read" -> (catalogSqlRead _),
+    "q118_lake_maintenance" -> (maintenanceChain _)
   )
 
   val oracles: Map[String, String] = Map(
+    // compaction preserves data; vacuum retains 2 versions; the kept
+    // pre-compaction snapshot (all 5 appends = whole table) time-travels
+    "q118_lake_maintenance" ->
+      """SELECT o_orderstatus, count(*) AS n,
+        |       CAST(2 AS BIGINT) AS n_versions,
+        |       true AS files_reduced,
+        |       (SELECT count(*) FROM orders) AS prev_version_rows
+        |FROM orders GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin,
     // same derivations as q114, through the SQL catalog + VERSION AS OF
     "q117_catalog_sql_read" ->
       """SELECT o_orderpriority, count(*) AS n,
