@@ -295,10 +295,13 @@ object ExtAggQueries {
     * merge-order-invariant → deterministic). */
   def hllUnionYears(s: SparkSession, dir: String): DataFrame = {
     val o = Tables.load(s, dir, "orders")
+    // feeds two plan branches (per-year select + union-agg side) —
+    // persist so the sketch-building shuffle runs once
     val perYear = o
       .groupBy(year(col("o_orderdate")).cast("long").as("yr"))
       .agg(hll_sketch_agg(col("o_custkey"), lit(14)).as("sk"),
         countDistinct(col("o_custkey")).as("exact_in_year"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val unioned = perYear.agg(
       hll_sketch_estimate(hll_union_agg(col("sk"), lit(false)))
         .as("est_all_years"))

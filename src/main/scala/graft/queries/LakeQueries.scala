@@ -149,13 +149,18 @@ object LakeQueries {
         java.util.UUID.randomUUID().toString.replace("-", "").take(12)
       s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftLakeCatalog")
       s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
-      val res = s.sql(
+      try graft.util.LocalFrame.materialize(s.sql(
         s"""SELECT o_orderpriority, count(*) AS n,
            |       (SELECT count(*) FROM $cat.orders_t VERSION AS OF 1)
            |         AS v1_rows
            |FROM $cat.orders_t
-           |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
-      graft.util.LocalFrame.materialize(res)
+           |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin))
+      finally {
+        // no-conf-leak rule: drop the per-run catalog registration (the
+        // CatalogManager's cached instance becomes unreachable with it)
+        s.conf.unset(s"spark.sql.catalog.$cat")
+        s.conf.unset(s"spark.sql.catalog.$cat.warehouse")
+      }
     }
   }
 

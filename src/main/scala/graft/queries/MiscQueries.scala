@@ -220,18 +220,28 @@ object MiscQueries {
     * At 100 TB this is THE fact⋈dim pattern: "revenue for the dim rows
     * matching X" touches the matching partitions' files, not the whole
     * fact table. The oracle restates the join as a plain row filter. */
+  /** Shared q115 scaffold (also used by PlanDump's interior-plan dump
+    * and ScaleOpsSpec's DPP assertion, so the evidence and the test
+    * describe exactly the oracle-checked query): write the year-
+    * partitioned fact + the year→era dim under `tmp`, return the
+    * era-filtered join. */
+  private[graft] def dppJoinedFrame(s: SparkSession, dir: String,
+                                    tmp: String): DataFrame = {
+    val orders = t(s, dir, "orders")
+      .withColumn("yr", year(col("o_orderdate")))
+    graft.ingest.Ingest.savePartitioned(orders, s"$tmp/fact", "yr")
+    orders.select(col("yr")).distinct()
+      .withColumn("era",
+        when(col("yr") >= 1998, lit("late")).otherwise(lit("early")))
+      .write.parquet(s"$tmp/dim")
+    s.read.parquet(s"$tmp/fact")
+      .join(s.read.parquet(s"$tmp/dim").filter(col("era") === "late"),
+        Seq("yr"))
+  }
+
   def dynamicPartitionPruned(s: SparkSession, dir: String): DataFrame =
     graft.util.Tmp.withTempDir("q115_dpp_") { tmp =>
-      val orders = t(s, dir, "orders")
-        .withColumn("yr", year(col("o_orderdate")))
-      graft.ingest.Ingest.savePartitioned(orders, s"$tmp/fact", "yr")
-      orders.select(col("yr")).distinct()
-        .withColumn("era",
-          when(col("yr") >= 1998, lit("late")).otherwise(lit("early")))
-        .write.parquet(s"$tmp/dim")
-      val fact = s.read.parquet(s"$tmp/fact")
-      val dim = s.read.parquet(s"$tmp/dim").filter(col("era") === "late")
-      val res = fact.join(dim, Seq("yr"))
+      val res = dppJoinedFrame(s, dir, tmp.toString)
         .groupBy(col("o_orderstatus"))
         .agg(count(lit(1)).as("n"),
           Tables.sumMoney(col("o_totalprice")).as("revenue"))

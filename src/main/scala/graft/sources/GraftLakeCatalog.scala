@@ -71,9 +71,17 @@ final class GraftLakeCatalog extends TableCatalog {
       .toArray
   }
 
+  /** Missing tables surface as the DSv2-contract NoSuchTableException so
+    * Spark's resolution paths (which catch exactly that type) can
+    * translate it into TABLE_OR_VIEW_NOT_FOUND or probe-and-fallback. */
   private def load(ident: Identifier, version: Option[Int]): Table =
-    new GraftLakeTable(GraftLakeSource.delegate(SparkSession.active,
+    try new GraftLakeTable(GraftLakeSource.delegate(SparkSession.active,
       rootOf(ident), version, None, Collections.emptyMap[String, String]()))
+    catch {
+      case _: IllegalStateException =>
+        throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(
+          ident.namespace() :+ ident.name())
+    }
 
   override def loadTable(ident: Identifier): Table = load(ident, None)
 

@@ -43,21 +43,33 @@ final class GraftLakeSource extends TableProvider with DataSourceRegister {
 
   override def supportsExternalMetadata(): Boolean = false
 
-  private def fromOptions(options: JMap[String, String],
-                          userSchema: Option[StructType]): ParquetTable = {
+  // Spark calls inferSchema then getTable on the SAME provider instance
+  // for one read; caching the resolved delegate makes the pair atomic
+  // (one snapshot resolution — a commit landing between the two calls
+  // cannot pair vN's schema with vN+1's files) and halves the manifest
+  // + file-listing planning cost.
+  @volatile private var cached: (String, Option[Int], ParquetTable) = _
+
+  private def fromOptions(options: JMap[String, String]): ParquetTable = {
     val opts = new CaseInsensitiveStringMap(options)
     val root = Option(opts.get("path")).getOrElse(throw new IllegalArgumentException(
       "graft-lake requires a table root: spark.read.format(\"graft-lake\").load(<root>)"))
     val version = Option(opts.get("versionAsOf")).map(_.toInt)
-    delegate(SparkSession.active, root, version, userSchema, options)
+    val c = cached
+    if (c != null && c._1 == root && c._2 == version) c._3
+    else {
+      val t = delegate(SparkSession.active, root, version, None, options)
+      cached = (root, version, t)
+      t
+    }
   }
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
-    fromOptions(options, None).schema
+    fromOptions(options).schema
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
                         properties: JMap[String, String]): Table =
-    new GraftLakeTable(fromOptions(properties, Option(schema)))
+    new GraftLakeTable(fromOptions(properties))
 }
 
 private[sources] object GraftLakeSource {

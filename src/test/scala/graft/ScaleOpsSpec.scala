@@ -51,23 +51,16 @@ class ScaleOpsSpec extends SparkSpec {
 
   test("dim-filtered join dynamically prunes fact partitions at runtime") {
     graft.util.Tmp.withTempDir("scaleops_dpp_") { tmp =>
-      val orders = Tables.load(spark, sf, "orders")
-        .withColumn("yr", year(col("o_orderdate")))
-      Ingest.savePartitioned(orders, s"$tmp/fact", "yr")
-      orders.select(col("yr")).distinct()
-        .withColumn("era",
-          when(col("yr") >= 1998, lit("late")).otherwise(lit("early")))
-        .write.parquet(s"$tmp/dim")
-      val fact = spark.read.parquet(s"$tmp/fact")
-      val dim = spark.read.parquet(s"$tmp/dim").filter(col("era") === "late")
-      val joined = fact.join(dim, Seq("yr"))
+      // exactly q115's interior join (shared scaffold)
+      val joined = graft.queries.MiscQueries
+        .dppJoinedFrame(spark, sf, tmp.toString)
       // the pruning predicate on the fact scan is a runtime subquery fed
       // by the dim side — visible as dynamicpruningexpression(...)
       val plan = joined.queryExecution.executedPlan.toString
       assert(plan.toLowerCase.contains("dynamicpruning"),
         s"no dynamic partition pruning in plan:\n$plan")
-      val expected =
-        orders.filter(year(col("o_orderdate")) >= 1998).count()
+      val expected = Tables.load(spark, sf, "orders")
+        .filter(year(col("o_orderdate")) >= 1998).count()
       assert(joined.count() == expected)
     }
   }
