@@ -139,7 +139,32 @@ object JoinQueries {
       .orderBy(col("r_name"), col("o_orderstatus"))
   }
 
+  /** Join STRATEGY control: the same customer⋈orders aggregate computed
+    * under all three physical join strategies via hints — broadcast
+    * (dim fits in memory), sort-merge (both sides huge, sort-based),
+    * shuffle-hash (both sides huge, build side hashes per partition) —
+    * and the results must be identical, which is what the oracle's
+    * single joined aggregate cross-joined to the three labels states.
+    * JoinStrategySpec asserts each plan really uses its hinted operator.
+    * At 100 TB strategy choice is the difference between a 5-second and
+    * a 5-hour join; this pins that all three produce the same answer so
+    * the choice is purely physical. */
+  def joinStrategyHints(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    val c = t(s, dir, "customer")
+    def agg(strategy: String, hint: String): DataFrame =
+      o.join(c.hint(hint), o("o_custkey") === c("c_custkey"))
+        .agg(count(lit(1)).as("n"),
+          graft.Tables.sumMoney(col("o_totalprice")).as("revenue"))
+        .select(lit(strategy).as("strategy"), col("n"), col("revenue"))
+    agg("1_broadcast", "broadcast")
+      .unionByName(agg("2_merge", "merge"))
+      .unionByName(agg("3_shuffle_hash", "shuffle_hash"))
+      .orderBy(col("strategy"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q119_join_strategies"    -> (joinStrategyHints _),
     "q20_mktsegment_revenue"  -> (mktsegmentRevenue _),
     "q21_region_revenue"      -> (regionRevenue _),
     "q22_semi_customers"      -> (customersWithOrders _),
@@ -151,6 +176,18 @@ object JoinQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // one joined aggregate, three strategy labels — physical strategy
+    // must not change the answer
+    "q119_join_strategies" ->
+      """SELECT s.strategy, t.n, t.revenue
+        |FROM (VALUES ('1_broadcast'), ('2_merge'), ('3_shuffle_hash'))
+        |       s(strategy)
+        |CROSS JOIN (
+        |  SELECT count(*) AS n,
+        |         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |           AS revenue
+        |  FROM orders JOIN customer ON o_custkey = c_custkey) t
+        |ORDER BY s.strategy""".stripMargin,
     "q20_mktsegment_revenue" ->
       """SELECT c_mktsegment, count(*) AS n_orders,
         |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue

@@ -136,7 +136,26 @@ object SqlQueries {
          |FROM hh CROSS JOIN sk ORDER BY exact_n DESC, o_custkey""".stripMargin)
   }
 
+  /** Parameterized SQL (Spark 4 named parameter markers): the statement
+    * text carries `:yr` / `:cap` placeholders and the values arrive as a
+    * typed arg map — the injection-safe way to template the reference's
+    * dashboard queries (vs. string interpolation). Parameters bind in
+    * the parser, so the plan is identical to the literal query, which is
+    * exactly what the oracle restates with literals. */
+  def sqlParameterized(s: SparkSession, dir: String): DataFrame = {
+    val orders = view(s, dir, "orders")
+    s.sql(
+      s"""SELECT o_orderpriority, count(*) AS n,
+         |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+         |         AS revenue
+         |FROM $orders
+         |WHERE year(o_orderdate) = :yr AND o_totalprice < :cap
+         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+      Map("yr" -> 1997, "cap" -> 200000))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q120_sql_parameterized"  -> (sqlParameterized _),
     "q99_sql_order_segments"  -> (sqlOrderSegments _),
     "q100_sql_rfm_view_chain" -> (sqlRfmViewChain _),
     "q101_sql_revenue_rollup" -> (sqlRevenueRollup _),
@@ -147,6 +166,14 @@ object SqlQueries {
 
   /** Same results as the DataFrame twins → the twins' oracles verbatim. */
   val oracles: Map[String, String] = Map(
+    // the bound parameters, restated as literals
+    "q120_sql_parameterized" ->
+      """SELECT o_orderpriority, count(*) AS n,
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |         AS revenue
+        |FROM orders
+        |WHERE year(o_orderdate) = 1997 AND o_totalprice < 200000
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "q99_sql_order_segments"  -> RefQueries.oracles("q06_order_value_segments"),
     "q100_sql_rfm_view_chain" -> RefQueries.oracles("q08_rfm_summary"),
     "q101_sql_revenue_rollup" -> ExtAggQueries.oracles("q45_revenue_rollup"),

@@ -65,6 +65,17 @@ class ScaleOpsSpec extends SparkSpec {
     }
   }
 
+  test("join hints select their physical strategies (q119's plans)") {
+    val o = Tables.load(spark, sf, "orders")
+    val c = Tables.load(spark, sf, "customer")
+    def planOf(hint: String): String =
+      o.join(c.hint(hint), o("o_custkey") === c("c_custkey"))
+        .queryExecution.executedPlan.toString
+    assert(planOf("broadcast").contains("BroadcastHashJoin"))
+    assert(planOf("merge").contains("SortMergeJoin"))
+    assert(planOf("shuffle_hash").contains("ShuffledHashJoin"))
+  }
+
   test("bucketed tables join without a shuffle exchange") {
     val orders = Tables.load(spark, sf, "orders")
     val customer = Tables.load(spark, sf, "customer")
