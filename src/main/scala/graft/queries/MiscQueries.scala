@@ -249,9 +249,31 @@ object MiscQueries {
       graft.util.LocalFrame.materialize(res)
     }
 
+  /** Pipeline observability (`Dataset.observe` + `Observation`): data-
+    * quality metrics ride the SAME pass as the real computation — the
+    * observe node aggregates its inputs as they stream through, so row
+    * counts and totals cost zero extra scans (vs. a separate validation
+    * query doubling the I/O — the difference between one and two reads
+    * of a 100 TB table). The observed metrics and the downstream result
+    * are both pinned by the oracle. */
+  def observedMetrics(s: SparkSession, dir: String): DataFrame = {
+    val obs = org.apache.spark.sql.Observation("q122_obs")
+    val downstream = t(s, dir, "orders")
+      .observe(obs, count(lit(1)).as("n_rows"),
+        Tables.sumMoney(col("o_totalprice")).as("total_price"))
+      .groupBy(col("o_orderstatus")).agg(count(lit(1)).as("n"))
+    val nStatuses = downstream.count() // one action: metrics + result
+    val m = obs.get
+    import s.implicits._
+    Seq((m("n_rows").asInstanceOf[Long],
+        m("total_price").asInstanceOf[Double], nStatuses))
+      .toDF("n_rows", "total_price", "n_statuses")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q108_partition_pruned" -> (partitionPrunedScan _),
     "q115_dpp_join"         -> (dynamicPartitionPruned _),
+    "q122_observed_metrics" -> (observedMetrics _),
     "q37_unpivot_metrics" -> (unpivotMetrics _),
     "q38_quarterly_orders" -> (quarterlyOrders _),
     "q39_null_handling"   -> (nullHandling _),
@@ -355,6 +377,13 @@ object MiscQueries {
         |       round(quantile_cont(o_totalprice, 0.5), 2) AS p50_exact,
         |       true AS approx_within_1pct
         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    // observed in-flight metrics == the table's own aggregates
+    "q122_observed_metrics" ->
+      """SELECT count(*) AS n_rows,
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |         AS total_price,
+        |       count(DISTINCT o_orderstatus) AS n_statuses
+        |FROM orders""".stripMargin,
     // the DPP join equals a plain row filter over the fact table
     "q115_dpp_join" ->
       """SELECT o_orderstatus, count(*) AS n,

@@ -154,8 +154,24 @@ object SqlQueries {
       Map("yr" -> 1997, "cap" -> 200000))
   }
 
+  /** SQL session variables (Spark 4 `DECLARE` / `SET VAR`): the
+    * variable is computed BY a query (the 90th-percentile price), then
+    * referenced by a later statement — the scripting idiom for threading
+    * a scalar between statements without driver-side string splicing.
+    * The oracle inlines the variable's defining subquery. */
+  def sqlSessionVariables(s: SparkSession, dir: String): DataFrame = {
+    val orders = view(s, dir, "orders")
+    s.sql("DECLARE OR REPLACE VARIABLE price_p90 DOUBLE")
+    s.sql(s"SET VAR price_p90 = (SELECT percentile(o_totalprice, 0.9) FROM $orders)")
+    s.sql(
+      s"""SELECT o_orderstatus, count(*) AS n_above
+         |FROM $orders WHERE o_totalprice > price_p90
+         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q120_sql_parameterized"  -> (sqlParameterized _),
+    "q121_sql_session_vars"   -> (sqlSessionVariables _),
     "q99_sql_order_segments"  -> (sqlOrderSegments _),
     "q100_sql_rfm_view_chain" -> (sqlRfmViewChain _),
     "q101_sql_revenue_rollup" -> (sqlRevenueRollup _),
@@ -166,6 +182,13 @@ object SqlQueries {
 
   /** Same results as the DataFrame twins → the twins' oracles verbatim. */
   val oracles: Map[String, String] = Map(
+    // the variable's defining subquery, inlined
+    "q121_sql_session_vars" ->
+      """SELECT o_orderstatus, count(*) AS n_above
+        |FROM orders
+        |WHERE o_totalprice > (SELECT quantile_cont(o_totalprice, 0.9)
+        |                      FROM orders)
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     // the bound parameters, restated as literals
     "q120_sql_parameterized" ->
       """SELECT o_orderpriority, count(*) AS n,
