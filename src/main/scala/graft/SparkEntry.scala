@@ -27,7 +27,8 @@ object SparkEntry {
     (graft.queries.TextQueries.all, graft.queries.TextQueries.oracles),
     (graft.queries.VectorQueries.all, graft.queries.VectorQueries.oracles),
     (graft.queries.LakeQueries.all, graft.queries.LakeQueries.oracles),
-    (graft.queries.SqlQueries.all, graft.queries.SqlQueries.oracles)
+    (graft.queries.SqlQueries.all, graft.queries.SqlQueries.oracles),
+    (graft.queries.PipelineQueries.all, graft.queries.PipelineQueries.oracles)
   )
 
   /** One entry per implemented operator from SURVEY.md §2. */

@@ -1,0 +1,332 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** [EXT] Training-data curation pipeline over `documents`/`embeddings` —
+  * the operations a 100 TB pretraining-corpus build runs between raw
+  * ingest and tokenization: deterministic splits, source-mixture
+  * sampling, intra-document repetition removal, embedding-level near-dup
+  * clustering, benchmark-contamination checks, sequence packing and
+  * stratified sampling. None of these appear in the reference surface
+  * (its scope is the lakehouse DE/DS workshop, ref DE_data_preparation.py /
+  * DS_cust_lifetime_value.py); they extend the same engine to the
+  * LLM-data workloads the library targets.
+  *
+  * Determinism strategy: anything that must be sampled or split is keyed
+  * on `md5(...)` — both engines hash UTF-8 bytes to the same digest, so
+  * DuckDB reproduces the exact row-level decision and every query here
+  * is a full value-level oracle (no seed-dependent RNG in any checked
+  * column). The two probabilistic ops (Bernoulli stratified sampling,
+  * bin packing) are pinned by gate booleans instead, q84-style.
+  */
+object PipelineQueries {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+
+  /** Deterministic content-stable hash bucket in [0, 100): first 8 hex
+    * chars of md5 → int. Engine-portable (DuckDB:
+    * `('0x' || substring(md5(x),1,8))::UBIGINT % 100`). */
+  private def md5Bucket(c: org.apache.spark.sql.Column) =
+    conv(substring(md5(c), 1, 8), 16, 10).cast("long") % 100
+
+  /** q123: deterministic train/valid/test split (80/10/10) keyed on
+    * md5(doc_id) — the split a corpus build must be able to reproduce
+    * byte-identically months later from ids alone, with no stored
+    * assignment table and no RNG state.
+    *
+    * Scale: a narrow projection + hash per row, map-side only until the
+    * 3-group aggregate — no join, no wide shuffle; at 100 TB the split
+    * column is computed in the scan stage and the aggregate exchanges
+    * three rows per task. */
+  def hashSplit(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .withColumn("bucket", md5Bucket(col("doc_id").cast("string")))
+      .withColumn("split",
+        when(col("bucket") < 80, "train")
+          .when(col("bucket") < 90, "valid")
+          .otherwise("test"))
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).cast("long").as("total_chars"))
+      .orderBy(col("split"))
+
+  /** q124: source-mixture sampling — each source gets its own keep rate
+    * (20/35/50/65/80% cycling by source index, a stand-in for the
+    * per-source quality weights of a real mixture recipe), decided per
+    * row by md5(doc_id:source). This is the "upsample Wikipedia,
+    * downsample CommonCrawl" op; hashing (id, source) keeps the decision
+    * stable under re-partitioning and re-runs.
+    *
+    * Scale: per-row hash + threshold in the scan stage, then a per-source
+    * aggregate — the sampled subset never materializes wider than the
+    * survivors. */
+  def sourceMixture(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .withColumn("bucket",
+        md5Bucket(concat(col("doc_id").cast("string"), lit(":"), col("source"))))
+      .withColumn("rate",
+        lit(20) + lit(15) *
+          (regexp_extract(col("source"), "src(\\d+)", 1).cast("int") % 5))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_src"),
+        sum(when(col("bucket") < col("rate"), 1).otherwise(0))
+          .cast("long").as("n_kept"))
+      .orderBy(col("source"))
+
+  /** q125: intra-document repetition removal — drop every repeated token
+    * after its first occurrence, preserving order (the doc-local cousin
+    * of corpus-level dedup; collapses boilerplate/loop spam inside a
+    * document). Checked by value: the md5 of each cleaned document must
+    * match the oracle's reconstruction.
+    *
+    * Scale: posexplode → (doc, token) min-position → re-assemble is two
+    * hash aggregates partitioned by doc_id; state per doc is its token
+    * set, never the corpus vocabulary. At 100 TB this is the same shape
+    * as the winnowing fingerprint pass (per-doc local work + one
+    * shuffle keyed on doc_id). */
+  def dedupRepetition(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(col("doc_id"),
+        posexplode(split(trim(col("text")), "\\s+")).as(Seq("pos", "word")))
+      .groupBy(col("doc_id"), col("word"))
+      .agg(min(col("pos")).as("mp"), count(lit(1)).as("reps"))
+      .groupBy(col("doc_id"))
+      .agg(
+        sum(col("reps")).cast("long").as("n_before"),
+        count(lit(1)).as("n_after"),
+        md5(array_join(
+          transform(array_sort(collect_list(struct(col("mp"), col("word")))),
+            x => x.getField("word")), " ")).as("clean_md5"))
+      .orderBy(col("doc_id"))
+
+  /** q126: embedding-cosine near-duplicate clustering — exact ≥0.42
+    * cosine pairs over the corpus, then connected components
+    * ([[graft.dedup.Components]]) so each cluster keeps one canonical
+    * representative. The exact pair graph is the oracle-checkable form
+    * (DuckDB recomputes it with list_cosine_similarity + a recursive
+    * CTE); the beyond-broadcast-scale path is the same clustering over
+    * [[graft.vector.VectorFunctions.nearDuplicateEmbeddings]]'s
+    * LSH-bucketed candidates, recall-tested in q85.
+    *
+    * Threshold margin: corpus sims closest to 0.42 sit ≥1e-4 away
+    * (float-vs-double fold divergence is ~1e-15), so both engines decide
+    * every edge identically. */
+  def embedNeardupComponents(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables.load(s, dir, "embeddings")
+      .select(col("vec_id").as("id"), col("embedding").as("v"))
+    val pairs = e.alias("a")
+      .join(broadcast(e.alias("b")), col("a.id") < col("b.id"))
+      .withColumn("sim",
+        graft.vector.VectorFunctions.cosine(col("a.v"), col("b.v")))
+      .filter(col("sim") >= 0.42)
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+    graft.dedup.Components.connectedComponents(pairs, "id_a", "id_b")
+      .select(col("id").as("vec_id"), col("lbl").as("component"))
+      .withColumn("n_vecs",
+        count(lit(1)).over(Window.partitionBy(col("component"))))
+      .orderBy(col("vec_id"))
+  }
+
+  /** q127: benchmark-contamination scan — which training documents share
+    * a verbatim word 4-gram with the held-out eval slice (doc_id % 97 =
+    * 0)? The decontamination join every pretraining pipeline runs before
+    * training; output is the exact contaminated-doc list with overlap
+    * fractions.
+    *
+    * Scale: the eval side's distinct grams are tiny relative to the
+    * corpus → broadcast them; the train side streams through a
+    * generate-then-probe with no corpus-wide shuffle of gram strings
+    * (only the per-doc aggregate shuffles, keyed on doc_id). */
+  def contamination(s: SparkSession, dir: String): DataFrame = {
+    val grams = docs(s, dir)
+      .select(col("doc_id"), split(trim(col("text")), "\\s+").as("ws"))
+      .filter(size(col("ws")) >= 4)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(ws) - 3), i -> concat_ws(' ', slice(ws, i, 4)))"))
+        .as("gram"))
+      .distinct()
+    val ev = grams.filter(col("doc_id") % 97 === 0)
+      .select(col("gram")).distinct()
+      .withColumn("hit", lit(1))
+    grams.filter(col("doc_id") % 97 =!= 0)
+      .join(broadcast(ev), Seq("gram"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        count(col("hit")).as("n_hit"))
+      .filter(col("n_hit") > 0)
+      .select(col("doc_id"), col("n_grams"), col("n_hit"),
+        round(col("n_hit").cast("double") / col("n_grams"), 4).as("frac"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Tokens-per-doc used by the packing + sampling gates (whitespace
+    * tokens — the budget unit a packer sees before real tokenization). */
+  private def withTokens(df: DataFrame): DataFrame =
+    df.withColumn("ntok", size(split(trim(col("text")), "\\s+")).cast("long"))
+
+  /** q128: sequence packing — greedy first-fit of documents into
+    * fixed-budget (256-token) training sequences, per language. The bin
+    * assignment itself is order-dependent, so the oracle pins what IS
+    * order-independent: totals are preserved, no bin overflows, and the
+    * bin count is within the first-fit guarantee band
+    * (⌈total/budget⌉ ≤ bins ≤ ⌊2·total/budget⌋ + 1 — at most one
+    * open bin can be ≤ half full). All three booleans restate as
+    * constants in SQL; totals are SQL-exact.
+    *
+    * Scale: packing runs inside mapGroups per language shard — one
+    * shuffle by the grouping key, driver never sees documents. A real
+    * 100 TB run shards each language further by a hash prefix (the
+    * guarantee band is per-shard additive). */
+  def packSequences(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val budget = 256L
+    val packed = withTokens(docs(s, dir))
+      .select(col("lang"), col("doc_id"), col("ntok"))
+      .as[(String, Long, Long)]
+      .groupByKey(_._1)
+      .mapGroups { (lang, it) =>
+        // first-fit-decreasing: sort by (ntok desc, doc_id) for
+        // determinism, scan bins in creation order
+        val ds = it.map { case (_, id, n) => (id, n) }.toArray
+          .sortBy { case (id, n) => (-n, id) }
+        val bins = scala.collection.mutable.ArrayBuffer.empty[Long]
+        var nDocs = 0L
+        var total = 0L
+        for ((_, n) <- ds) {
+          nDocs += 1; total += n
+          val i = bins.indexWhere(_ + n <= budget)
+          if (i >= 0) bins(i) += n else bins += n
+        }
+        val nBins = bins.length.toLong
+        val lower = math.max(1L, (total + budget - 1) / budget)
+        val upper = 2L * total / budget + 1L
+        (lang, nDocs, total,
+          bins.forall(_ <= budget), nBins >= lower, nBins <= upper)
+      }
+      .toDF("lang", "n_docs", "total_tokens",
+        "fits_ok", "lower_ok", "upper_ok")
+    packed.orderBy(col("lang"))
+  }
+
+  /** q129: stratified Bernoulli sampling by language (`df.stat.sampleBy`,
+    * fixed seed) — the class-balance op for eval-set construction. The
+    * sampled row set is seed- and partitioning-dependent, so the oracle
+    * pins the population counts (SQL-exact) and a 4σ binomial tolerance
+    * gate on each stratum's sampled fraction — deterministically true
+    * for any correct Bernoulli sampler, regardless of seed.
+    *
+    * Scale: sampleBy is a per-row filter on rand() — no shuffle at all
+    * until the per-stratum count. */
+  def stratifiedSample(s: SparkSession, dir: String): DataFrame = {
+    val fractions = Map("en" -> 0.5, "de" -> 0.2, "es" -> 0.2,
+      "fr" -> 0.2, "zh" -> 0.2)
+    val d = docs(s, dir)
+    val sampled = d.stat.sampleBy("lang", fractions, seed = 42L)
+      .groupBy(col("lang")).agg(count(lit(1)).as("n_samp"))
+    d.groupBy(col("lang")).agg(count(lit(1)).as("n_pop"))
+      .join(sampled, Seq("lang"), "left")
+      .na.fill(0L, Seq("n_samp"))
+      .withColumn("frac", element_at(
+        typedLit(fractions), col("lang")))
+      .select(col("lang"), col("n_pop"), col("frac"),
+        (abs(col("n_samp") - col("frac") * col("n_pop")) <=
+          lit(4.0) * sqrt(col("frac") * (lit(1.0) - col("frac")) *
+            col("n_pop")) + lit(1.0)).as("within_4sigma"))
+      .orderBy(col("lang"))
+  }
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q123_hash_split"          -> (hashSplit _),
+    "q124_source_mixture"      -> (sourceMixture _),
+    "q125_dedup_repetition"    -> (dedupRepetition _),
+    "q126_embed_neardup_components" -> (embedNeardupComponents _),
+    "q127_contamination"       -> (contamination _),
+    "q128_pack_sequences"      -> (packSequences _),
+    "q129_stratified_sample"   -> (stratifiedSample _)
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q123_hash_split" ->
+      """WITH t AS (SELECT *,
+        |  ('0x' || substring(md5(doc_id::VARCHAR), 1, 8))::UBIGINT % 100
+        |    AS bucket FROM documents)
+        |SELECT CASE WHEN bucket < 80 THEN 'train'
+        |            WHEN bucket < 90 THEN 'valid'
+        |            ELSE 'test' END AS split,
+        |       count(*) AS n_docs,
+        |       CAST(sum(n_chars) AS BIGINT) AS total_chars
+        |FROM t GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q124_source_mixture" ->
+      """WITH t AS (SELECT *,
+        |  ('0x' || substring(md5(doc_id::VARCHAR || ':' || source), 1, 8))
+        |    ::UBIGINT % 100 AS bucket,
+        |  20 + 15 * (regexp_extract(source, 'src(\d+)', 1)::INT % 5) AS rate
+        |  FROM documents)
+        |SELECT source, count(*) AS n_src,
+        |       CAST(sum(CASE WHEN bucket < rate THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_kept
+        |FROM t GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q125_dedup_repetition" ->
+      """WITH w AS (SELECT doc_id,
+        |    unnest(string_split_regex(trim(text), '\s+')) AS word,
+        |    generate_subscripts(string_split_regex(trim(text), '\s+'), 1)
+        |      AS pos
+        |  FROM documents),
+        |f AS (SELECT doc_id, word, min(pos) AS mp, count(*) AS reps
+        |      FROM w GROUP BY 1, 2)
+        |SELECT doc_id,
+        |       CAST(sum(reps) AS BIGINT) AS n_before,
+        |       count(*) AS n_after,
+        |       md5(string_agg(word, ' ' ORDER BY mp)) AS clean_md5
+        |FROM f GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q126_embed_neardup_components" ->
+      """WITH RECURSIVE p AS (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |  WHERE list_cosine_similarity(a.embedding::DOUBLE[],
+        |                               b.embedding::DOUBLE[]) >= 0.42),
+        |e AS (SELECT id_a AS src, id_b AS dst FROM p
+        |      UNION SELECT id_b, id_a FROM p),
+        |n AS (SELECT DISTINCT src AS id FROM e),
+        |reach(id, lbl) AS (
+        |  SELECT id, id FROM n
+        |  UNION
+        |  SELECT e.dst, r.lbl FROM reach r JOIN e ON e.src = r.id),
+        |comp AS (SELECT id AS vec_id, min(lbl) AS component
+        |         FROM reach GROUP BY id)
+        |SELECT vec_id, component,
+        |       count(*) OVER (PARTITION BY component) AS n_vecs
+        |FROM comp ORDER BY vec_id""".stripMargin,
+    "q127_contamination" ->
+      """WITH t AS (SELECT doc_id,
+        |    string_split_regex(trim(text), '\s+') AS ws FROM documents),
+        |ix AS (SELECT doc_id, ws, unnest(range(1, len(ws) - 2)) AS i
+        |       FROM t WHERE len(ws) >= 4),
+        |g AS (SELECT DISTINCT doc_id,
+        |             array_to_string(ws[i:i+3], ' ') AS gram FROM ix),
+        |ev AS (SELECT DISTINCT gram FROM g WHERE doc_id % 97 = 0),
+        |tr AS (SELECT g.doc_id, count(*) AS n_grams,
+        |              count(ev.gram) AS n_hit
+        |       FROM g LEFT JOIN ev ON g.gram = ev.gram
+        |       WHERE g.doc_id % 97 != 0 GROUP BY g.doc_id)
+        |SELECT doc_id, n_grams, n_hit,
+        |       round(n_hit::DOUBLE / n_grams, 4) AS frac
+        |FROM tr WHERE n_hit > 0 ORDER BY doc_id""".stripMargin,
+    "q128_pack_sequences" ->
+      """SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(len(string_split_regex(trim(text), '\s+'))) AS BIGINT)
+        |    AS total_tokens,
+        |  TRUE AS fits_ok, TRUE AS lower_ok, TRUE AS upper_ok
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    "q129_stratified_sample" ->
+      """SELECT lang, count(*) AS n_pop,
+        |       CAST(CASE WHEN lang = 'en' THEN 0.5 ELSE 0.2 END AS DOUBLE)
+        |         AS frac,
+        |       TRUE AS within_4sigma
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
+  )
+}
