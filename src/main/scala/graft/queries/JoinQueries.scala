@@ -163,8 +163,46 @@ object JoinQueries {
       .orderBy(col("strategy"))
   }
 
+  /** q130: bucket-pruned co-located join — both sides written bucketed
+    * by the join key (`bucketBy(8, key)` + in-bucket sort) into a
+    * catalog table, then joined THROUGH the catalog. Because bucket
+    * layouts match, Catalyst plans the sort-merge join with NO exchange
+    * on either side (asserted in ScaleOpsSpec): at 100 TB this is the
+    * difference between re-shuffling two fact tables on every join and
+    * shuffling each exactly once at write time, amortized over every
+    * subsequent join on that key. The aggregate's answer is
+    * layout-independent — the oracle restates it from the raw tables. */
+  def bucketedJoin(s: SparkSession, dir: String): DataFrame =
+    graft.util.Tmp.withTempDir("q130_buckets_") { tmp =>
+      val o = t(s, dir, "orders")
+        .select(col("o_custkey"), col("o_totalprice"))
+      val c = t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_mktsegment"))
+      def writeBucketed(df: DataFrame, name: String, key: String): Unit =
+        df.write.format("parquet")
+          .bucketBy(8, key).sortBy(key)
+          .option("path", tmp.resolve(name).toString)
+          .mode("overwrite").saveAsTable(name)
+      writeBucketed(o, "q130_orders_b", "o_custkey")
+      writeBucketed(c, "q130_cust_b", "c_custkey")
+      try {
+        val res = s.table("q130_orders_b")
+          .join(s.table("q130_cust_b"),
+            col("o_custkey") === col("c_custkey"))
+          .groupBy(col("c_mktsegment"))
+          .agg(count(lit(1)).as("n_orders"),
+            sumMoney(col("o_totalprice")).as("revenue"))
+          .orderBy(col("c_mktsegment"))
+        graft.util.LocalFrame.materialize(res)
+      } finally {
+        s.sql("DROP TABLE IF EXISTS q130_orders_b")
+        s.sql("DROP TABLE IF EXISTS q130_cust_b")
+      }
+    }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q119_join_strategies"    -> (joinStrategyHints _),
+    "q130_bucketed_join"      -> (bucketedJoin _),
     "q20_mktsegment_revenue"  -> (mktsegmentRevenue _),
     "q21_region_revenue"      -> (regionRevenue _),
     "q22_semi_customers"      -> (customersWithOrders _),
@@ -176,6 +214,14 @@ object JoinQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // bucketing is a physical layout; the join answer matches the
+    // plain-table join exactly
+    "q130_bucketed_join" ->
+      """SELECT c_mktsegment, count(*) AS n_orders,
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |         AS revenue
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
     // one joined aggregate, three strategy labels — physical strategy
     // must not change the answer
     "q119_join_strategies" ->

@@ -202,15 +202,129 @@ object LakeQueries {
     }
   }
 
+  /** q131: change-data feed across a four-commit history
+    * ([[LakeTable.changes]] — metadata-pruned snapshot diff): per step,
+    * the insert/update/delete row counts of the transition. Every count
+    * is derivable from `orders` in plain SQL:
+    * v1 = custkey%10<5 slice → v2 appends the rest (pure inserts) →
+    * v3 DELETEs status 'F' → v4 MERGE-doubles o_totalprice for
+    * custkey%97=0 survivors (pure updates — every such key exists in v3
+    * and the doubled price always differs). */
+  def lakeCdc(s: SparkSession, dir: String): DataFrame = {
+    val orders = graft.Tables.load(s, dir, "orders")
+    graft.util.Tmp.withTempDir("graft_lake_q131") { rootPath =>
+      val root = rootPath.toString
+      LakeTable.create(s, root, orders.filter(col("o_custkey") % 10 < 5))
+      LakeTable.append(s, root, orders.filter(col("o_custkey") % 10 >= 5))
+      LakeTable.deleteWhere(s, root, col("o_orderstatus") === "F")
+      LakeTable.merge(s, root,
+        orders.filter(col("o_custkey") % 97 === 0 &&
+            col("o_orderstatus") =!= "F")
+          .withColumn("o_totalprice", col("o_totalprice") * 2),
+        "o_orderkey")
+      val vs = LakeTable.versions(s, root).sorted
+      val steps = vs.init.zip(vs.tail).zipWithIndex.map {
+        case ((from, to), i) =>
+          val d = LakeTable.changes(s, root, from, to, "o_orderkey")
+            .groupBy(col("_change_type")).agg(count(lit(1)).as("n"))
+            .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+          ((i + 1).toLong, d.getOrElse("insert", 0L),
+            d.getOrElse("update_postimage", 0L), d.getOrElse("delete", 0L))
+      }
+      import s.implicits._
+      steps.toDF("step", "n_insert", "n_update", "n_delete")
+        .orderBy(col("step"))
+    }
+  }
+
+  /** q132: streaming upsert into the table format
+    * ([[LakeTable.streamMerge]] — the foreachBatch+MERGE idiom): batch 1
+    * lands every event, batch 2 replays corrections (value+1000 for
+    * event_id%10=0) keyed on event_id. File modification times order the
+    * micro-batches deterministically; the final table must hold each
+    * event exactly once with corrections applied — restated in SQL by
+    * the oracle. */
+  def streamUpsertState(s: SparkSession, dir: String): DataFrame = {
+    import java.nio.file.Files
+    import scala.jdk.CollectionConverters._
+    graft.util.LocalFrame.withNanosAsLong(s) {
+      val path = s"$dir/events.parquet"
+      val rawSchema = s.read.parquet(path).schema
+      graft.util.Tmp.withTempDir("q132_stage_") { stage =>
+        def writeSlice(f: DataFrame, name: String, mtime: Long): Unit = {
+          val out = stage.resolve(s"${name}_out")
+          f.coalesce(1).write.parquet(out.toString)
+          val part = {
+            val l = Files.list(out)
+            try l.iterator().asScala
+              .find(_.getFileName.toString.endsWith(".parquet")).get
+            finally l.close()
+          }
+          val dest = stage.resolve(s"$name.parquet")
+          Files.move(part, dest)
+          // the file source processes files oldest-first; pin an explicit
+          // mtime gap so "base before corrections" survives fast writes
+          Files.setLastModifiedTime(dest,
+            java.nio.file.attribute.FileTime.fromMillis(mtime))
+          graft.util.Tmp.deleteRecursively(out)
+        }
+        val src = s.read.parquet(path)
+        val t0 = System.currentTimeMillis() - 60000
+        writeSlice(src, "base", t0)
+        writeSlice(src.filter(col("event_id") % 10 === 0)
+            .withColumn("value", col("value") + 1000.0),
+          "corrections", t0 + 30000)
+        val streamed = s.readStream.schema(rawSchema)
+          .option("maxFilesPerTrigger", "1")
+          .parquet(stage.toString)
+          .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        graft.util.Tmp.withTempDir("q132_lake_") { rootPath =>
+          val root = rootPath.toString
+          val q = LakeTable.streamMerge(streamed, root, "event_id")
+          try q.processAllAvailable() finally q.stop()
+          val res = LakeTable.read(s, root)
+            .groupBy(col("event_type"))
+            .agg(count(lit(1)).as("n"),
+              sum(col("value").cast("decimal(18,2)")).cast("double")
+                .as("total_value"))
+            .orderBy(col("event_type"))
+          graft.util.LocalFrame.materialize(res)
+        }
+      }
+    }
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q91_lake_versions" -> (lakeVersionCounts _),
     "q110_stream_sink"  -> (streamSinkCounts _),
     "q114_dsv2_format_read" -> (dsv2FormatRead _),
     "q117_catalog_sql_read" -> (catalogSqlRead _),
-    "q118_lake_maintenance" -> (maintenanceChain _)
+    "q118_lake_maintenance" -> (maintenanceChain _),
+    "q131_lake_cdc"     -> (lakeCdc _),
+    "q132_stream_upsert" -> (streamUpsertState _)
   )
 
   val oracles: Map[String, String] = Map(
+    // each transition's CDC counts, restated from the source table
+    "q131_lake_cdc" ->
+      """SELECT * FROM (
+        |  SELECT CAST(1 AS BIGINT) AS step,
+        |         (SELECT count(*) FROM orders WHERE o_custkey % 10 >= 5)
+        |           AS n_insert,
+        |         CAST(0 AS BIGINT) AS n_update, CAST(0 AS BIGINT) AS n_delete
+        |  UNION ALL SELECT 2, 0, 0,
+        |         (SELECT count(*) FROM orders WHERE o_orderstatus = 'F')
+        |  UNION ALL SELECT 3, 0,
+        |         (SELECT count(*) FROM orders
+        |          WHERE o_custkey % 97 = 0 AND o_orderstatus <> 'F'), 0
+        |) t ORDER BY step""".stripMargin,
+    // final upserted state: every event once, corrections applied
+    "q132_stream_upsert" ->
+      """SELECT event_type, count(*) AS n,
+        |       CAST(SUM(CAST(CASE WHEN event_id % 10 = 0 THEN value + 1000
+        |                          ELSE value END AS DECIMAL(18,2)))
+        |         AS DOUBLE) AS total_value
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     // compaction preserves data; vacuum retains 2 versions; the kept
     // pre-compaction snapshot (all 5 appends = whole table) time-travels
     "q118_lake_maintenance" ->

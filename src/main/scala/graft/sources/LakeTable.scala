@@ -1,7 +1,7 @@
 package graft.sources
 
 import org.apache.hadoop.fs.{FileSystem, Path}
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{DataFrame, Row, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** A minimal versioned table format over parquet — the lakehouse storage
@@ -236,12 +236,54 @@ object LakeTable {
     * full new file group for the merged table, commits a new version.
     * Concurrent readers keep their snapshot. */
   def merge(spark: SparkSession, root: String, updates: DataFrame,
-            key: String): Int = {
+            key: String, meta: Map[String, String] = Map.empty): Int = {
     val current = read(spark, root)
     val merged = current
       .join(updates.select(col(key)), Seq(key), "left_anti")
       .unionByName(updates)
-    commit(spark, root, Seq(writeDataFiles(spark, root, merged)))
+    commit(spark, root, Seq(writeDataFiles(spark, root, merged)), meta)
+  }
+
+  /** Change-data feed between two committed versions, by snapshot diff —
+    * rows tagged `insert` / `update_preimage` / `update_postimage` /
+    * `delete` in a `_change_type` column, keyed on `key`.
+    *
+    * Scale design: the diff never reads file groups SHARED by the two
+    * manifests — a row can only have changed if its file group was added
+    * or removed between the versions, so the scan is bounded by the
+    * churn, not the table (a pure append diffs only the appended files;
+    * zero old rows are read). Copy-on-write rewrites land everything in
+    * "added"+"removed", where the row-level `exceptAll` cancels the
+    * unchanged rows exactly (duplicate-preserving set difference). */
+  def changes(spark: SparkSession, root: String, fromV: Int, toV: Int,
+              key: String): DataFrame = {
+    val beforeDirs = dataDirPaths(spark, root, Some(fromV)).toSet
+    val afterDirs = dataDirPaths(spark, root, Some(toV)).toSet
+    def readDirs(dirs: Set[String], schemaOf: Seq[String]): DataFrame =
+      if (dirs.nonEmpty)
+        spark.read.option("mergeSchema", "true").parquet(dirs.toSeq: _*)
+      else {
+        val ref = spark.read.parquet(schemaOf: _*).schema
+        spark.createDataFrame(spark.sparkContext.emptyRDD[Row], ref)
+      }
+    val allDirs = (beforeDirs ++ afterDirs).toSeq
+    val added = readDirs(afterDirs -- beforeDirs, allDirs)
+    val removed = readDirs(beforeDirs -- afterDirs, allDirs)
+    // rows (not keys) that differ between the versions
+    val afterOnly = added.exceptAll(removed)
+    val beforeOnly = removed.exceptAll(added)
+    val afterKeys = afterOnly.select(col(key)).distinct()
+    val beforeKeys = beforeOnly.select(col(key)).distinct()
+    // a key present on both sides of the diff changed content → update;
+    // one-sided keys are pure inserts/deletes
+    afterOnly.join(beforeKeys, Seq(key), "left_anti")
+      .withColumn("_change_type", lit("insert"))
+      .unionByName(afterOnly.join(beforeKeys, Seq(key), "left_semi")
+        .withColumn("_change_type", lit("update_postimage")))
+      .unionByName(beforeOnly.join(afterKeys, Seq(key), "left_anti")
+        .withColumn("_change_type", lit("delete")))
+      .unionByName(beforeOnly.join(afterKeys, Seq(key), "left_semi")
+        .withColumn("_change_type", lit("update_preimage")))
   }
 
   /** DELETE WHERE: copy-on-write removal of matching rows. SQL DELETE
@@ -325,6 +367,38 @@ object LakeTable {
             commit(spark, root, Seq(dir),
               statsMeta(spark, root, dir, statsCols) ++ meta)
           } else appendInternal(spark, root, batch, statsCols, meta)
+        }
+        ()
+      }
+      .start()
+  }
+
+  /** Streaming MERGE (upsert) sink: each micro-batch's rows replace
+    * current rows with equal `key`, new keys insert — the
+    * `foreachBatch` + MERGE idiom that turns an at-least-once stream of
+    * row revisions into an exactly-once table of latest states. Replayed
+    * batches are skipped via the batchId recorded in each commit's
+    * manifest, so a restart cannot double-apply a merge (which, unlike
+    * an append, would still corrupt counts silently if re-run against a
+    * LATER state).
+    *
+    * Scale: each micro-batch pays one COW rewrite of matched file
+    * groups; at 100 TB the same code runs with a longer trigger interval
+    * so batch size amortizes the rewrite, and compaction (see
+    * [[compact]]) folds the resulting version chain. */
+  def streamMerge(df: DataFrame, root: String, key: String)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val spark = df.sparkSession
+    df.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (lastCommittedBatchId(spark, root).exists(_ >= batchId)) {
+          // duplicate delivery after restart — already committed
+        } else {
+          val meta = Map("batchId" -> batchId.toString)
+          if (latestVersion(spark, root).isEmpty) {
+            val dir = writeDataFiles(spark, root, batch)
+            commit(spark, root, Seq(dir), meta)
+          } else merge(spark, root, batch, key, meta)
         }
         ()
       }
