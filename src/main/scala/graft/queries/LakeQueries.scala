@@ -294,7 +294,52 @@ object LakeQueries {
     }
   }
 
+  /** q133: Z-order clustering + two-dimensional data skipping
+    * ([[graft.functions.ZOrderInterleave]] + [[LakeTable.createClustered]]):
+    * orders are laid out by the Morton interleave of rank-scaled
+    * (o_custkey, days-since-1992), then two corner-range reads — one per
+    * dimension — must (a) return exactly the rows plain SQL predicates
+    * select and (b) PRUNE file groups at the manifest level for BOTH
+    * columns, which a single-column sort layout cannot do. Counts are
+    * SQL-exact; the pruning booleans are pinned TRUE (8 z-range groups
+    * ⇒ a top-decile corner on either axis excludes at least the groups
+    * on the wrong side of that axis's top z-bit). */
+  def zorderPruning(s: SparkSession, dir: String): DataFrame = {
+    val orders = graft.Tables.load(s, dir, "orders")
+      .withColumn("o_days",
+        datediff(col("o_orderdate"), lit("1992-01-01")).cast("long"))
+    val b = orders.agg(
+      min(col("o_custkey")).cast("double"), max(col("o_custkey")).cast("double"),
+      min(col("o_days")).cast("double"), max(col("o_days")).cast("double"))
+      .head()
+    val (ckLo, ckHi, dLo, dHi) =
+      (b.getDouble(0), b.getDouble(1), b.getDouble(2), b.getDouble(3))
+    def scale16(c: org.apache.spark.sql.Column, lo: Double, hi: Double) =
+      ((c.cast("double") - lo) * (65535.0 / math.max(hi - lo, 1.0)))
+        .cast("long")
+    val keyed = orders.withColumn("zkey", graft.functions.ZOrderInterleave(
+      scale16(col("o_custkey"), ckLo, ckHi), scale16(col("o_days"), dLo, dHi)))
+    graft.util.Tmp.withTempDir("graft_lake_q133") { rootPath =>
+      val root = rootPath.toString
+      LakeTable.createClustered(s, root, keyed, "zkey", numGroups = 8,
+        statsCols = Seq("o_custkey", "o_days"))
+      val nGroups = LakeTable.dataDirPaths(s, root).size
+      def corner(column: String, lo: Double, hi: Double): (Long, Boolean) = {
+        val kept = LakeTable.selectGroups(s, root, column, lo, hi).size
+        (LakeTable.readWhere(s, root, column, lo, hi).count(),
+          kept < nGroups)
+      }
+      val (ckRows, ckPruned) = corner("o_custkey", 0.9 * ckHi, ckHi)
+      val (dRows, dPruned) = corner("o_days", 0.9 * dHi, dHi)
+      import s.implicits._
+      Seq(("custkey", ckRows, ckPruned), ("days", dRows, dPruned))
+        .toDF("dim", "n_rows", "pruned")
+        .orderBy(col("dim"))
+    }
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q133_zorder_pruning" -> (zorderPruning _),
     "q91_lake_versions" -> (lakeVersionCounts _),
     "q110_stream_sink"  -> (streamSinkCounts _),
     "q114_dsv2_format_read" -> (dsv2FormatRead _),
@@ -305,6 +350,28 @@ object LakeQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // layout changes nothing about the answer: each corner count is a
+    // plain predicate; pruning is pinned TRUE
+    "q133_zorder_pruning" ->
+      """WITH d AS (SELECT o_custkey,
+        |    date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE))
+        |      AS o_days FROM orders)
+        |SELECT * FROM (
+        |  SELECT 'custkey' AS dim,
+        |         (SELECT count(*) FROM d
+        |          WHERE o_custkey::DOUBLE
+        |                BETWEEN 0.9 * (SELECT max(o_custkey::DOUBLE) FROM d)
+        |                    AND (SELECT max(o_custkey::DOUBLE) FROM d))
+        |           AS n_rows,
+        |         TRUE AS pruned
+        |  UNION ALL
+        |  SELECT 'days',
+        |         (SELECT count(*) FROM d
+        |          WHERE o_days::DOUBLE
+        |                BETWEEN 0.9 * (SELECT max(o_days::DOUBLE) FROM d)
+        |                    AND (SELECT max(o_days::DOUBLE) FROM d)),
+        |         TRUE
+        |) t ORDER BY dim""".stripMargin,
     // each transition's CDC counts, restated from the source table
     "q131_lake_cdc" ->
       """SELECT * FROM (

@@ -156,6 +156,39 @@ object LakeTable {
     commit(spark, root, Seq(dir), statsMeta(spark, root, dir, statsCols))
   }
 
+  /** Clustered create: range-partition by `clusterKey` into up to
+    * `numGroups` FILE GROUPS in one commit, recording per-group min/max
+    * for `statsCols`. With a Z-order clusterKey
+    * ([[graft.functions.ZOrderInterleave]]) this is the
+    * `OPTIMIZE ZORDER BY` layout: contiguous z-ranges are rectangles in
+    * coordinate space, so every statsCol gets real pruning power at once
+    * (see [[readWhere]]). One shuffle (range partitioner) + one write
+    * pass; each output partition becomes its own manifest group so the
+    * skipping happens at the zero-file-open manifest level, above
+    * parquet row-group pruning. */
+  def createClustered(spark: SparkSession, root: String, df: DataFrame,
+                      clusterKey: String, numGroups: Int,
+                      statsCols: Seq[String]): Int = {
+    require(latestVersion(spark, root).isEmpty, s"table exists at $root")
+    val f = fs(spark, root)
+    val uuid = java.util.UUID.randomUUID().toString
+    val staged = new Path(root, s"data/.stage-$uuid")
+    df.repartitionByRange(numGroups, col(clusterKey))
+      .write.mode(SaveMode.ErrorIfExists).parquet(staged.toString)
+    // each staged part file → its own data dir (= one manifest group)
+    val parts = f.listStatus(staged).map(_.getPath)
+      .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+    val dirs = parts.zipWithIndex.map { case (p, i) =>
+      val dir = s"data/$uuid-g$i"
+      f.mkdirs(new Path(root, dir))
+      f.rename(p, new Path(new Path(root, dir), p.getName))
+      dir
+    }.toSeq
+    f.delete(staged, true)
+    val stats = dirs.flatMap(d => statsMeta(spark, root, d, statsCols)).toMap
+    commit(spark, root, dirs, stats)
+  }
+
   /** Append-only commit: new version = old file groups + new ones.
     * Prior groups' stats (and any other carried meta) survive. */
   def append(spark: SparkSession, root: String, df: DataFrame,
