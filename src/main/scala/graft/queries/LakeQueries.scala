@@ -338,8 +338,31 @@ object LakeQueries {
     }
   }
 
+  /** q134: RESTORE + DESCRIBE HISTORY under the oracle
+    * ([[LakeTable.restore]] / [[LakeTable.history]]): create → append →
+    * DELETE 'F' → RESTORE v2. The restore must undo the delete without
+    * rewriting history (v3 still time-travels to the deleted state), the
+    * operation log must read back exactly, and every version's row count
+    * is plain SQL over `orders`. */
+  def lakeRestoreHistory(s: SparkSession, dir: String): DataFrame = {
+    val orders = graft.Tables.load(s, dir, "orders")
+    graft.util.Tmp.withTempDir("graft_lake_q134") { rootPath =>
+      val root = rootPath.toString
+      LakeTable.create(s, root, orders.filter(col("o_custkey") % 10 < 5))
+      LakeTable.append(s, root, orders.filter(col("o_custkey") % 10 >= 5))
+      LakeTable.deleteWhere(s, root, col("o_orderstatus") === "F")
+      LakeTable.restore(s, root, 2)
+      val rows = LakeTable.history(s, root).map { case (v, op, _) =>
+        (v.toLong, op, LakeTable.read(s, root, Some(v)).count())
+      }
+      import s.implicits._
+      rows.toDF("version_ord", "op", "n_rows").orderBy(col("version_ord"))
+    }
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q133_zorder_pruning" -> (zorderPruning _),
+    "q134_lake_restore"   -> (lakeRestoreHistory _),
     "q91_lake_versions" -> (lakeVersionCounts _),
     "q110_stream_sink"  -> (streamSinkCounts _),
     "q114_dsv2_format_read" -> (dsv2FormatRead _),
@@ -350,6 +373,17 @@ object LakeQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // operation log pinned; every version's count restated from orders
+    "q134_lake_restore" ->
+      """SELECT * FROM (
+        |  SELECT CAST(1 AS BIGINT) AS version_ord, 'create' AS op,
+        |         (SELECT count(*) FROM orders WHERE o_custkey % 10 < 5)
+        |           AS n_rows
+        |  UNION ALL SELECT 2, 'append', (SELECT count(*) FROM orders)
+        |  UNION ALL SELECT 3, 'delete',
+        |         (SELECT count(*) FROM orders WHERE o_orderstatus <> 'F')
+        |  UNION ALL SELECT 4, 'restore', (SELECT count(*) FROM orders)
+        |) t ORDER BY version_ord""".stripMargin,
     // layout changes nothing about the answer: each corner count is a
     // plain predicate; pruning is pinned TRUE
     "q133_zorder_pruning" ->

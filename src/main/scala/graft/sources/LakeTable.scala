@@ -153,7 +153,8 @@ object LakeTable {
              statsCols: Seq[String] = Nil): Int = {
     require(latestVersion(spark, root).isEmpty, s"table exists at $root")
     val dir = writeDataFiles(spark, root, df)
-    commit(spark, root, Seq(dir), statsMeta(spark, root, dir, statsCols))
+    commit(spark, root, Seq(dir),
+      statsMeta(spark, root, dir, statsCols) + ("op" -> "create"))
   }
 
   /** Clustered create: range-partition by `clusterKey` into up to
@@ -186,7 +187,7 @@ object LakeTable {
     }.toSeq
     f.delete(staged, true)
     val stats = dirs.flatMap(d => statsMeta(spark, root, d, statsCols)).toMap
-    commit(spark, root, dirs, stats)
+    commit(spark, root, dirs, stats + ("op" -> "create-clustered"))
   }
 
   /** Append-only commit: new version = old file groups + new ones.
@@ -204,7 +205,8 @@ object LakeTable {
     val carried = manifestMeta(spark, root, cur)
       .filter(_._1.startsWith("stat:"))
     commit(spark, root, readManifest(spark, root, cur) :+ dir,
-      carried ++ statsMeta(spark, root, dir, statsCols) ++ extraMeta)
+      Map("op" -> "append") ++ carried ++
+        statsMeta(spark, root, dir, statsCols) ++ extraMeta)
   }
 
   /** File groups of the latest version whose [min,max] for `column`
@@ -274,7 +276,8 @@ object LakeTable {
     val merged = current
       .join(updates.select(col(key)), Seq(key), "left_anti")
       .unionByName(updates)
-    commit(spark, root, Seq(writeDataFiles(spark, root, merged)), meta)
+    commit(spark, root, Seq(writeDataFiles(spark, root, merged)),
+      Map("op" -> "merge") ++ meta)
   }
 
   /** Change-data feed between two committed versions, by snapshot diff —
@@ -327,7 +330,8 @@ object LakeTable {
                   predicate: org.apache.spark.sql.Column): Int = {
     val remaining =
       read(spark, root).filter(not(coalesce(predicate, lit(false))))
-    commit(spark, root, Seq(writeDataFiles(spark, root, remaining)))
+    commit(spark, root, Seq(writeDataFiles(spark, root, remaining)),
+      Map("op" -> "delete"))
   }
 
   /** OPTIMIZE-style compaction: rewrite all current file groups as one
@@ -344,8 +348,35 @@ object LakeTable {
         .sortWithinPartitions(col(k))
       case None => cur.coalesce(targetPartitions)
     }
-    commit(spark, root, Seq(writeDataFiles(spark, root, arranged)))
+    commit(spark, root, Seq(writeDataFiles(spark, root, arranged)),
+      Map("op" -> "optimize"))
   }
+
+  /** RESTORE: roll the table back to `toVersion`'s state as a NEW
+    * commit — history is never rewritten, so readers of intermediate
+    * versions are unaffected and the restore itself is time-travelable.
+    * Purely a metadata operation: the new manifest re-references
+    * `toVersion`'s file groups (and carries its stats), no data moves —
+    * O(1) in table size, same as Delta's RESTORE. */
+  def restore(spark: SparkSession, root: String, toVersion: Int): Int = {
+    val vs = versions(spark, root)
+    require(vs.contains(toVersion),
+      s"version $toVersion does not exist at $root (have ${vs.mkString(",")})")
+    val carried = manifestMeta(spark, root, toVersion)
+      .filter(_._1.startsWith("stat:"))
+    commit(spark, root, readManifest(spark, root, toVersion),
+      carried + ("op" -> "restore") + ("restoredVersion" -> toVersion.toString))
+  }
+
+  /** DESCRIBE HISTORY: (version, operation, file-group count) for every
+    * retained version, ascending. Manifest-only — no data files are
+    * opened. Versions committed before operation tagging read as
+    * "unknown". */
+  def history(spark: SparkSession, root: String): Seq[(Int, String, Int)] =
+    versions(spark, root).map { v =>
+      (v, manifestMeta(spark, root, v).getOrElse("op", "unknown"),
+        readManifest(spark, root, v).size)
+    }
 
   /** VACUUM: physically delete data file groups referenced only by
     * versions older than `keepVersions` manifests, then drop those
@@ -394,7 +425,8 @@ object LakeTable {
         if (lastCommittedBatchId(spark, root).exists(_ >= batchId)) {
           // duplicate delivery after restart — already committed
         } else {
-          val meta = Map("batchId" -> batchId.toString)
+          val meta = Map("batchId" -> batchId.toString,
+            "op" -> "streaming-append")
           if (latestVersion(spark, root).isEmpty) {
             val dir = writeDataFiles(spark, root, batch)
             commit(spark, root, Seq(dir),
@@ -427,7 +459,8 @@ object LakeTable {
         if (lastCommittedBatchId(spark, root).exists(_ >= batchId)) {
           // duplicate delivery after restart — already committed
         } else {
-          val meta = Map("batchId" -> batchId.toString)
+          val meta = Map("batchId" -> batchId.toString,
+            "op" -> "streaming-merge")
           if (latestVersion(spark, root).isEmpty) {
             val dir = writeDataFiles(spark, root, batch)
             commit(spark, root, Seq(dir), meta)

@@ -236,6 +236,24 @@ class LakeTableSpec extends SparkSpec {
     }
   }
 
+  test("restore re-references old file groups; history logs operations") {
+    withTable { root =>
+      import spark.implicits._
+      LakeTable.create(spark, root, Seq((1L, "a"), (2L, "b")).toDF("id", "s"))
+      LakeTable.append(spark, root, Seq((3L, "c")).toDF("id", "s"))
+      LakeTable.deleteWhere(spark, root, col("id") === 1L)
+      LakeTable.restore(spark, root, 2)
+      // restored state == v2; intermediate history untouched
+      assert(LakeTable.read(spark, root).count() == 3)
+      assert(LakeTable.read(spark, root, Some(3)).count() == 2)
+      // metadata-only: v4 references v2's groups, no new data dirs
+      assert(LakeTable.dataDirPaths(spark, root, Some(4)).toSet ==
+        LakeTable.dataDirPaths(spark, root, Some(2)).toSet)
+      assert(LakeTable.history(spark, root).map(h => (h._1, h._2)) ==
+        Seq((1, "create"), (2, "append"), (3, "delete"), (4, "restore")))
+    }
+  }
+
   test("changes tags inserts, updates (pre+post), and deletes exactly") {
     withTable { root =>
       import spark.implicits._
