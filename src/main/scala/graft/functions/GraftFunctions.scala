@@ -99,11 +99,15 @@ object GraftFunctions {
 /** Extension entry point: injects graft functions into every session
   * built with these extensions. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(e: SparkSessionExtensions): Unit =
+  override def apply(e: SparkSessionExtensions): Unit = {
     GraftFunctions.builders.foreach { case (name, b) =>
       e.injectFunction((
         FunctionIdentifier(name),
         new ExpressionInfo("graft.functions.GraftFunctions", name),
         b))
     }
+    // window-top-k rewrite + the strategy planning its target node
+    e.injectOptimizerRule(_ => graft.plans.WindowTopKRewrite)
+    e.injectPlannerStrategy(_ => graft.plans.TopKStrategy)
+  }
 }

@@ -102,7 +102,28 @@ object WindowQueries {
         k = 3)
       .orderBy(col("o_custkey"), col("o_totalprice").desc, col("o_orderkey"))
 
+  /** The optimizer-rule path (§2 extension mechanism (d) —
+    * [[graft.plans.WindowTopKRewrite]]): the USER writes the ordinary
+    * rank-discarding window idiom (`row_number() ≤ 3`, rank projected
+    * away); the injected `Rule[LogicalPlan]` rewrites it into the same
+    * bounded-heap operator q96 calls explicitly. TopKPerGroupSpec
+    * asserts the rewrite actually fires; the oracle pins that rewriting
+    * changes nothing about the answer. */
+  def top3PerCustomerViaRule(s: SparkSession, dir: String): DataFrame = {
+    graft.plans.WindowTopKRewrite.enable(s)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    Tables.load(s, dir, "orders")
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+      .orderBy(col("o_custkey"), col("o_totalprice").desc, col("o_orderkey"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q135_window_topk_rule"    -> (top3PerCustomerViaRule _),
     "q96_topk_custom_op"       -> (top3PerCustomerCustomOp _),
     "q36_spend_quartiles"      -> (spendQuartiles _),
     "q30_top3_orders_per_cust" -> (top3OrdersPerCustomer _),
@@ -112,6 +133,14 @@ object WindowQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q135_window_topk_rule" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |         row_number() OVER (PARTITION BY o_custkey
+        |             ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM orders) t
+        |WHERE rn <= 3
+        |ORDER BY o_custkey, o_totalprice DESC, o_orderkey""".stripMargin,
     "q96_topk_custom_op" ->
       """SELECT o_custkey, o_orderkey, o_totalprice FROM (
         |  SELECT o_custkey, o_orderkey, o_totalprice,

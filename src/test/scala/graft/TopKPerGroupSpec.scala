@@ -65,5 +65,47 @@ class TopKPerGroupSpec extends SparkSpec {
     assert(run(orders.repartition(1)) == run(orders.repartition(17)))
   }
 
-  private def execNodeName = classOf[TopKPerGroupExec].getSimpleName
+  // physical nodeName prints without the "Exec" suffix
+  private def execNodeName = "TopKPerGroup "
+
+  test("WindowTopKRewrite: rank-discarding row_number idiom plans as TopKPerGroupExec") {
+    import org.apache.spark.sql.expressions.Window
+    graft.plans.WindowTopKRewrite.enable(spark)
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    val viaIdiom = orders
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+    val plan = viaIdiom.queryExecution.executedPlan.toString
+    assert(plan.contains(execNodeName), s"rewrite did not fire:\n$plan")
+    assert(!plan.contains("Window"), s"Window survived the rewrite:\n$plan")
+    // answer identical to the explicit-operator form
+    val direct = TopKPerGroup.topK(orders, Seq("o_custkey"),
+        Seq(("o_totalprice", false), ("o_orderkey", true)), 3)
+      .orderBy(col("o_custkey"), col("o_totalprice").desc, col("o_orderkey"))
+      .collect().toSeq
+    val got = viaIdiom
+      .orderBy(col("o_custkey"), col("o_totalprice").desc, col("o_orderkey"))
+      .collect().toSeq
+    assert(got == direct)
+  }
+
+  test("WindowTopKRewrite leaves rank-keeping and multi-conjunct filters alone") {
+    import org.apache.spark.sql.expressions.Window
+    graft.plans.WindowTopKRewrite.enable(spark)
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    // rank kept in the output → no rewrite possible
+    val keepsRank = orders.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+    assert(!keepsRank.queryExecution.executedPlan.toString
+      .contains(execNodeName))
+    // extra conjunct → no rewrite (conservative match)
+    val conjunct = orders.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3 && col("o_totalprice") > 0)
+      .select(col("o_custkey"), col("o_orderkey"))
+    assert(!conjunct.queryExecution.executedPlan.toString
+      .contains(execNodeName))
+  }
 }
