@@ -211,7 +211,11 @@ object LakeQueries {
     * custkey%97=0 survivors (pure updates — every such key exists in v3
     * and the doubled price always differs). */
   def lakeCdc(s: SparkSession, dir: String): DataFrame = {
+    // quarter-subset: the semantics under test are the commit/diff
+    // protocol, not scan throughput — COW-rewriting the full table per
+    // step only re-measures parquet IO (oracle restates the same slice)
     val orders = graft.Tables.load(s, dir, "orders")
+      .filter(col("o_custkey") % 4 === 0)
     graft.util.Tmp.withTempDir("graft_lake_q131") { rootPath =>
       val root = rootPath.toString
       LakeTable.create(s, root, orders.filter(col("o_custkey") % 10 < 5))
@@ -360,8 +364,48 @@ object LakeQueries {
     }
   }
 
+  /** q136: incremental materialized view over the CDC feed
+    * ([[graft.operators.IncrementalView]]): a per-status count/revenue
+    * view is initialized on v1 of the q131 history and then maintained
+    * PURELY from [[LakeTable.changes]] deltas across append → delete →
+    * merge — the final view must equal the direct aggregate of the final
+    * snapshot, which the oracle restates from `orders` (delete 'F',
+    * double price for custkey%97 survivors). Exact decimal sums make the
+    * incremental result bit-identical to recomputation. */
+  def incrementalView(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.IncrementalView
+    // same quarter-subset rationale as q131
+    val orders = graft.Tables.load(s, dir, "orders")
+      .filter(col("o_custkey") % 4 === 0)
+    graft.util.Tmp.withTempDir("graft_lake_q136") { rootPath =>
+      val root = rootPath.toString
+      LakeTable.create(s, root, orders.filter(col("o_custkey") % 10 < 5))
+      LakeTable.append(s, root, orders.filter(col("o_custkey") % 10 >= 5))
+      LakeTable.deleteWhere(s, root, col("o_orderstatus") === "F")
+      LakeTable.merge(s, root,
+        orders.filter(col("o_custkey") % 97 === 0 &&
+            col("o_orderstatus") =!= "F")
+          .withColumn("o_totalprice", col("o_totalprice") * 2),
+        "o_orderkey")
+      val groupCols = Seq("o_orderstatus")
+      val sums = Seq("revenue" -> "o_totalprice")
+      val vs = LakeTable.versions(s, root).sorted
+      var view = IncrementalView.initial(
+        LakeTable.read(s, root, Some(vs.head)), groupCols, sums)
+      for ((from, to) <- vs.init.zip(vs.tail))
+        view = IncrementalView.applyChanges(view,
+          LakeTable.changes(s, root, from, to, "o_orderkey"),
+          groupCols, sums)
+      graft.util.LocalFrame.materialize(
+        view.select(col("o_orderstatus"), col("n"),
+            col("revenue").cast("double").as("revenue"))
+          .orderBy(col("o_orderstatus")))
+    }
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q133_zorder_pruning" -> (zorderPruning _),
+    "q136_incremental_view" -> (incrementalView _),
     "q134_lake_restore"   -> (lakeRestoreHistory _),
     "q91_lake_versions" -> (lakeVersionCounts _),
     "q110_stream_sink"  -> (streamSinkCounts _),
@@ -373,6 +417,16 @@ object LakeQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // the incrementally-maintained view equals the direct aggregate of
+    // the final snapshot (post-delete, post-merge), restated from orders
+    "q136_incremental_view" ->
+      """SELECT o_orderstatus, count(*) AS n,
+        |       CAST(SUM(CAST(CASE WHEN o_custkey % 97 = 0
+        |                          THEN o_totalprice * 2
+        |                          ELSE o_totalprice END
+        |                     AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM orders WHERE o_orderstatus <> 'F' AND o_custkey % 4 = 0
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     // operation log pinned; every version's count restated from orders
     "q134_lake_restore" ->
       """SELECT * FROM (
@@ -408,15 +462,16 @@ object LakeQueries {
         |) t ORDER BY dim""".stripMargin,
     // each transition's CDC counts, restated from the source table
     "q131_lake_cdc" ->
-      """SELECT * FROM (
+      """WITH base AS (SELECT * FROM orders WHERE o_custkey % 4 = 0)
+        |SELECT * FROM (
         |  SELECT CAST(1 AS BIGINT) AS step,
-        |         (SELECT count(*) FROM orders WHERE o_custkey % 10 >= 5)
+        |         (SELECT count(*) FROM base WHERE o_custkey % 10 >= 5)
         |           AS n_insert,
         |         CAST(0 AS BIGINT) AS n_update, CAST(0 AS BIGINT) AS n_delete
         |  UNION ALL SELECT 2, 0, 0,
-        |         (SELECT count(*) FROM orders WHERE o_orderstatus = 'F')
+        |         (SELECT count(*) FROM base WHERE o_orderstatus = 'F')
         |  UNION ALL SELECT 3, 0,
-        |         (SELECT count(*) FROM orders
+        |         (SELECT count(*) FROM base
         |          WHERE o_custkey % 97 = 0 AND o_orderstatus <> 'F'), 0
         |) t ORDER BY step""".stripMargin,
     // final upserted state: every event once, corrections applied

@@ -116,14 +116,8 @@ object PipelineQueries {
     * every edge identically. */
   def embedNeardupComponents(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val e = Tables.load(s, dir, "embeddings")
-      .select(col("vec_id").as("id"), col("embedding").as("v"))
-    val pairs = e.alias("a")
-      .join(broadcast(e.alias("b")), col("a.id") < col("b.id"))
-      .withColumn("sim",
-        graft.vector.VectorFunctions.cosine(col("a.v"), col("b.v")))
-      .filter(col("sim") >= 0.42)
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+    val pairs = graft.vector.VectorFunctions.thresholdPairsExact(
+      Tables.load(s, dir, "embeddings"), "vec_id", "embedding", 0.42)
     graft.dedup.Components.connectedComponents(pairs, "id_a", "id_b")
       .select(col("id").as("vec_id"), col("lbl").as("component"))
       .withColumn("n_vecs",

@@ -168,6 +168,52 @@ object VectorFunctions {
       .select(col("id_a"), col("id_b"), col("sim"))
   }
 
+  /** EXACT all-pairs threshold scan via broadcast + per-partition tight
+    * loop (same execution shape as [[topPairsExactFast]], emitting every
+    * pair with cosine ≥ threshold instead of a global top-k). The
+    * expression-tree formulation (cross join + cosine column) computes
+    * the identical values ~5× slower — the JVM loop over the broadcast
+    * array stays out of row encoding entirely. Sim math mirrors the
+    * engines' formula bit-for-bit: sequential double dot product divided
+    * by the product of sequential double norms. For corpora beyond
+    * broadcast size, cluster [[nearDuplicateEmbeddings]]'s LSH
+    * candidates instead. */
+  def thresholdPairsExact(corpus: DataFrame, idCol: String, vecCol: String,
+                          threshold: Double): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val vecs: Array[(Long, Array[Double], Double)] = corpus
+      .select(col(idCol).cast("long"), col(vecCol))
+      .as[(Long, Array[Float])]
+      .collect()
+      .sortBy(_._1)
+      .map { case (id, v) =>
+        val d = v.map(_.toDouble)
+        var s = 0.0
+        var i = 0
+        while (i < d.length) { s += d(i) * d(i); i += 1 }
+        (id, d, math.sqrt(s))
+      }
+    val bc = spark.sparkContext.broadcast(vecs)
+    val ids = corpus.select(col(idCol).cast("long")).as[Long]
+    ids.mapPartitions { it =>
+      val all = bc.value
+      val idArr = all.map(_._1)
+      it.flatMap { lid =>
+        val li = java.util.Arrays.binarySearch(idArr, lid)
+        val (_, lv, ln) = all(li)
+        Iterator.range(li + 1, all.length).flatMap { j =>
+          val (rid, rv, rn) = all(j)
+          var s = 0.0
+          var d = 0
+          while (d < lv.length) { s += lv(d) * rv(d); d += 1 }
+          val sim = s / (ln * rn)
+          if (sim >= threshold) Some((lid, rid, sim)) else None
+        }
+      }
+    }.toDF("id_a", "id_b", "sim")
+  }
+
   /** Embedding near-duplicate pairs: cosine ≥ threshold. Brute force
     * within LSH buckets (the scale path); exact for bucket-mates. */
   def nearDuplicateEmbeddings(
