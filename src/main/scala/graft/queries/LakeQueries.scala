@@ -216,6 +216,9 @@ object LakeQueries {
     // step only re-measures parquet IO (oracle restates the same slice)
     val orders = graft.Tables.load(s, dir, "orders")
       .filter(col("o_custkey") % 4 === 0)
+    // the staged table is tiny — 32-way shuffles would make every one of
+    // the ~20 sub-second jobs pay scheduling overhead for empty tasks
+    graft.util.LocalFrame.withConf(s, "spark.sql.shuffle.partitions", "8") {
     graft.util.Tmp.withTempDir("graft_lake_q131") { rootPath =>
       val root = rootPath.toString
       LakeTable.create(s, root, orders.filter(col("o_custkey") % 10 < 5))
@@ -238,6 +241,7 @@ object LakeQueries {
       import s.implicits._
       steps.toDF("step", "n_insert", "n_update", "n_delete")
         .orderBy(col("step"))
+    }
     }
   }
 
@@ -377,6 +381,8 @@ object LakeQueries {
     // same quarter-subset rationale as q131
     val orders = graft.Tables.load(s, dir, "orders")
       .filter(col("o_custkey") % 4 === 0)
+    // same small-stage shuffle scoping as q131
+    graft.util.LocalFrame.withConf(s, "spark.sql.shuffle.partitions", "8") {
     graft.util.Tmp.withTempDir("graft_lake_q136") { rootPath =>
       val root = rootPath.toString
       LakeTable.create(s, root, orders.filter(col("o_custkey") % 10 < 5))
@@ -400,6 +406,7 @@ object LakeQueries {
         view.select(col("o_orderstatus"), col("n"),
             col("revenue").cast("double").as("revenue"))
           .orderBy(col("o_orderstatus")))
+    }
     }
   }
 
