@@ -111,9 +111,9 @@ object PipelineQueries {
     * [[graft.vector.VectorFunctions.nearDuplicateEmbeddings]]'s
     * LSH-bucketed candidates, recall-tested in q85.
     *
-    * Threshold margin: corpus sims closest to 0.42 sit ≥1e-4 away
-    * (float-vs-double fold divergence is ~1e-15), so both engines decide
-    * every edge identically. */
+    * Threshold margin: corpus sims closest to 0.42 sit ≥3e-5 away at
+    * every test SF (float-vs-double fold divergence is ~1e-15), so both
+    * engines decide every edge identically. */
   def embedNeardupComponents(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val pairs = graft.vector.VectorFunctions.thresholdPairsExact(
