@@ -305,21 +305,37 @@ object LakeTable {
     val allDirs = (beforeDirs ++ afterDirs).toSeq
     val added = readDirs(afterDirs -- beforeDirs, allDirs)
     val removed = readDirs(beforeDirs -- afterDirs, allDirs)
-    // rows (not keys) that differ between the versions
-    val afterOnly = added.exceptAll(removed)
-    val beforeOnly = removed.exceptAll(added)
-    val afterKeys = afterOnly.select(col(key)).distinct()
-    val beforeKeys = beforeOnly.select(col(key)).distinct()
-    // a key present on both sides of the diff changed content → update;
-    // one-sided keys are pure inserts/deletes
-    afterOnly.join(beforeKeys, Seq(key), "left_anti")
-      .withColumn("_change_type", lit("insert"))
-      .unionByName(afterOnly.join(beforeKeys, Seq(key), "left_semi")
-        .withColumn("_change_type", lit("update_postimage")))
-      .unionByName(beforeOnly.join(afterKeys, Seq(key), "left_anti")
-        .withColumn("_change_type", lit("delete")))
-      .unionByName(beforeOnly.join(afterKeys, Seq(key), "left_semi")
-        .withColumn("_change_type", lit("update_preimage")))
+    // single-pass signed multiset diff: one aggregation over the churned
+    // rows replaces the exceptAll-per-tag formulation, whose diff subtree
+    // Catalyst would re-evaluate once per change-type branch (6× the
+    // shuffle for the same answer). `_net` > 0 ⇒ the row gained |net|
+    // copies in the after-version, < 0 ⇒ lost; rows COW-rewritten
+    // unchanged cancel to 0 here exactly as they did under exceptAll.
+    val dataCols = added.columns.toSeq
+    val net = added.withColumn("_side", lit(1L))
+      .unionByName(removed.withColumn("_side", lit(-1L)))
+      .groupBy(dataCols.map(col): _*)
+      .agg(sum(col("_side")).as("_net"))
+      .filter(col("_net") =!= 0L)
+    // a key with changed rows on both sides changed content → update;
+    // one-sided keys are pure inserts/deletes (window, not join — the
+    // key-flag pass rides the same hash partitioning, null-key-safe)
+    val wKey = org.apache.spark.sql.expressions.Window.partitionBy(col(key))
+    net
+      .withColumn("_hasPost",
+        max(when(col("_net") > 0, 1).otherwise(0)).over(wKey))
+      .withColumn("_hasPre",
+        max(when(col("_net") < 0, 1).otherwise(0)).over(wKey))
+      .withColumn("_change_type",
+        when(col("_net") > 0 && col("_hasPre") === 1,
+          lit("update_postimage"))
+          .when(col("_net") > 0, lit("insert"))
+          .when(col("_net") < 0 && col("_hasPost") === 1,
+            lit("update_preimage"))
+          .otherwise(lit("delete")))
+      // restore multiset multiplicity (|net| copies of each changed row)
+      .withColumn("_dup", explode(sequence(lit(1L), abs(col("_net")))))
+      .select(dataCols.map(col) :+ col("_change_type"): _*)
   }
 
   /** DELETE WHERE: copy-on-write removal of matching rows. SQL DELETE
