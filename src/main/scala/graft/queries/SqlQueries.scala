@@ -169,7 +169,45 @@ object SqlQueries {
          |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
   }
 
+  /** q137: near-dup connected components as a RECURSIVE CTE through the
+    * SQL parser — the declarative twin of q109's iterative min-label
+    * DataFrame loop (edges from the same banded-LSH pair list, bridged
+    * via temp view; S9). Spark recursion only supports UNION ALL, so the
+    * walk is made finite two ways: labels only propagate DOWNHILL
+    * (`r.lbl < e.dst` — the min label still reaches every member, since
+    * every non-min node exceeds it) and a depth bound of 6 (near-dup
+    * components are near-cliques of tiny diameter; sizes are ≤4 at every
+    * test SF). MIN(lbl) per node then collapses duplicate walks. The
+    * oracle is q109's exact-Jaccard recursive CTE, so this also pins
+    * "LSH pair list ≡ exact pair list" a second way. Scale note: the
+    * recursion materializes walks, not reachability — the DataFrame
+    * min-label loop (q109) stays the 100 TB path; this is the
+    * parser-surface form. */
+  def sqlNeardupComponents(s: SparkSession, dir: String): DataFrame = {
+    graft.dedup.MinHash.nearDuplicatePairs(
+        Tables.load(s, dir, "documents"), "doc_id", "text",
+        shingleN = 2, bands = 16, rowsPerBand = 4, threshold = 0.3)
+      .createOrReplaceTempView("sqlq_neardup_pairs")
+    s.sql(
+      """WITH RECURSIVE
+        |e AS (SELECT id_a AS src, id_b AS dst FROM sqlq_neardup_pairs
+        |      UNION SELECT id_b, id_a FROM sqlq_neardup_pairs),
+        |n AS (SELECT DISTINCT src AS id FROM e),
+        |reach(id, lbl, d) AS (
+        |  SELECT id, id, 0 FROM n
+        |  UNION ALL
+        |  SELECT e.dst, r.lbl, r.d + 1
+        |  FROM reach r JOIN e ON e.src = r.id
+        |  WHERE r.lbl < e.dst AND r.d < 6),
+        |comp AS (SELECT id AS doc_id, min(lbl) AS component
+        |         FROM reach GROUP BY id)
+        |SELECT doc_id, component,
+        |       count(*) OVER (PARTITION BY component) AS n_docs
+        |FROM comp ORDER BY doc_id""".stripMargin)
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q137_sql_components"     -> (sqlNeardupComponents _),
     "q120_sql_parameterized"  -> (sqlParameterized _),
     "q121_sql_session_vars"   -> (sqlSessionVariables _),
     "q99_sql_order_segments"  -> (sqlOrderSegments _),
@@ -182,6 +220,10 @@ object SqlQueries {
 
   /** Same results as the DataFrame twins → the twins' oracles verbatim. */
   val oracles: Map[String, String] = Map(
+    // q109's exact-Jaccard recursive-CTE oracle, reused verbatim: the
+    // SQL-parser components must match the exact component structure
+    "q137_sql_components" ->
+      graft.queries.TextQueries.oracles("q109_neardup_components"),
     // the variable's defining subquery, inlined
     "q121_sql_session_vars" ->
       """SELECT o_orderstatus, count(*) AS n_above
