@@ -27,8 +27,15 @@ object Bench {
       val p = new java.io.File(tgt.getParent, "sf0.001").getCanonicalFile
       if (p.isDirectory && p != tgt) Some(p.getPath) else None
     }
+    // Dev-only filter: SPARK_GRAFT_ONLY=q137,q55 times just those query
+    // prefixes (and warms just them). Absent in driver runs → full suite.
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1).filter {
+      case (name, _) => only.forall(_.exists(name.startsWith))
+    }
     warmDir.foreach { wd =>
-      SparkEntry.queries.values.foreach { fn =>
+      selected.foreach { case (_, fn) =>
         try fn(spark, wd).count() catch { case _: Throwable => () }
       }
     }
@@ -38,7 +45,7 @@ object Bench {
     // estimator against external load spikes on a shared machine (a
     // single pass has been observed to read 1.5-2x high when an
     // unrelated process grabs the cores mid-run).
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val results = selected.map { case (name, fn) =>
       val dt = (1 to 2).map { _ =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
