@@ -70,4 +70,105 @@ object Components {
     edges.unpersist()
     labels
   }
+
+  /** Connected components by alternating large-star / small-star
+    * contraction (Kiveris et al., "Connected Components in MapReduce and
+    * Beyond", SoCC'14) — the 100 TB path for graphs whose diameter is
+    * NOT tiny: min-label propagation ([[connectedComponents]]) needs
+    * diameter-many rounds (a 1M-link chain = 1M shuffles), while star
+    * contraction converges in O(log²) rounds regardless of shape.
+    *
+    * Each round is two window-min passes over the edge list:
+    *  - large-star: per node u, connect every strictly-larger neighbor
+    *    to m(u) = min(Γ(u) ∪ {u});
+    *  - small-star: orient edges large→small, then per node u connect
+    *    its smaller neighbors AND u itself to their minimum.
+    * Both preserve connectivity and strictly shrink the potential; the
+    * fixpoint is a star forest rooted at each component's minimum id.
+    * One shuffle per pass (window partition by u), lineage truncated
+    * every round — identical distributed shape at cluster scale.
+    *
+    * Returns the same (id, lbl) frame as [[connectedComponents]]; the
+    * two are asserted equivalent in ComponentsSpec, and q138 pins this
+    * implementation to the exact-Jaccard recursive-CTE oracle. */
+  def connectedComponentsStar(pairs: DataFrame, aCol: String,
+                              bCol: String): DataFrame =
+    starContraction(pairs, aCol, bCol)._1
+
+  /** @return (labels, rounds) — rounds exposed for the O(log d)
+    *         convergence assertion in ComponentsSpec */
+  private[graft] def starContraction(pairs: DataFrame, aCol: String,
+                                     bCol: String): (DataFrame, Int) = {
+    import org.apache.spark.sql.expressions.Window
+
+    val spark = pairs.sparkSession
+    // canonical big→small orientation; self-loops dropped
+    var edges = pairs
+      .select(col(aCol).cast("long").as("u"), col(bCol).cast("long").as("v"))
+      .filter(col("u") =!= col("v"))
+      .select(greatest(col("u"), col("v")).as("u"),
+        least(col("u"), col("v")).as("v"))
+      .distinct()
+      .localCheckpoint(true)
+
+    val allNodes = edges.select(col("u").as("id"))
+      .union(edges.select(col("v").as("id")))
+      .distinct()
+      .localCheckpoint(true)
+
+    def stable(a: DataFrame, b: DataFrame): Boolean = {
+      // canonical edge sets are equal iff count and elementwise-hash XOR
+      // agree (order-free, no join, and — unlike sum — can't overflow
+      // under ANSI mode at any cardinality)
+      def sig(df: DataFrame): (Long, Long) = {
+        val r = df.agg(count(lit(1)),
+          expr("bit_xor(xxhash64(u, v))")).head
+        (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+      }
+      sig(a) == sig(b)
+    }
+
+    var rounds = 0
+    var converged = edges.head(1).isEmpty
+    while (!converged) {
+      rounds += 1
+      // large-star: neighbors in both directions; connect v > u to
+      // m(u) = min(Γ(u) ∪ {u}). Emitted edges already satisfy v > m.
+      val nbrs = edges.select(col("u"), col("v"))
+        .union(edges.select(col("v").as("u"), col("u").as("v")))
+      val wU = Window.partitionBy(col("u"))
+      val large = nbrs
+        .withColumn("m", least(min(col("v")).over(wU), col("u")))
+        .filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .filter(col("u") =!= col("v"))
+        .distinct()
+        .localCheckpoint(true)
+
+      // small-star on the (already big→small) orientation: per u,
+      // m = min smaller-neighbor; attach the other small neighbors and
+      // u itself to m.
+      val withMin = large
+        .withColumn("m", min(col("v")).over(Window.partitionBy(col("u"))))
+      val next = withMin.filter(col("v") =!= col("m"))
+        .select(greatest(col("v"), col("m")).as("u"),
+          least(col("v"), col("m")).as("v"))
+        .union(withMin.select(col("u"), col("m").as("v")).distinct())
+        .distinct()
+        .localCheckpoint(true)
+
+      converged = stable(edges, next)
+      edges = next
+    }
+
+    // fixpoint is a star forest: (child, root) edges; roots label
+    // themselves, and any node of the original graph absent from the
+    // final edge list (fully contracted into its root) keeps its root
+    // via the left join's child entry — at the fixpoint every non-root
+    // appears as exactly one child.
+    val labels = allNodes
+      .join(edges.select(col("u").as("id"), col("v").as("root")), Seq("id"), "left")
+      .select(col("id"), coalesce(col("root"), col("id")).as("lbl"))
+    (labels, rounds)
+  }
 }

@@ -200,8 +200,46 @@ object JoinQueries {
       }
     }
 
+  /** q139: AQE skew-join — the runtime half of the skew story (q72 is
+    * the static-salting half). A synthetic hot key maps 80% of lineitem
+    * rows to `skew_key = 0`; the join to the 1000-row key→band dim is
+    * forced to sort-merge (the dim would otherwise broadcast and hide
+    * the skew), and AQE's OptimizeSkewedJoin splits the hot partition
+    * into advisory-sized slices at RUNTIME, replicating the matching dim
+    * rows (`skew=true` on the SMJ node — asserted in ScaleOpsSpec). At
+    * 100 TB this is what saves a fact⋈fact join whose key histogram is
+    * only knowable at runtime: no manual salting, no stragglers. The
+    * aggressive split thresholds are scoped to this query and restored;
+    * the answer is split-invariant, restated plainly by the oracle. */
+  def skewJoinAqe(s: SparkSession, dir: String): DataFrame =
+    graft.util.LocalFrame.withConfs(s,
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "64KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "64KB") {
+      graft.util.LocalFrame.materialize(skewJoinFrame(s, dir))
+    }
+
+  /** Shared q139 scaffold (also driven by ScaleOpsSpec's skew=true plan
+    * assertion, so the evidence describes the oracle-checked query). */
+  private[graft] def skewJoinFrame(s: SparkSession, dir: String): DataFrame = {
+    val l = t(s, dir, "lineitem")
+      .withColumn("skew_key",
+        when(pmod(col("l_orderkey"), lit(5)) =!= 0, lit(0L))
+          .otherwise(pmod(col("l_orderkey"), lit(1000))))
+    val dim = s.range(0, 1000)
+      .select(col("id").as("skew_key"), pmod(col("id"), lit(7)).as("band"))
+    l.hint("SHUFFLE_MERGE")
+      .join(dim, "skew_key")
+      .groupBy(col("band"))
+      .agg(count(lit(1)).as("n_items"),
+        sumMoney(col("l_extendedprice")).as("revenue"))
+      .orderBy(col("band"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q119_join_strategies"    -> (joinStrategyHints _),
+    "q139_skew_join_aqe"      -> (skewJoinAqe _),
     "q130_bucketed_join"      -> (bucketedJoin _),
     "q20_mktsegment_revenue"  -> (mktsegmentRevenue _),
     "q21_region_revenue"      -> (regionRevenue _),
@@ -214,6 +252,20 @@ object JoinQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // AQE partition splitting is physical; the answer is restated as a
+    // plain join over the same synthetic key mapping
+    "q139_skew_join_aqe" ->
+      """WITH li AS (
+        |  SELECT CASE WHEN l_orderkey % 5 <> 0 THEN 0
+        |              ELSE l_orderkey % 1000 END AS skew_key,
+        |         l_extendedprice
+        |  FROM lineitem),
+        |d AS (SELECT range AS skew_key, range % 7 AS band FROM range(0, 1000))
+        |SELECT band, count(*) AS n_items,
+        |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+        |         AS revenue
+        |FROM li JOIN d USING (skew_key)
+        |GROUP BY band ORDER BY band""".stripMargin,
     // bucketing is a physical layout; the join answer matches the
     // plain-table join exactly
     "q130_bucketed_join" ->

@@ -128,6 +128,61 @@ object TextQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** q138: q109's clustering re-run through the large-star/small-star
+    * contraction ([[graft.dedup.Components.connectedComponentsStar]]) —
+    * the O(log d)-round path for graphs min-label propagation can't
+    * afford (diameter-many shuffles). Same LSH pair list, same output
+    * contract, same exact-Jaccard recursive-CTE oracle as q109, so the
+    * gate pins the two algorithms to each other AND to ground truth. */
+  def neardupComponentsStar(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pairs = MinHash.nearDuplicatePairs(docs(s, dir), "doc_id", "text",
+      shingleN = 2, bands = 16, rowsPerBand = 4, threshold = 0.3)
+    graft.dedup.Components.connectedComponentsStar(pairs, "id_a", "id_b")
+      .select(col("id").as("doc_id"), col("lbl").as("component"))
+      .withColumn("n_docs",
+        count(lit(1)).over(Window.partitionBy(col("component"))))
+      .orderBy(col("doc_id"))
+  }
+
+  /** q140: intra-document repetition signals (the Gopher/MassiveText
+    * quality-filter family): per document, the count of the single most
+    * frequent token and the number of duplicated bigrams — documents
+    * dominated by one token or by repeated bigrams are boilerplate/spam
+    * candidates. Aggregated per source as exact integer sums (the corpus
+    * dashboard a curation run reads), with the two fractions derived by
+    * ONE division of exact ints so the oracle hash is stable. All
+    * per-row HOFs (no shuffle beyond the final tiny groupBy); the
+    * quadratic most-frequent-token scan is per-document over ~100-token
+    * arrays — O(len²) per row, embarrassingly parallel at 100 TB. */
+  def repetitionStats(s: SparkSession, dir: String): DataFrame = {
+    val toks = split(trim(col("text")), "\\s+")
+    // bigrams via zip_with against the shifted tail; the null the
+    // padding introduces is dropped (concat propagates null)
+    val bigrams = filter(
+      zip_with(toks, slice(toks, lit(2), greatest(size(toks) - 1, lit(0))),
+        (a, b) => concat(a, lit(" "), b)),
+      x => x.isNotNull)
+    val perDoc = docs(s, dir).select(
+      col("source"),
+      array_max(transform(array_distinct(toks),
+        t => size(filter(toks, x => x === t)))).cast("long").as("top_tok"),
+      size(toks).cast("long").as("n_tok"),
+      (size(bigrams) - size(array_distinct(bigrams))).cast("long").as("n_bi_dup"),
+      size(bigrams).cast("long").as("n_bi"))
+    perDoc.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("top_tok")).as("sum_top_token"),
+        sum(col("n_tok")).as("sum_tokens"),
+        sum(col("n_bi_dup")).as("sum_dup_bigrams"),
+        sum(col("n_bi")).as("sum_bigrams"),
+        round(sum(col("top_tok")).cast("double") / sum(col("n_tok")), 6)
+          .as("top_token_frac"),
+        round(sum(col("n_bi_dup")).cast("double") / sum(col("n_bi")), 6)
+          .as("dup_bigram_frac"))
+      .orderBy(col("source"))
+  }
+
   /** Per-document quality scores (oracle-checked: the composite score is
     * pure arithmetic over token statistics, reproduced term-for-term in
     * DuckDB SQL; language ID stays in q52, which rows-only checks the
@@ -290,6 +345,8 @@ object TextQueries {
     "q54_vocab_dedup_groups"  -> (vocabDedupGroups _),
     "q55_minhash_neardups"    -> (minhashNearDups _),
     "q109_neardup_components" -> (neardupComponents _),
+    "q138_cc_star_contraction" -> (neardupComponentsStar _),
+    "q140_repetition_stats"   -> (repetitionStats _),
     "q56_simhash_neardups"    -> (simhashNearDups _),
     "q57_doc_quality"         -> (docQuality _),
     "q58_token_jaccard_pairs" -> (tokenJaccardTopPairs _),
@@ -306,6 +363,35 @@ object TextQueries {
   private val stopwordListSql: String =
     graft.text.TextFunctions.langProfiles.flatMap(_._2)
       .map(w => s"'$w'").mkString("[", ",", "]")
+
+  /** Exact-Jaccard edge list → connected components as a recursive CTE,
+    * shared by q109 (min-label) and q138 (star contraction). */
+  private val componentsOracle: String =
+    """WITH RECURSIVE w AS (SELECT doc_id,
+      |  CASE WHEN len(ws) >= 2
+      |   THEN list_distinct(list_transform(range(1, len(ws)),
+      |                                     i -> ws[i] || ' ' || ws[i+1]))
+      |   ELSE [array_to_string(ws, ' ')] END AS sh
+      |  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws
+      |        FROM documents)),
+      |p AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      |  FROM w a JOIN w b ON a.doc_id < b.doc_id
+      |  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+      |        (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))
+      |        >= 0.3),
+      |e AS (SELECT id_a AS src, id_b AS dst FROM p
+      |      UNION SELECT id_b, id_a FROM p),
+      |n AS (SELECT DISTINCT src AS id FROM e),
+      |reach(id, lbl) AS (
+      |  SELECT id, id FROM n
+      |  UNION
+      |  SELECT e.dst, r.lbl FROM reach r JOIN e ON e.src = r.id),
+      |comp AS (SELECT id AS doc_id, min(lbl) AS component
+      |         FROM reach GROUP BY id)
+      |SELECT doc_id, component,
+      |       count(*) OVER (PARTITION BY component) AS n_docs
+      |FROM comp ORDER BY doc_id""".stripMargin
 
   val oracles: Map[String, String] = Map(
     // quality gate → vocab dedup (min doc_id) → per-lang survivor counts
@@ -407,32 +493,35 @@ object TextQueries {
         |WHERE j >= 0.3 ORDER BY id_a, id_b""".stripMargin,
     // identical components from the exact edge list: min reachable id
     // via a recursive CTE (UNION dedups, so the fixpoint terminates)
-    "q109_neardup_components" ->
-      """WITH RECURSIVE w AS (SELECT doc_id,
+    "q109_neardup_components" -> componentsOracle,
+    // q138 = the SAME clustering computed by star contraction; one
+    // oracle pins both algorithms to ground truth and to each other
+    "q138_cc_star_contraction" -> componentsOracle,
+    // exact integer sums + single-division ratios — no float summation
+    "q140_repetition_stats" ->
+      """WITH d AS (SELECT source,
+        |             string_split_regex(trim(text), '\s+') AS ws
+        |           FROM documents),
+        |m AS (SELECT source,
+        |  list_max(list_transform(list_distinct(ws),
+        |    t -> len(list_filter(ws, x -> x = t)))) AS top_tok,
+        |  len(ws) AS n_tok,
         |  CASE WHEN len(ws) >= 2
-        |   THEN list_distinct(list_transform(range(1, len(ws)),
-        |                                     i -> ws[i] || ' ' || ws[i+1]))
-        |   ELSE [array_to_string(ws, ' ')] END AS sh
-        |  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws
-        |        FROM documents)),
-        |p AS (
-        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
-        |  FROM w a JOIN w b ON a.doc_id < b.doc_id
-        |  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
-        |        (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))
-        |        >= 0.3),
-        |e AS (SELECT id_a AS src, id_b AS dst FROM p
-        |      UNION SELECT id_b, id_a FROM p),
-        |n AS (SELECT DISTINCT src AS id FROM e),
-        |reach(id, lbl) AS (
-        |  SELECT id, id FROM n
-        |  UNION
-        |  SELECT e.dst, r.lbl FROM reach r JOIN e ON e.src = r.id),
-        |comp AS (SELECT id AS doc_id, min(lbl) AS component
-        |         FROM reach GROUP BY id)
-        |SELECT doc_id, component,
-        |       count(*) OVER (PARTITION BY component) AS n_docs
-        |FROM comp ORDER BY doc_id""".stripMargin,
+        |    THEN (len(ws) - 1) - len(list_distinct(list_transform(
+        |           range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1])))
+        |    ELSE 0 END AS n_bi_dup,
+        |  CASE WHEN len(ws) >= 2 THEN len(ws) - 1 ELSE 0 END AS n_bi
+        |FROM d)
+        |SELECT source, count(*) AS n_docs,
+        |  CAST(sum(top_tok) AS BIGINT) AS sum_top_token,
+        |  CAST(sum(n_tok) AS BIGINT) AS sum_tokens,
+        |  CAST(sum(n_bi_dup) AS BIGINT) AS sum_dup_bigrams,
+        |  CAST(sum(n_bi) AS BIGINT) AS sum_bigrams,
+        |  round(CAST(sum(top_tok) AS DOUBLE) / sum(n_tok), 6)
+        |    AS top_token_frac,
+        |  round(CAST(sum(n_bi_dup) AS DOUBLE) / sum(n_bi), 6)
+        |    AS dup_bigram_frac
+        |FROM m GROUP BY source ORDER BY source""".stripMargin,
     // same lookaround-free pattern in both engines; exact value match
     "q93_bpe_token_stats" ->
       """SELECT source, count(*) AS n_docs,

@@ -30,6 +30,13 @@ object LocalFrame {
     }
   }
 
+  /** Scope several session confs to `body` (nested [[withConf]]s — each
+    * restored innermost-first even on failure). */
+  def withConfs[A](s: SparkSession, kvs: (String, String)*)(body: => A): A =
+    kvs.foldRight(() => body) { case ((k, v), inner) =>
+      () => withConf(s, k, v)(inner())
+    }()
+
   /** Scope the legacy parquet nanos-as-long toggle to `body` — the
     * events parquet carries nanosecond timestamps that the streaming
     * file source can only read as longs, and leaking the toggle would

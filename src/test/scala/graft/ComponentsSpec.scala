@@ -35,4 +35,45 @@ class ComponentsSpec extends SparkSpec {
   test("empty edge list yields an empty labeling") {
     assert(run(Seq.empty) == Map.empty)
   }
+
+  // ---- large-star/small-star contraction ----
+
+  private def runStar(edges: Seq[(Long, Long)],
+                      parts: Int = 3): (Map[Long, Long], Int) = {
+    val (df, rounds) = Components.starContraction(
+      edges.toDF("a", "b").repartition(parts), "a", "b")
+    (df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap, rounds)
+  }
+
+  test("star contraction matches min-label on known graphs") {
+    val cases = Seq(
+      Seq((2L, 1L), (2L, 3L), (1L, 3L), (10L, 11L), (5L, 6L)),
+      Seq((7L, 3L), (3L, 9L), (20L, 21L), (21L, 22L), (1L, 2L)),
+      (1L until 9L).map(i => (i + 1, i)))
+    cases.foreach { edges =>
+      assert(runStar(edges)._1 == run(edges), s"edges: $edges")
+    }
+  }
+
+  test("star contraction matches min-label on a random graph") {
+    val rnd = new scala.util.Random(42)
+    val edges = Seq.fill(300)((rnd.nextInt(120).toLong, rnd.nextInt(120).toLong))
+      .filter { case (a, b) => a != b }
+    assert(runStar(edges)._1 == run(edges))
+  }
+
+  test("star contraction needs O(log d) rounds on a deep path graph") {
+    // a 128-link chain: min-label propagation would need ~127 rounds;
+    // the contraction must finish in far fewer (log2(128)=7, with the
+    // alternation overhead still well under 20)
+    val chain = (1L until 128L).map(i => (i + 1, i))
+    val (labels, rounds) = runStar(chain)
+    assert(labels.keySet == (1L to 128L).toSet)
+    assert(labels.values.forall(_ == 1L))
+    assert(rounds <= 20, s"took $rounds rounds")
+  }
+
+  test("star contraction empty edge list yields an empty labeling") {
+    assert(runStar(Seq.empty)._1 == Map.empty)
+  }
 }

@@ -65,6 +65,22 @@ class ScaleOpsSpec extends SparkSpec {
     }
   }
 
+  test("AQE splits the skewed join partition at runtime (q139's join)") {
+    graft.util.LocalFrame.withConfs(spark,
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "1",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "1KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "1KB") {
+      // exactly q139's interior join (shared scaffold); the hot key holds
+      // ~80% of lineitem, so under the forced thresholds AQE must split
+      // its sort-merge partition — visible as skew=true on the SMJ node
+      val joined = graft.queries.JoinQueries.skewJoinFrame(spark, sf)
+      joined.collect() // AQE re-plans during execution
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"), s"no skew split in plan:\n$plan")
+    }
+  }
+
   test("join hints select their physical strategies (q119's plans)") {
     val o = Tables.load(spark, sf, "orders")
     val c = Tables.load(spark, sf, "customer")
