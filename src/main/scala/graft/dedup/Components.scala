@@ -23,6 +23,7 @@ import org.apache.spark.storage.StorageLevel
   * lineage depth matters.
   */
 object Components {
+  import graft.util.LocalFrame.unpersistCheckpoint
 
   /** @param pairs undirected edge list, one row per pair
     * @return (id, lbl) — every node appearing in `pairs`, labeled with
@@ -64,7 +65,8 @@ object Components {
       val s = next.agg(sum(col("lbl"))).head.getLong(0)
       converged = s == prevSum
       prevSum = s
-      labels.unpersist()
+      labels.unpersist()          // round 1: the persist()ed seed frame
+      unpersistCheckpoint(labels) // later rounds: the checkpointed frame
       labels = next
     }
     edges.unpersist()
@@ -116,17 +118,13 @@ object Components {
       .distinct()
       .localCheckpoint(true)
 
-    def stable(a: DataFrame, b: DataFrame): Boolean = {
-      // canonical edge sets are equal iff count and elementwise-hash XOR
-      // agree (order-free, no join, and — unlike sum — can't overflow
-      // under ANSI mode at any cardinality)
-      def sig(df: DataFrame): (Long, Long) = {
-        val r = df.agg(count(lit(1)),
-          expr("bit_xor(xxhash64(u, v))")).head
-        (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
-      }
-      sig(a) == sig(b)
-    }
+    def stable(a: DataFrame, b: DataFrame): Boolean =
+      // exact set equality: counts first (cheap), then an anti-join.
+      // Both sides are distinct canonical sets and already checkpointed,
+      // so the except is one small shuffle — and unlike a hash
+      // signature it cannot collide into a silent early exit with
+      // wrong labels.
+      a.count() == b.count() && b.except(a).head(1).isEmpty
 
     var rounds = 0
     var converged = edges.head(1).isEmpty
@@ -158,6 +156,11 @@ object Components {
         .localCheckpoint(true)
 
       converged = stable(edges, next)
+      // `next` is materialized (eager checkpoint) and the convergence
+      // check has consumed the old round — free its blocks now rather
+      // than letting O(rounds) dead edge lists pile up in storage
+      unpersistCheckpoint(large)
+      unpersistCheckpoint(edges)
       edges = next
     }
 

@@ -313,8 +313,8 @@ object EventQueries {
     // variant path extraction must agree with text-path JSON semantics
     "q111_variant_props" ->
       """SELECT event_type, count(*) AS n,
-        |       SUM(CAST(json_extract_string(props, '$.k') AS BIGINT))
-        |         AS sum_k,
+        |       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT))
+        |            AS BIGINT) AS sum_k,
         |       count(DISTINCT CAST(json_extract_string(props, '$.k')
         |                           AS BIGINT)) AS n_distinct_k
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,

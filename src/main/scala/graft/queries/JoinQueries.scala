@@ -221,9 +221,18 @@ object JoinQueries {
     }
 
   /** Shared q139 scaffold (also driven by ScaleOpsSpec's skew=true plan
-    * assertion, so the evidence describes the oracle-checked query). */
-  private[graft] def skewJoinFrame(s: SparkSession, dir: String): DataFrame = {
-    val l = t(s, dir, "lineitem")
+    * assertion, so the evidence describes the oracle-checked query).
+    *
+    * `preShuffle` lets the spec widen the fact side's map stage: AQE's
+    * OptimizeSkewedJoin slices a reduce partition at MAPPER granularity
+    * (`splitSizeListByTargetSize` over per-mapper chunk sizes), so a
+    * single-row-group test parquet — one map task — leaves nothing to
+    * split regardless of thresholds. The bench/oracle path keeps the
+    * identity default and its clean single-shuffle plan. */
+  private[graft] def skewJoinFrame(
+      s: SparkSession, dir: String,
+      preShuffle: DataFrame => DataFrame = identity): DataFrame = {
+    val l = preShuffle(t(s, dir, "lineitem"))
       .withColumn("skew_key",
         when(pmod(col("l_orderkey"), lit(5)) =!= 0, lit(0L))
           .otherwise(pmod(col("l_orderkey"), lit(1000))))

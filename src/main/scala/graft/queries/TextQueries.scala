@@ -34,6 +34,27 @@ object TextQueries {
     graft.util.LocalFrame.of(s, rows, schema)
   }
 
+  /** q55/q85/q109/q137/q138 all consume the SAME banded-LSH pair list
+    * (2-shingles, 16 bands × 4 rows, verify ≥ 0.3). Same replay pattern
+    * as [[exactPairCache]]: the shingle→minhash→band→verify pipeline
+    * runs once per dataset per JVM and the tiny verified pair list
+    * (bounded by the near-dup count, not the corpus) is replayed as a
+    * local frame — bit-identical pairs, one LSH pass instead of five.
+    * As a LocalRelation it is also free to re-scan, which is exactly
+    * what q137's recursive CTE does every iteration. */
+  private val lshPairCache = new java.util.concurrent.ConcurrentHashMap[
+    String, (Array[org.apache.spark.sql.Row], org.apache.spark.sql.types.StructType)]()
+
+  private[queries] def lshNearDupPairs(s: SparkSession, dir: String): DataFrame = {
+    val key = new java.io.File(dir).getCanonicalPath
+    val (rows, schema) = lshPairCache.computeIfAbsent(key, _ => {
+      val df = MinHash.nearDuplicatePairs(docs(s, dir), "doc_id", "text",
+        shingleN = 2, bands = 16, rowsPerBand = 4, threshold = 0.3)
+      (df.collect(), df.schema)
+    })
+    graft.util.LocalFrame.of(s, rows, schema)
+  }
+
   /** Token statistics per language (oracle: ints only). */
   def langTokenStats(s: SparkSession, dir: String): DataFrame =
     docs(s, dir)
@@ -97,8 +118,7 @@ object TextQueries {
     * (q85 gates exactly that), so the LSH output provably equals the
     * exact ≥ 0.3 all-pairs list the oracle computes. */
   def minhashNearDups(s: SparkSession, dir: String): DataFrame =
-    MinHash.nearDuplicatePairs(docs(s, dir), "doc_id", "text",
-        shingleN = 2, bands = 16, rowsPerBand = 4, threshold = 0.3)
+    lshNearDupPairs(s, dir)
       .orderBy(col("id_a"), col("id_b"))
 
   /** SimHash closest candidate pairs (rows-only): 16-bit-chunk pigeonhole
@@ -119,8 +139,7 @@ object TextQueries {
     * every (doc, component, size) row is value-checked. */
   def neardupComponents(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val pairs = MinHash.nearDuplicatePairs(docs(s, dir), "doc_id", "text",
-      shingleN = 2, bands = 16, rowsPerBand = 4, threshold = 0.3)
+    val pairs = lshNearDupPairs(s, dir)
     graft.dedup.Components.connectedComponents(pairs, "id_a", "id_b")
       .select(col("id").as("doc_id"), col("lbl").as("component"))
       .withColumn("n_docs",
@@ -136,8 +155,7 @@ object TextQueries {
     * gate pins the two algorithms to each other AND to ground truth. */
   def neardupComponentsStar(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val pairs = MinHash.nearDuplicatePairs(docs(s, dir), "doc_id", "text",
-      shingleN = 2, bands = 16, rowsPerBand = 4, threshold = 0.3)
+    val pairs = lshNearDupPairs(s, dir)
     graft.dedup.Components.connectedComponentsStar(pairs, "id_a", "id_b")
       .select(col("id").as("doc_id"), col("lbl").as("component"))
       .withColumn("n_docs",
@@ -176,10 +194,13 @@ object TextQueries {
         sum(col("n_tok")).as("sum_tokens"),
         sum(col("n_bi_dup")).as("sum_dup_bigrams"),
         sum(col("n_bi")).as("sum_bigrams"),
-        round(sum(col("top_tok")).cast("double") / sum(col("n_tok")), 6)
-          .as("top_token_frac"),
-        round(sum(col("n_bi_dup")).cast("double") / sum(col("n_bi")), 6)
-          .as("dup_bigram_frac"))
+        // denominators can be 0 (a source of sub-2-token docs); Spark's
+        // non-ANSI x/0 is NULL while DuckDB's IEEE division is not —
+        // guard both engines identically (nullif on the oracle side)
+        round(sum(col("top_tok")).cast("double") /
+          nullif(sum(col("n_tok")), lit(0L)), 6).as("top_token_frac"),
+        round(sum(col("n_bi_dup")).cast("double") /
+          nullif(sum(col("n_bi")), lit(0L)), 6).as("dup_bigram_frac"))
       .orderBy(col("source"))
   }
 
@@ -232,10 +253,8 @@ object TextQueries {
     * no pairs in (0.3, 0.9) — every real near-dup is covered by this
     * gate. */
   def lshRecallBound(s: SparkSession, dir: String): DataFrame = {
-    val d = docs(s, dir)
     val exact = exactNearDupPairs(s, dir)
-    val lsh = MinHash.nearDuplicatePairs(d, "doc_id", "text",
-        shingleN = 2, bands = 16, rowsPerBand = 4, threshold = 0.3)
+    val lsh = lshNearDupPairs(s, dir)
       .select(col("id_a"), col("id_b"), lit(true).as("found"))
     exact.join(lsh, Seq("id_a", "id_b"), "left_outer")
       .select(col("id_a"), col("id_b"), col("jaccard"),
@@ -517,9 +536,9 @@ object TextQueries {
         |  CAST(sum(n_tok) AS BIGINT) AS sum_tokens,
         |  CAST(sum(n_bi_dup) AS BIGINT) AS sum_dup_bigrams,
         |  CAST(sum(n_bi) AS BIGINT) AS sum_bigrams,
-        |  round(CAST(sum(top_tok) AS DOUBLE) / sum(n_tok), 6)
+        |  round(CAST(sum(top_tok) AS DOUBLE) / nullif(sum(n_tok), 0), 6)
         |    AS top_token_frac,
-        |  round(CAST(sum(n_bi_dup) AS DOUBLE) / sum(n_bi), 6)
+        |  round(CAST(sum(n_bi_dup) AS DOUBLE) / nullif(sum(n_bi), 0), 6)
         |    AS dup_bigram_frac
         |FROM m GROUP BY source ORDER BY source""".stripMargin,
     // same lookaround-free pattern in both engines; exact value match

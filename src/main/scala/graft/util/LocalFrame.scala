@@ -37,6 +37,19 @@ object LocalFrame {
       () => withConf(s, k, v)(inner())
     }()
 
+  /** Frees the cached blocks behind a `localCheckpoint(true)`ed frame.
+    * `Dataset.unpersist` only consults the CacheManager (entries made by
+    * `persist`), so checkpoints would otherwise linger in executor
+    * storage until the ContextCleaner GCs them. Safe only once nothing
+    * downstream reads the frame again (the checkpoint blocks ARE the
+    * data; there is no lineage to recompute from). */
+  def unpersistCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed.foreach {
+      case r: org.apache.spark.sql.execution.LogicalRDD =>
+        r.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
+
   /** Scope the legacy parquet nanos-as-long toggle to `body` — the
     * events parquet carries nanosecond timestamps that the streaming
     * file source can only read as longs, and leaking the toggle would

@@ -73,8 +73,11 @@ class ScaleOpsSpec extends SparkSpec {
       "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "1KB") {
       // exactly q139's interior join (shared scaffold); the hot key holds
       // ~80% of lineitem, so under the forced thresholds AQE must split
-      // its sort-merge partition — visible as skew=true on the SMJ node
-      val joined = graft.queries.JoinQueries.skewJoinFrame(spark, sf)
+      // its sort-merge partition — visible as skew=true on the SMJ node.
+      // sf0.001's lineitem is one row group = one map task, and AQE can
+      // only split at mapper granularity — widen the map stage first.
+      val joined = graft.queries.JoinQueries
+        .skewJoinFrame(spark, sf, _.repartition(8))
       joined.collect() // AQE re-plans during execution
       val plan = joined.queryExecution.executedPlan.toString
       assert(plan.contains("skew=true"), s"no skew split in plan:\n$plan")

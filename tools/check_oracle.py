@@ -26,13 +26,37 @@ def norm(v):
     return v
 
 
+# Columns DuckDB widens past 64 bits hash-mismatch Spark's BIGINT even
+# when every value is equal (q78 round 3, q111 round 4). DESCRIBE each
+# oracle and refuse any 128-bit output column up front.
+BANNED_TYPES = ("HUGEINT", "UHUGEINT")
+
+
+def lint_types(con, oracle):
+    bad = []
+    for name, sql in sorted(oracle.items()):
+        try:
+            desc = con.sql(f"DESCRIBE {sql}").fetchall()
+        except Exception as e:  # noqa: BLE001 - report, don't crash the lint
+            bad.append((name, "?", f"DESCRIBE failed: {e}"))
+            continue
+        for col, typ, *_ in desc:
+            if any(b in str(typ).upper() for b in BANNED_TYPES):
+                bad.append((name, col, typ))
+    for name, col, typ in bad:
+        print(f"LINT {name}: column {col!r} is {typ} — wrap with "
+              f"CAST(... AS BIGINT) so DuckDB's hash matches Spark's")
+    return len(bad)
+
+
 def main(sf_dir, out_dir):
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
-    n_pass = n_fail = n_skip = 0
+    n_fail = lint_types(con, oracle)
+    n_pass = n_skip = 0
     import os
     produced = sorted(d for d in os.listdir(out_dir)
                       if os.path.isdir(os.path.join(out_dir, d)))
