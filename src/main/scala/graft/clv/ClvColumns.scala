@@ -42,6 +42,32 @@ object ClvColumns {
     num / den
   }
 
+  /** [[probAlive]] with the fitted parameters as COLUMNS — for scoring
+    * rows against per-group fits joined back onto them (q82's gate),
+    * where the params vary row to row and can't be `lit`ed. */
+  def probAliveP(r: Column, alpha: Column, a: Column, b: Column,
+                 x: Column, tx: Column, t: Column): Column =
+    when(x <= 0, lit(1.0)).otherwise(
+      lit(1.0) / (lit(1.0) + exp(
+        log(a) - log(b + x - 1) +
+          (r + x) * (log(alpha + t) - log(alpha + tx)))))
+
+  /** [[expectedPurchases]] with parameters as COLUMNS (see
+    * [[probAliveP]]); same formula, same ₂F₁ expression. */
+  def expectedPurchasesP(r: Column, alpha: Column, a: Column, b: Column,
+                         horizon: Column,
+                         x: Column, tx: Column, t: Column): Column = {
+    val rx = r + x
+    val z = horizon / (alpha + t + horizon)
+    val hyp = Hyp2F1Expr(rx, b + x, a + b + x - 1, z)
+    val num = (a + b + x - 1) / (a - 1) *
+      (lit(1.0) - pow((alpha + t) / (alpha + t + horizon), rx) * hyp)
+    val den = when(x > 0,
+      lit(1.0) + a / (b + x - 1) * pow((alpha + t) / (alpha + tx), rx))
+      .otherwise(lit(1.0))
+    num / den
+  }
+
   /** E(M | x, m̄x) (ref DS:316-319; Fader/Hardie 2013 eq. 5). */
   def expectedAvgProfit(g: GammaGammaParams, x: Column, mx: Column): Column =
     lit(g.p) * (lit(g.v) + mx * x) / (lit(g.p) * x + lit(g.q) - 1)

@@ -82,7 +82,8 @@ object ClvQueries {
   }
 
   /** Per-group fitted BG/NBD parameters via the SQL aggregate form
-    * (U9 — `fit_bgnbd` as a TypedImperativeAggregate in a GROUP BY). */
+    * (U9 — `fit_bgnbd` as a TypedImperativeAggregate in a GROUP BY).
+    * Library surface; q82's oracle-gated form is [[groupParamsGate]]. */
   def groupModelParams(s: SparkSession, dir: String): DataFrame =
     ClvPipeline.rfm(s, dir, nGroups = 20).toDF()
       .groupBy(col("group_key"))
@@ -94,6 +95,51 @@ object ClvQueries {
         round(col("params.a"), 6).as("a"),
         round(col("params.b"), 6).as("b"))
       .orderBy(col("group_key"))
+
+  /** The fitted parameter VALUES aren't SQL-derivable, but their
+    * consequences are — q82 as a quality gate in the q86 pattern. Per
+    * group the oracle states the SQL-knowable facts (key, member count)
+    * and pins the model-law booleans a broken fit would blow:
+    * parameters strictly positive (MLE domain), a repeat fit over the
+    * same rows bit-equal (determinism — the second aggregate is kept
+    * from being deduplicated with the first so it genuinely runs),
+    * every member's P(alive) in [0,1] under its OWN group's params, and
+    * E[Y(t)] nondecreasing in t (cumulative purchases can't shrink).
+    * Scoring joins the 20 fitted-param rows back via broadcast — the
+    * fit-small / score-wide shape at any scale. */
+  def groupParamsGate(s: SparkSession, dir: String): DataFrame = {
+    import graft.clv.ClvColumns
+    val x = col("frequency"); val tx = col("recency"); val t = col("t_weeks")
+    val rfm = ClvPipeline.rfm(s, dir, nGroups = 20).toDF()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val params = rfm.groupBy(col("group_key"))
+      .agg(
+        graft.functions.BetaGeoFitAgg.fitBgnbd(x, tx, t).as("p1"),
+        // `+ 0.0` keeps Catalyst from deduplicating the two identical
+        // aggregates — the determinism probe needs both fits to run
+        graft.functions.BetaGeoFitAgg.fitBgnbd(x + lit(0.0), tx, t).as("p2"))
+    val r = col("p1.r"); val al = col("p1.alpha")
+    val a = col("p1.a"); val b = col("p1.b")
+    rfm.join(broadcast(params), "group_key")
+      .select(col("group_key"),
+        ClvColumns.probAliveP(r, al, a, b, x, tx, t).as("pa"),
+        ClvColumns.expectedPurchasesP(r, al, a, b, lit(26.0), x, tx, t)
+          .as("ey26"),
+        ClvColumns.expectedPurchasesP(r, al, a, b, lit(52.0), x, tx, t)
+          .as("ey52"),
+        (r > 0.0 && al > 0.0 && a > 0.0 && b > 0.0).as("pos"),
+        (r === col("p2.r") && al === col("p2.alpha") &&
+          a === col("p2.a") && b === col("p2.b")).as("same"))
+      .groupBy(col("group_key"))
+      .agg(count(lit(1)).as("n_customers"),
+        min(col("pos")).as("params_pos_ok"),
+        min(col("same")).as("repeat_fit_ok"),
+        (min(col("pa")) >= 0.0 && max(col("pa")) <= 1.0)
+          .as("alive_domain_ok"),
+        min(col("ey52") >= col("ey26") - lit(1e-9))
+          .as("visits_monotone_ok"))
+      .orderBy(col("group_key"))
+  }
 
   /** The fit-small / score-wide architecture (100 TB shape): fit the two
     * models once on the collected *summarized* frame (one row per
@@ -188,15 +234,20 @@ object ClvQueries {
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q80_clv_results"  -> (clvResults _),
     "q81_clv_segments" -> (clvSegments _),
-    "q82_group_params" -> (groupModelParams _),
+    "q82_group_params" -> (groupParamsGate _),
     "q83_clv_scored_columns" -> (clvScoredColumns _),
     "q86_clv_holdout" -> (clvHoldoutValidation _)
   )
 
-  /** The MLE score values are not SQL-expressible (q82 stays rows-only:
-    * its output IS fitted parameters); q80/q81/q83/q86 state the
-    * SQL-knowable facts and pin the model gates to `true`. */
+  /** The MLE score values are not SQL-expressible; every CLV query
+    * states the SQL-knowable facts and pins the model gates to `true`. */
   val oracles: Map[String, String] = Map(
+    "q82_group_params" ->
+      """SELECT CAST(o_custkey % 20 + 1 AS BIGINT) AS group_key,
+        |       count(DISTINCT o_custkey) AS n_customers,
+        |       true AS params_pos_ok, true AS repeat_fit_ok,
+        |       true AS alive_domain_ok, true AS visits_monotone_ok
+        |FROM orders GROUP BY group_key ORDER BY group_key""".stripMargin,
     "q80_clv_results" ->
       """SELECT CAST(o_custkey % 20 + 1 AS BIGINT) AS group_key,
         |       o_custkey AS custkey,
