@@ -74,6 +74,57 @@ class LakeTableSpec extends SparkSpec {
     }
   }
 
+  test("checkpoint bounds log replay: snapshots survive pruned JSON commits") {
+    withTable { root =>
+      import graft.sources.DeltaLog
+      import spark.implicits._
+      import java.nio.file.{Files, Paths}
+      LakeTable.create(spark, root,
+        Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0))
+          .toDF("id", "name", "v"))
+      LakeTable.append(spark, root, Seq((4L, "d", 40.0)).toDF("id", "name", "v"))
+      LakeTable.merge(spark, root,
+        Seq((2L, "b2", 99.0)).toDF("id", "name", "v"), "id")
+      LakeTable.deleteWhere(spark, root, col("id") === 1L)
+      DeltaLog.writeCheckpoint(spark, root, Some(2L))
+      assert(Files.exists(Paths.get(root, "_delta_log",
+        "00000000000000000002.checkpoint.parquet")))
+      val lc = new String(Files.readAllBytes(
+        Paths.get(root, "_delta_log", "_last_checkpoint")))
+      assert(lc.contains(""""version":2"""))
+      // prune every JSON commit the checkpoint covers — replay must
+      // reconstruct the snapshot from checkpoint + tail alone
+      for (v <- 0 to 2)
+        Files.delete(Paths.get(root, "_delta_log", f"$v%020d.json"))
+      for (mv <- 3 to 4) {
+        val viaLog = DeltaLog.read(spark, root, Some(mv - 1L))
+          .orderBy("id").collect().toSeq
+        val viaManifest = LakeTable.read(spark, root, Some(mv))
+          .orderBy("id").collect().toSeq
+        assert(viaLog == viaManifest, s"version $mv")
+      }
+      // a later checkpoint bootstraps metaData from the earlier one
+      // even though the version-0 commit is gone
+      DeltaLog.writeCheckpoint(spark, root, Some(3L))
+      assert(DeltaLog.read(spark, root, Some(3L)).orderBy("id")
+        .collect().toSeq ==
+        LakeTable.read(spark, root, Some(4)).orderBy("id").collect().toSeq)
+    }
+  }
+
+  test("the 10th commit auto-writes a checkpoint (Delta default cadence)") {
+    withTable { root =>
+      import graft.sources.DeltaLog
+      import spark.implicits._
+      LakeTable.create(spark, root, Seq((0L, "r0")).toDF("id", "tag"))
+      for (i <- 1 to 9)
+        LakeTable.append(spark, root, Seq((i.toLong, s"r$i")).toDF("id", "tag"))
+      // manifest v10 = delta v9 → auto checkpoint at 9
+      assert(DeltaLog.checkpointVersions(spark, root) == Seq(9L))
+      assert(DeltaLog.read(spark, root).count() == 10)
+    }
+  }
+
   test("merge upserts matched keys and inserts unmatched ones") {
     withTable { root =>
       import spark.implicits._
