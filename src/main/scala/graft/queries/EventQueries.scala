@@ -251,6 +251,39 @@ object EventQueries {
         Tables.isoTs(col("effect_ts")).as("effect_ts")))
       .orderBy(col("cause_id"), col("effect_id"))
 
+  /** q143: stream-stream LEFT OUTER interval join under the oracle
+    * (q113's outer sibling — the stateful row of the streaming join
+    * matrix): a `view` with no `purchase` in its 30-minute window is
+    * still emitted, with a null effect, once the watermark passes the
+    * window and evicts its state — the no-data micro-batch after the
+    * last file is what flushes those final evictions. Determinism needs
+    * care the inner join doesn't: each join side's watermark tracks its
+    * FILTERED substream (see attributionJoin), so the global watermark
+    * is min(max view ts, max purchase ts) − 1 h, and a cause's null is
+    * only decided once that clears its window end. The result is
+    * therefore restricted to causes ≥ 95 minutes (window + watermark +
+    * 5-minute margin) behind the EARLIER of the two sides' maxima —
+    * for those, matches are complete AND non-matches are decided,
+    * which is exactly the rule the oracle replays in batch SQL. State
+    * stays bounded by (watermark + window), never stream length. */
+  def streamOuterAttribution(s: SparkSession, dir: String): DataFrame = {
+    val hz = ev(s, dir).agg(
+      max(when(col("event_type") === "view", col("ts"))).as("mv"),
+      max(when(col("event_type") === "purchase", col("ts"))).as("mp")).head
+    val horizon =
+      if (hz.getTimestamp(0).before(hz.getTimestamp(1))) hz.getTimestamp(0)
+      else hz.getTimestamp(1)
+    runStagedEventStream(s, dir, "q143_sink_")(streamed =>
+      graft.streaming.EventStreams.attributionJoinOuter(
+        streamed, streamed, "view", "purchase", 30))(
+      _.filter(col("cause_ts") <=
+          lit(horizon) - expr("INTERVAL 95 MINUTES"))
+        .groupBy(col("cause_id"), col("user_id"))
+        .agg(count(col("effect_id")).as("n_effects"),
+          (count(col("effect_id")) > 0).as("matched")))
+      .orderBy(col("cause_id"))
+  }
+
   /** Stream-STATIC join under the oracle (q113's stateless sibling —
     * together they cover Structured Streaming's join matrix): each
     * streamed event is enriched with the user's market segment from the
@@ -275,6 +308,7 @@ object EventQueries {
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q28_asof_last_order"    -> (asofLastOrder _),
     "q113_stream_attribution" -> (streamAttribution _),
+    "q143_stream_outer_join" -> (streamOuterAttribution _),
     "q116_stream_static_join" -> (streamStaticEnrich _),
     "q92_stream_hourly"      -> (streamHourlyFinalized _),
     "q94_stream_sessions"    -> (streamStatefulSessions _),
@@ -299,6 +333,28 @@ object EventQueries {
         |FROM events e JOIN customer c ON c.c_custkey = e.user_id
         |GROUP BY c_mktsegment, event_type
         |ORDER BY c_mktsegment, event_type""".stripMargin,
+    // the watermark-decidable subset of the outer join, replayed in
+    // batch: causes ≥ 95 min behind the earlier of the two sides'
+    // max timestamps (each side's watermark tracks its filtered
+    // substream) have complete, decided windows
+    "q143_stream_outer_join" ->
+      """WITH mx AS (SELECT least(
+        |        max(CASE WHEN event_type = 'view' THEN ts END),
+        |        max(CASE WHEN event_type = 'purchase' THEN ts END))
+        |          AS m FROM events),
+        |c AS (SELECT user_id, event_id AS cause_id, ts
+        |      FROM events, mx
+        |      WHERE event_type = 'view'
+        |        AND ts <= m - INTERVAL 95 MINUTE),
+        |e AS (SELECT user_id, event_id, ts FROM events
+        |      WHERE event_type = 'purchase')
+        |SELECT c.cause_id, c.user_id,
+        |       count(e.event_id) AS n_effects,
+        |       count(e.event_id) > 0 AS matched
+        |FROM c LEFT JOIN e ON e.user_id = c.user_id
+        |  AND e.ts >= c.ts AND e.ts <= c.ts + INTERVAL 30 MINUTE
+        |GROUP BY c.cause_id, c.user_id
+        |ORDER BY cause_id""".stripMargin,
     // the streamed inner interval join equals the batch interval join
     // (single-batch staging; see streamAttribution scaladoc)
     "q113_stream_attribution" ->

@@ -410,7 +410,45 @@ object LakeQueries {
     }
   }
 
+  /** q141: the CHECKPOINTED commit-log read path under the oracle
+    * (q91 covers the manifest path; this covers [[graft.sources.DeltaLog]]'s
+    * bounded replay). Eleven commits (create + 10 two-nation appends) —
+    * the 10th commit auto-writes the classic-form checkpoint at delta
+    * version 9 per the Delta default cadence. Every JSON commit the
+    * checkpoint covers is then DELETED, and both snapshot reads (at the
+    * checkpoint version and at latest) must still reconstruct exactly —
+    * checkpoint + JSON tail, no full log walk. Counts are restated from
+    * `nation` by the oracle; `pruned_ok` pins that the checkpoint and
+    * `_last_checkpoint` pointer exist on disk. */
+  def checkpointReadCounts(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.DeltaLog
+    val nation = graft.Tables.load(s, dir, "nation")
+    val row = graft.util.Tmp.withTempDir("graft_lake_q141") { rootPath =>
+      val root = rootPath.toString
+      LakeTable.create(s, root, nation.filter(col("n_nationkey") < 5))
+      for (i <- 0 until 10)
+        LakeTable.append(s, root, nation.filter(
+          col("n_nationkey") >= 5 + 2 * i && col("n_nationkey") < 5 + 2 * (i + 1)))
+      val nVersions = LakeTable.versions(s, root).size.toLong
+      val cps = DeltaLog.checkpointVersions(s, root)
+      val prunedOk = cps == Seq(9L) &&
+        java.nio.file.Files.exists(rootPath.resolve("_delta_log/_last_checkpoint"))
+      // prune every JSON commit the checkpoint covers; replay must not
+      // need them (delta 0-9 = manifest 1-10)
+      for (v <- 0L to 9L)
+        java.nio.file.Files.delete(
+          rootPath.resolve(f"_delta_log/$v%020d.json"))
+      val rowsAtCp = DeltaLog.read(s, root, Some(9L)).count()
+      val rowsLatest = DeltaLog.read(s, root).count()
+      (nVersions, 9L, rowsAtCp, rowsLatest, prunedOk)
+    }
+    import s.implicits._
+    Seq(row).toDF("n_versions", "cp_version", "rows_at_cp",
+      "rows_latest", "pruned_ok")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q141_lake_checkpoint" -> (checkpointReadCounts _),
     "q133_zorder_pruning" -> (zorderPruning _),
     "q136_incremental_view" -> (incrementalView _),
     "q134_lake_restore"   -> (lakeRestoreHistory _),
@@ -424,6 +462,14 @@ object LakeQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // staged-chain counts restated from nation: create(5 rows) + 10
+    // two-row appends; delta v9 = manifest v10 = keys < 23
+    "q141_lake_checkpoint" ->
+      """SELECT CAST(11 AS BIGINT) AS n_versions,
+        |       CAST(9 AS BIGINT) AS cp_version,
+        |       count(CASE WHEN n_nationkey < 23 THEN 1 END) AS rows_at_cp,
+        |       count(*) AS rows_latest, true AS pruned_ok
+        |FROM nation""".stripMargin,
     // the incrementally-maintained view equals the direct aggregate of
     // the final snapshot (post-delete, post-merge), restated from orders
     "q136_incremental_view" ->

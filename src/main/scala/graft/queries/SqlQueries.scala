@@ -212,8 +212,50 @@ object SqlQueries {
         |FROM comp ORDER BY doc_id""".stripMargin)
   }
 
+  /** Correlated LATERAL subquery (Spark ≥3.4 / standard SQL): per
+    * nation, the top customer by account balance via an ORDER BY +
+    * LIMIT 1 subquery correlated on the outer row — the "top-1 detail
+    * per group" idiom a notebook user writes instead of a window rank.
+    * Catalyst decorrelates it to a ranked join (same plan family as
+    * q30); DuckDB runs the identical statement, so the oracle is
+    * word-for-word. */
+  def sqlLateralTopCustomer(s: SparkSession, dir: String): DataFrame = {
+    val nation = view(s, dir, "nation")
+    val customer = view(s, dir, "customer")
+    s.sql(
+      s"""SELECT n.n_name, t.c_custkey, t.bal
+         |FROM $nation n,
+         |LATERAL (SELECT c_custkey, CAST(c_acctbal AS DOUBLE) AS bal
+         |         FROM $customer c
+         |         WHERE c.c_nationkey = n.n_nationkey
+         |         ORDER BY c_acctbal DESC, c_custkey LIMIT 1) t
+         |ORDER BY n.n_name""".stripMargin)
+  }
+
+  /** SQL pipe syntax (Spark 4 `|>`): q99's dashboard segmentation as a
+    * linear EXTEND → AGGREGATE → ORDER BY pipeline — the notebook-
+    * friendly form Spark 4 added for exactly this kind of staged
+    * transform. Parses to the same plan as the nested form, so q06's
+    * oracle is reused verbatim. */
+  def sqlPipeSegments(s: SparkSession, dir: String): DataFrame = {
+    val orders = view(s, dir, "orders")
+    s.sql(
+      s"""FROM $orders
+         ||> EXTEND CASE WHEN o_totalprice <= 50000 THEN '1_small'
+         |          WHEN o_totalprice <= 150000 THEN '2_medium'
+         |          WHEN o_totalprice <= 300000 THEN '3_large'
+         |          ELSE '4_xlarge' END AS segment
+         ||> AGGREGATE count(*) AS n,
+         |     CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+         |       AS revenue
+         |   GROUP BY segment
+         ||> ORDER BY segment""".stripMargin)
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q137_sql_components"     -> (sqlNeardupComponents _),
+    "q145_sql_lateral_topcust" -> (sqlLateralTopCustomer _),
+    "q146_sql_pipe_segments"  -> (sqlPipeSegments _),
     "q120_sql_parameterized"  -> (sqlParameterized _),
     "q121_sql_session_vars"   -> (sqlSessionVariables _),
     "q99_sql_order_segments"  -> (sqlOrderSegments _),
@@ -245,6 +287,17 @@ object SqlQueries {
         |FROM orders
         |WHERE year(o_orderdate) = 1997 AND o_totalprice < 200000
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    // DuckDB runs the identical LATERAL statement
+    "q145_sql_lateral_topcust" ->
+      """SELECT n.n_name, t.c_custkey, t.bal
+        |FROM nation n,
+        |LATERAL (SELECT c_custkey, CAST(c_acctbal AS DOUBLE) AS bal
+        |         FROM customer c
+        |         WHERE c.c_nationkey = n.n_nationkey
+        |         ORDER BY c_acctbal DESC, c_custkey LIMIT 1) t
+        |ORDER BY n.n_name""".stripMargin,
+    // the pipe form parses to q06's plan → q06's oracle verbatim
+    "q146_sql_pipe_segments"  -> RefQueries.oracles("q06_order_value_segments"),
     "q99_sql_order_segments"  -> RefQueries.oracles("q06_order_value_segments"),
     "q100_sql_rfm_view_chain" -> RefQueries.oracles("q08_rfm_summary"),
     "q101_sql_revenue_rollup" -> ExtAggQueries.oracles("q45_revenue_rollup"),

@@ -204,6 +204,41 @@ object TextQueries {
       .orderBy(col("source"))
   }
 
+  /** q142: chunk-level exact passage dedup (the CCNet/RefinedWeb-style
+    * repeated-passage removal pass, at chunk granularity): each document
+    * is cut into consecutive 8-token chunks, chunks are fingerprinted
+    * (md5 — portable across engines), and an instance SURVIVES iff it is
+    * the corpus-wide first occurrence of its content (minimum
+    * (doc_id, chunk_idx)). Reported per source: instance/distinct/
+    * surviving counts and the duplicated-chunk fraction. The whole pass
+    * is one fingerprint groupBy plus one equi-join back — shuffle ∝
+    * chunk count, no all-pairs anything, the exact shape that removes
+    * boilerplate passages at 100 TB. */
+  def chunkDedup(s: SparkSession, dir: String): DataFrame = {
+    val toks = split(trim(col("text")), "\\s+")
+    val nFull = (size(toks) / 8).cast("int")
+    // sequence(0, -1) would count DOWN — guard the sub-8-token docs
+    val idxs = when(nFull > 0, sequence(lit(0), nFull - 1))
+      .otherwise(array().cast("array<int>"))
+    val keyed = docs(s, dir)
+      .select(col("doc_id"), col("source"),
+        posexplode(transform(idxs,
+          i => concat_ws(" ", slice(toks, i * 8 + 1, lit(8))))).as(Seq("idx", "chunk")))
+      .select(col("source"),
+        (col("doc_id") * 1000000L + col("idx")).as("k"),
+        md5(col("chunk")).as("fp"))
+    val canon = keyed.groupBy(col("fp")).agg(min(col("k")).as("mk"))
+    val survives = sum(when(col("k") === col("mk"), 1L).otherwise(0L))
+    keyed.join(canon, "fp")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_chunks"),
+        countDistinct(col("fp")).as("n_distinct"),
+        survives.as("n_surviving"),
+        round((count(lit(1)) - survives).cast("double") / count(lit(1)), 6)
+          .as("dup_chunk_frac"))
+      .orderBy(col("source"))
+  }
+
   /** Per-document quality scores (oracle-checked: the composite score is
     * pure arithmetic over token statistics, reproduced term-for-term in
     * DuckDB SQL; language ID stays in q52, which rows-only checks the
@@ -366,6 +401,7 @@ object TextQueries {
     "q109_neardup_components" -> (neardupComponents _),
     "q138_cc_star_contraction" -> (neardupComponentsStar _),
     "q140_repetition_stats"   -> (repetitionStats _),
+    "q142_chunk_dedup"        -> (chunkDedup _),
     "q56_simhash_neardups"    -> (simhashNearDups _),
     "q57_doc_quality"         -> (docQuality _),
     "q58_token_jaccard_pairs" -> (tokenJaccardTopPairs _),
@@ -513,6 +549,25 @@ object TextQueries {
     // identical components from the exact edge list: min reachable id
     // via a recursive CTE (UNION dedups, so the fixpoint terminates)
     "q109_neardup_components" -> componentsOracle,
+    // identical chunking/fingerprint/keep-first rule in DuckDB list ops
+    "q142_chunk_dedup" ->
+      """WITH d AS (SELECT doc_id, source,
+        |             string_split_regex(trim(text), '\s+') AS ws
+        |           FROM documents),
+        |c AS (SELECT doc_id, source, i,
+        |        md5(array_to_string(ws[(i*8+1):(i*8+8)], ' ')) AS fp
+        |      FROM d, LATERAL (SELECT unnest(range(0,
+        |             CAST(len(ws) // 8 AS BIGINT))) AS i) t),
+        |k AS (SELECT source, doc_id * 1000000 + i AS k, fp FROM c),
+        |m AS (SELECT fp, min(k) AS mk FROM k GROUP BY fp)
+        |SELECT source, count(*) AS n_chunks,
+        |       count(DISTINCT fp) AS n_distinct,
+        |       count(CASE WHEN k.k = m.mk THEN 1 END) AS n_surviving,
+        |       round(CAST(count(*) -
+        |               count(CASE WHEN k.k = m.mk THEN 1 END) AS DOUBLE)
+        |             / count(*), 6) AS dup_chunk_frac
+        |FROM k JOIN m USING (fp)
+        |GROUP BY source ORDER BY source""".stripMargin,
     // q138 = the SAME clustering computed by star contraction; one
     // oracle pins both algorithms to ground truth and to each other
     "q138_cc_star_contraction" -> componentsOracle,

@@ -95,7 +95,52 @@ object VectorQueries {
       .orderBy(col("query_id"))
   }
 
+  /** q144: int8 scalar quantization of the embedding column — the 4×
+    * memory/IO compression an ANN index applies before indexing at
+    * scale. Symmetric per-vector scheme: scale = 127/max|v|,
+    * q = round(v·scale) ∈ [−127,127], dequant = q/scale. Gates (exact
+    * arithmetic, deterministic): quantized codes stay in the int8
+    * range, every element's reconstruction error is within the
+    * half-step rounding bound max|v|/254, and the top-10 cosine ranking
+    * computed ON the dequantized vectors recovers ≥ 0.8 of the exact
+    * top-10 per query. Pure HOF arithmetic plus the q60 ranking
+    * pipeline — per-row work, no new shuffle shape. */
+  def quantizationGate(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val vd = transform(col("embedding"), x => x.cast("double"))
+    val mabs = array_max(transform(vd, x => abs(x)))
+    val scale = when(mabs > 0, lit(127.0) / mabs).otherwise(lit(1.0))
+    val qv = transform(vd, x => round(x * scale).cast("int"))
+    val deq = transform(qv, q => q.cast("double") / scale)
+    val quant = e.select(col("vec_id"), deq.as("deq"),
+      (array_max(zip_with(vd, deq, (a, b) => abs(a - b))) <=
+        mabs / lit(254.0) + lit(1e-12)).as("err_ok"),
+      (array_min(qv) >= -127 && array_max(qv) <= 127).as("range_ok"))
+    val global = quant.agg(
+      min(col("err_ok")).as("err_bound_ok"),
+      min(col("range_ok")).as("int8_range_ok"))
+    val exact = VectorFunctions.bruteForceTopK(
+        e.filter(col("vec_id") < 5), e,
+        "vec_id", "embedding", "vec_id", "embedding", k = 10)
+      .select(col("query_id"), col("neighbor_id"))
+    val approx = VectorFunctions.bruteForceTopK(
+        quant.filter(col("vec_id") < 5), quant,
+        "vec_id", "deq", "vec_id", "deq", k = 10)
+      .select(col("query_id"), col("neighbor_id"))
+    val hits = approx.join(exact, Seq("query_id", "neighbor_id"), "left_semi")
+      .groupBy(col("query_id")).agg(count(lit(1)).as("n_hits"))
+    exact.groupBy(col("query_id")).agg(count(lit(1)).as("n_exact"))
+      .join(hits, Seq("query_id"), "left_outer")
+      .crossJoin(global)
+      .select(col("query_id"), col("n_exact"),
+        (coalesce(col("n_hits"), lit(0L)).cast("double") /
+          col("n_exact") >= 0.8).as("recall_ok"),
+        col("err_bound_ok"), col("int8_range_ok"))
+      .orderBy(col("query_id"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q144_embed_quantization" -> (quantizationGate _),
     "q84_ivf_recall_bound" -> (ivfRecallBound _),
     "q60_knn_brute"        -> (knnBrute _),
     "q61_knn_ivf"          -> (knnIvf _),
@@ -105,6 +150,11 @@ object VectorQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q144_embed_quantization" ->
+      """SELECT vec_id AS query_id, CAST(10 AS BIGINT) AS n_exact,
+        |       true AS recall_ok, true AS err_bound_ok,
+        |       true AS int8_range_ok
+        |FROM embeddings WHERE vec_id < 5 ORDER BY query_id""".stripMargin,
     "q84_ivf_recall_bound" ->
       """SELECT vec_id AS query_id, CAST(10 AS BIGINT) AS n_exact,
         |       true AS recall_ok

@@ -137,7 +137,14 @@ object EventStreams {
   def attributionJoin(causes: DataFrame, effects: DataFrame,
                       causeType: String, effectType: String,
                       withinMinutes: Int,
-                      watermark: String = "1 hour"): DataFrame = {
+                      watermark: String = "1 hour",
+                      joinType: String = "inner"): DataFrame = {
+    // NOTE each side's watermark tracks its FILTERED substream's max
+    // event time (the filter is pushed below the watermark node either
+    // way), so the global watermark is min over the two sides — a side
+    // whose newest row lags the source lags the watermark with it.
+    // Consumers reasoning about eviction boundaries (the outer join's
+    // null emission) must use the filtered sides' max timestamps.
     val c = causes
       .filter(col("event_type") === causeType)
       .withWatermark("ts", watermark)
@@ -152,10 +159,24 @@ object EventStreams {
         col("c_user") === col("e_user") &&
           col("effect_ts") >= col("cause_ts") &&
           col("effect_ts") <= col("cause_ts") +
-            expr(s"INTERVAL $withinMinutes MINUTES"))
+            expr(s"INTERVAL $withinMinutes MINUTES"),
+        joinType)
       .select(col("c_user").as("user_id"), col("cause_id"),
         col("effect_id"), col("cause_ts"), col("effect_ts"))
   }
+
+  /** Stream-stream LEFT OUTER interval join: like [[attributionJoin]]
+    * but a cause with no effect in its window is still emitted (null
+    * effect) — once the watermark passes the cause's attribution window
+    * and its state is evicted. The null-emission side is what makes
+    * outer stream joins need the watermark: without the time bound
+    * "no match yet" is undecidable. */
+  def attributionJoinOuter(causes: DataFrame, effects: DataFrame,
+                           causeType: String, effectType: String,
+                           withinMinutes: Int,
+                           watermark: String = "1 hour"): DataFrame =
+    attributionJoin(causes, effects, causeType, effectType,
+      withinMinutes, watermark, joinType = "leftOuter")
 
   /** Run a streaming Dataset to completion against a memory sink and
     * return the accumulated result (test/tooling helper). */
