@@ -124,7 +124,9 @@ object EventQueries {
                                    sinkPrefix: String,
                                    prepareStage: (SparkSession, String,
                                      java.nio.file.Path) => Unit =
-                                     (_, _, _) => ())(
+                                     (_, _, _) => (),
+                                   readerOptions: Map[String, String] =
+                                     Map.empty)(
       transform: DataFrame => DataFrame)(
       select: DataFrame => DataFrame): DataFrame = {
     import graft.streaming.EventStreams
@@ -147,7 +149,8 @@ object EventQueries {
       val (rows, schema) =
         graft.util.Tmp.withStagedFile(sinkPrefix + "src", path) { stage =>
           prepareStage(s, path, stage)
-          val streamed = s.readStream.schema(rawSchema).parquet(stage.toString)
+          val streamed = s.readStream.schema(rawSchema)
+            .options(readerOptions).parquet(stage.toString)
             .withColumn("ts", timestamp_micros(expr("ts div 1000")))
           val sink = sinkPrefix +
             java.util.UUID.randomUUID().toString.replace("-", "")
@@ -284,6 +287,61 @@ object EventQueries {
       .orderBy(col("cause_id"))
   }
 
+  /** Replaces the single staged events file with two deterministic
+    * slices (even/odd event_id) so `maxFilesPerTrigger=1` yields two
+    * micro-batches — the cross-batch state shape. Runs inside
+    * runStagedEventStream's nanosAsLong scope, so the slices carry the
+    * same long-nanos ts the single-file staging would. */
+  private def splitStageEvenOdd(s: SparkSession, path: String,
+                                stage: java.nio.file.Path): Unit = {
+    import java.nio.file.Files
+    import scala.jdk.CollectionConverters._
+    Files.delete(stage.resolve(java.nio.file.Paths.get(path).getFileName))
+    val src = s.read.parquet(path)
+    def writeSlice(f: DataFrame, name: String): Unit = {
+      val out = stage.resolve(s"${name}_out")
+      f.coalesce(1).write.parquet(out.toString)
+      val part = {
+        val l = Files.list(out)
+        try l.iterator().asScala
+          .find(_.getFileName.toString.endsWith(".parquet")).get
+        finally l.close()
+      }
+      Files.move(part, stage.resolve(s"$name.parquet"))
+      graft.util.Tmp.deleteRecursively(out)
+    }
+    writeSlice(src.filter(col("event_id") % 2 === 0), "batch_a")
+    writeSlice(src.filter(col("event_id") % 2 =!= 0), "batch_b")
+  }
+
+  /** q147: the Spark 4 arbitrary-state API under the oracle
+    * ([[graft.streaming.EventStreams.SpendTracker]] —
+    * `transformWithState` + ValueState on the RocksDB store, the
+    * successor of q94's flatMapGroupsWithState): per-user running spend
+    * across TWO real micro-batches (even/odd staged slices,
+    * maxFilesPerTrigger=1). Each batch emits the running totals, so
+    * the max-n row per user — kept by one window pass on the sink —
+    * equals the batch aggregate over all events, independent of batch
+    * order; the oracle restates exactly that GROUP BY. State is one
+    * tiny cell per user, partitioned by key across executors. */
+  def streamRunningSpend(s: SparkSession, dir: String): DataFrame =
+    graft.util.LocalFrame.withConf(s,
+      "spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider") {
+      runStagedEventStream(s, dir, "q147_sink_",
+        prepareStage = splitStageEvenOdd,
+        readerOptions = Map("maxFilesPerTrigger" -> "1"))(
+        graft.streaming.EventStreams.runningSpend)(sink => {
+          val w = org.apache.spark.sql.expressions.Window
+            .partitionBy(col("user_id"))
+          sink.withColumn("mx", max(col("n_events")).over(w))
+            .filter(col("n_events") === col("mx"))
+            .select(col("user_id"), col("n_events"),
+              (col("cents").cast("double") / lit(100.0)).as("total_value"))
+        })
+        .orderBy(col("user_id"))
+    }
+
   /** Stream-STATIC join under the oracle (q113's stateless sibling —
     * together they cover Structured Streaming's join matrix): each
     * streamed event is enriched with the user's market segment from the
@@ -309,6 +367,7 @@ object EventQueries {
     "q28_asof_last_order"    -> (asofLastOrder _),
     "q113_stream_attribution" -> (streamAttribution _),
     "q143_stream_outer_join" -> (streamOuterAttribution _),
+    "q147_stream_value_state" -> (streamRunningSpend _),
     "q116_stream_static_join" -> (streamStaticEnrich _),
     "q92_stream_hourly"      -> (streamHourlyFinalized _),
     "q94_stream_sessions"    -> (streamStatefulSessions _),
@@ -333,6 +392,13 @@ object EventQueries {
         |FROM events e JOIN customer c ON c.c_custkey = e.user_id
         |GROUP BY c_mktsegment, event_type
         |ORDER BY c_mktsegment, event_type""".stripMargin,
+    // running value-state totals: the final emission per user equals
+    // the plain batch aggregate, whatever the batch split
+    "q147_stream_value_state" ->
+      """SELECT user_id, count(*) AS n_events,
+        |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+        |         AS total_value
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
     // the watermark-decidable subset of the outer join, replayed in
     // batch: causes ≥ 95 min behind the earlier of the two sides'
     // max timestamps (each side's watermark tracks its filtered

@@ -252,8 +252,67 @@ object SqlQueries {
          ||> ORDER BY segment""".stripMargin)
   }
 
+  /** SQL-defined scalar function (Spark 4 `CREATE FUNCTION … RETURN
+    * <expr>`): the q06 banding rule declared ONCE as a catalog-level
+    * function and reused by the dashboard query — the governed way to
+    * share business logic across notebook queries (vs copy-pasted CASE
+    * blocks). The body is inlined by the analyzer, so the plan — and
+    * the oracle — are exactly q06's. */
+  def sqlScalarUdf(s: SparkSession, dir: String): DataFrame = {
+    val orders = view(s, dir, "orders")
+    s.sql(
+      """CREATE OR REPLACE TEMPORARY FUNCTION order_band(p DOUBLE)
+        |RETURNS STRING
+        |RETURN CASE WHEN p <= 50000 THEN '1_small'
+        |            WHEN p <= 150000 THEN '2_medium'
+        |            WHEN p <= 300000 THEN '3_large'
+        |            ELSE '4_xlarge' END""".stripMargin)
+    s.sql(
+      s"""SELECT order_band(o_totalprice) AS segment, count(*) AS n,
+         |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+         |         AS revenue
+         |FROM $orders GROUP BY segment ORDER BY segment""".stripMargin)
+  }
+
+  /** SQL-defined TABLE function (`CREATE FUNCTION … RETURNS TABLE …`):
+    * a parameterized relation — big orders above a threshold — consumed
+    * like any table and joined downstream. The parameter reaches the
+    * body's WHERE (a correlated outer reference the analyzer inlines);
+    * the oracle restates the call with the argument substituted. */
+  def sqlTableUdf(s: SparkSession, dir: String): DataFrame = {
+    val orders = view(s, dir, "orders")
+    s.sql(
+      s"""CREATE OR REPLACE TEMPORARY FUNCTION big_orders(threshold DOUBLE)
+         |RETURNS TABLE(o_custkey BIGINT, o_totalprice DOUBLE)
+         |RETURN SELECT o_custkey, CAST(o_totalprice AS DOUBLE)
+         |       FROM $orders WHERE o_totalprice > threshold""".stripMargin)
+    s.sql(
+      """SELECT o_custkey, count(*) AS n_big,
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |         AS big_revenue
+        |FROM big_orders(400000)
+        |GROUP BY o_custkey ORDER BY o_custkey""".stripMargin)
+  }
+
+  /** `EXECUTE IMMEDIATE` with a `USING` parameter (Spark 4 dynamic
+    * SQL): the statement text is data, the argument binds at execution
+    * — the scripting escape hatch for generated dashboards. The oracle
+    * restates the statement with the literal substituted. */
+  def sqlExecuteImmediate(s: SparkSession, dir: String): DataFrame = {
+    val orders = view(s, dir, "orders")
+    s.sql(
+      s"""EXECUTE IMMEDIATE
+         |'SELECT o_orderpriority, count(*) AS n FROM $orders
+         | WHERE o_totalprice > ? GROUP BY o_orderpriority
+         | ORDER BY o_orderpriority'
+         |USING 300000""".stripMargin)
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q137_sql_components"     -> (sqlNeardupComponents _),
+    "q148_sql_scalar_udf"     -> (sqlScalarUdf _),
+    "q149_sql_table_udf"      -> (sqlTableUdf _),
+    "q150_sql_exec_immediate" -> (sqlExecuteImmediate _),
     "q145_sql_lateral_topcust" -> (sqlLateralTopCustomer _),
     "q146_sql_pipe_segments"  -> (sqlPipeSegments _),
     "q120_sql_parameterized"  -> (sqlParameterized _),
@@ -287,6 +346,21 @@ object SqlQueries {
         |FROM orders
         |WHERE year(o_orderdate) = 1997 AND o_totalprice < 200000
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    // the scalar UDF body inlines to q06's plan → q06's oracle
+    "q148_sql_scalar_udf" ->
+      RefQueries.oracles("q06_order_value_segments"),
+    // the table-function call, inlined with its argument
+    "q149_sql_table_udf" ->
+      """SELECT o_custkey, count(*) AS n_big,
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |         AS big_revenue
+        |FROM orders WHERE o_totalprice > 400000
+        |GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
+    // the dynamic statement, restated with the literal bound
+    "q150_sql_exec_immediate" ->
+      """SELECT o_orderpriority, count(*) AS n FROM orders
+        |WHERE o_totalprice > 300000 GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
     // DuckDB runs the identical LATERAL statement
     "q145_sql_lateral_topcust" ->
       """SELECT n.n_name, t.c_custkey, t.bal

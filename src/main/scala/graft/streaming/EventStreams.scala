@@ -4,7 +4,8 @@ import java.sql.Timestamp
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout,
+  OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 import org.apache.spark.sql.types.DecimalType
 
 /** Typed event row matching the `events` table schema. */
@@ -29,6 +30,44 @@ private final case class SessionInterval(
     start: Long, last: Long, n: Long, totalCents: Long)
 
 private final case class SessionState(sessions: List[SessionInterval])
+
+/** Running per-user spend held by [[SpendTracker]] — exact integer
+  * cents (same convention as [[SessionInterval]]) so the final total
+  * equals a decimal-summing oracle regardless of batch split/order. */
+final case class SpendState(n: Long, cents: Long)
+
+/** Per-user running spend via the Spark 4 arbitrary-state API
+  * (`transformWithState` + `StatefulProcessor` on the RocksDB state
+  * store — the successor of flatMapGroupsWithState that q94 uses).
+  * One ValueState cell per user: each batch folds its rows into the
+  * state and emits the running (n, cents), so the LAST emission per
+  * key equals the batch aggregate over everything streamed — which is
+  * what q147's oracle restates, and StreamingSpec's two-batch test
+  * pins the cross-batch accumulation. Cents use scala BigDecimal's
+  * double→decimal (valueOf) semantics, bit-matching Spark's
+  * `CAST(value AS DECIMAL(18,2))`. */
+final class SpendTracker
+    extends StatefulProcessor[Long, (Long, Double), (Long, Long, Long)] {
+  @transient private var state: ValueState[SpendState] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    state = getHandle.getValueState[SpendState]("spend",
+      org.apache.spark.sql.Encoders.product[SpendState], TTLConfig.NONE)
+
+  override def handleInputRows(key: Long, rows: Iterator[(Long, Double)],
+                               timerValues: TimerValues): Iterator[(Long, Long, Long)] = {
+    val prev = if (state.exists()) state.get() else SpendState(0L, 0L)
+    var n = prev.n
+    var cents = prev.cents
+    rows.foreach { case (_, v) =>
+      n += 1
+      cents += (BigDecimal(v).setScale(2, BigDecimal.RoundingMode.HALF_UP)
+        * 100).toLongExact
+    }
+    state.update(SpendState(n, cents))
+    Iterator.single((key, n, cents))
+  }
+}
 
 /** [EXT] Structured Streaming surface (SURVEY.md §2.10 S14): the same
   * event-time shapes as the batch EventQueries, expressed as streaming
@@ -177,6 +216,19 @@ object EventStreams {
                            watermark: String = "1 hour"): DataFrame =
     attributionJoin(causes, effects, causeType, effectType,
       withinMinutes, watermark, joinType = "leftOuter")
+
+  /** [[SpendTracker]] wired onto an events frame (batch or streaming):
+    * per-user running (n_events, cents) through transformWithState.
+    * Requires the RocksDB state store provider (scoped by callers). */
+  def runningSpend(events: DataFrame): DataFrame = {
+    val s = events.sparkSession
+    import s.implicits._
+    events.select(col("user_id").cast("long"), col("value").cast("double"))
+      .as[(Long, Double)]
+      .groupByKey(_._1)
+      .transformWithState(new SpendTracker, TimeMode.None(), OutputMode.Append())
+      .toDF("user_id", "n_events", "cents")
+  }
 
   /** Run a streaming Dataset to completion against a memory sink and
     * return the accumulated result (test/tooling helper). */

@@ -64,6 +64,17 @@ object VectorFunctions {
     Array.fill(nPlanes, dim)(next())
   }
 
+  /** Johnson-Lindenstrauss-style random projection: the embedding's
+    * dot products against `outDim` deterministic hyperplanes (same
+    * splitmix64 family as [[lshBucket]]) — the dimensionality-reduction
+    * step that shrinks index footprint before bucketing/quantization.
+    * Cosine is scale-invariant, so the 1/√outDim JL factor is omitted.
+    * Returns array<double>. */
+  def randomProjection(vec: Column, outDim: Int, dim: Int): Column = {
+    val planes = hyperplanes(outDim, dim)
+    array(planes.map(p => dot(vec, array(p.map(lit): _*))): _*)
+  }
+
   /** Sign-bit LSH bucket id (0 .. 2^nPlanes-1) of an embedding. */
   def lshBucket(vec: Column, nPlanes: Int, dim: Int): Column = {
     val planes = hyperplanes(nPlanes, dim)

@@ -211,4 +211,32 @@ class StreamingSpec extends SparkSpec {
       Seq("hour_start", "event_type", "n", "total_value"))
     assert(hourly.count() > 0)
   }
+
+  test("transformWithState accumulates per-key state across micro-batches") {
+    graft.util.LocalFrame.withConf(spark,
+      "spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider") {
+      implicit val sq = spark.sqlContext
+      import spark.implicits._
+      val mem = MemoryStream[Event]
+      val q = EventStreams.runningSpend(mem.toDF()).writeStream
+        .format("memory").queryName("tws_test")
+        .outputMode("append").start()
+      try {
+        mem.addData(
+          Event(1, ts(1), 1, "click", 1.25),
+          Event(2, ts(2), 1, "view", 2.50),
+          Event(3, ts(3), 2, "click", 5.00))
+        q.processAllAvailable()
+        mem.addData(Event(4, ts(4), 1, "click", 3.00))
+        q.processAllAvailable()
+      } finally q.stop()
+      // batch 1 emits running (user 1 → 2 events/375¢, user 2 → 500¢);
+      // batch 2 folds user 1's third event onto the RESTORED state
+      val rows = spark.table("tws_test").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      spark.catalog.dropTempView("tws_test")
+      assert(rows == Set((1L, 2L, 375L), (2L, 1L, 500L), (1L, 3L, 675L)))
+    }
+  }
 }
