@@ -447,8 +447,43 @@ object LakeQueries {
       "rows_latest", "pruned_ok")
   }
 
+  /** q151: SQL `DELETE FROM` through the DSv2 catalog
+    * ([[graft.sources.GraftLakeTable]]'s SupportsDelete): the WHERE
+    * clause is pushed down as source filters, translated to a Column
+    * predicate, and lands as a normal copy-on-write deleteWhere commit
+    * — so the statement creates table version 2 and time travel still
+    * reads version 1 intact, both restated by the oracle. This is the
+    * DML path a SQL-only user takes against the table format; appends
+    * and overwrites stay API-only by design. */
+  def sqlDeleteDsv2(s: SparkSession, dir: String): DataFrame = {
+    val orders = graft.Tables.load(s, dir, "orders")
+    graft.util.Tmp.withTempDir("graft_lake_q151") { whPath =>
+      val wh = whPath.toString
+      LakeTable.create(s, s"$wh/orders_t", orders)
+      val cat = "lake_" +
+        java.util.UUID.randomUUID().toString.replace("-", "").take(12)
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftLakeCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+      try {
+        s.sql(s"""DELETE FROM $cat.orders_t
+                 |WHERE o_orderstatus = 'F' AND o_totalprice > 150000"""
+          .stripMargin)
+        graft.util.LocalFrame.materialize(s.sql(
+          s"""SELECT o_orderstatus, count(*) AS n,
+             |       (SELECT count(*) FROM $cat.orders_t VERSION AS OF 1)
+             |         AS v1_rows
+             |FROM $cat.orders_t
+             |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin))
+      } finally {
+        s.conf.unset(s"spark.sql.catalog.$cat")
+        s.conf.unset(s"spark.sql.catalog.$cat.warehouse")
+      }
+    }
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q141_lake_checkpoint" -> (checkpointReadCounts _),
+    "q151_sql_delete_dsv2" -> (sqlDeleteDsv2 _),
     "q133_zorder_pruning" -> (zorderPruning _),
     "q136_incremental_view" -> (incrementalView _),
     "q134_lake_restore"   -> (lakeRestoreHistory _),
@@ -462,6 +497,14 @@ object LakeQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // survivors = rows where the DELETE predicate is not true; v1 is
+    // the full pre-delete snapshot (no nullable columns involved)
+    "q151_sql_delete_dsv2" ->
+      """SELECT o_orderstatus, count(*) AS n,
+        |       (SELECT count(*) FROM orders) AS v1_rows
+        |FROM orders
+        |WHERE NOT (o_orderstatus = 'F' AND o_totalprice > 150000)
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     // staged-chain counts restated from nation: create(5 rows) + 10
     // two-row appends; delta v9 = manifest v10 = keys < 23
     "q141_lake_checkpoint" ->

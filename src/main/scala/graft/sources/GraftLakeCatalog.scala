@@ -76,7 +76,8 @@ final class GraftLakeCatalog extends TableCatalog {
     * translate it into TABLE_OR_VIEW_NOT_FOUND or probe-and-fallback. */
   private def load(ident: Identifier, version: Option[Int]): Table =
     try new GraftLakeTable(GraftLakeSource.delegate(SparkSession.active,
-      rootOf(ident), version, None, Collections.emptyMap[String, String]()))
+      rootOf(ident), version, None, Collections.emptyMap[String, String]()),
+      root = Some(rootOf(ident)), version = version)
     catch {
       case _: IllegalStateException =>
         throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(

@@ -92,14 +92,55 @@ private[sources] object GraftLakeSource {
   }
 }
 
-/** Read-only wrapper: exposes the delegate's schema and scan builder but
-  * none of its write capabilities. */
-private[sources] final class GraftLakeTable(delegate: ParquetTable)
-    extends Table with SupportsRead {
+/** Scan wrapper: exposes the delegate's schema and scan builder, plus —
+  * when constructed by the catalog with its root — filter-based
+  * `DELETE FROM` ([[org.apache.spark.sql.connector.catalog.SupportsDelete]]):
+  * Spark pushes the WHERE clause down as source filters, they translate
+  * to a Column predicate, and the delete lands as a normal
+  * [[LakeTable.deleteWhere]] copy-on-write commit — SQL DML without
+  * bypassing the commit protocol. Appends/overwrites remain API-only
+  * (`df.write.format("graft-lake")` still fails analysis), and a
+  * time-travel snapshot refuses deletes (history is immutable). */
+private[sources] final class GraftLakeTable(delegate: ParquetTable,
+    root: Option[String] = None, version: Option[Int] = None)
+    extends Table with SupportsRead
+    with org.apache.spark.sql.connector.catalog.SupportsDelete {
+  import org.apache.spark.sql.Column
+  import org.apache.spark.sql.functions.{col, lit}
+  import org.apache.spark.sql.sources._
+
   override def name(): String = delegate.name
   override def schema(): StructType = delegate.schema
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     delegate.newScanBuilder(options)
+
+  private def toColumn(f: Filter): Option[Column] = f match {
+    case EqualTo(a, v)            => Some(col(a) === lit(v))
+    case GreaterThan(a, v)        => Some(col(a) > lit(v))
+    case GreaterThanOrEqual(a, v) => Some(col(a) >= lit(v))
+    case LessThan(a, v)           => Some(col(a) < lit(v))
+    case LessThanOrEqual(a, v)    => Some(col(a) <= lit(v))
+    case In(a, vs)                => Some(col(a).isin(vs.toSeq: _*))
+    case IsNull(a)                => Some(col(a).isNull)
+    case IsNotNull(a)             => Some(col(a).isNotNull)
+    case And(l, r) => for { lc <- toColumn(l); rc <- toColumn(r) } yield lc && rc
+    case Or(l, r)  => for { lc <- toColumn(l); rc <- toColumn(r) } yield lc || rc
+    case Not(c)    => toColumn(c).map(!_)
+    case AlwaysTrue()  => Some(lit(true))
+    case AlwaysFalse() => Some(lit(false))
+    case _ => None
+  }
+
+  override def canDeleteWhere(filters: Array[Filter]): Boolean =
+    root.isDefined && version.isEmpty && filters.forall(toColumn(_).isDefined)
+
+  override def deleteWhere(filters: Array[Filter]): Unit = {
+    require(root.isDefined && version.isEmpty,
+      s"DELETE requires a latest-version catalog table, got ${name()}")
+    val pred = filters.flatMap(toColumn(_)).reduceOption(_ && _)
+      .getOrElse(lit(true))
+    LakeTable.deleteWhere(SparkSession.active, root.get, pred)
+  }
 }

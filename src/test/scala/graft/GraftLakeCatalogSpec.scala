@@ -72,4 +72,18 @@ class GraftLakeCatalogSpec extends SparkSpec {
       assert(LakeTable.versions(spark, s"$wh/t1") == Seq(1))
     }
   }
+
+  test("SQL DELETE commits copy-on-write; time travel keeps history") {
+    withWarehouse("lakeD") { wh =>
+      LakeTable.create(spark, s"$wh/t1", Tables.load(spark, sf, "nation"))
+      spark.sql("DELETE FROM lakeD.t1 WHERE n_nationkey >= 20")
+      assert(LakeTable.versions(spark, s"$wh/t1") == Seq(1, 2))
+      assert(spark.sql("SELECT count(*) FROM lakeD.t1").head.getLong(0) == 20)
+      assert(spark.sql("SELECT count(*) FROM lakeD.t1 VERSION AS OF 1")
+        .head.getLong(0) == 25)
+      // three-valued semantics match deleteWhere: NULL-predicate rows stay
+      spark.sql("DELETE FROM lakeD.t1 WHERE n_name = 'NO_SUCH'")
+      assert(spark.sql("SELECT count(*) FROM lakeD.t1").head.getLong(0) == 20)
+    }
+  }
 }
