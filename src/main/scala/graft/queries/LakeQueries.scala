@@ -481,9 +481,44 @@ object LakeQueries {
     }
   }
 
+  /** q152: SQL `INSERT INTO` through the DSv2 catalog (q151's write
+    * sibling — [[graft.sources.GraftLakeTable]]'s V1Write bridge): the
+    * statement's rows land as a normal append commit, so the insert
+    * creates version 2 and time travel still reads the pre-insert
+    * snapshot. Together q151+q152 are the SQL DML surface of the table
+    * format; the oracle restates both version counts from `orders`. */
+  def sqlInsertDsv2(s: SparkSession, dir: String): DataFrame = {
+    val orders = graft.Tables.load(s, dir, "orders")
+    orders.createOrReplaceTempView("q152_orders_src")
+    graft.util.Tmp.withTempDir("graft_lake_q152") { whPath =>
+      val wh = whPath.toString
+      LakeTable.create(s, s"$wh/orders_t",
+        orders.filter(year(col("o_orderdate")) < 1996))
+      val cat = "lake_" +
+        java.util.UUID.randomUUID().toString.replace("-", "").take(12)
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftLakeCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+      try {
+        s.sql(s"""INSERT INTO $cat.orders_t
+                 |SELECT * FROM q152_orders_src
+                 |WHERE year(o_orderdate) >= 1996""".stripMargin)
+        graft.util.LocalFrame.materialize(s.sql(
+          s"""SELECT o_orderstatus, count(*) AS n,
+             |       (SELECT count(*) FROM $cat.orders_t VERSION AS OF 1)
+             |         AS v1_rows
+             |FROM $cat.orders_t
+             |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin))
+      } finally {
+        s.conf.unset(s"spark.sql.catalog.$cat")
+        s.conf.unset(s"spark.sql.catalog.$cat.warehouse")
+      }
+    }
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q141_lake_checkpoint" -> (checkpointReadCounts _),
     "q151_sql_delete_dsv2" -> (sqlDeleteDsv2 _),
+    "q152_sql_insert_dsv2" -> (sqlInsertDsv2 _),
     "q133_zorder_pruning" -> (zorderPruning _),
     "q136_incremental_view" -> (incrementalView _),
     "q134_lake_restore"   -> (lakeRestoreHistory _),
@@ -504,6 +539,14 @@ object LakeQueries {
         |       (SELECT count(*) FROM orders) AS v1_rows
         |FROM orders
         |WHERE NOT (o_orderstatus = 'F' AND o_totalprice > 150000)
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    // after the SQL append the table is the full orders set; v1 is the
+    // pre-1996 snapshot
+    "q152_sql_insert_dsv2" ->
+      """SELECT o_orderstatus, count(*) AS n,
+        |       (SELECT count(*) FROM orders
+        |        WHERE year(CAST(o_orderdate AS DATE)) < 1996) AS v1_rows
+        |FROM orders
         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     // staged-chain counts restated from nation: create(5 rows) + 10
     // two-row appends; delta v9 = manifest v10 = keys < 23

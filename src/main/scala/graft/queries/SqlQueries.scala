@@ -308,9 +308,37 @@ object SqlQueries {
          |USING 300000""".stripMargin)
   }
 
+  /** `GROUP BY ALL` / `ORDER BY ALL` (Spark 4, after DuckDB's lead):
+    * every non-aggregate select item becomes a grouping/ordering key —
+    * the exploratory-SQL shorthand. DuckDB runs the identical
+    * statement, so the oracle is word-for-word. */
+  def sqlGroupByAll(s: SparkSession, dir: String): DataFrame = {
+    val orders = view(s, dir, "orders")
+    s.sql(
+      s"""SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+         |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+         |         AS revenue
+         |FROM $orders GROUP BY ALL ORDER BY ALL""".stripMargin)
+  }
+
+  /** `IDENTIFIER(:param)` (Spark 4): a table name supplied as a BOUND
+    * PARAMETER instead of string-spliced SQL — the injection-safe form
+    * of dynamic object references. Resolves to the plain query the
+    * oracle restates. */
+  def sqlIdentifierClause(s: SparkSession, dir: String): DataFrame = {
+    val orders = view(s, dir, "orders")
+    s.sql(
+      """SELECT o_orderstatus, count(*) AS n
+        |FROM IDENTIFIER(:tab)
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+      Map("tab" -> orders))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q137_sql_components"     -> (sqlNeardupComponents _),
     "q148_sql_scalar_udf"     -> (sqlScalarUdf _),
+    "q153_sql_group_by_all"   -> (sqlGroupByAll _),
+    "q154_sql_identifier"     -> (sqlIdentifierClause _),
     "q149_sql_table_udf"      -> (sqlTableUdf _),
     "q150_sql_exec_immediate" -> (sqlExecuteImmediate _),
     "q145_sql_lateral_topcust" -> (sqlLateralTopCustomer _),
@@ -346,6 +374,16 @@ object SqlQueries {
         |FROM orders
         |WHERE year(o_orderdate) = 1997 AND o_totalprice < 200000
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    // DuckDB supports GROUP BY ALL / ORDER BY ALL natively — verbatim
+    "q153_sql_group_by_all" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |         AS revenue
+        |FROM orders GROUP BY ALL ORDER BY ALL""".stripMargin,
+    // the identifier, resolved
+    "q154_sql_identifier" ->
+      """SELECT o_orderstatus, count(*) AS n FROM orders
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     // the scalar UDF body inlines to q06's plan → q06's oracle
     "q148_sql_scalar_udf" ->
       RefQueries.oracles("q06_order_value_segments"),

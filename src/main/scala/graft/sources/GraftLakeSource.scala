@@ -30,11 +30,13 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * per-row; at 100 TB the connector's overhead is unchanged from
   * reading the parquet paths directly.
   *
-  * The table is deliberately READ-ONLY ([[TableCapability.BATCH_READ]]
-  * only): `df.write.format("graft-lake")` fails analysis instead of
-  * bypassing the commit protocol — writes go through the LakeTable API
-  * (create/append/merge/deleteWhere/streamAppend), which is what keeps
-  * the manifest the single source of truth.
+  * The PATH-based format is deliberately READ-ONLY
+  * ([[TableCapability.BATCH_READ]] only): `df.write.format("graft-lake")`
+  * fails analysis instead of bypassing the commit protocol. CATALOG
+  * tables additionally accept `INSERT INTO` (V1Write → LakeTable.append)
+  * and `DELETE FROM` (SupportsDelete → deleteWhere) — both route through
+  * the same committed API calls, which is what keeps the manifest the
+  * single source of truth. MERGE/UPDATE/OVERWRITE stay API-only.
   */
 final class GraftLakeSource extends TableProvider with DataSourceRegister {
   import GraftLakeSource.delegate
@@ -104,17 +106,45 @@ private[sources] object GraftLakeSource {
 private[sources] final class GraftLakeTable(delegate: ParquetTable,
     root: Option[String] = None, version: Option[Int] = None)
     extends Table with SupportsRead
-    with org.apache.spark.sql.connector.catalog.SupportsDelete {
+    with org.apache.spark.sql.connector.catalog.SupportsDelete
+    with org.apache.spark.sql.connector.catalog.SupportsWrite {
   import org.apache.spark.sql.Column
   import org.apache.spark.sql.functions.{col, lit}
   import org.apache.spark.sql.sources._
+  import org.apache.spark.sql.connector.write.{LogicalWriteInfo, V1Write,
+    Write, WriteBuilder}
 
   override def name(): String = delegate.name
   override def schema(): StructType = delegate.schema
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ)
+    if (root.isDefined && version.isEmpty)
+      java.util.EnumSet.of(TableCapability.BATCH_READ,
+        TableCapability.V1_BATCH_WRITE)
+    else java.util.EnumSet.of(TableCapability.BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     delegate.newScanBuilder(options)
+
+  /** `INSERT INTO` through the V1Write bridge: the appended rows arrive
+    * as a DataFrame and land as a normal [[LakeTable.append]] commit —
+    * executor-side parquet writing and the atomic manifest rename are
+    * the same code path the programmatic API takes, so SQL inserts get
+    * the identical exactly-once/versioned semantics. `INSERT OVERWRITE`
+    * is rejected by the default WriteBuilder (no truncate support):
+    * history rewrites are not a thing this format does. */
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new WriteBuilder {
+      override def build(): Write = new V1Write {
+        override def toInsertableRelation: InsertableRelation =
+          new InsertableRelation {
+            override def insert(data: org.apache.spark.sql.DataFrame,
+                                overwrite: Boolean): Unit = {
+              require(!overwrite, "graft-lake: INSERT OVERWRITE is not " +
+                "supported — append or use the LakeTable API")
+              LakeTable.append(SparkSession.active, root.get, data)
+            }
+          }
+      }
+    }
 
   private def toColumn(f: Filter): Option[Column] = f match {
     case EqualTo(a, v)            => Some(col(a) === lit(v))

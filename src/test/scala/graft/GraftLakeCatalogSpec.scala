@@ -58,11 +58,11 @@ class GraftLakeCatalogSpec extends SparkSpec {
     }
   }
 
-  test("mutation DDL and DML through the catalog are rejected") {
+  test("DDL and history-rewriting DML through the catalog are rejected") {
     withWarehouse("lakeC") { wh =>
       LakeTable.create(spark, s"$wh/t1", Tables.load(spark, sf, "nation"))
       intercept[Exception] {
-        spark.sql("INSERT INTO lakeC.t1 SELECT * FROM lakeC.t1")
+        spark.sql("INSERT OVERWRITE lakeC.t1 SELECT * FROM lakeC.t1")
       }
       intercept[Exception] { spark.sql("DROP TABLE lakeC.t1") }
       intercept[Exception] {
@@ -70,6 +70,20 @@ class GraftLakeCatalogSpec extends SparkSpec {
       }
       // nothing committed by the rejected statements
       assert(LakeTable.versions(spark, s"$wh/t1") == Seq(1))
+    }
+  }
+
+  test("SQL INSERT INTO appends as a new table version") {
+    withWarehouse("lakeE") { wh =>
+      val nation = Tables.load(spark, sf, "nation")
+      LakeTable.create(spark, s"$wh/t1", nation.filter(col("n_nationkey") < 20))
+      spark.sql(
+        """INSERT INTO lakeE.t1
+          |SELECT * FROM lakeE.t1 WHERE n_nationkey < 3""".stripMargin)
+      assert(LakeTable.versions(spark, s"$wh/t1") == Seq(1, 2))
+      assert(spark.sql("SELECT count(*) FROM lakeE.t1").head.getLong(0) == 23)
+      assert(spark.sql("SELECT count(*) FROM lakeE.t1 VERSION AS OF 1")
+        .head.getLong(0) == 20)
     }
   }
 
