@@ -515,10 +515,59 @@ object LakeQueries {
     }
   }
 
+  /** q155: SQL `UPDATE` and `MERGE INTO` through the DSv2 group-replace
+    * protocol ([[graft.sources.GraftRowLevelOperation]] — the same
+    * ReplaceData machinery Iceberg's copy-on-write mode rides): the
+    * UPDATE doubles 'P'-status prices (version 2), the MERGE upserts a
+    * key-shifted slice as pure inserts (version 3), and the final
+    * per-status aggregate plus all three versions' row counts are
+    * restated from `orders` by the oracle. Group granularity is the
+    * whole table (scaladoc on the operation says why); the file-group-
+    * targeted upsert remains [[LakeTable.merge]]. */
+  def sqlMergeDsv2(s: SparkSession, dir: String): DataFrame = {
+    val orders = graft.Tables.load(s, dir, "orders")
+    orders.createOrReplaceTempView("q155_orders_src")
+    graft.util.Tmp.withTempDir("graft_lake_q155") { whPath =>
+      val wh = whPath.toString
+      LakeTable.create(s, s"$wh/orders_t", orders)
+      val cat = "lake_" +
+        java.util.UUID.randomUUID().toString.replace("-", "").take(12)
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftLakeCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+      try {
+        s.sql(s"""UPDATE $cat.orders_t SET o_totalprice = o_totalprice * 2
+                 |WHERE o_orderstatus = 'P'""".stripMargin)
+        s.sql(s"""MERGE INTO $cat.orders_t t
+                 |USING (SELECT o_orderkey + 1000000000 AS o_orderkey,
+                 |              o_custkey, o_orderstatus, o_totalprice,
+                 |              o_orderdate, o_orderpriority
+                 |       FROM q155_orders_src
+                 |       WHERE o_custkey % 97 = 0) u
+                 |ON t.o_orderkey = u.o_orderkey
+                 |WHEN MATCHED THEN UPDATE SET *
+                 |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+        graft.util.LocalFrame.materialize(s.sql(
+          s"""SELECT o_orderstatus, count(*) AS n,
+             |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+             |            AS DOUBLE) AS revenue,
+             |       (SELECT count(*) FROM $cat.orders_t VERSION AS OF 1)
+             |         AS v1_rows,
+             |       (SELECT count(*) FROM $cat.orders_t VERSION AS OF 2)
+             |         AS v2_rows
+             |FROM $cat.orders_t
+             |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin))
+      } finally {
+        s.conf.unset(s"spark.sql.catalog.$cat")
+        s.conf.unset(s"spark.sql.catalog.$cat.warehouse")
+      }
+    }
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q141_lake_checkpoint" -> (checkpointReadCounts _),
     "q151_sql_delete_dsv2" -> (sqlDeleteDsv2 _),
     "q152_sql_insert_dsv2" -> (sqlInsertDsv2 _),
+    "q155_sql_merge_dsv2"  -> (sqlMergeDsv2 _),
     "q133_zorder_pruning" -> (zorderPruning _),
     "q136_incremental_view" -> (incrementalView _),
     "q134_lake_restore"   -> (lakeRestoreHistory _),
@@ -540,6 +589,28 @@ object LakeQueries {
         |FROM orders
         |WHERE NOT (o_orderstatus = 'F' AND o_totalprice > 150000)
         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    // the DML chain replayed relationally: UPDATE doubles P-status
+    // prices in the base rows; the MERGE inserts the key-shifted slice
+    // (post-update, so its prices stay undoubled); row count is
+    // version-invariant through the UPDATE
+    "q155_sql_merge_dsv2" ->
+      """WITH updated AS (
+        |  SELECT o_orderstatus,
+        |         CASE WHEN o_orderstatus = 'P' THEN o_totalprice * 2
+        |              ELSE o_totalprice END AS price
+        |  FROM orders),
+        |inserted AS (
+        |  SELECT o_orderstatus, o_totalprice AS price FROM orders
+        |  WHERE o_custkey % 97 = 0),
+        |final AS (SELECT * FROM updated
+        |          UNION ALL SELECT * FROM inserted)
+        |SELECT o_orderstatus, count(*) AS n,
+        |       CAST(sum(CAST(price AS DECIMAL(18,2))) AS DOUBLE)
+        |         AS revenue,
+        |       (SELECT count(*) FROM orders) AS v1_rows,
+        |       (SELECT count(*) FROM orders) AS v2_rows
+        |FROM final GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin,
     // after the SQL append the table is the full orders set; v1 is the
     // pre-1996 snapshot
     "q152_sql_insert_dsv2" ->

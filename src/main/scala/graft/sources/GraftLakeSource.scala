@@ -107,12 +107,14 @@ private[sources] final class GraftLakeTable(delegate: ParquetTable,
     root: Option[String] = None, version: Option[Int] = None)
     extends Table with SupportsRead
     with org.apache.spark.sql.connector.catalog.SupportsDelete
-    with org.apache.spark.sql.connector.catalog.SupportsWrite {
+    with org.apache.spark.sql.connector.catalog.SupportsWrite
+    with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations {
   import org.apache.spark.sql.Column
   import org.apache.spark.sql.functions.{col, lit}
   import org.apache.spark.sql.sources._
-  import org.apache.spark.sql.connector.write.{LogicalWriteInfo, V1Write,
-    Write, WriteBuilder}
+  import org.apache.spark.sql.connector.write.{LogicalWriteInfo,
+    RowLevelOperation, RowLevelOperationBuilder, RowLevelOperationInfo,
+    V1Write, Write, WriteBuilder}
 
   override def name(): String = delegate.name
   override def schema(): StructType = delegate.schema
@@ -123,6 +125,16 @@ private[sources] final class GraftLakeTable(delegate: ParquetTable,
     else java.util.EnumSet.of(TableCapability.BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     delegate.newScanBuilder(options)
+
+  /** SQL `MERGE INTO` / `UPDATE` (and non-pushable `DELETE`s) via the
+    * group-replace protocol — see [[GraftRowLevelOperation]]. Pushable
+    * DELETEs keep taking the cheaper [[canDeleteWhere]] path. */
+  override def newRowLevelOperationBuilder(
+      info: RowLevelOperationInfo): RowLevelOperationBuilder = {
+    require(root.isDefined && version.isEmpty,
+      s"${info.command} requires a latest-version catalog table, got ${name()}")
+    () => new GraftRowLevelOperation(root.get, info.command)
+  }
 
   /** `INSERT INTO` through the V1Write bridge: the appended rows arrive
     * as a DataFrame and land as a normal [[LakeTable.append]] commit —

@@ -95,6 +95,14 @@ object LakeTable {
     commitVersion(spark, root,
       latestVersion(spark, root).getOrElse(0) + 1, dataDirs, meta)
 
+  /** Publish an already-written data dir as the next version, replacing
+    * every prior group — the commit half of the DSv2 group-replace
+    * write ([[GraftReplaceBatchWrite]]); same shape as deleteWhere's
+    * rewrite commit. */
+  private[sources] def commitReplacing(spark: SparkSession, root: String,
+                                       dataDir: String, op: String): Int =
+    commit(spark, root, Seq(dataDir), Map("op" -> op))
+
   /** Commit a specific version number — the atomic-rename conflict point
     * (package-visible so the losing-writer path is testable). */
   private[graft] def commitVersion(spark: SparkSession, root: String, v: Int,

@@ -87,6 +87,43 @@ class GraftLakeCatalogSpec extends SparkSpec {
     }
   }
 
+  test("SQL UPDATE and MERGE INTO rewrite copy-on-write with history") {
+    withWarehouse("lakeF") { wh =>
+      import spark.implicits._
+      LakeTable.create(spark, s"$wh/t1",
+        Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0))
+          .toDF("id", "name", "v"))
+      spark.sql("UPDATE lakeF.t1 SET v = v * 2 WHERE id >= 2")
+      val afterUpdate = spark.sql("SELECT * FROM lakeF.t1 ORDER BY id")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSeq
+      // the unmatched row MUST survive: the rewrite's condition is a
+      // group filter, not a row filter (see GraftRowLevelOperation)
+      assert(afterUpdate == Seq((1L, "a", 10.0), (2L, "b", 40.0), (3L, "c", 60.0)))
+      assert(LakeTable.versions(spark, s"$wh/t1") == Seq(1, 2))
+
+      Seq((2L, "b2", 99.0), (4L, "d", 7.0)).toDF("id", "name", "v")
+        .createOrReplaceTempView("lakef_updates")
+      spark.sql(
+        """MERGE INTO lakeF.t1 t USING lakef_updates u ON t.id = u.id
+          |WHEN MATCHED THEN UPDATE SET *
+          |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+      val afterMerge = spark.sql("SELECT * FROM lakeF.t1 ORDER BY id")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSeq
+      assert(afterMerge == Seq((1L, "a", 10.0), (2L, "b2", 99.0),
+        (3L, "c", 60.0), (4L, "d", 7.0)))
+      // time travel reads the pre-merge snapshot
+      assert(spark.sql("SELECT count(*) FROM lakeF.t1 VERSION AS OF 2")
+        .head.getLong(0) == 3)
+      // a non-pushable DELETE (subquery predicate) takes the rewrite
+      // path instead of SupportsDelete's filter path — same answer
+      spark.sql(
+        """DELETE FROM lakeF.t1 WHERE id IN
+          |  (SELECT id FROM lakef_updates WHERE v > 50)""".stripMargin)
+      assert(spark.sql("SELECT count(*) FROM lakeF.t1").head.getLong(0) == 3)
+      spark.catalog.dropTempView("lakef_updates")
+    }
+  }
+
   test("SQL DELETE commits copy-on-write; time travel keeps history") {
     withWarehouse("lakeD") { wh =>
       LakeTable.create(spark, s"$wh/t1", Tables.load(spark, sf, "nation"))
