@@ -563,11 +563,61 @@ object LakeQueries {
     }
   }
 
+  /** q156: the FULL MERGE clause surface in one statement — conditional
+    * `WHEN MATCHED … THEN DELETE`, `WHEN MATCHED THEN UPDATE`, `WHEN NOT
+    * MATCHED THEN INSERT`, and Spark 4's `WHEN NOT MATCHED BY SOURCE …
+    * THEN DELETE` — through the same group-replace rewrite as q155.
+    * Because the source is derived from `orders` itself by key,
+    * membership in every clause is row-local and the oracle restates the
+    * whole DML as one CASE pipeline. Clause-order semantics (first
+    * matching clause wins) are what make the conditional-DELETE /
+    * unconditional-UPDATE pair meaningful. */
+  def sqlMergeClauses(s: SparkSession, dir: String): DataFrame = {
+    val orders = graft.Tables.load(s, dir, "orders")
+    orders.createOrReplaceTempView("q156_orders_src")
+    graft.util.Tmp.withTempDir("graft_lake_q156") { whPath =>
+      val wh = whPath.toString
+      LakeTable.create(s, s"$wh/orders_t", orders)
+      val cat = "lake_" +
+        java.util.UUID.randomUUID().toString.replace("-", "").take(12)
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftLakeCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+      try {
+        s.sql(s"""MERGE INTO $cat.orders_t t
+                 |USING (SELECT o_orderkey, o_custkey, o_orderstatus,
+                 |              o_totalprice + 1000 AS o_totalprice,
+                 |              o_orderdate, o_orderpriority
+                 |       FROM q156_orders_src WHERE o_custkey % 50 = 0
+                 |       UNION ALL
+                 |       SELECT o_orderkey + 2000000000, o_custkey,
+                 |              o_orderstatus, o_totalprice + 1000,
+                 |              o_orderdate, o_orderpriority
+                 |       FROM q156_orders_src WHERE o_custkey % 101 = 0) u
+                 |ON t.o_orderkey = u.o_orderkey
+                 |WHEN MATCHED AND u.o_totalprice > 200000 THEN DELETE
+                 |WHEN MATCHED THEN UPDATE SET *
+                 |WHEN NOT MATCHED THEN INSERT *
+                 |WHEN NOT MATCHED BY SOURCE AND t.o_orderstatus = 'P'
+                 |  THEN DELETE""".stripMargin)
+        graft.util.LocalFrame.materialize(s.sql(
+          s"""SELECT o_orderstatus, count(*) AS n,
+             |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+             |            AS DOUBLE) AS revenue
+             |FROM $cat.orders_t
+             |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin))
+      } finally {
+        s.conf.unset(s"spark.sql.catalog.$cat")
+        s.conf.unset(s"spark.sql.catalog.$cat.warehouse")
+      }
+    }
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q141_lake_checkpoint" -> (checkpointReadCounts _),
     "q151_sql_delete_dsv2" -> (sqlDeleteDsv2 _),
     "q152_sql_insert_dsv2" -> (sqlInsertDsv2 _),
     "q155_sql_merge_dsv2"  -> (sqlMergeDsv2 _),
+    "q156_sql_merge_clauses" -> (sqlMergeClauses _),
     "q133_zorder_pruning" -> (zorderPruning _),
     "q136_incremental_view" -> (incrementalView _),
     "q134_lake_restore"   -> (lakeRestoreHistory _),
@@ -609,6 +659,29 @@ object LakeQueries {
         |         AS revenue,
         |       (SELECT count(*) FROM orders) AS v1_rows,
         |       (SELECT count(*) FROM orders) AS v2_rows
+        |FROM final GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin,
+    // every MERGE clause as a CASE: matched slice (custkey%50=0) is
+    // deleted when its bumped price tops 200000 else price-bumped;
+    // unmatched target rows lose their 'P'-status members; the
+    // key-shifted slice (custkey%101=0) inserts price-bumped
+    "q156_sql_merge_clauses" ->
+      """WITH survivors AS (
+        |  SELECT o_orderstatus,
+        |         CASE WHEN o_custkey % 50 = 0
+        |              THEN o_totalprice + 1000 ELSE o_totalprice END AS price
+        |  FROM orders
+        |  WHERE NOT (o_custkey % 50 = 0 AND o_totalprice + 1000 > 200000)
+        |    AND NOT (o_custkey % 50 <> 0 AND o_orderstatus = 'P')
+        |),
+        |inserted AS (
+        |  SELECT o_orderstatus, o_totalprice + 1000 AS price FROM orders
+        |  WHERE o_custkey % 101 = 0),
+        |final AS (SELECT * FROM survivors
+        |          UNION ALL SELECT * FROM inserted)
+        |SELECT o_orderstatus, count(*) AS n,
+        |       CAST(sum(CAST(price AS DECIMAL(18,2))) AS DOUBLE)
+        |         AS revenue
         |FROM final GROUP BY o_orderstatus
         |ORDER BY o_orderstatus""".stripMargin,
     // after the SQL append the table is the full orders set; v1 is the

@@ -124,6 +124,34 @@ class GraftLakeCatalogSpec extends SparkSpec {
     }
   }
 
+  test("MERGE matched-DELETE and NOT MATCHED BY SOURCE clauses") {
+    withWarehouse("lakeG") { wh =>
+      import spark.implicits._
+      LakeTable.create(spark, s"$wh/t1",
+        Seq((1L, "keep", 10.0), (2L, "upd", 20.0), (3L, "del", 30.0),
+            (4L, "stale", 40.0))
+          .toDF("id", "name", "v"))
+      Seq((2L, "upd2", 21.0), (3L, "x", 99.0), (5L, "new", 50.0))
+        .toDF("id", "name", "v").createOrReplaceTempView("lakeg_src")
+      // clause order: the conditional DELETE must win over the
+      // unconditional UPDATE for id=3 (v=99 > 90)
+      spark.sql(
+        """MERGE INTO lakeG.t1 t USING lakeg_src u ON t.id = u.id
+          |WHEN MATCHED AND u.v > 90 THEN DELETE
+          |WHEN MATCHED THEN UPDATE SET *
+          |WHEN NOT MATCHED THEN INSERT *
+          |WHEN NOT MATCHED BY SOURCE AND t.name = 'stale' THEN DELETE
+          |""".stripMargin)
+      val rows = spark.sql("SELECT * FROM lakeG.t1 ORDER BY id")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSeq
+      // 1 untouched (unmatched, not 'stale'); 2 updated; 3 deleted by the
+      // conditional clause; 4 deleted by NOT MATCHED BY SOURCE; 5 inserted
+      assert(rows == Seq((1L, "keep", 10.0), (2L, "upd2", 21.0),
+        (5L, "new", 50.0)))
+      spark.catalog.dropTempView("lakeg_src")
+    }
+  }
+
   test("SQL DELETE commits copy-on-write; time travel keeps history") {
     withWarehouse("lakeD") { wh =>
       LakeTable.create(spark, s"$wh/t1", Tables.load(spark, sf, "nation"))
