@@ -391,7 +391,51 @@ object TextQueries {
       .orderBy(col("n").desc, col("trigram"))
       .limit(30)
 
+  /** q157: BM25 relevance ranking (Robertson/Sparck-Jones, the Okapi
+    * form with k1=1.2, b=0.75) for a fixed 3-term query — the retrieval
+    * scorer every RAG/search pipeline runs over its corpus. One pass
+    * computes per-doc TFs and doc length; a single-row corpus-stats
+    * aggregate (N, Σdl, per-term DFs) crosses back scalar-style (1×N,
+    * broadcast by Catalyst); the score is a fixed-order arithmetic
+    * expression, so the only cross-engine float hazard is `ln`, which
+    * both engines quantize through DECIMAL(18,9) immediately (3 values
+    * per corpus — every other op is correctly-rounded IEEE in identical
+    * order; see README's determinism rules). At 100 TB: the stats row
+    * stays O(#terms), the TF pass is embarrassingly parallel, and the
+    * top-k is a TakeOrdered — no shuffle beyond the 1-row aggregate. */
+  def bm25TopDocs(s: SparkSession, dir: String): DataFrame = {
+    val terms = Seq("join", "window", "hash")
+    val withTf = docs(s, dir)
+      .withColumn("toks", split(trim(col("text")), "\\s+"))
+      .withColumn("dl", size(col("toks")).cast("long"))
+      .select(Seq(col("doc_id"), col("dl")) ++ terms.map(t =>
+        expr(s"CAST(size(filter(toks, x -> x = '$t')) AS BIGINT)")
+          .as(s"tf_$t")): _*)
+    val statCols =
+      count(lit(1)).cast("double").as("n_docs") +:
+      sum(col("dl")).cast("double").as("sum_dl") +:
+      terms.map(t =>
+        sum(when(col(s"tf_$t") > 0, 1L).otherwise(0L)).cast("double")
+          .as(s"df_$t"))
+    val stats = withTf.agg(statCols.head, statCols.tail: _*)
+    val k1 = "1.2"; val b = "0.75"
+    val scoreExpr = terms.map { t =>
+      s"""(CAST(ln((n_docs - df_$t + 0.5) / (df_$t + 0.5) + 1.0)
+         |      AS DECIMAL(18,9))
+         | * ((tf_$t * (1.0 + $k1))
+         |    / (tf_$t + $k1 * (1.0 - $b + $b * dl / (sum_dl / n_docs)))))
+         |""".stripMargin.replaceAll("\n", " ")
+    }.mkString("((", " + ", "))")
+    withTf.crossJoin(broadcast(stats))
+      .withColumn("score", expr(s"CAST($scoreExpr AS DOUBLE)"))
+      .select((col("doc_id") +: terms.map(t => col(s"tf_$t"))) :+
+        col("dl") :+ col("score"): _*)
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(10)
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q157_bm25_topk"       -> (bm25TopDocs _),
     "q50_lang_token_stats" -> (langTokenStats _),
     "q51_quality_buckets"  -> (qualityBuckets _),
     "q52_langid_confusion" -> (langIdConfusion _),
@@ -449,6 +493,41 @@ object TextQueries {
       |FROM comp ORDER BY doc_id""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // the identical Okapi BM25 arithmetic, term-by-term in the same
+    // order; ln is the one non-correctly-rounded op and both engines
+    // quantize it through DECIMAL(18,9) before it enters the score
+    "q157_bm25_topk" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |         CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+        |                              x -> x = 'join')) AS BIGINT) AS tf_join,
+        |         CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+        |                              x -> x = 'window')) AS BIGINT) AS tf_window,
+        |         CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+        |                              x -> x = 'hash')) AS BIGINT) AS tf_hash,
+        |         CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS dl
+        |  FROM documents),
+        |stats AS (
+        |  SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+        |         CAST(sum(dl) AS DOUBLE) AS sum_dl,
+        |         CAST(sum(CASE WHEN tf_join > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df_join,
+        |         CAST(sum(CASE WHEN tf_window > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df_window,
+        |         CAST(sum(CASE WHEN tf_hash > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df_hash
+        |  FROM t)
+        |SELECT doc_id, tf_join, tf_window, tf_hash, dl,
+        |       CAST(((
+        |         (CAST(ln((n_docs - df_join + 0.5) / (df_join + 0.5) + 1.0) AS DECIMAL(18,9))
+        |          * ((tf_join * (1.0 + 1.2))
+        |             / (tf_join + 1.2 * (1.0 - 0.75 + 0.75 * dl / (sum_dl / n_docs)))))
+        |         + (CAST(ln((n_docs - df_window + 0.5) / (df_window + 0.5) + 1.0) AS DECIMAL(18,9))
+        |            * ((tf_window * (1.0 + 1.2))
+        |               / (tf_window + 1.2 * (1.0 - 0.75 + 0.75 * dl / (sum_dl / n_docs)))))
+        |         + (CAST(ln((n_docs - df_hash + 0.5) / (df_hash + 0.5) + 1.0) AS DECIMAL(18,9))
+        |            * ((tf_hash * (1.0 + 1.2))
+        |               / (tf_hash + 1.2 * (1.0 - 0.75 + 0.75 * dl / (sum_dl / n_docs)))))
+        |       )) AS DOUBLE) AS score
+        |FROM t, stats
+        |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin,
     // quality gate → vocab dedup (min doc_id) → per-lang survivor counts
     "q59_clean_pipeline" ->
       s"""WITH t AS (
