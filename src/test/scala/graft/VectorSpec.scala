@@ -51,6 +51,33 @@ class VectorSpec extends SparkSpec {
     assert(mean > 0.4, s"mean recall@10 = $mean")
   }
 
+  test("PQ round-trip: codes in range, ADC orders identical vectors first") {
+    import graft.vector.ProductQuantizer
+    val rnd = new scala.util.Random(7)
+    val sample = Array.tabulate(64)(i =>
+      (i.toLong, Array.fill(16)(rnd.nextGaussian())))
+    val books = ProductQuantizer.fitCodebooks(sample, m = 4, kCodes = 8)
+    assert(books.length == 4 && books.forall(_.length == 8))
+    for ((_, v) <- sample) {
+      val codes = ProductQuantizer.encode(books, v)
+      assert(codes.length == 4 && codes.forall(c => c >= 0 && c < 8))
+      // ADC distance of a vector to its own codes is the quantization
+      // error — must be <= distance via any other vector's codes
+      val table = ProductQuantizer.distanceTable(books, v)
+      def adc(cs: Array[Byte]) =
+        cs.zipWithIndex.map { case (c, s) => table(s)(c & 0xff) }.sum
+      val own = adc(codes)
+      assert(sample.forall { case (_, o) =>
+        own <= adc(ProductQuantizer.encode(books, o)) + 1e-12 })
+    }
+  }
+
+  test("PQ ADC recall@10 vs exact squared-L2 passes the gate") {
+    val rows = VectorQueries.pqRecallBound(spark, sf).collect()
+    assert(rows.length == 5)
+    assert(rows.forall(_.getAs[Boolean]("recall_ok")))
+  }
+
   test("sign-LSH ivfTopK variant returns valid ranked neighbors") {
     val e = Tables.load(spark, sf, "embeddings")
     val res = VectorFunctions.ivfTopK(
