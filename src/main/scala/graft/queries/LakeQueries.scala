@@ -612,7 +612,50 @@ object LakeQueries {
     }
   }
 
+  /** q159: the lake table as a STREAMING SOURCE
+    * ([[graft.sources.GraftLakeMicroBatchStream]] — the
+    * `readStream.format("delta")` capability): a two-version table is
+    * streamed while a third version lands mid-flight; offsets are
+    * manifest versions, so the three commits arrive as micro-batches
+    * exactly once and the streamed per-status aggregate equals the
+    * batch aggregate of the final snapshot, which the oracle restates
+    * from `orders`. */
+  def streamingLakeRead(s: SparkSession, dir: String): DataFrame = {
+    val orders = graft.Tables.load(s, dir, "orders")
+    graft.util.Tmp.withTempDir("graft_lake_q159") { rootPath =>
+      val root = rootPath.toString
+      val pre = orders.filter(to_date(col("o_orderdate")) < lit("1996-01-01"))
+      val post = orders.filter(to_date(col("o_orderdate")) >= lit("1996-01-01"))
+      LakeTable.create(s, root, pre.filter(col("o_orderkey") % 2 === 0))
+      LakeTable.append(s, root, pre.filter(col("o_orderkey") % 2 =!= 0))
+      val sink = "q159_sink_" +
+        java.util.UUID.randomUUID().toString.replace("-", "").take(8)
+      val q = s.readStream.format("graft-lake").load(root)
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
+            .as("revenue"))
+        .writeStream.format("memory").queryName(sink)
+        .outputMode("complete").start()
+      try {
+        q.processAllAvailable()
+        // a third commit lands while the stream is live
+        LakeTable.append(s, root, post)
+        q.processAllAvailable()
+        val res = s.table(sink)
+          .withColumn("n_versions",
+            lit(LakeTable.versions(s, root).size.toLong))
+          .orderBy(col("o_orderstatus"))
+        graft.util.LocalFrame.materialize(res)
+      } finally {
+        q.stop()
+        s.catalog.dropTempView(sink)
+      }
+    }
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q159_streaming_lake_read" -> (streamingLakeRead _),
     "q141_lake_checkpoint" -> (checkpointReadCounts _),
     "q151_sql_delete_dsv2" -> (sqlDeleteDsv2 _),
     "q152_sql_insert_dsv2" -> (sqlInsertDsv2 _),
@@ -660,6 +703,15 @@ object LakeQueries {
         |       (SELECT count(*) FROM orders) AS v1_rows,
         |       (SELECT count(*) FROM orders) AS v2_rows
         |FROM final GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin,
+    // streamed aggregate over all three commits == batch aggregate of
+    // the whole table; 3 committed versions
+    "q159_streaming_lake_read" ->
+      """SELECT o_orderstatus, count(*) AS n,
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |         AS revenue,
+        |       CAST(3 AS BIGINT) AS n_versions
+        |FROM orders GROUP BY o_orderstatus
         |ORDER BY o_orderstatus""".stripMargin,
     // every MERGE clause as a CASE: matched slice (custkey%50=0) is
     // deleted when its bumped price tops 200000 else price-bumped;

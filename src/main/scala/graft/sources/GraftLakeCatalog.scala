@@ -77,7 +77,8 @@ final class GraftLakeCatalog extends TableCatalog {
   private def load(ident: Identifier, version: Option[Int]): Table =
     try new GraftLakeTable(GraftLakeSource.delegate(SparkSession.active,
       rootOf(ident), version, None, Collections.emptyMap[String, String]()),
-      root = Some(rootOf(ident)), version = version)
+      root = Some(rootOf(ident)), version = version,
+      streamRoot = Some(rootOf(ident)))
     catch {
       case _: IllegalStateException =>
         throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(

@@ -30,8 +30,10 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * per-row; at 100 TB the connector's overhead is unchanged from
   * reading the parquet paths directly.
   *
-  * The PATH-based format is deliberately READ-ONLY
-  * ([[TableCapability.BATCH_READ]] only): `df.write.format("graft-lake")`
+  * The PATH-based format is deliberately WRITE-FREE
+  * ([[TableCapability.BATCH_READ]] + [[TableCapability.MICRO_BATCH_READ]]
+  * — latest snapshots also stream, see [[GraftLakeMicroBatchStream]]):
+  * `df.write.format("graft-lake")`
   * fails analysis instead of bypassing the commit protocol. CATALOG
   * tables additionally accept `INSERT INTO` (V1Write → LakeTable.append)
   * and `DELETE FROM` (SupportsDelete → deleteWhere) — both route through
@@ -70,8 +72,14 @@ final class GraftLakeSource extends TableProvider with DataSourceRegister {
     fromOptions(options).schema
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
-                        properties: JMap[String, String]): Table =
-    new GraftLakeTable(fromOptions(properties))
+                        properties: JMap[String, String]): Table = {
+    val opts = new CaseInsensitiveStringMap(properties)
+    // path reads stay DML-free (no `root`), but a latest-snapshot path
+    // IS streamable: `spark.readStream.format("graft-lake").load(root)`
+    val streamRoot =
+      if (opts.containsKey("versionAsOf")) None else Option(opts.get("path"))
+    new GraftLakeTable(fromOptions(properties), streamRoot = streamRoot)
+  }
 }
 
 private[sources] object GraftLakeSource {
@@ -104,7 +112,8 @@ private[sources] object GraftLakeSource {
   * (`df.write.format("graft-lake")` still fails analysis), and a
   * time-travel snapshot refuses deletes (history is immutable). */
 private[sources] final class GraftLakeTable(delegate: ParquetTable,
-    root: Option[String] = None, version: Option[Int] = None)
+    root: Option[String] = None, version: Option[Int] = None,
+    streamRoot: Option[String] = None)
     extends Table with SupportsRead
     with org.apache.spark.sql.connector.catalog.SupportsDelete
     with org.apache.spark.sql.connector.catalog.SupportsWrite
@@ -118,13 +127,28 @@ private[sources] final class GraftLakeTable(delegate: ParquetTable,
 
   override def name(): String = delegate.name
   override def schema(): StructType = delegate.schema
-  override def capabilities(): java.util.Set[TableCapability] =
+  override def capabilities(): java.util.Set[TableCapability] = {
+    val caps = java.util.EnumSet.of(TableCapability.BATCH_READ)
     if (root.isDefined && version.isEmpty)
-      java.util.EnumSet.of(TableCapability.BATCH_READ,
-        TableCapability.V1_BATCH_WRITE)
-    else java.util.EnumSet.of(TableCapability.BATCH_READ)
+      caps.add(TableCapability.V1_BATCH_WRITE)
+    if (streamRoot.isDefined && version.isEmpty)
+      caps.add(TableCapability.MICRO_BATCH_READ)
+    caps
+  }
+
+  /** Batch scans delegate untouched (full parquet pushdown); when the
+    * table is streamable, the BUILT scan is wrapped so
+    * `toMicroBatchStream` resolves to the commit-log source
+    * ([[GraftLakeMicroBatchStream]]) — the builder subclass keeps every
+    * pushdown interface of [[ParquetScanBuilder]] itself, so the batch
+    * plan shape is byte-identical with or without streaming support. */
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    delegate.newScanBuilder(options)
+    streamRoot match {
+      case None => delegate.newScanBuilder(options)
+      case Some(sr) =>
+        new GraftLakeStreamScanBuilder(delegate.newScanBuilder(options),
+          sr, delegate.schema)
+    }
 
   /** SQL `MERGE INTO` / `UPDATE` (and non-pushable `DELETE`s) via the
     * group-replace protocol — see [[GraftRowLevelOperation]]. Pushable

@@ -1,0 +1,182 @@
+package graft.sources
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.paths.SparkPath
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.read.{Batch, InputPartition,
+  PartitionReader, PartitionReaderFactory, Scan}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.execution.datasources.{FileFormat, PartitionedFile}
+import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+import org.apache.spark.sql.types.StructType
+
+/** Streaming READS of a [[LakeTable]] — the table format as a
+  * Structured Streaming source, the capability Delta calls "streaming
+  * from a table" (`spark.readStream.format("delta")`):
+  *
+  * {{{
+  *   spark.readStream.format("graft-lake").load(root)   // path
+  *   spark.readStream.table("lake.events")              // catalog
+  * }}}
+  *
+  * Offsets ARE manifest versions: the commit log is already a totally
+  * ordered, immutable sequence, so offset arithmetic is version
+  * arithmetic and a restart replays from the checkpointed version with
+  * exactly-once semantics (manifests never change after commit). Each
+  * micro-batch reads the file groups ADDED in `(start, end]` — one
+  * manifest diff per version, no directory scans of the table root.
+  *
+  * Append-only contract (Delta's default): a version that REMOVES file
+  * groups (delete/merge/compaction/replace) fails the stream with the
+  * offending op named — silently re-emitting rewritten groups would
+  * double-count. At 100 TB this is the same shape as Delta's
+  * `ignoreChanges=false` default.
+  *
+  * The per-file readers reuse Spark's own parquet row machinery
+  * ([[ParquetFileFormat.buildReaderWithPartitionValues]] — the exact
+  * function FileScanRDD ships to executors), so nulls-for-missing
+  * columns (additive schema evolution) and every parquet decoding
+  * detail match the batch path byte for byte. */
+private[sources] final class GraftLakeMicroBatchStream(
+    root: String, requiredSchema: StructType, tableSchema: StructType)
+    extends MicroBatchStream {
+
+  private def spark = SparkSession.active
+
+  override def initialOffset(): Offset = GraftLakeOffset(0)
+
+  override def latestOffset(): Offset =
+    GraftLakeOffset(LakeTable.latestVersion(spark, root).getOrElse(0))
+
+  override def deserializeOffset(json: String): Offset =
+    GraftLakeOffset(json.trim.toInt)
+
+  override def commit(end: Offset): Unit = ()
+
+  override def stop(): Unit = ()
+
+  override def planInputPartitions(start: Offset,
+                                   end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[GraftLakeOffset].v
+    val e = end.asInstanceOf[GraftLakeOffset].v
+    val fs = new Path(root).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    (s + 1 to e).flatMap { v =>
+      val cur = LakeTable.dataDirsAt(spark, root, v)
+      val prev = if (v <= 1) Seq.empty else LakeTable.dataDirsAt(spark, root, v - 1)
+      val removed = prev.toSet -- cur.toSet
+      if (removed.nonEmpty) {
+        val op = LakeTable.manifestMetaAt(spark, root, v).getOrElse("op", "?")
+        throw new UnsupportedOperationException(
+          s"graft-lake streaming reads are append-only; version $v " +
+          s"(op=$op) removed ${removed.size} file group(s). Restart the " +
+          "stream from the current snapshot instead.")
+      }
+      (cur.toSet -- prev.toSet).toSeq.sorted.flatMap { dirRel =>
+        fs.listStatus(new Path(root, dirRel))
+          .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+          .sortBy(_.getPath.getName)
+          .map(f => GraftLakeFilePartition(f.getPath.toString, f.getLen))
+      }
+    }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory = {
+    // built ONCE on the driver: a serializable closure holding the
+    // broadcast hadoop conf + schemas (the same object FileScanRDD
+    // ships); OPTION_RETURNING_BATCH=false forces row iterators (the
+    // PartitionReader contract here is InternalRow, not ColumnarBatch)
+    val readFn = new ParquetFileFormat().buildReaderWithPartitionValues(
+      sparkSession = spark,
+      dataSchema = tableSchema,
+      partitionSchema = StructType(Nil),
+      requiredSchema = requiredSchema,
+      filters = Nil,
+      options = Map(FileFormat.OPTION_RETURNING_BATCH -> "false"),
+      hadoopConf = spark.sessionState.newHadoopConf())
+    new GraftLakeFileReaderFactory(readFn)
+  }
+}
+
+/** Offset = committed manifest version (0 = before the first commit). */
+private[sources] final case class GraftLakeOffset(v: Int) extends Offset {
+  override def json: String = v.toString
+}
+
+private[sources] final case class GraftLakeFilePartition(
+    path: String, length: Long) extends InputPartition
+
+private[sources] final class GraftLakeFileReaderFactory(
+    readFn: PartitionedFile => Iterator[InternalRow])
+    extends PartitionReaderFactory {
+
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+    val fp = p.asInstanceOf[GraftLakeFilePartition]
+    val it = readFn(PartitionedFile(
+      new GenericInternalRow(Array.empty[Any]),
+      SparkPath.fromPathString(fp.path), 0, fp.length))
+    new PartitionReader[InternalRow] {
+      private var cur: InternalRow = _
+      override def next(): Boolean =
+        if (it.hasNext) { cur = it.next(); true } else false
+      override def get(): InternalRow = cur
+      override def close(): Unit = ()
+    }
+  }
+}
+
+/** ScanBuilder wrapper for streamable tables: every pushdown call
+  * forwards to the real [[org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScanBuilder]]
+  * (columns, catalyst filters, aggregates, variant extractions — the
+  * full set it implements), so batch plans keep their pushdown; only
+  * `build()` differs, wrapping the scan so `toMicroBatchStream`
+  * resolves. (A subclass can't do this: `build()`'s return type is
+  * narrowed to ParquetScan and Scala forbids widening an override.) */
+private[sources] final class GraftLakeStreamScanBuilder(
+    d: org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScanBuilder,
+    root: String, tableSchema: StructType)
+    extends org.apache.spark.sql.connector.read.ScanBuilder
+    with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns
+    with org.apache.spark.sql.internal.connector.SupportsPushDownCatalystFilters
+    with org.apache.spark.sql.connector.read.SupportsPushDownAggregates
+    with org.apache.spark.sql.connector.read.SupportsPushDownVariantExtractions {
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    d.pruneColumns(requiredSchema)
+  override def pushFilters(
+      filters: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
+      : Seq[org.apache.spark.sql.catalyst.expressions.Expression] =
+    d.pushFilters(filters)
+  override def pushedFilters()
+      : Array[org.apache.spark.sql.connector.expressions.filter.Predicate] =
+    d.pushedFilters
+  override def supportCompletePushDown(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+      : Boolean = d.supportCompletePushDown(agg)
+  override def pushAggregation(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+      : Boolean = d.pushAggregation(agg)
+  override def pushVariantExtractions(
+      extractions: Array[org.apache.spark.sql.connector.read.VariantExtraction])
+      : Array[Boolean] = d.pushVariantExtractions(extractions)
+  override def build(): Scan =
+    new GraftLakeStreamableScan(d.build(), root, tableSchema)
+}
+
+/** Scan wrapper that keeps the delegate's batch path untouched (same
+  * Batch, same columnar mode, same metrics — pushdown already happened
+  * in the builder) and adds the micro-batch stream. */
+private[sources] final class GraftLakeStreamableScan(
+    underlying: Scan, root: String, tableSchema: StructType) extends Scan {
+  override def readSchema(): StructType = underlying.readSchema()
+  override def toBatch: Batch = underlying.toBatch
+  override def description(): String = underlying.description()
+  override def columnarSupportMode(): Scan.ColumnarSupportMode =
+    underlying.columnarSupportMode()
+  override def supportedCustomMetrics() = underlying.supportedCustomMetrics()
+  override def reportDriverMetrics() = underlying.reportDriverMetrics()
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+    new GraftLakeMicroBatchStream(root, underlying.readSchema(), tableSchema)
+}

@@ -65,10 +65,19 @@ object LakeTable {
 
   /** Data-dir entries of a manifest. Format: one data-dir name per line;
     * lines starting with '#' are key=value metadata (kept trivially
-    * parseable without a JSON lib on the read path). */
-  private def readManifest(spark: SparkSession, root: String,
-                           v: Int): Seq[String] =
+    * parseable without a JSON lib on the read path). Package-visible:
+    * the streaming source diffs consecutive manifests for its batches
+    * ([[GraftLakeMicroBatchStream]]). */
+  private[sources] def dataDirsAt(spark: SparkSession, root: String,
+                                  v: Int): Seq[String] =
     readManifestLines(spark, root, v).filterNot(_.startsWith("#"))
+
+  private def readManifest(spark: SparkSession, root: String,
+                           v: Int): Seq[String] = dataDirsAt(spark, root, v)
+
+  private[sources] def manifestMetaAt(spark: SparkSession, root: String,
+                                      v: Int): Map[String, String] =
+    manifestMeta(spark, root, v)
 
   private def manifestMeta(spark: SparkSession, root: String,
                            v: Int): Map[String, String] =

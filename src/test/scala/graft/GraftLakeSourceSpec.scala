@@ -66,6 +66,63 @@ class GraftLakeSourceSpec extends SparkSpec {
     }
   }
 
+  test("streaming read follows the commit log across appends") {
+    withTable { root =>
+      import spark.implicits._
+      LakeTable.create(spark, root,
+        Seq((1L, "a"), (2L, "b")).toDF("id", "tag"))
+      val stream = spark.readStream.format("graft-lake").load(root)
+      val q = stream.writeStream.format("memory")
+        .queryName("lake_stream_sink").outputMode("append").start()
+      try {
+        q.processAllAvailable()
+        assert(spark.table("lake_stream_sink").count() == 2)
+        // two more commits land while the stream runs — each version
+        // arrives exactly once (offsets are manifest versions)
+        LakeTable.append(spark, root, Seq((3L, "c")).toDF("id", "tag"))
+        q.processAllAvailable()
+        assert(spark.table("lake_stream_sink").count() == 3)
+        LakeTable.append(spark, root, Seq((4L, "d"), (5L, "e")).toDF("id", "tag"))
+        q.processAllAvailable()
+        val got = spark.table("lake_stream_sink")
+          .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+        assert(got == Set((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d"), (5L, "e")))
+      } finally {
+        q.stop()
+        spark.catalog.dropTempView("lake_stream_sink")
+      }
+    }
+  }
+
+  test("streaming read fails fast on a non-append version") {
+    withTable { root =>
+      import spark.implicits._
+      LakeTable.create(spark, root,
+        Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "tag"))
+      val q = spark.readStream.format("graft-lake").load(root)
+        .writeStream.format("memory").queryName("lake_stream_fail")
+        .outputMode("append").start()
+      try {
+        q.processAllAvailable()
+        // a delete rewrites file groups — append-only streaming must
+        // refuse it with the op named, not silently double-count
+        LakeTable.deleteWhere(spark, root, col("id") === 2L)
+        val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+          q.processAllAvailable()
+          q.awaitTermination(10000)
+        }
+        def causes(t: Throwable): Seq[Throwable] =
+          if (t == null) Nil else t +: causes(t.getCause)
+        assert(causes(ex).exists(c =>
+          c.isInstanceOf[UnsupportedOperationException] &&
+            c.getMessage.contains("append-only")))
+      } finally {
+        q.stop()
+        spark.catalog.dropTempView("lake_stream_fail")
+      }
+    }
+  }
+
   test("writes through the format are rejected") {
     withTable { root =>
       val nation = Tables.load(spark, sf, "nation")
