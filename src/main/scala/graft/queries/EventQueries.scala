@@ -363,7 +363,57 @@ object EventQueries {
       .orderBy(col("c_mktsegment"), col("event_type"))
   }
 
+  /** q160: time-series gap-fill with linear interpolation — the
+    * resample-to-grid operator every metrics/feature pipeline needs:
+    * sparse hourly observations (high-value events only) are projected
+    * onto each type's full hourly grid (`sequence` + explode — no UDF,
+    * no driver loop), and missing hours interpolate linearly between
+    * the bracketing observations via IGNORE-NULLS window functions
+    * (`last` back / `first` forward — two window passes, one sort each,
+    * partitioned on the series key: scale-safe at any series count).
+    * Determinism: observed means are decimal-sum ÷ count; the
+    * interpolation is fixed-order IEEE arithmetic on integer epoch
+    * seconds, so both engines agree bit for bit. Grid edges always have
+    * observations (the grid spans each type's min..max observed hour),
+    * so `filled` is total. */
+  def gapFillInterpolate(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(s, dir, "events")
+    val obs = ev.filter(col("value") > 140)
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+      .agg((sum(col("value").cast("decimal(18,2)")).cast("double") /
+        count(lit(1))).as("v"))
+    val grid = obs.groupBy(col("event_type"))
+      .agg(min(col("h")).as("h0"), max(col("h")).as("h1"))
+      .select(col("event_type"),
+        explode(sequence(col("h0"), col("h1"),
+          expr("interval 1 hour"))).as("h"))
+    val wPrev = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("event_type")).orderBy(col("h"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val wNext = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("event_type")).orderBy(col("h"))
+      .rowsBetween(0, org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    grid.join(obs, Seq("event_type", "h"), "left_outer")
+      .withColumn("pv", last(col("v"), ignoreNulls = true).over(wPrev))
+      .withColumn("ph", last(when(col("v").isNotNull, col("h")),
+        ignoreNulls = true).over(wPrev))
+      .withColumn("nv", first(col("v"), ignoreNulls = true).over(wNext))
+      .withColumn("nh", first(when(col("v").isNotNull, col("h")),
+        ignoreNulls = true).over(wNext))
+      .withColumn("filled",
+        when(col("v").isNotNull, col("v")).otherwise(
+          col("pv") + (col("nv") - col("pv")) *
+            ((unix_timestamp(col("h")) - unix_timestamp(col("ph")))
+              .cast("double") /
+             (unix_timestamp(col("nh")) - unix_timestamp(col("ph")))
+              .cast("double"))))
+      .select(col("event_type"), Tables.isoTs(col("h")).as("hour"),
+        col("filled"), col("v").isNull.as("interpolated"))
+      .orderBy(col("event_type"), col("hour"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q160_gap_fill_interp"   -> (gapFillInterpolate _),
     "q28_asof_last_order"    -> (asofLastOrder _),
     "q113_stream_attribution" -> (streamAttribution _),
     "q143_stream_outer_join" -> (streamOuterAttribution _),
@@ -384,6 +434,45 @@ object EventQueries {
     "CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)"
 
   val oracles: Map[String, String] = Map(
+    // identical resample-and-interpolate pipeline: hourly means of the
+    // sparse series, full per-type grid, IGNORE NULLS bracketing
+    // windows, fixed-order interpolation arithmetic on epoch seconds
+    "q160_gap_fill_interp" ->
+      """WITH obs AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS h,
+        |         CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+        |           / count(*) AS v
+        |  FROM events WHERE value > 140 GROUP BY 1, 2),
+        |bounds AS (
+        |  SELECT event_type, min(h) AS h0, max(h) AS h1
+        |  FROM obs GROUP BY event_type),
+        |grid AS (
+        |  SELECT event_type,
+        |         unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h
+        |  FROM bounds),
+        |j AS (
+        |  SELECT g.event_type, g.h, o.v
+        |  FROM grid g LEFT JOIN obs o USING (event_type, h)),
+        |w AS (
+        |  SELECT event_type, h, v,
+        |    last_value(v IGNORE NULLS) OVER (PARTITION BY event_type
+        |      ORDER BY h ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+        |    last_value(CASE WHEN v IS NOT NULL THEN h END IGNORE NULLS)
+        |      OVER (PARTITION BY event_type
+        |      ORDER BY h ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ph,
+        |    first_value(v IGNORE NULLS) OVER (PARTITION BY event_type
+        |      ORDER BY h ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+        |    first_value(CASE WHEN v IS NOT NULL THEN h END IGNORE NULLS)
+        |      OVER (PARTITION BY event_type
+        |      ORDER BY h ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nh
+        |  FROM j)
+        |SELECT event_type, strftime(h, '%Y-%m-%d %H:%M:%S') AS hour,
+        |       CASE WHEN v IS NOT NULL THEN v
+        |            ELSE pv + (nv - pv) *
+        |              (CAST(epoch(h) - epoch(ph) AS DOUBLE)
+        |               / CAST(epoch(nh) - epoch(ph) AS DOUBLE)) END AS filled,
+        |       v IS NULL AS interpolated
+        |FROM w ORDER BY event_type, hour""".stripMargin,
     // stateless stream-static enrich ≡ the batch join, any batch split
     "q116_stream_static_join" ->
       """SELECT c_mktsegment, event_type, count(*) AS n,
