@@ -334,7 +334,42 @@ object SqlQueries {
       Map("tab" -> orders))
   }
 
+  /** q161: SQL scripting (Spark 4 `BEGIN … END` compound statements —
+    * DECLARE'd variables, a WHILE loop, SET accumulation): the
+    * procedural surface warehouse migrations expect. The script walks
+    * four escalating price thresholds (fractions of the max), summing
+    * the above-threshold counts into a variable; the loop is genuinely
+    * iterative in the engine, but every iteration is a closed-form
+    * scalar, so the oracle restates the whole script as one relational
+    * expression. Control flow runs on the DRIVER over tiny scalars —
+    * each inner SELECT is still a full distributed plan, so the shape
+    * scales like any aggregate. */
+  def sqlScripting(s: SparkSession, dir: String): DataFrame = {
+    val orders = view(s, dir, "orders")
+    graft.util.LocalFrame.withConfs(s,
+      "spark.sql.scripting.enabled" -> "true") {
+      graft.util.LocalFrame.materialize(s.sql(
+        s"""BEGIN
+           |  DECLARE hi DOUBLE;
+           |  DECLARE i INT DEFAULT 1;
+           |  DECLARE acc BIGINT DEFAULT 0;
+           |  SET hi = (SELECT max(o_totalprice) FROM $orders);
+           |  WHILE i <= 4 DO
+           |    SET acc = acc +
+           |      (SELECT count(*) FROM $orders
+           |       WHERE o_totalprice > hi * i / 5.0);
+           |    SET i = i + 1;
+           |  END WHILE;
+           |  SELECT acc AS n_cumulative,
+           |         CAST((SELECT count(*) FROM $orders
+           |               WHERE o_totalprice > hi / 2.0) AS BIGINT)
+           |           AS n_above_half;
+           |END""".stripMargin))
+    }
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q161_sql_scripting"      -> (sqlScripting _),
     "q137_sql_components"     -> (sqlNeardupComponents _),
     "q148_sql_scalar_udf"     -> (sqlScalarUdf _),
     "q153_sql_group_by_all"   -> (sqlGroupByAll _),
@@ -359,6 +394,18 @@ object SqlQueries {
     // SQL-parser components must match the exact component structure
     "q137_sql_components" ->
       graft.queries.TextQueries.oracles("q109_neardup_components"),
+    // the script's loop unrolled: four threshold counts summed + the
+    // half-max count, same arithmetic shapes (hi * i / 5.0)
+    "q161_sql_scripting" ->
+      """WITH hi AS (SELECT max(o_totalprice) AS h FROM orders)
+        |SELECT CAST(
+        |    (SELECT count(*) FROM orders, hi WHERE o_totalprice > h * 1 / 5.0)
+        |  + (SELECT count(*) FROM orders, hi WHERE o_totalprice > h * 2 / 5.0)
+        |  + (SELECT count(*) FROM orders, hi WHERE o_totalprice > h * 3 / 5.0)
+        |  + (SELECT count(*) FROM orders, hi WHERE o_totalprice > h * 4 / 5.0)
+        |  AS BIGINT) AS n_cumulative,
+        |  CAST((SELECT count(*) FROM orders, hi WHERE o_totalprice > h / 2.0)
+        |  AS BIGINT) AS n_above_half""".stripMargin,
     // the variable's defining subquery, inlined
     "q121_sql_session_vars" ->
       """SELECT o_orderstatus, count(*) AS n_above
