@@ -654,8 +654,47 @@ object LakeQueries {
     }
   }
 
+  /** q162: SQL schema evolution — `ALTER TABLE … ADD COLUMNS` as a
+    * metadata-only commit ([[LakeTable.evolveSchema]]: same file
+    * groups, evolved schema in the manifest, zero data rewritten), then
+    * an INSERT that populates the new column. Old rows read the column
+    * as typed nulls; the evolved shape survives the append commit
+    * (carry-forward); the final aggregate over both generations is
+    * restated from `orders` by the oracle. */
+  def sqlSchemaEvolution(s: SparkSession, dir: String): DataFrame = {
+    val orders = graft.Tables.load(s, dir, "orders")
+    orders.createOrReplaceTempView("q162_orders_src")
+    graft.util.Tmp.withTempDir("graft_lake_q162") { whPath =>
+      val wh = whPath.toString
+      LakeTable.create(s, s"$wh/orders_t", orders)
+      val cat = "lake_" +
+        java.util.UUID.randomUUID().toString.replace("-", "").take(12)
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftLakeCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+      try {
+        s.sql(s"ALTER TABLE $cat.orders_t ADD COLUMNS (discount DOUBLE)")
+        s.sql(s"""INSERT INTO $cat.orders_t
+                 |SELECT o_orderkey + 3000000000, o_custkey, o_orderstatus,
+                 |       o_totalprice, o_orderdate, o_orderpriority,
+                 |       o_totalprice / 10 AS discount
+                 |FROM q162_orders_src WHERE o_custkey % 77 = 0""".stripMargin)
+        graft.util.LocalFrame.materialize(s.sql(
+          s"""SELECT o_orderstatus, count(*) AS n,
+             |       count(discount) AS n_discounted,
+             |       CAST(sum(CAST(coalesce(discount, 0) AS DECIMAL(18,2)))
+             |            AS DOUBLE) AS disc_total
+             |FROM $cat.orders_t
+             |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin))
+      } finally {
+        s.conf.unset(s"spark.sql.catalog.$cat")
+        s.conf.unset(s"spark.sql.catalog.$cat.warehouse")
+      }
+    }
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q159_streaming_lake_read" -> (streamingLakeRead _),
+    "q162_sql_schema_evolution" -> (sqlSchemaEvolution _),
     "q141_lake_checkpoint" -> (checkpointReadCounts _),
     "q151_sql_delete_dsv2" -> (sqlDeleteDsv2 _),
     "q152_sql_insert_dsv2" -> (sqlInsertDsv2 _),
@@ -703,6 +742,22 @@ object LakeQueries {
         |       (SELECT count(*) FROM orders) AS v1_rows,
         |       (SELECT count(*) FROM orders) AS v2_rows
         |FROM final GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin,
+    // evolution replayed: base rows carry a null discount, the inserted
+    // slice computes one; same decimal-sum determinism as every revenue
+    "q162_sql_schema_evolution" ->
+      """WITH ins AS (
+        |  SELECT o_orderstatus, o_totalprice / 10 AS discount
+        |  FROM orders WHERE o_custkey % 77 = 0),
+        |base AS (
+        |  SELECT o_orderstatus, CAST(NULL AS DOUBLE) AS discount
+        |  FROM orders),
+        |f AS (SELECT * FROM base UNION ALL SELECT * FROM ins)
+        |SELECT o_orderstatus, count(*) AS n,
+        |       count(discount) AS n_discounted,
+        |       CAST(sum(CAST(coalesce(discount, 0) AS DECIMAL(18,2)))
+        |            AS DOUBLE) AS disc_total
+        |FROM f GROUP BY o_orderstatus
         |ORDER BY o_orderstatus""".stripMargin,
     // streamed aggregate over all three commits == batch aggregate of
     // the whole table; 3 committed versions

@@ -105,8 +105,29 @@ final class GraftLakeCatalog extends TableCatalog {
                            properties: JMap[String, String]): Table =
     readOnly(s"CREATE TABLE $ident")
 
-  override def alterTable(ident: Identifier, changes: TableChange*): Table =
-    readOnly(s"ALTER TABLE $ident")
+  /** `ALTER TABLE … ADD COLUMNS` — the one history-safe DDL: a
+    * metadata-only commit records the evolved schema; no data rewrites,
+    * old groups read the new columns as typed nulls, time travel below
+    * the evolution version keeps the old shape
+    * ([[LakeTable.evolveSchema]]). Every other ALTER still rejects
+    * (drops/renames/retypes would rewrite history). */
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    val adds = changes.collect { case a: TableChange.AddColumn => a }
+    if (adds.size != changes.size || adds.isEmpty)
+      readOnly(s"ALTER TABLE $ident (only ADD COLUMNS is supported)")
+    adds.foreach { a =>
+      require(a.fieldNames.length == 1,
+        s"nested ADD COLUMN not supported: ${a.fieldNames.mkString(".")}")
+      require(a.isNullable,
+        s"added column ${a.fieldNames.head} must be nullable " +
+          "(existing rows read it as null)")
+    }
+    val newFields = StructType(adds.map(a =>
+      org.apache.spark.sql.types.StructField(
+        a.fieldNames.head, a.dataType, nullable = true)).toArray)
+    LakeTable.evolveSchema(SparkSession.active, rootOf(ident), newFields)
+    loadTable(ident)
+  }
 
   override def dropTable(ident: Identifier): Boolean =
     readOnly(s"DROP TABLE $ident")

@@ -92,13 +92,17 @@ private[sources] object GraftLakeSource {
                                 options: JMap[String, String]): ParquetTable = {
     val paths = LakeTable.dataDirPaths(spark, root, version)
     // additive schema evolution: groups written before a column existed
-    // read it as null (same contract as LakeTable.read)
+    // read it as null (same contract as LakeTable.read); an ALTER-
+    // declared schema override becomes the user schema, so columns no
+    // group carries yet exist as typed nulls in declared order
     val withMerge = new java.util.HashMap[String, String](options)
     withMerge.put("mergeSchema", "true")
+    val effSchema =
+      userSchema.orElse(LakeTable.schemaOverrideAt(spark, root, version))
     ParquetTable(
       s"graft-lake `$root`" + version.fold("")(v => s"@v$v"),
       spark, new CaseInsensitiveStringMap(withMerge), paths.toList,
-      userSchema, classOf[ParquetFileFormat])
+      effSchema, classOf[ParquetFileFormat])
   }
 }
 

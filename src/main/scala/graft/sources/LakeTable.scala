@@ -113,10 +113,18 @@ object LakeTable {
     commit(spark, root, Seq(dataDir), Map("op" -> op))
 
   /** Commit a specific version number — the atomic-rename conflict point
-    * (package-visible so the losing-writer path is testable). */
+    * (package-visible so the losing-writer path is testable). A schema
+    * override declared by ALTER TABLE ([[evolveSchema]]) carries forward
+    * into every later commit automatically — evolution survives
+    * appends/merges/deletes without each path knowing about it. */
   private[graft] def commitVersion(spark: SparkSession, root: String, v: Int,
                                    dataDirs: Seq[String],
-                                   meta: Map[String, String]): Int = {
+                                   meta0: Map[String, String]): Int = {
+    val meta =
+      if (meta0.contains("schema") || v <= 1) meta0
+      else scala.util.Try(manifestMetaAt(spark, root, v - 1)).toOption
+        .flatMap(_.get("schema"))
+        .fold(meta0)(s => meta0 + ("schema" -> s))
     val f = fs(spark, root)
     f.mkdirs(versionsDir(root))
     val tmp = new Path(versionsDir(root), s".tmp-$v-${System.nanoTime()}")
@@ -274,13 +282,57 @@ object LakeTable {
     readManifest(spark, root, v).map(d => new Path(root, d).toString)
   }
 
+  /** ALTER TABLE ADD COLUMNS as a metadata-only commit: the new version
+    * lists the SAME data dirs plus a `#schema=` override (the full
+    * evolved schema as DataType JSON). No data is rewritten — columns
+    * not yet present in any parquet group read as typed nulls, and the
+    * override carries forward through later commits (see
+    * [[commitVersion]]). Time travel below the evolution version keeps
+    * the old schema — history is immutable, including its shape. */
+  def evolveSchema(spark: SparkSession, root: String,
+                   newFields: org.apache.spark.sql.types.StructType): Int = {
+    val cur = read(spark, root).schema
+    newFields.fieldNames.foreach { n =>
+      require(!cur.fieldNames.map(_.toLowerCase).contains(n.toLowerCase),
+        s"column $n already exists at $root")
+    }
+    val evolved = org.apache.spark.sql.types.StructType(
+      cur.fields ++ newFields.fields)
+    val v = latestVersion(spark, root).getOrElse(
+      throw new IllegalStateException(s"no table at $root"))
+    val carried = manifestMeta(spark, root, v).filter(_._1.startsWith("stat:"))
+    commitVersion(spark, root, v + 1, readManifest(spark, root, v),
+      Map("op" -> "add-columns", "schema" -> evolved.json) ++ carried)
+  }
+
+  /** The ALTER-declared schema at a version (latest if None), if any. */
+  private[sources] def schemaOverrideAt(
+      spark: SparkSession, root: String,
+      version: Option[Int]): Option[org.apache.spark.sql.types.StructType] = {
+    val vs = versions(spark, root)
+    version.orElse(vs.lastOption)
+      .filter(vs.contains)
+      .flatMap(v => manifestMetaAt(spark, root, v).get("schema"))
+      .map(org.apache.spark.sql.types.DataType.fromJson(_)
+        .asInstanceOf[org.apache.spark.sql.types.StructType])
+  }
+
   /** Snapshot read; `version = None` → latest (time travel otherwise).
     * mergeSchema handles additive schema evolution: groups written
-    * before a column existed read it as null. */
+    * before a column existed read it as null; an ALTER-declared schema
+    * additionally projects columns no parquet group carries yet (typed
+    * nulls, declared order). */
   def read(spark: SparkSession, root: String,
            version: Option[Int] = None): DataFrame = {
     val dirs = dataDirPaths(spark, root, version)
-    spark.read.option("mergeSchema", "true").parquet(dirs: _*)
+    val df = spark.read.option("mergeSchema", "true").parquet(dirs: _*)
+    schemaOverrideAt(spark, root, version).fold(df) { target =>
+      df.select(target.fields.map { f =>
+        if (df.columns.map(_.toLowerCase).contains(f.name.toLowerCase))
+          col(f.name)
+        else lit(null).cast(f.dataType).as(f.name)
+      }.toIndexedSeq: _*)
+    }
   }
 
   /** MERGE (upsert): rows in `updates` replace current rows with equal

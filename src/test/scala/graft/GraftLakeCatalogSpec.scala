@@ -152,6 +152,35 @@ class GraftLakeCatalogSpec extends SparkSpec {
     }
   }
 
+  test("ALTER TABLE ADD COLUMNS evolves schema without rewriting data") {
+    withWarehouse("lakeH") { wh =>
+      import spark.implicits._
+      LakeTable.create(spark, s"$wh/t1",
+        Seq((1L, "a"), (2L, "b")).toDF("id", "name"))
+      spark.sql("ALTER TABLE lakeH.t1 ADD COLUMNS (score DOUBLE, tag STRING)")
+      val evolved = spark.sql("SELECT * FROM lakeH.t1 ORDER BY id")
+      assert(evolved.columns.toSeq == Seq("id", "name", "score", "tag"))
+      assert(evolved.collect().forall(r => r.isNullAt(2) && r.isNullAt(3)))
+      // metadata-only commit: one new version, no data rewritten
+      assert(LakeTable.versions(spark, s"$wh/t1") == Seq(1, 2))
+      // inserts accept the new columns; the evolved schema survives the
+      // append commit (carry-forward), old rows stay null
+      spark.sql("INSERT INTO lakeH.t1 VALUES (3, 'c', 1.5, 'x')")
+      assert(spark.sql(
+        "SELECT count(*) FROM lakeH.t1 WHERE score IS NOT NULL")
+        .head.getLong(0) == 1)
+      assert(spark.sql("SELECT * FROM lakeH.t1").columns.length == 4)
+      // time travel below the evolution version keeps the old shape
+      assert(spark.sql("SELECT * FROM lakeH.t1 VERSION AS OF 1")
+        .columns.toSeq == Seq("id", "name"))
+      // non-additive ALTERs still reject
+      intercept[Exception] {
+        spark.sql("ALTER TABLE lakeH.t1 DROP COLUMN name") }
+      intercept[Exception] {
+        spark.sql("ALTER TABLE lakeH.t1 RENAME COLUMN name TO nm") }
+    }
+  }
+
   test("SQL DELETE commits copy-on-write; time travel keeps history") {
     withWarehouse("lakeD") { wh =>
       LakeTable.create(spark, s"$wh/t1", Tables.load(spark, sf, "nation"))
