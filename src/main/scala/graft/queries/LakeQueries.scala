@@ -692,9 +692,45 @@ object LakeQueries {
     }
   }
 
+  /** q163: SQL `CREATE TABLE` (empty, declared schema —
+    * [[LakeTable.createEmpty]]: a v1 manifest with zero file groups and
+    * a `#schema=` override) → `INSERT INTO` → `CREATE TABLE … AS
+    * SELECT` reading the first table. CTAS through a plain TableCatalog
+    * is create-then-append (two versions); the final read of the
+    * derived table is restated from `orders` by the oracle. */
+  def sqlCreateCtas(s: SparkSession, dir: String): DataFrame = {
+    val orders = graft.Tables.load(s, dir, "orders")
+    orders.createOrReplaceTempView("q163_orders_src")
+    graft.util.Tmp.withTempDir("graft_lake_q163") { whPath =>
+      val wh = whPath.toString
+      val cat = "lake_" +
+        java.util.UUID.randomUUID().toString.replace("-", "").take(12)
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftLakeCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+      try {
+        s.sql(s"""CREATE TABLE $cat.o_small
+                 |  (o_orderstatus STRING, o_totalprice DOUBLE)""".stripMargin)
+        s.sql(s"""INSERT INTO $cat.o_small
+                 |SELECT o_orderstatus, o_totalprice FROM q163_orders_src
+                 |WHERE o_custkey % 10 = 0""".stripMargin)
+        s.sql(s"""CREATE TABLE $cat.seg AS
+                 |SELECT o_orderstatus, count(*) AS n,
+                 |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+                 |            AS DOUBLE) AS revenue
+                 |FROM $cat.o_small GROUP BY o_orderstatus""".stripMargin)
+        graft.util.LocalFrame.materialize(s.sql(
+          s"SELECT * FROM $cat.seg ORDER BY o_orderstatus"))
+      } finally {
+        s.conf.unset(s"spark.sql.catalog.$cat")
+        s.conf.unset(s"spark.sql.catalog.$cat.warehouse")
+      }
+    }
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q159_streaming_lake_read" -> (streamingLakeRead _),
     "q162_sql_schema_evolution" -> (sqlSchemaEvolution _),
+    "q163_sql_create_ctas"     -> (sqlCreateCtas _),
     "q141_lake_checkpoint" -> (checkpointReadCounts _),
     "q151_sql_delete_dsv2" -> (sqlDeleteDsv2 _),
     "q152_sql_insert_dsv2" -> (sqlInsertDsv2 _),
@@ -743,6 +779,13 @@ object LakeQueries {
         |       (SELECT count(*) FROM orders) AS v2_rows
         |FROM final GROUP BY o_orderstatus
         |ORDER BY o_orderstatus""".stripMargin,
+    // the created-inserted-derived chain, replayed from orders
+    "q163_sql_create_ctas" ->
+      """SELECT o_orderstatus, count(*) AS n,
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |         AS revenue
+        |FROM orders WHERE o_custkey % 10 = 0
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     // evolution replayed: base rows carry a null discount, the inserted
     // slice computes one; same decimal-sum determinism as every revenue
     "q162_sql_schema_evolution" ->

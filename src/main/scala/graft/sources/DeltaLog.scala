@@ -115,7 +115,9 @@ object DeltaLog {
     * between manifest rename and log write re-lands identically). */
   private[sources] def mirrorCommit(spark: SparkSession, root: String,
                                     manifestV: Int, prevDirs: Seq[String],
-                                    curDirs: Seq[String]): Unit = {
+                                    curDirs: Seq[String],
+                                    declaredSchema: Option[String] = None)
+      : Unit = {
     val f = fs(spark, root)
     val dest = logPath(root, manifestV - 1L)
     if (f.exists(dest)) return
@@ -126,11 +128,13 @@ object DeltaLog {
     val now = System.currentTimeMillis()
     val header: Seq[String] =
       if (manifestV == 1) {
-        // schemaString: Spark's StructType JSON, read from the data just
-        // written (one footer read; never re-runs input lineage)
-        val schemaJson = spark.read
+        // schemaString: the manifest-declared schema when present
+        // (CREATE TABLE without data has no parquet to read), else
+        // Spark's StructType JSON read from the data just written (one
+        // footer read; never re-runs input lineage)
+        val schemaJson = declaredSchema.getOrElse(spark.read
           .parquet(curDirs.map(d => new Path(root, d).toString): _*)
-          .schema.json
+          .schema.json)
         Seq(
           """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""",
           s"""{"metaData":{"id":"${java.util.UUID.randomUUID()}","format":{"provider":"parquet","options":{}},"schemaString":"${escape(schemaJson)}","partitionColumns":[],"configuration":{},"createdTime":$now}}""")

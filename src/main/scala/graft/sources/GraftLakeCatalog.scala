@@ -23,9 +23,12 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * dir is a table; `VERSION AS OF n` resolves through the standard DSv2
   * time-travel hook (`loadTable(ident, version)`), so the SQL syntax,
   * the format path's `versionAsOf` option and the LakeTable API all read
-  * the same snapshot. Read-only by design (see [[GraftLakeSource]]):
-  * every mutation DDL throws, keeping the manifest commit protocol the
-  * only write path.
+  * the same snapshot. SQL statements that map onto the commit protocol
+  * are supported — CREATE TABLE/CTAS, INSERT INTO, DELETE, UPDATE,
+  * MERGE INTO, ALTER TABLE ADD COLUMNS — each landing as a normal
+  * versioned commit; history-REWRITING statements (DROP/RENAME/INSERT
+  * OVERWRITE/non-additive ALTER) throw, keeping every manifest version
+  * immutable once written.
   *
   * Scale note: resolution cost is one directory listing + one manifest
   * read at planning time; the scan is the same delegated vectorized
@@ -97,13 +100,23 @@ final class GraftLakeCatalog extends TableCatalog {
 
   private def readOnly(op: String): Nothing =
     throw new UnsupportedOperationException(
-      s"graft-lake catalog is read-only: $op must go through the " +
-        "LakeTable API (create/append/merge/deleteWhere/streamAppend)")
+      s"graft-lake catalog keeps history immutable: $op is not " +
+        "supported (table versions are never rewritten or dropped)")
 
+  /** `CREATE TABLE` (and the create half of CTAS — Spark follows with a
+    * write through [[GraftLakeTable.newWriteBuilder]]): version 1 holds
+    * the declared schema and no data ([[LakeTable.createEmpty]]).
+    * Partition transforms reject — physical layout is the API's job
+    * (`LakeTable.createClustered`). */
   override def createTable(ident: Identifier, schema: StructType,
                            partitions: Array[Transform],
-                           properties: JMap[String, String]): Table =
-    readOnly(s"CREATE TABLE $ident")
+                           properties: JMap[String, String]): Table = {
+    require(partitions.isEmpty,
+      s"CREATE TABLE $ident: partition transforms are not supported — " +
+        "use LakeTable.createClustered for physical layout")
+    LakeTable.createEmpty(SparkSession.active, rootOf(ident), schema)
+    loadTable(ident)
+  }
 
   /** `ALTER TABLE … ADD COLUMNS` — the one history-safe DDL: a
     * metadata-only commit records the evolved schema; no data rewrites,

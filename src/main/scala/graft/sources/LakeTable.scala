@@ -143,7 +143,8 @@ object LakeTable {
     // _delta_log (after the rename — the log never references an
     // uncommitted version; see DeltaLog for the documented scope)
     val prevDirs = if (v > 1) readManifest(spark, root, v - 1) else Seq.empty
-    DeltaLog.mirrorCommit(spark, root, v, prevDirs, dataDirs)
+    DeltaLog.mirrorCommit(spark, root, v, prevDirs, dataDirs,
+      meta.get("schema"))
     v
   }
 
@@ -282,6 +283,18 @@ object LakeTable {
     readManifest(spark, root, v).map(d => new Path(root, d).toString)
   }
 
+  /** CREATE TABLE without data: version 1 lists no file groups and
+    * declares the schema as a manifest override — the same mechanism
+    * ALTER uses ([[evolveSchema]]), so empty-table reads project typed
+    * nulls over zero rows and the first INSERT is a plain append. */
+  def createEmpty(spark: SparkSession, root: String,
+                  schema: org.apache.spark.sql.types.StructType): Int = {
+    require(latestVersion(spark, root).isEmpty,
+      s"table already exists at $root")
+    commitVersion(spark, root, 1, Seq.empty,
+      Map("op" -> "create", "schema" -> schema.json))
+  }
+
   /** ALTER TABLE ADD COLUMNS as a metadata-only commit: the new version
     * lists the SAME data dirs plus a `#schema=` override (the full
     * evolved schema as DataType JSON). No data is rewritten — columns
@@ -325,8 +338,16 @@ object LakeTable {
   def read(spark: SparkSession, root: String,
            version: Option[Int] = None): DataFrame = {
     val dirs = dataDirPaths(spark, root, version)
+    val override_ = schemaOverrideAt(spark, root, version)
+    if (dirs.isEmpty) {
+      // a created-empty snapshot: zero rows in the declared shape
+      val schema = override_.getOrElse(throw new IllegalStateException(
+        s"empty snapshot at $root has no declared schema"))
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[Row], schema)
+    }
     val df = spark.read.option("mergeSchema", "true").parquet(dirs: _*)
-    schemaOverrideAt(spark, root, version).fold(df) { target =>
+    override_.fold(df) { target =>
       df.select(target.fields.map { f =>
         if (df.columns.map(_.toLowerCase).contains(f.name.toLowerCase))
           col(f.name)

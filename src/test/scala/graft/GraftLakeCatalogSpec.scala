@@ -66,10 +66,29 @@ class GraftLakeCatalogSpec extends SparkSpec {
       }
       intercept[Exception] { spark.sql("DROP TABLE lakeC.t1") }
       intercept[Exception] {
-        spark.sql("CREATE TABLE lakeC.t9 (x INT) USING parquet")
+        spark.sql("CREATE TABLE lakeC.t9 (x INT) PARTITIONED BY (x)")
       }
       // nothing committed by the rejected statements
       assert(LakeTable.versions(spark, s"$wh/t1") == Seq(1))
+    }
+  }
+
+  test("CREATE TABLE and CTAS through the catalog") {
+    withWarehouse("lakeI") { wh =>
+      spark.sql("CREATE TABLE lakeI.fresh (id BIGINT, name STRING)")
+      // empty table reads as zero rows in the declared shape
+      val empty = spark.sql("SELECT * FROM lakeI.fresh")
+      assert(empty.columns.toSeq == Seq("id", "name") && empty.count() == 0)
+      spark.sql("INSERT INTO lakeI.fresh VALUES (1, 'a'), (2, 'b')")
+      assert(spark.sql("SELECT count(*) FROM lakeI.fresh").head.getLong(0) == 2)
+      // CTAS: create + write in one statement
+      spark.sql(
+        """CREATE TABLE lakeI.doubled AS
+          |SELECT id * 2 AS id2, upper(name) AS nm FROM lakeI.fresh""".stripMargin)
+      val ctas = spark.sql("SELECT * FROM lakeI.doubled ORDER BY id2")
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+      assert(ctas == Seq((2L, "A"), (4L, "B")))
+      assert(LakeTable.versions(spark, s"$wh/doubled") == Seq(1, 2))
     }
   }
 
