@@ -151,7 +151,8 @@ private[sources] final class GraftLakeTable(delegate: ParquetTable,
       case None => delegate.newScanBuilder(options)
       case Some(sr) =>
         new GraftLakeStreamScanBuilder(delegate.newScanBuilder(options),
-          sr, delegate.schema)
+          sr, delegate.schema,
+          options.getBoolean("ignoreChanges", false))
     }
 
   /** SQL `MERGE INTO` / `UPDATE` (and non-pushable `DELETE`s) via the

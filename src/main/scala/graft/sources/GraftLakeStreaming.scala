@@ -40,7 +40,8 @@ import org.apache.spark.sql.types.StructType
   * columns (additive schema evolution) and every parquet decoding
   * detail match the batch path byte for byte. */
 private[sources] final class GraftLakeMicroBatchStream(
-    root: String, requiredSchema: StructType, tableSchema: StructType)
+    root: String, requiredSchema: StructType, tableSchema: StructType,
+    ignoreChanges: Boolean)
     extends MicroBatchStream {
 
   private def spark = SparkSession.active
@@ -67,12 +68,14 @@ private[sources] final class GraftLakeMicroBatchStream(
       val cur = LakeTable.dataDirsAt(spark, root, v)
       val prev = if (v <= 1) Seq.empty else LakeTable.dataDirsAt(spark, root, v - 1)
       val removed = prev.toSet -- cur.toSet
-      if (removed.nonEmpty) {
+      if (removed.nonEmpty && !ignoreChanges) {
         val op = LakeTable.manifestMetaAt(spark, root, v).getOrElse("op", "?")
         throw new UnsupportedOperationException(
           s"graft-lake streaming reads are append-only; version $v " +
           s"(op=$op) removed ${removed.size} file group(s). Restart the " +
-          "stream from the current snapshot instead.")
+          "stream from the current snapshot, or opt into " +
+          "option(\"ignoreChanges\", \"true\") — rewritten groups are " +
+          "then re-emitted in full (Delta's ignoreChanges contract).")
       }
       (cur.toSet -- prev.toSet).toSeq.sorted.flatMap { dirRel =>
         fs.listStatus(new Path(root, dirRel))
@@ -136,7 +139,7 @@ private[sources] final class GraftLakeFileReaderFactory(
   * narrowed to ParquetScan and Scala forbids widening an override.) */
 private[sources] final class GraftLakeStreamScanBuilder(
     d: org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScanBuilder,
-    root: String, tableSchema: StructType)
+    root: String, tableSchema: StructType, ignoreChanges: Boolean)
     extends org.apache.spark.sql.connector.read.ScanBuilder
     with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns
     with org.apache.spark.sql.internal.connector.SupportsPushDownCatalystFilters
@@ -162,14 +165,15 @@ private[sources] final class GraftLakeStreamScanBuilder(
       extractions: Array[org.apache.spark.sql.connector.read.VariantExtraction])
       : Array[Boolean] = d.pushVariantExtractions(extractions)
   override def build(): Scan =
-    new GraftLakeStreamableScan(d.build(), root, tableSchema)
+    new GraftLakeStreamableScan(d.build(), root, tableSchema, ignoreChanges)
 }
 
 /** Scan wrapper that keeps the delegate's batch path untouched (same
   * Batch, same columnar mode, same metrics — pushdown already happened
   * in the builder) and adds the micro-batch stream. */
 private[sources] final class GraftLakeStreamableScan(
-    underlying: Scan, root: String, tableSchema: StructType) extends Scan {
+    underlying: Scan, root: String, tableSchema: StructType,
+    ignoreChanges: Boolean = false) extends Scan {
   override def readSchema(): StructType = underlying.readSchema()
   override def toBatch: Batch = underlying.toBatch
   override def description(): String = underlying.description()
@@ -178,5 +182,6 @@ private[sources] final class GraftLakeStreamableScan(
   override def supportedCustomMetrics() = underlying.supportedCustomMetrics()
   override def reportDriverMetrics() = underlying.reportDriverMetrics()
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-    new GraftLakeMicroBatchStream(root, underlying.readSchema(), tableSchema)
+    new GraftLakeMicroBatchStream(root, underlying.readSchema(), tableSchema,
+      ignoreChanges)
 }

@@ -123,6 +123,34 @@ class GraftLakeSourceSpec extends SparkSpec {
     }
   }
 
+  test("streaming with ignoreChanges skips non-append versions") {
+    withTable { root =>
+      import spark.implicits._
+      LakeTable.create(spark, root,
+        Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "tag"))
+      val q = spark.readStream.format("graft-lake")
+        .option("ignoreChanges", "true").load(root)
+        .writeStream.format("memory").queryName("lake_stream_ic")
+        .outputMode("append").start()
+      try {
+        q.processAllAvailable()
+        assert(spark.table("lake_stream_ic").count() == 3)
+        // the delete rewrites groups; ignoreChanges emits only the
+        // rewritten (added) group — the 2 surviving rows re-emit
+        LakeTable.deleteWhere(spark, root, col("id") === 2L)
+        q.processAllAvailable()
+        assert(spark.table("lake_stream_ic").count() == 5)
+        // appends after the rewrite keep flowing
+        LakeTable.append(spark, root, Seq((4L, "d")).toDF("id", "tag"))
+        q.processAllAvailable()
+        assert(spark.table("lake_stream_ic").count() == 6)
+      } finally {
+        q.stop()
+        spark.catalog.dropTempView("lake_stream_ic")
+      }
+    }
+  }
+
   test("writes through the format are rejected") {
     withTable { root =>
       val nation = Tables.load(spark, sf, "nation")
