@@ -521,9 +521,11 @@ object LakeQueries {
     * UPDATE doubles 'P'-status prices (version 2), the MERGE upserts a
     * key-shifted slice as pure inserts (version 3), and the final
     * per-status aggregate plus all three versions' row counts are
-    * restated from `orders` by the oracle. Group granularity is the
-    * whole table (scaladoc on the operation says why); the file-group-
-    * targeted upsert remains [[LakeTable.merge]]. */
+    * restated from `orders` by the oracle. Granularity is the FILE
+    * GROUP: dirs whose manifest stats disprove the condition are kept
+    * by name, not rewritten (this table records no stats, so these
+    * statements conservatively rewrite all groups — the stats-pruned
+    * path is plan-asserted in GraftLakeCatalogSpec). */
   def sqlMergeDsv2(s: SparkSession, dir: String): DataFrame = {
     val orders = graft.Tables.load(s, dir, "orders")
     orders.createOrReplaceTempView("q155_orders_src")

@@ -23,51 +23,187 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * operation's write, whose commit replaces the read groups with the
   * new files — one atomic manifest version, time travel intact.
   *
-  * Group granularity is the WHOLE TABLE (the scan exposes no runtime
-  * file filtering), so a SQL MERGE rewrites every row group — correct
-  * at any scale but write-amplified; the file-group-targeted path
-  * remains [[LakeTable.merge]], and the scaladoc on q155 says exactly
-  * that. Executor-side writing reuses Spark's own parquet
-  * OutputWriter machinery (ParquetWriteSupport.prepareWrite), so the
-  * written files are byte-compatible with every other commit path. */
+  * Group granularity is the FILE GROUP: the scan accepts the command's
+  * condition as a GROUP filter (the Iceberg contract — "groups may
+  * contain false positives, but every possibly-matching row must be
+  * read") and prunes whole data dirs whose manifest min/max stats prove
+  * no row can match ([[LakeTable]]'s `stat:` entries — the same index
+  * `readWhere` uses). Pruned dirs are NOT read and NOT rewritten: the
+  * commit keeps them and replaces only the dirs the scan actually
+  * planned, so at 100 TB an `UPDATE … WHERE k BETWEEN a AND b` over a
+  * key-clustered table rewrites only the affected groups. Dirs without
+  * stats (or non-range conditions) are conservatively read — plain
+  * correctness, today's write amplification. Executor-side parquet
+  * reading and writing both reuse Spark's own machinery
+  * ([[org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat]]),
+  * so files are byte-compatible with every other commit path. */
 private[sources] final class GraftRowLevelOperation(
     root: String, cmd: RowLevelOperation.Command)
     extends RowLevelOperation {
 
+  /** Dirs the scan planned (set at build time, read by the commit):
+    * the replaced set. Everything else in the snapshot survives. */
+  @volatile private[sources] var scannedDirs: Seq[String] = Seq.empty
+
   override def command(): RowLevelOperation.Command = cmd
 
-  /** The rewrite reads the CURRENT snapshot — through a ScanBuilder
-    * that exposes NO pushdown interfaces. This is deliberate, not an
-    * omission: in the group-replace contract, the condition Spark
-    * offers this scan is a GROUP filter ("you may skip groups with no
-    * matches"), not a row filter — a source that row-filters here
-    * silently drops every carryover row of the affected groups (and
-    * with whole-table granularity, the unaffected rows too). Since the
-    * write replaces the whole table, the scan must return every row;
-    * accepting no pushdown guarantees it. */
-  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
-    val delegate = GraftLakeSource.delegate(SparkSession.active, root, None,
-      None, java.util.Collections.emptyMap[String, String]())
-      .newScanBuilder(options)
-    new ScanBuilder {
-      override def build(): org.apache.spark.sql.connector.read.Scan =
-        delegate.build()
-    }
-  }
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new GraftGroupScanBuilder(this, root)
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new WriteBuilder {
       override def build(): Write =
-        new GraftReplaceWrite(root, info.schema(), cmd.toString.toLowerCase)
+        new GraftReplaceWrite(root, info.schema(),
+          cmd.toString.toLowerCase, GraftRowLevelOperation.this)
     }
+}
+
+/** ScanBuilder for the group-replace read: accepts every pushed filter
+  * (reporting it pushed so Spark does NOT re-apply it as a row filter —
+  * in this protocol the condition is group-level and carryover rows of
+  * affected groups MUST survive) but uses it only to prune whole file
+  * groups via manifest stats. Column pruning is honored normally. */
+private[sources] final class GraftGroupScanBuilder(
+    op: GraftRowLevelOperation, root: String)
+    extends ScanBuilder
+    with org.apache.spark.sql.connector.read.SupportsPushDownFilters
+    with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns {
+  import org.apache.spark.sql.sources.Filter
+
+  private val spark = SparkSession.active
+  private val tableSchema = LakeTable.read(spark, root).schema
+  private var required: StructType = tableSchema
+  private var pushed: Array[Filter] = Array.empty
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    pushed = filters
+    Array.empty // nothing residual: group-level acceptance
+  }
+  override def pushedFilters(): Array[Filter] = pushed
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = if (requiredSchema.isEmpty) tableSchema else requiredSchema
+
+  override def build(): org.apache.spark.sql.connector.read.Scan =
+    new GraftGroupScan(op, root, tableSchema, required, pushed)
+}
+
+/** The group-replace scan/batch: resolves the current snapshot ONCE,
+  * splits its dirs into kept (stats prove no match) vs scanned, records
+  * the scanned set on the operation for the commit, and plans one
+  * partition per parquet file of the scanned dirs — read through
+  * Spark's own parquet row machinery (same reader the streaming source
+  * uses). */
+private[sources] final class GraftGroupScan(
+    op: GraftRowLevelOperation, root: String, tableSchema: StructType,
+    required: StructType,
+    filters: Array[org.apache.spark.sql.sources.Filter])
+    extends org.apache.spark.sql.connector.read.Scan
+    with org.apache.spark.sql.connector.read.Batch {
+  import org.apache.spark.sql.sources._
+
+  private val spark = SparkSession.active
+
+  private lazy val planned: Seq[String] = {
+    val v = LakeTable.latestVersion(spark, root).getOrElse(
+      throw new IllegalStateException(s"no table at $root"))
+    val dirs = LakeTable.dataDirsAt(spark, root, v)
+    val meta = LakeTable.manifestMetaAt(spark, root, v)
+    val scan = dirs.filter { dir =>
+      filters.isEmpty || filters.forall(f => mayMatch(f, dir, meta))
+    }
+    op.scannedDirs = scan
+    scan
+  }
+
+  /** Conservative interval check: false ONLY when the dir's recorded
+    * [min,max] for the filter column proves no row matches. */
+  private def mayMatch(f: Filter, dir: String,
+                       meta: Map[String, String]): Boolean = {
+    def range(col: String): Option[(Double, Double)] =
+      meta.get(s"stat:$dir:$col").flatMap { s =>
+        s.split(",") match {
+          case Array(mn, mx) =>
+            scala.util.Try((mn.toDouble, mx.toDouble)).toOption
+          case _ => None
+        }
+      }
+    def num(v: Any): Option[Double] = v match {
+      case n: Number => Some(n.doubleValue())
+      case _ => None
+    }
+    f match {
+      case EqualTo(a, v) => (range(a), num(v)) match {
+        case (Some((mn, mx)), Some(d)) => d >= mn && d <= mx
+        case _ => true
+      }
+      case GreaterThan(a, v) => (range(a), num(v)) match {
+        case (Some((_, mx)), Some(d)) => mx > d
+        case _ => true
+      }
+      case GreaterThanOrEqual(a, v) => (range(a), num(v)) match {
+        case (Some((_, mx)), Some(d)) => mx >= d
+        case _ => true
+      }
+      case LessThan(a, v) => (range(a), num(v)) match {
+        case (Some((mn, _)), Some(d)) => mn < d
+        case _ => true
+      }
+      case LessThanOrEqual(a, v) => (range(a), num(v)) match {
+        case (Some((mn, _)), Some(d)) => mn <= d
+        case _ => true
+      }
+      case In(a, vs) => range(a) match {
+        case Some((mn, mx)) =>
+          val ds = vs.flatMap(num)
+          ds.length != vs.length || ds.exists(d => d >= mn && d <= mx)
+        case None => true
+      }
+      case And(l, r) => mayMatch(l, dir, meta) && mayMatch(r, dir, meta)
+      case Or(l, r)  => mayMatch(l, dir, meta) || mayMatch(r, dir, meta)
+      case _ => true // Not / string ops / null checks: keep
+    }
+  }
+
+  override def readSchema(): StructType = required
+  override def toBatch: org.apache.spark.sql.connector.read.Batch = this
+  override def description(): String =
+    s"graft-lake group-replace scan `$root` (${planned.size} group(s))"
+
+  override def planInputPartitions()
+      : Array[org.apache.spark.sql.connector.read.InputPartition] = {
+    val fs = new org.apache.hadoop.fs.Path(root).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    planned.flatMap { dirRel =>
+      fs.listStatus(new org.apache.hadoop.fs.Path(root, dirRel))
+        .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+        .sortBy(_.getPath.getName)
+        .map(f => GraftLakeFilePartition(f.getPath.toString, f.getLen))
+    }.toArray
+  }
+
+  override def createReaderFactory()
+      : org.apache.spark.sql.connector.read.PartitionReaderFactory = {
+    val readFn = new org.apache.spark.sql.execution.datasources.parquet
+      .ParquetFileFormat().buildReaderWithPartitionValues(
+        sparkSession = spark,
+        dataSchema = tableSchema,
+        partitionSchema = StructType(Nil),
+        requiredSchema = required,
+        filters = Nil, // group semantics: every row of a planned dir
+        options = Map(org.apache.spark.sql.execution.datasources.FileFormat
+          .OPTION_RETURNING_BATCH -> "false"),
+        hadoopConf = spark.sessionState.newHadoopConf())
+    new GraftLakeFileReaderFactory(readFn)
+  }
 }
 
 /** The replacing write: executors stream InternalRows into parquet
   * files under a fresh `data/<uuid>` dir; the driver commit publishes
-  * that dir as the table's next version (replacing all prior groups —
-  * see [[GraftRowLevelOperation]] for why whole-table granularity). */
+  * a version that keeps every dir the scan pruned and replaces exactly
+  * the scanned ones with the new files. */
 private[sources] final class GraftReplaceWrite(
-    root: String, schema: StructType, op: String) extends Write {
+    root: String, schema: StructType, op: String,
+    operation: GraftRowLevelOperation) extends Write {
 
   override def toBatch: BatchWrite = {
     val spark = SparkSession.active
@@ -85,14 +221,15 @@ private[sources] final class GraftReplaceWrite(
         .map(e => (e.getKey, e.getValue)).toArray
     }
     val dataDir = s"data/${java.util.UUID.randomUUID()}"
-    new GraftReplaceBatchWrite(root, dataDir, schema, factory, confEntries, op)
+    new GraftReplaceBatchWrite(root, dataDir, schema, factory, confEntries,
+      op, operation)
   }
 }
 
 private[sources] final class GraftReplaceBatchWrite(
     root: String, dataDir: String, schema: StructType,
     factory: OutputWriterFactory, confEntries: Array[(String, String)],
-    op: String) extends BatchWrite {
+    op: String, operation: GraftRowLevelOperation) extends BatchWrite {
 
   override def createBatchWriterFactory(
       info: PhysicalWriteInfo): DataWriterFactory =
@@ -101,15 +238,22 @@ private[sources] final class GraftReplaceBatchWrite(
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val spark = SparkSession.active
+    // dirs the scan pruned survive untouched; scanned dirs are replaced
+    // by the freshly written group
+    val current = LakeTable.latestVersion(spark, root)
+      .map(v => LakeTable.dataDirsAt(spark, root, v)).getOrElse(Seq.empty)
+    val kept = current.filterNot(operation.scannedDirs.contains)
     val wrote = messages.collect { case GraftFileCommitted(n) => n }
-    if (wrote.isEmpty) {
-      // zero surviving rows: publish a readable empty group so the new
-      // version scans to an empty frame instead of failing
+    if (wrote.isEmpty && kept.isEmpty) {
+      // zero surviving rows anywhere: publish a readable empty group so
+      // the new version scans to an empty frame instead of failing
       spark.createDataFrame(
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
         .coalesce(1).write.parquet(s"$root/$dataDir")
     }
-    LakeTable.commitReplacing(spark, root, dataDir, op)
+    val newDirs =
+      if (wrote.nonEmpty || kept.isEmpty) kept :+ dataDir else kept
+    LakeTable.commitReplacing(spark, root, newDirs, op)
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {

@@ -104,13 +104,21 @@ object LakeTable {
     commitVersion(spark, root,
       latestVersion(spark, root).getOrElse(0) + 1, dataDirs, meta)
 
-  /** Publish an already-written data dir as the next version, replacing
-    * every prior group — the commit half of the DSv2 group-replace
-    * write ([[GraftReplaceBatchWrite]]); same shape as deleteWhere's
-    * rewrite commit. */
+  /** Publish a group-replace result as the next version: the kept
+    * (pruned) dirs plus the freshly written group — the commit half of
+    * the DSv2 row-level write ([[GraftReplaceBatchWrite]]); same shape
+    * as deleteWhere's rewrite commit. */
   private[sources] def commitReplacing(spark: SparkSession, root: String,
-                                       dataDir: String, op: String): Int =
-    commit(spark, root, Seq(dataDir), Map("op" -> op))
+                                       dataDirs: Seq[String],
+                                       op: String): Int = {
+    // stats of surviving dirs stay valid — carry them like append does
+    val carried = latestVersion(spark, root)
+      .map(v => manifestMetaAt(spark, root, v)).getOrElse(Map.empty)
+      .filter { case (k, _) =>
+        k.startsWith("stat:") && dataDirs.exists(d => k.startsWith(s"stat:$d:"))
+      }
+    commit(spark, root, dataDirs, Map("op" -> op) ++ carried)
+  }
 
   /** Commit a specific version number — the atomic-rename conflict point
     * (package-visible so the losing-writer path is testable). A schema

@@ -171,6 +171,35 @@ class GraftLakeCatalogSpec extends SparkSpec {
     }
   }
 
+  test("UPDATE rewrites only the file groups whose stats admit the condition") {
+    withWarehouse("lakeJ") { wh =>
+      import spark.implicits._
+      val root = s"$wh/t1"
+      // two groups with disjoint id ranges, stats recorded for pruning
+      LakeTable.create(spark, root,
+        Seq((1L, 10.0), (2L, 20.0)).toDF("id", "v"), statsCols = Seq("id"))
+      LakeTable.append(spark, root,
+        Seq((100L, 1.0), (200L, 2.0)).toDF("id", "v"), statsCols = Seq("id"))
+      val before = LakeTable.dataDirPaths(spark, root).toSet
+      assert(before.size == 2)
+      spark.sql("UPDATE lakeJ.t1 SET v = v * 10 WHERE id >= 100")
+      val after = LakeTable.dataDirPaths(spark, root).toSet
+      // the low-id group was pruned by stats and SURVIVES BY NAME; the
+      // high-id group was replaced by a fresh dir
+      assert(after.size == 2)
+      assert((before intersect after).size == 1)
+      val rows = spark.sql("SELECT * FROM lakeJ.t1 ORDER BY id")
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(rows == Seq((1L, 10.0), (2L, 20.0), (100L, 10.0), (200L, 20.0)))
+      // a condition stats can't bound (string col absent) reads all
+      // groups — still correct, full rewrite
+      spark.sql("UPDATE lakeJ.t1 SET v = v + 1 WHERE id % 2 = 0")
+      val all = spark.sql("SELECT CAST(sum(v) AS DOUBLE) FROM lakeJ.t1")
+        .head.getDouble(0)
+      assert(all == 10.0 + 21.0 + 11.0 + 21.0)
+    }
+  }
+
   test("ALTER TABLE ADD COLUMNS evolves schema without rewriting data") {
     withWarehouse("lakeH") { wh =>
       import spark.implicits._
