@@ -434,7 +434,53 @@ object TextQueries {
       .limit(10)
   }
 
+  /** q164: bigram language-model scoring — the perplexity-proxy quality
+    * signal (KenLM-style filtering, CCNet/RedPajama): train Laplace-
+    * smoothed bigram probabilities on the corpus itself (p(w2|w1) =
+    * (c12+1)/(c1+V)), then score each document by its mean bigram
+    * log-probability; typical text scores high, repetitive/atypical
+    * text low. Scale shape: the model is two bounded aggregates
+    * (vocab² ceiling) broadcast back over a per-occurrence join — the
+    * corpus is touched twice, never shuffled by document. Cross-engine
+    * determinism: each DISTINCT bigram's ln quantizes through
+    * DECIMAL(18,9) (the BM25 rule), and per-doc totals are DECIMAL
+    * sums — order-insensitive under any partitioning, so the mean is
+    * one correctly-rounded division both engines agree on. */
+  def bigramLmScore(s: SparkSession, dir: String): DataFrame = {
+    val toks = docs(s, dir)
+      .withColumn("toks", split(trim(col("text")), "\\s+"))
+      .filter(size(col("toks")) >= 2)
+      .select(col("doc_id"), col("toks"))
+    val bigrams = toks.select(col("doc_id"),
+      expr("""explode(transform(sequence(0, size(toks) - 2),
+             |        i -> concat(toks[i], ' ', toks[i + 1])))""".stripMargin)
+        .as("bg"))
+    val vocab = docs(s, dir)
+      .select(explode(split(trim(col("text")), "\\s+")).as("tok"))
+      .agg(countDistinct(col("tok")).cast("double").as("v"))
+    val c12 = bigrams.groupBy(col("bg")).agg(count(lit(1)).as("c12"))
+    val c1 = bigrams
+      .select(expr("split_part(bg, ' ', 1)").as("w1"))
+      .groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+    val prob = c12
+      .withColumn("w1", expr("split_part(bg, ' ', 1)"))
+      .join(c1, Seq("w1"))
+      .crossJoin(broadcast(vocab))
+      .select(col("bg"),
+        expr("""CAST(ln((c12 + 1.0) / (c1 + v)) AS DECIMAL(18,9))""")
+          .as("lnp"))
+    bigrams.join(broadcast(prob), Seq("bg"))
+      .groupBy(col("doc_id"))
+      .agg((sum(col("lnp")).cast("double") / count(lit(1)))
+        .as("avg_logprob"),
+        count(lit(1)).as("n_bigrams"))
+      .orderBy(col("avg_logprob").desc, col("doc_id"))
+      .limit(15)
+      .select(col("doc_id"), col("n_bigrams"), col("avg_logprob"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q164_bigram_lm_score" -> (bigramLmScore _),
     "q157_bm25_topk"       -> (bm25TopDocs _),
     "q50_lang_token_stats" -> (langTokenStats _),
     "q51_quality_buckets"  -> (qualityBuckets _),
@@ -493,6 +539,31 @@ object TextQueries {
       |FROM comp ORDER BY doc_id""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // identical bigram LM: per-bigram ln through DECIMAL(18,9), per-doc
+    // DECIMAL sums (order-insensitive), one final double division
+    "q164_bigram_lm_score" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws
+        |  FROM documents),
+        |b AS (
+        |  SELECT doc_id,
+        |         unnest(list_transform(range(len(ws) - 1),
+        |                i -> ws[i + 1] || ' ' || ws[i + 2])) AS bg
+        |  FROM t WHERE len(ws) >= 2),
+        |vocab AS (
+        |  SELECT CAST(count(DISTINCT tok) AS DOUBLE) AS v
+        |  FROM (SELECT unnest(ws) AS tok FROM t)),
+        |c12 AS (SELECT bg, count(*) AS c12 FROM b GROUP BY bg),
+        |c1 AS (SELECT split_part(bg, ' ', 1) AS w1, count(*) AS c1
+        |       FROM b GROUP BY 1),
+        |prob AS (
+        |  SELECT bg, CAST(ln((c12 + 1.0) / (c1 + v)) AS DECIMAL(18,9)) AS lnp
+        |  FROM c12 JOIN c1 ON split_part(c12.bg, ' ', 1) = c1.w1, vocab)
+        |SELECT doc_id, count(*) AS n_bigrams,
+        |       CAST(sum(lnp) AS DOUBLE) / count(*) AS avg_logprob
+        |FROM b JOIN prob USING (bg)
+        |GROUP BY doc_id
+        |ORDER BY avg_logprob DESC, doc_id LIMIT 15""".stripMargin,
     // the identical Okapi BM25 arithmetic, term-by-term in the same
     // order; ln is the one non-correctly-rounded op and both engines
     // quantize it through DECIMAL(18,9) before it enters the score
