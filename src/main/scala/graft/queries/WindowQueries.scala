@@ -122,7 +122,50 @@ object WindowQueries {
       .orderBy(col("o_custkey"), col("o_totalprice").desc, col("o_orderkey"))
   }
 
+  /** q165: time-based RANGE frame — each customer's trailing-30-day
+    * spend at every order (the value-based sliding window row frames
+    * can't express: the frame is `[day-29, day]` regardless of how many
+    * orders land inside it). Both engines order by integer epoch-day,
+    * so the RANGE arithmetic is exact; sums are DECIMAL (order-free).
+    * Same one-shuffle-per-key scale shape as every window here. */
+  def trailingSpendRange(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("day"))
+      .rangeBetween(-29, Window.currentRow)
+    t(s, dir, "orders")
+      .withColumn("day", datediff(to_date(col("o_orderdate")),
+        lit("1970-01-01").cast("date")).cast("long"))
+      .withColumn("trail30",
+        sum(col("o_totalprice").cast(DecimalType(18, 2))).over(w)
+          .cast("double"))
+      .filter(col("o_custkey") < 50)
+      .select(col("o_custkey"), col("o_orderkey"), col("day"),
+        col("trail30"))
+      .orderBy(col("o_custkey"), col("day"), col("o_orderkey"))
+  }
+
+  /** q166: exact median / discrete quantiles per group — `median`
+    * (interpolated, matching DuckDB's continuous default) and
+    * `percentile(…, 0.25/0.75, discrete)` vs `quantile_disc`. Exact
+    * (sort-based) on both engines, so values hash-match without
+    * rounding. Spark's exact percentile shuffles per group — fine at
+    * 5 groups; the approximate path for wide cardinalities is q97's
+    * KLL sketch. */
+  def groupMedians(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        expr("median(o_totalprice)").as("med"),
+        expr("percentile_disc(0.25) WITHIN GROUP (ORDER BY o_totalprice)")
+          .as("q25"),
+        expr("percentile_disc(0.75) WITHIN GROUP (ORDER BY o_totalprice)")
+          .as("q75"),
+        count(lit(1)).as("n"))
+      .orderBy(col("o_orderpriority"))
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q165_trailing_range_window" -> (trailingSpendRange _),
+    "q166_group_medians"         -> (groupMedians _),
     "q135_window_topk_rule"    -> (top3PerCustomerViaRule _),
     "q96_topk_custom_op"       -> (top3PerCustomerCustomOp _),
     "q36_spend_quartiles"      -> (spendQuartiles _),
@@ -133,6 +176,28 @@ object WindowQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // integer epoch-day RANGE frame, decimal windowed sum
+    "q165_trailing_range_window" ->
+      """SELECT o_custkey, o_orderkey,
+        |       CAST(datediff('day', DATE '1970-01-01',
+        |                     CAST(o_orderdate AS DATE)) AS BIGINT) AS day,
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+        |         PARTITION BY o_custkey
+        |         ORDER BY datediff('day', DATE '1970-01-01',
+        |                           CAST(o_orderdate AS DATE))
+        |         RANGE BETWEEN 29 PRECEDING AND CURRENT ROW)
+        |       AS DOUBLE) AS trail30
+        |FROM orders WHERE o_custkey < 50
+        |ORDER BY o_custkey, day, o_orderkey""".stripMargin,
+    // exact sort-based median/quantiles on both engines
+    "q166_group_medians" ->
+      """SELECT o_orderpriority,
+        |       median(o_totalprice) AS med,
+        |       quantile_disc(o_totalprice, 0.25) AS q25,
+        |       quantile_disc(o_totalprice, 0.75) AS q75,
+        |       count(*) AS n
+        |FROM orders GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
     "q135_window_topk_rule" ->
       """SELECT o_custkey, o_orderkey, o_totalprice FROM (
         |  SELECT o_custkey, o_orderkey, o_totalprice,
