@@ -368,8 +368,46 @@ object SqlQueries {
     }
   }
 
+  /** q167: the SQL `PIVOT` clause (vs q34's DataFrame `.pivot`): order
+    * counts by year × status as columns, through the parser. The
+    * oracle restates with conditional aggregation — the relational
+    * form PIVOT desugars to on both engines. */
+  def sqlPivot(s: SparkSession, dir: String): DataFrame = {
+    val orders = view(s, dir, "orders")
+    s.sql(
+      s"""SELECT * FROM (
+         |  SELECT year(o_orderdate) AS yr, o_orderstatus FROM $orders)
+         |PIVOT (count(*) AS n FOR o_orderstatus IN ('F', 'O', 'P'))
+         |ORDER BY yr""".stripMargin)
+      .selectExpr("CAST(yr AS BIGINT) AS yr",
+        "coalesce(F, 0) AS F", "coalesce(O, 0) AS O",
+        "coalesce(P, 0) AS P")
+  }
+
+  /** q168: the SQL `UNPIVOT` clause (vs q37's `stack()`): two part
+    * metrics into (metric, value) rows through the parser, aggregated
+    * per brand × metric. */
+  def sqlUnpivot(s: SparkSession, dir: String): DataFrame = {
+    val part = view(s, dir, "part")
+    s.sql(
+      s"""SELECT p_brand, metric, count(*) AS n,
+         |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+         |         AS total
+         |FROM (
+         |  SELECT p_brand, metric, value FROM (
+         |    SELECT p_brand,
+         |           CAST(p_retailprice AS DECIMAL(18,2)) AS retailprice,
+         |           CAST(p_size AS DECIMAL(18,2)) AS size
+         |    FROM $part)
+         |  UNPIVOT (value FOR metric IN (retailprice, size)))
+         |GROUP BY p_brand, metric
+         |ORDER BY p_brand, metric""".stripMargin)
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q161_sql_scripting"      -> (sqlScripting _),
+    "q167_sql_pivot"          -> (sqlPivot _),
+    "q168_sql_unpivot"        -> (sqlUnpivot _),
     "q137_sql_components"     -> (sqlNeardupComponents _),
     "q148_sql_scalar_udf"     -> (sqlScalarUdf _),
     "q153_sql_group_by_all"   -> (sqlGroupByAll _),
@@ -394,6 +432,25 @@ object SqlQueries {
     // SQL-parser components must match the exact component structure
     "q137_sql_components" ->
       graft.queries.TextQueries.oracles("q109_neardup_components"),
+    // PIVOT desugared to conditional aggregation
+    "q167_sql_pivot" ->
+      """SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
+        |       count(*) FILTER (WHERE o_orderstatus = 'F') AS F,
+        |       count(*) FILTER (WHERE o_orderstatus = 'O') AS O,
+        |       count(*) FILTER (WHERE o_orderstatus = 'P') AS P
+        |FROM orders GROUP BY 1 ORDER BY yr""".stripMargin,
+    // UNPIVOT restated as a stacked UNION
+    "q168_sql_unpivot" ->
+      """WITH u AS (
+        |  SELECT p_brand, 'retailprice' AS metric,
+        |         CAST(p_retailprice AS DECIMAL(18,2)) AS value FROM part
+        |  UNION ALL
+        |  SELECT p_brand, 'size',
+        |         CAST(p_size AS DECIMAL(18,2)) FROM part)
+        |SELECT p_brand, metric, count(*) AS n,
+        |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM u GROUP BY p_brand, metric
+        |ORDER BY p_brand, metric""".stripMargin,
     // the script's loop unrolled: four threshold counts summed + the
     // half-max count, same arithmetic shapes (hi * i / 5.0)
     "q161_sql_scripting" ->
