@@ -104,6 +104,24 @@ private[sources] object GraftLakeSource {
       spark, new CaseInsensitiveStringMap(withMerge), paths.toList,
       effSchema, classOf[ParquetFileFormat])
   }
+
+  /** A delegate over an explicit subset of the snapshot's data dirs —
+    * the manifest-stats pruning path ([[GraftLakeStreamScanBuilder]]).
+    * The table schema pins the shape (a pruned subset may lack evolved
+    * columns' files entirely). */
+  private[sources] def delegateForDirs(spark: SparkSession, root: String,
+                                       dirs: Seq[String],
+                                       tableSchema: StructType,
+                                       options: JMap[String, String])
+      : ParquetTable = {
+    val withMerge = new java.util.HashMap[String, String](options)
+    withMerge.put("mergeSchema", "true")
+    ParquetTable(
+      s"graft-lake `$root` (stats-pruned ${dirs.size} group(s))",
+      spark, new CaseInsensitiveStringMap(withMerge),
+      dirs.map(d => new org.apache.hadoop.fs.Path(root, d).toString).toList,
+      Some(tableSchema), classOf[ParquetFileFormat])
+  }
 }
 
 /** Scan wrapper: exposes the delegate's schema and scan builder, plus —
@@ -152,7 +170,7 @@ private[sources] final class GraftLakeTable(delegate: ParquetTable,
       case Some(sr) =>
         new GraftLakeStreamScanBuilder(delegate.newScanBuilder(options),
           sr, delegate.schema,
-          options.getBoolean("ignoreChanges", false))
+          options.getBoolean("ignoreChanges", false), options)
     }
 
   /** SQL `MERGE INTO` / `UPDATE` (and non-pushable `DELETE`s) via the

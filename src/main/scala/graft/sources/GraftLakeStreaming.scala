@@ -139,19 +139,28 @@ private[sources] final class GraftLakeFileReaderFactory(
   * narrowed to ParquetScan and Scala forbids widening an override.) */
 private[sources] final class GraftLakeStreamScanBuilder(
     d: org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScanBuilder,
-    root: String, tableSchema: StructType, ignoreChanges: Boolean)
+    root: String, tableSchema: StructType, ignoreChanges: Boolean,
+    options: org.apache.spark.sql.util.CaseInsensitiveStringMap)
     extends org.apache.spark.sql.connector.read.ScanBuilder
     with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns
     with org.apache.spark.sql.internal.connector.SupportsPushDownCatalystFilters
     with org.apache.spark.sql.connector.read.SupportsPushDownAggregates
     with org.apache.spark.sql.connector.read.SupportsPushDownVariantExtractions {
 
-  override def pruneColumns(requiredSchema: StructType): Unit =
+  private var pushedExprs
+      : Seq[org.apache.spark.sql.catalyst.expressions.Expression] = Nil
+  private var requested: Option[StructType] = None
+
+  override def pruneColumns(requiredSchema: StructType): Unit = {
+    requested = Some(requiredSchema)
     d.pruneColumns(requiredSchema)
+  }
   override def pushFilters(
       filters: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
-      : Seq[org.apache.spark.sql.catalyst.expressions.Expression] =
+      : Seq[org.apache.spark.sql.catalyst.expressions.Expression] = {
+    pushedExprs = filters
     d.pushFilters(filters)
+  }
   override def pushedFilters()
       : Array[org.apache.spark.sql.connector.expressions.filter.Predicate] =
     d.pushedFilters
@@ -164,8 +173,77 @@ private[sources] final class GraftLakeStreamScanBuilder(
   override def pushVariantExtractions(
       extractions: Array[org.apache.spark.sql.connector.read.VariantExtraction])
       : Array[Boolean] = d.pushVariantExtractions(extractions)
-  override def build(): Scan =
-    new GraftLakeStreamableScan(d.build(), root, tableSchema, ignoreChanges)
+
+  /** Range/equality predicates on bare columns, translated to source
+    * filters for the stats check (Spark's own translateFilter is
+    * protected). Anything else — casts, functions, string ops — maps
+    * to None and prunes nothing: conservative by construction, and the
+    * full predicate still runs in the parquet scan regardless. */
+  private def toSourceFilter(
+      e: org.apache.spark.sql.catalyst.expressions.Expression)
+      : Option[org.apache.spark.sql.sources.Filter] = {
+    import org.apache.spark.sql.catalyst.expressions.{Attribute, Literal}
+    import org.apache.spark.sql.catalyst.{expressions => ce}
+    import org.apache.spark.sql.{sources => sf}
+    def lit(v: Any): Any = v match {
+      case d: org.apache.spark.sql.types.Decimal => Double.box(d.toDouble)
+      case other => other
+    }
+    e match {
+      case ce.EqualTo(a: Attribute, Literal(v, _)) => Some(sf.EqualTo(a.name, lit(v)))
+      case ce.EqualTo(Literal(v, _), a: Attribute) => Some(sf.EqualTo(a.name, lit(v)))
+      case ce.GreaterThan(a: Attribute, Literal(v, _)) => Some(sf.GreaterThan(a.name, lit(v)))
+      case ce.GreaterThan(Literal(v, _), a: Attribute) => Some(sf.LessThan(a.name, lit(v)))
+      case ce.GreaterThanOrEqual(a: Attribute, Literal(v, _)) => Some(sf.GreaterThanOrEqual(a.name, lit(v)))
+      case ce.GreaterThanOrEqual(Literal(v, _), a: Attribute) => Some(sf.LessThanOrEqual(a.name, lit(v)))
+      case ce.LessThan(a: Attribute, Literal(v, _)) => Some(sf.LessThan(a.name, lit(v)))
+      case ce.LessThan(Literal(v, _), a: Attribute) => Some(sf.GreaterThan(a.name, lit(v)))
+      case ce.LessThanOrEqual(a: Attribute, Literal(v, _)) => Some(sf.LessThanOrEqual(a.name, lit(v)))
+      case ce.LessThanOrEqual(Literal(v, _), a: Attribute) => Some(sf.GreaterThanOrEqual(a.name, lit(v)))
+      case ce.In(a: Attribute, vs) if vs.forall(_.isInstanceOf[Literal]) =>
+        Some(sf.In(a.name,
+          vs.map(v => lit(v.asInstanceOf[Literal].value)).toArray))
+      case ce.And(l, r) =>
+        for { lf <- toSourceFilter(l); rf <- toSourceFilter(r) }
+          yield sf.And(lf, rf)
+      case ce.Or(l, r) =>
+        for { lf <- toSourceFilter(l); rf <- toSourceFilter(r) }
+          yield sf.Or(lf, rf)
+      case _ => None
+    }
+  }
+
+  /** Manifest-level data skipping on the SQL/DSv2 read path: the pushed
+    * filters translate to source filters and file groups whose recorded
+    * min/max disprove them are dropped from the scan BEFORE any parquet
+    * footer is opened — the planning-time layer above parquet row-group
+    * pruning, same index `readWhere` uses. When pruning applies, the
+    * parquet delegate is rebuilt over the surviving paths and the
+    * recorded pushdown calls are replayed onto it. */
+  override def build(): Scan = {
+    val spark = SparkSession.active
+    val underlying = {
+      val v1 = pushedExprs.flatMap(toSourceFilter)
+      val prunedScan = for {
+        v <- LakeTable.latestVersion(spark, root)
+        if v1.nonEmpty
+        meta = LakeTable.manifestMetaAt(spark, root, v)
+        if meta.keys.exists(_.startsWith("stat:"))
+        dirs = LakeTable.dataDirsAt(spark, root, v)
+        kept = dirs.filter(dir =>
+          v1.forall(f => LakeTable.statsAdmit(meta, dir, f)))
+        if kept.size < dirs.size
+      } yield {
+        val fb = GraftLakeSource.delegateForDirs(spark, root, kept,
+          tableSchema, options).newScanBuilder(options)
+        requested.foreach(fb.pruneColumns)
+        if (pushedExprs.nonEmpty) fb.pushFilters(pushedExprs)
+        fb.build()
+      }
+      prunedScan.getOrElse(d.build())
+    }
+    new GraftLakeStreamableScan(underlying, root, tableSchema, ignoreChanges)
+  }
 }
 
 /** Scan wrapper that keeps the delegate's batch path untouched (same

@@ -109,59 +109,11 @@ private[sources] final class GraftGroupScan(
     val dirs = LakeTable.dataDirsAt(spark, root, v)
     val meta = LakeTable.manifestMetaAt(spark, root, v)
     val scan = dirs.filter { dir =>
-      filters.isEmpty || filters.forall(f => mayMatch(f, dir, meta))
+      filters.isEmpty ||
+        filters.forall(f => LakeTable.statsAdmit(meta, dir, f))
     }
     op.scannedDirs = scan
     scan
-  }
-
-  /** Conservative interval check: false ONLY when the dir's recorded
-    * [min,max] for the filter column proves no row matches. */
-  private def mayMatch(f: Filter, dir: String,
-                       meta: Map[String, String]): Boolean = {
-    def range(col: String): Option[(Double, Double)] =
-      meta.get(s"stat:$dir:$col").flatMap { s =>
-        s.split(",") match {
-          case Array(mn, mx) =>
-            scala.util.Try((mn.toDouble, mx.toDouble)).toOption
-          case _ => None
-        }
-      }
-    def num(v: Any): Option[Double] = v match {
-      case n: Number => Some(n.doubleValue())
-      case _ => None
-    }
-    f match {
-      case EqualTo(a, v) => (range(a), num(v)) match {
-        case (Some((mn, mx)), Some(d)) => d >= mn && d <= mx
-        case _ => true
-      }
-      case GreaterThan(a, v) => (range(a), num(v)) match {
-        case (Some((_, mx)), Some(d)) => mx > d
-        case _ => true
-      }
-      case GreaterThanOrEqual(a, v) => (range(a), num(v)) match {
-        case (Some((_, mx)), Some(d)) => mx >= d
-        case _ => true
-      }
-      case LessThan(a, v) => (range(a), num(v)) match {
-        case (Some((mn, _)), Some(d)) => mn < d
-        case _ => true
-      }
-      case LessThanOrEqual(a, v) => (range(a), num(v)) match {
-        case (Some((mn, _)), Some(d)) => mn <= d
-        case _ => true
-      }
-      case In(a, vs) => range(a) match {
-        case Some((mn, mx)) =>
-          val ds = vs.flatMap(num)
-          ds.length != vs.length || ds.exists(d => d >= mn && d <= mx)
-        case None => true
-      }
-      case And(l, r) => mayMatch(l, dir, meta) && mayMatch(r, dir, meta)
-      case Or(l, r)  => mayMatch(l, dir, meta) || mayMatch(r, dir, meta)
-      case _ => true // Not / string ops / null checks: keep
-    }
   }
 
   override def readSchema(): StructType = required

@@ -243,6 +243,60 @@ object LakeTable {
         statsMeta(spark, root, dir, statsCols) ++ extraMeta)
   }
 
+  /** Conservative stats check for one source filter against one dir's
+    * recorded [min,max]: false ONLY when the stats PROVE no row can
+    * match. Shared by the DSv2 scan pruning
+    * ([[GraftLakeStreamScanBuilder]]) and the row-level group-replace
+    * scan ([[GraftGroupScan]]). */
+  private[sources] def statsAdmit(
+      meta: Map[String, String], dir: String,
+      f: org.apache.spark.sql.sources.Filter): Boolean = {
+    import org.apache.spark.sql.sources._
+    def range(c: String): Option[(Double, Double)] =
+      meta.get(s"stat:$dir:$c").flatMap { s =>
+        s.split(",") match {
+          case Array(mn, mx) =>
+            scala.util.Try((mn.toDouble, mx.toDouble)).toOption
+          case _ => None
+        }
+      }
+    def num(v: Any): Option[Double] = v match {
+      case n: Number => Some(n.doubleValue())
+      case _ => None
+    }
+    f match {
+      case EqualTo(a, v) => (range(a), num(v)) match {
+        case (Some((mn, mx)), Some(d)) => d >= mn && d <= mx
+        case _ => true
+      }
+      case GreaterThan(a, v) => (range(a), num(v)) match {
+        case (Some((_, mx)), Some(d)) => mx > d
+        case _ => true
+      }
+      case GreaterThanOrEqual(a, v) => (range(a), num(v)) match {
+        case (Some((_, mx)), Some(d)) => mx >= d
+        case _ => true
+      }
+      case LessThan(a, v) => (range(a), num(v)) match {
+        case (Some((mn, _)), Some(d)) => mn < d
+        case _ => true
+      }
+      case LessThanOrEqual(a, v) => (range(a), num(v)) match {
+        case (Some((mn, _)), Some(d)) => mn <= d
+        case _ => true
+      }
+      case In(a, vs) => range(a) match {
+        case Some((mn, mx)) =>
+          val ds = vs.flatMap(v => num(v))
+          ds.length != vs.length || ds.exists(d => d >= mn && d <= mx)
+        case None => true
+      }
+      case And(l, r) => statsAdmit(meta, dir, l) && statsAdmit(meta, dir, r)
+      case Or(l, r)  => statsAdmit(meta, dir, l) || statsAdmit(meta, dir, r)
+      case _ => true // Not / string ops / null checks: keep
+    }
+  }
+
   /** File groups of the latest version whose [min,max] for `column`
     * intersects [lo, hi]; groups without stats are conservatively kept.
     * Exposed for tests/inspection — [[readWhere]] is the read path. */

@@ -188,6 +188,32 @@ class GraftLakeSourceSpec extends SparkSpec {
     }
   }
 
+  test("DSv2 read prunes file groups by manifest stats at planning time") {
+    withTable { root =>
+      import spark.implicits._
+      LakeTable.create(spark, root,
+        Seq((1L, "lo1"), (2L, "lo2")).toDF("id", "tag"),
+        statsCols = Seq("id"))
+      LakeTable.append(spark, root,
+        Seq((100L, "hi1"), (200L, "hi2")).toDF("id", "tag"),
+        statsCols = Seq("id"))
+      val dirs = LakeTable.dataDirPaths(spark, root)
+      assert(dirs.size == 2)
+      val df = spark.read.format("graft-lake").load(root)
+        .filter(col("id") >= 100L)
+      assert(df.collect().map(_.getLong(0)).sorted.toSeq == Seq(100L, 200L))
+      // the plan's file index holds ONLY the high-id group's path
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("InMemoryFileIndex(1 paths)"), plan.take(800))
+      // an unprunable predicate keeps both groups
+      val full = spark.read.format("graft-lake").load(root)
+        .filter(col("tag") =!= "x")
+      assert(full.count() == 4)
+      assert(full.queryExecution.executedPlan.toString
+        .contains("InMemoryFileIndex(2 paths)"))
+    }
+  }
+
   test("writes through the format are rejected") {
     withTable { root =>
       val nation = Tables.load(spark, sf, "nation")
