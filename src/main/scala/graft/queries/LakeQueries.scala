@@ -346,6 +346,48 @@ object LakeQueries {
     }
   }
 
+  /** q169: manifest-stats data skipping through PLAIN SQL — the DSv2
+    * read path's planning-time pruning
+    * ([[graft.sources.GraftLakeStreamScanBuilder]]): a key-clustered
+    * stats table queried with `SELECT … WHERE o_custkey BETWEEN …`
+    * through the catalog must (a) answer exactly (SQL-restatable) and
+    * (b) plan a scan whose file index holds FEWER paths than the table
+    * has groups — the pinned boolean. Unlike q133 this never calls the
+    * readWhere API: the pruning rides the ordinary SQL WHERE. */
+  def sqlStatsPruning(s: SparkSession, dir: String): DataFrame = {
+    val orders = graft.Tables.load(s, dir, "orders")
+    graft.util.Tmp.withTempDir("graft_lake_q169") { whPath =>
+      val wh = whPath.toString
+      LakeTable.createClustered(s, s"$wh/orders_t", orders, "o_custkey",
+        numGroups = 8, statsCols = Seq("o_custkey"))
+      val nGroups = LakeTable.dataDirPaths(s, s"$wh/orders_t").size
+      val cat = "lake_" +
+        java.util.UUID.randomUUID().toString.replace("-", "").take(12)
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftLakeCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+      try {
+        val q = s.sql(
+          s"""SELECT count(*) AS n,
+             |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+             |            AS DOUBLE) AS revenue
+             |FROM $cat.orders_t
+             |WHERE o_custkey BETWEEN 0 AND 99""".stripMargin)
+        val plannedPaths =
+          "InMemoryFileIndex\\((\\d+) paths?\\)".r
+            .findFirstMatchIn(q.queryExecution.executedPlan.toString)
+            .map(_.group(1).toInt)
+        val row = q.head()
+        import s.implicits._
+        Seq((row.getLong(0), row.getDouble(1),
+          plannedPaths.exists(_ < nGroups)))
+          .toDF("n", "revenue", "pruned")
+      } finally {
+        s.conf.unset(s"spark.sql.catalog.$cat")
+        s.conf.unset(s"spark.sql.catalog.$cat.warehouse")
+      }
+    }
+  }
+
   /** q134: RESTORE + DESCRIBE HISTORY under the oracle
     * ([[LakeTable.restore]] / [[LakeTable.history]]): create → append →
     * DELETE 'F' → RESTORE v2. The restore must undo the delete without
@@ -733,6 +775,7 @@ object LakeQueries {
     "q159_streaming_lake_read" -> (streamingLakeRead _),
     "q162_sql_schema_evolution" -> (sqlSchemaEvolution _),
     "q163_sql_create_ctas"     -> (sqlCreateCtas _),
+    "q169_sql_stats_pruning"   -> (sqlStatsPruning _),
     "q141_lake_checkpoint" -> (checkpointReadCounts _),
     "q151_sql_delete_dsv2" -> (sqlDeleteDsv2 _),
     "q152_sql_insert_dsv2" -> (sqlInsertDsv2 _),
@@ -781,6 +824,14 @@ object LakeQueries {
         |       (SELECT count(*) FROM orders) AS v2_rows
         |FROM final GROUP BY o_orderstatus
         |ORDER BY o_orderstatus""".stripMargin,
+    // the filtered aggregate restated; pruning pinned TRUE (8 key-range
+    // groups, a 100-key slice cannot touch them all)
+    "q169_sql_stats_pruning" ->
+      """SELECT count(*) AS n,
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |         AS revenue,
+        |       true AS pruned
+        |FROM orders WHERE o_custkey BETWEEN 0 AND 99""".stripMargin,
     // the created-inserted-derived chain, replayed from orders
     "q163_sql_create_ctas" ->
       """SELECT o_orderstatus, count(*) AS n,
