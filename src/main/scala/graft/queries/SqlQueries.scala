@@ -404,8 +404,29 @@ object SqlQueries {
          |ORDER BY p_brand, metric""".stripMargin)
   }
 
+  /** q170: partitioning-control SQL — `DISTRIBUTE BY` (hash exchange on
+    * the named key, the ETL idiom for controlling output layout) under
+    * an `/*+ REBALANCE */` hint variant, wrapped in an outer aggregate
+    * so the answer is partitioning-invariant and the oracle restates it
+    * relationally. The clauses change the EXCHANGES, not the rows —
+    * which is exactly what the oracle equality pins. */
+  def sqlDistributeBy(s: SparkSession, dir: String): DataFrame = {
+    val orders = view(s, dir, "orders")
+    s.sql(
+      s"""SELECT o_orderstatus, count(*) AS n,
+         |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+         |         AS revenue
+         |FROM (
+         |  SELECT /*+ REBALANCE(o_orderstatus) */ o_orderstatus,
+         |         o_totalprice
+         |  FROM (SELECT o_orderstatus, o_totalprice FROM $orders
+         |        DISTRIBUTE BY o_orderstatus))
+         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q161_sql_scripting"      -> (sqlScripting _),
+    "q170_sql_distribute_by"  -> (sqlDistributeBy _),
     "q167_sql_pivot"          -> (sqlPivot _),
     "q168_sql_unpivot"        -> (sqlUnpivot _),
     "q137_sql_components"     -> (sqlNeardupComponents _),
@@ -432,6 +453,13 @@ object SqlQueries {
     // SQL-parser components must match the exact component structure
     "q137_sql_components" ->
       graft.queries.TextQueries.oracles("q109_neardup_components"),
+    // the partitioning clauses change exchanges, not rows
+    "q170_sql_distribute_by" ->
+      """SELECT o_orderstatus, count(*) AS n,
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |         AS revenue
+        |FROM orders GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin,
     // PIVOT desugared to conditional aggregation
     "q167_sql_pivot" ->
       """SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,

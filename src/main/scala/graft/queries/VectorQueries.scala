@@ -205,8 +205,62 @@ object VectorQueries {
       .orderBy(col("query_id"))
   }
 
+  /** q171: IVF-PQ gate ([[graft.vector.ProductQuantizer.ivfPqTopK]] —
+    * FAISS's IVFPQ: coarse k-means lists + PQ residual codes + per-list
+    * ADC): probe 6/16 lists, take 100 candidates, exact re-rank to 10.
+    * Same gate shape as q84/q158; the threshold reflects that list
+    * probing bounds recall (a true neighbor in an unprobed list is
+    * unreachable) — measured floor 0.5 at sf0.001/0.1, gated ≥ 0.3 per
+    * query. The per-query scan fraction is what the operator buys:
+    * ~nProbe/nCentroids of the codes instead of all of them. */
+  def ivfPqRecallBound(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val q = e.filter(col("vec_id") < 5)
+    val candidates = graft.vector.ProductQuantizer.ivfPqTopK(s, q, e,
+      "vec_id", "embedding", "vec_id", "embedding", k = 100, nProbe = 6)
+      .select(col("query_id"), col("neighbor_id"))
+    val rerankD2 = expr(
+      """aggregate(zip_with(qe, ce,
+        |  (a, b) -> (CAST(a AS DOUBLE) - CAST(b AS DOUBLE))
+        |          * (CAST(a AS DOUBLE) - CAST(b AS DOUBLE))),
+        |  CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)""".stripMargin)
+    val wr = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("rd2").asc, col("neighbor_id"))
+    val pq = broadcast(candidates)
+      .join(e.select(col("vec_id").as("neighbor_id"),
+        col("embedding").as("ce")), Seq("neighbor_id"))
+      .join(broadcast(q.select(col("vec_id").as("query_id"),
+        col("embedding").as("qe"))), Seq("query_id"))
+      .withColumn("rd2", rerankD2)
+      .withColumn("rank", row_number().over(wr))
+      .filter(col("rank") <= 10)
+      .select(col("query_id"), col("neighbor_id"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("d2").asc, col("neighbor_id"))
+    val exact = broadcast(
+        q.select(col("vec_id").as("query_id"), col("embedding").as("qe")))
+      .crossJoin(e.select(col("vec_id").as("neighbor_id"),
+        col("embedding").as("ce")))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("d2", rerankD2)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 10)
+      .select(col("query_id"), col("neighbor_id"))
+    val hits = pq.join(exact, Seq("query_id", "neighbor_id"), "left_semi")
+      .groupBy(col("query_id")).agg(count(lit(1)).as("n_hits"))
+    exact.groupBy(col("query_id")).agg(count(lit(1)).as("n_exact"))
+      .join(hits, Seq("query_id"), "left_outer")
+      .select(col("query_id"), col("n_exact"),
+        (coalesce(col("n_hits"), lit(0L)).cast("double") /
+          col("n_exact") >= 0.3).as("recall_ok"))
+      .orderBy(col("query_id"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q158_pq_recall_bound" -> (pqRecallBound _),
+    "q171_ivfpq_recall_bound" -> (ivfPqRecallBound _),
     "q144_embed_quantization" -> (quantizationGate _),
     "q84_ivf_recall_bound" -> (ivfRecallBound _),
     "q60_knn_brute"        -> (knnBrute _),
@@ -227,6 +281,10 @@ object VectorQueries {
         |       true AS recall_ok
         |FROM embeddings WHERE vec_id < 5 ORDER BY query_id""".stripMargin,
     "q158_pq_recall_bound" ->
+      """SELECT vec_id AS query_id, CAST(10 AS BIGINT) AS n_exact,
+        |       true AS recall_ok
+        |FROM embeddings WHERE vec_id < 5 ORDER BY query_id""".stripMargin,
+    "q171_ivfpq_recall_bound" ->
       """SELECT vec_id AS query_id, CAST(10 AS BIGINT) AS n_exact,
         |       true AS recall_ok
         |FROM embeddings WHERE vec_id < 5 ORDER BY query_id""".stripMargin,

@@ -78,6 +78,85 @@ object ProductQuantizer {
     }
   }
 
+  /** IVF-PQ (FAISS's IVFPQ composition): a coarse k-means quantizer
+    * partitions the corpus into inverted lists, PQ codebooks are
+    * trained on RESIDUALS (v − centroid), and a query probes only its
+    * `nProbe` nearest lists, ADC-scanning each list's codes with a
+    * table built from the query's residual against THAT centroid.
+    * Corpus work per query drops to ~nProbe/nCentroids of the codes —
+    * the memory-bound ANN shape that scales past what one ADC sweep of
+    * every code can do. Scale: centroids + codebooks broadcast (KBs);
+    * encoding is one mapPartitions pass; the probe scan filters on the
+    * bucket id riding with the codes. Deterministic throughout (seeded
+    * k-means, fixed iteration caps, id tiebreaks). */
+  def ivfPqTopK(spark: SparkSession, queries: DataFrame, corpus: DataFrame,
+                qId: String, qVec: String, cId: String, cVec: String,
+                k: Int, nCentroids: Int = 16, nProbe: Int = 4, m: Int = 8,
+                kCodes: Int = 256, maxTrainSample: Int = 4096): DataFrame = {
+    import spark.implicits._
+    val train = corpus
+      .select(col(cId).cast("long"), col(cVec)).as[(Long, Array[Float])]
+      .orderBy(col(cId)).limit(maxTrainSample).collect()
+      .map { case (id, v) => (id, v.map(_.toDouble)) }
+    val centroids = KMeansIvf.fitCentroids(train, nCentroids)
+    def residual(v: Array[Double], c: Int): Array[Double] = {
+      val cent = centroids(c)
+      Array.tabulate(v.length)(i => v(i) - cent(i))
+    }
+    val residualSample = train.map { case (id, v) =>
+      (id, residual(v, KMeansIvf.nearest(centroids, v)))
+    }
+    val codebooks = fitCodebooks(residualSample, m, kCodes)
+    val bcCent = spark.sparkContext.broadcast(centroids)
+    val bcBooks = spark.sparkContext.broadcast(codebooks)
+
+    val coded = corpus
+      .select(col(cId).cast("long"), col(cVec)).as[(Long, Array[Float])]
+      .mapPartitions { it =>
+        val cents = bcCent.value; val books = bcBooks.value
+        it.map { case (id, v) =>
+          val vd = v.map(_.toDouble)
+          val b = KMeansIvf.nearest(cents, vd)
+          val cent = cents(b)
+          val res = Array.tabulate(vd.length)(i => vd(i) - cent(i))
+          (id, b, encode(books, res))
+        }
+      }.toDF("neighbor_id", "bucket", "codes")
+
+    // per query: the probed buckets, each with its own residual table
+    val probes = queries
+      .select(col(qId).cast("long"), col(qVec)).as[(Long, Array[Float])]
+      .collect()
+      .flatMap { case (id, v) =>
+        val vd = v.map(_.toDouble)
+        KMeansIvf.nearestN(centroids, vd, nProbe).map { b =>
+          (id, b, distanceTable(codebooks, residual(vd, b)))
+        }
+      }
+    val bcProbes = spark.sparkContext.broadcast(probes)
+
+    val scored = coded.as[(Long, Int, Array[Byte])].mapPartitions { it =>
+      val ps = bcProbes.value
+      it.flatMap { case (nid, bucket, codes) =>
+        ps.iterator.collect {
+          case (qid, b, table) if b == bucket && qid != nid =>
+            var d2 = 0.0; var s = 0
+            while (s < codes.length) {
+              d2 += table(s)(codes(s) & 0xff); s += 1
+            }
+            (qid, nid, d2)
+        }
+      }
+    }.toDF("query_id", "neighbor_id", "approx_d2")
+
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("approx_d2").asc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("neighbor_id"), col("approx_d2"))
+  }
+
   /** Approximate squared-L2 top-k by ADC over PQ codes: encode the
     * corpus once, broadcast the per-query distance tables, stream the
     * codes. Ascending distance, ties by neighbor id. */
