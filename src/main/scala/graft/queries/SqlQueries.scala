@@ -424,8 +424,64 @@ object SqlQueries {
          |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
   }
 
+  /** q172: string collations (Spark 4 `COLLATE UTF8_LCASE`) — grouping
+    * merges case variants under the collation while aggregates over the
+    * raw column stay binary, so the representative (`min`, binary
+    * order) and the variant count are deterministic. A parity-keyed
+    * case flip manufactures the mixed-case data; the oracle restates
+    * the collation as `lower()` grouping. */
+  def sqlCollation(s: SparkSession, dir: String): DataFrame = {
+    val orders = view(s, dir, "orders")
+    s.sql(
+      s"""WITH t AS (
+         |  SELECT CASE WHEN o_orderkey % 2 = 0
+         |              THEN upper(o_orderpriority)
+         |              ELSE lower(o_orderpriority) END AS pr
+         |  FROM $orders)
+         |SELECT min(pr) AS repr, count(*) AS n,
+         |       count(DISTINCT pr) AS n_variants
+         |FROM t GROUP BY pr COLLATE UTF8_LCASE
+         |ORDER BY repr""".stripMargin)
+  }
+
+  /** q173: Hive-style `LATERAL VIEW` generators through the parser —
+    * `explode` over the tokenized part type plus `posexplode` keeping
+    * ordinals; the modern LATERAL/`explode()`-in-FROM forms are q145/
+    * q149's territory, this is the legacy spelling ETL code ships. */
+  def sqlLateralView(s: SparkSession, dir: String): DataFrame = {
+    val part = view(s, dir, "part")
+    s.sql(
+      s"""SELECT tok, count(*) AS n,
+         |       CAST(min(pos) AS BIGINT) AS first_pos
+         |FROM $part
+         |LATERAL VIEW posexplode(split(p_type, ' ')) x AS pos, tok
+         |GROUP BY tok ORDER BY n DESC, tok LIMIT 20""".stripMargin)
+  }
+
+  /** q174: null-safe equality join (`<=>`): NULL keys match each other
+    * (one join row per order even for the nulled-out priority class),
+    * which a plain equi-join drops. DuckDB spells the same operator
+    * `IS NOT DISTINCT FROM`. */
+  def sqlNullSafeJoin(s: SparkSession, dir: String): DataFrame = {
+    val orders = view(s, dir, "orders")
+    s.sql(
+      s"""WITH f AS (
+         |  SELECT nullif(o_orderpriority, '1-URGENT') AS pr,
+         |         o_totalprice
+         |  FROM $orders),
+         |d AS (SELECT DISTINCT pr FROM f)
+         |SELECT coalesce(d.pr, '<null>') AS pr, count(*) AS n,
+         |       CAST(sum(CAST(f.o_totalprice AS DECIMAL(18,2)))
+         |            AS DOUBLE) AS revenue
+         |FROM f JOIN d ON f.pr <=> d.pr
+         |GROUP BY d.pr ORDER BY pr""".stripMargin)
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q161_sql_scripting"      -> (sqlScripting _),
+    "q172_sql_collation"      -> (sqlCollation _),
+    "q173_sql_lateral_view"   -> (sqlLateralView _),
+    "q174_sql_nullsafe_join"  -> (sqlNullSafeJoin _),
     "q170_sql_distribute_by"  -> (sqlDistributeBy _),
     "q167_sql_pivot"          -> (sqlPivot _),
     "q168_sql_unpivot"        -> (sqlUnpivot _),
@@ -453,6 +509,35 @@ object SqlQueries {
     // SQL-parser components must match the exact component structure
     "q137_sql_components" ->
       graft.queries.TextQueries.oracles("q109_neardup_components"),
+    // the collation restated as lower() grouping
+    "q172_sql_collation" ->
+      """WITH t AS (
+        |  SELECT CASE WHEN o_orderkey % 2 = 0
+        |              THEN upper(o_orderpriority)
+        |              ELSE lower(o_orderpriority) END AS pr
+        |  FROM orders)
+        |SELECT min(pr) AS repr, count(*) AS n,
+        |       count(DISTINCT pr) AS n_variants
+        |FROM t GROUP BY lower(pr)
+        |ORDER BY repr""".stripMargin,
+    // LATERAL VIEW posexplode as DuckDB's zipped parallel unnests
+    "q173_sql_lateral_view" ->
+      """WITH t AS (SELECT string_split(p_type, ' ') AS ws FROM part),
+        |x AS (SELECT unnest(ws) AS tok,
+        |             unnest(range(len(ws))) AS pos FROM t)
+        |SELECT tok, count(*) AS n, CAST(min(pos) AS BIGINT) AS first_pos
+        |FROM x GROUP BY tok ORDER BY n DESC, tok LIMIT 20""".stripMargin,
+    // <=> is IS NOT DISTINCT FROM
+    "q174_sql_nullsafe_join" ->
+      """WITH f AS (
+        |  SELECT nullif(o_orderpriority, '1-URGENT') AS pr, o_totalprice
+        |  FROM orders),
+        |d AS (SELECT DISTINCT pr FROM f)
+        |SELECT coalesce(d.pr, '<null>') AS pr, count(*) AS n,
+        |       CAST(sum(CAST(f.o_totalprice AS DECIMAL(18,2)))
+        |            AS DOUBLE) AS revenue
+        |FROM f JOIN d ON f.pr IS NOT DISTINCT FROM d.pr
+        |GROUP BY d.pr ORDER BY pr""".stripMargin,
     // the partitioning clauses change exchanges, not rows
     "q170_sql_distribute_by" ->
       """SELECT o_orderstatus, count(*) AS n,
