@@ -84,6 +84,26 @@ object Multimodal {
     media.mapPartitions(_.map(decodeStub))
   }
 
+  /** Thumbnail resize planning: aspect-preserving integer downscale to
+    * `target` on the long side (no-op when already within bounds). Pure
+    * integer arithmetic — `floor(dim * target / maxSide)` — so the
+    * output dims are exactly restatable cross-engine. In production the
+    * same mapPartitions pass would hold the pixel resample; here the
+    * decode is the documented stub, and the resize math (the part a
+    * pipeline gets wrong: rounding, degenerate 1-pixel dims, upscale
+    * avoidance) is the tested surface. */
+  def resizePlan(media: Dataset[MediaRow], target: Int): DataFrame = {
+    import media.sparkSession.implicits._
+    decodeAll(media).map { f =>
+      val m = math.max(f.width, f.height)
+      val (ow, oh) =
+        if (m <= target) (f.width, f.height)
+        else (math.max(1, f.width * target / m),
+              math.max(1, f.height * target / m))
+      (f.media_id, f.kind, f.width, f.height, ow, oh)
+    }.toDF("media_id", "kind", "width", "height", "out_w", "out_h")
+  }
+
   /** Frame sampling for video assets: every strideth 16-byte chunk of
     * the payload becomes a "frame" (binary). Real pipelines would emit
     * decoded frames; the chunking/explode plumbing is the same. */

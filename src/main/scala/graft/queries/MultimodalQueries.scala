@@ -37,12 +37,57 @@ object MultimodalQueries {
       .orderBy(col("media_id"))
   }
 
+  /** q175: thumbnail resize planning over the decoded dims
+    * ([[Multimodal.resizePlan]] — aspect-preserving integer downscale to
+    * 64 on the long side). The stub's width/height derive from the
+    * first two payload bytes, which for this ASCII corpus are the first
+    * two characters — so DuckDB restates the whole decode+resize chain
+    * with `ord(substr(text, …))` and integer division, and the oracle
+    * pins the rounding/no-upscale/degenerate-dim rules exactly. */
+  def mediaResizePlan(s: SparkSession, dir: String): DataFrame =
+    Multimodal.resizePlan(Multimodal.syntheticMediaTable(s, dir), 64)
+      .groupBy(col("kind"))
+      .agg(count(lit(1)).as("n"),
+        sum((col("out_w") * col("out_h")).cast("long")).as("thumb_pixels"),
+        max(col("out_w")).cast("long").as("max_w"),
+        max(col("out_h")).cast("long").as("max_h"),
+        sum(when(col("out_w") === col("width"), 1L).otherwise(0L))
+          .as("n_unscaled"))
+      .orderBy(col("kind"))
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q73_media_kind_stats"  -> (mediaKindStats _),
-    "q74_video_frame_sample" -> (videoFrameSample _)
+    "q74_video_frame_sample" -> (videoFrameSample _),
+    "q175_media_resize_plan" -> (mediaResizePlan _)
   )
 
   val oracles: Map[String, String] = Map(
+    // decode stub (width = 16 + byte0 % 240, height = 16 + byte1 % 240)
+    // + integer resize, byte i = ord of char (i % len) + 1 (ASCII corpus)
+    "q175_media_resize_plan" ->
+      """WITH d AS (
+        |  SELECT ['image','audio','video'][CAST(doc_id % 3 + 1 AS INT)]
+        |           AS kind,
+        |         16 + (CASE WHEN length(text) = 0 THEN 0
+        |               ELSE ord(substr(text, 1, 1)) END) % 240 AS w,
+        |         16 + (CASE WHEN length(text) = 0 THEN 0
+        |               ELSE ord(substr(text, (1 % length(text)) + 1, 1))
+        |               END) % 240 AS h
+        |  FROM documents),
+        |r AS (
+        |  SELECT kind, w, h,
+        |         CASE WHEN greatest(w, h) <= 64 THEN w
+        |              ELSE greatest(1, (w * 64) // greatest(w, h)) END AS ow,
+        |         CASE WHEN greatest(w, h) <= 64 THEN h
+        |              ELSE greatest(1, (h * 64) // greatest(w, h)) END AS oh
+        |  FROM d)
+        |SELECT kind, count(*) AS n,
+        |       CAST(sum(ow * oh) AS BIGINT) AS thumb_pixels,
+        |       CAST(max(ow) AS BIGINT) AS max_w,
+        |       CAST(max(oh) AS BIGINT) AS max_h,
+        |       CAST(sum(CASE WHEN ow = w THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_unscaled
+        |FROM r GROUP BY kind ORDER BY kind""".stripMargin,
     "q73_media_kind_stats" ->
       """SELECT ['image','audio','video'][CAST(doc_id % 3 + 1 AS INT)] AS kind,
         |       count(*) AS n_assets,
