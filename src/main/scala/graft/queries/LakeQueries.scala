@@ -388,6 +388,44 @@ object LakeQueries {
     }
   }
 
+  /** q176: `TIMESTAMP AS OF` time travel
+    * ([[graft.sources.GraftLakeCatalog]] resolves the newest version
+    * committed at or before the timestamp via manifest mtimes): a
+    * two-version table read at a between-commits instant (captured at
+    * build time) must see ONLY version 1, and at a far-future instant
+    * the latest — both restatable from `orders`. The between-commit
+    * counts are what pin the mtime resolution; the far-future read pins
+    * the latest-wins rule. */
+  def sqlTimestampAsOf(s: SparkSession, dir: String): DataFrame = {
+    val orders = graft.Tables.load(s, dir, "orders")
+    graft.util.Tmp.withTempDir("graft_lake_q176") { whPath =>
+      val wh = whPath.toString
+      LakeTable.create(s, s"$wh/orders_t",
+        orders.filter(to_date(col("o_orderdate")) < lit("1996-01-01")))
+      Thread.sleep(30)
+      val betweenIso = java.time.Instant
+        .ofEpochMilli(System.currentTimeMillis()).toString
+      Thread.sleep(30)
+      LakeTable.append(s, s"$wh/orders_t",
+        orders.filter(to_date(col("o_orderdate")) >= lit("1996-01-01")))
+      val cat = "lake_" +
+        java.util.UUID.randomUUID().toString.replace("-", "").take(12)
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftLakeCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+      try {
+        graft.util.LocalFrame.materialize(s.sql(
+          s"""SELECT
+             |  (SELECT count(*) FROM $cat.orders_t
+             |   TIMESTAMP AS OF '$betweenIso') AS v1_rows,
+             |  (SELECT count(*) FROM $cat.orders_t
+             |   TIMESTAMP AS OF '2999-01-01') AS latest_rows""".stripMargin))
+      } finally {
+        s.conf.unset(s"spark.sql.catalog.$cat")
+        s.conf.unset(s"spark.sql.catalog.$cat.warehouse")
+      }
+    }
+  }
+
   /** q134: RESTORE + DESCRIBE HISTORY under the oracle
     * ([[LakeTable.restore]] / [[LakeTable.history]]): create → append →
     * DELETE 'F' → RESTORE v2. The restore must undo the delete without
@@ -776,6 +814,7 @@ object LakeQueries {
     "q162_sql_schema_evolution" -> (sqlSchemaEvolution _),
     "q163_sql_create_ctas"     -> (sqlCreateCtas _),
     "q169_sql_stats_pruning"   -> (sqlStatsPruning _),
+    "q176_sql_timestamp_as_of" -> (sqlTimestampAsOf _),
     "q141_lake_checkpoint" -> (checkpointReadCounts _),
     "q151_sql_delete_dsv2" -> (sqlDeleteDsv2 _),
     "q152_sql_insert_dsv2" -> (sqlInsertDsv2 _),
@@ -824,6 +863,12 @@ object LakeQueries {
         |       (SELECT count(*) FROM orders) AS v2_rows
         |FROM final GROUP BY o_orderstatus
         |ORDER BY o_orderstatus""".stripMargin,
+    // between-commits sees the pre-1996 snapshot; far-future the whole
+    "q176_sql_timestamp_as_of" ->
+      """SELECT
+        |  (SELECT count(*) FROM orders
+        |   WHERE CAST(o_orderdate AS DATE) < DATE '1996-01-01') AS v1_rows,
+        |  (SELECT count(*) FROM orders) AS latest_rows""".stripMargin,
     // the filtered aggregate restated; pruning pinned TRUE (8 key-range
     // groups, a 100-key slice cannot touch them all)
     "q169_sql_stats_pruning" ->

@@ -94,6 +94,13 @@ final class GraftLakeCatalog extends TableCatalog {
   override def loadTable(ident: Identifier, version: String): Table =
     load(ident, Some(version.toInt))
 
+  /** `TIMESTAMP AS OF t` — resolves to the newest version whose commit
+    * (manifest mtime) is at or before `t`
+    * ([[LakeTable.versionAtTimestamp]]); micros from Spark's parser. */
+  override def loadTable(ident: Identifier, timestampMicros: Long): Table =
+    load(ident, Some(LakeTable.versionAtTimestamp(
+      SparkSession.active, rootOf(ident), timestampMicros)))
+
   override def tableExists(ident: Identifier): Boolean =
     try { LakeTable.latestVersion(SparkSession.active, rootOf(ident)).nonEmpty }
     catch { case _: IllegalArgumentException => false }

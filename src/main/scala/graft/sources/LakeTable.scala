@@ -52,6 +52,27 @@ object LakeTable {
   def latestVersion(spark: SparkSession, root: String): Option[Int] =
     versions(spark, root).lastOption
 
+  /** The newest version committed at or before `tsMicros` (commit time
+    * = the manifest file's modification time — set by the atomic
+    * rename, monotone under the single-writer protocol). Fails fast
+    * with the available range when the timestamp predates the table. */
+  def versionAtTimestamp(spark: SparkSession, root: String,
+                         tsMicros: Long): Int = {
+    val f = fs(spark, root)
+    val committed = versions(spark, root).map { v =>
+      (v, f.getFileStatus(manifestPath(root, v)).getModificationTime)
+    }
+    if (committed.isEmpty)
+      throw new IllegalStateException(s"no table at $root")
+    val tsMillis = tsMicros / 1000L
+    committed.filter(_._2 <= tsMillis).map(_._1).lastOption.getOrElse {
+      throw new IllegalArgumentException(
+        s"timestamp ${java.time.Instant.ofEpochMilli(tsMillis)} predates " +
+        s"the table at $root (first commit at ${java.time.Instant
+          .ofEpochMilli(committed.head._2)})")
+    }
+  }
+
   private def readManifestLines(spark: SparkSession, root: String,
                                 v: Int): Seq[String] = {
     val f = fs(spark, root)

@@ -229,6 +229,33 @@ class GraftLakeCatalogSpec extends SparkSpec {
     }
   }
 
+  test("TIMESTAMP AS OF resolves to the version committed at or before it") {
+    withWarehouse("lakeK") { wh =>
+      import spark.implicits._
+      LakeTable.create(spark, s"$wh/t1", Seq((1L, "a")).toDF("id", "tag"))
+      Thread.sleep(30)
+      val betweenMs = System.currentTimeMillis()
+      Thread.sleep(30)
+      LakeTable.append(spark, s"$wh/t1", Seq((2L, "b")).toDF("id", "tag"))
+      val between = java.time.Instant.ofEpochMilli(betweenMs).toString
+      assert(spark.sql(
+        s"SELECT count(*) FROM lakeK.t1 TIMESTAMP AS OF '$between'")
+        .head.getLong(0) == 1)
+      // a far-future timestamp reads the latest snapshot
+      assert(spark.sql(
+        "SELECT count(*) FROM lakeK.t1 TIMESTAMP AS OF '2999-01-01'")
+        .head.getLong(0) == 2)
+      // a pre-creation timestamp fails fast, naming the first commit
+      val ex = intercept[Exception] {
+        spark.sql(
+          "SELECT * FROM lakeK.t1 TIMESTAMP AS OF '1999-01-01'").collect()
+      }
+      def msgs(t: Throwable): Seq[String] =
+        if (t == null) Nil else String.valueOf(t.getMessage) +: msgs(t.getCause)
+      assert(msgs(ex).exists(_.contains("predates")))
+    }
+  }
+
   test("SQL DELETE commits copy-on-write; time travel keeps history") {
     withWarehouse("lakeD") { wh =>
       LakeTable.create(spark, s"$wh/t1", Tables.load(spark, sf, "nation"))
