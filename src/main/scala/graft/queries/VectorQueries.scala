@@ -258,8 +258,60 @@ object VectorQueries {
       .orderBy(col("query_id"))
   }
 
+  /** q177: MMR diversity re-ranking gate
+    * ([[VectorFunctions.mmrSelect]], λ=0.7): the distributed stage
+    * produces each query's top-20 cosine pool (q60's pipeline), the
+    * bounded greedy picks 10, and the gates pin what MMR guarantees —
+    * the selection is 10 distinct pool members led by the most-relevant
+    * candidate, and its mean pairwise similarity does not exceed the
+    * plain top-10's (strict diversity gain whenever any swap happened).
+    * All arithmetic deterministic → the booleans are stable and the
+    * oracle states them as constants (q84's pattern). */
+  def mmrDiversityGate(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val q = e.filter(col("vec_id") < 5)
+    val pool = VectorFunctions.bruteForceTopK(q, e,
+      "vec_id", "embedding", "vec_id", "embedding", k = 20)
+      .join(e.select(col("vec_id").as("neighbor_id"),
+        col("embedding").as("nv")), Seq("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), col("sim"), col("nv"))
+      .collect()
+      .groupBy(_.getAs[Long]("query_id"))
+      .view.mapValues(_.map(r => (r.getAs[Long]("neighbor_id"),
+        r.getAs[Double]("sim"),
+        r.getAs[scala.collection.Seq[Float]]("nv").map(_.toDouble).toArray))
+        .sortBy(c => (-c._2, c._1)).toSeq).toMap
+    def meanPairSim(ids: Seq[Long], all: Map[Long, Array[Double]]): Double = {
+      val vs = ids.sorted.map(all)
+      val pairs = for {
+        i <- vs.indices; j <- (i + 1) until vs.size
+      } yield {
+        val (a, b) = (vs(i), vs(j))
+        var dot = 0.0; var na = 0.0; var nb = 0.0; var d = 0
+        while (d < a.length) {
+          dot += a(d) * b(d); na += a(d) * a(d); nb += b(d) * b(d); d += 1
+        }
+        dot / math.sqrt(na * nb)
+      }
+      pairs.sum / pairs.size
+    }
+    import s.implicits._
+    pool.keys.toSeq.sorted.map { qid =>
+      val cands = pool(qid)
+      val byId = cands.map(c => c._1 -> c._3).toMap
+      val mmr = VectorFunctions.mmrSelect(cands, k = 10, lambda = 0.7)
+      val plain = cands.take(10).map(_._1)
+      (qid, mmr.size.toLong,
+        mmr.distinct.size == 10 && mmr.forall(byId.contains) &&
+          mmr.head == plain.head,
+        meanPairSim(mmr, byId) <= meanPairSim(plain, byId) + 1e-12)
+    }.toDF("query_id", "n_selected", "selection_ok", "diversity_ok")
+      .orderBy(col("query_id"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q158_pq_recall_bound" -> (pqRecallBound _),
+    "q177_mmr_diversity"   -> (mmrDiversityGate _),
     "q171_ivfpq_recall_bound" -> (ivfPqRecallBound _),
     "q144_embed_quantization" -> (quantizationGate _),
     "q84_ivf_recall_bound" -> (ivfRecallBound _),
@@ -287,6 +339,10 @@ object VectorQueries {
     "q171_ivfpq_recall_bound" ->
       """SELECT vec_id AS query_id, CAST(10 AS BIGINT) AS n_exact,
         |       true AS recall_ok
+        |FROM embeddings WHERE vec_id < 5 ORDER BY query_id""".stripMargin,
+    "q177_mmr_diversity" ->
+      """SELECT vec_id AS query_id, CAST(10 AS BIGINT) AS n_selected,
+        |       true AS selection_ok, true AS diversity_ok
         |FROM embeddings WHERE vec_id < 5 ORDER BY query_id""".stripMargin,
     "q60_knn_brute" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding AS qe

@@ -18,6 +18,43 @@ import org.apache.spark.sql.functions._
   */
 object VectorFunctions {
 
+  /** Maximal Marginal Relevance re-ranking (Carbonell & Goldstein,
+    * SIGIR'98): greedily build a k-subset of a candidate pool that
+    * trades relevance against redundancy — score(c) = λ·rel(c) −
+    * (1−λ)·max_{s∈selected} sim(c, s). The pool is BOUNDED (top-N from
+    * an ANN/exact stage), so the greedy loop is driver-side over ≤ N
+    * items per query — the distributed work is producing the pool, the
+    * same split every RAG pipeline uses. Deterministic: sequential
+    * double accumulation, ties broken by lower candidate id. */
+  def mmrSelect(candidates: Seq[(Long, Double, Array[Double])], k: Int,
+                lambda: Double): Seq[Long] = {
+    val pool = scala.collection.mutable.LinkedHashMap(
+      candidates.map(c => c._1 -> c): _*)
+    val selected = scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Double])]
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
+      }
+      if (na == 0 || nb == 0) 0.0 else dot / math.sqrt(na * nb)
+    }
+    while (selected.size < k && pool.nonEmpty) {
+      var bestId = -1L; var bestScore = Double.NegativeInfinity
+      for ((id, (_, rel, v)) <- pool) {
+        val redundancy =
+          if (selected.isEmpty) 0.0
+          else selected.iterator.map(s => cos(v, s._2)).max
+        val score = lambda * rel - (1.0 - lambda) * redundancy
+        if (score > bestScore || (score == bestScore && id < bestId)) {
+          bestScore = score; bestId = id
+        }
+      }
+      val picked = pool.remove(bestId).get
+      selected += ((bestId, picked._3))
+    }
+    selected.map(_._1).toSeq
+  }
+
   /** Σ aᵢ·bᵢ in double precision, sequential element order. */
   def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
