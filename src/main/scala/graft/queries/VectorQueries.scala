@@ -309,8 +309,38 @@ object VectorQueries {
       .orderBy(col("query_id"))
   }
 
+  /** q178: embedding-cosine near-dup DEDUP end to end — the embedding
+    * modality's analog of q109's text pipeline: exact ≥0.42 cosine
+    * pairs (all-pairs here; the LSH-bucketed path is q63's territory),
+    * connected components by min-label propagation
+    * ([[graft.dedup.Components.connectedComponents]]), and the
+    * keep-first rule — a vector survives iff it IS its component's
+    * label (unclustered vectors are their own). DuckDB rebuilds the
+    * identical clustering with a recursive CTE; both engines compute
+    * cosine as sequential double dot products, so the threshold set
+    * matches exactly. */
+  def embedDedupSurvivors(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val pairs = e.select(col("vec_id").as("id_a"), col("embedding").as("va"))
+      .crossJoin(e.select(col("vec_id").as("id_b"), col("embedding").as("vb")))
+      .filter(col("id_a") < col("id_b"))
+      .filter(VectorFunctions.cosine(col("va"), col("vb")) >= 0.42)
+      .select(col("id_a"), col("id_b"))
+    val comp = graft.dedup.Components
+      .connectedComponents(pairs, "id_a", "id_b")
+      .select(col("id").as("vec_id"), col("lbl").as("component"))
+    e.select(col("vec_id"))
+      .join(comp, Seq("vec_id"), "left_outer")
+      .select(col("vec_id"),
+        coalesce(col("component"), col("vec_id")).as("component"),
+        (coalesce(col("component"), col("vec_id")) === col("vec_id"))
+          .as("survivor"))
+      .orderBy(col("vec_id"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q158_pq_recall_bound" -> (pqRecallBound _),
+    "q178_embed_dedup"     -> (embedDedupSurvivors _),
     "q177_mmr_diversity"   -> (mmrDiversityGate _),
     "q171_ivfpq_recall_bound" -> (ivfPqRecallBound _),
     "q144_embed_quantization" -> (quantizationGate _),
@@ -344,6 +374,30 @@ object VectorQueries {
       """SELECT vec_id AS query_id, CAST(10 AS BIGINT) AS n_selected,
         |       true AS selection_ok, true AS diversity_ok
         |FROM embeddings WHERE vec_id < 5 ORDER BY query_id""".stripMargin,
+    // identical clustering rebuilt with a recursive CTE; survivors are
+    // the component labels (min id), unclustered ids their own
+    "q178_embed_dedup" ->
+      """WITH RECURSIVE p AS (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |  WHERE list_cosine_similarity(a.embedding::DOUBLE[],
+        |                               b.embedding::DOUBLE[]) >= 0.42),
+        |e AS (SELECT id_a AS src, id_b AS dst FROM p
+        |      UNION SELECT id_b, id_a FROM p),
+        |n AS (SELECT DISTINCT src AS id FROM e),
+        |reach(id, lbl) AS (
+        |  SELECT id, id FROM n
+        |  UNION
+        |  SELECT e.dst, r.lbl FROM reach r JOIN e ON e.src = r.id),
+        |comp AS (SELECT id AS vec_id, min(lbl) AS component
+        |         FROM reach GROUP BY id)
+        |SELECT emb.vec_id,
+        |       CAST(coalesce(comp.component, emb.vec_id) AS BIGINT)
+        |         AS component,
+        |       coalesce(comp.component, emb.vec_id) = emb.vec_id
+        |         AS survivor
+        |FROM embeddings emb LEFT JOIN comp ON emb.vec_id = comp.vec_id
+        |ORDER BY emb.vec_id""".stripMargin,
     "q60_knn_brute" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding AS qe
         |           FROM embeddings WHERE vec_id < 5),
