@@ -85,8 +85,28 @@ object GraftFunctions {
     "cms_estimate" -> (exprs => {
       arity("cms_estimate", exprs, 2)
       CmsEstimate(exprs(0), exprs(1))
+    }),
+    "strip_accents" -> (exprs => {
+      arity("strip_accents", exprs, 1)
+      StripAccentsExpr(exprs(0))
+    }),
+    "unicode_normalize" -> (exprs => {
+      arity("unicode_normalize", exprs, 2)
+      NormalizeExpr(exprs(0), litString("unicode_normalize", exprs(1)))
     })
   )
+
+  /** Form selectors arrive as SQL string literals and must fold at
+    * analysis time — a per-row form would defeat the static dispatch. */
+  private def litString(name: String, e: Expression): String = {
+    if (!e.foldable)
+      throw new IllegalArgumentException(s"$name form must be a literal")
+    e.eval() match {
+      case s: org.apache.spark.unsafe.types.UTF8String => s.toString
+      case other => throw new IllegalArgumentException(
+        s"$name form must be a string literal, got $other")
+    }
+  }
 
   /** Register on an existing session (temp functions, this session only). */
   def register(spark: SparkSession): Unit =

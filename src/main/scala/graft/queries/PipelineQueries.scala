@@ -233,7 +233,68 @@ object PipelineQueries {
       .orderBy(col("lang"))
   }
 
+  /** q180: PageRank over the customer–supplier co-purchase graph — the
+    * domain/source authority signal web-corpus curation ranks crawl
+    * domains by (CommonCrawl-style harmonic/PageRank centrality feeding
+    * quality weights). Graph: distinct (custkey, suppkey) pairs from
+    * lineitem⋈orders, undirected (both directions materialized), nodes
+    * namespaced custkey*2 / suppkey*2+1. Three power iterations at
+    * damping 0.85, exactly the distributed shape a 1000-executor run
+    * needs: the static edge list + degree table are computed once and
+    * reused; each round is one edge⋈rank join and one shuffle-by-dst
+    * aggregation; `localCheckpoint` truncates the growing lineage per
+    * round (the iterative-algorithm pattern — without it, round k
+    * replans rounds 1..k-1). Cross-engine determinism: ranks live in
+    * SCALED-INTEGER space (×10⁹) — each edge contribution is
+    * `floor(rank_s/deg + 0.5)` (fixed-order double ops + floor, bit-
+    * identical on any IEEE engine, unlike DECIMAL casts whose half-up
+    * vs half-even rounding diverged at the 9th decimal when first built
+    * on the DECIMAL(18,9) rule), per-node sums are exact BIGINT adds
+    * (order-insensitive), damping re-quantizes the same way each round.
+    * The oracle unrolls all three iterations as CTEs. */
+  def domainPagerank(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_suppkey"))
+    val ord = Tables.load(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"))
+    val pairs = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .select((col("o_custkey") * 2).as("c"),
+        (col("l_suppkey") * 2 + 1).as("p"))
+      .distinct()
+    val edges = pairs.select(col("c").as("src"), col("p").as("dst"))
+      .union(pairs.select(col("p").as("src"), col("c").as("dst")))
+      .localCheckpoint()
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+      .localCheckpoint()
+    val nRow = deg.agg(count(lit(1)).cast("double").as("n"))
+    var rank = deg.crossJoin(broadcast(nRow))
+      .select(col("src").as("id"),
+        expr("CAST(floor(1e9 / n + 0.5) AS BIGINT)").as("rank_s"))
+    for (_ <- 1 to 3) {
+      val contrib = edges
+        .join(rank, edges("src") === rank("id"))
+        .join(deg, Seq("src"))
+        .select(col("dst"),
+          expr("CAST(floor(CAST(rank_s AS DOUBLE) / deg + 0.5) AS BIGINT)")
+            .as("contrib"))
+      rank = contrib.groupBy(col("dst")).agg(sum(col("contrib")).as("s"))
+        .crossJoin(broadcast(nRow))
+        .select(col("dst").as("id"),
+          expr("CAST(floor(0.15 * 1e9 / n + 0.85 * CAST(s AS DOUBLE) + 0.5) AS BIGINT)")
+            .as("rank_s"))
+        .localCheckpoint()
+    }
+    rank.join(deg.withColumnRenamed("src", "id"), Seq("id"))
+      .select(col("id").as("node_id"),
+        when(col("id") % 2 === 0, "cust").otherwise("supp").as("node_type"),
+        col("deg").as("degree"),
+        (col("rank_s").cast("double") / lit(1e9)).as("pagerank"))
+      .orderBy(col("pagerank").desc, col("node_id"))
+      .limit(20)
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q180_domain_pagerank"     -> (domainPagerank _),
     "q123_hash_split"          -> (hashSplit _),
     "q124_source_mixture"      -> (sourceMixture _),
     "q125_dedup_repetition"    -> (dedupRepetition _),
@@ -244,6 +305,53 @@ object PipelineQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // q180: the three power iterations unrolled as CTEs; ranks in
+    // scaled-integer space (×1e9) — floor(x+0.5) quantization in pure
+    // double ops, exact BIGINT sums — identical rule to the Spark loop,
+    // so values match bit-for-bit.
+    "q180_domain_pagerank" ->
+      """WITH pairs AS (
+        |  SELECT DISTINCT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS p
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |e AS (SELECT c AS src, p AS dst FROM pairs
+        |      UNION ALL SELECT p, c FROM pairs),
+        |deg AS (SELECT src, count(*) AS deg FROM e GROUP BY src),
+        |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM deg),
+        |r0 AS (SELECT src AS id,
+        |         CAST(floor(1e9 / (SELECT n FROM nn) + 0.5) AS BIGINT)
+        |           AS rank_s
+        |       FROM deg),
+        |r1 AS (SELECT e.dst AS id,
+        |         CAST(floor(0.15 * 1e9 / (SELECT n FROM nn)
+        |           + 0.85 * CAST(sum(CAST(floor(
+        |               CAST(r.rank_s AS DOUBLE) / deg.deg + 0.5) AS BIGINT))
+        |             AS DOUBLE) + 0.5) AS BIGINT) AS rank_s
+        |       FROM e JOIN r0 r ON e.src = r.id
+        |              JOIN deg ON deg.src = e.src
+        |       GROUP BY e.dst),
+        |r2 AS (SELECT e.dst AS id,
+        |         CAST(floor(0.15 * 1e9 / (SELECT n FROM nn)
+        |           + 0.85 * CAST(sum(CAST(floor(
+        |               CAST(r.rank_s AS DOUBLE) / deg.deg + 0.5) AS BIGINT))
+        |             AS DOUBLE) + 0.5) AS BIGINT) AS rank_s
+        |       FROM e JOIN r1 r ON e.src = r.id
+        |              JOIN deg ON deg.src = e.src
+        |       GROUP BY e.dst),
+        |r3 AS (SELECT e.dst AS id,
+        |         CAST(floor(0.15 * 1e9 / (SELECT n FROM nn)
+        |           + 0.85 * CAST(sum(CAST(floor(
+        |               CAST(r.rank_s AS DOUBLE) / deg.deg + 0.5) AS BIGINT))
+        |             AS DOUBLE) + 0.5) AS BIGINT) AS rank_s
+        |       FROM e JOIN r2 r ON e.src = r.id
+        |              JOIN deg ON deg.src = e.src
+        |       GROUP BY e.dst)
+        |SELECT r3.id AS node_id,
+        |       CASE WHEN r3.id % 2 = 0 THEN 'cust' ELSE 'supp' END
+        |         AS node_type,
+        |       deg.deg AS degree,
+        |       CAST(r3.rank_s AS DOUBLE) / 1e9 AS pagerank
+        |FROM r3 JOIN deg ON deg.src = r3.id
+        |ORDER BY pagerank DESC, node_id LIMIT 20""".stripMargin,
     "q123_hash_split" ->
       """WITH t AS (SELECT *,
         |  ('0x' || substring(md5(doc_id::VARCHAR), 1, 8))::UBIGINT % 100

@@ -479,7 +479,45 @@ object TextQueries {
       .select(col("doc_id"), col("n_bigrams"), col("avg_logprob"))
   }
 
+  /** q179: Unicode canonicalization — the preprocessing pass every
+    * exact-hash operator downstream (chunk dedup q142, MinHash shingles,
+    * vocab counts) depends on: byte-identical text is a precondition for
+    * hash-identical text. The corpus is ASCII, so the accents are
+    * injected deterministically first (`translate` vowels→precomposed
+    * accented forms, same function both engines), then stripped back by
+    * the native codegen [[graft.functions.StripAccentsExpr]] (NFD + drop
+    * combining marks + NFC — DuckDB `strip_accents` semantics), proving
+    * the round trip character-for-character via md5 checksums. NFC
+    * composition is pinned by appending a combining acute (U+0301):
+    * length shrinks by exactly 1 per doc when `e`+mark fuses to `é`.
+    * NFKC has no DuckDB twin, so its ligature/width folds pin as
+    * constants (`ﬁ①` → `fi1`, length 3). Scale shape: per-row
+    * expressions inside whole-stage codegen with an ASCII fast path
+    * (byte count == char count skips the JVM String round trip), one
+    * tiny groupBy — the cheapest possible pass over the widest scan. */
+  def unicodeNormalizeStats(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.{NormalizeExpr, StripAccentsExpr}
+    val injected = translate(col("text"), "aeiouc", "\u00e1\u00e8\u00ee\u00f6\u00fc\u00e7")
+    val stripped = StripAccentsExpr(injected)
+    val combining = concat(col("text"), lit("e\u0301"))
+    docs(s, dir)
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("docs"),
+        sum(when(injected =!= col("text"), 1L).otherwise(0L)).as("changed"),
+        sum(when(stripped === col("text"), 1L).otherwise(0L)).as("roundtrip_ok"),
+        countDistinct(md5(stripped)).as("distinct_strip"),
+        min(md5(stripped)).as("min_md5"),
+        sum(length(combining) - length(NormalizeExpr(combining, "NFC")))
+          .as("nfc_delta"),
+        max(length(NormalizeExpr(lit("\ufb01\u2460"), "NFKC"))).as("nfkc_folds"),
+        sum(when(StripAccentsExpr(lit("stra\u00dfe")) === "stra\u00dfe", 1L)
+          .otherwise(0L)).as("eszett_kept"))
+      .orderBy(col("lang"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q179_unicode_normalize" -> (unicodeNormalizeStats _),
     "q164_bigram_lm_score" -> (bigramLmScore _),
     "q157_bm25_topk"       -> (bm25TopDocs _),
     "q50_lang_token_stats" -> (langTokenStats _),
@@ -539,6 +577,35 @@ object TextQueries {
       |FROM comp ORDER BY doc_id""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // q179: identical accent injection via translate (chr()-built target
+    // so the SQL text stays ASCII), DuckDB's own strip_accents /
+    // nfc_normalize vs graft's codegen expressions; NFKC folds have no
+    // DuckDB twin → pinned constant. Every SUM cast to BIGINT (HUGEINT
+    // lint).
+    "q179_unicode_normalize" ->
+      """WITH n AS (SELECT lang, text,
+        |  translate(text, 'aeiouc',
+        |    chr(225)||chr(232)||chr(238)||chr(246)||chr(252)||chr(231))
+        |    AS injected,
+        |  text || 'e' || chr(769) AS combining
+        |  FROM documents),
+        |m AS (SELECT lang, text, combining,
+        |  injected, strip_accents(injected) AS stripped FROM n)
+        |SELECT lang,
+        |  count(*) AS docs,
+        |  CAST(sum(CASE WHEN injected <> text THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS changed,
+        |  CAST(sum(CASE WHEN stripped = text THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS roundtrip_ok,
+        |  count(DISTINCT md5(stripped)) AS distinct_strip,
+        |  min(md5(stripped)) AS min_md5,
+        |  CAST(sum(length(combining) - length(nfc_normalize(combining)))
+        |       AS BIGINT) AS nfc_delta,
+        |  3 AS nfkc_folds,
+        |  CAST(sum(CASE WHEN strip_accents('stra'||chr(223)||'e')
+        |                     = 'stra'||chr(223)||'e'
+        |           THEN 1 ELSE 0 END) AS BIGINT) AS eszett_kept
+        |FROM m GROUP BY lang ORDER BY lang""".stripMargin,
     // identical bigram LM: per-bigram ln through DECIMAL(18,9), per-doc
     // DECIMAL sums (order-insensitive), one final double division
     "q164_bigram_lm_score" ->
