@@ -809,7 +809,52 @@ object LakeQueries {
     }
   }
 
+  /** q181: Bloom-filter file-group skipping — the equality-lookup index
+    * min/max stats can't provide. Documents are clustered by
+    * `doc_id % 8`, so every group's doc_id [min,max] spans essentially
+    * the whole key range (modular residue classes) and range stats prune
+    * NOTHING for a point probe; [[LakeTable.indexBloom]] then builds one
+    * bloom sidecar per group (distributed BloomBuildAgg pass, metadata-
+    * only commit) and [[LakeTable.readWhereEq]] consults it before any
+    * parquet footer opens. Five md5-chosen present keys must each scan
+    * fewer groups than the table holds (a non-owning group survives only
+    * by false positive, p=0.01 each — all 7 surviving has p≈1e-14), and
+    * one absent in-format key returns zero rows. Row payloads (`lang`)
+    * value-check against DuckDB's plain filter; `pruned` booleans are
+    * the q84-style pinned gate. At 100 TB this is the needle lookup:
+    * manifest + sidecars on the driver, one surviving group scanned. */
+  def bloomSkipping(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val d = graft.Tables.load(s, dir, "documents")
+    graft.util.Tmp.withTempDir("graft_lake_q181") { rootPath =>
+      val root = rootPath.toString
+      LakeTable.createClustered(s, root,
+        d.withColumn("grp", col("doc_id") % 8), "grp",
+        numGroups = 8, statsCols = Nil)
+      LakeTable.indexBloom(s, root, Seq("doc_id"))
+      val total = LakeTable.dataDirPaths(s, root).size
+      val probes = d.select(col("doc_id"))
+        .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+        .limit(5).as[Long].collect()
+      val absent = d.agg(max(col("doc_id"))).head().getLong(0) + 999983L
+      val rows = probes.toSeq.zipWithIndex.map { case (id, i) =>
+        val kept = LakeTable.selectGroupsEq(s, root, "doc_id", id).size
+        val langs = LakeTable.readWhereEq(s, root, "doc_id", id)
+          .select(col("lang")).collect()
+        (i + 1, id, langs.length.toLong,
+          if (langs.isEmpty) null else langs(0).getString(0), kept < total)
+      } :+ {
+        val kept = LakeTable.selectGroupsEq(s, root, "doc_id", absent).size
+        val n = LakeTable.readWhereEq(s, root, "doc_id", absent).count()
+        (6, absent, n, null.asInstanceOf[String], kept < total)
+      }
+      rows.toDF("probe_rank", "probe_id", "n_rows", "lang", "pruned")
+        .orderBy(col("probe_rank"))
+    }
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q181_bloom_skipping"      -> (bloomSkipping _),
     "q159_streaming_lake_read" -> (streamingLakeRead _),
     "q162_sql_schema_evolution" -> (sqlSchemaEvolution _),
     "q163_sql_create_ctas"     -> (sqlCreateCtas _),
@@ -833,6 +878,24 @@ object LakeQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // q181: same md5-ordered probe choice; payload rows from a plain
+    // filter; pruned gates pinned true (see Scaladoc for the 1e-14
+    // bound), absent probe pinned to zero rows.
+    "q181_bloom_skipping" ->
+      """WITH p AS (
+        |  SELECT doc_id,
+        |         CAST(row_number() OVER (
+        |           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS INT)
+        |           AS rn
+        |  FROM documents
+        |  ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id LIMIT 5)
+        |SELECT rn AS probe_rank, p.doc_id AS probe_id,
+        |       CAST(1 AS BIGINT) AS n_rows, d.lang AS lang, true AS pruned
+        |FROM p JOIN documents d ON d.doc_id = p.doc_id
+        |UNION ALL
+        |SELECT 6, (SELECT max(doc_id) + 999983 FROM documents),
+        |       CAST(0 AS BIGINT), NULL, true
+        |ORDER BY probe_rank""".stripMargin,
     // survivors = rows where the DELETE predicate is not true; v1 is
     // the full pre-delete snapshot (no nullable columns involved)
     "q151_sql_delete_dsv2" ->

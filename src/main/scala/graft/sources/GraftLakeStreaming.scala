@@ -215,11 +215,12 @@ private[sources] final class GraftLakeStreamScanBuilder(
 
   /** Manifest-level data skipping on the SQL/DSv2 read path: the pushed
     * filters translate to source filters and file groups whose recorded
-    * min/max disprove them are dropped from the scan BEFORE any parquet
-    * footer is opened — the planning-time layer above parquet row-group
-    * pruning, same index `readWhere` uses. When pruning applies, the
-    * parquet delegate is rebuilt over the surviving paths and the
-    * recorded pushdown calls are replayed onto it. */
+    * min/max — or bloom index, for equality probes — disprove them are
+    * dropped from the scan BEFORE any parquet footer is opened — the
+    * planning-time layer above parquet row-group pruning, same indexes
+    * `readWhere`/`readWhereEq` use. When pruning applies, the parquet
+    * delegate is rebuilt over the surviving paths and the recorded
+    * pushdown calls are replayed onto it. */
   override def build(): Scan = {
     val spark = SparkSession.active
     val underlying = {
@@ -228,10 +229,12 @@ private[sources] final class GraftLakeStreamScanBuilder(
         v <- LakeTable.latestVersion(spark, root)
         if v1.nonEmpty
         meta = LakeTable.manifestMetaAt(spark, root, v)
-        if meta.keys.exists(_.startsWith("stat:"))
+        if meta.keys.exists(k =>
+          k.startsWith("stat:") || k.startsWith("bloom:"))
         dirs = LakeTable.dataDirsAt(spark, root, v)
         kept = dirs.filter(dir =>
-          v1.forall(f => LakeTable.statsAdmit(meta, dir, f)))
+          v1.forall(f => LakeTable.statsAdmit(meta, dir, f) &&
+            LakeTable.bloomAdmit(spark, root, meta, dir, f)))
         if kept.size < dirs.size
       } yield {
         val fb = GraftLakeSource.delegateForDirs(spark, root, kept,

@@ -353,6 +353,137 @@ object LakeTable {
         .filter(col(column).cast("double").between(lo, hi))
   }
 
+  /** Build per-file-group Bloom-filter indexes for `cols` over the
+    * LATEST snapshot — the Delta-style bloom index that prunes EQUALITY
+    * lookups min/max stats can't: a high-cardinality key scattered
+    * across groups spans every group's [min,max], but each group's
+    * bloom answers "definitely not here" for specific values. Filters
+    * are built distributed (one [[graft.functions.BloomBuildAgg]] pass
+    * per group, sized to the group's row count), written as immutable
+    * sidecar files under `_index/` (keyed by the COW-immutable group
+    * dir, so an index entry can never go stale), and referenced from a
+    * metadata-only commit (`#bloom:<dir>:<col>=<sidecar>`, op=index —
+    * no data rewrite, same file groups). Groups already indexed for a
+    * column are skipped, so re-running after appends only indexes the
+    * new groups. Returns the committed version. */
+  def indexBloom(spark: SparkSession, root: String, cols: Seq[String],
+                 fpp: Double = 0.01): Int = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    val v = latestVersion(spark, root)
+      .getOrElse(throw new IllegalStateException(s"no table at $root"))
+    val dirs = readManifest(spark, root, v)
+    val meta = manifestMeta(spark, root, v)
+    val f = fs(spark, root)
+    f.mkdirs(new Path(root, "_index"))
+    val added = for {
+      dir <- dirs; c <- cols
+      if !meta.contains(s"bloom:$dir:$c")
+    } yield {
+      val df = spark.read.parquet(new Path(root, dir).toString)
+      val expected = math.max(64L, df.count())
+      val agg = graft.functions.BloomBuildAgg(
+        ColumnBridge.expression(col(c)), expected, fpp)
+      val bytes = df.agg(ColumnBridge.column(agg.toAggregateExpression()))
+        .head().getAs[Array[Byte]](0)
+      val rel = s"_index/bloom-${dir.replace('/', '_')}-$c.bin"
+      val out = f.create(new Path(root, rel), true)
+      try out.write(bytes) finally out.close()
+      s"bloom:$dir:$c" -> rel
+    }
+    commitVersion(spark, root, v + 1, dirs,
+      meta - "op" ++ added + ("op" -> "index"))
+  }
+
+  /** Planning-time bloom sidecars are tiny and immutable (COW dirs) —
+    * cache per (root, sidecar) so a multi-probe plan loads each once. */
+  private val bloomCache = new java.util.concurrent.ConcurrentHashMap[
+    String, org.apache.spark.util.sketch.BloomFilter]()
+
+  private def loadBloom(spark: SparkSession, root: String,
+                        rel: String): org.apache.spark.util.sketch.BloomFilter =
+    bloomCache.computeIfAbsent(s"$root/$rel", _ => {
+      val in = fs(spark, root).open(new Path(root, rel))
+      try org.apache.spark.util.sketch.BloomFilter.readFrom(in)
+      finally in.close()
+    })
+
+  /** Mirror of [[graft.functions.BloomBuildAgg]]'s key encoding —
+    * integral types probe as longs, strings as UTF-8 bytes; anything
+    * else is conservatively "might contain". */
+  private def bloomMightContain(
+      bf: org.apache.spark.util.sketch.BloomFilter, v: Any): Boolean =
+    v match {
+      case l: Long => bf.mightContainLong(l)
+      case i: Int => bf.mightContainLong(i.toLong)
+      case s: Short => bf.mightContainLong(s.toLong)
+      case b: Byte => bf.mightContainLong(b.toLong)
+      case s: String =>
+        bf.mightContainBinary(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      case u: org.apache.spark.unsafe.types.UTF8String =>
+        bf.mightContainBinary(u.getBytes)
+      case _ => true
+    }
+
+  /** Bloom twin of [[statsAdmit]]: can file group `dir` possibly hold a
+    * row satisfying `f`? Only equality shapes consult the index
+    * (EqualTo / In — range predicates are min/max territory); groups or
+    * columns without an index are conservatively kept. */
+  private[sources] def bloomAdmit(
+      spark: SparkSession, root: String, meta: Map[String, String],
+      dir: String, f: org.apache.spark.sql.sources.Filter): Boolean = {
+    import org.apache.spark.sql.sources._
+    def probe(a: String, v: Any): Boolean =
+      meta.get(s"bloom:$dir:$a") match {
+        case Some(rel) if v != null =>
+          bloomMightContain(loadBloom(spark, root, rel), v)
+        case _ => true
+      }
+    f match {
+      case EqualTo(a, v) => probe(a, v)
+      case In(a, vs) => vs.isEmpty || vs.exists(v => probe(a, v))
+      case And(l, r) => bloomAdmit(spark, root, meta, dir, l) &&
+        bloomAdmit(spark, root, meta, dir, r)
+      case Or(l, r) => bloomAdmit(spark, root, meta, dir, l) ||
+        bloomAdmit(spark, root, meta, dir, r)
+      case _ => true
+    }
+  }
+
+  /** Point-lookup read: scans only the file groups whose min/max stats
+    * AND bloom index admit `column = value`, then applies the exact
+    * filter — the needle-in-100TB path: manifest stats bound the range,
+    * the bloom disproves membership group by group, and only the
+    * surviving group(s) open a parquet footer. */
+  def readWhereEq(spark: SparkSession, root: String, column: String,
+                  value: Any): DataFrame = {
+    val v = latestVersion(spark, root)
+      .getOrElse(throw new IllegalStateException(s"no table at $root"))
+    val meta = manifestMeta(spark, root, v)
+    val eq = org.apache.spark.sql.sources.EqualTo(column, value)
+    val kept = readManifest(spark, root, v).filter(dir =>
+      statsAdmit(meta, dir, eq) && bloomAdmit(spark, root, meta, dir, eq))
+    if (kept.isEmpty)
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        read(spark, root).schema)
+    else
+      spark.read.option("mergeSchema", "true")
+        .parquet(kept.map(d => new Path(root, d).toString): _*)
+        .filter(col(column) === lit(value))
+  }
+
+  /** File groups an equality probe on `column = value` would scan —
+    * exposed for tests/inspection, [[readWhereEq]] is the read path. */
+  def selectGroupsEq(spark: SparkSession, root: String, column: String,
+                     value: Any): Seq[String] = {
+    val v = latestVersion(spark, root)
+      .getOrElse(throw new IllegalStateException(s"no table at $root"))
+    val meta = manifestMeta(spark, root, v)
+    val eq = org.apache.spark.sql.sources.EqualTo(column, value)
+    readManifest(spark, root, v).filter(dir =>
+      statsAdmit(meta, dir, eq) && bloomAdmit(spark, root, meta, dir, eq))
+  }
+
   /** Resolved absolute data-dir paths of a snapshot (`version = None` →
     * latest) — the metadata half of the read path, shared by [[read]]
     * and the DSv2 connector ([[GraftLakeSource]]). */

@@ -214,6 +214,35 @@ class GraftLakeSourceSpec extends SparkSpec {
     }
   }
 
+  test("DSv2 read prunes file groups by bloom index on equality probes") {
+    withTable { root =>
+      import spark.implicits._
+      // two groups with INTERLEAVED ids — min/max stats cannot separate
+      // them for a point probe; only the bloom index can
+      LakeTable.create(spark, root,
+        Seq((1L, "a"), (100L, "a")).toDF("id", "tag"),
+        statsCols = Seq("id"))
+      LakeTable.append(spark, root,
+        Seq((2L, "b"), (200L, "b")).toDF("id", "tag"),
+        statsCols = Seq("id"))
+      LakeTable.indexBloom(spark, root, Seq("id"))
+      assert(LakeTable.dataDirPaths(spark, root).size == 2)
+      // both groups span [1,200]-ish ranges: stats admit id=100 in both;
+      // the bloom keeps only the owning group
+      assert(LakeTable.selectGroupsEq(spark, root, "id", 100L).size == 1)
+      val df = spark.read.format("graft-lake").load(root)
+        .filter(col("id") === 100L)
+      assert(df.collect().map(_.getString(1)).toSeq == Seq("a"))
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("InMemoryFileIndex(1 paths)"), plan.take(800))
+      // absent-but-in-range key: bloom prunes everything, zero rows
+      assert(LakeTable.readWhereEq(spark, root, "id", 150L).count() == 0)
+      // the index commit is metadata-only: same groups, version bumped
+      assert(LakeTable.versions(spark, root) == Seq(1, 2, 3))
+      assert(LakeTable.history(spark, root).last._2 == "index")
+    }
+  }
+
   test("writes through the format are rejected") {
     withTable { root =>
       val nation = Tables.load(spark, sf, "nation")
