@@ -853,7 +853,50 @@ object LakeQueries {
     }
   }
 
+  /** q182: merge-on-read DELETE (deletion-vector / equality-delete
+    * shape) end to end: short documents are deleted from a 4-group
+    * table by [[LakeTable.deleteWhereMor]] — a metadata-only commit
+    * whose sidecar records the doomed doc_ids, leaving every data file
+    * byte-identical (`files_untouched` gate compares the dir lists);
+    * masked reads, CDC (the delete rows surface in `changes` without
+    * any file churn), and the [[LakeTable.rewriteDeletes]]
+    * materialization are each value-checked per language against
+    * DuckDB's plain predicate. At 100 TB this is the GDPR-delete cost
+    * model: O(matches) sidecar append now, rewrite amortized into the
+    * next compaction. */
+  def morDelete(s: SparkSession, dir: String): DataFrame = {
+    val d = graft.Tables.load(s, dir, "documents")
+    graft.util.Tmp.withTempDir("graft_lake_q182") { rootPath =>
+      val root = rootPath.toString
+      LakeTable.createClustered(s, root, d, "doc_id",
+        numGroups = 4, statsCols = Nil)
+      val dirsBefore = LakeTable.dataDirPaths(s, root)
+      val v2 = LakeTable.deleteWhereMor(s, root, col("n_chars") < 100,
+        "doc_id")
+      val untouched = LakeTable.dataDirPaths(s, root) == dirsBefore
+      val langs = d.select(col("lang")).distinct()
+      val after = LakeTable.read(s, root)
+        .groupBy(col("lang")).agg(count(lit(1)).as("n_after"))
+      val cdc = LakeTable.changes(s, root, v2 - 1, v2, "doc_id")
+        .filter(col("_change_type") === "delete")
+        .groupBy(col("lang")).agg(count(lit(1)).as("n_deleted_cdc"))
+      LakeTable.rewriteDeletes(s, root)
+      val rewritten = LakeTable.read(s, root)
+        .groupBy(col("lang")).agg(count(lit(1)).as("n_rewritten"))
+      graft.util.LocalFrame.materialize(
+        langs.join(after, Seq("lang"), "left")
+          .join(cdc, Seq("lang"), "left")
+          .join(rewritten, Seq("lang"), "left")
+          .na.fill(0L, Seq("n_after", "n_deleted_cdc", "n_rewritten"))
+          .select(col("lang"), col("n_after"), col("n_deleted_cdc"),
+            lit(untouched).as("files_untouched"),
+            (col("n_rewritten") === col("n_after")).as("rewrite_matches"))
+          .orderBy(col("lang")))
+    }
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q182_mor_delete"          -> (morDelete _),
     "q181_bloom_skipping"      -> (bloomSkipping _),
     "q159_streaming_lake_read" -> (streamingLakeRead _),
     "q162_sql_schema_evolution" -> (sqlSchemaEvolution _),
@@ -878,6 +921,19 @@ object LakeQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // q182: the MOR delete's observable state restated as one plain
+    // predicate — counts after masking, CDC delete rows, and the
+    // materialized rewrite all derive from n_chars < 100; the
+    // no-file-churn and rewrite-equality facts pin as booleans.
+    "q182_mor_delete" ->
+      """SELECT lang,
+        |  CAST(sum(CASE WHEN n_chars >= 100 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_after,
+        |  CAST(sum(CASE WHEN n_chars < 100 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_deleted_cdc,
+        |  true AS files_untouched,
+        |  true AS rewrite_matches
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
     // q181: same md5-ordered probe choice; payload rows from a plain
     // filter; pruned gates pinned true (see Scaladoc for the 1e-14
     // bound), absent probe pinned to zero rows.

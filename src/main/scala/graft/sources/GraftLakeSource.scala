@@ -90,6 +90,21 @@ private[sources] object GraftLakeSource {
                                 version: Option[Int],
                                 userSchema: Option[StructType],
                                 options: JMap[String, String]): ParquetTable = {
+    // merge-on-read delete masks are applied by LakeTable.read's
+    // anti-join; the raw-parquet delegate would silently resurrect
+    // deleted rows, so fail fast instead (Delta-protocol spirit: a
+    // reader that can't honor deletion vectors must not read)
+    // (an unknown requested version skips the check and fails below in
+    // dataDirPaths with the available-versions message)
+    val known = LakeTable.versions(spark, root)
+    version.orElse(known.lastOption).filter(known.contains).foreach { v =>
+      if (LakeTable.deleteState(
+          LakeTable.manifestMetaAt(spark, root, v)).nonEmpty)
+        throw new UnsupportedOperationException(
+          s"table at $root has merge-on-read deletes (version $v); " +
+            "materialize them first (LakeTable.rewriteDeletes/compact) " +
+            "or read via LakeTable.read")
+    }
     val paths = LakeTable.dataDirPaths(spark, root, version)
     // additive schema evolution: groups written before a column existed
     // read it as null (same contract as LakeTable.read); an ALTER-

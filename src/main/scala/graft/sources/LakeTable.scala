@@ -132,11 +132,16 @@ object LakeTable {
   private[sources] def commitReplacing(spark: SparkSession, root: String,
                                        dataDirs: Seq[String],
                                        op: String): Int = {
-    // stats of surviving dirs stay valid — carry them like append does
+    // stats/bloom of surviving dirs stay valid — carry them like append
+    // does (MOR delete state can't appear here: the DSv2 scan feeding
+    // row-level ops fails fast on MOR tables)
     val carried = latestVersion(spark, root)
       .map(v => manifestMetaAt(spark, root, v)).getOrElse(Map.empty)
       .filter { case (k, _) =>
-        k.startsWith("stat:") && dataDirs.exists(d => k.startsWith(s"stat:$d:"))
+        (k.startsWith("stat:") &&
+          dataDirs.exists(d => k.startsWith(s"stat:$d:"))) ||
+        (k.startsWith("bloom:") &&
+          dataDirs.exists(d => k.startsWith(s"bloom:$d:")))
       }
     commit(spark, root, dataDirs, Map("op" -> op) ++ carried)
   }
@@ -257,8 +262,13 @@ object LakeTable {
     val cur = latestVersion(spark, root)
       .getOrElse(throw new IllegalStateException(s"no table at $root"))
     val dir = writeDataFiles(spark, root, df)
+    // stats/bloom of immutable prior groups stay valid; the table-wide
+    // MOR delete state must survive too (a deleted key stays deleted —
+    // see deleteWhereMor's contract)
     val carried = manifestMeta(spark, root, cur)
-      .filter(_._1.startsWith("stat:"))
+      .filter { case (k, _) =>
+        k.startsWith("stat:") || k.startsWith("bloom:") ||
+          k == "deletes" || k == "deletekey" }
     commit(spark, root, readManifest(spark, root, cur) :+ dir,
       Map("op" -> "append") ++ carried ++
         statsMeta(spark, root, dir, statsCols) ++ extraMeta)
@@ -348,9 +358,12 @@ object LakeTable {
       spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         read(spark, root).schema)
-    else
-      spark.read.option("mergeSchema", "true").parquet(dirs: _*)
+    else {
+      val v = latestVersion(spark, root).get
+      applyDeleteMask(spark, root, manifestMeta(spark, root, v),
+        spark.read.option("mergeSchema", "true").parquet(dirs: _*))
         .filter(col(column).cast("double").between(lo, hi))
+    }
   }
 
   /** Build per-file-group Bloom-filter indexes for `cols` over the
@@ -467,8 +480,9 @@ object LakeTable {
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         read(spark, root).schema)
     else
-      spark.read.option("mergeSchema", "true")
-        .parquet(kept.map(d => new Path(root, d).toString): _*)
+      applyDeleteMask(spark, root, meta,
+        spark.read.option("mergeSchema", "true")
+          .parquet(kept.map(d => new Path(root, d).toString): _*))
         .filter(col(column) === lit(value))
   }
 
@@ -561,13 +575,16 @@ object LakeTable {
         spark.sparkContext.emptyRDD[Row], schema)
     }
     val df = spark.read.option("mergeSchema", "true").parquet(dirs: _*)
-    override_.fold(df) { target =>
+    val shaped = override_.fold(df) { target =>
       df.select(target.fields.map { f =>
         if (df.columns.map(_.toLowerCase).contains(f.name.toLowerCase))
           col(f.name)
         else lit(null).cast(f.dataType).as(f.name)
       }.toIndexedSeq: _*)
     }
+    val vs = versions(spark, root)
+    applyDeleteMask(spark, root,
+      manifestMeta(spark, root, version.getOrElse(vs.last)), shaped)
   }
 
   /** MERGE (upsert): rows in `updates` replace current rows with equal
@@ -599,16 +616,40 @@ object LakeTable {
               key: String): DataFrame = {
     val beforeDirs = dataDirPaths(spark, root, Some(fromV)).toSet
     val afterDirs = dataDirPaths(spark, root, Some(toV)).toSet
-    def readDirs(dirs: Set[String], schemaOf: Seq[String]): DataFrame =
+    val metaBefore = manifestMeta(spark, root, fromV)
+    val metaAfter = manifestMeta(spark, root, toV)
+    def readDirs(dirs: Set[String], schemaOf: Seq[String],
+                 meta: Map[String, String]): DataFrame =
       if (dirs.nonEmpty)
-        spark.read.option("mergeSchema", "true").parquet(dirs.toSeq: _*)
+        applyDeleteMask(spark, root, meta,
+          spark.read.option("mergeSchema", "true").parquet(dirs.toSeq: _*))
       else {
         val ref = spark.read.parquet(schemaOf: _*).schema
         spark.createDataFrame(spark.sparkContext.emptyRDD[Row], ref)
       }
     val allDirs = (beforeDirs ++ afterDirs).toSeq
-    val added = readDirs(afterDirs -- beforeDirs, allDirs)
-    val removed = readDirs(beforeDirs -- afterDirs, allDirs)
+    // churned file groups, each side masked by ITS version's MOR delete
+    // state (rows already deleted at fromV never re-emit)
+    val added = readDirs(afterDirs -- beforeDirs, allDirs, metaAfter)
+    val removed = readDirs(beforeDirs -- afterDirs, allDirs, metaBefore)
+    // a MOR delete commit churns NO dirs — its change rows are the
+    // before-image rows of SURVIVING groups whose keys joined the delete
+    // list in the window (sidecar lists are append-only until a rewrite
+    // drops them with the old dirs, so the path-set diff is the delta)
+    val beforePaths = deleteState(metaBefore).map(_._2.toSet)
+      .getOrElse(Set.empty[String])
+    val newDeletePaths = deleteState(metaAfter).map(_._2.toSet)
+      .getOrElse(Set.empty[String]) -- beforePaths
+    val morDeleted: Option[DataFrame] =
+      if (newDeletePaths.isEmpty) None
+      else {
+        val k = metaAfter("deletekey")
+        val keys = spark.read.parquet(
+            newDeletePaths.toSeq.map(r => new Path(root, r).toString): _*)
+          .select(col(k)).distinct()
+        Some(readDirs(beforeDirs intersect afterDirs, allDirs, metaBefore)
+          .join(keys, Seq(k), "left_semi"))
+      }
     // single-pass signed multiset diff: one aggregation over the churned
     // rows replaces the exceptAll-per-tag formulation, whose diff subtree
     // Catalyst would re-evaluate once per change-type branch (6× the
@@ -625,7 +666,7 @@ object LakeTable {
     // one-sided keys are pure inserts/deletes (window, not join — the
     // key-flag pass rides the same hash partitioning, null-key-safe)
     val wKey = org.apache.spark.sql.expressions.Window.partitionBy(col(key))
-    net
+    val churn = net
       .withColumn("_hasPost",
         max(when(col("_net") > 0, 1).otherwise(0)).over(wKey))
       .withColumn("_hasPre",
@@ -640,6 +681,9 @@ object LakeTable {
       // restore multiset multiplicity (|net| copies of each changed row)
       .withColumn("_dup", explode(sequence(lit(1L), abs(col("_net")))))
       .select(dataCols.map(col) :+ col("_change_type"): _*)
+    morDeleted.fold(churn)(d => churn.unionByName(
+      d.select(dataCols.map(col): _*)
+        .withColumn("_change_type", lit("delete"))))
   }
 
   /** DELETE WHERE: copy-on-write removal of matching rows. SQL DELETE
@@ -653,6 +697,82 @@ object LakeTable {
     commit(spark, root, Seq(writeDataFiles(spark, root, remaining)),
       Map("op" -> "delete"))
   }
+
+  /** Merge-on-read DELETE (Iceberg equality-delete / Delta deletion-
+    * vector shape): instead of rewriting every touched file group
+    * (copy-on-write — [[deleteWhere]]), record the DELETED KEYS in a
+    * tiny sidecar parquet under `_deletes/` and commit metadata only —
+    * the data files are untouched, the delete costs O(matches), and
+    * readers anti-join the key list at scan time ([[read]] applies the
+    * mask for every snapshot automatically, so time travel sees each
+    * version's own delete state). Semantics: a TABLE-WIDE equality
+    * delete on `keyCol` — the key stays deleted (even across later
+    * appends) until a rewrite materializes the masks
+    * ([[rewriteDeletes]]/[[compact]]/any COW op, which all read through
+    * the masked [[read]] and drop the sidecar metadata with the old
+    * dirs). All MOR deletes on one table must share one `keyCol`.
+    * At 100 TB this is the GDPR-delete path: removing one user costs a
+    * key-list append, not a table rewrite; the anti-join build side is
+    * the (small) accumulated key list. Returns the committed version,
+    * or the current one unchanged when nothing matches. */
+  def deleteWhereMor(spark: SparkSession, root: String,
+                     predicate: org.apache.spark.sql.Column,
+                     keyCol: String): Int = {
+    val v = latestVersion(spark, root)
+      .getOrElse(throw new IllegalStateException(s"no table at $root"))
+    val meta = manifestMeta(spark, root, v)
+    deleteState(meta).foreach { case (k, _) =>
+      require(k.equalsIgnoreCase(keyCol),
+        s"table at $root already has merge-on-read deletes keyed by '$k'; " +
+          s"cannot mix with '$keyCol'") }
+    val doomed = read(spark, root)
+      .filter(coalesce(predicate, lit(false)))
+      .select(col(keyCol)).distinct()
+    if (doomed.isEmpty) return v
+    val rel = s"_deletes/del-${java.util.UUID.randomUUID()}"
+    doomed.coalesce(1).write.parquet(new Path(root, rel).toString)
+    val list = meta.get("deletes").fold(rel)(old => s"$old,$rel")
+    commitVersion(spark, root, v + 1, readManifest(spark, root, v),
+      meta - "op" + ("deletes" -> list) + ("deletekey" -> keyCol) +
+        ("op" -> "delete-mor"))
+  }
+
+  /** Materialize accumulated merge-on-read deletes: one masked read →
+    * fresh file group(s), delete sidecar metadata dropped with the old
+    * dirs. The group-granular twin is [[compact]] with a cluster key. */
+  def rewriteDeletes(spark: SparkSession, root: String): Int = {
+    val v = latestVersion(spark, root)
+      .getOrElse(throw new IllegalStateException(s"no table at $root"))
+    require(deleteState(manifestMeta(spark, root, v)).nonEmpty,
+      s"no merge-on-read deletes to rewrite at $root")
+    commit(spark, root, Seq(writeDataFiles(spark, root, read(spark, root))),
+      Map("op" -> "rewrite-deletes"))
+  }
+
+  /** Table-wide equality-delete state recorded in a manifest:
+    * (key column, sidecar paths). */
+  private[sources] def deleteState(
+      meta: Map[String, String]): Option[(String, Seq[String])] =
+    meta.get("deletes").map(ps =>
+      (meta.getOrElse("deletekey", throw new IllegalStateException(
+        "manifest lists deletes without a deletekey")),
+        ps.split(",").toSeq))
+
+  /** Anti-join `df` against the snapshot's accumulated delete keys (a
+    * no-op for tables without MOR deletes — the common path pays
+    * nothing). The key list is a handful of tiny parquet sidecars, so
+    * the planner's size estimate broadcasts the build side. */
+  private def applyDeleteMask(spark: SparkSession, root: String,
+                              meta: Map[String, String],
+                              df: DataFrame): DataFrame =
+    deleteState(meta) match {
+      case Some((k, rels)) =>
+        val keys = spark.read
+          .parquet(rels.map(r => new Path(root, r).toString): _*)
+          .select(col(k)).distinct()
+        df.join(keys, Seq(k), "left_anti")
+      case None => df
+    }
 
   /** OPTIMIZE-style compaction: rewrite all current file groups as one
     * group of `targetPartitions` files, optionally sorted within files
@@ -683,7 +803,9 @@ object LakeTable {
     require(vs.contains(toVersion),
       s"version $toVersion does not exist at $root (have ${vs.mkString(",")})")
     val carried = manifestMeta(spark, root, toVersion)
-      .filter(_._1.startsWith("stat:"))
+      .filter { case (k, _) =>
+        k.startsWith("stat:") || k.startsWith("bloom:") ||
+          k == "deletes" || k == "deletekey" }
     commit(spark, root, readManifest(spark, root, toVersion),
       carried + ("op" -> "restore") + ("restoredVersion" -> toVersion.toString))
   }

@@ -385,4 +385,65 @@ class LakeTableSpec extends SparkSpec {
       } finally q2.stop()
     }
   }
+
+  test("merge-on-read delete masks reads without touching data files") {
+    withTable { root =>
+      val nation = Tables.load(spark, sf, "nation")
+      LakeTable.create(spark, root, nation)
+      val dirsBefore = LakeTable.dataDirPaths(spark, root)
+      val v2 = LakeTable.deleteWhereMor(spark, root,
+        col("n_regionkey") === 0, "n_nationkey")
+      assert(v2 == 2)
+      // data files byte-untouched; the commit is metadata + sidecar
+      assert(LakeTable.dataDirPaths(spark, root) == dirsBefore)
+      assert(LakeTable.history(spark, root).last._2 == "delete-mor")
+      val after = LakeTable.read(spark, root)
+      assert(after.filter(col("n_regionkey") === 0).count() == 0)
+      assert(after.count() == 20)
+      // time travel: v1 still sees every row
+      assert(LakeTable.read(spark, root, Some(1)).count() == 25)
+      // CDC surfaces the masked rows as deletes with zero file churn
+      val cdc = LakeTable.changes(spark, root, 1, 2, "n_nationkey")
+      assert(cdc.filter(col("_change_type") === "delete").count() == 5)
+      assert(cdc.count() == 5)
+    }
+  }
+
+  test("MOR deletes persist across appends and accumulate; rewrite materializes") {
+    withTable { root =>
+      import spark.implicits._
+      LakeTable.create(spark, root,
+        Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "tag"))
+      LakeTable.deleteWhereMor(spark, root, col("id") === 2L, "id")
+      // a deleted key stays deleted even if re-appended (table-wide
+      // equality delete until a rewrite)
+      LakeTable.append(spark, root, Seq((2L, "b2"), (4L, "d")).toDF("id", "tag"))
+      assert(LakeTable.read(spark, root).select("id").as[Long].collect()
+        .sorted.toSeq == Seq(1L, 3L, 4L))
+      // second MOR delete accumulates; mixed key columns are rejected
+      LakeTable.deleteWhereMor(spark, root, col("id") === 3L, "id")
+      intercept[IllegalArgumentException] {
+        LakeTable.deleteWhereMor(spark, root, col("tag") === "a", "tag")
+      }
+      assert(LakeTable.read(spark, root).select("id").as[Long].collect()
+        .sorted.toSeq == Seq(1L, 4L))
+      // a no-match predicate commits nothing
+      val vBefore = LakeTable.versions(spark, root).last
+      assert(LakeTable.deleteWhereMor(spark, root,
+        col("id") === 99L, "id") == vBefore)
+      // the DSv2 path cannot honor the masks → fails fast
+      val e = intercept[UnsupportedOperationException] {
+        spark.read.format("graft-lake").load(root).collect()
+      }
+      assert(e.getMessage.contains("merge-on-read"))
+      // rewrite materializes: same rows, delete metadata gone, DSv2 ok
+      LakeTable.rewriteDeletes(spark, root)
+      assert(LakeTable.read(spark, root).select("id").as[Long].collect()
+        .sorted.toSeq == Seq(1L, 4L))
+      assert(spark.read.format("graft-lake").load(root).count() == 2)
+      intercept[IllegalArgumentException] {
+        LakeTable.rewriteDeletes(spark, root)
+      }
+    }
+  }
 }
