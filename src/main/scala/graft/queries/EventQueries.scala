@@ -47,6 +47,28 @@ object EventQueries {
         col("n_events"), col("total_value"))
       .orderBy(col("user_id"), col("session_start"))
 
+  /** q185: session windows with a DYNAMIC, per-event gap —
+    * `session_window(ts, CASE event_type ...)`: a purchase keeps the
+    * session alive 40 minutes, anything else 15 — the
+    * engagement-weighted sessionization fixed gaps can't express (q41
+    * is the static twin). Spark merges overlapping [ts, ts+gap) windows
+    * per key; the oracle replays exactly that with a running max of
+    * window ends (a new session starts when an event's time reaches
+    * every previous end — half-open, so touching ≡ not merged, same
+    * rule q41 pinned). Scale shape: one shuffle by user, windows merged
+    * inside the session-window aggregation, no self-join. */
+  def dynamicSessions(s: SparkSession, dir: String): DataFrame =
+    ev(s, dir)
+      .groupBy(col("user_id"), session_window(col("ts"),
+        when(col("event_type") === "purchase", "40 minutes")
+          .otherwise("15 minutes")))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        Tables.isoTs(col("session_window.start")).as("session_start"),
+        Tables.isoTs(col("session_window.end")).as("session_end"),
+        col("n_events"))
+      .orderBy(col("user_id"), col("session_start"))
+
   /** JSON scalar extraction (F4): props -> $.k as BIGINT, aggregated. */
   /** Spark 4 VARIANT ingestion (F4's modern form): props parsed ONCE
     * into the binary variant encoding (`parse_json`), then path-extracted
@@ -413,6 +435,7 @@ object EventQueries {
   }
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q185_dynamic_sessions"  -> (dynamicSessions _),
     "q160_gap_fill_interp"   -> (gapFillInterpolate _),
     "q28_asof_last_order"    -> (asofLastOrder _),
     "q113_stream_attribution" -> (streamAttribution _),
@@ -434,6 +457,36 @@ object EventQueries {
     "CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)"
 
   val oracles: Map[String, String] = Map(
+    // q185: dynamic-gap sessionization replayed with a running max of
+    // per-event window ends (new session when t reaches every previous
+    // end — half-open boundary, q41's rule generalized)
+    "q185_dynamic_sessions" ->
+      """WITH e AS (
+        |  SELECT user_id, ts, event_id, epoch_us(ts) AS t,
+        |         epoch_us(ts) + CASE WHEN event_type = 'purchase'
+        |                             THEN 2400000000 ELSE 900000000 END
+        |           AS en
+        |  FROM events),
+        |f AS (
+        |  SELECT user_id, ts, event_id, t, en,
+        |         max(en) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                       ROWS BETWEEN UNBOUNDED PRECEDING
+        |                            AND 1 PRECEDING) AS prev_end
+        |  FROM e),
+        |g AS (
+        |  SELECT user_id, ts, en,
+        |         SUM(CASE WHEN prev_end IS NULL OR t >= prev_end
+        |                  THEN 1 ELSE 0 END)
+        |           OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                 ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM f)
+        |SELECT user_id,
+        |       strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+        |       strftime(make_timestamp(max(en)), '%Y-%m-%d %H:%M:%S')
+        |         AS session_end,
+        |       count(*) AS n_events
+        |FROM g GROUP BY user_id, sid
+        |ORDER BY user_id, session_start""".stripMargin,
     // identical resample-and-interpolate pipeline: hourly means of the
     // sparse series, full per-type grid, IGNORE NULLS bracketing
     // windows, fixed-order interpolation arithmetic on epoch seconds

@@ -895,7 +895,49 @@ object LakeQueries {
     }
   }
 
+  /** q184: incremental small-file OPTIMIZE — [[LakeTable.compactSmall]]
+    * merges only the groups below the size threshold (here: everything
+    * but the largest) into one fresh group and carries the big group BY
+    * NAME, zero bytes of it rewritten. This is the streaming-ingest
+    * maintenance loop: one big clustered group + three micro-batch-
+    * sized appends compact 4→2 groups in O(churn), the big group's
+    * identity pinned by the `large_untouched` gate. Row counts per
+    * status value-check against the plain table (the three slices
+    * partition `custkey%10=0` by orderkey residue, so create+appends
+    * reconstruct orders exactly). */
+  def optimizeSmall(s: SparkSession, dir: String): DataFrame = {
+    val o = graft.Tables.load(s, dir, "orders")
+    graft.util.Tmp.withTempDir("graft_lake_q184") { rootPath =>
+      val root = rootPath.toString
+      LakeTable.create(s, root, o.filter(col("o_custkey") % 10 =!= 0))
+      (0 to 2).foreach { i =>
+        LakeTable.append(s, root, o
+          .filter(col("o_custkey") % 10 === 0)
+          .filter(col("o_orderkey") % 3 === i))
+      }
+      val before = LakeTable.dataDirPaths(s, root)
+      val fsys = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      val largest = before.maxBy(d => fsys
+        .listStatus(new org.apache.hadoop.fs.Path(d)).map(_.getLen).sum)
+      val threshold = fsys
+        .listStatus(new org.apache.hadoop.fs.Path(largest))
+        .map(_.getLen).sum
+      LakeTable.compactSmall(s, root, threshold)
+      val after = LakeTable.dataDirPaths(s, root)
+      graft.util.LocalFrame.materialize(
+        LakeTable.read(s, root)
+          .groupBy(col("o_orderstatus"))
+          .agg(count(lit(1)).as("n_orders"))
+          .withColumn("groups_before", lit(before.size))
+          .withColumn("groups_after", lit(after.size))
+          .withColumn("large_untouched", lit(after.contains(largest)))
+          .orderBy(col("o_orderstatus")))
+    }
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q184_optimize_small"      -> (optimizeSmall _),
     "q182_mor_delete"          -> (morDelete _),
     "q181_bloom_skipping"      -> (bloomSkipping _),
     "q159_streaming_lake_read" -> (streamingLakeRead _),
@@ -921,6 +963,15 @@ object LakeQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // q184: deterministic construction (1 create + 3 appends, merge all
+    // but the largest) pins the group arithmetic; row counts from the
+    // plain table.
+    "q184_optimize_small" ->
+      """SELECT o_orderstatus, count(*) AS n_orders,
+        |       4 AS groups_before, 2 AS groups_after,
+        |       true AS large_untouched
+        |FROM orders GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin,
     // q182: the MOR delete's observable state restated as one plain
     // predicate — counts after masking, CDC delete rows, and the
     // materialized rewrite all derive from n_chars < 100; the

@@ -780,6 +780,42 @@ object LakeTable {
     * power — the poor man's Z-order). Appended stream micro-batches are
     * the classic small-files source; compaction is what keeps scan task
     * counts sane at 100 TB. Old versions still read the old files. */
+  /** Incremental OPTIMIZE (the production small-file compaction shape —
+    * Delta's OPTIMIZE, Iceberg's rewrite_data_files): merge ONLY the
+    * file groups below `minBytes` into one fresh group; every large
+    * group — at 100 TB, almost the whole table — is carried by name
+    * with its stats and bloom index intact, zero bytes rewritten. A
+    * streaming-ingest table accumulating one small group per
+    * micro-batch compacts in O(recent churn), not O(table); run it
+    * after every N commits and the group count stays bounded while the
+    * big clustered groups keep their skipping metadata forever.
+    * No-ops (same version) when fewer than two small groups exist. */
+  def compactSmall(spark: SparkSession, root: String,
+                   minBytes: Long): Int = {
+    val v = latestVersion(spark, root)
+      .getOrElse(throw new IllegalStateException(s"no table at $root"))
+    val meta = manifestMeta(spark, root, v)
+    require(deleteState(meta).isEmpty,
+      s"table at $root has merge-on-read deletes; rewriteDeletes first")
+    val f = fs(spark, root)
+    def bytes(d: String): Long =
+      f.listStatus(new Path(root, d)).map(_.getLen).sum
+    val dirs = readManifest(spark, root, v)
+    val (small, large) = dirs.partition(bytes(_) < minBytes)
+    if (small.size <= 1) return v
+    val merged = spark.read.option("mergeSchema", "true")
+      .parquet(small.map(d => new Path(root, d).toString): _*)
+    val newDir = writeDataFiles(spark, root, merged.coalesce(1))
+    val carried = meta.filter { case (k, _) =>
+      (k.startsWith("stat:") &&
+        large.exists(d => k.startsWith(s"stat:$d:"))) ||
+      (k.startsWith("bloom:") &&
+        large.exists(d => k.startsWith(s"bloom:$d:")))
+    }
+    commitVersion(spark, root, v + 1, large :+ newDir,
+      carried + ("op" -> "optimize-small"))
+  }
+
   def compact(spark: SparkSession, root: String, targetPartitions: Int,
               clusterBy: Option[String] = None): Int = {
     val cur = read(spark, root)

@@ -386,6 +386,32 @@ class LakeTableSpec extends SparkSpec {
     }
   }
 
+  test("compactSmall merges only small groups, carries big groups' metadata") {
+    withTable { root =>
+      import spark.implicits._
+      val big = (1L to 2000L).map(i => (i, s"row$i")).toDF("id", "tag")
+      LakeTable.create(spark, root, big.coalesce(1), statsCols = Seq("id"))
+      LakeTable.append(spark, root, Seq((9001L, "x")).toDF("id", "tag"),
+        statsCols = Seq("id"))
+      LakeTable.append(spark, root, Seq((9002L, "y")).toDF("id", "tag"),
+        statsCols = Seq("id"))
+      val bigDir = LakeTable.dataDirPaths(spark, root).head
+      val v = LakeTable.compactSmall(spark, root, minBytes = 4096L)
+      assert(v == 4)
+      val after = LakeTable.dataDirPaths(spark, root)
+      assert(after.size == 2 && after.contains(bigDir))
+      assert(LakeTable.read(spark, root).count() == 2002)
+      // the big group's stats survived the commit by name: a probe in
+      // the small-id range prunes it (the merged group, statless, is
+      // conservatively kept — so exactly one group survives)
+      val bigRel = bigDir.split('/').takeRight(2).mkString("/")
+      val kept = LakeTable.selectGroups(spark, root, "id", 9000.0, 9100.0)
+      assert(kept.size == 1 && !kept.contains(bigRel))
+      // another run with the same threshold is a no-op (one small group)
+      assert(LakeTable.compactSmall(spark, root, 4096L) == v)
+    }
+  }
+
   test("merge-on-read delete masks reads without touching data files") {
     withTable { root =>
       val nation = Tables.load(spark, sf, "nation")
