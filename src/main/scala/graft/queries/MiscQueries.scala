@@ -270,7 +270,104 @@ object MiscQueries {
       .toDF("n_rows", "total_price", "n_statuses")
   }
 
+  /** q187: JSON-lines ingest round trip — the interchange format every
+    * crawl/annotation pipeline ships (documents.jsonl): the corpus is
+    * staged as JSONL (`write.json`, one object per line), read back
+    * with an EXPLICIT schema (no inference pass — at 100 TB schema
+    * inference is a full extra scan), and proven lossless against the
+    * parquet original by per-lang counts + text-md5 checksums. The
+    * oracle computes the same aggregates from the source table, so any
+    * quoting/escaping/precision loss in the round trip breaks the
+    * hash match. */
+  def jsonlRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    graft.util.Tmp.withTempDir("graft_q187_jsonl") { stage =>
+      val path = new java.io.File(stage.toString, "docs.jsonl").toString
+      d.write.json(path)
+      val back = s.read.schema(d.schema).json(path)
+      graft.util.LocalFrame.materialize(
+        back.groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_docs"),
+            countDistinct(md5(col("text"))).as("distinct_text"),
+            min(md5(col("text"))).as("min_md5"),
+            sum(col("n_chars")).as("total_chars"))
+          .orderBy(col("lang")))
+    }
+  }
+
+  /** q188: malformed-record handling on the CSV ingest path (S1's
+    * fault-tolerant form): a staged file carries one broken line (a
+    * non-numeric key — a type failure; the CSV reader silently ignores
+    * surplus tokens, so extra columns are NOT malformed) for every
+    * nationkey divisible by 5. PERMISSIVE mode lands
+    * them in `_corrupt` (count + clean rows both checked),
+    * DROPMALFORMED silently drops them, FAILFAST throws — the three
+    * contracts a production ingest chooses between. Counts derive from
+    * nation, so the oracle restates them from the table; at scale this
+    * is the quarantine pattern: corrupt rows routed to a dead-letter
+    * column, never lost, never poisoning types. */
+  def csvMalformed(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val rows = t(s, dir, "nation")
+      .select(col("n_nationkey"), col("n_name"))
+      .orderBy(col("n_nationkey"))
+      .collect()
+      .map(r => (r.get(0).toString.toLong, r.getString(1)))
+    graft.util.Tmp.withTempDir("graft_q188_csv") { stage =>
+      val f = new java.io.File(stage.toString, "nations.csv")
+      val w = new java.io.PrintWriter(f, "UTF-8")
+      try {
+        w.println("key,name")
+        rows.foreach { case (k, n) =>
+          if (k % 5 == 0) w.println(s"NOT_A_NUMBER_$k,$n")
+          else w.println(s"$k,$n")
+        }
+      } finally w.close()
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("key",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("name",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("_corrupt",
+          org.apache.spark.sql.types.StringType)))
+      def readMode(m: String) = s.read
+        .option("header", "true").option("mode", m)
+        .option("columnNameOfCorruptRecord", "_corrupt")
+        .schema(schema).csv(f.toString)
+      // Spark disallows plans whose only referenced column is the
+      // corrupt-record column; one aggregate that also touches `key`
+      // satisfies the restriction and counts both sides in one pass
+      val counts = readMode("PERMISSIVE").agg(
+        count(col("key")).as("n_keys"),
+        count(lit(1)).as("n_total"),
+        sum(when(col("_corrupt").isNotNull, 1L).otherwise(0L))
+          .as("n_corrupt")).head()
+      val nCorrupt = counts.getLong(2)
+      val nClean = counts.getLong(1) - nCorrupt
+      // DROPMALFORMED/FAILFAST probe with the STRICT 2-column schema
+      // (declaring the corrupt sink gives malformed rows a home and
+      // defuses both modes) and must COUNT THE FAILING COLUMN — column
+      // pruning means an unreferenced `key` never parses, so a bare
+      // count(*) (or counting only `name`) sees no failure at all
+      val strict = org.apache.spark.sql.types.StructType(
+        schema.fields.filterNot(_.name == "_corrupt"))
+      def strictRead(m: String) = s.read
+        .option("header", "true").option("mode", m)
+        .schema(strict).csv(f.toString)
+      val nDropped = strictRead("DROPMALFORMED")
+        .agg(count(col("key"))).head().getLong(0)
+      val failfastThrows =
+        try { strictRead("FAILFAST").agg(count(col("key"))).head(); false }
+        catch { case _: Exception => true }
+      Seq((rows.length.toLong, nClean, nCorrupt, nDropped, failfastThrows))
+        .toDF("n_rows", "n_clean", "n_corrupt", "n_dropmalformed",
+          "failfast_throws")
+    }
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q187_jsonl_roundtrip" -> (jsonlRoundtrip _),
+    "q188_csv_malformed"   -> (csvMalformed _),
     "q108_partition_pruned" -> (partitionPrunedScan _),
     "q115_dpp_join"         -> (dynamicPartitionPruned _),
     "q122_observed_metrics" -> (observedMetrics _),
@@ -289,6 +386,26 @@ object MiscQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // q187: the same aggregates from the parquet source — a lossy JSONL
+    // round trip (quoting/escaping/width) breaks the md5 columns
+    "q187_jsonl_roundtrip" ->
+      """SELECT lang, count(*) AS n_docs,
+        |       count(DISTINCT md5(text)) AS distinct_text,
+        |       min(md5(text)) AS min_md5,
+        |       CAST(sum(n_chars) AS BIGINT) AS total_chars
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    // q188: corrupt-row arithmetic restated from nation (every 5th key
+    // is broken in the staged file); FAILFAST pinned to throw
+    "q188_csv_malformed" ->
+      """SELECT count(*) AS n_rows,
+        |  CAST(sum(CASE WHEN n_nationkey % 5 <> 0 THEN 1 ELSE 0 END)
+        |       AS BIGINT) AS n_clean,
+        |  CAST(sum(CASE WHEN n_nationkey % 5 = 0 THEN 1 ELSE 0 END)
+        |       AS BIGINT) AS n_corrupt,
+        |  CAST(sum(CASE WHEN n_nationkey % 5 <> 0 THEN 1 ELSE 0 END)
+        |       AS BIGINT) AS n_dropmalformed,
+        |  true AS failfast_throws
+        |FROM nation""".stripMargin,
     "q37_unpivot_metrics" ->
       """SELECT p_brand, metric, count(*) AS n,
         |       CAST(SUM(value) AS DOUBLE) AS total

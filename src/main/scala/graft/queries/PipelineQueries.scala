@@ -293,7 +293,36 @@ object PipelineQueries {
       .limit(20)
   }
 
+  /** q186: TEMPORAL train/eval split — the leakage-safe split for
+    * anything time-dependent (q123's hash split is exchangeable-data
+    * territory; forecasting/recommendation corpora must split on time
+    * or the eval sees the future). Cutoff = exact 80th percentile of
+    * event time (`percentile_disc` on epoch micros — a value from the
+    * data, deterministic both engines, q166's pairing); ties at the
+    * cutoff go to train, so `max(train) < min(test)` holds by
+    * construction and is pinned as the no-leakage gate. One aggregation
+    * for the cutoff (broadcast back), one for the counts — two passes,
+    * no shuffle by row. */
+  def temporalSplit(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.load(s, dir, "events")
+      .withColumn("t", expr("unix_micros(ts)"))
+    val cut = e.agg(
+      expr("percentile_disc(0.8) WITHIN GROUP (ORDER BY t)").as("cut"))
+    val tagged = e.crossJoin(broadcast(cut))
+      .withColumn("split",
+        when(col("t") <= col("cut"), "train").otherwise("test"))
+    val gate = tagged.agg(
+      (max(when(col("split") === "train", col("t"))) <
+        min(when(col("split") === "test", col("t")))).as("no_leakage"))
+    tagged.groupBy(col("split"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .crossJoin(broadcast(gate))
+      .select(col("split"), col("event_type"), col("n"), col("no_leakage"))
+      .orderBy(col("split"), col("event_type"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q186_temporal_split"      -> (temporalSplit _),
     "q180_domain_pagerank"     -> (domainPagerank _),
     "q123_hash_split"          -> (hashSplit _),
     "q124_source_mixture"      -> (sourceMixture _),
@@ -305,6 +334,18 @@ object PipelineQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // q186: same exact-percentile cutoff; the no-leakage gate holds by
+    // construction (ties at the cutoff land in train)
+    "q186_temporal_split" ->
+      """WITH c AS (SELECT quantile_disc(epoch_us(ts), 0.8) AS cut
+        |           FROM events),
+        |t AS (SELECT event_type,
+        |             CASE WHEN epoch_us(ts) <= (SELECT cut FROM c)
+        |                  THEN 'train' ELSE 'test' END AS split
+        |      FROM events)
+        |SELECT split, event_type, count(*) AS n, true AS no_leakage
+        |FROM t GROUP BY split, event_type
+        |ORDER BY split, event_type""".stripMargin,
     // q180: the three power iterations unrolled as CTEs; ranks in
     // scaled-integer space (×1e9) — floor(x+0.5) quantization in pure
     // double ops, exact BIGINT sums — identical rule to the Spark loop,
