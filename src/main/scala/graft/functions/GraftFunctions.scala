@@ -93,6 +93,10 @@ object GraftFunctions {
     "unicode_normalize" -> (exprs => {
       arity("unicode_normalize", exprs, 2)
       NormalizeExpr(exprs(0), litString("unicode_normalize", exprs(1)))
+    }),
+    "jaro_winkler" -> (exprs => {
+      arity("jaro_winkler", exprs, 2)
+      JaroWinklerExpr(exprs(0), exprs(1))
     })
   )
 

@@ -936,7 +936,37 @@ object LakeQueries {
     }
   }
 
+  /** q189: aggregate pushdown through the DSv2 scan — COUNT/MIN/MAX
+    * answered from parquet FOOTER STATISTICS instead of scanning rows
+    * (`spark.sql.parquet.aggregatePushdown`; the graft-lake scan
+    * builder forwards `pushAggregation` to the parquet delegate). At
+    * 100 TB a table-level COUNT(*) touches only file metadata — the
+    * difference between milliseconds and a full scan. The
+    * `agg_pushed` gate reads the executed plan for the
+    * PushedAggregation marker, so a regression that silently falls
+    * back to row scanning fails the oracle, and the values themselves
+    * check against DuckDB's plain aggregates. */
+  def aggPushdown(s: SparkSession, dir: String): DataFrame = {
+    val o = graft.Tables.load(s, dir, "orders")
+    graft.util.Tmp.withTempDir("graft_lake_q189") { rootPath =>
+      val root = rootPath.toString
+      LakeTable.create(s, root, o)
+      graft.util.LocalFrame.withConf(s,
+        "spark.sql.parquet.aggregatePushdown", "true") {
+        val df = s.read.format("graft-lake").load(root)
+          .agg(count(lit(1)).as("n_orders"),
+            min(col("o_orderkey")).as("min_key"),
+            max(col("o_orderkey")).as("max_key"))
+        val pushed = df.queryExecution.executedPlan.toString
+          .contains("PushedAggregation: [COUNT(*)")
+        graft.util.LocalFrame.materialize(
+          df.withColumn("agg_pushed", lit(pushed)))
+      }
+    }
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q189_agg_pushdown"        -> (aggPushdown _),
     "q184_optimize_small"      -> (optimizeSmall _),
     "q182_mor_delete"          -> (morDelete _),
     "q181_bloom_skipping"      -> (bloomSkipping _),
@@ -963,6 +993,14 @@ object LakeQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // q189: the same aggregates from the plain table; the pushdown
+    // fact pins as a plan-derived gate
+    "q189_agg_pushdown" ->
+      """SELECT count(*) AS n_orders,
+        |       min(o_orderkey) AS min_key,
+        |       max(o_orderkey) AS max_key,
+        |       true AS agg_pushed
+        |FROM orders""".stripMargin,
     // q184: deterministic construction (1 create + 3 appends, merge all
     // but the largest) pins the group arithmetic; row counts from the
     // plain table.

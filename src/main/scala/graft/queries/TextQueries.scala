@@ -516,7 +516,33 @@ object TextQueries {
       .orderBy(col("lang"))
   }
 
+  /** q190: fuzzy entity matching via Jaro-Winkler — the record-linkage
+    * scoring step (Winkler's census name-matcher): every distinct
+    * part-name pair scored by the native codegen
+    * [[graft.functions.JaroWinklerExpr]], kept at similarity ≥ 0.437
+    * (an irrational-ish cut no small-denominator JW value lands on).
+    * Value-level oracle: DuckDB's own `jaro_winkler_similarity` agrees
+    * on every rounded score — the expression's window/transposition/
+    * boost-threshold semantics were matched to the oracle's edge cases
+    * (empty → 0, boost only above jaro 0.7). Scale shape: DISTINCT
+    * names first (64 here; vocabulary-bounded, not corpus-bounded),
+    * pairs second — at 100 TB the distinct step is the blocker that
+    * keeps the quadratic term off the raw table. */
+  def fuzzyNameMatch(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.JaroWinklerExpr
+    val names = Tables.load(s, dir, "part")
+      .select(col("p_name")).distinct()
+    val sim = round(JaroWinklerExpr(col("name_a"), col("name_b")), 6)
+    names.select(col("p_name").as("name_a"))
+      .crossJoin(names.select(col("p_name").as("name_b")))
+      .filter(col("name_a") < col("name_b"))
+      .select(col("name_a"), col("name_b"), sim.as("sim"))
+      .filter(col("sim") >= 0.437)
+      .orderBy(col("name_a"), col("name_b"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q190_fuzzy_name_match"  -> (fuzzyNameMatch _),
     "q179_unicode_normalize" -> (unicodeNormalizeStats _),
     "q164_bigram_lm_score" -> (bigramLmScore _),
     "q157_bm25_topk"       -> (bm25TopDocs _),
@@ -577,6 +603,18 @@ object TextQueries {
       |FROM comp ORDER BY doc_id""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // q190: DuckDB's own jaro_winkler_similarity scores every pair —
+    // a semantics drift in the custom expression (window size,
+    // transposition count, boost threshold) breaks the value match
+    "q190_fuzzy_name_match" ->
+      """WITH n AS (SELECT DISTINCT p_name FROM part)
+        |SELECT a.p_name AS name_a, b.p_name AS name_b,
+        |       round(jaro_winkler_similarity(a.p_name, b.p_name), 6)
+        |         AS sim
+        |FROM n a JOIN n b ON a.p_name < b.p_name
+        |WHERE round(jaro_winkler_similarity(a.p_name, b.p_name), 6)
+        |      >= 0.437
+        |ORDER BY name_a, name_b""".stripMargin,
     // q179: identical accent injection via translate (chr()-built target
     // so the SQL text stays ASCII), DuckDB's own strip_accents /
     // nfc_normalize vs graft's codegen expressions; NFKC folds have no
