@@ -223,38 +223,103 @@ private[sources] final class GraftLakeStreamScanBuilder(
     * pushdown calls are replayed onto it. */
   override def build(): Scan = {
     val spark = SparkSession.active
-    val underlying = {
-      val v1 = pushedExprs.flatMap(toSourceFilter)
-      val prunedScan = for {
-        v <- LakeTable.latestVersion(spark, root)
-        if v1.nonEmpty
-        meta = LakeTable.manifestMetaAt(spark, root, v)
-        if meta.keys.exists(k =>
-          k.startsWith("stat:") || k.startsWith("bloom:"))
-        dirs = LakeTable.dataDirsAt(spark, root, v)
-        kept = dirs.filter(dir =>
-          v1.forall(f => LakeTable.statsAdmit(meta, dir, f) &&
-            LakeTable.bloomAdmit(spark, root, meta, dir, f)))
-        if kept.size < dirs.size
-      } yield {
+    val v1 = pushedExprs.flatMap(toSourceFilter)
+    // snapshot with a skipping index (stats or bloom), if any
+    val indexed = for {
+      v <- LakeTable.latestVersion(spark, root)
+      meta = LakeTable.manifestMetaAt(spark, root, v)
+      if meta.keys.exists(k =>
+        k.startsWith("stat:") || k.startsWith("bloom:"))
+    } yield (meta, LakeTable.dataDirsAt(spark, root, v))
+    val keptStatic = indexed.map { case (meta, dirs) =>
+      if (v1.isEmpty) dirs
+      else dirs.filter(dir =>
+        v1.forall(f => LakeTable.statsAdmit(meta, dir, f) &&
+          LakeTable.bloomAdmit(spark, root, meta, dir, f)))
+    }
+    val underlying = (indexed, keptStatic) match {
+      case (Some((_, dirs)), Some(kept)) if kept.size < dirs.size =>
         val fb = GraftLakeSource.delegateForDirs(spark, root, kept,
           tableSchema, options).newScanBuilder(options)
         requested.foreach(fb.pruneColumns)
         if (pushedExprs.nonEmpty) fb.pushFilters(pushedExprs)
         fb.build()
-      }
-      prunedScan.getOrElse(d.build())
+      case _ => d.build()
     }
-    new GraftLakeStreamableScan(underlying, root, tableSchema, ignoreChanges)
+    // hand the scan what it needs to re-prune at RUNTIME (DPP-style,
+    // from join-sibling values Catalyst only knows mid-execution)
+    val rt = indexed.map { case (meta, dirs) =>
+      GraftRuntimeFilterInfo(meta, keptStatic.getOrElse(dirs),
+        requested, pushedExprs, options,
+        (meta.keys.collect {
+          case k if k.startsWith("stat:") || k.startsWith("bloom:") =>
+            k.split(':').last
+        }).toSeq.distinct)
+    }
+    new GraftLakeStreamableScan(underlying, root, tableSchema,
+      ignoreChanges, rt)
   }
 }
 
+/** Everything the scan needs to rebuild its parquet delegate when a
+  * runtime filter arrives: the snapshot's skipping metadata, the
+  * statically-surviving dirs, and the recorded pushdown calls. */
+private[sources] final case class GraftRuntimeFilterInfo(
+    meta: Map[String, String], dirs: Seq[String],
+    requested: Option[StructType],
+    pushedExprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression],
+    options: org.apache.spark.sql.util.CaseInsensitiveStringMap,
+    columns: Seq[String])
+
 /** Scan wrapper that keeps the delegate's batch path untouched (same
   * Batch, same columnar mode, same metrics — pushdown already happened
-  * in the builder) and adds the micro-batch stream. */
-private[sources] final class GraftLakeStreamableScan(
-    underlying: Scan, root: String, tableSchema: StructType,
-    ignoreChanges: Boolean = false) extends Scan {
+  * in the builder), adds the micro-batch stream, and — when the
+  * snapshot carries a skipping index — RUNTIME file-group pruning
+  * ([[org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering]],
+  * the DSv2 form of dynamic partition pruning): a join against a
+  * filtered dim delivers the key set mid-execution, the same
+  * stats+bloom admission that serves static pushdown re-prunes the
+  * group list, and the parquet delegate is rebuilt over the survivors
+  * before the batch materializes. At 100 TB this is the star-join
+  * fact-scan killer feature — the fact side scans only the groups the
+  * dim's surviving keys can live in, without the user pre-filtering. */
+private[graft] final class GraftLakeStreamableScan(
+    initial: Scan, root: String, tableSchema: StructType,
+    ignoreChanges: Boolean = false,
+    rt: Option[GraftRuntimeFilterInfo] = None) extends Scan
+    with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering {
+  private var underlying: Scan = initial
+  /** Observable for specs: dirs surviving the runtime re-prune. */
+  private[graft] var runtimePrunedTo: Option[Int] = None
+
+  override def filterAttributes()
+      : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    rt.map(_.columns.map(
+        org.apache.spark.sql.connector.expressions.Expressions.column).toArray)
+      .getOrElse(Array.empty)
+
+  override def filter(
+      predicates: Array[org.apache.spark.sql.connector.expressions.filter.Predicate])
+      : Unit = rt.foreach { info =>
+    val v1 = org.apache.spark.sql.graftbridge.ColumnBridge
+      .predicatesToV1(predicates)
+    System.err.println(s"[rtfilter-debug] preds=${predicates.toSeq} v1=${v1.toSeq} dirs=${info.dirs.size} id=${System.identityHashCode(this)}")
+    if (v1.nonEmpty) {
+      val spark = SparkSession.active
+      val kept = info.dirs.filter(dir =>
+        v1.forall(f => LakeTable.statsAdmit(info.meta, dir, f) &&
+          LakeTable.bloomAdmit(spark, root, info.meta, dir, f)))
+      if (kept.size < info.dirs.size) {
+        runtimePrunedTo = Some(kept.size)
+        val fb = GraftLakeSource.delegateForDirs(spark, root, kept,
+          tableSchema, info.options).newScanBuilder(info.options)
+        info.requested.foreach(fb.pruneColumns)
+        if (info.pushedExprs.nonEmpty) fb.pushFilters(info.pushedExprs)
+        underlying = fb.build()
+      }
+    }
+  }
+
   override def readSchema(): StructType = underlying.readSchema()
   override def toBatch: Batch = underlying.toBatch
   override def description(): String = underlying.description()

@@ -20,4 +20,13 @@ object ColumnBridge {
       : org.apache.spark.sql.DataFrame =
     org.apache.spark.sql.classic.Dataset.ofRows(
       spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
+
+  /** DSv2 `Predicate` → v1 `sources.Filter` (the converter runtime-
+    * filtering scans need is `private[sql]`). Unconvertible predicates
+    * are dropped — callers treat the v1 set as a conservative
+    * over-approximation. */
+  def predicatesToV1(
+      predicates: Array[org.apache.spark.sql.connector.expressions.filter.Predicate])
+      : Array[org.apache.spark.sql.sources.Filter] =
+    org.apache.spark.sql.internal.connector.PredicateUtils.toV1(predicates)
 }

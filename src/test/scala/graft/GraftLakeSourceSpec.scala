@@ -243,6 +243,59 @@ class GraftLakeSourceSpec extends SparkSpec {
     }
   }
 
+  test("runtime filtering: a filtered dim join re-prunes the fact scan mid-execution") {
+    withTable { root =>
+      import spark.implicits._
+      // fact: 4 range-clustered groups with key stats; dim keeps ONE key
+      val fact = (0L until 400L).map(i => (i % 100, s"f$i")).toDF("k", "payload")
+      LakeTable.createClustered(spark, root, fact, "k",
+        numGroups = 4, statsCols = Seq("k"))
+      assert(LakeTable.dataDirPaths(spark, root).size == 4)
+      // DPP requires a SELECTIVE PREDICATE on the pruning side (an
+      // unfiltered dim can't prune anything) — and it must survive as
+      // a plan node, so the dim comes from parquet (a LocalRelation
+      // constant-folds the filter away before the rule sees it)
+      Seq((5L, "keep"), (90L, "drop")).toDF("k", "tag")
+        .write.parquet(s"$root/_dim_src")
+      val dim = spark.read.parquet(s"$root/_dim_src")
+        .filter(col("tag") === "keep")
+      // useStats' benefit estimate has no stats to work with on a tiny
+      // v2 relation and rejects the filter; the fallback ratio path
+      // injects it (production fact tables carry real stats)
+      val joined = graft.util.LocalFrame.withConf(spark,
+        "spark.sql.optimizer.dynamicPartitionPruning.useStats", "false") {
+        val j = spark.read.format("graft-lake").load(root).join(dim, "k")
+        // collect() (not count(), which plans a sibling QueryExecution
+        // whose own scan would be the filtered one) so the plan we
+        // inspect below is the plan that executed
+        assert(j.collect().length == 4) // k=5 occurs 4x in fact
+        j
+      }
+      // the optimizer injected a dynamic-pruning runtime filter on the
+      // v2 scan, and execution re-pruned the group list to the single
+      // group whose [min,max] can hold k=5
+      val planStr = joined.queryExecution.executedPlan.toString
+      assert(planStr.contains("RuntimeFilters: [dynamicpruning"),
+        planStr.take(1200))
+      val scans = collectScans(joined.queryExecution.executedPlan)
+      scans.foreach(s => System.err.println(
+        s"[spec-debug] scan=${s.getClass.getSimpleName} id=${System.identityHashCode(s)}"))
+      val pruned = scans.collectFirst {
+        case s: graft.sources.GraftLakeStreamableScan
+            if s.runtimePrunedTo.isDefined => s.runtimePrunedTo.get
+      }
+      assert(pruned.contains(1), s"runtimePrunedTo=$pruned")
+    }
+  }
+
+  private def collectScans(p: org.apache.spark.sql.execution.SparkPlan)
+      : Seq[org.apache.spark.sql.connector.read.Scan] = p.collect {
+    case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+      Seq(b.scan)
+    case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+      collectScans(a.executedPlan)
+  }.flatten
+
   test("writes through the format are rejected") {
     withTable { root =>
       val nation = Tables.load(spark, sf, "nation")
