@@ -303,7 +303,6 @@ private[graft] final class GraftLakeStreamableScan(
       : Unit = rt.foreach { info =>
     val v1 = org.apache.spark.sql.graftbridge.ColumnBridge
       .predicatesToV1(predicates)
-    System.err.println(s"[rtfilter-debug] preds=${predicates.toSeq} v1=${v1.toSeq} dirs=${info.dirs.size} id=${System.identityHashCode(this)}")
     if (v1.nonEmpty) {
       val spark = SparkSession.active
       val kept = info.dirs.filter(dir =>
@@ -325,9 +324,41 @@ private[graft] final class GraftLakeStreamableScan(
   override def description(): String = underlying.description()
   override def columnarSupportMode(): Scan.ColumnarSupportMode =
     underlying.columnarSupportMode()
-  override def supportedCustomMetrics() = underlying.supportedCustomMetrics()
-  override def reportDriverMetrics() = underlying.reportDriverMetrics()
+  /** The re-prune surfaces as a DRIVER custom metric
+    * ([[org.apache.spark.sql.connector.read.Scan#reportDriverMetrics]]):
+    * `BatchScanExec.postDriverMetrics()` reads it from the very scan
+    * instance execution filtered, so the count is observable on the
+    * executed plan's SQL metrics even under AQE stage cloning — the
+    * same channel Delta uses for its file-skipping counters. */
+  override def supportedCustomMetrics()
+      : Array[org.apache.spark.sql.connector.metric.CustomMetric] =
+    underlying.supportedCustomMetrics() :+ new GraftRuntimePruneMetric
+  override def reportDriverMetrics()
+      : Array[org.apache.spark.sql.connector.metric.CustomTaskMetric] = {
+    val base = underlying.reportDriverMetrics()
+    runtimePrunedTo match {
+      case Some(n) => base :+ new GraftRuntimePruneValue(n.toLong)
+      case None    => base
+    }
+  }
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
     new GraftLakeMicroBatchStream(root, underlying.readSchema(), tableSchema,
       ignoreChanges)
+}
+
+/** Driver metric: number of file groups surviving the runtime re-prune
+  * (reported only when a runtime filter actually dropped groups). */
+private[graft] final class GraftRuntimePruneMetric
+    extends org.apache.spark.sql.connector.metric.CustomSumMetric {
+  override def name(): String = GraftRuntimePruneMetric.Name
+  override def description(): String =
+    "file groups surviving runtime re-prune"
+}
+private[graft] object GraftRuntimePruneMetric {
+  val Name = "graftRuntimePrunedGroups"
+}
+private[graft] final class GraftRuntimePruneValue(n: Long)
+    extends org.apache.spark.sql.connector.metric.CustomTaskMetric {
+  override def name(): String = GraftRuntimePruneMetric.Name
+  override def value(): Long = n
 }

@@ -277,24 +277,33 @@ class GraftLakeSourceSpec extends SparkSpec {
       val planStr = joined.queryExecution.executedPlan.toString
       assert(planStr.contains("RuntimeFilters: [dynamicpruning"),
         planStr.take(1200))
-      val scans = collectScans(joined.queryExecution.executedPlan)
-      scans.foreach(s => System.err.println(
-        s"[spec-debug] scan=${s.getClass.getSimpleName} id=${System.identityHashCode(s)}"))
-      val pruned = scans.collectFirst {
-        case s: graft.sources.GraftLakeStreamableScan
-            if s.runtimePrunedTo.isDefined => s.runtimePrunedTo.get
-      }
-      assert(pruned.contains(1), s"runtimePrunedTo=$pruned")
+      // the executed fact scan (inside an AQE query stage) reported the
+      // re-prune through the DSv2 DRIVER custom-metric channel —
+      // BatchScanExec.postDriverMetrics() reads the very scan instance
+      // execution filtered, so this observes the prune that actually ran
+      val scanExecs = collectScans(joined.queryExecution.executedPlan)
+        .filter(_.scan.isInstanceOf[graft.sources.GraftLakeStreamableScan])
+      assert(scanExecs.nonEmpty, "no graft-lake BatchScanExec in final plan")
+      val prunedMetric = scanExecs
+        .flatMap(_.metrics.get(graft.sources.GraftRuntimePruneMetric.Name))
+        .map(_.value)
+      assert(prunedMetric == Seq(1L), s"prunedGroupsMetric=$prunedMetric")
     }
   }
 
+  /** Collects v2 scan execs, descending into AQE wrappers: the final
+    * plan nests materialized stages as LEAF [[QueryStageExec]] nodes, so
+    * a plain collect never reaches the scan that executed. */
   private def collectScans(p: org.apache.spark.sql.execution.SparkPlan)
-      : Seq[org.apache.spark.sql.connector.read.Scan] = p.collect {
-    case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
-      Seq(b.scan)
-    case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
-      collectScans(a.executedPlan)
-  }.flatten
+      : Seq[org.apache.spark.sql.execution.datasources.v2.BatchScanExec] =
+    p.collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+        Seq(b)
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        collectScans(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        collectScans(q.plan)
+    }.flatten
 
   test("writes through the format are rejected") {
     withTable { root =>
