@@ -760,10 +760,15 @@ object LakeQueries {
                  |       o_totalprice, o_orderdate, o_orderpriority,
                  |       o_totalprice / 10 AS discount
                  |FROM q162_orders_src WHERE o_custkey % 77 = 0""".stripMargin)
+        // DECIMAL(18,3), not (18,2): discount = totalprice/10 carries
+        // exactly 3 decimals, and a 3-decimal double quantizes to scale-3
+        // identically under Spark's shortest-repr HALF_UP and DuckDB's
+        // binary-value scaling — at scale 2 the x.xx5 boundary values
+        // round differently per engine (bit them at sf0.001)
         graft.util.LocalFrame.materialize(s.sql(
           s"""SELECT o_orderstatus, count(*) AS n,
              |       count(discount) AS n_discounted,
-             |       CAST(sum(CAST(coalesce(discount, 0) AS DECIMAL(18,2)))
+             |       CAST(sum(CAST(coalesce(discount, 0) AS DECIMAL(18,3)))
              |            AS DOUBLE) AS disc_total
              |FROM $cat.orders_t
              |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin))
@@ -1104,7 +1109,7 @@ object LakeQueries {
         |f AS (SELECT * FROM base UNION ALL SELECT * FROM ins)
         |SELECT o_orderstatus, count(*) AS n,
         |       count(discount) AS n_discounted,
-        |       CAST(sum(CAST(coalesce(discount, 0) AS DECIMAL(18,2)))
+        |       CAST(sum(CAST(coalesce(discount, 0) AS DECIMAL(18,3)))
         |            AS DOUBLE) AS disc_total
         |FROM f GROUP BY o_orderstatus
         |ORDER BY o_orderstatus""".stripMargin,

@@ -42,6 +42,55 @@ object VectorQueries {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** q61 as an oracle-gated check (q82/q84's promotion pattern): the IVF
+    * top-10 list itself isn't SQL-derivable (the coarse quantizer is
+    * ours), but everything a BROKEN index would get wrong is — per query
+    * the oracle states the SQL-knowable facts (query set, k) and pins
+    * four deterministic booleans: exactly k distinct non-self neighbors
+    * come back, every reported sim IS the true cosine of that pair
+    * (recomputed from the raw vectors — garbage-sim indexes die here),
+    * the list is rank-ordered by descending sim, and recall vs the exact
+    * brute-force top-10 clears the q84 floor (6-probe: measured ≥ 0.5
+    * at every SF, gated ≥ 0.4). The scoring join broadcasts the 50-row result — fit-small /
+    * check-wide at any scale. */
+  def knnIvfGate(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val q = e.filter(col("vec_id") < 5)
+    val ivf = graft.vector.KMeansIvf.topK(s, q, e,
+      "vec_id", "embedding", "vec_id", "embedding", k = 10, nProbe = 6)
+    val rescored = broadcast(ivf)
+      .join(e.select(col("vec_id").as("neighbor_id"),
+        col("embedding").as("ce")), Seq("neighbor_id"))
+      .join(broadcast(q.select(col("vec_id").as("query_id"),
+        col("embedding").as("qe"))), Seq("query_id"))
+      .withColumn("true_sim", VectorFunctions.cosine(col("qe"), col("ce")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("rank"))
+    val brute = VectorFunctions.bruteForceTopK(q, e,
+      "vec_id", "embedding", "vec_id", "embedding", k = 10)
+      .select(col("query_id"), col("neighbor_id"))
+    val hits = broadcast(ivf.select(col("query_id"), col("neighbor_id")))
+      .join(brute, Seq("query_id", "neighbor_id"), "left_semi")
+      .groupBy(col("query_id")).agg(count(lit(1)).as("n_hits"))
+    rescored
+      .withColumn("prev_sim", lag(col("sim"), 1).over(w))
+      .groupBy(col("query_id"))
+      .agg(
+        count(lit(1)).as("n_returned"),
+        (count(lit(1)) === countDistinct(col("neighbor_id")) &&
+          max(col("neighbor_id") === col("query_id")) === lit(false))
+          .as("neighbors_ok"),
+        min(abs(col("sim") - col("true_sim")) < 1e-9).as("sims_exact_ok"),
+        min(coalesce(col("prev_sim") >= col("sim") - lit(1e-12), lit(true)))
+          .as("rank_order_ok"))
+      .join(hits, Seq("query_id"), "left_outer")
+      .select(col("query_id"), col("n_returned"), col("neighbors_ok"),
+        col("sims_exact_ok"), col("rank_order_ok"),
+        (coalesce(col("n_hits"), lit(0L)).cast("double") / 10.0 >= 0.4)
+          .as("recall_ok"))
+      .orderBy(col("query_id"))
+  }
+
   /** Top-20 most-similar embedding pairs, exact over all pairs (this
     * corpus has no planted near-dups — max pairwise cosine ≈ 0.5 — so the
     * near-dup surface is expressed as a top-K ranking, which is always
@@ -58,6 +107,59 @@ object VectorQueries {
       .orderBy(col("sim").desc, col("id_a"), col("id_b"))
       .limit(20)
       .select(col("id_a"), col("id_b"), round(col("sim"), 4).as("sim"))
+
+  /** q63 as an oracle-gated check: the sign-LSH bucketing is ours, so
+    * the bucketed top-20 pair list itself isn't SQL-derivable — but its
+    * quality against the exact all-pairs top-20 (which DuckDB CAN
+    * compute, q62's oracle) is. One row pins: exactly 20 well-formed
+    * pairs (id_a < id_b, distinct), every reported sim equal to the true
+    * cosine of its pair, descending sim order, a nonzero intersection
+    * with the exact top-20, and the LSH list's min/max sims within the
+    * measured fraction of the exact list's (min ratio ≥ 0.84 / ≥ 0.90
+    * across SFs on a corpus with NO planted near-dups — the hardest
+    * regime for 4-plane sign-LSH, whose buckets hold ~1/16 of all
+    * pairs; gated at 0.75/0.80). Everything deterministic → stable
+    * booleans (q84's pattern). */
+  def lshTopPairsGate(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val lsh = VectorFunctions.nearDuplicateEmbeddings(
+        e, "vec_id", "embedding", threshold = -1.0)
+      .orderBy(col("sim").desc, col("id_a"), col("id_b"))
+      .limit(20)
+    val exact = VectorFunctions.topPairsExactFast(e, "vec_id", "embedding", 20)
+    val lshRe = broadcast(lsh)
+      .join(e.select(col("vec_id").as("id_a"), col("embedding").as("va")),
+        Seq("id_a"))
+      .join(e.select(col("vec_id").as("id_b"), col("embedding").as("vb")),
+        Seq("id_b"))
+      .withColumn("true_sim", VectorFunctions.cosine(col("va"), col("vb")))
+      .select(col("id_a"), col("id_b"), col("sim"), col("true_sim"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("sim").desc, col("id_a"), col("id_b"))
+    val shaped = lshRe
+      .withColumn("prev_sim", lag(col("sim"), 1).over(w))
+      .agg(
+        count(lit(1)).as("n_pairs"),
+        (min(col("id_a") < col("id_b")) &&
+          count(lit(1)) === countDistinct(col("id_a"), col("id_b")))
+          .as("pairs_wellformed_ok"),
+        min(abs(col("sim") - col("true_sim")) < 1e-9).as("sims_exact_ok"),
+        min(coalesce(col("prev_sim") >= col("sim") - lit(1e-12), lit(true)))
+          .as("order_ok"),
+        min(col("sim")).as("lsh_min"), max(col("sim")).as("lsh_max"))
+    val nOverlap = lsh.select(col("id_a"), col("id_b"))
+      .join(exact.select(col("id_a"), col("id_b")),
+        Seq("id_a", "id_b"), "left_semi")
+      .agg(count(lit(1)).as("n_overlap"))
+    val exStats = exact.agg(min(col("sim")).as("ex_min"),
+      max(col("sim")).as("ex_max"))
+    shaped.crossJoin(nOverlap).crossJoin(exStats)
+      .select(col("n_pairs"), col("pairs_wellformed_ok"),
+        col("sims_exact_ok"), col("order_ok"),
+        (col("n_overlap") >= 1).as("overlap_ok"),
+        (col("lsh_min") >= col("ex_min") * 0.75 &&
+          col("lsh_max") >= col("ex_max") * 0.80).as("sim_quality_ok"))
+  }
 
   /** Per-label centroids via posexplode (oracle: UNNEST WITH ORDINALITY).
     * Double sums of ~50 floats: cross-engine divergence ~1e-16 against a
@@ -80,7 +182,7 @@ object VectorQueries {
     val e = emb(s, dir)
     val q = e.filter(col("vec_id") < 5)
     val ivf = graft.vector.KMeansIvf.topK(s, q, e,
-      "vec_id", "embedding", "vec_id", "embedding", k = 10)
+      "vec_id", "embedding", "vec_id", "embedding", k = 10, nProbe = 6)
       .select(col("query_id"), col("neighbor_id"))
     val brute = VectorFunctions.bruteForceTopK(q, e,
       "vec_id", "embedding", "vec_id", "embedding", k = 10)
@@ -421,9 +523,9 @@ object VectorQueries {
     "q144_embed_quantization" -> (quantizationGate _),
     "q84_ivf_recall_bound" -> (ivfRecallBound _),
     "q60_knn_brute"        -> (knnBrute _),
-    "q61_knn_ivf"          -> (knnIvf _),
+    "q61_knn_ivf"          -> (knnIvfGate _),
     "q62_embed_top_pairs"     -> (embedTopPairsExact _),
-    "q63_embed_top_pairs_lsh" -> (embedTopPairsLsh _),
+    "q63_embed_top_pairs_lsh" -> (lshTopPairsGate _),
     "q64_label_centroids"  -> (labelCentroids _)
   )
 
@@ -512,6 +614,21 @@ object VectorQueries {
         |SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id,
         |       round(sim, 4) AS sim
         |FROM p WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+    // q61/q63: the approximate structures (coarse quantizer / sign-LSH
+    // planes) are ours, so the oracle pins their deterministic quality
+    // gates to constants; the SQL-knowable facts (query set, k) are
+    // stated exactly (q82/q84's promotion pattern).
+    "q61_knn_ivf" ->
+      """SELECT CAST(vec_id AS BIGINT) AS query_id,
+        |       CAST(10 AS BIGINT) AS n_returned,
+        |       true AS neighbors_ok, true AS sims_exact_ok,
+        |       true AS rank_order_ok, true AS recall_ok
+        |FROM embeddings WHERE vec_id < 5 ORDER BY query_id""".stripMargin,
+    "q63_embed_top_pairs_lsh" ->
+      """SELECT CAST(20 AS BIGINT) AS n_pairs,
+        |       true AS pairs_wellformed_ok, true AS sims_exact_ok,
+        |       true AS order_ok, true AS overlap_ok,
+        |       true AS sim_quality_ok""".stripMargin,
     "q62_embed_top_pairs" ->
       """SELECT id_a, id_b, round(sim, 4) AS sim FROM (
         |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
