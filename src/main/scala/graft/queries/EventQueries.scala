@@ -434,7 +434,39 @@ object EventQueries {
       .orderBy(col("event_type"), col("hour"))
   }
 
+  /** q198: ordered funnel analysis — view → click-after-view →
+    * purchase-after-click, the product-analytics staple. Each stage is
+    * a per-user min-timestamp aggregation conditioned on the previous
+    * stage's timestamp, so event ORDER matters (a purchase before the
+    * first qualifying click doesn't count). Three shuffles, all on
+    * user_id — co-partitioned end to end, and at scale each stage's
+    * frame shrinks (classic funnel narrowing), so the joins get
+    * cheaper as the pipeline deepens. Timestamps compare exactly in
+    * both engines (integer micros). */
+  def funnelStages(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.load(s, dir, "events")
+    val v = e.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("v_ts"))
+    val c = e.filter(col("event_type") === "click")
+      .join(v, Seq("user_id")).filter(col("ts") > col("v_ts"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("c_ts"))
+    val p = e.filter(col("event_type") === "purchase")
+      .join(c, Seq("user_id")).filter(col("ts") > col("c_ts"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("p_ts"))
+    v.agg(count(lit(1)).as("n_viewed"))
+      .crossJoin(c.agg(count(lit(1)).as("n_clicked_after_view")))
+      .crossJoin(p.agg(count(lit(1)).as("n_purchased_after_click")))
+      .select(col("n_viewed"), col("n_clicked_after_view"),
+        col("n_purchased_after_click"),
+        round(col("n_clicked_after_view").cast("double") /
+          nullif(col("n_viewed"), lit(0L)), 6).as("view_to_click"),
+        round(col("n_purchased_after_click").cast("double") /
+          nullif(col("n_clicked_after_view"), lit(0L)), 6)
+          .as("click_to_purchase"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q198_funnel_stages"     -> (funnelStages _),
     "q185_dynamic_sessions"  -> (dynamicSessions _),
     "q160_gap_fill_interp"   -> (gapFillInterpolate _),
     "q28_asof_last_order"    -> (asofLastOrder _),
@@ -457,6 +489,27 @@ object EventQueries {
     "CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)"
 
   val oracles: Map[String, String] = Map(
+    // q198: the same ordered-stage mins as CTEs
+    "q198_funnel_stages" ->
+      """WITH v AS (SELECT user_id, min(ts) AS v_ts FROM events
+        |           WHERE event_type = 'view' GROUP BY user_id),
+        |c AS (SELECT e.user_id, min(e.ts) AS c_ts FROM events e
+        |      JOIN v ON e.user_id = v.user_id
+        |      WHERE e.event_type = 'click' AND e.ts > v.v_ts
+        |      GROUP BY e.user_id),
+        |p AS (SELECT e.user_id, min(e.ts) AS p_ts FROM events e
+        |      JOIN c ON e.user_id = c.user_id
+        |      WHERE e.event_type = 'purchase' AND e.ts > c.c_ts
+        |      GROUP BY e.user_id)
+        |SELECT (SELECT count(*) FROM v) AS n_viewed,
+        |       (SELECT count(*) FROM c) AS n_clicked_after_view,
+        |       (SELECT count(*) FROM p) AS n_purchased_after_click,
+        |       round((SELECT count(*) FROM c) /
+        |             CAST(nullif((SELECT count(*) FROM v), 0) AS DOUBLE),
+        |             6) AS view_to_click,
+        |       round((SELECT count(*) FROM p) /
+        |             CAST(nullif((SELECT count(*) FROM c), 0) AS DOUBLE),
+        |             6) AS click_to_purchase""".stripMargin,
     // q185: dynamic-gap sessionization replayed with a running max of
     // per-event window ends (new session when t reaches every previous
     // end — half-open boundary, q41's rule generalized)

@@ -365,7 +365,40 @@ object MiscQueries {
     }
   }
 
+  /** q194: SCD Type-2 dimension build — the warehouse pattern for
+    * tracking attribute history: every change becomes a dated row with
+    * `valid_from`/`valid_to` and exactly one current row per key. The
+    * change feed is derived deterministically (every 7th customer moves
+    * to PROMO mid-1996; every 21st moves again to VIP in 1997, so some
+    * keys carry three generations), and the SCD2 shape falls out of one
+    * window pass: `valid_to` = next change minus a day, `is_current` =
+    * no successor. This full-rebuild form is one shuffle per key-date
+    * sort; the INCREMENTAL maintenance of the same table is the MERGE
+    * surface (q155/q156 — match on key AND is_current, expire + insert).
+    * Output restricted to the changed slice to stay bounded. */
+  def scd2Dimension(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cust = Tables.load(s, dir, "customer")
+    val base = cust.select(col("c_custkey"),
+      col("c_mktsegment").as("segment"),
+      to_date(lit("1995-01-01")).as("valid_from"))
+    val upd1 = cust.filter(col("c_custkey") % 7 === 0)
+      .select(col("c_custkey"), lit("PROMO").as("segment"),
+        to_date(lit("1996-06-01")).as("valid_from"))
+    val upd2 = cust.filter(col("c_custkey") % 21 === 0)
+      .select(col("c_custkey"), lit("VIP").as("segment"),
+        to_date(lit("1997-01-01")).as("valid_from"))
+    val w = Window.partitionBy(col("c_custkey")).orderBy(col("valid_from"))
+    base.union(upd1).union(upd2)
+      .withColumn("valid_to",
+        date_sub(lead(col("valid_from"), 1).over(w), 1))
+      .withColumn("is_current", col("valid_to").isNull)
+      .filter(col("c_custkey") % 7 === 0)
+      .orderBy(col("c_custkey"), col("valid_from"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q194_scd2_dimension"  -> (scd2Dimension _),
     "q187_jsonl_roundtrip" -> (jsonlRoundtrip _),
     "q188_csv_malformed"   -> (csvMalformed _),
     "q108_partition_pruned" -> (partitionPrunedScan _),
@@ -386,6 +419,25 @@ object MiscQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // q194: identical change feed + window reconstruction
+    "q194_scd2_dimension" ->
+      """WITH hist AS (
+        |  SELECT c_custkey, c_mktsegment AS segment,
+        |         DATE '1995-01-01' AS valid_from FROM customer
+        |  UNION ALL
+        |  SELECT c_custkey, 'PROMO', DATE '1996-06-01' FROM customer
+        |  WHERE c_custkey % 7 = 0
+        |  UNION ALL
+        |  SELECT c_custkey, 'VIP', DATE '1997-01-01' FROM customer
+        |  WHERE c_custkey % 21 = 0)
+        |SELECT c_custkey, segment, valid_from,
+        |       lead(valid_from) OVER (PARTITION BY c_custkey
+        |                              ORDER BY valid_from) - 1 AS valid_to,
+        |       lead(valid_from) OVER (PARTITION BY c_custkey
+        |                              ORDER BY valid_from) IS NULL
+        |         AS is_current
+        |FROM hist WHERE c_custkey % 7 = 0
+        |ORDER BY c_custkey, valid_from""".stripMargin,
     // q187: the same aggregates from the parquet source — a lossy JSONL
     // round trip (quoting/escaping/width) breaks the md5 columns
     "q187_jsonl_roundtrip" ->

@@ -116,8 +116,8 @@ object PipelineQueries {
     * engines decide every edge identically. */
   def embedNeardupComponents(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val pairs = graft.vector.VectorFunctions.thresholdPairsExact(
-      Tables.load(s, dir, "embeddings"), "vec_id", "embedding", 0.42)
+    // replayed from the shared per-dataset cache (VectorQueries)
+    val pairs = VectorQueries.exactEmbedPairs(s, dir)
     graft.dedup.Components.connectedComponents(pairs, "id_a", "id_b")
       .select(col("id").as("vec_id"), col("lbl").as("component"))
       .withColumn("n_vecs",
@@ -321,7 +321,43 @@ object PipelineQueries {
       .orderBy(col("split"), col("event_type"))
   }
 
+  /** q192: a Deequ-style data-quality constraint suite — the admission
+    * gate a pipeline runs before letting a batch into the lake. One
+    * aggregation pass computes the row-level checks (uniqueness of the
+    * key, completeness of custkey, positive prices, status domain), one
+    * shuffle anti-join computes referential integrity against
+    * `customer`, and the verdict row carries both the violation COUNTS
+    * (diagnosable) and the overall boolean (actionable). At scale the
+    * anti-join is the only shuffle; everything else is map-side
+    * partials into a 1-row result. */
+  def dqConstraints(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.load(s, dir, "orders")
+    val c = Tables.load(s, dir, "customer").select(col("c_custkey"))
+    val orphans = o.select(col("o_custkey"))
+      .join(c, col("o_custkey") === col("c_custkey"), "left_anti")
+      .agg(count(lit(1)).as("n_orphan_custkeys"))
+    o.agg(
+        count(lit(1)).as("n_rows"),
+        (count(lit(1)) - countDistinct(col("o_orderkey")))
+          .as("n_dup_orderkeys"),
+        sum(when(col("o_custkey").isNull, 1L).otherwise(0L))
+          .as("n_null_custkeys"),
+        sum(when(col("o_totalprice") <= 0, 1L).otherwise(0L))
+          .as("n_price_violations"),
+        sum(when(!col("o_orderstatus").isin("F", "O", "P"), 1L)
+          .otherwise(0L)).as("n_status_violations"))
+      .crossJoin(orphans)
+      .select(col("n_rows"), col("n_dup_orderkeys"), col("n_null_custkeys"),
+        col("n_price_violations"), col("n_status_violations"),
+        col("n_orphan_custkeys"),
+        (col("n_dup_orderkeys") === 0 && col("n_null_custkeys") === 0 &&
+          col("n_price_violations") === 0 &&
+          col("n_status_violations") === 0 &&
+          col("n_orphan_custkeys") === 0).as("all_constraints_ok"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q192_dq_constraints"      -> (dqConstraints _),
     "q186_temporal_split"      -> (temporalSplit _),
     "q180_domain_pagerank"     -> (domainPagerank _),
     "q123_hash_split"          -> (hashSplit _),
@@ -334,6 +370,29 @@ object PipelineQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // q192: every constraint restated directly — counts AND verdict
+    "q192_dq_constraints" ->
+      """SELECT count(*) AS n_rows,
+        |  CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT)
+        |    AS n_dup_orderkeys,
+        |  CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_null_custkeys,
+        |  CAST(sum(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_price_violations,
+        |  CAST(sum(CASE WHEN o_orderstatus NOT IN ('F','O','P') THEN 1
+        |    ELSE 0 END) AS BIGINT) AS n_status_violations,
+        |  CAST((SELECT count(*) FROM orders o LEFT JOIN customer c
+        |        ON o.o_custkey = c.c_custkey WHERE c.c_custkey IS NULL)
+        |    AS BIGINT) AS n_orphan_custkeys,
+        |  (count(*) = count(DISTINCT o_orderkey)
+        |   AND sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) = 0
+        |   AND sum(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) = 0
+        |   AND sum(CASE WHEN o_orderstatus NOT IN ('F','O','P') THEN 1
+        |       ELSE 0 END) = 0
+        |   AND (SELECT count(*) FROM orders o LEFT JOIN customer c
+        |        ON o.o_custkey = c.c_custkey WHERE c.c_custkey IS NULL)
+        |       = 0) AS all_constraints_ok
+        |FROM orders""".stripMargin,
     // q186: same exact-percentile cutoff; the no-leakage gate holds by
     // construction (ties at the cutoff land in train)
     "q186_temporal_split" ->
