@@ -465,8 +465,103 @@ object EventQueries {
           .as("click_to_purchase"))
   }
 
+  /** q199: weekly retention cohorts — users grouped by first-seen week,
+    * then distinct-user counts at each week offset with the retention
+    * ratio against the cohort's own week-0 size. The canonical growth
+    * table. Two shuffles at scale: one groupBy(user) for the cohort
+    * assignment (shrinks to one row per user), one groupBy(cohort,
+    * offset) whose cardinality is weeks² — tiny regardless of data
+    * volume. The week-0 sizes broadcast back onto the matrix. Offsets
+    * are exact integer day differences of week-truncated dates, so both
+    * engines bucket identically. */
+  def retentionCohorts(s: SparkSession, dir: String): DataFrame = {
+    val e = ev(s, dir)
+      .select(col("user_id"), date_trunc("week", col("ts")).as("wk"))
+    val cohort = e.groupBy(col("user_id"))
+      .agg(min(col("wk")).as("cohort_wk"))
+    val matrix = e.join(cohort, Seq("user_id"))
+      .withColumn("offset_weeks",
+        (datediff(col("wk").cast("date"), col("cohort_wk").cast("date"))
+          / 7).cast("int"))
+      .groupBy(col("cohort_wk"), col("offset_weeks"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+    val week0 = matrix.filter(col("offset_weeks") === 0)
+      .select(col("cohort_wk"), col("n_users").as("cohort_size"))
+    matrix.join(broadcast(week0), Seq("cohort_wk"))
+      .select(date_format(col("cohort_wk"), "yyyy-MM-dd").as("cohort_week"),
+        col("offset_weeks"), col("n_users"), col("cohort_size"),
+        round(col("n_users").cast("double") / col("cohort_size"), 6)
+          .as("retention"))
+      .orderBy(col("cohort_week"), col("offset_weeks"))
+  }
+
+  /** q200: two-proportion A/B significance test — arms assigned
+    * deterministically by user_id parity, conversion = any purchase
+    * event, pooled-variance z-score and the |z|>1.96 verdict. The whole
+    * experiment readout is one groupBy(user) (map-side combinable) into
+    * a 2-row arm aggregate crossed into a single verdict row — no
+    * driver math, scale-free output. */
+  def abTestZScore(s: SparkSession, dir: String): DataFrame = {
+    val users = ev(s, dir)
+      .groupBy(col("user_id"))
+      .agg(max(when(col("event_type") === "purchase", 1L).otherwise(0L))
+        .as("conv"))
+      .withColumn("arm", (col("user_id") % 2).cast("int"))
+    val arms = users.groupBy(col("arm"))
+      .agg(count(lit(1)).as("n"), sum(col("conv")).as("x"))
+    val a = arms.filter(col("arm") === 0)
+      .select(col("n").as("n_control"), col("x").as("conv_control"))
+    val b = arms.filter(col("arm") === 1)
+      .select(col("n").as("n_treat"), col("x").as("conv_treat"))
+    a.crossJoin(b)
+      .withColumn("rate_control",
+        col("conv_control").cast("double") / col("n_control"))
+      .withColumn("rate_treat",
+        col("conv_treat").cast("double") / col("n_treat"))
+      .withColumn("pooled",
+        (col("conv_control") + col("conv_treat")).cast("double") /
+          (col("n_control") + col("n_treat")))
+      .withColumn("z_score",
+        round((col("rate_treat") - col("rate_control")) /
+          nullif(sqrt(col("pooled") * (lit(1.0) - col("pooled")) *
+            (lit(1.0) / col("n_control") + lit(1.0) / col("n_treat"))),
+            lit(0.0)), 6))
+      .select(col("n_control"), col("conv_control"),
+        round(col("rate_control"), 6).as("rate_control"),
+        col("n_treat"), col("conv_treat"),
+        round(col("rate_treat"), 6).as("rate_treat"),
+        col("z_score"), (abs(col("z_score")) > 1.96).as("significant"))
+  }
+
+  /** q205: DAU/WAU stickiness — for every active day, the distinct
+    * users that day over the distinct users in the trailing 7-day
+    * window. Distinct-over-range-window isn't expressible as a plain
+    * window function, so the scalable shape is: dedupe to user-days
+    * (one shuffle, the frame shrinks to users×days), broadcast the
+    * tiny day dimension into a 7-day band join, and re-aggregate.
+    * Join output is user-days×7 — linear in the deduped frame, not in
+    * raw events. */
+  def stickinessDauWau(s: SparkSession, dir: String): DataFrame = {
+    val ud = ev(s, dir)
+      .select(to_date(col("ts")).as("d"), col("user_id")).distinct()
+    val days = ud.select(col("d")).distinct()
+    val dau = ud.groupBy(col("d")).agg(countDistinct(col("user_id")).as("dau"))
+    val wau = broadcast(days.withColumnRenamed("d", "anchor"))
+      .join(ud, datediff(col("anchor"), col("d")).between(0, 6))
+      .groupBy(col("anchor"))
+      .agg(countDistinct(col("user_id")).as("wau"))
+    dau.join(wau, col("d") === col("anchor"))
+      .select(date_format(col("d"), "yyyy-MM-dd").as("day"),
+        col("dau"), col("wau"),
+        round(col("dau").cast("double") / col("wau"), 6).as("stickiness"))
+      .orderBy(col("day"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q198_funnel_stages"     -> (funnelStages _),
+    "q199_retention_cohorts" -> (retentionCohorts _),
+    "q200_ab_test_z"         -> (abTestZScore _),
+    "q205_stickiness"        -> (stickinessDauWau _),
     "q185_dynamic_sessions"  -> (dynamicSessions _),
     "q160_gap_fill_interp"   -> (gapFillInterpolate _),
     "q28_asof_last_order"    -> (asofLastOrder _),
@@ -489,6 +584,68 @@ object EventQueries {
     "CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)"
 
   val oracles: Map[String, String] = Map(
+    // q199: identical week-truncation and integer-day offsets; `//` is
+    // exact here because both dates are week starts (multiples of 7 days)
+    "q199_retention_cohorts" ->
+      """WITH e AS (SELECT user_id, date_trunc('week', ts) AS wk
+        |           FROM events),
+        |coh AS (SELECT user_id, min(wk) AS cohort_wk FROM e
+        |        GROUP BY user_id),
+        |m AS (SELECT cohort_wk,
+        |             CAST(date_diff('day', CAST(cohort_wk AS DATE),
+        |                            CAST(wk AS DATE)) // 7 AS INT)
+        |               AS offset_weeks,
+        |             count(DISTINCT e.user_id) AS n_users
+        |      FROM e JOIN coh USING (user_id) GROUP BY 1, 2),
+        |w0 AS (SELECT cohort_wk, n_users AS cohort_size FROM m
+        |       WHERE offset_weeks = 0)
+        |SELECT strftime(m.cohort_wk, '%Y-%m-%d') AS cohort_week,
+        |       m.offset_weeks, m.n_users, w0.cohort_size,
+        |       round(m.n_users / CAST(w0.cohort_size AS DOUBLE), 6)
+        |         AS retention
+        |FROM m JOIN w0 USING (cohort_wk)
+        |ORDER BY cohort_week, offset_weeks""".stripMargin,
+    // q200: same parity arms, same pooled-variance z formula
+    "q200_ab_test_z" ->
+      """WITH u AS (SELECT user_id,
+        |             max(CASE WHEN event_type = 'purchase' THEN 1
+        |                 ELSE 0 END) AS conv,
+        |             CAST(user_id % 2 AS INT) AS arm
+        |           FROM events GROUP BY user_id),
+        |s AS (SELECT arm, count(*) AS n,
+        |             CAST(sum(conv) AS BIGINT) AS x
+        |      FROM u GROUP BY arm),
+        |a AS (SELECT n AS n_control, x AS conv_control FROM s
+        |      WHERE arm = 0),
+        |b AS (SELECT n AS n_treat, x AS conv_treat FROM s WHERE arm = 1),
+        |j AS (SELECT *,
+        |        conv_control / CAST(n_control AS DOUBLE) AS rc,
+        |        conv_treat / CAST(n_treat AS DOUBLE) AS rt,
+        |        (conv_control + conv_treat) /
+        |          CAST(n_control + n_treat AS DOUBLE) AS p
+        |      FROM a, b)
+        |SELECT n_control, conv_control, round(rc, 6) AS rate_control,
+        |       n_treat, conv_treat, round(rt, 6) AS rate_treat,
+        |       round((rt - rc) / nullif(sqrt(p * (1 - p) *
+        |         (1.0 / n_control + 1.0 / n_treat)), 0), 6) AS z_score,
+        |       abs(round((rt - rc) / nullif(sqrt(p * (1 - p) *
+        |         (1.0 / n_control + 1.0 / n_treat)), 0), 6)) > 1.96
+        |         AS significant
+        |FROM j""".stripMargin,
+    // q205: identical user-day dedupe and 7-day band
+    "q205_stickiness" ->
+      """WITH ud AS (SELECT DISTINCT CAST(ts AS DATE) AS d, user_id
+        |            FROM events),
+        |days AS (SELECT DISTINCT d AS anchor FROM ud),
+        |dau AS (SELECT d, count(DISTINCT user_id) AS dau FROM ud
+        |        GROUP BY d),
+        |wau AS (SELECT anchor, count(DISTINCT user_id) AS wau
+        |        FROM days JOIN ud
+        |          ON date_diff('day', d, anchor) BETWEEN 0 AND 6
+        |        GROUP BY anchor)
+        |SELECT strftime(d, '%Y-%m-%d') AS day, dau, wau,
+        |       round(dau / CAST(wau AS DOUBLE), 6) AS stickiness
+        |FROM dau JOIN wau ON d = anchor ORDER BY day""".stripMargin,
     // q198: the same ordered-stage mins as CTEs
     "q198_funnel_stages" ->
       """WITH v AS (SELECT user_id, min(ts) AS v_ts FROM events

@@ -4,6 +4,7 @@ import graft.Tables
 import graft.Tables.sumMoney
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /** [EXT] Aggregation extensions (SURVEY.md §2.4 A11): ROLLUP grouping
   * sets and HLL-based approximate distinct counts — the 100 TB substitute
@@ -360,7 +361,40 @@ object ExtAggQueries {
         ok(col("est_diff"), col("n_1999") - col("n_inter")).as("diff_ok"))
   }
 
+  /** q204: winsorized robust statistics — clip `value` at the global
+    * exact P01/P99, then per-type mean/min/max of the clipped series.
+    * The standard outlier-taming step before training-weight or revenue
+    * rollups. Scale shape: the two global percentiles are one exact
+    * aggregate (at 100 TB you'd swap in the KLL sketch, q97's surface,
+    * with a bounded error gate); the clip itself broadcasts two scalars
+    * and stays codegen; per-type means go through DECIMAL(18,6) sums so
+    * partitioning order can't move the rounded digit. */
+  def winsorizedStats(s: SparkSession, dir: String): DataFrame = {
+    val e = graft.Tables.load(s, dir, "events")
+    val pcts = e.agg(
+      expr("percentile(value, 0.01)").as("p01"),
+      expr("percentile(value, 0.99)").as("p99"))
+    e.crossJoin(broadcast(pcts))
+      .withColumn("wv",
+        when(col("value") < col("p01"), col("p01"))
+          .when(col("value") > col("p99"), col("p99"))
+          .otherwise(col("value")))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        (sum(col("wv").cast(DecimalType(18, 6))).cast("double") /
+          count(lit(1))).as("raw_mean"),
+        round(min(col("wv")), 6).as("min_w"),
+        round(max(col("wv")), 6).as("max_w"),
+        round(first(col("p01")), 6).as("p01"),
+        round(first(col("p99")), 6).as("p99"))
+      .select(col("event_type"), col("n"),
+        round(col("raw_mean"), 6).as("mean_w"),
+        col("min_w"), col("max_w"), col("p01"), col("p99"))
+      .orderBy(col("event_type"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q204_winsorized_stats"    -> (winsorizedStats _),
     "q45_revenue_rollup"       -> (revenueRollup _),
     "q46_status_priority_cube" -> (statusPriorityCube _),
     "q87_bloom_membership"     -> (bloomMembership _),
@@ -377,6 +411,24 @@ object ExtAggQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // q204: quantile_cont ≡ Spark's exact interpolated percentile (q29's
+    // proven mapping); means through the same DECIMAL(18,6) sums
+    "q204_winsorized_stats" ->
+      """WITH p AS (SELECT quantile_cont(value, 0.01) AS p01,
+        |                  quantile_cont(value, 0.99) AS p99 FROM events),
+        |w AS (SELECT event_type,
+        |             CASE WHEN value < p01 THEN p01
+        |                  WHEN value > p99 THEN p99
+        |                  ELSE value END AS wv, p01, p99
+        |      FROM events CROSS JOIN p)
+        |SELECT event_type, count(*) AS n,
+        |       round(CAST(sum(CAST(wv AS DECIMAL(18,6))) AS DOUBLE)
+        |             / count(*), 6) AS mean_w,
+        |       round(min(wv), 6) AS min_w,
+        |       round(max(wv), 6) AS max_w,
+        |       round(min(p01), 6) AS p01,
+        |       round(min(p99), 6) AS p99
+        |FROM w GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q97_kll_quantile_gate" ->
       """SELECT o_orderstatus, count(*) AS n,
         |       true AS q50_ok, true AS q90_ok

@@ -246,7 +246,51 @@ object JoinQueries {
       .orderBy(col("band"))
   }
 
+  /** q201: market-basket affinity — brand pairs that co-occur in the
+    * same order, with support and lift. The basket relation is the
+    * per-order DISTINCT brand set (lineitem ⋈ broadcast part, then a
+    * distinct that shrinks ~4 items/order to ≤4 brands/order); pairs
+    * come from a self-equi-join on l_orderkey with `<` ordering (each
+    * unordered pair once). At scale the self-join is co-partitioned on
+    * orderkey (one shuffle shared by both sides) and the per-brand
+    * totals broadcast back onto a pair table whose cardinality is
+    * bounded by brands² (~600), not by data volume. lift =
+    * P(a,b)/(P(a)P(b)) as exact integer products, divided once. */
+  def basketBrandLift(s: SparkSession, dir: String): DataFrame = {
+    val brands = Tables.load(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey"))
+      .join(broadcast(Tables.load(s, dir, "part")
+        .select(col("p_partkey"), col("p_brand"))),
+        col("l_partkey") === col("p_partkey"))
+      .select(col("l_orderkey").as("okey"), col("p_brand").as("brand"))
+      .distinct()
+    val nOrders = brands.select(col("okey")).distinct()
+      .agg(count(lit(1)).as("n_orders"))
+    val brandCounts = brands.groupBy(col("brand"))
+      .agg(count(lit(1)).as("n_brand"))
+    val pairs = brands.as("a")
+      .join(brands.as("b"),
+        col("a.okey") === col("b.okey") &&
+          col("a.brand") < col("b.brand"))
+      .groupBy(col("a.brand").as("brand_a"), col("b.brand").as("brand_b"))
+      .agg(count(lit(1)).as("n_co"))
+    pairs
+      .join(broadcast(brandCounts.withColumnRenamed("brand", "brand_a")
+        .withColumnRenamed("n_brand", "n_a")), Seq("brand_a"))
+      .join(broadcast(brandCounts.withColumnRenamed("brand", "brand_b")
+        .withColumnRenamed("n_brand", "n_b")), Seq("brand_b"))
+      .crossJoin(broadcast(nOrders))
+      .select(col("brand_a"), col("brand_b"), col("n_co"),
+        round(col("n_co").cast("double") / col("n_orders"), 6)
+          .as("support"),
+        round((col("n_co") * col("n_orders")).cast("double") /
+          (col("n_a") * col("n_b")), 6).as("lift"))
+      .orderBy(col("lift").desc, col("brand_a"), col("brand_b"))
+      .limit(15)
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q201_basket_lift"        -> (basketBrandLift _),
     "q119_join_strategies"    -> (joinStrategyHints _),
     "q139_skew_join_aqe"      -> (skewJoinAqe _),
     "q130_bucketed_join"      -> (bucketedJoin _),
@@ -261,6 +305,27 @@ object JoinQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // q201: identical basket relation and exact integer products; the
+    // double division of exact integers is IEEE-identical in both engines
+    "q201_basket_lift" ->
+      """WITH ob AS (SELECT DISTINCT l_orderkey AS okey, p_brand AS brand
+        |            FROM lineitem JOIN part ON l_partkey = p_partkey),
+        |tot AS (SELECT count(DISTINCT okey) AS n_orders FROM ob),
+        |bc AS (SELECT brand, count(*) AS n_brand FROM ob GROUP BY brand),
+        |pr AS (SELECT a.brand AS brand_a, b.brand AS brand_b,
+        |              count(*) AS n_co
+        |       FROM ob a JOIN ob b
+        |         ON a.okey = b.okey AND a.brand < b.brand
+        |       GROUP BY 1, 2)
+        |SELECT brand_a, brand_b, n_co,
+        |       round(n_co / CAST(tot.n_orders AS DOUBLE), 6) AS support,
+        |       round(CAST(n_co * tot.n_orders AS DOUBLE) /
+        |             (ca.n_brand * cb.n_brand), 6) AS lift
+        |FROM pr
+        |CROSS JOIN tot
+        |JOIN bc ca ON pr.brand_a = ca.brand
+        |JOIN bc cb ON pr.brand_b = cb.brand
+        |ORDER BY lift DESC, brand_a, brand_b LIMIT 15""".stripMargin,
     // AQE partition splitting is physical; the answer is restated as a
     // plain join over the same synthetic key mapping
     "q139_skew_join_aqe" ->

@@ -397,8 +397,76 @@ object MiscQueries {
       .orderBy(col("c_custkey"), col("valid_from"))
   }
 
+  /** q202: schema evolution on the parquet lake path — an early batch
+    * written without `o_orderpriority` (the column arrives in a later
+    * generation), read back as ONE table via `mergeSchema`, with the
+    * union-by-name null semantics aggregated per status. This is the
+    * contract every long-lived lake table relies on: old files stay
+    * valid, new columns read as NULL from them, and footer-level schema
+    * merging happens at planning time (per-file footers, no data pass).
+    * At scale mergeSchema costs one footer read per file — bounded by
+    * file count, not rows — and the batches stay separately prunable.
+    * Split is deterministic (orderkey parity) so the oracle restates
+    * the merged view straight from `orders`. */
+  def schemaEvolution(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    graft.util.Tmp.withTempDir("graft_q202_evo") { stage =>
+      val base = stage.toString
+      o.filter(col("o_orderkey") % 2 === 0)
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+        .write.parquet(s"$base/batch=old")
+      o.filter(col("o_orderkey") % 2 === 1)
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
+          col("o_orderpriority"))
+        .write.parquet(s"$base/batch=new")
+      val merged = s.read.option("mergeSchema", "true").parquet(base)
+      graft.util.LocalFrame.materialize(
+        merged.groupBy(col("o_orderstatus"))
+          .agg(count(lit(1)).as("n_rows"),
+            count(col("o_orderpriority")).as("n_with_prio"),
+            countDistinct(col("o_orderpriority")).as("n_prios"),
+            Tables.sumMoney(col("o_totalprice")).as("total_price"))
+          .orderBy(col("o_orderstatus")))
+    }
+  }
+
+  /** q206: join-key skew profile — the diagnostic you run BEFORE
+    * choosing between q72's static salting and q139's AQE skew join:
+    * per-key frequency distribution of orders.o_custkey summarized as
+    * top-1/top-10 share and the Gini coefficient of key weights. Scale
+    * shape: one groupBy(key) shrinks the data to distinct keys; the
+    * Gini rank pass is a single global sort over KEYS (not rows) —
+    * bounded, and the one place a global window is legitimate. All
+    * sums are exact integers; only the final ratios divide. */
+  def keySkewProfile(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = t(s, dir, "orders")
+      .groupBy(col("o_custkey")).agg(count(lit(1)).as("c"))
+    val ranked = counts.withColumn("i",
+      row_number().over(Window.orderBy(col("c"), col("o_custkey"))))
+    val topShares = counts.orderBy(col("c").desc, col("o_custkey"))
+      .limit(10)
+      .agg(max(col("c")).as("top1"), sum(col("c")).as("top10"))
+    ranked.agg(
+        count(lit(1)).as("n_keys"),
+        sum(col("c")).as("n_rows"),
+        sum(col("i") * col("c")).as("iwsum"))
+      .crossJoin(broadcast(topShares))
+      .select(col("n_keys"), col("n_rows"),
+        round(col("top1").cast("double") / col("n_rows"), 6)
+          .as("top1_share"),
+        round(col("top10").cast("double") / col("n_rows"), 6)
+          .as("top10_share"),
+        round(lit(2.0) * col("iwsum") /
+          (col("n_keys").cast("double") * col("n_rows")) -
+          (col("n_keys") + 1).cast("double") / col("n_keys"), 6)
+          .as("gini"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q194_scd2_dimension"  -> (scd2Dimension _),
+    "q202_schema_evolution" -> (schemaEvolution _),
+    "q206_key_skew_profile" -> (keySkewProfile _),
     "q187_jsonl_roundtrip" -> (jsonlRoundtrip _),
     "q188_csv_malformed"   -> (csvMalformed _),
     "q108_partition_pruned" -> (partitionPrunedScan _),
@@ -419,6 +487,38 @@ object MiscQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // q202: the merged view restated from orders — even keys read the
+    // late column as NULL (their batch lacks it), odd keys carry it
+    "q202_schema_evolution" ->
+      """SELECT o_orderstatus, count(*) AS n_rows,
+        |  CAST(sum(CASE WHEN o_orderkey % 2 = 1 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_with_prio,
+        |  count(DISTINCT CASE WHEN o_orderkey % 2 = 1
+        |        THEN o_orderpriority END) AS n_prios,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS total_price
+        |FROM orders GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin,
+    // q206: identical rank pass; iwsum is Σ rank×count in exact BIGINTs
+    "q206_key_skew_profile" ->
+      """WITH c AS (SELECT o_custkey, count(*) AS c FROM orders
+        |           GROUP BY o_custkey),
+        |r AS (SELECT c, o_custkey,
+        |             row_number() OVER (ORDER BY c, o_custkey) AS i
+        |      FROM c),
+        |t AS (SELECT CAST(max(c) AS BIGINT) AS top1,
+        |             CAST(sum(c) AS BIGINT) AS top10
+        |      FROM (SELECT c FROM c ORDER BY c DESC, o_custkey
+        |            LIMIT 10)),
+        |a AS (SELECT count(*) AS n_keys,
+        |             CAST(sum(c) AS BIGINT) AS n_rows,
+        |             CAST(sum(i * c) AS BIGINT) AS iwsum FROM r)
+        |SELECT n_keys, n_rows,
+        |       round(top1 / CAST(n_rows AS DOUBLE), 6) AS top1_share,
+        |       round(top10 / CAST(n_rows AS DOUBLE), 6) AS top10_share,
+        |       round(2.0 * iwsum / (CAST(n_keys AS DOUBLE) * n_rows) -
+        |             CAST(n_keys + 1 AS DOUBLE) / n_keys, 6) AS gini
+        |FROM a CROSS JOIN t""".stripMargin,
     // q194: identical change feed + window reconstruction
     "q194_scd2_dimension" ->
       """WITH hist AS (

@@ -755,7 +755,41 @@ object TextQueries {
       .orderBy(col("cnt").desc, col("pair"))
       .limit(10)
 
+  /** q203: TF-IDF characteristic terms — the classic "what is this
+    * document about" signal: per-(doc, term) frequency × corpus-inverse
+    * document frequency, top-1 term per document. Scale shape: one
+    * explode→groupBy(doc, term) (map-side combinable), a vocab-sized
+    * df aggregate joined back on term (plain shuffle join — vocab can
+    * exceed broadcast size at corpus scale), and a per-doc window
+    * bounded to the probed slice. Cross-engine determinism: each
+    * DISTINCT term's ln quantizes through DECIMAL(18,9) (the BM25
+    * rule) and tf×idf stays in exact decimals until the final
+    * rounding, so ranking ties are impossible to disagree on. */
+  def tfidfTopTerms(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tf = docs(s, dir)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val nDocs = docs(s, dir).agg(count(lit(1)).cast("double").as("n_docs"))
+    val idf = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(nDocs))
+      .select(col("term"),
+        expr("CAST(ln(n_docs / df) AS DECIMAL(18,9))").as("idf"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score_dec").desc, col("term"))
+    tf.join(idf, Seq("term"))
+      .withColumn("score_dec", col("tf") * col("idf"))
+      .filter(col("doc_id") < 100)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("term").as("top_term"), col("tf"),
+        round(col("score_dec").cast("double"), 6).as("tfidf"))
+      .orderBy(col("doc_id"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q203_tfidf_topterms"    -> (tfidfTopTerms _),
     "q191_triangle_count"    -> (triangleCount _),
     "q193_pii_redact"        -> (piiRedact _),
     "q195_gopher_filter"     -> (gopherFilter _),
@@ -822,6 +856,27 @@ object TextQueries {
       |FROM comp ORDER BY doc_id""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // q203: identical tokenization, ln quantized through DECIMAL(18,9),
+    // tf×idf exact decimals — ranking cannot diverge
+    "q203_tfidf_topterms" ->
+      """WITH tf AS (
+        |  SELECT doc_id, token AS term, count(*) AS tf FROM (
+        |    SELECT doc_id,
+        |           UNNEST(string_split_regex(trim(text), '\s+')) AS token
+        |    FROM documents) t
+        |  GROUP BY doc_id, term),
+        |nd AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents),
+        |idf AS (SELECT term,
+        |               CAST(ln(n_docs / df) AS DECIMAL(18,9)) AS idf
+        |        FROM (SELECT term, count(*) AS df FROM tf GROUP BY term)
+        |        CROSS JOIN nd),
+        |sc AS (SELECT tf.doc_id, tf.term, tf.tf, tf.tf * idf.idf AS sd
+        |       FROM tf JOIN idf USING (term) WHERE tf.doc_id < 100),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+        |        ORDER BY sd DESC, term) AS rn FROM sc)
+        |SELECT doc_id, term AS top_term, tf,
+        |       round(CAST(sd AS DOUBLE), 6) AS tfidf
+        |FROM r WHERE rn = 1 ORDER BY doc_id""".stripMargin,
     // q190: DuckDB's own jaro_winkler_similarity scores every pair —
     // a semantics drift in the custom expression (window size,
     // transposition count, boost threshold) breaks the value match
