@@ -557,11 +557,33 @@ object EventQueries {
       .orderBy(col("day"))
   }
 
+  /** q209: calendar date spine — generate the continuous day dimension
+    * from the observed min/max and left-join activity onto it, zero-
+    * filling silent days. The warehouse pattern that makes "no data"
+    * visible (gap days vanish from plain GROUP BY day). The spine is
+    * generated from one 2-value aggregate (sequence + explode — no
+    * driver loop) and the join broadcasts the daily aggregate; output
+    * is bounded by calendar span, not data volume. */
+  def dateSpine(s: SparkSession, dir: String): DataFrame = {
+    val daily = ev(s, dir)
+      .groupBy(to_date(col("ts")).as("d"))
+      .agg(count(lit(1)).as("n_events"))
+    val spine = ev(s, dir)
+      .agg(min(to_date(col("ts"))).as("d0"), max(to_date(col("ts"))).as("d1"))
+      .select(explode(expr("sequence(d0, d1, interval 1 day)")).as("d"))
+    spine.join(daily, Seq("d"), "left")
+      .select(date_format(col("d"), "yyyy-MM-dd").as("day"),
+        coalesce(col("n_events"), lit(0L)).as("n_events"),
+        col("n_events").isNull.as("is_gap"))
+      .orderBy(col("day"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q198_funnel_stages"     -> (funnelStages _),
     "q199_retention_cohorts" -> (retentionCohorts _),
     "q200_ab_test_z"         -> (abTestZScore _),
     "q205_stickiness"        -> (stickinessDauWau _),
+    "q209_date_spine"        -> (dateSpine _),
     "q185_dynamic_sessions"  -> (dynamicSessions _),
     "q160_gap_fill_interp"   -> (gapFillInterpolate _),
     "q28_asof_last_order"    -> (asofLastOrder _),
@@ -632,6 +654,19 @@ object EventQueries {
         |         (1.0 / n_control + 1.0 / n_treat)), 0), 6)) > 1.96
         |         AS significant
         |FROM j""".stripMargin,
+    // q209: generate_series spine with the same zero-fill rule
+    "q209_date_spine" ->
+      """WITH daily AS (SELECT CAST(ts AS DATE) AS d, count(*) AS n
+        |               FROM events GROUP BY 1),
+        |b AS (SELECT min(CAST(ts AS DATE)) AS d0,
+        |             max(CAST(ts AS DATE)) AS d1 FROM events),
+        |spine AS (SELECT unnest(generate_series(d0, d1,
+        |                        INTERVAL 1 DAY))::DATE AS d FROM b)
+        |SELECT strftime(spine.d, '%Y-%m-%d') AS day,
+        |       coalesce(daily.n, 0) AS n_events,
+        |       daily.n IS NULL AS is_gap
+        |FROM spine LEFT JOIN daily ON spine.d = daily.d
+        |ORDER BY day""".stripMargin,
     // q205: identical user-day dedupe and 7-day band
     "q205_stickiness" ->
       """WITH ud AS (SELECT DISTINCT CAST(ts AS DATE) AS d, user_id

@@ -393,8 +393,40 @@ object ExtAggQueries {
       .orderBy(col("event_type"))
   }
 
+  /** q208: MAD-based robust outlier detection — per event_type median
+    * and median-absolute-deviation (both exact interpolated
+    * percentiles), then |v − med| > 3·MAD flags. The robust twin of
+    * z-score outliers: immune to the outliers it hunts. Two grouped
+    * percentile passes (group count is tiny, so the per-group sort is
+    * bounded) and one broadcast join back — the 100 TB path swaps the
+    * exact medians for KLL (q97's surface) without touching the
+    * flagging logic. Threshold comparisons are exact doubles both
+    * engines derive identically. */
+  def madOutliers(s: SparkSession, dir: String): DataFrame = {
+    val e = graft.Tables.load(s, dir, "events")
+    val med = e.groupBy(col("event_type"))
+      .agg(expr("percentile(value, 0.5)").as("med"))
+    val mad = e.join(broadcast(med), Seq("event_type"))
+      .groupBy(col("event_type"))
+      .agg(expr("percentile(abs(value - med), 0.5)").as("mad"),
+        first(col("med")).as("med2"))
+    e.join(broadcast(mad), Seq("event_type"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        round(first(col("med2")), 6).as("median"),
+        round(first(col("mad")), 6).as("mad"),
+        sum(when(abs(col("value") - col("med2")) > lit(3.0) * col("mad"),
+          1L).otherwise(0L)).as("n_outliers"))
+      .select(col("event_type"), col("n"), col("median"), col("mad"),
+        col("n_outliers"),
+        round(col("n_outliers").cast("double") / col("n"), 6)
+          .as("outlier_rate"))
+      .orderBy(col("event_type"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q204_winsorized_stats"    -> (winsorizedStats _),
+    "q208_mad_outliers"        -> (madOutliers _),
     "q45_revenue_rollup"       -> (revenueRollup _),
     "q46_status_priority_cube" -> (statusPriorityCube _),
     "q87_bloom_membership"     -> (bloomMembership _),
@@ -411,6 +443,25 @@ object ExtAggQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // q208: grouped quantile_cont twice, identical 3×MAD rule
+    "q208_mad_outliers" ->
+      """WITH med AS (SELECT event_type, quantile_cont(value, 0.5) AS med
+        |             FROM events GROUP BY event_type),
+        |mad AS (SELECT e.event_type,
+        |               quantile_cont(abs(e.value - m.med), 0.5) AS mad,
+        |               min(m.med) AS med
+        |        FROM events e JOIN med m USING (event_type)
+        |        GROUP BY e.event_type)
+        |SELECT e.event_type, count(*) AS n,
+        |       round(min(m.med), 6) AS median,
+        |       round(min(m.mad), 6) AS mad,
+        |       CAST(sum(CASE WHEN abs(e.value - m.med) > 3.0 * m.mad
+        |            THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+        |       round(sum(CASE WHEN abs(e.value - m.med) > 3.0 * m.mad
+        |             THEN 1 ELSE 0 END) / CAST(count(*) AS DOUBLE), 6)
+        |         AS outlier_rate
+        |FROM events e JOIN mad m USING (event_type)
+        |GROUP BY e.event_type ORDER BY e.event_type""".stripMargin,
     // q204: quantile_cont ≡ Spark's exact interpolated percentile (q29's
     // proven mapping); means through the same DECIMAL(18,6) sums
     "q204_winsorized_stats" ->

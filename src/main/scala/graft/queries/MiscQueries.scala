@@ -3,7 +3,7 @@ package graft.queries
 import graft.Tables
 import graft.Tables.isoDate
 import graft.operators.{RangeJoin, SkewedAgg}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
@@ -463,10 +463,49 @@ object MiscQueries {
           .as("gini"))
   }
 
+  /** q207: cross-engine reconciliation checksums — the replication /
+    * migration validator: an order-insensitive content checksum per
+    * table (SUM of a 32-bit md5 prefix over a canonical row rendering)
+    * that any engine can recompute independently; equal checksums ⇔
+    * equal content with overwhelming probability. The rendering pins
+    * ints, DECIMAL(18,2) money, and ISO dates — formats both engines
+    * print identically. Scale shape: embarrassingly parallel map +
+    * one mergeable SUM per table; no shuffle at all (partial sums
+    * combine associatively — this is how you checksum 100 TB). */
+  def tableChecksums(s: SparkSession, dir: String): DataFrame = {
+    def sig(c: Column): Column =
+      sum(conv(substring(md5(c), 1, 8), 16, 10).cast("long"))
+    def dec(c: Column): Column =
+      c.cast(DecimalType(18, 2)).cast("string")
+    val o = t(s, dir, "orders").agg(
+      count(lit(1)).as("n_rows"),
+      sig(concat_ws("|", col("o_orderkey"), col("o_custkey"),
+        col("o_orderstatus"), dec(col("o_totalprice")),
+        date_format(col("o_orderdate"), "yyyy-MM-dd"),
+        col("o_orderpriority"))).as("checksum"))
+      .select(lit("orders").as("table_name"), col("n_rows"), col("checksum"))
+    val c = t(s, dir, "customer").agg(
+      count(lit(1)).as("n_rows"),
+      sig(concat_ws("|", col("c_custkey"), col("c_name"),
+        col("c_nationkey"), dec(col("c_acctbal")), col("c_mktsegment")))
+        .as("checksum"))
+      .select(lit("customer").as("table_name"), col("n_rows"),
+        col("checksum"))
+    val l = t(s, dir, "lineitem").agg(
+      count(lit(1)).as("n_rows"),
+      sig(concat_ws("|", col("l_orderkey"), col("l_linenumber"),
+        col("l_returnflag"), dec(col("l_extendedprice")),
+        date_format(col("l_shipdate"), "yyyy-MM-dd"))).as("checksum"))
+      .select(lit("lineitem").as("table_name"), col("n_rows"),
+        col("checksum"))
+    o.union(c).union(l).orderBy(col("table_name"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q194_scd2_dimension"  -> (scd2Dimension _),
     "q202_schema_evolution" -> (schemaEvolution _),
     "q206_key_skew_profile" -> (keySkewProfile _),
+    "q207_table_checksums" -> (tableChecksums _),
     "q187_jsonl_roundtrip" -> (jsonlRoundtrip _),
     "q188_csv_malformed"   -> (csvMalformed _),
     "q108_partition_pruned" -> (partitionPrunedScan _),
@@ -499,6 +538,34 @@ object MiscQueries {
         |    AS total_price
         |FROM orders GROUP BY o_orderstatus
         |ORDER BY o_orderstatus""".stripMargin,
+    // q207: the same canonical rendering recomputed independently —
+    // ('0x'||hex)::BIGINT ≡ Spark's conv(hex,16,10); SUM is
+    // order-insensitive so any partitioning agrees
+    "q207_table_checksums" ->
+      """SELECT * FROM (
+        |  SELECT 'orders' AS table_name, count(*) AS n_rows,
+        |    CAST(sum(('0x' || substr(md5(concat_ws('|', o_orderkey,
+        |      o_custkey, o_orderstatus,
+        |      CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR),
+        |      strftime(o_orderdate, '%Y-%m-%d'), o_orderpriority)),
+        |      1, 8))::BIGINT) AS BIGINT) AS checksum
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT 'customer', count(*),
+        |    CAST(sum(('0x' || substr(md5(concat_ws('|', c_custkey,
+        |      c_name, c_nationkey,
+        |      CAST(CAST(c_acctbal AS DECIMAL(18,2)) AS VARCHAR),
+        |      c_mktsegment)), 1, 8))::BIGINT) AS BIGINT)
+        |  FROM customer
+        |  UNION ALL
+        |  SELECT 'lineitem', count(*),
+        |    CAST(sum(('0x' || substr(md5(concat_ws('|', l_orderkey,
+        |      l_linenumber, l_returnflag,
+        |      CAST(CAST(l_extendedprice AS DECIMAL(18,2)) AS VARCHAR),
+        |      strftime(l_shipdate, '%Y-%m-%d'))), 1, 8))::BIGINT)
+        |      AS BIGINT)
+        |  FROM lineitem)
+        |ORDER BY table_name""".stripMargin,
     // q206: identical rank pass; iwsum is Σ rank×count in exact BIGINTs
     "q206_key_skew_profile" ->
       """WITH c AS (SELECT o_custkey, count(*) AS c FROM orders

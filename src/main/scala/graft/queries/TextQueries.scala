@@ -788,8 +788,33 @@ object TextQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** q210: quality-priority dedup survivors — within each near-dup
+    * cluster keep the LONGEST document (most tokens, doc_id tiebreak)
+    * instead of q109's min-id: the policy real pretraining dedup uses
+    * (the longest variant usually carries the most content). One window
+    * pass over cluster members only — survivor choice never rescans
+    * the corpus; token counts join from the docs table on the bounded
+    * member set. */
+  def qualitySurvivors(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val comp = graft.dedup.Components
+      .connectedComponents(lshNearDupPairs(s, dir), "id_a", "id_b")
+      .select(col("id").as("doc_id"), col("lbl").as("component"))
+    val toks = docs(s, dir)
+      .select(col("doc_id"), tokenCount(col("text")).cast("long")
+        .as("n_tokens"))
+    val w = Window.partitionBy(col("component"))
+      .orderBy(col("n_tokens").desc, col("doc_id"))
+    comp.join(toks, Seq("doc_id"))
+      .withColumn("is_survivor", row_number().over(w) === 1)
+      .select(col("doc_id"), col("component"), col("n_tokens"),
+        col("is_survivor"))
+      .orderBy(col("doc_id"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q203_tfidf_topterms"    -> (tfidfTopTerms _),
+    "q210_quality_survivors" -> (qualitySurvivors _),
     "q191_triangle_count"    -> (triangleCount _),
     "q193_pii_redact"        -> (piiRedact _),
     "q195_gopher_filter"     -> (gopherFilter _),
@@ -856,6 +881,37 @@ object TextQueries {
       |FROM comp ORDER BY doc_id""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // q210: the recursive-CTE components ground truth + the same
+    // longest-wins window rule
+    "q210_quality_survivors" ->
+      """WITH RECURSIVE w AS (SELECT doc_id,
+        |  CASE WHEN len(ws) >= 2
+        |   THEN list_distinct(list_transform(range(1, len(ws)),
+        |                                     i -> ws[i] || ' ' || ws[i+1]))
+        |   ELSE [array_to_string(ws, ' ')] END AS sh,
+        |  len(ws) AS n_tokens
+        |  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws
+        |        FROM documents)),
+        |p AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM w a JOIN w b ON a.doc_id < b.doc_id
+        |  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+        |        (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))
+        |        >= 0.3),
+        |e AS (SELECT id_a AS src, id_b AS dst FROM p
+        |      UNION SELECT id_b, id_a FROM p),
+        |n AS (SELECT DISTINCT src AS id FROM e),
+        |reach(id, lbl) AS (
+        |  SELECT id, id FROM n
+        |  UNION
+        |  SELECT e.dst, r.lbl FROM reach r JOIN e ON e.src = r.id),
+        |comp AS (SELECT id AS doc_id, min(lbl) AS component
+        |         FROM reach GROUP BY id)
+        |SELECT c.doc_id, c.component, w.n_tokens,
+        |       row_number() OVER (PARTITION BY c.component
+        |         ORDER BY w.n_tokens DESC, c.doc_id) = 1 AS is_survivor
+        |FROM comp c JOIN w ON c.doc_id = w.doc_id
+        |ORDER BY c.doc_id""".stripMargin,
     // q203: identical tokenization, ln quantized through DECIMAL(18,9),
     // tf×idf exact decimals — ranking cannot diverge
     "q203_tfidf_topterms" ->
