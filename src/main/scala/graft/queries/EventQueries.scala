@@ -578,12 +578,37 @@ object EventQueries {
       .orderBy(col("day"))
   }
 
+  /** q211: behavioral Markov transition matrix — P(next event type |
+    * current event type) from per-user time-ordered event sequences
+    * (lead over a user-partitioned window, event_id tiebreak for equal
+    * timestamps). The session-flow model behind next-action prediction
+    * and anomaly scoring. One shuffle on user_id for the sequence
+    * window, then a types²-bounded aggregate; probabilities are exact
+    * count ratios. */
+  def eventTransitions(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val tr = ev(s, dir)
+      .withColumn("to_type", lead(col("event_type"), 1).over(w))
+      .filter(col("to_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val totals = tr.groupBy(col("from_type"))
+      .agg(sum(col("n")).as("n_from"))
+    tr.join(broadcast(totals), Seq("from_type"))
+      .select(col("from_type"), col("to_type"), col("n"),
+        round(col("n").cast("double") / col("n_from"), 6).as("p"))
+      .orderBy(col("from_type"), col("to_type"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q198_funnel_stages"     -> (funnelStages _),
     "q199_retention_cohorts" -> (retentionCohorts _),
     "q200_ab_test_z"         -> (abTestZScore _),
     "q205_stickiness"        -> (stickinessDauWau _),
     "q209_date_spine"        -> (dateSpine _),
+    "q211_event_transitions" -> (eventTransitions _),
     "q185_dynamic_sessions"  -> (dynamicSessions _),
     "q160_gap_fill_interp"   -> (gapFillInterpolate _),
     "q28_asof_last_order"    -> (asofLastOrder _),
@@ -654,6 +679,20 @@ object EventQueries {
         |         (1.0 / n_control + 1.0 / n_treat)), 0), 6)) > 1.96
         |         AS significant
         |FROM j""".stripMargin,
+    // q211: identical lead window (event_id tiebreak) and count ratios
+    "q211_event_transitions" ->
+      """WITH t AS (SELECT event_type AS from_type,
+        |             lead(event_type) OVER (PARTITION BY user_id
+        |               ORDER BY ts, event_id) AS to_type
+        |           FROM events),
+        |tr AS (SELECT from_type, to_type, count(*) AS n FROM t
+        |       WHERE to_type IS NOT NULL GROUP BY 1, 2),
+        |tot AS (SELECT from_type, CAST(sum(n) AS BIGINT) AS n_from
+        |        FROM tr GROUP BY from_type)
+        |SELECT tr.from_type, tr.to_type, tr.n,
+        |       round(tr.n / CAST(tot.n_from AS DOUBLE), 6) AS p
+        |FROM tr JOIN tot USING (from_type)
+        |ORDER BY from_type, to_type""".stripMargin,
     // q209: generate_series spine with the same zero-fill rule
     "q209_date_spine" ->
       """WITH daily AS (SELECT CAST(ts AS DATE) AS d, count(*) AS n

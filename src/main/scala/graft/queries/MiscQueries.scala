@@ -501,11 +501,34 @@ object MiscQueries {
     o.union(c).union(l).orderBy(col("table_name"))
   }
 
+  /** q213: trend-break alerting — monthly revenue with a lag chain
+    * flagging strict 3-month declines (this month < last < the one
+    * before). The monitoring rule a pipeline runs after each load.
+    * Monthly totals are exact decimal sums (order-insensitive), the
+    * lag chain is one months-bounded window — scale-free after the
+    * first aggregate. */
+  def declineAlerts(s: SparkSession, dir: String): DataFrame = {
+    val monthly = t(s, dir, "orders")
+      .groupBy(date_format(date_trunc("month", col("o_orderdate")),
+        "yyyy-MM-dd").as("month"))
+      .agg(sum(col("o_totalprice").cast(DecimalType(18, 2))).as("rev"))
+    val w = Window.orderBy(col("month"))
+    monthly
+      .withColumn("rev_1", lag(col("rev"), 1).over(w))
+      .withColumn("rev_2", lag(col("rev"), 2).over(w))
+      .select(col("month"), col("rev").cast("double").as("revenue"),
+        (col("rev_1").isNotNull && col("rev_2").isNotNull &&
+          col("rev") < col("rev_1") && col("rev_1") < col("rev_2"))
+          .as("decline_alert"))
+      .orderBy(col("month"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q194_scd2_dimension"  -> (scd2Dimension _),
     "q202_schema_evolution" -> (schemaEvolution _),
     "q206_key_skew_profile" -> (keySkewProfile _),
     "q207_table_checksums" -> (tableChecksums _),
+    "q213_decline_alerts"  -> (declineAlerts _),
     "q187_jsonl_roundtrip" -> (jsonlRoundtrip _),
     "q188_csv_malformed"   -> (csvMalformed _),
     "q108_partition_pruned" -> (partitionPrunedScan _),
@@ -538,6 +561,19 @@ object MiscQueries {
         |    AS total_price
         |FROM orders GROUP BY o_orderstatus
         |ORDER BY o_orderstatus""".stripMargin,
+    // q213: identical monthly decimal sums and strict lag-chain rule
+    "q213_decline_alerts" ->
+      """WITH m AS (SELECT strftime(date_trunc('month', o_orderdate),
+        |                  '%Y-%m-%d') AS month,
+        |                  sum(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+        |           FROM orders GROUP BY 1)
+        |SELECT month, CAST(rev AS DOUBLE) AS revenue,
+        |       (lag(rev, 1) OVER (ORDER BY month) IS NOT NULL AND
+        |        lag(rev, 2) OVER (ORDER BY month) IS NOT NULL AND
+        |        rev < lag(rev, 1) OVER (ORDER BY month) AND
+        |        lag(rev, 1) OVER (ORDER BY month) <
+        |          lag(rev, 2) OVER (ORDER BY month)) AS decline_alert
+        |FROM m ORDER BY month""".stripMargin,
     // q207: the same canonical rendering recomputed independently —
     // ('0x'||hex)::BIGINT ≡ Spark's conv(hex,16,10); SUM is
     // order-insensitive so any partitioning agrees

@@ -812,9 +812,35 @@ object TextQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** q212: blocked record linkage — q190's Jaro-Winkler scoring behind
+    * a BLOCKING key (first name token), the standard entity-resolution
+    * scale move: candidate pairs come from an equi-join on the block
+    * key instead of a corpus cross-join, collapsing O(n²) to
+    * Σ(block²). Within-block pairs score through the native codegen
+    * JaroWinklerExpr; survivors are high-similarity candidate links.
+    * DuckDB re-scores every candidate with its own
+    * jaro_winkler_similarity — any blocking or scoring drift breaks
+    * the match. */
+  def blockedLinkage(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.JaroWinklerExpr
+    val names = Tables.load(s, dir, "part")
+      .select(col("p_name")).distinct()
+      .select(col("p_name"), expr("split_part(p_name, ' ', 1)").as("blk"))
+    names.as("a")
+      .join(names.as("b"),
+        col("a.blk") === col("b.blk") && col("a.p_name") < col("b.p_name"))
+      .select(col("a.blk").as("block"), col("a.p_name").as("name_a"),
+        col("b.p_name").as("name_b"),
+        round(JaroWinklerExpr(col("a.p_name"), col("b.p_name")), 6)
+          .as("sim"))
+      .filter(col("sim") >= 0.84)
+      .orderBy(col("block"), col("name_a"), col("name_b"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q203_tfidf_topterms"    -> (tfidfTopTerms _),
     "q210_quality_survivors" -> (qualitySurvivors _),
+    "q212_blocked_linkage"   -> (blockedLinkage _),
     "q191_triangle_count"    -> (triangleCount _),
     "q193_pii_redact"        -> (piiRedact _),
     "q195_gopher_filter"     -> (gopherFilter _),
@@ -881,6 +907,19 @@ object TextQueries {
       |FROM comp ORDER BY doc_id""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // q212: the same blocking key; DuckDB's own jaro_winkler_similarity
+    // re-scores each candidate
+    "q212_blocked_linkage" ->
+      """WITH n AS (SELECT DISTINCT p_name,
+        |             split_part(p_name, ' ', 1) AS blk FROM part)
+        |SELECT a.blk AS block, a.p_name AS name_a, b.p_name AS name_b,
+        |       round(jaro_winkler_similarity(a.p_name, b.p_name), 6)
+        |         AS sim
+        |FROM n a JOIN n b
+        |  ON a.blk = b.blk AND a.p_name < b.p_name
+        |WHERE round(jaro_winkler_similarity(a.p_name, b.p_name), 6)
+        |      >= 0.84
+        |ORDER BY block, name_a, name_b""".stripMargin,
     // q210: the recursive-CTE components ground truth + the same
     // longest-wins window rule
     "q210_quality_survivors" ->
