@@ -289,7 +289,51 @@ object JoinQueries {
       .limit(15)
   }
 
+  /** q214: runtime bloom-filter join pruning — the OPTIMIZER-injected
+    * twin of q95's hand-built bloom semi-join (ExtAggQueries). With
+    * `runtime.bloomFilter.enabled`, InjectRuntimeFilter sees the
+    * selective predicate on orders (the creation side), plans a
+    * BloomFilterAggregate over its join keys, and rewrites lineitem's
+    * side to `might_contain(bloom, xxhash64(key))` — so the fact side drops
+    * non-joining rows BEFORE its shuffle write, not after the join. At
+    * 100 TB that is the difference between shuffling the whole fact
+    * table and shuffling only the ~14% that can join, with nothing
+    * hand-maintained: the filter is planned per query at runtime. The
+    * application-side scan threshold (default 10 GB — right on a
+    * cluster, unreachable at test SF) is scoped to 0, and auto-broadcast
+    * is scoped off (at real scale neither side broadcasts; locally the
+    * tiny build side would make the rule classify the join as broadcast
+    * and — correctly — skip), so the same plan shape materializes at
+    * test SF; the `might_contain` predicate on the fact side is asserted
+    * in ScaleOpsSpec. */
+  def runtimeBloomJoin(s: SparkSession, dir: String): DataFrame =
+    graft.util.LocalFrame.withConfs(s,
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0") {
+      graft.util.LocalFrame.materialize(runtimeBloomFrame(s, dir))
+    }
+
+  /** Shared q214 scaffold (also driven by ScaleOpsSpec's plan assertion,
+    * so the evidence describes the oracle-checked query). SHUFFLE_MERGE
+    * keeps the join a shuffle join — a broadcast join already ships the
+    * build side everywhere, so the rule (correctly) would not inject. */
+  private[graft] def runtimeBloomFrame(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+      .filter(col("o_orderpriority") === "1-URGENT" &&
+        col("o_totalprice") > 150000)
+      .select(col("o_orderkey"))
+    val l = t(s, dir, "lineitem")
+    l.hint("SHUFFLE_MERGE")
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_linestatus"))
+      .agg(count(lit(1)).as("n_items"),
+        sumMoney(col("l_extendedprice")).as("revenue"))
+      .orderBy(col("l_linestatus"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q214_runtime_bloom_join"  -> (runtimeBloomJoin _),
     "q201_basket_lift"        -> (basketBrandLift _),
     "q119_join_strategies"    -> (joinStrategyHints _),
     "q139_skew_join_aqe"      -> (skewJoinAqe _),
@@ -305,6 +349,15 @@ object JoinQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // q214: the runtime bloom filter is physical (it only drops rows that
+    // cannot join); the answer is the plain filtered join
+    "q214_runtime_bloom_join" ->
+      """SELECT l_linestatus, count(*) AS n_items,
+        |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+        |         AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_orderpriority = '1-URGENT' AND o_totalprice > 150000
+        |GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin,
     // q201: identical basket relation and exact integer products; the
     // double division of exact integers is IEEE-identical in both engines
     "q201_basket_lift" ->

@@ -84,6 +84,30 @@ class ScaleOpsSpec extends SparkSpec {
     }
   }
 
+  test("runtime bloom filter reaches the fact side (q214's join)") {
+    graft.util.LocalFrame.withConfs(spark,
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0") {
+      // exactly q214's interior join (shared scaffold): the selective
+      // orders predicate makes orders the creation side, and the
+      // injected bloom filter must appear as a might_contain predicate
+      // (fed by a bloom_filter_agg scalar subquery over orders) on
+      // lineitem's side of the shuffle — rows that cannot join never
+      // get shuffled.
+      val joined = graft.queries.JoinQueries.runtimeBloomFrame(spark, sf)
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("might_contain") && plan.contains("bloom_filter_agg"),
+        s"no runtime bloom filter in plan:\n$plan")
+      // the filter is pruning-only: the answer matches the plain join
+      val expected = graft.util.LocalFrame.withConf(spark,
+        "spark.sql.optimizer.runtime.bloomFilter.enabled", "false") {
+        graft.queries.JoinQueries.runtimeBloomFrame(spark, sf).collect()
+      }
+      assert(joined.collect().toSeq == expected.toSeq)
+    }
+  }
+
   test("join hints select their physical strategies (q119's plans)") {
     val o = Tables.load(spark, sf, "orders")
     val c = Tables.load(spark, sf, "customer")
