@@ -71,6 +71,11 @@ object Bench {
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     println(s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // The driver tail-captures only the last ~2000 chars of output; with
+    // 200+ queries the per-query dict alone exceeds that and truncates
+    // away the headline metric above. Re-emit a compact total as the LAST
+    // line so the tail window always carries a parseable headline.
+    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","sf":"$sfDir","n_queries":${results.size}}""")
     spark.stop()
   }
 }

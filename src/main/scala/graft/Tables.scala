@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DecimalType
+import org.apache.spark.sql.types.{DecimalType, LongType, TimestampNTZType, TimestampType}
 
 /** Table access layer over the driver-provided parquet star schema
   * (TESTDATA.md). Mirrors the reference's catalog surface
@@ -21,17 +21,37 @@ object Tables {
 
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     if (name == "events") {
-      // events.ts is TIMESTAMP(NANOS) parquet, which Spark's vectorized
-      // reader rejects; read nanos as long and truncate to microseconds
-      // (same floor DuckDB applies when it narrows ns → us).
+      // events.ts has shipped as either TIMESTAMP(NANOS) (which Spark's
+      // vectorized reader rejects — read nanos-as-long and floor to µs,
+      // matching DuckDB's ns → us narrowing) or plain microsecond
+      // TIMESTAMP / TIMESTAMP_NTZ (use as-is). Branch on the physical
+      // dtype so a testdata regeneration can't break every events query.
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val raw = spark.read.parquet(s"$sfDir/$name.parquet")
-      // integer `div`, NOT `/ 1000`: epoch-ns exceeds 2^53, so the double
-      // division path rounds ~12% of values by 1 µs off DuckDB's exact
-      // ns→µs floor and can flip window membership at second boundaries
-      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      normalizeTs(raw)
     } else spark.read.parquet(s"$sfDir/$name.parquet")
   }
+
+  /** Normalize an events-shaped frame's `ts` column to TimestampType,
+    * whatever the physical parquet encoding era: nanos-as-long (floor to
+    * µs — same narrowing DuckDB applies), microsecond TIMESTAMP_NTZ
+    * (reinterpret in the UTC session tz), or already TimestampType.
+    * Works on batch AND streaming frames (schema is known pre-start), so
+    * the readStream paths share the exact same dtype contract as
+    * [[load]]. */
+  def normalizeTs(df: DataFrame): DataFrame =
+    df.schema("ts").dataType match {
+      case LongType =>
+        // integer `div`, NOT `/ 1000`: epoch-ns exceeds 2^53, so the
+        // double division path rounds ~12% of values by 1 µs off
+        // DuckDB's exact ns→µs floor and can flip window membership
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType =>
+        // session tz is UTC so the instant is unchanged; cast keeps the
+        // post-load schema (TimestampType) identical across dtype eras
+        df.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => df
+    }
 
   /** Register every table as a temp view (ref: DS_cust_lifetime_value.py:67
     * createOrReplaceTempView bridging DataFrame ↔ SQL worlds). */

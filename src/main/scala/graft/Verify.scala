@@ -20,15 +20,23 @@ object Verify {
     // checker only compares produced dirs)
     val only = sys.env.get("SPARK_GRAFT_VERIFY_ONLY")
       .map(_.split(",").map(_.trim).toSet)
-    SparkEntry.queries
+    val selected = SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
-      .foreach { case (name, fn) =>
+    val failed = scala.collection.mutable.ListBuffer.empty[String]
+    selected.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
+        failed += name
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }
+    // Loud failure accounting: a query that throws produces no output dir
+    // and would otherwise silently vanish from the driver's compare (it
+    // only iterates produced dirs). Count produced vs declared on stdout
+    // so a hole is an unmissable red, not an absence.
+    println(s"[verify] PRODUCED ${selected.size - failed.size}/${selected.size}" +
+      (if (failed.nonEmpty) s"; FAILED: ${failed.sorted.mkString(",")}" else ""))
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.

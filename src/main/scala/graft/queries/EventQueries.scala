@@ -171,9 +171,8 @@ object EventQueries {
       val (rows, schema) =
         graft.util.Tmp.withStagedFile(sinkPrefix + "src", path) { stage =>
           prepareStage(s, path, stage)
-          val streamed = s.readStream.schema(rawSchema)
-            .options(readerOptions).parquet(stage.toString)
-            .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+          val streamed = Tables.normalizeTs(s.readStream.schema(rawSchema)
+            .options(readerOptions).parquet(stage.toString))
           val sink = sinkPrefix +
             java.util.UUID.randomUUID().toString.replace("-", "")
           val sel = select(EventStreams.runToMemory(s, transform(streamed), sink))

@@ -1,5 +1,6 @@
 package graft.queries
 
+import graft.Tables
 import graft.sources.LakeTable
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -76,10 +77,9 @@ object LakeQueries {
         val src = s.read.parquet(path)
         writeSlice(src.filter(col("event_id") % 2 === 0), "even")
         writeSlice(src.filter(col("event_id") % 2 =!= 0), "odd")
-        val streamed = s.readStream.schema(rawSchema)
+        val streamed = Tables.normalizeTs(s.readStream.schema(rawSchema)
           .option("maxFilesPerTrigger", "1")
-          .parquet(stage.toString)
-          .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+          .parquet(stage.toString))
         graft.util.Tmp.withTempDir("q110_lake_") { rootPath =>
           val root = rootPath.toString
           val q = LakeTable.streamAppend(streamed, root)
@@ -282,10 +282,9 @@ object LakeQueries {
         writeSlice(src.filter(col("event_id") % 10 === 0)
             .withColumn("value", col("value") + 1000.0),
           "corrections", t0 + 30000)
-        val streamed = s.readStream.schema(rawSchema)
+        val streamed = Tables.normalizeTs(s.readStream.schema(rawSchema)
           .option("maxFilesPerTrigger", "1")
-          .parquet(stage.toString)
-          .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+          .parquet(stage.toString))
         graft.util.Tmp.withTempDir("q132_lake_") { rootPath =>
           val root = rootPath.toString
           val q = LakeTable.streamMerge(streamed, root, "event_id")
