@@ -356,7 +356,83 @@ object PipelineQueries {
           col("n_orphan_custkeys") === 0).as("all_constraints_ok"))
   }
 
+  /** q215: DSIR-style importance weighting (Xie et al. 2023,
+    * arXiv:2302.03169 reimplemented from the paper's description):
+    * score every document by how much its unigram distribution looks
+    * like a TARGET domain (here the `lang = 'en'` slice) versus the RAW
+    * corpus. Each token occurrence contributes
+    * ln p_target(tok) − ln p_raw(tok) with add-1 smoothing over the
+    * shared vocabulary; the per-doc mean log-ratio is the selection
+    * score (top-15 reported, ties broken by doc_id).
+    *
+    * Cross-engine determinism: both `ln`s quantize through
+    * DECIMAL(18,9) per DISTINCT token (the BM25 rule) before the exact
+    * DECIMAL subtraction and per-doc DECIMAL sum — order-insensitive
+    * under any partitioning.
+    *
+    * Scale: one token-keyed aggregate (vocab-bounded output), the
+    * per-token log-ratio table broadcast back over the occurrence
+    * stream, one doc_id-keyed aggregate. The corpus is never shuffled
+    * by token content; this is the importance-scoring pass of a 100 TB
+    * data-selection run, with the resample itself being q129's
+    * md5-keyed Bernoulli step over these weights. */
+  def dsirWeights(s: SparkSession, dir: String): DataFrame = {
+    val toks = docs(s, dir)
+      .select(col("doc_id"), col("lang"),
+        explode(split(trim(col("text")), "\\s+")).as("tok"))
+    val counts = toks.groupBy(col("tok")).agg(
+      count(lit(1)).as("cr"),
+      sum(when(col("lang") === "en", 1L).otherwise(0L)).as("ct"))
+    val totals = counts.agg(
+      sum(col("cr")).as("tr"), sum(col("ct")).as("tt"),
+      count(lit(1)).cast("double").as("v"))
+    val lnr = counts.crossJoin(broadcast(totals))
+      .select(col("tok"),
+        (expr("CAST(ln((ct + 1.0) / (tt + v)) AS DECIMAL(18,9))") -
+          expr("CAST(ln((cr + 1.0) / (tr + v)) AS DECIMAL(18,9))"))
+          .as("lnr"))
+    toks.join(broadcast(lnr), Seq("tok"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_toks"),
+        (sum(col("lnr")).cast("double") / count(lit(1)))
+          .as("avg_logratio"))
+      .orderBy(col("avg_logratio").desc, col("doc_id"))
+      .limit(15)
+      .select(col("doc_id"), col("n_toks"), col("avg_logratio"))
+  }
+
+  /** q218: deterministic global shuffle + fixed-size batch construction
+    * — the step between a curated corpus and the trainer's data loader.
+    * The shuffle key is md5('shuf:' || doc_id): content-stable and
+    * reproducible months later, independent of file layout; batches are
+    * the 64-row slices of the shuffled order. Output is the per-batch
+    * source-diversity histogram — the property a pre-training shuffle
+    * exists to deliver (no batch dominated by one source) — plus the
+    * batch-size bounds proving every batch but the ragged last is full.
+    *
+    * The rank comes from [[graft.operators.GlobalRank]]: range
+    * partition + in-partition sort + two-pass offset enumeration — NOT
+    * a single-partition `row_number()` window — so the same code ships
+    * to a 1000-executor shuffle of 100 TB unchanged. */
+  def shuffleBatches(s: SparkSession, dir: String): DataFrame = {
+    val keyed = docs(s, dir).select(col("doc_id"), col("source"),
+      md5(concat(lit("shuf:"), col("doc_id").cast("string"))).as("k"))
+    val ranked = graft.operators.GlobalRank.withGlobalRank(keyed, "k", "rank")
+    ranked
+      .withColumn("batch", expr("(rank - 1) div 64"))
+      .groupBy(col("batch"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("source")).as("n_sources"))
+      .groupBy(col("n_sources"))
+      .agg(count(lit(1)).as("n_batches"),
+        min(col("n_docs")).as("min_docs"),
+        max(col("n_docs")).as("max_docs"))
+      .orderBy(col("n_sources"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q215_dsir_weights"        -> (dsirWeights _),
+    "q218_shuffle_batches"     -> (shuffleBatches _),
     "q192_dq_constraints"      -> (dqConstraints _),
     "q186_temporal_split"      -> (temporalSplit _),
     "q180_domain_pagerank"     -> (domainPagerank _),
@@ -370,6 +446,42 @@ object PipelineQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // q215: the identical smoothed log-ratio, per distinct token, both
+    // lns quantized through DECIMAL(18,9) before the exact subtraction
+    "q215_dsir_weights" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang,
+        |         unnest(string_split_regex(trim(text), '\s+')) AS tok
+        |  FROM documents),
+        |c AS (SELECT tok, count(*) AS cr,
+        |             sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS ct
+        |      FROM t GROUP BY tok),
+        |tot AS (SELECT CAST(sum(cr) AS BIGINT) AS tr,
+        |               CAST(sum(ct) AS BIGINT) AS tt,
+        |               CAST(count(*) AS DOUBLE) AS v FROM c),
+        |lnr AS (SELECT tok,
+        |          CAST(ln((ct + 1.0) / (tt + v)) AS DECIMAL(18,9))
+        |        - CAST(ln((cr + 1.0) / (tr + v)) AS DECIMAL(18,9)) AS lnr
+        |        FROM c, tot)
+        |SELECT doc_id, count(*) AS n_toks,
+        |       CAST(sum(lnr) AS DOUBLE) / count(*) AS avg_logratio
+        |FROM t JOIN lnr USING (tok)
+        |GROUP BY doc_id
+        |ORDER BY avg_logratio DESC, doc_id LIMIT 15""".stripMargin,
+    // q218: row_number over the same md5 key — fine at oracle scale; the
+    // Spark side proves the distributed two-pass enumeration matches it
+    "q218_shuffle_batches" ->
+      """WITH ranked AS (
+        |  SELECT source,
+        |         row_number() OVER (
+        |           ORDER BY md5('shuf:' || CAST(doc_id AS VARCHAR))) AS rank
+        |  FROM documents),
+        |b AS (SELECT (rank - 1) // 64 AS batch, count(*) AS n_docs,
+        |             count(DISTINCT source) AS n_sources
+        |      FROM ranked GROUP BY 1)
+        |SELECT n_sources, count(*) AS n_batches,
+        |       min(n_docs) AS min_docs, max(n_docs) AS max_docs
+        |FROM b GROUP BY n_sources ORDER BY n_sources""".stripMargin,
     // q192: every constraint restated directly — counts AND verdict
     "q192_dq_constraints" ->
       """SELECT count(*) AS n_rows,

@@ -510,7 +510,17 @@ object TextQueries {
     * DECIMAL(18,9) (the BM25 rule), and per-doc totals are DECIMAL
     * sums — order-insensitive under any partitioning, so the mean is
     * one correctly-rounded division both engines agree on. */
-  def bigramLmScore(s: SparkSession, dir: String): DataFrame = {
+  def bigramLmScore(s: SparkSession, dir: String): DataFrame =
+    bigramDocScores(s, dir)
+      .orderBy(col("avg_logprob").desc, col("doc_id"))
+      .limit(15)
+      .select(col("doc_id"), col("n_bigrams"), col("avg_logprob"))
+
+  /** Shared per-doc add-1 bigram-LM scorer behind q164 (top-k report)
+    * and q216 (corpus-wide bucketing): doc_id, n_bigrams, exact DECIMAL
+    * lnp_sum, and avg_logprob (the same correctly-rounded division in
+    * both engines). */
+  private def bigramDocScores(s: SparkSession, dir: String): DataFrame = {
     val toks = docs(s, dir)
       .withColumn("toks", split(trim(col("text")), "\\s+"))
       .filter(size(col("toks")) >= 2)
@@ -535,12 +545,42 @@ object TextQueries {
           .as("lnp"))
     bigrams.join(broadcast(prob), Seq("bg"))
       .groupBy(col("doc_id"))
-      .agg((sum(col("lnp")).cast("double") / count(lit(1)))
-        .as("avg_logprob"),
-        count(lit(1)).as("n_bigrams"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(col("lnp")).as("lnp_sum"))
+      .withColumn("avg_logprob",
+        col("lnp_sum").cast("double") / col("n_bigrams"))
+  }
+
+  /** q216: CCNet-style perplexity bucketing (Wenzek et al. 2020,
+    * arXiv:1911.00359 — reimplemented from the paper's description):
+    * score every doc with the q164 add-1 bigram LM, then split the
+    * corpus into head/middle/tail terciles of the score — the standard
+    * quality stratification before mixing (head kept, tail dropped or
+    * re-weighted). ntile(3) over the total order (score DESC, doc_id).
+    *
+    * Per-bucket stats stay order-insensitive: counts, a token-weighted
+    * mean from exact DECIMAL sums, and min/max over per-doc doubles
+    * that are bit-identical in both engines (each is the same
+    * correctly-rounded division of a DECIMAL sum by a count).
+    *
+    * Scale note: a global ntile is a single-partition window — correct
+    * here as the semantic contract; at 100 TB the same buckets come
+    * from two broadcast score quantiles (KLL, q97's sketch) turning the
+    * pass into map-only tagging. */
+  def pplBuckets(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
       .orderBy(col("avg_logprob").desc, col("doc_id"))
-      .limit(15)
-      .select(col("doc_id"), col("n_bigrams"), col("avg_logprob"))
+    bigramDocScores(s, dir)
+      .withColumn("bucket", ntile(3).over(w).cast("long"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_bigrams")).as("total_bigrams"),
+        (sum(col("lnp_sum")).cast("double") /
+          sum(col("n_bigrams")).cast("double"))
+          .as("weighted_avg_logprob"),
+        max(col("avg_logprob")).as("best_logprob"),
+        min(col("avg_logprob")).as("worst_logprob"))
+      .orderBy(col("bucket"))
   }
 
   /** q179: Unicode canonicalization — the preprocessing pass every
@@ -849,6 +889,7 @@ object TextQueries {
     "q190_fuzzy_name_match"  -> (fuzzyNameMatch _),
     "q179_unicode_normalize" -> (unicodeNormalizeStats _),
     "q164_bigram_lm_score" -> (bigramLmScore _),
+    "q216_ppl_buckets"     -> (pplBuckets _),
     "q157_bm25_topk"       -> (bm25TopDocs _),
     "q50_lang_token_stats" -> (langTokenStats _),
     "q51_quality_buckets"  -> (qualityBuckets _),
@@ -1038,6 +1079,39 @@ object TextQueries {
         |FROM b JOIN prob USING (bg)
         |GROUP BY doc_id
         |ORDER BY avg_logprob DESC, doc_id LIMIT 15""".stripMargin,
+    // q216: same scorer corpus-wide, ntile terciles over the identical
+    // total order; per-bucket mean from DECIMAL sums (order-insensitive)
+    "q216_ppl_buckets" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws
+        |  FROM documents),
+        |b AS (
+        |  SELECT doc_id,
+        |         unnest(list_transform(range(len(ws) - 1),
+        |                i -> ws[i + 1] || ' ' || ws[i + 2])) AS bg
+        |  FROM t WHERE len(ws) >= 2),
+        |vocab AS (
+        |  SELECT CAST(count(DISTINCT tok) AS DOUBLE) AS v
+        |  FROM (SELECT unnest(ws) AS tok FROM t)),
+        |c12 AS (SELECT bg, count(*) AS c12 FROM b GROUP BY bg),
+        |c1 AS (SELECT split_part(bg, ' ', 1) AS w1, count(*) AS c1
+        |       FROM b GROUP BY 1),
+        |prob AS (
+        |  SELECT bg, CAST(ln((c12 + 1.0) / (c1 + v)) AS DECIMAL(18,9)) AS lnp
+        |  FROM c12 JOIN c1 ON split_part(c12.bg, ' ', 1) = c1.w1, vocab),
+        |d AS (
+        |  SELECT doc_id, count(*) AS n_bigrams, sum(lnp) AS lnp_sum,
+        |         CAST(sum(lnp) AS DOUBLE) / count(*) AS avg_logprob
+        |  FROM b JOIN prob USING (bg) GROUP BY doc_id),
+        |k AS (SELECT *, ntile(3) OVER (ORDER BY avg_logprob DESC, doc_id)
+        |        AS bucket FROM d)
+        |SELECT CAST(bucket AS BIGINT) AS bucket, count(*) AS n_docs,
+        |       CAST(sum(n_bigrams) AS BIGINT) AS total_bigrams,
+        |       CAST(sum(lnp_sum) AS DOUBLE) / CAST(sum(n_bigrams) AS DOUBLE)
+        |         AS weighted_avg_logprob,
+        |       max(avg_logprob) AS best_logprob,
+        |       min(avg_logprob) AS worst_logprob
+        |FROM k GROUP BY bucket ORDER BY bucket""".stripMargin,
     // the identical Okapi BM25 arithmetic, term-by-term in the same
     // order; ln is the one non-correctly-rounded op and both engines
     // quantize it through DECIMAL(18,9) before it enters the score

@@ -193,6 +193,44 @@ object VectorQueries {
         count(lit(1)).as("n"))
       .orderBy(col("label"), col("pos"))
 
+  /** q217: embedding-space outlier filter — the vector-quality gate a
+    * curation run applies before similarity search or semantic dedup: a
+    * vector far from its label's centroid is mislabeled, corrupt, or
+    * out-of-domain, and feeding it to ANN/SemDeDup poisons the buckets.
+    * Distance = squared L2 to the 6-dp-rounded per-label centroid
+    * (q64's rounding rule pins the centroid cross-engine); each squared
+    * term quantizes through DECIMAL(25,12) so the per-vector sum is
+    * order-insensitive; the per-label flag threshold is the exact
+    * interpolated p95 of those distances (q29's percentile rule).
+    *
+    * Scale: the centroid frame is labels × dims — broadcast; the
+    * per-vector distance pass is then map-side; the per-label exact
+    * percentile is the only wide agg (KLL — q97 — is the sketch
+    * substitute at 100 TB, same API shape). */
+  def embedOutliers(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+      .select(col("vec_id"), col("label").cast("long").as("label"),
+        posexplode(col("embedding")).as(Seq("pos", "v")))
+      .select(col("vec_id"), col("label"), col("pos"),
+        col("v").cast("double").as("v"))
+    val cents = e.groupBy(col("label"), col("pos"))
+      .agg(round(avg(col("v")), 6).as("c"))
+    val d2 = e.join(broadcast(cents), Seq("label", "pos"))
+      .select(col("vec_id"), col("label"),
+        expr("CAST((v - c) * (v - c) AS DECIMAL(25,12))").as("t"))
+      .groupBy(col("vec_id"), col("label"))
+      .agg(sum(col("t")).cast("double").as("d2"))
+    val thr = d2.groupBy(col("label"))
+      .agg(expr("percentile(d2, 0.95)").as("p95"))
+    d2.join(broadcast(thr), Seq("label"))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(when(col("d2") > col("p95"), 1L).otherwise(0L))
+          .as("n_outliers"),
+        round(max(col("p95")), 6).as("p95_d2"))
+      .orderBy(col("label"))
+  }
+
   /** ANN quality gate (q47/q79 pattern): IVF top-10 recall against the
     * exact brute-force top-10 per query, asserted ≥ 0.4 (the measured
     * floor for this corpus is 0.52). Both sides are deterministic, so
@@ -537,7 +575,8 @@ object VectorQueries {
     "q61_knn_ivf"          -> (knnIvfGate _),
     "q62_embed_top_pairs"     -> (embedTopPairsExact _),
     "q63_embed_top_pairs_lsh" -> (lshTopPairsGate _),
-    "q64_label_centroids"  -> (labelCentroids _)
+    "q64_label_centroids"  -> (labelCentroids _),
+    "q217_embed_outliers"  -> (embedOutliers _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -652,6 +691,27 @@ object VectorQueries {
         |       round(avg(embedding[r.range::INT + 1]::DOUBLE), 6) AS avg_v,
         |       count(*) AS n
         |FROM embeddings CROSS JOIN range(0, 64) r
-        |GROUP BY label, pos ORDER BY label, pos""".stripMargin
+        |GROUP BY label, pos ORDER BY label, pos""".stripMargin,
+    // q217: same 6-dp centroid, DECIMAL-quantized squared terms, exact
+    // interpolated p95 (quantile_cont ≡ Spark percentile, q29's rule)
+    "q217_embed_outliers" ->
+      """WITH e AS (
+        |  SELECT vec_id, CAST(label AS BIGINT) AS label, r.range AS pos,
+        |         CAST(embedding[r.range::INT + 1] AS DOUBLE) AS v
+        |  FROM embeddings CROSS JOIN range(0, 64) r),
+        |c AS (SELECT label, pos, round(avg(v), 6) AS c
+        |      FROM e GROUP BY label, pos),
+        |d AS (SELECT vec_id, label,
+        |             CAST(sum(CAST((v - c) * (v - c) AS DECIMAL(25,12)))
+        |               AS DOUBLE) AS d2
+        |      FROM e JOIN c USING (label, pos) GROUP BY vec_id, label),
+        |t AS (SELECT label, quantile_cont(d2, 0.95) AS p95
+        |      FROM d GROUP BY label)
+        |SELECT label, count(*) AS n_vecs,
+        |       CAST(sum(CASE WHEN d2 > p95 THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_outliers,
+        |       round(max(p95), 6) AS p95_d2
+        |FROM d JOIN t USING (label)
+        |GROUP BY label ORDER BY label""".stripMargin
   )
 }
