@@ -55,6 +55,97 @@ object TextQueries {
     graft.util.LocalFrame.of(s, rows, schema)
   }
 
+  /** q219: cross-source duplication matrix — WHICH sources copy WHICH.
+    * Every near-dup pair (the q55-proven LSH banded join) maps to its
+    * unordered (source, source) cell; the count per cell is the
+    * mirror-collapse provenance report a corpus owner reads before
+    * deciding which feed to drop or down-weight. Same premise as q109's
+    * oracle: q55 pinned LSH pairs ≡ exact high-Jaccard pairs on this
+    * corpus, so DuckDB rebuilds ground truth from the exact pair list.
+    *
+    * Scale: pair list is bounded by the near-dup count (banded
+    * equi-join output, no all-pairs); the two doc_id→source lookups are
+    * broadcast-size only in the dims sense — at 100 TB they are plain
+    * co-partitioned joins on doc_id; the final cell agg is
+    * sources²-bounded. */
+  def sourceDupMatrix(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).select(col("doc_id"), col("source"))
+    lshNearDupPairs(s, dir)
+      .join(d.select(col("doc_id").as("id_a"), col("source").as("sa")), "id_a")
+      .join(d.select(col("doc_id").as("id_b"), col("source").as("sb")), "id_b")
+      .select(least(col("sa"), col("sb")).as("src_a"),
+        greatest(col("sa"), col("sb")).as("src_b"))
+      .groupBy(col("src_a"), col("src_b"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy(col("src_a"), col("src_b"))
+  }
+
+  /** q220: dedup savings report — the before/after accounting a corpus
+    * build publishes: per source, docs and whitespace tokens in the raw
+    * feed vs in the surviving set (survivor = the canonical min-doc_id
+    * member of each near-dup component, q109's policy; unclustered docs
+    * survive by default). The savings fraction is the number that
+    * justifies the dedup pass's cost at 100 TB.
+    *
+    * Scale: components from the O(log²)-round star contraction
+    * machinery (bounded pair list), one join back to per-doc token
+    * counts, one source-keyed agg. */
+  def dedupSavings(s: SparkSession, dir: String): DataFrame = {
+    val comp = graft.dedup.Components
+      .connectedComponents(lshNearDupPairs(s, dir), "id_a", "id_b")
+      .select(col("id").as("doc_id"), col("lbl").as("component"))
+    val counts = docs(s, dir).select(col("doc_id"), col("source"),
+      size(split(trim(col("text")), "\\s+")).cast("long").as("n_toks"))
+    counts.join(comp, Seq("doc_id"), "left")
+      .withColumn("keep", col("component").isNull ||
+        col("component") === col("doc_id"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_survivors"),
+        sum(col("n_toks")).as("tokens_total"),
+        sum(when(col("keep"), col("n_toks")).otherwise(0L))
+          .as("tokens_kept"))
+      .withColumn("savings_frac",
+        round(lit(1.0) - col("tokens_kept").cast("double") /
+          col("tokens_total"), 4))
+      .orderBy(col("source"))
+  }
+
+  /** q221: incremental-ingest dedup probe — "which NEW docs duplicate
+    * the EXISTING corpus": the question every nightly corpus append
+    * answers without re-clustering history. New batch = md5 buckets
+    * ≥ 90 of doc_id (content-stable, q123's split rule); a near-dup
+    * pair counts iff it crosses the new/old boundary. The LSH banded
+    * join provides the candidate pairs (q55 pinned ≡ exact pairs on
+    * this corpus), so every output value is exact-checkable.
+    *
+    * Scale: the index side's band buckets are built ONCE and reused
+    * per batch (here the shared pair cache plays that role); probes
+    * stream through the same equi-join shape — cost ∝ batch, not
+    * corpus. */
+  def incrementalDedupProbe(s: SparkSession, dir: String): DataFrame = {
+    val bucket = conv(substring(md5(col("doc_id").cast("string")), 1, 8),
+      16, 10).cast("long") % 100
+    val d = docs(s, dir).select(col("doc_id"),
+      (bucket >= 90).as("is_new"))
+    val cross = lshNearDupPairs(s, dir)
+      .join(d.select(col("doc_id").as("id_a"), col("is_new").as("new_a")),
+        "id_a")
+      .join(d.select(col("doc_id").as("id_b"), col("is_new").as("new_b")),
+        "id_b")
+      .filter(col("new_a") =!= col("new_b"))
+      .select(when(col("new_a"), col("id_a")).otherwise(col("id_b"))
+        .as("new_id"))
+    val nNew = d.filter(col("is_new")).agg(count(lit(1)).as("n_new"))
+    val dups = cross.agg(
+      countDistinct(col("new_id")).as("n_new_dup"),
+      count(lit(1)).as("n_cross_pairs"))
+    nNew.crossJoin(dups)
+      .select(col("n_new"), col("n_new_dup"), col("n_cross_pairs"),
+        round(col("n_new_dup").cast("double") / col("n_new"), 4)
+          .as("dup_frac"))
+  }
+
   /** Token statistics per language (oracle: ints only). */
   def langTokenStats(s: SparkSession, dir: String): DataFrame =
     docs(s, dir)
@@ -899,6 +990,9 @@ object TextQueries {
     "q55_minhash_neardups"    -> (minhashNearDups _),
     "q109_neardup_components" -> (neardupComponents _),
     "q138_cc_star_contraction" -> (neardupComponentsStar _),
+    "q219_source_dup_matrix"  -> (sourceDupMatrix _),
+    "q220_dedup_savings"      -> (dedupSavings _),
+    "q221_incremental_dedup"  -> (incrementalDedupProbe _),
     "q140_repetition_stats"   -> (repetitionStats _),
     "q142_chunk_dedup"        -> (chunkDedup _),
     "q56_simhash_neardups"    -> (simhashGate _),
@@ -918,10 +1012,12 @@ object TextQueries {
     graft.text.TextFunctions.langProfiles.flatMap(_._2)
       .map(w => s"'$w'").mkString("[", ",", "]")
 
-  /** Exact-Jaccard edge list → connected components as a recursive CTE,
-    * shared by q109 (min-label) and q138 (star contraction). */
-  private val componentsOracle: String =
-    """WITH RECURSIVE w AS (SELECT doc_id,
+  /** Exact-Jaccard near-dup pair list CTEs (`w`, `p`) — DuckDB ground
+    * truth for the LSH banded join (q55 pinned LSH ≡ exact on this
+    * corpus); shared by the components, provenance, savings, and
+    * incremental-probe oracles. */
+  private val pairCtes: String =
+    """w AS (SELECT doc_id,
       |  CASE WHEN len(ws) >= 2
       |   THEN list_distinct(list_transform(range(1, len(ws)),
       |                                     i -> ws[i] || ' ' || ws[i+1]))
@@ -933,8 +1029,14 @@ object TextQueries {
       |  FROM w a JOIN w b ON a.doc_id < b.doc_id
       |  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
       |        (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))
-      |        >= 0.3),
-      |e AS (SELECT id_a AS src, id_b AS dst FROM p
+      |        >= 0.3)""".stripMargin
+
+  /** The components CTE chain up to `comp(doc_id, component)` (no final
+    * SELECT) — shared by the q109/q138 oracle and q220's survivor
+    * accounting. */
+  private val compCtes: String =
+    s"$pairCtes,\n" +
+    """e AS (SELECT id_a AS src, id_b AS dst FROM p
       |      UNION SELECT id_b, id_a FROM p),
       |n AS (SELECT DISTINCT src AS id FROM e),
       |reach(id, lbl) AS (
@@ -942,8 +1044,13 @@ object TextQueries {
       |  UNION
       |  SELECT e.dst, r.lbl FROM reach r JOIN e ON e.src = r.id),
       |comp AS (SELECT id AS doc_id, min(lbl) AS component
-      |         FROM reach GROUP BY id)
-      |SELECT doc_id, component,
+      |         FROM reach GROUP BY id)""".stripMargin
+
+  /** Exact-Jaccard edge list → connected components as a recursive CTE,
+    * shared by q109 (min-label) and q138 (star contraction). */
+  private val componentsOracle: String =
+    s"WITH RECURSIVE $compCtes\n" +
+    """SELECT doc_id, component,
       |       count(*) OVER (PARTITION BY component) AS n_docs
       |FROM comp ORDER BY doc_id""".stripMargin
 
@@ -1370,6 +1477,57 @@ object TextQueries {
     // identical components from the exact edge list: min reachable id
     // via a recursive CTE (UNION dedups, so the fixpoint terminates)
     "q109_neardup_components" -> componentsOracle,
+    // q219: exact pair list → unordered source cells
+    "q219_source_dup_matrix" ->
+      (s"WITH $pairCtes,\n" +
+        """j AS (SELECT least(da.source, db.source) AS src_a,
+          |             greatest(da.source, db.source) AS src_b
+          |      FROM p JOIN documents da ON p.id_a = da.doc_id
+          |             JOIN documents db ON p.id_b = db.doc_id)
+          |SELECT src_a, src_b, count(*) AS n_pairs
+          |FROM j GROUP BY src_a, src_b
+          |ORDER BY src_a, src_b""".stripMargin),
+    // q220: survivors = canonical min-id member per exact component;
+    // token sums in BIGINT, savings as the same double division
+    "q220_dedup_savings" ->
+      (s"WITH RECURSIVE $compCtes,\n" +
+        """t AS (SELECT d.doc_id, d.source,
+          |             CAST(len(string_split_regex(trim(d.text), '\s+'))
+          |               AS BIGINT) AS n_toks
+          |      FROM documents d),
+          |k AS (SELECT t.*, CASE WHEN c.component IS NULL
+          |                         OR c.component = t.doc_id
+          |                       THEN 1 ELSE 0 END AS keep
+          |      FROM t LEFT JOIN comp c ON c.doc_id = t.doc_id)
+          |SELECT source, count(*) AS n_docs,
+          |       CAST(sum(keep) AS BIGINT) AS n_survivors,
+          |       CAST(sum(n_toks) AS BIGINT) AS tokens_total,
+          |       CAST(sum(CASE WHEN keep = 1 THEN n_toks ELSE 0 END)
+          |         AS BIGINT) AS tokens_kept,
+          |       round(1.0 -
+          |         CAST(sum(CASE WHEN keep = 1 THEN n_toks ELSE 0 END)
+          |           AS DOUBLE) / CAST(sum(n_toks) AS DOUBLE), 4)
+          |         AS savings_frac
+          |FROM k GROUP BY source ORDER BY source""".stripMargin),
+    // q221: the same md5 new/old split, exact cross-boundary pairs
+    "q221_incremental_dedup" ->
+      (s"WITH $pairCtes,\n" +
+        """d AS (SELECT doc_id,
+          |        (('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+          |          ::UBIGINT % 100) >= 90 AS is_new
+          |      FROM documents),
+          |c AS (SELECT CASE WHEN da.is_new THEN p.id_a ELSE p.id_b END
+          |        AS new_id
+          |      FROM p JOIN d da ON p.id_a = da.doc_id
+          |             JOIN d db ON p.id_b = db.doc_id
+          |      WHERE da.is_new <> db.is_new)
+          |SELECT (SELECT count(*) FROM d WHERE is_new) AS n_new,
+          |       count(DISTINCT new_id) AS n_new_dup,
+          |       count(*) AS n_cross_pairs,
+          |       round(CAST(count(DISTINCT new_id) AS DOUBLE) /
+          |             (SELECT count(*) FROM d WHERE is_new), 4)
+          |         AS dup_frac
+          |FROM c""".stripMargin),
     // identical chunking/fingerprint/keep-first rule in DuckDB list ops
     "q142_chunk_dedup" ->
       """WITH d AS (SELECT doc_id, source,

@@ -232,4 +232,37 @@ class TextDedupSpec extends SparkSpec {
     assert(!pairs.exists(p => p._2 == 4L || p._1 == 4L),
       s"unrelated doc matched: $pairs")
   }
+
+  test("q219 source matrix cells are normalized and total the pair count") {
+    val cells = TextQueries.sourceDupMatrix(spark, sf).collect()
+    cells.foreach(r =>
+      assert(r.getString(0) <= r.getString(1), s"unnormalized cell $r"))
+    val totalPairs = graft.dedup.MinHash.nearDuplicatePairs(
+      Tables.load(spark, sf, "documents"), "doc_id", "text",
+      shingleN = 2, bands = 16, rowsPerBand = 4, threshold = 0.3).count()
+    assert(cells.map(_.getLong(2)).sum == totalPairs,
+      "matrix cells must partition the pair list")
+  }
+
+  test("q220 savings: survivors <= docs, kept <= total, one per component") {
+    val rows = TextQueries.dedupSavings(spark, sf).collect()
+    rows.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(1), s"survivors > docs in $r")
+      assert(r.getLong(4) <= r.getLong(3), s"kept > total in $r")
+    }
+    // corpus-wide: survivors = unclustered docs + one per component
+    val nDocs = Tables.load(spark, sf, "documents").count()
+    val comp = graft.queries.TextQueries
+      .neardupComponents(spark, sf).select("component").distinct().count()
+    val clustered = graft.queries.TextQueries
+      .neardupComponents(spark, sf).count()
+    assert(rows.map(_.getLong(2)).sum == nDocs - clustered + comp)
+  }
+
+  test("q221 incremental probe: dup subset of batch, pairs cross-only") {
+    val r = TextQueries.incrementalDedupProbe(spark, sf).head()
+    val (nNew, nDup, nPairs) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    assert(nNew > 0 && nDup <= nNew)
+    assert(nPairs >= nDup, "each dup doc needs at least one cross pair")
+  }
 }
