@@ -430,7 +430,40 @@ object PipelineQueries {
       .orderBy(col("n_sources"))
   }
 
+  /** q223: weighted sampling without replacement — Efraimidis–Spirakis
+    * A-Res (IPL 2006) reimplemented deterministically: each doc draws
+    * u ∈ (0,1] from md5('ws:' || doc_id) (content-stable, replayable),
+    * and the 200 docs with the largest u^(1/w) win, w = n_chars (the
+    * stand-in for a quality weight — longer docs oversampled in
+    * proportion). Ranking by ln(u)/w is the monotone-equivalent form:
+    * the one non-correctly-rounded op (ln) quantizes through
+    * DECIMAL(18,9), and the division by the integer weight is exact-
+    * rounded in both engines, so the selected SET is cross-engine
+    * identical. This is the size-biased subsampling step of a mixture
+    * recipe ("sample 10 % of the feed, weighted by quality score").
+    *
+    * Scale: per-row key arithmetic in the scan stage + one top-k
+    * (TakeOrdered, partial per partition — no global sort); the
+    * reported per-source tallies are a sources-bounded agg. */
+  def weightedSample(s: SparkSession, dir: String): DataFrame = {
+    val u = (conv(substring(md5(concat(lit("ws:"),
+      col("doc_id").cast("string"))), 1, 13), 16, 10).cast("long") + 1L)
+      .cast("double") / lit(4503599627370496.0) // 16^13, so u ∈ (0, 1]
+    docs(s, dir)
+      .withColumn("u", u)
+      .withColumn("key",
+        expr("CAST(ln(u) AS DECIMAL(18,9))").cast("double") /
+          col("n_chars"))
+      .orderBy(col("key").desc, col("doc_id"))
+      .limit(200)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_kept"),
+        sum(col("n_chars")).as("chars_kept"))
+      .orderBy(col("source"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q223_weighted_sample"     -> (weightedSample _),
     "q215_dsir_weights"        -> (dsirWeights _),
     "q218_shuffle_batches"     -> (shuffleBatches _),
     "q192_dq_constraints"      -> (dqConstraints _),
@@ -482,6 +515,19 @@ object PipelineQueries {
         |SELECT n_sources, count(*) AS n_batches,
         |       min(n_docs) AS min_docs, max(n_docs) AS max_docs
         |FROM b GROUP BY n_sources ORDER BY n_sources""".stripMargin,
+    // q223: same md5-derived u, same quantized-ln key, same top-200
+    "q223_weighted_sample" ->
+      """WITH k AS (
+        |  SELECT doc_id, source, n_chars,
+        |         CAST(ln((('0x' || substring(md5('ws:' ||
+        |                    CAST(doc_id AS VARCHAR)), 1, 13))::UBIGINT + 1)
+        |              / 4503599627370496.0) AS DECIMAL(18,9))::DOUBLE
+        |           / n_chars AS key
+        |  FROM documents),
+        |kept AS (SELECT * FROM k ORDER BY key DESC, doc_id LIMIT 200)
+        |SELECT source, count(*) AS n_kept,
+        |       CAST(sum(n_chars) AS BIGINT) AS chars_kept
+        |FROM kept GROUP BY source ORDER BY source""".stripMargin,
     // q192: every constraint restated directly — counts AND verdict
     "q192_dq_constraints" ->
       """SELECT count(*) AS n_rows,

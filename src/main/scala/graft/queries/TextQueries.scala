@@ -146,6 +146,44 @@ object TextQueries {
           .as("dup_frac"))
   }
 
+  /** q222: RAG-style overlapping chunking — fixed 30-token windows at
+    * stride 20 (10-token overlap), the retrieval-prep twin of q142's
+    * disjoint dedup chunks: overlap keeps answers that straddle a
+    * boundary findable. The per-source report carries an
+    * order-insensitive content checksum (BIGINT sum of each chunk's
+    * 32-bit md5 prefix) so the oracle pins the actual chunk STRINGS,
+    * not just their counts, plus the overlap inflation factor the
+    * storage bill depends on.
+    *
+    * Scale: pure per-row HOF arithmetic in the scan stage (transform +
+    * slice + concat_ws), one source-keyed agg — embarrassingly
+    * parallel, no shuffle until the 20-row summary. */
+  def ragChunking(s: SparkSession, dir: String): DataFrame = {
+    val toks = split(trim(col("text")), "\\s+")
+    val perDoc = docs(s, dir)
+      .select(col("doc_id"), col("source"), toks.as("ws"))
+      .select(col("doc_id"), col("source"), size(col("ws")).as("n_toks"),
+        explode(expr(
+          "transform(sequence(1, size(ws), 20), i -> concat_ws(' ', slice(ws, i, 30)))"))
+          .as("chunk"))
+      .select(col("doc_id"), col("source"), col("n_toks"),
+        size(split(col("chunk"), " ")).cast("long").as("chunk_toks"),
+        conv(substring(md5(col("chunk")), 1, 8), 16, 10).cast("long")
+          .as("chunk_fp"))
+      .groupBy(col("doc_id"), col("source"), col("n_toks"))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(col("chunk_toks")).as("chunk_toks"),
+        sum(col("chunk_fp")).as("fp_sum"))
+    perDoc.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chunks")).as("n_chunks"),
+        sum(col("chunk_toks")).as("total_chunk_toks"),
+        round(sum(col("chunk_toks")).cast("double") /
+          sum(col("n_toks")).cast("double"), 4).as("overlap_factor"),
+        sum(col("fp_sum")).as("chunks_checksum"))
+      .orderBy(col("source"))
+  }
+
   /** Token statistics per language (oracle: ints only). */
   def langTokenStats(s: SparkSession, dir: String): DataFrame =
     docs(s, dir)
@@ -991,6 +1029,7 @@ object TextQueries {
     "q109_neardup_components" -> (neardupComponents _),
     "q138_cc_star_contraction" -> (neardupComponentsStar _),
     "q219_source_dup_matrix"  -> (sourceDupMatrix _),
+    "q222_rag_chunking"       -> (ragChunking _),
     "q220_dedup_savings"      -> (dedupSavings _),
     "q221_incremental_dedup"  -> (incrementalDedupProbe _),
     "q140_repetition_stats"   -> (repetitionStats _),
@@ -1487,6 +1526,33 @@ object TextQueries {
           |SELECT src_a, src_b, count(*) AS n_pairs
           |FROM j GROUP BY src_a, src_b
           |ORDER BY src_a, src_b""".stripMargin),
+    // q222: identical window arithmetic (stride-20 starts, 30-token
+    // slices), chunk CONTENT pinned by the order-insensitive md5-prefix
+    // checksum — not just counts
+    "q222_rag_chunking" ->
+      """WITH t AS (
+        |  SELECT doc_id, source,
+        |         string_split_regex(trim(text), '\s+') AS ws
+        |  FROM documents),
+        |ch AS (
+        |  SELECT doc_id, source, len(ws) AS n_toks,
+        |         unnest(list_transform(range(1, len(ws) + 1, 20),
+        |                i -> array_to_string(list_slice(ws, i, i + 29), ' ')))
+        |           AS chunk
+        |  FROM t),
+        |d AS (
+        |  SELECT doc_id, source, n_toks, count(*) AS n_chunks,
+        |         sum(len(string_split(chunk, ' '))) AS chunk_toks,
+        |         sum(('0x' || substring(md5(chunk), 1, 8))::UBIGINT)
+        |           AS fp_sum
+        |  FROM ch GROUP BY doc_id, source, n_toks)
+        |SELECT source, count(*) AS n_docs,
+        |       CAST(sum(n_chunks) AS BIGINT) AS n_chunks,
+        |       CAST(sum(chunk_toks) AS BIGINT) AS total_chunk_toks,
+        |       round(CAST(sum(chunk_toks) AS DOUBLE) /
+        |             CAST(sum(n_toks) AS DOUBLE), 4) AS overlap_factor,
+        |       CAST(sum(fp_sum) AS BIGINT) AS chunks_checksum
+        |FROM d GROUP BY source ORDER BY source""".stripMargin,
     // q220: survivors = canonical min-id member per exact component;
     // token sums in BIGINT, savings as the same double division
     "q220_dedup_savings" ->

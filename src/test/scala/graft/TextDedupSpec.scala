@@ -265,4 +265,26 @@ class TextDedupSpec extends SparkSpec {
     assert(nNew > 0 && nDup <= nNew)
     assert(nPairs >= nDup, "each dup doc needs at least one cross pair")
   }
+
+  test("q222 chunking: overlap inflates tokens, bounded by window/stride") {
+    val rows = TextQueries.ragChunking(spark, sf).collect()
+    rows.foreach { r =>
+      val of = r.getDouble(4)
+      // stride 20, window 30: inflation can't exceed 30/20 = 1.5, and
+      // overlap can't shrink the corpus below 1.0
+      assert(of >= 1.0 && of <= 1.5, s"overlap factor $of out of bounds")
+      assert(r.getLong(2) >= r.getLong(1), "fewer chunks than docs")
+    }
+  }
+
+  test("q223 weighted sample: exactly 200 kept, size-biased") {
+    val rows = graft.queries.PipelineQueries
+      .weightedSample(spark, sf).collect()
+    assert(rows.map(_.getLong(1)).sum == 200L)
+    val keptMean = rows.map(_.getLong(2)).sum.toDouble / 200.0
+    val corpusMean = Tables.load(spark, sf, "documents")
+      .agg(org.apache.spark.sql.functions.avg("n_chars")).head().getDouble(0)
+    assert(keptMean > corpusMean,
+      s"size-biased sample should favor long docs: $keptMean <= $corpusMean")
+  }
 }
