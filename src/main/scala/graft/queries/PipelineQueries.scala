@@ -462,7 +462,45 @@ object PipelineQueries {
       .orderBy(col("source"))
   }
 
+  /** q224: batch-order novelty curve — for the q218 batch schedule, the
+    * fraction of each batch's distinct 4-grams never seen in an earlier
+    * batch. This is the curriculum/data-ordering diagnostic: a healthy
+    * global shuffle shows novelty decaying smoothly (every batch still
+    * contributes), while a sorted-by-source order shows cliffs. A
+    * gram's first batch = min(batch) over its occurrences — no
+    * sequential scan over batches, one gram-keyed aggregate, exactly
+    * like the corpus-wide dedup shape.
+    *
+    * Scale: grams explode map-side from the scan; the min-batch
+    * aggregate shuffles on the gram key once (bounded by distinct-gram
+    * count); the per-batch report is batches-bounded. */
+  def batchNovelty(s: SparkSession, dir: String): DataFrame = {
+    val keyed = docs(s, dir).select(col("doc_id"), col("text"),
+      md5(concat(lit("shuf:"), col("doc_id").cast("string"))).as("k"))
+    val ranked = graft.operators.GlobalRank.withGlobalRank(keyed, "k", "rank")
+      .withColumn("batch", expr("(rank - 1) div 64"))
+    val grams = ranked
+      .select(col("batch"), col("doc_id"),
+        split(trim(col("text")), "\\s+").as("ws"))
+      .filter(size(col("ws")) >= 4)
+      .select(col("batch"), explode(array_distinct(expr(
+        "transform(sequence(1, size(ws) - 3), i -> concat_ws(' ', slice(ws, i, 4)))")))
+        .as("gram"))
+      .distinct() // one row per (batch, gram)
+    val firstSeen = grams.groupBy(col("gram"))
+      .agg(min(col("batch")).as("first_batch"))
+    grams.join(firstSeen, Seq("gram"))
+      .groupBy(col("batch"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("first_batch") === col("batch"), 1L).otherwise(0L))
+          .as("n_novel"))
+      .withColumn("novelty_frac",
+        round(col("n_novel").cast("double") / col("n_grams"), 4))
+      .orderBy(col("batch"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q224_batch_novelty"       -> (batchNovelty _),
     "q223_weighted_sample"     -> (weightedSample _),
     "q215_dsir_weights"        -> (dsirWeights _),
     "q218_shuffle_batches"     -> (shuffleBatches _),
@@ -515,6 +553,30 @@ object PipelineQueries {
         |SELECT n_sources, count(*) AS n_batches,
         |       min(n_docs) AS min_docs, max(n_docs) AS max_docs
         |FROM b GROUP BY n_sources ORDER BY n_sources""".stripMargin,
+    // q224: same rank/batch rule as q218, gram novelty via min(batch)
+    "q224_batch_novelty" ->
+      """WITH ranked AS (
+        |  SELECT doc_id, text,
+        |         row_number() OVER (
+        |           ORDER BY md5('shuf:' || CAST(doc_id AS VARCHAR))) AS rank
+        |  FROM documents),
+        |g AS (
+        |  SELECT DISTINCT (rank - 1) // 64 AS batch,
+        |         unnest(list_distinct(list_transform(
+        |           range(1, len(ws) - 2),
+        |           i -> array_to_string(list_slice(ws, i, i + 3), ' '))))
+        |           AS gram
+        |  FROM (SELECT rank, string_split_regex(trim(text), '\s+') AS ws
+        |        FROM ranked)
+        |  WHERE len(ws) >= 4),
+        |f AS (SELECT gram, min(batch) AS first_batch FROM g GROUP BY gram)
+        |SELECT batch, count(*) AS n_grams,
+        |       CAST(sum(CASE WHEN first_batch = batch THEN 1 ELSE 0 END)
+        |         AS BIGINT) AS n_novel,
+        |       round(CAST(sum(CASE WHEN first_batch = batch THEN 1 ELSE 0
+        |         END) AS DOUBLE) / count(*), 4) AS novelty_frac
+        |FROM g JOIN f USING (gram)
+        |GROUP BY batch ORDER BY batch""".stripMargin,
     // q223: same md5-derived u, same quantized-ln key, same top-200
     "q223_weighted_sample" ->
       """WITH k AS (

@@ -37,6 +37,20 @@ class GlobalRankSpec extends SparkSpec {
     assert(ours.except(theirs).isEmpty && theirs.except(ours).isEmpty)
   }
 
+  test("q224 novelty: batch 0 is all-novel, fractions in (0,1], decaying") {
+    val rows = graft.queries.PipelineQueries.batchNovelty(spark, sf)
+      .collect().sortBy(_.getLong(0))
+    assert(rows.nonEmpty)
+    assert(rows.head.getDouble(3) == 1.0, "batch 0 must be fully novel")
+    rows.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(1), s"novel > total in $r")
+      assert(r.getDouble(3) > 0.0 && r.getDouble(3) <= 1.0)
+    }
+    // a shuffled order keeps contributing: the LAST batch still has
+    // some novelty (a sorted-by-duplicate order would hit ~0)
+    assert(rows.last.getDouble(3) > 0.1)
+  }
+
   test("q218 batches are full except the ragged last") {
     val rows = graft.queries.PipelineQueries
       .shuffleBatches(spark, sf).collect()
