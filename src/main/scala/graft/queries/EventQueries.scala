@@ -563,6 +563,34 @@ object EventQueries {
     * generated from one 2-value aggregate (sequence + explode — no
     * driver loop) and the join broadcasts the daily aggregate; output
     * is bounded by calendar span, not data volume. */
+  /** q225: k-anonymity small-cell suppression report — the disclosure-
+    * control pass a telemetry release runs before publishing aggregates:
+    * any (event_type, day) cell backed by fewer than k = 5 distinct
+    * users is suppressed (its count would re-identify). Output per
+    * event_type: cells, suppressed cells, suppressed fraction, and the
+    * events surviving publication — the cost of the privacy floor.
+    *
+    * Scale: one (type, day)-keyed aggregate with a distinct-user count
+    * (partial aggregation applies; exact distinct per cell is fine
+    * because cells are bounded — days × types; HLL q47 is the sketch
+    * path if the cell key were high-cardinality). */
+  def kAnonymity(s: SparkSession, dir: String): DataFrame = {
+    val cells = ev(s, dir)
+      .groupBy(col("event_type"), to_date(col("ts")).as("d"))
+      .agg(countDistinct(col("user_id")).as("n_users"),
+        count(lit(1)).as("n_events"))
+      .withColumn("suppressed", col("n_users") < 5)
+    cells.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_cells"),
+        sum(when(col("suppressed"), 1L).otherwise(0L))
+          .as("n_suppressed"),
+        round(sum(when(col("suppressed"), 1L).otherwise(0L))
+          .cast("double") / count(lit(1)), 4).as("suppressed_frac"),
+        sum(when(!col("suppressed"), col("n_events")).otherwise(0L))
+          .as("events_published"))
+      .orderBy(col("event_type"))
+  }
+
   def dateSpine(s: SparkSession, dir: String): DataFrame = {
     val daily = ev(s, dir)
       .groupBy(to_date(col("ts")).as("d"))
@@ -607,6 +635,7 @@ object EventQueries {
     "q200_ab_test_z"         -> (abTestZScore _),
     "q205_stickiness"        -> (stickinessDauWau _),
     "q209_date_spine"        -> (dateSpine _),
+    "q225_k_anonymity"       -> (kAnonymity _),
     "q211_event_transitions" -> (eventTransitions _),
     "q185_dynamic_sessions"  -> (dynamicSessions _),
     "q160_gap_fill_interp"   -> (gapFillInterpolate _),
@@ -693,6 +722,21 @@ object EventQueries {
         |FROM tr JOIN tot USING (from_type)
         |ORDER BY from_type, to_type""".stripMargin,
     // q209: generate_series spine with the same zero-fill rule
+    // q225: identical cell rule — k = 5 distinct users per (type, day)
+    "q225_k_anonymity" ->
+      """WITH cells AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS d,
+        |         count(DISTINCT user_id) AS n_users,
+        |         count(*) AS n_events
+        |  FROM events GROUP BY event_type, d)
+        |SELECT event_type, count(*) AS n_cells,
+        |       CAST(sum(CASE WHEN n_users < 5 THEN 1 ELSE 0 END)
+        |         AS BIGINT) AS n_suppressed,
+        |       round(CAST(sum(CASE WHEN n_users < 5 THEN 1 ELSE 0 END)
+        |         AS DOUBLE) / count(*), 4) AS suppressed_frac,
+        |       CAST(sum(CASE WHEN n_users >= 5 THEN n_events ELSE 0 END)
+        |         AS BIGINT) AS events_published
+        |FROM cells GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q209_date_spine" ->
       """WITH daily AS (SELECT CAST(ts AS DATE) AS d, count(*) AS n
         |               FROM events GROUP BY 1),

@@ -78,6 +78,19 @@ class AnalyticsOpsSpec extends SparkSpec {
     } finally df.unpersist()
   }
 
+  test("q225 k-anonymity: published events never exceed the total") {
+    val rows = EventQueries.kAnonymity(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(1), s"suppressed > cells in $r")
+      val frac = r.getDouble(3)
+      assert(frac >= 0.0 && frac <= 1.0)
+    }
+    val published = rows.map(_.getLong(4)).sum
+    val total = Tables.load(spark, sf, "events").count()
+    assert(published <= total, "published events exceed the corpus")
+  }
+
   test("q209 date spine is gapless and conserves events") {
     val df = EventQueries.dateSpine(spark, sf).cache()
     try {
