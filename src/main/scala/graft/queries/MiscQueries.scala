@@ -438,6 +438,54 @@ object MiscQueries {
     * Gini rank pass is a single global sort over KEYS (not rows) —
     * bounded, and the one place a global window is legitimate. All
     * sums are exact integers; only the final ratios divide. */
+  /** q226: join-cardinality estimation report — the NDV formula a
+    * cost-based optimizer trusts when sizing an equi-join:
+    * |A ⋈ B| ≈ |A|·|B| / max(ndv_A(k), ndv_B(k)), exact under
+    * per-key uniformity. Three probes: two FK joins where the
+    * assumption holds (ratio ≈ 1) and the skewed `documents.lang`
+    * self-join where it visibly under-estimates — the case that makes
+    * a planner pick the wrong side to broadcast. Self-join actuals come
+    * from Σ c² over per-key counts (the join size, no join executed).
+    *
+    * Scale: exact NDV aggregates here (HLL — q47 — is the sketch path);
+    * the diagnostic itself is two scans per probe. */
+  def joinCardEst(s: SparkSession, dir: String): DataFrame = {
+    def fkProbe(label: String, a: DataFrame, ka: String,
+                b: DataFrame, kb: String): DataFrame = {
+      val sa = a.agg(count(lit(1)).as("na"),
+        countDistinct(col(ka)).as("da"))
+      val sb = b.agg(count(lit(1)).as("nb"),
+        countDistinct(col(kb)).as("db"))
+      val actual = a.join(b, col(ka) === col(kb))
+        .agg(count(lit(1)).as("actual"))
+      sa.crossJoin(sb).crossJoin(actual).select(
+        lit(label).as("join_name"),
+        expr("CAST(floor(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE) / greatest(da, db)) AS BIGINT)")
+          .as("estimated"),
+        col("actual"),
+        round(expr("CAST(na AS DOUBLE) * CAST(nb AS DOUBLE) / greatest(da, db)") /
+          col("actual"), 4).as("est_over_actual"))
+    }
+    def selfProbe(label: String, a: DataFrame, k: String): DataFrame = {
+      val per = a.groupBy(col(k)).agg(count(lit(1)).as("c"))
+      per.agg(sum(col("c")).as("na"), count(lit(1)).as("da"),
+          sum(col("c") * col("c")).as("actual"))
+        .select(lit(label).as("join_name"),
+          expr("CAST(floor(CAST(na AS DOUBLE) * CAST(na AS DOUBLE) / da) AS BIGINT)")
+            .as("estimated"),
+          col("actual"),
+          round(expr("CAST(na AS DOUBLE) * CAST(na AS DOUBLE) / da") /
+            col("actual"), 4).as("est_over_actual"))
+    }
+    fkProbe("lineitem_orders", t(s, dir, "lineitem"), "l_orderkey",
+        t(s, dir, "orders"), "o_orderkey")
+      .unionAll(fkProbe("orders_customer", t(s, dir, "orders"),
+        "o_custkey", t(s, dir, "customer"), "c_custkey"))
+      .unionAll(selfProbe("documents_lang_self",
+        Tables.load(s, dir, "documents"), "lang"))
+      .orderBy(col("join_name"))
+  }
+
   def keySkewProfile(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val counts = t(s, dir, "orders")
@@ -527,6 +575,7 @@ object MiscQueries {
     "q194_scd2_dimension"  -> (scd2Dimension _),
     "q202_schema_evolution" -> (schemaEvolution _),
     "q206_key_skew_profile" -> (keySkewProfile _),
+    "q226_join_card_est"    -> (joinCardEst _),
     "q207_table_checksums" -> (tableChecksums _),
     "q213_decline_alerts"  -> (declineAlerts _),
     "q187_jsonl_roundtrip" -> (jsonlRoundtrip _),
@@ -603,6 +652,50 @@ object MiscQueries {
         |  FROM lineitem)
         |ORDER BY table_name""".stripMargin,
     // q206: identical rank pass; iwsum is Σ rank×count in exact BIGINTs
+    // q226: same NDV formula, FK actuals from the real join, self-join
+    // actuals from exact Σc² — identical arithmetic per probe
+    "q226_join_card_est" ->
+      """WITH sa1 AS (SELECT count(*) AS na,
+        |              count(DISTINCT l_orderkey) AS da FROM lineitem),
+        |sb1 AS (SELECT count(*) AS nb,
+        |              count(DISTINCT o_orderkey) AS db FROM orders),
+        |ja1 AS (SELECT count(*) AS actual FROM lineitem
+        |        JOIN orders ON l_orderkey = o_orderkey),
+        |sa2 AS (SELECT count(*) AS na,
+        |              count(DISTINCT o_custkey) AS da FROM orders),
+        |sb2 AS (SELECT count(*) AS nb,
+        |              count(DISTINCT c_custkey) AS db FROM customer),
+        |ja2 AS (SELECT count(*) AS actual FROM orders
+        |        JOIN customer ON o_custkey = c_custkey),
+        |pl AS (SELECT lang, count(*) AS c FROM documents GROUP BY lang),
+        |s3 AS (SELECT CAST(sum(c) AS BIGINT) AS na,
+        |              count(*) AS da,
+        |              CAST(sum(c * c) AS BIGINT) AS actual FROM pl),
+        |r AS (
+        |  SELECT 'lineitem_orders' AS join_name,
+        |         CAST(floor(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)
+        |           / greatest(da, db)) AS BIGINT) AS estimated,
+        |         CAST(actual AS BIGINT) AS actual,
+        |         round(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)
+        |           / greatest(da, db) / actual, 4) AS est_over_actual
+        |  FROM sa1, sb1, ja1
+        |  UNION ALL
+        |  SELECT 'orders_customer',
+        |         CAST(floor(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)
+        |           / greatest(da, db)) AS BIGINT),
+        |         CAST(actual AS BIGINT),
+        |         round(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)
+        |           / greatest(da, db) / actual, 4)
+        |  FROM sa2, sb2, ja2
+        |  UNION ALL
+        |  SELECT 'documents_lang_self',
+        |         CAST(floor(CAST(na AS DOUBLE) * CAST(na AS DOUBLE) / da)
+        |           AS BIGINT),
+        |         actual,
+        |         round(CAST(na AS DOUBLE) * CAST(na AS DOUBLE) / da
+        |           / actual, 4)
+        |  FROM s3)
+        |SELECT * FROM r ORDER BY join_name""".stripMargin,
     "q206_key_skew_profile" ->
       """WITH c AS (SELECT o_custkey, count(*) AS c FROM orders
         |           GROUP BY o_custkey),

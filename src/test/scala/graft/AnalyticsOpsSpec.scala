@@ -78,6 +78,15 @@ class AnalyticsOpsSpec extends SparkSpec {
     } finally df.unpersist()
   }
 
+  test("q226 NDV estimates: exact on FK joins, under on the skewed self-join") {
+    val rows = graft.queries.MiscQueries.joinCardEst(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getDouble(3)).toMap
+    assert(rows("lineitem_orders") == 1.0, s"FK ratio drifted: $rows")
+    assert(rows("orders_customer") == 1.0, s"FK ratio drifted: $rows")
+    assert(rows("documents_lang_self") < 1.0,
+      s"skewed key must under-estimate: $rows")
+  }
+
   test("q225 k-anonymity: published events never exceed the total") {
     val rows = EventQueries.kAnonymity(spark, sf).collect()
     assert(rows.nonEmpty)
