@@ -499,7 +499,51 @@ object PipelineQueries {
       .orderBy(col("batch"))
   }
 
+  /** q227: distribution-drift monitor — the two-sample Kolmogorov–
+    * Smirnov statistic between two corpus slices (here the md5 halves,
+    * standing in for yesterday's vs today's ingest) over the doc-length
+    * distribution. KS = max |CDF_a − CDF_b|, computed EXACTLY in
+    * integer space: max |cumA·nb − cumB·na| / (na·nb) — no float
+    * comparisons inside the max, so both engines agree bit-for-bit and
+    * the drift verdict is a stable oracle boolean (md5 halves of one
+    * corpus: no drift).
+    *
+    * Scale: one value-keyed count aggregate (bounded by distinct
+    * lengths), a cumulative window over those values (values-bounded,
+    * not row-bounded), 1-row output. At 100 TB with unbounded-cardinality
+    * metrics the same statistic runs over KLL sketch quantiles (q97). */
+  def distributionDrift(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val halves = docs(s, dir)
+      .withColumn("half",
+        when(md5Bucket(col("doc_id").cast("string")) < 50, "a")
+          .otherwise("b"))
+    val tot = halves.agg(
+      sum(when(col("half") === "a", 1L).otherwise(0L)).as("na"),
+      sum(when(col("half") === "b", 1L).otherwise(0L)).as("nb"))
+    val per = halves.groupBy(col("n_chars")).agg(
+      sum(when(col("half") === "a", 1L).otherwise(0L)).as("ca"),
+      sum(when(col("half") === "b", 1L).otherwise(0L)).as("cb"))
+    val w = Window.orderBy(col("n_chars"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    per
+      .withColumn("cuma", sum(col("ca")).over(w))
+      .withColumn("cumb", sum(col("cb")).over(w))
+      .crossJoin(broadcast(tot))
+      .select(abs(col("cuma") * col("nb") - col("cumb") * col("na"))
+        .as("d"), col("na"), col("nb"))
+      .groupBy(col("na"), col("nb"))
+      .agg(max(col("d")).as("dmax"))
+      .select(col("na"), col("nb"),
+        round(col("dmax").cast("double") /
+          (col("na") * col("nb")).cast("double"), 6).as("ks_stat"),
+        (col("dmax").cast("double") /
+          (col("na") * col("nb")).cast("double") > 0.1)
+          .as("drift_detected"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q227_distribution_drift"  -> (distributionDrift _),
     "q224_batch_novelty"       -> (batchNovelty _),
     "q223_weighted_sample"     -> (weightedSample _),
     "q215_dsir_weights"        -> (dsirWeights _),
@@ -553,6 +597,34 @@ object PipelineQueries {
         |SELECT n_sources, count(*) AS n_batches,
         |       min(n_docs) AS min_docs, max(n_docs) AS max_docs
         |FROM b GROUP BY n_sources ORDER BY n_sources""".stripMargin,
+    // q227: identical integer-space KS — the max runs over exact
+    // BIGINTs, the single division happens once at the end
+    "q227_distribution_drift" ->
+      """WITH h AS (
+        |  SELECT n_chars,
+        |         CASE WHEN ('0x' || substring(md5(CAST(doc_id AS VARCHAR)),
+        |                    1, 8))::UBIGINT % 100 < 50
+        |              THEN 'a' ELSE 'b' END AS half
+        |  FROM documents),
+        |tot AS (SELECT CAST(sum(CASE WHEN half = 'a' THEN 1 ELSE 0 END)
+        |                 AS BIGINT) AS na,
+        |               CAST(sum(CASE WHEN half = 'b' THEN 1 ELSE 0 END)
+        |                 AS BIGINT) AS nb FROM h),
+        |per AS (SELECT n_chars,
+        |               CAST(sum(CASE WHEN half = 'a' THEN 1 ELSE 0 END)
+        |                 AS BIGINT) AS ca,
+        |               CAST(sum(CASE WHEN half = 'b' THEN 1 ELSE 0 END)
+        |                 AS BIGINT) AS cb
+        |        FROM h GROUP BY n_chars),
+        |cum AS (SELECT sum(ca) OVER (ORDER BY n_chars) AS cuma,
+        |               sum(cb) OVER (ORDER BY n_chars) AS cumb
+        |        FROM per)
+        |SELECT na, nb,
+        |       round(CAST(max(abs(cuma * nb - cumb * na)) AS DOUBLE) /
+        |             (CAST(na AS DOUBLE) * nb), 6) AS ks_stat,
+        |       CAST(max(abs(cuma * nb - cumb * na)) AS DOUBLE) /
+        |         (CAST(na AS DOUBLE) * nb) > 0.1 AS drift_detected
+        |FROM cum, tot GROUP BY na, nb""".stripMargin,
     // q224: same rank/batch rule as q218, gram novelty via min(batch)
     "q224_batch_novelty" ->
       """WITH ranked AS (

@@ -37,6 +37,15 @@ class GlobalRankSpec extends SparkSpec {
     assert(ours.except(theirs).isEmpty && theirs.except(ours).isEmpty)
   }
 
+  test("q227 drift: KS in [0,1], md5 halves of one corpus show no drift") {
+    val r = graft.queries.PipelineQueries.distributionDrift(spark, sf).head()
+    val ks = r.getDouble(2)
+    assert(ks >= 0.0 && ks <= 1.0, s"KS $ks out of range")
+    assert(!r.getBoolean(3), "md5 halves of one corpus must not drift")
+    assert(r.getLong(0) + r.getLong(1) ==
+      Tables.load(spark, sf, "documents").count())
+  }
+
   test("q224 novelty: batch 0 is all-novel, fractions in (0,1], decaying") {
     val rows = graft.queries.PipelineQueries.batchNovelty(spark, sf)
       .collect().sortBy(_.getLong(0))
