@@ -542,7 +542,58 @@ object PipelineQueries {
           .as("drift_detected"))
   }
 
+  /** q228: temperature-scaled mixture weights — the standard recipe for
+    * balancing a multi-source corpus (multilingual-LM sampling rule):
+    * w_s ∝ tokens_s^(1/τ) with τ = 2 (square-root scaling), allocations
+    * = floor(budget · w_s / Σ w). Up-weights small sources, damps the
+    * head; the floor keeps allocations integral (the remainder is the
+    * trainer's slack). Each sqrt quantizes through DECIMAL(18,9) before
+    * the exact DECIMAL sum, so weights and allocations are bit-stable
+    * cross-engine under any partitioning.
+    *
+    * Scale: one source-keyed token aggregate (sources-bounded), the
+    * 1-row Σ w broadcast back — map-only after the first agg. */
+  def mixtureWeights(s: SparkSession, dir: String): DataFrame = {
+    val perSource = docs(s, dir)
+      .select(col("source"),
+        size(split(trim(col("text")), "\\s+")).cast("long").as("n_toks"))
+      .groupBy(col("source"))
+      .agg(sum(col("n_toks")).as("tokens"))
+      .withColumn("w", expr("CAST(sqrt(tokens) AS DECIMAL(18,9))"))
+    val totW = perSource.agg(sum(col("w")).as("wsum"))
+    perSource.crossJoin(broadcast(totW))
+      .select(col("source"), col("tokens"),
+        round(col("w").cast("double") / col("wsum").cast("double"), 6)
+          .as("weight_frac"),
+        expr("CAST(floor(100000.0 * CAST(w AS DOUBLE) / CAST(wsum AS DOUBLE)) AS BIGINT)")
+          .as("alloc_tokens"))
+      .orderBy(col("source"))
+  }
+
+  /** q229: class-balanced eval subset — equal per-label draws from the
+    * embedding corpus (20 per label, md5-ranked for reproducibility):
+    * the split every calibration/probing suite needs when labels are
+    * imbalanced. The per-label window is bounded by the class count;
+    * selection identity is pinned by the vec_id checksum, not just the
+    * counts. */
+  def balancedEvalSet(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("label"))
+      .orderBy(md5(concat(lit("ev:"), col("vec_id").cast("string"))),
+        col("vec_id"))
+    Tables.load(s, dir, "embeddings")
+      .select(col("vec_id"), col("label").cast("long").as("label"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 20)
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_kept"),
+        sum(col("vec_id")).as("ids_checksum"))
+      .orderBy(col("label"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q228_mixture_weights"     -> (mixtureWeights _),
+    "q229_balanced_eval"       -> (balancedEvalSet _),
     "q227_distribution_drift"  -> (distributionDrift _),
     "q224_batch_novelty"       -> (batchNovelty _),
     "q223_weighted_sample"     -> (weightedSample _),
@@ -597,6 +648,35 @@ object PipelineQueries {
         |SELECT n_sources, count(*) AS n_batches,
         |       min(n_docs) AS min_docs, max(n_docs) AS max_docs
         |FROM b GROUP BY n_sources ORDER BY n_sources""".stripMargin,
+    // q228: same quantized sqrt, exact DECIMAL sum, same floor
+    "q228_mixture_weights" ->
+      """WITH p AS (
+        |  SELECT source,
+        |         CAST(sum(len(string_split_regex(trim(text), '\s+')))
+        |           AS BIGINT) AS tokens
+        |  FROM documents GROUP BY source),
+        |q AS (SELECT source, tokens,
+        |             CAST(sqrt(tokens) AS DECIMAL(18,9)) AS w FROM p),
+        |t AS (SELECT sum(w) AS wsum FROM q)
+        |SELECT source, tokens,
+        |       round(CAST(w AS DOUBLE) / CAST(wsum AS DOUBLE), 6)
+        |         AS weight_frac,
+        |       CAST(floor(100000.0 * CAST(w AS DOUBLE)
+        |         / CAST(wsum AS DOUBLE)) AS BIGINT) AS alloc_tokens
+        |FROM q, t ORDER BY source""".stripMargin,
+    // q229: identical per-label md5 rank, identity via id checksum
+    "q229_balanced_eval" ->
+      """WITH r AS (
+        |  SELECT vec_id, CAST(label AS BIGINT) AS label,
+        |         row_number() OVER (
+        |           PARTITION BY label
+        |           ORDER BY md5('ev:' || CAST(vec_id AS VARCHAR)), vec_id)
+        |           AS rk
+        |  FROM embeddings)
+        |SELECT label, count(*) AS n_kept,
+        |       CAST(sum(vec_id) AS BIGINT) AS ids_checksum
+        |FROM r WHERE rk <= 20
+        |GROUP BY label ORDER BY label""".stripMargin,
     // q227: identical integer-space KS — the max runs over exact
     // BIGINTs, the single division happens once at the end
     "q227_distribution_drift" ->

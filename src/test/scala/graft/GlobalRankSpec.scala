@@ -37,6 +37,26 @@ class GlobalRankSpec extends SparkSpec {
     assert(ours.except(theirs).isEmpty && theirs.except(ours).isEmpty)
   }
 
+  test("q228 mixture: fractions sum to ~1, sqrt damping flattens shares") {
+    val rows = graft.queries.PipelineQueries.mixtureWeights(spark, sf)
+      .collect()
+    val fracSum = rows.map(_.getDouble(2)).sum
+    assert(math.abs(fracSum - 1.0) < 1e-4, s"weight fractions sum $fracSum")
+    assert(rows.map(_.getLong(3)).sum <= 100000L, "allocs exceed budget")
+    // sqrt damping: the weight ratio between the largest and smallest
+    // source must be milder than the raw token ratio
+    val (maxT, minT) = (rows.map(_.getLong(1)).max, rows.map(_.getLong(1)).min)
+    val (maxW, minW) = (rows.map(_.getDouble(2)).max, rows.map(_.getDouble(2)).min)
+    assert(maxW / minW < maxT.toDouble / minT + 1e-9)
+  }
+
+  test("q229 balanced eval keeps exactly 20 per label") {
+    val rows = graft.queries.PipelineQueries.balancedEvalSet(spark, sf)
+      .collect()
+    assert(rows.length == 10)
+    assert(rows.forall(_.getLong(1) == 20L))
+  }
+
   test("q227 drift: KS in [0,1], md5 halves of one corpus show no drift") {
     val r = graft.queries.PipelineQueries.distributionDrift(spark, sf).head()
     val ks = r.getDouble(2)
