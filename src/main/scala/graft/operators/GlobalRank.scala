@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{LongType, StructType}
 
@@ -37,15 +37,71 @@ object GlobalRank {
   /** Append `rankCol` = 1-based dense global position of each row under
     * `ORDER BY orderCol` (which must be a total order — no duplicates). */
   def withGlobalRank(df: DataFrame, orderCol: String,
-                     rankCol: String): DataFrame = {
+                     rankCol: String): DataFrame =
+    withGlobalRank(df, Seq(col(orderCol)), rankCol)
+
+  /** Multi-column form: `orderCols` are sort expressions (`.desc`
+    * allowed) that together must be a TOTAL order — end with a unique
+    * tiebreak column (e.g. the key) or ranks within a tie are
+    * partition-placement-dependent, exactly like `row_number` over a
+    * non-total order. */
+  def withGlobalRank(df: DataFrame, orderCols: Seq[Column],
+                     rankCol: String): DataFrame =
+    enumerate(df, orderCols, rankCol, countCol = None)
+
+  /** As [[withGlobalRank]], but also appends `countCol` = the total row
+    * count n. The count is free: the two-pass enumeration already
+    * computes every partition's size for the prefix-sum of offsets, and
+    * n is the last offset. Callers that need (rank, n) together — ntile
+    * arithmetic, percentile cuts — get both from the single pass instead
+    * of a second count scan over the input lineage. */
+  def withGlobalRankAndCount(df: DataFrame, orderCols: Seq[Column],
+                             rankCol: String, countCol: String): DataFrame =
+    enumerate(df, orderCols, rankCol, Some(countCol))
+
+  private def enumerate(df: DataFrame, orderCols: Seq[Column],
+                        rankCol: String, countCol: Option[String]): DataFrame = {
     val spark = df.sparkSession
-    val parted = df.repartitionByRange(col(orderCol))
-      .sortWithinPartitions(col(orderCol))
-    val schema = StructType(parted.schema.fields)
+    val parted = df.repartitionByRange(orderCols: _*)
+      .sortWithinPartitions(orderCols: _*)
+    var schema = StructType(parted.schema.fields)
       .add(rankCol, LongType, nullable = false)
-    val ranked = parted.rdd.zipWithIndex().map { case (r, i) =>
-      Row.fromSeq(r.toSeq :+ (i + 1L))
+    countCol.foreach { c => schema = schema.add(c, LongType, nullable = false) }
+    val rdd = parted.rdd
+    // zipWithIndex's count job, done by hand so the total survives: one
+    // lightweight pass collects per-partition sizes (numPartitions longs
+    // on the driver, never rows), the prefix sum gives each partition its
+    // offset, and the stamping map re-reads the sorted shuffle output.
+    val sizes = rdd
+      .mapPartitionsWithIndex((i, it) => Iterator((i, it.size.toLong)))
+      .collect().sortBy(_._1).map(_._2)
+    val offsets = sizes.scanLeft(0L)(_ + _)
+    val total = offsets.last
+    val ranked = rdd.mapPartitionsWithIndex { (pi, it) =>
+      var i = offsets(pi)
+      it.map { r =>
+        i += 1
+        val base = r.toSeq :+ i
+        Row.fromSeq(countCol.fold(base)(_ => base :+ total))
+      }
     }
     spark.createDataFrame(ranked, schema)
+  }
+
+  /** Exact SQL `ntile(k)` bucket from a 1-based global rank `i` over `n`
+    * rows — the first `n % k` buckets hold `ceil(n/k)` rows, the rest
+    * `floor(n/k)` (the ANSI larger-buckets-first rule, matched to both
+    * Spark's and DuckDB's ntile). Pure arithmetic on (i, n): combined
+    * with [[withGlobalRankAndCount]] it replaces a single-partition
+    * `ntile(k) OVER (ORDER BY …)` window with a range-partitioned
+    * two-pass enumeration plus a map-side expression. */
+  def ntileFromRank(i: Column, n: Column, k: Int): Column = {
+    val q = floor(n / k)
+    val r = n % k
+    when(i <= r * (q + lit(1)), floor((i - 1) / (q + lit(1))) + lit(1))
+      .otherwise(
+        r + floor((i - lit(1) - r * (q + lit(1))) / greatest(q, lit(1)))
+          + lit(1))
+      .cast("long")
   }
 }

@@ -434,10 +434,12 @@ object MiscQueries {
     * choosing between q72's static salting and q139's AQE skew join:
     * per-key frequency distribution of orders.o_custkey summarized as
     * top-1/top-10 share and the Gini coefficient of key weights. Scale
-    * shape: one groupBy(key) shrinks the data to distinct keys; the
-    * Gini rank pass is a single global sort over KEYS (not rows) —
-    * bounded, and the one place a global window is legitimate. All
-    * sums are exact integers; only the final ratios divide. */
+    * shape: one groupBy(key) shrinks the data to distinct keys, but
+    * keys still scale with the data — so the Gini rank comes from
+    * [[graft.operators.GlobalRank]]'s range-exchange two-pass
+    * enumeration (identical to `row_number()` for this total order),
+    * not a single-partition window. All sums are exact integers; only
+    * the final ratios divide. */
   /** q226: join-cardinality estimation report — the NDV formula a
     * cost-based optimizer trusts when sizing an equi-join:
     * |A ⋈ B| ≈ |A|·|B| / max(ndv_A(k), ndv_B(k)), exact under
@@ -468,8 +470,12 @@ object MiscQueries {
     }
     def selfProbe(label: String, a: DataFrame, k: String): DataFrame = {
       val per = a.groupBy(col(k)).agg(count(lit(1)).as("c"))
+      // c*c through DECIMAL: LongType multiply silently wraps past 2^63
+      // (non-ANSI) where DuckDB promotes — a skewed key with ~3e9 rows
+      // would diverge the engines. Same rule as every exact money sum.
       per.agg(sum(col("c")).as("na"), count(lit(1)).as("da"),
-          sum(col("c") * col("c")).as("actual"))
+          sum(col("c").cast(DecimalType(20, 0)) * col("c"))
+            .cast("long").as("actual"))
         .select(lit(label).as("join_name"),
           expr("CAST(floor(CAST(na AS DOUBLE) * CAST(na AS DOUBLE) / da) AS BIGINT)")
             .as("estimated"),
@@ -487,11 +493,10 @@ object MiscQueries {
   }
 
   def keySkewProfile(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val counts = t(s, dir, "orders")
       .groupBy(col("o_custkey")).agg(count(lit(1)).as("c"))
-    val ranked = counts.withColumn("i",
-      row_number().over(Window.orderBy(col("c"), col("o_custkey"))))
+    val ranked = graft.operators.GlobalRank.withGlobalRank(
+      counts, Seq(col("c"), col("o_custkey")), "i")
     val topShares = counts.orderBy(col("c").desc, col("o_custkey"))
       .limit(10)
       .agg(max(col("c")).as("top1"), sum(col("c")).as("top10"))

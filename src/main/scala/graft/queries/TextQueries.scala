@@ -685,22 +685,27 @@ object TextQueries {
     * score every doc with the q164 add-1 bigram LM, then split the
     * corpus into head/middle/tail terciles of the score — the standard
     * quality stratification before mixing (head kept, tail dropped or
-    * re-weighted). ntile(3) over the total order (score DESC, doc_id).
+    * re-weighted). The bucket semantic is exact `ntile(3)` over the
+    * total order (score DESC, doc_id) — computed WITHOUT the
+    * single-partition global window: docs scale with the corpus, so the
+    * rank comes from [[graft.operators.GlobalRank]]'s range-exchange
+    * two-pass enumeration (plus the total n, free from the same pass)
+    * and the tercile is arithmetic on (rank, n). Identical assignment
+    * to the window form (ScaleOpsSpec ntile law); no stage sees more
+    * than its range slice. The two broadcast KLL quantile cuts (q97's
+    * sketch) remain the *approximate* alternative when exact tercile
+    * populations aren't required.
     *
     * Per-bucket stats stay order-insensitive: counts, a token-weighted
     * mean from exact DECIMAL sums, and min/max over per-doc doubles
     * that are bit-identical in both engines (each is the same
-    * correctly-rounded division of a DECIMAL sum by a count).
-    *
-    * Scale note: a global ntile is a single-partition window — correct
-    * here as the semantic contract; at 100 TB the same buckets come
-    * from two broadcast score quantiles (KLL, q97's sketch) turning the
-    * pass into map-only tagging. */
+    * correctly-rounded division of a DECIMAL sum by a count). */
   def pplBuckets(s: SparkSession, dir: String): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .orderBy(col("avg_logprob").desc, col("doc_id"))
-    bigramDocScores(s, dir)
-      .withColumn("bucket", ntile(3).over(w).cast("long"))
+    import graft.operators.GlobalRank
+    GlobalRank.withGlobalRankAndCount(bigramDocScores(s, dir),
+        Seq(col("avg_logprob").desc, col("doc_id")), "i", "n_total")
+      .withColumn("bucket",
+        GlobalRank.ntileFromRank(col("i"), col("n_total"), 3))
       .groupBy(col("bucket"))
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_bigrams")).as("total_bigrams"),

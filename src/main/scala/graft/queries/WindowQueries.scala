@@ -70,17 +70,25 @@ object WindowQueries {
       .orderBy(col("rnk"), col("n_name"))
   }
 
-  /** ntile: customers split into spend quartiles (total order under the
-    * window so both engines assign identical tiles). The global window
-    * runs over the *summarized* one-row-per-customer frame; at extreme
-    * scale swap the exact global sort for approx-percentile bucketing. */
+  /** ntile: customers split into spend quartiles. The oracle semantic
+    * is exact SQL `ntile(4)` over the total order (spend DESC,
+    * o_custkey) — but a `Window.orderBy` with no partition funnels every
+    * customer through ONE task, and customers scale with the data. The
+    * scalable form is [[graft.operators.GlobalRank]]'s range-exchange +
+    * zipWithIndex two-pass enumeration (which also yields the total n
+    * for free), then the exact ntile bucket is pure arithmetic on
+    * (rank, n) — identical assignment to the window form on every input,
+    * proven by ScaleOpsSpec's ntile law, with no single-partition stage
+    * anywhere in the plan. */
   def spendQuartiles(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.GlobalRank
     val spend = t(s, dir, "orders")
       .groupBy(col("o_custkey"))
       .agg(graft.Tables.sumMoney(col("o_totalprice")).as("spend"))
-    val w = Window.orderBy(col("spend").desc, col("o_custkey"))
-    spend
-      .withColumn("quartile", ntile(4).over(w).cast("long"))
+    GlobalRank.withGlobalRankAndCount(spend,
+        Seq(col("spend").desc, col("o_custkey")), "i", "n_total")
+      .withColumn("quartile",
+        GlobalRank.ntileFromRank(col("i"), col("n_total"), 4))
       .groupBy(col("quartile"))
       .agg(count(lit(1)).as("n_cust"),
         graft.Tables.sumMoney(col("spend")).as("total_spend"))

@@ -119,6 +119,45 @@ class ScaleOpsSpec extends SparkSpec {
     assert(planOf("shuffle_hash").contains("ShuffledHashJoin"))
   }
 
+  test("ntileFromRank reproduces SQL ntile for every (n % k) shape") {
+    // The law the q36/q216 rewrites stand on: bucket-from-(rank, n)
+    // arithmetic must equal SQL ntile(k) — including the ANSI
+    // larger-buckets-FIRST rule when n % k != 0 (the shape a naive
+    // floor(rank*k/n) formula gets wrong, e.g. n=6, k=4).
+    import spark.implicits._
+    for (k <- Seq(2, 3, 4, 7)) {
+      val rows = for { n <- 1 to 30; i <- 1 to n } yield (n.toLong, i.toLong)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("n")).orderBy(col("i"))
+      val bad = rows.toDF("n", "i")
+        .withColumn("want", ntile(k).over(w).cast("long"))
+        .withColumn("got",
+          graft.operators.GlobalRank.ntileFromRank(col("i"), col("n"), k))
+        .filter(col("want") =!= col("got"))
+      assert(bad.isEmpty,
+        s"k=$k mismatches: ${bad.collect().mkString(", ")}")
+    }
+  }
+
+  test("no unpartitioned Window survives in q36/q206/q216 plans") {
+    // Round-6 verdict: these three shipped `Window.orderBy` with no
+    // partition spec — a single-task funnel over a data-proportional
+    // frame. They now ride GlobalRank's range-exchange + zipWithIndex
+    // enumeration; pin the shape so the window can't creep back.
+    val targets: Seq[(String, org.apache.spark.sql.DataFrame)] = Seq(
+      "q36" -> graft.queries.WindowQueries.spendQuartiles(spark, sf),
+      "q206" -> graft.queries.MiscQueries.keySkewProfile(spark, sf),
+      "q216" -> graft.queries.TextQueries.pplBuckets(spark, sf))
+    for ((name, df) <- targets) {
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("Window"),
+        s"$name has a Window stage again:\n$plan")
+      assert(plan.contains("ExistingRDD"),
+        s"$name lost the two-pass enumeration scan:\n$plan")
+      assert(df.count() > 0, s"$name returned no rows")
+    }
+  }
+
   test("bucketed tables join without a shuffle exchange") {
     val orders = Tables.load(spark, sf, "orders")
     val customer = Tables.load(spark, sf, "customer")
