@@ -563,6 +563,20 @@ object EventQueries {
     * generated from one 2-value aggregate (sequence + explode — no
     * driver loop) and the join broadcasts the daily aggregate; output
     * is bounded by calendar span, not data volume. */
+  def dateSpine(s: SparkSession, dir: String): DataFrame = {
+    val daily = ev(s, dir)
+      .groupBy(to_date(col("ts")).as("d"))
+      .agg(count(lit(1)).as("n_events"))
+    val spine = ev(s, dir)
+      .agg(min(to_date(col("ts"))).as("d0"), max(to_date(col("ts"))).as("d1"))
+      .select(explode(expr("sequence(d0, d1, interval 1 day)")).as("d"))
+    spine.join(daily, Seq("d"), "left")
+      .select(date_format(col("d"), "yyyy-MM-dd").as("day"),
+        coalesce(col("n_events"), lit(0L)).as("n_events"),
+        col("n_events").isNull.as("is_gap"))
+      .orderBy(col("day"))
+  }
+
   /** q225: k-anonymity small-cell suppression report — the disclosure-
     * control pass a telemetry release runs before publishing aggregates:
     * any (event_type, day) cell backed by fewer than k = 5 distinct
@@ -589,20 +603,6 @@ object EventQueries {
         sum(when(!col("suppressed"), col("n_events")).otherwise(0L))
           .as("events_published"))
       .orderBy(col("event_type"))
-  }
-
-  def dateSpine(s: SparkSession, dir: String): DataFrame = {
-    val daily = ev(s, dir)
-      .groupBy(to_date(col("ts")).as("d"))
-      .agg(count(lit(1)).as("n_events"))
-    val spine = ev(s, dir)
-      .agg(min(to_date(col("ts"))).as("d0"), max(to_date(col("ts"))).as("d1"))
-      .select(explode(expr("sequence(d0, d1, interval 1 day)")).as("d"))
-    spine.join(daily, Seq("d"), "left")
-      .select(date_format(col("d"), "yyyy-MM-dd").as("day"),
-        coalesce(col("n_events"), lit(0L)).as("n_events"),
-        col("n_events").isNull.as("is_gap"))
-      .orderBy(col("day"))
   }
 
   /** q211: behavioral Markov transition matrix — P(next event type |

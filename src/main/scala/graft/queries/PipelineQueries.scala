@@ -471,9 +471,11 @@ object PipelineQueries {
     * sequential scan over batches, one gram-keyed aggregate, exactly
     * like the corpus-wide dedup shape.
     *
-    * Scale: grams explode map-side from the scan; the min-batch
-    * aggregate shuffles on the gram key once (bounded by distinct-gram
-    * count); the per-batch report is batches-bounded. */
+    * Scale: grams explode map-side from the scan; first_batch is a
+    * gram-PARTITIONED min window over the single (batch, gram) frame —
+    * one shuffle on the gram key (bounded by distinct-gram count), no
+    * self-join, and the heavy GlobalRank+explode lineage executes once
+    * instead of twice; the per-batch report is batches-bounded. */
   def batchNovelty(s: SparkSession, dir: String): DataFrame = {
     val keyed = docs(s, dir).select(col("doc_id"), col("text"),
       md5(concat(lit("shuf:"), col("doc_id").cast("string"))).as("k"))
@@ -487,9 +489,10 @@ object PipelineQueries {
         "transform(sequence(1, size(ws) - 3), i -> concat_ws(' ', slice(ws, i, 4)))")))
         .as("gram"))
       .distinct() // one row per (batch, gram)
-    val firstSeen = grams.groupBy(col("gram"))
-      .agg(min(col("batch")).as("first_batch"))
-    grams.join(firstSeen, Seq("gram"))
+    val wGram = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("gram"))
+    grams
+      .withColumn("first_batch", min(col("batch")).over(wGram))
       .groupBy(col("batch"))
       .agg(count(lit(1)).as("n_grams"),
         sum(when(col("first_batch") === col("batch"), 1L).otherwise(0L))
