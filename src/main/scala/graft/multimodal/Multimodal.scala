@@ -24,13 +24,17 @@ final case class MediaFeatures(
   * image/audio/video as opaque binary columns, decoded/feature-extracted
   * in distributed batch closures.
   *
-  * The DECODE STEP IS A STUB: no image/audio codecs exist in this
-  * environment, so [[decodeStub]] derives deterministic fake
-  * width/height/frames/features from the payload bytes. The Spark-side
-  * plumbing — binary column handling, schema, `mapPartitions` batch shape
-  * (the Scala analog of a `mapInPandas` batch UDF), partition-parallel
-  * decode — is real and tested; swap [[decodeStub]] for a codec call in
-  * production.
+  * IMAGE DECODE IS REAL: image-kind assets carry genuine 24-bit BMP
+  * payloads ([[encodeBmp]] — byte length exactly `54 + h·rowSize`, so
+  * the oracle restates sizes arithmetically) and [[decode]] reads them
+  * with the JDK's `javax.imageio.ImageIO`, returning the codec's own
+  * width/height plus pixel-derived features. Bytes no registered reader
+  * accepts (audio/video stand-in payloads — no audio codec ships with
+  * the JDK) fall back to [[decodeStub]]'s deterministic byte-derived
+  * metadata, clearly labeled. The Spark-side plumbing — binary column
+  * handling, schema, `mapPartitions` batch shape (the Scala analog of a
+  * `mapInPandas` batch UDF), partition-parallel decode — is shared by
+  * both paths.
   *
   * Scale notes: decode runs per-partition with no shuffle; payloads never
   * leave the executor that scanned them. Feature vectors (small) are what
@@ -38,24 +42,119 @@ final case class MediaFeatures(
   */
 object Multimodal {
 
-  /** Synthesize a deterministic media table from `documents` (binary
-    * payload = UTF-8 bytes of the text — a stand-in for real encoded
-    * assets; kind assigned round-robin by id). */
+  // ImageIO's default scratch-file cache would turn every decode into
+  // a temp-file round trip; byte-array payloads decode in memory.
+  javax.imageio.ImageIO.setUseCache(false)
+
+  /** Deterministic 24-bit uncompressed BMP (BITMAPINFOHEADER, BI_RGB,
+    * bottom-up, rows padded to 4 bytes) — written by hand so the total
+    * byte length is `54 + height * ((3*width + 3) / 4 * 4)` BY
+    * CONSTRUCTION, an arithmetic fact any engine can restate. Pixels
+    * are a seed-salted gradient, so payloads differ per asset but are
+    * bit-reproducible. Decodable by the JDK's standard BMP reader. */
+  def encodeBmp(width: Int, height: Int, seed: Long): Array[Byte] = {
+    require(width > 0 && height > 0, s"bad dims ${width}x$height")
+    val rowSize = (3 * width + 3) / 4 * 4
+    val dataSize = rowSize * height
+    val buf = java.nio.ByteBuffer.allocate(54 + dataSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put('B'.toByte).put('M'.toByte)
+    buf.putInt(54 + dataSize)          // file size
+    buf.putInt(0)                      // reserved
+    buf.putInt(54)                     // pixel-array offset
+    buf.putInt(40)                     // BITMAPINFOHEADER size
+    buf.putInt(width)
+    buf.putInt(height)
+    buf.putShort(1)                    // planes
+    buf.putShort(24)                   // bits per pixel
+    buf.putInt(0)                      // BI_RGB (uncompressed)
+    buf.putInt(dataSize)
+    buf.putInt(2835)                   // 72 dpi in px/metre
+    buf.putInt(2835)
+    buf.putInt(0)                      // palette entries
+    buf.putInt(0)                      // important colors
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) {
+        buf.put(((x + seed) % 251).toByte)       // B
+        buf.put(((y + seed) % 241).toByte)       // G
+        buf.put(((x + y + seed) % 239).toByte)   // R
+        x += 1
+      }
+      var p = 3 * width
+      while (p < rowSize) { buf.put(0.toByte); p += 1 }
+      y += 1
+    }
+    buf.array()
+  }
+
+  /** Synthesize a deterministic media table from `documents` (kind
+    * assigned round-robin by id). Image-kind assets carry a REAL BMP
+    * payload whose dimensions derive from the text's first two bytes
+    * (`16 + byte % 240` — the same formula the fallback decoder uses,
+    * so the decoded dims are restatable either way); audio/video carry
+    * the UTF-8 text bytes as an opaque stand-in payload. */
   def syntheticMediaTable(spark: SparkSession, sfDir: String): Dataset[MediaRow] = {
     import spark.implicits._
     graft.Tables.load(spark, sfDir, "documents")
-      .select(
-        col("doc_id").as("media_id"),
-        element_at(array(lit("image"), lit("audio"), lit("video")),
-          (col("doc_id") % 3 + 1).cast("int")).as("kind"),
-        encode(col("text"), "UTF-8").as("bytes"),
-        col("n_chars").cast("int").as("declared_len"))
-      .as[MediaRow]
+      .select(col("doc_id").as("_1"), col("text").as("_2"),
+        col("n_chars").cast("int").as("_3"))
+      .as[(Long, String, Int)]
+      .map { case (id, text, nChars) =>
+        val kind = (id % 3) match {
+          case 0 => "image"
+          case 1 => "audio"
+          case _ => "video"
+        }
+        val utf8 = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        def at(i: Int): Int = if (utf8.isEmpty) 0 else utf8(i % utf8.length) & 0xff
+        val bytes =
+          if (kind == "image")
+            encodeBmp(16 + at(0) % 240, 16 + at(1) % 240, id)
+          else utf8
+        MediaRow(id, kind, bytes, nChars)
+      }
   }
 
-  /** STUB decoder — deterministic fake metadata/features from bytes.
-    * Replace with real codec calls (e.g. javax.imageio / ffmpeg bindings)
-    * in an environment that has them. */
+  /** Real decode: hand the payload to `javax.imageio.ImageIO`. A
+    * registered reader that accepts the bytes (BMP/PNG/JPEG/GIF — the
+    * JDK's built-ins) yields the codec's true dimensions and
+    * pixel-derived features; anything unreadable (the audio/video
+    * stand-in payloads, torn bytes) falls back to [[decodeStub]]. */
+  def decode(row: MediaRow): MediaFeatures = {
+    val img =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(row.bytes))
+      catch { case _: Exception => null }
+    if (img == null) decodeStub(row)
+    else {
+      val (w, h) = (img.getWidth, img.getHeight)
+      // channel means over a bounded pixel sample (≤ ~64 per axis):
+      // deterministic, cheap, and independent of image size
+      val (sx, sy) = (math.max(1, w / 64), math.max(1, h / 64))
+      var (r, g, b, n) = (0L, 0L, 0L, 0L)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val p = img.getRGB(x, y)
+          r += (p >> 16) & 0xff; g += (p >> 8) & 0xff; b += p & 0xff
+          n += 1
+          x += sx
+        }
+        y += sy
+      }
+      val feats = Array(
+        w / 255f, h / 255f, w.toFloat / h,
+        r.toFloat / n / 255f, g.toFloat / n / 255f, b.toFloat / n / 255f,
+        row.bytes.length.toFloat / (w * h), 1f)
+      MediaFeatures(row.media_id, row.kind, w, h, 1, feats)
+    }
+  }
+
+  /** Fallback decoder for payloads no codec accepts — deterministic
+    * byte-derived metadata/features (the honest stand-in for the audio/
+    * video codecs this environment doesn't ship). */
   def decodeStub(row: MediaRow): MediaFeatures = {
     val bs = row.bytes
     def at(i: Int): Int = if (bs.isEmpty) 0 else bs(i % bs.length) & 0xff
@@ -78,10 +177,11 @@ object Multimodal {
 
   /** Distributed decode + feature extraction: per-partition batch loop
     * (mapPartitions — one closure invocation per partition, streaming
-    * through rows, the JVM analog of a batched Pandas UDF). */
+    * through rows, the JVM analog of a batched Pandas UDF). Real
+    * ImageIO decode for image payloads, stub fallback otherwise. */
   def decodeAll(media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
-    media.mapPartitions(_.map(decodeStub))
+    media.mapPartitions(_.map(decode))
   }
 
   /** Thumbnail resize planning: aspect-preserving integer downscale to

@@ -6,10 +6,11 @@ import org.apache.spark.sql.functions._
 
 /** [EXT] Multimodal-column queries: the binary-payload plumbing
   * (schema, per-partition decode batches, frame-sample explode) driven
-  * through the named-query surface. The byte-level columns are
-  * oracle-checked (binary length/packing is engine-portable arithmetic);
-  * the stubbed decode *features* are covered by MultimodalIngestSpec.
-  */
+  * through the named-query surface. Image assets are REAL BMPs decoded
+  * by `javax.imageio.ImageIO` ([[Multimodal.decode]]); the BMP byte
+  * layout makes sizes/dims engine-portable arithmetic, so the columns
+  * stay oracle-checked. Decode *features* and the PNG/BMP codec round
+  * trip are covered by MultimodalIngestSpec. */
 object MultimodalQueries {
 
   /** Per-kind asset stats over the binary payload column: row counts,
@@ -39,11 +40,13 @@ object MultimodalQueries {
 
   /** q175: thumbnail resize planning over the decoded dims
     * ([[Multimodal.resizePlan]] — aspect-preserving integer downscale to
-    * 64 on the long side). The stub's width/height derive from the
-    * first two payload bytes, which for this ASCII corpus are the first
-    * two characters — so DuckDB restates the whole decode+resize chain
-    * with `ord(substr(text, …))` and integer division, and the oracle
-    * pins the rounding/no-upscale/degenerate-dim rules exactly. */
+    * 64 on the long side). Image dims come from ImageIO's REAL decode of
+    * the BMP payload; the BMP was synthesized at dims derived from the
+    * text's first two bytes (ASCII corpus: the first two characters),
+    * and audio/video fall back to the stub with the same formula — so
+    * DuckDB restates the whole synthesize→decode→resize chain with
+    * `ord(substr(text, …))` and integer division, and the oracle pins
+    * the rounding/no-upscale/degenerate-dim rules exactly. */
   def mediaResizePlan(s: SparkSession, dir: String): DataFrame =
     Multimodal.resizePlan(Multimodal.syntheticMediaTable(s, dir), 64)
       .groupBy(col("kind"))
@@ -88,13 +91,28 @@ object MultimodalQueries {
         |       CAST(sum(CASE WHEN ow = w THEN 1 ELSE 0 END) AS BIGINT)
         |         AS n_unscaled
         |FROM r GROUP BY kind ORDER BY kind""".stripMargin,
+    // image payloads are REAL 24-bit BMPs written at formula dims, so
+    // their byte size is exact arithmetic: 54-byte header + height
+    // rows padded to 4 bytes. audio/video keep the raw text payload.
     "q73_media_kind_stats" ->
-      """SELECT ['image','audio','video'][CAST(doc_id % 3 + 1 AS INT)] AS kind,
-        |       count(*) AS n_assets,
-        |       CAST(SUM(octet_length(encode(text))) AS BIGINT) AS total_bytes,
+      """WITH d AS (
+        |  SELECT ['image','audio','video'][CAST(doc_id % 3 + 1 AS INT)]
+        |           AS kind,
+        |         octet_length(encode(text)) AS tlen,
+        |         16 + (CASE WHEN length(text) = 0 THEN 0
+        |               ELSE ord(substr(text, 1, 1)) END) % 240 AS w,
+        |         16 + (CASE WHEN length(text) = 0 THEN 0
+        |               ELSE ord(substr(text, (1 % length(text)) + 1, 1))
+        |               END) % 240 AS h,
+        |         n_chars
+        |  FROM documents)
+        |SELECT kind, count(*) AS n_assets,
+        |       CAST(SUM(CASE WHEN kind = 'image'
+        |                THEN 54 + h * ((3 * w + 3) // 4 * 4)
+        |                ELSE tlen END) AS BIGINT) AS total_bytes,
         |       CAST(min(n_chars) AS BIGINT) AS min_declared,
         |       CAST(max(n_chars) AS BIGINT) AS max_declared
-        |FROM documents GROUP BY kind ORDER BY kind""".stripMargin,
+        |FROM d GROUP BY kind ORDER BY kind""".stripMargin,
     // sampled chunk i kept when i % 4 == 0, i in [0, ceil(len/16)) →
     // n_sampled = ceil(ceil(len/16)/4); sampled bytes = 16 per full
     // chunk, len % 16 for a kept trailing partial chunk

@@ -30,6 +30,30 @@ class MultimodalIngestSpec extends SparkSpec {
       f.features.length == 8))
   }
 
+  test("real codec path: ImageIO decodes BMP and PNG payloads to exact dims") {
+    import graft.multimodal.{MediaRow, Multimodal}
+    // hand-rolled BMP: byte-length law + JDK BMP reader round trip
+    val bmp = Multimodal.encodeBmp(33, 17, seed = 7L)
+    assert(bmp.length == 54 + 17 * ((3 * 33 + 3) / 4 * 4),
+      "BMP byte-length formula violated")
+    val f = Multimodal.decode(MediaRow(1L, "image", bmp, 0))
+    assert(f.width == 33 && f.height == 17 && f.n_frames == 1)
+    assert(f.features.length == 8 && f.features.forall(v => !v.isNaN))
+    // independent codec: a PNG (compressed — nothing byte-derived could
+    // fake this) decodes to its true dimensions
+    val img = new java.awt.image.BufferedImage(3, 2,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    img.setRGB(0, 0, 0xff00ff)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val g = Multimodal.decode(MediaRow(2L, "image", bos.toByteArray, 0))
+    assert(g.width == 3 && g.height == 2)
+    // undecodable payloads fall back to the deterministic stub
+    val s = Multimodal.decode(MediaRow(3L, "audio",
+      "plain text".getBytes("UTF-8"), 0))
+    assert(s.width == 16 + 'p'.toInt % 240 && s.n_frames >= 1)
+  }
+
   test("video frame sampling strides through payload chunks") {
     val media = Multimodal.syntheticMediaTable(spark, sf)
     val frames = Multimodal.sampleFrames(media, stride = 2)
