@@ -1,0 +1,78 @@
+package graft
+
+import graft.plans.PlanLint
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** [[graft.plans.PlanLint]] — the scale-shape gate. Round 6 shipped
+  * three single-partition global windows that every audit before had to
+  * find by hand; this spec makes the shape a build failure instead.
+  *
+  * Findings are only legal inside [[allow]], where each entry carries
+  * the justification an audit would demand. The justification is always
+  * the same theorem: the flagged operator's input frame is BOUNDED (a
+  * dim table, a value domain, a calendar) — it does not grow with the
+  * data, so one task never sees a data-proportional frame.
+  */
+class PlanShapeLintSpec extends SparkSpec {
+
+  /** query name → why its flagged shape survives 100× data growth. */
+  private val allow: Map[String, String] = Map(
+    "q33_nation_revenue_rank" ->
+      "rank over the 25-row nation revenue aggregate — dim-bounded frame",
+    "q102_sql_nation_rank" ->
+      "same dim-bounded nation aggregate, SQL-surface twin of q33",
+    "q81_clv_segments" ->
+      "cumulative share over visit BANDS — bounded band domain, not rows",
+    "q213_decline_alerts" ->
+      "lag over calendar MONTHS — bounded by the calendar, not rows",
+    "q227_distribution_drift" ->
+      "cumulative CDF over the distinct-VALUE domain (bounded), not rows",
+    "q63_embed_top_pairs_lsh" ->
+      ("rank-order check over the broadcast top-20 pair list — the " +
+        "window input is .limit(20)-bounded upstream, 20 rows forever"))
+
+  test("lint flags deliberately-bad fixtures") {
+    import spark.implicits._
+    // 1. the q36-shape: global window, no partition spec
+    val win = (1 to 100).toDF("x")
+      .withColumn("rn", row_number().over(Window.orderBy(col("x"))))
+    assert(PlanLint.lint(win).exists(_.kind == "global-window"),
+      "unpartitioned window not flagged")
+    // 2. a real cartesian product (not a broadcast scalar join)
+    graft.util.LocalFrame.withConf(spark,
+      "spark.sql.autoBroadcastJoinThreshold", "-1") {
+      val cross = (1 to 50).toDF("a").crossJoin((1 to 50).toDF("b"))
+      assert(PlanLint.lint(cross).exists(_.kind == "cartesian-product"),
+        "cartesian product not flagged")
+    }
+    // 3. explicit funnel into one partition of un-aggregated rows
+    val rep = (1 to 100).toDF("x").repartition(1)
+      .withColumn("y", col("x") * 2)
+    assert(PlanLint.lint(rep).exists(_.kind == "single-partition-exchange"),
+      "repartition(1) funnel not flagged")
+    // and the legitimate shapes stay silent
+    val agg = (1 to 100).toDF("x").agg(sum(col("x")).as("s"))
+    assert(PlanLint.lint(agg).isEmpty, "1-row global agg wrongly flagged")
+    val sorted = (1 to 100).toDF("x").orderBy(col("x"))
+    assert(!PlanLint.lint(sorted).exists(_.kind == "single-partition-exchange"),
+      "global range sort wrongly flagged")
+  }
+
+  test("no unadjudicated scale-killer shapes across the query surface") {
+    val stale = allow.keySet -- SparkEntry.queries.keySet
+    assert(stale.isEmpty, s"allowlist names unknown queries: $stale")
+    val bad = scala.collection.mutable.SortedMap.empty[String, String]
+    for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
+      val findings =
+        try PlanLint.lint(fn(spark, sf))
+        catch { case e: Throwable => fail(s"$name failed to plan: $e") }
+      if (findings.nonEmpty && !allow.contains(name))
+        bad(name) = findings.mkString("; ")
+      if (findings.isEmpty && allow.contains(name))
+        bad(name) = "allowlisted but clean — remove the stale entry"
+    }
+    assert(bad.isEmpty, "\n" + bad.map { case (n, f) => s"  $n: $f" }
+      .mkString("\n"))
+  }
+}
