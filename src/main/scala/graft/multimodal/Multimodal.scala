@@ -24,17 +24,19 @@ final case class MediaFeatures(
   * image/audio/video as opaque binary columns, decoded/feature-extracted
   * in distributed batch closures.
   *
-  * IMAGE DECODE IS REAL: image-kind assets carry genuine 24-bit BMP
-  * payloads ([[encodeBmp]] — byte length exactly `54 + h·rowSize`, so
-  * the oracle restates sizes arithmetically) and [[decode]] reads them
-  * with the JDK's `javax.imageio.ImageIO`, returning the codec's own
-  * width/height plus pixel-derived features. Bytes no registered reader
-  * accepts (audio/video stand-in payloads — no audio codec ships with
-  * the JDK) fall back to [[decodeStub]]'s deterministic byte-derived
-  * metadata, clearly labeled. The Spark-side plumbing — binary column
-  * handling, schema, `mapPartitions` batch shape (the Scala analog of a
-  * `mapInPandas` batch UDF), partition-parallel decode — is shared by
-  * both paths.
+  * IMAGE AND AUDIO DECODE ARE REAL: image-kind assets carry genuine
+  * 24-bit BMP payloads ([[encodeBmp]] — byte length exactly
+  * `54 + h·rowSize`, so the oracle restates sizes arithmetically) read
+  * by the JDK's `javax.imageio.ImageIO`, returning the codec's own
+  * width/height plus pixel-derived features; WAV payloads
+  * ([[encodeWav]] — `44 + 2·nSamples` bytes by construction, q230)
+  * parse through `javax.sound.sampled` for codec-reported sample
+  * rate/channels/frame count. Bytes no registered reader accepts (the
+  * video stand-in payloads — the JDK ships no video codec) fall back to
+  * [[decodeStub]]'s deterministic byte-derived metadata, clearly
+  * labeled. The Spark-side plumbing — binary column handling, schema,
+  * `mapPartitions` batch shape (the Scala analog of a `mapInPandas`
+  * batch UDF), partition-parallel decode — is shared by all paths.
   *
   * Scale notes: decode runs per-partition with no shuffle; payloads never
   * leave the executor that scanned them. Feature vectors (small) are what
@@ -89,6 +91,49 @@ object Multimodal {
     buf.array()
   }
 
+  /** Deterministic 16-bit mono PCM WAV (RIFF canonical layout) — byte
+    * length is `44 + 2 * nSamples` BY CONSTRUCTION (44-byte header, two
+    * bytes per sample), an arithmetic fact any engine restates. Samples
+    * are a seed-salted sawtooth, bit-reproducible. Parseable by the
+    * JDK's standard `javax.sound.sampled` WAV reader. */
+  def encodeWav(nSamples: Int, sampleRate: Int, seed: Long): Array[Byte] = {
+    require(nSamples > 0 && sampleRate > 0, s"bad WAV $nSamples@$sampleRate")
+    val dataSize = 2 * nSamples
+    val buf = java.nio.ByteBuffer.allocate(44 + dataSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes("US-ASCII"))
+    buf.putInt(36 + dataSize)              // RIFF chunk size
+    buf.put("WAVE".getBytes("US-ASCII"))
+    buf.put("fmt ".getBytes("US-ASCII"))
+    buf.putInt(16)                         // fmt chunk size
+    buf.putShort(1)                        // PCM
+    buf.putShort(1)                        // mono
+    buf.putInt(sampleRate)
+    buf.putInt(sampleRate * 2)             // byte rate
+    buf.putShort(2)                        // block align
+    buf.putShort(16)                       // bits per sample
+    buf.put("data".getBytes("US-ASCII"))
+    buf.putInt(dataSize)
+    var i = 0
+    while (i < nSamples) {
+      buf.putShort((((i * (7 + seed % 13) + seed) % 8192) - 4096).toShort)
+      i += 1
+    }
+    buf.array()
+  }
+
+  /** Real audio parse: hand the payload to `javax.sound.sampled`. Yields
+    * the codec's own (sampleRate, channels, frameLength, bitsPerSample)
+    * for any format the JDK reads (WAV/AIFF/AU); None otherwise. */
+  def audioMeta(bytes: Array[Byte]): Option[(Int, Int, Long, Int)] =
+    try {
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      val f = ais.getFormat
+      Some((f.getSampleRate.toInt, f.getChannels, ais.getFrameLength,
+        f.getSampleSizeInBits))
+    } catch { case _: Exception => None }
+
   /** Synthesize a deterministic media table from `documents` (kind
     * assigned round-robin by id). Image-kind assets carry a REAL BMP
     * payload whose dimensions derive from the text's first two bytes
@@ -126,7 +171,17 @@ object Multimodal {
     val img =
       try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(row.bytes))
       catch { case _: Exception => null }
-    if (img == null) decodeStub(row)
+    if (img == null) audioMeta(row.bytes) match {
+      // real audio parse: width carries the sample rate, height the
+      // channel count, n_frames the codec-reported PCM frame length
+      case Some((rate, channels, frames, bits)) =>
+        MediaFeatures(row.media_id, row.kind, rate, channels,
+          math.min(frames, Int.MaxValue).toInt,
+          Array(rate / 48000f, channels.toFloat, bits / 16f,
+            frames / 1e6f, row.bytes.length.toFloat / (2 * frames + 44),
+            0f, 0f, 2f))
+      case None => decodeStub(row)
+    }
     else {
       val (w, h) = (img.getWidth, img.getHeight)
       // channel means over a bounded pixel sample (≤ ~64 per axis):

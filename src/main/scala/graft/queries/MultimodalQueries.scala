@@ -58,10 +58,49 @@ object MultimodalQueries {
           .as("n_unscaled"))
       .orderBy(col("kind"))
 
+  /** q230: audio metadata through the REAL JDK codec — every audio-kind
+    * asset synthesized as a genuine 16-bit mono 8 kHz PCM WAV
+    * ([[Multimodal.encodeWav]], sample count derived from the text's
+    * first two bytes) and parsed back with `javax.sound.sampled`
+    * ([[Multimodal.audioMeta]]): the reported rate/channels/bits/frames
+    * are the codec's, not ours. The WAV layout makes every aggregate
+    * pure arithmetic for the oracle (bytes = 44 + 2·frames), and the
+    * format facts pin as stable booleans (q84's gate pattern). Scale
+    * shape: per-partition encode+parse with no shuffle, one global
+    * aggregate — identical to the image decode pass. */
+  def audioWavMeta(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val metas = graft.Tables.load(s, dir, "documents")
+      .filter(col("doc_id") % 3 === 1) // the audio-kind assets
+      .select(col("doc_id").as("_1"), col("text").as("_2"))
+      .as[(Long, String)]
+      .map { case (id, text) =>
+        val utf8 = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        def at(i: Int): Int = if (utf8.isEmpty) 0 else utf8(i % utf8.length) & 0xff
+        val wav = Multimodal.encodeWav(
+          256 + (at(0) * 256 + at(1)) % 4096, 8000, id)
+        val (rate, channels, frames, bits) = Multimodal.audioMeta(wav)
+          .getOrElse(sys.error(s"JDK WAV parse failed for asset $id"))
+        (id, wav.length.toLong, rate, channels, frames, bits)
+      }
+      .toDF("media_id", "n_bytes", "rate_hz", "channels", "frames", "bits")
+    metas.agg(
+      count(lit(1)).as("n_assets"),
+      sum(col("n_bytes")).as("total_bytes"),
+      sum(col("frames")).as("total_frames"),
+      (countDistinct(col("rate_hz")) === 1 && min(col("rate_hz")) === 8000)
+        .as("rate_ok"),
+      (min(col("channels")) === 1 && max(col("channels")) === 1 &&
+        min(col("bits")) === 16 && max(col("bits")) === 16).as("mono16_ok"),
+      (min(col("n_bytes") - col("frames") * 2) === 44 &&
+        max(col("n_bytes") - col("frames") * 2) === 44).as("layout_ok"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q73_media_kind_stats"  -> (mediaKindStats _),
     "q74_video_frame_sample" -> (videoFrameSample _),
-    "q175_media_resize_plan" -> (mediaResizePlan _)
+    "q175_media_resize_plan" -> (mediaResizePlan _),
+    "q230_audio_wav_meta"   -> (audioWavMeta _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -113,6 +152,25 @@ object MultimodalQueries {
         |       CAST(min(n_chars) AS BIGINT) AS min_declared,
         |       CAST(max(n_chars) AS BIGINT) AS max_declared
         |FROM d GROUP BY kind ORDER BY kind""".stripMargin,
+    // WAV layout law: 44-byte canonical header + 2 bytes/sample; the
+    // codec-reported facts (8 kHz, mono, 16-bit, frames = sample count)
+    // pin as booleans the SQL side states as constants
+    "q230_audio_wav_meta" ->
+      """WITH a AS (
+        |  SELECT doc_id,
+        |         256 + ((CASE WHEN length(text) = 0 THEN 0
+        |                 ELSE ord(substr(text, 1, 1)) END) * 256
+        |              + (CASE WHEN length(text) = 0 THEN 0
+        |                 ELSE ord(substr(text, (1 % length(text)) + 1, 1))
+        |                 END)) % 4096 AS n
+        |  FROM documents WHERE doc_id % 3 = 1)
+        |SELECT count(*) AS n_assets,
+        |       CAST(sum(44 + 2 * n) AS BIGINT) AS total_bytes,
+        |       CAST(sum(n) AS BIGINT) AS total_frames,
+        |       CAST(1 AS BOOLEAN) AS rate_ok,
+        |       CAST(1 AS BOOLEAN) AS mono16_ok,
+        |       CAST(1 AS BOOLEAN) AS layout_ok
+        |FROM a""".stripMargin,
     // sampled chunk i kept when i % 4 == 0, i in [0, ceil(len/16)) →
     // n_sampled = ceil(ceil(len/16)/4); sampled bytes = 16 per full
     // chunk, len % 16 for a kept trailing partial chunk

@@ -52,6 +52,14 @@ class MultimodalIngestSpec extends SparkSpec {
     val s = Multimodal.decode(MediaRow(3L, "audio",
       "plain text".getBytes("UTF-8"), 0))
     assert(s.width == 16 + 'p'.toInt % 240 && s.n_frames >= 1)
+    // real WAV codec: javax.sound.sampled reports OUR layout back
+    val wav = Multimodal.encodeWav(nSamples = 777, sampleRate = 8000, seed = 5L)
+    assert(wav.length == 44 + 2 * 777, "WAV byte-length formula violated")
+    val meta = Multimodal.audioMeta(wav)
+    assert(meta.contains((8000, 1, 777L, 16)),
+      s"JDK WAV parse disagrees: $meta")
+    val a = Multimodal.decode(MediaRow(4L, "audio", wav, 0))
+    assert(a.width == 8000 && a.height == 1 && a.n_frames == 777)
   }
 
   test("video frame sampling strides through payload chunks") {
