@@ -62,6 +62,33 @@ object GlobalRank {
   private def enumerate(df: DataFrame, orderCols: Seq[Column],
                         rankCol: String, countCol: Option[String]): DataFrame = {
     val spark = df.sparkSession
+    // Opt-in guard for the documented precondition: with duplicate keys
+    // the within-tie assignment is partition-placement-dependent. Off by
+    // default (it costs an aggregate pass over the input); set
+    // graft.globalRank.validate=true in tests / while developing a new
+    // caller to fail fast instead of silently ranking nondeterministically.
+    if (spark.conf.getOption("graft.globalRank.validate").contains("true")) {
+      val Row(n: Long, d: Long) =
+        try df.agg(count(lit(1)).cast(LongType),
+              countDistinct(struct(orderCols: _*)).cast(LongType)).head()
+        catch {
+          // struct() can't wrap direction-bearing sort expressions
+          // (.desc) — SortOrder is unevaluable, surfacing as an
+          // AnalysisException or a codegen-time SparkException — and
+          // direction can't be stripped from a public Column. Fall back
+          // to full-row distinctness: weaker (key ties across differing
+          // rows are missed) but sound for every caller that ends the
+          // key with a unique column, which the scaladoc already
+          // requires.
+          case scala.util.control.NonFatal(_) =>
+            df.agg(count(lit(1)).cast(LongType),
+              countDistinct(struct(df.columns.map(col).toSeq: _*))
+                .cast(LongType)).head()
+        }
+      require(n == d,
+        s"GlobalRank order key is not a total order: $n rows but only $d " +
+          s"distinct keys — ranks within a tie would be nondeterministic")
+    }
     val parted = df.repartitionByRange(orderCols: _*)
       .sortWithinPartitions(orderCols: _*)
     var schema = StructType(parted.schema.fields)

@@ -98,18 +98,27 @@ object MiscQueries {
 
   }
 
-  /** Frame-spec windows: first/last/nth order date per customer over
-    * the full partition frame (unbounded both ways). */
+  /** First/last/second order date per customer (the oracle phrases it
+    * as first_value/last_value/nth_value over an unbounded frame).
+    *
+    * One hash aggregate instead of window + distinct: the window form
+    * shuffles on o_custkey, replays every order row through the frame,
+    * then shuffles AGAIN for the distinct. A groupBy gets the same three
+    * values in a single partial-aggregated exchange — first/last are
+    * min/max, and the second row of the (date, orderkey) order is the
+    * 2nd element of the sorted per-customer struct list (orders per
+    * customer is a bounded constant, not data-proportional, so the
+    * collect_list buffer is safe at any SF). */
   def orderBounds(s: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy(col("o_custkey"))
-      .orderBy(col("o_orderdate"), col("o_orderkey"))
-      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val second = get(
+      array_sort(collect_list(struct(col("o_orderdate"), col("o_orderkey")))),
+      lit(1))
     t(s, dir, "orders")
-      .select(col("o_custkey"),
-        isoDate(first_value(col("o_orderdate")).over(w)).as("first_date"),
-        isoDate(last_value(col("o_orderdate")).over(w)).as("last_date"),
-        isoDate(nth_value(col("o_orderdate"), 2).over(w)).as("second_date"))
-      .distinct()
+      .groupBy(col("o_custkey"))
+      .agg(
+        isoDate(min(col("o_orderdate"))).as("first_date"),
+        isoDate(max(col("o_orderdate"))).as("last_date"),
+        isoDate(second.getField("o_orderdate")).as("second_date"))
       .orderBy(col("o_custkey"))
   }
 

@@ -139,6 +139,36 @@ class ScaleOpsSpec extends SparkSpec {
     }
   }
 
+  test("GlobalRank validate flag rejects a tied order key") {
+    import spark.implicits._
+    spark.conf.set("graft.globalRank.validate", "true")
+    try {
+      val tied = Seq(("a", 1L), ("a", 2L), ("b", 3L)).toDF("k", "v")
+      val err = intercept[IllegalArgumentException] {
+        graft.operators.GlobalRank.withGlobalRank(tied, "k", "rank").count()
+      }
+      assert(err.getMessage.contains("not a total order"))
+      // a genuinely unique key passes under the same flag
+      val ok = graft.operators.GlobalRank
+        .withGlobalRank(tied, Seq(col("v").desc, col("k")), "rank")
+      assert(ok.count() == 3)
+    } finally spark.conf.unset("graft.globalRank.validate")
+  }
+
+  test("q69 order bounds is one aggregate, not window + distinct") {
+    // Round-6 ask #4: q69 drifted 0.34 s -> 0.77 s with unchanged code.
+    // The fix is a better plan, not a tuning knob: the window form paid
+    // a partition shuffle plus a full-frame distinct shuffle; the
+    // rewrite is a single partial-aggregated groupBy. Pin the shape.
+    val df = graft.queries.MiscQueries.orderBounds(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"q69 regressed to a window:\n$plan")
+    assert(
+      plan.linesIterator.count(_.trim.startsWith("+- Exchange")) <= 2,
+      s"q69 shuffles more than agg+sort:\n$plan")
+    assert(df.count() > 0)
+  }
+
   test("no unpartitioned Window survives in q36/q206/q216 plans") {
     // Round-6 verdict: these three shipped `Window.orderBy` with no
     // partition spec — a single-task funnel over a data-proportional
