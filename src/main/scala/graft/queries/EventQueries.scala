@@ -156,15 +156,18 @@ object EventQueries {
     // everything below runs to completion (collect) before the frame is
     // returned, so both conf toggles can be scoped here instead of
     // leaking into every later query on the shared session.
-    // 8 state partitions, not the session's 32: stateful streaming
+    // 4 state partitions, not the session's 32: stateful streaming
     // operators pay per-batch state-store maintenance on EVERY partition
     // (and a stream-stream join on both sides of every partition), and
     // at this corpus's row volume that fixed cost dominates the scan —
-    // measured 7.8 s → 4.8 s on the q113 join alone. State partitioning
-    // is pinned at the first checkpoint, and each run here starts a
-    // fresh checkpoint, so scoping the conf is sound. At 100 TB you'd
-    // size this to the cluster instead — the operator logic is unchanged.
-    LocalFrame.withConf(s, "spark.sql.shuffle.partitions", "8") {
+    // measured on the 10-query streaming block at sf0.1: 32 partitions
+    // ~40 s, 8 → 28.8 s, 4 → 18.6 s, 2 → 19.3 s (the remaining ~1.5 s
+    // per query is StreamingQuery start/stop, not per-partition work).
+    // State partitioning is pinned at the first checkpoint, and each run
+    // here starts a fresh checkpoint, so scoping the conf is sound. At
+    // 100 TB you'd size this to the cluster instead — the operator logic
+    // is unchanged.
+    LocalFrame.withConf(s, "spark.sql.shuffle.partitions", "4") {
     LocalFrame.withNanosAsLong(s) {
       val path = s"$dir/events.parquet"
       val rawSchema = s.read.parquet(path).schema
