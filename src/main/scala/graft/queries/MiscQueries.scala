@@ -304,6 +304,32 @@ object MiscQueries {
     }
   }
 
+  /** q232: ORC ingest round trip with partitioned layout — the third
+    * interchange format next to parquet (everywhere) and JSONL (q187):
+    * orders staged as ORC partitioned by o_orderstatus, read back, and
+    * a status+price slice aggregated per order year. The status filter
+    * resolves at the DIRECTORY level (partition pruning — non-F files
+    * are never opened) and the price predicate pushes into the ORC
+    * reader's stripe stats; OrcRoundtripSpec pins both plan facts. The
+    * oracle restates the slice from the parquet original, so any
+    * type/precision loss in the ORC writer/reader breaks the match. */
+  def orcRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    graft.util.Tmp.withTempDir("graft_q232_orc") { stage =>
+      val path = new java.io.File(stage.toString, "orders_orc").toString
+      o.write.partitionBy("o_orderstatus").orc(path)
+      val back = s.read.orc(path)
+        .filter(col("o_orderstatus") === "F" &&
+          col("o_totalprice") > 100000.0)
+      graft.util.LocalFrame.materialize(
+        back.groupBy(year(col("o_orderdate")).cast("long").as("yr"))
+          .agg(count(lit(1)).as("n_orders"),
+            graft.Tables.sumMoney(col("o_totalprice")).as("revenue"),
+            countDistinct(col("o_custkey")).as("n_custs"))
+          .orderBy(col("yr")))
+    }
+  }
+
   /** q188: malformed-record handling on the CSV ingest path (S1's
     * fault-tolerant form): a staged file carries one broken line (a
     * non-numeric key — a type failure; the CSV reader silently ignores
@@ -593,6 +619,7 @@ object MiscQueries {
     "q207_table_checksums" -> (tableChecksums _),
     "q213_decline_alerts"  -> (declineAlerts _),
     "q187_jsonl_roundtrip" -> (jsonlRoundtrip _),
+    "q232_orc_roundtrip"   -> (orcRoundtrip _),
     "q188_csv_malformed"   -> (csvMalformed _),
     "q108_partition_pruned" -> (partitionPrunedScan _),
     "q115_dpp_join"         -> (dynamicPartitionPruned _),
@@ -756,6 +783,17 @@ object MiscQueries {
         |       min(md5(text)) AS min_md5,
         |       CAST(sum(n_chars) AS BIGINT) AS total_chars
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    // q232: the ORC round trip must reproduce the parquet original's
+    // slice exactly — any writer/reader type or precision loss breaks it
+    "q232_orc_roundtrip" ->
+      """SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
+        |       count(*) AS n_orders,
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |         AS revenue,
+        |       count(DISTINCT o_custkey) AS n_custs
+        |FROM orders
+        |WHERE o_orderstatus = 'F' AND o_totalprice > 100000
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     // q188: corrupt-row arithmetic restated from nation (every 5th key
     // is broken in the staged file); FAILFAST pinned to throw
     "q188_csv_malformed" ->

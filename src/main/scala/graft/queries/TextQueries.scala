@@ -1011,7 +1011,56 @@ object TextQueries {
       .orderBy(col("block"), col("name_a"), col("name_b"))
   }
 
+  /** q231: cross-document longest shared token SPAN — the substring-level
+    * dedup signal (Lee et al., "Deduplicating Training Data Makes
+    * Language Models Better", arXiv:2107.06499) that document-level
+    * MinHash (q55) and fixed-chunk fingerprints (q142) both miss: two
+    * documents sharing one long verbatim run but differing elsewhere.
+    *
+    * Seed-and-extend, not suffix arrays: 8-token gram seeds matched
+    * across documents, then maximal runs recovered as diagonal islands —
+    * matched position pairs (pa, pb) on the same diagonal pa−pb with
+    * consecutive pa form one shared span of (run length + 7) tokens, the
+    * standard gapless-alignment trick. Scale shape: the seed join is an
+    * equi-join on the gram hash; the document-frequency band [2, 50]
+    * prunes the unique tail before the join AND caps per-gram pair
+    * fanout at df² (a CCNet-style common-gram cutoff — a boilerplate
+    * gram in thousands of docs must not explode the pair table); the
+    * island window partitions on (doc_a, doc_b, diagonal), bounded by
+    * matches on one diagonal, never data-global. Every value is an
+    * integer; DuckDB replays seed+extend verbatim. */
+  def sharedSpans(s: SparkSession, dir: String): DataFrame = {
+    val toks = split(col("text"), " ")
+    val grams = docs(s, dir)
+      .select(col("doc_id"),
+        posexplode(transform(
+          when(size(toks) >= 8, sequence(lit(1), size(toks) - lit(7)))
+            .otherwise(array().cast("array<int>")),
+          i => md5(concat_ws(" ", slice(toks, i, lit(8)))))).as(Seq("idx", "h")))
+      .select(col("doc_id"), (col("idx") + lit(1)).as("i"), col("h"))
+    val dup = grams.groupBy(col("h"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+      .filter(col("df").between(2, 50)).select(col("h"))
+    val seeded = grams.join(dup, "h")
+    val ga = seeded.select(col("h"), col("doc_id").as("doc_a"), col("i").as("pa"))
+    val gb = seeded.select(col("h"), col("doc_id").as("doc_b"), col("i").as("pb"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_a"), col("doc_b"), col("diag")).orderBy(col("pa"))
+    ga.join(gb, "h").filter(col("doc_a") < col("doc_b"))
+      .withColumn("diag", col("pa") - col("pb"))
+      .withColumn("grp", col("pa") - row_number().over(w))
+      .groupBy(col("doc_a"), col("doc_b"), col("diag"), col("grp"))
+      .agg((count(lit(1)) + lit(7)).as("span_tokens"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(max(col("span_tokens")).as("max_span"),
+        count(lit(1)).as("n_runs"),
+        sum(col("span_tokens")).as("total_span"))
+      .filter(col("max_span") >= 12)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q231_shared_spans"      -> (sharedSpans _),
     "q203_tfidf_topterms"    -> (tfidfTopTerms _),
     "q210_quality_survivors" -> (qualitySurvivors _),
     "q212_blocked_linkage"   -> (blockedLinkage _),
@@ -1099,6 +1148,29 @@ object TextQueries {
       |FROM comp ORDER BY doc_id""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // q231: seed-and-extend replayed verbatim — 8-gram md5 seeds, df-band
+    // prune, diagonal-island runs, per-pair span rollup
+    "q231_shared_spans" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+        |pos AS (SELECT doc_id, l, UNNEST(range(1, len(l) - 6)) AS i FROM d),
+        |g AS (SELECT doc_id, i, md5(array_to_string(l[i:i+7], ' ')) AS h FROM pos),
+        |dup AS (SELECT h FROM g GROUP BY h
+        |        HAVING count(DISTINCT doc_id) BETWEEN 2 AND 50),
+        |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.i AS pa, b.i AS pb
+        |      FROM g a JOIN dup USING (h) JOIN g b USING (h)
+        |      WHERE a.doc_id < b.doc_id),
+        |isl AS (SELECT doc_a, doc_b, pa, pa - pb AS diag,
+        |               pa - row_number() OVER (PARTITION BY doc_a, doc_b, pa - pb
+        |                                       ORDER BY pa) AS grp
+        |        FROM p),
+        |runs AS (SELECT doc_a, doc_b, count(*) + 7 AS span_tokens
+        |         FROM isl GROUP BY doc_a, doc_b, diag, grp)
+        |SELECT doc_a, doc_b, max(span_tokens) AS max_span,
+        |       count(*) AS n_runs,
+        |       CAST(sum(span_tokens) AS BIGINT) AS total_span
+        |FROM runs GROUP BY doc_a, doc_b
+        |HAVING max(span_tokens) >= 12
+        |ORDER BY doc_a, doc_b""".stripMargin,
     // q212: the same blocking key; DuckDB's own jaro_winkler_similarity
     // re-scores each candidate
     "q212_blocked_linkage" ->
