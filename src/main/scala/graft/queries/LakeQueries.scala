@@ -969,7 +969,50 @@ object LakeQueries {
     }
   }
 
+  /** q233: SHALLOW CLONE + divergence isolation
+    * ([[graft.sources.LakeTable.shallowClone]] — Delta's `SHALLOW
+    * CLONE`): orders staged as a two-version table, cloned by metadata
+    * only (`n_copied_files` counts parquet bytes under the clone's root
+    * at clone time — pinned 0: at 100 TB the clone is O(manifest), not
+    * O(data)), then the CLONE deletes its F rows. Source and clone are
+    * read AFTER the divergence: the source still sees every row (the
+    * clone's copy-on-write delete wrote under the clone's root), the
+    * clone sees only non-F. The oracle restates all four counts from
+    * orders, so a clone that copied, shared, or leaked state breaks the
+    * hash match. */
+  def shallowCloneDiverge(s: SparkSession, dir: String): DataFrame = {
+    val orders = graft.Tables.load(s, dir, "orders")
+      .filter(col("o_custkey") % 4 === 0)
+    graft.util.LocalFrame.withConf(s, "spark.sql.shuffle.partitions", "8") {
+    graft.util.Tmp.withTempDir("graft_lake_q233_src") { srcPath =>
+    graft.util.Tmp.withTempDir("graft_lake_q233_dst") { dstPath =>
+      val src = srcPath.toString; val dst = dstPath.toString
+      LakeTable.create(s, src, orders.filter(col("o_custkey") % 10 < 5),
+        statsCols = Seq("o_custkey"))
+      LakeTable.append(s, src, orders.filter(col("o_custkey") % 10 >= 5),
+        statsCols = Seq("o_custkey"))
+      LakeTable.shallowClone(s, src, dst)
+      val copied = {
+        val walk = java.nio.file.Files.walk(dstPath)
+        try walk.filter(p => p.toString.endsWith(".parquet")).count()
+        finally walk.close()
+      }
+      val cloneAtClone = LakeTable.read(s, dst).count()
+      LakeTable.deleteWhere(s, dst, col("o_orderstatus") === "F")
+      val cloneAfter = LakeTable.read(s, dst).count()
+      val srcAfter = LakeTable.read(s, src).count()
+      import s.implicits._
+      graft.util.LocalFrame.materialize(Seq(
+        ("clone_after_delete", cloneAfter),
+        ("clone_at_clone", cloneAtClone),
+        ("n_copied_files", copied),
+        ("source_after_clone_delete", srcAfter)
+      ).toDF("fact", "n").orderBy(col("fact")))
+    } } }
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q233_shallow_clone"       -> (shallowCloneDiverge _),
     "q189_agg_pushdown"        -> (aggPushdown _),
     "q184_optimize_small"      -> (optimizeSmall _),
     "q182_mor_delete"          -> (morDelete _),
@@ -997,6 +1040,16 @@ object LakeQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // q233: all four facts restated from orders; n_copied_files pinned 0
+    // (the clone must be metadata-only)
+    "q233_shallow_clone" ->
+      """WITH s AS (SELECT * FROM orders WHERE o_custkey % 4 = 0)
+        |SELECT 'clone_after_delete' AS fact, count(*) AS n FROM s
+        |  WHERE o_orderstatus <> 'F'
+        |UNION ALL SELECT 'clone_at_clone', count(*) FROM s
+        |UNION ALL SELECT 'n_copied_files', CAST(0 AS BIGINT)
+        |UNION ALL SELECT 'source_after_clone_delete', count(*) FROM s
+        |ORDER BY fact""".stripMargin,
     // q189: the same aggregates from the plain table; the pushdown
     // fact pins as a plan-derived gate
     "q189_agg_pushdown" ->

@@ -1059,7 +1059,54 @@ object TextQueries {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** q234: character-entropy quality signal — the low-entropy-spam
+    * filter (repeated-character runs, keyboard mash, template spam all
+    * score far below natural text; CCNet-family pipelines use exactly
+    * this signal next to the LM perplexity of q216). Shannon entropy
+    * over the per-document character histogram, kept EXACT across
+    * engines by the repo's DECIMAL-ln rule taken one step further: with
+    * ln quantized to 9 decimals, n·ln(n)·10⁹ − Σc·ln(c)·10⁹ is exact
+    * INTEGER arithmetic — the per-document scaled entropy `s` is a
+    * BIGINT both engines agree on bit-for-bit, and the low-entropy
+    * verdict `s < 2.85·n·10⁹` is an integer comparison, no float ever
+    * crosses the engine boundary. Scale shape: explode to (doc, char)
+    * pairs, map-side partials absorb the fan-out, per-doc rows are
+    * histogram-bounded (≤ alphabet size), everything else is one
+    * hash aggregate per level. */
+  def charEntropy(s: SparkSession, dir: String): DataFrame = {
+    val hist = docs(s, dir)
+      .select(col("doc_id"), col("source"),
+        explode(expr(
+          "transform(sequence(1, length(text)), i -> substr(text, i, 1))"))
+          .as("c0"))
+      .groupBy(col("doc_id"), col("source"), col("c0"))
+      .agg(count(lit(1)).as("c"))
+    // ln scaled to an exact BIGINT immediately (DECIMAL(18,9) × 10⁹ has
+    // scale 9 and precision 29 — under both engines' 38-precision cap, so
+    // no scale reduction ever rounds it); everything after is integer
+    // arithmetic routed through DECIMAL(20,0) against silent 64-bit wrap
+    val perDoc = hist
+      .withColumn("k", expr(
+        "CAST(CAST(ln(c) AS DECIMAL(18,9)) * 1000000000 AS BIGINT)"))
+      .groupBy(col("doc_id"), col("source"))
+      .agg(expr("CAST(sum(c) AS BIGINT)").as("n"),
+        expr("CAST(sum(CAST(c AS DECIMAL(20,0)) * k) AS BIGINT)")
+          .as("sum_clnc"))
+      .withColumn("sc", expr(
+        "CAST(CAST(n AS DECIMAL(20,0)) *" +
+          " CAST(CAST(ln(n) AS DECIMAL(18,9)) * 1000000000 AS BIGINT)" +
+          " AS BIGINT) - sum_clnc"))
+    perDoc.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n")).as("total_chars"),
+        sum(col("sc")).as("scaled_entropy"),
+        sum(when(col("sc") < col("n") * lit(2850000000L), 1L)
+          .otherwise(0L)).as("n_low_entropy"))
+      .orderBy(col("source"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q234_char_entropy"      -> (charEntropy _),
     "q231_shared_spans"      -> (sharedSpans _),
     "q203_tfidf_topterms"    -> (tfidfTopTerms _),
     "q210_quality_survivors" -> (qualitySurvivors _),
@@ -1148,6 +1195,36 @@ object TextQueries {
       |FROM comp ORDER BY doc_id""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // q234: scaled-integer entropy — DECIMAL-quantized ln makes
+    // n·ln(n)·1e9 − Σc·ln(c)·1e9 exact integer arithmetic cross-engine
+    "q234_char_entropy" ->
+      """WITH ch AS (
+        |  SELECT doc_id, source, substr(text, CAST(i AS INT), 1) AS c0
+        |  FROM (SELECT doc_id, source, text,
+        |               UNNEST(range(1, length(text) + 1)) AS i
+        |        FROM documents)),
+        |hist AS (SELECT doc_id, source, c0, count(*) AS c
+        |         FROM ch GROUP BY 1, 2, 3),
+        |d AS (
+        |  SELECT doc_id, source, CAST(sum(c) AS BIGINT) AS n,
+        |         CAST(sum(CAST(c AS DECIMAL(20,0)) *
+        |             CAST(CAST(ln(c) AS DECIMAL(18,9)) *
+        |                  CAST(1000000000 AS DECIMAL(19,0))
+        |                  AS BIGINT)) AS BIGINT) AS sum_clnc
+        |  FROM hist GROUP BY 1, 2),
+        |ent AS (
+        |  SELECT source, n,
+        |         CAST(CAST(n AS DECIMAL(20,0)) *
+        |             CAST(CAST(ln(n) AS DECIMAL(18,9)) *
+        |                  CAST(1000000000 AS DECIMAL(19,0))
+        |                  AS BIGINT) AS BIGINT) - sum_clnc AS s
+        |  FROM d)
+        |SELECT source, count(*) AS n_docs,
+        |       CAST(sum(n) AS BIGINT) AS total_chars,
+        |       CAST(sum(s) AS BIGINT) AS scaled_entropy,
+        |       CAST(sum(CASE WHEN s < 2850000000 * n THEN 1 ELSE 0 END)
+        |            AS BIGINT) AS n_low_entropy
+        |FROM ent GROUP BY source ORDER BY source""".stripMargin,
     // q231: seed-and-extend replayed verbatim — 8-gram md5 seeds, df-band
     // prune, diagonal-island runs, per-pair span rollup
     "q231_shared_spans" ->

@@ -856,11 +856,52 @@ object LakeTable {
         readManifest(spark, root, v).size)
     }
 
+  /** SHALLOW CLONE (Delta's `CREATE TABLE dst SHALLOW CLONE src`): a new
+    * table whose v1 manifest references the SOURCE's current file groups
+    * by absolute path — zero bytes copied, O(metadata) regardless of
+    * table size (the whole point at 100 TB: a writable dev/test fork of
+    * a petabyte table in milliseconds). `Path(root, child)` resolution
+    * ignores `root` for absolute children, so every existing read path
+    * (scan, stats pruning, bloom skipping, delete masks) works on the
+    * clone unchanged. Stats/bloom meta keys and delete-mask paths are
+    * rewritten to the absolute form so pruning keeps working. Divergence
+    * is free: clone-side appends/merges/deletes write under the CLONE's
+    * root; the source never sees them. Ownership rule (enforced in
+    * [[vacuum]]): a table never deletes absolute (foreign) entries — only
+    * the source owns its bytes — so a source VACUUM past its retention
+    * window invalidates clones, the same caveat Delta documents. */
+  def shallowClone(spark: SparkSession, srcRoot: String,
+                   dstRoot: String): Int = {
+    require(latestVersion(spark, dstRoot).isEmpty, s"table exists at $dstRoot")
+    val v = latestVersion(spark, srcRoot).getOrElse(
+      throw new IllegalStateException(s"no table at $srcRoot"))
+    val dirs = dataDirsAt(spark, srcRoot, v)
+    val abs = dirs.map(d => new Path(srcRoot, d).toString)
+    val meta = manifestMetaAt(spark, srcRoot, v).map { case (k, value) =>
+      val k2 = dirs.zip(abs).foldLeft(k) { case (kk, (d, a)) =>
+        if (kk.startsWith(s"stat:$d:")) s"stat:$a:" + kk.drop(6 + d.length)
+        else if (kk.startsWith(s"bloom:$d:")) s"bloom:$a:" + kk.drop(7 + d.length)
+        else kk
+      }
+      val v2 =
+        if (k == "deletes")
+          value.split(",").map(r => new Path(srcRoot, r).toString)
+            .mkString(",")
+        else value
+      k2 -> v2
+    }
+    commitVersion(spark, dstRoot, 1, abs,
+      meta ++ Map("op" -> "clone", "cloneSource" -> srcRoot))
+  }
+
   /** VACUUM: physically delete data file groups referenced only by
     * versions older than `keepVersions` manifests, then drop those
     * manifests. Time travel remains available for the retained window.
     * (At scale this is the storage-cost companion to [[compact]] —
-    * copy-on-write keeps every historical byte until vacuumed.) */
+    * copy-on-write keeps every historical byte until vacuumed.)
+    * Foreign entries (absolute paths — [[shallowClone]] references into
+    * another table's root) are dropped from the manifest but their bytes
+    * are never deleted: only the owning table may delete them. */
   def vacuum(spark: SparkSession, root: String, keepVersions: Int): Unit = {
     val vs = versions(spark, root)
     if (vs.size <= keepVersions) return
@@ -871,6 +912,7 @@ object LakeTable {
     drop.foreach { v =>
       readManifest(spark, root, v)
         .filterNot(kept.contains)
+        .filterNot(d => new Path(d).isAbsolute)
         .foreach(d => f.delete(new Path(root, d), true))
       f.delete(manifestPath(root, v), false)
     }

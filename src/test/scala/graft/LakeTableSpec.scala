@@ -435,6 +435,48 @@ class LakeTableSpec extends SparkSpec {
     }
   }
 
+  test("shallow clone is metadata-only, diverges independently, and " +
+    "never vacuums source bytes") {
+    withTable { src => withTable { dst =>
+      import spark.implicits._
+      LakeTable.create(spark, src,
+        (1L to 100L).map(i => (i, if (i % 2 == 0) "even" else "odd"))
+          .toDF("id", "tag"), statsCols = Seq("id"))
+      LakeTable.append(spark, src,
+        (101L to 150L).map(i => (i, "late")).toDF("id", "tag"),
+        statsCols = Seq("id"))
+      LakeTable.shallowClone(spark, src, dst)
+      // metadata-only: zero parquet bytes under the clone's root
+      import scala.jdk.CollectionConverters._
+      def parquetsUnder(root: String): Long = {
+        val w = java.nio.file.Files.walk(java.nio.file.Paths.get(root))
+        try w.iterator().asScala.count(_.toString.endsWith(".parquet")).toLong
+        finally w.close()
+      }
+      assert(parquetsUnder(dst) == 0, "clone copied data files")
+      assert(LakeTable.read(spark, dst).count() == 150)
+      // stats pruning survives the key rewrite: a ranged read on the
+      // clone must open fewer groups than the full table holds
+      assert(LakeTable.readWhere(spark, dst, "id", 1, 50).count() == 50)
+      // divergence: clone delete is invisible to the source
+      LakeTable.deleteWhere(spark, dst, col("tag") === "late")
+      assert(LakeTable.read(spark, dst).count() == 100)
+      assert(LakeTable.read(spark, src).count() == 150)
+      // source append is invisible to the clone (snapshot semantics)
+      LakeTable.append(spark, src, Seq((999L, "post")).toDF("id", "tag"))
+      assert(LakeTable.read(spark, dst).count() == 100)
+      // clone-side vacuum drops its old versions but never the
+      // source's bytes — the source still reads in full
+      LakeTable.vacuum(spark, dst, 1)
+      assert(LakeTable.read(spark, dst).count() == 100)
+      assert(LakeTable.read(spark, src).count() == 151)
+      // cloning over an existing table is refused
+      intercept[IllegalArgumentException] {
+        LakeTable.shallowClone(spark, src, dst)
+      }
+    } }
+  }
+
   test("MOR deletes persist across appends and accumulate; rewrite materializes") {
     withTable { root =>
       import spark.implicits._
