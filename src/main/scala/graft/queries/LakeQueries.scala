@@ -1011,7 +1011,50 @@ object LakeQueries {
     } } }
   }
 
+  /** q235: CHECK-constraint admission gate
+    * ([[graft.sources.LakeTable.addCheckConstraint]] — Delta's
+    * `ALTER TABLE ADD CONSTRAINT`): a committed predicate every later
+    * write must satisfy, enforced BEFORE any file lands. The chain:
+    * create → add `o_totalprice > 0` (validates existing rows first) →
+    * a clean append passes → an append carrying negated prices is
+    * rejected atomically (version count proves nothing committed) → a
+    * merge carrying NULL prices is rejected too (NULL counts as a
+    * violation — a data-quality gate must not pass unknowns). The
+    * oracle restates the surviving row count from orders; the rejection
+    * facts pin as integers. At scale the validation is one aggregate
+    * over the incoming batch, never the table. */
+  def checkConstraintGate(s: SparkSession, dir: String): DataFrame = {
+    val orders = graft.Tables.load(s, dir, "orders")
+      .filter(col("o_custkey") % 4 === 0)
+    graft.util.LocalFrame.withConf(s, "spark.sql.shuffle.partitions", "8") {
+    graft.util.Tmp.withTempDir("graft_lake_q235") { rootPath =>
+      val root = rootPath.toString
+      LakeTable.create(s, root, orders.filter(col("o_custkey") % 10 < 5))
+      LakeTable.addCheckConstraint(s, root, "positive_price",
+        "o_totalprice > 0")
+      LakeTable.append(s, root, orders.filter(col("o_custkey") % 10 >= 5))
+      val badAppend = orders.filter(col("o_orderkey") % 97 === 0)
+        .withColumn("o_totalprice", -col("o_totalprice"))
+      val rejectedAppend =
+        try { LakeTable.append(s, root, badAppend); 0L }
+        catch { case _: IllegalArgumentException => 1L }
+      val badMerge = orders.filter(col("o_orderkey") % 101 === 0)
+        .withColumn("o_totalprice", lit(null).cast("double"))
+      val rejectedMerge =
+        try { LakeTable.merge(s, root, badMerge, "o_orderkey"); 0L }
+        catch { case _: IllegalArgumentException => 1L }
+      import s.implicits._
+      graft.util.LocalFrame.materialize(Seq(
+        ("n_rows", LakeTable.read(s, root).count()),
+        ("n_versions", LakeTable.versions(s, root).size.toLong),
+        ("rejected_append", rejectedAppend),
+        ("rejected_merge", rejectedMerge)
+      ).toDF("fact", "n").orderBy(col("fact")))
+    } }
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q235_check_constraints"   -> (checkConstraintGate _),
     "q233_shallow_clone"       -> (shallowCloneDiverge _),
     "q189_agg_pushdown"        -> (aggPushdown _),
     "q184_optimize_small"      -> (optimizeSmall _),
@@ -1040,6 +1083,15 @@ object LakeQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // q235: surviving rows restated from orders; version count proves the
+    // rejected writes committed nothing (create + constraint + append = 3)
+    "q235_check_constraints" ->
+      """WITH s AS (SELECT * FROM orders WHERE o_custkey % 4 = 0)
+        |SELECT 'n_rows' AS fact, count(*) AS n FROM s
+        |UNION ALL SELECT 'n_versions', CAST(3 AS BIGINT)
+        |UNION ALL SELECT 'rejected_append', CAST(1 AS BIGINT)
+        |UNION ALL SELECT 'rejected_merge', CAST(1 AS BIGINT)
+        |ORDER BY fact""".stripMargin,
     // q233: all four facts restated from orders; n_copied_files pinned 0
     // (the clone must be metadata-only)
     "q233_shallow_clone" ->

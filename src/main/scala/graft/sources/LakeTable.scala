@@ -154,11 +154,20 @@ object LakeTable {
   private[graft] def commitVersion(spark: SparkSession, root: String, v: Int,
                                    dataDirs: Seq[String],
                                    meta0: Map[String, String]): Int = {
+    // auto-carried meta: the ALTER-declared schema and CHECK constraints
+    // survive every later commit without each write path knowing (a
+    // committed constraint binds appends, merges, and compactions alike)
     val meta =
-      if (meta0.contains("schema") || v <= 1) meta0
+      if (v <= 1) meta0
       else scala.util.Try(manifestMetaAt(spark, root, v - 1)).toOption
-        .flatMap(_.get("schema"))
-        .fold(meta0)(s => meta0 + ("schema" -> s))
+        .fold(meta0) { prev =>
+          val schema =
+            if (meta0.contains("schema")) Map.empty[String, String]
+            else prev.get("schema").map("schema" -> _).toMap
+          val checks = prev.filter { case (k, _) =>
+            k.startsWith("check:") && !meta0.contains(k) }
+          meta0 ++ schema ++ checks
+        }
     val f = fs(spark, root)
     f.mkdirs(versionsDir(root))
     val tmp = new Path(versionsDir(root), s".tmp-$v-${System.nanoTime()}")
@@ -261,6 +270,7 @@ object LakeTable {
                              extraMeta: Map[String, String]): Int = {
     val cur = latestVersion(spark, root)
       .getOrElse(throw new IllegalStateException(s"no table at $root"))
+    enforceConstraints(spark, root, cur, df)
     val dir = writeDataFiles(spark, root, df)
     // stats/bloom of immutable prior groups stay valid; the table-wide
     // MOR delete state must survive too (a deleted key stays deleted —
@@ -593,6 +603,8 @@ object LakeTable {
     * Concurrent readers keep their snapshot. */
   def merge(spark: SparkSession, root: String, updates: DataFrame,
             key: String, meta: Map[String, String] = Map.empty): Int = {
+    latestVersion(spark, root)
+      .foreach(v => enforceConstraints(spark, root, v, updates))
     val current = read(spark, root)
     val merged = current
       .join(updates.select(col(key)), Seq(key), "left_anti")
@@ -855,6 +867,57 @@ object LakeTable {
       (v, manifestMeta(spark, root, v).getOrElse("op", "unknown"),
         readManifest(spark, root, v).size)
     }
+
+  /** ALTER TABLE ADD CONSTRAINT (Delta-style CHECK constraint): a
+    * metadata-only commit recording `check:<name> = <sql predicate>`.
+    * Existing rows are validated first (a constraint the current data
+    * violates is refused, Delta's semantics); from then on every
+    * append/merge validates its INCOMING rows before any file lands —
+    * the write fails atomically, nothing is committed, and the
+    * validation cost is one aggregate over the batch (never the table).
+    * Constraints auto-carry through every later commit (see
+    * [[commitVersion]]); there is no DROP CONSTRAINT — quality gates
+    * are append-only here, matching the governance posture of a
+    * training-data lake. NULL predicate results count as violations
+    * (ANSI CHECK treats NULL as pass; a data-quality gate must not). */
+  def addCheckConstraint(spark: SparkSession, root: String,
+                         name: String, predicateSql: String): Int = {
+    require(name.matches("[A-Za-z0-9_]+"), s"bad constraint name: $name")
+    val v = latestVersion(spark, root).getOrElse(
+      throw new IllegalStateException(s"no table at $root"))
+    val bad = read(spark, root)
+      .filter(not(coalesce(expr(predicateSql), lit(false)))).count()
+    require(bad == 0,
+      s"cannot add constraint $name: $bad existing rows violate " +
+        s"($predicateSql)")
+    commitVersion(spark, root, v + 1, readManifest(spark, root, v),
+      manifestMeta(spark, root, v).filter { case (k, _) =>
+        k.startsWith("stat:") || k.startsWith("bloom:") ||
+          k == "deletes" || k == "deletekey" } ++
+        Map("op" -> "add-constraint", s"check:$name" -> predicateSql))
+  }
+
+  /** Validate an incoming batch against the table's CHECK constraints;
+    * throws before any data is written. */
+  private def enforceConstraints(spark: SparkSession, root: String,
+                                 v: Int, df: DataFrame): Unit = {
+    val checks = manifestMeta(spark, root, v)
+      .collect { case (k, sql) if k.startsWith("check:") =>
+        k.drop(6) -> sql }
+    if (checks.isEmpty) return
+    val counts = df.agg(
+      count(lit(1)).as("_n"),
+      checks.toSeq.sortBy(_._1).map { case (n, sql) =>
+        sum(when(not(coalesce(expr(sql), lit(false))), 1L).otherwise(0L))
+          .as(s"_viol_$n")
+      }: _*).head()
+    checks.toSeq.sortBy(_._1).zipWithIndex.foreach { case ((n, sql), i) =>
+      val viol = counts.getLong(i + 1)
+      if (viol > 0) throw new IllegalArgumentException(
+        s"CHECK constraint $n violated by $viol incoming rows ($sql); " +
+          "write rejected")
+    }
+  }
 
   /** SHALLOW CLONE (Delta's `CREATE TABLE dst SHALLOW CLONE src`): a new
     * table whose v1 manifest references the SOURCE's current file groups

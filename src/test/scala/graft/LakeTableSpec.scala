@@ -477,6 +477,42 @@ class LakeTableSpec extends SparkSpec {
     } }
   }
 
+  test("CHECK constraints gate writes, carry through commits, and " +
+    "clones inherit them") {
+    withTable { src => withTable { dst =>
+      import spark.implicits._
+      LakeTable.create(spark, src,
+        Seq((1L, 10.0), (2L, 20.0)).toDF("id", "price"))
+      // a constraint existing data violates is refused
+      intercept[IllegalArgumentException] {
+        LakeTable.addCheckConstraint(spark, src, "expensive", "price > 15")
+      }
+      LakeTable.addCheckConstraint(spark, src, "positive", "price > 0")
+      // clean write passes; violating and NULL-predicate writes fail
+      LakeTable.append(spark, src, Seq((3L, 30.0)).toDF("id", "price"))
+      intercept[IllegalArgumentException] {
+        LakeTable.append(spark, src, Seq((4L, -1.0)).toDF("id", "price"))
+      }
+      intercept[IllegalArgumentException] {
+        LakeTable.merge(spark, src,
+          Seq((2L, Option.empty[Double])).toDF("id", "price"), "id")
+      }
+      assert(LakeTable.read(spark, src).count() == 3)
+      // the constraint survived the intermediate append commit
+      LakeTable.append(spark, src, Seq((5L, 50.0)).toDF("id", "price"))
+      intercept[IllegalArgumentException] {
+        LakeTable.append(spark, src, Seq((6L, 0.0)).toDF("id", "price"))
+      }
+      // clones inherit the gate
+      LakeTable.shallowClone(spark, src, dst)
+      intercept[IllegalArgumentException] {
+        LakeTable.append(spark, dst, Seq((7L, -7.0)).toDF("id", "price"))
+      }
+      LakeTable.append(spark, dst, Seq((7L, 7.0)).toDF("id", "price"))
+      assert(LakeTable.read(spark, dst).count() == 5)
+    } }
+  }
+
   test("MOR deletes persist across appends and accumulate; rewrite materializes") {
     withTable { root =>
       import spark.implicits._
