@@ -1105,7 +1105,77 @@ object TextQueries {
       .orderBy(col("source"))
   }
 
+  /** q236: BPE merge TRAINING — the tokenizer-training outer loop
+    * (Sennrich et al., "Neural Machine Translation of Rare Words with
+    * Subword Units", arXiv:1508.07909), three full merge rounds: count
+    * weighted adjacent symbol pairs, adopt the most frequent pair
+    * (count desc, then lexicographic — fully deterministic), rewrite
+    * every word greedily leftmost-non-overlapping, repeat. q197 counts
+    * one round's pairs; this RUNS the loop and emits the learned merge
+    * table.
+    *
+    * Scale shape — the working set is the WORD-FREQUENCY table, not the
+    * corpus: one corpus pass collapses to vocab-bounded (Heaps' law)
+    * rows, each round is a flatMap + one hash aggregate over that table,
+    * and the driver holds exactly one argmax row per round (the same
+    * bounded-driver-state discipline as PageRank's per-round sums). The
+    * per-round working set is persisted so round r+1 doesn't recompute
+    * rounds 1..r.
+    *
+    * The oracle REPLAYS the training loop: three unrolled SQL rounds,
+    * greedy leftmost merging recovered as odd ranks inside islands of
+    * consecutive match positions (positions i, i+1 share token i+1, so
+    * within a maximal run of matches greedy takes ranks 1, 3, 5, … —
+    * exactly the parity rule). */
+  def bpeMergeTrain(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    var cur = docs(s, dir)
+      .select(explode(
+        expr("regexp_extract_all(lower(text), '[a-z]+', 0)")).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+      .as[(String, Long)]
+      .map { case (w, f) => (w.map(_.toString).toArray, f) }
+    val merges = scala.collection.mutable.ListBuffer.empty[
+      (Long, String, String, Long)]
+    var prev: Option[org.apache.spark.sql.Dataset[(Array[String], Long)]] =
+      None
+    for (r <- 1 to 3) {
+      cur = cur.persist()
+      val Array(best) = cur
+        .flatMap { case (toks, f) =>
+          toks.iterator.sliding(2).withPartial(false)
+            .map(p => (p.head, p(1), f))
+        }
+        .toDF("l", "r", "f")
+        .groupBy(col("l"), col("r")).agg(sum(col("f")).as("c"))
+        .orderBy(col("c").desc, col("l"), col("r")).limit(1)
+        .as[(String, String, Long)].collect()
+      val (l, rr, c) = best
+      merges += ((r.toLong, l, rr, c))
+      // the argmax materialized this round's persisted set; only now is
+      // the previous round's cache safe to drop without recomputation
+      prev.foreach(_.unpersist())
+      prev = Some(cur)
+      cur = cur.map { case (toks, f) =>
+        val out = scala.collection.mutable.ArrayBuffer.empty[String]
+        var i = 0
+        while (i < toks.length) {
+          if (i + 1 < toks.length && toks(i) == l && toks(i + 1) == rr) {
+            out += l + rr; i += 2
+          } else { out += toks(i); i += 1 }
+        }
+        (out.toArray, f)
+      }
+    }
+    val res = graft.util.LocalFrame.materialize(
+      merges.toSeq.toDF("round", "merge_left", "merge_right", "pair_count")
+        .orderBy(col("round")))
+    prev.foreach(_.unpersist())
+    res
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q236_bpe_merge_train"   -> (bpeMergeTrain _),
     "q234_char_entropy"      -> (charEntropy _),
     "q231_shared_spans"      -> (sharedSpans _),
     "q203_tfidf_topterms"    -> (tfidfTopTerms _),
@@ -1195,6 +1265,53 @@ object TextQueries {
       |FROM comp ORDER BY doc_id""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // q236: the training loop replayed — three unrolled rounds, greedy
+    // leftmost merging as odd ranks within islands of consecutive matches
+    "q236_bpe_merge_train" -> {
+      def round(n: Int): String = {
+        val (t, p, b, pos, isl, cho, t1) =
+          (s"t$n", s"p$n", s"b$n", s"pos$n", s"isl$n", s"cho$n", s"t${n + 1}")
+        s"""$p AS (
+           |  SELECT toks[i] AS l, toks[i+1] AS r, CAST(sum(freq) AS BIGINT) AS c
+           |  FROM (SELECT word, freq, toks, UNNEST(range(1, len(toks))) AS i FROM $t)
+           |  GROUP BY 1, 2),
+           |$b AS (SELECT l, r, c FROM $p ORDER BY c DESC, l, r LIMIT 1),
+           |$pos AS (
+           |  SELECT word, freq, toks, i,
+           |         CASE WHEN i < len(toks) AND toks[i] = (SELECT l FROM $b)
+           |                   AND toks[i+1] = (SELECT r FROM $b)
+           |              THEN 1 ELSE 0 END AS m
+           |  FROM (SELECT word, freq, toks, UNNEST(range(1, len(toks)+1)) AS i FROM $t)),
+           |$isl AS (SELECT word, i, i - row_number() OVER (PARTITION BY word ORDER BY i) AS g
+           |         FROM $pos WHERE m = 1),
+           |$cho AS (SELECT word, i FROM (
+           |           SELECT word, i, row_number() OVER (PARTITION BY word, g ORDER BY i) AS rn
+           |           FROM $isl) WHERE rn % 2 = 1),
+           |$t1 AS (
+           |  SELECT p.word, max(p.freq) AS freq,
+           |         list(CASE WHEN c.i IS NOT NULL
+           |                   THEN (SELECT l FROM $b) || (SELECT r FROM $b)
+           |                   ELSE p.toks[p.i] END ORDER BY p.i) AS toks
+           |  FROM $pos p
+           |  LEFT JOIN $cho c  ON p.word = c.word AND p.i = c.i
+           |  LEFT JOIN $cho cp ON p.word = cp.word AND p.i = cp.i + 1
+           |  WHERE cp.i IS NULL
+           |  GROUP BY p.word)""".stripMargin
+      }
+      s"""WITH t1 AS (
+         |  SELECT word, CAST(count(*) AS BIGINT) AS freq,
+         |         regexp_extract_all(word, '.') AS toks
+         |  FROM (SELECT UNNEST(regexp_extract_all(lower(text), '[a-z]+')) AS word
+         |        FROM documents)
+         |  GROUP BY word),
+         |${Seq(1, 2, 3).map(round).mkString(",\n")}
+         |SELECT * FROM (
+         |  SELECT CAST(1 AS BIGINT) AS round, l AS merge_left,
+         |         r AS merge_right, c AS pair_count FROM b1
+         |  UNION ALL SELECT 2, l, r, c FROM b2
+         |  UNION ALL SELECT 3, l, r, c FROM b3)
+         |ORDER BY round""".stripMargin
+    },
     // q234: scaled-integer entropy — DECIMAL-quantized ln makes
     // n·ln(n)·1e9 − Σc·ln(c)·1e9 exact integer arithmetic cross-engine
     "q234_char_entropy" ->
