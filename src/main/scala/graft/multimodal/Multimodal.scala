@@ -207,6 +207,35 @@ object Multimodal {
     }
   }
 
+  /** Lossless PNG re-encode of a decoded image through the JDK's
+    * ImageIO writer — a second CONTAINER for the same pixel content
+    * (deterministic: the writer emits no timestamps). */
+  def encodePng(img: java.awt.image.BufferedImage): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Canonical pixel fingerprint: md5 over the ARGB raster in row-major
+    * order. `getRGB` normalizes every backing raster layout (BMP's
+    * 3BYTE_BGR, PNG's INT_RGB, …) to packed ARGB, so two containers of
+    * the same pixels fingerprint identically — the container-invariant
+    * content hash byte-level dedup can't provide. */
+  def pixelMd5(img: java.awt.image.BufferedImage): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val buf = java.nio.ByteBuffer.allocate(4)
+    var y = 0
+    while (y < img.getHeight) {
+      var x = 0
+      while (x < img.getWidth) {
+        buf.clear(); buf.putInt(img.getRGB(x, y))
+        md.update(buf.array()); x += 1
+      }
+      y += 1
+    }
+    md.digest().map("%02x".format(_)).mkString
+  }
+
   /** Fallback decoder for payloads no codec accepts — deterministic
     * byte-derived metadata/features (the honest stand-in for the audio/
     * video codecs this environment doesn't ship). */

@@ -96,7 +96,61 @@ object MultimodalQueries {
         max(col("n_bytes") - col("frames") * 2) === 44).as("layout_ok"))
   }
 
+  /** q237: container-invariant pixel dedup — the multimodal dedup rule
+    * byte hashing cannot express: the SAME pixel content shipped in two
+    * different containers (a hand-built BMP and the JDK encoder's PNG of
+    * its decoded raster) must dedupe together. Each image-kind doc
+    * yields two assets of its class's pixels (class = doc_id % 7, so
+    * duplicate groups are PLANTED arithmetically); assets are
+    * fingerprinted two ways — md5 of the raw container bytes vs md5 of
+    * the decoded ARGB raster ([[Multimodal.pixelMd5]]). Byte groups
+    * split per container (PNG bytes never equal BMP bytes); pixel
+    * groups unite them, and `cross_container_pairs` counts exactly the
+    * duplicates only the decode-then-hash pass can see. Every group
+    * cardinality is doc_id arithmetic, so the oracle restates all six
+    * facts from `documents` — an accidental hash collision, a
+    * nondeterministic encoder, or a raster-order change breaks the
+    * match. Scale shape: per-partition encode/decode/hash with no
+    * shuffle, then two hash-group aggregations over fingerprint keys. */
+  def pixelDedup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val hashed = graft.Tables.load(s, dir, "documents")
+      .filter(col("doc_id") % 3 === 0) // the image-kind assets
+      .select(col("doc_id")).as[Long]
+      .mapPartitions { it =>
+        it.flatMap { id =>
+          val bmp = Multimodal.encodeBmp(32, 24, id % 7)
+          val img = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(bmp))
+          val png = Multimodal.encodePng(img)
+          val pix = Multimodal.pixelMd5(img)
+          // the PNG re-decodes to the same raster — fingerprint it
+          // independently so a lossy/reordering codec would be caught
+          val pix2 = Multimodal.pixelMd5(javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(png)))
+          Iterator((id, "bmp", bmp, pix), (id, "png", png, pix2))
+        }
+      }
+      .toDF("doc_id", "container", "bytes", "pixel_md5")
+      .withColumn("byte_md5", md5(col("bytes")))
+    val byteG = hashed.groupBy(col("byte_md5")).agg(count(lit(1)).as("k"))
+    val pixG = hashed.groupBy(col("pixel_md5")).agg(count(lit(1)).as("k"))
+    def pairs(k: org.apache.spark.sql.Column) = (k * (k - 1) / 2).cast("long")
+    val b = byteG.agg(count(lit(1)).as("bg"), sum(pairs(col("k"))).as("bp")).head()
+    val p = pixG.agg(count(lit(1)).as("pg"), sum(pairs(col("k"))).as("pp")).head()
+    val n = hashed.count()
+    graft.util.LocalFrame.materialize(Seq(
+      ("byte_dup_pairs", b.getLong(1)),
+      ("byte_groups", b.getLong(0)),
+      ("cross_container_pairs", p.getLong(1) - b.getLong(1)),
+      ("n_assets", n),
+      ("pixel_dup_pairs", p.getLong(1)),
+      ("pixel_groups", p.getLong(0))
+    ).toDF("fact", "n").orderBy(col("fact")))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q237_pixel_dedup"      -> (pixelDedup _),
     "q73_media_kind_stats"  -> (mediaKindStats _),
     "q74_video_frame_sample" -> (videoFrameSample _),
     "q175_media_resize_plan" -> (mediaResizePlan _),
@@ -104,6 +158,23 @@ object MultimodalQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // q237: duplicate groups planted as doc_id arithmetic (class =
+    // doc_id % 7 over the image-kind docs); all six facts restated
+    "q237_pixel_dedup" ->
+      """WITH img AS (SELECT doc_id % 7 AS cls FROM documents
+        |             WHERE doc_id % 3 = 0),
+        |g AS (SELECT cls, count(*) AS k FROM img GROUP BY cls)
+        |SELECT * FROM (
+        |  SELECT 'byte_dup_pairs' AS fact,
+        |         CAST(sum(2 * (k * (k - 1) / 2)) AS BIGINT) AS n FROM g
+        |  UNION ALL SELECT 'byte_groups', CAST(2 * count(*) AS BIGINT) FROM g
+        |  UNION ALL SELECT 'cross_container_pairs',
+        |                   CAST(sum(k * k) AS BIGINT) FROM g
+        |  UNION ALL SELECT 'n_assets', CAST(sum(2 * k) AS BIGINT) FROM g
+        |  UNION ALL SELECT 'pixel_dup_pairs',
+        |                   CAST(sum(2 * k * (2 * k - 1) / 2) AS BIGINT) FROM g
+        |  UNION ALL SELECT 'pixel_groups', count(*) FROM g)
+        |ORDER BY fact""".stripMargin,
     // decode stub (width = 16 + byte0 % 240, height = 16 + byte1 % 240)
     // + integer resize, byte i = ord of char (i % len) + 1 (ASCII corpus)
     "q175_media_resize_plan" ->
