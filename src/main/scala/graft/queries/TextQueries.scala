@@ -1136,11 +1136,18 @@ object TextQueries {
       .as[(String, Long)]
       .map { case (w, f) => (w.map(_.toString).toArray, f) }
     val merges = scala.collection.mutable.ListBuffer.empty[
-      (Long, String, String, Long)]
+      (Long, String, String, Long, Long, Long)]
     var prev: Option[org.apache.spark.sql.Dataset[(Array[String], Long)]] =
       None
+    def corpusTokens(
+        ds: org.apache.spark.sql.Dataset[(Array[String], Long)]): Long =
+      ds.toDF("toks", "freq")
+        .agg(sum(col("freq") * size(col("toks"))).cast("long")).head()
+        .getLong(0)
+    var carriedBefore: Option[Long] = None
     for (r <- 1 to 3) {
       cur = cur.persist()
+      val before = carriedBefore.getOrElse(corpusTokens(cur))
       val Array(best) = cur
         .flatMap { case (toks, f) =>
           toks.iterator.sliding(2).withPartial(false)
@@ -1151,7 +1158,6 @@ object TextQueries {
         .orderBy(col("c").desc, col("l"), col("r")).limit(1)
         .as[(String, String, Long)].collect()
       val (l, rr, c) = best
-      merges += ((r.toLong, l, rr, c))
       // the argmax materialized this round's persisted set; only now is
       // the previous round's cache safe to drop without recomputation
       prev.foreach(_.unpersist())
@@ -1166,9 +1172,18 @@ object TextQueries {
         }
         (out.toArray, f)
       }
+      // tokens after APPLYING the adopted merge — the compression the
+      // merge buys. after < before − … is not pair_count: overlapping
+      // occurrences ("aaa" has two (a,a) pairs, one merge) make the
+      // delta the NON-overlapping occurrence count, a fact the oracle's
+      // island-parity replay must reproduce exactly.
+      val after = corpusTokens(cur)
+      carriedBefore = Some(after)
+      merges += ((r.toLong, l, rr, c, before, after))
     }
     val res = graft.util.LocalFrame.materialize(
-      merges.toSeq.toDF("round", "merge_left", "merge_right", "pair_count")
+      merges.toSeq.toDF("round", "merge_left", "merge_right", "pair_count",
+          "tokens_before", "tokens_after")
         .orderBy(col("round")))
     prev.foreach(_.unpersist())
     res
@@ -1307,9 +1322,19 @@ object TextQueries {
          |${Seq(1, 2, 3).map(round).mkString(",\n")}
          |SELECT * FROM (
          |  SELECT CAST(1 AS BIGINT) AS round, l AS merge_left,
-         |         r AS merge_right, c AS pair_count FROM b1
-         |  UNION ALL SELECT 2, l, r, c FROM b2
-         |  UNION ALL SELECT 3, l, r, c FROM b3)
+         |         r AS merge_right, c AS pair_count,
+         |         (SELECT CAST(sum(freq * len(toks)) AS BIGINT) FROM t1)
+         |           AS tokens_before,
+         |         (SELECT CAST(sum(freq * len(toks)) AS BIGINT) FROM t2)
+         |           AS tokens_after FROM b1
+         |  UNION ALL SELECT 2, l, r, c,
+         |         (SELECT CAST(sum(freq * len(toks)) AS BIGINT) FROM t2),
+         |         (SELECT CAST(sum(freq * len(toks)) AS BIGINT) FROM t3)
+         |    FROM b2
+         |  UNION ALL SELECT 3, l, r, c,
+         |         (SELECT CAST(sum(freq * len(toks)) AS BIGINT) FROM t3),
+         |         (SELECT CAST(sum(freq * len(toks)) AS BIGINT) FROM t4)
+         |    FROM b3)
          |ORDER BY round""".stripMargin
     },
     // q234: scaled-integer entropy — DECIMAL-quantized ln makes
