@@ -477,6 +477,24 @@ class LakeTableSpec extends SparkSpec {
     } }
   }
 
+  test("readers hold their snapshot across concurrent commits") {
+    withTable { root =>
+      import spark.implicits._
+      LakeTable.create(spark, root, Seq((1L, "a"), (2L, "b")).toDF("id", "t"))
+      // a reader frame constructed at v1 …
+      val snapshot = LakeTable.read(spark, root)
+      // … survives a concurrent append AND a COW delete unchanged
+      LakeTable.append(spark, root, Seq((3L, "c")).toDF("id", "t"))
+      LakeTable.deleteWhere(spark, root, col("id") === 1L)
+      assert(snapshot.count() == 2, "reader saw a concurrent writer")
+      assert(snapshot.select("id").as[Long].collect().sorted.toSeq ==
+        Seq(1L, 2L))
+      // while a fresh reader sees the latest version
+      assert(LakeTable.read(spark, root).select("id").as[Long]
+        .collect().sorted.toSeq == Seq(2L, 3L))
+    }
+  }
+
   test("CHECK constraints gate writes, carry through commits, and " +
     "clones inherit them") {
     withTable { src => withTable { dst =>
