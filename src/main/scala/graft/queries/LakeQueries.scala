@@ -1053,7 +1053,51 @@ object LakeQueries {
     } }
   }
 
+  /** q238: right-to-be-forgotten purge
+    * ([[graft.sources.LakeTable.purge]]): a three-version table (create
+    * → append → merge) purges one customer's orders; afterwards the
+    * surviving rows match, history is TRUNCATED to a single version
+    * (the erasure guarantee — an ordinary DELETE leaves purged bytes
+    * time-travel-readable), and the on-disk parquet census counts only
+    * the rewritten group's files. The oracle restates the row facts
+    * from orders and pins the erasure facts as integers. */
+  def purgeErasure(s: SparkSession, dir: String): DataFrame = {
+    val orders = graft.Tables.load(s, dir, "orders")
+      .filter(col("o_custkey") % 4 === 0)
+    graft.util.LocalFrame.withConf(s, "spark.sql.shuffle.partitions", "8") {
+    graft.util.Tmp.withTempDir("graft_lake_q238") { rootPath =>
+      val root = rootPath.toString
+      LakeTable.create(s, root, orders.filter(col("o_custkey") % 10 < 5))
+      LakeTable.append(s, root, orders.filter(col("o_custkey") % 10 >= 5))
+      LakeTable.merge(s, root,
+        orders.filter(col("o_orderkey") % 97 === 0), "o_orderkey")
+      val before = LakeTable.read(s, root).count()
+      val versionsBefore = LakeTable.versions(s, root).size.toLong
+      // the forgotten party: every customer key ≡ 0 (mod 40)
+      LakeTable.purge(s, root, col("o_custkey") % 40 === 0)
+      val after = LakeTable.read(s, root).count()
+      val versionsAfter = LakeTable.versions(s, root).size.toLong
+      // no historical byte survives: the only parquet on disk is the
+      // purged rewrite's single file group
+      val dirsOnDisk = {
+        val w = java.nio.file.Files.walk(rootPath)
+        try w.filter(p => p.toString.endsWith(".parquet"))
+          .map[java.nio.file.Path](_.getParent).distinct().count()
+        finally w.close()
+      }
+      import s.implicits._
+      graft.util.LocalFrame.materialize(Seq(
+        ("n_after_purge", after),
+        ("n_before_purge", before),
+        ("n_data_dirs_on_disk", dirsOnDisk),
+        ("n_versions_after", versionsAfter),
+        ("n_versions_before", versionsBefore)
+      ).toDF("fact", "n").orderBy(col("fact")))
+    } }
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q238_purge_erasure"       -> (purgeErasure _),
     "q235_check_constraints"   -> (checkConstraintGate _),
     "q233_shallow_clone"       -> (shallowCloneDiverge _),
     "q189_agg_pushdown"        -> (aggPushdown _),
@@ -1083,6 +1127,17 @@ object LakeQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // q238: row facts restated from orders; the erasure facts pin as
+    // integers (history truncated to one version, one data dir on disk)
+    "q238_purge_erasure" ->
+      """WITH s AS (SELECT * FROM orders WHERE o_custkey % 4 = 0)
+        |SELECT 'n_after_purge' AS fact, CAST(count(*) AS BIGINT) AS n
+        |  FROM s WHERE o_custkey % 40 <> 0
+        |UNION ALL SELECT 'n_before_purge', count(*) FROM s
+        |UNION ALL SELECT 'n_data_dirs_on_disk', CAST(1 AS BIGINT)
+        |UNION ALL SELECT 'n_versions_after', CAST(1 AS BIGINT)
+        |UNION ALL SELECT 'n_versions_before', CAST(3 AS BIGINT)
+        |ORDER BY fact""".stripMargin,
     // q235: surviving rows restated from orders; version count proves the
     // rejected writes committed nothing (create + constraint + append = 3)
     "q235_check_constraints" ->

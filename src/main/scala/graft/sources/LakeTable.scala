@@ -868,6 +868,25 @@ object LakeTable {
         readManifest(spark, root, v).size)
     }
 
+  /** Right-to-be-forgotten PURGE: remove matching rows from the current
+    * snapshot AND from all retained history in one operation — the
+    * GDPR-erasure shape copy-on-write tables need, because an ordinary
+    * DELETE leaves every purged byte readable via time travel. A COW
+    * delete commits the surviving rows as a new version, then retention
+    * is truncated to that single version: every prior manifest is
+    * dropped and every file group referenced only by history is
+    * physically deleted (the [[vacuum]] ownership rule still protects a
+    * clone's source). Erasure deliberately beats time travel — after
+    * purge, `versions` is a single entry and no retained byte, manifest
+    * line, or min/max stat derives from a purged row. Cost is one table
+    * rewrite + O(history) metadata, identical to DELETE + VACUUM(1). */
+  def purge(spark: SparkSession, root: String,
+            predicate: org.apache.spark.sql.Column): Int = {
+    val v = deleteWhere(spark, root, predicate)
+    vacuum(spark, root, keepVersions = 1)
+    v
+  }
+
   /** ALTER TABLE ADD CONSTRAINT (Delta-style CHECK constraint): a
     * metadata-only commit recording `check:<name> = <sql predicate>`.
     * Existing rows are validated first (a constraint the current data

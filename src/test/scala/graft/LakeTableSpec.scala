@@ -477,6 +477,36 @@ class LakeTableSpec extends SparkSpec {
     } }
   }
 
+  test("purge erases matching rows from history, disk, and stats") {
+    withTable { root =>
+      import spark.implicits._
+      LakeTable.create(spark, root,
+        Seq((1L, "keep"), (2L, "secret"), (3L, "keep")).toDF("id", "t"),
+        statsCols = Seq("id"))
+      LakeTable.append(spark, root,
+        Seq((4L, "secret"), (5L, "keep")).toDF("id", "t"),
+        statsCols = Seq("id"))
+      LakeTable.purge(spark, root, col("t") === "secret")
+      // current snapshot clean, and NO prior version remains to travel to
+      assert(LakeTable.read(spark, root).select("id").as[Long].collect()
+        .sorted.toSeq == Seq(1L, 3L, 5L))
+      assert(LakeTable.versions(spark, root).size == 1)
+      // no byte on disk carries the purged rows: read every parquet
+      // file under the root directly and look for them
+      import scala.jdk.CollectionConverters._
+      val w = java.nio.file.Files.walk(java.nio.file.Paths.get(root))
+      val files =
+        try w.iterator().asScala.map(_.toString)
+          .filter(_.endsWith(".parquet")).toSeq
+        finally w.close()
+      assert(files.nonEmpty)
+      val raw = spark.read.parquet(files: _*)
+      assert(raw.filter(col("t") === "secret").count() == 0,
+        "a purged row survives on disk")
+      assert(raw.count() == 3)
+    }
+  }
+
   test("readers hold their snapshot across concurrent commits") {
     withTable { root =>
       import spark.implicits._
