@@ -136,6 +136,36 @@ object EventQueries {
       .orderBy(col("event_id"))
   }
 
+  /** q239: NEAREST-direction as-of join
+    * ([[graft.operators.AsOfJoin.joinAsOfNearest]] — pandas
+    * `merge_asof(direction='nearest')`, completing the
+    * backward (q28) / forward / nearest direction matrix): each purchase
+    * event is matched to the closest click by the SAME user in either
+    * time direction, exact microsecond distances, ties to the backward
+    * match (pandas' rule; a click at the identical timestamp satisfies
+    * both directions and resolves backward). Two directional union-sort
+    * passes — two key shuffles, single-payload window state, never a
+    * theta join; the oracle replays both directional argmins and the
+    * tie rule with integer epoch-microsecond arithmetic. */
+  def asofNearestClick(s: SparkSession, dir: String): DataFrame = {
+    val base = ev(s, dir).select(col("event_id"), col("user_id"),
+      col("ts").cast("timestamp_ntz").as("ts"), col("event_type"))
+    val purchases = base.filter(col("event_type") === "purchase")
+      .drop("event_type")
+    val clicks = base.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts").as("click_ts"),
+        col("event_id").as("click_id"))
+    graft.operators.AsOfJoin
+      .joinAsOfNearest(purchases, clicks, "user_id", "ts", "click_ts",
+        "click_id", Seq("click_id", "click_ts")) { (l, r) =>
+        abs(unix_micros(l.cast("timestamp")) - unix_micros(r.cast("timestamp")))
+      }
+      .select(col("event_id"), col("user_id"),
+        col("_asof_near.click_id").as("near_click_id"),
+        Tables.isoTs(col("_asof_near.click_ts")).as("near_click_ts"))
+      .orderBy(col("event_id"))
+  }
+
   /** Shared scaffold for the streaming-under-oracle queries: stage the
     * events parquet into a temp landing dir (FileStreamSource requires a
     * directory), apply the nanos→micros shim, run `transform` to a
@@ -643,6 +673,7 @@ object EventQueries {
     "q185_dynamic_sessions"  -> (dynamicSessions _),
     "q160_gap_fill_interp"   -> (gapFillInterpolate _),
     "q28_asof_last_order"    -> (asofLastOrder _),
+    "q239_asof_nearest"      -> (asofNearestClick _),
     "q113_stream_attribution" -> (streamAttribution _),
     "q143_stream_outer_join" -> (streamOuterAttribution _),
     "q147_stream_value_state" -> (streamRunningSpend _),
@@ -958,6 +989,38 @@ object EventQueries {
          |GROUP BY user_id, sid, wm_base
          |HAVING max(tms) + 1800000 < wm_base - 1800000
          |ORDER BY user_id, session_start""".stripMargin,
+    // q239: both directional argmins replayed (backward prefers latest
+    // ts then LARGEST id; forward earliest ts then SMALLEST id), nearest
+    // by integer epoch-microsecond distance, exact ties to backward
+    "q239_asof_nearest" ->
+      """WITH p AS (SELECT event_id, user_id, ts FROM events
+        |           WHERE event_type = 'purchase'),
+        |c AS (SELECT event_id AS click_id, user_id, ts AS cts FROM events
+        |      WHERE event_type = 'click'),
+        |b AS (SELECT p.event_id, c.click_id, c.cts,
+        |             row_number() OVER (PARTITION BY p.event_id
+        |                 ORDER BY c.cts DESC, c.click_id DESC) AS rn
+        |      FROM p JOIN c ON c.user_id = p.user_id AND c.cts <= p.ts),
+        |f AS (SELECT p.event_id, c.click_id, c.cts,
+        |             row_number() OVER (PARTITION BY p.event_id
+        |                 ORDER BY c.cts ASC, c.click_id ASC) AS rn
+        |      FROM p JOIN c ON c.user_id = p.user_id AND c.cts >= p.ts),
+        |bb AS (SELECT event_id, click_id, cts FROM b WHERE rn = 1),
+        |ff AS (SELECT event_id, click_id, cts FROM f WHERE rn = 1)
+        |SELECT p.event_id, p.user_id,
+        |       CASE WHEN bb.click_id IS NULL THEN ff.click_id
+        |            WHEN ff.click_id IS NULL THEN bb.click_id
+        |            WHEN abs(epoch_us(ff.cts) - epoch_us(p.ts)) <
+        |                 abs(epoch_us(p.ts) - epoch_us(bb.cts))
+        |              THEN ff.click_id ELSE bb.click_id END AS near_click_id,
+        |       strftime(CASE WHEN bb.click_id IS NULL THEN ff.cts
+        |            WHEN ff.click_id IS NULL THEN bb.cts
+        |            WHEN abs(epoch_us(ff.cts) - epoch_us(p.ts)) <
+        |                 abs(epoch_us(p.ts) - epoch_us(bb.cts))
+        |              THEN ff.cts ELSE bb.cts END,
+        |            '%Y-%m-%d %H:%M:%S') AS near_click_ts
+        |FROM p LEFT JOIN bb USING (event_id) LEFT JOIN ff USING (event_id)
+        |ORDER BY event_id""".stripMargin,
     "q28_asof_last_order" ->
       """SELECT event_id, user_id,
         |       strftime(o_orderdate, '%Y-%m-%d') AS last_order_date,

@@ -35,6 +35,53 @@ class AsOfJoinSpec extends SparkSpec {
     assert(joined(4L).isEmpty, "unmatched key → null")
   }
 
+  test("forward as-of: earliest later row, ties to min tiebreak, " +
+    "inclusive boundary") {
+    import spark.implicits._
+    val left = Seq(
+      (1L, 100L, t("2024-01-01 07:00:00")), // before both → earliest
+      (2L, 100L, t("2024-01-01 08:30:00")), // between → the 09:00 rows
+      (3L, 100L, t("2024-01-01 10:00:00")), // after all → null
+      (4L, 100L, t("2024-01-01 08:00:00"))  // exact boundary → inclusive
+    ).toDF("lid", "k", "lt")
+    val right = Seq(
+      (10L, 100L, t("2024-01-01 08:00:00")),
+      (11L, 100L, t("2024-01-01 09:00:00")),
+      (12L, 100L, t("2024-01-01 09:00:00")) // tie on time → MIN rid wins
+    ).toDF("rid", "k", "rt")
+    val joined = AsOfJoin.joinAsOfForward(left, right, "k", "lt", "rt",
+        "rid", Seq("rid"))
+      .select(col("lid"), col("_asof_fwd.rid").as("matched"))
+      .collect().map(r => r.getLong(0) -> Option(r.getAs[Any]("matched")))
+      .toMap
+    assert(joined(1L).contains(10L))
+    assert(joined(2L).contains(11L), "tie at 09:00 must pick MIN rid")
+    assert(joined(3L).isEmpty, "no later right row → null")
+    assert(joined(4L).contains(10L), "boundary is inclusive")
+  }
+
+  test("nearest as-of picks the closer side; exact ties go backward") {
+    import spark.implicits._
+    val left = Seq(
+      (1L, 100L, t("2024-01-01 08:20:00")), // 20m after A, 40m before B → A
+      (2L, 100L, t("2024-01-01 08:50:00")), // 50m after A, 10m before B → B
+      (3L, 100L, t("2024-01-01 08:30:00")), // equidistant → backward (A)
+      (4L, 200L, t("2024-01-01 08:00:00"))  // only a later row → forward
+    ).toDF("lid", "k", "lt")
+    val right = Seq(
+      (10L, 100L, t("2024-01-01 08:00:00")), // A
+      (11L, 100L, t("2024-01-01 09:00:00")), // B
+      (20L, 200L, t("2024-01-01 09:00:00"))
+    ).toDF("rid", "k", "rt")
+    val joined = AsOfJoin.joinAsOfNearest(left, right, "k", "lt", "rt",
+        "rid", Seq("rid")) { (l, r) =>
+        abs(unix_micros(l.cast("timestamp")) - unix_micros(r.cast("timestamp")))
+      }
+      .select(col("lid"), col("_asof_near.rid").as("matched"))
+      .collect().map(r => r.getLong(0) -> r.getAs[Long]("matched")).toMap
+    assert(joined == Map(1L -> 10L, 2L -> 11L, 3L -> 10L, 4L -> 20L))
+  }
+
   test("as-of join rejects fractional tiebreak types (would truncate)") {
     import spark.implicits._
     val left = Seq((1L, 9L, t("2024-01-01 08:00:00"))).toDF("lid", "k", "lt")
