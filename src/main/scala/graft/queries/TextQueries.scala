@@ -1038,15 +1038,22 @@ object TextQueries {
             .otherwise(array().cast("array<int>")),
           i => md5(concat_ws(" ", slice(toks, i, lit(8)))))).as(Seq("idx", "h")))
       .select(col("doc_id"), (col("idx") + lit(1)).as("i"), col("h"))
-    val dup = grams.groupBy(col("h"))
-      .agg(countDistinct(col("doc_id")).as("df"))
-      .filter(col("df").between(2, 50)).select(col("h"))
-    val seeded = grams.join(dup, "h")
-    val ga = seeded.select(col("h"), col("doc_id").as("doc_a"), col("i").as("pa"))
-    val gb = seeded.select(col("h"), col("doc_id").as("doc_b"), col("i").as("pb"))
+    // one gram pass, one shuffle: bucket occurrences by gram hash and
+    // explode ordered pairs INSIDE each bucket — a self-join on h would
+    // re-run the md5 gram generation once per join side (4 scans: the
+    // round-7 plan audit measured it at 4.3 s; this shape is one)
+    val buckets = grams.groupBy(col("h"))
+      .agg(collect_list(struct(col("doc_id"), col("i"))).as("xs"))
+      .filter(expr("size(array_distinct(transform(xs, x -> x.doc_id)))")
+        .between(2, 50))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_a"), col("doc_b"), col("diag")).orderBy(col("pa"))
-    ga.join(gb, "h").filter(col("doc_a") < col("doc_b"))
+    buckets
+      .select(explode(col("xs")).as("a"), col("xs"))
+      .select(col("a"), explode(col("xs")).as("b"))
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.i").as("pa"), col("b.i").as("pb"))
       .withColumn("diag", col("pa") - col("pb"))
       .withColumn("grp", col("pa") - row_number().over(w))
       .groupBy(col("doc_a"), col("doc_b"), col("diag"), col("grp"))
