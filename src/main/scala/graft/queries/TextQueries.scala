@@ -1196,7 +1196,46 @@ object TextQueries {
     res
   }
 
+  /** q240: document-pair similarity by SPARSE TF-IDF inner product —
+    * doc-to-doc retrieval over the inverted index (complementing q157's
+    * query-to-doc BM25 and q58's set-based Jaccard with the weighted
+    * bag-of-words geometry), no dense embeddings involved. The [2,50]
+    * document-frequency band is impact pruning doing double duty: terms
+    * in almost every document carry near-zero idf AND would explode the
+    * pair table, so dropping them is both the quality and the scale
+    * rule. Same bucket-explode shape as q231 — one tf pass, term-keyed
+    * buckets, ordered pairs inside each bucket, never a self-join.
+    * Determinism: idf = ln(N/df) quantized to DECIMAL(18,3) and scaled
+    * to an integer ×1000, so every score is EXACT integer arithmetic
+    * (max contribution tf²·k² ≈ 8e10, BIGINT-safe) and the top-20 cut
+    * breaks score ties by (doc_a, doc_b). */
+  def sparseDotPairs(s: SparkSession, dir: String): DataFrame = {
+    val tf = docs(s, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val nd = docs(s, dir).agg(count(lit(1)).cast("double").as("n"))
+    val idf = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      .join(broadcast(nd))
+      .withColumn("k", expr(
+        "CAST(CAST(ln(n / df) AS DECIMAL(18,3)) * 1000 AS BIGINT)"))
+      .filter(col("df").between(2, 50))
+      .select(col("term"), col("k"))
+    tf.join(idf, "term")
+      .groupBy(col("term"), col("k"))
+      .agg(collect_list(struct(col("doc_id"), col("tf"))).as("xs"))
+      .select(col("k"), explode(col("xs")).as("a"), col("xs"))
+      .select(col("k"), col("a"), explode(col("xs")).as("b"))
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(sum(col("a.tf") * col("b.tf") * col("k") * col("k"))
+        .as("score_scaled"))
+      .orderBy(col("score_scaled").desc, col("doc_a"), col("doc_b"))
+      .limit(20)
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q240_sparse_dot_pairs"  -> (sparseDotPairs _),
     "q236_bpe_merge_train"   -> (bpeMergeTrain _),
     "q234_char_entropy"      -> (charEntropy _),
     "q231_shared_spans"      -> (sharedSpans _),
@@ -1287,6 +1326,27 @@ object TextQueries {
       |FROM comp ORDER BY doc_id""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // q240: integer-exact sparse dot — idf quantized to 3 decimals and
+    // scaled ×1000; the df band and the tie-broken top-20 replay verbatim
+    "q240_sparse_dot_pairs" ->
+      """WITH tf AS (
+        |  SELECT doc_id, t AS term, CAST(count(*) AS BIGINT) AS tf
+        |  FROM (SELECT doc_id, UNNEST(string_split(text, ' ')) AS t
+        |        FROM documents)
+        |  GROUP BY doc_id, t),
+        |nd AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+        |idf AS (
+        |  SELECT term, CAST(count(*) AS BIGINT) AS df,
+        |         CAST(CAST(ln((SELECT n FROM nd) / count(*))
+        |                   AS DECIMAL(18,3)) * 1000 AS BIGINT) AS k
+        |  FROM tf GROUP BY term)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |       CAST(sum(a.tf * b.tf * i.k * i.k) AS BIGINT) AS score_scaled
+        |FROM tf a JOIN tf b ON a.term = b.term AND a.doc_id < b.doc_id
+        |JOIN idf i ON i.term = a.term
+        |WHERE i.df BETWEEN 2 AND 50
+        |GROUP BY 1, 2
+        |ORDER BY score_scaled DESC, doc_a, doc_b LIMIT 20""".stripMargin,
     // q236: the training loop replayed — three unrolled rounds, greedy
     // leftmost merging as odd ranks within islands of consecutive matches
     "q236_bpe_merge_train" -> {
