@@ -207,6 +207,22 @@ object Multimodal {
     }
   }
 
+  /** Decode every PCM sample of a WAV through the JDK codec
+    * (`javax.sound.sampled` — 16-bit little-endian signed mono). Unlike
+    * [[audioMeta]]'s header facts, this drains the audio STREAM, so a
+    * codec that mis-frames, byte-swaps, or truncates the payload is
+    * caught sample-exactly. */
+  def audioSamples(bytes: Array[Byte]): Array[Int] = {
+    val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    try {
+      val data = ais.readAllBytes()
+      Array.tabulate(data.length / 2) { i =>
+        (((data(2 * i) & 0xff) | (data(2 * i + 1) << 8)).toShort).toInt
+      }
+    } finally ais.close()
+  }
+
   /** Lossless PNG re-encode of a decoded image through the JDK's
     * ImageIO writer — a second CONTAINER for the same pixel content
     * (deterministic: the writer emits no timestamps). */

@@ -149,7 +149,86 @@ object MultimodalQueries {
     ).toDF("fact", "n").orderBy(col("fact")))
   }
 
+  /** q241: PCM sample statistics through the REAL audio codec — q230
+    * trusts the WAV header; this drains the stream
+    * ([[Multimodal.audioSamples]]) and aggregates the decoded samples
+    * themselves. The synthesized sawtooth is pure integer arithmetic
+    * (`((i·(7 + seed%13) + seed) % 8192) − 4096`), so the oracle
+    * recomputes every per-asset sum/abs-sum/min/max from `documents`
+    * alone — a codec that mis-frames, byte-swaps, or truncates the
+    * payload diverges on the first asset. Row-level output (one row per
+    * audio asset), no shuffle until the final sort. */
+  def audioSampleStats(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.Tables.load(s, dir, "documents")
+      .filter(col("doc_id") % 3 === 1)
+      .select(col("doc_id").as("_1"), col("text").as("_2"))
+      .as[(Long, String)]
+      .map { case (id, text) =>
+        val utf8 = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        def at(i: Int): Int =
+          if (utf8.isEmpty) 0 else utf8(i % utf8.length) & 0xff
+        val wav = Multimodal.encodeWav(
+          256 + (at(0) * 256 + at(1)) % 4096, 8000, id)
+        val xs = Multimodal.audioSamples(wav)
+        (id, xs.length.toLong, xs.map(_.toLong).sum,
+          xs.map(v => math.abs(v.toLong)).sum,
+          xs.min.toLong, xs.max.toLong)
+      }
+      .toDF("media_id", "n_frames", "sum_samples", "sum_abs",
+        "min_sample", "max_sample")
+      .orderBy(col("media_id"))
+  }
+
+  /** q242: exact per-channel pixel sums through the REAL image codec —
+    * the image twin of q241: the BMP is synthesized as a seed-salted
+    * gradient (B=(x+seed)%251, G=(y+seed)%241, R=(x+y+seed)%239), so
+    * the per-asset channel sums over the ImageIO-decoded raster are
+    * pure arithmetic the oracle recomputes from `documents` alone — a
+    * decoder that swaps BGR/RGB or mis-pads rows diverges immediately
+    * (the channel formulas are asymmetric in x and y so transposition
+    * is caught too). Plain sums are orientation-invariant, so a
+    * y-WEIGHTED green sum pins the bottom-up row order as well: BMP
+    * stores the bottom row first, so decoded G(x,y) is
+    * ((h−1−y)+seed)%241 and the oracle bakes that flip in — a decoder
+    * that returned rows in file order would diverge on it.
+    * Per-partition decode, row-level output, no shuffle until the
+    * sort. */
+  def imagePixelSums(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.Tables.load(s, dir, "documents")
+      .filter(col("doc_id") % 3 === 0)
+      .select(col("doc_id").as("_1"), col("text").as("_2"))
+      .as[(Long, String)]
+      .map { case (id, text) =>
+        val utf8 = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        def at(i: Int): Int =
+          if (utf8.isEmpty) 0 else utf8(i % utf8.length) & 0xff
+        val bmp = Multimodal.encodeBmp(16 + at(0) % 240, 16 + at(1) % 240, id)
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(bmp))
+        var (sr, sg, sb, wg) = (0L, 0L, 0L, 0L)
+        var y = 0
+        while (y < img.getHeight) {
+          var x = 0
+          while (x < img.getWidth) {
+            val p = img.getRGB(x, y)
+            val g = (p >> 8) & 0xff
+            sr += (p >> 16) & 0xff; sg += g; sb += p & 0xff
+            wg += y.toLong * g
+            x += 1
+          }
+          y += 1
+        }
+        (id, img.getWidth.toLong, img.getHeight.toLong, sr, sg, sb, wg)
+      }
+      .toDF("media_id", "w", "h", "sum_r", "sum_g", "sum_b", "wsum_g")
+      .orderBy(col("media_id"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q242_image_pixel_sums" -> (imagePixelSums _),
+    "q241_audio_sample_stats" -> (audioSampleStats _),
     "q237_pixel_dedup"      -> (pixelDedup _),
     "q73_media_kind_stats"  -> (mediaKindStats _),
     "q74_video_frame_sample" -> (videoFrameSample _),
@@ -158,6 +237,62 @@ object MultimodalQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // q242: gradient channel sums recomputed from the synthesis formula;
+    // wsum_g bakes in BMP's bottom-up order (decoded row y = written
+    // row h-1-y, so the weighted sum uses ((h-1-y)+seed)%241)
+    "q242_image_pixel_sums" ->
+      """WITH im AS (
+        |  SELECT doc_id AS media_id, doc_id AS seed,
+        |         16 + (CASE WHEN length(text) = 0 THEN 0
+        |               ELSE ord(substr(text, 1, 1)) END) % 240 AS w,
+        |         16 + (CASE WHEN length(text) = 0 THEN 0
+        |               ELSE ord(substr(text, (1 % length(text)) + 1, 1))
+        |               END) % 240 AS h
+        |  FROM documents WHERE doc_id % 3 = 0),
+        |bx AS (
+        |  SELECT media_id, CAST(sum((x + seed) % 251) AS BIGINT) AS sxb
+        |  FROM (SELECT media_id, seed, UNNEST(range(0, w)) AS x FROM im)
+        |  GROUP BY media_id),
+        |gy AS (
+        |  SELECT media_id,
+        |         CAST(sum((y + seed) % 241) AS BIGINT) AS syg,
+        |         CAST(sum(y * ((h - 1 - y + seed) % 241)) AS BIGINT) AS wyg
+        |  FROM (SELECT media_id, seed, h, UNNEST(range(0, h)) AS y FROM im)
+        |  GROUP BY media_id),
+        |rx0 AS (SELECT media_id, seed, h, UNNEST(range(0, w)) AS x FROM im),
+        |rx AS (
+        |  SELECT media_id, CAST(sum((x + y + seed) % 239) AS BIGINT) AS sr
+        |  FROM (SELECT media_id, seed, x, UNNEST(range(0, h)) AS y
+        |        FROM rx0)
+        |  GROUP BY media_id)
+        |SELECT im.media_id, CAST(w AS BIGINT) AS w, CAST(h AS BIGINT) AS h,
+        |       rx.sr AS sum_r,
+        |       CAST(im.w AS BIGINT) * gy.syg AS sum_g,
+        |       CAST(im.h AS BIGINT) * bx.sxb AS sum_b,
+        |       CAST(im.w AS BIGINT) * gy.wyg AS wsum_g
+        |FROM im JOIN bx USING (media_id) JOIN gy USING (media_id)
+        |JOIN rx USING (media_id)
+        |ORDER BY media_id""".stripMargin,
+    // q241: the decoded sawtooth recomputed sample-by-sample —
+    // v(i) = ((i·(7 + seed%13) + seed) % 8192) − 4096, seed = doc_id
+    "q241_audio_sample_stats" ->
+      """WITH a AS (
+        |  SELECT doc_id AS media_id, doc_id AS seed,
+        |         256 + ((CASE WHEN length(text) = 0 THEN 0
+        |                 ELSE ord(substr(text, 1, 1)) END) * 256
+        |              + (CASE WHEN length(text) = 0 THEN 0
+        |                 ELSE ord(substr(text, (1 % length(text)) + 1, 1))
+        |                 END)) % 4096 AS n
+        |  FROM documents WHERE doc_id % 3 = 1),
+        |s AS (
+        |  SELECT media_id, ((i * (7 + seed % 13) + seed) % 8192) - 4096 AS v
+        |  FROM (SELECT media_id, seed, n, UNNEST(range(0, n)) AS i FROM a))
+        |SELECT media_id, count(*) AS n_frames,
+        |       CAST(sum(v) AS BIGINT) AS sum_samples,
+        |       CAST(sum(abs(v)) AS BIGINT) AS sum_abs,
+        |       CAST(min(v) AS BIGINT) AS min_sample,
+        |       CAST(max(v) AS BIGINT) AS max_sample
+        |FROM s GROUP BY media_id ORDER BY media_id""".stripMargin,
     // q237: duplicate groups planted as doc_id arithmetic (class =
     // doc_id % 7 over the image-kind docs); all six facts restated
     "q237_pixel_dedup" ->
