@@ -330,6 +330,61 @@ object MiscQueries {
     }
   }
 
+  /** Shared (table, columns) inventory for q243 — ONE list drives both
+    * the Spark aggregation and the generated oracle SQL, so the two
+    * sides cannot drift. */
+  private val profileCols: Seq[(String, Seq[String])] = Seq(
+    "orders" -> Seq("o_orderkey", "o_custkey", "o_orderstatus",
+      "o_totalprice", "o_orderdate", "o_orderpriority"),
+    "events" -> Seq("event_id", "ts", "user_id", "event_type", "value",
+      "props"),
+    "documents" -> Seq("doc_id", "text", "lang", "source", "n_chars"))
+
+  /** q243: warehouse column profile — the ANALYZE-style completeness
+    * report every ingest pipeline runs first: per column, row count,
+    * null count, and EXACT distinct count, across three tables in one
+    * wide aggregate per table (Spark plans the multi-distinct as one
+    * Expand pass — one scan per table, not one per column). The 17-row
+    * result is assembled driver-side from each table's single aggregate
+    * row; the oracle SQL is GENERATED from the same (table, columns)
+    * list the Spark side iterates, so coverage cannot silently
+    * diverge. */
+  def columnProfile(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val rows = profileCols.flatMap { case (t0, cols) =>
+      val df = Tables.load(s, dir, t0)
+      val aggs = Seq(count(lit(1)).as("n_rows")) ++ cols.flatMap(c => Seq(
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"nn_$c"),
+        countDistinct(col(c)).as(s"nd_$c")))
+      val one = df.agg(aggs.head, aggs.tail: _*).head()
+      cols.zipWithIndex.map { case (c, i) =>
+        (t0, c, one.getLong(0), one.getLong(1 + 2 * i),
+          one.getLong(2 + 2 * i))
+      }
+    }
+    rows.toDF("tbl", "col_name", "n_rows", "n_nulls", "n_distinct")
+      .orderBy(col("tbl"), col("col_name"))
+  }
+
+  /** Generated oracle for q243 (see [[profileCols]]). */
+  private def columnProfileOracle: String = {
+    val ctes = profileCols.map { case (t0, cols) =>
+      val aggs = cols.zipWithIndex.flatMap { case (c, i) =>
+        Seq(s"CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT)" +
+            s" AS nn_$i",
+          s"count(DISTINCT $c) AS nd_$i")
+      }.mkString(", ")
+      s"agg_$t0 AS (SELECT count(*) AS n, $aggs FROM $t0)"
+    }.mkString("WITH ", ", ", "")
+    val arms = profileCols.flatMap { case (t0, cols) =>
+      cols.zipWithIndex.map { case (c, i) =>
+        s"SELECT '$t0' AS tbl, '$c' AS col_name, n AS n_rows, " +
+          s"nn_$i AS n_nulls, nd_$i AS n_distinct FROM agg_$t0"
+      }
+    }.mkString(" UNION ALL ")
+    s"$ctes SELECT * FROM ($arms) ORDER BY tbl, col_name"
+  }
+
   /** q188: malformed-record handling on the CSV ingest path (S1's
     * fault-tolerant form): a staged file carries one broken line (a
     * non-numeric key — a type failure; the CSV reader silently ignores
@@ -620,6 +675,7 @@ object MiscQueries {
     "q213_decline_alerts"  -> (declineAlerts _),
     "q187_jsonl_roundtrip" -> (jsonlRoundtrip _),
     "q232_orc_roundtrip"   -> (orcRoundtrip _),
+    "q243_column_profile"  -> (columnProfile _),
     "q188_csv_malformed"   -> (csvMalformed _),
     "q108_partition_pruned" -> (partitionPrunedScan _),
     "q115_dpp_join"         -> (dynamicPartitionPruned _),
@@ -785,6 +841,7 @@ object MiscQueries {
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
     // q232: the ORC round trip must reproduce the parquet original's
     // slice exactly — any writer/reader type or precision loss breaks it
+    "q243_column_profile" -> columnProfileOracle,
     "q232_orc_roundtrip" ->
       """SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
         |       count(*) AS n_orders,
