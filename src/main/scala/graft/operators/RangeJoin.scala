@@ -51,4 +51,42 @@ object RangeJoin {
         col(leftTs) >= col(startCol) && col(leftTs) < col(endCol))
       .drop(lb("_rj_bin")).drop(rb("_rj_bin"))
   }
+
+  /** KEYED BAND JOIN — the telemetry-enrichment shape: match left and
+    * right rows sharing an equi-key whose timestamps lie within
+    * `toleranceSeconds` of each other (|lt − rt| ≤ tol, inclusive).
+    * Complements [[binnedContainment]] (no key, explicit intervals) and
+    * the as-of family (nearest ONE match): a band join keeps EVERY match
+    * in the window.
+    *
+    * Same bin trick, compounded with the key: both sides bucket time
+    * into bins of the tolerance width; a pair within tolerance is
+    * always in the same or adjacent bins, so the LEFT side explodes
+    * into its bin and both neighbors (exactly 3 rows) and the join is a
+    * plain shuffle equi-join on (key, bin) with the exact |Δt| ≤ tol
+    * predicate filtering inside the collision groups. Shuffle volume
+    * 3|L| + |R| — linear; never the key-only join's per-key cross
+    * product, never a theta join. Join keys co-partition, so AQE splits
+    * skewed (key, bin) cells like any other shuffle join. */
+  def keyedBand(
+      left: DataFrame, leftKey: String, leftTs: String,
+      right: DataFrame, rightKey: String, rightTs: String,
+      toleranceSeconds: Long): DataFrame = {
+    require(toleranceSeconds > 0, "toleranceSeconds must be positive")
+    require(!left.columns.contains("_rj_bin") &&
+        !right.columns.contains("_rj_bin"),
+      "inputs must not contain the reserved column name _rj_bin")
+    val w = lit(toleranceSeconds)
+    val lb = left.withColumn("_rj_bin", explode(sequence(
+      floor(unix_timestamp(col(leftTs)) / w) - 1,
+      floor(unix_timestamp(col(leftTs)) / w) + 1)))
+    val rb = right.withColumn("_rj_bin",
+      floor(unix_timestamp(col(rightTs)) / w))
+    lb.join(rb,
+        col(leftKey) === col(rightKey) &&
+        lb("_rj_bin") === rb("_rj_bin") &&
+        abs(unix_timestamp(col(leftTs)) - unix_timestamp(col(rightTs)))
+          <= toleranceSeconds)
+      .drop(lb("_rj_bin")).drop(rb("_rj_bin"))
+  }
 }

@@ -166,6 +166,29 @@ object EventQueries {
       .orderBy(col("event_id"))
   }
 
+  /** q244: keyed BAND join ([[graft.operators.RangeJoin.keyedBand]]) —
+    * every same-user view within ±1 hour of each purchase (the
+    * batch analog of q113's stream-stream interval join, and the
+    * keep-ALL-matches complement of q239's nearest-ONE): equi-key plus
+    * time tolerance planned as a shuffle equi-join on (user, time-bin)
+    * with the left side exploded into 3 adjacent bins — linear shuffle,
+    * no per-user cross product, no theta join. Tolerance compares
+    * floor-second epochs on both engines, so the boundary is exact. */
+  def bandViewsNearPurchase(s: SparkSession, dir: String): DataFrame = {
+    val base = ev(s, dir).select(col("event_id"), col("user_id"),
+      col("ts").cast("timestamp_ntz").as("ts"), col("event_type"))
+    val purchases = base.filter(col("event_type") === "purchase")
+      .drop("event_type")
+    val views = base.filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("ts").as("v_ts"))
+    graft.operators.RangeJoin
+      .keyedBand(purchases, "user_id", "ts", views, "v_user", "v_ts",
+        toleranceSeconds = 3600)
+      .groupBy(col("event_id"), col("user_id"))
+      .agg(count(lit(1)).as("n_views_1h"))
+      .orderBy(col("event_id"))
+  }
+
   /** Shared scaffold for the streaming-under-oracle queries: stage the
     * events parquet into a temp landing dir (FileStreamSource requires a
     * directory), apply the nanos→micros shim, run `transform` to a
@@ -674,6 +697,7 @@ object EventQueries {
     "q160_gap_fill_interp"   -> (gapFillInterpolate _),
     "q28_asof_last_order"    -> (asofLastOrder _),
     "q239_asof_nearest"      -> (asofNearestClick _),
+    "q244_keyed_band_join"   -> (bandViewsNearPurchase _),
     "q113_stream_attribution" -> (streamAttribution _),
     "q143_stream_outer_join" -> (streamOuterAttribution _),
     "q147_stream_value_state" -> (streamRunningSpend _),
@@ -989,6 +1013,16 @@ object EventQueries {
          |GROUP BY user_id, sid, wm_base
          |HAVING max(tms) + 1800000 < wm_base - 1800000
          |ORDER BY user_id, session_start""".stripMargin,
+    // q244: floor-second epochs on both sides make the tolerance
+    // boundary exact; the oracle is the plain theta join
+    "q244_keyed_band_join" ->
+      """SELECT p.event_id, p.user_id, count(*) AS n_views_1h
+        |FROM events p JOIN events v
+        |  ON v.user_id = p.user_id
+        | AND p.event_type = 'purchase' AND v.event_type = 'view'
+        | AND abs(epoch_us(p.ts) // 1000000
+        |       - epoch_us(v.ts) // 1000000) <= 3600
+        |GROUP BY 1, 2 ORDER BY 1""".stripMargin,
     // q239: both directional argmins replayed (backward prefers latest
     // ts then LARGEST id; forward earliest ts then SMALLEST id), nearest
     // by integer epoch-microsecond distance, exact ties to backward

@@ -50,6 +50,40 @@ class RangeJoinSpec extends SparkSpec {
     assert(out.toSeq == Seq(10L, 20L))
   }
 
+  test("keyedBand: inclusive boundary, key isolation, and theta-join " +
+    "equivalence on random data") {
+    import spark.implicits._
+    // hand-picked edges: exactly tol apart (match), one second over
+    // (no match), same times different key (no match)
+    val l = Seq(
+      (1L, 100L, new Timestamp(10000 * 1000L)),
+      (2L, 100L, new Timestamp(20000 * 1000L)),
+      (3L, 200L, new Timestamp(10000 * 1000L))
+    ).toDF("lid", "k", "lt")
+    val r = Seq(
+      (10L, 100L, new Timestamp((10000 + 3600) * 1000L)), // == tol from lid 1
+      (11L, 100L, new Timestamp((20000 + 3601) * 1000L)), // just over from lid 2
+      (12L, 300L, new Timestamp(10000 * 1000L))           // wrong key for lid 3
+    ).toDF("rid", "rk", "rt")
+    val got = RangeJoin.keyedBand(l, "k", "lt", r, "rk", "rt", 3600)
+      .select("lid", "rid").as[(Long, Long)].collect().toSet
+    assert(got == Set((1L, 10L)))
+    // randomized equivalence against the naive theta join
+    val rnd = new scala.util.Random(11)
+    val bigL = (1L to 300L).map(i =>
+      (i, rnd.nextInt(5).toLong, new Timestamp(rnd.nextInt(100000) * 1000L)))
+      .toDF("lid", "k", "lt")
+    val bigR = (1L to 300L).map(i =>
+      (i, rnd.nextInt(5).toLong, new Timestamp(rnd.nextInt(100000) * 1000L)))
+      .toDF("rid", "rk", "rt")
+    val banded = RangeJoin.keyedBand(bigL, "k", "lt", bigR, "rk", "rt", 1800)
+      .select("lid", "rid").as[(Long, Long)].collect().toSet
+    val naive = bigL.join(bigR, col("k") === col("rk") &&
+        abs(unix_timestamp(col("lt")) - unix_timestamp(col("rt"))) <= 1800)
+      .select("lid", "rid").as[(Long, Long)].collect().toSet
+    assert(banded == naive && naive.nonEmpty)
+  }
+
   test("matches the naive theta-join on random data") {
     import spark.implicits._
     val rnd = new scala.util.Random(7)
