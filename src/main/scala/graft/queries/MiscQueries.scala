@@ -385,6 +385,54 @@ object MiscQueries {
     s"$ctes SELECT * FROM ($arms) ORDER BY tbl, col_name"
   }
 
+  /** Candidate functional dependencies for q245 — one shared list drives
+    * the Spark checks and the generated oracle (q243's pattern). Mix of
+    * dependencies that HOLD (keys, 1:1 codes) and ones that genuinely
+    * FAIL on this data, so both verdict branches are exercised. */
+  private val fdCandidates: Seq[(String, String, String)] = Seq(
+    ("orders", "o_orderkey", "o_custkey"),       // PK → anything: holds
+    ("nation", "n_nationkey", "n_name"),         // 1:1 code table: holds
+    ("orders", "o_custkey", "o_orderstatus"),    // fails: many orders/cust
+    ("lineitem", "l_orderkey", "l_suppkey"),     // fails: multi-line orders
+    ("customer", "c_custkey", "c_mktsegment"))   // PK → attr: holds
+
+  /** q245: functional-dependency discovery — the schema-inference probe
+    * data catalogs run after q243's column profile: does column A
+    * determine column B? Checked exactly as `max distinct B per A
+    * group == 1`, one aggregate per candidate (groupBy A, countDistinct
+    * B, then a 1-row rollup of group/violation counts — two exchanges
+    * per candidate, partials absorb the scan). The candidate list mixes
+    * dependencies that hold with ones that fail so both verdict branches
+    * are live, and the oracle SQL is GENERATED from the same list. */
+  def fdCheck(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val rows = fdCandidates.map { case (t0, a, b) =>
+      val per = Tables.load(s, dir, t0)
+        .groupBy(col(a)).agg(countDistinct(col(b)).as("ndb"))
+      val r = per.agg(count(lit(1)).as("n_groups"),
+        sum(when(col("ndb") > 1, 1L).otherwise(0L)).as("n_violating"))
+        .head()
+      (t0, a, b, r.getLong(0), r.getLong(1), r.getLong(1) == 0L)
+    }
+    rows.toDF("tbl", "det", "dep", "n_groups", "n_violating", "holds")
+      .orderBy(col("tbl"), col("det"), col("dep"))
+  }
+
+  /** Generated oracle for q245 (see [[fdCandidates]]). */
+  private def fdCheckOracle: String = {
+    val arms = fdCandidates.map { case (t0, a, b) =>
+      s"""SELECT '$t0' AS tbl, '$a' AS det, '$b' AS dep,
+         |       count(*) AS n_groups,
+         |       CAST(sum(CASE WHEN ndb > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |         AS n_violating,
+         |       CAST(sum(CASE WHEN ndb > 1 THEN 1 ELSE 0 END) = 0
+         |            AS BOOLEAN) AS holds
+         |FROM (SELECT $a, count(DISTINCT $b) AS ndb FROM $t0
+         |      GROUP BY $a)""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"SELECT * FROM (\n$arms)\nORDER BY tbl, det, dep"
+  }
+
   /** q188: malformed-record handling on the CSV ingest path (S1's
     * fault-tolerant form): a staged file carries one broken line (a
     * non-numeric key — a type failure; the CSV reader silently ignores
@@ -676,6 +724,7 @@ object MiscQueries {
     "q187_jsonl_roundtrip" -> (jsonlRoundtrip _),
     "q232_orc_roundtrip"   -> (orcRoundtrip _),
     "q243_column_profile"  -> (columnProfile _),
+    "q245_fd_check"        -> (fdCheck _),
     "q188_csv_malformed"   -> (csvMalformed _),
     "q108_partition_pruned" -> (partitionPrunedScan _),
     "q115_dpp_join"         -> (dynamicPartitionPruned _),
@@ -842,6 +891,7 @@ object MiscQueries {
     // q232: the ORC round trip must reproduce the parquet original's
     // slice exactly — any writer/reader type or precision loss breaks it
     "q243_column_profile" -> columnProfileOracle,
+    "q245_fd_check"       -> fdCheckOracle,
     "q232_orc_roundtrip" ->
       """SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
         |       count(*) AS n_orders,
