@@ -894,15 +894,20 @@ object TextQueries {
     * scan, so a postings bug (lost doc, dup entry, bad tokenization)
     * breaks the value match. */
   def invertedIndex(s: SparkSession, dir: String): DataFrame = {
+    // probe pushdown: postings materialize only for the two probe
+    // terms, BEFORE the aggregate — the collect_list is bounded by the
+    // probe terms' df, not the vocabulary (a production index stores
+    // every term's postings segmented by doc range; a conjunction probe
+    // reads exactly its terms' segments, which is the shape this plans)
     val postings = docs(s, dir)
       .select(col("doc_id"),
         explode(array_distinct(split(trim(col("text")), "\\s+")))
           .as("term"))
+      .filter(col("term").isin("spark", "stream"))
       .groupBy(col("term"))
       .agg(count(lit(1)).as("df"),
         sort_array(collect_list(col("doc_id"))).as("postings"))
     val hit = postings
-      .filter(col("term").isin("spark", "stream"))
       .select(col("term"), explode(col("postings")).as("doc_id"))
     hit.groupBy(col("doc_id")).agg(count(lit(1)).as("n_terms"))
       .filter(col("n_terms") === 2)
@@ -1081,7 +1086,13 @@ object TextQueries {
     * histogram-bounded (≤ alphabet size), everything else is one
     * hash aggregate per level. */
   def charEntropy(s: SparkSession, dir: String): DataFrame = {
+    // empty-text guard (q241/q242's rule): Spark's sequence(1, 0) yields
+    // a DESCENDING [1, 0] — two empty-string histogram rows — while the
+    // oracle's range(1, length+1) is empty, so a zero-length doc would
+    // diverge (counted here, absent there). Excluding it up front gives
+    // both engines the same doc set.
     val hist = docs(s, dir)
+      .filter(length(col("text")) > 0)
       .select(col("doc_id"), col("source"),
         explode(expr(
           "transform(sequence(1, length(text)), i -> substr(text, i, 1))"))
