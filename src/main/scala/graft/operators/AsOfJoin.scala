@@ -25,6 +25,25 @@ import org.apache.spark.sql.functions._
   */
 object AsOfJoin {
 
+  /** Internal column names of the union-sort composition. An input frame
+    * already carrying one of these would silently shadow the tagged
+    * columns (or fail later with an ambiguous-reference error), so each
+    * entry point rejects the names IT uses up front — the same
+    * reserved-name contract [[RangeJoin.keyedBand]] enforces for
+    * `_rj_bin`. Per-direction sets (not one blanket list) because
+    * [[joinAsOfNearest]] legitimately pipes the backward output — which
+    * carries `_asof` — into the forward pass. */
+  private val tagCols = Seq("_k", "_t", "_side", "_tb", "_payload")
+
+  private def requireNoReserved(left: DataFrame, right: DataFrame,
+                                outCols: String*): Unit = {
+    val clash = (tagCols ++ outCols).filter(r =>
+      left.columns.contains(r) || right.columns.contains(r))
+    require(clash.isEmpty,
+      s"inputs must not contain the reserved column name(s) " +
+        clash.mkString(", "))
+  }
+
   /** @param left      left (probe) side
     * @param right     right (reference) side
     * @param key       equi-join key column name present on both sides
@@ -37,6 +56,7 @@ object AsOfJoin {
       left: DataFrame, right: DataFrame,
       key: String, leftTime: String, rightTime: String,
       rightTiebreak: String, payload: Seq[String]): DataFrame = {
+    requireNoReserved(left, right, "_asof")
     // the tiebreak is cast to long for the sort — fractional types would
     // truncate (equal-time rows differing only in the fraction become
     // indistinguishable, breaking the determinism guarantee, and ANSI
@@ -92,6 +112,7 @@ object AsOfJoin {
       left: DataFrame, right: DataFrame,
       key: String, leftTime: String, rightTime: String,
       rightTiebreak: String, payload: Seq[String]): DataFrame = {
+    requireNoReserved(left, right, "_asof_fwd")
     import org.apache.spark.sql.types._
     val tbType = right.schema(rightTiebreak).dataType
     val integral = tbType == ByteType || tbType == ShortType ||
@@ -141,6 +162,7 @@ object AsOfJoin {
       key: String, leftTime: String, rightTime: String,
       rightTiebreak: String, payload: Seq[String])(
       timeDistance: (Column, Column) => Column): DataFrame = {
+    requireNoReserved(left, right, "_asof", "_asof_fwd", "_asof_near")
     val leftCols = left.columns
     val back = joinAsOf(left, right, key, leftTime, rightTime,
       rightTiebreak, payload)

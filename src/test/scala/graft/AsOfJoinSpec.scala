@@ -101,4 +101,32 @@ class AsOfJoinSpec extends SparkSpec {
       .select(col("_asof.rid")).head()
     assert(joined.getLong(0) == 5L)
   }
+
+  test("reserved internal column names are rejected up front") {
+    import spark.implicits._
+    val left = Seq((1L, 100L, t("2024-01-01 10:00:00")))
+      .toDF("lid", "k", "lt")
+    val right = Seq((10L, 100L, t("2024-01-01 08:00:00")))
+      .toDF("rid", "k", "rt")
+    // a tag column on either side would be silently shadowed — rejected
+    val ex = intercept[IllegalArgumentException] {
+      AsOfJoin.joinAsOf(left.withColumn("_payload", lit(1)), right,
+        "k", "lt", "rt", "rid", Seq("rid"))
+    }
+    assert(ex.getMessage.contains("_payload"))
+    intercept[IllegalArgumentException] {
+      AsOfJoin.joinAsOfForward(left, right.withColumn("_asof_fwd", lit(1)),
+        "k", "lt", "rt", "rid", Seq("rid"))
+    }
+    intercept[IllegalArgumentException] {
+      AsOfJoin.joinAsOfNearest(left.withColumn("_asof_near", lit(1)), right,
+        "k", "lt", "rt", "rid", Seq("rid"))((a, b) =>
+        abs(unix_timestamp(a) - unix_timestamp(b)))
+    }
+    // the nearest composition itself (backward output carrying _asof
+    // into the forward pass) must still be accepted
+    val near = AsOfJoin.joinAsOfNearest(left, right, "k", "lt", "rt",
+      "rid", Seq("rid"))((a, b) => abs(unix_timestamp(a) - unix_timestamp(b)))
+    assert(near.select(col("_asof_near.rid")).head().getLong(0) == 10L)
+  }
 }
