@@ -132,16 +132,21 @@ object LakeTable {
   private[sources] def commitReplacing(spark: SparkSession, root: String,
                                        dataDirs: Seq[String],
                                        op: String): Int = {
-    // stats/bloom of surviving dirs stay valid — carry them like append
-    // does (MOR delete state can't appear here: the DSv2 scan feeding
-    // row-level ops fails fast on MOR tables)
+    // stats/bloom/ANN codes of surviving dirs stay valid — carry them
+    // like append does (MOR delete state can't appear here: the DSv2
+    // scan feeding row-level ops fails fast on MOR tables). The ANN
+    // model survives as long as any codes do; replaced dirs drop their
+    // codes with the dirs (the rewritten rows re-index on the next run).
     val carried = latestVersion(spark, root)
       .map(v => manifestMetaAt(spark, root, v)).getOrElse(Map.empty)
       .filter { case (k, _) =>
         (k.startsWith("stat:") &&
           dataDirs.exists(d => k.startsWith(s"stat:$d:"))) ||
         (k.startsWith("bloom:") &&
-          dataDirs.exists(d => k.startsWith(s"bloom:$d:")))
+          dataDirs.exists(d => k.startsWith(s"bloom:$d:"))) ||
+        k.startsWith("annmodel:") ||
+        (k.startsWith("anncodes:") &&
+          dataDirs.exists(d => k.startsWith(s"anncodes:$d:")))
       }
     commit(spark, root, dataDirs, Map("op" -> op) ++ carried)
   }
@@ -272,12 +277,14 @@ object LakeTable {
       .getOrElse(throw new IllegalStateException(s"no table at $root"))
     enforceConstraints(spark, root, cur, df)
     val dir = writeDataFiles(spark, root, df)
-    // stats/bloom of immutable prior groups stay valid; the table-wide
-    // MOR delete state must survive too (a deleted key stays deleted —
-    // see deleteWhereMor's contract)
+    // stats/bloom/ANN codes of immutable prior groups stay valid (the
+    // appended group is simply un-indexed until the next index run);
+    // the table-wide MOR delete state must survive too (a deleted key
+    // stays deleted — see deleteWhereMor's contract)
     val carried = manifestMeta(spark, root, cur)
       .filter { case (k, _) =>
         k.startsWith("stat:") || k.startsWith("bloom:") ||
+          k.startsWith("annmodel:") || k.startsWith("anncodes:") ||
           k == "deletes" || k == "deletekey" }
     commit(spark, root, readManifest(spark, root, cur) :+ dir,
       Map("op" -> "append") ++ carried ++
@@ -822,7 +829,10 @@ object LakeTable {
       (k.startsWith("stat:") &&
         large.exists(d => k.startsWith(s"stat:$d:"))) ||
       (k.startsWith("bloom:") &&
-        large.exists(d => k.startsWith(s"bloom:$d:")))
+        large.exists(d => k.startsWith(s"bloom:$d:"))) ||
+      k.startsWith("annmodel:") ||
+      (k.startsWith("anncodes:") &&
+        large.exists(d => k.startsWith(s"anncodes:$d:")))
     }
     commitVersion(spark, root, v + 1, large :+ newDir,
       carried + ("op" -> "optimize-small"))
@@ -853,6 +863,7 @@ object LakeTable {
     val carried = manifestMeta(spark, root, toVersion)
       .filter { case (k, _) =>
         k.startsWith("stat:") || k.startsWith("bloom:") ||
+          k.startsWith("annmodel:") || k.startsWith("anncodes:") ||
           k == "deletes" || k == "deletekey" }
     commit(spark, root, readManifest(spark, root, toVersion),
       carried + ("op" -> "restore") + ("restoredVersion" -> toVersion.toString))
@@ -912,14 +923,19 @@ object LakeTable {
     commitVersion(spark, root, v + 1, readManifest(spark, root, v),
       manifestMeta(spark, root, v).filter { case (k, _) =>
         k.startsWith("stat:") || k.startsWith("bloom:") ||
+          k.startsWith("annmodel:") || k.startsWith("anncodes:") ||
           k == "deletes" || k == "deletekey" } ++
         Map("op" -> "add-constraint", s"check:$name" -> predicateSql))
   }
 
   /** Validate an incoming batch against the table's CHECK constraints;
-    * throws before any data is written. */
-  private def enforceConstraints(spark: SparkSession, root: String,
-                                 v: Int, df: DataFrame): Unit = {
+    * throws before any data is written. Package-visible: the DSv2
+    * row-level write ([[GraftReplaceBatchWrite]]) validates its
+    * replacement rows through this too — a committed constraint is an
+    * admission gate on EVERY write path, including SQL UPDATE / MERGE
+    * INTO (Delta enforces CHECK on UPDATE as well). */
+  private[sources] def enforceConstraints(spark: SparkSession, root: String,
+                                          v: Int, df: DataFrame): Unit = {
     val checks = manifestMeta(spark, root, v)
       .collect { case (k, sql) if k.startsWith("check:") =>
         k.drop(6) -> sql }
@@ -963,12 +979,22 @@ object LakeTable {
       val k2 = dirs.zip(abs).foldLeft(k) { case (kk, (d, a)) =>
         if (kk.startsWith(s"stat:$d:")) s"stat:$a:" + kk.drop(6 + d.length)
         else if (kk.startsWith(s"bloom:$d:")) s"bloom:$a:" + kk.drop(7 + d.length)
+        else if (kk.startsWith(s"anncodes:$d:"))
+          s"anncodes:$a:" + kk.drop(10 + d.length)
         else kk
       }
+      // sidecar-path VALUES must also go absolute: bloom filters, ANN
+      // model/codes and delete lists all live under the SOURCE's root —
+      // a relative path would resolve under the clone's root, where no
+      // sidecar exists (Path(root, child) ignores root for absolute
+      // children, so the absolute form reads unchanged on the clone)
       val v2 =
         if (k == "deletes")
           value.split(",").map(r => new Path(srcRoot, r).toString)
             .mkString(",")
+        else if (k.startsWith("bloom:") || k.startsWith("annmodel:") ||
+            k.startsWith("anncodes:"))
+          new Path(srcRoot, value).toString
         else value
       k2 -> v2
     }

@@ -598,4 +598,158 @@ class LakeTableSpec extends SparkSpec {
       }
     }
   }
+
+  // ---- persisted IVF-PQ ANN index (graft.sources.LakeAnnIndex) ------
+
+  /** Every file under `<root>/_index`, name → (size, mtime) — the
+    * "existing sidecars untouched" fingerprint for incremental runs. */
+  private def indexFiles(root: String): Map[String, (Long, Long)] = {
+    import scala.jdk.CollectionConverters._
+    val p = java.nio.file.Paths.get(root, "_index")
+    if (!java.nio.file.Files.isDirectory(p)) Map.empty
+    else {
+      val w = java.nio.file.Files.walk(p)
+      try w.iterator().asScala.filter(java.nio.file.Files.isRegularFile(_))
+        .map(f => f.toString -> (java.nio.file.Files.size(f),
+          java.nio.file.Files.getLastModifiedTime(f).toMillis)).toMap
+      finally w.close()
+    }
+  }
+
+  test("ANN index: metadata-only commit, hybrid probe after append, " +
+    "incremental reindex, COW invalidation") {
+    withTable { root =>
+      import graft.sources.LakeAnnIndex
+      import spark.implicits._
+      val e = Tables.load(spark, sf, "embeddings")
+      LakeTable.create(spark, root, e.filter(col("vec_id") % 5 =!= 4))
+      val dirsV1 = LakeTable.dataDirPaths(spark, root)
+      val v2 = LakeAnnIndex.indexIvfPq(spark, root, "vec_id", "embedding")
+      // metadata-only commit: new version, same file groups
+      assert(v2 == 2 && LakeTable.dataDirPaths(spark, root) == dirsV1)
+      assert(LakeAnnIndex.coverage(spark, root, "embedding")._2.isEmpty)
+      // append carries the index; the new group is uncovered
+      LakeTable.append(spark, root, e.filter(col("vec_id") % 5 === 4))
+      val (coded1, open1) = LakeAnnIndex.coverage(spark, root, "embedding")
+      assert(coded1.size == 1 && open1.size == 1)
+      // a probe equal to an APPENDED vector must surface that row at
+      // rank 1 with d2 = 0 — the uncovered tail is exact-scanned, so
+      // correctness never waits for a re-index
+      val (pid, pvec) = e.filter(col("vec_id") % 5 === 4)
+        .select(col("vec_id"), col("embedding"))
+        .as[(Long, Array[Float])].orderBy(col("vec_id")).head()
+      val q = Seq((pid + 100000L, pvec)).toDF("vec_id", "embedding")
+      val top = LakeAnnIndex.annTopK(spark, root, q, "vec_id", "embedding",
+        "vec_id", "embedding", k = 3).orderBy(col("rank")).collect()
+      assert(top.length == 3)
+      assert(top.head.getAs[Long]("neighbor_id") == pid &&
+        top.head.getAs[Double]("d2") == 0.0)
+      // incremental reindex: model + existing codes sidecars reused
+      // byte-untouched; only the appended group encodes
+      val modelBefore = LakeAnnIndex.modelSidecar(spark, root, "embedding")
+      val before = indexFiles(root)
+      LakeAnnIndex.indexIvfPq(spark, root, "vec_id", "embedding")
+      assert(LakeAnnIndex.modelSidecar(spark, root, "embedding") == modelBefore)
+      val after = indexFiles(root)
+      assert(before.forall { case (f, sig) => after.get(f).contains(sig) },
+        "existing sidecar files were rewritten")
+      assert(after.size > before.size, "no codes sidecar for the new group")
+      assert(LakeAnnIndex.coverage(spark, root, "embedding")._2.isEmpty)
+      // a complete index is a version no-op
+      val vNow = LakeTable.versions(spark, root).last
+      assert(LakeAnnIndex.indexIvfPq(spark, root, "vec_id", "embedding") == vNow)
+      // full COW rewrite drops the entries with the dirs: the index is
+      // invalidated, probes fail fast, a rebuild restores service
+      LakeTable.compact(spark, root, 1)
+      val (coded2, open2) = LakeAnnIndex.coverage(spark, root, "embedding")
+      assert(coded2.isEmpty && open2.size == 1)
+      assert(LakeAnnIndex.modelSidecar(spark, root, "embedding").isEmpty)
+      intercept[IllegalStateException] {
+        LakeAnnIndex.annTopK(spark, root, q, "vec_id", "embedding",
+          "vec_id", "embedding", k = 3)
+      }
+      LakeAnnIndex.indexIvfPq(spark, root, "vec_id", "embedding")
+      assert(LakeAnnIndex.coverage(spark, root, "embedding")._2.isEmpty)
+      assert(LakeAnnIndex.annTopK(spark, root, q, "vec_id", "embedding",
+        "vec_id", "embedding", k = 3).count() == 3)
+    }
+  }
+
+  test("bloom and ANN sidecars resolve on a shallow clone (absolute " +
+    "paths); clone-side reindex never writes under the source") {
+    withTable { src => withTable { dst =>
+      import graft.sources.LakeAnnIndex
+      import spark.implicits._
+      val e = Tables.load(spark, sf, "embeddings")
+      LakeTable.create(spark, src, e)
+      LakeTable.indexBloom(spark, src, Seq("vec_id"))
+      LakeAnnIndex.indexIvfPq(spark, src, "vec_id", "embedding")
+      LakeTable.shallowClone(spark, src, dst)
+      // bloom probes on the clone read through the SOURCE's sidecars
+      // (values went absolute with the clone) — a present key finds its
+      // row, an absent key is pruned to zero groups before any footer
+      assert(LakeTable.readWhereEq(spark, dst, "vec_id", 7L).count() == 1)
+      assert(LakeTable.selectGroupsEq(spark, dst, "vec_id", 99000017L).isEmpty)
+      // ANN probes on the clone serve from the source's committed index
+      val (pid, pvec) = e.select(col("vec_id"), col("embedding"))
+        .as[(Long, Array[Float])].orderBy(col("vec_id")).head()
+      val q = Seq((pid + 100000L, pvec)).toDF("vec_id", "embedding")
+      val top = LakeAnnIndex.annTopK(spark, dst, q, "vec_id", "embedding",
+        "vec_id", "embedding", k = 1).head()
+      assert(top.getAs[Long]("neighbor_id") == pid &&
+        top.getAs[Double]("d2") == 0.0)
+      // clone diverges: its append is uncovered, and re-indexing the
+      // clone writes sidecars under the CLONE's root only
+      LakeTable.append(spark, dst,
+        e.filter(col("vec_id") < 50)
+          .select((col("vec_id") + 500000L).as("vec_id"), col("embedding")))
+      val srcIndexBefore = indexFiles(src)
+      LakeAnnIndex.indexIvfPq(spark, dst, "vec_id", "embedding")
+      assert(indexFiles(src) == srcIndexBefore,
+        "clone reindex touched source sidecars")
+      assert(LakeAnnIndex.coverage(spark, dst, "embedding")._2.isEmpty)
+      assert(LakeAnnIndex.coverage(spark, src, "embedding")._2.isEmpty)
+    } }
+  }
+
+  test("streamAppend carries the ANN index; incremental reindex covers " +
+    "the streamed batch") {
+    withTable { root =>
+      import graft.sources.LakeAnnIndex
+      implicit val sq = spark.sqlContext
+      import spark.implicits._
+      val e = Tables.load(spark, sf, "embeddings")
+      LakeTable.create(spark, root,
+        e.filter(col("vec_id") < 400).select(col("vec_id"), col("embedding")))
+      LakeAnnIndex.indexIvfPq(spark, root, "vec_id", "embedding")
+      // nightly-append shape: new vectors arrive as a micro-batch
+      val tail = e.filter(col("vec_id") >= 400)
+        .select(col("vec_id"), col("embedding"))
+        .as[(Long, Array[Float])].collect().toSeq
+      val mem = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, Array[Float])]
+      val sq2 = LakeTable.streamAppend(
+        mem.toDF().toDF("vec_id", "embedding"), root)
+      try {
+        mem.addData(tail: _*)
+        sq2.processAllAvailable()
+      } finally sq2.stop()
+      // the streamed commit carried the index; its group is uncovered
+      val (coded, open) = LakeAnnIndex.coverage(spark, root, "embedding")
+      assert(coded.size == 1 && open.size == 1)
+      // probes already see the streamed vectors (exact-scanned tail)
+      val (pid, pvec) = tail.minBy(_._1)
+      val q = Seq((pid + 100000L, pvec)).toDF("vec_id", "embedding")
+      assert(LakeAnnIndex.annTopK(spark, root, q, "vec_id", "embedding",
+        "vec_id", "embedding", k = 1).head().getAs[Long]("neighbor_id") == pid)
+      // bounded re-index: one new codes sidecar, old files untouched
+      val before = indexFiles(root)
+      LakeAnnIndex.indexIvfPq(spark, root, "vec_id", "embedding")
+      val after = indexFiles(root)
+      assert(before.forall { case (f, sig) => after.get(f).contains(sig) })
+      assert(LakeAnnIndex.coverage(spark, root, "embedding")._2.isEmpty)
+      assert(LakeAnnIndex.annTopK(spark, root, q, "vec_id", "embedding",
+        "vec_id", "embedding", k = 1).head().getAs[Long]("neighbor_id") == pid)
+    }
+  }
 }
