@@ -192,10 +192,22 @@ private[sources] final class GraftReplaceBatchWrite(
     val spark = SparkSession.active
     // dirs the scan pruned survive untouched; scanned dirs are replaced
     // by the freshly written group
-    val current = LakeTable.latestVersion(spark, root)
+    val currentV = LakeTable.latestVersion(spark, root)
+    val current = currentV
       .map(v => LakeTable.dataDirsAt(spark, root, v)).getOrElse(Seq.empty)
     val kept = current.filterNot(operation.scannedDirs.contains)
     val wrote = messages.collect { case GraftFileCommitted(n) => n }
+    // CHECK constraints gate this path too: an UPDATE/MERGE INTO writes
+    // NEW row values, so the replacement group is validated before the
+    // manifest commit — on violation the written files are removed and
+    // nothing is published (the same atomic-reject contract append and
+    // merge give). Carryover rows of replaced groups re-validate for
+    // free: they passed at their own admission and still do.
+    if (wrote.nonEmpty) currentV.foreach { v =>
+      try LakeTable.enforceConstraints(spark, root, v,
+        spark.read.parquet(s"$root/$dataDir"))
+      catch { case e: Throwable => abort(messages); throw e }
+    }
     if (wrote.isEmpty && kept.isEmpty) {
       // zero surviving rows anywhere: publish a readable empty group so
       // the new version scans to an empty frame instead of failing

@@ -256,6 +256,41 @@ class GraftLakeCatalogSpec extends SparkSpec {
     }
   }
 
+  test("CHECK constraints gate the DSv2 row-level write path (UPDATE/MERGE)") {
+    withWarehouse("lakeM") { wh =>
+      import spark.implicits._
+      val root = s"$wh/t1"
+      LakeTable.create(spark, root,
+        Seq((1L, 10.0), (2L, 20.0), (3L, 30.0)).toDF("id", "v"))
+      LakeTable.addCheckConstraint(spark, root, "positive", "v > 0")
+      val vBefore = LakeTable.versions(spark, root).last
+      // an UPDATE that would write violating rows is rejected atomically:
+      // no new version, no new data files, table content unchanged
+      val ex = intercept[Exception] {
+        spark.sql("UPDATE lakeM.t1 SET v = v - 100 WHERE id >= 2")
+      }
+      def msgs(t: Throwable): Seq[String] =
+        if (t == null) Nil else String.valueOf(t.getMessage) +: msgs(t.getCause)
+      assert(msgs(ex).exists(_.contains("CHECK constraint positive")))
+      assert(LakeTable.versions(spark, root).last == vBefore)
+      assert(spark.sql("SELECT sum(v) FROM lakeM.t1").head.getDouble(0) == 60.0)
+      // MERGE INTO with violating inserts is rejected the same way
+      Seq((4L, -5.0)).toDF("id", "v").createOrReplaceTempView("lakem_bad")
+      val ex2 = intercept[Exception] {
+        spark.sql(
+          """MERGE INTO lakeM.t1 t USING lakem_bad u ON t.id = u.id
+            |WHEN MATCHED THEN UPDATE SET *
+            |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+      }
+      assert(msgs(ex2).exists(_.contains("CHECK constraint positive")))
+      assert(spark.sql("SELECT count(*) FROM lakeM.t1").head.getLong(0) == 3)
+      // a conforming UPDATE still commits normally
+      spark.sql("UPDATE lakeM.t1 SET v = v + 1 WHERE id >= 2")
+      assert(spark.sql("SELECT sum(v) FROM lakeM.t1").head.getDouble(0) == 62.0)
+      spark.catalog.dropTempView("lakem_bad")
+    }
+  }
+
   test("SQL DELETE commits copy-on-write; time travel keeps history") {
     withWarehouse("lakeD") { wh =>
       LakeTable.create(spark, s"$wh/t1", Tables.load(spark, sf, "nation"))
