@@ -25,6 +25,12 @@ import org.apache.spark.sql.execution.window.{WindowExec, WindowGroupLimitExec}
   *    input is not already an aggregate/limit (a global agg's final
   *    stage moves one partial row per task — bounded and fine; anything
   *    else funnels rows).
+  *  - `unbounded-collect`: a collect_list / collect_set aggregate —
+  *    per-group state proportional to group size, the bucket-explode
+  *    pattern's failure mode when its df-band cap is missing (one hot
+  *    key OOMs its task at scale). Allowlisted sites must argue the
+  *    collected group is BOUNDED (a capped posting list, a value
+  *    domain, a df-band).
   *
   * Used by PlanShapeLintSpec, which sweeps every SparkEntry query and
   * fails on any finding outside its adjudicated allowlist — so a new
@@ -59,6 +65,22 @@ object PlanLint {
             s"groupLimit orderBy=${w.orderSpec.map(_.sql).mkString(",")}")
         case c: CartesianProductExec =>
           out += Finding("cartesian-product", c.nodeName)
+        // collect_list/collect_set accumulate whole groups as state;
+        // flag once per logical aggregate (Final/Complete mode — the
+        // Partial stage carries the same expression)
+        case a: BaseAggregateExec =>
+          import org.apache.spark.sql.catalyst.expressions.aggregate._
+          a.aggregateExpressions.foreach { ae =>
+            val unbounded = ae.aggregateFunction match {
+              case c: CollectList => Some(s"collect_list(${c.child.sql})")
+              case c: CollectSet  => Some(s"collect_set(${c.child.sql})")
+              case _              => None
+            }
+            unbounded.foreach { d =>
+              if (ae.mode == Final || ae.mode == Complete)
+                out += Finding("unbounded-collect", d)
+            }
+          }
         // SinglePartition (planner-required, e.g. under a global window)
         // or an explicit 1-partition repartition both funnel rows; a
         // RangePartitioning that HAPPENS to sample one partition at toy

@@ -30,7 +30,31 @@ class PlanShapeLintSpec extends SparkSpec {
       "cumulative CDF over the distinct-VALUE domain (bounded), not rows",
     "q63_embed_top_pairs_lsh" ->
       ("rank-order check over the broadcast top-20 pair list — the " +
-        "window input is .limit(20)-bounded upstream, 20 rows forever"))
+        "window input is .limit(20)-bounded upstream, 20 rows forever"),
+    // unbounded-collect adjudications: each collected group is bounded
+    // by a value domain, a single row's own size, or an explicit df cap
+    "q69_order_bounds" ->
+      ("collect of ONE customer's orders — per-key constant of the " +
+        "generator (orders/customer does not grow with SF)"),
+    "q76_segment_status_list" ->
+      "collect_set over the order-status VALUE DOMAIN ({F,O,P}) — bounded",
+    "q78_status_maps" ->
+      "collect over per-priority status counts — status domain bounded",
+    "q125_dedup_repetition" ->
+      ("collect of one DOCUMENT's distinct words — bounded by that " +
+        "doc's own length, per-row not corpus-proportional state"),
+    "q196_inverted_index" ->
+      ("postings collected only for the two PROBE terms (filter pushed " +
+        "below the aggregate) — bounded by probe df, the working set a " +
+        "segmented production index reads for the same conjunction"),
+    "q231_shared_spans" ->
+      ("bucket-explode seed join: the df-band [2,50] kills hot grams " +
+        "at the bucket boundary; peak transient state is one gram's " +
+        "occurrence list (a bounded-collect aggregate that aborts past " +
+        "the ceiling is the documented 100 TB hardening, PLANS.md)"),
+    "q240_sparse_dot_pairs" ->
+      ("df-band pre-join (df BETWEEN 2 AND 50) caps every collected " +
+        "posting list at 50 docs before the aggregate sees it"))
 
   test("lint flags deliberately-bad fixtures") {
     import spark.implicits._
@@ -51,6 +75,17 @@ class PlanShapeLintSpec extends SparkSpec {
       .withColumn("y", col("x") * 2)
     assert(PlanLint.lint(rep).exists(_.kind == "single-partition-exchange"),
       "repartition(1) funnel not flagged")
+    // 4. the df-band-less bucket-explode shape: a whole group as one
+    // aggregation buffer (the q231/q240 failure mode when the cap is
+    // missing — one hot key OOMs its task at scale)
+    val clst = (1 to 100).toDF("x").withColumn("k", col("x") % 3)
+      .groupBy(col("k")).agg(collect_list(col("x")).as("xs"))
+    assert(PlanLint.lint(clst).exists(_.kind == "unbounded-collect"),
+      "unbanded collect_list not flagged")
+    val cset = (1 to 100).toDF("x").withColumn("k", col("x") % 3)
+      .groupBy(col("k")).agg(collect_set(col("x")).as("xs"))
+    assert(PlanLint.lint(cset).exists(_.kind == "unbounded-collect"),
+      "unbanded collect_set not flagged")
     // and the legitimate shapes stay silent
     val agg = (1 to 100).toDF("x").agg(sum(col("x")).as("s"))
     assert(PlanLint.lint(agg).isEmpty, "1-row global agg wrongly flagged")
