@@ -44,9 +44,17 @@ object Bench {
     // timed TWICE and the minimum reported: the min is the robust
     // estimator against external load spikes on a shared machine (a
     // single pass has been observed to read 1.5-2x high when an
-    // unrelated process grabs the cores mid-run).
-    val results = selected.map { case (name, fn) =>
-      val dt = (1 to 2).map { _ =>
+    // unrelated process grabs the cores mid-run). The two iterations
+    // run as two FULL PASSES over the suite (not back-to-back per
+    // query): back-to-back min-of-2 cannot defeat a contention window
+    // longer than one query — rounds 6-8 each saw a contiguous block
+    // of sub-second queries read 3-7x high with unchanged code, and the
+    // same block measured clean minutes later (PLANS.md, round-8
+    // postmortem). With the passes ~90s apart, a spike must span the
+    // WHOLE run to poison a min. Same total cost as before.
+    val times = scala.collection.mutable.Map.empty[String, Double]
+    (1 to 2).foreach { _ =>
+      selected.foreach { case (name, fn) =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
         val d = (System.nanoTime() - t0) / 1e9
@@ -54,10 +62,10 @@ object Bench {
         // otherwise pin them for the rest of the run, skewing later
         // timings; the drop happens after the timed action
         spark.sharedState.cacheManager.clearCache()
-        d
-      }.min
-      name -> dt
+        times(name) = times.get(name).fold(d)(math.min(_, d))
+      }
     }
+    val results = selected.map { case (name, _) => name -> times(name) }
     // The driver captures only the last ~2000 chars of output; keep the
     // JSON line well under that (short qNN keys, 3-decimal seconds) so it
     // survives the tail window intact and parses.
