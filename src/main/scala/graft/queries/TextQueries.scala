@@ -1046,11 +1046,21 @@ object TextQueries {
     // one gram pass, one shuffle: bucket occurrences by gram hash and
     // explode ordered pairs INSIDE each bucket — a self-join on h would
     // re-run the md5 gram generation once per join side (4 scans: the
-    // round-7 plan audit measured it at 4.3 s; this shape is one)
+    // round-7 plan audit measured it at 4.3 s; this shape is one).
+    // The bucket build is banded_collect, not collect_list: a gram
+    // past 50 distinct docs kills its buffer the moment the 51st doc
+    // arrives (state freed, NULL out) instead of materializing the hot
+    // gram's entire occurrence list first — the boilerplate-gram OOM
+    // class PlanLint's unbounded-collect rule polices, closed by
+    // construction ([[graft.functions.BandedCollectAgg]]).
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    val banded = graft.functions.BandedCollectAgg(
+      ColumnBridge.expression(col("doc_id")),
+      ColumnBridge.expression(col("i")), maxKeys = 50)
     val buckets = grams.groupBy(col("h"))
-      .agg(collect_list(struct(col("doc_id"), col("i"))).as("xs"))
-      .filter(expr("size(array_distinct(transform(xs, x -> x.doc_id)))")
-        .between(2, 50))
+      .agg(ColumnBridge.column(banded.toAggregateExpression()).as("xs"))
+      .filter(col("xs").isNotNull &&
+        expr("size(array_distinct(transform(xs, x -> x.doc_id)))") >= 2)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_a"), col("doc_b"), col("diag")).orderBy(col("pa"))
     buckets

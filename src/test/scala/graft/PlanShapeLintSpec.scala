@@ -47,11 +47,10 @@ class PlanShapeLintSpec extends SparkSpec {
       ("postings collected only for the two PROBE terms (filter pushed " +
         "below the aggregate) — bounded by probe df, the working set a " +
         "segmented production index reads for the same conjunction"),
-    "q231_shared_spans" ->
-      ("bucket-explode seed join: the df-band [2,50] kills hot grams " +
-        "at the bucket boundary; peak transient state is one gram's " +
-        "occurrence list (a bounded-collect aggregate that aborts past " +
-        "the ceiling is the documented 100 TB hardening, PLANS.md)"),
+    // q231 is deliberately ABSENT: its bucket build is banded_collect
+    // (BandedCollectAgg) — a hot gram kills its own buffer at the 51st
+    // distinct doc, so the unbounded-collect shape no longer exists in
+    // its plan at all
     "q240_sparse_dot_pairs" ->
       ("df-band pre-join (df BETWEEN 2 AND 50) caps every collected " +
         "posting list at 50 docs before the aggregate sees it"))
