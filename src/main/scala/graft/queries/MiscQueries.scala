@@ -348,7 +348,11 @@ object MiscQueries {
     * result is assembled driver-side from each table's single aggregate
     * row; the oracle SQL is GENERATED from the same (table, columns)
     * list the Spark side iterates, so coverage cannot silently
-    * diverge. */
+    * diverge. EXACT countDistinct is the declared ANALYZE semantic the
+    * oracle can replay; the 100 TB profile swaps each `countDistinct`
+    * for `approx_count_distinct` (HLL — the q47/q97/q112 exact+sketch
+    * pairing), turning the Expand pass's per-distinct shuffle state
+    * into fixed-size sketch buffers with everything else unchanged. */
   def columnProfile(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val rows = profileCols.flatMap { case (t0, cols) =>

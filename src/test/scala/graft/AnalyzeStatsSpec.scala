@@ -48,4 +48,27 @@ class AnalyzeStatsSpec extends SparkSpec {
       } finally spark.conf.set("spark.sql.cbo.enabled", "false")
     } finally spark.sql("DROP TABLE IF EXISTS orders_stats_t")
   }
+
+  test("q243's 100 TB twin: the same profile plan with " +
+    "approx_count_distinct lands within HLL error of the exact counts") {
+    // same wide-aggregate shape as MiscQueries.columnProfile, with each
+    // exact countDistinct swapped for the HLL sketch (the q47/q97/q112
+    // exact+sketch pairing the q243 scaladoc names as the scale path) —
+    // per-distinct Expand shuffle state becomes fixed-size buffers
+    val orders = Tables.load(spark, sf, "orders")
+    val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
+      "o_totalprice", "o_orderdate", "o_orderpriority")
+    def profile(distinct: String => org.apache.spark.sql.Column) = {
+      val aggs = cols.map(c => distinct(c).as(s"nd_$c"))
+      orders.agg(aggs.head, aggs.tail: _*).head()
+    }
+    val exact = profile(c => countDistinct(col(c)))
+    val approx = profile(c => approx_count_distinct(col(c), 0.02))
+    cols.zipWithIndex.foreach { case (c, i) =>
+      val e = exact.getLong(i).toDouble
+      val a = approx.getLong(i).toDouble
+      assert(math.abs(a - e) <= math.max(2.0, 0.05 * e),
+        s"$c: approx $a vs exact $e beyond the 5% HLL band")
+    }
+  }
 }
