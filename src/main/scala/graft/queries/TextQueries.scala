@@ -1081,6 +1081,52 @@ object TextQueries {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** Content-defined chunk stream (FastCDC/LBFS family, Muthitacharoen
+    * et al. SOSP'01): boundaries fall where the rolling 4-token window's
+    * hash ≡ 0 (mod 8), so they are a function of CONTENT, not position —
+    * an insertion shifts every fixed-width chunk after it (q142/q222's
+    * weakness) but CDC boundaries re-synchronize at the next content
+    * match and the rest of the document dedups unchanged. One HOF pass
+    * in the scan stage (cut positions → start/end zip → chunk slices),
+    * no shuffle until the caller aggregates; the window hash reuses the
+    * q207 md5-prefix parity trick so DuckDB replays boundaries exactly.
+    * Shared with the insertion-robustness spec (TextDedupSpec). */
+  private[graft] def cdcChunkStream(df: DataFrame): DataFrame =
+    df.select(col("doc_id"), col("source"),
+        split(trim(col("text")), "\\s+").as("ws"))
+      .withColumn("n", size(col("ws")))
+      .withColumn("cuts", expr(
+        """CASE WHEN n >= 5 THEN
+          |  filter(sequence(4, n - 1), i ->
+          |    CAST(conv(substring(md5(concat_ws(' ',
+          |      slice(ws, i - 3, 4))), 1, 8), 16, 10) AS BIGINT) % 8 = 0)
+          |ELSE CAST(array() AS array<int>) END""".stripMargin))
+      .withColumn("se", explode(expr(
+        "zip_with(concat(array(1), transform(cuts, b -> b + 1)), " +
+          "concat(cuts, array(n)), (s, e) -> struct(s, e))")))
+      .select(col("doc_id"), col("source"),
+        md5(expr("concat_ws(' ', slice(ws, se.s, se.e - se.s + 1))")).as("h"),
+        expr("se.e - se.s + 1").cast("long").as("ctoks"))
+
+  /** q247: content-defined chunk dedup — the storage/dedup report over
+    * [[cdcChunkStream]]'s chunks: per source, total vs distinct chunks
+    * and the token savings exact chunk-level dedup would bank. Two
+    * hash aggregates (chunk-hash groups, then per-source rollup), both
+    * partial-aggregated; at 100 TB the chunk-hash groupBy is the only
+    * data-sized shuffle and the chunk table is the persisted artifact.
+    * Every value is integer-exact; DuckDB replays the full boundary
+    * arithmetic. */
+  def cdcChunkDedup(s: SparkSession, dir: String): DataFrame =
+    cdcChunkStream(docs(s, dir))
+      .groupBy(col("source"), col("h"))
+      .agg(count(lit(1)).as("c"), max(col("ctoks")).as("t"))
+      .groupBy(col("source"))
+      .agg(sum(col("c")).as("n_chunks"),
+        count(lit(1)).as("n_unique_chunks"),
+        sum(col("c") * col("t")).as("total_chunk_tokens"),
+        sum((col("c") - 1) * col("t")).as("dup_token_savings"))
+      .orderBy(col("source"))
+
   /** q234: character-entropy quality signal — the low-entropy-spam
     * filter (repeated-character runs, keyboard mash, template spam all
     * score far below natural text; CCNet-family pipelines use exactly
@@ -1282,6 +1328,7 @@ object TextQueries {
     "q109_neardup_components" -> (neardupComponents _),
     "q138_cc_star_contraction" -> (neardupComponentsStar _),
     "q219_source_dup_matrix"  -> (sourceDupMatrix _),
+    "q247_cdc_chunk_dedup"    -> (cdcChunkDedup _),
     "q222_rag_chunking"       -> (ragChunking _),
     "q220_dedup_savings"      -> (dedupSavings _),
     "q221_incremental_dedup"  -> (incrementalDedupProbe _),
@@ -1347,6 +1394,40 @@ object TextQueries {
       |FROM comp ORDER BY doc_id""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // q247: full boundary-arithmetic replay — the same 4-token-window
+    // md5-prefix hash (q207's hex parity trick) decides every cut on
+    // both engines, so chunk hashes and token counts match exactly;
+    // sums cast to BIGINT against DuckDB's HUGEINT widening
+    "q247_cdc_chunk_dedup" ->
+      """WITH t AS (SELECT doc_id, source,
+        |            string_split_regex(trim(text), '\s+') AS ws
+        |          FROM documents),
+        |b AS (SELECT source, ws, len(ws) AS n,
+        |        CASE WHEN len(ws) >= 5 THEN
+        |          list_filter(range(4, len(ws)), i ->
+        |            ('0x' || substr(md5(array_to_string(
+        |               list_slice(ws, i - 3, i), ' ')), 1, 8))::BIGINT
+        |              % 8 = 0)
+        |        ELSE []::BIGINT[] END AS cuts
+        |      FROM t),
+        |z AS (SELECT source, ws,
+        |        unnest(list_zip(
+        |          list_prepend(1::BIGINT,
+        |                       list_transform(cuts, b -> b + 1)),
+        |          list_append(cuts, n::BIGINT))) AS se
+        |      FROM b),
+        |ch AS (SELECT source,
+        |         md5(array_to_string(
+        |           list_slice(ws, se[1]::INT, se[2]::INT), ' ')) AS h,
+        |         se[2] - se[1] + 1 AS ctoks
+        |       FROM z),
+        |g AS (SELECT source, h, count(*) AS c, max(ctoks) AS t
+        |      FROM ch GROUP BY source, h)
+        |SELECT source, CAST(sum(c) AS BIGINT) AS n_chunks,
+        |       count(*) AS n_unique_chunks,
+        |       CAST(sum(c * t) AS BIGINT) AS total_chunk_tokens,
+        |       CAST(sum((c - 1) * t) AS BIGINT) AS dup_token_savings
+        |FROM g GROUP BY source ORDER BY source""".stripMargin,
     // q240: integer-exact sparse dot — idf quantized to 3 decimals and
     // scaled ×1000; the df band and the tie-broken top-20 replay verbatim
     "q240_sparse_dot_pairs" ->

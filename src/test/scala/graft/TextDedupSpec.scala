@@ -277,6 +277,38 @@ class TextDedupSpec extends SparkSpec {
     }
   }
 
+  test("q247 CDC chunking re-synchronizes after an insertion; " +
+    "fixed-width chunking loses every boundary") {
+    val base = docs.select(col("doc_id"), col("source"), col("text"))
+    // a 3-token prefix insertion — the edit fixed-width chunking can't absorb
+    val perturbed = base.withColumn("text",
+      concat(lit("zzz0 zzz1 zzz2 "), col("text")))
+    val orig = TextQueries.cdcChunkStream(base)
+    val pert = TextQueries.cdcChunkStream(perturbed)
+    val cdcShared = pert
+      .join(orig, Seq("doc_id", "h"), "left_semi").count().toDouble /
+      pert.count()
+    // CDC boundaries depend only on window CONTENT: cuts inside the
+    // original text land at the same content positions, so everything
+    // past the first chunk dedups against the unperturbed original
+    assert(cdcShared >= 0.5, s"CDC shared-chunk fraction $cdcShared < 0.5")
+    // fixed-width 8-token chunks: the 3-token shift moves every
+    // boundary, so (near-)zero chunks survive the insertion
+    def fixedChunks(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("doc_id"),
+        split(trim(col("text")), "\\s+").as("ws"))
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(ws), 8), " +
+          "i -> md5(concat_ws(' ', slice(ws, i, 8))))")).as("h"))
+    val fOrig = fixedChunks(base)
+    val fPert = fixedChunks(perturbed)
+    val fixedShared = fPert
+      .join(fOrig, Seq("doc_id", "h"), "left_semi").count().toDouble /
+      fPert.count()
+    assert(fixedShared < cdcShared / 2,
+      s"fixed-width shared $fixedShared not clearly worse than CDC $cdcShared")
+  }
+
   test("q223 weighted sample: exactly 200 kept, size-biased") {
     val rows = graft.queries.PipelineQueries
       .weightedSample(spark, sf).collect()
