@@ -563,7 +563,96 @@ object VectorQueries {
         "survivors_kept", "recall_ok")
   }
 
+  /** q248: distributed PCA fit over the embedding corpus — the
+    * whitening/dimensionality-reduction step a vector pipeline runs
+    * before ANN indexing or SemDeDup (decorrelated dims make IVF/PQ
+    * subspaces honest). Fit-small/score-wide split: the SCATTER matrix
+    * Σ(v−μ)(v−μ)ᵀ is computed DISTRIBUTED and EXACTLY — per-dim means
+    * pinned by the q217 6-dp rounding rule, every cross product
+    * quantized through DECIMAL(25,12) so the 64×64 sums are
+    * order-insensitive and bit-identical under any partitioning — then
+    * collected (d² values, KBs) and eigendecomposed on the driver with
+    * fixed-sweep cyclic Jacobi ([[graft.vector.Pca]], deterministic,
+    * sign-normalized). The scatter pass is JOIN-FREE: per vector the
+    * centered array is one zip_with against the broadcast mean literal,
+    * the (i, j ≥ i) upper-triangle products explode map-side, and the
+    * partial aggregate absorbs the d²/2-per-vector fan-out — nothing
+    * data-sized ever shuffles (the exchange moves ≤ d²/2 partial rows
+    * per partition). A vec_id self-join formulation was measured at
+    * 6.5 s vs this shape's ~1 s at sf0.1 and rejected. At 100 TB the
+    * same plan holds — one data pass, driver state d².
+    *
+    * Oracle (q84's promotion pattern): the SQL-knowable facts exactly —
+    * corpus size, dim, and the DECIMAL-exact scatter TRACE (DuckDB
+    * replays the same quantized arithmetic) — plus the deterministic
+    * eigen gates pinned to constants: orthonormality defect < 1e-9,
+    * eigen residual ‖Sv−λv‖/λmax < 1e-8, descending eigenvalues, eig
+    * sum ≡ trace (1e-6 relative), and top-8 variance fraction above the
+    * uniform 8/64 floor (ordered eigenvalues make it strict). */
+  def embedPca(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val dim = 64
+    val ex = emb(s, dir)
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("i", "v")))
+      .select(col("vec_id"), col("i"), col("v").cast("double").as("v"))
+    // 6-dp-pinned per-dim means (q217's rule), broadcast as a literal
+    // array — the fit's only pre-pass
+    val mArr = ex.groupBy(col("i")).agg(round(avg(col("v")), 6).as("m"))
+      .orderBy(col("i")).collect().map(_.getDouble(1))
+    // join-free triangular fan-out: per vector, the centered array is
+    // one zip_with; (i, j ≥ i) product pairs explode map-side and the
+    // partial aggregate absorbs them — NOTHING data-sized shuffles
+    // (the exchange carries ≤ d²/2 partial rows per partition)
+    // spread the fan-out: the corpus parquet is a handful of input
+    // splits, but each row explodes into d²/2 product terms — without
+    // this tiny-row shuffle the whole quadratic stage runs in one task.
+    // The partition count is EXPLICIT: pre-explode rows are KBs, so
+    // AQE's size-based coalescing folds an unsized repartition straight
+    // back to one partition (measured: 4.2 s unsized vs 1.3 s explicit
+    // at sf0.1 — the generate fan-out is invisible to the size
+    // estimator). At real scale input splits are plentiful and this is
+    // a no-op-sized exchange.
+    val scatterRows = emb(s, dir)
+      .repartition(32, col("vec_id"))
+      .select(expr(
+        "zip_with(embedding, " +
+          mArr.mkString("array(", ",", ")") +
+          ", (a, b) -> CAST(a AS DOUBLE) - b)").as("cv"))
+      .select(posexplode(col("cv")).as(Seq("i", "ci")), col("cv"))
+      .select(col("i"), col("ci"),
+        posexplode(expr(s"slice(cv, i + 1, $dim - i)")).as(Seq("o", "cj")))
+      .select(col("i"), (col("i") + col("o")).as("j"),
+        expr("CAST(ci * cj AS DECIMAL(25,12))").as("t"))
+      .groupBy(col("i"), col("j"))
+      .agg(sum(col("t")).as("sij"))
+      .collect()
+    val mS = Array.ofDim[Double](dim, dim)
+    var trace = java.math.BigDecimal.ZERO
+    scatterRows.foreach { r =>
+      val i = r.getInt(0); val j = r.getInt(1)
+      val sij = r.getDecimal(2)
+      mS(i)(j) = sij.doubleValue()
+      mS(j)(i) = sij.doubleValue()
+      if (i == j) trace = trace.add(sij)
+    }
+    val (vals, vecs) = graft.vector.Pca.jacobiEigen(mS)
+    val trace6 = trace
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    val orthoOk = graft.vector.Pca.orthonormalDefect(vecs) < 1e-9
+    val residOk = graft.vector.Pca.eigenResidual(mS, vals, vecs) < 1e-8
+    val descOk = vals.toSeq.sliding(2).forall(p => p(0) >= p(1) - 1e-9)
+    val traceOk = math.abs(vals.sum - trace.doubleValue()) <=
+      1e-6 * math.max(1.0, trace.doubleValue())
+    val top8Ok = vals.take(8).sum / vals.sum > 8.0 / 64.0
+    val n = emb(s, dir).count()
+    Seq((n, 64L, trace6, orthoOk, residOk, descOk, traceOk, top8Ok))
+      .toDF("n_vecs", "dim", "trace_6dp", "orthonormal_ok",
+        "eig_residual_ok", "eig_descending_ok", "trace_matches_ok",
+        "top8_var_ok")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q248_embed_pca"       -> (embedPca _),
     "q183_semantic_dedup"  -> (semanticDedup _),
     "q158_pq_recall_bound" -> (pqRecallBound _),
     "q178_embed_dedup"     -> (embedDedupSurvivors _),
@@ -580,6 +669,24 @@ object VectorQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // q248: SQL-knowable facts exact (count, dim, DECIMAL-quantized
+    // scatter trace — the same 6-dp mean + DECIMAL(25,12) product
+    // arithmetic as q217); eigen gates deterministic → pinned true
+    "q248_embed_pca" ->
+      """WITH ex AS (SELECT vec_id, r.range AS i,
+        |              CAST(embedding[r.range::INT + 1] AS DOUBLE) AS v
+        |            FROM embeddings CROSS JOIN range(0, 64) r),
+        |m AS (SELECT i, round(avg(v), 6) AS m FROM ex GROUP BY i),
+        |tr AS (SELECT CAST(sum(CAST((v - m) * (v - m)
+        |                AS DECIMAL(25,12))) AS DECIMAL(35,12)) AS trace
+        |       FROM ex JOIN m USING (i))
+        |SELECT (SELECT count(*) FROM embeddings) AS n_vecs,
+        |       CAST(64 AS BIGINT) AS dim,
+        |       CAST(round(trace, 6) AS DOUBLE) AS trace_6dp,
+        |       true AS orthonormal_ok, true AS eig_residual_ok,
+        |       true AS eig_descending_ok, true AS trace_matches_ok,
+        |       true AS top8_var_ok
+        |FROM tr""".stripMargin,
     // q183: ground-truth member/ideal-drop counts from the same
     // recursive-CTE rebuild as q178; the cluster-dependent outcomes pin
     // as gates (subset/survivors by construction, recall by measured

@@ -119,4 +119,29 @@ class VectorSpec extends SparkSpec {
       .collect()
     r.foreach(row => assert(math.abs(row.getDouble(0) - 1.0) < 1e-9))
   }
+
+  test("Jacobi eigen: known spectrum, orthonormal vectors, determinism") {
+    import graft.vector.Pca
+    // [[2,1],[1,2]] → eigenvalues 3, 1; vectors (1,1)/√2 and (1,−1)/√2
+    val m2 = Array(Array(2.0, 1.0), Array(1.0, 2.0))
+    val (v2, e2) = Pca.jacobiEigen(m2)
+    assert(math.abs(v2(0) - 3.0) < 1e-12 && math.abs(v2(1) - 1.0) < 1e-12)
+    val s = 1.0 / math.sqrt(2.0)
+    assert(math.abs(e2(0)(0) - s) < 1e-12 && math.abs(e2(0)(1) - s) < 1e-12)
+    assert(Pca.orthonormalDefect(e2) < 1e-12)
+    assert(Pca.eigenResidual(m2, v2, e2) < 1e-12)
+    // a bigger symmetric matrix: residual + orthonormality + trace
+    val n = 16
+    val big = Array.tabulate(n, n)((i, j) =>
+      1.0 / (1 + i + j) + (if (i == j) 2.0 else 0.0))
+    val (vals, vecs) = Pca.jacobiEigen(big)
+    assert(Pca.orthonormalDefect(vecs) < 1e-10)
+    assert(Pca.eigenResidual(big, vals, vecs) < 1e-10)
+    assert(vals.toSeq.sliding(2).forall(p => p(0) >= p(1) - 1e-12))
+    assert(math.abs(vals.sum - (0 until n).map(i => big(i)(i)).sum) < 1e-9)
+    // bit-determinism: same input → identical decomposition
+    val (vals2, vecs2) = Pca.jacobiEigen(big.map(_.clone()))
+    assert(vals.sameElements(vals2))
+    assert(vecs.zip(vecs2).forall { case (a, b) => a.sameElements(b) })
+  }
 }
