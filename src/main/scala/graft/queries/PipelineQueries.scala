@@ -594,7 +594,108 @@ object PipelineQueries {
       .orderBy(col("label"))
   }
 
+  /** q249: distributed QUALITY-CLASSIFIER training — the supervised
+    * filter stage of the CCNet/GPT-3 pipeline lineage (a small linear
+    * classifier scores every document; the score gates what enters
+    * pretraining). Logistic regression by full-batch gradient descent,
+    * trained IN the engine: each iteration is ONE aggregate over the
+    * persisted feature frame (map-side partials, a 1-row collect per
+    * round — the q236 bounded-driver-state discipline), so the fit is a
+    * fixed number of corpus passes at any scale.
+    *
+    * Correctness is checked as TEACHER RECOVERY (the CDNOW-golden
+    * pattern applied to a trainer): the label is a known linear rule
+    * over the features — `10·x1 − x2 > 0.1` (en-stopword ratio vs
+    * scaled mean token length, ~46% positive on this corpus) — so the
+    * target is linearly separable and a correct GD implementation must
+    * recover it; a distractor feature (de-stopword ratio, teacher
+    * weight 0) keeps the fit honest. The label rule is plain SQL, so
+    * the oracle verifies the positive count EXACTLY, and the
+    * deterministic gates pin: monotone loss decrease across all
+    * iterations, teacher-recovery accuracy ≥ 0.9 (measured 0.96 at sf0.001;
+    * the gate boolean is oracle-checked at every SF), and higher mean predicted probability on positives.
+    *
+    * Determinism: the per-row gradient and loss terms are quantized
+    * through DECIMAL(25,12) BEFORE summation (the q217/q248 rule), so
+    * every iteration's sums — and therefore the learned weights and all
+    * downstream predictions — are bit-identical under any partitioning. */
+  def qualityClassifier(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.text.TextFunctions
+    val profiles = TextFunctions.langProfiles.toMap
+    val nTok = greatest(TextFunctions.tokenCount(col("text")), lit(1))
+      .cast("double")
+    val feats0 = docs(s, dir).select(
+        (TextFunctions.vocabHits(col("text"), profiles("en")).cast("double") /
+          nTok).as("x1"),
+        (col("n_chars").cast("double") / (nTok * 10.0)).as("x2"),
+        (TextFunctions.vocabHits(col("text"), profiles("de")).cast("double") /
+          nTok).as("x3"))
+    val labeled = feats0
+      .withColumn("y",
+        (lit(10.0) * col("x1") - col("x2") > 0.1).cast("double"))
+    // standardize the features (GD conditioning — raw scales differ by
+    // 10x and the unnormalized fit crawls); moments are 6-dp-pinned so
+    // the standardized values, and thus the whole fit, stay
+    // deterministic under any partitioning
+    val mom = labeled.agg(
+      round(avg(col("x1")), 6).as("m1"), round(stddev(col("x1")), 6).as("s1"),
+      round(avg(col("x2")), 6).as("m2"), round(stddev(col("x2")), 6).as("s2"),
+      round(avg(col("x3")), 6).as("m3"), round(stddev(col("x3")), 6).as("s3"))
+      .head()
+    def std(c: String, m: Double, sd: Double) =
+      ((col(c) - lit(m)) / lit(math.max(sd, 1e-9))).as(c)
+    val feats = labeled.select(col("y"),
+        std("x1", mom.getDouble(0), mom.getDouble(1)),
+        std("x2", mom.getDouble(2), mom.getDouble(3)),
+        std("x3", mom.getDouble(4), mom.getDouble(5)))
+      .persist()
+    val n = feats.count()
+    val lr = 2.0
+    var w = Array(0.0, 0.0, 0.0, 0.0)
+    def zCol = lit(w(0)) + lit(w(1)) * col("x1") + lit(w(2)) * col("x2") +
+      lit(w(3)) * col("x3")
+    def dec(c: org.apache.spark.sql.Column) =
+      sum(c.cast(org.apache.spark.sql.types.DecimalType(25, 12)))
+    val nIters = 12
+    val losses = scala.collection.mutable.ArrayBuffer.empty[java.math.BigDecimal]
+    (1 to nIters).foreach { _ =>
+      val z = zCol
+      val sig = lit(1.0) / (lit(1.0) + exp(-z))
+      val err = sig - col("y")
+      val row = feats.agg(
+        dec(log(lit(1.0) + exp(-z)) + (lit(1.0) - col("y")) * z).as("loss"),
+        dec(err).as("g0"), dec(err * col("x1")).as("g1"),
+        dec(err * col("x2")).as("g2"), dec(err * col("x3")).as("g3"))
+        .head()
+      losses += row.getDecimal(0)
+      w = w.indices.map(j =>
+        w(j) - lr * row.getDecimal(j + 1).doubleValue() / n).toArray
+    }
+    val fin = feats.agg(
+      count(lit(1)).as("n_docs"),
+      sum(col("y")).cast("long").as("n_pos"),
+      sum(when((zCol > 0.0) === (col("y") === 1.0), 1L).otherwise(0L))
+        .as("n_correct"),
+      dec(when(col("y") === 1.0,
+        lit(1.0) / (lit(1.0) + exp(-zCol))).otherwise(lit(0.0))).as("sp"),
+      dec(when(col("y") === 0.0,
+        lit(1.0) / (lit(1.0) + exp(-zCol))).otherwise(lit(0.0))).as("sn"))
+      .head()
+    feats.unpersist()
+    val nPos = fin.getLong(1)
+    val lossesDown = losses.toSeq.sliding(2)
+      .forall(p => p(1).compareTo(p(0)) < 0)
+    val accOk = fin.getLong(2).toDouble / n >= 0.9
+    val sepOk = fin.getDecimal(3).doubleValue() / nPos >
+      fin.getDecimal(4).doubleValue() / (n - nPos)
+    Seq((n, nPos, nIters.toLong, lossesDown, accOk, sepOk))
+      .toDF("n_docs", "n_pos", "n_iters", "loss_decreasing_ok",
+        "train_acc_ok", "separation_ok")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q249_quality_classifier"  -> (qualityClassifier _),
     "q228_mixture_weights"     -> (mixtureWeights _),
     "q229_balanced_eval"       -> (balancedEvalSet _),
     "q227_distribution_drift"  -> (distributionDrift _),
@@ -615,6 +716,27 @@ object PipelineQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // q249: the teacher label rule is plain SQL, so n_pos verifies
+    // exactly; the GD fit is deterministic (DECIMAL-quantized gradient
+    // sums), so its recovery gates pin as constants
+    "q249_quality_classifier" ->
+      """WITH t AS (SELECT string_split_regex(trim(text), '\s+') AS ws,
+        |                  n_chars
+        |           FROM documents),
+        |f AS (SELECT
+        |        len(list_filter(ws, w -> w IN ('the','and','of','to',
+        |          'a','in','is','that','for','it')))::DOUBLE
+        |          / greatest(len(ws), 1) AS x1,
+        |        n_chars::DOUBLE / (greatest(len(ws), 1) * 10.0) AS x2
+        |      FROM t)
+        |SELECT count(*) AS n_docs,
+        |       CAST(sum(CASE WHEN 10.0 * x1 - x2 > 0.1
+        |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+        |       CAST(12 AS BIGINT) AS n_iters,
+        |       true AS loss_decreasing_ok,
+        |       true AS train_acc_ok,
+        |       true AS separation_ok
+        |FROM f""".stripMargin,
     // q215: the identical smoothed log-ratio, per distinct token, both
     // lns quantized through DECIMAL(18,9) before the exact subtraction
     "q215_dsir_weights" ->
