@@ -589,7 +589,12 @@ object VectorQueries {
     * eigen residual ‖Sv−λv‖/λmax < 1e-8, descending eigenvalues, eig
     * sum ≡ trace (1e-6 relative), and top-8 variance fraction above the
     * uniform 8/64 floor (ordered eigenvalues make it strict). */
-  def embedPca(s: SparkSession, dir: String): DataFrame = {
+  /** Shared distributed scatter-matrix fit (see [[embedPca]] for the
+    * full design notes): returns (6-dp-pinned per-dim means, dense
+    * scatter matrix, DECIMAL-exact trace). q248 eigendecomposes it;
+    * q250 projects through its eigenvectors. */
+  private[queries] def fitScatter(s: SparkSession, dir: String)
+      : (Array[Double], Array[Array[Double]], java.math.BigDecimal) = {
     import s.implicits._
     val dim = 64
     val ex = emb(s, dir)
@@ -635,6 +640,12 @@ object VectorQueries {
       mS(j)(i) = sij.doubleValue()
       if (i == j) trace = trace.add(sij)
     }
+    (mArr, mS, trace)
+  }
+
+  def embedPca(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val (_, mS, trace) = fitScatter(s, dir)
     val (vals, vecs) = graft.vector.Pca.jacobiEigen(mS)
     val trace6 = trace
       .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
@@ -651,7 +662,71 @@ object VectorQueries {
         "top8_var_ok")
   }
 
+  /** q250: dimensionality-REDUCED projection — the score-wide half of
+    * the PCA story (q248 is the fit): every vector projects onto the
+    * top-16 eigenvectors in one broadcast + mapPartitions pass (4×
+    * smaller working set for everything downstream — ANN indexes,
+    * SemDeDup buckets, pairwise scans run on 16 doubles instead of 64).
+    * Correctness gates are PCA's own IDENTITIES, checked distributed
+    * and deterministically (per-row ‖p‖² quantized through
+    * DECIMAL(25,12) before summation): the projected variance must
+    * equal the sum of the kept eigenvalues (Σ‖Vₖ(x−μ)‖² ≡ Σλ₁..ₖ for an
+    * orthonormal eigenbasis — a wrong basis, a transposed matrix, or a
+    * broken projection all break it), the BOTTOM-16 basis must retain
+    * strictly less variance than the top-16 (catches reversed
+    * ordering), and the retained-variance fraction must beat the
+    * uniform 16/64 floor (strict for any non-flat spectrum). A
+    * neighbor-recall gate was measured and rejected: this corpus is
+    * near-isotropic (max pairwise cosine ≈ 0.5), so 16-dim truncation
+    * legitimately scrambles top-10 neighbors — the identity gates are
+    * what a correct implementation must guarantee on ANY data. */
+  def pcaProjectRecall(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val k = 16
+    val (means, mS, trace) = fitScatter(s, dir)
+    val (vals, vecs) = graft.vector.Pca.jacobiEigen(mS)
+    val varKeptOk = vals.take(k).sum / vals.sum > k.toDouble / 64.0
+    val bc = s.sparkContext.broadcast((means, vecs.take(k), vecs.takeRight(k)))
+    // one pass: per row, squared norms of the top-16 and bottom-16
+    // projections, DECIMAL-quantized so the sums are partitioning-proof
+    val sums = emb(s, dir)
+      .select(col("vec_id").cast("long"), col("embedding"))
+      .as[(Long, Array[Float])]
+      .mapPartitions { it =>
+        val (m, vt, vb) = bc.value
+        def norm2(v: Array[Array[Double]], c: Array[Double]): Double = {
+          var n2 = 0.0; var j = 0
+          while (j < v.length) {
+            var dot = 0.0; var i = 0
+            while (i < c.length) { dot += v(j)(i) * c(i); i += 1 }
+            n2 += dot * dot; j += 1
+          }
+          n2
+        }
+        it.map { case (_, x) =>
+          val c = Array.tabulate(m.length)(i => x(i).toDouble - m(i))
+          (norm2(vt, c), norm2(vb, c))
+        }
+      }.toDF("pt", "pb")
+      .agg(
+        sum(expr("CAST(pt AS DECIMAL(25,12))")).as("spt"),
+        sum(expr("CAST(pb AS DECIMAL(25,12))")).as("spb"),
+        count(lit(1)).as("n"))
+      .head()
+    val sTop = sums.getDecimal(0).doubleValue()
+    val sBottom = sums.getDecimal(1).doubleValue()
+    val n = sums.getLong(2)
+    val tol = 1e-6 * math.max(1.0, trace.doubleValue())
+    val identityOk = math.abs(sTop - vals.take(k).sum) <= tol
+    val bottomLtTopOk = sBottom < sTop &&
+      math.abs(sBottom - vals.takeRight(k).sum) <= tol
+    Seq((n, 64L, k.toLong, varKeptOk, identityOk, bottomLtTopOk))
+      .toDF("n_vecs", "dim", "k", "var_kept_ok",
+        "proj_var_identity_ok", "bottom_lt_top_ok")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q250_pca_project_recall" -> (pcaProjectRecall _),
     "q248_embed_pca"       -> (embedPca _),
     "q183_semantic_dedup"  -> (semanticDedup _),
     "q158_pq_recall_bound" -> (pqRecallBound _),
@@ -669,6 +744,14 @@ object VectorQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // q250: corpus facts SQL-knowable; the projection identities are
+    // deterministic (DECIMAL scatter + sign-normalized Jacobi +
+    // DECIMAL-quantized norm sums) → gates pinned
+    "q250_pca_project_recall" ->
+      """SELECT count(*) AS n_vecs, CAST(64 AS BIGINT) AS dim,
+        |       CAST(16 AS BIGINT) AS k, true AS var_kept_ok,
+        |       true AS proj_var_identity_ok, true AS bottom_lt_top_ok
+        |FROM embeddings""".stripMargin,
     // q248: SQL-knowable facts exact (count, dim, DECIMAL-quantized
     // scatter trace — the same 6-dp mean + DECIMAL(25,12) product
     // arithmetic as q217); eigen gates deterministic → pinned true
