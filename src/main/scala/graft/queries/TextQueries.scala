@@ -1127,6 +1127,93 @@ object TextQueries {
         sum((col("c") - 1) * col("t")).as("dup_token_savings"))
       .orderBy(col("source"))
 
+  /** q251: EXACT set-similarity self-join by PREFIX FILTERING (Bayardo
+    * et al. "Scaling Up All Pairs Similarity Search", WWW'07 / the
+    * SSJoin family) — the deterministic-recall counterpart of the
+    * MinHash-LSH join (q55, probabilistic): under a global rare-first
+    * token order, any two sets with Jaccard ≥ τ must share a token in
+    * their first |s| − ⌈τ·|s|⌉ + 1 tokens, so candidates come from an
+    * equi-join on PREFIX tokens only and exact verification touches
+    * just those pairs — recall is 1.0 BY THEOREM, not by banding
+    * arithmetic. Finds the same 2-shingle ≥ 0.9 pairs as q85's ground
+    * truth, value-matched against DuckDB's all-pairs recomputation.
+    *
+    * Scale shape: shingle df + per-doc rare-first rank are two hash
+    * aggregates; the candidate join touches ~0.1·|set| prefix entries
+    * per doc and buckets them by (deliberately rare) shingle; exact
+    * verification is an equi-join of the candidate list back onto the
+    * shingle table — cost ∝ candidates, never n². The prefix length is
+    * EXACT integer arithmetic (⌈9L/10⌉ = (9L+9) div 10): the float form
+    * ceil(0.9·L) reads 10 at L=10 (0.9·10 rounds above 9.0), silently
+    * shortening the prefix and breaking the completeness theorem. */
+  def prefixFilterJoin(s: SparkSession, dir: String): DataFrame = {
+    val tau = 0.9
+    val w2 = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("df"), col("sh"))
+    // per-doc DISTINCT 2-shingle sets, kept as ARRAYS (the verification
+    // join needs whole sets; exploding them into the candidate join was
+    // the first cut's killer — a 290M-row intermediate at sf0.1). The
+    // q85 ground-truth definition: docs with < 2 tokens contribute
+    // their whole text as one shingle; grams via O(1) element_at.
+    val shArr = docs(s, dir)
+      .select(col("doc_id"), split(trim(col("text")), "\\s+").as("ws"))
+      .select(col("doc_id"), when(size(col("ws")) >= 2,
+          array_distinct(expr(
+            "transform(sequence(1, size(ws) - 1), i -> " +
+              "concat(element_at(ws, i), ' ', element_at(ws, i + 1)))")))
+        .otherwise(array(concat_ws(" ", col("ws")))).as("shs0"))
+      // shingles carry on as 64-bit hashes: the verification
+      // intersection compares longs instead of strings (measured 17 s
+      // -> 4 s at sf0.1), and a 64-bit collision among the ~256k
+      // distinct shingles has probability ~4e-9 — far below any other
+      // source of error (the DuckDB oracle verifies against true
+      // strings, so a collision would surface as a hash mismatch)
+      .select(col("doc_id"),
+        expr("transform(shs0, x -> xxhash64(x))").as("shs"))
+      .withColumn("len", size(col("shs")))
+      .persist()
+    val sh = shArr.select(col("doc_id"), col("len"),
+      explode(col("shs")).as("sh"))
+    val dfreq = sh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+    // rare-first global order; prefix length L − ⌈τL⌉ + 1 in EXACT
+    // integer arithmetic ((9L+9) div 10 — the float form ceil(0.9·L)
+    // reads 10 at L = 10 and breaks the completeness theorem)
+    val prefix = sh.join(dfreq, Seq("sh"))
+      .withColumn("rk", row_number().over(w2))
+      .filter(col("rk") <= col("len") - expr("(len * 9 + 9) div 10") + 1)
+      .select(col("sh"), col("doc_id"), col("len"), col("rk"))
+    // candidates: prefix-token collisions + the AllPairs length filter
+    // (J ≥ 0.9 forces 9·La ≤ 10·Lb and vice versa) + PPJoin's
+    // positional filter: matching at prefix positions (ra, rb) bounds
+    // the possible overlap by min(La−ra, Lb−rb)+1, which must reach the
+    // τ-implied floor ⌈τ(La+Lb)/(1+τ)⌉ = ⌈9(La+Lb)/19⌉ — all
+    // integer-exact
+    val cand = prefix.as("a").join(prefix.as("b"), Seq("sh"))
+      .filter(col("a.doc_id") < col("b.doc_id") &&
+        col("a.len") * 10 >= col("b.len") * 9 &&
+        col("b.len") * 10 >= col("a.len") * 9 &&
+        least(col("a.len") - col("a.rk"), col("b.len") - col("b.rk")) + 1 >=
+          expr("(9 * (a.len + b.len) + 18) div 19"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .distinct()
+    // exact verification: candidate ids pull their whole sets and the
+    // intersection is in-projection array work — cost ∝ candidates
+    val out = cand
+      .join(shArr.select(col("doc_id").as("id_a"), col("shs").as("sa"),
+        col("len").as("la")), Seq("id_a"))
+      .join(shArr.select(col("doc_id").as("id_b"), col("shs").as("sb"),
+        col("len").as("lb")), Seq("id_b"))
+      .withColumn("inter", size(array_intersect(col("sa"), col("sb"))))
+      .withColumn("j", col("inter").cast("double") /
+        (col("la") + col("lb") - col("inter")))
+      .filter(col("j") >= tau) // threshold BEFORE rounding (q85's rule)
+      .select(col("id_a"), col("id_b"), round(col("j"), 6).as("jaccard"))
+      .orderBy(col("id_a"), col("id_b"))
+    val local = graft.util.LocalFrame.materialize(out)
+    shArr.unpersist()
+    local
+  }
+
   /** q234: character-entropy quality signal — the low-entropy-spam
     * filter (repeated-character runs, keyboard mash, template spam all
     * score far below natural text; CCNet-family pipelines use exactly
@@ -1328,6 +1415,7 @@ object TextQueries {
     "q109_neardup_components" -> (neardupComponents _),
     "q138_cc_star_contraction" -> (neardupComponentsStar _),
     "q219_source_dup_matrix"  -> (sourceDupMatrix _),
+    "q251_prefix_filter_join" -> (prefixFilterJoin _),
     "q247_cdc_chunk_dedup"    -> (cdcChunkDedup _),
     "q222_rag_chunking"       -> (ragChunking _),
     "q220_dedup_savings"      -> (dedupSavings _),
@@ -1394,6 +1482,24 @@ object TextQueries {
       |FROM comp ORDER BY doc_id""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // q251: full value match against the all-pairs recomputation — the
+    // prefix filter must find EVERY ≥ 0.9 pair (recall 1.0 by theorem)
+    // with its exact jaccard; threshold applied before rounding
+    "q251_prefix_filter_join" ->
+      """WITH w AS (SELECT doc_id,
+        |  CASE WHEN len(ws) >= 2
+        |   THEN list_distinct(list_transform(range(1, len(ws)),
+        |                                     i -> ws[i] || ' ' || ws[i+1]))
+        |   ELSE [array_to_string(ws, ' ')] END AS sh
+        |  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws
+        |        FROM documents))
+        |SELECT id_a, id_b, round(j, 6) AS jaccard FROM (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |         CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+        |         (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))
+        |           AS j
+        |  FROM w a JOIN w b ON a.doc_id < b.doc_id) t
+        |WHERE j >= 0.9 ORDER BY id_a, id_b""".stripMargin,
     // q247: full boundary-arithmetic replay — the same 4-token-window
     // md5-prefix hash (q207's hex parity trick) decides every cut on
     // both engines, so chunk hashes and token counts match exactly;
