@@ -19,6 +19,232 @@ object MiscQueries {
   private def t(s: SparkSession, dir: String, n: String): DataFrame =
     Tables.load(s, dir, n)
 
+  /** q252: association-rule mining over order baskets (Agrawal &
+    * Srikant's Apriori, VLDB'94, restricted to 2-itemsets — the
+    * market-basket staple every warehouse ships): which part pairs
+    * co-occur in the same order more often than chance, scored by
+    * support / confidence / lift. Emits BOTH rule directions for each
+    * frequent pair (confidence is asymmetric; lift is shared).
+    *
+    * Scale shape — Apriori's pruning property is load-bearing, not
+    * decorative: items below min-support can never appear in a frequent
+    * pair, so the ITEM-level filter runs before pair generation and the
+    * (small, vocab-bounded) frequent-item list broadcast-semi-joins the
+    * basket table down first. Pair generation is then a self-join keyed
+    * on the ORDER (shuffle ∝ |baskets|, per-order fanout ≤ B²/2 with
+    * basket size B ≤ 13 here — bounded by order semantics, never n²).
+    * Item supports are a vocab-sized frame → both rule-side joins
+    * broadcast. Basket count reaches the driver as one scalar (the
+    * bounded-driver-state discipline of q236/q249).
+    *
+    * Determinism: support counts are exact integers; confidence and
+    * lift are single IEEE divisions of exact integers (the q251 rule:
+    * identical dividend/divisor → identical double on both engines),
+    * rounded at 6 dp for display only. */
+  def assocRules(s: SparkSession, dir: String): DataFrame = {
+    val minSupp = 3L
+    val items = t(s, dir, "lineitem")
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .distinct()
+    val nBaskets = items.select(countDistinct(col("ok"))).head().getLong(0)
+    val itemSupp = items.groupBy(col("pk"))
+      .agg(count(lit(1)).as("supp_item"))
+    // Apriori prune: only items with supp >= minSupp can form a
+    // frequent pair — shrink the basket table BEFORE pairing
+    val frequentItems = itemSupp.filter(col("supp_item") >= minSupp)
+      .select(col("pk"))
+    val pruned = items.join(broadcast(frequentItems), Seq("pk"), "left_semi")
+    val pairs = pruned.as("a").join(pruned.as("b"), Seq("ok"))
+      .filter(col("a.pk") < col("b.pk"))
+      .groupBy(col("a.pk").as("pa"), col("b.pk").as("pb"))
+      .agg(count(lit(1)).as("supp_pair"))
+      .filter(col("supp_pair") >= minSupp)
+    val rules = pairs.select(col("pa").as("antecedent"),
+        col("pb").as("consequent"), col("supp_pair"))
+      .unionAll(pairs.select(col("pb").as("antecedent"),
+        col("pa").as("consequent"), col("supp_pair")))
+    rules
+      .join(broadcast(itemSupp.withColumnRenamed("pk", "antecedent")
+        .withColumnRenamed("supp_item", "supp_ante")), Seq("antecedent"))
+      .join(broadcast(itemSupp.withColumnRenamed("pk", "consequent")
+        .withColumnRenamed("supp_item", "supp_cons")), Seq("consequent"))
+      .select(col("antecedent"), col("consequent"), col("supp_pair"),
+        col("supp_ante"), col("supp_cons"),
+        round(col("supp_pair").cast("double") / col("supp_ante"), 6)
+          .as("confidence"),
+        round(col("supp_pair").cast("double") * lit(nBaskets) /
+          (col("supp_ante") * col("supp_cons")), 6).as("lift"))
+      .orderBy(col("supp_pair").desc, col("antecedent"), col("consequent"))
+  }
+
+  /** q253: weighted PageRank over the nation-level trade graph (Page &
+    * Brin 1998; the link-analysis companion of the connectivity ops in
+    * dedup/Components.scala) — edges flow customer-nation → supplier-
+    * nation per order line, weight = line count, damping 0.85, three
+    * power iterations. The graph centrality every catalog/lineage/
+    * entity-graph feature ends up needing.
+    *
+    * Determinism at a distance: ranks live as ×10¹² scaled BIGINTs and
+    * every step is INTEGER arithmetic — contribution = (r·w) div wout,
+    * damping = (85·Σ) div 100 — so Spark and the oracle's three
+    * unrolled SQL rounds agree bit-for-bit (the established scaled-
+    * BIGINT discipline; floats would drift under reordered partial
+    * sums). Total mass is conserved up to per-edge floor loss, a
+    * property the spec asserts.
+    *
+    * Scale shape: the rank frame is partitioned by node and NEVER
+    * leaves the cluster — each iteration is one equi-join of the
+    * (persisted, wout-annotated) edge table with the current ranks on
+    * src plus one hash aggregate on dst: O(|E|) shuffle per round,
+    * driver state = the loop counter and the node-count scalar. Each
+    * iteration's ranks are persisted and the previous round's cache is
+    * dropped only after the next materializes (q236's discipline), so
+    * lineage stays one round deep instead of compounding. AQE
+    * broadcasts the rank side here (25 nations); at billions of nodes
+    * the same plan degrades gracefully to a shuffle join. */
+  def pageRank(s: SparkSession, dir: String): DataFrame = {
+    val SCALE = 1000000000000L
+    val edges = t(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_suppkey"))
+      .join(t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_nationkey"))),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(t(s, dir, "supplier")
+        .select(col("s_suppkey"), col("s_nationkey"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("c_nationkey").as("src"), col("s_nationkey").as("dst"))
+      .agg(count(lit(1)).as("w"))
+    val ew = edges
+      .join(edges.groupBy(col("src")).agg(sum(col("w")).as("wout")),
+        Seq("src"))
+      .persist()
+    val nodes = t(s, dir, "nation").select(col("n_nationkey").as("v"))
+    val n = nodes.count()
+    val base = SCALE * 15 / (100 * n)
+    var ranks = nodes.withColumn("r", lit(SCALE / n)).persist()
+    var prev: Option[DataFrame] = None
+    for (_ <- 1 to 3) {
+      val contrib = ew
+        .join(ranks.withColumnRenamed("v", "src"), Seq("src"))
+        .select(col("dst").as("v"), expr("(r * w) div wout").as("c"))
+        .groupBy(col("v")).agg(sum(col("c")).as("csum"))
+      val next = nodes.join(contrib, Seq("v"), "left")
+        .select(col("v"), (lit(base) +
+          expr("(85 * coalesce(csum, 0L)) div 100")).as("r"))
+        .persist()
+      next.count() // materialize before dropping the round it reads
+      prev.foreach(_.unpersist())
+      prev = Some(ranks)
+      ranks = next
+    }
+    val res = ranks
+      .join(broadcast(t(s, dir, "nation")
+        .select(col("n_nationkey").as("v"), col("n_name"))), Seq("v"))
+      .select(col("n_name"), col("r").as("rank_scaled"))
+      .orderBy(col("rank_scaled").desc, col("n_name"))
+    val local = graft.util.LocalFrame.materialize(res)
+    prev.foreach(_.unpersist())
+    ranks.unpersist()
+    ew.unpersist()
+    local
+  }
+
+  /** q254: 2-D SKYLINE (pareto frontier) of parts — minimize price,
+    * maximize size (Börzsönyi et al., "The Skyline Operator", ICDE'01):
+    * a part is on the frontier iff no other part is both no-more-
+    * expensive and no-smaller with at least one strict. The
+    * multi-criteria shortlist op (cheapest-yet-biggest) that SQL can
+    * only express as a quadratic NOT EXISTS — which is exactly what the
+    * oracle runs, against this linear plan.
+    *
+    * Scale shape — the quadratic dominance test never runs: prices bin
+    * into fixed-width buckets (bucket count = price-domain / width, a
+    * SCHEMA constant independent of row count — the bounded-collect
+    * argument of the dim-table allowlist entries), per-bucket max sizes
+    * collect as that constant-sized frame, and the driver turns them
+    * into an exclusive prefix-max broadcast. A row then survives iff
+    * (a) its size beats the best size in all strictly-cheaper buckets
+    * (broadcast lookup), (b) beats every strictly-cheaper row in its
+    * OWN bucket (partitioned RANGE window on true price — never
+    * global), and (c) ties the max at its exact price (equal-price
+    * dominance). Three conditions ⇔ non-dominated, proved in
+    * SkylineSpec by brute force; total cost one aggregate + one
+    * partitioned window — O(n) shuffle, no self-join. */
+  def skylineParts(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val p = t(s, dir, "part")
+      .select(col("p_partkey"),
+        expr("CAST(round(p_retailprice * 100) AS BIGINT)").as("pc"),
+        col("p_size").cast("int").as("size"))
+      .withColumn("bucket", expr("pc div 500"))
+      .persist()
+    // bounded: ≤ (max price − min price) / $5 buckets — value-domain
+    // bound, not data-size bound
+    val bmax = p.groupBy(col("bucket")).agg(max(col("size")).as("m"))
+      .orderBy(col("bucket")).collect()
+    var run = Int.MinValue
+    val pref = bmax.map { r =>
+      val out = (r.getLong(0), run) // EXCLUSIVE prefix: cheaper buckets only
+      run = math.max(run, r.getInt(1))
+      out
+    }.toSeq
+    val wPrev = Window.partitionBy(col("bucket")).orderBy(col("pc"))
+      .rangeBetween(Window.unboundedPreceding, -1)
+    val wSame = Window.partitionBy(col("bucket"), col("pc"))
+    val out = p.join(broadcast(pref.toDF("bucket", "prefmax")), Seq("bucket"))
+      .withColumn("mprev", max(col("size")).over(wPrev))
+      .withColumn("msame", max(col("size")).over(wSame))
+      .filter(col("size") > col("prefmax") &&
+        col("size") > coalesce(col("mprev"), lit(Int.MinValue)) &&
+        col("size") === col("msame"))
+      .select(col("p_partkey"), col("pc").as("price_cents"), col("size"))
+      .orderBy(col("price_cents"), col("size"), col("p_partkey"))
+    val local = graft.util.LocalFrame.materialize(out)
+    p.unpersist()
+    local
+  }
+
+  /** q255: spend-concentration report — the Gini coefficient of
+    * customer spend from the Lorenz identity
+    * G = 2·Σᵢ i·xᵢ / (n·Σx) − (n+1)/n over spends sorted ascending.
+    * The inequality statistic behind "top 1% of customers drive N% of
+    * revenue" (and, in the pipeline world, "which source dominates the
+    * token budget").
+    *
+    * The classic formulation needs a GLOBAL rank — `row_number() OVER
+    * (ORDER BY spend)` — the exact single-partition shape PlanLint
+    * bans. [[graft.operators.GlobalRank]]'s range-exchange two-pass
+    * enumeration supplies (rank, n) scalably, and the Lorenz weighted
+    * sum Σ i·xᵢ then collapses to ONE plain aggregate — no window at
+    * all, no prefix scan, O(n) shuffle.
+    *
+    * Determinism: spends are exact cents; rank·cents sums ride
+    * DECIMAL(38,0) (Σ i·xᵢ overflows BIGINT around 10⁹ customers);
+    * the coefficient is published as gini_micro = ⌊2·S·10⁶/(n·T)⌋ −
+    * ⌊(n+1)·10⁶/n⌋ — pure integer floors, bit-equal on both engines
+    * (the scaled-BIGINT discipline; a double Gini would hang on
+    * summation order). Rank ties are impossible: (spend, custkey) is a
+    * total order. */
+  def giniSpend(s: SparkSession, dir: String): DataFrame = {
+    val spend = t(s, dir, "orders")
+      .groupBy(col("o_custkey"))
+      .agg(expr("CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 " +
+        "AS BIGINT)").as("cents"))
+    val ranked = graft.operators.GlobalRank.withGlobalRankAndCount(
+      spend, Seq(col("cents"), col("o_custkey")), "rk", "n")
+    ranked.agg(
+        max(col("n")).as("n_customers"),
+        sum(col("cents")).as("total_cents"),
+        sum(expr("CAST(rk AS DECIMAL(38,0)) * cents")).as("s"))
+      .select(col("n_customers"), col("total_cents"),
+        (expr("CAST(2 * s * 1000000 div (CAST(n_customers AS DECIMAL(38,0))" +
+          " * total_cents) AS BIGINT)") -
+          expr("(n_customers + 1) * 1000000 div n_customers"))
+          .as("gini_micro"))
+  }
+
   /** Unpivot via stack(): two part metrics into (metric, value) rows.
     * Decimal sums keep the oracle exact. */
   def unpivotMetrics(s: SparkSession, dir: String): DataFrame =
@@ -733,6 +959,10 @@ object MiscQueries {
     "q108_partition_pruned" -> (partitionPrunedScan _),
     "q115_dpp_join"         -> (dynamicPartitionPruned _),
     "q122_observed_metrics" -> (observedMetrics _),
+    "q252_assoc_rules"    -> (assocRules _),
+    "q253_pagerank"       -> (pageRank _),
+    "q254_skyline"        -> (skylineParts _),
+    "q255_gini_spend"     -> (giniSpend _),
     "q37_unpivot_metrics" -> (unpivotMetrics _),
     "q38_quarterly_orders" -> (quarterlyOrders _),
     "q39_null_handling"   -> (nullHandling _),
@@ -748,6 +978,116 @@ object MiscQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // q252: full Apriori replay — pair supports from the basket
+    // self-join, both rule directions, exact-integer supports with
+    // single-division confidence/lift (same dividend/divisor → same
+    // IEEE double on both engines)
+    "q252_assoc_rules" ->
+      """WITH items AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+        |               FROM lineitem),
+        |n AS (SELECT count(DISTINCT ok) AS nb FROM items),
+        |isupp AS (SELECT pk, count(*) AS supp_item FROM items GROUP BY pk),
+        |pairs AS (
+        |  SELECT a.pk AS pa, b.pk AS pb, count(*) AS supp_pair
+        |  FROM items a JOIN items b ON a.ok = b.ok AND a.pk < b.pk
+        |  GROUP BY 1, 2 HAVING count(*) >= 3),
+        |rules AS (
+        |  SELECT pa AS antecedent, pb AS consequent, supp_pair FROM pairs
+        |  UNION ALL
+        |  SELECT pb, pa, supp_pair FROM pairs)
+        |SELECT antecedent, consequent, supp_pair,
+        |  sa.supp_item AS supp_ante, sc.supp_item AS supp_cons,
+        |  round(CAST(supp_pair AS DOUBLE) / sa.supp_item, 6) AS confidence,
+        |  round(CAST(supp_pair AS DOUBLE) * (SELECT nb FROM n) /
+        |        (sa.supp_item * sc.supp_item), 6) AS lift
+        |FROM rules
+        |JOIN isupp sa ON antecedent = sa.pk
+        |JOIN isupp sc ON consequent = sc.pk
+        |ORDER BY supp_pair DESC, antecedent, consequent""".stripMargin,
+    // q255: the classic row_number() formulation (fine in DuckDB, the
+    // banned global-window shape in Spark — GlobalRank replaces it);
+    // identical integer floors, HUGEINT intermediates cast back down
+    "q255_gini_spend" ->
+      """WITH spend AS (
+        |  SELECT o_custkey,
+        |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+        |      AS cents
+        |  FROM orders GROUP BY o_custkey),
+        |ranked AS (
+        |  SELECT cents,
+        |    row_number() OVER (ORDER BY cents, o_custkey) AS rk
+        |  FROM spend)
+        |SELECT CAST(count(*) AS BIGINT) AS n_customers,
+        |  CAST(sum(cents) AS BIGINT) AS total_cents,
+        |  CAST(2 * sum(CAST(rk AS HUGEINT) * cents) * 1000000
+        |       // (CAST(count(*) AS HUGEINT) * sum(cents))
+        |     - ((count(*) + 1) * 1000000 // count(*)) AS BIGINT)
+        |    AS gini_micro
+        |FROM ranked""".stripMargin,
+    // q254: the textbook quadratic NOT EXISTS dominance test — the
+    // semantics the linear binned-prefix plan must reproduce exactly
+    "q254_skyline" ->
+      """WITH p AS (SELECT p_partkey,
+        |    CAST(round(p_retailprice * 100) AS BIGINT) AS pc, p_size
+        |  FROM part)
+        |SELECT a.p_partkey, a.pc AS price_cents, a.p_size AS size
+        |FROM p a
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM p b
+        |  WHERE b.pc <= a.pc AND b.p_size >= a.p_size
+        |    AND (b.pc < a.pc OR b.p_size > a.p_size))
+        |ORDER BY price_cents, size, a.p_partkey""".stripMargin,
+    // q253: the three power iterations unrolled — identical scaled-
+    // BIGINT integer arithmetic ((r*w)//wout per edge, (85*Σ)//100
+    // damping) so the replay is bit-exact; sums CAST back to BIGINT
+    // immediately (DuckDB widens sum(BIGINT) to HUGEINT, which the
+    // compare layer bans in outputs)
+    "q253_pagerank" ->
+      """WITH e AS (
+        |  SELECT c.c_nationkey AS src, s.s_nationkey AS dst,
+        |         CAST(count(*) AS BIGINT) AS w
+        |  FROM lineitem l
+        |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |  JOIN customer c ON o.o_custkey = c.c_custkey
+        |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |  GROUP BY 1, 2),
+        |outw AS (SELECT src, CAST(sum(w) AS BIGINT) AS wout
+        |         FROM e GROUP BY src),
+        |nodes AS (SELECT n_nationkey AS v FROM nation),
+        |nn AS (SELECT count(*) AS n FROM nodes),
+        |r0 AS (SELECT v,
+        |         CAST(1000000000000 // (SELECT n FROM nn) AS BIGINT) AS r
+        |       FROM nodes),
+        |r1 AS (SELECT nodes.v,
+        |         CAST((1000000000000 * 15) // (100 * (SELECT n FROM nn))
+        |              + (85 * coalesce(sc.c, 0)) // 100 AS BIGINT) AS r
+        |       FROM nodes LEFT JOIN (
+        |         SELECT e.dst AS v,
+        |                CAST(sum((r0.r * e.w) // o.wout) AS BIGINT) AS c
+        |         FROM e JOIN r0 ON e.src = r0.v
+        |         JOIN outw o ON e.src = o.src
+        |         GROUP BY 1) sc ON nodes.v = sc.v),
+        |r2 AS (SELECT nodes.v,
+        |         CAST((1000000000000 * 15) // (100 * (SELECT n FROM nn))
+        |              + (85 * coalesce(sc.c, 0)) // 100 AS BIGINT) AS r
+        |       FROM nodes LEFT JOIN (
+        |         SELECT e.dst AS v,
+        |                CAST(sum((r1.r * e.w) // o.wout) AS BIGINT) AS c
+        |         FROM e JOIN r1 ON e.src = r1.v
+        |         JOIN outw o ON e.src = o.src
+        |         GROUP BY 1) sc ON nodes.v = sc.v),
+        |r3 AS (SELECT nodes.v,
+        |         CAST((1000000000000 * 15) // (100 * (SELECT n FROM nn))
+        |              + (85 * coalesce(sc.c, 0)) // 100 AS BIGINT) AS r
+        |       FROM nodes LEFT JOIN (
+        |         SELECT e.dst AS v,
+        |                CAST(sum((r2.r * e.w) // o.wout) AS BIGINT) AS c
+        |         FROM e JOIN r2 ON e.src = r2.v
+        |         JOIN outw o ON e.src = o.src
+        |         GROUP BY 1) sc ON nodes.v = sc.v)
+        |SELECT n.n_name, r3.r AS rank_scaled
+        |FROM r3 JOIN nation n ON r3.v = n.n_nationkey
+        |ORDER BY rank_scaled DESC, n_name""".stripMargin,
     // q202: the merged view restated from orders — even keys read the
     // late column as NULL (their batch lacks it), odd keys carry it
     "q202_schema_evolution" ->
