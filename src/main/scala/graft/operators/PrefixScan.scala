@@ -1,0 +1,75 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StructType}
+
+/** Distributed running (prefix) aggregate —
+  * `sum(v) OVER (ORDER BY k ROWS UNBOUNDED PRECEDING)` without the
+  * single-partition window.
+  *
+  * A global running sum is the other operator (beside `row_number`,
+  * [[GlobalRank]]) that SQL can only phrase as an un-partitioned
+  * window — the shape PlanLint fails the build on, because it funnels
+  * every row through one task. The scalable form is the same two-pass
+  * range-exchange:
+  *
+  *   1. `repartitionByRange(k)` + `sortWithinPartitions(k)` — the
+  *      partition-major traversal IS the total order by `k`.
+  *   2. one reduce pass collapses each partition to a SINGLE long (its
+  *      value total — numPartitions longs reach the driver, never
+  *      rows); the exclusive prefix over those totals is each
+  *      partition's offset; a second pass over the same sorted shuffle
+  *      output stamps offset + local running sum.
+  *
+  * This is textbook parallel scan (Blelloch 1990) on top of Spark's
+  * range exchange, and the second place (after GlobalRank) where the
+  * RDD API earns its keep: per-partition carry arithmetic has no
+  * Catalyst equivalent.
+  *
+  * Values ride LONGs — the scaled-integer discipline. An exact integer
+  * prefix sum is partitioning-invariant because integer addition is
+  * associative on every path; float partials would make the result
+  * depend on where the range boundaries fall.
+  */
+object PrefixScan {
+
+  /** Append `outCol` = INCLUSIVE running sum of `valueCol` under
+    * `ORDER BY orderCols`. `orderCols` must be a TOTAL order (end with
+    * a unique column) — with ties the within-tie accumulation order is
+    * partition-placement-dependent, exactly like a windowed running
+    * sum over a non-total order. `valueCol` must cast to a non-null
+    * BIGINT for every row. */
+  def withRunningSum(df: DataFrame, orderCols: Seq[Column],
+                     valueCol: Column, outCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val vCol = "_ps_v"
+    require(!df.columns.contains(vCol),
+      s"input must not contain reserved internal column $vCol")
+    require(!df.columns.contains(outCol),
+      s"output column $outCol already exists in the input")
+    // appended LAST, so r.toSeq.init strips it again after stamping
+    val withV = df.withColumn(vCol, valueCol.cast(LongType))
+    val parted = withV.repartitionByRange(orderCols: _*)
+      .sortWithinPartitions(orderCols: _*)
+    val schema = StructType(df.schema.fields)
+      .add(outCol, LongType, nullable = false)
+    val rdd = parted.rdd
+    val vIdx = parted.schema.fieldIndex(vCol)
+    // pass 1: one long per partition (the shuffle files written by the
+    // range exchange are reused by pass 2 — the sort runs once)
+    val sums = rdd
+      .mapPartitionsWithIndex((i, it) =>
+        Iterator((i, it.foldLeft(0L)((a, r) => a + r.getLong(vIdx)))))
+      .collect().sortBy(_._1).map(_._2)
+    val offsets = sums.scanLeft(0L)(_ + _)
+    val scanned = rdd.mapPartitionsWithIndex { (pi, it) =>
+      var acc = offsets(pi)
+      it.map { r =>
+        acc += r.getLong(vIdx)
+        Row.fromSeq(r.toSeq.init :+ acc)
+      }
+    }
+    spark.createDataFrame(scanned, schema)
+  }
+}

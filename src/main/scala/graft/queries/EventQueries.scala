@@ -685,7 +685,46 @@ object EventQueries {
       .orderBy(col("from_type"), col("to_type"))
   }
 
+  /** q256: peak concurrency — the maximum number of simultaneously
+    * active 1-hour activity windows (capacity-planning's "how many
+    * sessions were live at the worst moment"), by sweep line: every
+    * window contributes a +1 at its start and a −1 at its end, and the
+    * running sum of deltas in time order IS the live count at every
+    * instant; the answer is its maximum and the first instant attaining
+    * it.
+    *
+    * The running sum is a GLOBAL prefix aggregate — `sum(delta) OVER
+    * (ORDER BY t)`, the single-partition window shape PlanLint bans —
+    * so it rides [[graft.operators.PrefixScan]]'s range-exchange
+    * two-pass scan (the prefix-sum sibling of GlobalRank; the oracle
+    * runs the window form DuckDB-side). Ties: (t, delta, event_id) is
+    * a total order, and delta = −1 sorting before +1 encodes the
+    * closed-open convention — a window ending at t does not overlap
+    * one starting at t. The peak scalar is a 1-row driver aggregate
+    * (bounded-driver-state discipline). */
+  def peakConcurrency(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.PrefixScan
+    val ev0 = ev(s, dir).select(col("event_id"), col("ts"))
+    val deltas = ev0
+      .select(col("ts").as("t"), lit(1L).as("delta"), col("event_id"))
+      .unionAll(ev0.select(expr("ts + INTERVAL 1 HOUR").as("t"),
+        lit(-1L).as("delta"), col("event_id")))
+    val scanned = PrefixScan.withRunningSum(deltas,
+      Seq(col("t"), col("delta"), col("event_id")), col("delta"), "active")
+      .persist()
+    val nEvents = ev0.count()
+    val peak = scanned.agg(max(col("active"))).head().getLong(0)
+    val res = graft.util.LocalFrame.materialize(
+      scanned.filter(col("active") === peak)
+        .agg(lit(nEvents).as("n_events"),
+          lit(peak).as("peak_concurrency"),
+          Tables.isoTs(min(col("t"))).as("first_peak_ts")))
+    scanned.unpersist()
+    res
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q256_peak_concurrency"  -> (peakConcurrency _),
     "q198_funnel_stages"     -> (funnelStages _),
     "q199_retention_cohorts" -> (retentionCohorts _),
     "q200_ab_test_z"         -> (abTestZScore _),
@@ -717,6 +756,26 @@ object EventQueries {
     "CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)"
 
   val oracles: Map[String, String] = Map(
+    // q256: the window form PrefixScan replaces — DuckDB may run the
+    // un-partitioned running sum single-threaded, the oracle only needs
+    // the VALUES; window sum widens to HUGEINT, cast back down
+    "q256_peak_concurrency" ->
+      """WITH deltas AS (
+        |  SELECT ts AS t, CAST(1 AS BIGINT) AS delta, event_id
+        |  FROM events
+        |  UNION ALL
+        |  SELECT ts + INTERVAL 1 HOUR, CAST(-1 AS BIGINT), event_id
+        |  FROM events),
+        |scanned AS (
+        |  SELECT t, CAST(sum(delta) OVER (ORDER BY t, delta, event_id
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS active
+        |  FROM deltas),
+        |pk AS (SELECT max(active) AS peak FROM scanned)
+        |SELECT (SELECT CAST(count(*) AS BIGINT) FROM events) AS n_events,
+        |  CAST((SELECT peak FROM pk) AS BIGINT) AS peak_concurrency,
+        |  strftime(min(t), '%Y-%m-%d %H:%M:%S') AS first_peak_ts
+        |FROM scanned
+        |WHERE active = (SELECT peak FROM pk)""".stripMargin,
     // q199: identical week-truncation and integer-day offsets; `//` is
     // exact here because both dates are week starts (multiples of 7 days)
     "q199_retention_cohorts" ->

@@ -101,9 +101,11 @@ object MiscQueries {
     * dropped only after the next materializes (q236's discipline), so
     * lineage stays one round deep instead of compounding. AQE
     * broadcasts the rank side here (25 nations); at billions of nodes
-    * the same plan degrades gracefully to a shuffle join. */
+    * the same plan degrades gracefully to a shuffle join. The
+    * iteration loop lives in [[graft.operators.PageRankIter]] (shared
+    * with q257's TextRank, which runs it at vocabulary scale). */
   def pageRank(s: SparkSession, dir: String): DataFrame = {
-    val SCALE = 1000000000000L
+    import graft.operators.PageRankIter
     val edges = t(s, dir, "lineitem")
       .select(col("l_orderkey"), col("l_suppkey"))
       .join(t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey")),
@@ -116,38 +118,15 @@ object MiscQueries {
         col("l_suppkey") === col("s_suppkey"))
       .groupBy(col("c_nationkey").as("src"), col("s_nationkey").as("dst"))
       .agg(count(lit(1)).as("w"))
-    val ew = edges
-      .join(edges.groupBy(col("src")).agg(sum(col("w")).as("wout")),
-        Seq("src"))
-      .persist()
     val nodes = t(s, dir, "nation").select(col("n_nationkey").as("v"))
-    val n = nodes.count()
-    val base = SCALE * 15 / (100 * n)
-    var ranks = nodes.withColumn("r", lit(SCALE / n)).persist()
-    var prev: Option[DataFrame] = None
-    for (_ <- 1 to 3) {
-      val contrib = ew
-        .join(ranks.withColumnRenamed("v", "src"), Seq("src"))
-        .select(col("dst").as("v"), expr("(r * w) div wout").as("c"))
-        .groupBy(col("v")).agg(sum(col("c")).as("csum"))
-      val next = nodes.join(contrib, Seq("v"), "left")
-        .select(col("v"), (lit(base) +
-          expr("(85 * coalesce(csum, 0L)) div 100")).as("r"))
-        .persist()
-      next.count() // materialize before dropping the round it reads
-      prev.foreach(_.unpersist())
-      prev = Some(ranks)
-      ranks = next
-    }
-    val res = ranks
+    val ranked = PageRankIter.run(s, nodes, edges, iters = 3)
+    val res = ranked.ranks
       .join(broadcast(t(s, dir, "nation")
         .select(col("n_nationkey").as("v"), col("n_name"))), Seq("v"))
       .select(col("n_name"), col("r").as("rank_scaled"))
       .orderBy(col("rank_scaled").desc, col("n_name"))
     val local = graft.util.LocalFrame.materialize(res)
-    prev.foreach(_.unpersist())
-    ranks.unpersist()
-    ew.unpersist()
+    ranked.release()
     local
   }
 
@@ -243,6 +222,61 @@ object MiscQueries {
           " * total_cents) AS BIGINT)") -
           expr("(n_customers + 1) * 1000000 div n_customers"))
           .as("gini_micro"))
+  }
+
+  /** q258: triangle counting on the co-purchase graph (parts sharing
+    * ≥ 2 baskets, q252's edge set) — the clustering/community signal
+    * ("bundles": three parts pairwise co-bought). The naive wedge count
+    * is Σ deg² and dies on hub nodes; the scale shape is
+    * Suri–Vassilvitskii's degree ordering ("Counting triangles and the
+    * curse of the last reducer", WWW'11): orient every edge from its
+    * (degree, id)-smaller endpoint, enumerate wedges only at the
+    * ≺-SMALLEST vertex of each triangle — per-vertex fanout is then
+    * out-degree ≤ O(√|E|) by the orientation argument, hubs included —
+    * and close them with one more equi-join. Every triangle is counted
+    * exactly once; here the ordering cuts candidate wedges to 2.4k on
+    * a 3.4k-edge graph.
+    *
+    * The ≺ order rides a single BIGINT (deg·10⁹ + id, exact while ids
+    * stay below 10⁹ — true for every TPC-H SF this engine targets;
+    * struct comparison is the drop-in if ids outgrow it). Three
+    * bounded scalars reach the driver; joins are all equi (the wedge
+    * v₁ < v₂ predicate filters an equi-join on the shared low vertex,
+    * never a theta join). */
+  def triangleCount(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val items = t(s, dir, "lineitem")
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .distinct()
+    val pairs = items.as("a").join(items.as("b"), Seq("ok"))
+      .filter(col("a.pk") < col("b.pk"))
+      .groupBy(col("a.pk").as("x"), col("b.pk").as("y"))
+      .agg(count(lit(1)).as("supp")).filter(col("supp") >= 2)
+      .select(col("x"), col("y"))
+      .persist()
+    val deg = pairs.select(col("x").as("n"))
+      .unionAll(pairs.select(col("y").as("n")))
+      .groupBy(col("n")).agg(count(lit(1)).as("d"))
+    val oe = pairs
+      .join(deg.select(col("n").as("x"), col("d").as("dx")), Seq("x"))
+      .join(deg.select(col("n").as("y"), col("d").as("dy")), Seq("y"))
+      .select(
+        least(col("dx") * lit(1000000000L) + col("x"),
+          col("dy") * lit(1000000000L) + col("y")).as("uord"),
+        greatest(col("dx") * lit(1000000000L) + col("x"),
+          col("dy") * lit(1000000000L) + col("y")).as("vord"))
+      .persist()
+    val wed = oe.as("e1").join(oe.as("e2"),
+        col("e1.uord") === col("e2.uord") && col("e1.vord") < col("e2.vord"))
+      .select(col("e1.vord").as("v1"), col("e2.vord").as("v2"))
+      .persist()
+    val nEdges = pairs.count()
+    val nWedges = wed.count()
+    val nTriangles = wed.join(oe,
+      col("v1") === col("uord") && col("v2") === col("vord")).count()
+    pairs.unpersist(); oe.unpersist(); wed.unpersist()
+    Seq((nEdges, nWedges, nTriangles))
+      .toDF("n_edges", "n_wedges", "n_triangles")
   }
 
   /** Unpivot via stack(): two part metrics into (metric, value) rows.
@@ -963,6 +997,7 @@ object MiscQueries {
     "q253_pagerank"       -> (pageRank _),
     "q254_skyline"        -> (skylineParts _),
     "q255_gini_spend"     -> (giniSpend _),
+    "q258_triangle_count" -> (triangleCount _),
     "q37_unpivot_metrics" -> (unpivotMetrics _),
     "q38_quarterly_orders" -> (quarterlyOrders _),
     "q39_null_handling"   -> (nullHandling _),
@@ -1004,6 +1039,33 @@ object MiscQueries {
         |JOIN isupp sa ON antecedent = sa.pk
         |JOIN isupp sc ON consequent = sc.pk
         |ORDER BY supp_pair DESC, antecedent, consequent""".stripMargin,
+    // q258: identical edge set, identical (deg·10⁹ + id) orientation
+    // arithmetic, identical wedge/closing joins — integer-exact replay
+    "q258_triangle_count" ->
+      """WITH items AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+        |               FROM lineitem),
+        |pairs AS (
+        |  SELECT a.pk AS x, b.pk AS y
+        |  FROM items a JOIN items b ON a.ok = b.ok AND a.pk < b.pk
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |deg AS (SELECT n, CAST(count(*) AS BIGINT) AS d FROM (
+        |  SELECT x AS n FROM pairs UNION ALL SELECT y FROM pairs)
+        |  GROUP BY n),
+        |oe AS (
+        |  SELECT least(dx.d * 1000000000 + x, dy.d * 1000000000 + y)
+        |           AS uord,
+        |         greatest(dx.d * 1000000000 + x, dy.d * 1000000000 + y)
+        |           AS vord
+        |  FROM pairs JOIN deg dx ON x = dx.n JOIN deg dy ON y = dy.n),
+        |wed AS (SELECT e1.vord AS v1, e2.vord AS v2
+        |        FROM oe e1 JOIN oe e2
+        |        ON e1.uord = e2.uord AND e1.vord < e2.vord),
+        |tri AS (SELECT count(*) AS n_triangles
+        |        FROM wed JOIN oe e3
+        |        ON e3.uord = wed.v1 AND e3.vord = wed.v2)
+        |SELECT CAST((SELECT count(*) FROM pairs) AS BIGINT) AS n_edges,
+        |  CAST((SELECT count(*) FROM wed) AS BIGINT) AS n_wedges,
+        |  CAST((SELECT n_triangles FROM tri) AS BIGINT) AS n_triangles""".stripMargin,
     // q255: the classic row_number() formulation (fine in DuckDB, the
     // banned global-window shape in Spark — GlobalRank replaces it);
     // identical integer floors, HUGEINT intermediates cast back down

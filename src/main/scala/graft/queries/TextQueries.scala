@@ -1214,6 +1214,96 @@ object TextQueries {
     local
   }
 
+  /** q257: TextRank keyword extraction (Mihalcea & Tarau, EMNLP 2004)
+    * — corpus-salient words as the damped-random-walk weights on the
+    * word CO-OCCURRENCE graph: adjacent-token pairs (window 2),
+    * symmetrized, weighted by adjacency count, then
+    * [[graft.operators.PageRankIter]] for three power iterations —
+    * the same scaled-BIGINT loop as q253 with the rank frame keyed by
+    * VOCABULARY (wordlist-bounded here — 31 terms in the synthetic
+    * corpus — but the plan is identical at a web-scale vocabulary:
+    * rank and edge frames stay partitioned, nothing driver-sized
+    * depends on vocab). The unsupervised keyword/salience op of every
+    * indexing pipeline; a word ranks high when words that themselves
+    * attract many co-occurrences co-occur with it.
+    *
+    * Self-loops (aa pairs) are dropped — a word must not vote for
+    * itself; the empty/1-token guard mirrors q234's lesson (Spark's
+    * sequence(1, 0) yields a DESCENDING 2-element array, not empty).
+    * Oracle: the full graph build + three unrolled integer rounds
+    * replayed in SQL; top-20 cut on the (rank desc, word) total
+    * order. */
+  def textRankKeywords(s: SparkSession, dir: String): DataFrame = {
+    val toks = docs(s, dir).select(
+      expr("regexp_extract_all(lower(text), '[a-z]+', 0)").as("ws"))
+    val adj = toks.filter(size(col("ws")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, size(ws) - 1), i -> " +
+          "struct(element_at(ws, i) AS a, element_at(ws, i + 1) AS b))"))
+        .as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"))
+      .filter(col("a") =!= col("b"))
+    val sym = adj.unionAll(adj.select(col("b").as("a"), col("a").as("b")))
+    val edges = sym.groupBy(col("a").as("src"), col("b").as("dst"))
+      .agg(count(lit(1)).as("w"))
+    val nodes = toks.select(explode(col("ws")).as("v")).distinct()
+    val ranked = graft.operators.PageRankIter.run(s, nodes, edges, iters = 3)
+    val res = graft.util.LocalFrame.materialize(
+      ranked.ranks
+        .orderBy(col("r").desc, col("v"))
+        .limit(20)
+        .select(col("v").as("word"), col("r").as("rank_scaled")))
+    ranked.release()
+    res
+  }
+
+  /** q259: Misra–Gries heavy hitters over the token stream —
+    * [[graft.functions.MisraGriesAgg]], the DETERMINISTIC frequent-
+    * items sketch (vs q88's probabilistic Count-Min): k−1 counters,
+    * every estimate undercounts by at most n/k, mergeable across any
+    * partitioning (Agarwal et al. PODS'12 merge rule). With k = 16
+    * over this 31-term vocabulary the sketch genuinely compresses
+    * (≤ 15 counters survive 31 keys), so the decrement/merge paths are
+    * exercised, not idle.
+    *
+    * Sketch INTERNALS are partition-placement-dependent (any MG
+    * deployment's caveat), so the published frame follows the q87/q88
+    * sketch-gate pattern: rows are the oracle-replayable TRUE top-10
+    * (exact counts from a plain aggregate), and the sketch appears
+    * only through its THEOREMS as pinned booleans — estimate never
+    * exceeds truth, undercount within n/k, counter count within k−1.
+    * A regression in sketch arithmetic flips a boolean and fails the
+    * hash gate; MisraGriesSpec stress-tests the guarantees on skewed
+    * synthetic streams under adversarial partitionings. */
+  def mgHeavyHitters(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    val k = 16
+    val toks = docs(s, dir).select(explode(
+      expr("regexp_extract_all(lower(text), '[a-z]+', 0)")).as("w"))
+      .persist()
+    val n = toks.count()
+    val mg = graft.functions.MisraGriesAgg(
+      ColumnBridge.expression(col("w")), k)
+    val ests = toks
+      .agg(ColumnBridge.column(mg.toAggregateExpression()).as("sk"))
+      .select(size(col("sk")).as("sk_size"), explode(col("sk")).as("e"))
+      .select(col("sk_size"), col("e.term").as("w"), col("e.est").as("est"))
+    val top10 = toks.groupBy(col("w")).agg(count(lit(1)).as("true_count"))
+      .orderBy(col("true_count").desc, col("w")).limit(10)
+    val res = graft.util.LocalFrame.materialize(
+      top10.join(ests, Seq("w"), "left")
+        .select(col("w").as("term"), col("true_count"),
+          (coalesce(col("est"), lit(0L)) <= col("true_count"))
+            .as("est_le_true"),
+          (col("true_count") - coalesce(col("est"), lit(0L)) <= lit(n / k))
+            .as("undercount_ok"),
+          (coalesce(col("sk_size"), lit(0)) <= lit(k - 1))
+            .as("sketch_within_cap"))
+        .orderBy(col("true_count").desc, col("term")))
+    toks.unpersist()
+    res
+  }
+
   /** q234: character-entropy quality signal — the low-entropy-spam
     * filter (repeated-character runs, keyboard mash, template spam all
     * score far below natural text; CCNet-family pipelines use exactly
@@ -1416,6 +1506,8 @@ object TextQueries {
     "q138_cc_star_contraction" -> (neardupComponentsStar _),
     "q219_source_dup_matrix"  -> (sourceDupMatrix _),
     "q251_prefix_filter_join" -> (prefixFilterJoin _),
+    "q257_textrank_keywords"  -> (textRankKeywords _),
+    "q259_mg_heavy_hitters"   -> (mgHeavyHitters _),
     "q247_cdc_chunk_dedup"    -> (cdcChunkDedup _),
     "q222_rag_chunking"       -> (ragChunking _),
     "q220_dedup_savings"      -> (dedupSavings _),
@@ -1482,6 +1574,67 @@ object TextQueries {
       |FROM comp ORDER BY doc_id""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // q259: the q87/q88 sketch-gate pattern — the oracle replays the
+    // TRUE top-10 exactly and pins the sketch's theorem booleans;
+    // sketch internals (partition-dependent) never reach the output
+    "q259_mg_heavy_hitters" ->
+      """WITH t AS (SELECT UNNEST(regexp_extract_all(lower(text),
+        |             '[a-z]+')) AS w FROM documents),
+        |cnt AS (SELECT w, CAST(count(*) AS BIGINT) AS true_count
+        |        FROM t GROUP BY w)
+        |SELECT w AS term, true_count,
+        |  TRUE AS est_le_true, TRUE AS undercount_ok,
+        |  TRUE AS sketch_within_cap
+        |FROM cnt ORDER BY true_count DESC, term LIMIT 10""".stripMargin,
+    // q257: graph build + three unrolled integer power-iteration
+    // rounds (q253's replay pattern at vocabulary scale); range(1,n)
+    // in DuckDB == sequence(1, n-1) in Spark (both 1..n-1 inclusive)
+    "q257_textrank_keywords" ->
+      """WITH ws AS (SELECT regexp_extract_all(lower(text), '[a-z]+')
+        |              AS ws FROM documents),
+        |adj AS (
+        |  SELECT ws[i] AS a, ws[i+1] AS b
+        |  FROM ws, UNNEST(range(1, len(ws))) AS t(i)
+        |  WHERE len(ws) >= 2 AND ws[i] <> ws[i+1]),
+        |sym AS (SELECT a, b FROM adj UNION ALL SELECT b, a FROM adj),
+        |e AS (SELECT a AS src, b AS dst, CAST(count(*) AS BIGINT) AS w
+        |      FROM sym GROUP BY 1, 2),
+        |outw AS (SELECT src, CAST(sum(w) AS BIGINT) AS wout
+        |         FROM e GROUP BY src),
+        |nodes AS (SELECT DISTINCT UNNEST(ws) AS v FROM ws),
+        |nn AS (SELECT count(*) AS n FROM nodes),
+        |r0 AS (SELECT v,
+        |         CAST(1000000000000 // (SELECT n FROM nn) AS BIGINT) AS r
+        |       FROM nodes),
+        |r1 AS (SELECT nodes.v,
+        |         CAST((1000000000000 * 15) // (100 * (SELECT n FROM nn))
+        |              + (85 * coalesce(sc.c, 0)) // 100 AS BIGINT) AS r
+        |       FROM nodes LEFT JOIN (
+        |         SELECT e.dst AS v,
+        |                CAST(sum((r0.r * e.w) // o.wout) AS BIGINT) AS c
+        |         FROM e JOIN r0 ON e.src = r0.v
+        |         JOIN outw o ON e.src = o.src
+        |         GROUP BY 1) sc ON nodes.v = sc.v),
+        |r2 AS (SELECT nodes.v,
+        |         CAST((1000000000000 * 15) // (100 * (SELECT n FROM nn))
+        |              + (85 * coalesce(sc.c, 0)) // 100 AS BIGINT) AS r
+        |       FROM nodes LEFT JOIN (
+        |         SELECT e.dst AS v,
+        |                CAST(sum((r1.r * e.w) // o.wout) AS BIGINT) AS c
+        |         FROM e JOIN r1 ON e.src = r1.v
+        |         JOIN outw o ON e.src = o.src
+        |         GROUP BY 1) sc ON nodes.v = sc.v),
+        |r3 AS (SELECT nodes.v,
+        |         CAST((1000000000000 * 15) // (100 * (SELECT n FROM nn))
+        |              + (85 * coalesce(sc.c, 0)) // 100 AS BIGINT) AS r
+        |       FROM nodes LEFT JOIN (
+        |         SELECT e.dst AS v,
+        |                CAST(sum((r2.r * e.w) // o.wout) AS BIGINT) AS c
+        |         FROM e JOIN r2 ON e.src = r2.v
+        |         JOIN outw o ON e.src = o.src
+        |         GROUP BY 1) sc ON nodes.v = sc.v)
+        |SELECT v AS word, r AS rank_scaled FROM r3
+        |ORDER BY rank_scaled DESC, word LIMIT 20""".stripMargin,
     // q251: full value match against the all-pairs recomputation — the
     // prefix filter must find EVERY ≥ 0.9 pair (recall 1.0 by theorem)
     // with its exact jaccard; threshold applied before rounding
