@@ -91,6 +91,55 @@ object Multimodal {
     buf.array()
   }
 
+  /** As [[encodeBmp]] (same hand-written container), but with a
+    * seed-salted TEXTURE instead of the smooth gradient: cross-term
+    * zig-zags make the image non-monotonic in x and the large seed
+    * multipliers move every wrap boundary per class — so perceptual
+    * hashes ([[dHash64]]) distinguish classes, which the q242 gradient
+    * cannot (monotonic rows hash to all-zero bits for every seed; the
+    * round-8 DHashSpec failure that motivated this encoder). Channel
+    * maxima stay 250/240/238, preserving the +5 shift-invariance
+    * headroom. */
+  def encodeTextureBmp(width: Int, height: Int, seed: Long): Array[Byte] = {
+    require(width > 0 && height > 0, s"bad dims ${width}x$height")
+    val rowSize = (3 * width + 3) / 4 * 4
+    val dataSize = rowSize * height
+    val buf = java.nio.ByteBuffer.allocate(54 + dataSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put('B'.toByte).put('M'.toByte)
+    buf.putInt(54 + dataSize)
+    buf.putInt(0)
+    buf.putInt(54)
+    buf.putInt(40)
+    buf.putInt(width)
+    buf.putInt(height)
+    buf.putShort(1)
+    buf.putShort(24)
+    buf.putInt(0)
+    buf.putInt(dataSize)
+    buf.putInt(2835)
+    buf.putInt(2835)
+    buf.putInt(0)
+    buf.putInt(0)
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) {
+        buf.put(((x * 37 + y * 11 + seed * 71 + (x * y % 13) * 19) % 251)
+          .toByte)
+        buf.put(((x * 23 + y * 41 + seed * 97 + ((x + y * y) % 11) * 17)
+          % 241).toByte)
+        buf.put(((x * 13 + y * 29 + seed * 131 + ((x * x + y) % 7) * 29)
+          % 239).toByte)
+        x += 1
+      }
+      var p = 3 * width
+      while (p < rowSize) { buf.put(0.toByte); p += 1 }
+      y += 1
+    }
+    buf.array()
+  }
+
   /** Deterministic 16-bit mono PCM WAV (RIFF canonical layout) — byte
     * length is `44 + 2 * nSamples` BY CONSTRUCTION (44-byte header, two
     * bytes per sample), an arithmetic fact any engine restates. Samples
@@ -230,6 +279,86 @@ object Multimodal {
     val bos = new java.io.ByteArrayOutputStream()
     javax.imageio.ImageIO.write(img, "png", bos)
     bos.toByteArray
+  }
+
+  /** Perceptual difference hash (dHash, Krawetz 2013): luminance
+    * (ITU-R 601 integer weights, 299r+587g+114b over 1000) block-
+    * averaged onto a 9×8 grid (floor cell boundaries gx·w/9 — exact
+    * integer partition of any size), one bit per horizontal neighbor
+    * comparison → 64 bits. All-integer, so the hash is a pure function
+    * of pixel content.
+    *
+    * The invariance that makes it PERCEPTUAL is exact here, not
+    * approximate: a uniform channel shift of +s changes every
+    * luminance by precisely +s (the weight sum is 1000, so
+    * (X + 1000s)/1000 = X/1000 + s under integer division) and every
+    * cell mean by +s (n·s extra over n pixels), leaving every
+    * comparison bit unchanged — PROVIDED no channel clamps at 255.
+    * q260's ±shift assets are constructed to stay below the clamp, so
+    * dHash equality across the photometric edit is arithmetic, not
+    * luck. */
+  def dHash64(img: java.awt.image.BufferedImage): Long = {
+    val (w, h) = (img.getWidth, img.getHeight)
+    val means = Array.ofDim[Long](8, 9)
+    var gy = 0
+    while (gy < 8) {
+      var gx = 0
+      while (gx < 9) {
+        val (x0, x1) = (gx * w / 9, (gx + 1) * w / 9)
+        val (y0, y1) = (gy * h / 8, (gy + 1) * h / 8)
+        var (sum, n) = (0L, 0L)
+        var y = y0
+        while (y < y1) {
+          var x = x0
+          while (x < x1) {
+            val p = img.getRGB(x, y)
+            sum += (299L * ((p >> 16) & 0xff) + 587L * ((p >> 8) & 0xff) +
+              114L * (p & 0xff)) / 1000L
+            n += 1
+            x += 1
+          }
+          y += 1
+        }
+        means(gy)(gx) = if (n == 0) 0L else sum / n
+        gx += 1
+      }
+      gy += 1
+    }
+    var bits = 0L
+    var i = 0
+    while (i < 64) {
+      val (gy2, gx2) = (i / 8, i % 8)
+      if (means(gy2)(gx2) > means(gy2)(gx2 + 1)) bits |= (1L << i)
+      i += 1
+    }
+    bits
+  }
+
+  /** Uniform brightness shift: every channel +s on a fresh raster.
+    * Callers must keep max(channel)+s ≤ 255 — clamping would break
+    * [[dHash64]]'s exact shift invariance (the synthetic gradients top
+    * out at 250/240/238, so +5 is always safe). */
+  def brightnessShift(img: java.awt.image.BufferedImage,
+                      s: Int): java.awt.image.BufferedImage = {
+    val out = new java.awt.image.BufferedImage(
+      img.getWidth, img.getHeight,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < img.getHeight) {
+      var x = 0
+      while (x < img.getWidth) {
+        val p = img.getRGB(x, y)
+        val r = ((p >> 16) & 0xff) + s
+        val g = ((p >> 8) & 0xff) + s
+        val b = (p & 0xff) + s
+        require(r <= 255 && g <= 255 && b <= 255,
+          s"brightnessShift(+$s) clamped at ($x,$y) — invariance broken")
+        out.setRGB(x, y, (r << 16) | (g << 8) | b)
+        x += 1
+      }
+      y += 1
+    }
+    out
   }
 
   /** Canonical pixel fingerprint: md5 over the ARGB raster in row-major

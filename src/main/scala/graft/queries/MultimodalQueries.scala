@@ -149,6 +149,72 @@ object MultimodalQueries {
     ).toDF("fact", "n").orderBy(col("fact")))
   }
 
+  /** q260: PERCEPTUAL image dedup via difference hash
+    * ([[Multimodal.dHash64]]) — the near-dup layer above q237's
+    * pixel-exact dedup: each image-kind doc ships its class TEXTURE
+    * ([[Multimodal.encodeTextureBmp]] — the q242 gradient is
+    * dHash-degenerate: monotonic rows hash to zero for every seed,
+    * DHashSpec proves it) twice, once as the original BMP and once
+    * brightness-shifted +5
+    * and re-encoded PNG. The photometric edit defeats BOTH byte-level
+    * and pixel-exact hashing (every raster value changed), yet dHash
+    * unifies the pair EXACTLY: the +5 shift moves every luminance and
+    * every 9×8 cell mean by precisely +5 (integer identity, no channel
+    * clamps — the gradients top out at 250/240/238), so all 64
+    * neighbor-comparison bits are unchanged. That is the
+    * scaled-down form of the real pipeline question — "same image,
+    * different exposure/re-encode" — answered with arithmetic instead
+    * of a tolerance knob.
+    *
+    * Every published count is doc_id arithmetic (class = doc_id % 7):
+    * pixel groups split 2-per-class, dHash groups close back to
+    * 1-per-class, and the orig×shifted pair count per class is m².
+    * The oracle restates all five facts from `documents` alone — a
+    * dHash that loses shift invariance, collides classes, or a codec
+    * that perturbs pixels breaks the match. Scale shape: per-partition
+    * encode/decode/hash (no shuffle), then fingerprint-keyed
+    * aggregates; three bounded scalars on the driver. */
+  def perceptualDedup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val hashed = graft.Tables.load(s, dir, "documents")
+      .filter(col("doc_id") % 3 === 0)
+      .select(col("doc_id")).as[Long]
+      .mapPartitions { it =>
+        it.flatMap { id =>
+          val bmp = Multimodal.encodeTextureBmp(32, 24, id % 7)
+          val img = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(bmp))
+          val shifted = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(
+              Multimodal.encodePng(Multimodal.brightnessShift(img, 5))))
+          Iterator(
+            (id, "orig", Multimodal.pixelMd5(img), Multimodal.dHash64(img)),
+            (id, "plus5", Multimodal.pixelMd5(shifted),
+              Multimodal.dHash64(shifted)))
+        }
+      }
+      .toDF("doc_id", "variant", "pixel_md5", "dhash")
+      .persist()
+    val n = hashed.count()
+    val pixG = hashed.groupBy(col("pixel_md5")).agg(count(lit(1)).as("k"))
+      .agg(count(lit(1))).head().getLong(0)
+    val d = hashed.groupBy(col("dhash")).agg(
+        count(lit(1)).as("k"),
+        sum(when(col("variant") === "orig", 1L).otherwise(0L)).as("o"),
+        sum(when(col("variant") === "plus5", 1L).otherwise(0L)).as("p"))
+      .agg(count(lit(1)).as("dg"), max(col("k")).as("mx"),
+        sum(col("o") * col("p")).as("pairs")).head()
+    val res = graft.util.LocalFrame.materialize(Seq(
+      ("dhash_groups", d.getLong(0)),
+      ("max_dhash_group", d.getLong(1)),
+      ("n_assets", n),
+      ("photometric_pairs", d.getLong(2)),
+      ("pixel_groups", pixG)
+    ).toDF("fact", "n").orderBy(col("fact")))
+    hashed.unpersist()
+    res
+  }
+
   /** q241: PCM sample statistics through the REAL audio codec — q230
     * trusts the WAV header; this drains the stream
     * ([[Multimodal.audioSamples]]) and aggregates the decoded samples
@@ -230,6 +296,7 @@ object MultimodalQueries {
     "q242_image_pixel_sums" -> (imagePixelSums _),
     "q241_audio_sample_stats" -> (audioSampleStats _),
     "q237_pixel_dedup"      -> (pixelDedup _),
+    "q260_perceptual_dedup" -> (perceptualDedup _),
     "q73_media_kind_stats"  -> (mediaKindStats _),
     "q74_video_frame_sample" -> (videoFrameSample _),
     "q175_media_resize_plan" -> (mediaResizePlan _),
@@ -293,6 +360,26 @@ object MultimodalQueries {
         |       CAST(min(v) AS BIGINT) AS min_sample,
         |       CAST(max(v) AS BIGINT) AS max_sample
         |FROM s GROUP BY media_id ORDER BY media_id""".stripMargin,
+    // q260: the same doc_id arithmetic as q237 — classes split
+    // 2-per-class under pixel hashing, close to 1-per-class under
+    // dHash, m² orig×shifted pairs per class; a shift-variance bug, a
+    // cross-class dhash collision, or a pixel-perturbing codec breaks
+    // the restatement
+    "q260_perceptual_dedup" ->
+      """WITH img AS (SELECT doc_id % 7 AS cls FROM documents
+        |             WHERE doc_id % 3 = 0),
+        |g AS (SELECT cls, count(*) AS k FROM img GROUP BY cls)
+        |SELECT * FROM (
+        |  SELECT 'dhash_groups' AS fact, CAST(count(*) AS BIGINT) AS n
+        |  FROM g
+        |  UNION ALL SELECT 'max_dhash_group', CAST(2 * max(k) AS BIGINT)
+        |  FROM g
+        |  UNION ALL SELECT 'n_assets', CAST(sum(2 * k) AS BIGINT) FROM g
+        |  UNION ALL SELECT 'photometric_pairs',
+        |                   CAST(sum(k * k) AS BIGINT) FROM g
+        |  UNION ALL SELECT 'pixel_groups', CAST(2 * count(*) AS BIGINT)
+        |  FROM g)
+        |ORDER BY fact""".stripMargin,
     // q237: duplicate groups planted as doc_id arithmetic (class =
     // doc_id % 7 over the image-kind docs); all six facts restated
     "q237_pixel_dedup" ->
