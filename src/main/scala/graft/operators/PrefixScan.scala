@@ -41,33 +41,58 @@ object PrefixScan {
     * sum over a non-total order. `valueCol` must cast to a non-null
     * BIGINT for every row. */
   def withRunningSum(df: DataFrame, orderCols: Seq[Column],
-                     valueCol: Column, outCol: String): DataFrame = {
+                     valueCol: Column, outCol: String): DataFrame =
+    scan(df, orderCols, valueCol, outCol, rankCol = None)
+
+  /** As [[withRunningSum]], additionally stamping `rankCol` = the
+    * 1-based global position under the same order — both from the ONE
+    * range exchange (the per-partition reduce pass carries a row count
+    * next to the value total for free). rank + a self-equi-join on
+    * rank+1 is the distributed form of `lead()`/`lag()` — q262
+    * composes it with the running sum for interval-union sweeps. */
+  def withRunningSumAndRank(df: DataFrame, orderCols: Seq[Column],
+                            valueCol: Column, outCol: String,
+                            rankCol: String): DataFrame =
+    scan(df, orderCols, valueCol, outCol, Some(rankCol))
+
+  private def scan(df: DataFrame, orderCols: Seq[Column], valueCol: Column,
+                   outCol: String, rankCol: Option[String]): DataFrame = {
     val spark = df.sparkSession
     val vCol = "_ps_v"
     require(!df.columns.contains(vCol),
       s"input must not contain reserved internal column $vCol")
-    require(!df.columns.contains(outCol),
-      s"output column $outCol already exists in the input")
+    (outCol :: rankCol.toList).foreach { c =>
+      require(!df.columns.contains(c),
+        s"output column $c already exists in the input")
+    }
     // appended LAST, so r.toSeq.init strips it again after stamping
     val withV = df.withColumn(vCol, valueCol.cast(LongType))
     val parted = withV.repartitionByRange(orderCols: _*)
       .sortWithinPartitions(orderCols: _*)
-    val schema = StructType(df.schema.fields)
+    var schema = StructType(df.schema.fields)
       .add(outCol, LongType, nullable = false)
+    rankCol.foreach { c => schema = schema.add(c, LongType, nullable = false) }
     val rdd = parted.rdd
     val vIdx = parted.schema.fieldIndex(vCol)
-    // pass 1: one long per partition (the shuffle files written by the
+    // pass 1: two longs per partition (the shuffle files written by the
     // range exchange are reused by pass 2 — the sort runs once)
-    val sums = rdd
-      .mapPartitionsWithIndex((i, it) =>
-        Iterator((i, it.foldLeft(0L)((a, r) => a + r.getLong(vIdx)))))
-      .collect().sortBy(_._1).map(_._2)
-    val offsets = sums.scanLeft(0L)(_ + _)
+    val partials = rdd
+      .mapPartitionsWithIndex { (i, it) =>
+        var (s, n) = (0L, 0L)
+        it.foreach { r => s += r.getLong(vIdx); n += 1 }
+        Iterator((i, s, n))
+      }
+      .collect().sortBy(_._1)
+    val offsets = partials.map(_._2).scanLeft(0L)(_ + _)
+    val rankOffsets = partials.map(_._3).scanLeft(0L)(_ + _)
     val scanned = rdd.mapPartitionsWithIndex { (pi, it) =>
       var acc = offsets(pi)
+      var rk = rankOffsets(pi)
       it.map { r =>
         acc += r.getLong(vIdx)
-        Row.fromSeq(r.toSeq.init :+ acc)
+        rk += 1
+        val base = r.toSeq.init :+ acc
+        Row.fromSeq(rankCol.fold(base)(_ => base :+ rk))
       }
     }
     spark.createDataFrame(scanned, schema)

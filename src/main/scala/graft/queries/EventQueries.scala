@@ -723,7 +723,54 @@ object EventQueries {
     res
   }
 
+  /** q262: interval-union utilization — what fraction of the
+    * observation span had AT LEAST ONE 1-hour activity window live
+    * (uptime/coverage, the integral twin of q256's peak): sweep-line
+    * change points carry their running active count
+    * ([[graft.operators.PrefixScan]]) AND their global position from
+    * the same single range exchange; consecutive change points then
+    * pair by a self-EQUI-join on rank+1 — the distributed form of
+    * `lead()`, which SQL can only phrase as the banned global window —
+    * and covered time is Σ segment durations where active > 0.
+    *
+    * All integer micros end-to-end (unix_micros ↔ epoch_us);
+    * utilization published as ⌊covered·10⁶/span⌋ ppm — no float
+    * crosses the engine boundary. Driver state: the PrefixScan
+    * partition partials and one 1-row aggregate. */
+  def intervalUtilization(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.PrefixScan
+    val ev0 = ev(s, dir).select(col("event_id"), col("ts"))
+    val deltas = ev0
+      .select(expr("unix_micros(ts)").as("tus"), lit(1L).as("delta"),
+        col("event_id"))
+      .unionAll(ev0.select(
+        expr("unix_micros(ts + INTERVAL 1 HOUR)").as("tus"),
+        lit(-1L).as("delta"), col("event_id")))
+    val ranked = PrefixScan.withRunningSumAndRank(deltas,
+      Seq(col("tus"), col("delta"), col("event_id")), col("delta"),
+      "active", "rk").persist()
+    val seg = ranked.as("x").join(
+        ranked.select(col("rk").as("rk1"), col("tus").as("nxt")),
+        col("rk1") === col("x.rk") + 1)
+      .select(col("x.active").as("active"),
+        (col("nxt") - col("x.tus")).as("dur"))
+    // one aggregate carries everything: span = Σ consecutive gaps
+    // (= max − min), change points = segments + 1 — no second frame,
+    // no 1-row cross join
+    val res = graft.util.LocalFrame.materialize(
+      seg.agg(
+          (count(lit(1)) + 1).as("n_change_points"),
+          sum(when(col("active") > 0, col("dur")).otherwise(0L))
+            .as("covered_us"),
+          sum(col("dur")).as("span_us"))
+        .select(col("n_change_points"), col("covered_us"), col("span_us"),
+          expr("covered_us * 1000000 div span_us").as("utilization_ppm")))
+    ranked.unpersist()
+    res
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q262_interval_util"     -> (intervalUtilization _),
     "q256_peak_concurrency"  -> (peakConcurrency _),
     "q198_funnel_stages"     -> (funnelStages _),
     "q199_retention_cohorts" -> (retentionCohorts _),
@@ -756,6 +803,30 @@ object EventQueries {
     "CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)"
 
   val oracles: Map[String, String] = Map(
+    // q262: lead() + running sum in their window forms — the shapes
+    // the PrefixScan rank-join composition replaces; pure integer
+    // micros, covered·10⁶ floor-divided for the ppm
+    "q262_interval_util" ->
+      """WITH deltas AS (
+        |  SELECT epoch_us(ts) AS tus, CAST(1 AS BIGINT) AS delta,
+        |         event_id FROM events
+        |  UNION ALL
+        |  SELECT epoch_us(ts + INTERVAL 1 HOUR), CAST(-1 AS BIGINT),
+        |         event_id FROM events),
+        |scanned AS (
+        |  SELECT tus,
+        |    CAST(sum(delta) OVER (ORDER BY tus, delta, event_id
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS active,
+        |    lead(tus) OVER (ORDER BY tus, delta, event_id) AS nxt
+        |  FROM deltas)
+        |SELECT CAST(count(*) AS BIGINT) AS n_change_points,
+        |  CAST(coalesce(sum(CASE WHEN active > 0 AND nxt IS NOT NULL
+        |    THEN nxt - tus ELSE 0 END), 0) AS BIGINT) AS covered_us,
+        |  CAST(max(tus) - min(tus) AS BIGINT) AS span_us,
+        |  CAST(coalesce(sum(CASE WHEN active > 0 AND nxt IS NOT NULL
+        |    THEN nxt - tus ELSE 0 END), 0) * 1000000
+        |    // (max(tus) - min(tus)) AS BIGINT) AS utilization_ppm
+        |FROM scanned""".stripMargin,
     // q256: the window form PrefixScan replaces — DuckDB may run the
     // un-partitioned running sum single-threaded, the oracle only needs
     // the VALUES; window sum widens to HUGEINT, cast back down

@@ -1304,6 +1304,51 @@ object TextQueries {
     res
   }
 
+  /** q261: PMI collocation mining (Church & Hanks 1990) — which
+    * bigrams stick together beyond chance:
+    * PMI(a,b) = ln(c(a,b)·B / (l(a)·r(b))) over adjacent-token
+    * bigrams, with l/r the bigram-slot marginals and B the bigram
+    * total. The lexical-association twin of q252's lift (items →
+    * adjacent tokens, support → slot marginals); collocation lists are
+    * the classic vocabulary-building/phrase-detection pass before
+    * tokenizer training.
+    *
+    * Determinism: each ln runs on an exact INTEGER and is quantized to
+    * a ×10⁹ BIGINT immediately (q234's discipline — DECIMAL(18,9)
+    * precision 29 never hits the 38 cap), so pmi_nano is a SUM of four
+    * quantized integers, bit-equal on both engines; no float ratio
+    * ever crosses the engine boundary. Min-count 25 is the df-band
+    * rule (PMI is unstable on rare pairs AND they'd bloat the output);
+    * top-15 cut on the (pmi desc, a, b) total order. */
+  def pmiCollocations(s: SparkSession, dir: String): DataFrame = {
+    def lnq(c: String) =
+      s"CAST(CAST(ln($c) AS DECIMAL(18,9)) * 1000000000 AS BIGINT)"
+    val bg = docs(s, dir)
+      .select(expr("regexp_extract_all(lower(text), '[a-z]+', 0)").as("ws"))
+      .filter(size(col("ws")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, size(ws) - 1), i -> " +
+          "struct(element_at(ws, i) AS a, element_at(ws, i + 1) AS b))"))
+        .as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"))
+      .persist()
+    val big = bg.count()
+    val c2 = bg.groupBy(col("a"), col("b")).agg(count(lit(1)).as("c"))
+    val la = c2.groupBy(col("a")).agg(sum(col("c")).as("la"))
+    val rb = c2.groupBy(col("b")).agg(sum(col("c")).as("rb"))
+    val res = graft.util.LocalFrame.materialize(
+      c2.filter(col("c") >= 25)
+        .join(broadcast(la), Seq("a"))
+        .join(broadcast(rb), Seq("b"))
+        .select(col("a"), col("b"), col("c").as("pair_count"),
+          (expr(lnq("c")) + expr(lnq(big.toString)) -
+            expr(lnq("la")) - expr(lnq("rb"))).as("pmi_nano"))
+        .orderBy(col("pmi_nano").desc, col("a"), col("b"))
+        .limit(15))
+    bg.unpersist()
+    res
+  }
+
   /** q234: character-entropy quality signal — the low-entropy-spam
     * filter (repeated-character runs, keyboard mash, template spam all
     * score far below natural text; CCNet-family pipelines use exactly
@@ -1508,6 +1553,7 @@ object TextQueries {
     "q251_prefix_filter_join" -> (prefixFilterJoin _),
     "q257_textrank_keywords"  -> (textRankKeywords _),
     "q259_mg_heavy_hitters"   -> (mgHeavyHitters _),
+    "q261_pmi_collocations"   -> (pmiCollocations _),
     "q247_cdc_chunk_dedup"    -> (cdcChunkDedup _),
     "q222_rag_chunking"       -> (ragChunking _),
     "q220_dedup_savings"      -> (dedupSavings _),
@@ -1574,6 +1620,32 @@ object TextQueries {
       |FROM comp ORDER BY doc_id""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // q261: same bigram build, same per-integer ×10⁹ ln quantization
+    // (q234's discipline), same min-count band and top-15 total order
+    "q261_pmi_collocations" ->
+      """WITH ws AS (SELECT regexp_extract_all(lower(text), '[a-z]+')
+        |              AS ws FROM documents),
+        |bg AS (SELECT ws[i] AS a, ws[i+1] AS b
+        |       FROM ws, UNNEST(range(1, len(ws))) AS t(i)
+        |       WHERE len(ws) >= 2),
+        |c2 AS (SELECT a, b, CAST(count(*) AS BIGINT) AS c
+        |       FROM bg GROUP BY 1, 2),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS big FROM bg),
+        |la AS (SELECT a, CAST(sum(c) AS BIGINT) AS la FROM c2 GROUP BY a),
+        |rb AS (SELECT b, CAST(sum(c) AS BIGINT) AS rb FROM c2 GROUP BY b)
+        |SELECT c2.a, c2.b, c AS pair_count,
+        |  CAST(CAST(ln(c) AS DECIMAL(18,9)) *
+        |       CAST(1000000000 AS DECIMAL(19,0)) AS BIGINT)
+        |  + CAST(CAST(ln((SELECT big FROM tot)) AS DECIMAL(18,9)) *
+        |         CAST(1000000000 AS DECIMAL(19,0)) AS BIGINT)
+        |  - CAST(CAST(ln(la) AS DECIMAL(18,9)) *
+        |         CAST(1000000000 AS DECIMAL(19,0)) AS BIGINT)
+        |  - CAST(CAST(ln(rb) AS DECIMAL(18,9)) *
+        |         CAST(1000000000 AS DECIMAL(19,0)) AS BIGINT)
+        |    AS pmi_nano
+        |FROM c2 JOIN la ON c2.a = la.a JOIN rb ON c2.b = rb.b
+        |WHERE c >= 25
+        |ORDER BY pmi_nano DESC, c2.a, c2.b LIMIT 15""".stripMargin,
     // q259: the q87/q88 sketch-gate pattern — the oracle replays the
     // TRUE top-10 exactly and pins the sketch's theorem booleans;
     // sketch internals (partition-dependent) never reach the output

@@ -50,6 +50,23 @@ class PrefixScanSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("withRunningSumAndRank: contiguous 1-based ranks in key order") {
+    val out = PrefixScan.withRunningSumAndRank(orders.repartition(5),
+        Seq(col("k")), col("v"), "run", "rk")
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+    assert(out.map(_._3).toSeq == (1L to out.length).toSeq,
+      "ranks not contiguous in key order")
+    // the rank+1 self-join (the distributed lead()) reconstructs the
+    // sorted neighbor pairs exactly
+    val byRank = out.map(t => t._3 -> t._1).toMap
+    out.init.zip(out.tail).foreach { case (a, b) =>
+      assert(byRank(a._3 + 1) == b._1)
+    }
+    assert(out.last._2 ==
+      orders.agg(sum(col("v"))).head().getLong(0))
+  }
+
   test("reserved and colliding column names are rejected") {
     intercept[IllegalArgumentException] {
       PrefixScan.withRunningSum(orders.withColumn("_ps_v", lit(1L)),
