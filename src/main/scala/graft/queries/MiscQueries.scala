@@ -279,6 +279,49 @@ object MiscQueries {
       .toDF("n_edges", "n_wedges", "n_triangles")
   }
 
+  /** q263: per-nation next-month revenue forecast by simple
+    * exponential smoothing (Brown 1956) with α = ½, run IN-ENGINE over
+    * each nation's monthly series: s₁ = x₁, sₜ = (xₜ + sₜ₋₁) div 2 —
+    * α = ½ makes the recurrence pure INTEGER halving, so the smoothed
+    * level is bit-exact on both engines (a float α would drift in the
+    * fold; the same trick as the scaled-BIGINT discipline, chosen at
+    * the model level). The forecast for month T+1 is s_T — the
+    * baseline every demand-planning dashboard starts from.
+    *
+    * An exponential recurrence is inherently sequential IN t, but t
+    * ranges over CALENDAR MONTHS — so each nation's series is a
+    * calendar-bounded array (≤ ~84 entries regardless of SF; the
+    * PlanShapeLint allowlist argument) collected per key and folded by
+    * one `aggregate` HOF in the projection. Group rows scale out; the
+    * per-group fold is O(months). One shuffle to (nation, month), one
+    * to nation; the nation dim broadcast. DuckDB replays the fold with
+    * list_reduce — seeded by the first element exactly like the
+    * slice-from-2 form here. */
+  def sesForecast(s: SparkSession, dir: String): DataFrame = {
+    val monthly = t(s, dir, "orders")
+      .join(broadcast(t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_nationkey"))),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_nationkey").as("nk"),
+        date_format(date_trunc("month", col("o_orderdate")), "yyyy-MM")
+          .as("m"))
+      .agg(expr("CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 " +
+        "AS BIGINT)").as("cents"))
+    val series = monthly.groupBy(col("nk"))
+      .agg(sort_array(collect_list(struct(col("m"), col("cents"))))
+        .as("xs"))
+    series
+      .join(broadcast(t(s, dir, "nation")
+        .select(col("n_nationkey").as("nk"), col("n_name"))), Seq("nk"))
+      .select(col("n_name"),
+        size(col("xs")).cast("long").as("n_months"),
+        expr("element_at(xs, -1).cents").as("last_cents"),
+        expr("aggregate(slice(xs, 2, size(xs) - 1), " +
+          "element_at(xs, 1).cents, " +
+          "(acc, x) -> (acc + x.cents) div 2)").as("forecast_cents"))
+      .orderBy(col("n_name"))
+  }
+
   /** Unpivot via stack(): two part metrics into (metric, value) rows.
     * Decimal sums keep the oracle exact. */
   def unpivotMetrics(s: SparkSession, dir: String): DataFrame =
@@ -998,6 +1041,7 @@ object MiscQueries {
     "q254_skyline"        -> (skylineParts _),
     "q255_gini_spend"     -> (giniSpend _),
     "q258_triangle_count" -> (triangleCount _),
+    "q263_ses_forecast"   -> (sesForecast _),
     "q37_unpivot_metrics" -> (unpivotMetrics _),
     "q38_quarterly_orders" -> (quarterlyOrders _),
     "q39_null_handling"   -> (nullHandling _),
@@ -1039,6 +1083,26 @@ object MiscQueries {
         |JOIN isupp sa ON antecedent = sa.pk
         |JOIN isupp sc ON consequent = sc.pk
         |ORDER BY supp_pair DESC, antecedent, consequent""".stripMargin,
+    // q263: list_reduce seeds with the first element — exactly the
+    // slice-from-2 aggregate form Spark-side; integer halving keeps
+    // the whole recurrence bit-exact
+    "q263_ses_forecast" ->
+      """WITH monthly AS (
+        |  SELECT c.c_nationkey AS nk,
+        |    strftime(date_trunc('month', o.o_orderdate), '%Y-%m') AS m,
+        |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100
+        |         AS BIGINT) AS cents
+        |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |  GROUP BY 1, 2),
+        |series AS (SELECT nk, list(cents ORDER BY m) AS xs
+        |           FROM monthly GROUP BY nk)
+        |SELECT n.n_name, CAST(len(xs) AS BIGINT) AS n_months,
+        |  xs[-1] AS last_cents,
+        |  CASE WHEN len(xs) = 1 THEN xs[1]
+        |       ELSE list_reduce(xs, (a, b) -> (a + b) // 2)
+        |  END AS forecast_cents
+        |FROM series JOIN nation n ON nk = n.n_nationkey
+        |ORDER BY n_name""".stripMargin,
     // q258: identical edge set, identical (deg·10⁹ + id) orientation
     // arithmetic, identical wedge/closing joins — integer-exact replay
     "q258_triangle_count" ->

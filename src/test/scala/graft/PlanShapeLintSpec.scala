@@ -53,7 +53,11 @@ class PlanShapeLintSpec extends SparkSpec {
     // its plan at all
     "q240_sparse_dot_pairs" ->
       ("df-band pre-join (df BETWEEN 2 AND 50) caps every collected " +
-        "posting list at 50 docs before the aggregate sees it"))
+        "posting list at 50 docs before the aggregate sees it"),
+    "q263_ses_forecast" ->
+      ("collect of one nation's MONTHLY revenue series — bounded by " +
+        "the calendar span (~84 months), not by row count; the SES " +
+        "fold is per-group O(months)"))
 
   test("lint flags deliberately-bad fixtures") {
     import spark.implicits._
