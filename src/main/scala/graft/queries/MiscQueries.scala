@@ -322,6 +322,79 @@ object MiscQueries {
       .orderBy(col("n_name"))
   }
 
+  /** q264: HITS hubs & authorities (Kleinberg, JACM'99) on the
+    * directed nation trade graph — the bilateral complement of q253's
+    * PageRank: a nation is a strong HUB when it buys from strong
+    * suppliers, a strong AUTHORITY when strong buyers source from it;
+    * the two scores are coupled fixed points and genuinely different
+    * rankings (importers vs exporters), which one PageRank score
+    * cannot express.
+    *
+    * Two full iterations = four half-steps, each ONE
+    * edge-score equi-join + ONE hash aggregate (O(|E|)), with L∞
+    * normalization (rescale by the max — an accepted HITS variant
+    * whose fixed point is the same principal eigenvector direction)
+    * done in INTEGER arithmetic: score·10⁶ div max, so the oracle's
+    * four unrolled rounds replay bit-for-bit. Driver state: one max
+    * scalar per half-step (bounded), loop counter, nothing node-sized.
+    * Scores ≤ 10⁶ by construction keep every product BIGINT-safe. */
+  def hitsScores(s: SparkSession, dir: String): DataFrame = {
+    val SCALE = 1000000L
+    val edges = t(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_suppkey"))
+      .join(t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_nationkey"))),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(t(s, dir, "supplier")
+        .select(col("s_suppkey"), col("s_nationkey"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("c_nationkey").as("src"), col("s_nationkey").as("dst"))
+      .agg(count(lit(1)).as("w"))
+      .persist()
+    val nodes = t(s, dir, "nation").select(col("n_nationkey").as("v"))
+    // one half-step: sum scoreCol over the `from` end of every edge
+    // into the `into` end, L∞-normalize to SCALE in integer arithmetic
+    def halfStep(scores: DataFrame, scoreCol: String,
+                 from: String, into: String, outCol: String): DataFrame = {
+      val raw = nodes.join(
+          edges.join(scores.withColumnRenamed("v", from), Seq(from))
+            .groupBy(col(into).as("v"))
+            .agg(sum(col(scoreCol) * col("w")).as("r")),
+          Seq("v"), "left")
+        .select(col("v"), coalesce(col("r"), lit(0L)).as("r"))
+        .persist()
+      val mx = raw.agg(max(col("r"))).head().getLong(0)
+      require(mx > 0, "HITS on an edgeless graph")
+      val out = raw
+        .select(col("v"), expr(s"r * $SCALE div $mx").as(outCol)).persist()
+      out.count()
+      raw.unpersist()
+      out
+    }
+    var h = nodes.withColumn("h", lit(SCALE)).persist()
+    var a: DataFrame = null
+    for (_ <- 1 to 2) {
+      val aNew = halfStep(h, "h", "src", "dst", "a")
+      if (a != null) a.unpersist()
+      a = aNew
+      val hNew = halfStep(a, "a", "dst", "src", "h")
+      h.unpersist()
+      h = hNew
+    }
+    val res = graft.util.LocalFrame.materialize(
+      h.join(a, Seq("v"))
+        .join(broadcast(t(s, dir, "nation")
+          .select(col("n_nationkey").as("v"), col("n_name"))), Seq("v"))
+        .select(col("n_name"), col("h").as("hub_scaled"),
+          col("a").as("auth_scaled"))
+        .orderBy(col("auth_scaled").desc, col("hub_scaled").desc,
+          col("n_name")))
+    h.unpersist(); a.unpersist(); edges.unpersist()
+    res
+  }
+
   /** Unpivot via stack(): two part metrics into (metric, value) rows.
     * Decimal sums keep the oracle exact. */
   def unpivotMetrics(s: SparkSession, dir: String): DataFrame =
@@ -1042,6 +1115,7 @@ object MiscQueries {
     "q255_gini_spend"     -> (giniSpend _),
     "q258_triangle_count" -> (triangleCount _),
     "q263_ses_forecast"   -> (sesForecast _),
+    "q264_hits_scores"    -> (hitsScores _),
     "q37_unpivot_metrics" -> (unpivotMetrics _),
     "q38_quarterly_orders" -> (quarterlyOrders _),
     "q39_null_handling"   -> (nullHandling _),
@@ -1083,6 +1157,47 @@ object MiscQueries {
         |JOIN isupp sa ON antecedent = sa.pk
         |JOIN isupp sc ON consequent = sc.pk
         |ORDER BY supp_pair DESC, antecedent, consequent""".stripMargin,
+    // q264: four unrolled half-steps, identical integer L∞
+    // normalization (score·10⁶ // max) — bit-exact replay
+    "q264_hits_scores" ->
+      """WITH e AS (
+        |  SELECT c.c_nationkey AS src, s.s_nationkey AS dst,
+        |         CAST(count(*) AS BIGINT) AS w
+        |  FROM lineitem l
+        |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |  JOIN customer c ON o.o_custkey = c.c_custkey
+        |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |  GROUP BY 1, 2),
+        |nodes AS (SELECT n_nationkey AS v FROM nation),
+        |h0 AS (SELECT v, CAST(1000000 AS BIGINT) AS h FROM nodes),
+        |a1r AS (SELECT nodes.v,
+        |          CAST(coalesce(sum(h0.h * e.w), 0) AS BIGINT) AS r
+        |        FROM nodes LEFT JOIN e ON nodes.v = e.dst
+        |                   LEFT JOIN h0 ON e.src = h0.v GROUP BY nodes.v),
+        |a1 AS (SELECT v, CAST(r * 1000000 // (SELECT max(r) FROM a1r)
+        |                      AS BIGINT) AS a FROM a1r),
+        |h1r AS (SELECT nodes.v,
+        |          CAST(coalesce(sum(a1.a * e.w), 0) AS BIGINT) AS r
+        |        FROM nodes LEFT JOIN e ON nodes.v = e.src
+        |                   LEFT JOIN a1 ON e.dst = a1.v GROUP BY nodes.v),
+        |h1 AS (SELECT v, CAST(r * 1000000 // (SELECT max(r) FROM h1r)
+        |                      AS BIGINT) AS h FROM h1r),
+        |a2r AS (SELECT nodes.v,
+        |          CAST(coalesce(sum(h1.h * e.w), 0) AS BIGINT) AS r
+        |        FROM nodes LEFT JOIN e ON nodes.v = e.dst
+        |                   LEFT JOIN h1 ON e.src = h1.v GROUP BY nodes.v),
+        |a2 AS (SELECT v, CAST(r * 1000000 // (SELECT max(r) FROM a2r)
+        |                      AS BIGINT) AS a FROM a2r),
+        |h2r AS (SELECT nodes.v,
+        |          CAST(coalesce(sum(a2.a * e.w), 0) AS BIGINT) AS r
+        |        FROM nodes LEFT JOIN e ON nodes.v = e.src
+        |                   LEFT JOIN a2 ON e.dst = a2.v GROUP BY nodes.v),
+        |h2 AS (SELECT v, CAST(r * 1000000 // (SELECT max(r) FROM h2r)
+        |                      AS BIGINT) AS h FROM h2r)
+        |SELECT n.n_name, h2.h AS hub_scaled, a2.a AS auth_scaled
+        |FROM nodes JOIN h2 ON nodes.v = h2.v JOIN a2 ON nodes.v = a2.v
+        |JOIN nation n ON nodes.v = n.n_nationkey
+        |ORDER BY auth_scaled DESC, hub_scaled DESC, n_name""".stripMargin,
     // q263: list_reduce seeds with the first element — exactly the
     // slice-from-2 aggregate form Spark-side; integer halving keeps
     // the whole recurrence bit-exact
