@@ -395,6 +395,57 @@ object MiscQueries {
     res
   }
 
+  /** q265: per-nation revenue TREND by closed-form OLS over the
+    * monthly series — slope = (n·Σtx − Σt·Σx) / (n·Σt² − (Σt)²), the
+    * descriptive companion of q263's forecast (q263 smooths, this
+    * tests direction; q13's Pearson is the unitless cousin). Unlike
+    * the smoothing recurrence, OLS needs NO fold: the five moments are
+    * one partial-aggregated groupBy, fully parallel.
+    *
+    * Exactness with a SIGN trap: slope_micro rides DECIMAL(38,0)
+    * moments and integer division — but Spark's `div` truncates toward
+    * zero while DuckDB's `//` floors toward −∞, so a NEGATIVE
+    * numerator would differ by one ulp between engines. The division
+    * therefore runs on |num| with the sign reapplied — identical on
+    * both engines, and the synthetic data exercises both branches
+    * (both up- and down-trending nations exist at every SF). The month
+    * index t is a per-nation row_number over a nation-PARTITIONED
+    * window (never global). */
+  def olsTrend(s: SparkSession, dir: String): DataFrame = {
+    val monthly = t(s, dir, "orders")
+      .join(broadcast(t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_nationkey"))),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_nationkey").as("nk"),
+        date_format(date_trunc("month", col("o_orderdate")), "yyyy-MM")
+          .as("m"))
+      .agg(expr("CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 " +
+        "AS BIGINT)").as("x"))
+    val w = Window.partitionBy(col("nk")).orderBy(col("m"))
+    val fit = monthly
+      .withColumn("t", row_number().over(w).cast("long"))
+      .groupBy(col("nk"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("t")).as("st"), sum(col("x")).as("sx"),
+        sum(col("t") * col("t")).as("stt"),
+        sum(expr("CAST(t AS DECIMAL(38,0)) * x")).as("stx"))
+      .select(col("nk"), col("n"),
+        expr("CAST(n AS DECIMAL(38,0)) * stx - " +
+          "CAST(st AS DECIMAL(38,0)) * sx").as("num"),
+        expr("CAST(n AS DECIMAL(38,0)) * stt - " +
+          "CAST(st AS DECIMAL(38,0)) * st").as("den"))
+    fit
+      .join(broadcast(t(s, dir, "nation")
+        .select(col("n_nationkey").as("nk"), col("n_name"))), Seq("nk"))
+      .select(col("n_name"), col("n").as("n_months"),
+        expr("CAST(CASE WHEN num >= 0 THEN (num * 1000000) div den " +
+          "ELSE -((-num * 1000000) div den) END AS BIGINT)")
+          .as("slope_micro"),
+        expr("CASE WHEN num > 0 THEN 'up' WHEN num < 0 THEN 'down' " +
+          "ELSE 'flat' END").as("trend"))
+      .orderBy(col("n_name"))
+  }
+
   /** Unpivot via stack(): two part metrics into (metric, value) rows.
     * Decimal sums keep the oracle exact. */
   def unpivotMetrics(s: SparkSession, dir: String): DataFrame =
@@ -1116,6 +1167,7 @@ object MiscQueries {
     "q258_triangle_count" -> (triangleCount _),
     "q263_ses_forecast"   -> (sesForecast _),
     "q264_hits_scores"    -> (hitsScores _),
+    "q265_ols_trend"      -> (olsTrend _),
     "q37_unpivot_metrics" -> (unpivotMetrics _),
     "q38_quarterly_orders" -> (quarterlyOrders _),
     "q39_null_handling"   -> (nullHandling _),
@@ -1157,6 +1209,49 @@ object MiscQueries {
         |JOIN isupp sa ON antecedent = sa.pk
         |JOIN isupp sc ON consequent = sc.pk
         |ORDER BY supp_pair DESC, antecedent, consequent""".stripMargin,
+    // q265: identical DECIMAL(38,0) moments; the division runs on
+    // |num| with the sign reapplied because Spark's div truncates
+    // toward zero while DuckDB's // floors — they differ on negatives.
+    // The ×10⁶ ride runs on HUGEINT here: DECIMAL(38,0) × 10⁶ exceeds
+    // DuckDB's precision cap and silently detours through DOUBLE,
+    // which cost one ulp on the first negative slope (caught by the
+    // verify gate); HUGEINT is intermediate-only, CAST back to BIGINT
+    "q265_ols_trend" ->
+      """WITH monthly AS (
+        |  SELECT c.c_nationkey AS nk,
+        |    strftime(date_trunc('month', o.o_orderdate), '%Y-%m') AS m,
+        |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100
+        |         AS BIGINT) AS x
+        |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |  GROUP BY 1, 2),
+        |idx AS (SELECT nk, x,
+        |         CAST(row_number() OVER (PARTITION BY nk ORDER BY m)
+        |              AS BIGINT) AS t
+        |        FROM monthly),
+        |s AS (SELECT nk, CAST(count(*) AS BIGINT) AS n,
+        |        CAST(sum(t) AS BIGINT) AS st,
+        |        CAST(sum(x) AS BIGINT) AS sx,
+        |        CAST(sum(t * t) AS BIGINT) AS stt,
+        |        CAST(sum(CAST(t AS DECIMAL(38,0)) * x)
+        |             AS DECIMAL(38,0)) AS stx
+        |      FROM idx GROUP BY nk),
+        |fit AS (SELECT nk, n,
+        |         CAST(n AS DECIMAL(38,0)) * stx
+        |           - CAST(st AS DECIMAL(38,0)) * sx AS num,
+        |         CAST(n AS DECIMAL(38,0)) * stt
+        |           - CAST(st AS DECIMAL(38,0)) * st AS den
+        |        FROM s)
+        |SELECT na.n_name, n AS n_months,
+        |  CAST(CASE WHEN num >= 0
+        |       THEN (CAST(num AS HUGEINT) * 1000000)
+        |            // CAST(den AS HUGEINT)
+        |       ELSE -((CAST(-num AS HUGEINT) * 1000000)
+        |            // CAST(den AS HUGEINT)) END AS BIGINT)
+        |    AS slope_micro,
+        |  CASE WHEN num > 0 THEN 'up' WHEN num < 0 THEN 'down'
+        |       ELSE 'flat' END AS trend
+        |FROM fit JOIN nation na ON nk = na.n_nationkey
+        |ORDER BY na.n_name""".stripMargin,
     // q264: four unrolled half-steps, identical integer L∞
     // normalization (score·10⁶ // max) — bit-exact replay
     "q264_hits_scores" ->
