@@ -446,6 +446,43 @@ object MiscQueries {
       .orderBy(col("n_name"))
   }
 
+  /** q266: Benford first-digit audit (Newcomb 1881 / Benford 1938) —
+    * the fraud/forensics screen every financial warehouse runs: the
+    * observed first-significant-digit distribution of order totals
+    * against Benford's log₁₀(1 + 1/d) expectation, per-digit deviation
+    * in ppm. TPC-H's uniform price synthesis is decidedly NON-Benford
+    * — exactly what the audit exists to flag on fabricated data.
+    *
+    * Exactness: the first digit is STRING arithmetic on exact cents
+    * (no float ever examined); the Benford expectation is ln on exact
+    * rationals quantized once to ×10⁶ — at DECIMAL(18,6), i.e. the
+    * FULL output scale, so the ×10⁶ product is integer-valued and the
+    * BIGINT cast is exact on both engines (a scale-9 quantization left
+    * a fraction behind, and Spark truncates where DuckDB rounds — the
+    * verify gate caught the one-ppm divergence); obs_ppm is integer
+    * floor-division by the one driver-scalar total. One digit-keyed
+    * aggregate (9 groups, map-side partials absorb everything); the
+    * digit spine is generated, so silent digits still report 0. */
+  def benfordAudit(s: SparkSession, dir: String): DataFrame = {
+    val cents = t(s, dir, "orders").select(
+      expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)")
+        .as("v"))
+    val total = cents.count()
+    val obs = cents
+      .select(expr("CAST(substr(CAST(v AS STRING), 1, 1) AS BIGINT)")
+        .as("digit"))
+      .groupBy(col("digit")).agg(count(lit(1)).as("n_obs"))
+    s.range(1, 10).select(col("id").as("digit"))
+      .join(obs, Seq("digit"), "left")
+      .select(col("digit"), coalesce(col("n_obs"), lit(0L)).as("n_obs"),
+        expr(s"coalesce(n_obs, 0L) * 1000000 div $total").as("obs_ppm"),
+        expr("CAST(CAST(ln(1.0 + 1.0 / digit) / ln(10.0) " +
+          "AS DECIMAL(18,6)) * CAST(1000000 AS DECIMAL(19,0)) " +
+          "AS BIGINT)").as("benford_ppm"))
+      .withColumn("dev_ppm", abs(col("obs_ppm") - col("benford_ppm")))
+      .orderBy(col("digit"))
+  }
+
   /** Unpivot via stack(): two part metrics into (metric, value) rows.
     * Decimal sums keep the oracle exact. */
   def unpivotMetrics(s: SparkSession, dir: String): DataFrame =
@@ -1168,6 +1205,7 @@ object MiscQueries {
     "q263_ses_forecast"   -> (sesForecast _),
     "q264_hits_scores"    -> (hitsScores _),
     "q265_ols_trend"      -> (olsTrend _),
+    "q266_benford_audit"  -> (benfordAudit _),
     "q37_unpivot_metrics" -> (unpivotMetrics _),
     "q38_quarterly_orders" -> (quarterlyOrders _),
     "q39_null_handling"   -> (nullHandling _),
@@ -1209,6 +1247,30 @@ object MiscQueries {
         |JOIN isupp sa ON antecedent = sa.pk
         |JOIN isupp sc ON consequent = sc.pk
         |ORDER BY supp_pair DESC, antecedent, consequent""".stripMargin,
+    // q266: first digit from exact-cents strings, Benford expectation
+    // quantized once (the DECIMAL(19,0) widening form), integer ppm
+    "q266_benford_audit" ->
+      """WITH cents AS (SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2))
+        |                 * 100 AS BIGINT) AS v FROM orders),
+        |fd AS (SELECT CAST(substr(CAST(v AS VARCHAR), 1, 1) AS BIGINT)
+        |         AS digit FROM cents),
+        |obs AS (SELECT digit, CAST(count(*) AS BIGINT) AS n_obs
+        |        FROM fd GROUP BY digit),
+        |n AS (SELECT CAST(count(*) AS BIGINT) AS total FROM fd),
+        |d AS (SELECT UNNEST(range(1, 10)) AS digit),
+        |exp AS (SELECT digit,
+        |  CAST(CAST(ln(1.0 + 1.0 / digit) / ln(10.0) AS DECIMAL(18,6)) *
+        |       CAST(1000000 AS DECIMAL(19,0)) AS BIGINT) AS benford_ppm
+        |  FROM d)
+        |SELECT d.digit, coalesce(n_obs, 0) AS n_obs,
+        |  coalesce(n_obs, 0) * 1000000 // (SELECT total FROM n)
+        |    AS obs_ppm,
+        |  benford_ppm,
+        |  abs(coalesce(n_obs, 0) * 1000000 // (SELECT total FROM n)
+        |      - benford_ppm) AS dev_ppm
+        |FROM d JOIN exp ON d.digit = exp.digit
+        |LEFT JOIN obs ON d.digit = obs.digit
+        |ORDER BY d.digit""".stripMargin,
     // q265: identical DECIMAL(38,0) moments; the division runs on
     // |num| with the sign reapplied because Spark's div truncates
     // toward zero while DuckDB's // floors — they differ on negatives.
