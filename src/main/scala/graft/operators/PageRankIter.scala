@@ -31,7 +31,11 @@ object PageRankIter {
   /** `nodes`: one column `v` (the complete node set — isolated nodes
     * keep the base rank). `edges`: `src`, `dst`, `w` positive longs;
     * (src, dst) must be distinct rows. Returns (v, r) after `iters`
-    * rounds, r = ×10¹² scaled BIGINT. */
+    * rounds, r = ×10¹² scaled BIGINT. The per-edge contribution
+    * product r·w runs through DECIMAL(38,0), so `w` may be any
+    * positive long; the remaining BIGINT products (damping × csum,
+    * csum itself) are bounded by Scale·|V| ≈ 10¹²·|V| — safe below
+    * ~9.2e6 nodes, the documented contract. */
   def run(s: SparkSession, nodes: DataFrame, edges: DataFrame,
           iters: Int): Ranked = {
     val ew = edges
@@ -45,7 +49,14 @@ object PageRankIter {
     for (_ <- 1 to iters) {
       val contrib = ew
         .join(ranks.withColumnRenamed("v", "src"), Seq("src"))
-        .select(col("dst").as("v"), expr("(r * w) div wout").as("c"))
+        .select(col("dst").as("v"),
+          // r·w rides DECIMAL(38,0): ranks scale at 10¹², so a BIGINT
+          // product overflows once any edge weight passes ~9.2e6
+          // (plausible for q253's nation-pair line counts and q257's
+          // co-occurrence counts at large SF); `div` lands back on
+          // BIGINT and the oracles' unrolled rounds ride HUGEINT, so
+          // both engines stay bit-identical at every scale
+          expr("CAST(r AS DECIMAL(38,0)) * w div wout").as("c"))
         .groupBy(col("v")).agg(sum(col("c")).as("csum"))
       val next = nodes.join(contrib, Seq("v"), "left")
         .select(col("v"), (lit(base) +

@@ -764,7 +764,13 @@ object EventQueries {
             .as("covered_us"),
           sum(col("dur")).as("span_us"))
         .select(col("n_change_points"), col("covered_us"), col("span_us"),
-          expr("covered_us * 1000000 div span_us").as("utilization_ppm")))
+          // covered_us·10⁶ rides DECIMAL(38,0): a BIGINT product would
+          // overflow once total covered time passes ~9.2e12 µs (~106
+          // days — months-long corpora hit it); `div` lands back on
+          // BIGINT, and DuckDB's sum() already widens to HUGEINT, so
+          // both engines stay exact at every scale
+          expr("CAST(covered_us AS DECIMAL(38,0)) * 1000000 div span_us")
+            .as("utilization_ppm")))
     ranked.unpersist()
     res
   }

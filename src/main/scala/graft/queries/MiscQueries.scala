@@ -337,7 +337,13 @@ object MiscQueries {
     * done in INTEGER arithmetic: score·10⁶ div max, so the oracle's
     * four unrolled rounds replay bit-for-bit. Driver state: one max
     * scalar per half-step (bounded), loop counter, nothing node-sized.
-    * Scores ≤ 10⁶ by construction keep every product BIGINT-safe. */
+    * The normalization product r·10⁶ rides DECIMAL(38,0) (HUGEINT in
+    * the oracle): r is an UN-normalized sum that reaches 10⁶ × the
+    * heaviest node's in-weight, so a BIGINT product overflows once any
+    * nation receives more than ~9.2e6 lines (SF ≳ 40). The remaining
+    * BIGINT product, score·w inside the half-step sum, is bounded by
+    * 10⁶·w — safe until a single nation PAIR exceeds ~9.2e12 lines
+    * (SF ≳ 4e7), documented here as the contract. */
   def hitsScores(s: SparkSession, dir: String): DataFrame = {
     val SCALE = 1000000L
     val edges = t(s, dir, "lineitem")
@@ -368,7 +374,9 @@ object MiscQueries {
       val mx = raw.agg(max(col("r"))).head().getLong(0)
       require(mx > 0, "HITS on an edgeless graph")
       val out = raw
-        .select(col("v"), expr(s"r * $SCALE div $mx").as(outCol)).persist()
+        .select(col("v"),
+          expr(s"CAST(r AS DECIMAL(38,0)) * $SCALE div $mx").as(outCol))
+        .persist()
       out.count()
       raw.unpersist()
       out
@@ -1331,25 +1339,25 @@ object MiscQueries {
         |          CAST(coalesce(sum(h0.h * e.w), 0) AS BIGINT) AS r
         |        FROM nodes LEFT JOIN e ON nodes.v = e.dst
         |                   LEFT JOIN h0 ON e.src = h0.v GROUP BY nodes.v),
-        |a1 AS (SELECT v, CAST(r * 1000000 // (SELECT max(r) FROM a1r)
+        |a1 AS (SELECT v, CAST(CAST(r AS HUGEINT) * 1000000 // (SELECT max(r) FROM a1r)
         |                      AS BIGINT) AS a FROM a1r),
         |h1r AS (SELECT nodes.v,
         |          CAST(coalesce(sum(a1.a * e.w), 0) AS BIGINT) AS r
         |        FROM nodes LEFT JOIN e ON nodes.v = e.src
         |                   LEFT JOIN a1 ON e.dst = a1.v GROUP BY nodes.v),
-        |h1 AS (SELECT v, CAST(r * 1000000 // (SELECT max(r) FROM h1r)
+        |h1 AS (SELECT v, CAST(CAST(r AS HUGEINT) * 1000000 // (SELECT max(r) FROM h1r)
         |                      AS BIGINT) AS h FROM h1r),
         |a2r AS (SELECT nodes.v,
         |          CAST(coalesce(sum(h1.h * e.w), 0) AS BIGINT) AS r
         |        FROM nodes LEFT JOIN e ON nodes.v = e.dst
         |                   LEFT JOIN h1 ON e.src = h1.v GROUP BY nodes.v),
-        |a2 AS (SELECT v, CAST(r * 1000000 // (SELECT max(r) FROM a2r)
+        |a2 AS (SELECT v, CAST(CAST(r AS HUGEINT) * 1000000 // (SELECT max(r) FROM a2r)
         |                      AS BIGINT) AS a FROM a2r),
         |h2r AS (SELECT nodes.v,
         |          CAST(coalesce(sum(a2.a * e.w), 0) AS BIGINT) AS r
         |        FROM nodes LEFT JOIN e ON nodes.v = e.src
         |                   LEFT JOIN a2 ON e.dst = a2.v GROUP BY nodes.v),
-        |h2 AS (SELECT v, CAST(r * 1000000 // (SELECT max(r) FROM h2r)
+        |h2 AS (SELECT v, CAST(CAST(r AS HUGEINT) * 1000000 // (SELECT max(r) FROM h2r)
         |                      AS BIGINT) AS h FROM h2r)
         |SELECT n.n_name, h2.h AS hub_scaled, a2.a AS auth_scaled
         |FROM nodes JOIN h2 ON nodes.v = h2.v JOIN a2 ON nodes.v = a2.v
@@ -1461,7 +1469,7 @@ object MiscQueries {
         |              + (85 * coalesce(sc.c, 0)) // 100 AS BIGINT) AS r
         |       FROM nodes LEFT JOIN (
         |         SELECT e.dst AS v,
-        |                CAST(sum((r0.r * e.w) // o.wout) AS BIGINT) AS c
+        |                CAST(sum((CAST(r0.r AS HUGEINT) * e.w) // o.wout) AS BIGINT) AS c
         |         FROM e JOIN r0 ON e.src = r0.v
         |         JOIN outw o ON e.src = o.src
         |         GROUP BY 1) sc ON nodes.v = sc.v),
@@ -1470,7 +1478,7 @@ object MiscQueries {
         |              + (85 * coalesce(sc.c, 0)) // 100 AS BIGINT) AS r
         |       FROM nodes LEFT JOIN (
         |         SELECT e.dst AS v,
-        |                CAST(sum((r1.r * e.w) // o.wout) AS BIGINT) AS c
+        |                CAST(sum((CAST(r1.r AS HUGEINT) * e.w) // o.wout) AS BIGINT) AS c
         |         FROM e JOIN r1 ON e.src = r1.v
         |         JOIN outw o ON e.src = o.src
         |         GROUP BY 1) sc ON nodes.v = sc.v),
@@ -1479,7 +1487,7 @@ object MiscQueries {
         |              + (85 * coalesce(sc.c, 0)) // 100 AS BIGINT) AS r
         |       FROM nodes LEFT JOIN (
         |         SELECT e.dst AS v,
-        |                CAST(sum((r2.r * e.w) // o.wout) AS BIGINT) AS c
+        |                CAST(sum((CAST(r2.r AS HUGEINT) * e.w) // o.wout) AS BIGINT) AS c
         |         FROM e JOIN r2 ON e.src = r2.v
         |         JOIN outw o ON e.src = o.src
         |         GROUP BY 1) sc ON nodes.v = sc.v)

@@ -272,6 +272,13 @@ object LakeAnnIndex {
       .withColumn("crank", row_number().over(wc))
       .filter(col("crank") <= kCand)
       .select(col("query_id"), col("neighbor_id"))
+      // dedup before the exact re-rank: duplicate idCol values are
+      // legal (the lake has no PK) and one id can appear in both a
+      // coded dir and an uncovered append, so without this a repeated
+      // (query_id, neighbor_id) pair would occupy two consecutive
+      // ranks after the join and displace a genuine neighbor; bounded
+      // by kCand rows per query, so the distinct is negligible
+      .distinct()
 
     // exact re-rank against the LIVE snapshot (delete masks + schema
     // evolution applied) — a purged/rewritten row can't surface
