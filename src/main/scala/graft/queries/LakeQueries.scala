@@ -1180,7 +1180,68 @@ object LakeQueries {
     }
   }
 
+  /** q267: MULTI-WRITER append reconciliation — the Delta-protocol
+    * conflict story ([[graft.sources.LakeTable.commitAppend]]) as an
+    * oracle-checked lifecycle. Two writers race the same base version:
+    * writer B prepares its append against v1 (data files written,
+    * invisible), writer A then wins version 2, and B's commit collides
+    * at the atomic-rename point, verifies the winner only EXTENDED its
+    * base (blind appends commute), rebases its dir list onto v2, and
+    * lands v3 — both groups in the final snapshot, no clobber, no
+    * retry-loop rewrite of data. Then the non-commuting case: writer C
+    * prepares an append, a compaction rewrites C's base file groups
+    * first, and C's commit is REFUSED with a named
+    * [[graft.sources.LakeConflictException]] (its carried stats and
+    * validation snapshot are stale) — the refused append publishes
+    * nothing and deletes its own orphan. Every fact is restated by the
+    * oracle from `orders`: the merged row count equals the plain union
+    * of the three writer slices, the version chain is create + append +
+    * rebased-append + compact = 4, and the conflict leaves the row
+    * count unchanged. At 100 TB this is what lets two nightly ingest
+    * jobs share a table without a lock service: the rename is the only
+    * serialization point, reconciliation is manifest-metadata-only
+    * (O(versions), never O(data)). */
+  def appendReconcile(s: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.load(s, dir, "orders")
+      .filter(col("o_custkey") % 4 === 0)
+    graft.util.LocalFrame.withConf(s, "spark.sql.shuffle.partitions", "8") {
+    graft.util.Tmp.withTempDir("graft_lake_q267") { rootPath =>
+      val root = rootPath.toString
+      // v1: writer slices partition orders by o_orderkey mod 3
+      LakeTable.create(s, root, orders.filter(col("o_orderkey") % 3 === 0))
+      // writer B: prepare against v1 (data written, commit pending)
+      val (base, bDir) = LakeTable.appendPrepare(s, root,
+        orders.filter(col("o_orderkey") % 3 === 2))
+      // writer A wins v2…
+      LakeTable.append(s, root, orders.filter(col("o_orderkey") % 3 === 1))
+      // …and B's collision reconciles: rebases onto v2, commits v3
+      val rebasedV = LakeTable.commitAppend(s, root, base, bDir,
+        Map.empty).toLong
+      val nMerged = LakeTable.read(s, root).count()
+      val nVersionsAfterRebase = LakeTable.versions(s, root).size.toLong
+      // writer C: prepare, then a compaction removes C's base groups
+      val (cBase, cDir) = LakeTable.appendPrepare(s, root,
+        orders.filter(col("o_orderkey") % 97 === 0))
+      LakeTable.compact(s, root, targetPartitions = 1) // v4
+      val rejected =
+        try { LakeTable.commitAppend(s, root, cBase, cDir, Map.empty); 0L }
+        catch { case _: graft.sources.LakeConflictException => 1L }
+      val nAfterConflict = LakeTable.read(s, root).count()
+      val nVersionsFinal = LakeTable.versions(s, root).size.toLong
+      import s.implicits._
+      graft.util.LocalFrame.materialize(Seq(
+        ("n_rows_after_conflict", nAfterConflict),
+        ("n_rows_merged", nMerged),
+        ("n_versions_after_rebase", nVersionsAfterRebase),
+        ("n_versions_final", nVersionsFinal),
+        ("rebased_version", rebasedV),
+        ("rejected_conflict", rejected)
+      ).toDF("fact", "n").orderBy(col("fact")))
+    } }
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q267_append_reconcile"    -> (appendReconcile _),
     "q246_ann_index_lake"      -> (annIndexLifecycle _),
     "q238_purge_erasure"       -> (purgeErasure _),
     "q235_check_constraints"   -> (checkConstraintGate _),
@@ -1212,6 +1273,20 @@ object LakeQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // q267: merged rows restated as the plain union of the writer
+    // slices (mod-3 covers all of orders, the refused slice never
+    // lands); version-chain facts pin as integers — create + winnerA +
+    // rebased-B = 3, + compact = 4, refused append adds none
+    "q267_append_reconcile" ->
+      """WITH s AS (SELECT * FROM orders WHERE o_custkey % 4 = 0)
+        |SELECT 'n_rows_after_conflict' AS fact,
+        |       CAST(count(*) AS BIGINT) AS n FROM s
+        |UNION ALL SELECT 'n_rows_merged', count(*) FROM s
+        |UNION ALL SELECT 'n_versions_after_rebase', CAST(3 AS BIGINT)
+        |UNION ALL SELECT 'n_versions_final', CAST(4 AS BIGINT)
+        |UNION ALL SELECT 'rebased_version', CAST(3 AS BIGINT)
+        |UNION ALL SELECT 'rejected_conflict', CAST(1 AS BIGINT)
+        |ORDER BY fact""".stripMargin,
     // q246: the index structures are ours, so the oracle pins the
     // deterministic lifecycle/recall gates to constants and states the
     // SQL-knowable facts exactly (query set, exact-top-10 size) —

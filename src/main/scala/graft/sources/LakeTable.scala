@@ -4,6 +4,21 @@ import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, Row, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
+/** Thrown at the atomic-rename commit point when another writer claimed
+  * the targeted version number first. Extends IllegalStateException so
+  * pre-reconciliation callers (and specs) that match the broad type
+  * keep working; the append path catches THIS type to reconcile. */
+final class ConcurrentCommitException(msg: String)
+  extends IllegalStateException(msg)
+
+/** Thrown when reconciliation finds the concurrent winner does NOT
+  * commute with a blind append (it removed file groups, changed the
+  * schema, added CHECK constraints, or altered merge-on-read delete
+  * state) — the named-conflict fail-fast Delta calls
+  * ConcurrentDeleteReadException / MetadataChangedException etc. */
+final class LakeConflictException(msg: String)
+  extends IllegalStateException(msg)
+
 /** A minimal versioned table format over parquet — the lakehouse storage
   * semantics the reference rides Delta for (SURVEY §1.1: the reference
   * only ever creates/overwrites and full-scans tables, but the *format
@@ -20,9 +35,18 @@ import org.apache.spark.sql.functions._
   * (invisible until referenced), then the next manifest version is
   * written via temp-file + atomic rename. Readers resolve the latest
   * manifest (or any historical one — time travel) and read exactly the
-  * file groups it lists. Single-writer semantics (no lock service in
-  * scope); crash between data write and manifest commit leaves only an
-  * orphaned uuid dir, never a corrupt table.
+  * file groups it lists. Crash between data write and manifest commit
+  * leaves only an orphaned uuid dir, never a corrupt table.
+  *
+  * Multi-writer: the atomic rename is the conflict point — two writers
+  * targeting the same version number produce exactly one winner. The
+  * APPEND path then reconciles Delta-style ([[commitAppend]]): a loser
+  * whose base snapshot the winner only EXTENDED (blind appends commute
+  * — disjoint new uuid groups, no dir removed, schema / CHECK / MOR
+  * delete state unchanged) rebases onto the winner and retries at the
+  * next version; any non-commuting pair (append vs compact, rewrite vs
+  * rewrite, append vs purge…) fails fast with a named
+  * [[LakeConflictException]]. Non-append writers never auto-retry.
   *
   * Scale notes: MERGE is copy-on-write over the logical table — at
   * 100 TB you'd partition data dirs by a key range so a merge rewrites
@@ -184,7 +208,7 @@ object LakeTable {
     val dest = manifestPath(root, v)
     if (f.exists(dest) || !f.rename(tmp, dest)) {
       f.delete(tmp, false)
-      throw new IllegalStateException(
+      throw new ConcurrentCommitException(
         s"concurrent commit detected for version $v at $root")
     }
     // mirror the committed version into the Delta-protocol-shaped
@@ -273,22 +297,113 @@ object LakeTable {
   private def appendInternal(spark: SparkSession, root: String,
                              df: DataFrame, statsCols: Seq[String],
                              extraMeta: Map[String, String]): Int = {
+    val (base, dir) = appendPrepare(spark, root, df)
+    commitAppend(spark, root, base, dir,
+      statsMeta(spark, root, dir, statsCols) ++ extraMeta)
+  }
+
+  /** Append phase 1: validate against the base snapshot and write the
+    * new file group (invisible until a manifest references it).
+    * Package-visible so a spec / demo can inject a racing winner
+    * between the data write and the commit; production [[append]] runs
+    * both phases back-to-back. Returns (baseVersion, newDataDir). */
+  private[graft] def appendPrepare(spark: SparkSession, root: String,
+                                   df: DataFrame): (Int, String) = {
     val cur = latestVersion(spark, root)
       .getOrElse(throw new IllegalStateException(s"no table at $root"))
     enforceConstraints(spark, root, cur, df)
-    val dir = writeDataFiles(spark, root, df)
-    // stats/bloom/ANN codes of immutable prior groups stay valid (the
-    // appended group is simply un-indexed until the next index run);
-    // the table-wide MOR delete state must survive too (a deleted key
-    // stays deleted — see deleteWhereMor's contract)
-    val carried = manifestMeta(spark, root, cur)
-      .filter { case (k, _) =>
-        k.startsWith("stat:") || k.startsWith("bloom:") ||
-          k.startsWith("annmodel:") || k.startsWith("anncodes:") ||
-          k == "deletes" || k == "deletekey" }
-    commit(spark, root, readManifest(spark, root, cur) :+ dir,
-      Map("op" -> "append") ++ carried ++
-        statsMeta(spark, root, dir, statsCols) ++ extraMeta)
+    (cur, writeDataFiles(spark, root, df))
+  }
+
+  /** Meta keys an append carries forward from the snapshot it lands on:
+    * stats/bloom/ANN codes of immutable prior groups stay valid (the
+    * appended group is simply un-indexed until the next index run);
+    * the table-wide MOR delete state must survive too (a deleted key
+    * stays deleted — see deleteWhereMor's contract). */
+  private def appendCarries(k: String): Boolean =
+    k.startsWith("stat:") || k.startsWith("bloom:") ||
+      k.startsWith("annmodel:") || k.startsWith("anncodes:") ||
+      k == "deletes" || k == "deletekey"
+
+  private val MaxCommitRetries = 20
+
+  /** Append phase 2: publish an already-written file group on top of
+    * `base`, reconciling version collisions Delta-style. On
+    * [[ConcurrentCommitException]] the loser re-reads the NEW latest
+    * snapshot; if every concurrent commit merely extended `base`
+    * (blind appends commute: no dir removed, schema / CHECK / MOR
+    * delete state unchanged — checked base-vs-latest, which covers a
+    * whole chain of winners at once because uuid dirs are never
+    * re-added after removal), it rebases its dir list + carried meta
+    * onto the winner and retries at the next version. Non-commuting
+    * winners raise a named [[LakeConflictException]] instead — the
+    * prepared data dir is deleted so a refused append leaves no
+    * orphan. Bounded at [[MaxCommitRetries]] rebases. */
+  private[graft] def commitAppend(spark: SparkSession, root: String,
+                                  base: Int, dir: String,
+                                  extraMeta: Map[String, String]): Int = {
+    var attempt = base
+    var tries = 0
+    while (true) {
+      val carried = manifestMeta(spark, root, attempt).filter {
+        case (k, _) => appendCarries(k) }
+      try return commitVersion(spark, root, attempt + 1,
+        readManifest(spark, root, attempt) :+ dir,
+        Map("op" -> "append") ++ carried ++ extraMeta)
+      catch { case e: ConcurrentCommitException =>
+        tries += 1
+        if (tries > MaxCommitRetries) {
+          fs(spark, root).delete(new Path(root, dir), true)
+          throw new IllegalStateException(
+            s"append at $root gave up after $MaxCommitRetries rebases " +
+              s"(live contention): ${e.getMessage}")
+        }
+        val latest = latestVersion(spark, root).getOrElse(attempt)
+        try assertAppendCommutes(spark, root, base, latest)
+        catch { case c: LakeConflictException =>
+          fs(spark, root).delete(new Path(root, dir), true)
+          throw c
+        }
+        attempt = latest
+      }
+    }
+    -1 // unreachable
+  }
+
+  /** The commute check for a blind append rebasing from `base` onto
+    * `latest`: every base file group must survive (a removed dir means
+    * a compaction/rewrite/delete/restore ran — our carried stats and
+    * validation snapshot are stale), and schema / CHECK constraints /
+    * MOR delete state must be unchanged (incoming rows were validated
+    * against `base`'s constraints only, and a concurrently committed
+    * constraint or delete must not silently bind rows it never saw). */
+  private def assertAppendCommutes(spark: SparkSession, root: String,
+                                   base: Int, latest: Int): Unit = {
+    def conflict(what: String): Nothing = {
+      val winnerOps = ((base + 1) to latest)
+        .map(v => manifestMeta(spark, root, v).getOrElse("op", "unknown"))
+        .distinct.mkString("+")
+      throw new LakeConflictException(
+        s"append (base v$base) conflicts with concurrent $winnerOps " +
+          s"(through v$latest) at $root: $what")
+    }
+    val baseDirs = readManifest(spark, root, base)
+    val latestDirs = readManifest(spark, root, latest).toSet
+    val removed = baseDirs.filterNot(latestDirs.contains)
+    if (removed.nonEmpty)
+      conflict(s"file groups ${removed.mkString(", ")} were removed")
+    val bm = manifestMeta(spark, root, base)
+    val lm = manifestMeta(spark, root, latest)
+    if (bm.get("schema") != lm.get("schema"))
+      conflict("table schema changed")
+    def checks(m: Map[String, String]) =
+      m.filter { case (k, _) => k.startsWith("check:") }
+    if (checks(bm) != checks(lm))
+      conflict("CHECK constraints changed (incoming rows were never " +
+        "validated against the new constraint set)")
+    if (bm.get("deletes") != lm.get("deletes") ||
+        bm.get("deletekey") != lm.get("deletekey"))
+      conflict("merge-on-read delete state changed")
   }
 
   /** Conservative stats check for one source filter against one dir's

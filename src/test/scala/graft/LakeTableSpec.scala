@@ -276,6 +276,89 @@ class LakeTableSpec extends SparkSpec {
     }
   }
 
+  test("two interleaved appenders both succeed (blind appends rebase)") {
+    withTable { root =>
+      import spark.implicits._
+      val nation = Tables.load(spark, sf, "nation")
+      LakeTable.create(spark, root, nation.filter(col("n_nationkey") < 10))
+      // writer B prepares its append against v1 (data written, not yet
+      // committed), then writer A wins version 2…
+      val (base, dir) = LakeTable.appendPrepare(spark, root,
+        nation.filter(col("n_nationkey") >= 20))
+      LakeTable.append(spark, root,
+        nation.filter(col("n_nationkey") >= 10 && col("n_nationkey") < 20))
+      // …and B's commit collides at v2, reconciles, lands at v3 with
+      // BOTH new groups in the final snapshot
+      val v = LakeTable.commitAppend(spark, root, base, dir, Map.empty)
+      assert(v == 3)
+      assert(LakeTable.read(spark, root).count() == 25)
+      assert(LakeTable.read(spark, root)
+        .select("n_nationkey").as[Long].collect().sorted.toSeq == (0L to 24L))
+      // history shows three commits, no clobber
+      assert(LakeTable.versions(spark, root) == Seq(1, 2, 3))
+    }
+  }
+
+  test("threaded appenders all land without loss") {
+    withTable { root =>
+      import spark.implicits._
+      LakeTable.create(spark, root, Seq((0L, "seed")).toDF("id", "tag"))
+      val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]
+      val threads = (1 to 4).map { i =>
+        new Thread(() =>
+          try LakeTable.append(spark, root,
+            Seq((i.toLong, s"w$i")).toDF("id", "tag"))
+          catch { case t: Throwable => errs.add(t) })
+      }
+      threads.foreach(_.start()); threads.foreach(_.join())
+      assert(errs.isEmpty, s"appender failed: ${Option(errs.peek())}")
+      assert(LakeTable.read(spark, root)
+        .select("id").as[Long].collect().sorted.toSeq == (0L to 4L))
+      assert(LakeTable.versions(spark, root) == (1 to 5))
+    }
+  }
+
+  test("append vs non-commuting rewrite fails with a named conflict") {
+    withTable { root =>
+      import spark.implicits._
+      import graft.sources.LakeConflictException
+      LakeTable.create(spark, root, Seq((1L, "a"), (2L, "b")).toDF("id", "tag"))
+      LakeTable.append(spark, root, Seq((3L, "c")).toDF("id", "tag"))
+      // appender B prepares against v2; a compaction rewrites both
+      // groups (removing B's base dirs) before B commits
+      val (base, dir) = LakeTable.appendPrepare(spark, root,
+        Seq((4L, "d")).toDF("id", "tag"))
+      LakeTable.compact(spark, root, targetPartitions = 1)
+      val e = intercept[LakeConflictException] {
+        LakeTable.commitAppend(spark, root, base, dir, Map.empty)
+      }
+      assert(e.getMessage.contains("optimize"), e.getMessage)
+      assert(e.getMessage.contains("removed"), e.getMessage)
+      // the refused append leaves no orphan group and no extra version
+      assert(LakeTable.read(spark, root).count() == 3)
+      assert(LakeTable.versions(spark, root) == Seq(1, 2, 3))
+      assert(!new java.io.File(s"$root/$dir").exists())
+    }
+  }
+
+  test("append vs concurrently added CHECK constraint fails, names the reason") {
+    withTable { root =>
+      import spark.implicits._
+      import graft.sources.LakeConflictException
+      LakeTable.create(spark, root, Seq((1L, 5L)).toDF("id", "qty"))
+      // B validates its rows against v1 (no constraints yet)…
+      val (base, dir) = LakeTable.appendPrepare(spark, root,
+        Seq((2L, -1L)).toDF("id", "qty"))
+      // …then a constraint B's rows were never checked against commits
+      LakeTable.addCheckConstraint(spark, root, "qty_pos", "qty > 0")
+      val e = intercept[LakeConflictException] {
+        LakeTable.commitAppend(spark, root, base, dir, Map.empty)
+      }
+      assert(e.getMessage.contains("CHECK"), e.getMessage)
+      assert(LakeTable.read(spark, root).count() == 1)
+    }
+  }
+
   test("crash between data write and commit leaves table readable") {
     withTable { root =>
       val nation = Tables.load(spark, sf, "nation")
