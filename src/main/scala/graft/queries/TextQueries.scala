@@ -1425,27 +1425,47 @@ object TextQueries {
     * exactly the parity rule). */
   def bpeMergeTrain(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    val (merges, dict) = bpeTrainCore(s, dir, rounds = 3)
+    val res = graft.util.LocalFrame.materialize(
+      merges.toDF("round", "merge_left", "merge_right", "pair_count",
+          "tokens_before", "tokens_after")
+        .orderBy(col("round")))
+    dict.unpersist()
+    res
+  }
+
+  /** BPE training core shared by q236 (emit the merge table) and q268
+    * (apply it): runs `rounds` merge rounds over the word-frequency
+    * table and returns the merge rows plus the final word → token-
+    * sequence DICTIONARY — the trained tokenizer as data, vocab-bounded
+    * (Heaps' law), persisted (caller unpersists). The word column rides
+    * along untouched so the dictionary keys survive the rewrites. */
+  private def bpeTrainCore(s: SparkSession, dir: String, rounds: Int):
+      (Seq[(Long, String, String, Long, Long, Long)],
+       org.apache.spark.sql.Dataset[(String, Array[String], Long)]) = {
+    import s.implicits._
     var cur = docs(s, dir)
       .select(explode(
         expr("regexp_extract_all(lower(text), '[a-z]+', 0)")).as("word"))
       .groupBy(col("word")).agg(count(lit(1)).as("freq"))
       .as[(String, Long)]
-      .map { case (w, f) => (w.map(_.toString).toArray, f) }
+      .map { case (w, f) => (w, w.map(_.toString).toArray, f) }
     val merges = scala.collection.mutable.ListBuffer.empty[
       (Long, String, String, Long, Long, Long)]
-    var prev: Option[org.apache.spark.sql.Dataset[(Array[String], Long)]] =
-      None
+    var prev: Option[
+      org.apache.spark.sql.Dataset[(String, Array[String], Long)]] = None
     def corpusTokens(
-        ds: org.apache.spark.sql.Dataset[(Array[String], Long)]): Long =
-      ds.toDF("toks", "freq")
+        ds: org.apache.spark.sql.Dataset[(String, Array[String], Long)]):
+        Long =
+      ds.toDF("word", "toks", "freq")
         .agg(sum(col("freq") * size(col("toks"))).cast("long")).head()
         .getLong(0)
     var carriedBefore: Option[Long] = None
-    for (r <- 1 to 3) {
+    for (r <- 1 to rounds) {
       cur = cur.persist()
       val before = carriedBefore.getOrElse(corpusTokens(cur))
       val Array(best) = cur
-        .flatMap { case (toks, f) =>
+        .flatMap { case (_, toks, f) =>
           toks.iterator.sliding(2).withPartial(false)
             .map(p => (p.head, p(1), f))
         }
@@ -1458,7 +1478,7 @@ object TextQueries {
       // the previous round's cache safe to drop without recomputation
       prev.foreach(_.unpersist())
       prev = Some(cur)
-      cur = cur.map { case (toks, f) =>
+      cur = cur.map { case (w, toks, f) =>
         val out = scala.collection.mutable.ArrayBuffer.empty[String]
         var i = 0
         while (i < toks.length) {
@@ -1466,7 +1486,7 @@ object TextQueries {
             out += l + rr; i += 2
           } else { out += toks(i); i += 1 }
         }
-        (out.toArray, f)
+        (w, out.toArray, f)
       }
       // tokens after APPLYING the adopted merge — the compression the
       // merge buys. after < before − … is not pair_count: overlapping
@@ -1477,11 +1497,58 @@ object TextQueries {
       carriedBefore = Some(after)
       merges += ((r.toLong, l, rr, c, before, after))
     }
-    val res = graft.util.LocalFrame.materialize(
-      merges.toSeq.toDF("round", "merge_left", "merge_right", "pair_count",
-          "tokens_before", "tokens_after")
-        .orderBy(col("round")))
+    val dict = cur.persist()
+    dict.count() // materialize before dropping the last round's cache
     prev.foreach(_.unpersist())
+    (merges.toSeq, dict)
+  }
+
+  /** q268: BPE ENCODE — the tokenizer APPLY pass that turns q236's
+    * trained merge list into training data. Train the 3-round merge
+    * table (shared core, [[bpeTrainCore]]), freeze the resulting
+    * word → token-sequence dictionary, assign token ids by
+    * lexicographic rank over the final vocabulary
+    * ([[graft.operators.GlobalRank]] — no global window in the plan),
+    * and encode the whole corpus: every document becomes its token-id
+    * sequence, reported per doc as total tokens, distinct tokens, and
+    * the id checksum Σ tid over all occurrences (pins the exact id
+    * assignment AND the exact multiset of tokens, order-free so it
+    * hash-compares cross-engine). Docs with no [a-z]+ word survive as
+    * zero rows via the left join.
+    *
+    * Scale shape: the dictionary and vocab are vocab-bounded, so both
+    * joins BROADCAST — the corpus-sized side streams map-only through
+    * encode (word → toks → ids) with one final hash aggregate per doc.
+    * The oracle replays training (q236's island-parity rounds) AND the
+    * encode: the same t4 dictionary applied to the same per-doc word
+    * stream, ids from the same ORDER BY tok rank. */
+  def bpeEncode(s: SparkSession, dir: String): DataFrame = {
+    val (_, dictDs) = bpeTrainCore(s, dir, rounds = 3)
+    val dict = dictDs.toDF("word", "toks", "freq")
+      .select(col("word"), col("toks"))
+    val vocab = graft.operators.GlobalRank.withGlobalRank(
+      dict.select(explode(col("toks")).as("tok")).distinct(), "tok", "tid")
+    val dw = docs(s, dir).select(col("doc_id"),
+      explode(expr("regexp_extract_all(lower(text), '[a-z]+', 0)"))
+        .as("word"))
+    val perDoc = dw
+      .join(broadcast(dict), Seq("word"))
+      .select(col("doc_id"), explode(col("toks")).as("tok"))
+      .join(broadcast(vocab), Seq("tok"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        countDistinct(col("tid")).as("n_distinct_tokens"),
+        sum(col("tid")).as("sum_token_id"))
+    val res = graft.util.LocalFrame.materialize(
+      docs(s, dir).select(col("doc_id"))
+        .join(perDoc, Seq("doc_id"), "left_outer")
+        .select(col("doc_id"),
+          coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+          coalesce(col("n_distinct_tokens"), lit(0L))
+            .as("n_distinct_tokens"),
+          coalesce(col("sum_token_id"), lit(0L)).as("sum_token_id"))
+        .orderBy(col("doc_id")))
+    dictDs.unpersist()
     res
   }
 
@@ -1524,6 +1591,7 @@ object TextQueries {
   }
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q268_bpe_encode"        -> (bpeEncode _),
     "q240_sparse_dot_pairs"  -> (sparseDotPairs _),
     "q236_bpe_merge_train"   -> (bpeMergeTrain _),
     "q234_char_entropy"      -> (charEntropy _),
@@ -1619,6 +1687,52 @@ object TextQueries {
       |       count(*) OVER (PARTITION BY component) AS n_docs
       |FROM comp ORDER BY doc_id""".stripMargin
 
+  /** Opening CTE of the BPE replay shared by the q236 and q268 oracles:
+    * the word-frequency table with each word split to characters —
+    * DuckDB's mirror of [[bpeTrainCore]]'s starting state. */
+  private def bpeReplayPrelude: String =
+    """t1 AS (
+      |  SELECT word, CAST(count(*) AS BIGINT) AS freq,
+      |         regexp_extract_all(word, '.') AS toks
+      |  FROM (SELECT UNNEST(regexp_extract_all(lower(text), '[a-z]+')) AS word
+      |        FROM documents)
+      |  GROUP BY word)""".stripMargin
+
+  /** One unrolled BPE training round for the DuckDB replay (t$n → the
+    * adopted pair b$n → rewritten t${n+1}); greedy leftmost merging
+    * recovered as odd ranks within islands of consecutive match
+    * positions — the parity rule [[bpeMergeTrain]]'s scaladoc derives. */
+  private def bpeReplayRound(n: Int): String = {
+    val (t, p, b, pos, isl, cho, t1) =
+      (s"t$n", s"p$n", s"b$n", s"pos$n", s"isl$n", s"cho$n", s"t${n + 1}")
+    s"""$p AS (
+       |  SELECT toks[i] AS l, toks[i+1] AS r, CAST(sum(freq) AS BIGINT) AS c
+       |  FROM (SELECT word, freq, toks, UNNEST(range(1, len(toks))) AS i FROM $t)
+       |  GROUP BY 1, 2),
+       |$b AS (SELECT l, r, c FROM $p ORDER BY c DESC, l, r LIMIT 1),
+       |$pos AS (
+       |  SELECT word, freq, toks, i,
+       |         CASE WHEN i < len(toks) AND toks[i] = (SELECT l FROM $b)
+       |                   AND toks[i+1] = (SELECT r FROM $b)
+       |              THEN 1 ELSE 0 END AS m
+       |  FROM (SELECT word, freq, toks, UNNEST(range(1, len(toks)+1)) AS i FROM $t)),
+       |$isl AS (SELECT word, i, i - row_number() OVER (PARTITION BY word ORDER BY i) AS g
+       |         FROM $pos WHERE m = 1),
+       |$cho AS (SELECT word, i FROM (
+       |           SELECT word, i, row_number() OVER (PARTITION BY word, g ORDER BY i) AS rn
+       |           FROM $isl) WHERE rn % 2 = 1),
+       |$t1 AS (
+       |  SELECT p.word, max(p.freq) AS freq,
+       |         list(CASE WHEN c.i IS NOT NULL
+       |                   THEN (SELECT l FROM $b) || (SELECT r FROM $b)
+       |                   ELSE p.toks[p.i] END ORDER BY p.i) AS toks
+       |  FROM $pos p
+       |  LEFT JOIN $cho c  ON p.word = c.word AND p.i = c.i
+       |  LEFT JOIN $cho cp ON p.word = cp.word AND p.i = cp.i + 1
+       |  WHERE cp.i IS NULL
+       |  GROUP BY p.word)""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
     // q261: same bigram build, same per-integer ×10⁹ ln quantization
     // (q234's discipline), same min-count band and top-15 total order
@@ -1683,7 +1797,7 @@ object TextQueries {
         |              + (85 * coalesce(sc.c, 0)) // 100 AS BIGINT) AS r
         |       FROM nodes LEFT JOIN (
         |         SELECT e.dst AS v,
-        |                CAST(sum((r0.r * e.w) // o.wout) AS BIGINT) AS c
+        |                CAST(sum((CAST(r0.r AS HUGEINT) * e.w) // o.wout) AS BIGINT) AS c
         |         FROM e JOIN r0 ON e.src = r0.v
         |         JOIN outw o ON e.src = o.src
         |         GROUP BY 1) sc ON nodes.v = sc.v),
@@ -1692,7 +1806,7 @@ object TextQueries {
         |              + (85 * coalesce(sc.c, 0)) // 100 AS BIGINT) AS r
         |       FROM nodes LEFT JOIN (
         |         SELECT e.dst AS v,
-        |                CAST(sum((r1.r * e.w) // o.wout) AS BIGINT) AS c
+        |                CAST(sum((CAST(r1.r AS HUGEINT) * e.w) // o.wout) AS BIGINT) AS c
         |         FROM e JOIN r1 ON e.src = r1.v
         |         JOIN outw o ON e.src = o.src
         |         GROUP BY 1) sc ON nodes.v = sc.v),
@@ -1701,7 +1815,7 @@ object TextQueries {
         |              + (85 * coalesce(sc.c, 0)) // 100 AS BIGINT) AS r
         |       FROM nodes LEFT JOIN (
         |         SELECT e.dst AS v,
-        |                CAST(sum((r2.r * e.w) // o.wout) AS BIGINT) AS c
+        |                CAST(sum((CAST(r2.r AS HUGEINT) * e.w) // o.wout) AS BIGINT) AS c
         |         FROM e JOIN r2 ON e.src = r2.v
         |         JOIN outw o ON e.src = o.src
         |         GROUP BY 1) sc ON nodes.v = sc.v)
@@ -1782,44 +1896,9 @@ object TextQueries {
         |ORDER BY score_scaled DESC, doc_a, doc_b LIMIT 20""".stripMargin,
     // q236: the training loop replayed — three unrolled rounds, greedy
     // leftmost merging as odd ranks within islands of consecutive matches
-    "q236_bpe_merge_train" -> {
-      def round(n: Int): String = {
-        val (t, p, b, pos, isl, cho, t1) =
-          (s"t$n", s"p$n", s"b$n", s"pos$n", s"isl$n", s"cho$n", s"t${n + 1}")
-        s"""$p AS (
-           |  SELECT toks[i] AS l, toks[i+1] AS r, CAST(sum(freq) AS BIGINT) AS c
-           |  FROM (SELECT word, freq, toks, UNNEST(range(1, len(toks))) AS i FROM $t)
-           |  GROUP BY 1, 2),
-           |$b AS (SELECT l, r, c FROM $p ORDER BY c DESC, l, r LIMIT 1),
-           |$pos AS (
-           |  SELECT word, freq, toks, i,
-           |         CASE WHEN i < len(toks) AND toks[i] = (SELECT l FROM $b)
-           |                   AND toks[i+1] = (SELECT r FROM $b)
-           |              THEN 1 ELSE 0 END AS m
-           |  FROM (SELECT word, freq, toks, UNNEST(range(1, len(toks)+1)) AS i FROM $t)),
-           |$isl AS (SELECT word, i, i - row_number() OVER (PARTITION BY word ORDER BY i) AS g
-           |         FROM $pos WHERE m = 1),
-           |$cho AS (SELECT word, i FROM (
-           |           SELECT word, i, row_number() OVER (PARTITION BY word, g ORDER BY i) AS rn
-           |           FROM $isl) WHERE rn % 2 = 1),
-           |$t1 AS (
-           |  SELECT p.word, max(p.freq) AS freq,
-           |         list(CASE WHEN c.i IS NOT NULL
-           |                   THEN (SELECT l FROM $b) || (SELECT r FROM $b)
-           |                   ELSE p.toks[p.i] END ORDER BY p.i) AS toks
-           |  FROM $pos p
-           |  LEFT JOIN $cho c  ON p.word = c.word AND p.i = c.i
-           |  LEFT JOIN $cho cp ON p.word = cp.word AND p.i = cp.i + 1
-           |  WHERE cp.i IS NULL
-           |  GROUP BY p.word)""".stripMargin
-      }
-      s"""WITH t1 AS (
-         |  SELECT word, CAST(count(*) AS BIGINT) AS freq,
-         |         regexp_extract_all(word, '.') AS toks
-         |  FROM (SELECT UNNEST(regexp_extract_all(lower(text), '[a-z]+')) AS word
-         |        FROM documents)
-         |  GROUP BY word),
-         |${Seq(1, 2, 3).map(round).mkString(",\n")}
+    "q236_bpe_merge_train" ->
+      s"""WITH $bpeReplayPrelude,
+         |${Seq(1, 2, 3).map(bpeReplayRound).mkString(",\n")}
          |SELECT * FROM (
          |  SELECT CAST(1 AS BIGINT) AS round, l AS merge_left,
          |         r AS merge_right, c AS pair_count,
@@ -1835,8 +1914,37 @@ object TextQueries {
          |         (SELECT CAST(sum(freq * len(toks)) AS BIGINT) FROM t3),
          |         (SELECT CAST(sum(freq * len(toks)) AS BIGINT) FROM t4)
          |    FROM b3)
-         |ORDER BY round""".stripMargin
-    },
+         |ORDER BY round""".stripMargin,
+    // q268: training replayed (same island-parity rounds as q236) AND
+    // the encode replayed — t4 is the word→tokens dictionary, ids are
+    // the lexicographic rank over the final vocabulary, and every doc's
+    // (count, distinct, Σ tid) is recomputed from its own word stream
+    "q268_bpe_encode" ->
+      s"""WITH $bpeReplayPrelude,
+         |${Seq(1, 2, 3).map(bpeReplayRound).mkString(",\n")},
+         |vocab AS (
+         |  SELECT tok, CAST(row_number() OVER (ORDER BY tok) AS BIGINT)
+         |           AS tid
+         |  FROM (SELECT DISTINCT UNNEST(toks) AS tok FROM t4)),
+         |dw AS (
+         |  SELECT doc_id,
+         |         UNNEST(regexp_extract_all(lower(text), '[a-z]+')) AS word
+         |  FROM documents),
+         |ex AS (
+         |  SELECT dw.doc_id, UNNEST(t4.toks) AS tok
+         |  FROM dw JOIN t4 USING (word)),
+         |per AS (
+         |  SELECT ex.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+         |         CAST(count(DISTINCT v.tid) AS BIGINT)
+         |           AS n_distinct_tokens,
+         |         CAST(sum(v.tid) AS BIGINT) AS sum_token_id
+         |  FROM ex JOIN vocab v USING (tok) GROUP BY ex.doc_id)
+         |SELECT d.doc_id,
+         |       coalesce(per.n_tokens, 0) AS n_tokens,
+         |       coalesce(per.n_distinct_tokens, 0) AS n_distinct_tokens,
+         |       coalesce(per.sum_token_id, 0) AS sum_token_id
+         |FROM documents d LEFT JOIN per USING (doc_id)
+         |ORDER BY d.doc_id""".stripMargin,
     // q234: scaled-integer entropy — DECIMAL-quantized ln makes
     // n·ln(n)·1e9 − Σc·ln(c)·1e9 exact integer arithmetic cross-engine
     "q234_char_entropy" ->
