@@ -31,6 +31,20 @@ import org.apache.spark.sql.types.{LongType, StructType}
   * prefix sum is partitioning-invariant because integer addition is
   * associative on every path; float partials would make the result
   * depend on where the range boundaries fall.
+  *
+  * REUSE CONTRACT: both passes run over the SAME materialized `.rdd`
+  * of the range-partitioned frame — one lineage, one shuffle id — so
+  * the range exchange's map output is written once (pass 1) and pass
+  * 2's result stage reads those shuffle files (Spark skips map stages
+  * whose shuffle output exists); the upstream lineage is never
+  * recomputed per-pass. Calling `.rdd` twice would silently break
+  * this (two shuffle ids, two upstream executions). The upstream does
+  * evaluate twice WITHIN pass 1 — RangePartitioner samples it for the
+  * range boundaries before the shuffle write; that cost is inherent
+  * to `repartitionByRange`, not to the two-pass scan. PrefixScanSpec
+  * asserts both halves: exactly one range exchange in the plan, and
+  * via accumulator that upstream partition-passes stay at
+  * sample + write (a per-pass recompute would add more).
   */
 object PrefixScan {
 

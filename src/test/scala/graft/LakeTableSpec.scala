@@ -835,4 +835,88 @@ class LakeTableSpec extends SparkSpec {
         "vec_id", "embedding", k = 1).head().getAs[Long]("neighbor_id") == pid)
     }
   }
+
+  test("maintenance loop stays O(churn): streamed micro-batches → " +
+    "compactSmall keeps big group's codes → only merged group re-encodes") {
+    withTable { root =>
+      import graft.sources.LakeAnnIndex
+      implicit val sq = spark.sqlContext
+      import spark.implicits._
+      import scala.jdk.CollectionConverters._
+      def dirBytes(d: String): Long = {
+        val w = java.nio.file.Files.walk(java.nio.file.Paths.get(root, d))
+        try w.iterator().asScala
+          .filter(java.nio.file.Files.isRegularFile(_))
+          .map(java.nio.file.Files.size(_).longValue()).sum
+        finally w.close()
+      }
+      val e = Tables.load(spark, sf, "embeddings")
+        .select(col("vec_id"), col("embedding"))
+      // nightly shape: one big indexed bulk group + 3 small streamed
+      // micro-batch groups
+      LakeTable.create(spark, root, e.filter(col("vec_id") < 300))
+      LakeAnnIndex.indexIvfPq(spark, root, "vec_id", "embedding")
+      val Seq(bulkDir) = LakeAnnIndex.coverage(spark, root, "embedding")._1
+      val tail = e.filter(col("vec_id") >= 300)
+        .as[(Long, Array[Float])].collect().sortBy(_._1).toSeq
+      val mem = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, Array[Float])]
+      val stream = LakeTable.streamAppend(
+        mem.toDF().toDF("vec_id", "embedding"), root)
+      try tail.grouped((tail.size + 2) / 3).foreach { chunk =>
+        mem.addData(chunk: _*); stream.processAllAvailable()
+      } finally stream.stop()
+      assert(LakeAnnIndex.coverage(spark, root, "embedding")
+        ._2.size == 3, "expected 3 uncovered micro-batch groups")
+      // compactSmall: the 3 micro-batch groups merge; the bulk group is
+      // carried BY NAME with its codes — zero bulk bytes rewritten,
+      // zero bulk codes dropped
+      val sidecarsBefore = indexFiles(root)
+      // threshold between the group sizes: dirBytes is recursive and
+      // counts .crc checksums, compactSmall's own accounting doesn't —
+      // half the bulk size clears both skews (micro-batches are ~1/4)
+      LakeTable.compactSmall(spark, root, minBytes = dirBytes(bulkDir) / 2)
+      val (codedMid, openMid) = LakeAnnIndex.coverage(spark, root, "embedding")
+      assert(codedMid == Seq(bulkDir),
+        s"bulk group lost its codes across compactSmall: $codedMid")
+      assert(openMid.size == 1, s"expected one merged group: $openMid")
+      assert(indexFiles(root) == sidecarsBefore,
+        "compactSmall touched index sidecars")
+      // incremental reindex: O(churn) by GROUP COUNT — the one merged
+      // group gets the one new codes sidecar; model + bulk codes reused
+      // byte-untouched
+      val modelBefore = LakeAnnIndex.modelSidecar(spark, root, "embedding")
+      LakeAnnIndex.indexIvfPq(spark, root, "vec_id", "embedding")
+      assert(LakeAnnIndex.modelSidecar(spark, root, "embedding") == modelBefore)
+      val sidecarsAfter = indexFiles(root)
+      assert(sidecarsBefore.forall { case (f, sig) =>
+        sidecarsAfter.get(f).contains(sig) },
+        "reindex rewrote pre-existing sidecar files")
+      val newParents = (sidecarsAfter.keySet -- sidecarsBefore.keySet)
+        .map(f => java.nio.file.Paths.get(f).getParent.toString)
+      assert(newParents.size == 1,
+        s"expected exactly one new codes sidecar dir, got $newParents")
+      assert(LakeAnnIndex.coverage(spark, root, "embedding")._2.isEmpty)
+      // service check: a probe equal to a STREAMED vector surfaces its
+      // row at rank 1, d2 = 0 through the fully-covered index
+      val (pid, pvec) = tail.head
+      val q = Seq((pid + 100000L, pvec)).toDF("vec_id", "embedding")
+      assert(LakeAnnIndex.annTopK(spark, root, q, "vec_id", "embedding",
+        "vec_id", "embedding", k = 1).head()
+        .getAs[Long]("neighbor_id") == pid)
+      // restart safety: the batchId ledger survives the interleaved
+      // maintenance commits (compact/index carry no batchId), so a
+      // replayed delivery of an already-committed batch is skipped even
+      // though maintenance commits are newer than the streamed ones
+      val rowsBefore = LakeTable.read(spark, root).count()
+      val mem2 = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, Array[Float])]
+      val replay = LakeTable.streamAppend(
+        mem2.toDF().toDF("vec_id", "embedding"), root)
+      try { mem2.addData(tail.take(5): _*); replay.processAllAvailable() }
+      finally replay.stop()
+      assert(LakeTable.read(spark, root).count() == rowsBefore,
+        "replayed batchId was not skipped")
+    }
+  }
 }

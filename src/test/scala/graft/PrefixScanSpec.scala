@@ -67,6 +67,42 @@ class PrefixScanSpec extends SparkSpec {
       orders.agg(sum(col("v"))).head().getLong(0))
   }
 
+  test("reuse contract: one range exchange, upstream evaluates once") {
+    // plan half: the partitioned frame's executed plan carries exactly
+    // one exchange — the range exchange both passes ride
+    val withV = orders.withColumn("_pv", col("v"))
+    val parted = withV.repartitionByRange(col("k"))
+      .sortWithinPartitions(col("k"))
+    // sparkPlan, not executedPlan: AQE wraps the executed plan in an
+    // AdaptiveSparkPlanExec whose children only materialize on run
+    val exchanges = parted.queryExecution.sparkPlan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    assert(exchanges.size == 1,
+      s"expected the single range exchange, got ${exchanges.size}")
+    assert(exchanges.head.outputPartitioning.isInstanceOf[
+      org.apache.spark.sql.catalyst.plans.physical.RangePartitioning],
+      s"exchange is not the range exchange: ${exchanges.head.outputPartitioning}")
+    // recompute half: an accumulator on the UPSTREAM (map side of the
+    // exchange) counts partition evaluations; after the two scan
+    // passes it must equal the upstream partition count — the shuffle
+    // map stage ran once and pass 2 read its files, never the lineage
+    val acc = spark.sparkContext.longAccumulator("upstream_evals")
+    import spark.implicits._
+    val src = orders.as[(Long, Long)].repartition(6)
+      .mapPartitions { it => acc.add(1); it }
+      .toDF("k", "v")
+    val out = PrefixScan.withRunningSum(src, Seq(col("k")), col("v"), "run")
+    out.collect()
+    // 12 = 6 (RangePartitioner boundary sampling) + 6 (the shuffle map
+    // write) — both inside pass 1. If pass 2 recomputed the upstream
+    // instead of reading pass 1's shuffle files this would be >= 18.
+    assert(acc.value == 12,
+      s"upstream evaluated ${acc.value} partition-passes, expected 12 " +
+        "(sample + one shuffle write) — the range-exchange shuffle " +
+        "output was not reused across passes")
+  }
+
   test("reserved and colliding column names are rejected") {
     intercept[IllegalArgumentException] {
       PrefixScan.withRunningSum(orders.withColumn("_ps_v", lit(1L)),
