@@ -694,7 +694,104 @@ object PipelineQueries {
         "train_acc_ok", "separation_ok")
   }
 
+  /** q269: CONTIGUOUS sequence packing — concatenate-and-cut, the
+    * GPT-style pretraining layout (all documents' tokens concatenated
+    * in doc_id order, cut every CTX=512 tokens) and the deterministic
+    * complement of q128's first-fit bins: where first-fit is
+    * order-dependent (oracle-gated by the guarantee band), every cell
+    * here is EXACTLY determined, so the oracle recomputes per-row.
+    * Each doc's global start offset is PrefixScan's two-pass running
+    * sum — the un-partitioned `SUM() OVER (ORDER BY doc_id)` window
+    * the oracle runs never appears in the Spark plan — and first/last
+    * sequence ids are integer floor-division arithmetic on
+    * (start, n). Zero-token docs survive with n_seqs = 0 at the
+    * offset where they sit. Scale: ONE range exchange (PrefixScan's,
+    * shuffle-reuse contract) + map-side arithmetic; nothing global,
+    * nothing driver-sized beyond the per-partition offset longs. */
+  def packContiguous(s: SparkSession, dir: String): DataFrame = {
+    val t = docs(s, dir).select(col("doc_id"),
+      size(filter(split(col("text"), "\\s+"), x => length(x) > 0))
+        .cast("long").as("n_tokens"))
+    graft.operators.PrefixScan
+      .withRunningSum(t, Seq(col("doc_id")), col("n_tokens"), "cum")
+      .select(col("doc_id"), col("n_tokens"),
+        (col("cum") - col("n_tokens")).as("start_offset"),
+        expr("(cum - n_tokens) div 512").as("first_seq"),
+        when(col("n_tokens") === 0L, 0L)
+          .otherwise(expr("(cum - 1) div 512 - (cum - n_tokens) div 512 + 1"))
+          .as("n_seqs"))
+      .withColumn("crosses_boundary", col("n_seqs") > 1)
+      .orderBy(col("doc_id"))
+  }
+
+  /** Quantized x·ln(x) as exact integer arithmetic (q234's discipline):
+    * ln taken on an exact integer count, quantized ONCE to a ×10⁹
+    * BIGINT through DECIMAL(18,9), then multiplied by the count —
+    * identical rounding on both engines; 0 ↦ 0. Engine form. */
+  private def xlnx(c: String): String =
+    s"(CASE WHEN $c <= 0 THEN CAST(0 AS BIGINT) ELSE " +
+      s"CAST(CAST($c AS DECIMAL(20,0)) * " +
+      s"CAST(CAST(ln($c) AS DECIMAL(18,9)) * 1000000000 AS BIGINT) " +
+      s"AS BIGINT) END)"
+
+  /** DuckDB twin of [[xlnx]] — the ×10⁹ literal must ride DECIMAL(19,0)
+    * or DuckDB silently detours the product through DOUBLE (the q265
+    * lesson, recorded in the X176 ledger note). */
+  private def xlnxDuck(c: String): String =
+    s"(CASE WHEN $c <= 0 THEN 0 ELSE " +
+      s"CAST($c AS DECIMAL(20,0)) * " +
+      s"CAST(CAST(ln($c) AS DECIMAL(18,9)) * " +
+      s"CAST(1000000000 AS DECIMAL(19,0)) AS BIGINT) END)"
+
+  /** q271: INFORMATION-GAIN term ranking — supervised feature
+    * selection for the q249 in-engine classifier (the mutual-
+    * information screen of Yang & Pedersen, ICML'97): for each term,
+    * IG(Y; present) = H(Y) − p(1)·H(Y|1) − p(0)·H(Y|0) over the
+    * source label, reported as the exact integer N·IG·10⁹ via the
+    * count identity N·H = N·lnN − Σ_c n_c·ln n_c — every ln on an
+    * exact integer, quantized once ([[xlnx]]), so the whole statistic
+    * is BIGINT addition and the top-15 cut is deterministic
+    * (ties break by term). Complements q261's PMI (unsupervised
+    * collocation) with the class-conditional signal.
+    *
+    * Scale shape: one distinct (doc, term) presence pass (map-side
+    * explode), one (term, class) count aggregate, then ALL remaining
+    * work on the term × class GRID — vocab-bounded × label-bounded,
+    * never corpus-sized; class totals and the 1-row N broadcast. */
+  def infoGainTerms(s: SparkSession, dir: String): DataFrame = {
+    val pres = docs(s, dir)
+      .select(col("doc_id"), col("source"),
+        explode(array_distinct(
+          filter(split(trim(col("text")), "\\s+"), w => length(w) > 0)))
+          .as("term"))
+    val classTotals = docs(s, dir).groupBy(col("source"))
+      .agg(count(lit(1)).as("n_cls"))
+    val totals = docs(s, dir).agg(count(lit(1)).as("n_total"))
+    val n1c = pres.groupBy(col("term"), col("source"))
+      .agg(count(lit(1)).as("n1c"))
+    val grid = n1c.select(col("term")).distinct()
+      .crossJoin(broadcast(classTotals))
+      .join(n1c, Seq("term", "source"), "left_outer")
+      .na.fill(0L, Seq("n1c"))
+      .withColumn("n0c", col("n_cls") - col("n1c"))
+    grid.groupBy(col("term"))
+      .agg(sum(col("n1c")).as("n1"),
+        expr(s"CAST(sum(${xlnx("n1c")}) AS BIGINT)").as("s1"),
+        expr(s"CAST(sum(${xlnx("n0c")}) AS BIGINT)").as("s0"),
+        expr(s"CAST(sum(${xlnx("n_cls")}) AS BIGINT)").as("sc"))
+      .crossJoin(broadcast(totals))
+      .withColumn("n0", col("n_total") - col("n1"))
+      .select(col("term"), col("n1").as("df_docs"),
+        (expr(s"${xlnx("n_total")} - sc")
+          - expr(s"${xlnx("n1")} - s1")
+          - expr(s"${xlnx("n0")} - s0")).as("ig_nano_n"))
+      .orderBy(col("ig_nano_n").desc, col("term"))
+      .limit(15)
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q271_info_gain"           -> (infoGainTerms _),
+    "q269_pack_contiguous"     -> (packContiguous _),
     "q249_quality_classifier"  -> (qualityClassifier _),
     "q228_mixture_weights"     -> (mixtureWeights _),
     "q229_balanced_eval"       -> (balancedEvalSet _),
@@ -716,6 +813,65 @@ object PipelineQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // q271: the same count identity over the same term × class grid;
+    // ln quantized through DECIMAL(18,9) with the DECIMAL(19,0)
+    // literal so DuckDB never detours through DOUBLE
+    "q271_info_gain" ->
+      s"""WITH pres AS (
+         |  SELECT doc_id, source,
+         |         UNNEST(list_distinct(list_filter(
+         |           string_split_regex(trim(text), '\\s+'),
+         |           w -> len(w) > 0))) AS term
+         |  FROM documents),
+         |cls AS (SELECT source, CAST(count(*) AS BIGINT) AS n_cls
+         |        FROM documents GROUP BY source),
+         |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_total
+         |        FROM documents),
+         |n1c AS (SELECT term, source, CAST(count(*) AS BIGINT) AS n1c
+         |        FROM pres GROUP BY 1, 2),
+         |grid AS (
+         |  SELECT t.term, c.source, c.n_cls,
+         |         coalesce(n1c.n1c, 0) AS n1c,
+         |         c.n_cls - coalesce(n1c.n1c, 0) AS n0c
+         |  FROM (SELECT DISTINCT term FROM n1c) t CROSS JOIN cls c
+         |  LEFT JOIN n1c ON t.term = n1c.term AND c.source = n1c.source),
+         |per AS (
+         |  SELECT term,
+         |         CAST(sum(n1c) AS BIGINT) AS n1,
+         |         CAST(sum(${xlnxDuck("n1c")}) AS BIGINT) AS s1,
+         |         CAST(sum(${xlnxDuck("n0c")}) AS BIGINT) AS s0,
+         |         CAST(sum(${xlnxDuck("n_cls")}) AS BIGINT) AS sc
+         |  FROM grid GROUP BY term)
+         |SELECT term, n1 AS df_docs,
+         |       CAST((${xlnxDuck("n_total")} - sc)
+         |          - (${xlnxDuck("n1")} - s1)
+         |          - (${xlnxDuck("n_total - n1")} - s0) AS BIGINT)
+         |         AS ig_nano_n
+         |FROM per, tot
+         |ORDER BY ig_nano_n DESC, term LIMIT 15""".stripMargin,
+    // q269: the window running sum the engine deliberately avoids IS
+    // the oracle — same token rule, same floor-division cuts
+    "q269_pack_contiguous" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |         CAST(len(list_filter(string_split_regex(text, '\s+'),
+        |                              w -> len(w) > 0)) AS BIGINT) AS n
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, n,
+        |         CAST(sum(n) OVER (ORDER BY doc_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |           AS BIGINT) AS cum
+        |  FROM t)
+        |SELECT doc_id, n AS n_tokens, cum - n AS start_offset,
+        |       (cum - n) // 512 AS first_seq,
+        |       CAST(CASE WHEN n = 0 THEN 0
+        |                 ELSE (cum - 1) // 512 - (cum - n) // 512 + 1
+        |            END AS BIGINT) AS n_seqs,
+        |       (CASE WHEN n = 0 THEN 0
+        |             ELSE (cum - 1) // 512 - (cum - n) // 512 + 1
+        |        END) > 1 AS crosses_boundary
+        |FROM c ORDER BY doc_id""".stripMargin,
     // q249: the teacher label rule is plain SQL, so n_pos verifies
     // exactly; the GD fit is deterministic (DECIMAL-quantized gradient
     // sums), so its recovery gates pin as constants

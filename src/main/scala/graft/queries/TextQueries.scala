@@ -627,6 +627,85 @@ object TextQueries {
       .limit(10)
   }
 
+  /** q270: HYBRID retrieval — reciprocal-rank fusion (Cormack, Clarke
+    * & Büttcher, SIGIR'09) of a lexical and a dense ranking, the
+    * standard two-tower serving recipe (BM25 arm + embedding arm →
+    * RRF = Σ 1/(k₀+rank), k₀=60). The lexical arm is q157's BM25
+    * scoring verbatim; the dense arm ranks every vector by exact
+    * squared-L2 to the vec_id-0 query vector with each squared term
+    * quantized to DECIMAL(25,12) (q217's rule — the sum is then
+    * order-insensitive and bit-equal cross-engine). Both arms rank via
+    * GlobalRank's range-exchange enumeration (no global window), cut
+    * at 50, and fuse through a full-outer join; every RRF contribution
+    * is the exact integer 10⁶ div (60+rank), so the fused score is
+    * pure BIGINT arithmetic and ties break by doc_id. Scale: two
+    * corpus passes (one per arm — the dense arm reads 8-byte codes via
+    * q246's index in the production variant), rank frames are top-50
+    * bounded, the fuse join is 100 rows. */
+  def hybridRrf(s: SparkSession, dir: String): DataFrame = {
+    val terms = Seq("join", "window", "hash")
+    val withTf = docs(s, dir)
+      .withColumn("toks", split(trim(col("text")), "\\s+"))
+      .withColumn("dl", size(col("toks")).cast("long"))
+      .select(Seq(col("doc_id"), col("dl")) ++ terms.map(t =>
+        expr(s"CAST(size(filter(toks, x -> x = '$t')) AS BIGINT)")
+          .as(s"tf_$t")): _*)
+    val statCols =
+      count(lit(1)).cast("double").as("n_docs") +:
+      sum(col("dl")).cast("double").as("sum_dl") +:
+      terms.map(t =>
+        sum(when(col(s"tf_$t") > 0, 1L).otherwise(0L)).cast("double")
+          .as(s"df_$t"))
+    val stats = withTf.agg(statCols.head, statCols.tail: _*)
+    val k1 = "1.2"; val b = "0.75"
+    val scoreExpr = terms.map { t =>
+      s"""(CAST(ln((n_docs - df_$t + 0.5) / (df_$t + 0.5) + 1.0)
+         |      AS DECIMAL(18,9))
+         | * ((tf_$t * (1.0 + $k1))
+         |    / (tf_$t + $k1 * (1.0 - $b + $b * dl / (sum_dl / n_docs)))))
+         |""".stripMargin.replaceAll("\n", " ")
+    }.mkString("((", " + ", "))")
+    val lexScore = withTf.crossJoin(broadcast(stats))
+      .withColumn("score", expr(s"CAST($scoreExpr AS DOUBLE)"))
+      .select(col("doc_id"), col("score"))
+    val lexRank = graft.operators.GlobalRank
+      .withGlobalRank(lexScore, Seq(col("score").desc, col("doc_id")),
+        "lex_rank")
+      .filter(col("lex_rank") <= 50)
+      .select(col("doc_id"), col("lex_rank"))
+    val e = Tables.load(s, dir, "embeddings")
+    val qv = broadcast(e.filter(col("vec_id") === 0L)
+      .select(col("embedding").as("qe")))
+    val dense = e.crossJoin(qv).select(col("vec_id").as("doc_id"),
+      // accumulator at DECIMAL(30,12): acc + x lands on DECIMAL(31,12)
+      // (below the 38 cap, so the scale survives exactly) and the
+      // cast back is lossless for any realistic d2 — a 38-scale
+      // accumulator would silently drop to scale 11 at the cap
+      expr("""aggregate(zip_with(embedding, qe,
+        |  (a, b) -> CAST((CAST(a AS DOUBLE) - CAST(b AS DOUBLE))
+        |                 * (CAST(a AS DOUBLE) - CAST(b AS DOUBLE))
+        |            AS DECIMAL(25,12))),
+        |  CAST(0 AS DECIMAL(30,12)),
+        |  (acc, x) -> CAST(acc + x AS DECIMAL(30,12)))""".stripMargin)
+        .as("d2"))
+    val denseRank = graft.operators.GlobalRank
+      .withGlobalRank(dense, Seq(col("d2").asc, col("doc_id")),
+        "dense_rank")
+      .filter(col("dense_rank") <= 50)
+      .select(col("doc_id"), col("dense_rank"))
+    lexRank.join(denseRank, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        coalesce(col("lex_rank"), lit(0L)).as("lex_rank"),
+        coalesce(col("dense_rank"), lit(0L)).as("dense_rank"))
+      .withColumn("rrf_scaled",
+        expr("CASE WHEN lex_rank > 0 THEN 1000000 div (60 + lex_rank) " +
+          "ELSE 0 END") +
+        expr("CASE WHEN dense_rank > 0 THEN 1000000 div (60 + dense_rank) " +
+          "ELSE 0 END"))
+      .orderBy(col("rrf_scaled").desc, col("doc_id"))
+      .limit(20)
+  }
+
   /** q164: bigram language-model scoring — the perplexity-proxy quality
     * signal (KenLM-style filtering, CCNet/RedPajama): train Laplace-
     * smoothed bigram probabilities on the corpus itself (p(w2|w1) =
@@ -1591,6 +1670,7 @@ object TextQueries {
   }
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q270_hybrid_rrf"        -> (hybridRrf _),
     "q268_bpe_encode"        -> (bpeEncode _),
     "q240_sparse_dot_pairs"  -> (sparseDotPairs _),
     "q236_bpe_merge_train"   -> (bpeMergeTrain _),
@@ -1915,6 +1995,69 @@ object TextQueries {
          |         (SELECT CAST(sum(freq * len(toks)) AS BIGINT) FROM t4)
          |    FROM b3)
          |ORDER BY round""".stripMargin,
+    // q270: both arms replayed — q157's BM25 formula verbatim, the
+    // dense arm's DECIMAL(25,12)-quantized squared-L2 (q217's rule),
+    // ranks as windows, RRF contributions as exact integer division
+    "q270_hybrid_rrf" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |         CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+        |                              x -> x = 'join')) AS BIGINT) AS tf_join,
+        |         CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+        |                              x -> x = 'window')) AS BIGINT) AS tf_window,
+        |         CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+        |                              x -> x = 'hash')) AS BIGINT) AS tf_hash,
+        |         CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS dl
+        |  FROM documents),
+        |stats AS (
+        |  SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+        |         CAST(sum(dl) AS DOUBLE) AS sum_dl,
+        |         CAST(sum(CASE WHEN tf_join > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df_join,
+        |         CAST(sum(CASE WHEN tf_window > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df_window,
+        |         CAST(sum(CASE WHEN tf_hash > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df_hash
+        |  FROM t),
+        |lex AS (
+        |  SELECT doc_id,
+        |       CAST(((
+        |         (CAST(ln((n_docs - df_join + 0.5) / (df_join + 0.5) + 1.0) AS DECIMAL(18,9))
+        |          * ((tf_join * (1.0 + 1.2))
+        |             / (tf_join + 1.2 * (1.0 - 0.75 + 0.75 * dl / (sum_dl / n_docs)))))
+        |         + (CAST(ln((n_docs - df_window + 0.5) / (df_window + 0.5) + 1.0) AS DECIMAL(18,9))
+        |            * ((tf_window * (1.0 + 1.2))
+        |               / (tf_window + 1.2 * (1.0 - 0.75 + 0.75 * dl / (sum_dl / n_docs)))))
+        |         + (CAST(ln((n_docs - df_hash + 0.5) / (df_hash + 0.5) + 1.0) AS DECIMAL(18,9))
+        |            * ((tf_hash * (1.0 + 1.2))
+        |               / (tf_hash + 1.2 * (1.0 - 0.75 + 0.75 * dl / (sum_dl / n_docs)))))
+        |       )) AS DOUBLE) AS score
+        |  FROM t, stats),
+        |lr AS (SELECT doc_id, lex_rank FROM (
+        |         SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id)
+        |                  AS lex_rank FROM lex)
+        |       WHERE lex_rank <= 50),
+        |q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+        |ed AS (
+        |  SELECT vec_id AS doc_id,
+        |         sum(CAST((CAST(e.embedding[r.range::INT + 1] AS DOUBLE)
+        |                   - CAST(q.qe[r.range::INT + 1] AS DOUBLE))
+        |                  * (CAST(e.embedding[r.range::INT + 1] AS DOUBLE)
+        |                     - CAST(q.qe[r.range::INT + 1] AS DOUBLE))
+        |                  AS DECIMAL(25,12))) AS d2
+        |  FROM embeddings e CROSS JOIN q CROSS JOIN range(0, 64) r
+        |  GROUP BY vec_id),
+        |dr AS (SELECT doc_id, dense_rank FROM (
+        |         SELECT doc_id, row_number() OVER (ORDER BY d2 ASC, doc_id)
+        |                  AS dense_rank FROM ed)
+        |       WHERE dense_rank <= 50)
+        |SELECT coalesce(lr.doc_id, dr.doc_id) AS doc_id,
+        |       CAST(coalesce(lr.lex_rank, 0) AS BIGINT) AS lex_rank,
+        |       CAST(coalesce(dr.dense_rank, 0) AS BIGINT) AS dense_rank,
+        |       CAST((CASE WHEN lr.lex_rank IS NULL THEN 0
+        |                  ELSE 1000000 // (60 + lr.lex_rank) END)
+        |          + (CASE WHEN dr.dense_rank IS NULL THEN 0
+        |                  ELSE 1000000 // (60 + dr.dense_rank) END)
+        |            AS BIGINT) AS rrf_scaled
+        |FROM lr FULL OUTER JOIN dr ON lr.doc_id = dr.doc_id
+        |ORDER BY rrf_scaled DESC, doc_id LIMIT 20""".stripMargin,
     // q268: training replayed (same island-parity rounds as q236) AND
     // the encode replayed — t4 is the word→tokens dictionary, ids are
     // the lexicographic rank over the final vocabulary, and every doc's
