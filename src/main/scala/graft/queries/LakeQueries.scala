@@ -1240,7 +1240,129 @@ object LakeQueries {
     } }
   }
 
+  /** q272: ALTER TABLE RENAME COLUMN via column mapping
+    * ([[graft.sources.LakeTable.renameColumn]]) — Delta's name-mapping
+    * semantics as an oracle-checked lifecycle: (1) the rename is
+    * METADATA-ONLY (same file groups, zero bytes rewritten); (2) later
+    * appends arrive in the new logical name but land in the shared
+    * PHYSICAL on-disk schema; (3) reads and aggregates see only the
+    * logical name, exactly (price sum in cents restated by the oracle
+    * from orders); (4) time travel below the rename keeps the OLD name
+    * — history is immutable including its shape; (5) a colliding
+    * rename is refused; (6) a COW compact materializes logical names
+    * into fresh files and drops the mapping, after which the raw
+    * on-disk schema equals the logical one. At 100 TB the rename costs
+    * one manifest line now and is amortized into whichever rewrite
+    * happens next. */
+  def renameLifecycle(s: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.load(s, dir, "orders")
+      .filter(col("o_custkey") % 4 === 0)
+      .select(col("o_orderkey"),
+        expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)")
+          .as("o_totalprice_cents"))
+    graft.util.LocalFrame.withConf(s, "spark.sql.shuffle.partitions", "8") {
+    graft.util.Tmp.withTempDir("graft_lake_q272") { rootPath =>
+      val root = rootPath.toString
+      LakeTable.create(s, root, orders.filter(col("o_orderkey") % 2 === 0))
+      val dirsBefore = LakeTable.dataDirPaths(s, root)
+      LakeTable.renameColumn(s, root, "o_totalprice_cents", "price_cents")
+      val metadataOnly =
+        if (LakeTable.dataDirPaths(s, root) == dirsBefore) 1L else 0L
+      // append arrives in the NEW logical name
+      LakeTable.append(s, root,
+        orders.filter(col("o_orderkey") % 2 === 1)
+          .withColumnRenamed("o_totalprice_cents", "price_cents"))
+      val n = LakeTable.read(s, root).count()
+      val sumCents = LakeTable.read(s, root)
+        .agg(sum(col("price_cents"))).head().getLong(0)
+      val oldNameAtV1 =
+        if (LakeTable.read(s, root, Some(1)).columns
+          .contains("o_totalprice_cents")) 1L else 0L
+      val rejectedCollision =
+        try { LakeTable.renameColumn(s, root, "price_cents", "o_orderkey"); 0L }
+        catch { case _: IllegalArgumentException => 1L }
+      LakeTable.compact(s, root, targetPartitions = 1)
+      val physicalIsLogical =
+        if (s.read.parquet(LakeTable.dataDirPaths(s, root): _*)
+          .columns.sorted.toSeq == Seq("o_orderkey", "price_cents")) 1L
+        else 0L
+      import s.implicits._
+      graft.util.LocalFrame.materialize(Seq(
+        ("metadata_only_rename", metadataOnly),
+        ("n_rows", n),
+        ("old_name_at_v1", oldNameAtV1),
+        ("physical_is_logical_after_compact", physicalIsLogical),
+        ("rejected_collision", rejectedCollision),
+        ("sum_price_cents", sumCents)
+      ).toDF("fact", "n").orderBy(col("fact")))
+    } }
+  }
+
+  /** q273: ALTER TABLE DROP COLUMN via column mapping — the rename's
+    * twin ([[graft.sources.LakeTable.dropColumn]]): the drop is
+    * METADATA-ONLY (same file groups), reads project the column out,
+    * time travel below the drop still shows it, appends naming the
+    * dropped column are refused (its bytes would be write-only), the
+    * name cannot be re-added until a rewrite, and a COW compact
+    * materializes the narrowed schema. Surviving-column aggregates are
+    * restated exactly by the oracle; protocol facts pin as integers. */
+  def dropLifecycle(s: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.load(s, dir, "orders")
+      .filter(col("o_custkey") % 4 === 0)
+      .select(col("o_orderkey"), col("o_custkey"),
+        expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)")
+          .as("price_cents"))
+    graft.util.LocalFrame.withConf(s, "spark.sql.shuffle.partitions", "8") {
+    graft.util.Tmp.withTempDir("graft_lake_q273") { rootPath =>
+      val root = rootPath.toString
+      LakeTable.create(s, root, orders.filter(col("o_orderkey") % 2 === 0))
+      val dirsBefore = LakeTable.dataDirPaths(s, root)
+      LakeTable.dropColumn(s, root, "o_custkey")
+      val metadataOnly =
+        if (LakeTable.dataDirPaths(s, root) == dirsBefore) 1L else 0L
+      val oldColAtV1 =
+        if (LakeTable.read(s, root, Some(1)).columns
+          .contains("o_custkey")) 1L else 0L
+      // appends arrive in the NARROWED shape; naming the dropped
+      // column is refused
+      LakeTable.append(s, root,
+        orders.filter(col("o_orderkey") % 2 === 1).drop("o_custkey"))
+      val rejectedAppend =
+        try {
+          LakeTable.append(s, root,
+            orders.filter(col("o_orderkey") % 97 === 0)); 0L
+        } catch { case _: IllegalArgumentException => 1L }
+      val rejectedReadd =
+        try {
+          LakeTable.evolveSchema(s, root,
+            org.apache.spark.sql.types.StructType(Seq(
+              org.apache.spark.sql.types.StructField("o_custkey",
+                org.apache.spark.sql.types.LongType)))); 0L
+        } catch { case _: IllegalArgumentException => 1L }
+      val n = LakeTable.read(s, root).count()
+      val sumCents = LakeTable.read(s, root)
+        .agg(sum(col("price_cents"))).head().getLong(0)
+      LakeTable.compact(s, root, targetPartitions = 1)
+      val narrowed =
+        if (s.read.parquet(LakeTable.dataDirPaths(s, root): _*)
+          .columns.sorted.toSeq == Seq("o_orderkey", "price_cents")) 1L
+        else 0L
+      import s.implicits._
+      graft.util.LocalFrame.materialize(Seq(
+        ("metadata_only_drop", metadataOnly),
+        ("n_rows", n),
+        ("old_col_at_v1", oldColAtV1),
+        ("physical_narrowed_after_compact", narrowed),
+        ("rejected_append_with_dropped", rejectedAppend),
+        ("rejected_readd", rejectedReadd),
+        ("sum_price_cents", sumCents)
+      ).toDF("fact", "n").orderBy(col("fact")))
+    } }
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q273_drop_column"         -> (dropLifecycle _),
+    "q272_rename_column"       -> (renameLifecycle _),
     "q267_append_reconcile"    -> (appendReconcile _),
     "q246_ann_index_lake"      -> (annIndexLifecycle _),
     "q238_purge_erasure"       -> (purgeErasure _),
@@ -1273,6 +1395,41 @@ object LakeQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // q273: rows and the surviving-column sum restated from orders;
+    // drop-protocol facts pin as integers
+    "q273_drop_column" ->
+      """WITH s AS (
+        |  SELECT o_orderkey,
+        |         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |           AS cents
+        |  FROM orders WHERE o_custkey % 4 = 0)
+        |SELECT 'metadata_only_drop' AS fact, CAST(1 AS BIGINT) AS n
+        |UNION ALL SELECT 'n_rows', count(*) FROM s
+        |UNION ALL SELECT 'old_col_at_v1', CAST(1 AS BIGINT)
+        |UNION ALL SELECT 'physical_narrowed_after_compact',
+        |          CAST(1 AS BIGINT)
+        |UNION ALL SELECT 'rejected_append_with_dropped', CAST(1 AS BIGINT)
+        |UNION ALL SELECT 'rejected_readd', CAST(1 AS BIGINT)
+        |UNION ALL SELECT 'sum_price_cents', CAST(sum(cents) AS BIGINT)
+        |  FROM s
+        |ORDER BY fact""".stripMargin,
+    // q272: row and sum facts restated from orders (exact cents);
+    // the rename-protocol facts pin as integers
+    "q272_rename_column" ->
+      """WITH s AS (
+        |  SELECT o_orderkey,
+        |         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |           AS cents
+        |  FROM orders WHERE o_custkey % 4 = 0)
+        |SELECT 'metadata_only_rename' AS fact, CAST(1 AS BIGINT) AS n
+        |UNION ALL SELECT 'n_rows', count(*) FROM s
+        |UNION ALL SELECT 'old_name_at_v1', CAST(1 AS BIGINT)
+        |UNION ALL SELECT 'physical_is_logical_after_compact',
+        |          CAST(1 AS BIGINT)
+        |UNION ALL SELECT 'rejected_collision', CAST(1 AS BIGINT)
+        |UNION ALL SELECT 'sum_price_cents', CAST(sum(cents) AS BIGINT)
+        |  FROM s
+        |ORDER BY fact""".stripMargin,
     // q267: merged rows restated as the plain union of the writer
     // slices (mod-3 covers all of orders, the refused slice never
     // lands); version-chain facts pin as integers — create + winnerA +

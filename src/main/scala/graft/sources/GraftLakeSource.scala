@@ -104,6 +104,16 @@ private[sources] object GraftLakeSource {
           s"table at $root has merge-on-read deletes (version $v); " +
             "materialize them first (LakeTable.rewriteDeletes/compact) " +
             "or read via LakeTable.read")
+      // same protocol-gate spirit for a metadata-only column rename:
+      // the raw-parquet delegate would expose PHYSICAL names and
+      // silently mis-shape the table
+      val vMeta = LakeTable.manifestMetaAt(spark, root, v)
+      if (LakeTable.colMapAt(vMeta).nonEmpty ||
+          LakeTable.colDropsAt(vMeta).nonEmpty)
+        throw new UnsupportedOperationException(
+          s"table at $root has a metadata-only column rename/drop " +
+            s"(version $v); materialize it first (LakeTable.compact) " +
+            "or read via LakeTable.read")
     }
     val paths = LakeTable.dataDirPaths(spark, root, version)
     // additive schema evolution: groups written before a column existed

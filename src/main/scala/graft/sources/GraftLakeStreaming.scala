@@ -77,6 +77,15 @@ private[sources] final class GraftLakeMicroBatchStream(
           "option(\"ignoreChanges\", \"true\") — rewritten groups are " +
           "then re-emitted in full (Delta's ignoreChanges contract).")
       }
+      // per-file raw readers expose PHYSICAL names — a metadata-only
+      // rename must be materialized before a stream can read past it
+      val vMeta = LakeTable.manifestMetaAt(spark, root, v)
+      if (LakeTable.colMapAt(vMeta).nonEmpty ||
+          LakeTable.colDropsAt(vMeta).nonEmpty)
+        throw new UnsupportedOperationException(
+          s"graft-lake streaming cannot read version $v at $root: " +
+            "metadata-only column rename/drop present; materialize it " +
+            "first (LakeTable.compact)")
       (cur.toSet -- prev.toSet).toSeq.sorted.flatMap { dirRel =>
         fs.listStatus(new Path(root, dirRel))
           .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))

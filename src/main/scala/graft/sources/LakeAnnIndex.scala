@@ -138,6 +138,10 @@ object LakeAnnIndex {
     val v = LakeTable.latestVersion(spark, root)
       .getOrElse(throw new IllegalStateException(s"no table at $root"))
     val meta = LakeTable.manifestMetaAt(spark, root, v)
+    // encoding reads per-dir RAW (physical) frames — a renamed id or
+    // vector column must be materialized (compact) before indexing
+    LakeTable.requireNotRenamed(meta, idCol, "ANN indexing")
+    LakeTable.requireNotRenamed(meta, vecCol, "ANN indexing")
     val dirs = LakeTable.dataDirsAt(spark, root, v)
     val uncovered = dirs.filterNot(d => meta.contains(codesKey(d, vecCol)))
 
@@ -207,6 +211,9 @@ object LakeAnnIndex {
     val modelRel = meta.getOrElse(modelKey(vecCol),
       throw new IllegalStateException(
         s"no committed ANN index for $vecCol at $root — run indexIvfPq"))
+    // the uncovered-tail scan reads raw physical frames by these names
+    LakeTable.requireNotRenamed(meta, idCol, "ANN probing")
+    LakeTable.requireNotRenamed(meta, vecCol, "ANN probing")
     val model = loadModel(spark, root, modelRel)
     val dirs = LakeTable.dataDirsAt(spark, root, v)
     val (coded, uncovered) = dirs.partition(d =>

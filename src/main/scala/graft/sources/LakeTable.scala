@@ -298,6 +298,8 @@ object LakeTable {
                              df: DataFrame, statsCols: Seq[String],
                              extraMeta: Map[String, String]): Int = {
     val (base, dir) = appendPrepare(spark, root, df)
+    statsCols.foreach(c => requireNotRenamed(
+      manifestMeta(spark, root, base), c, "stats collection"))
     commitAppend(spark, root, base, dir,
       statsMeta(spark, root, dir, statsCols) ++ extraMeta)
   }
@@ -312,7 +314,17 @@ object LakeTable {
     val cur = latestVersion(spark, root)
       .getOrElse(throw new IllegalStateException(s"no table at $root"))
     enforceConstraints(spark, root, cur, df)
-    (cur, writeDataFiles(spark, root, df))
+    val meta = manifestMeta(spark, root, cur)
+    // a batch naming a metadata-only-dropped physical column would
+    // write bytes every read must then hide — refuse it loudly
+    df.columns.find(c => colDropsAt(meta).exists(_.equalsIgnoreCase(c)))
+      .foreach(c => throw new IllegalArgumentException(
+        s"append at $root carries column '$c', which was dropped " +
+          "metadata-only; remove it from the batch or compact first"))
+    // incoming batches arrive in LOGICAL names (constraints above see
+    // them that way); files land in PHYSICAL names so every group in
+    // the table shares one on-disk schema under a rename mapping
+    (cur, writeDataFiles(spark, root, toPhysical(meta, df)))
   }
 
   /** Meta keys an append carries forward from the snapshot it lands on:
@@ -323,7 +335,8 @@ object LakeTable {
   private def appendCarries(k: String): Boolean =
     k.startsWith("stat:") || k.startsWith("bloom:") ||
       k.startsWith("annmodel:") || k.startsWith("anncodes:") ||
-      k == "deletes" || k == "deletekey"
+      k == "deletes" || k == "deletekey" || k == "colmap" ||
+      k == "coldrop"
 
   private val MaxCommitRetries = 20
 
@@ -404,6 +417,10 @@ object LakeTable {
     if (bm.get("deletes") != lm.get("deletes") ||
         bm.get("deletekey") != lm.get("deletekey"))
       conflict("merge-on-read delete state changed")
+    if (bm.get("colmap") != lm.get("colmap") ||
+        bm.get("coldrop") != lm.get("coldrop"))
+      conflict("column rename/drop mapping changed (the prepared files " +
+        "were written under the old physical mapping)")
   }
 
   /** Conservative stats check for one source filter against one dir's
@@ -518,6 +535,7 @@ object LakeTable {
       .getOrElse(throw new IllegalStateException(s"no table at $root"))
     val dirs = readManifest(spark, root, v)
     val meta = manifestMeta(spark, root, v)
+    cols.foreach(c => requireNotRenamed(meta, c, "bloom indexing"))
     val f = fs(spark, root)
     f.mkdirs(new Path(root, "_index"))
     val added = for {
@@ -612,9 +630,12 @@ object LakeTable {
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         read(spark, root).schema)
     else
-      applyDeleteMask(spark, root, meta,
+      // a renamed column simply finds no physical stat/bloom keys and
+      // admits every group — no pruning, still correct; the colmap
+      // projection restores the logical shape before the exact filter
+      applyDeleteMask(spark, root, meta, applyColMap(meta,
         spark.read.option("mergeSchema", "true")
-          .parquet(kept.map(d => new Path(root, d).toString): _*))
+          .parquet(kept.map(d => new Path(root, d).toString): _*)))
         .filter(col(column) === lit(value))
   }
 
@@ -665,17 +686,210 @@ object LakeTable {
   def evolveSchema(spark: SparkSession, root: String,
                    newFields: org.apache.spark.sql.types.StructType): Int = {
     val cur = read(spark, root).schema
+    val dropped = latestVersion(spark, root)
+      .map(v => colDropsAt(manifestMeta(spark, root, v)))
+      .getOrElse(Seq.empty)
     newFields.fieldNames.foreach { n =>
       require(!cur.fieldNames.map(_.toLowerCase).contains(n.toLowerCase),
         s"column $n already exists at $root")
+      require(!dropped.exists(_.equalsIgnoreCase(n)),
+        s"column name '$n' was dropped metadata-only at $root and cannot " +
+          "be re-added until a rewrite materializes the drop")
     }
     val evolved = org.apache.spark.sql.types.StructType(
       cur.fields ++ newFields.fields)
     val v = latestVersion(spark, root).getOrElse(
       throw new IllegalStateException(s"no table at $root"))
-    val carried = manifestMeta(spark, root, v).filter(_._1.startsWith("stat:"))
+    // metadata-only commit over the SAME dirs: every sidecar family
+    // stays valid, so carry the whole manifest state — carrying only a
+    // subset here once DROPPED the MOR delete list, silently
+    // resurrecting deleted rows on the next read (regression-tested)
+    val carried = manifestMeta(spark, root, v) - "op" - "schema"
     commitVersion(spark, root, v + 1, readManifest(spark, root, v),
-      Map("op" -> "add-columns", "schema" -> evolved.json) ++ carried)
+      carried + ("op" -> "add-columns") + ("schema" -> evolved.json))
+  }
+
+  // ---- column rename via column mapping (Delta's name-mapping) -------
+
+  /** The rename mapping of a manifest: physical (on-disk parquet) name
+    * → current logical name, only for renamed columns. */
+  private[sources] def colMapAt(
+      meta: Map[String, String]): Seq[(String, String)] =
+    meta.get("colmap").toSeq.flatMap(_.split(",")).filter(_.nonEmpty)
+      .map { kv =>
+        val Array(p, l) = kv.split("=", 2); (p, l)
+      }
+
+  /** Physical → logical projection of a raw frame: renamed columns
+    * take their logical names, metadata-only-dropped columns (recorded
+    * by PHYSICAL name, which a drop removes from the rename map) are
+    * projected out. No-op without renames/drops — the common path pays
+    * nothing. */
+  private def applyColMap(meta: Map[String, String],
+                          df: DataFrame): DataFrame = {
+    val renamed = colMapAt(meta).foldLeft(df) { case (d, (phys, log)) =>
+      if (d.columns.exists(_.equalsIgnoreCase(phys)))
+        d.withColumnRenamed(phys, log)
+      else d
+    }
+    colDropsAt(meta).foldLeft(renamed) { (d, c) =>
+      if (d.columns.exists(_.equalsIgnoreCase(c))) d.drop(c) else d
+    }
+  }
+
+  /** Logical → physical projection of an incoming batch (the write-side
+    * inverse of [[applyColMap]]) — appended files always carry PHYSICAL
+    * names so every file group in the table shares one on-disk schema. */
+  private def toPhysical(meta: Map[String, String],
+                         df: DataFrame): DataFrame =
+    colMapAt(meta).foldLeft(df) { case (d, (phys, log)) =>
+      if (d.columns.exists(_.equalsIgnoreCase(log)))
+        d.withColumnRenamed(log, phys)
+      else d
+    }
+
+  /** Logical column names dropped metadata-only ([[dropColumn]]) —
+    * still present in the physical files until a rewrite. */
+  private[sources] def colDropsAt(meta: Map[String, String]): Seq[String] =
+    meta.get("coldrop").toSeq.flatMap(_.split(",")).filter(_.nonEmpty)
+
+  /** Refuse a rename/drop of a column any committed metadata binds by
+    * name — CHECK constraints, the MOR delete key, stats/bloom/ANN
+    * sidecar entries (Delta gates these behind protocol upgrades or
+    * rewrites for the same reason). */
+  private def requireUnreferenced(meta: Map[String, String],
+                                  colName: String, what: String): Unit =
+    meta.foreach { case (k, value) =>
+      def named(c: String) = c.equalsIgnoreCase(colName)
+      val referenced =
+        (k.startsWith("check:") &&
+          ("""\b""" + java.util.regex.Pattern.quote(colName) + """\b""").r
+            .findFirstIn(value).isDefined) ||
+        (k == "deletekey" && named(value)) ||
+        (k.startsWith("annmodel:") && named(k.drop("annmodel:".length))) ||
+        ((k.startsWith("stat:") || k.startsWith("bloom:") ||
+          k.startsWith("anncodes:")) && named(k.split(":").last))
+      if (referenced) throw new UnsupportedOperationException(
+        s"cannot $what '$colName': referenced by committed " +
+          s"metadata '$k'; drop/materialize it first (compact clears " +
+          "file-keyed sidecars)")
+    }
+
+  /** Fail fast when `colName` is a RENAMED logical column — the
+    * sidecar-building paths (bloom, ANN, stats) read raw physical
+    * frames and would miss it; `compact` bakes the logical names into
+    * fresh files and clears the mapping, after which everything works. */
+  private[sources] def requireNotRenamed(meta: Map[String, String],
+                                         colName: String,
+                                         what: String): Unit =
+    colMapAt(meta).find(_._2.equalsIgnoreCase(colName)).foreach { _ =>
+      throw new UnsupportedOperationException(
+        s"$what on renamed column '$colName' is not supported while the " +
+          "rename is metadata-only; materialize it first " +
+          "(LakeTable.compact) to bake logical names into the files")
+    }
+
+  /** ALTER TABLE RENAME COLUMN as a METADATA-ONLY commit (Delta's
+    * column-mapping mode): no parquet byte is rewritten — the manifest
+    * records physical→logical in `#colmap=`, [[read]] projects it, and
+    * appends write the physical name so all file groups keep one
+    * on-disk schema. Time travel below the rename keeps the old name
+    * (history is immutable, including its shape). Copy-on-write
+    * rewrites ([[deleteWhere]]/[[merge]]/[[compact]]) materialize
+    * logical names into fresh files and DROP the mapping — rename
+    * costs nothing now and is amortized into the next rewrite.
+    *
+    * Refused while any sidecar references the column by name — CHECK
+    * constraints, the MOR delete key, stats/bloom/ANN entries — since
+    * those bind the old name (Delta gates renames behind a protocol
+    * upgrade for the same reason). New sidecars on the renamed column
+    * are refused until a compact materializes it
+    * ([[requireNotRenamed]]); CHECK constraints and MOR deletes added
+    * AFTER the rename work immediately (they evaluate on logical
+    * frames). */
+  def renameColumn(spark: SparkSession, root: String,
+                   oldName: String, newName: String): Int = {
+    require(newName.nonEmpty && !newName.contains(",") &&
+      !newName.contains("=") && !newName.contains("\n"),
+      s"bad column name: $newName")
+    val v = latestVersion(spark, root)
+      .getOrElse(throw new IllegalStateException(s"no table at $root"))
+    val meta = manifestMeta(spark, root, v)
+    val logical = read(spark, root).schema
+    require(logical.fieldNames.exists(_.equalsIgnoreCase(oldName)),
+      s"no column '$oldName' at $root " +
+        s"(have ${logical.fieldNames.mkString(",")})")
+    require(!logical.fieldNames.exists(_.equalsIgnoreCase(newName)),
+      s"column '$newName' already exists at $root")
+    require(!colDropsAt(meta).exists(_.equalsIgnoreCase(newName)),
+      s"column name '$newName' was dropped metadata-only at $root and " +
+        "cannot be reused until a rewrite materializes the drop")
+    requireUnreferenced(meta, oldName, "rename")
+    // collapse rename chains: phys→old becomes phys→new; a first rename
+    // of a creation-time column adds old(=physical)→new
+    val prior = colMapAt(meta)
+    val mapped = prior.find(_._2.equalsIgnoreCase(oldName)) match {
+      case Some((phys, _)) =>
+        prior.map { case (p, l) => if (p == phys) (p, newName) else (p, l) }
+      case None => prior :+ (oldName -> newName)
+    }
+    // the ALTER-declared schema (if any) is kept in LOGICAL names —
+    // rename its field too so later reads project consistently
+    val schemaMeta = meta.get("schema").map { js =>
+      val st = org.apache.spark.sql.types.DataType.fromJson(js)
+        .asInstanceOf[org.apache.spark.sql.types.StructType]
+      "schema" -> org.apache.spark.sql.types.StructType(st.fields.map { f =>
+        if (f.name.equalsIgnoreCase(oldName)) f.copy(name = newName) else f
+      }).json
+    }
+    commitVersion(spark, root, v + 1, readManifest(spark, root, v),
+      meta - "op" - "colmap" - "schema" ++ schemaMeta +
+        ("colmap" -> mapped.map { case (p, l) => s"$p=$l" }.mkString(",")) +
+        ("op" -> "rename-column"))
+  }
+
+  /** ALTER TABLE DROP COLUMN as a METADATA-ONLY commit (the rename's
+    * twin): no parquet byte is rewritten — the manifest records the
+    * dropped PHYSICAL name in `#coldrop=` and every read projects it
+    * out. Time travel below the drop still shows the column; a COW
+    * rewrite materializes the narrowed schema and clears the entry.
+    * The dropped name cannot be re-added ([[renameColumn]]/
+    * [[evolveSchema]] refuse) until a rewrite physically removes the
+    * old bytes — re-using it earlier would silently resurrect them.
+    * Refused while committed metadata references the column
+    * ([[requireUnreferenced]]); refused for the last column. */
+  def dropColumn(spark: SparkSession, root: String, name: String): Int = {
+    val v = latestVersion(spark, root)
+      .getOrElse(throw new IllegalStateException(s"no table at $root"))
+    val meta = manifestMeta(spark, root, v)
+    val logical = read(spark, root).schema
+    require(logical.fieldNames.exists(_.equalsIgnoreCase(name)),
+      s"no column '$name' at $root " +
+        s"(have ${logical.fieldNames.mkString(",")})")
+    require(logical.fields.length > 1,
+      s"cannot drop the only column of $root")
+    requireUnreferenced(meta, name, "drop")
+    val prior = colMapAt(meta)
+    val (dropPhys, remainingMap) =
+      prior.find(_._2.equalsIgnoreCase(name)) match {
+        case Some((phys, _)) => (phys, prior.filterNot(_._1 == phys))
+        case None => (name, prior)
+      }
+    val drops = colDropsAt(meta) :+ dropPhys
+    val schemaMeta = meta.get("schema").map { js =>
+      val st = org.apache.spark.sql.types.DataType.fromJson(js)
+        .asInstanceOf[org.apache.spark.sql.types.StructType]
+      "schema" -> org.apache.spark.sql.types.StructType(
+        st.fields.filterNot(_.name.equalsIgnoreCase(name))).json
+    }
+    commitVersion(spark, root, v + 1, readManifest(spark, root, v),
+      meta - "op" - "colmap" - "coldrop" - "schema" ++ schemaMeta ++
+        (if (remainingMap.nonEmpty)
+          Map("colmap" -> remainingMap
+            .map { case (p, l) => s"$p=$l" }.mkString(","))
+        else Map.empty) +
+        ("coldrop" -> drops.mkString(",")) +
+        ("op" -> "drop-column"))
   }
 
   /** The ALTER-declared schema at a version (latest if None), if any. */
@@ -706,7 +920,13 @@ object LakeTable {
       return spark.createDataFrame(
         spark.sparkContext.emptyRDD[Row], schema)
     }
-    val df = spark.read.option("mergeSchema", "true").parquet(dirs: _*)
+    val vs = versions(spark, root)
+    val meta = manifestMeta(spark, root, version.getOrElse(vs.last))
+    // physical→logical rename mapping applies FIRST (raw parquet
+    // carries physical names), so the declared-schema projection and
+    // the delete mask both see the snapshot's LOGICAL shape
+    val df = applyColMap(meta,
+      spark.read.option("mergeSchema", "true").parquet(dirs: _*))
     val shaped = override_.fold(df) { target =>
       df.select(target.fields.map { f =>
         if (df.columns.map(_.toLowerCase).contains(f.name.toLowerCase))
@@ -714,9 +934,7 @@ object LakeTable {
         else lit(null).cast(f.dataType).as(f.name)
       }.toIndexedSeq: _*)
     }
-    val vs = versions(spark, root)
-    applyDeleteMask(spark, root,
-      manifestMeta(spark, root, version.getOrElse(vs.last)), shaped)
+    applyDeleteMask(spark, root, meta, shaped)
   }
 
   /** MERGE (upsert): rows in `updates` replace current rows with equal
@@ -752,13 +970,20 @@ object LakeTable {
     val afterDirs = dataDirPaths(spark, root, Some(toV)).toSet
     val metaBefore = manifestMeta(spark, root, fromV)
     val metaAfter = manifestMeta(spark, root, toV)
+    // BOTH sides project through the TO version's rename mapping, so a
+    // change feed crossing a rename commit emits one consistent
+    // (current-logical) shape; each side still masks with ITS OWN
+    // delete state. The mask's key column predates any rename that
+    // could cross the window (renameColumn refuses the deletekey), so
+    // it resolves identically before and after the projection.
     def readDirs(dirs: Set[String], schemaOf: Seq[String],
-                 meta: Map[String, String]): DataFrame =
+                 maskMeta: Map[String, String]): DataFrame =
       if (dirs.nonEmpty)
-        applyDeleteMask(spark, root, meta,
-          spark.read.option("mergeSchema", "true").parquet(dirs.toSeq: _*))
+        applyDeleteMask(spark, root, maskMeta, applyColMap(metaAfter,
+          spark.read.option("mergeSchema", "true").parquet(dirs.toSeq: _*)))
       else {
-        val ref = spark.read.parquet(schemaOf: _*).schema
+        val ref = applyColMap(metaAfter,
+          spark.read.parquet(schemaOf: _*)).schema
         spark.createDataFrame(spark.sparkContext.emptyRDD[Row], ref)
       }
     val allDirs = (beforeDirs ++ afterDirs).toSeq
@@ -947,7 +1172,10 @@ object LakeTable {
         large.exists(d => k.startsWith(s"bloom:$d:"))) ||
       k.startsWith("annmodel:") ||
       (k.startsWith("anncodes:") &&
-        large.exists(d => k.startsWith(s"anncodes:$d:")))
+        large.exists(d => k.startsWith(s"anncodes:$d:"))) ||
+      // the merged group is read raw and re-written raw — physical
+      // names — so rename/drop mappings stay exactly as valid as before
+      k == "colmap" || k == "coldrop"
     }
     commitVersion(spark, root, v + 1, large :+ newDir,
       carried + ("op" -> "optimize-small"))
@@ -979,7 +1207,12 @@ object LakeTable {
       .filter { case (k, _) =>
         k.startsWith("stat:") || k.startsWith("bloom:") ||
           k.startsWith("annmodel:") || k.startsWith("anncodes:") ||
-          k == "deletes" || k == "deletekey" }
+          k == "deletes" || k == "deletekey" || k == "colmap" ||
+          k == "coldrop" ||
+          // the restored version's OWN declared schema (expressed in
+          // its own logical names, consistent with its colmap) — not
+          // the latest version's, which a rename may have rewritten
+          k == "schema" }
     commit(spark, root, readManifest(spark, root, toVersion),
       carried + ("op" -> "restore") + ("restoredVersion" -> toVersion.toString))
   }
@@ -1039,7 +1272,8 @@ object LakeTable {
       manifestMeta(spark, root, v).filter { case (k, _) =>
         k.startsWith("stat:") || k.startsWith("bloom:") ||
           k.startsWith("annmodel:") || k.startsWith("anncodes:") ||
-          k == "deletes" || k == "deletekey" } ++
+          k == "deletes" || k == "deletekey" || k == "colmap" ||
+          k == "coldrop" } ++
         Map("op" -> "add-constraint", s"check:$name" -> predicateSql))
   }
 

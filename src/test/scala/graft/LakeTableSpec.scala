@@ -359,6 +359,166 @@ class LakeTableSpec extends SparkSpec {
     }
   }
 
+  test("renameColumn: metadata-only mapping — read, append, time " +
+    "travel, CDC, and COW materialization") {
+    withTable { root =>
+      import spark.implicits._
+      LakeTable.create(spark, root,
+        Seq((1L, 10L), (2L, 20L)).toDF("id", "amount"))
+      val dirsV1 = LakeTable.dataDirPaths(spark, root)
+      // metadata-only: same file groups, new version, logical shape
+      val v2 = LakeTable.renameColumn(spark, root, "amount", "price")
+      assert(v2 == 2 && LakeTable.dataDirPaths(spark, root) == dirsV1)
+      assert(LakeTable.read(spark, root).columns.toSeq == Seq("id", "price"))
+      assert(LakeTable.read(spark, root).select(sum(col("price")))
+        .head().getLong(0) == 30L)
+      // history keeps its shape: v1 still reads the OLD name
+      assert(LakeTable.read(spark, root, Some(1)).columns.toSeq ==
+        Seq("id", "amount"))
+      // appends arrive in LOGICAL names; on-disk schema stays physical
+      LakeTable.append(spark, root, Seq((3L, 30L)).toDF("id", "price"))
+      assert(LakeTable.read(spark, root).select(sum(col("price")))
+        .head().getLong(0) == 60L)
+      val physCols = spark.read.option("mergeSchema", "true")
+        .parquet(LakeTable.dataDirPaths(spark, root): _*).columns.toSeq
+      assert(physCols == Seq("id", "amount"),
+        s"appended group broke the shared physical schema: $physCols")
+      // rename chain collapses: price -> cost still maps from 'amount'
+      LakeTable.renameColumn(spark, root, "price", "cost")
+      assert(LakeTable.read(spark, root).columns.toSeq == Seq("id", "cost"))
+      // CDC emits the TO version's logical shape on both sides of the
+      // window (v3 is the append commit — the name was 'price' there)
+      val ch = LakeTable.changes(spark, root, 1, 3, "id")
+      assert(ch.columns.contains("price") && !ch.columns.contains("amount"))
+      assert(ch.filter(col("_change_type") === "insert").count() == 1)
+      // COW delete materializes logical names and DROPS the mapping
+      LakeTable.deleteWhere(spark, root, col("id") === 1L)
+      assert(LakeTable.read(spark, root).columns.toSeq == Seq("id", "cost"))
+      val physAfter = spark.read.option("mergeSchema", "true")
+        .parquet(LakeTable.dataDirPaths(spark, root): _*).columns.toSeq
+      assert(physAfter == Seq("id", "cost"),
+        "COW rewrite did not bake logical names into the files")
+      assert(LakeTable.read(spark, root).count() == 2)
+    }
+  }
+
+  test("renameColumn: refusals and post-rename feature gates") {
+    withTable { root =>
+      import spark.implicits._
+      LakeTable.create(spark, root,
+        Seq((1L, 10L, 5L)).toDF("id", "amount", "qty"))
+      LakeTable.indexBloom(spark, root, Seq("id"))
+      LakeTable.addCheckConstraint(spark, root, "qty_pos", "qty > 0")
+      // refused: bloom-indexed and check-referenced columns
+      intercept[UnsupportedOperationException] {
+        LakeTable.renameColumn(spark, root, "id", "key")
+      }
+      intercept[UnsupportedOperationException] {
+        LakeTable.renameColumn(spark, root, "qty", "quantity")
+      }
+      // collisions and unknowns
+      intercept[IllegalArgumentException] {
+        LakeTable.renameColumn(spark, root, "amount", "qty")
+      }
+      intercept[IllegalArgumentException] {
+        LakeTable.renameColumn(spark, root, "nope", "x")
+      }
+      // a clean column renames; new sidecars on it are then gated
+      LakeTable.renameColumn(spark, root, "amount", "price")
+      intercept[UnsupportedOperationException] {
+        LakeTable.indexBloom(spark, root, Seq("price"))
+      }
+      // constraints added AFTER the rename bind immediately (they
+      // evaluate on logical frames) — a violating append is refused
+      LakeTable.addCheckConstraint(spark, root, "price_pos", "price > 0")
+      intercept[IllegalArgumentException] {
+        LakeTable.append(spark, root,
+          Seq((9L, -1L, 1L)).toDF("id", "price", "qty"))
+      }
+      // DSv2 raw delegate fails fast instead of exposing physical names
+      intercept[UnsupportedOperationException] {
+        spark.read.format("graft-lake").load(root).collect()
+      }
+      // compact materializes: mapping cleared, everything ungated
+      LakeTable.compact(spark, root, 1)
+      assert(spark.read.format("graft-lake").load(root)
+        .columns.toSeq == Seq("id", "price", "qty"))
+      LakeTable.indexBloom(spark, root, Seq("price"))
+      assert(LakeTable.readWhereEq(spark, root, "price", 10L).count() == 1)
+    }
+  }
+
+  test("dropColumn: metadata-only drop — read, time travel, guards, " +
+    "COW materialization") {
+    withTable { root =>
+      import spark.implicits._
+      LakeTable.create(spark, root,
+        Seq((1L, 10L, 5L), (2L, 20L, 6L)).toDF("id", "amount", "qty"))
+      val dirsV1 = LakeTable.dataDirPaths(spark, root)
+      val v2 = LakeTable.dropColumn(spark, root, "qty")
+      assert(v2 == 2 && LakeTable.dataDirPaths(spark, root) == dirsV1)
+      assert(LakeTable.read(spark, root).columns.toSeq == Seq("id", "amount"))
+      // history keeps its shape
+      assert(LakeTable.read(spark, root, Some(1)).columns.toSeq ==
+        Seq("id", "amount", "qty"))
+      // appends without the dropped column work; naming it is refused
+      LakeTable.append(spark, root, Seq((3L, 30L)).toDF("id", "amount"))
+      assert(LakeTable.read(spark, root).count() == 3)
+      intercept[IllegalArgumentException] {
+        LakeTable.append(spark, root,
+          Seq((4L, 40L, 7L)).toDF("id", "amount", "qty"))
+      }
+      // re-adding the dropped name is refused until a rewrite
+      intercept[IllegalArgumentException] {
+        LakeTable.evolveSchema(spark, root,
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("qty",
+              org.apache.spark.sql.types.LongType))))
+      }
+      // drop composes with rename: amount -> price, then drop price
+      // removes the PHYSICAL 'amount' and its mapping entry
+      LakeTable.renameColumn(spark, root, "amount", "price")
+      LakeTable.dropColumn(spark, root, "price")
+      assert(LakeTable.read(spark, root).columns.toSeq == Seq("id"))
+      // last column is protected
+      intercept[IllegalArgumentException] {
+        LakeTable.dropColumn(spark, root, "id")
+      }
+      // DSv2 raw delegate gated; COW compact materializes and ungates
+      intercept[UnsupportedOperationException] {
+        spark.read.format("graft-lake").load(root).collect()
+      }
+      LakeTable.compact(spark, root, 1)
+      assert(spark.read.option("mergeSchema", "true")
+        .parquet(LakeTable.dataDirPaths(spark, root): _*)
+        .columns.toSeq == Seq("id"),
+        "compact did not narrow the physical schema")
+      assert(spark.read.format("graft-lake").load(root)
+        .columns.toSeq == Seq("id"))
+      assert(LakeTable.read(spark, root).count() == 3)
+    }
+  }
+
+  test("evolveSchema carries MOR delete state (resurrection regression)") {
+    withTable { root =>
+      import spark.implicits._
+      LakeTable.create(spark, root,
+        Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "tag"))
+      LakeTable.deleteWhereMor(spark, root, col("id") === 2L, "id")
+      assert(LakeTable.read(spark, root).count() == 2)
+      // the ALTER is metadata-only over the same dirs — the delete
+      // list must survive it (it once didn't: only stat:* was carried)
+      LakeTable.evolveSchema(spark, root,
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("note",
+            org.apache.spark.sql.types.StringType))))
+      val after = LakeTable.read(spark, root)
+      assert(after.columns.toSeq == Seq("id", "tag", "note"))
+      assert(after.count() == 2,
+        "ALTER ADD COLUMNS resurrected merge-on-read deleted rows")
+    }
+  }
+
   test("crash between data write and commit leaves table readable") {
     withTable { root =>
       val nation = Tables.load(spark, sf, "nation")
