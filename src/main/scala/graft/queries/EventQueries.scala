@@ -775,7 +775,43 @@ object EventQueries {
     res
   }
 
+  /** q275: OUT-OF-ORDERNESS profile — the watermark-sizing diagnostic
+    * every streaming deployment needs before it picks
+    * `withWatermark(delay)`: per event type, how late do events arrive
+    * relative to the event-time high-water mark of their user's stream
+    * (arrival order = event_id)? lateness = max(ts so far) − ts when
+    * positive; the report gives the count, late fraction input, and
+    * max/total lateness in exact integer MICROS — reading the max row
+    * tells you the smallest watermark delay that loses nothing, and
+    * the p-mass tells you what a tighter one drops. All integer
+    * micros end-to-end (unix_micros ↔ epoch_us, the q262 discipline).
+    *
+    * Scale shape: ONE window partitioned by user_id (the natural
+    * stream key — never global), one hash aggregate by event type;
+    * lateness sums ride DECIMAL(38,0) before the final BIGINT cast so
+    * a year-long backlog of a hot type can't overflow the
+    * accumulator. */
+  def disorderProfile(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    ev(s, dir)
+      .select(col("event_type"), col("user_id"), col("event_id"),
+        expr("unix_micros(ts)").as("tus"))
+      .withColumn("hwm", max(col("tus")).over(w))
+      .withColumn("late_us",
+        greatest(coalesce(col("hwm") - col("tus"), lit(0L)), lit(0L)))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(when(col("late_us") > 0, 1L).otherwise(0L)).as("n_late"),
+        max(col("late_us")).as("max_late_us"),
+        expr("CAST(sum(CAST(late_us AS DECIMAL(38,0))) AS BIGINT)")
+          .as("sum_late_us"))
+      .orderBy(col("event_type"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q275_disorder_profile" -> (disorderProfile _),
     "q262_interval_util"     -> (intervalUtilization _),
     "q256_peak_concurrency"  -> (peakConcurrency _),
     "q198_funnel_stages"     -> (funnelStages _),
@@ -809,6 +845,26 @@ object EventQueries {
     "CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)"
 
   val oracles: Map[String, String] = Map(
+    // q275: identical running-max lateness in integer micros; the sum
+    // rides HUGEINT (DuckDB's native sum) and lands back on BIGINT
+    "q275_disorder_profile" ->
+      """WITH e AS (
+        |  SELECT event_type, user_id, event_id, epoch_us(ts) AS tus
+        |  FROM events),
+        |l AS (
+        |  SELECT event_type,
+        |         greatest(coalesce(
+        |           max(tus) OVER (PARTITION BY user_id ORDER BY event_id
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |           - tus, 0), 0) AS late_us
+        |  FROM e)
+        |SELECT event_type,
+        |       CAST(count(*) AS BIGINT) AS n_events,
+        |       CAST(sum(CASE WHEN late_us > 0 THEN 1 ELSE 0 END)
+        |            AS BIGINT) AS n_late,
+        |       CAST(max(late_us) AS BIGINT) AS max_late_us,
+        |       CAST(sum(late_us) AS BIGINT) AS sum_late_us
+        |FROM l GROUP BY event_type ORDER BY event_type""".stripMargin,
     // q262: lead() + running sum in their window forms — the shapes
     // the PrefixScan rank-join composition replaces; pure integer
     // micros, covered·10⁶ floor-divided for the ppm

@@ -789,7 +789,50 @@ object PipelineQueries {
       .limit(15)
   }
 
+  /** q274: QUANTILE NORMALIZATION across sources (Bolstad et al.,
+    * Bioinformatics 2003 — the batch-effect correction recipe, applied
+    * to corpus features): every document's n_chars is replaced by the
+    * POOLED corpus value at its within-source quantile, so after
+    * normalization each source has an identical length distribution
+    * and per-source length bias can't leak into downstream sampling.
+    * Rank mapping is exact integer arithmetic — within-source rank r
+    * of n_s maps to pooled position ⌈r·N / n_s⌉, the product riding
+    * DECIMAL(38,0) (r·N overflows BIGINT at ~3e9 rows) — and every
+    * order is total (ties by doc_id), so the oracle recomputes every
+    * row.
+    *
+    * Scale shape: the within-source rank is a window PARTITIONED by
+    * source (never global); the pooled order uses GlobalRank's
+    * range-exchange enumeration; the final lookup is an equi-join on
+    * the dense pooled position — uniformly distributed key, perfectly
+    * balanced shuffle. */
+  def quantileNormalize(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = docs(s, dir).select(col("doc_id"), col("source"),
+      col("n_chars"))
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("n_chars"), col("doc_id"))
+    val ranked = d
+      .withColumn("r", row_number().over(w).cast("long"))
+      .withColumn("ns", count(lit(1))
+        .over(Window.partitionBy(col("source"))))
+    val pooled = graft.operators.GlobalRank
+      .withGlobalRankAndCount(d.select(col("n_chars"), col("doc_id")),
+        Seq(col("n_chars"), col("doc_id")), "k", "n_total")
+      .select(col("n_chars").as("norm_chars"), col("k"), col("n_total"))
+    val nTotal = broadcast(pooled.agg(max(col("n_total")).as("n")))
+    ranked.crossJoin(nTotal)
+      .withColumn("k",
+        expr("CAST((CAST(r AS DECIMAL(38,0)) * n + ns - 1) div ns " +
+          "AS BIGINT)"))
+      .join(pooled.select(col("norm_chars"), col("k")), Seq("k"))
+      .select(col("doc_id"), col("source"), col("n_chars"),
+        col("norm_chars"))
+      .orderBy(col("doc_id"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q274_quantile_normalize"  -> (quantileNormalize _),
     "q271_info_gain"           -> (infoGainTerms _),
     "q269_pack_contiguous"     -> (packContiguous _),
     "q249_quality_classifier"  -> (qualityClassifier _),
@@ -813,6 +856,26 @@ object PipelineQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // q274: the same exact rank map — within-source rank to pooled
+    // position ceil(r*N/ns), both orders total (ties by doc_id);
+    // the product rides HUGEINT
+    "q274_quantile_normalize" ->
+      """WITH d AS (SELECT doc_id, source, n_chars FROM documents),
+        |w AS (SELECT doc_id, source, n_chars,
+        |        CAST(row_number() OVER (PARTITION BY source
+        |          ORDER BY n_chars, doc_id) AS BIGINT) AS r,
+        |        CAST(count(*) OVER (PARTITION BY source) AS BIGINT) AS ns
+        |      FROM d),
+        |p AS (SELECT n_chars AS norm_chars,
+        |        CAST(row_number() OVER (ORDER BY n_chars, doc_id)
+        |          AS BIGINT) AS k
+        |      FROM d),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM d)
+        |SELECT w.doc_id, w.source, w.n_chars, p.norm_chars
+        |FROM w, tot
+        |JOIN p ON p.k = CAST((CAST(w.r AS HUGEINT) * n + ns - 1) // ns
+        |                     AS BIGINT)
+        |ORDER BY w.doc_id""".stripMargin,
     // q271: the same count identity over the same term × class grid;
     // ln quantized through DECIMAL(18,9) with the DECIMAL(19,0)
     // literal so DuckDB never detours through DOUBLE
