@@ -831,7 +831,54 @@ object PipelineQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** q277: token-budget WATERFILLING — allocate a training-token
+    * budget B (60% of the corpus) across sources, maximizing the
+    * minimum share subject to per-source inventory caps: every source
+    * gets min(inventory, L) where the water level L is the largest
+    * integer with Σ min(invᵢ, L) ≤ B, and the leftover r = B − Σ is
+    * handed out +1 to the first r uncapped sources by name. This is
+    * the budget-constrained twin of q228's temperature mixing: where
+    * temperature RESHAPES proportions, waterfilling CLIPS dominant
+    * sources at a hard level so the tail keeps maximal representation
+    * — all in exact integer arithmetic, so Σ allocated = B exactly.
+    * The level search is the sorted-prefix closed form (j capped
+    * sources ⇒ L = (B − prefixⱼ) div (m − j); valid iff invⱼ ≤ L <
+    * invⱼ₊₁), replayed identically by the oracle.
+    *
+    * Scale shape: ONE corpus aggregate (tokens per source, map-side
+    * partials); everything after runs on the m-row source table —
+    * driver arithmetic on a dim-bounded collect (the class-totals
+    * precedent), never data-sized. */
+  def waterfillBudget(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val inv = docs(s, dir)
+      .select(col("source"),
+        size(filter(split(trim(col("text")), "\\s+"), w => length(w) > 0))
+          .cast("long").as("ntok"))
+      .groupBy(col("source")).agg(sum(col("ntok")).as("inv"))
+      .as[(String, Long)].collect().sortBy(x => (x._2, x._1))
+    val m = inv.length
+    val total = inv.map(_._2).sum
+    val budget = 6L * total / 10
+    require(budget < total && m >= 1, "waterfilling needs budget < total")
+    val pref = inv.map(_._2).scanLeft(0L)(_ + _)
+    // smallest valid j: inv_j <= L_j < inv_{j+1} (1-based inv_j)
+    val (_, level) = (0 until m).iterator.map { j =>
+      (j, (budget - pref(j)) / (m - j))
+    }.find { case (j, l) =>
+      (j == 0 || inv(j - 1)._2 <= l) && l < inv(j)._2
+    }.getOrElse(throw new IllegalStateException("no valid water level"))
+    val r = budget - inv.map(x => math.min(x._2, level)).sum
+    val bonus = inv.filter(_._2 > level).map(_._1).sorted.take(r.toInt).toSet
+    graft.util.LocalFrame.materialize(
+      inv.toSeq.map { case (src, i) =>
+        (src, i, math.min(i, level) + (if (bonus(src)) 1L else 0L))
+      }.toDF("source", "inventory_tokens", "allocated_tokens")
+        .orderBy(col("source")))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q277_waterfill_budget"    -> (waterfillBudget _),
     "q274_quantile_normalize"  -> (quantileNormalize _),
     "q271_info_gain"           -> (infoGainTerms _),
     "q269_pack_contiguous"     -> (packContiguous _),
@@ -856,6 +903,48 @@ object PipelineQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // q277: the same sorted-prefix water-level search and remainder
+    // rule, all integer; the smallest valid j wins on both engines
+    "q277_waterfill_budget" ->
+      """WITH t AS (
+        |  SELECT source,
+        |         CAST(sum(len(list_filter(string_split_regex(trim(text),
+        |           '\s+'), w -> len(w) > 0))) AS BIGINT) AS inv
+        |  FROM documents GROUP BY source),
+        |b AS (SELECT (6 * CAST(sum(inv) AS BIGINT)) // 10 AS bud,
+        |             CAST(count(*) AS BIGINT) AS m FROM t),
+        |o AS (SELECT source, inv,
+        |        CAST(row_number() OVER (ORDER BY inv, source) AS BIGINT)
+        |          AS idx,
+        |        CAST(coalesce(sum(inv) OVER (ORDER BY inv, source
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |          AS BIGINT) AS pf
+        |      FROM t),
+        |cand AS (
+        |  SELECT o.idx - 1 AS j, (b.bud - o.pf) // (b.m - (o.idx - 1))
+        |           AS lvl, o.inv AS inv_next
+        |  FROM o, b),
+        |valid AS (
+        |  SELECT c.j, c.lvl FROM cand c
+        |  LEFT JOIN o p2 ON p2.idx = c.j
+        |  WHERE (c.j = 0 OR p2.inv <= c.lvl) AND c.lvl < c.inv_next),
+        |lvl AS (SELECT lvl AS L FROM valid ORDER BY j LIMIT 1),
+        |rc AS (SELECT b.bud -
+        |         (SELECT CAST(sum(least(inv, lvl.L)) AS BIGINT)
+        |          FROM t, lvl) AS r
+        |       FROM b),
+        |unc AS (SELECT source,
+        |          CAST(row_number() OVER (ORDER BY source) AS BIGINT)
+        |            AS ur
+        |        FROM t, lvl WHERE inv > lvl.L)
+        |SELECT t.source, t.inv AS inventory_tokens,
+        |       CAST(least(t.inv, lvl.L) +
+        |            CASE WHEN unc.ur IS NOT NULL AND unc.ur <= rc.r
+        |                 THEN 1 ELSE 0 END AS BIGINT)
+        |         AS allocated_tokens
+        |FROM t CROSS JOIN lvl CROSS JOIN rc
+        |LEFT JOIN unc ON t.source = unc.source
+        |ORDER BY t.source""".stripMargin,
     // q274: the same exact rank map — within-source rank to pooled
     // position ceil(r*N/ns), both orders total (ties by doc_id);
     // the product rides HUGEINT

@@ -725,7 +725,64 @@ object VectorQueries {
         "proj_var_identity_ok", "bottom_lt_top_ok")
   }
 
+  /** q276: CORESET selection by greedy k-center (Gonzalez 1985 — the
+    * farthest-point diversity sampler, the geometric core of coreset
+    * and active-learning selection for training data): seed with
+    * vec_id 0, then 9 rounds of "pick the vector farthest from the
+    * chosen set" (max-min squared L2). Every distance term is
+    * quantized to DECIMAL(25,12) (q217/q270's rule) so the per-vector
+    * min and the global argmax are exact cross-engine; ties break by
+    * vec_id. The oracle replays all nine rounds unrolled.
+    *
+    * Scale shape: each round is one pass — the chosen set (≤ k rows)
+    * broadcasts, a per-vector min folds over it map-side, and ONE
+    * argmax row reaches the driver (the PageRank bounded-driver-state
+    * discipline); k rounds = k linear passes, never a pairwise join.
+    * Output: selection order, chosen id, and its distance-to-set at
+    * selection time (×10⁶ scaled BIGINT). */
+  def coresetKCenter(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val k = 10
+    val e = emb(s, dir).select(col("vec_id"), col("embedding")).persist()
+    e.count()
+    val d2Term =
+      """CAST((CAST(a AS DOUBLE) - CAST(b AS DOUBLE))
+        |     * (CAST(a AS DOUBLE) - CAST(b AS DOUBLE))
+        |  AS DECIMAL(25,12))""".stripMargin
+    val chosen = scala.collection.mutable.ArrayBuffer[(Long, Long)]()
+    chosen += ((0L, 0L)) // seed: vec_id 0, distance-to-set 0
+    for (_ <- 2 to k) {
+      val centers = e.filter(col("vec_id")
+          .isin(chosen.map(_._1).toSeq: _*))
+        .select(col("vec_id").as("c_id"), col("embedding").as("ce"))
+      val next = e.crossJoin(broadcast(centers))
+        .select(col("vec_id"),
+          expr(s"""aggregate(zip_with(embedding, ce,
+            |  (a, b) -> $d2Term),
+            |  CAST(0 AS DECIMAL(30,12)),
+            |  (acc, x) -> CAST(acc + x AS DECIMAL(30,12)))""".stripMargin)
+            .as("d2"))
+        .groupBy(col("vec_id")).agg(min(col("d2")).as("dmin"))
+        // floor, not a bare cast: Spark truncates decimal→BIGINT where
+        // DuckDB rounds (the q265 lesson) — floor is unambiguous, and
+        // the argmax + tiebreak runs on this same floored value in
+        // BOTH engines so the selection replays exactly
+        .select(col("vec_id"),
+          expr("CAST(floor(dmin * 1000000) AS BIGINT)").as("dmicro"))
+        .orderBy(col("dmicro").desc, col("vec_id")).limit(1)
+        .as[(Long, Long)].head()
+      chosen += next
+    }
+    e.unpersist()
+    graft.util.LocalFrame.materialize(
+      chosen.toSeq.zipWithIndex
+        .map { case ((id, d), i) => (i + 1L, id, d) }
+        .toDF("sel_rank", "vec_id", "dist_to_set_micro")
+        .orderBy(col("sel_rank")))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q276_coreset_kcenter" -> (coresetKCenter _),
     "q250_pca_project_recall" -> (pcaProjectRecall _),
     "q248_embed_pca"       -> (embedPca _),
     "q183_semantic_dedup"  -> (semanticDedup _),
@@ -743,7 +800,47 @@ object VectorQueries {
     "q217_embed_outliers"  -> (embedOutliers _)
   )
 
+  /** One unrolled greedy k-center round for the q276 oracle: pairwise
+    * DECIMAL-quantized d2 to the current chosen set c$n, per-vector
+    * min floored to ×10⁶ BIGINT, argmax with the vec_id tiebreak on
+    * that same floored value (exactly the engine's comparison), and
+    * the pick appended into c${n+1}. */
+  private def kcenterRound(n: Int): String =
+    s"""d$n AS (
+       |  SELECT a.vec_id,
+       |         sum(CAST((a.v - b.v) * (a.v - b.v) AS DECIMAL(25,12)))
+       |           AS d2
+       |  FROM ex a JOIN ex b ON a.i = b.i
+       |  WHERE b.vec_id IN (SELECT id FROM c$n)
+       |  GROUP BY a.vec_id, b.vec_id),
+       |m$n AS (
+       |  SELECT vec_id,
+       |         CAST(floor(min(d2) * CAST(1000000 AS DECIMAL(19,0)))
+       |              AS BIGINT) AS dmicro
+       |  FROM d$n GROUP BY vec_id),
+       |s$n AS (SELECT vec_id, dmicro FROM m$n
+       |        ORDER BY dmicro DESC, vec_id LIMIT 1),
+       |c${n + 1} AS (SELECT id FROM c$n
+       |              UNION ALL SELECT vec_id FROM s$n)""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    // q276: all nine selection rounds replayed with the identical
+    // floored-micro argmax comparison
+    "q276_coreset_kcenter" ->
+      s"""WITH ex AS (
+         |  SELECT vec_id, r.range AS i,
+         |         CAST(embedding[r.range::INT + 1] AS DOUBLE) AS v
+         |  FROM embeddings CROSS JOIN range(0, 64) r),
+         |c1 AS (SELECT CAST(0 AS BIGINT) AS id),
+         |${(1 to 9).map(kcenterRound).mkString(",\n")}
+         |SELECT * FROM (
+         |  SELECT CAST(1 AS BIGINT) AS sel_rank,
+         |         CAST(0 AS BIGINT) AS vec_id,
+         |         CAST(0 AS BIGINT) AS dist_to_set_micro
+         |${(1 to 9).map(r =>
+             s"  UNION ALL SELECT ${r + 1}, vec_id, dmicro FROM s$r")
+            .mkString("\n|")}
+         |) ORDER BY sel_rank""".stripMargin,
     // q250: corpus facts SQL-knowable; the projection identities are
     // deterministic (DECIMAL scatter + sign-normalized Jacobi +
     // DECIMAL-quantized norm sums) → gates pinned
