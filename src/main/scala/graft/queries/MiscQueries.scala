@@ -297,6 +297,123 @@ object MiscQueries {
     * to nation; the nation dim broadcast. DuckDB replays the fold with
     * list_reduce — seeded by the first element exactly like the
     * slice-from-2 form here. */
+  /** q278: time-series GAP FILLING by exact integer interpolation —
+    * the data-prep step every monthly feature pipeline needs before a
+    * fold (q263's smoothing or q279-style control charts assume a
+    * dense series): build the complete nation × month spine, and fill
+    * each hole by linear interpolation between the nearest non-missing
+    * neighbors (nearest-value extension at the edges, 0 for an
+    * all-empty series). The lerp is exact integer arithmetic —
+    * (Δv·Δt) div span with the product through DECIMAL(38,0) and the
+    * division on |Δv| with the sign reapplied (Spark div truncates
+    * toward zero, DuckDB // floors; both directions of revenue trend
+    * are live — q265's lesson). The URGENT-priority subset is sparse
+    * at small SF, so holes genuinely exist and every filled cell is
+    * recomputed by the oracle.
+    *
+    * Scale shape: one fact aggregate; the spine is nation × months
+    * (bounded dims, broadcast); neighbor lookup is four window
+    * functions PARTITIONED by nation — never global. */
+  def gapFill(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val monthly = t(s, dir, "orders")
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .join(broadcast(t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_nationkey"))),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_nationkey").as("nk"),
+        date_trunc("month", col("o_orderdate")).as("mo"))
+      .agg(expr("CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 " +
+        "AS BIGINT)").as("cents"))
+    val bounds = t(s, dir, "orders")
+      .agg(date_trunc("month", min(col("o_orderdate"))).as("lo"),
+        date_trunc("month", max(col("o_orderdate"))).as("hi"))
+    val months = bounds.select(explode(
+      expr("sequence(lo, hi, interval 1 month)")).as("mo"))
+    val grid = broadcast(t(s, dir, "nation")
+        .select(col("n_nationkey").as("nk"), col("n_name")))
+      .crossJoin(broadcast(months))
+      .withColumn("mi", expr("year(mo) * 12 + month(mo)").cast("long"))
+    val joined = grid.join(monthly, Seq("nk", "mo"), "left_outer")
+    val wPrev = Window.partitionBy(col("nk")).orderBy(col("mi"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val wNext = Window.partitionBy(col("nk")).orderBy(col("mi"))
+      .rowsBetween(0, Window.unboundedFollowing)
+    joined
+      .withColumn("pv", last(col("cents"), ignoreNulls = true).over(wPrev))
+      .withColumn("pmi", last(when(col("cents").isNotNull, col("mi")),
+        ignoreNulls = true).over(wPrev))
+      .withColumn("nv", first(col("cents"), ignoreNulls = true).over(wNext))
+      .withColumn("nmi", first(when(col("cents").isNotNull, col("mi")),
+        ignoreNulls = true).over(wNext))
+      .select(col("n_name"),
+        date_format(col("mo"), "yyyy-MM").as("month"),
+        expr("""CAST(CASE
+          |  WHEN cents IS NOT NULL THEN cents
+          |  WHEN pmi IS NULL AND nmi IS NULL THEN 0
+          |  WHEN pmi IS NULL THEN nv
+          |  WHEN nmi IS NULL THEN pv
+          |  ELSE pv + CAST(CASE WHEN nv >= pv
+          |    THEN (CAST(nv AS DECIMAL(38,0)) - pv) * (mi - pmi)
+          |         div (nmi - pmi)
+          |    ELSE -((CAST(pv AS DECIMAL(38,0)) - nv) * (mi - pmi)
+          |         div (nmi - pmi)) END AS BIGINT)
+          |  END AS BIGINT)""".stripMargin).as("cents_filled"),
+        col("cents").isNull.as("was_missing"))
+      .orderBy(col("n_name"), col("month"))
+  }
+
+  /** q279: one-sided CUSUM control chart (Page 1954) per nation over
+    * the monthly revenue series — the sequential drift detector that
+    * complements q227's two-sample distribution drift: Sₜ =
+    * max(0, Sₜ₋₁ + xₜ − μ − k) with allowance k = μ/20 accumulates
+    * only SUSTAINED upward excursions, and an alert fires when Sₜ
+    * crosses h = μ/10. Everything is exact integer cents — μ = Σx div
+    * n (the sum through DECIMAL(38,0)/HUGEINT), the fold state a
+    * BIGINT struct — so the oracle's recursive-CTE replay is
+    * bit-identical, including alert counts.
+    *
+    * Scale shape: q263's adjudicated pattern — the sequential-in-t
+    * fold runs inside one `aggregate` HOF over each nation's
+    * calendar-bounded monthly array (≤ ~84 entries at any SF); groups
+    * scale out, driver holds nothing. */
+  def cusumAlerts(s: SparkSession, dir: String): DataFrame = {
+    val monthly = t(s, dir, "orders")
+      .join(broadcast(t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_nationkey"))),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_nationkey").as("nk"),
+        date_format(date_trunc("month", col("o_orderdate")), "yyyy-MM")
+          .as("m"))
+      .agg(expr("CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 " +
+        "AS BIGINT)").as("cents"))
+    val series = monthly.groupBy(col("nk"))
+      .agg(sort_array(collect_list(struct(col("m"), col("cents"))))
+        .as("xs"),
+        count(lit(1)).as("n_months"),
+        expr("CAST(sum(CAST(cents AS DECIMAL(38,0))) div count(*) " +
+          "AS BIGINT)").as("mu"))
+    series
+      .join(broadcast(t(s, dir, "nation")
+        .select(col("n_nationkey").as("nk"), col("n_name"))), Seq("nk"))
+      .withColumn("st", expr(
+        """aggregate(xs,
+          |  named_struct('s', CAST(0 AS BIGINT), 'mx', CAST(0 AS BIGINT),
+          |               'al', CAST(0 AS BIGINT)),
+          |  (acc, x) -> named_struct(
+          |    's',  greatest(CAST(0 AS BIGINT),
+          |                   acc.s + x.cents - mu - mu div 20),
+          |    'mx', greatest(acc.mx, greatest(CAST(0 AS BIGINT),
+          |                   acc.s + x.cents - mu - mu div 20)),
+          |    'al', acc.al + IF(greatest(CAST(0 AS BIGINT),
+          |                   acc.s + x.cents - mu - mu div 20) > mu div 10,
+          |                   CAST(1 AS BIGINT), CAST(0 AS BIGINT))))"""
+          .stripMargin))
+      .select(col("n_name"), col("n_months"), col("mu").as("mu_cents"),
+        col("st.mx").as("max_cusum"), col("st.al").as("n_alerts"))
+      .orderBy(col("n_name"))
+  }
+
   def sesForecast(s: SparkSession, dir: String): DataFrame = {
     val monthly = t(s, dir, "orders")
       .join(broadcast(t(s, dir, "customer")
@@ -1210,6 +1327,8 @@ object MiscQueries {
     "q254_skyline"        -> (skylineParts _),
     "q255_gini_spend"     -> (giniSpend _),
     "q258_triangle_count" -> (triangleCount _),
+    "q279_cusum_alerts"   -> (cusumAlerts _),
+    "q278_gap_fill"       -> (gapFill _),
     "q263_ses_forecast"   -> (sesForecast _),
     "q264_hits_scores"    -> (hitsScores _),
     "q265_ols_trend"      -> (olsTrend _),
@@ -1366,6 +1485,91 @@ object MiscQueries {
     // q263: list_reduce seeds with the first element — exactly the
     // slice-from-2 aggregate form Spark-side; integer halving keeps
     // the whole recurrence bit-exact
+    // q279: the fold replayed as a recursive CTE over the month index,
+    // identical integer state transitions (mu through HUGEINT)
+    "q279_cusum_alerts" ->
+      """WITH RECURSIVE mo AS (
+        |  SELECT c.c_nationkey AS nk, strftime(date_trunc('month',
+        |           o_orderdate), '%Y-%m') AS m,
+        |         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100
+        |              AS BIGINT) AS cents
+        |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |  GROUP BY 1, 2),
+        |ser AS (SELECT nk, cents,
+        |          CAST(row_number() OVER (PARTITION BY nk ORDER BY m)
+        |               AS BIGINT) AS t
+        |        FROM mo),
+        |stats AS (SELECT nk, CAST(count(*) AS BIGINT) AS n,
+        |            CAST(CAST(sum(cents) AS HUGEINT) // count(*)
+        |                 AS BIGINT) AS mu
+        |          FROM ser GROUP BY nk),
+        |cu AS (
+        |  SELECT nk, CAST(0 AS BIGINT) AS t, CAST(0 AS BIGINT) AS s_val,
+        |         CAST(0 AS BIGINT) AS mx, CAST(0 AS BIGINT) AS al
+        |  FROM stats
+        |  UNION ALL
+        |  SELECT cu.nk, cu.t + 1,
+        |         greatest(0, cu.s_val + ser.cents - st.mu - st.mu // 20),
+        |         greatest(cu.mx,
+        |           greatest(0, cu.s_val + ser.cents - st.mu - st.mu // 20)),
+        |         cu.al + CASE WHEN greatest(0, cu.s_val + ser.cents
+        |             - st.mu - st.mu // 20) > st.mu // 10
+        |           THEN 1 ELSE 0 END
+        |  FROM cu
+        |  JOIN ser ON ser.nk = cu.nk AND ser.t = cu.t + 1
+        |  JOIN stats st ON st.nk = cu.nk)
+        |SELECT n.n_name, st.n AS n_months, st.mu AS mu_cents,
+        |       cu.mx AS max_cusum, cu.al AS n_alerts
+        |FROM cu JOIN stats st ON cu.nk = st.nk AND cu.t = st.n
+        |JOIN nation n ON n.n_nationkey = cu.nk
+        |ORDER BY n.n_name""".stripMargin,
+    // q278: the spine, neighbor search, and signed-|num| lerp replayed
+    // with join-based prev/next (months-bounded self-joins)
+    "q278_gap_fill" ->
+      """WITH m AS (
+        |  SELECT c.c_nationkey AS nk, date_trunc('month', o_orderdate) AS mo,
+        |         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100
+        |              AS BIGINT) AS cents
+        |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |  WHERE o_orderpriority = '1-URGENT'
+        |  GROUP BY 1, 2),
+        |bounds AS (SELECT date_trunc('month', min(o_orderdate)) AS lo,
+        |                  date_trunc('month', max(o_orderdate)) AS hi
+        |           FROM orders),
+        |months AS (SELECT UNNEST(generate_series(lo, hi,
+        |                    INTERVAL 1 MONTH)) AS mo FROM bounds),
+        |grid AS (SELECT n.n_nationkey AS nk, n.n_name, mm.mo,
+        |                CAST(year(mm.mo) * 12 + month(mm.mo) AS BIGINT)
+        |                  AS mi
+        |         FROM nation n CROSS JOIN months mm),
+        |a AS (SELECT g.nk, g.n_name, g.mo, g.mi, m.cents
+        |      FROM grid g LEFT JOIN m ON g.nk = m.nk AND g.mo = m.mo),
+        |pv AS (SELECT a1.nk, a1.mi, max(a2.mi) AS pmi
+        |       FROM a a1 JOIN a a2 ON a1.nk = a2.nk AND a2.mi <= a1.mi
+        |         AND a2.cents IS NOT NULL GROUP BY 1, 2),
+        |nx AS (SELECT a1.nk, a1.mi, min(a2.mi) AS nmi
+        |       FROM a a1 JOIN a a2 ON a1.nk = a2.nk AND a2.mi >= a1.mi
+        |         AND a2.cents IS NOT NULL GROUP BY 1, 2),
+        |j AS (SELECT a.*, pv.pmi, nx.nmi, ap.cents AS pvv, an.cents AS nvv
+        |      FROM a
+        |      LEFT JOIN pv ON a.nk = pv.nk AND a.mi = pv.mi
+        |      LEFT JOIN nx ON a.nk = nx.nk AND a.mi = nx.mi
+        |      LEFT JOIN a ap ON a.nk = ap.nk AND pv.pmi = ap.mi
+        |      LEFT JOIN a an ON a.nk = an.nk AND nx.nmi = an.mi)
+        |SELECT n_name, strftime(mo, '%Y-%m') AS month,
+        |       CAST(CASE
+        |         WHEN cents IS NOT NULL THEN cents
+        |         WHEN pmi IS NULL AND nmi IS NULL THEN 0
+        |         WHEN pmi IS NULL THEN nvv
+        |         WHEN nmi IS NULL THEN pvv
+        |         ELSE pvv + CAST(CASE WHEN nvv >= pvv
+        |           THEN (CAST(nvv AS HUGEINT) - pvv) * (mi - pmi)
+        |                // (nmi - pmi)
+        |           ELSE -((CAST(pvv AS HUGEINT) - nvv) * (mi - pmi)
+        |                // (nmi - pmi)) END AS BIGINT)
+        |         END AS BIGINT) AS cents_filled,
+        |       cents IS NULL AS was_missing
+        |FROM j ORDER BY n_name, month""".stripMargin,
     "q263_ses_forecast" ->
       """WITH monthly AS (
         |  SELECT c.c_nationkey AS nk,
