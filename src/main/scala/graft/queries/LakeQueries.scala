@@ -1360,7 +1360,60 @@ object LakeQueries {
     } }
   }
 
+  /** q281: UNIQUE constraint lifecycle — the warehouse key guarantee
+    * ([[graft.sources.LakeTable.addUniqueConstraint]]) as an
+    * oracle-checked scenario: existing-data validation, clean appends
+    * admitted, duplicate-key appends and a MERGE that would smuggle a
+    * duplicate through a non-key join column both refused atomically
+    * (no version, no rows), the MERGE keyed on the unique column
+    * remains the upsert path, and two RACING appends of the same new
+    * key resolve with exactly one winner — the loser's rebase
+    * re-validates against the winner's rows and raises the named
+    * conflict. Every row fact restates from orders. */
+  def uniqueLifecycle(s: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.load(s, dir, "orders")
+      .filter(col("o_custkey") % 4 === 0)
+      .select(col("o_orderkey"), col("o_custkey"))
+    graft.util.LocalFrame.withConf(s, "spark.sql.shuffle.partitions", "8") {
+    graft.util.Tmp.withTempDir("graft_lake_q281") { rootPath =>
+      val root = rootPath.toString
+      LakeTable.create(s, root, orders.filter(col("o_orderkey") % 2 === 0))
+      LakeTable.addUniqueConstraint(s, root, "pk", "o_orderkey")
+      LakeTable.append(s, root, orders.filter(col("o_orderkey") % 2 === 1))
+      val rejectedDup =
+        try {
+          LakeTable.append(s, root,
+            orders.filter(col("o_orderkey") % 97 === 0)); 0L
+        } catch { case _: IllegalArgumentException => 1L }
+      // upsert on the key: replaces, never duplicates
+      LakeTable.merge(s, root,
+        orders.filter(col("o_orderkey") % 97 === 0), "o_orderkey")
+      val nAfterUpsert = LakeTable.read(s, root).count()
+      // racing appends of one NEW key: one winner, named conflict
+      val fresh = orders.limit(0).sparkSession.range(1)
+        .select((lit(3000000000L)).as("o_orderkey"),
+          lit(4L).as("o_custkey"))
+      val (base, d) = LakeTable.appendPrepare(s, root, fresh)
+      LakeTable.append(s, root, fresh)
+      val rejectedRace =
+        try { LakeTable.commitAppend(s, root, base, d, Map.empty); 0L }
+        catch { case _: graft.sources.LakeConflictException => 1L }
+      val nFinal = LakeTable.read(s, root).count()
+      val distinctKeys = LakeTable.read(s, root)
+        .select(col("o_orderkey")).distinct().count()
+      import s.implicits._
+      graft.util.LocalFrame.materialize(Seq(
+        ("n_after_upsert", nAfterUpsert),
+        ("n_distinct_keys", distinctKeys),
+        ("n_final", nFinal),
+        ("rejected_dup_append", rejectedDup),
+        ("rejected_racing_append", rejectedRace)
+      ).toDF("fact", "n").orderBy(col("fact")))
+    } }
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q281_unique_constraint"   -> (uniqueLifecycle _),
     "q273_drop_column"         -> (dropLifecycle _),
     "q272_rename_column"       -> (renameLifecycle _),
     "q267_append_reconcile"    -> (appendReconcile _),
@@ -1395,6 +1448,17 @@ object LakeQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // q281: rows restated from orders (+1 for the single racing-append
+    // winner); upsert and uniqueness invariants as equalities
+    "q281_unique_constraint" ->
+      """WITH s AS (SELECT o_orderkey FROM orders WHERE o_custkey % 4 = 0)
+        |SELECT 'n_after_upsert' AS fact, CAST(count(*) AS BIGINT) AS n
+        |  FROM s
+        |UNION ALL SELECT 'n_distinct_keys', count(*) + 1 FROM s
+        |UNION ALL SELECT 'n_final', count(*) + 1 FROM s
+        |UNION ALL SELECT 'rejected_dup_append', CAST(1 AS BIGINT)
+        |UNION ALL SELECT 'rejected_racing_append', CAST(1 AS BIGINT)
+        |ORDER BY fact""".stripMargin,
     // q273: rows and the surviving-column sum restated from orders;
     // drop-protocol facts pin as integers
     "q273_drop_column" ->

@@ -363,6 +363,39 @@ object MiscQueries {
       .orderBy(col("n_name"), col("month"))
   }
 
+  /** q280: EQUI-DEPTH histogram construction (the ANALYZE TABLE
+    * optimizer statistic — Spark's own CBO histograms and DuckDB's
+    * stats use this shape): k = 16 buckets over o_totalprice cents,
+    * bucket i covering ranks ((i−1)·N div k, i·N div k]. Ranks come
+    * from GlobalRank's range-exchange enumeration over a TOTAL order
+    * (cents, o_orderkey) — no global window — and every output cell
+    * is exact: the per-bucket count is the rank-range width (an
+    * integer identity the oracle restates), lo/hi are the values at
+    * the boundary ranks, and ndv_bucket counts distinct cents inside.
+    * Feeds the q226 estimation story: range-predicate selectivity
+    * reads straight off these boundaries. Scale: one range exchange +
+    * one hash aggregate on the bucket id (k-bounded). */
+  def equiDepthHistogram(s: SparkSession, dir: String): DataFrame = {
+    val k = 16
+    val vals = t(s, dir, "orders").select(
+      expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)")
+        .as("cents"), col("o_orderkey"))
+    val ranked = graft.operators.GlobalRank
+      .withGlobalRankAndCount(vals,
+        Seq(col("cents"), col("o_orderkey")), "r", "n")
+      // bucket of rank r in 1..k: ((r-1)·k) div n + 1 — exact integer
+      // (r·k ≤ n·k, DECIMAL(38,0) against overflow at huge N)
+      .withColumn("bucket",
+        expr(s"CAST((CAST(r - 1 AS DECIMAL(38,0)) * $k) div n + 1 " +
+          "AS BIGINT)"))
+    ranked.groupBy(col("bucket"))
+      .agg(count(lit(1)).as("depth"),
+        min(col("cents")).as("lo_cents"),
+        max(col("cents")).as("hi_cents"),
+        countDistinct(col("cents")).as("ndv_bucket"))
+      .orderBy(col("bucket"))
+  }
+
   /** q279: one-sided CUSUM control chart (Page 1954) per nation over
     * the monthly revenue series — the sequential drift detector that
     * complements q227's two-sample distribution drift: Sₜ =
@@ -1327,6 +1360,7 @@ object MiscQueries {
     "q254_skyline"        -> (skylineParts _),
     "q255_gini_spend"     -> (giniSpend _),
     "q258_triangle_count" -> (triangleCount _),
+    "q280_equidepth_hist" -> (equiDepthHistogram _),
     "q279_cusum_alerts"   -> (cusumAlerts _),
     "q278_gap_fill"       -> (gapFill _),
     "q263_ses_forecast"   -> (sesForecast _),
@@ -1485,6 +1519,23 @@ object MiscQueries {
     // q263: list_reduce seeds with the first element — exactly the
     // slice-from-2 aggregate form Spark-side; integer halving keeps
     // the whole recurrence bit-exact
+    // q280: same total order, same rank-to-bucket integer map
+    "q280_equidepth_hist" ->
+      """WITH v AS (
+        |  SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+        |              AS BIGINT) AS cents, o_orderkey
+        |  FROM orders),
+        |r AS (SELECT cents,
+        |        CAST(row_number() OVER (ORDER BY cents, o_orderkey)
+        |             AS BIGINT) AS r,
+        |        CAST(count(*) OVER () AS BIGINT) AS n
+        |      FROM v)
+        |SELECT CAST((CAST(r - 1 AS HUGEINT) * 16) // n + 1 AS BIGINT)
+        |         AS bucket,
+        |       CAST(count(*) AS BIGINT) AS depth,
+        |       min(cents) AS lo_cents, max(cents) AS hi_cents,
+        |       CAST(count(DISTINCT cents) AS BIGINT) AS ndv_bucket
+        |FROM r GROUP BY 1 ORDER BY bucket""".stripMargin,
     // q279: the fold replayed as a recursive CTE over the month index,
     // identical integer state transitions (mu through HUGEINT)
     "q279_cusum_alerts" ->

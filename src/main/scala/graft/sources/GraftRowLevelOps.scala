@@ -204,9 +204,24 @@ private[sources] final class GraftReplaceBatchWrite(
     // merge give). Carryover rows of replaced groups re-validate for
     // free: they passed at their own admission and still do.
     if (wrote.nonEmpty) currentV.foreach { v =>
-      try LakeTable.enforceConstraints(spark, root, v,
-        spark.read.parquet(s"$root/$dataDir"))
-      catch { case e: Throwable => abort(messages); throw e }
+      try {
+        val replacement = spark.read.parquet(s"$root/$dataDir")
+        LakeTable.enforceConstraints(spark, root, v, replacement)
+        // UNIQUE gates this path too: an UPDATE can rewrite a key into
+        // a collision with itself or with an untouched group, so the
+        // replacement rows validate against the KEPT dirs before the
+        // manifest commit (same atomic-reject contract as CHECK)
+        val meta = LakeTable.manifestMetaAt(spark, root, v)
+        if (LakeTable.uniqueColsAt(meta).nonEmpty) {
+          val keptRows =
+            if (kept.isEmpty) None
+            else Some(spark.read.option("mergeSchema", "true")
+              .parquet(kept.map(d =>
+                new org.apache.hadoop.fs.Path(root, d).toString): _*))
+          LakeTable.enforceUnique(meta, replacement, keptRows,
+            "by row-level write")
+        }
+      } catch { case e: Throwable => abort(messages); throw e }
     }
     if (wrote.isEmpty && kept.isEmpty) {
       // zero surviving rows anywhere: publish a readable empty group so

@@ -194,7 +194,8 @@ object LakeTable {
             if (meta0.contains("schema")) Map.empty[String, String]
             else prev.get("schema").map("schema" -> _).toMap
           val checks = prev.filter { case (k, _) =>
-            k.startsWith("check:") && !meta0.contains(k) }
+            (k.startsWith("check:") || k.startsWith("unique:")) &&
+              !meta0.contains(k) }
           meta0 ++ schema ++ checks
         }
     val f = fs(spark, root)
@@ -315,6 +316,9 @@ object LakeTable {
       .getOrElse(throw new IllegalStateException(s"no table at $root"))
     enforceConstraints(spark, root, cur, df)
     val meta = manifestMeta(spark, root, cur)
+    // UNIQUE admission: batch-internal dups + one probe of the live
+    // snapshot (bloom-prunable at scale), before any byte lands
+    enforceUnique(meta, df, Some(read(spark, root)), "by append")
     // a batch naming a metadata-only-dropped physical column would
     // write bytes every read must then hide — refuse it loudly
     df.columns.find(c => colDropsAt(meta).exists(_.equalsIgnoreCase(c)))
@@ -372,8 +376,31 @@ object LakeTable {
               s"(live contention): ${e.getMessage}")
         }
         val latest = latestVersion(spark, root).getOrElse(attempt)
-        try assertAppendCommutes(spark, root, base, latest)
-        catch { case c: LakeConflictException =>
+        try {
+          assertAppendCommutes(spark, root, base, latest)
+          // two racing appends can each be UNIQUE-valid alone yet
+          // collide with each other — a rebase re-validates the
+          // prepared rows against exactly the winner chain's NEW file
+          // groups (O(winner churn), never the table)
+          val meta = manifestMeta(spark, root, latest)
+          if (uniqueColsAt(meta).nonEmpty) {
+            val delta = readManifest(spark, root, latest).toSet --
+              readManifest(spark, root, base).toSet
+            if (delta.nonEmpty) {
+              val winnerRows = spark.read.option("mergeSchema", "true")
+                .parquet(delta.toSeq
+                  .map(d => new Path(root, d).toString): _*)
+              val mine = spark.read.parquet(new Path(root, dir).toString)
+              try enforceUnique(meta, mine, Some(winnerRows),
+                "by concurrent append")
+              catch { case e: IllegalArgumentException =>
+                throw new LakeConflictException(
+                  s"append (base v$base) conflicts with a concurrent " +
+                    s"append at $root: ${e.getMessage}")
+              }
+            }
+          }
+        } catch { case c: LakeConflictException =>
           fs(spark, root).delete(new Path(root, dir), true)
           throw c
         }
@@ -410,10 +437,11 @@ object LakeTable {
     if (bm.get("schema") != lm.get("schema"))
       conflict("table schema changed")
     def checks(m: Map[String, String]) =
-      m.filter { case (k, _) => k.startsWith("check:") }
+      m.filter { case (k, _) =>
+        k.startsWith("check:") || k.startsWith("unique:") }
     if (checks(bm) != checks(lm))
-      conflict("CHECK constraints changed (incoming rows were never " +
-        "validated against the new constraint set)")
+      conflict("CHECK/UNIQUE constraints changed (incoming rows were " +
+        "never validated against the new constraint set)")
     if (bm.get("deletes") != lm.get("deletes") ||
         bm.get("deletekey") != lm.get("deletekey"))
       conflict("merge-on-read delete state changed")
@@ -766,6 +794,7 @@ object LakeTable {
           ("""\b""" + java.util.regex.Pattern.quote(colName) + """\b""").r
             .findFirstIn(value).isDefined) ||
         (k == "deletekey" && named(value)) ||
+        (k.startsWith("unique:") && named(value)) ||
         (k.startsWith("annmodel:") && named(k.drop("annmodel:".length))) ||
         ((k.startsWith("stat:") || k.startsWith("bloom:") ||
           k.startsWith("anncodes:")) && named(k.split(":").last))
@@ -949,6 +978,13 @@ object LakeTable {
     val merged = current
       .join(updates.select(col(key)), Seq(key), "left_anti")
       .unionByName(updates)
+    // UNIQUE admission: a merge keyed on the unique column is the
+    // upsert path and always passes; a merge keyed on ANOTHER column
+    // could smuggle a duplicate in, so validate the merged result
+    // (one aggregate over rows the COW rewrite reads anyway)
+    latestVersion(spark, root).foreach { v =>
+      enforceUnique(manifestMeta(spark, root, v), merged, None,
+        "by merge result") }
     commit(spark, root, Seq(writeDataFiles(spark, root, merged)),
       Map("op" -> "merge") ++ meta)
   }
@@ -1276,6 +1312,70 @@ object LakeTable {
           k == "coldrop" } ++
         Map("op" -> "add-constraint", s"check:$name" -> predicateSql))
   }
+
+  /** The UNIQUE-constrained columns of a manifest: name → column. */
+  private[sources] def uniqueColsAt(
+      meta: Map[String, String]): Map[String, String] =
+    meta.collect { case (k, c) if k.startsWith("unique:") =>
+      k.drop("unique:".length) -> c }
+
+  /** ALTER TABLE ADD UNIQUE (the warehouse key guarantee neither Delta
+    * nor Iceberg enforces — but ingest pipelines constantly need): a
+    * metadata-only commit recording `unique:<name> = <col>`. Existing
+    * rows are validated first (a constraint the data violates is
+    * refused); from then on every append validates its batch for
+    * internal duplicates AND probes the live snapshot for collisions
+    * before any manifest commit, a MERGE validates its merged result,
+    * and a multi-writer rebase re-validates against the winner's new
+    * rows ([[commitAppend]]) — uniqueness holds even when two racing
+    * appends each looked valid alone. NULL keys are exempt (ANSI
+    * UNIQUE). Auto-carries through every commit like CHECK
+    * constraints. Validation cost per append is one semi-join probe —
+    * at scale the bloom index on the key column turns it into a
+    * group-pruned point lookup. */
+  def addUniqueConstraint(spark: SparkSession, root: String,
+                          name: String, colName: String): Int = {
+    require(name.matches("[A-Za-z0-9_]+"), s"bad constraint name: $name")
+    val v = latestVersion(spark, root)
+      .getOrElse(throw new IllegalStateException(s"no table at $root"))
+    val meta = manifestMeta(spark, root, v)
+    val cur = read(spark, root)
+    require(cur.columns.exists(_.equalsIgnoreCase(colName)),
+      s"no column '$colName' at $root")
+    val dup = cur.filter(col(colName).isNotNull)
+      .groupBy(col(colName)).agg(count(lit(1)).as("c"))
+      .filter(col("c") > 1).limit(1).count()
+    if (dup > 0) throw new IllegalArgumentException(
+      s"cannot add UNIQUE($colName) at $root: existing rows violate it")
+    commitVersion(spark, root, v + 1, readManifest(spark, root, v),
+      meta - "op" + (s"unique:$name" -> colName) +
+        ("op" -> "add-unique"))
+  }
+
+  /** Validate a batch against the table's UNIQUE constraints: no
+    * internal duplicates, no collision with the live `against` frame.
+    * NULL keys exempt. */
+  private[sources] def enforceUnique(meta: Map[String, String],
+                                     df: DataFrame,
+                                     against: Option[DataFrame],
+                                     where: String): Unit =
+    uniqueColsAt(meta).foreach { case (name, c) =>
+      val keys = df.filter(col(c).isNotNull).select(col(c))
+      val selfDup = keys.groupBy(col(c)).agg(count(lit(1)).as("n"))
+        .filter(col("n") > 1).limit(1).count()
+      if (selfDup > 0) throw new IllegalArgumentException(
+        s"UNIQUE($c) [$name] violated $where: duplicate keys within " +
+          "the batch")
+      against.foreach { cur =>
+        val hit = keys
+          .join(cur.filter(col(c).isNotNull).select(col(c)), Seq(c),
+            "left_semi")
+          .limit(1).count()
+        if (hit > 0) throw new IllegalArgumentException(
+          s"UNIQUE($c) [$name] violated $where: key already present " +
+            "in the table")
+      }
+    }
 
   /** Validate an incoming batch against the table's CHECK constraints;
     * throws before any data is written. Package-visible: the DSv2

@@ -499,6 +499,68 @@ class LakeTableSpec extends SparkSpec {
     }
   }
 
+  test("UNIQUE constraint: admission on append/merge, null exemption, " +
+    "concurrent-append collision") {
+    withTable { root =>
+      import spark.implicits._
+      import graft.sources.LakeConflictException
+      LakeTable.create(spark, root,
+        Seq((1L, "a"), (2L, "b")).toDF("id", "tag"))
+      // refused while existing rows violate it
+      LakeTable.append(spark, root, Seq((2L, "dup")).toDF("id", "tag"))
+      intercept[IllegalArgumentException] {
+        LakeTable.addUniqueConstraint(spark, root, "pk", "id")
+      }
+      LakeTable.deleteWhere(spark, root, col("tag") === "dup")
+      LakeTable.addUniqueConstraint(spark, root, "pk", "id")
+      // batch-internal duplicate and table collision both refused;
+      // nothing publishes
+      val vNow = LakeTable.versions(spark, root).last
+      intercept[IllegalArgumentException] {
+        LakeTable.append(spark, root,
+          Seq((3L, "x"), (3L, "y")).toDF("id", "tag"))
+      }
+      intercept[IllegalArgumentException] {
+        LakeTable.append(spark, root, Seq((1L, "again")).toDF("id", "tag"))
+      }
+      assert(LakeTable.versions(spark, root).last == vNow)
+      assert(LakeTable.read(spark, root).count() == 2)
+      // clean append passes; NULL keys are exempt (two nulls fine)
+      LakeTable.append(spark, root, Seq((3L, "c")).toDF("id", "tag"))
+      LakeTable.append(spark, root,
+        Seq[(Option[Long], String)]((None, "n1")).toDF("id", "tag"))
+      LakeTable.append(spark, root,
+        Seq[(Option[Long], String)]((None, "n2")).toDF("id", "tag"))
+      assert(LakeTable.read(spark, root).count() == 5)
+      // merge keyed ON the unique column is the upsert path
+      LakeTable.merge(spark, root, Seq((3L, "c2")).toDF("id", "tag"), "id")
+      assert(LakeTable.read(spark, root)
+        .filter(col("id") === 3L).head().getString(1) == "c2")
+      // merge keyed on ANOTHER column that would duplicate ids refuses
+      intercept[IllegalArgumentException] {
+        LakeTable.merge(spark, root,
+          Seq((1L, "smuggled")).toDF("id", "tag"), "tag")
+      }
+      // two racing appends with the SAME new key: the loser's rebase
+      // re-validates against the winner's rows and conflicts by name
+      val (base, dir) = LakeTable.appendPrepare(spark, root,
+        Seq((77L, "w2")).toDF("id", "tag"))
+      LakeTable.append(spark, root, Seq((77L, "w1")).toDF("id", "tag"))
+      val e = intercept[LakeConflictException] {
+        LakeTable.commitAppend(spark, root, base, dir, Map.empty)
+      }
+      assert(e.getMessage.contains("UNIQUE"), e.getMessage)
+      assert(!new java.io.File(s"$root/$dir").exists())
+      // a racing append with a DIFFERENT key still rebases fine
+      val (b2, d2) = LakeTable.appendPrepare(spark, root,
+        Seq((88L, "ok")).toDF("id", "tag"))
+      LakeTable.append(spark, root, Seq((99L, "other")).toDF("id", "tag"))
+      LakeTable.commitAppend(spark, root, b2, d2, Map.empty)
+      assert(LakeTable.read(spark, root)
+        .filter(col("id").isin(77L, 88L, 99L)).count() == 3)
+    }
+  }
+
   test("evolveSchema carries MOR delete state (resurrection regression)") {
     withTable { root =>
       import spark.implicits._
