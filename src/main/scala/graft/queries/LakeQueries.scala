@@ -1412,7 +1412,58 @@ object LakeQueries {
     } }
   }
 
+  /** q282: COMMITTED distinct-count sketches
+    * ([[graft.sources.LakeHllIndex]]) — "how many unique customers in
+    * this table?" answered from kilobytes of sidecar metadata instead
+    * of a scan: index 80% of orders, estimate from sketches alone;
+    * append the rest, estimate the HYBRID state (committed sketches ∪
+    * one live pass over just the uncovered tail); re-index
+    * incrementally (only the appended group encodes) and estimate
+    * again. Gates: all three estimates within 5% of the exact distinct
+    * count (lgK=14 ≈ 0.8% rse — stable booleans; HLL registers are
+    * merge-order-invariant, so estimates are partitioning-
+    * deterministic), coverage transitions pinned. The oracle restates
+    * the exact distinct counts from orders and pins the gates. */
+  def hllIndexLifecycle(s: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.load(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"))
+    graft.util.LocalFrame.withConf(s, "spark.sql.shuffle.partitions", "8") {
+    graft.util.Tmp.withTempDir("graft_lake_q282") { rootPath =>
+      val root = rootPath.toString
+      LakeTable.create(s, root, orders.filter(col("o_orderkey") % 5 =!= 4))
+      graft.sources.LakeHllIndex.indexHll(s, root, Seq("o_custkey"))
+      val exactPart = orders.filter(col("o_orderkey") % 5 =!= 4)
+        .select(col("o_custkey")).distinct().count()
+      val est1 = graft.sources.LakeHllIndex
+        .approxDistinct(s, root, "o_custkey")
+      LakeTable.append(s, root, orders.filter(col("o_orderkey") % 5 === 4))
+      val (cov, open) = graft.sources.LakeHllIndex
+        .coverage(s, root, "o_custkey")
+      val est2 = graft.sources.LakeHllIndex
+        .approxDistinct(s, root, "o_custkey")
+      graft.sources.LakeHllIndex.indexHll(s, root, Seq("o_custkey"))
+      val (cov2, open2) = graft.sources.LakeHllIndex
+        .coverage(s, root, "o_custkey")
+      val est3 = graft.sources.LakeHllIndex
+        .approxDistinct(s, root, "o_custkey")
+      val exactAll = orders.select(col("o_custkey")).distinct().count()
+      def ok(est: Long, exact: Long): Long =
+        if (math.abs(est - exact) <= exact / 20) 1L else 0L
+      import s.implicits._
+      graft.util.LocalFrame.materialize(Seq(
+        ("coverage_mid", if (cov.size == 1 && open.size == 1) 1L else 0L),
+        ("coverage_post", if (cov2.size == 2 && open2.isEmpty) 1L else 0L),
+        ("est_committed_ok", ok(est1, exactPart)),
+        ("est_hybrid_ok", ok(est2, exactAll)),
+        ("est_reindexed_ok", ok(est3, exactAll)),
+        ("exact_distinct_all", exactAll),
+        ("exact_distinct_part", exactPart)
+      ).toDF("fact", "n").orderBy(col("fact")))
+    } }
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q282_hll_index_lake"      -> (hllIndexLifecycle _),
     "q281_unique_constraint"   -> (uniqueLifecycle _),
     "q273_drop_column"         -> (dropLifecycle _),
     "q272_rename_column"       -> (renameLifecycle _),
@@ -1448,6 +1499,20 @@ object LakeQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // q282: exact distinct counts restated from orders; estimate and
+    // coverage gates pin as constants (deterministic sketches)
+    "q282_hll_index_lake" ->
+      """SELECT 'coverage_mid' AS fact, CAST(1 AS BIGINT) AS n
+        |UNION ALL SELECT 'coverage_post', CAST(1 AS BIGINT)
+        |UNION ALL SELECT 'est_committed_ok', CAST(1 AS BIGINT)
+        |UNION ALL SELECT 'est_hybrid_ok', CAST(1 AS BIGINT)
+        |UNION ALL SELECT 'est_reindexed_ok', CAST(1 AS BIGINT)
+        |UNION ALL SELECT 'exact_distinct_all',
+        |  (SELECT CAST(count(DISTINCT o_custkey) AS BIGINT) FROM orders)
+        |UNION ALL SELECT 'exact_distinct_part',
+        |  (SELECT CAST(count(DISTINCT o_custkey) AS BIGINT) FROM orders
+        |   WHERE o_orderkey % 5 <> 4)
+        |ORDER BY fact""".stripMargin,
     // q281: rows restated from orders (+1 for the single racing-append
     // winner); upsert and uniqueness invariants as equalities
     "q281_unique_constraint" ->

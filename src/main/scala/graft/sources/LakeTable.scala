@@ -170,7 +170,9 @@ object LakeTable {
           dataDirs.exists(d => k.startsWith(s"bloom:$d:"))) ||
         k.startsWith("annmodel:") ||
         (k.startsWith("anncodes:") &&
-          dataDirs.exists(d => k.startsWith(s"anncodes:$d:")))
+          dataDirs.exists(d => k.startsWith(s"anncodes:$d:"))) ||
+        (k.startsWith("hllsk:") &&
+          dataDirs.exists(d => k.startsWith(s"hllsk:$d:")))
       }
     commit(spark, root, dataDirs, Map("op" -> op) ++ carried)
   }
@@ -339,6 +341,7 @@ object LakeTable {
   private def appendCarries(k: String): Boolean =
     k.startsWith("stat:") || k.startsWith("bloom:") ||
       k.startsWith("annmodel:") || k.startsWith("anncodes:") ||
+      k.startsWith("hllsk:") ||
       k == "deletes" || k == "deletekey" || k == "colmap" ||
       k == "coldrop"
 
@@ -797,7 +800,8 @@ object LakeTable {
         (k.startsWith("unique:") && named(value)) ||
         (k.startsWith("annmodel:") && named(k.drop("annmodel:".length))) ||
         ((k.startsWith("stat:") || k.startsWith("bloom:") ||
-          k.startsWith("anncodes:")) && named(k.split(":").last))
+          k.startsWith("anncodes:") || k.startsWith("hllsk:")) &&
+          named(k.split(":").last))
       if (referenced) throw new UnsupportedOperationException(
         s"cannot $what '$colName': referenced by committed " +
           s"metadata '$k'; drop/materialize it first (compact clears " +
@@ -1209,6 +1213,8 @@ object LakeTable {
       k.startsWith("annmodel:") ||
       (k.startsWith("anncodes:") &&
         large.exists(d => k.startsWith(s"anncodes:$d:"))) ||
+      (k.startsWith("hllsk:") &&
+        large.exists(d => k.startsWith(s"hllsk:$d:"))) ||
       // the merged group is read raw and re-written raw — physical
       // names — so rename/drop mappings stay exactly as valid as before
       k == "colmap" || k == "coldrop"
@@ -1243,6 +1249,7 @@ object LakeTable {
       .filter { case (k, _) =>
         k.startsWith("stat:") || k.startsWith("bloom:") ||
           k.startsWith("annmodel:") || k.startsWith("anncodes:") ||
+          k.startsWith("hllsk:") ||
           k == "deletes" || k == "deletekey" || k == "colmap" ||
           k == "coldrop" ||
           // the restored version's OWN declared schema (expressed in
@@ -1308,6 +1315,7 @@ object LakeTable {
       manifestMeta(spark, root, v).filter { case (k, _) =>
         k.startsWith("stat:") || k.startsWith("bloom:") ||
           k.startsWith("annmodel:") || k.startsWith("anncodes:") ||
+          k.startsWith("hllsk:") ||
           k == "deletes" || k == "deletekey" || k == "colmap" ||
           k == "coldrop" } ++
         Map("op" -> "add-constraint", s"check:$name" -> predicateSql))
@@ -1430,6 +1438,8 @@ object LakeTable {
         else if (kk.startsWith(s"bloom:$d:")) s"bloom:$a:" + kk.drop(7 + d.length)
         else if (kk.startsWith(s"anncodes:$d:"))
           s"anncodes:$a:" + kk.drop(10 + d.length)
+        else if (kk.startsWith(s"hllsk:$d:"))
+          s"hllsk:$a:" + kk.drop(7 + d.length)
         else kk
       }
       // sidecar-path VALUES must also go absolute: bloom filters, ANN
@@ -1442,7 +1452,7 @@ object LakeTable {
           value.split(",").map(r => new Path(srcRoot, r).toString)
             .mkString(",")
         else if (k.startsWith("bloom:") || k.startsWith("annmodel:") ||
-            k.startsWith("anncodes:"))
+            k.startsWith("anncodes:") || k.startsWith("hllsk:"))
           new Path(srcRoot, value).toString
         else value
       k2 -> v2

@@ -561,6 +561,53 @@ class LakeTableSpec extends SparkSpec {
     }
   }
 
+  test("HLL sidecar index: metadata-only, incremental, hybrid " +
+    "estimate, MOR fail-fast") {
+    withTable { root =>
+      import graft.sources.LakeHllIndex
+      import spark.implicits._
+      val rows = (0L until 400L).map(i => (i, i % 100)).toDF("id", "grp")
+      LakeTable.create(spark, root, rows.filter(col("id") < 300))
+      val dirsV1 = LakeTable.dataDirPaths(spark, root)
+      val v2 = LakeHllIndex.indexHll(spark, root, Seq("id", "grp"))
+      assert(v2 == 2 && LakeTable.dataDirPaths(spark, root) == dirsV1)
+      // committed-only estimate: within 5% of exact
+      val est1 = LakeHllIndex.approxDistinct(spark, root, "id")
+      assert(math.abs(est1 - 300L) <= 15, s"est1=$est1")
+      assert(LakeHllIndex.approxDistinct(spark, root, "grp") == 100L ||
+        math.abs(LakeHllIndex.approxDistinct(spark, root, "grp") - 100L)
+          <= 5)
+      // append: new group is uncovered, hybrid estimate counts it live
+      LakeTable.append(spark, root, rows.filter(col("id") >= 300))
+      val (cov1, open1) = LakeHllIndex.coverage(spark, root, "id")
+      assert(cov1.size == 1 && open1.size == 1)
+      val est2 = LakeHllIndex.approxDistinct(spark, root, "id")
+      assert(math.abs(est2 - 400L) <= 20, s"est2=$est2")
+      // incremental re-index: old sidecars byte-untouched, one new
+      val before = indexFiles(root)
+      LakeHllIndex.indexHll(spark, root, Seq("id", "grp"))
+      val after = indexFiles(root)
+      assert(before.forall { case (f, sig) => after.get(f).contains(sig) })
+      assert(LakeHllIndex.coverage(spark, root, "id")._2.isEmpty)
+      val est3 = LakeHllIndex.approxDistinct(spark, root, "id")
+      assert(math.abs(est3 - 400L) <= 20, s"est3=$est3")
+      // complete index is a version no-op
+      val vNow = LakeTable.versions(spark, root).last
+      assert(LakeHllIndex.indexHll(spark, root, Seq("id", "grp")) == vNow)
+      // sketches cannot subtract: MOR deletes fail fast; materializing
+      // restores service (rewrite drops entries with the dirs — the
+      // next index run rebuilds)
+      LakeTable.deleteWhereMor(spark, root, col("id") < 100L, "id")
+      intercept[UnsupportedOperationException] {
+        LakeHllIndex.approxDistinct(spark, root, "id")
+      }
+      LakeTable.rewriteDeletes(spark, root)
+      LakeHllIndex.indexHll(spark, root, Seq("id"))
+      val est4 = LakeHllIndex.approxDistinct(spark, root, "id")
+      assert(math.abs(est4 - 300L) <= 15, s"est4=$est4")
+    }
+  }
+
   test("evolveSchema carries MOR delete state (resurrection regression)") {
     withTable { root =>
       import spark.implicits._

@@ -57,7 +57,11 @@ class PlanShapeLintSpec extends SparkSpec {
     "q263_ses_forecast" ->
       ("collect of one nation's MONTHLY revenue series — bounded by " +
         "the calendar span (~84 months), not by row count; the SES " +
-        "fold is per-group O(months)"))
+        "fold is per-group O(months)"),
+    "q279_cusum_alerts" ->
+      ("the same calendar-bounded monthly series as q263 (≤ ~84 " +
+        "entries at any SF); the CUSUM recurrence folds per group in " +
+        "one aggregate HOF, driver holds nothing"))
 
   test("lint flags deliberately-bad fixtures") {
     import spark.implicits._
