@@ -424,7 +424,77 @@ object ExtAggQueries {
       .orderBy(col("event_type"))
   }
 
+  /** q285: exact higher central moments — per-mktsegment skewness and
+    * excess kurtosis of order totals (whole-dollar units), the
+    * distribution-shape profile behind data-quality monitors and CBO
+    * statistics, computed by the numerically-EXACT two-pass scheme:
+    * pass 1 lands each segment's integer pivot p = ⌊mean⌋ (so the
+    * centered residual sum Σd is < n, tiny by construction), pass 2
+    * folds the centered integer power sums Σd..Σd⁴ in DECIMAL(38,0).
+    * The n-scaled central combinations
+    *   M2 = n·Σd² − (Σd)²   (= n²·m2)
+    *   M3 = n²·Σd³ − 3n·Σd·Σd² + 2(Σd)³   (= n³·m3)
+    *   M4 = n³·Σd⁴ − 4n²·Σd·Σd³ + 6n·(Σd)²·Σd² − 3(Σd)⁴  (= n⁴·m4)
+    * are exact integers, and the n-powers CANCEL in the shape ratios:
+    * g1 = M3/M2^{3/2}, g2 = M4/M2² − 3 — so the only float ops are one
+    * cast + one sqrt + one division per output, written with identical
+    * association on both engines (the q252 same-IEEE-expression rule).
+    *
+    * Scale shape: two hash aggregates and one 5-row broadcast join —
+    * no window, no collect beyond the bounded 5-segment frame. The
+    * interior power sums are scale-safe anywhere (Σd⁴ ≲ 10³³ at 10¹⁰
+    * rows); the n²·Σd³ term of M3 caps the EXACT combination near
+    * SF ≈ 3×10³ in dollar units — past that the documented path
+    * coarsens the unit (kilodollars buys 10⁹ more headroom) without
+    * touching the plan. Spark multiplies DECIMAL(38,0)s exactly while
+    * results fit (scale-0 never truncates); the oracle runs the same
+    * integer combination through HUGEINT (internal only). */
+  def centralMoments(s: SparkSession, dir: String): DataFrame = {
+    val dec38 = DecimalType(38, 0)
+    val x = graft.Tables.load(s, dir, "orders")
+      .join(graft.Tables.load(s, dir, "customer")
+        .select(col("c_custkey"), col("c_mktsegment")),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_mktsegment").as("seg"),
+        ((col("o_totalprice").cast(DecimalType(18, 2)) * 100)
+          .cast("long") / 100).cast("long").as("usd"))
+    val piv = x.groupBy(col("seg"))
+      .agg(count(lit(1)).as("n"), sum(col("usd").cast(dec38)).as("sx"))
+      .select(col("seg"), col("n"), col("sx"),
+        (col("sx") / col("n")).cast("long").as("p"))
+    val d = x.join(broadcast(piv), Seq("seg"))
+      .withColumn("d", col("usd") - col("p"))
+      .withColumn("d2", col("d") * col("d"))
+    val sums = d.groupBy(col("seg"))
+      .agg(first(col("n")).as("n"), first(col("sx")).as("sx"),
+        sum(col("d").cast(dec38)).as("s1"),
+        sum(col("d2").cast(dec38)).as("s2"),
+        sum((col("d2").cast(dec38) * col("d")).cast(dec38)).as("s3"),
+        sum((col("d2").cast(dec38) * col("d2")).cast(dec38)).as("s4"))
+    val nD = col("n").cast(dec38)
+    val m2 = (nD * col("s2") - col("s1") * col("s1")).as("m2c")
+    val m3 = (nD * nD * col("s3") - lit(3) * nD * col("s1") * col("s2")
+      + lit(2) * col("s1") * col("s1") * col("s1")).as("m3c")
+    val m4 = (nD * nD * nD * col("s4")
+      - lit(4) * nD * nD * col("s1") * col("s3")
+      + lit(6) * nD * col("s1") * col("s1") * col("s2")
+      - lit(3) * col("s1") * col("s1") * col("s1") * col("s1")).as("m4c")
+    sums.select(col("seg"), col("n"), col("sx"), m2, m3, m4)
+      .select(col("seg").as("mktsegment"), col("n"),
+        round(col("sx").cast("double") / col("n"), 6).as("mean_usd"),
+        round(col("m2c").cast("double") / col("n") / col("n"), 6)
+          .as("variance"),
+        round(col("m3c").cast("double")
+          / (col("m2c").cast("double") * sqrt(col("m2c").cast("double"))),
+          6).as("skewness"),
+        round(col("m4c").cast("double")
+          / (col("m2c").cast("double") * col("m2c").cast("double"))
+          - 3.0, 6).as("kurtosis"))
+      .orderBy(col("mktsegment"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q285_central_moments"     -> (centralMoments _),
     "q204_winsorized_stats"    -> (winsorizedStats _),
     "q208_mad_outliers"        -> (madOutliers _),
     "q45_revenue_rollup"       -> (revenueRollup _),
@@ -443,6 +513,50 @@ object ExtAggQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // q285: same two-pass exact-integer scheme — integer pivot, centered
+    // power sums, n-scaled central combination through HUGEINT
+    // (internal only), identical IEEE expression for each shape ratio
+    "q285_central_moments" ->
+      """WITH x AS (
+        |  SELECT c_mktsegment AS seg,
+        |         (CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |          // 100) AS usd
+        |  FROM orders JOIN customer ON o_custkey = c_custkey),
+        |piv AS (SELECT seg, CAST(count(*) AS BIGINT) AS n,
+        |               CAST(sum(usd) AS HUGEINT) AS sx,
+        |               CAST(CAST(sum(usd) AS HUGEINT) // count(*) AS BIGINT)
+        |                 AS p
+        |        FROM x GROUP BY seg),
+        |d AS (SELECT x.seg, piv.n, piv.sx,
+        |             x.usd - piv.p AS d, (x.usd - piv.p) * (x.usd - piv.p)
+        |               AS d2
+        |      FROM x JOIN piv ON x.seg = piv.seg),
+        |sums AS (SELECT seg, min(n) AS n, min(sx) AS sx,
+        |                CAST(sum(d) AS HUGEINT) AS s1,
+        |                CAST(sum(d2) AS HUGEINT) AS s2,
+        |                CAST(sum(CAST(d2 AS HUGEINT) * d) AS HUGEINT) AS s3,
+        |                CAST(sum(CAST(d2 AS HUGEINT) * d2) AS HUGEINT) AS s4
+        |         FROM d GROUP BY seg),
+        |comb AS (SELECT seg, n, sx,
+        |                CAST(n AS HUGEINT) * s2 - s1 * s1 AS m2c,
+        |                CAST(n AS HUGEINT) * n * s3
+        |                  - 3 * CAST(n AS HUGEINT) * s1 * s2
+        |                  + 2 * s1 * s1 * s1 AS m3c,
+        |                CAST(n AS HUGEINT) * n * n * s4
+        |                  - 4 * CAST(n AS HUGEINT) * n * s1 * s3
+        |                  + 6 * CAST(n AS HUGEINT) * s1 * s1 * s2
+        |                  - 3 * s1 * s1 * s1 * s1 AS m4c
+        |         FROM sums)
+        |SELECT seg AS mktsegment, n,
+        |  round(CAST(sx AS DOUBLE) / n, 6) AS mean_usd,
+        |  round(CAST(m2c AS DOUBLE) / n / n, 6) AS variance,
+        |  round(CAST(m3c AS DOUBLE)
+        |        / (CAST(m2c AS DOUBLE) * sqrt(CAST(m2c AS DOUBLE))), 6)
+        |    AS skewness,
+        |  round(CAST(m4c AS DOUBLE)
+        |        / (CAST(m2c AS DOUBLE) * CAST(m2c AS DOUBLE)) - 3.0, 6)
+        |    AS kurtosis
+        |FROM comb ORDER BY mktsegment""".stripMargin,
     // q208: grouped quantile_cont twice, identical 3×MAD rule
     "q208_mad_outliers" ->
       """WITH med AS (SELECT event_type, quantile_cont(value, 0.5) AS med

@@ -1340,7 +1340,118 @@ object MiscQueries {
       .orderBy(col("month"))
   }
 
+  /** The co-purchase part graph shared by q252/q258/q283/q284: parts
+    * sharing ≥ 2 order baskets, symmetric (both directions). Returned
+    * LAZY and unpersisted on purpose — callers that reference the edge
+    * subtree more than once inside a single query rely on Spark's
+    * ReusedExchange (identical exchange subtrees evaluate once per
+    * execution), so no caller-side persist bookkeeping leaks across
+    * the shared session. */
+  private def coPurchaseEdges(s: SparkSession, dir: String): DataFrame = {
+    val items = t(s, dir, "lineitem")
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .distinct()
+    val pairs = items.as("a").join(items.as("b"), Seq("ok"))
+      .filter(col("a.pk") < col("b.pk"))
+      .groupBy(col("a.pk").as("x"), col("b.pk").as("y"))
+      .agg(count(lit(1)).as("supp")).filter(col("supp") >= 2)
+      .select(col("x"), col("y"))
+    pairs.select(col("x").as("u"), col("y").as("v"))
+      .unionAll(pairs.select(col("y").as("u"), col("x").as("v")))
+  }
+
+  /** q283: community detection by synchronous label propagation
+    * (Raghavan, Albert & Kumara 2007) on the co-purchase part graph
+    * (q252/q258's edge set) — the cheap community signal ("product
+    * families that sell together") every catalog clustering feature
+    * starts from, and the LPA complement of the connectivity ops in
+    * dedup/Components.scala (components answer "reachable?"; LPA
+    * answers "densely together?").
+    *
+    * Determinism: the PAPER's asynchronous sweep is order-dependent by
+    * construction, so this runs the synchronous variant with a total
+    * tie order — each round every node adopts its neighbors' most
+    * frequent label, ties broken toward the SMALLEST label — for a
+    * fixed two rounds. Every step is integer (labels are part keys,
+    * counts are exact), so Spark and the oracle's two unrolled SQL
+    * rounds agree bit-for-bit on every assignment.
+    *
+    * Scale shape: one round = one equi-join of edges with the label
+    * frame on the neighbor key + two hash aggregates (count per
+    * (node,label), then argmax-with-min-tie as max(struct(c,-lbl)) —
+    * never a window, never a collect). O(|E|) shuffle per round,
+    * driver state zero. The edge subtree appears in both rounds and
+    * the node init; within the single execution Spark's ReusedExchange
+    * evaluates it once. */
+  def labelPropagation(s: SparkSession, dir: String): DataFrame = {
+    val e = coPurchaseEdges(s, dir)
+    var labels = e.select(col("u").as("v")).distinct()
+      .withColumn("lbl", col("v"))
+    for (_ <- 1 to 2) {
+      val cnt = e.join(labels, Seq("v"))
+        .groupBy(col("u"), col("lbl"))
+        .agg(count(lit(1)).as("c"))
+      labels = cnt.groupBy(col("u")).agg(
+          max(struct(col("c").as("c"), (-col("lbl")).as("neg"))).as("m"))
+        .select(col("u").as("v"), (-col("m.neg")).as("lbl"))
+    }
+    labels.select(col("v").as("part_id"), col("lbl").as("community"))
+      .orderBy(col("part_id"))
+  }
+
+  /** q284: multi-source BFS hop distances (the "blast radius" /
+    * lineage-reach query) on the co-purchase graph — minimum hops from
+    * any Brand#4 part to every other part, frontier-expanded three
+    * rounds, reported as the distance histogram plus the unreachable
+    * remainder. The iterative-BFS shape under every recall/impact
+    * analysis ("what does this recalled part sell with, transitively?").
+    *
+    * Scale shape — textbook frontier BFS, the Pregel iteration done
+    * with relational ops: round k joins the (persisted) frontier with
+    * the edge list (one equi-join, O(frontier-degree) shuffle) and
+    * anti-joins the visited set (one more equi-join) — never a
+    * data-sized window or collect; each round's visited set is
+    * persisted and the previous handle dropped only after the next
+    * materializes (q236's discipline), so lineage stays one round
+    * deep. Output is ≤ 5 rows (dists 0..3 + unreachable), materialized
+    * driver-local before the persisted chain is released. Distances
+    * are exact integers: both engines agree bit-for-bit with the
+    * oracle's three unrolled frontier rounds. */
+  def bfsHops(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = coPurchaseEdges(s, dir).persist()
+    val nodes = e.select(col("u").as("v")).distinct()
+    val src = nodes.join(broadcast(t(s, dir, "part")
+        .filter(col("p_brand") === "Brand#4")
+        .select(col("p_partkey").as("v"))), Seq("v"))
+    var visited = src.withColumn("dist", lit(0L)).persist()
+    var frontier = visited
+    for (k <- 1 to 3) {
+      val next = e.join(frontier.select(col("v").as("u"),
+          col("dist").as("fd")).filter(col("fd") === (k - 1)), Seq("u"))
+        .select(col("v")).distinct()
+        .join(visited, Seq("v"), "left_anti")
+        .withColumn("dist", lit(k.toLong))
+      val grown = visited.unionAll(next).persist()
+      grown.count()
+      visited.unpersist()
+      visited = grown
+      frontier = grown
+    }
+    val nNodes = nodes.count()
+    val hist = visited.groupBy(col("dist")).agg(count(lit(1)).as("n_parts"))
+    val reached = visited.count()
+    val out = graft.util.LocalFrame.materialize(
+      hist.unionAll(Seq((-1L, nNodes - reached)).toDF("dist", "n_parts")
+        .filter(col("n_parts") > 0))
+        .orderBy(col("dist")))
+    visited.unpersist(); e.unpersist()
+    out
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q283_label_prop"      -> (labelPropagation _),
+    "q284_bfs_hops"        -> (bfsHops _),
     "q194_scd2_dimension"  -> (scd2Dimension _),
     "q202_schema_evolution" -> (schemaEvolution _),
     "q206_key_skew_profile" -> (keySkewProfile _),
@@ -1382,6 +1493,65 @@ object MiscQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // q283: two unrolled synchronous LPA rounds — per-round neighbor-
+    // label counts, argmax with min-label tie (min over the max-count
+    // rows ≡ Spark's max(struct(c, -lbl))), all exact integers
+    "q283_label_prop" ->
+      """WITH items AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+        |               FROM lineitem),
+        |pairs AS (SELECT a.pk AS x, b.pk AS y
+        |          FROM items a JOIN items b ON a.ok = b.ok AND a.pk < b.pk
+        |          GROUP BY 1, 2 HAVING count(*) >= 2),
+        |e AS (SELECT x AS u, y AS v FROM pairs
+        |      UNION ALL SELECT y, x FROM pairs),
+        |l0 AS (SELECT DISTINCT u AS v, u AS lbl FROM e),
+        |c1 AS (SELECT e.u, l0.lbl, count(*) AS c
+        |       FROM e JOIN l0 ON e.v = l0.v GROUP BY 1, 2),
+        |m1 AS (SELECT u, max(c) AS mc FROM c1 GROUP BY 1),
+        |l1 AS (SELECT c1.u AS v, min(c1.lbl) AS lbl
+        |       FROM c1 JOIN m1 ON c1.u = m1.u AND c1.c = m1.mc GROUP BY 1),
+        |c2 AS (SELECT e.u, l1.lbl, count(*) AS c
+        |       FROM e JOIN l1 ON e.v = l1.v GROUP BY 1, 2),
+        |m2 AS (SELECT u, max(c) AS mc FROM c2 GROUP BY 1),
+        |l2 AS (SELECT c2.u AS v, min(c2.lbl) AS lbl
+        |       FROM c2 JOIN m2 ON c2.u = m2.u AND c2.c = m2.mc GROUP BY 1)
+        |SELECT v AS part_id, lbl AS community FROM l2
+        |ORDER BY part_id""".stripMargin,
+    // q284: three unrolled BFS frontier rounds (join the previous
+    // frontier, subtract everything seen), histogram + unreachable
+    "q284_bfs_hops" ->
+      """WITH items AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+        |               FROM lineitem),
+        |pairs AS (SELECT a.pk AS x, b.pk AS y
+        |          FROM items a JOIN items b ON a.ok = b.ok AND a.pk < b.pk
+        |          GROUP BY 1, 2 HAVING count(*) >= 2),
+        |e AS (SELECT x AS u, y AS v FROM pairs
+        |      UNION ALL SELECT y, x FROM pairs),
+        |nodes AS (SELECT DISTINCT u AS v FROM e),
+        |d0 AS (SELECT nodes.v FROM nodes
+        |       JOIN part ON nodes.v = p_partkey
+        |       WHERE p_brand = 'Brand#4'),
+        |f1 AS (SELECT DISTINCT e.v FROM e JOIN d0 ON e.u = d0.v
+        |       WHERE e.v NOT IN (SELECT v FROM d0)),
+        |f2 AS (SELECT DISTINCT e.v FROM e JOIN f1 ON e.u = f1.v
+        |       WHERE e.v NOT IN (SELECT v FROM d0
+        |                         UNION ALL SELECT v FROM f1)),
+        |f3 AS (SELECT DISTINCT e.v FROM e JOIN f2 ON e.u = f2.v
+        |       WHERE e.v NOT IN (SELECT v FROM d0
+        |                         UNION ALL SELECT v FROM f1
+        |                         UNION ALL SELECT v FROM f2)),
+        |hist AS (
+        |  SELECT CAST(0 AS BIGINT) AS dist,
+        |         CAST(count(*) AS BIGINT) AS n_parts FROM d0
+        |  UNION ALL SELECT 1, count(*) FROM f1
+        |  UNION ALL SELECT 2, count(*) FROM f2
+        |  UNION ALL SELECT 3, count(*) FROM f3
+        |  UNION ALL SELECT -1,
+        |    (SELECT count(*) FROM nodes)
+        |      - ((SELECT count(*) FROM d0) + (SELECT count(*) FROM f1)
+        |         + (SELECT count(*) FROM f2) + (SELECT count(*) FROM f3)))
+        |SELECT dist, n_parts FROM hist WHERE n_parts > 0
+        |ORDER BY dist""".stripMargin,
     // q252: full Apriori replay — pair supports from the basket
     // self-join, both rule directions, exact-integer supports with
     // single-division confidence/lift (same dividend/divisor → same
