@@ -810,7 +810,47 @@ object EventQueries {
       .orderBy(col("event_type"))
   }
 
+  /** q286: sequential-pattern mining (GSP restricted to length-2
+    * sequences — Srikant & Agrawal, EDBT'96): which event-type pairs
+    * occur IN ORDER within a user's history ("signup then purchase"),
+    * with support = number of users exhibiting the sequence. The
+    * ordered complement of q252's unordered basket rules — order is
+    * what turns correlation into funnel evidence.
+    *
+    * The containment test collapses to interval algebra: user u
+    * supports a→b iff some a-event precedes some b-event, i.e.
+    * min_ts(u,a) < max_ts(u,b) — so the data-sized work is ONE hash
+    * aggregate to (user, type, min_us, max_us) and the pair
+    * enumeration is a self-join keyed on user with fanout ≤ T² where T
+    * is the event-type vocabulary (a SCHEMA constant, 5 here) — never
+    * the per-user event count, so a power user with 10⁶ events costs
+    * exactly what a casual one does after the aggregate. Strictness
+    * (<, exact integer micros) makes ties deterministic on both
+    * engines; support_ppm is single-division integer arithmetic. */
+  def seqPatterns(s: SparkSession, dir: String): DataFrame = {
+    val spans = ev(s, dir)
+      .select(col("user_id"), col("event_type"),
+        expr("unix_micros(ts)").as("tus"))
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(min(col("tus")).as("lo"), max(col("tus")).as("hi"))
+    val nUsers = spans.select(col("user_id")).distinct().count()
+    spans.as("a").join(spans.as("b"), Seq("user_id"))
+      .filter(col("a.event_type") =!= col("b.event_type") &&
+        col("a.lo") < col("b.hi"))
+      .groupBy(col("a.event_type").as("first_type"),
+        col("b.event_type").as("then_type"))
+      .agg(count(lit(1)).as("support"))
+      .select(col("first_type"), col("then_type"), col("support"),
+        lit(nUsers).as("n_users"),
+        // integer div, not `/` (double division truncated can disagree
+        // with exact integer division at the repr boundary)
+        expr(s"support * 1000000 div ${nUsers}L").cast("long")
+          .as("support_ppm"))
+      .orderBy(col("support").desc, col("first_type"), col("then_type"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q286_seq_patterns"     -> (seqPatterns _),
     "q275_disorder_profile" -> (disorderProfile _),
     "q262_interval_util"     -> (intervalUtilization _),
     "q256_peak_concurrency"  -> (peakConcurrency _),
@@ -845,6 +885,23 @@ object EventQueries {
     "CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)"
 
   val oracles: Map[String, String] = Map(
+    // q286: same interval-algebra containment — per-(user,type) micro
+    // spans, ordered-pair support, integer-div ppm
+    "q286_seq_patterns" ->
+      """WITH spans AS (
+        |  SELECT user_id, event_type,
+        |         min(epoch_us(ts)) AS lo, max(epoch_us(ts)) AS hi
+        |  FROM events GROUP BY 1, 2),
+        |nu AS (SELECT count(DISTINCT user_id) AS n FROM spans)
+        |SELECT a.event_type AS first_type, b.event_type AS then_type,
+        |  CAST(count(*) AS BIGINT) AS support,
+        |  (SELECT n FROM nu) AS n_users,
+        |  CAST(count(*) * 1000000 // (SELECT n FROM nu) AS BIGINT)
+        |    AS support_ppm
+        |FROM spans a JOIN spans b ON a.user_id = b.user_id
+        |  AND a.event_type <> b.event_type AND a.lo < b.hi
+        |GROUP BY 1, 2
+        |ORDER BY support DESC, first_type, then_type""".stripMargin,
     // q275: identical running-max lateness in integer micros; the sum
     // rides HUGEINT (DuckDB's native sum) and lands back on BIGINT
     "q275_disorder_profile" ->

@@ -1240,6 +1240,76 @@ object LakeQueries {
     } }
   }
 
+  /** q288: column DEFAULT values
+    * ([[graft.sources.LakeTable.setColumnDefault]]) — Delta's
+    * write-default semantics as an oracle-checked lifecycle: (1) SET
+    * DEFAULT is METADATA-ONLY (same file groups, zero bytes
+    * rewritten); (2) an append that OMITS the defaulted column
+    * MATERIALIZES the default into its files at write time — proven by
+    * reading the raw parquet with no lake read path in between (what
+    * you read is what is on disk; no read-time magic to drift); (3) a
+    * batch carrying the column explicitly wins; (4) DROP DEFAULT
+    * restores NULL fill for later appends while already-written rows
+    * keep their materialized values (immutability); (5) a rename of
+    * the defaulted column is refused while the default binds the name.
+    * Batches are keyed by o_orderkey % 4 so the oracle restates every
+    * count and cents sum from orders exactly. At 100 TB the ALTER
+    * costs one manifest line and each append pays one per-row literal
+    * projection — O(batch), never the table. */
+  def defaultLifecycle(s: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.load(s, dir, "orders")
+      .filter(col("o_custkey") % 4 === 0)
+      .select(col("o_orderkey"),
+        expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)")
+          .as("price_cents"))
+    val m = col("o_orderkey") % 4
+    graft.util.LocalFrame.withConf(s, "spark.sql.shuffle.partitions", "8") {
+    graft.util.Tmp.withTempDir("graft_lake_q288") { rootPath =>
+      val root = rootPath.toString
+      LakeTable.create(s, root, orders.filter(m === 0))
+      LakeTable.evolveSchema(s, root, org.apache.spark.sql.types.StructType(
+        Seq(org.apache.spark.sql.types.StructField("source",
+          org.apache.spark.sql.types.StringType))))
+      val dirsBefore = LakeTable.dataDirPaths(s, root)
+      LakeTable.setColumnDefault(s, root, "source", "'backfill'")
+      val metadataOnly =
+        if (LakeTable.dataDirPaths(s, root) == dirsBefore) 1L else 0L
+      val renameRefused =
+        try { LakeTable.renameColumn(s, root, "source", "src"); 0L }
+        catch { case _: UnsupportedOperationException => 1L }
+      // batch 2 omits `source` → the default materializes on disk
+      LakeTable.append(s, root, orders.filter(m === 1))
+      // batch 3 carries it explicitly → the batch wins
+      LakeTable.append(s, root,
+        orders.filter(m === 2).withColumn("source", lit("manual")))
+      LakeTable.dropColumnDefault(s, root, "source")
+      // batch 4 omits it again → NULL (the default is gone)
+      LakeTable.append(s, root, orders.filter(m === 3))
+      // on-disk proof: RAW parquet (no lake read path) carries the
+      // materialized literal for exactly batch 2's rows
+      val rawBackfill = s.read.option("mergeSchema", "true")
+        .parquet(LakeTable.dataDirPaths(s, root): _*)
+        .filter(col("source") === "backfill").count()
+      val facts = LakeTable.read(s, root)
+        .groupBy(coalesce(col("source"), lit("(none)")).as("src"))
+        .agg(count(lit(1)).as("n"), sum(col("price_cents")).as("cents"))
+        .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+        .toMap
+      import s.implicits._
+      graft.util.LocalFrame.materialize(Seq(
+        ("cents_backfill", facts("backfill")._2),
+        ("cents_manual", facts("manual")._2),
+        ("cents_none", facts("(none)")._2),
+        ("metadata_only_set_default", metadataOnly),
+        ("n_backfill", facts("backfill")._1),
+        ("n_manual", facts("manual")._1),
+        ("n_none", facts("(none)")._1),
+        ("on_disk_backfill", rawBackfill),
+        ("rename_refused_under_default", renameRefused)
+      ).toDF("fact", "n").orderBy(col("fact")))
+    } }
+  }
+
   /** q272: ALTER TABLE RENAME COLUMN via column mapping
     * ([[graft.sources.LakeTable.renameColumn]]) — Delta's name-mapping
     * semantics as an oracle-checked lifecycle: (1) the rename is
@@ -1465,6 +1535,7 @@ object LakeQueries {
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q282_hll_index_lake"      -> (hllIndexLifecycle _),
     "q281_unique_constraint"   -> (uniqueLifecycle _),
+    "q288_column_default"      -> (defaultLifecycle _),
     "q273_drop_column"         -> (dropLifecycle _),
     "q272_rename_column"       -> (renameLifecycle _),
     "q267_append_reconcile"    -> (appendReconcile _),
@@ -1523,6 +1594,37 @@ object LakeQueries {
         |UNION ALL SELECT 'n_final', count(*) + 1 FROM s
         |UNION ALL SELECT 'rejected_dup_append', CAST(1 AS BIGINT)
         |UNION ALL SELECT 'rejected_racing_append', CAST(1 AS BIGINT)
+        |ORDER BY fact""".stripMargin,
+    // q288: per-source counts and cents sums restated from orders via
+    // the o_orderkey%4 batch keying; protocol facts pin as integers
+    // (on_disk_backfill must equal the m=1 batch count exactly)
+    "q288_column_default" ->
+      """WITH s AS (
+        |  SELECT o_orderkey,
+        |         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |           AS cents,
+        |         CASE o_orderkey % 4 WHEN 1 THEN 'backfill'
+        |              WHEN 2 THEN 'manual' ELSE '(none)' END AS src
+        |  FROM orders WHERE o_custkey % 4 = 0)
+        |SELECT 'cents_backfill' AS fact,
+        |       CAST(sum(CASE WHEN src = 'backfill' THEN cents ELSE 0 END)
+        |            AS BIGINT) AS n FROM s
+        |UNION ALL SELECT 'cents_manual',
+        |  CAST(sum(CASE WHEN src = 'manual' THEN cents ELSE 0 END)
+        |       AS BIGINT) FROM s
+        |UNION ALL SELECT 'cents_none',
+        |  CAST(sum(CASE WHEN src = '(none)' THEN cents ELSE 0 END)
+        |       AS BIGINT) FROM s
+        |UNION ALL SELECT 'metadata_only_set_default', CAST(1 AS BIGINT)
+        |UNION ALL SELECT 'n_backfill',
+        |  count(*) FILTER (src = 'backfill') FROM s
+        |UNION ALL SELECT 'n_manual',
+        |  count(*) FILTER (src = 'manual') FROM s
+        |UNION ALL SELECT 'n_none',
+        |  count(*) FILTER (src = '(none)') FROM s
+        |UNION ALL SELECT 'on_disk_backfill',
+        |  count(*) FILTER (src = 'backfill') FROM s
+        |UNION ALL SELECT 'rename_refused_under_default', CAST(1 AS BIGINT)
         |ORDER BY fact""".stripMargin,
     // q273: rows and the surviving-column sum restated from orders;
     // drop-protocol facts pin as integers

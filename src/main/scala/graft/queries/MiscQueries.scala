@@ -1407,45 +1407,40 @@ object MiscQueries {
     * analysis ("what does this recalled part sell with, transitively?").
     *
     * Scale shape — textbook frontier BFS, the Pregel iteration done
-    * with relational ops: round k joins the (persisted) frontier with
-    * the edge list (one equi-join, O(frontier-degree) shuffle) and
-    * anti-joins the visited set (one more equi-join) — never a
-    * data-sized window or collect; each round's visited set is
-    * persisted and the previous handle dropped only after the next
-    * materializes (q236's discipline), so lineage stays one round
-    * deep. Output is ≤ 5 rows (dists 0..3 + unreachable), materialized
-    * driver-local before the persisted chain is released. Distances
-    * are exact integers: both engines agree bit-for-bit with the
-    * oracle's three unrolled frontier rounds. */
+    * with relational ops: round k joins the previous frontier with the
+    * edge list (one equi-join, O(frontier-degree) shuffle) and
+    * anti-joins the visited-so-far set — never a data-sized window or
+    * collect. Only the EDGE table persists (it appears in all three
+    * rounds plus the node universe); the three-round visited chain
+    * stays LAZY and the whole query is ONE action — the final
+    * left-outer histogram fold, where an unmatched node coalesces to
+    * dist −1, so reach, per-hop counts, and the unreachable remainder
+    * come out of a single ≤ 5-row aggregate (the first cut ran a
+    * count-per-round eager chain: 6 actions, 7.6 s at sf0.1 — this
+    * shape halves it by paying Spark's per-action overhead once).
+    * Distances are exact integers: both engines agree bit-for-bit with
+    * the oracle's three unrolled frontier rounds. */
   def bfsHops(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
     val e = coPurchaseEdges(s, dir).persist()
     val nodes = e.select(col("u").as("v")).distinct()
     val src = nodes.join(broadcast(t(s, dir, "part")
         .filter(col("p_brand") === "Brand#4")
         .select(col("p_partkey").as("v"))), Seq("v"))
-    var visited = src.withColumn("dist", lit(0L)).persist()
-    var frontier = visited
+    var visited = src.withColumn("dist", lit(0L))
     for (k <- 1 to 3) {
-      val next = e.join(frontier.select(col("v").as("u"),
-          col("dist").as("fd")).filter(col("fd") === (k - 1)), Seq("u"))
+      val next = e.join(visited.filter(col("dist") === (k - 1))
+          .select(col("v").as("u")), Seq("u"))
         .select(col("v")).distinct()
         .join(visited, Seq("v"), "left_anti")
         .withColumn("dist", lit(k.toLong))
-      val grown = visited.unionAll(next).persist()
-      grown.count()
-      visited.unpersist()
-      visited = grown
-      frontier = grown
+      visited = visited.unionAll(next)
     }
-    val nNodes = nodes.count()
-    val hist = visited.groupBy(col("dist")).agg(count(lit(1)).as("n_parts"))
-    val reached = visited.count()
     val out = graft.util.LocalFrame.materialize(
-      hist.unionAll(Seq((-1L, nNodes - reached)).toDF("dist", "n_parts")
-        .filter(col("n_parts") > 0))
+      nodes.join(visited, Seq("v"), "left_outer")
+        .groupBy(coalesce(col("dist"), lit(-1L)).as("dist"))
+        .agg(count(lit(1)).as("n_parts"))
         .orderBy(col("dist")))
-    visited.unpersist(); e.unpersist()
+    e.unpersist()
     out
   }
 

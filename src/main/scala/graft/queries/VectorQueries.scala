@@ -781,7 +781,85 @@ object VectorQueries {
         .orderBy(col("sel_rank")))
   }
 
+  /** q287: DISTRIBUTED Lloyd k-means (Lloyd 1957/1982), k = 4, two full
+    * assign→update iterations over every vector — the clustering
+    * workhorse under IVF training (vector/KMeansIvf.scala trains on a
+    * CAPPED sample; this is the uncapped full-corpus variant a
+    * training-data pipeline runs when the partition itself is the
+    * product), reported as per-cluster size, mean within-cluster d²,
+    * and the first two centroid coordinates.
+    *
+    * Exactness: coordinates quantize ONCE to ×10⁶ micro BIGINTs
+    * (floor — both engines' floor on the same IEEE double), after
+    * which every step is INTEGER: d² sums (≤ 64·(4·10⁶)² ≈ 10¹⁵,
+    * BIGINT-safe per vector), argmin with min-cid tie as
+    * min(struct(d2, cid)), centroid means by sign-split truncating
+    * division (|Σ| div n with the sign reapplied — the q265/q278
+    * truncate-vs-floor rule, since coordinate sums go negative), and
+    * accumulator sums ride DECIMAL(38,0)/HUGEINT. The oracle replays
+    * both unrolled iterations bit-for-bit.
+    *
+    * Scale shape: each iteration is (a) one broadcast of k·d centroid
+    * integers + a map-side zip_with fold + ONE hash aggregate for the
+    * argmin — no explode on the assignment path — and (b) one
+    * posexplode'd (cid, dim) aggregate whose k·d = 256-row result is
+    * the ONLY thing the driver holds (the PageRank bounded-state
+    * discipline). Assignments persist one round deep. */
+  def kmeansLloyd(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.types.DecimalType
+    val k = 4
+    val vq = emb(s, dir).select(col("vec_id"),
+        expr("transform(embedding, v -> " +
+          "CAST(floor(CAST(v AS DOUBLE) * 1000000) AS BIGINT))").as("vq"))
+      .persist()
+    var cents: Seq[(Long, Seq[Long])] = vq.filter(col("vec_id") < k)
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1).toSeq))
+      .sortBy(_._1).toSeq
+    var assign: DataFrame = null
+    for (_ <- 1 to 2) {
+      val cdf = broadcast(cents.toDF("cid", "cq"))
+      val next = vq.crossJoin(cdf).select(col("vec_id"), col("cid"),
+          expr("aggregate(zip_with(vq, cq, (a, b) -> (a - b) * (a - b)), " +
+            "0L, (acc, x) -> acc + x)").as("d2"))
+        .groupBy(col("vec_id"))
+        .agg(min(struct(col("d2"), col("cid"))).as("m"))
+        .select(col("vec_id"), col("m.cid").as("cid"), col("m.d2").as("d2"))
+        .persist()
+      next.count()
+      if (assign != null) assign.unpersist()
+      assign = next
+      cents = assign.join(vq, "vec_id")
+        .select(col("cid"), posexplode(col("vq")).as(Seq("i", "v")))
+        .groupBy(col("cid"), col("i"))
+        .agg(sum(col("v").cast(DecimalType(38, 0))).as("sv"),
+          count(lit(1)).as("n"))
+        .select(col("cid"), col("i"),
+          expr("CAST(CASE WHEN sv >= 0 THEN sv div n " +
+            "ELSE -((-sv) div n) END AS BIGINT)").as("cv"))
+        .collect()
+        .groupBy(_.getLong(0))
+        .map { case (cid, rows) =>
+          (cid, rows.sortBy(_.getInt(1)).map(_.getLong(2)).toSeq) }
+        .toSeq.sortBy(_._1)
+    }
+    val cdims = cents.map { case (cid, cq) => (cid, cq(0), cq(1)) }
+      .toDF("cid", "c_dim0", "c_dim1")
+    val out = graft.util.LocalFrame.materialize(
+      assign.groupBy(col("cid"))
+        .agg(count(lit(1)).as("n_members"),
+          sum(col("d2").cast(DecimalType(38, 0))).as("sd2"))
+        .join(broadcast(cdims), Seq("cid"))
+        .select(col("cid").as("cluster"), col("n_members"),
+          expr("CAST(sd2 div n_members AS BIGINT)").as("mean_d2"),
+          col("c_dim0"), col("c_dim1"))
+        .orderBy(col("cluster")))
+    assign.unpersist(); vq.unpersist()
+    out
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q287_kmeans_lloyd"    -> (kmeansLloyd _),
     "q276_coreset_kcenter" -> (coresetKCenter _),
     "q250_pca_project_recall" -> (pcaProjectRecall _),
     "q248_embed_pca"       -> (embedPca _),
@@ -824,6 +902,52 @@ object VectorQueries {
        |              UNION ALL SELECT vec_id FROM s$n)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // q287: both Lloyd iterations replayed — micro-quantized integer
+    // coords, HUGEINT interior sums, identical argmin tie (min cid at
+    // min d2) and sign-split truncating centroid division
+    "q287_kmeans_lloyd" ->
+      """WITH ex AS (
+        |  SELECT vec_id, r.range AS i,
+        |         CAST(floor(CAST(embedding[r.range::INT + 1] AS DOUBLE)
+        |                    * 1000000) AS BIGINT) AS v
+        |  FROM embeddings CROSS JOIN range(0, 64) r),
+        |c0 AS (SELECT vec_id AS cid, i, v FROM ex WHERE vec_id < 4),
+        |a1 AS (SELECT e.vec_id, c.cid,
+        |              CAST(sum((e.v - c.v) * (e.v - c.v)) AS HUGEINT) AS d2
+        |       FROM ex e JOIN c0 c ON e.i = c.i GROUP BY 1, 2),
+        |m1 AS (SELECT vec_id, min(d2) AS md FROM a1 GROUP BY 1),
+        |s1 AS (SELECT a1.vec_id, min(a1.cid) AS cid, min(a1.d2) AS d2
+        |       FROM a1 JOIN m1 ON a1.vec_id = m1.vec_id AND a1.d2 = m1.md
+        |       GROUP BY 1),
+        |c1 AS (SELECT s1.cid, ex.i,
+        |              CAST(CASE WHEN sum(ex.v) >= 0
+        |                   THEN CAST(sum(ex.v) AS HUGEINT) // count(*)
+        |                   ELSE -((-CAST(sum(ex.v) AS HUGEINT))
+        |                          // count(*)) END AS BIGINT) AS v
+        |       FROM s1 JOIN ex ON s1.vec_id = ex.vec_id GROUP BY 1, 2),
+        |a2 AS (SELECT e.vec_id, c.cid,
+        |              CAST(sum((e.v - c.v) * (e.v - c.v)) AS HUGEINT) AS d2
+        |       FROM ex e JOIN c1 c ON e.i = c.i GROUP BY 1, 2),
+        |m2 AS (SELECT vec_id, min(d2) AS md FROM a2 GROUP BY 1),
+        |s2 AS (SELECT a2.vec_id, min(a2.cid) AS cid, min(a2.d2) AS d2
+        |       FROM a2 JOIN m2 ON a2.vec_id = m2.vec_id AND a2.d2 = m2.md
+        |       GROUP BY 1),
+        |c2 AS (SELECT s2.cid, ex.i,
+        |              CAST(CASE WHEN sum(ex.v) >= 0
+        |                   THEN CAST(sum(ex.v) AS HUGEINT) // count(*)
+        |                   ELSE -((-CAST(sum(ex.v) AS HUGEINT))
+        |                          // count(*)) END AS BIGINT) AS v
+        |       FROM s2 JOIN ex ON s2.vec_id = ex.vec_id GROUP BY 1, 2),
+        |rep AS (SELECT cid, CAST(count(*) AS BIGINT) AS n_members,
+        |               CAST(sum(d2) AS HUGEINT) AS sd2
+        |        FROM s2 GROUP BY 1)
+        |SELECT rep.cid AS cluster, n_members,
+        |  CAST(sd2 // n_members AS BIGINT) AS mean_d2,
+        |  ca.v AS c_dim0, cb.v AS c_dim1
+        |FROM rep
+        |JOIN c2 ca ON rep.cid = ca.cid AND ca.i = 0
+        |JOIN c2 cb ON rep.cid = cb.cid AND cb.i = 1
+        |ORDER BY cluster""".stripMargin,
     // q276: all nine selection rounds replayed with the identical
     // floored-micro argmax comparison
     "q276_coreset_kcenter" ->

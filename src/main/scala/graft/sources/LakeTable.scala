@@ -196,7 +196,8 @@ object LakeTable {
             if (meta0.contains("schema")) Map.empty[String, String]
             else prev.get("schema").map("schema" -> _).toMap
           val checks = prev.filter { case (k, _) =>
-            (k.startsWith("check:") || k.startsWith("unique:")) &&
+            (k.startsWith("check:") || k.startsWith("unique:") ||
+              k.startsWith("default:")) &&
               !meta0.contains(k) }
           meta0 ++ schema ++ checks
         }
@@ -316,21 +317,24 @@ object LakeTable {
                                    df: DataFrame): (Int, String) = {
     val cur = latestVersion(spark, root)
       .getOrElse(throw new IllegalStateException(s"no table at $root"))
-    enforceConstraints(spark, root, cur, df)
     val meta = manifestMeta(spark, root, cur)
+    // write-defaults materialize FIRST so every gate below validates
+    // the rows exactly as they will land on disk
+    val filled = applyWriteDefaults(spark, root, meta, df)
+    enforceConstraints(spark, root, cur, filled)
     // UNIQUE admission: batch-internal dups + one probe of the live
     // snapshot (bloom-prunable at scale), before any byte lands
-    enforceUnique(meta, df, Some(read(spark, root)), "by append")
+    enforceUnique(meta, filled, Some(read(spark, root)), "by append")
     // a batch naming a metadata-only-dropped physical column would
     // write bytes every read must then hide — refuse it loudly
-    df.columns.find(c => colDropsAt(meta).exists(_.equalsIgnoreCase(c)))
+    filled.columns.find(c => colDropsAt(meta).exists(_.equalsIgnoreCase(c)))
       .foreach(c => throw new IllegalArgumentException(
         s"append at $root carries column '$c', which was dropped " +
           "metadata-only; remove it from the batch or compact first"))
     // incoming batches arrive in LOGICAL names (constraints above see
     // them that way); files land in PHYSICAL names so every group in
     // the table shares one on-disk schema under a rename mapping
-    (cur, writeDataFiles(spark, root, toPhysical(meta, df)))
+    (cur, writeDataFiles(spark, root, toPhysical(meta, filled)))
   }
 
   /** Meta keys an append carries forward from the snapshot it lands on:
@@ -441,10 +445,12 @@ object LakeTable {
       conflict("table schema changed")
     def checks(m: Map[String, String]) =
       m.filter { case (k, _) =>
-        k.startsWith("check:") || k.startsWith("unique:") }
+        k.startsWith("check:") || k.startsWith("unique:") ||
+          k.startsWith("default:") }
     if (checks(bm) != checks(lm))
-      conflict("CHECK/UNIQUE constraints changed (incoming rows were " +
-        "never validated against the new constraint set)")
+      conflict("CHECK/UNIQUE constraints or column DEFAULTs changed " +
+        "(incoming rows were materialized/validated against the old " +
+        "declaration set)")
     if (bm.get("deletes") != lm.get("deletes") ||
         bm.get("deletekey") != lm.get("deletekey"))
       conflict("merge-on-read delete state changed")
@@ -798,6 +804,7 @@ object LakeTable {
             .findFirstIn(value).isDefined) ||
         (k == "deletekey" && named(value)) ||
         (k.startsWith("unique:") && named(value)) ||
+        (k.startsWith("default:") && named(k.drop("default:".length))) ||
         (k.startsWith("annmodel:") && named(k.drop("annmodel:".length))) ||
         ((k.startsWith("stat:") || k.startsWith("bloom:") ||
           k.startsWith("anncodes:") || k.startsWith("hllsk:")) &&
@@ -1358,6 +1365,86 @@ object LakeTable {
     commitVersion(spark, root, v + 1, readManifest(spark, root, v),
       meta - "op" + (s"unique:$name" -> colName) +
         ("op" -> "add-unique"))
+  }
+
+  /** Declared write-defaults of a manifest: logical column name → SQL
+    * literal. An empty value is a tombstone left by
+    * [[dropColumnDefault]] (the auto-carry in [[commitVersion]] copies
+    * keys forward; removal needs an explicit overwrite). */
+  private[sources] def defaultsAt(
+      meta: Map[String, String]): Map[String, String] =
+    meta.collect { case (k, v) if k.startsWith("default:") && v.nonEmpty =>
+      k.drop("default:".length) -> v }
+
+  /** ALTER TABLE ALTER COLUMN SET DEFAULT as a metadata-only commit
+    * (Delta's write-default semantics): `default:<col> = <sql literal>`.
+    * From then on an append whose batch OMITS the column materializes
+    * the default into the written files — existing rows are untouched
+    * (no rewrite, no read-path magic: what you read is what is on
+    * disk), and a batch that carries the column explicitly wins. The
+    * literal is validated now by evaluating CAST(lit AS coltype) once;
+    * defaults auto-carry like CHECK constraints, participate in the
+    * append commute check (a concurrently changed default must not
+    * silently rewrite what a prepared batch meant), and block
+    * rename/drop of the column until dropped
+    * ([[requireUnreferenced]]). Applies to [[append]]/[[streamAppend]];
+    * MERGE takes full rows by contract and is unaffected. */
+  def setColumnDefault(spark: SparkSession, root: String,
+                       name: String, defaultSql: String): Int = {
+    require(!defaultSql.contains("\n") && defaultSql.nonEmpty,
+      "default literal must be a non-empty single-line SQL expression")
+    val v = latestVersion(spark, root)
+      .getOrElse(throw new IllegalStateException(s"no table at $root"))
+    val field = read(spark, root).schema.fields
+      .find(_.name.equalsIgnoreCase(name))
+      .getOrElse(throw new IllegalArgumentException(
+        s"no column '$name' at $root"))
+    // evaluate once: a literal that cannot cast fails the ALTER, not
+    // some later append
+    spark.sql(s"SELECT CAST(($defaultSql) AS ${field.dataType.sql})")
+      .collect()
+    commitVersion(spark, root, v + 1, readManifest(spark, root, v),
+      manifestMeta(spark, root, v) - "op" +
+        (s"default:${field.name}" -> defaultSql) + ("op" -> "set-default"))
+  }
+
+  /** ALTER TABLE ALTER COLUMN DROP DEFAULT — commits an empty-value
+    * tombstone (see [[defaultsAt]]); later appends omitting the column
+    * write NULLs again. */
+  def dropColumnDefault(spark: SparkSession, root: String,
+                        name: String): Int = {
+    val v = latestVersion(spark, root)
+      .getOrElse(throw new IllegalStateException(s"no table at $root"))
+    val meta = manifestMeta(spark, root, v)
+    val key = meta.collectFirst { case (k, v)
+        if k.startsWith("default:") && v.nonEmpty &&
+          k.drop("default:".length).equalsIgnoreCase(name) => k }
+      .getOrElse(throw new IllegalArgumentException(
+        s"no DEFAULT declared on '$name' at $root"))
+    commitVersion(spark, root, v + 1, readManifest(spark, root, v),
+      meta - "op" + (key -> "") + ("op" -> "drop-default"))
+  }
+
+  /** Materialize write-defaults into an incoming append batch: every
+    * defaulted column the batch OMITS is added as the declared literal
+    * cast to the snapshot's column type; columns the batch carries win.
+    * Runs BEFORE constraint validation so CHECK/UNIQUE see the rows as
+    * they will land. */
+  private def applyWriteDefaults(spark: SparkSession, root: String,
+                                 meta: Map[String, String],
+                                 df: DataFrame): DataFrame = {
+    val defs = defaultsAt(meta)
+      .filterNot { case (c, _) =>
+        df.columns.exists(_.equalsIgnoreCase(c)) }
+    if (defs.isEmpty) return df
+    val schema = read(spark, root).schema
+    defs.foldLeft(df) { case (d, (c, sql)) =>
+      val tpe = schema.fields.find(_.name.equalsIgnoreCase(c))
+        .map(_.dataType)
+        .getOrElse(throw new IllegalStateException(
+          s"default declared on unknown column '$c' at $root"))
+      d.withColumn(c, expr(sql).cast(tpe))
+    }
   }
 
   /** Validate a batch against the table's UNIQUE constraints: no

@@ -1188,4 +1188,65 @@ class LakeTableSpec extends SparkSpec {
         "replayed batchId was not skipped")
     }
   }
+
+  test("column write-defaults: metadata-only ALTER, materialized on " +
+    "disk for omitting appends, explicit batch wins, DROP restores " +
+    "NULL, rename refused while bound, constraints see filled rows") {
+    withTable { root =>
+      import spark.implicits._
+      LakeTable.create(spark, root,
+        Seq((1L, 10.0), (2L, 20.0)).toDF("id", "v"))
+      LakeTable.evolveSchema(spark, root, org.apache.spark.sql.types
+        .StructType(Seq(org.apache.spark.sql.types.StructField("src",
+          org.apache.spark.sql.types.StringType))))
+      val dirsBefore = LakeTable.dataDirPaths(spark, root)
+      LakeTable.setColumnDefault(spark, root, "src", "'backfill'")
+      assert(LakeTable.dataDirPaths(spark, root) == dirsBefore,
+        "SET DEFAULT rewrote data files")
+      // rename refused while the default binds the name
+      intercept[UnsupportedOperationException] {
+        LakeTable.renameColumn(spark, root, "src", "origin")
+      }
+      // a bad literal is refused at ALTER time, not at some later append
+      intercept[Exception] {
+        LakeTable.setColumnDefault(spark, root, "v", "'not-a-number'0")
+      }
+      // omitting append gets the default — ON DISK (raw parquet proof)
+      LakeTable.append(spark, root, Seq((3L, 30.0)).toDF("id", "v"))
+      val raw = spark.read.option("mergeSchema", "true")
+        .parquet(LakeTable.dataDirPaths(spark, root): _*)
+      assert(raw.filter(col("src") === "backfill").count() == 1)
+      // explicit batch wins
+      LakeTable.append(spark, root,
+        Seq((4L, 40.0, "manual")).toDF("id", "v", "src"))
+      // DROP DEFAULT: a later omitting append writes NULL again, while
+      // rows already materialized keep their values (immutability)
+      LakeTable.dropColumnDefault(spark, root, "src")
+      LakeTable.append(spark, root, Seq((6L, 60.0)).toDF("id", "v"))
+      val bySrc = LakeTable.read(spark, root)
+        .groupBy(coalesce(col("src"), lit("-")).as("s")).count()
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(bySrc == Map("-" -> 3L, "backfill" -> 1L, "manual" -> 1L))
+      // double-drop refused
+      intercept[IllegalArgumentException] {
+        LakeTable.dropColumnDefault(spark, root, "src")
+      }
+      // CHECK constraints validate the FILLED rows: with the default
+      // re-set, a constraint requiring src non-null for new ids passes
+      // a batch that omits src entirely (the default fills before the
+      // gate runs) and refuses one carrying an explicit NULL (the
+      // batch's column wins, so nothing fills it)
+      LakeTable.setColumnDefault(spark, root, "src", "'backfill'")
+      LakeTable.addCheckConstraint(spark, root, "src_set",
+        "id < 10 OR src IS NOT NULL")
+      LakeTable.append(spark, root, Seq((11L, 1.1)).toDF("id", "v"))
+      intercept[IllegalArgumentException] {
+        LakeTable.append(spark, root,
+          Seq((12L, 1.2, null: String)).toDF("id", "v", "src"))
+      }
+      assert(LakeTable.read(spark, root)
+        .filter(col("id") === 11L && col("src") === "backfill")
+        .count() == 1)
+    }
+  }
 }
