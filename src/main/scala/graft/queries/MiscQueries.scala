@@ -1444,9 +1444,58 @@ object MiscQueries {
     out
   }
 
+  /** q290: single-source WEIGHTED shortest paths by Bellman–Ford
+    * relaxation (Bellman 1958; the min-plus complement of q284's
+    * unweighted BFS) on the directed nation trade graph: edge cost
+    * = 10⁹ div w + 1 where w is the pair's line count — scarce trade
+    * links cost more, so the answer is the cheapest ≤ 3-hop relay
+    * route from nation 0 to every market. Costs are pure integers
+    * (c ≤ 10⁹+1, ≤ 3 hops ⇒ path ≤ 3·10⁹+3, BIGINT-safe at any SF),
+    * so both engines agree bit-for-bit with the oracle's three
+    * unrolled relaxation rounds.
+    *
+    * Scale shape: one relaxation round = one edge equi-join with the
+    * current distance frame + one min hash aggregate over the union
+    * with the previous distances — O(|E|) shuffle per round, the
+    * min-plus semiring exactly (distances never leave the cluster; the
+    * ≤ |V|-row result materializes once at the end). The unreachable
+    * stay absent (no ∞ sentinel to overflow). */
+  def shortestPaths(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = t(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_suppkey"))
+      .join(t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_nationkey"))),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(t(s, dir, "supplier")
+        .select(col("s_suppkey"), col("s_nationkey"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("c_nationkey").as("src"), col("s_nationkey").as("dst"))
+      .agg(expr("1000000000 div count(1) + 1").as("c"))
+      .persist()
+    var dist = Seq((0L, 0L)).toDF("v", "d")
+    for (_ <- 1 to 3) {
+      val relaxed = e.join(dist.select(col("v").as("src"),
+          col("d").as("du")), Seq("src"))
+        .select(col("dst").as("v"), (col("du") + col("c")).as("d"))
+      dist = dist.unionAll(relaxed)
+        .groupBy(col("v")).agg(min(col("d")).as("d"))
+    }
+    val out = graft.util.LocalFrame.materialize(
+      dist.join(broadcast(t(s, dir, "nation")
+          .select(col("n_nationkey").as("v"), col("n_name"))), Seq("v"))
+        .select(col("n_name"), col("d").as("cost"))
+        .orderBy(col("n_name")))
+    e.unpersist()
+    out
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q283_label_prop"      -> (labelPropagation _),
     "q284_bfs_hops"        -> (bfsHops _),
+    "q290_shortest_paths"  -> (shortestPaths _),
     "q194_scd2_dimension"  -> (scd2Dimension _),
     "q202_schema_evolution" -> (schemaEvolution _),
     "q206_key_skew_profile" -> (keySkewProfile _),
@@ -1547,6 +1596,36 @@ object MiscQueries {
         |         + (SELECT count(*) FROM f2) + (SELECT count(*) FROM f3)))
         |SELECT dist, n_parts FROM hist WHERE n_parts > 0
         |ORDER BY dist""".stripMargin,
+    // q290: three unrolled min-plus relaxation rounds over the same
+    // integer edge costs (10⁹ // w + 1); unreachable nodes stay absent
+    "q290_shortest_paths" ->
+      """WITH e AS (
+        |  SELECT cst.c_nationkey AS src, sp.s_nationkey AS dst,
+        |         CAST(1000000000 // count(*) + 1 AS BIGINT) AS c
+        |  FROM lineitem l
+        |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |  JOIN customer cst ON o.o_custkey = cst.c_custkey
+        |  JOIN supplier sp ON l.l_suppkey = sp.s_suppkey
+        |  GROUP BY 1, 2),
+        |d0 AS (SELECT CAST(0 AS BIGINT) AS v, CAST(0 AS BIGINT) AS d),
+        |d1 AS (SELECT v, min(d) AS d FROM (
+        |         SELECT v, d FROM d0
+        |         UNION ALL
+        |         SELECT e.dst, d0.d + e.c FROM e JOIN d0 ON e.src = d0.v)
+        |       GROUP BY v),
+        |d2 AS (SELECT v, min(d) AS d FROM (
+        |         SELECT v, d FROM d1
+        |         UNION ALL
+        |         SELECT e.dst, d1.d + e.c FROM e JOIN d1 ON e.src = d1.v)
+        |       GROUP BY v),
+        |d3 AS (SELECT v, min(d) AS d FROM (
+        |         SELECT v, d FROM d2
+        |         UNION ALL
+        |         SELECT e.dst, d2.d + e.c FROM e JOIN d2 ON e.src = d2.v)
+        |       GROUP BY v)
+        |SELECT n.n_name, d3.d AS cost
+        |FROM d3 JOIN nation n ON d3.v = n.n_nationkey
+        |ORDER BY n_name""".stripMargin,
     // q252: full Apriori replay — pair supports from the basket
     // self-join, both rule directions, exact-integer supports with
     // single-division confidence/lift (same dividend/divisor → same

@@ -877,7 +877,112 @@ object PipelineQueries {
         .orderBy(col("source")))
   }
 
+  /** q289: leakage-safe GROUP k-fold assignment — the cross-validation
+    * split that q123's row-hash split cannot give you when rows share
+    * an entity: all of a user's events land in ONE fold (fold is a
+    * pure function of user_id, so group leakage across folds is
+    * impossible BY CONSTRUCTION, not by audit), with the balance
+    * report (users, events, positive-class density per fold) that
+    * tells you whether the hash spread the strata evenly. The
+    * GroupKFold of scikit-learn lineage, done with a content hash so
+    * the split is reproducible across runs, engines, and cluster
+    * sizes — no RNG state anywhere.
+    *
+    * Scale shape: fold assignment is a map-side md5 projection; ONE
+    * hash aggregate lands (fold, user) cardinalities via a two-level
+    * group (user first, then fold — both map-side-combinable);
+    * positives count in the same pass. Integer-div ppm (the q286
+    * rule). */
+  def groupKFold(s: SparkSession, dir: String): DataFrame = {
+    val folded = Tables.load(s, dir, "events")
+      .select(col("user_id"), col("event_type"))
+      .withColumn("fold",
+        conv(substring(md5(concat(lit("fold:"),
+          col("user_id").cast("string"))), 1, 8), 16, 10)
+          .cast("long") % 5)
+    val perUser = folded.groupBy(col("fold"), col("user_id"))
+      .agg(count(lit(1)).as("n_ev"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("n_pur"))
+    perUser.groupBy(col("fold"))
+      .agg(count(lit(1)).as("n_users"),
+        sum(col("n_ev")).as("n_events"),
+        sum(col("n_pur")).as("n_purchases"))
+      .select(col("fold"), col("n_users"), col("n_events"),
+        col("n_purchases"),
+        expr("n_purchases * 1000000 div n_events").as("purchase_ppm"))
+      .orderBy(col("fold"))
+  }
+
+  /** q291: classifier CALIBRATION — reliability diagram + Expected
+    * Calibration Error (Naeini et al. AAAI'15; Guo et al. ICML'17) for
+    * the q249 teacher-feature scorer: score = en-stopword ratio x1 (a
+    * natural [0,1] confidence), label = the full teacher rule, binned
+    * into 10 fixed-width score bins. Per bin: count, mean score,
+    * empirical positive rate, |gap|; plus the ECE row (bin −1) =
+    * Σ nᵦ·|gapᵦ| / N. Fixed-width bins (floor(s·10)) rather than
+    * quantile bins keep the binning exact cross-engine — s is a single
+    * integer-ratio division, so both engines floor the same IEEE
+    * double; per-bin score sums quantize through DECIMAL(25,12) before
+    * summation (partitioning-invariant), and every ratio is a single
+    * division of identical operands (the q252 same-IEEE rule).
+    *
+    * Scale shape: one map-side projection + ONE hash aggregate to 10
+    * bins; the ECE fold runs on the 10-row frame. */
+  def calibrationEce(s: SparkSession, dir: String): DataFrame = {
+    import graft.text.TextFunctions
+    val profiles = TextFunctions.langProfiles.toMap
+    val nTok = greatest(TextFunctions.tokenCount(col("text")), lit(1))
+      .cast("double")
+    val scored = docs(s, dir).select(
+        (TextFunctions.vocabHits(col("text"), profiles("en")).cast("double")
+          / nTok).as("s"),
+        ((TextFunctions.vocabHits(col("text"), profiles("en")).cast("double")
+          / nTok) * 10.0
+          - col("n_chars").cast("double") / (nTok * 10.0) > 0.1)
+          .cast("long").as("y"))
+      .select(least(floor(col("s") * 10.0), lit(9.0)).cast("long")
+        .as("bin"), col("s"), col("y"))
+    val bins = scored.groupBy(col("bin"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("s").cast(DecimalType25_12)).as("ssum"),
+        sum(col("y")).as("npos"))
+      .select(col("bin"), col("n_docs"),
+        (col("ssum").cast("double") / col("n_docs")).as("mean_raw"),
+        (col("npos").cast("double") / col("n_docs")).as("rate_raw"))
+      .select(col("bin"), col("n_docs"),
+        round(col("mean_raw"), 6).as("mean_score"),
+        round(col("rate_raw"), 6).as("pos_rate"),
+        round(abs(col("mean_raw") - col("rate_raw")), 6).as("abs_gap"),
+        // per-bin weighted gap quantizes ONCE to decimal so the ECE
+        // sum is order-invariant (a double sum over the bins would
+        // depend on row order)
+        (col("n_docs") * abs(col("mean_raw") - col("rate_raw")))
+          .cast(DecimalType25_12).as("wgap"))
+    val local = graft.util.LocalFrame.materialize(bins)
+    val tot = local.agg(sum(col("n_docs")).as("n"),
+      sum(col("wgap")).as("w")).head()
+    val n = tot.getLong(0)
+    val ece = tot.getDecimal(1).doubleValue() / n
+    import s.implicits._
+    graft.util.LocalFrame.materialize(
+      local.select(col("bin"), col("n_docs"), col("mean_score"),
+          col("pos_rate"), col("abs_gap"))
+        .unionAll(Seq((-1L, n, 0.0, 0.0,
+          // HALF_UP = Spark's round(), and the established cross-engine
+          // rounding used by every round(,6) oracle pair in this repo
+          BigDecimal(ece).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+            .toDouble))
+          .toDF("bin", "n_docs", "mean_score", "pos_rate", "abs_gap"))
+        .orderBy(col("bin")))
+  }
+
+  private val DecimalType25_12 =
+    org.apache.spark.sql.types.DecimalType(25, 12)
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q289_group_kfold"         -> (groupKFold _),
+    "q291_calibration_ece"     -> (calibrationEce _),
     "q277_waterfill_budget"    -> (waterfillBudget _),
     "q274_quantile_normalize"  -> (quantileNormalize _),
     "q271_info_gain"           -> (infoGainTerms _),
@@ -903,6 +1008,66 @@ object PipelineQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // q289: identical md5 fold assignment (hex-prefix → integer % 5,
+    // the md5Bucket idiom), two-level aggregate, integer-div ppm
+    "q289_group_kfold" ->
+      """WITH f AS (
+        |  SELECT user_id, event_type,
+        |         CAST(('0x' || substring(md5('fold:' ||
+        |           CAST(user_id AS VARCHAR)), 1, 8))::UBIGINT % 5
+        |           AS BIGINT) AS fold
+        |  FROM events),
+        |pu AS (SELECT fold, user_id, count(*) AS n_ev,
+        |              sum(CASE WHEN event_type = 'purchase'
+        |                  THEN 1 ELSE 0 END) AS n_pur
+        |       FROM f GROUP BY 1, 2)
+        |SELECT fold, CAST(count(*) AS BIGINT) AS n_users,
+        |  CAST(sum(n_ev) AS BIGINT) AS n_events,
+        |  CAST(sum(n_pur) AS BIGINT) AS n_purchases,
+        |  CAST(CAST(sum(n_pur) AS HUGEINT) * 1000000 // sum(n_ev)
+        |       AS BIGINT) AS purchase_ppm
+        |FROM pu GROUP BY fold ORDER BY fold""".stripMargin,
+    // q291: same teacher features (q249's replay), fixed-width bins on
+    // the identical IEEE double, DECIMAL(25,12)-quantized score sums
+    // and weighted gaps (order-invariant ECE), single-division ratios
+    "q291_calibration_ece" ->
+      """WITH t AS (SELECT string_split_regex(trim(text), '\s+') AS ws,
+        |                  n_chars
+        |           FROM documents),
+        |f AS (SELECT
+        |        len(list_filter(ws, w -> w IN ('the','and','of','to',
+        |          'a','in','is','that','for','it')))::DOUBLE
+        |          / greatest(len(ws), 1) AS s,
+        |        CASE WHEN len(list_filter(ws, w -> w IN ('the','and',
+        |          'of','to','a','in','is','that','for','it')))::DOUBLE
+        |          / greatest(len(ws), 1) * 10.0
+        |          - n_chars::DOUBLE / (greatest(len(ws), 1) * 10.0)
+        |          > 0.1 THEN 1 ELSE 0 END AS y
+        |      FROM t),
+        |b AS (SELECT CAST(least(floor(s * 10.0), 9.0) AS BIGINT) AS bin,
+        |             s, y FROM f),
+        |g AS (SELECT bin, CAST(count(*) AS BIGINT) AS n_docs,
+        |             sum(CAST(s AS DECIMAL(25,12))) AS ssum,
+        |             CAST(sum(y) AS BIGINT) AS npos
+        |      FROM b GROUP BY bin),
+        |r AS (SELECT bin, n_docs,
+        |             CAST(ssum AS DOUBLE) / n_docs AS mean_raw,
+        |             CAST(npos AS DOUBLE) / n_docs AS rate_raw
+        |      FROM g),
+        |rws AS (SELECT bin, n_docs, round(mean_raw, 6) AS mean_score,
+        |               round(rate_raw, 6) AS pos_rate,
+        |               round(abs(mean_raw - rate_raw), 6) AS abs_gap,
+        |               CAST(n_docs * abs(mean_raw - rate_raw)
+        |                    AS DECIMAL(25,12)) AS wgap
+        |        FROM r),
+        |tot AS (SELECT CAST(sum(n_docs) AS BIGINT) AS n, sum(wgap) AS w
+        |        FROM rws)
+        |SELECT * FROM (
+        |  SELECT bin, n_docs, mean_score, pos_rate, abs_gap FROM rws
+        |  UNION ALL
+        |  SELECT CAST(-1 AS BIGINT), n, 0.0, 0.0,
+        |         round(CAST(w AS DOUBLE) / n, 6) FROM tot)
+        |ORDER BY bin""".stripMargin,
     // q277: the same sorted-prefix water-level search and remainder
     // rule, all integer; the smallest valid j wins on both engines
     "q277_waterfill_budget" ->

@@ -66,6 +66,35 @@ class GraphOpsSpec extends SparkSpec {
     assert(got.getOrElse(0L, 0L) > 0, "no sources reached the graph")
   }
 
+  test("q290: Spark Bellman-Ford matches a driver-side min-plus replay") {
+    val e = Tables.load(spark, sf, "lineitem")
+      .join(Tables.load(spark, sf, "orders"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.load(spark, sf, "customer"),
+        col("o_custkey") === col("c_custkey"))
+      .join(Tables.load(spark, sf, "supplier"),
+        col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("c_nationkey"), col("s_nationkey")).count()
+      .collect()
+      .map(r => ((r.getAs[Number](0).longValue, r.getAs[Number](1).longValue),
+        1000000000L / r.getLong(2) + 1))
+    var dist = Map(0L -> 0L)
+    for (_ <- 1 to 3) {
+      val relaxed = e.flatMap { case ((u, v), c) =>
+        dist.get(u).map(du => (v, du + c)) }
+      dist = (dist.toSeq ++ relaxed).groupBy(_._1)
+        .map { case (v, ds) => (v, ds.map(_._2).min) }
+    }
+    val names = Tables.load(spark, sf, "nation")
+      .collect()
+      .map(r => (r.getAs[Number](0).longValue, r.getString(1))).toMap
+    val expect = dist.map { case (v, d) => (names(v), d) }
+    val got = graft.queries.MiscQueries.shortestPaths(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(got == expect)
+    assert(got(names(0L)) == 0L, "source distance must be 0")
+  }
+
   test("q285: exact-integer moments agree with a float replay; reruns bit-identical") {
     val rows = graft.queries.ExtAggQueries.centralMoments(spark, sf).collect()
     assert(rows.length == 5)

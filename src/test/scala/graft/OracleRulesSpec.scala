@@ -40,7 +40,16 @@ class OracleRulesSpec extends AnyFunSuite {
         "(DECIMAL(18,6), integer-valued after ×10⁶ so the BIGINT cast " +
         "is exact), and every one of the nine constants sits ≥ 4e-5 " +
         "from a 6-dp rounding boundary — far beyond any ulp drift; the " +
-        "inner ln(10.0) is what trips the lexical check"))
+        "inner ln(10.0) is what trips the lexical check"),
+    "q285_central_moments" ->
+      ("sqrt is the one transcendental IEEE 754 requires CORRECTLY " +
+        "ROUNDED (§9.2 covers ln/exp as recommended-only; sqrt is a " +
+        "basic operation like +/×) — java.lang.Math.sqrt and DuckDB's " +
+        "libm sqrt both comply, so sqrt of the SAME double (here " +
+        "CAST(M2 AS DOUBLE), an identical exact integer on both " +
+        "engines) is bit-identical by spec, and the surrounding " +
+        "multiply/divide are likewise correctly rounded over identical " +
+        "operands in identical association"))
 
   test("the checker itself catches a seeded violation") {
     assert(rawTranscendentals("SELECT ln(x) FROM t").nonEmpty)
