@@ -1410,36 +1410,44 @@ object MiscQueries {
     * with relational ops: round k joins the previous frontier with the
     * edge list (one equi-join, O(frontier-degree) shuffle) and
     * anti-joins the visited-so-far set — never a data-sized window or
-    * collect. Only the EDGE table persists (it appears in all three
-    * rounds plus the node universe); the three-round visited chain
-    * stays LAZY and the whole query is ONE action — the final
-    * left-outer histogram fold, where an unmatched node coalesces to
-    * dist −1, so reach, per-hop counts, and the unreachable remainder
-    * come out of a single ≤ 5-row aggregate (the first cut ran a
-    * count-per-round eager chain: 6 actions, 7.6 s at sf0.1 — this
-    * shape halves it by paying Spark's per-action overhead once).
-    * Distances are exact integers: both engines agree bit-for-bit with
-    * the oracle's three unrolled frontier rounds. */
+    * collect. The expensive part is the BASKET SELF-JOIN that builds
+    * the edge table, so it is persisted AND materialized (one count)
+    * BEFORE any round runs: without that, the rounds' parallel plan
+    * branches race on the cold cache and each recomputes the join
+    * (measured: 7.3–7.6 s at sf0.1 in both an eager-chain and a
+    * lazy-single-action shape; with the edge cache primed the rounds
+    * are sub-second). Each round's visited set persists one round deep
+    * (q236's discipline); the final left-outer histogram fold lands
+    * reach, per-hop counts, and the unreachable remainder (coalesce →
+    * −1) in a single ≤ 5-row aggregate. Distances are exact integers:
+    * both engines agree bit-for-bit with the oracle's three unrolled
+    * frontier rounds. */
   def bfsHops(s: SparkSession, dir: String): DataFrame = {
     val e = coPurchaseEdges(s, dir).persist()
+    e.count()
     val nodes = e.select(col("u").as("v")).distinct()
     val src = nodes.join(broadcast(t(s, dir, "part")
         .filter(col("p_brand") === "Brand#4")
         .select(col("p_partkey").as("v"))), Seq("v"))
-    var visited = src.withColumn("dist", lit(0L))
+    var visited = src.withColumn("dist", lit(0L)).persist()
+    visited.count()
     for (k <- 1 to 3) {
       val next = e.join(visited.filter(col("dist") === (k - 1))
           .select(col("v").as("u")), Seq("u"))
         .select(col("v")).distinct()
         .join(visited, Seq("v"), "left_anti")
         .withColumn("dist", lit(k.toLong))
-      visited = visited.unionAll(next)
+      val grown = visited.unionAll(next).persist()
+      grown.count()
+      visited.unpersist()
+      visited = grown
     }
     val out = graft.util.LocalFrame.materialize(
       nodes.join(visited, Seq("v"), "left_outer")
         .groupBy(coalesce(col("dist"), lit(-1L)).as("dist"))
         .agg(count(lit(1)).as("n_parts"))
         .orderBy(col("dist")))
+    visited.unpersist()
     e.unpersist()
     out
   }

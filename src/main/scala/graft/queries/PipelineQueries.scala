@@ -980,7 +980,61 @@ object PipelineQueries {
   private val DecimalType25_12 =
     org.apache.spark.sql.types.DecimalType(25, 12)
 
+  /** q293: SPLIT-CONFORMAL prediction interval (Vovk et al. 2005;
+    * Papadopoulos et al. 2002 — the distribution-free uncertainty
+    * quantification every scored pipeline should ship): an md5-split
+    * calibration half yields the nonconformity quantile
+    * q = the ⌈0.9·(n+1)⌉-th smallest |x − μ̂| (the finite-sample
+    * correction that makes coverage ≥ 90% a THEOREM under
+    * exchangeability, not a hope), and the held-out half empirically
+    * checks it. Scores are the q249 feature x2 (chars per token /10)
+    * quantized to micro BIGINTs, so the quantile, the band, and the
+    * coverage count are exact integers on both engines.
+    *
+    * Scale shape: the order statistic comes from GlobalRank's
+    * range-exchange enumeration over a TOTAL order (r, doc_id) — the
+    * global `row_number() OVER (ORDER BY …)` window the oracle runs
+    * never appears in the Spark plan — and exactly one 1-row filter
+    * reaches the driver; everything else is two hash aggregates. */
+  def conformalInterval(s: SparkSession, dir: String): DataFrame = {
+    import graft.text.TextFunctions
+    import org.apache.spark.sql.types.DecimalType
+    val nTok = greatest(TextFunctions.tokenCount(col("text")), lit(1))
+      .cast("double")
+    val base = docs(s, dir).select(col("doc_id"),
+        floor(col("n_chars").cast("double") / (nTok * lit(10.0))
+          * lit(1000000)).cast("long").as("xm"),
+        (conv(substring(md5(concat(lit("cal:"),
+          col("doc_id").cast("string"))), 1, 8), 16, 10)
+          .cast("long") % 2).as("grp"))
+      .persist()
+    val calAgg = base.filter(col("grp") === 0)
+      .agg(count(lit(1)).as("n"),
+        sum(col("xm").cast(DecimalType(38, 0))).as("sx")).head()
+    val nCal = calAgg.getLong(0)
+    val mu = (calAgg.getDecimal(1).toBigInteger
+      .divide(java.math.BigInteger.valueOf(nCal))).longValueExact()
+    val k = math.min((9L * (nCal + 1) + 9) / 10, nCal)
+    val ranked = graft.operators.GlobalRank.withGlobalRank(
+      base.filter(col("grp") === 0)
+        .select((abs(col("xm") - mu)).as("r"), col("doc_id")),
+      Seq(col("r"), col("doc_id")), "rk")
+    val q = ranked.filter(col("rk") === k).head().getLong(0)
+    val tst = base.filter(col("grp") === 1)
+      .agg(count(lit(1)).as("n"),
+        sum(when(abs(col("xm") - mu) <= q, 1L).otherwise(0L)).as("cov"))
+      .head()
+    base.unpersist()
+    import s.implicits._
+    val nTest = tst.getLong(0)
+    val nCov = tst.getLong(1)
+    Seq((nCal, nTest, k, q, nCov, nCov * 1000000L / nTest))
+      .toDF("n_cal", "n_test", "k", "q_micro", "n_covered",
+        "coverage_ppm")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q293_conformal_interval"  -> (conformalInterval _),
     "q289_group_kfold"         -> (groupKFold _),
     "q291_calibration_ece"     -> (calibrationEce _),
     "q277_waterfill_budget"    -> (waterfillBudget _),
@@ -1008,6 +1062,44 @@ object PipelineQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // q293: identical micro quantization, md5 split, integer mean,
+    // ⌈0.9(n+1)⌉-th order statistic (global row_number HERE — the
+    // engine runs GlobalRank instead), exact coverage count
+    "q293_conformal_interval" ->
+      """WITH t AS (SELECT doc_id,
+        |                  string_split_regex(trim(text), '\s+') AS ws,
+        |                  n_chars
+        |           FROM documents),
+        |b AS (SELECT doc_id,
+        |        CAST(floor(n_chars::DOUBLE / (greatest(len(ws), 1) * 10.0)
+        |               * 1000000) AS BIGINT) AS xm,
+        |        CAST(('0x' || substring(md5('cal:' ||
+        |          CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT % 2
+        |          AS BIGINT) AS grp
+        |      FROM t),
+        |cs AS (SELECT CAST(count(*) AS BIGINT) AS n_cal,
+        |              CAST(CAST(sum(xm) AS HUGEINT) // count(*)
+        |                   AS BIGINT) AS mu
+        |       FROM b WHERE grp = 0),
+        |kk AS (SELECT least((9 * ((SELECT n_cal FROM cs) + 1) + 9) // 10,
+        |                    (SELECT n_cal FROM cs)) AS k),
+        |rr AS (SELECT abs(xm - (SELECT mu FROM cs)) AS r, doc_id
+        |       FROM b WHERE grp = 0),
+        |qv AS (SELECT r FROM (
+        |         SELECT r, row_number() OVER (ORDER BY r, doc_id) AS rk
+        |         FROM rr)
+        |       WHERE rk = (SELECT k FROM kk)),
+        |ts AS (SELECT CAST(count(*) AS BIGINT) AS n_test,
+        |              CAST(sum(CASE WHEN abs(xm - (SELECT mu FROM cs))
+        |                   <= (SELECT r FROM qv) THEN 1 ELSE 0 END)
+        |                   AS BIGINT) AS n_cov
+        |       FROM b WHERE grp = 1)
+        |SELECT (SELECT n_cal FROM cs) AS n_cal, n_test,
+        |       CAST((SELECT k FROM kk) AS BIGINT) AS k,
+        |       (SELECT r FROM qv) AS q_micro, n_cov AS n_covered,
+        |       CAST(CAST(n_cov AS HUGEINT) * 1000000 // n_test AS BIGINT)
+        |         AS coverage_ppm
+        |FROM ts""".stripMargin,
     // q289: identical md5 fold assignment (hex-prefix → integer % 5,
     // the md5Bucket idiom), two-level aggregate, integer-div ppm
     "q289_group_kfold" ->

@@ -858,7 +858,62 @@ object VectorQueries {
     out
   }
 
+  /** q292: per-cluster PROTOTYPE and EDGE-CASE selection — for each
+    * ground-truth label, the member nearest its centroid (the
+    * "prototype" a human reviews, the representative a UI shows, the
+    * exemplar few-shot prompts sample) and the member farthest from it
+    * (the outlier an audit queue surfaces first). The O(n) companion
+    * of the O(n²) true-medoid: at selection time each member needs ONE
+    * distance — to its own centroid — not n.
+    *
+    * Same integer discipline as q287: ×10⁶ micro quantization once,
+    * DECIMAL(38,0) coordinate sums, sign-split truncating centroid
+    * division, pure-BIGINT zip_with d², argmin/argmax as
+    * min(struct(d2, id)) / max(struct(d2, −id)) (ties toward the
+    * smaller id in BOTH directions). Scale shape: one posexplode'd
+    * (label, dim) aggregate whose k·d-row result is all the driver
+    * holds, then one broadcast join + one hash aggregate — no join of
+    * data against data, no window. */
+  def labelPrototypes(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.types.DecimalType
+    val vq = emb(s, dir).select(col("vec_id"),
+        col("label").cast("long").as("lbl"),
+        expr("transform(embedding, v -> " +
+          "CAST(floor(CAST(v AS DOUBLE) * 1000000) AS BIGINT))").as("vq"))
+      .persist()
+    val cents = vq.select(col("lbl"), posexplode(col("vq")).as(Seq("i", "v")))
+      .groupBy(col("lbl"), col("i"))
+      .agg(sum(col("v").cast(DecimalType(38, 0))).as("sv"),
+        count(lit(1)).as("n"))
+      .select(col("lbl"), col("i"),
+        expr("CAST(CASE WHEN sv >= 0 THEN sv div n " +
+          "ELSE -((-sv) div n) END AS BIGINT)").as("cv"))
+      .collect()
+      .groupBy(_.getLong(0))
+      .map { case (l, rows) =>
+        (l, rows.sortBy(_.getInt(1)).map(_.getLong(2)).toSeq) }
+      .toSeq.sortBy(_._1)
+    val cdf = broadcast(cents.toDF("lbl", "cq"))
+    val out = graft.util.LocalFrame.materialize(
+      vq.join(cdf, Seq("lbl"))
+        .select(col("lbl"), col("vec_id"),
+          expr("aggregate(zip_with(vq, cq, (a, b) -> (a - b) * (a - b)), " +
+            "0L, (acc, x) -> acc + x)").as("d2"))
+        .groupBy(col("lbl"))
+        .agg(count(lit(1)).as("n_members"),
+          min(struct(col("d2"), col("vec_id"))).as("mn"),
+          max(struct(col("d2"), (-col("vec_id")).as("nid"))).as("mx"))
+        .select(col("lbl").as("label"), col("n_members"),
+          col("mn.vec_id").as("proto_id"), col("mn.d2").as("proto_d2"),
+          (-col("mx.nid")).as("far_id"), col("mx.d2").as("far_d2"))
+        .orderBy(col("label")))
+    vq.unpersist()
+    out
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q292_label_prototypes" -> (labelPrototypes _),
     "q287_kmeans_lloyd"    -> (kmeansLloyd _),
     "q276_coreset_kcenter" -> (coresetKCenter _),
     "q250_pca_project_recall" -> (pcaProjectRecall _),
@@ -902,6 +957,43 @@ object VectorQueries {
        |              UNION ALL SELECT vec_id FROM s$n)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // q292: same micro-quantized centroids (sign-split div), HUGEINT
+    // d², argmin/argmax with min-id ties via the max/min-join pattern
+    "q292_label_prototypes" ->
+      """WITH ex AS (
+        |  SELECT vec_id, CAST(label AS BIGINT) AS lbl, r.range AS i,
+        |         CAST(floor(CAST(embedding[r.range::INT + 1] AS DOUBLE)
+        |                    * 1000000) AS BIGINT) AS v
+        |  FROM embeddings CROSS JOIN range(0, 64) r),
+        |c AS (SELECT lbl, i,
+        |             CAST(CASE WHEN sum(v) >= 0
+        |                  THEN CAST(sum(v) AS HUGEINT) // count(*)
+        |                  ELSE -((-CAST(sum(v) AS HUGEINT)) // count(*))
+        |                  END AS BIGINT) AS cv
+        |      FROM ex GROUP BY 1, 2),
+        |d AS (SELECT e.vec_id, e.lbl,
+        |             CAST(sum((e.v - c.cv) * (e.v - c.cv)) AS HUGEINT)
+        |               AS d2
+        |      FROM ex e JOIN c ON e.lbl = c.lbl AND e.i = c.i
+        |      GROUP BY 1, 2),
+        |mn AS (SELECT lbl, min(d2) AS v FROM d GROUP BY 1),
+        |mx AS (SELECT lbl, max(d2) AS v FROM d GROUP BY 1),
+        |pro AS (SELECT d.lbl, min(vec_id) AS proto_id,
+        |               CAST(min(d.d2) AS BIGINT) AS proto_d2
+        |        FROM d JOIN mn ON d.lbl = mn.lbl AND d.d2 = mn.v
+        |        GROUP BY 1),
+        |far AS (SELECT d.lbl, min(vec_id) AS far_id,
+        |               CAST(min(d.d2) AS BIGINT) AS far_d2
+        |        FROM d JOIN mx ON d.lbl = mx.lbl AND d.d2 = mx.v
+        |        GROUP BY 1),
+        |nn AS (SELECT CAST(label AS BIGINT) AS lbl,
+        |              CAST(count(*) AS BIGINT) AS n_members
+        |       FROM embeddings GROUP BY 1)
+        |SELECT nn.lbl AS label, n_members, proto_id, proto_d2,
+        |       far_id, far_d2
+        |FROM nn JOIN pro ON nn.lbl = pro.lbl
+        |JOIN far ON nn.lbl = far.lbl
+        |ORDER BY label""".stripMargin,
     // q287: both Lloyd iterations replayed — micro-quantized integer
     // coords, HUGEINT interior sums, identical argmin tie (min cid at
     // min d2) and sign-split truncating centroid division
