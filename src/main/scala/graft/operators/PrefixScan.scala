@@ -56,7 +56,7 @@ object PrefixScan {
     * BIGINT for every row. */
   def withRunningSum(df: DataFrame, orderCols: Seq[Column],
                      valueCol: Column, outCol: String): DataFrame =
-    scan(df, orderCols, valueCol, outCol, rankCol = None)
+    scan(df, orderCols, Seq(valueCol -> outCol), rankCol = None)
 
   /** As [[withRunningSum]], additionally stamping `rankCol` = the
     * 1-based global position under the same order — both from the ONE
@@ -67,45 +67,73 @@ object PrefixScan {
   def withRunningSumAndRank(df: DataFrame, orderCols: Seq[Column],
                             valueCol: Column, outCol: String,
                             rankCol: String): DataFrame =
-    scan(df, orderCols, valueCol, outCol, Some(rankCol))
+    scan(df, orderCols, Seq(valueCol -> outCol), Some(rankCol))
 
-  private def scan(df: DataFrame, orderCols: Seq[Column], valueCol: Column,
-                   outCol: String, rankCol: Option[String]): DataFrame = {
+  /** N running sums from the SAME single range exchange — the
+    * multi-measure form (a two-sample ECDF needs cum(a) and cum(b)
+    * at every order position; two single-value scans would pay the
+    * range shuffle twice and could not even guarantee the same tie
+    * placement across the two orders). Per-partition reduce carries
+    * one long per measure; everything else is the [[withRunningSum]]
+    * contract verbatim. */
+  def withRunningSums(df: DataFrame, orderCols: Seq[Column],
+                      valueCols: Seq[(Column, String)]): DataFrame =
+    scan(df, orderCols, valueCols, rankCol = None)
+
+  private def scan(df: DataFrame, orderCols: Seq[Column],
+                   valueCols: Seq[(Column, String)],
+                   rankCol: Option[String]): DataFrame = {
     val spark = df.sparkSession
-    val vCol = "_ps_v"
-    require(!df.columns.contains(vCol),
-      s"input must not contain reserved internal column $vCol")
-    (outCol :: rankCol.toList).foreach { c =>
+    val nv = valueCols.size
+    require(nv >= 1, "at least one value column")
+    val vCols = valueCols.indices.map(i => s"_ps_v$i")
+    df.columns.find(_.startsWith("_ps_v")).foreach { c =>
+      require(requirement = false,
+        s"input must not contain reserved internal column $c " +
+          "(the _ps_v prefix is PrefixScan's)")
+    }
+    (valueCols.map(_._2) ++ rankCol.toList).foreach { c =>
       require(!df.columns.contains(c),
         s"output column $c already exists in the input")
     }
-    // appended LAST, so r.toSeq.init strips it again after stamping
-    val withV = df.withColumn(vCol, valueCol.cast(LongType))
+    // appended LAST, so dropRight(nv) strips them again after stamping
+    val withV = valueCols.zip(vCols).foldLeft(df) {
+      case (d, ((vc, _), name)) => d.withColumn(name, vc.cast(LongType))
+    }
     val parted = withV.repartitionByRange(orderCols: _*)
       .sortWithinPartitions(orderCols: _*)
     var schema = StructType(df.schema.fields)
-      .add(outCol, LongType, nullable = false)
+    valueCols.foreach { case (_, out) =>
+      schema = schema.add(out, LongType, nullable = false) }
     rankCol.foreach { c => schema = schema.add(c, LongType, nullable = false) }
     val rdd = parted.rdd
-    val vIdx = parted.schema.fieldIndex(vCol)
-    // pass 1: two longs per partition (the shuffle files written by the
+    val vIdx = vCols.map(parted.schema.fieldIndex).toArray
+    // pass 1: nv+1 longs per partition (the shuffle files written by the
     // range exchange are reused by pass 2 — the sort runs once)
     val partials = rdd
       .mapPartitionsWithIndex { (i, it) =>
-        var (s, n) = (0L, 0L)
-        it.foreach { r => s += r.getLong(vIdx); n += 1 }
+        val s = new Array[Long](nv)
+        var n = 0L
+        it.foreach { r =>
+          var j = 0
+          while (j < nv) { s(j) += r.getLong(vIdx(j)); j += 1 }
+          n += 1
+        }
         Iterator((i, s, n))
       }
       .collect().sortBy(_._1)
-    val offsets = partials.map(_._2).scanLeft(0L)(_ + _)
+    val offsets = partials.map(_._2)
+      .scanLeft(new Array[Long](nv)) { (a, b) =>
+        Array.tabulate(nv)(j => a(j) + b(j)) }
     val rankOffsets = partials.map(_._3).scanLeft(0L)(_ + _)
     val scanned = rdd.mapPartitionsWithIndex { (pi, it) =>
-      var acc = offsets(pi)
+      val acc = offsets(pi).clone()
       var rk = rankOffsets(pi)
       it.map { r =>
-        acc += r.getLong(vIdx)
+        var j = 0
+        while (j < nv) { acc(j) += r.getLong(vIdx(j)); j += 1 }
         rk += 1
-        val base = r.toSeq.init :+ acc
+        val base = r.toSeq.dropRight(nv) ++ acc
         Row.fromSeq(rankCol.fold(base)(_ => base :+ rk))
       }
     }

@@ -493,7 +493,105 @@ object ExtAggQueries {
       .orderBy(col("mktsegment"))
   }
 
+  /** q294: two-sample Kolmogorov–Smirnov test — do urgent orders
+    * (priority 1-URGENT/2-HIGH) draw their totals from the same
+    * distribution as the rest? The standard nonparametric drift gate
+    * (feature drift between train/serve splits, A/B invariance
+    * checks). D = max |F̂_hi − F̂_lo| evaluated at every jump point,
+    * kept EXACT: with n1·F̂_hi(v) = cum1(v), the statistic is
+    * max |cum1·n0 − cum0·n1| / (n1·n0) — an integer numerator, so
+    * both engines agree bit-for-bit and the reported D is an
+    * integer-division ppm.
+    *
+    * Scale shape: one hash aggregate to (cents, c_hi, c_lo) — the
+    * distinct-value frame — then BOTH running counts ride the SAME
+    * [[graft.operators.PrefixScan]] range exchange (the new
+    * multi-measure form: two single scans would shuffle twice and
+    * could disagree on tie placement); the final max is an ordinary
+    * hash aggregate. No global window ever appears in the plan. The
+    * cum·n products run through DECIMAL(38,0) — exact to n ≈ 10¹⁸
+    * rows, far past any SF (the BIGINT form would already wrap at
+    * n ≈ 3×10⁹). argmax position reported as the SMALLEST jump value
+    * attaining D (max(struct(dnum, −cents)) ≡ the oracle's
+    * min-cents-at-max). */
+  def ksTest(s: SparkSession, dir: String): DataFrame = {
+    val dec38 = DecimalType(38, 0)
+    val b = graft.Tables.load(s, dir, "orders")
+      .select(
+        (col("o_totalprice").cast(DecimalType(18, 2)) * 100)
+          .cast("long").as("cents"),
+        when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+          .otherwise(0L).as("hi"))
+    val g = b.groupBy(col("cents"))
+      .agg(sum(col("hi")).as("c1"),
+        (count(lit(1)) - sum(col("hi"))).as("c0"))
+    val cum = graft.operators.PrefixScan.withRunningSums(
+      g, Seq(col("cents")),
+      Seq(col("c1") -> "cum1", col("c0") -> "cum0"))
+    val tot = b.agg(sum(col("hi")).as("n1"),
+      (count(lit(1)) - sum(col("hi"))).as("n0"))
+    cum.crossJoin(broadcast(tot))
+      .select(col("cents"), col("n1"), col("n0"),
+        abs(col("cum1").cast(dec38) * col("n0")
+          - col("cum0").cast(dec38) * col("n1")).as("dnum"))
+      .agg(first(col("n1")).as("n_hi"), first(col("n0")).as("n_lo"),
+        max(struct(col("dnum").as("dn"), (-col("cents")).as("negc")))
+          .as("mx"))
+      .select(col("n_hi"), col("n_lo"),
+        expr("CAST(mx.dn * 1000000 div " +
+          "(CAST(n_hi AS DECIMAL(38,0)) * n_lo) AS BIGINT)").as("d_ppm"),
+        (-col("mx.negc")).as("at_cents"))
+  }
+
+  /** q295: chi-squared test of independence between customer market
+    * segment and order priority — the categorical-association audit
+    * (does a feature leak the label? did a segment shift its mix?).
+    * Exact integer scheme: on the FULL R×C grid (absent cells count
+    * with O = 0 — dropping them understates χ²),
+    *   E_micros = r·c·10⁶ div N,   dq = O·10⁶ − E_micros,
+    *   cell χ²·10⁶ = dq² div E_micros,
+    * every step DECIMAL(38,0) integer arithmetic on identical
+    * operands, so the summed chi2_micros is bit-identical across
+    * engines (all operands of the two `div`s are positive — Spark's
+    * truncation and DuckDB's floor agree). Exact while dq² ≲ 10³⁸,
+    * i.e. to N ≈ 10¹⁶ rows.
+    *
+    * Scale shape: ONE data-sized hash aggregate to the ≤ R·C cell
+    * frame; margins, the grid (broadcast NLJ of two bounded dims),
+    * and the χ² fold all run on that bounded frame — nothing
+    * data-proportional past the first aggregate. */
+  def chi2Independence(s: SparkSession, dir: String): DataFrame = {
+    val dec38 = DecimalType(38, 0)
+    val cells = graft.Tables.load(s, dir, "orders")
+      .join(broadcast(graft.Tables.load(s, dir, "customer")
+        .select(col("c_custkey"), col("c_mktsegment"))),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment").as("seg"),
+        col("o_orderpriority").as("pri"))
+      .agg(count(lit(1)).as("obs"))
+    val segs = cells.groupBy(col("seg")).agg(sum(col("obs")).as("rtot"))
+    val pris = cells.groupBy(col("pri")).agg(sum(col("obs")).as("ctot"))
+    val n = cells.agg(sum(col("obs")).as("ntot"))
+    segs.crossJoin(broadcast(pris)).crossJoin(broadcast(n))
+      .join(cells, Seq("seg", "pri"), "left")
+      .na.fill(0L, Seq("obs"))
+      .withColumn("e_micros",
+        expr("CAST(rtot AS DECIMAL(38,0)) * ctot * 1000000 div ntot"))
+      .withColumn("dq",
+        expr("CAST(obs AS DECIMAL(38,0)) * 1000000 - e_micros"))
+      .withColumn("contrib", expr("dq * dq div e_micros"))
+      .agg(first(col("ntot")).as("n"),
+        countDistinct(col("seg")).as("n_seg"),
+        countDistinct(col("pri")).as("n_pri"),
+        sum(col("contrib")).as("chi2s"))
+      .select(col("n"), col("n_seg"), col("n_pri"),
+        ((col("n_seg") - 1) * (col("n_pri") - 1)).as("dof"),
+        col("chi2s").cast("long").as("chi2_micros"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q294_ks_test"             -> (ksTest _),
+    "q295_chi2_independence"   -> (chi2Independence _),
     "q285_central_moments"     -> (centralMoments _),
     "q204_winsorized_stats"    -> (winsorizedStats _),
     "q208_mad_outliers"        -> (madOutliers _),
@@ -513,6 +611,66 @@ object ExtAggQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // q294: ECDF jump points via window cumulatives (the oracle may use
+    // the global window Spark-side PrefixScan replaces), integer
+    // |cum1·n0 − cum0·n1| numerator through HUGEINT (internal only),
+    // min-cents argmax, ppm by positive-operand integer division
+    "q294_ks_test" ->
+      """WITH b AS (
+        |  SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |           AS cents,
+        |         CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |              THEN 1 ELSE 0 END AS hi
+        |  FROM orders),
+        |g AS (SELECT cents, CAST(sum(hi) AS BIGINT) AS c1,
+        |             CAST(count(*) - sum(hi) AS BIGINT) AS c0
+        |      FROM b GROUP BY 1),
+        |cum AS (SELECT cents,
+        |               CAST(sum(c1) OVER (ORDER BY cents) AS BIGINT) AS cum1,
+        |               CAST(sum(c0) OVER (ORDER BY cents) AS BIGINT) AS cum0
+        |        FROM g),
+        |tot AS (SELECT CAST(sum(hi) AS BIGINT) AS n1,
+        |               CAST(count(*) - sum(hi) AS BIGINT) AS n0 FROM b),
+        |d AS (SELECT cents,
+        |             abs(CAST(cum1 AS HUGEINT) * n0
+        |                 - CAST(cum0 AS HUGEINT) * n1) AS dnum
+        |      FROM cum, tot),
+        |m AS (SELECT max(dnum) AS mx FROM d)
+        |SELECT t.n1 AS n_hi, t.n0 AS n_lo,
+        |       CAST(m.mx * 1000000 // (CAST(t.n1 AS HUGEINT) * t.n0)
+        |            AS BIGINT) AS d_ppm,
+        |       (SELECT min(cents) FROM d WHERE d.dnum = m.mx) AS at_cents
+        |FROM tot t, m""".stripMargin,
+    // q295: full R×C grid with zero-filled absent cells, the same
+    // E_micros/dq/contrib integer ladder (HUGEINT internal only); all
+    // div operands positive so floor ≡ truncate
+    "q295_chi2_independence" ->
+      """WITH j AS (
+        |  SELECT c.c_mktsegment AS seg, o.o_orderpriority AS pri
+        |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey),
+        |cells AS (SELECT seg, pri, CAST(count(*) AS BIGINT) AS obs
+        |          FROM j GROUP BY 1, 2),
+        |r AS (SELECT seg, CAST(sum(obs) AS BIGINT) AS rtot
+        |      FROM cells GROUP BY 1),
+        |cc AS (SELECT pri, CAST(sum(obs) AS BIGINT) AS ctot
+        |       FROM cells GROUP BY 1),
+        |t AS (SELECT CAST(sum(obs) AS BIGINT) AS ntot FROM cells),
+        |g AS (SELECT r.seg, cc.pri, r.rtot, cc.ctot, t.ntot,
+        |             COALESCE(cells.obs, 0) AS obs
+        |      FROM r CROSS JOIN cc CROSS JOIN t
+        |      LEFT JOIN cells ON cells.seg = r.seg AND cells.pri = cc.pri),
+        |k AS (SELECT ntot, seg, pri,
+        |        CAST(rtot AS HUGEINT) * ctot * 1000000 // ntot AS e_micros,
+        |        CAST(obs AS HUGEINT) * 1000000
+        |          - CAST(rtot AS HUGEINT) * ctot * 1000000 // ntot AS dq
+        |      FROM g)
+        |SELECT max(ntot) AS n,
+        |       CAST(count(DISTINCT seg) AS BIGINT) AS n_seg,
+        |       CAST(count(DISTINCT pri) AS BIGINT) AS n_pri,
+        |       CAST((count(DISTINCT seg) - 1) * (count(DISTINCT pri) - 1)
+        |            AS BIGINT) AS dof,
+        |       CAST(sum(dq * dq // e_micros) AS BIGINT) AS chi2_micros
+        |FROM k""".stripMargin,
     // q285: same two-pass exact-integer scheme — integer pivot, centered
     // power sums, n-scaled central combination through HUGEINT
     // (internal only), identical IEEE expression for each shape ratio

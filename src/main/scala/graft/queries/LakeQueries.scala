@@ -1532,7 +1532,120 @@ object LakeQueries {
     } }
   }
 
+  /** q296: `replaceWhere` partition overwrite
+    * ([[graft.sources.LakeTable.overwriteWhere]]) — Delta's
+    * atomic-reprocess idiom as an oracle-checked lifecycle: (1) a
+    * month-clustered table (4 stats-tracked groups); (2) CONTAINMENT —
+    * a batch leaking outside the replaced band is refused WHOLE before
+    * any byte lands; (3) replacing 1995-07 with recomputed (doubled)
+    * rows touches only the group(s) whose min/max admit the band — at
+    * least one group is carried by name, zero bytes rewritten
+    * (`groups_carried` pins it); (4) every count and cents sum is
+    * restated by the oracle from orders with the July rows doubled.
+    * At 100 TB with a partition-clustered layout the carried set is
+    * the whole table minus the reprocessed partition. */
+  def replaceWhereLifecycle(s: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.load(s, dir, "orders")
+      .filter(col("o_custkey") % 4 === 1)
+      .select(col("o_orderkey"),
+        (year(col("o_orderdate")) * 100 + month(col("o_orderdate")))
+          .cast("long").as("mk"),
+        expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)")
+          .as("cents"))
+    graft.util.LocalFrame.withConf(s, "spark.sql.shuffle.partitions", "8") {
+    graft.util.Tmp.withTempDir("graft_lake_q296") { rootPath =>
+      val root = rootPath.toString
+      LakeTable.createClustered(s, root, orders, "mk", 4, Seq("mk"))
+      val dirsBefore = LakeTable.dataDirPaths(s, root).toSet
+      // containment gate: July+August rows against a July-only band
+      val refused =
+        try {
+          LakeTable.overwriteWhere(s, root,
+            orders.filter(col("mk").isin(199507L, 199508L)),
+            "mk", 199507, 199507)
+          0L
+        } catch { case _: IllegalArgumentException => 1L }
+      // reprocess 1995-07: same rows, recomputed (doubled) cents
+      LakeTable.overwriteWhere(s, root,
+        orders.filter(col("mk") === 199507)
+          .withColumn("cents", col("cents") * 2),
+        "mk", 199507, 199507, Seq("mk"))
+      val carried =
+        (dirsBefore intersect LakeTable.dataDirPaths(s, root).toSet).size
+      val t = LakeTable.read(s, root)
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("c"),
+          sum(when(col("mk") === 199507, lit(1L)).otherwise(0L)).as("nb"),
+          sum(when(col("mk") === 199507, col("cents")).otherwise(0L))
+            .as("cb")).head()
+      import s.implicits._
+      graft.util.LocalFrame.materialize(Seq(
+        ("cents_band", t.getLong(3)),
+        ("cents_total", t.getLong(1)),
+        ("groups_carried_some", if (carried >= 1) 1L else 0L),
+        ("n_band", t.getLong(2)),
+        ("n_total", t.getLong(0)),
+        ("refused_out_of_band", refused)
+      ).toDF("fact", "n").orderBy(col("fact")))
+    } }
+  }
+
+  /** q297: identity columns ([[graft.sources.LakeTable.setIdentity]])
+    * — Delta's `GENERATED ALWAYS AS IDENTITY (START WITH 10 INCREMENT
+    * BY 5)` as an oracle-checked lifecycle: (1) the column arrives by
+    * schema evolution, so rows that PREDATE it read NULL ids (history
+    * is immutable); (2) two appends stamp engine-assigned ids — the
+    * oracle proves uniqueness AND contiguity arithmetically
+    * (distinct = n, min = 10, max = 10 + 5·(n−1), and the full
+    * arithmetic-series sum Σid = 10n + 5·n(n−1)/2 — no gap or dup can
+    * fake all four); (3) a batch carrying the column explicitly is
+    * refused (GENERATED ALWAYS). The high-water mark is one manifest
+    * line; each append pays two bounded passes over its own landed
+    * batch — O(batch), never the table. */
+  def identityLifecycle(s: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.load(s, dir, "orders")
+      .filter(col("o_custkey") % 4 === 2)
+      .select(col("o_orderkey"),
+        expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)")
+          .as("cents"))
+    val m = col("o_orderkey") % 3
+    graft.util.LocalFrame.withConf(s, "spark.sql.shuffle.partitions", "8") {
+    graft.util.Tmp.withTempDir("graft_lake_q297") { rootPath =>
+      val root = rootPath.toString
+      LakeTable.create(s, root, orders.filter(m === 0))
+      LakeTable.evolveSchema(s, root, org.apache.spark.sql.types.StructType(
+        Seq(org.apache.spark.sql.types.StructField("row_id",
+          org.apache.spark.sql.types.LongType))))
+      LakeTable.setIdentity(s, root, "row_id", start = 10L, step = 5L)
+      LakeTable.append(s, root, orders.filter(m === 1))
+      val refused =
+        try {
+          LakeTable.append(s, root,
+            orders.filter(m === 2).withColumn("row_id", lit(1L)))
+          0L
+        } catch { case _: IllegalArgumentException => 1L }
+      LakeTable.append(s, root, orders.filter(m === 2))
+      val t = LakeTable.read(s, root).agg(
+        sum(when(col("row_id").isNull, 1L).otherwise(0L)).as("n_null"),
+        count(col("row_id")).as("n_ids"),
+        countDistinct(col("row_id")).as("d_ids"),
+        min(col("row_id")).as("mn"), max(col("row_id")).as("mx"),
+        sum(col("row_id")).as("sm")).head()
+      import s.implicits._
+      graft.util.LocalFrame.materialize(Seq(
+        ("distinct_ids", t.getLong(2)),
+        ("max_id", t.getLong(4)),
+        ("min_id", t.getLong(3)),
+        ("n_ids", t.getLong(1)),
+        ("n_pre_identity", t.getLong(0)),
+        ("refused_explicit_id", refused),
+        ("sum_ids", t.getLong(5))
+      ).toDF("fact", "n").orderBy(col("fact")))
+    } }
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q296_replace_where"       -> (replaceWhereLifecycle _),
+    "q297_identity_column"     -> (identityLifecycle _),
     "q282_hll_index_lake"      -> (hllIndexLifecycle _),
     "q281_unique_constraint"   -> (uniqueLifecycle _),
     "q288_column_default"      -> (defaultLifecycle _),
@@ -1570,6 +1683,48 @@ object LakeQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // q296: counts/sums restated from orders with the July-1995 band
+    // doubled (the replacement batch); protocol facts pin as integers
+    "q296_replace_where" ->
+      """WITH o AS (
+        |  SELECT CAST(year(o_orderdate) * 100 + month(o_orderdate)
+        |              AS BIGINT) AS mk,
+        |         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |           AS cents
+        |  FROM orders WHERE o_custkey % 4 = 1),
+        |f AS (SELECT mk,
+        |             CASE WHEN mk = 199507 THEN cents * 2 ELSE cents END
+        |               AS cents
+        |      FROM o)
+        |SELECT 'cents_band' AS fact,
+        |       CAST(sum(CASE WHEN mk = 199507 THEN cents ELSE 0 END)
+        |            AS BIGINT) AS n FROM f
+        |UNION ALL SELECT 'cents_total', CAST(sum(cents) AS BIGINT) FROM f
+        |UNION ALL SELECT 'groups_carried_some', CAST(1 AS BIGINT)
+        |UNION ALL SELECT 'n_band',
+        |  count(*) FILTER (mk = 199507) FROM f
+        |UNION ALL SELECT 'n_total', count(*) FROM f
+        |UNION ALL SELECT 'refused_out_of_band', CAST(1 AS BIGINT)
+        |ORDER BY fact""".stripMargin,
+    // q297: the identity-series facts are pure arithmetic on the
+    // engine-assigned id block (start 10, step 5, n = the two stamped
+    // batches' row count) — sum/min/max/distinct together prove the
+    // ids are exactly the gap-free series
+    "q297_identity_column" ->
+      """WITH o AS (
+        |  SELECT o_orderkey FROM orders WHERE o_custkey % 4 = 2),
+        |c AS (SELECT count(*) FILTER (o_orderkey % 3 = 0) AS n0,
+        |             count(*) FILTER (o_orderkey % 3 <> 0) AS nn
+        |      FROM o)
+        |SELECT 'distinct_ids' AS fact, CAST(nn AS BIGINT) AS n FROM c
+        |UNION ALL SELECT 'max_id', CAST(10 + 5 * (nn - 1) AS BIGINT) FROM c
+        |UNION ALL SELECT 'min_id', CAST(10 AS BIGINT)
+        |UNION ALL SELECT 'n_ids', CAST(nn AS BIGINT) FROM c
+        |UNION ALL SELECT 'n_pre_identity', CAST(n0 AS BIGINT) FROM c
+        |UNION ALL SELECT 'refused_explicit_id', CAST(1 AS BIGINT)
+        |UNION ALL SELECT 'sum_ids',
+        |  CAST(10 * nn + 5 * (nn * (nn - 1) // 2) AS BIGINT) FROM c
+        |ORDER BY fact""".stripMargin,
     // q282: exact distinct counts restated from orders; estimate and
     // coverage gates pin as constants (deterministic sketches)
     "q282_hll_index_lake" ->

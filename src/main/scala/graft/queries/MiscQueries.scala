@@ -1500,7 +1500,111 @@ object MiscQueries {
     out
   }
 
+  /** q299: Kaplan–Meier survival curve over customer lifetimes (the
+    * product-limit estimator, Kaplan & Meier JASA 1958 — churn
+    * analysis' backbone): lifetime = months between a customer's first
+    * and last order, an EVENT if the last order predates the 1998-01
+    * cutoff (churned), CENSORED otherwise (still active at the end of
+    * observation — the whole point of KM is that censored customers
+    * still count in every risk set they survived through).
+    *
+    * Exactness: Ŝ(t) = Π_{t'≤t} (n_{t'} − d_{t'}) / n_{t'} folds as a
+    * ppm-scaled integer recurrence s ← s·(n−d) div n (s ≤ 10⁶,
+    * n ≤ 10¹¹ — the product holds in BIGINT to 10¹² customers), the
+    * same left fold in both engines, so every reported survival value
+    * is bit-identical; risk sets are exact integer tail sums.
+    *
+    * Scale shape: ONE data-sized hash aggregate (per-customer
+    * min/max order month), one more to the ≤ ~84-row per-duration
+    * frame (calendar-bounded like q263/q279), and the KM fold runs in
+    * a single aggregate HOF over that bounded array — no window, no
+    * driver state beyond the bounded curve itself. */
+  def kaplanMeier(s: SparkSession, dir: String): DataFrame = {
+    val life = t(s, dir, "orders")
+      .groupBy(col("o_custkey"))
+      .agg(min(col("o_orderdate")).as("first_o"),
+        max(col("o_orderdate")).as("last_o"))
+      .select(
+        ((year(col("last_o")) * 12 + month(col("last_o"))) -
+          (year(col("first_o")) * 12 + month(col("first_o"))))
+          .cast("long").as("dur"),
+        (col("last_o") < lit("1998-01-01").cast("date")).as("churned"))
+    val byDur = life.groupBy(col("dur"))
+      .agg(count(lit(1)).as("n_at"),
+        sum(when(col("churned"), 1L).otherwise(0L)).as("d"))
+    byDur.agg(sort_array(collect_list(
+        struct(col("dur"), col("n_at"), col("d")))).as("xs"))
+      .select(expr(
+        """aggregate(xs,
+          |  named_struct(
+          |    'atrisk', aggregate(xs, CAST(0 AS BIGINT),
+          |                        (a, x) -> a + x.n_at),
+          |    's', CAST(1000000 AS BIGINT),
+          |    'out', CAST(array() AS
+          |      ARRAY<STRUCT<dur: BIGINT, n_risk: BIGINT,
+          |                   d: BIGINT, s_ppm: BIGINT>>)),
+          |  (acc, x) -> named_struct(
+          |    'atrisk', acc.atrisk - x.n_at,
+          |    's', IF(x.d > 0,
+          |            acc.s * (acc.atrisk - x.d) div acc.atrisk, acc.s),
+          |    'out', IF(x.d > 0,
+          |      array_append(acc.out, named_struct(
+          |        'dur', x.dur, 'n_risk', acc.atrisk, 'd', x.d,
+          |        's_ppm', acc.s * (acc.atrisk - x.d) div acc.atrisk)),
+          |      acc.out))).out""".stripMargin).as("curve"))
+      .select(explode(col("curve")).as("p"))
+      .select(col("p.dur").as("duration_months"),
+        col("p.n_risk").as("n_risk"), col("p.d").as("n_events"),
+        col("p.s_ppm").as("s_ppm"))
+      .orderBy(col("duration_months"))
+  }
+
+  /** q300: autocorrelation function of daily revenue at lags 1..7 —
+    * the seasonality probe (a weekly cycle shows as a lag-7 peak)
+    * behind forecasting-model selection (Box–Jenkins identification
+    * step). r_k = Σ(x_t−p)(x_{t+k}−p) / Σ(x_t−p)² with the q285
+    * integer-pivot scheme: p = ⌊mean⌋ lands from pass 1, the lag
+    * products and the denominator fold in DECIMAL(38,0) EXACTLY, and
+    * the reported ratio is a sign-split ppm division — bit-identical
+    * across engines; no float ever touches an accumulation.
+    *
+    * Scale shape: one data-sized hash aggregate to the calendar-
+    * bounded daily frame; the lag pairing is a 7-way date-shift
+    * equi-join of that bounded frame with itself (observed days only
+    * — gap days pair with nothing, n_pairs reports the true count);
+    * everything after is bounded. */
+  def acfDaily(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val dec38 = DecimalType(38, 0)
+    val daily = t(s, dir, "orders")
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(expr("CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 " +
+        "AS BIGINT)").as("cents"))
+    val piv = daily.agg(count(lit(1)).as("n"),
+      sum(col("cents").cast(dec38)).as("sx"))
+      .select((col("sx") / col("n")).cast("long").as("p"))
+    val c = daily.crossJoin(broadcast(piv))
+      .select(col("day"), (col("cents") - col("p")).as("dx"))
+    val den = c.agg(sum((col("dx").cast(dec38) * col("dx")).cast(dec38))
+      .as("den"))
+    val lags = (1 to 7).toDF("lag")
+    val shifted = c.crossJoin(broadcast(lags))
+      .select(expr("date_add(day, lag)").as("day"),
+        col("lag"), col("dx").as("dx0"))
+    shifted.join(c, Seq("day"))
+      .groupBy(col("lag"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum((col("dx0").cast(dec38) * col("dx")).cast(dec38)).as("num"))
+      .crossJoin(broadcast(den))
+      .select(col("lag").cast("long").as("lag"), col("n_pairs"),
+        expr("CAST(CASE WHEN num >= 0 THEN num * 1000000 div den " +
+          "ELSE -((-num) * 1000000 div den) END AS BIGINT)").as("r_ppm"))
+      .orderBy(col("lag"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q299_kaplan_meier"   -> (kaplanMeier _),
+    "q300_acf_daily"      -> (acfDaily _),
     "q283_label_prop"      -> (labelPropagation _),
     "q284_bfs_hops"        -> (bfsHops _),
     "q290_shortest_paths"  -> (shortestPaths _),
@@ -1545,6 +1649,67 @@ object MiscQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // q299: the same ppm-integer product-limit recurrence replayed as
+    // a recursive CTE over the duration-ordered steps; n_risk is the
+    // PRE-step risk set, s_ppm the post-step product
+    "q299_kaplan_meier" ->
+      """WITH RECURSIVE life AS (
+        |  SELECT (year(max(o_orderdate)) * 12 + month(max(o_orderdate)))
+        |       - (year(min(o_orderdate)) * 12 + month(min(o_orderdate)))
+        |           AS dur,
+        |         max(o_orderdate) < DATE '1998-01-01' AS churned
+        |  FROM orders GROUP BY o_custkey),
+        |bd AS (SELECT CAST(dur AS BIGINT) AS dur,
+        |              CAST(count(*) AS BIGINT) AS n_at,
+        |              CAST(count(*) FILTER (churned) AS BIGINT) AS d
+        |       FROM life GROUP BY 1),
+        |seq AS (SELECT *, CAST(row_number() OVER (ORDER BY dur) AS BIGINT)
+        |                    AS i FROM bd),
+        |km AS (
+        |  SELECT CAST(0 AS BIGINT) AS i,
+        |         (SELECT CAST(sum(n_at) AS BIGINT) FROM bd) AS atrisk,
+        |         CAST(1000000 AS BIGINT) AS s
+        |  UNION ALL
+        |  SELECT seq.i, km.atrisk - seq.n_at,
+        |         CASE WHEN seq.d > 0
+        |              THEN km.s * (km.atrisk - seq.d) // km.atrisk
+        |              ELSE km.s END
+        |  FROM km JOIN seq ON seq.i = km.i + 1)
+        |SELECT seq.dur AS duration_months, kp.atrisk AS n_risk,
+        |       seq.d AS n_events, kc.s AS s_ppm
+        |FROM seq
+        |JOIN km kc ON kc.i = seq.i
+        |JOIN km kp ON kp.i = seq.i - 1
+        |WHERE seq.d > 0
+        |ORDER BY duration_months""".stripMargin,
+    // q300: identical integer-pivot centered products; lag pairing by
+    // date arithmetic over observed days; sign-split ppm division
+    // (HUGEINT internal only)
+    "q300_acf_daily" ->
+      """WITH daily AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS day,
+        |         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100
+        |              AS BIGINT) AS cents
+        |  FROM orders GROUP BY 1),
+        |piv AS (SELECT CAST(CAST(sum(cents) AS HUGEINT) // count(*)
+        |                    AS BIGINT) AS p FROM daily),
+        |c AS (SELECT day, cents - p AS dx FROM daily, piv),
+        |den AS (SELECT sum(CAST(dx AS HUGEINT) * dx) AS den FROM c),
+        |l AS (SELECT unnest(range(1, 8)) AS lag),
+        |num AS (
+        |  SELECT l.lag, CAST(count(*) AS BIGINT) AS n_pairs,
+        |         sum(CAST(a.dx AS HUGEINT) * b.dx) AS num
+        |  FROM c a
+        |  JOIN l ON true
+        |  JOIN c b ON b.day = a.day + CAST(l.lag AS INTEGER)
+        |  GROUP BY 1)
+        |SELECT CAST(num.lag AS BIGINT) AS lag, num.n_pairs,
+        |       CAST(CASE WHEN num.num >= 0
+        |                 THEN num.num * 1000000 // den.den
+        |                 ELSE -((-num.num) * 1000000 // den.den) END
+        |            AS BIGINT) AS r_ppm
+        |FROM num, den
+        |ORDER BY lag""".stripMargin,
     // q283: two unrolled synchronous LPA rounds — per-round neighbor-
     // label counts, argmax with min-label tie (min over the max-count
     // rows ≡ Spark's max(struct(c, -lbl))), all exact integers

@@ -3,6 +3,7 @@ package graft.queries
 import graft.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /** [EXT] Training-data curation pipeline over `documents`/`embeddings` —
   * the operations a 100 TB pretraining-corpus build runs between raw
@@ -1033,7 +1034,80 @@ object PipelineQueries {
         "coverage_ppm")
   }
 
+  /** q298: multinomial Naive Bayes language classifier, trained and
+    * applied IN-ENGINE (the add-1-smoothed generative baseline every
+    * text pipeline reaches for before a neural model — McCallum &
+    * Nigam AAAI'98 workshop): md5 80/20 split, per-class token
+    * likelihoods on the train side, argmax posterior on the held-out
+    * side, confusion matrix out.
+    *
+    * Cross-engine exactness (the q164 rule): every transcendental —
+    * ln p(t|l), the unseen-token baseline ln(1/(tot_l+V)), the class
+    * prior ln(n_l/N) — is computed ONCE on a bounded frame as a
+    * single IEEE expression of identical operands and quantized to
+    * DECIMAL(18,9); all corpus-sized arithmetic after that is exact
+    * decimal (cnt·δ products, decimal sums), so scores and argmax
+    * ties (min lang) are bit-identical under any partitioning.
+    *
+    * Scale shape: the score decomposes as
+    *   score(d,l) = prior_l + ntok_d·lnUnseen_l + Σ_seen cnt·δ(l,t)
+    * so the dense (doc × class) part rides a broadcast of the
+    * CLASS-count frame and the sparse part is ONE equi-join of the
+    * test doc-term frame against the (class,token) model — no
+    * doc×vocab blowup, no window, no collect. */
+  def naiveBayes(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+      .filter(length(trim(col("text"))) > 0)
+      .select(col("doc_id"), col("lang"),
+        split(trim(col("text")), "\\s+").as("toks"),
+        (md5Bucket(col("doc_id").cast("string")) < 80).as("is_train"))
+    val dt = d.select(col("doc_id"), col("lang"), col("is_train"),
+        explode(col("toks")).as("tok"))
+      .groupBy(col("doc_id"), col("lang"), col("is_train"), col("tok"))
+      .agg(count(lit(1)).as("cnt"))
+    val train = dt.filter(col("is_train"))
+    val classTot = train.groupBy(col("lang").as("l"))
+      .agg(sum(col("cnt")).as("tot"))
+    val vocab = train.agg(countDistinct(col("tok")).cast("double").as("v"))
+    val priors = d.filter(col("is_train"))
+      .groupBy(col("lang").as("l")).agg(count(lit(1)).as("nd"))
+    val nTrain = d.filter(col("is_train")).agg(count(lit(1)).as("ntd"))
+    val model = train.groupBy(col("lang").as("l"), col("tok"))
+      .agg(sum(col("cnt")).as("c"))
+      .join(classTot, Seq("l")).crossJoin(broadcast(vocab))
+      .select(col("l"), col("tok"),
+        (expr("CAST(ln((c + 1.0) / (tot + v)) AS DECIMAL(18,9))") -
+          expr("CAST(ln(1.0 / (tot + v)) AS DECIMAL(18,9))")).as("delta"))
+    val classes = classTot.join(priors, Seq("l"))
+      .crossJoin(broadcast(vocab)).crossJoin(broadcast(nTrain))
+      .select(col("l"),
+        expr("CAST(ln(1.0 / (tot + v)) AS DECIMAL(18,9))").as("ln_unseen"),
+        expr("CAST(ln(CAST(nd AS DOUBLE) / ntd) AS DECIMAL(18,9))")
+          .as("ln_prior"))
+    val test = dt.filter(!col("is_train"))
+    val score = test.groupBy(col("doc_id"), col("lang"))
+      .agg(sum(col("cnt")).as("ntok"))
+      .crossJoin(broadcast(classes))
+      .join(test.join(model, Seq("tok"))
+          .groupBy(col("doc_id").as("d2"), col("l").as("l2"))
+          .agg(sum(col("cnt") * col("delta")).as("s1")),
+        col("doc_id") === col("d2") && col("l") === col("l2"), "left")
+      .select(col("doc_id"), col("lang"), col("l"),
+        (col("ln_prior") + col("ntok") * col("ln_unseen") +
+          coalesce(col("s1"), lit(0).cast(DecimalType(18, 9))))
+          .as("score"))
+    val mx = score.groupBy(col("doc_id").as("d3"))
+      .agg(max(col("score")).as("mxs"))
+    score.join(mx, col("doc_id") === col("d3") && col("score") === col("mxs"))
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(min(col("l")).as("pred"))
+      .groupBy(col("lang"), col("pred"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("lang"), col("pred"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q298_naive_bayes"         -> (naiveBayes _),
     "q293_conformal_interval"  -> (conformalInterval _),
     "q289_group_kfold"         -> (groupKFold _),
     "q291_calibration_ece"     -> (calibrationEce _),
@@ -1062,6 +1136,59 @@ object PipelineQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // q298: same decomposition — per-class DECIMAL(18,9)-quantized
+    // ln-likelihood deltas over the unseen baseline, exact decimal
+    // score sums, argmax with min-lang ties; BIGINT casts keep every
+    // count out of HUGEINT
+    "q298_naive_bayes" ->
+      """WITH d AS (
+        |  SELECT doc_id, lang, string_split_regex(trim(text), '\s+') AS ws,
+        |         ('0x' || substring(md5(doc_id::VARCHAR), 1, 8))::UBIGINT
+        |           % 100 < 80 AS is_train
+        |  FROM documents WHERE length(trim(text)) > 0),
+        |dt AS (
+        |  SELECT doc_id, lang, is_train, tok, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM (SELECT doc_id, lang, is_train, unnest(ws) AS tok FROM d)
+        |  GROUP BY ALL),
+        |tr AS (SELECT * FROM dt WHERE is_train),
+        |ct AS (SELECT lang AS l, CAST(sum(cnt) AS BIGINT) AS tot
+        |       FROM tr GROUP BY 1),
+        |vocab AS (SELECT CAST(count(DISTINCT tok) AS DOUBLE) AS v FROM tr),
+        |pri AS (SELECT lang AS l, CAST(count(*) AS BIGINT) AS nd
+        |        FROM d WHERE is_train GROUP BY 1),
+        |ntr AS (SELECT CAST(count(*) AS BIGINT) AS ntd
+        |        FROM d WHERE is_train),
+        |model AS (
+        |  SELECT s.l, s.tok,
+        |         CAST(ln((c + 1.0) / (tot + v)) AS DECIMAL(18,9))
+        |           - CAST(ln(1.0 / (tot + v)) AS DECIMAL(18,9)) AS delta
+        |  FROM (SELECT lang AS l, tok, CAST(sum(cnt) AS BIGINT) AS c
+        |        FROM tr GROUP BY 1, 2) s
+        |  JOIN ct USING (l), vocab),
+        |cls AS (
+        |  SELECT ct.l,
+        |         CAST(ln(1.0 / (tot + v)) AS DECIMAL(18,9)) AS ln_unseen,
+        |         CAST(ln(CAST(nd AS DOUBLE) / ntd) AS DECIMAL(18,9))
+        |           AS ln_prior
+        |  FROM ct JOIN pri USING (l), vocab, ntr),
+        |te AS (SELECT * FROM dt WHERE NOT is_train),
+        |corr AS (SELECT te.doc_id, model.l, sum(cnt * delta) AS s1
+        |         FROM te JOIN model USING (tok) GROUP BY 1, 2),
+        |sc AS (
+        |  SELECT b.doc_id, b.lang, cls.l,
+        |         ln_prior + b.ntok * ln_unseen + COALESCE(corr.s1, 0)
+        |           AS score
+        |  FROM (SELECT doc_id, lang, CAST(sum(cnt) AS BIGINT) AS ntok
+        |        FROM te GROUP BY 1, 2) b
+        |  CROSS JOIN cls
+        |  LEFT JOIN corr ON corr.doc_id = b.doc_id AND corr.l = cls.l),
+        |mx AS (SELECT doc_id, max(score) AS mxs FROM sc GROUP BY 1),
+        |p AS (SELECT sc.doc_id, sc.lang, min(sc.l) AS pred
+        |      FROM sc JOIN mx ON sc.doc_id = mx.doc_id
+        |        AND sc.score = mx.mxs
+        |      GROUP BY 1, 2)
+        |SELECT lang, pred, CAST(count(*) AS BIGINT) AS n
+        |FROM p GROUP BY 1, 2 ORDER BY lang, pred""".stripMargin,
     // q293: identical micro quantization, md5 split, integer mean,
     // ⌈0.9(n+1)⌉-th order statistic (global row_number HERE — the
     // engine runs GlobalRank instead), exact coverage count

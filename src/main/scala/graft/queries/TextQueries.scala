@@ -1669,7 +1669,43 @@ object TextQueries {
       .limit(20)
   }
 
+  /** q301: Flesch Reading Ease readability audit per language — the
+    * integer-milli form of 206.835 − 1.015·(W/S) − 84.6·(Y/W) (Flesch
+    * 1948; the quality-floor heuristic corpus curation runs next to
+    * Gopher rules, q195): W = letter-run words, S = sentence
+    * terminator runs (min 1), Y = vowel-group syllable proxy — all
+    * three exact regexp-run counts both engines compute identically.
+    * score_milli = 206835 − (1015·W) div S − (84600·Y) div W keeps
+    * every per-doc score an exact integer (positive operands, truncate
+    * ≡ floor), and the per-language mean is a sign-split integer
+    * division of an exact sum — bit-identical across engines.
+    * Scale shape: one map-side projection (three regexp passes per
+    * doc), one hash aggregate to the language frame. */
+  def readability(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(col("lang"),
+        expr("CAST(size(regexp_extract_all(lower(text), '[a-z]+', 0)) " +
+          "AS BIGINT)").as("w"),
+        expr("CAST(greatest(1, size(regexp_extract_all(text, " +
+          "'[.!?]+', 0))) AS BIGINT)").as("snt"),
+        expr("CAST(size(regexp_extract_all(lower(text), '[aeiouy]+', " +
+          "0)) AS BIGINT)").as("y"))
+      .filter(col("w") >= 1)
+      .withColumn("score",
+        expr("206835 - (1015 * w) div snt - (84600 * y) div w"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("score")).as("min_milli"),
+        max(col("score")).as("max_milli"),
+        sum(col("score")).as("ssum"))
+      .select(col("lang"), col("n_docs"), col("min_milli"),
+        col("max_milli"),
+        expr("CAST(CASE WHEN ssum >= 0 THEN ssum div n_docs " +
+          "ELSE -((-ssum) div n_docs) END AS BIGINT)").as("avg_milli"))
+      .orderBy(col("lang"))
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q301_readability"       -> (readability _),
     "q270_hybrid_rrf"        -> (hybridRrf _),
     "q268_bpe_encode"        -> (bpeEncode _),
     "q240_sparse_dot_pairs"  -> (sparseDotPairs _),
@@ -1814,6 +1850,30 @@ object TextQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    // q301: identical regexp-run counts and integer-milli Flesch
+    // ladder; positive-operand // ≡ Spark div; sign-split mean
+    "q301_readability" ->
+      """WITH m AS (
+        |  SELECT lang,
+        |    CAST(len(regexp_extract_all(lower(text), '[a-z]+'))
+        |         AS BIGINT) AS w,
+        |    CAST(greatest(1, len(regexp_extract_all(text, '[.!?]+')))
+        |         AS BIGINT) AS snt,
+        |    CAST(len(regexp_extract_all(lower(text), '[aeiouy]+'))
+        |         AS BIGINT) AS y
+        |  FROM documents),
+        |sc AS (SELECT lang,
+        |              206835 - (1015 * w) // snt - (84600 * y) // w
+        |                AS score
+        |       FROM m WHERE w >= 1)
+        |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(min(score) AS BIGINT) AS min_milli,
+        |       CAST(max(score) AS BIGINT) AS max_milli,
+        |       CAST(CASE WHEN sum(score) >= 0
+        |                 THEN CAST(sum(score) AS HUGEINT) // count(*)
+        |                 ELSE -(CAST(-sum(score) AS HUGEINT) // count(*))
+        |            END AS BIGINT) AS avg_milli
+        |FROM sc GROUP BY lang ORDER BY lang""".stripMargin,
     // q261: same bigram build, same per-integer ×10⁹ ln quantization
     // (q234's discipline), same min-count band and top-15 total order
     "q261_pmi_collocations" ->

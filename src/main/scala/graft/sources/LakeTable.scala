@@ -197,7 +197,7 @@ object LakeTable {
             else prev.get("schema").map("schema" -> _).toMap
           val checks = prev.filter { case (k, _) =>
             (k.startsWith("check:") || k.startsWith("unique:") ||
-              k.startsWith("default:")) &&
+              k.startsWith("default:") || k.startsWith("identity:")) &&
               !meta0.contains(k) }
           meta0 ++ schema ++ checks
         }
@@ -320,21 +320,65 @@ object LakeTable {
     val meta = manifestMeta(spark, root, cur)
     // write-defaults materialize FIRST so every gate below validates
     // the rows exactly as they will land on disk
-    val filled = applyWriteDefaults(spark, root, meta, df)
-    enforceConstraints(spark, root, cur, filled)
-    // UNIQUE admission: batch-internal dups + one probe of the live
-    // snapshot (bloom-prunable at scale), before any byte lands
-    enforceUnique(meta, filled, Some(read(spark, root)), "by append")
-    // a batch naming a metadata-only-dropped physical column would
-    // write bytes every read must then hide — refuse it loudly
-    filled.columns.find(c => colDropsAt(meta).exists(_.equalsIgnoreCase(c)))
-      .foreach(c => throw new IllegalArgumentException(
-        s"append at $root carries column '$c', which was dropped " +
-          "metadata-only; remove it from the batch or compact first"))
-    // incoming batches arrive in LOGICAL names (constraints above see
-    // them that way); files land in PHYSICAL names so every group in
-    // the table shares one on-disk schema under a rename mapping
-    (cur, writeDataFiles(spark, root, toPhysical(meta, filled)))
+    val filled0 = applyWriteDefaults(spark, root, meta, df)
+    // identity stamping SECOND: the batch lands once in a staging dir
+    // (the statsMeta rule — a nondeterministic lineage must not
+    // disagree between the count pass and the stamp pass, or ids could
+    // collide with the next allocation), then contiguous ids are
+    // stamped from the snapshot's high-water mark. Validation below
+    // sees the stamped rows, exactly as they will commit.
+    val (filled, stage) = identityAt(meta) match {
+      case None => (filled0, None)
+      case Some((c, _, step, hwm)) =>
+        filled0.columns.find(_.equalsIgnoreCase(c)).foreach(x =>
+          throw new IllegalArgumentException(
+            s"column '$x' is GENERATED ALWAYS AS IDENTITY at $root; " +
+              "remove it from the batch — ids are engine-assigned"))
+        val rel = s"data/.idstage-${java.util.UUID.randomUUID()}"
+        filled0.write.parquet(new Path(root, rel).toString)
+        val staged = spark.read.parquet(new Path(root, rel).toString)
+        (stampIdentity(spark, staged, c, step, hwm), Some(rel))
+    }
+    try {
+      enforceConstraints(spark, root, cur, filled)
+      // UNIQUE admission: batch-internal dups + one probe of the live
+      // snapshot (bloom-prunable at scale), before any byte lands
+      enforceUnique(meta, filled, Some(read(spark, root)), "by append")
+      // a batch naming a metadata-only-dropped physical column would
+      // write bytes every read must then hide — refuse it loudly
+      filled.columns.find(c => colDropsAt(meta).exists(_.equalsIgnoreCase(c)))
+        .foreach(c => throw new IllegalArgumentException(
+          s"append at $root carries column '$c', which was dropped " +
+            "metadata-only; remove it from the batch or compact first"))
+      // incoming batches arrive in LOGICAL names (constraints above see
+      // them that way); files land in PHYSICAL names so every group in
+      // the table shares one on-disk schema under a rename mapping
+      (cur, writeDataFiles(spark, root, toPhysical(meta, filled)))
+    } finally stage.foreach(rel =>
+      fs(spark, root).delete(new Path(root, rel), true))
+  }
+
+  /** Two-pass contiguous id assignment over an already-LANDED batch
+    * (`staged` must read from files, not live lineage): pass 1 reduces
+    * each partition to a row count (numPartitions longs to the driver),
+    * pass 2 stamps hwm + step·(exclusive prefix + local index) — the
+    * [[graft.operators.PrefixScan]] offset trick without the sort,
+    * since identity promises uniqueness and density, not any row
+    * order. */
+  private def stampIdentity(spark: SparkSession, staged: DataFrame,
+                            c: String, step: Long, hwm: Long): DataFrame = {
+    val rdd = staged.rdd
+    val counts = rdd.mapPartitionsWithIndex { (i, it) =>
+        var n = 0L; it.foreach(_ => n += 1); Iterator((i, n))
+      }.collect().sortBy(_._1).map(_._2)
+    val offsets = counts.scanLeft(0L)(_ + _)
+    val schema = org.apache.spark.sql.types.StructType(staged.schema.fields)
+      .add(c, org.apache.spark.sql.types.LongType, nullable = false)
+    val stamped = rdd.mapPartitionsWithIndex { (pi, it) =>
+      var k = offsets(pi)
+      it.map { r => k += 1; Row.fromSeq(r.toSeq :+ (hwm + step * k)) }
+    }
+    spark.createDataFrame(stamped, schema)
   }
 
   /** Meta keys an append carries forward from the snapshot it lands on:
@@ -345,7 +389,7 @@ object LakeTable {
   private def appendCarries(k: String): Boolean =
     k.startsWith("stat:") || k.startsWith("bloom:") ||
       k.startsWith("annmodel:") || k.startsWith("anncodes:") ||
-      k.startsWith("hllsk:") ||
+      k.startsWith("hllsk:") || k.startsWith("identity:") ||
       k == "deletes" || k == "deletekey" || k == "colmap" ||
       k == "coldrop"
 
@@ -366,6 +410,19 @@ object LakeTable {
   private[graft] def commitAppend(spark: SparkSession, root: String,
                                   base: Int, dir: String,
                                   extraMeta: Map[String, String]): Int = {
+    // identity high-water-mark advance: the stamped ids run
+    // (hwm+step .. hwm+step·n], so the new mark is a pure function of
+    // the base mark and the landed row count — computed ONCE from the
+    // base snapshot (a winner that moved the mark is a named conflict
+    // in assertAppendCommutes, so a rebase can never commit a stale
+    // mark)
+    val idExtra: Map[String, String] =
+      identityAt(manifestMeta(spark, root, base)) match {
+        case Some((c, start, step, hwm)) =>
+          val n = spark.read.parquet(new Path(root, dir).toString).count()
+          Map(s"identity:$c" -> s"$start,$step,${hwm + step * n}")
+        case None => Map.empty
+      }
     var attempt = base
     var tries = 0
     while (true) {
@@ -373,7 +430,7 @@ object LakeTable {
         case (k, _) => appendCarries(k) }
       try return commitVersion(spark, root, attempt + 1,
         readManifest(spark, root, attempt) :+ dir,
-        Map("op" -> "append") ++ carried ++ extraMeta)
+        Map("op" -> "append") ++ carried ++ extraMeta ++ idExtra)
       catch { case e: ConcurrentCommitException =>
         tries += 1
         if (tries > MaxCommitRetries) {
@@ -458,6 +515,14 @@ object LakeTable {
         bm.get("coldrop") != lm.get("coldrop"))
       conflict("column rename/drop mapping changed (the prepared files " +
         "were written under the old physical mapping)")
+    // two identity appends stamping from the same high-water mark would
+    // commit colliding ids — never commuting (Delta serializes identity
+    // allocation the same way)
+    def ident(m: Map[String, String]) =
+      m.filter { case (k, _) => k.startsWith("identity:") }
+    if (ident(bm) != ident(lm))
+      conflict("identity high-water mark advanced (the prepared rows " +
+        "carry ids allocated from the old mark)")
   }
 
   /** Conservative stats check for one source filter against one dir's
@@ -805,6 +870,7 @@ object LakeTable {
         (k == "deletekey" && named(value)) ||
         (k.startsWith("unique:") && named(value)) ||
         (k.startsWith("default:") && named(k.drop("default:".length))) ||
+        (k.startsWith("identity:") && named(k.drop("identity:".length))) ||
         (k.startsWith("annmodel:") && named(k.drop("annmodel:".length))) ||
         ((k.startsWith("stat:") || k.startsWith("bloom:") ||
           k.startsWith("anncodes:") || k.startsWith("hllsk:")) &&
@@ -1102,6 +1168,85 @@ object LakeTable {
       read(spark, root).filter(not(coalesce(predicate, lit(false))))
     commit(spark, root, Seq(writeDataFiles(spark, root, remaining)),
       Map("op" -> "delete"))
+  }
+
+  /** Delta's `replaceWhere` — atomically replace the rows with
+    * `column ∈ [lo, hi]` by `df`, in ONE commit (the partition-
+    * overwrite idiom: "reprocess July" without touching any other
+    * month and without a delete+append window where readers see
+    * neither). Semantics match Delta:
+    *  - CONTAINMENT: every incoming row must satisfy the predicate —
+    *    a row outside the band rejects the whole write before any
+    *    byte lands (otherwise "replace July" could silently edit
+    *    August);
+    *  - file groups whose min/max stats PROVE no row in the band are
+    *    carried by name with their stats/bloom/HLL/ANN sidecars
+    *    intact — zero bytes rewritten (at 100 TB with a clustered
+    *    layout this is the whole table minus the reprocessed
+    *    partition);
+    *  - only the overlapping groups rewrite: their out-of-band
+    *    survivors land as one fresh group, the replacement batch as
+    *    another; `statsCols` re-records skipping stats for both.
+    * CHECK constraints and write-defaults gate the batch like an
+    * append. Version-collision races fail fast (rewrite-class op — no
+    * auto-rebase, same as delete/compact). Requires materialized MOR
+    * deletes and no pending rename/drop mapping (compact first), and
+    * no identity column (replacement ids would need re-stamping —
+    * out of scope, refused loudly). */
+  def overwriteWhere(spark: SparkSession, root: String, df: DataFrame,
+                     column: String, lo: Double, hi: Double,
+                     statsCols: Seq[String] = Nil): Int = {
+    val v = latestVersion(spark, root)
+      .getOrElse(throw new IllegalStateException(s"no table at $root"))
+    val meta = manifestMeta(spark, root, v)
+    require(deleteState(meta).isEmpty,
+      s"table at $root has merge-on-read deletes; rewriteDeletes first")
+    require(colMapAt(meta).isEmpty && colDropsAt(meta).isEmpty,
+      s"table at $root has a metadata-only rename/drop mapping; " +
+        "compact first so raw group reads see logical names")
+    identityAt(meta).foreach { case (c, _, _, _) =>
+      throw new UnsupportedOperationException(
+        s"replaceWhere on identity table at $root unsupported " +
+          s"(replacement rows would need '$c' re-stamped)") }
+    val filled = applyWriteDefaults(spark, root, meta, df)
+    val inBand = col(column).cast("double").between(lo, hi)
+    val outside = filled.filter(not(coalesce(inBand, lit(false))))
+      .limit(1).count()
+    if (outside > 0) throw new IllegalArgumentException(
+      s"replaceWhere($column in [$lo,$hi]) at $root: incoming batch " +
+        "has rows outside the replaced band; write rejected whole")
+    enforceConstraints(spark, root, v, filled)
+    // UNIQUE admission probes the SURVIVORS (rows outside the band —
+    // in-band rows are being replaced, colliding with them is fine)
+    enforceUnique(meta, filled,
+      Some(read(spark, root).filter(not(coalesce(inBand, lit(false))))),
+      "by replaceWhere")
+    val dirs = readManifest(spark, root, v)
+    val touched = selectGroups(spark, root, column, lo, hi).toSet
+    val carried = dirs.filterNot(touched)
+    // out-of-band survivors of the touched groups, rewritten once
+    val remDir =
+      if (touched.isEmpty) None
+      else {
+        val rows = spark.read.option("mergeSchema", "true")
+          .parquet(touched.toSeq.sorted
+            .map(d => new Path(root, d).toString): _*)
+          .filter(not(coalesce(inBand, lit(false))))
+        if (rows.isEmpty) None
+        else Some(writeDataFiles(spark, root, rows))
+      }
+    val newDir = writeDataFiles(spark, root, filled)
+    val keptMeta = meta.filter { case (k, _) =>
+      carried.exists(d =>
+        k.startsWith(s"stat:$d:") || k.startsWith(s"bloom:$d:") ||
+          k.startsWith(s"anncodes:$d:") || k.startsWith(s"hllsk:$d:")) ||
+        k.startsWith("annmodel:")
+    }
+    val newStats = (remDir.toSeq :+ newDir)
+      .flatMap(d => statsMeta(spark, root, d, statsCols)).toMap
+    commitVersion(spark, root, v + 1,
+      carried ++ remDir.toSeq :+ newDir,
+      keptMeta ++ newStats + ("op" -> "replace-where"))
   }
 
   /** Merge-on-read DELETE (Iceberg equality-delete / Delta deletion-
@@ -1423,6 +1568,60 @@ object LakeTable {
         s"no DEFAULT declared on '$name' at $root"))
     commitVersion(spark, root, v + 1, readManifest(spark, root, v),
       meta - "op" + (key -> "") + ("op" -> "drop-default"))
+  }
+
+  /** The table's identity column, if declared:
+    * (column, start, step, high-water mark). One per table
+    * ([[setIdentity]] refuses a second); value format
+    * `identity:<col>=<start>,<step>,<hwm>` where hwm is the LAST
+    * allocated id (start − step before any allocation). */
+  private[sources] def identityAt(
+      meta: Map[String, String]): Option[(String, Long, Long, Long)] =
+    meta.collectFirst {
+      case (k, v) if k.startsWith("identity:") && v.nonEmpty =>
+        val Array(st, sp, hw) = v.split(",").map(_.trim.toLong)
+        (k.drop("identity:".length), st, sp, hw)
+    }
+
+  /** ALTER TABLE … SET IDENTITY — Delta's `GENERATED ALWAYS AS
+    * IDENTITY (START WITH s INCREMENT BY p)` bound to an existing
+    * never-written BIGINT column (add it with [[evolveSchema]] first;
+    * rows that predate the column read NULL ids — history is
+    * immutable). From this commit on:
+    *  - appends/streamAppends MUST omit the column; the engine stamps
+    *    contiguous ids hwm+step, hwm+2·step, … (two bounded passes over
+    *    the landed batch — O(batch), never the table);
+    *  - a batch carrying the column is refused (GENERATED ALWAYS);
+    *  - the high-water mark lives in the manifest and auto-carries
+    *    through delete/compact/merge/index commits like CHECKs do;
+    *  - concurrent identity appends are a named conflict (both would
+    *    stamp from the same mark — Delta serializes allocation the
+    *    same way); plain tables keep commuting.
+    * Uniqueness and density are the contract; row→id assignment order
+    * is not (same as Delta — ids are for lineage joins, not sorting). */
+  def setIdentity(spark: SparkSession, root: String, name: String,
+                  start: Long = 1L, step: Long = 1L): Int = {
+    require(step >= 1, s"identity step must be >= 1, got $step")
+    val v = latestVersion(spark, root)
+      .getOrElse(throw new IllegalStateException(s"no table at $root"))
+    val meta = manifestMeta(spark, root, v)
+    identityAt(meta).foreach { case (c, _, _, _) =>
+      throw new IllegalArgumentException(
+        s"table at $root already has identity column '$c'") }
+    requireNotRenamed(meta, name, "identity")
+    val field = read(spark, root).schema.fields
+      .find(_.name.equalsIgnoreCase(name))
+      .getOrElse(throw new IllegalArgumentException(
+        s"no column '$name' at $root — evolveSchema it in first"))
+    require(field.dataType == org.apache.spark.sql.types.LongType,
+      s"identity column must be BIGINT; '$name' is ${field.dataType.sql}")
+    require(!defaultsAt(meta).exists(_._1.equalsIgnoreCase(field.name)),
+      s"'${field.name}' has a column DEFAULT; identity and DEFAULT are " +
+        "mutually exclusive")
+    commitVersion(spark, root, v + 1, readManifest(spark, root, v),
+      meta - "op" +
+        (s"identity:${field.name}" -> s"$start,$step,${start - step}") +
+        ("op" -> "set-identity"))
   }
 
   /** Materialize write-defaults into an incoming append batch: every

@@ -1249,4 +1249,112 @@ class LakeTableSpec extends SparkSpec {
         .count() == 1)
     }
   }
+
+  test("replaceWhere: atomic band overwrite, containment gate, and " +
+    "untouched groups carried with their stats") {
+    withTable { root =>
+      import spark.implicits._
+      val base = (1L to 100L).map(i => (i, i % 10, i * 100L))
+        .toDF("id", "bucket", "v")
+      LakeTable.createClustered(spark, root, base, "bucket", 4,
+        Seq("bucket"))
+      val dirsBefore = LakeTable.dataDirPaths(spark, root).toSet
+      // containment: a row outside the band rejects the whole write
+      intercept[IllegalArgumentException] {
+        LakeTable.overwriteWhere(spark, root,
+          Seq((200L, 3L, 1L), (201L, 7L, 1L)).toDF("id", "bucket", "v"),
+          "bucket", 3, 3)
+      }
+      // nothing committed by the refusal
+      assert(LakeTable.read(spark, root).count() == 100)
+      // replace bucket 3 (10 rows) with 2 recomputed rows
+      val v = LakeTable.overwriteWhere(spark, root,
+        Seq((200L, 3L, 5L), (201L, 3L, 6L)).toDF("id", "bucket", "v"),
+        "bucket", 3, 3, Seq("bucket"))
+      val got = LakeTable.read(spark, root)
+      assert(got.count() == 92)
+      assert(got.filter(col("bucket") === 3).count() == 2)
+      assert(got.filter(col("bucket") === 3).agg(sum(col("v")))
+        .head().getLong(0) == 11L)
+      // groups whose stats exclude bucket 3 are carried by name...
+      val dirsAfter = LakeTable.dataDirPaths(spark, root).toSet
+      val carried = dirsBefore intersect dirsAfter
+      assert(carried.nonEmpty, "no group carried — pruning inert")
+      // ...with their stats meta intact: a probe on an untouched bucket
+      // prunes down to its one carried group (the rewritten groups also
+      // re-recorded stats via statsCols, so they prune away too)
+      assert(LakeTable.selectGroups(spark, root, "bucket", 0, 0).size == 1,
+        "carried/rewritten groups lost their stats entries")
+      // old snapshot untouched (time travel below the replace)
+      assert(LakeTable.read(spark, root, Some(v - 1)).count() == 100)
+    }
+  }
+
+  test("identity column: contiguous engine-assigned ids, GENERATED " +
+    "ALWAYS refusal, and hwm carry through maintenance commits") {
+    withTable { root =>
+      import spark.implicits._
+      val b0 = Seq((1L, "a"), (2L, "b")).toDF("k", "s")
+      LakeTable.create(spark, root, b0)
+      LakeTable.evolveSchema(spark, root,
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("rid",
+            org.apache.spark.sql.types.LongType))))
+      LakeTable.setIdentity(spark, root, "rid", start = 100L, step = 3L)
+      // an explicit-id batch is refused
+      intercept[IllegalArgumentException] {
+        LakeTable.append(spark, root,
+          Seq((9L, "x", 1L)).toDF("k", "s", "rid"))
+      }
+      LakeTable.append(spark, root,
+        Seq((3L, "c"), (4L, "d"), (5L, "e")).toDF("k", "s"))
+      LakeTable.append(spark, root, Seq((6L, "f")).toDF("k", "s"))
+      val ids = LakeTable.read(spark, root)
+        .filter(col("rid").isNotNull).select(col("rid"))
+        .collect().map(_.getLong(0)).sorted.toSeq
+      assert(ids == Seq(100L, 103L, 106L, 109L),
+        s"expected the gap-free series from 100 step 3, got $ids")
+      // pre-identity rows read NULL ids (history immutable)
+      assert(LakeTable.read(spark, root)
+        .filter(col("rid").isNull).count() == 2)
+      // hwm auto-carries through a COW delete; the next append
+      // continues the series instead of re-issuing ids
+      LakeTable.deleteWhere(spark, root, col("k") === 3L)
+      LakeTable.append(spark, root, Seq((7L, "g")).toDF("k", "s"))
+      val mx = LakeTable.read(spark, root).agg(max(col("rid")))
+        .head().getLong(0)
+      assert(mx == 112L, s"hwm lost across delete: next id was $mx")
+    }
+  }
+
+  test("racing identity appends: exactly one winner, loser is a named " +
+    "conflict (ids would collide)") {
+    withTable { root =>
+      import spark.implicits._
+      LakeTable.create(spark, root, Seq(Tuple1(1L)).toDF("k"))
+      LakeTable.evolveSchema(spark, root,
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("rid",
+            org.apache.spark.sql.types.LongType))))
+      LakeTable.setIdentity(spark, root, "rid")
+      // both writers prepare against the same base snapshot
+      val (base, dirA) = LakeTable.appendPrepare(spark, root,
+        Seq(Tuple1(2L)).toDF("k"))
+      val (_, dirB) = LakeTable.appendPrepare(spark, root,
+        Seq(Tuple1(3L)).toDF("k"))
+      // A commits first and advances the high-water mark
+      LakeTable.commitAppend(spark, root, base, dirA, Map.empty)
+      // B's rebase must fail NAMED — its rows carry ids stamped from
+      // the stale mark
+      val e = intercept[graft.sources.LakeConflictException] {
+        LakeTable.commitAppend(spark, root, base, dirB, Map.empty)
+      }
+      assert(e.getMessage.contains("identity"), e.getMessage)
+      // the winner's ids are intact and unique
+      val ids = LakeTable.read(spark, root)
+        .filter(col("rid").isNotNull).select(col("rid"))
+        .collect().map(_.getLong(0)).toSeq
+      assert(ids == Seq(1L))
+    }
+  }
 }

