@@ -1532,6 +1532,68 @@ object LakeQueries {
     } }
   }
 
+  /** q303: KLL quantile sidecars ([[graft.sources.LakeKllIndex]]) —
+    * X200's twin: "p99 from kilobytes" the way q282 answers "distinct
+    * users from kilobytes". Lifecycle: (1) index the created table —
+    * one committed KLL sketch per file group, metadata-only commit;
+    * (2) estimate p50 from committed sketches alone; (3) append —
+    * the new group is uncovered, the hybrid estimate merges committed
+    * sidecars with one live scan of the tail; (4) re-index covers it
+    * (old sidecars byte-untouched, O(churn)). Correctness gates are
+    * the KLL THEOREM's own terms: the estimate's true rank (computed
+    * exactly in-engine) must sit within ±3% of the requested rank
+    * (k=200 ⇒ ~1.65% rank error at 99% confidence — Karnin, Lang &
+    * Liberty FOCS'16); the oracle restates the exact row/sum facts and
+    * pins the gates.
+    *
+    * Scale shape: a percentile over covered groups reads KILOBYTES of
+    * sidecar per group and zero data bytes — at 100 TB the p99 of a
+    * fully-indexed table costs O(groups) sidecar reads; each append's
+    * marginal cost is sketching only its own rows. */
+  def kllIndexLifecycle(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.LakeKllIndex
+    val orders = Tables.load(s, dir, "orders")
+      .select(col("o_orderkey"),
+        expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)")
+          .as("cents"))
+    graft.util.LocalFrame.withConf(s, "spark.sql.shuffle.partitions", "8") {
+    graft.util.Tmp.withTempDir("graft_lake_q303") { rootPath =>
+      val root = rootPath.toString
+      val part = orders.filter(col("o_orderkey") % 5 =!= 4)
+      LakeTable.create(s, root, part)
+      LakeKllIndex.indexKll(s, root, Seq("cents"))
+      val est1 = LakeKllIndex.approxQuantiles(s, root, "cents", Seq(0.5)).head
+      LakeTable.append(s, root, orders.filter(col("o_orderkey") % 5 === 4))
+      val (cov, open) = LakeKllIndex.coverage(s, root, "cents")
+      val Seq(p50, p90) =
+        LakeKllIndex.approxQuantiles(s, root, "cents", Seq(0.5, 0.9))
+      LakeKllIndex.indexKll(s, root, Seq("cents"))
+      val (cov2, open2) = LakeKllIndex.coverage(s, root, "cents")
+      // the KLL contract is on RANKS: the estimate's exact rank in the
+      // data must be within eps of the request (value error is not
+      // bounded by the sketch; rank error is)
+      def rankOk(df: org.apache.spark.sql.DataFrame, v: Double,
+                 want: Double): Long = {
+        val r = df.agg(
+            sum(when(col("cents").cast("double") <= v, 1L).otherwise(0L))
+              .cast("double") / count(lit(1))).head().getDouble(0)
+        if (math.abs(r - want) <= 0.03) 1L else 0L
+      }
+      val t = orders.agg(count(lit(1)).as("n"), sum(col("cents")).as("c"))
+        .head()
+      import s.implicits._
+      graft.util.LocalFrame.materialize(Seq(
+        ("cents_total", t.getLong(1)),
+        ("coverage_mid", if (cov.size == 1 && open.size == 1) 1L else 0L),
+        ("coverage_post", if (cov2.size == 2 && open2.isEmpty) 1L else 0L),
+        ("n_all", t.getLong(0)),
+        ("rank_committed_ok", rankOk(part, est1, 0.5)),
+        ("rank_p50_ok", rankOk(orders, p50, 0.5)),
+        ("rank_p90_ok", rankOk(orders, p90, 0.9))
+      ).toDF("fact", "n").orderBy(col("fact")))
+    } }
+  }
+
   /** q296: `replaceWhere` partition overwrite
     * ([[graft.sources.LakeTable.overwriteWhere]]) — Delta's
     * atomic-reprocess idiom as an oracle-checked lifecycle: (1) a
@@ -1643,7 +1705,69 @@ object LakeQueries {
     } }
   }
 
+  /** q302: partitioned lake tables ([[graft.sources.LakeTable
+    * .createPartitioned]]) — Delta's `PARTITIONED BY (col)` as an
+    * oracle-checked lifecycle: (1) create splits the batch into one
+    * file group per partition value (year here), each value recorded
+    * in the manifest; (2) an equality read on the partition column
+    * scans EXACTLY one group (directory-level pruning — the manifest
+    * proves it, zero file opens elsewhere; the DSv2 plan assertion
+    * lives in GraftLakeSourceSpec); (3) replaceWhere on the partition
+    * column replaces the in-band partition WHOLE — its recorded value
+    * proves containment, so no survivor scan runs and every other
+    * partition's group carries byte-identical; (4) an append routes
+    * its rows to per-value groups. The oracle restates every count and
+    * sum from the raw table with the replaced year's cents doubled.
+    *
+    * Scale shape: this is the 100 TB reprocess-a-month contract —
+    * replacing one partition costs one partition write, never a table
+    * rewrite, and a partition-filtered scan opens one directory. */
+  def partitionedLifecycle(s: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.load(s, dir, "orders")
+      .filter(col("o_custkey") % 4 === 3)
+      .select(col("o_orderkey"),
+        year(col("o_orderdate")).cast("long").as("yk"),
+        expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)")
+          .as("cents"))
+    graft.util.LocalFrame.withConf(s, "spark.sql.shuffle.partitions", "8") {
+    graft.util.Tmp.withTempDir("graft_lake_q302") { rootPath =>
+      val root = rootPath.toString
+      LakeTable.createPartitioned(s, root, orders, "yk")
+      val groups = LakeTable.dataDirPaths(s, root).size.toLong
+      // equality probe on the partition column scans exactly one group
+      val scanned =
+        LakeTable.selectGroupsEq(s, root, "yk", 1995L).size.toLong
+      val b = LakeTable.readWhereEq(s, root, "yk", 1995L)
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("c")).head()
+      // reprocess 1995: same rows, doubled cents; every other year's
+      // group must carry untouched (containment, not stats)
+      val dirsBefore = LakeTable.dataDirPaths(s, root).toSet
+      LakeTable.overwriteWhere(s, root,
+        orders.filter(col("yk") === 1995L)
+          .withColumn("cents", col("cents") * 2),
+        "yk", 1995, 1995)
+      val carried =
+        (dirsBefore intersect LakeTable.dataDirPaths(s, root).toSet)
+          .size.toLong
+      val t = LakeTable.read(s, root)
+        .agg(sum(col("cents")).as("c"),
+          sum(when(col("yk") === 1995L, col("cents")).otherwise(0L))
+            .as("cb")).head()
+      import s.implicits._
+      graft.util.LocalFrame.materialize(Seq(
+        ("cents_total_after", t.getLong(0)),
+        ("cents_y1995_after", t.getLong(1)),
+        ("groups", groups),
+        ("groups_carried", carried),
+        ("groups_scanned_eq", scanned),
+        ("n_y1995", b.getLong(0))
+      ).toDF("fact", "n").orderBy(col("fact")))
+    } }
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q302_partitioned_lake"    -> (partitionedLifecycle _),
+    "q303_kll_index_lake"      -> (kllIndexLifecycle _),
     "q296_replace_where"       -> (replaceWhereLifecycle _),
     "q297_identity_column"     -> (identityLifecycle _),
     "q282_hll_index_lake"      -> (hllIndexLifecycle _),
@@ -1683,6 +1807,46 @@ object LakeQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // q302: counts/sums restated from orders with the replaced year's
+    // cents doubled; the group-accounting facts follow from the
+    // one-group-per-value layout (groups = distinct years, an equality
+    // probe scans exactly 1, a replace carries all but 1)
+    "q302_partitioned_lake" ->
+      """WITH o AS (
+        |  SELECT CAST(year(o_orderdate) AS BIGINT) AS yk,
+        |         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |           AS cents
+        |  FROM orders WHERE o_custkey % 4 = 3),
+        |y AS (SELECT CAST(count(DISTINCT yk) AS BIGINT) AS ny FROM o)
+        |SELECT 'cents_total_after' AS fact,
+        |       CAST(sum(cents) + sum(CASE WHEN yk = 1995 THEN cents
+        |                                  ELSE 0 END) AS BIGINT) AS n
+        |FROM o
+        |UNION ALL SELECT 'cents_y1995_after',
+        |  CAST(2 * sum(CASE WHEN yk = 1995 THEN cents ELSE 0 END)
+        |       AS BIGINT) FROM o
+        |UNION ALL SELECT 'groups', ny FROM y
+        |UNION ALL SELECT 'groups_carried', ny - 1 FROM y
+        |UNION ALL SELECT 'groups_scanned_eq', CAST(1 AS BIGINT)
+        |UNION ALL SELECT 'n_y1995',
+        |  CAST(count(*) FILTER (yk = 1995) AS BIGINT) FROM o
+        |ORDER BY fact""".stripMargin,
+    // q303: exact row/sum facts restated from orders; the coverage and
+    // rank gates (KLL's own correctness terms, verified in-engine
+    // against the exact data) pin as constants
+    "q303_kll_index_lake" ->
+      """WITH o AS (
+        |  SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |           AS cents
+        |  FROM orders)
+        |SELECT 'cents_total' AS fact, CAST(sum(cents) AS BIGINT) AS n FROM o
+        |UNION ALL SELECT 'coverage_mid', CAST(1 AS BIGINT)
+        |UNION ALL SELECT 'coverage_post', CAST(1 AS BIGINT)
+        |UNION ALL SELECT 'n_all', count(*) FROM o
+        |UNION ALL SELECT 'rank_committed_ok', CAST(1 AS BIGINT)
+        |UNION ALL SELECT 'rank_p50_ok', CAST(1 AS BIGINT)
+        |UNION ALL SELECT 'rank_p90_ok', CAST(1 AS BIGINT)
+        |ORDER BY fact""".stripMargin,
     // q296: counts/sums restated from orders with the July-1995 band
     // doubled (the replacement batch); protocol facts pin as integers
     "q296_replace_where" ->

@@ -125,27 +125,85 @@ final class GraftLakeCatalog extends TableCatalog {
     loadTable(ident)
   }
 
-  /** `ALTER TABLE … ADD COLUMNS` — the one history-safe DDL: a
-    * metadata-only commit records the evolved schema; no data rewrites,
-    * old groups read the new columns as typed nulls, time travel below
-    * the evolution version keeps the old shape
-    * ([[LakeTable.evolveSchema]]). Every other ALTER still rejects
-    * (drops/renames/retypes would rewrite history). */
+  /** Catalog capabilities: declare DSv2 constraint + default-value
+    * support so Spark's SQL paths route `ALTER TABLE … ADD CONSTRAINT`
+    * and `… SET/DROP DEFAULT` here instead of failing analysis. */
+  override def capabilities(): java.util.Set[
+      org.apache.spark.sql.connector.catalog.TableCatalogCapability] =
+    java.util.EnumSet.of(
+      org.apache.spark.sql.connector.catalog.TableCatalogCapability
+        .SUPPORT_TABLE_CONSTRAINT,
+      org.apache.spark.sql.connector.catalog.TableCatalogCapability
+        .SUPPORT_COLUMN_DEFAULT_VALUE)
+
+  /** History-safe SQL DDL, each routed to its metadata-only commit:
+    *
+    *  - `ADD COLUMNS` → [[LakeTable.evolveSchema]] (old groups read
+    *    typed nulls; time travel keeps the old shape);
+    *  - `RENAME COLUMN` → [[LakeTable.renameColumn]] (column-mapping
+    *    commit — no parquet byte rewritten);
+    *  - `DROP COLUMN` → [[LakeTable.dropColumn]] (metadata-only drop);
+    *  - `ALTER COLUMN … SET/DROP DEFAULT` →
+    *    [[LakeTable.setColumnDefault]]/[[LakeTable.dropColumnDefault]];
+    *  - `ADD CONSTRAINT … CHECK (p)` → [[LakeTable.addCheckConstraint]];
+    *  - `ADD CONSTRAINT … UNIQUE (c)` → [[LakeTable.addUniqueConstraint]].
+    *
+    * Everything else rejects: retypes would rewrite history, and
+    * `DROP CONSTRAINT` is refused by the same append-only governance
+    * posture the API documents (quality gates only tighten). */
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
-    val adds = changes.collect { case a: TableChange.AddColumn => a }
-    if (adds.size != changes.size || adds.isEmpty)
-      readOnly(s"ALTER TABLE $ident (only ADD COLUMNS is supported)")
-    adds.foreach { a =>
-      require(a.fieldNames.length == 1,
-        s"nested ADD COLUMN not supported: ${a.fieldNames.mkString(".")}")
-      require(a.isNullable,
-        s"added column ${a.fieldNames.head} must be nullable " +
-          "(existing rows read it as null)")
+    val spark = SparkSession.active
+    val root = rootOf(ident)
+    def single(fieldNames: Array[String], what: String): String = {
+      require(fieldNames.length == 1,
+        s"nested $what not supported: ${fieldNames.mkString(".")}")
+      fieldNames.head
     }
-    val newFields = StructType(adds.map(a =>
-      org.apache.spark.sql.types.StructField(
-        a.fieldNames.head, a.dataType, nullable = true)).toArray)
-    LakeTable.evolveSchema(SparkSession.active, rootOf(ident), newFields)
+    val adds = changes.collect { case a: TableChange.AddColumn => a }
+    if (adds.nonEmpty) {
+      require(adds.size == changes.size,
+        s"ALTER TABLE $ident: ADD COLUMNS cannot mix with other changes")
+      adds.foreach { a =>
+        single(a.fieldNames, "ADD COLUMN")
+        require(a.isNullable,
+          s"added column ${a.fieldNames.head} must be nullable " +
+            "(existing rows read it as null)")
+      }
+      LakeTable.evolveSchema(spark, root, StructType(adds.map(a =>
+        org.apache.spark.sql.types.StructField(
+          a.fieldNames.head, a.dataType, nullable = true)).toArray))
+      return loadTable(ident)
+    }
+    changes.foreach {
+      case r: TableChange.RenameColumn =>
+        LakeTable.renameColumn(spark, root,
+          single(r.fieldNames, "RENAME COLUMN"), r.newName)
+      case d: TableChange.DeleteColumn =>
+        LakeTable.dropColumn(spark, root,
+          single(d.fieldNames, "DROP COLUMN"))
+      case u: TableChange.UpdateColumnDefaultValue =>
+        val c = single(u.fieldNames, "ALTER COLUMN")
+        val sql = Option(u.newDefaultValue).map(_.trim).getOrElse("")
+        if (sql.isEmpty) LakeTable.dropColumnDefault(spark, root, c)
+        else LakeTable.setColumnDefault(spark, root, c, sql)
+      case a: TableChange.AddConstraint => a.constraint() match {
+        case chk: org.apache.spark.sql.connector.catalog.constraints.Check =>
+          LakeTable.addCheckConstraint(spark, root, chk.name,
+            chk.predicateSql)
+        case u: org.apache.spark.sql.connector.catalog.constraints.Unique =>
+          require(u.columns().length == 1,
+            s"multi-column UNIQUE not supported: ${u.toDDL}")
+          LakeTable.addUniqueConstraint(spark, root, u.name,
+            u.columns().head.fieldNames().mkString("."))
+        case other => readOnly(
+          s"ALTER TABLE $ident ADD CONSTRAINT ${other.toDDL} " +
+            "(only CHECK and single-column UNIQUE are supported)")
+      }
+      case _: TableChange.DropConstraint => readOnly(
+        s"ALTER TABLE $ident DROP CONSTRAINT (quality gates are " +
+          "append-only — constraints only tighten)")
+      case other => readOnly(s"ALTER TABLE $ident ($other)")
+    }
     loadTable(ident)
   }
 

@@ -97,13 +97,20 @@ private[sources] object GraftLakeSource {
     // (an unknown requested version skips the check and fails below in
     // dataDirPaths with the available-versions message)
     val known = LakeTable.versions(spark, root)
+    val maskDeletes = java.lang.Boolean.parseBoolean(
+      new CaseInsensitiveStringMap(options).getOrDefault("maskDeletes", "false"))
     version.orElse(known.lastOption).filter(known.contains).foreach { v =>
-      if (LakeTable.deleteState(
+      // maskDeletes=true (streaming opt-in): the micro-batch stream
+      // applies the delete mask per batch, so a MOR table may load;
+      // BATCH scans under the option still refuse at toBatch
+      // ([[GraftLakeStreamableScan]]) — raw parquet cannot honor masks
+      if (!maskDeletes && LakeTable.deleteState(
           LakeTable.manifestMetaAt(spark, root, v)).nonEmpty)
         throw new UnsupportedOperationException(
           s"table at $root has merge-on-read deletes (version $v); " +
-            "materialize them first (LakeTable.rewriteDeletes/compact) " +
-            "or read via LakeTable.read")
+            "materialize them first (LakeTable.rewriteDeletes/compact), " +
+            "read via LakeTable.read, or stream with " +
+            "option(\"maskDeletes\", \"true\")")
       // same protocol-gate spirit for a metadata-only column rename:
       // the raw-parquet delegate would expose PHYSICAL names and
       // silently mis-shape the table

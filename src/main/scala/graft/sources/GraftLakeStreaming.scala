@@ -58,12 +58,34 @@ private[sources] final class GraftLakeMicroBatchStream(
 
   override def stop(): Unit = ()
 
+  /** Delete mask for the batch being planned: the END version's
+    * accumulated MOR delete keys in CATALYST form (UTF8String/Long/…),
+    * applied row-by-row in the readers. Set by [[planInputPartitions]],
+    * consumed by [[createReaderFactory]] — the driver plans one batch
+    * at a time, so the handoff is sequential. Rows already emitted by
+    * earlier batches are NOT retracted (an append-only stream cannot
+    * retract — Delta's ignoreDeletes posture); rows a mask catches
+    * BEFORE they are emitted never appear. The key list is the same
+    * bounded sidecar set the batch anti-join broadcasts. */
+  @volatile private var currentMask: Option[(String, Set[Any])] = None
+
   override def planInputPartitions(start: Offset,
                                    end: Offset): Array[InputPartition] = {
     val s = start.asInstanceOf[GraftLakeOffset].v
     val e = end.asInstanceOf[GraftLakeOffset].v
     val fs = new Path(root).getFileSystem(
       spark.sparkContext.hadoopConfiguration)
+    currentMask =
+      if (e < 1) None
+      else LakeTable.deleteState(LakeTable.manifestMetaAt(spark, root, e))
+        .map { case (k, rels) =>
+          val keyDf = spark.read
+            .parquet(rels.map(r => new Path(root, r).toString): _*)
+            .select(org.apache.spark.sql.functions.col(k)).distinct()
+          val conv = org.apache.spark.sql.catalyst.CatalystTypeConverters
+            .createToCatalystConverter(keyDf.schema.head.dataType)
+          (k, keyDf.collect().map(r => conv(r.get(0))).toSet)
+        }
     (s + 1 to e).flatMap { v =>
       val cur = LakeTable.dataDirsAt(spark, root, v)
       val prev = if (v <= 1) Seq.empty else LakeTable.dataDirsAt(spark, root, v - 1)
@@ -96,6 +118,25 @@ private[sources] final class GraftLakeMicroBatchStream(
   }
 
   override def createReaderFactory(): PartitionReaderFactory = {
+    // when a delete mask is live, read the key column too (appended to
+    // the schema if the query didn't project it; dropped again after
+    // the filter) so the reader can test membership row-by-row
+    val mask = currentMask.filter(_._2.nonEmpty)
+    val (readSchema, keyIdx) = mask match {
+      case Some((k, _)) =>
+        requiredSchema.fields.zipWithIndex
+          .find(_._1.name.equalsIgnoreCase(k)) match {
+          case Some((_, i)) => (requiredSchema, i)
+          case None =>
+            val f = tableSchema.fields
+              .find(_.name.equalsIgnoreCase(k))
+              .getOrElse(throw new IllegalStateException(
+                s"delete key '$k' not in table schema at $root"))
+            (StructType(requiredSchema.fields :+ f),
+              requiredSchema.fields.length)
+        }
+      case None => (requiredSchema, -1)
+    }
     // built ONCE on the driver: a serializable closure holding the
     // broadcast hadoop conf + schemas (the same object FileScanRDD
     // ships); OPTION_RETURNING_BATCH=false forces row iterators (the
@@ -104,11 +145,12 @@ private[sources] final class GraftLakeMicroBatchStream(
       sparkSession = spark,
       dataSchema = tableSchema,
       partitionSchema = StructType(Nil),
-      requiredSchema = requiredSchema,
+      requiredSchema = readSchema,
       filters = Nil,
       options = Map(FileFormat.OPTION_RETURNING_BATCH -> "false"),
       hadoopConf = spark.sessionState.newHadoopConf())
-    new GraftLakeFileReaderFactory(readFn)
+    new GraftLakeFileReaderFactory(readFn, mask.map(_._2), keyIdx,
+      readSchema, requiredSchema.fields.length)
   }
 }
 
@@ -120,15 +162,39 @@ private[sources] final case class GraftLakeOffset(v: Int) extends Offset {
 private[sources] final case class GraftLakeFilePartition(
     path: String, length: Long) extends InputPartition
 
+/** Per-file reader factory. When `deletedKeys` is set, rows whose key
+  * (at `keyIdx` in `readSchema`, catalyst-typed values) is in the set
+  * are dropped, and — if the key column was appended only for the
+  * filter (`nOut < readSchema.size`) — the row is projected back to
+  * the query's shape before being returned. */
 private[sources] final class GraftLakeFileReaderFactory(
-    readFn: PartitionedFile => Iterator[InternalRow])
+    readFn: PartitionedFile => Iterator[InternalRow],
+    deletedKeys: Option[Set[Any]] = None, keyIdx: Int = -1,
+    readSchema: StructType = StructType(Nil), nOut: Int = 0)
     extends PartitionReaderFactory {
 
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
     val fp = p.asInstanceOf[GraftLakeFilePartition]
-    val it = readFn(PartitionedFile(
+    val raw = readFn(PartitionedFile(
       new GenericInternalRow(Array.empty[Any]),
       SparkPath.fromPathString(fp.path), 0, fp.length))
+    val keyType = if (keyIdx >= 0) readSchema(keyIdx).dataType else null
+    val masked = deletedKeys match {
+      case Some(keys) => raw.filter { r =>
+        val k = r.get(keyIdx, keyType)
+        k == null || !keys.contains(k) // null keys are never deletable
+      }
+      case None => raw
+    }
+    val it = if (deletedKeys.isDefined && nOut < readSchema.length) {
+      // drop the filter-only key column (executor-side codegen — the
+      // projection is not serializable, so it is built here)
+      val proj = org.apache.spark.sql.catalyst.expressions.UnsafeProjection
+        .create((0 until nOut).map(i =>
+          org.apache.spark.sql.catalyst.expressions.BoundReference(
+            i, readSchema(i).dataType, readSchema(i).nullable)))
+      masked.map(proj)
+    } else masked
     new PartitionReader[InternalRow] {
       private var cur: InternalRow = _
       override def next(): Boolean =
@@ -238,12 +304,13 @@ private[sources] final class GraftLakeStreamScanBuilder(
       v <- LakeTable.latestVersion(spark, root)
       meta = LakeTable.manifestMetaAt(spark, root, v)
       if meta.keys.exists(k =>
-        k.startsWith("stat:") || k.startsWith("bloom:"))
+        k.startsWith("stat:") || k.startsWith("bloom:") || k == "partcol")
     } yield (meta, LakeTable.dataDirsAt(spark, root, v))
     val keptStatic = indexed.map { case (meta, dirs) =>
       if (v1.isEmpty) dirs
       else dirs.filter(dir =>
-        v1.forall(f => LakeTable.statsAdmit(meta, dir, f) &&
+        v1.forall(f => LakeTable.partAdmit(meta, dir, f) &&
+          LakeTable.statsAdmit(meta, dir, f) &&
           LakeTable.bloomAdmit(spark, root, meta, dir, f)))
     }
     val underlying = (indexed, keptStatic) match {
@@ -260,13 +327,26 @@ private[sources] final class GraftLakeStreamScanBuilder(
     val rt = indexed.map { case (meta, dirs) =>
       GraftRuntimeFilterInfo(meta, keptStatic.getOrElse(dirs),
         requested, pushedExprs, options,
-        (meta.keys.collect {
-          case k if k.startsWith("stat:") || k.startsWith("bloom:") =>
+        (meta.collect {
+          case (k, _) if k.startsWith("stat:") || k.startsWith("bloom:") =>
             k.split(':').last
+          case ("partcol", pc) => pc
         }).toSeq.distinct)
     }
+    // under the maskDeletes streaming opt-in a MOR table may LOAD, but
+    // a batch scan of it must still refuse: the raw parquet delegate
+    // cannot honor the masks (the micro-batch stream can, and does)
+    val morBatchRefusal = for {
+      _ <- Some(()).filter(_ => java.lang.Boolean.parseBoolean(
+        options.getOrDefault("maskDeletes", "false")))
+      v <- LakeTable.latestVersion(spark, root)
+      _ <- LakeTable.deleteState(LakeTable.manifestMetaAt(spark, root, v))
+    } yield s"table at $root has merge-on-read deletes (version $v); " +
+      "batch reads cannot honor delete masks — use LakeTable.read or " +
+      "materialize (rewriteDeletes/compact); maskDeletes applies to " +
+      "streaming reads only"
     new GraftLakeStreamableScan(underlying, root, tableSchema,
-      ignoreChanges, rt)
+      ignoreChanges, rt, morBatchRefusal)
   }
 }
 
@@ -295,7 +375,8 @@ private[sources] final case class GraftRuntimeFilterInfo(
 private[graft] final class GraftLakeStreamableScan(
     initial: Scan, root: String, tableSchema: StructType,
     ignoreChanges: Boolean = false,
-    rt: Option[GraftRuntimeFilterInfo] = None) extends Scan
+    rt: Option[GraftRuntimeFilterInfo] = None,
+    morBatchRefusal: Option[String] = None) extends Scan
     with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering {
   private var underlying: Scan = initial
   /** Observable for specs: dirs surviving the runtime re-prune. */
@@ -315,7 +396,8 @@ private[graft] final class GraftLakeStreamableScan(
     if (v1.nonEmpty) {
       val spark = SparkSession.active
       val kept = info.dirs.filter(dir =>
-        v1.forall(f => LakeTable.statsAdmit(info.meta, dir, f) &&
+        v1.forall(f => LakeTable.partAdmit(info.meta, dir, f) &&
+          LakeTable.statsAdmit(info.meta, dir, f) &&
           LakeTable.bloomAdmit(spark, root, info.meta, dir, f)))
       if (kept.size < info.dirs.size) {
         runtimePrunedTo = Some(kept.size)
@@ -329,7 +411,10 @@ private[graft] final class GraftLakeStreamableScan(
   }
 
   override def readSchema(): StructType = underlying.readSchema()
-  override def toBatch: Batch = underlying.toBatch
+  override def toBatch: Batch = {
+    morBatchRefusal.foreach(m => throw new UnsupportedOperationException(m))
+    underlying.toBatch
+  }
   override def description(): String = underlying.description()
   override def columnarSupportMode(): Scan.ColumnarSupportMode =
     underlying.columnarSupportMode()

@@ -110,7 +110,8 @@ private[sources] final class GraftGroupScan(
     val meta = LakeTable.manifestMetaAt(spark, root, v)
     val scan = dirs.filter { dir =>
       filters.isEmpty ||
-        filters.forall(f => LakeTable.statsAdmit(meta, dir, f))
+        filters.forall(f => LakeTable.partAdmit(meta, dir, f) &&
+          LakeTable.statsAdmit(meta, dir, f))
     }
     op.scannedDirs = scan
     scan

@@ -172,7 +172,11 @@ object LakeTable {
         (k.startsWith("anncodes:") &&
           dataDirs.exists(d => k.startsWith(s"anncodes:$d:"))) ||
         (k.startsWith("hllsk:") &&
-          dataDirs.exists(d => k.startsWith(s"hllsk:$d:")))
+          dataDirs.exists(d => k.startsWith(s"hllsk:$d:"))) ||
+        (k.startsWith("kllsk:") &&
+          dataDirs.exists(d => k.startsWith(s"kllsk:$d:"))) ||
+        (k.startsWith("part:") &&
+          dataDirs.exists(d => k == s"part:$d"))
       }
     commit(spark, root, dataDirs, Map("op" -> op) ++ carried)
   }
@@ -197,7 +201,8 @@ object LakeTable {
             else prev.get("schema").map("schema" -> _).toMap
           val checks = prev.filter { case (k, _) =>
             (k.startsWith("check:") || k.startsWith("unique:") ||
-              k.startsWith("default:") || k.startsWith("identity:")) &&
+              k.startsWith("default:") || k.startsWith("identity:") ||
+              k == "partcol") &&
               !meta0.contains(k) }
           meta0 ++ schema ++ checks
         }
@@ -259,6 +264,88 @@ object LakeTable {
       statsMeta(spark, root, dir, statsCols) + ("op" -> "create"))
   }
 
+  /** Split `df` by its `partCol` value into one immutable file group
+    * PER VALUE (one staged `partitionBy` write — a single shuffled
+    * pass, never one job per value), registering each group's value
+    * for [[partAdmit]] pruning. The value is decoded by RE-READING the
+    * landed files (the statsMeta rule — never trust dir-name escaping
+    * round-trips). Returns (dir, valueString) pairs. */
+  private def writePartitionedDataFiles(
+      spark: SparkSession, root: String, partCol: String,
+      df: DataFrame): Seq[(String, String)] = {
+    require(!df.columns.exists(_.equalsIgnoreCase("__gpart")),
+      "batch carries a reserved column name '__gpart'")
+    if (df.filter(col(partCol).isNull).limit(1).count() > 0)
+      throw new IllegalArgumentException(
+        s"null value in partition column '$partCol' refused — partition " +
+          "keys must be non-null (no hidden default-partition bucket)")
+    val f = fs(spark, root)
+    val uuid = java.util.UUID.randomUUID().toString
+    val staged = new Path(root, s"data/.pstage-$uuid")
+    try {
+      // __gpart duplicates the key so partitionBy (which strips its
+      // column from the files) leaves the REAL column in every file
+      df.withColumn("__gpart", col(partCol))
+        .repartition(col("__gpart"))
+        .write.partitionBy("__gpart").parquet(staged.toString)
+      val subs = f.listStatus(staged).map(_.getPath)
+        .filter(_.getName.startsWith("__gpart=")).sortBy(_.getName)
+      subs.zipWithIndex.map { case (sub, i) =>
+        val dir = s"data/$uuid-p$i"
+        if (!f.rename(sub, new Path(root, dir)))
+          throw new IllegalStateException(s"stage rename failed for $dir")
+        val v = spark.read.parquet(new Path(root, dir).toString)
+          .select(col(partCol)).head().get(0)
+        val s = String.valueOf(v)
+        if (s.exists(_ < ' ')) throw new IllegalArgumentException(
+          s"partition value ${s.take(40)}... contains control characters " +
+            "— unsupported as a manifest-recorded partition key")
+        dir -> s
+      }.toSeq
+    } finally f.delete(staged, true)
+  }
+
+  /** CREATE TABLE ... PARTITIONED BY (partCol): the Delta/Hive
+    * partition layout as manifest metadata — `#partcol=` declares the
+    * column (auto-carried through every later commit, protected from
+    * rename/drop), each file group holds exactly one value
+    * (`#part:<dir>=`), and every read path that prunes by stats also
+    * prunes by partition containment ([[partAdmit]]) — equality and IN
+    * probes on the partition column skip non-matching groups at the
+    * zero-file-open manifest level, EXACTLY rather than by min/max
+    * approximation. Appends route rows to per-value groups
+    * automatically (a value accumulates one group per append batch —
+    * Delta's multiple-files-per-partition shape; [[compactSmall]]
+    * merges within a partition). [[overwriteWhere]] on the partition
+    * column prefers containment over stats: an in-band group is
+    * replaced whole, never row-filtered. At 100 TB this is the
+    * `partitionBy("month")` contract: reprocessing a month touches that
+    * month's groups only. Float/double/decimal keys are refused (their
+    * string round-trip is unstable); use string/integral/date/boolean
+    * keys, as every warehouse does. */
+  def createPartitioned(spark: SparkSession, root: String, df: DataFrame,
+                        partCol: String,
+                        statsCols: Seq[String] = Nil): Int = {
+    require(latestVersion(spark, root).isEmpty, s"table exists at $root")
+    val field = df.schema.fields.find(_.name.equalsIgnoreCase(partCol))
+      .getOrElse(throw new IllegalArgumentException(
+        s"no column '$partCol' in the batch"))
+    import org.apache.spark.sql.types._
+    field.dataType match {
+      case StringType | LongType | IntegerType | ShortType | ByteType |
+           DateType | BooleanType => ()
+      case dt => throw new IllegalArgumentException(
+        s"partition column '$partCol' has unsupported type ${dt.sql} — " +
+          "use string/integral/date/boolean keys")
+    }
+    val parts = writePartitionedDataFiles(spark, root, field.name, df)
+    val stats = parts.flatMap { case (d, _) =>
+      statsMeta(spark, root, d, statsCols) }.toMap
+    commit(spark, root, parts.map(_._1),
+      stats ++ parts.map { case (d, pv) => s"part:$d" -> pv }.toMap +
+        ("partcol" -> field.name) + ("op" -> "create-partitioned"))
+  }
+
   /** Clustered create: range-partition by `clusterKey` into up to
     * `numGroups` FILE GROUPS in one commit, recording per-group min/max
     * for `statsCols`. With a Z-order clusterKey
@@ -301,20 +388,45 @@ object LakeTable {
   private def appendInternal(spark: SparkSession, root: String,
                              df: DataFrame, statsCols: Seq[String],
                              extraMeta: Map[String, String]): Int = {
-    val (base, dir) = appendPrepare(spark, root, df)
-    statsCols.foreach(c => requireNotRenamed(
-      manifestMeta(spark, root, base), c, "stats collection"))
-    commitAppend(spark, root, base, dir,
-      statsMeta(spark, root, dir, statsCols) ++ extraMeta)
+    // refuse a renamed stats column BEFORE any byte lands — checking
+    // after appendPrepare would orphan the freshly written data dir,
+    // breaking the 'a refused append leaves no orphan' contract the
+    // conflict path upholds
+    latestVersion(spark, root).foreach { cur =>
+      val meta = manifestMeta(spark, root, cur)
+      statsCols.foreach(c => requireNotRenamed(meta, c, "stats collection"))
+    }
+    val (base, parts) = appendPrepareParts(spark, root, df)
+    val stats = parts.flatMap { case (d, _) =>
+      statsMeta(spark, root, d, statsCols) }.toMap
+    val partMeta = parts.collect {
+      case (d, Some(pv)) => s"part:$d" -> pv }.toMap
+    commitAppendMulti(spark, root, base, parts.map(_._1),
+      stats ++ partMeta ++ extraMeta)
   }
 
   /** Append phase 1: validate against the base snapshot and write the
     * new file group (invisible until a manifest references it).
     * Package-visible so a spec / demo can inject a racing winner
     * between the data write and the commit; production [[append]] runs
-    * both phases back-to-back. Returns (baseVersion, newDataDir). */
+    * both phases back-to-back. Returns (baseVersion, newDataDir).
+    * Single-group shape — refuses partitioned tables (those split into
+    * one group per value; use [[append]], which routes through
+    * [[appendPrepareParts]]). */
   private[graft] def appendPrepare(spark: SparkSession, root: String,
                                    df: DataFrame): (Int, String) = {
+    val (base, parts) = appendPrepareParts(spark, root, df)
+    require(parts.size == 1 && parts.head._2.isEmpty,
+      s"appendPrepare on a partitioned table at $root — use append()")
+    (base, parts.head._1)
+  }
+
+  /** [[appendPrepare]] generalized for partitioned tables: on a table
+    * with a declared partition column the validated batch lands as one
+    * file group PER partition value (each tagged with its value for
+    * [[partAdmit]]); otherwise exactly one untagged group. */
+  private def appendPrepareParts(spark: SparkSession, root: String,
+      df: DataFrame): (Int, Seq[(String, Option[String])]) = {
     val cur = latestVersion(spark, root)
       .getOrElse(throw new IllegalStateException(s"no table at $root"))
     val meta = manifestMeta(spark, root, cur)
@@ -353,7 +465,17 @@ object LakeTable {
       // incoming batches arrive in LOGICAL names (constraints above see
       // them that way); files land in PHYSICAL names so every group in
       // the table shares one on-disk schema under a rename mapping
-      (cur, writeDataFiles(spark, root, toPhysical(meta, filled)))
+      val physical = toPhysical(meta, filled)
+      val parts = partColAt(meta) match {
+        case Some(pc) =>
+          require(physical.columns.exists(_.equalsIgnoreCase(pc)),
+            s"append at $root must carry partition column '$pc'")
+          writePartitionedDataFiles(spark, root, pc, physical)
+            .map { case (d, pv) => (d, Some(pv)) }
+        case None =>
+          Seq((writeDataFiles(spark, root, physical), None))
+      }
+      (cur, parts)
     } finally stage.foreach(rel =>
       fs(spark, root).delete(new Path(root, rel), true))
   }
@@ -389,7 +511,9 @@ object LakeTable {
   private def appendCarries(k: String): Boolean =
     k.startsWith("stat:") || k.startsWith("bloom:") ||
       k.startsWith("annmodel:") || k.startsWith("anncodes:") ||
-      k.startsWith("hllsk:") || k.startsWith("identity:") ||
+      k.startsWith("hllsk:") || k.startsWith("kllsk:") ||
+      k.startsWith("identity:") ||
+      k.startsWith("part:") || k == "partcol" ||
       k == "deletes" || k == "deletekey" || k == "colmap" ||
       k == "coldrop"
 
@@ -409,7 +533,16 @@ object LakeTable {
     * orphan. Bounded at [[MaxCommitRetries]] rebases. */
   private[graft] def commitAppend(spark: SparkSession, root: String,
                                   base: Int, dir: String,
-                                  extraMeta: Map[String, String]): Int = {
+                                  extraMeta: Map[String, String]): Int =
+    commitAppendMulti(spark, root, base, Seq(dir), extraMeta)
+
+  private def commitAppendMulti(spark: SparkSession, root: String,
+                                base: Int, dirs: Seq[String],
+                                extraMeta: Map[String, String]): Int = {
+    def mine: DataFrame = spark.read.option("mergeSchema", "true")
+      .parquet(dirs.map(d => new Path(root, d).toString): _*)
+    def dropPrepared(): Unit =
+      dirs.foreach(d => fs(spark, root).delete(new Path(root, d), true))
     // identity high-water-mark advance: the stamped ids run
     // (hwm+step .. hwm+step·n], so the new mark is a pure function of
     // the base mark and the landed row count — computed ONCE from the
@@ -419,7 +552,7 @@ object LakeTable {
     val idExtra: Map[String, String] =
       identityAt(manifestMeta(spark, root, base)) match {
         case Some((c, start, step, hwm)) =>
-          val n = spark.read.parquet(new Path(root, dir).toString).count()
+          val n = if (dirs.isEmpty) 0L else mine.count()
           Map(s"identity:$c" -> s"$start,$step,${hwm + step * n}")
         case None => Map.empty
       }
@@ -429,12 +562,12 @@ object LakeTable {
       val carried = manifestMeta(spark, root, attempt).filter {
         case (k, _) => appendCarries(k) }
       try return commitVersion(spark, root, attempt + 1,
-        readManifest(spark, root, attempt) :+ dir,
+        readManifest(spark, root, attempt) ++ dirs,
         Map("op" -> "append") ++ carried ++ extraMeta ++ idExtra)
       catch { case e: ConcurrentCommitException =>
         tries += 1
         if (tries > MaxCommitRetries) {
-          fs(spark, root).delete(new Path(root, dir), true)
+          dropPrepared()
           throw new IllegalStateException(
             s"append at $root gave up after $MaxCommitRetries rebases " +
               s"(live contention): ${e.getMessage}")
@@ -447,14 +580,13 @@ object LakeTable {
           // prepared rows against exactly the winner chain's NEW file
           // groups (O(winner churn), never the table)
           val meta = manifestMeta(spark, root, latest)
-          if (uniqueColsAt(meta).nonEmpty) {
+          if (uniqueColsAt(meta).nonEmpty && dirs.nonEmpty) {
             val delta = readManifest(spark, root, latest).toSet --
               readManifest(spark, root, base).toSet
             if (delta.nonEmpty) {
               val winnerRows = spark.read.option("mergeSchema", "true")
                 .parquet(delta.toSeq
                   .map(d => new Path(root, d).toString): _*)
-              val mine = spark.read.parquet(new Path(root, dir).toString)
               try enforceUnique(meta, mine, Some(winnerRows),
                 "by concurrent append")
               catch { case e: IllegalArgumentException =>
@@ -465,7 +597,7 @@ object LakeTable {
             }
           }
         } catch { case c: LakeConflictException =>
-          fs(spark, root).delete(new Path(root, dir), true)
+          dropPrepared()
           throw c
         }
         attempt = latest
@@ -475,10 +607,13 @@ object LakeTable {
   }
 
   /** The commute check for a blind append rebasing from `base` onto
-    * `latest`: every base file group must survive (a removed dir means
-    * a compaction/rewrite/delete/restore ran — our carried stats and
-    * validation snapshot are stale), and schema / CHECK constraints /
-    * MOR delete state must be unchanged (incoming rows were validated
+    * `latest` (Delta's logical conflict rules): a removed base file
+    * group is tolerated ONLY when every winner op is row-preserving
+    * (compaction re-arranges the same rows, so the loser's validation
+    * snapshot still stands — this is what lets nightly OPTIMIZE race
+    * streaming ingest); a row-CHANGING removal (delete/replace/merge/
+    * restore) conflicts. Schema / CHECK constraints / MOR delete state
+    * must be unchanged regardless (incoming rows were validated
     * against `base`'s constraints only, and a concurrently committed
     * constraint or delete must not silently bind rows it never saw). */
   private def assertAppendCommutes(spark: SparkSession, root: String,
@@ -494,8 +629,26 @@ object LakeTable {
     val baseDirs = readManifest(spark, root, base)
     val latestDirs = readManifest(spark, root, latest).toSet
     val removed = baseDirs.filterNot(latestDirs.contains)
-    if (removed.nonEmpty)
-      conflict(s"file groups ${removed.mkString(", ")} were removed")
+    if (removed.nonEmpty) {
+      // Delta's logical rule: a BLIND append reads no file group, so a
+      // winner that merely re-arranged the same rows commutes with it;
+      // the semantic gates below (schema/CHECK/MOR/identity) still
+      // apply. Scoped to INCREMENTAL compaction (optimize-small — the
+      // nightly-compaction-vs-streaming-ingest race that actually
+      // happens in production): a whole-table OPTIMIZE stays exclusive
+      // by contract (same posture as restore), and a winner that
+      // CHANGED rows (delete/replace/merge/restore/purge) conflicts —
+      // the loser's validation snapshot saw rows that no longer stand.
+      val winnerOps = ((base + 1) to latest)
+        .map(v => manifestMeta(spark, root, v).getOrElse("op", "unknown"))
+      val rowPreserving = Set("optimize-small", "append",
+        "streaming-append", "index", "index-hll", "index-kll",
+        "index-ann", "add-constraint", "add-unique", "set-default",
+        "drop-default", "set-identity")
+      if (!winnerOps.forall(rowPreserving.contains))
+        conflict(s"file groups ${removed.mkString(", ")} were removed " +
+          s"by non-compaction op(s) ${winnerOps.distinct.mkString("+")}")
+    }
     val bm = manifestMeta(spark, root, base)
     val lm = manifestMeta(spark, root, latest)
     if (bm.get("schema") != lm.get("schema"))
@@ -579,20 +732,75 @@ object LakeTable {
     }
   }
 
+  /** The declared partition column of a manifest ([[createPartitioned]]),
+    * if any. */
+  private[sources] def partColAt(meta: Map[String, String]): Option[String] =
+    meta.get("partcol")
+
+  /** Partition-value admission — the DIRECTORY-level pruning layer
+    * (Delta/Hive partition pruning): every file group of a partitioned
+    * table holds exactly ONE value of the partition column, recorded
+    * verbatim in the manifest (`#part:<dir>=<value>`), so equality and
+    * IN probes prune EXACTLY (string-identical compare — no min/max
+    * approximation), and range probes prune when the value parses
+    * numeric. Groups without a recorded value (e.g. merged by a
+    * compaction) are conservatively kept — pruning degrades, never
+    * lies. Nulls can't hide anywhere: partition writes refuse null
+    * keys, so IsNull on the partition column admits nothing. */
+  private[sources] def partAdmit(
+      meta: Map[String, String], dir: String,
+      f: org.apache.spark.sql.sources.Filter): Boolean = {
+    import org.apache.spark.sql.sources._
+    (partColAt(meta), meta.get(s"part:$dir")) match {
+      case (Some(pc), Some(p)) =>
+        def mine(a: String) = a.equalsIgnoreCase(pc)
+        def str(v: Any) = String.valueOf(v)
+        def cmp(v: Any)(ok: (Double, Double) => Boolean): Boolean =
+          (p.toDoubleOption, v match {
+            case n: Number => Some(n.doubleValue()); case _ => None
+          }) match {
+            case (Some(x), Some(d)) => ok(x, d)
+            case _ => true
+          }
+        f match {
+          case EqualTo(a, v) if mine(a)       => p == str(v)
+          case EqualNullSafe(a, v) if mine(a) => v != null && p == str(v)
+          case In(a, vs) if mine(a)           => vs.exists(v => p == str(v))
+          case GreaterThan(a, v) if mine(a)   => cmp(v)(_ > _)
+          case GreaterThanOrEqual(a, v) if mine(a) => cmp(v)(_ >= _)
+          case LessThan(a, v) if mine(a)      => cmp(v)(_ < _)
+          case LessThanOrEqual(a, v) if mine(a) => cmp(v)(_ <= _)
+          case IsNull(a) if mine(a)           => false
+          case And(l, r) => partAdmit(meta, dir, l) && partAdmit(meta, dir, r)
+          case Or(l, r)  => partAdmit(meta, dir, l) || partAdmit(meta, dir, r)
+          case _ => true
+        }
+      case _ => true
+    }
+  }
+
   /** File groups of the latest version whose [min,max] for `column`
     * intersects [lo, hi]; groups without stats are conservatively kept.
-    * Exposed for tests/inspection — [[readWhere]] is the read path. */
+    * On a table partitioned BY `column`, the recorded partition value
+    * decides exactly (containment preferred over stats). Exposed for
+    * tests/inspection — [[readWhere]] is the read path. */
   def selectGroups(spark: SparkSession, root: String, column: String,
                    lo: Double, hi: Double): Seq[String] = {
     val v = latestVersion(spark, root)
       .getOrElse(throw new IllegalStateException(s"no table at $root"))
     val meta = manifestMeta(spark, root, v)
+    val partitioned = partColAt(meta).exists(_.equalsIgnoreCase(column))
     readManifest(spark, root, v).filter { dir =>
-      meta.get(s"stat:$dir:$column") match {
-        case Some(s) =>
-          val Array(mn, mx) = s.split(",").map(_.toDouble)
-          mx >= lo && mn <= hi
-        case None => true
+      (if (partitioned) meta.get(s"part:$dir").map(_.toDoubleOption) else None)
+      match {
+        case Some(Some(x)) => x >= lo && x <= hi
+        case Some(None) => true // non-numeric partition value: keep
+        case None => meta.get(s"stat:$dir:$column") match {
+          case Some(s) =>
+            val Array(mn, mx) = s.split(",").map(_.toDouble)
+            mx >= lo && mn <= hi
+          case None => true
+        }
       }
     }
   }
@@ -611,8 +819,13 @@ object LakeTable {
         read(spark, root).schema)
     else {
       val v = latestVersion(spark, root).get
-      applyDeleteMask(spark, root, manifestMeta(spark, root, v),
-        spark.read.option("mergeSchema", "true").parquet(dirs: _*))
+      val meta = manifestMeta(spark, root, v)
+      // same contract as readWhereEq: a renamed filter column finds no
+      // physical stat keys and admits every group (no pruning, still
+      // correct); the colmap projection restores the LOGICAL shape —
+      // renamed columns resolve, metadata-only drops stay dropped
+      applyDeleteMask(spark, root, meta, applyColMap(meta,
+        spark.read.option("mergeSchema", "true").parquet(dirs: _*)))
         .filter(col(column).cast("double").between(lo, hi))
     }
   }
@@ -726,7 +939,8 @@ object LakeTable {
     val meta = manifestMeta(spark, root, v)
     val eq = org.apache.spark.sql.sources.EqualTo(column, value)
     val kept = readManifest(spark, root, v).filter(dir =>
-      statsAdmit(meta, dir, eq) && bloomAdmit(spark, root, meta, dir, eq))
+      partAdmit(meta, dir, eq) && statsAdmit(meta, dir, eq) &&
+        bloomAdmit(spark, root, meta, dir, eq))
     if (kept.isEmpty)
       spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
@@ -750,7 +964,8 @@ object LakeTable {
     val meta = manifestMeta(spark, root, v)
     val eq = org.apache.spark.sql.sources.EqualTo(column, value)
     readManifest(spark, root, v).filter(dir =>
-      statsAdmit(meta, dir, eq) && bloomAdmit(spark, root, meta, dir, eq))
+      partAdmit(meta, dir, eq) && statsAdmit(meta, dir, eq) &&
+        bloomAdmit(spark, root, meta, dir, eq))
   }
 
   /** Resolved absolute data-dir paths of a snapshot (`version = None` →
@@ -868,12 +1083,14 @@ object LakeTable {
           ("""\b""" + java.util.regex.Pattern.quote(colName) + """\b""").r
             .findFirstIn(value).isDefined) ||
         (k == "deletekey" && named(value)) ||
+        (k == "partcol" && named(value)) ||
         (k.startsWith("unique:") && named(value)) ||
         (k.startsWith("default:") && named(k.drop("default:".length))) ||
         (k.startsWith("identity:") && named(k.drop("identity:".length))) ||
         (k.startsWith("annmodel:") && named(k.drop("annmodel:".length))) ||
         ((k.startsWith("stat:") || k.startsWith("bloom:") ||
-          k.startsWith("anncodes:") || k.startsWith("hllsk:")) &&
+          k.startsWith("anncodes:") || k.startsWith("hllsk:") ||
+          k.startsWith("kllsk:")) &&
           named(k.split(":").last))
       if (referenced) throw new UnsupportedOperationException(
         s"cannot $what '$colName': referenced by committed " +
@@ -1222,31 +1439,55 @@ object LakeTable {
       Some(read(spark, root).filter(not(coalesce(inBand, lit(false))))),
       "by replaceWhere")
     val dirs = readManifest(spark, root, v)
+    // partition containment preferred over stats (selectGroups): on a
+    // table partitioned BY `column`, an in-band group's recorded value
+    // PROVES every row is in band — it is replaced whole, no survivor
+    // scan; only stats-admitted groups without that proof are scanned
+    // for out-of-band remainders
     val touched = selectGroups(spark, root, column, lo, hi).toSet
+    val provenWhole = partColAt(meta).filter(_.equalsIgnoreCase(column))
+      .fold(Set.empty[String]) { _ =>
+        touched.filter(d => meta.get(s"part:$d")
+          .flatMap(_.toDoubleOption).exists(x => x >= lo && x <= hi))
+      }
+    val needScan = touched -- provenWhole
     val carried = dirs.filterNot(touched)
     // out-of-band survivors of the touched groups, rewritten once
     val remDir =
-      if (touched.isEmpty) None
+      if (needScan.isEmpty) None
       else {
         val rows = spark.read.option("mergeSchema", "true")
-          .parquet(touched.toSeq.sorted
+          .parquet(needScan.toSeq.sorted
             .map(d => new Path(root, d).toString): _*)
           .filter(not(coalesce(inBand, lit(false))))
         if (rows.isEmpty) None
         else Some(writeDataFiles(spark, root, rows))
       }
-    val newDir = writeDataFiles(spark, root, filled)
+    // the replacement batch lands partition-split on a partitioned
+    // table (same routing as append), one plain group otherwise
+    val newParts = partColAt(meta) match {
+      case Some(pc) =>
+        require(filled.columns.exists(_.equalsIgnoreCase(pc)),
+          s"replaceWhere batch at $root must carry partition column '$pc'")
+        writePartitionedDataFiles(spark, root, pc, filled)
+          .map { case (d, pv) => (d, Some(pv)) }
+      case None => Seq((writeDataFiles(spark, root, filled), None))
+    }
     val keptMeta = meta.filter { case (k, _) =>
       carried.exists(d =>
         k.startsWith(s"stat:$d:") || k.startsWith(s"bloom:$d:") ||
-          k.startsWith(s"anncodes:$d:") || k.startsWith(s"hllsk:$d:")) ||
+          k.startsWith(s"anncodes:$d:") || k.startsWith(s"hllsk:$d:") ||
+          k.startsWith(s"kllsk:$d:") || k == s"part:$d") ||
         k.startsWith("annmodel:")
     }
-    val newStats = (remDir.toSeq :+ newDir)
+    val newDirs = remDir.toSeq ++ newParts.map(_._1)
+    val newStats = newDirs
       .flatMap(d => statsMeta(spark, root, d, statsCols)).toMap
+    val newPartMeta = newParts.collect {
+      case (d, Some(pv)) => s"part:$d" -> pv }.toMap
     commitVersion(spark, root, v + 1,
-      carried ++ remDir.toSeq :+ newDir,
-      keptMeta ++ newStats + ("op" -> "replace-where"))
+      carried ++ newDirs,
+      keptMeta ++ newStats ++ newPartMeta + ("op" -> "replace-where"))
   }
 
   /** Merge-on-read DELETE (Iceberg equality-delete / Delta deletion-
@@ -1354,25 +1595,100 @@ object LakeTable {
     val dirs = readManifest(spark, root, v)
     val (small, large) = dirs.partition(bytes(_) < minBytes)
     if (small.size <= 1) return v
-    val merged = spark.read.option("mergeSchema", "true")
-      .parquet(small.map(d => new Path(root, d).toString): _*)
-    val newDir = writeDataFiles(spark, root, merged.coalesce(1))
-    val carried = meta.filter { case (k, _) =>
-      (k.startsWith("stat:") &&
-        large.exists(d => k.startsWith(s"stat:$d:"))) ||
-      (k.startsWith("bloom:") &&
-        large.exists(d => k.startsWith(s"bloom:$d:"))) ||
-      k.startsWith("annmodel:") ||
-      (k.startsWith("anncodes:") &&
-        large.exists(d => k.startsWith(s"anncodes:$d:"))) ||
-      (k.startsWith("hllsk:") &&
-        large.exists(d => k.startsWith(s"hllsk:$d:"))) ||
-      // the merged group is read raw and re-written raw — physical
-      // names — so rename/drop mappings stay exactly as valid as before
-      k == "colmap" || k == "coldrop"
+    // on a partitioned table, small groups merge WITHIN a partition
+    // value — the one-value-per-group invariant (and its exact
+    // pruning) survives compaction; a lone small group per value
+    // stays as-is. Valueless groups (pre-partitioning legacy) merge
+    // together untagged.
+    val partitioned = partColAt(meta).isDefined
+    val buckets = small.groupBy(d =>
+      if (partitioned) meta.get(s"part:$d") else None)
+    val (loneSmall, mergeable) = buckets.partition(_._2.size <= 1)
+    if (mergeable.isEmpty) return v
+    val newGroups: Seq[(String, Option[String])] =
+      mergeable.toSeq.sortBy(_._1.getOrElse("")).map { case (pv, ds) =>
+        val merged = spark.read.option("mergeSchema", "true")
+          .parquet(ds.map(d => new Path(root, d).toString): _*)
+        (writeDataFiles(spark, root, merged.coalesce(1)), pv)
+      }
+    val mergedSet = mergeable.values.flatten.toSet
+    // Commit with FILE-DISJOINT rewrite reconciliation (Delta's logical
+    // conflict rule for rewrites): a losing compaction may rebase onto
+    // a winner iff the file groups it READ AND REWROTE are untouched in
+    // the winner's snapshot and no semantic state changed (schema,
+    // rename/drop mapping, MOR delete state). The canonical scenario is
+    // nightly compaction racing streaming ingest: the append's new
+    // groups are disjoint from the merged set by construction, so both
+    // commit. An overlapping rewrite (the winner removed a group this
+    // compaction merged) stays a named fail-fast — its inputs are gone.
+    def carriedFrom(m: Map[String, String], survivors: Seq[String]) =
+      m.filter { case (k, _) =>
+        (k.startsWith("stat:") &&
+          survivors.exists(d => k.startsWith(s"stat:$d:"))) ||
+        (k.startsWith("bloom:") &&
+          survivors.exists(d => k.startsWith(s"bloom:$d:"))) ||
+        k.startsWith("annmodel:") ||
+        (k.startsWith("anncodes:") &&
+          survivors.exists(d => k.startsWith(s"anncodes:$d:"))) ||
+        (k.startsWith("hllsk:") &&
+          survivors.exists(d => k.startsWith(s"hllsk:$d:"))) ||
+        (k.startsWith("kllsk:") &&
+          survivors.exists(d => k.startsWith(s"kllsk:$d:"))) ||
+        (k.startsWith("part:") &&
+          survivors.exists(d => k == s"part:$d")) ||
+        // merged groups are read raw and re-written raw — physical
+        // names — so rename/drop mappings stay exactly as valid
+        k == "colmap" || k == "coldrop"
+      }
+    var attempt = v
+    var tries = 0
+    while (true) {
+      val attemptMeta =
+        if (attempt == v) meta else manifestMeta(spark, root, attempt)
+      val attemptDirs =
+        if (attempt == v) dirs else readManifest(spark, root, attempt)
+      val survivors = attemptDirs.filterNot(mergedSet)
+      try return commitVersion(spark, root, attempt + 1,
+        survivors ++ newGroups.map(_._1),
+        carriedFrom(attemptMeta, survivors) ++ newGroups.collect {
+          case (d, Some(pv)) => s"part:$d" -> pv } +
+          ("op" -> "optimize-small"))
+      catch { case e: ConcurrentCommitException =>
+        tries += 1
+        def conflict(what: String): Nothing = {
+          newGroups.foreach { case (d, _) =>
+            f.delete(new Path(root, d), true) }
+          throw new LakeConflictException(
+            s"compactSmall (base v$v) conflicts with a concurrent " +
+              s"commit at $root: $what")
+        }
+        if (tries > MaxCommitRetries) {
+          newGroups.foreach { case (d, _) =>
+            f.delete(new Path(root, d), true) }
+          throw new IllegalStateException(
+            s"compactSmall at $root gave up after $MaxCommitRetries " +
+              s"rebases (live contention): ${e.getMessage}")
+        }
+        val latest = latestVersion(spark, root).getOrElse(attempt)
+        val lm = manifestMeta(spark, root, latest)
+        val latestDirs = readManifest(spark, root, latest).toSet
+        val gone = mergedSet.filterNot(latestDirs.contains)
+        if (gone.nonEmpty)
+          conflict(s"file groups ${gone.mkString(", ")} this compaction " +
+            "read were removed (overlapping rewrite)")
+        if (meta.get("schema") != lm.get("schema"))
+          conflict("table schema changed")
+        if (colMapAt(meta) != colMapAt(lm) ||
+            colDropsAt(meta) != colDropsAt(lm))
+          conflict("column rename/drop mapping changed (the merged " +
+            "group baked the old physical names)")
+        if (deleteState(lm).nonEmpty)
+          conflict("merge-on-read deletes appeared (the merged group " +
+            "was read unmasked)")
+        attempt = latest
+      }
     }
-    commitVersion(spark, root, v + 1, large :+ newDir,
-      carried + ("op" -> "optimize-small"))
+    -1 // unreachable
   }
 
   def compact(spark: SparkSession, root: String, targetPartitions: Int,
@@ -1401,7 +1717,7 @@ object LakeTable {
       .filter { case (k, _) =>
         k.startsWith("stat:") || k.startsWith("bloom:") ||
           k.startsWith("annmodel:") || k.startsWith("anncodes:") ||
-          k.startsWith("hllsk:") ||
+          k.startsWith("hllsk:") || k.startsWith("kllsk:") ||
           k == "deletes" || k == "deletekey" || k == "colmap" ||
           k == "coldrop" ||
           // the restored version's OWN declared schema (expressed in
@@ -1467,7 +1783,7 @@ object LakeTable {
       manifestMeta(spark, root, v).filter { case (k, _) =>
         k.startsWith("stat:") || k.startsWith("bloom:") ||
           k.startsWith("annmodel:") || k.startsWith("anncodes:") ||
-          k.startsWith("hllsk:") ||
+          k.startsWith("hllsk:") || k.startsWith("kllsk:") ||
           k == "deletes" || k == "deletekey" || k == "colmap" ||
           k == "coldrop" } ++
         Map("op" -> "add-constraint", s"check:$name" -> predicateSql))
@@ -1499,6 +1815,11 @@ object LakeTable {
     val v = latestVersion(spark, root)
       .getOrElse(throw new IllegalStateException(s"no table at $root"))
     val meta = manifestMeta(spark, root, v)
+    // the rebase path (commitAppend's unique re-validation) reads
+    // winner file groups RAW — a constraint on a metadata-only-renamed
+    // column would make col(logicalName) throw there, escaping the
+    // conflict handler; refuse up front exactly like setIdentity
+    requireNotRenamed(meta, colName, "UNIQUE constraint")
     val cur = read(spark, root)
     require(cur.columns.exists(_.equalsIgnoreCase(colName)),
       s"no column '$colName' at $root")
@@ -1726,6 +2047,8 @@ object LakeTable {
           s"anncodes:$a:" + kk.drop(10 + d.length)
         else if (kk.startsWith(s"hllsk:$d:"))
           s"hllsk:$a:" + kk.drop(7 + d.length)
+        else if (kk.startsWith(s"kllsk:$d:"))
+          s"kllsk:$a:" + kk.drop(7 + d.length)
         else kk
       }
       // sidecar-path VALUES must also go absolute: bloom filters, ANN
@@ -1738,7 +2061,8 @@ object LakeTable {
           value.split(",").map(r => new Path(srcRoot, r).toString)
             .mkString(",")
         else if (k.startsWith("bloom:") || k.startsWith("annmodel:") ||
-            k.startsWith("anncodes:") || k.startsWith("hllsk:"))
+            k.startsWith("anncodes:") || k.startsWith("hllsk:") ||
+            k.startsWith("kllsk:"))
           new Path(srcRoot, value).toString
         else value
       k2 -> v2

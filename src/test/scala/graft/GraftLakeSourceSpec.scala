@@ -123,6 +123,81 @@ class GraftLakeSourceSpec extends SparkSpec {
     }
   }
 
+  test("streaming over MOR deletes: maskDeletes streams the masked " +
+    "snapshot; batches mask un-emitted rows; batch reads still refuse") {
+    withTable { root =>
+      import spark.implicits._
+      LakeTable.create(spark, root,
+        (1L to 6L).map(i => (i, s"t$i")).toDF("id", "tag"))
+      LakeTable.deleteWhereMor(spark, root, col("id") <= 2L, "id")
+      // without the opt-in, loading the MOR table still fails fast
+      intercept[UnsupportedOperationException] {
+        spark.read.format("graft-lake").load(root).collect()
+      }
+      // a fresh stream with maskDeletes emits exactly the masked
+      // snapshot (deletes applied before first emission); parquet sink
+      // + checkpoint so the stream can stop and resume deterministically
+      val ckpt = java.nio.file.Files
+        .createTempDirectory("graft_mor_ckpt").toString
+      val out = java.nio.file.Files
+        .createTempDirectory("graft_mor_out").toString
+      def start() = spark.readStream.format("graft-lake")
+        .option("maskDeletes", "true").load(root)
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append").start()
+      try {
+        val q = start()
+        try { q.processAllAvailable() } finally q.stop()
+        assert(spark.read.parquet(out).select("id").as[Long]
+          .collect().sorted.toSeq == Seq(3L, 4L, 5L, 6L))
+        // while the stream is DOWN: append 7 and 8, MOR-delete 7
+        // (never emitted) and 4 (already emitted: not retracted); the
+        // resumed batch emits the appended rows with the mask current
+        // at its end offset — 7 never appears
+        LakeTable.append(spark, root,
+          Seq((7L, "t7"), (8L, "t8")).toDF("id", "tag"))
+        LakeTable.deleteWhereMor(spark, root, col("id") === 7L, "id")
+        LakeTable.deleteWhereMor(spark, root, col("id") === 4L, "id")
+        val q2 = start()
+        try { q2.processAllAvailable() } finally q2.stop()
+        assert(spark.read.parquet(out).select("id").as[Long]
+          .collect().sorted.toSeq == Seq(3L, 4L, 5L, 6L, 8L))
+        // the masked snapshot agrees on everything except the
+        // cannot-retract 4
+        assert(LakeTable.read(spark, root).select("id").as[Long]
+          .collect().sorted.toSeq == Seq(3L, 5L, 6L, 8L))
+      } finally {
+        graft.util.Tmp.deleteRecursively(java.nio.file.Paths.get(ckpt))
+        graft.util.Tmp.deleteRecursively(java.nio.file.Paths.get(out))
+      }
+      // a SECOND fresh stream now emits exactly the masked snapshot —
+      // exactly-once rows match LakeTable.read
+      val q2 = spark.readStream.format("graft-lake")
+        .option("maskDeletes", "true").load(root)
+        .writeStream.format("memory").queryName("lake_mor_stream2")
+        .outputMode("append").start()
+      try {
+        q2.processAllAvailable()
+        assert(spark.table("lake_mor_stream2").select("id").as[Long]
+          .collect().sorted.toSeq == Seq(3L, 5L, 6L, 8L))
+      } finally {
+        q2.stop()
+        spark.catalog.dropTempView("lake_mor_stream2")
+      }
+      // batch read under the option: loads, but executing refuses
+      val e = intercept[Exception] {
+        spark.read.format("graft-lake").option("maskDeletes", "true")
+          .load(root).collect()
+      }
+      def causes(t: Throwable): Seq[Throwable] =
+        if (t == null) Nil else t +: causes(t.getCause)
+      assert(causes(e).exists(c =>
+        c.isInstanceOf[UnsupportedOperationException] &&
+          c.getMessage.contains("batch reads cannot honor")), e.toString)
+    }
+  }
+
   test("streaming restart resumes from the checkpointed version") {
     withTable { root =>
       import spark.implicits._
@@ -240,6 +315,42 @@ class GraftLakeSourceSpec extends SparkSpec {
       // the index commit is metadata-only: same groups, version bumped
       assert(LakeTable.versions(spark, root) == Seq(1, 2, 3))
       assert(LakeTable.history(spark, root).last._2 == "index")
+    }
+  }
+
+  test("DSv2 read prunes file groups by partition value at planning time") {
+    withTable { root =>
+      import spark.implicits._
+      // STRING partition values: min/max stats can't index strings —
+      // only the recorded partition value can prune these groups
+      LakeTable.createPartitioned(spark, root,
+        Seq((1L, "1998-01"), (2L, "1998-02"), (3L, "1998-03"),
+          (4L, "1998-02")).toDF("id", "month"), "month")
+      assert(LakeTable.dataDirPaths(spark, root).size == 3)
+      val df = spark.read.format("graft-lake").load(root)
+        .filter(col("month") === "1998-02")
+      assert(df.collect().map(_.getLong(0)).sorted.toSeq == Seq(2L, 4L))
+      // directory-level pruning: the plan's file index holds ONLY the
+      // matching partition's path
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("InMemoryFileIndex(1 paths)"), plan.take(800))
+      // IN-list keeps exactly the named partitions
+      val in2 = spark.read.format("graft-lake").load(root)
+        .filter(col("month").isin("1998-01", "1998-03"))
+      assert(in2.collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 3L))
+      assert(in2.queryExecution.executedPlan.toString
+        .contains("InMemoryFileIndex(2 paths)"))
+      // appends route rows per value; a value accumulates one group
+      // per batch and the scan reads exactly that value's groups
+      LakeTable.append(spark, root,
+        Seq((5L, "1998-02"), (6L, "1998-04")).toDF("id", "month"))
+      assert(LakeTable.dataDirPaths(spark, root).size == 5)
+      val after = spark.read.format("graft-lake").load(root)
+        .filter(col("month") === "1998-02")
+      assert(after.collect().map(_.getLong(0)).sorted.toSeq ==
+        Seq(2L, 4L, 5L))
+      assert(after.queryExecution.executedPlan.toString
+        .contains("InMemoryFileIndex(2 paths)"))
     }
   }
 

@@ -341,6 +341,56 @@ class LakeTableSpec extends SparkSpec {
     }
   }
 
+  test("file-disjoint rewrite concurrency: compactSmall and append " +
+    "both commit in every interleaving; append past compactSmall " +
+    "rebases deterministically") {
+    withTable { root =>
+      import spark.implicits._
+      LakeTable.create(spark, root, Seq((1L, "a")).toDF("id", "tag"))
+      LakeTable.append(spark, root, Seq((2L, "b")).toDF("id", "tag"))
+      // deterministic half: appender B prepares against v2, an
+      // incremental compaction wins v3 (merging B's base groups —
+      // row-preserving), B rebases and commits at v4
+      val (base, dir) = LakeTable.appendPrepare(spark, root,
+        Seq((3L, "c")).toDF("id", "tag"))
+      LakeTable.compactSmall(spark, root, minBytes = Long.MaxValue)
+      val v = LakeTable.commitAppend(spark, root, base, dir, Map.empty)
+      assert(v == 4)
+      assert(LakeTable.read(spark, root).select("id").as[Long]
+        .collect().sorted.toSeq == Seq(1L, 2L, 3L))
+      // racing half: a threaded compaction and append must BOTH land,
+      // whatever the interleaving (each side reconciles past the other)
+      LakeTable.append(spark, root, Seq((4L, "d")).toDF("id", "tag"))
+      val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]
+      val tCompact = new Thread(() =>
+        try LakeTable.compactSmall(spark, root, minBytes = Long.MaxValue)
+        catch { case t: Throwable => errs.add(t) })
+      val tAppend = new Thread(() =>
+        try LakeTable.append(spark, root, Seq((5L, "e")).toDF("id", "tag"))
+        catch { case t: Throwable => errs.add(t) })
+      tCompact.start(); tAppend.start()
+      tCompact.join(); tAppend.join()
+      assert(errs.isEmpty, s"concurrent writer failed: ${Option(errs.peek())}")
+      assert(LakeTable.read(spark, root).select("id").as[Long]
+        .collect().sorted.toSeq == Seq(1L, 2L, 3L, 4L, 5L))
+      val ops = LakeTable.history(spark, root).map(_._2)
+      assert(ops.count(_ == "optimize-small") == 2 &&
+        ops.count(_ == "append") >= 3, ops.toString)
+      // overlapping rewrites still fail fast by name: a full-table
+      // OPTIMIZE winner is NOT row-preserving-commutable for a
+      // prepared append (whole-table rewrites stay exclusive)…
+      val (b2, d2) = LakeTable.appendPrepare(spark, root,
+        Seq((6L, "f")).toDF("id", "tag"))
+      LakeTable.deleteWhere(spark, root, col("id") === 1L)
+      val e = intercept[graft.sources.LakeConflictException] {
+        LakeTable.commitAppend(spark, root, b2, d2, Map.empty)
+      }
+      assert(e.getMessage.contains("delete") &&
+        e.getMessage.contains("removed"), e.getMessage)
+      assert(!new java.io.File(s"$root/$d2").exists())
+    }
+  }
+
   test("append vs concurrently added CHECK constraint fails, names the reason") {
     withTable { root =>
       import spark.implicits._
@@ -445,6 +495,109 @@ class LakeTableSpec extends SparkSpec {
         .columns.toSeq == Seq("id", "price", "qty"))
       LakeTable.indexBloom(spark, root, Seq("price"))
       assert(LakeTable.readWhereEq(spark, root, "price", 10L).count() == 1)
+    }
+  }
+
+  test("partitioned table: per-value groups, exact pruning, replaceWhere " +
+    "containment, compactSmall within partitions") {
+    withTable { root =>
+      import spark.implicits._
+      LakeTable.createPartitioned(spark, root,
+        Seq((1L, 10L, 100L), (2L, 10L, 200L), (3L, 20L, 300L),
+          (4L, 30L, 400L)).toDF("id", "bucket", "cents"), "bucket")
+      assert(LakeTable.dataDirPaths(spark, root).size == 3)
+      // exact equality pruning: one group per value
+      assert(LakeTable.selectGroupsEq(spark, root, "bucket", 10L).size == 1)
+      assert(LakeTable.readWhereEq(spark, root, "bucket", 10L).count() == 2)
+      // numeric partition values prune range probes by containment
+      assert(LakeTable.selectGroups(spark, root, "bucket", 15, 25).size == 1)
+      // null partition keys refused before any byte lands
+      intercept[IllegalArgumentException] {
+        LakeTable.append(spark, root,
+          Seq((9L, Option.empty[Long], 900L)).toDF("id", "bucket", "cents"))
+      }
+      // float keys refused; partition column protected from rename/drop
+      intercept[IllegalArgumentException] {
+        LakeTable.createPartitioned(spark, s"$root/f2",
+          Seq((1L, 1.5)).toDF("id", "price"), "price")
+      }
+      intercept[UnsupportedOperationException] {
+        LakeTable.renameColumn(spark, root, "bucket", "b2")
+      }
+      intercept[UnsupportedOperationException] {
+        LakeTable.dropColumn(spark, root, "bucket")
+      }
+      // replaceWhere on the partition column: the in-band group is
+      // PROVEN whole by its recorded value (replaced with no survivor
+      // scan); the other partitions' groups carry byte-identical
+      val dirsBefore = LakeTable.dataDirPaths(spark, root).toSet
+      LakeTable.overwriteWhere(spark, root,
+        Seq((1L, 10L, 111L), (2L, 10L, 222L)).toDF("id", "bucket", "cents"),
+        "bucket", 10, 10)
+      val dirsAfter = LakeTable.dataDirPaths(spark, root).toSet
+      assert((dirsBefore intersect dirsAfter).size == 2,
+        s"untouched partitions not carried: $dirsBefore vs $dirsAfter")
+      assert(LakeTable.read(spark, root).agg(sum(col("cents")))
+        .head().getLong(0) == 111L + 222L + 300L + 400L)
+      // compactSmall merges small groups WITHIN a partition value only
+      LakeTable.append(spark, root,
+        Seq((5L, 20L, 500L)).toDF("id", "bucket", "cents"))
+      LakeTable.append(spark, root,
+        Seq((6L, 30L, 600L)).toDF("id", "bucket", "cents"))
+      assert(LakeTable.dataDirPaths(spark, root).size == 5)
+      LakeTable.compactSmall(spark, root, minBytes = 1L << 30)
+      // buckets 20 and 30 each merged 2→1; bucket 10's lone group kept
+      assert(LakeTable.dataDirPaths(spark, root).size == 3)
+      assert(LakeTable.selectGroupsEq(spark, root, "bucket", 20L).size == 1)
+      assert(LakeTable.readWhereEq(spark, root, "bucket", 20L)
+        .agg(sum(col("cents"))).head().getLong(0) == 300L + 500L)
+      assert(LakeTable.readWhereEq(spark, root, "bucket", 30L)
+        .agg(sum(col("cents"))).head().getLong(0) == 400L + 600L)
+      // the whole table still reads complete
+      assert(LakeTable.read(spark, root).count() == 6)
+    }
+  }
+
+  test("rename gates: readWhere projects the colmap, UNIQUE on a renamed " +
+    "column is refused, and a refused stats-append leaves no orphan") {
+    withTable { root =>
+      import spark.implicits._
+      LakeTable.create(spark, root,
+        Seq((1L, 10L, 5L), (2L, 20L, 6L)).toDF("id", "amount", "qty"),
+        statsCols = Seq("id"))
+      LakeTable.renameColumn(spark, root, "amount", "price")
+      LakeTable.dropColumn(spark, root, "qty")
+      // readWhere on an UNRENAMED stats column must still return the
+      // LOGICAL shape: renamed column resolved, dropped column absent
+      val got = LakeTable.readWhere(spark, root, "id", 1, 2)
+      assert(got.columns.toSeq == Seq("id", "price"),
+        s"readWhere leaked physical/dropped columns: ${got.columns.toSeq}")
+      assert(got.select(sum(col("price"))).head().getLong(0) == 30L)
+      // filtering BY the renamed column: no stat keys match (no
+      // pruning), but the logical name must resolve and filter
+      val byRenamed = LakeTable.readWhere(spark, root, "price", 15, 25)
+      assert(byRenamed.count() == 1 &&
+        byRenamed.head().getAs[Long]("price") == 20L)
+      // UNIQUE on a renamed column refused up front (the rebase path
+      // reads winner groups raw and would throw past the conflict
+      // handler otherwise)
+      intercept[UnsupportedOperationException] {
+        LakeTable.addUniqueConstraint(spark, root, "u_price", "price")
+      }
+      // an append refused for a renamed STATS column must leave no
+      // orphaned data dir (fail-fast before any byte lands)
+      val dataDirs = (r: String) => {
+        val d = new java.io.File(r, "data")
+        if (d.exists()) d.listFiles().count(_.isDirectory) else 0
+      }
+      val before = dataDirs(root)
+      intercept[UnsupportedOperationException] {
+        LakeTable.append(spark, root,
+          Seq((3L, 30L)).toDF("id", "price"), statsCols = Seq("price"))
+      }
+      assert(dataDirs(root) == before,
+        "refused append orphaned a prepared data dir")
+      assert(LakeTable.read(spark, root).count() == 2)
     }
   }
 
@@ -605,6 +758,60 @@ class LakeTableSpec extends SparkSpec {
       LakeHllIndex.indexHll(spark, root, Seq("id"))
       val est4 = LakeHllIndex.approxDistinct(spark, root, "id")
       assert(math.abs(est4 - 300L) <= 15, s"est4=$est4")
+    }
+  }
+
+  test("KLL sidecar index: metadata-only, incremental, hybrid " +
+    "quantiles, compactSmall keeps covered groups, MOR fail-fast") {
+    withTable { root =>
+      import graft.sources.LakeKllIndex
+      import spark.implicits._
+      // values 1..1000: exact quantiles are knowable (p50=500, p90=900)
+      val rows = (1L to 1000L).map(i => (i, i * 10)).toDF("id", "v")
+      LakeTable.create(spark, root, rows.filter(col("id") <= 600))
+      val dirsV1 = LakeTable.dataDirPaths(spark, root)
+      val v2 = LakeKllIndex.indexKll(spark, root, Seq("v"))
+      assert(v2 == 2 && LakeTable.dataDirPaths(spark, root) == dirsV1)
+      // committed-only estimate: k=200 rank error ~1.65% → ±2% slack
+      val Seq(p50a) = LakeKllIndex.approxQuantiles(spark, root, "v", Seq(0.5))
+      assert(math.abs(p50a - 3000.0) <= 150, s"p50a=$p50a")
+      // append: new group uncovered, hybrid merges sidecar + live scan
+      LakeTable.append(spark, root, rows.filter(col("id") > 600))
+      val (cov1, open1) = LakeKllIndex.coverage(spark, root, "v")
+      assert(cov1.size == 1 && open1.size == 1)
+      val Seq(p50b, p90b) =
+        LakeKllIndex.approxQuantiles(spark, root, "v", Seq(0.5, 0.9))
+      assert(math.abs(p50b - 5000.0) <= 250, s"p50b=$p50b")
+      assert(math.abs(p90b - 9000.0) <= 450, s"p90b=$p90b")
+      // incremental re-index: old sidecar byte-untouched, one new
+      val before = indexFiles(root)
+      LakeKllIndex.indexKll(spark, root, Seq("v"))
+      val after = indexFiles(root)
+      assert(before.forall { case (f, sig) => after.get(f).contains(sig) })
+      assert(LakeKllIndex.coverage(spark, root, "v")._2.isEmpty)
+      // complete index is a version no-op
+      val vNow = LakeTable.versions(spark, root).last
+      assert(LakeKllIndex.indexKll(spark, root, Seq("v")) == vNow)
+      // compactSmall drops merged groups' entries with the dirs;
+      // re-index covers the merged group, estimate stays sane
+      LakeTable.compactSmall(spark, root, minBytes = Long.MaxValue)
+      LakeKllIndex.indexKll(spark, root, Seq("v"))
+      val Seq(p50c) = LakeKllIndex.approxQuantiles(spark, root, "v", Seq(0.5))
+      assert(math.abs(p50c - 5000.0) <= 250, s"p50c=$p50c")
+      // sketches cannot subtract: MOR deletes fail fast; materializing
+      // restores service
+      LakeTable.deleteWhereMor(spark, root, col("id") <= 500L, "id")
+      intercept[UnsupportedOperationException] {
+        LakeKllIndex.approxQuantiles(spark, root, "v", Seq(0.5))
+      }
+      LakeTable.rewriteDeletes(spark, root)
+      LakeKllIndex.indexKll(spark, root, Seq("v"))
+      val Seq(p50d) = LakeKllIndex.approxQuantiles(spark, root, "v", Seq(0.5))
+      assert(math.abs(p50d - 7500.0) <= 300, s"p50d=$p50d")
+      // bad rank refused
+      intercept[IllegalArgumentException] {
+        LakeKllIndex.approxQuantiles(spark, root, "v", Seq(1.5))
+      }
     }
   }
 

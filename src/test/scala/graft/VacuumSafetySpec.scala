@@ -57,7 +57,8 @@ class VacuumSafetySpec extends graft.SparkSpec {
           assert(resolves(r), s"v$v at $root references vacuumed mask $r")
         }
         case (k, p) if k.startsWith("bloom:") || k.startsWith("annmodel:") ||
-            k.startsWith("anncodes:") || k.startsWith("hllsk:") =>
+            k.startsWith("anncodes:") || k.startsWith("hllsk:") ||
+            k.startsWith("kllsk:") =>
           assert(resolves(p), s"v$v at $root references vacuumed sidecar " +
             s"$k -> $p")
         case _ =>
@@ -113,9 +114,11 @@ class VacuumSafetySpec extends graft.SparkSpec {
             hasMor = false
           case 4 => if (!hasMor) // small-file compact (MOR-free contract)
             LakeTable.compactSmall(spark, src, minBytes = Long.MaxValue)
-          case 5 =>
-            if (rnd.nextBoolean()) LakeTable.indexBloom(spark, src, Seq("id"))
-            else LakeHllIndex.indexHll(spark, src, Seq("id"))
+          case 5 => rnd.nextInt(3) match {
+            case 0 => LakeTable.indexBloom(spark, src, Seq("id"))
+            case 1 => LakeHllIndex.indexHll(spark, src, Seq("id"))
+            case _ => LakeKllIndex.indexKll(spark, src, Seq("id"))
+          }
           case 6 => if (live.size >= 8) // kmeans needs n >= kCodes
             LakeAnnIndex.indexIvfPq(spark, src, "id", "emb",
               nCentroids = 2, m = 2, kCodes = 4)
