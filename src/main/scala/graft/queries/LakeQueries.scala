@@ -1594,6 +1594,132 @@ object LakeQueries {
     } }
   }
 
+  /** q304: SQL DDL for the lake extras — the surfaces q288 (defaults),
+    * q281 (UNIQUE), q235 (CHECK) reach by Scala API, now reached by the
+    * SQL-only user through [[graft.sources.GraftLakeCatalog]]: `ALTER
+    * TABLE … ADD COLUMNS / ALTER COLUMN SET DEFAULT / ADD CONSTRAINT
+    * CHECK / ADD CONSTRAINT UNIQUE`, each landing as the same
+    * metadata-only commit the API makes (DSv2 TableChange routing; the
+    * catalog declares SUPPORT_TABLE_CONSTRAINT +
+    * SUPPORT_COLUMN_DEFAULT_VALUE so Spark's parser paths resolve).
+    * Lifecycle: evolve a column in, declare its write-default, gate
+    * quality with CHECK (violating SQL INSERT refused whole), key the
+    * table with UNIQUE (duplicate SQL INSERT refused, fresh key lands),
+    * and verify the default materialized for an omitting append while
+    * pre-evolution rows read NULL. The oracle restates every count and
+    * sum from orders; the refusals and protocol facts pin as constants.
+    * Scale: every DDL here is one manifest line — zero data bytes. */
+  def sqlLakeDdl(s: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.load(s, dir, "orders")
+      .filter(col("o_custkey") % 5 === 2)
+      .select(col("o_orderkey").as("id"),
+        expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)")
+          .as("cents"))
+    graft.util.LocalFrame.withConf(s, "spark.sql.shuffle.partitions", "8") {
+    graft.util.Tmp.withTempDir("graft_lake_q304") { rootPath =>
+      val wh = rootPath.toString
+      val root = s"$wh/t"
+      val base = orders.filter(col("id") % 3 =!= 0)
+      val late = orders.filter(col("id") % 3 === 0)
+      LakeTable.create(s, root, base)
+      val cat = "lake_" +
+        java.util.UUID.randomUUID().toString.replace("-", "").take(12)
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftLakeCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+      try {
+        s.sql(s"ALTER TABLE $cat.t ADD COLUMNS (src STRING)")
+        s.sql(s"ALTER TABLE $cat.t ALTER COLUMN src SET DEFAULT 'bulk'")
+        s.sql(s"ALTER TABLE $cat.t ADD CONSTRAINT cents_pos " +
+          "CHECK (cents > 0)")
+        s.sql(s"ALTER TABLE $cat.t ADD CONSTRAINT uid UNIQUE (id)")
+        // an append OMITTING the defaulted column materializes 'bulk';
+        // pre-evolution rows keep reading NULL (history untouched)
+        LakeTable.append(s, root, late)
+        val refusedCheck =
+          try { s.sql(s"INSERT INTO $cat.t VALUES (4000000001, -5, 'x')")
+            0L } catch { case _: Exception => 1L }
+        val refusedDup = {
+          val dupId = base.select(min(col("id"))).head().getLong(0)
+          try { s.sql(s"INSERT INTO $cat.t VALUES ($dupId, 7, 'x')")
+            0L } catch { case _: Exception => 1L }
+        }
+        s.sql(s"INSERT INTO $cat.t VALUES (4000000001, 123, 'manual')")
+        val t = LakeTable.read(s, root).agg(
+          count(lit(1)).as("n"),
+          countDistinct(col("id")).as("d"),
+          sum(col("cents")).as("c"),
+          sum(when(col("src") === "bulk", 1L).otherwise(0L)).as("nb"),
+          sum(when(col("src").isNull, 1L).otherwise(0L)).as("nn")).head()
+        import s.implicits._
+        graft.util.LocalFrame.materialize(Seq(
+          ("cents_total", t.getLong(2)),
+          ("n_bulk_default", t.getLong(3)),
+          ("n_null_src", t.getLong(4)),
+          ("n_total", t.getLong(0)),
+          ("refused_check_violation", refusedCheck),
+          ("refused_duplicate_key", refusedDup),
+          ("unique_ids", t.getLong(1))
+        ).toDF("fact", "n").orderBy(col("fact")))
+      } finally {
+        s.conf.unset(s"spark.sql.catalog.$cat")
+        s.conf.unset(s"spark.sql.catalog.$cat.warehouse")
+      }
+    } }
+  }
+
+  /** q305: GENERATED columns ([[graft.sources.LakeTable
+    * .setGeneratedColumn]]) — Delta's `GENERATED ALWAYS AS (expr)` as
+    * an oracle-checked lifecycle: (1) declaring the rule validates
+    * every existing row (null-safe `col <=> expr`; a violated rule is
+    * refused); (2) an append OMITTING the column materializes the
+    * expression per row from the batch's other columns — on disk, not
+    * read-path magic; (3) a batch CARRYING mismatched values is
+    * refused WHOLE before any byte lands; (4) the rule auto-carries,
+    * joins the append commute check, and rename-protects both the
+    * generated column and every column its expression names. The
+    * expression here is pure integer arithmetic (cents div 50 + 7), so
+    * the oracle recomputes every materialized value exactly.
+    * Scale: declaration costs one validation scan; each append pays
+    * one projection over its own batch — O(batch), never the table. */
+  def generatedColumnLifecycle(s: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.load(s, dir, "orders")
+      .filter(col("o_custkey") % 5 === 4)
+      .select(col("o_orderkey").as("id"),
+        expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)")
+          .as("cents"))
+    graft.util.LocalFrame.withConf(s, "spark.sql.shuffle.partitions", "8") {
+    graft.util.Tmp.withTempDir("graft_lake_q305") { rootPath =>
+      val root = rootPath.toString
+      val withFee = orders.withColumn("fee", expr("cents div 50 + 7"))
+      LakeTable.create(s, root, withFee.filter(col("id") % 3 =!= 0))
+      LakeTable.setGeneratedColumn(s, root, "fee", "cents div 50 + 7")
+      // a rule the existing data violates is refused
+      val refusedDecl =
+        try { LakeTable.setGeneratedColumn(s, root, "cents", "id"); 0L }
+        catch { case _: IllegalArgumentException => 1L }
+      // appends omitting the column materialize it
+      LakeTable.append(s, root,
+        orders.filter(col("id") % 3 === 0).select(col("id"), col("cents")))
+      // a carried mismatch refuses the whole batch
+      import s.implicits._
+      val refusedBad =
+        try { LakeTable.append(s, root,
+          Seq((4000000001L, 5000L, 1L)).toDF("id", "cents", "fee")); 0L }
+        catch { case _: IllegalArgumentException => 1L }
+      val t = LakeTable.read(s, root).agg(
+        count(lit(1)).as("n"), sum(col("fee")).as("f"),
+        sum(when(col("fee") === expr("cents div 50 + 7"), 1L)
+          .otherwise(0L)).as("ok")).head()
+      graft.util.LocalFrame.materialize(Seq(
+        ("fee_total", t.getLong(1)),
+        ("n_invariant_ok", t.getLong(2)),
+        ("n_total", t.getLong(0)),
+        ("refused_mismatched_batch", refusedBad),
+        ("refused_violated_declaration", refusedDecl)
+      ).toDF("fact", "n").orderBy(col("fact")))
+    } }
+  }
+
   /** q296: `replaceWhere` partition overwrite
     * ([[graft.sources.LakeTable.overwriteWhere]]) — Delta's
     * atomic-reprocess idiom as an oracle-checked lifecycle: (1) a
@@ -1768,6 +1894,8 @@ object LakeQueries {
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q302_partitioned_lake"    -> (partitionedLifecycle _),
     "q303_kll_index_lake"      -> (kllIndexLifecycle _),
+    "q304_sql_lake_ddl"        -> (sqlLakeDdl _),
+    "q305_generated_column"    -> (generatedColumnLifecycle _),
     "q296_replace_where"       -> (replaceWhereLifecycle _),
     "q297_identity_column"     -> (identityLifecycle _),
     "q282_hll_index_lake"      -> (hllIndexLifecycle _),
@@ -1830,6 +1958,41 @@ object LakeQueries {
         |UNION ALL SELECT 'groups_scanned_eq', CAST(1 AS BIGINT)
         |UNION ALL SELECT 'n_y1995',
         |  CAST(count(*) FILTER (yk = 1995) AS BIGINT) FROM o
+        |ORDER BY fact""".stripMargin,
+    // q305: the generation expression is exact integer arithmetic, so
+    // the oracle recomputes every materialized fee; refusals pin
+    "q305_generated_column" ->
+      """WITH o AS (
+        |  SELECT o_orderkey AS id,
+        |         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |           AS cents
+        |  FROM orders WHERE o_custkey % 5 = 4)
+        |SELECT 'fee_total' AS fact,
+        |       CAST(sum(cents // 50 + 7) AS BIGINT) AS n FROM o
+        |UNION ALL SELECT 'n_invariant_ok', count(*) FROM o
+        |UNION ALL SELECT 'n_total', count(*) FROM o
+        |UNION ALL SELECT 'refused_mismatched_batch', CAST(1 AS BIGINT)
+        |UNION ALL SELECT 'refused_violated_declaration', CAST(1 AS BIGINT)
+        |ORDER BY fact""".stripMargin,
+    // q304: counts/sums restated from orders plus the one manual row;
+    // the two refusals and the default/null split follow from the DDL
+    // contract (defaults fill omitting appends only; history reads NULL)
+    "q304_sql_lake_ddl" ->
+      """WITH o AS (
+        |  SELECT o_orderkey AS id,
+        |         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |           AS cents
+        |  FROM orders WHERE o_custkey % 5 = 2)
+        |SELECT 'cents_total' AS fact,
+        |       CAST(sum(cents) + 123 AS BIGINT) AS n FROM o
+        |UNION ALL SELECT 'n_bulk_default',
+        |  count(*) FILTER (id % 3 = 0) FROM o
+        |UNION ALL SELECT 'n_null_src',
+        |  count(*) FILTER (id % 3 <> 0) FROM o
+        |UNION ALL SELECT 'n_total', count(*) + 1 FROM o
+        |UNION ALL SELECT 'refused_check_violation', CAST(1 AS BIGINT)
+        |UNION ALL SELECT 'refused_duplicate_key', CAST(1 AS BIGINT)
+        |UNION ALL SELECT 'unique_ids', count(*) + 1 FROM o
         |ORDER BY fact""".stripMargin,
     // q303: exact row/sum facts restated from orders; the coverage and
     // rank gates (KLL's own correctness terms, verified in-engine

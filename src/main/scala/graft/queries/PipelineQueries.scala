@@ -1106,7 +1106,105 @@ object PipelineQueries {
       .orderBy(col("lang"), col("pred"))
   }
 
+  /** q306: STRATIFIED sampling with largest-remainder (Hamilton)
+    * allocation — the balanced-across-domains sampling step every
+    * mixture build needs when "10% of the corpus" must still represent
+    * every source: the global target (N div 10) is split per stratum
+    * proportionally, base_i = (target·n_i) div N with the r = target −
+    * Σbase leftover seats going to the largest remainders (ties to the
+    * smaller source — Hamilton's method, the apportionment scheme that
+    * by construction sums EXACTLY to the target, which independent
+    * per-stratum rounding does not). Selection within a stratum is the
+    * q123 rule: rank by md5(doc_id) — deterministic, reproducible from
+    * ids alone, no RNG state — take the first n_alloc.
+    *
+    * Exactness: every allocation quantity is integer arithmetic
+    * (products ≤ N² fit BIGINT to N ≈ 3·10⁹; the scale path promotes
+    * through DECIMAL(38,0) like q285); the selected SET is a pure
+    * function of the ids, so counts and char sums match bit-for-bit.
+    *
+    * Scale shape: allocation runs on the source-vocabulary-bounded
+    * strata frame (the q263 bounded-frame window class); selection is
+    * one rank-within-stratum pass — at constant k that is exactly the
+    * bounded-heap [[graft.plans.TopKPerGroup]] operator (q96), and at
+    * per-group k the same heap keyed by a broadcast allocation map;
+    * the window form here is the oracle-parity twin. Two bounded
+    * scalars (N, Σbase) reach the driver. */
+  def hamiltonSample(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = docs(s, dir).select(col("doc_id"), col("source"), col("n_chars"))
+    val nAll = d.count()
+    val target = nAll / 10
+    val base = d.groupBy(col("source")).agg(count(lit(1)).as("n_pop"))
+      .withColumn("b", expr(s"($target * n_pop) div $nAll"))
+      .withColumn("rem", expr(s"($target * n_pop) % $nAll"))
+    val leftover = target - base.agg(sum(col("b"))).head().getLong(0)
+    val wRem = Window.orderBy(col("rem").desc, col("source").asc)
+    val alloc = base
+      .withColumn("rk", row_number().over(wRem))
+      .withColumn("n_alloc",
+        col("b") + when(col("rk") <= leftover, 1L).otherwise(0L))
+      .select(col("source"), col("n_pop"), col("n_alloc"))
+    val wSel = Window.partitionBy(col("source"))
+      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+    val picked = d.withColumn("rk", row_number().over(wSel))
+      .join(broadcast(alloc.select(col("source"), col("n_alloc"))),
+        Seq("source"))
+      .filter(col("rk") <= col("n_alloc"))
+    picked.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_sampled"),
+        sum(col("n_chars")).cast("long").as("chars_sampled"))
+      .join(broadcast(alloc), Seq("source"), "right_outer")
+      .select(col("source"), col("n_pop"), col("n_alloc"),
+        coalesce(col("n_sampled"), lit(0L)).as("n_sampled"),
+        coalesce(col("chars_sampled"), lit(0L)).as("chars_sampled"))
+      .orderBy(col("source"))
+  }
+
+  /** q307: TEMPERATURE-based mixture reweighting at τ = 2 (sampling
+    * probability ∝ √n — the multilingual temperature-sampling recipe
+    * of the mBERT/XLM-R lineage, which upsamples low-resource sources
+    * relative to proportional sampling): per-source weights w = ⌊√n ·
+    * 10⁶⌋, seats by the q306 Hamilton rule over w (sums exactly to the
+    * target), and the per-source sampling rate reported in ppm — the
+    * mixture recipe a 100 TB corpus build feeds its reader.
+    *
+    * Exactness across engines: IEEE-754 sqrt is CORRECTLY ROUNDED
+    * (unlike pow/exp — why τ is 2 here and not 1.43), the ×10⁶ is one
+    * double multiply of identical operands, and ⌊·⌋ of an identical
+    * double is identical — so the integer weights, and everything
+    * downstream of them, match bit-for-bit. Seat products target·w fit
+    * BIGINT to N ≈ 10⁹ docs per run; the scale path promotes the
+    * products through DECIMAL(38,0) (the q285 rule).
+    *
+    * Scale shape: one data-sized hash aggregate to the vocab-bounded
+    * strata frame; allocation is the q306 bounded-frame window; two
+    * bounded scalars (N, Σw... and Σbase) reach the driver. */
+  def temperatureMixture(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = docs(s, dir).select(col("doc_id"), col("source"))
+    val nAll = d.count()
+    val target = nAll / 20
+    val strata = d.groupBy(col("source")).agg(count(lit(1)).as("n_pop"))
+      .withColumn("weight",
+        floor(sqrt(col("n_pop")) * lit(1e6)).cast("long"))
+    val wSum = strata.agg(sum(col("weight"))).head().getLong(0)
+    val base = strata
+      .withColumn("b", expr(s"($target * weight) div $wSum"))
+      .withColumn("rem", expr(s"($target * weight) % $wSum"))
+    val leftover = target - base.agg(sum(col("b"))).head().getLong(0)
+    val wRem = Window.orderBy(col("rem").desc, col("source").asc)
+    base.withColumn("rk", row_number().over(wRem))
+      .withColumn("n_alloc",
+        col("b") + when(col("rk") <= leftover, 1L).otherwise(0L))
+      .select(col("source"), col("n_pop"), col("weight"), col("n_alloc"),
+        expr("n_alloc * 1000000 div n_pop").as("rate_ppm"))
+      .orderBy(col("source"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q306_stratified_sample"   -> (hamiltonSample _),
+    "q307_temperature_mixture" -> (temperatureMixture _),
     "q298_naive_bayes"         -> (naiveBayes _),
     "q293_conformal_interval"  -> (conformalInterval _),
     "q289_group_kfold"         -> (groupKFold _),
@@ -1136,6 +1234,61 @@ object PipelineQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // q307: identical √-weights (IEEE sqrt is correctly rounded, so
+    // floor(√n·10⁶) matches bit-for-bit) and Hamilton seats
+    "q307_temperature_mixture" ->
+      """WITH d AS (SELECT doc_id, source FROM documents),
+        |n AS (SELECT count(*) AS nn, count(*) // 20 AS target FROM d),
+        |t AS (SELECT source, count(*) AS n_pop FROM d GROUP BY 1),
+        |w AS (SELECT source, n_pop,
+        |        CAST(floor(sqrt(n_pop) * 1000000) AS BIGINT) AS weight
+        |      FROM t),
+        |ws AS (SELECT sum(weight) AS sw FROM w),
+        |b AS (SELECT source, n_pop, weight,
+        |        (target * weight) // sw AS base,
+        |        (target * weight) % sw AS rem
+        |      FROM w, n, ws),
+        |sb AS (SELECT sum(base) AS s FROM b)
+        |SELECT source, n_pop, weight,
+        |       CAST(base + CASE WHEN
+        |         row_number() OVER (ORDER BY rem DESC, source)
+        |           <= (SELECT target FROM n) - (SELECT s FROM sb)
+        |         THEN 1 ELSE 0 END AS BIGINT) AS n_alloc,
+        |       CAST((base + CASE WHEN
+        |         row_number() OVER (ORDER BY rem DESC, source)
+        |           <= (SELECT target FROM n) - (SELECT s FROM sb)
+        |         THEN 1 ELSE 0 END) * 1000000 // n_pop AS BIGINT)
+        |         AS rate_ppm
+        |FROM b ORDER BY source""".stripMargin,
+    // q306: the same Hamilton allocation and md5-rank selection
+    // replayed literally — every quantity integer, the set identical
+    "q306_stratified_sample" ->
+      """WITH d AS (SELECT doc_id, source, n_chars FROM documents),
+        |n AS (SELECT count(*) AS nn, count(*) // 10 AS target FROM d),
+        |t AS (SELECT source, count(*) AS n_pop FROM d GROUP BY 1),
+        |b AS (SELECT source, n_pop,
+        |        (target * n_pop) // nn AS base,
+        |        (target * n_pop) % nn AS rem
+        |      FROM t, n),
+        |sb AS (SELECT sum(base) AS s FROM b),
+        |a AS (SELECT source, n_pop,
+        |        CAST(base + CASE WHEN
+        |          row_number() OVER (ORDER BY rem DESC, source)
+        |            <= (SELECT target FROM n) - (SELECT s FROM sb)
+        |          THEN 1 ELSE 0 END AS BIGINT) AS n_alloc
+        |      FROM b),
+        |sel AS (SELECT d.*,
+        |          row_number() OVER (PARTITION BY d.source
+        |            ORDER BY md5(d.doc_id::VARCHAR), d.doc_id) AS rk
+        |        FROM d),
+        |pick AS (SELECT sel.* FROM sel JOIN a USING (source)
+        |         WHERE sel.rk <= a.n_alloc)
+        |SELECT a.source, a.n_pop, a.n_alloc,
+        |       count(pick.doc_id) AS n_sampled,
+        |       CAST(coalesce(sum(pick.n_chars), 0) AS BIGINT)
+        |         AS chars_sampled
+        |FROM a LEFT JOIN pick ON pick.source = a.source
+        |GROUP BY 1, 2, 3 ORDER BY 1""".stripMargin,
     // q298: same decomposition — per-class DECIMAL(18,9)-quantized
     // ln-likelihood deltas over the unseen baseline, exact decimal
     // score sums, argmax with min-lang ties; BIGINT casts keep every

@@ -86,6 +86,14 @@ final class GraftLakeCatalog extends TableCatalog {
       case _: IllegalStateException =>
         throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(
           ident.namespace() :+ ident.name())
+      case e: UnsupportedOperationException if version.isEmpty =>
+        // reader-gated state (metadata-only rename/drop, MOR deletes):
+        // the table still RESOLVES — name, logical schema, appends, and
+        // further DDL (including the materializing compact) all work —
+        // only scan building refuses, with the original gate message.
+        // Without this, one RENAME COLUMN would brick every subsequent
+        // catalog statement at analysis time.
+        new GatedLakeTable(ident.toString, rootOf(ident), e)
     }
 
   override def loadTable(ident: Identifier): Table = load(ident, None)
@@ -113,15 +121,28 @@ final class GraftLakeCatalog extends TableCatalog {
   /** `CREATE TABLE` (and the create half of CTAS — Spark follows with a
     * write through [[GraftLakeTable.newWriteBuilder]]): version 1 holds
     * the declared schema and no data ([[LakeTable.createEmpty]]).
-    * Partition transforms reject — physical layout is the API's job
-    * (`LakeTable.createClustered`). */
+    * `PARTITIONED BY (col)` — a single identity transform — declares
+    * the partition column in the v1 manifest; every later INSERT/append
+    * routes rows to one file group per value and all partition-pruning
+    * paths apply ([[LakeTable.partAdmit]]). Bucket/expression
+    * transforms reject — those layouts are the API's job
+    * (`LakeTable.createClustered`, Z-order compact). */
   override def createTable(ident: Identifier, schema: StructType,
                            partitions: Array[Transform],
                            properties: JMap[String, String]): Table = {
-    require(partitions.isEmpty,
-      s"CREATE TABLE $ident: partition transforms are not supported — " +
-        "use LakeTable.createClustered for physical layout")
-    LakeTable.createEmpty(SparkSession.active, rootOf(ident), schema)
+    val partCol = partitions.toSeq match {
+      case Seq() => None
+      case Seq(t) if t.name == "identity" && t.references.length == 1 =>
+        val ref = t.references.head
+        require(ref.fieldNames.length == 1,
+          s"nested partition column not supported: $ref")
+        Some(ref.fieldNames.head)
+      case other => throw new UnsupportedOperationException(
+        s"CREATE TABLE $ident: only PARTITIONED BY (<one column>) is " +
+          s"supported, got ${other.mkString(", ")} — use " +
+          "LakeTable.createClustered for other layouts")
+    }
+    LakeTable.createEmpty(SparkSession.active, rootOf(ident), schema, partCol)
     loadTable(ident)
   }
 
@@ -204,7 +225,7 @@ final class GraftLakeCatalog extends TableCatalog {
           "append-only — constraints only tighten)")
       case other => readOnly(s"ALTER TABLE $ident ($other)")
     }
-    loadTable(ident)
+    loadTable(ident) // gated states resolve as GatedLakeTable
   }
 
   override def dropTable(ident: Identifier): Boolean =
@@ -212,4 +233,47 @@ final class GraftLakeCatalog extends TableCatalog {
 
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
     readOnly(s"RENAME TABLE $oldIdent")
+}
+
+/** A resolvable-but-scan-gated table: stands in for a snapshot whose
+  * RAW delegate read is refused (metadata-only rename/drop pending, or
+  * merge-on-read deletes). The logical shape comes from
+  * [[LakeTable.read]] (which honors the column mapping and masks), SQL
+  * `INSERT INTO` still appends through the commit protocol, and any
+  * attempt to build a batch scan rethrows the original gate message —
+  * so DDL chains (rename → drop → compact) keep resolving while reads
+  * stay protected. */
+private[sources] final class GatedLakeTable(
+    identName: String, root: String, gate: UnsupportedOperationException)
+    extends Table
+    with org.apache.spark.sql.connector.catalog.SupportsRead
+    with org.apache.spark.sql.connector.catalog.SupportsWrite {
+  import org.apache.spark.sql.connector.catalog.TableCapability
+  import org.apache.spark.sql.connector.read.ScanBuilder
+  import org.apache.spark.sql.connector.write.{LogicalWriteInfo, V1Write,
+    Write, WriteBuilder}
+  import org.apache.spark.sql.sources.InsertableRelation
+
+  override def name(): String = identName
+  override def schema(): StructType =
+    LakeTable.read(SparkSession.active, root).schema
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.V1_BATCH_WRITE)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    throw new UnsupportedOperationException(gate.getMessage)
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new WriteBuilder {
+      override def build(): Write = new V1Write {
+        override def toInsertableRelation: InsertableRelation =
+          new InsertableRelation {
+            override def insert(data: org.apache.spark.sql.DataFrame,
+                                overwrite: Boolean): Unit = {
+              require(!overwrite, "graft-lake: INSERT OVERWRITE is not " +
+                "supported — append or use the LakeTable API")
+              LakeTable.append(SparkSession.active, root, data)
+            }
+          }
+      }
+    }
 }

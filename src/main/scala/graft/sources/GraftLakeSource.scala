@@ -111,17 +111,28 @@ private[sources] object GraftLakeSource {
             "materialize them first (LakeTable.rewriteDeletes/compact), " +
             "read via LakeTable.read, or stream with " +
             "option(\"maskDeletes\", \"true\")")
-      // same protocol-gate spirit for a metadata-only column rename:
-      // the raw-parquet delegate would expose PHYSICAL names and
-      // silently mis-shape the table
+      // metadata-only column rename/drop: the raw-parquet delegate
+      // would expose PHYSICAL names and silently mis-shape the table.
+      // TIME-TRAVEL loads fail fast here (no scan wrapper to gate);
+      // latest-version loads resolve with the LOGICAL schema instead —
+      // batch scans then refuse at toBatch ([[GraftLakeStreamableScan]])
+      // while the micro-batch stream reads files under translated
+      // physical names (positional rows, logical shape)
       val vMeta = LakeTable.manifestMetaAt(spark, root, v)
-      if (LakeTable.colMapAt(vMeta).nonEmpty ||
-          LakeTable.colDropsAt(vMeta).nonEmpty)
+      if (version.isDefined &&
+          (LakeTable.colMapAt(vMeta).nonEmpty ||
+            LakeTable.colDropsAt(vMeta).nonEmpty))
         throw new UnsupportedOperationException(
           s"table at $root has a metadata-only column rename/drop " +
             s"(version $v); materialize it first (LakeTable.compact) " +
             "or read via LakeTable.read")
     }
+    val logicalOverride = for {
+      v <- known.lastOption if version.isEmpty
+      vMeta = LakeTable.manifestMetaAt(spark, root, v)
+      if LakeTable.colMapAt(vMeta).nonEmpty ||
+        LakeTable.colDropsAt(vMeta).nonEmpty
+    } yield LakeTable.read(spark, root).schema
     val paths = LakeTable.dataDirPaths(spark, root, version)
     // additive schema evolution: groups written before a column existed
     // read it as null (same contract as LakeTable.read); an ALTER-
@@ -129,8 +140,8 @@ private[sources] object GraftLakeSource {
     // group carries yet exist as typed nulls in declared order
     val withMerge = new java.util.HashMap[String, String](options)
     withMerge.put("mergeSchema", "true")
-    val effSchema =
-      userSchema.orElse(LakeTable.schemaOverrideAt(spark, root, version))
+    val effSchema = userSchema.orElse(logicalOverride)
+      .orElse(LakeTable.schemaOverrideAt(spark, root, version))
     ParquetTable(
       s"graft-lake `$root`" + version.fold("")(v => s"@v$v"),
       spark, new CaseInsensitiveStringMap(withMerge), paths.toList,

@@ -41,15 +41,67 @@ import org.apache.spark.sql.types.StructType
   * detail match the batch path byte for byte. */
 private[sources] final class GraftLakeMicroBatchStream(
     root: String, requiredSchema: StructType, tableSchema: StructType,
-    ignoreChanges: Boolean)
-    extends MicroBatchStream {
+    ignoreChanges: Boolean,
+    maxVersionsPerTrigger: Option[Int] = None,
+    startingVersion: Option[Int] = None)
+    extends MicroBatchStream
+    with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl {
 
   private def spark = SparkSession.active
 
-  override def initialOffset(): Offset = GraftLakeOffset(0)
+  /** Column mapping captured at STREAM START: renamed tables stream
+    * fine because physical names are rename-stable (appends always
+    * write physical; a metadata-only rename changes only the logical
+    * side), so the requested LOGICAL fields translate to physical once
+    * and every file in every batch decodes under them — rows are
+    * positional, the logical shape is preserved. A mapping that
+    * CHANGES mid-stream fails the batch by name (the stream's resolved
+    * schema is stale — Delta fails ongoing streams on schema change
+    * the same way); a restart re-resolves and continues. */
+  private val (startColMap, startColDrops) =
+    LakeTable.latestVersion(spark, root) match {
+      case Some(v) =>
+        val m = LakeTable.manifestMetaAt(spark, root, v)
+        (LakeTable.colMapAt(m), LakeTable.colDropsAt(m))
+      case None => (Seq.empty[(String, String)], Seq.empty[String])
+    }
+
+  /** Logical → physical field-name translation under the stream-start
+    * mapping (no-op without renames). */
+  private def toPhysical(st: StructType): StructType =
+    if (startColMap.isEmpty) st
+    else StructType(st.fields.map { f =>
+      startColMap.find(_._2.equalsIgnoreCase(f.name))
+        .map { case (phys, _) => f.copy(name = phys) }.getOrElse(f)
+    })
+
+  /** Delta's `startingVersion`: begin the stream AT that commit
+    * (inclusive) instead of replaying the whole log — the backfill-
+    * from-here knob. Offsets are versions, so "start at v" = initial
+    * offset v−1. */
+  override def initialOffset(): Offset =
+    GraftLakeOffset(startingVersion.map(v => math.max(0, v - 1)).getOrElse(0))
 
   override def latestOffset(): Offset =
     GraftLakeOffset(LakeTable.latestVersion(spark, root).getOrElse(0))
+
+  /** Admission control (Delta's `maxFilesPerTrigger` analog, in this
+    * format's natural unit): `maxVersionsPerTrigger` caps how many
+    * commits one micro-batch may drain, so a stream starting against a
+    * long history backfills in bounded batches instead of reading the
+    * entire log as batch 1 — bounded memory, bounded per-batch work,
+    * checkpointable progress between them. Without the option every
+    * available version drains in one batch (the existing contract). */
+  override def latestOffset(start: Offset,
+      limit: org.apache.spark.sql.connector.read.streaming.ReadLimit)
+      : Offset = {
+    val s = start.asInstanceOf[GraftLakeOffset].v
+    val latest = LakeTable.latestVersion(spark, root).getOrElse(0)
+    GraftLakeOffset(maxVersionsPerTrigger match {
+      case Some(n) => math.min(latest, s + math.max(1, n))
+      case None => latest
+    })
+  }
 
   override def deserializeOffset(json: String): Offset =
     GraftLakeOffset(json.trim.toInt)
@@ -75,6 +127,18 @@ private[sources] final class GraftLakeMicroBatchStream(
     val e = end.asInstanceOf[GraftLakeOffset].v
     val fs = new Path(root).getFileSystem(
       spark.sparkContext.hadoopConfiguration)
+    // schema-stability gate: a rename/drop committed since the stream
+    // resolved its schema makes the translation stale — fail the batch
+    // by name, a restart re-resolves (Delta's schema-change posture)
+    if (e >= 1) {
+      val endMeta = LakeTable.manifestMetaAt(spark, root, e)
+      if (LakeTable.colMapAt(endMeta) != startColMap ||
+          LakeTable.colDropsAt(endMeta) != startColDrops)
+        throw new UnsupportedOperationException(
+          s"graft-lake streaming: column rename/drop mapping changed by " +
+            s"version $e of $root since the stream started; restart the " +
+            "stream to pick up the new schema")
+    }
     currentMask =
       if (e < 1) None
       else LakeTable.deleteState(LakeTable.manifestMetaAt(spark, root, e))
@@ -99,15 +163,10 @@ private[sources] final class GraftLakeMicroBatchStream(
           "option(\"ignoreChanges\", \"true\") — rewritten groups are " +
           "then re-emitted in full (Delta's ignoreChanges contract).")
       }
-      // per-file raw readers expose PHYSICAL names — a metadata-only
-      // rename must be materialized before a stream can read past it
-      val vMeta = LakeTable.manifestMetaAt(spark, root, v)
-      if (LakeTable.colMapAt(vMeta).nonEmpty ||
-          LakeTable.colDropsAt(vMeta).nonEmpty)
-        throw new UnsupportedOperationException(
-          s"graft-lake streaming cannot read version $v at $root: " +
-            "metadata-only column rename/drop present; materialize it " +
-            "first (LakeTable.compact)")
+      // (historical colmap values are irrelevant — physical names are
+      // rename-stable, so the stream-start translation decodes every
+      // file; only a mapping that changed SINCE stream start is a
+      // hazard, checked once per batch against the end version below)
       (cur.toSet -- prev.toSet).toSeq.sorted.flatMap { dirRel =>
         fs.listStatus(new Path(root, dirRel))
           .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
@@ -140,17 +199,21 @@ private[sources] final class GraftLakeMicroBatchStream(
     // built ONCE on the driver: a serializable closure holding the
     // broadcast hadoop conf + schemas (the same object FileScanRDD
     // ships); OPTION_RETURNING_BATCH=false forces row iterators (the
-    // PartitionReader contract here is InternalRow, not ColumnarBatch)
+    // PartitionReader contract here is InternalRow, not ColumnarBatch).
+    // Schemas translate LOGICAL → PHYSICAL under the stream-start
+    // column mapping (files always carry physical names); the returned
+    // rows are positional, so the logical shape is preserved for free
+    val physRead = toPhysical(readSchema)
     val readFn = new ParquetFileFormat().buildReaderWithPartitionValues(
       sparkSession = spark,
-      dataSchema = tableSchema,
+      dataSchema = toPhysical(tableSchema),
       partitionSchema = StructType(Nil),
-      requiredSchema = readSchema,
+      requiredSchema = physRead,
       filters = Nil,
       options = Map(FileFormat.OPTION_RETURNING_BATCH -> "false"),
       hadoopConf = spark.sessionState.newHadoopConf())
     new GraftLakeFileReaderFactory(readFn, mask.map(_._2), keyIdx,
-      readSchema, requiredSchema.fields.length)
+      physRead, requiredSchema.fields.length)
   }
 }
 
@@ -345,8 +408,20 @@ private[sources] final class GraftLakeStreamScanBuilder(
       "batch reads cannot honor delete masks — use LakeTable.read or " +
       "materialize (rewriteDeletes/compact); maskDeletes applies to " +
       "streaming reads only"
+    // a pending metadata-only rename/drop: the raw parquet delegate
+    // would mis-shape batch rows (physical names), so batch execution
+    // refuses — the micro-batch stream reads on, translating names
+    val colmapBatchRefusal = for {
+      v <- LakeTable.latestVersion(spark, root)
+      vMeta = LakeTable.manifestMetaAt(spark, root, v)
+      if LakeTable.colMapAt(vMeta).nonEmpty ||
+        LakeTable.colDropsAt(vMeta).nonEmpty
+    } yield s"table at $root has a metadata-only column rename/drop " +
+      s"(version $v); materialize it first (LakeTable.compact) or " +
+      "read via LakeTable.read (streaming reads are supported)"
     new GraftLakeStreamableScan(underlying, root, tableSchema,
-      ignoreChanges, rt, morBatchRefusal)
+      ignoreChanges, rt, morBatchRefusal.orElse(colmapBatchRefusal),
+      options)
   }
 }
 
@@ -376,7 +451,9 @@ private[graft] final class GraftLakeStreamableScan(
     initial: Scan, root: String, tableSchema: StructType,
     ignoreChanges: Boolean = false,
     rt: Option[GraftRuntimeFilterInfo] = None,
-    morBatchRefusal: Option[String] = None) extends Scan
+    morBatchRefusal: Option[String] = None,
+    streamOptions: java.util.Map[String, String] =
+      java.util.Collections.emptyMap[String, String]()) extends Scan
     with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering {
   private var underlying: Scan = initial
   /** Observable for specs: dirs surviving the runtime re-prune. */
@@ -437,7 +514,11 @@ private[graft] final class GraftLakeStreamableScan(
   }
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
     new GraftLakeMicroBatchStream(root, underlying.readSchema(), tableSchema,
-      ignoreChanges)
+      ignoreChanges,
+      maxVersionsPerTrigger =
+        Option(streamOptions.get("maxVersionsPerTrigger")).map(_.toInt),
+      startingVersion =
+        Option(streamOptions.get("startingVersion")).map(_.toInt))
 }
 
 /** Driver metric: number of file groups surviving the runtime re-prune

@@ -202,7 +202,7 @@ object LakeTable {
           val checks = prev.filter { case (k, _) =>
             (k.startsWith("check:") || k.startsWith("unique:") ||
               k.startsWith("default:") || k.startsWith("identity:") ||
-              k == "partcol") &&
+              k.startsWith("gencol:") || k == "partcol") &&
               !meta0.contains(k) }
           meta0 ++ schema ++ checks
         }
@@ -432,7 +432,8 @@ object LakeTable {
     val meta = manifestMeta(spark, root, cur)
     // write-defaults materialize FIRST so every gate below validates
     // the rows exactly as they will land on disk
-    val filled0 = applyWriteDefaults(spark, root, meta, df)
+    val filled0 = applyGenerated(spark, root, meta,
+      applyWriteDefaults(spark, root, meta, df))
     // identity stamping SECOND: the batch lands once in a staging dir
     // (the statsMeta rule — a nondeterministic lineage must not
     // disagree between the count pass and the stamp pass, or ids could
@@ -656,7 +657,7 @@ object LakeTable {
     def checks(m: Map[String, String]) =
       m.filter { case (k, _) =>
         k.startsWith("check:") || k.startsWith("unique:") ||
-          k.startsWith("default:") }
+          k.startsWith("default:") || k.startsWith("gencol:") }
     if (checks(bm) != checks(lm))
       conflict("CHECK/UNIQUE constraints or column DEFAULTs changed " +
         "(incoming rows were materialized/validated against the old " +
@@ -986,11 +987,29 @@ object LakeTable {
     * ALTER uses ([[evolveSchema]]), so empty-table reads project typed
     * nulls over zero rows and the first INSERT is a plain append. */
   def createEmpty(spark: SparkSession, root: String,
-                  schema: org.apache.spark.sql.types.StructType): Int = {
+                  schema: org.apache.spark.sql.types.StructType,
+                  partCol: Option[String] = None): Int = {
     require(latestVersion(spark, root).isEmpty,
       s"table already exists at $root")
+    // an empty table may DECLARE its partition column up front (the
+    // SQL `CREATE TABLE … PARTITIONED BY` path): appends then route
+    // rows to per-value groups from the first batch on
+    val partMeta = partCol.map { c =>
+      val field = schema.fields.find(_.name.equalsIgnoreCase(c))
+        .getOrElse(throw new IllegalArgumentException(
+          s"partition column '$c' not in the declared schema"))
+      import org.apache.spark.sql.types._
+      field.dataType match {
+        case StringType | LongType | IntegerType | ShortType | ByteType |
+             DateType | BooleanType => ()
+        case dt => throw new IllegalArgumentException(
+          s"partition column '$c' has unsupported type ${dt.sql} — " +
+            "use string/integral/date/boolean keys")
+      }
+      "partcol" -> field.name
+    }
     commitVersion(spark, root, 1, Seq.empty,
-      Map("op" -> "create", "schema" -> schema.json))
+      Map("op" -> "create", "schema" -> schema.json) ++ partMeta)
   }
 
   /** ALTER TABLE ADD COLUMNS as a metadata-only commit: the new version
@@ -1085,7 +1104,14 @@ object LakeTable {
         (k == "deletekey" && named(value)) ||
         (k == "partcol" && named(value)) ||
         (k.startsWith("unique:") && named(value)) ||
-        (k.startsWith("default:") && named(k.drop("default:".length))) ||
+        // value.nonEmpty: a DROP DEFAULT tombstone (empty value) no
+        // longer binds the column and must not block its rename/drop
+        (k.startsWith("default:") && value.nonEmpty &&
+          named(k.drop("default:".length))) ||
+        (k.startsWith("gencol:") && value.nonEmpty &&
+          (named(k.drop("gencol:".length)) ||
+          ("\\b" + java.util.regex.Pattern.quote(colName) + "\\b").r
+            .findFirstIn(value).isDefined)) ||
         (k.startsWith("identity:") && named(k.drop("identity:".length))) ||
         (k.startsWith("annmodel:") && named(k.drop("annmodel:".length))) ||
         ((k.startsWith("stat:") || k.startsWith("bloom:") ||
@@ -1425,7 +1451,8 @@ object LakeTable {
       throw new UnsupportedOperationException(
         s"replaceWhere on identity table at $root unsupported " +
           s"(replacement rows would need '$c' re-stamped)") }
-    val filled = applyWriteDefaults(spark, root, meta, df)
+    val filled = applyGenerated(spark, root, meta,
+      applyWriteDefaults(spark, root, meta, df))
     val inBand = col(column).cast("double").between(lo, hi)
     val outside = filled.filter(not(coalesce(inBand, lit(false))))
       .limit(1).count()
@@ -1865,6 +1892,10 @@ object LakeTable {
       .find(_.name.equalsIgnoreCase(name))
       .getOrElse(throw new IllegalArgumentException(
         s"no column '$name' at $root"))
+    require(!genColsAt(manifestMeta(spark, root, v)).keys
+        .exists(_.equalsIgnoreCase(name)),
+      s"column '$name' is GENERATED; a column cannot be both " +
+        "GENERATED and DEFAULT")
     // evaluate once: a literal that cannot cast fails the ALTER, not
     // some later append
     spark.sql(s"SELECT CAST(($defaultSql) AS ${field.dataType.sql})")
@@ -1964,6 +1995,93 @@ object LakeTable {
         .getOrElse(throw new IllegalStateException(
           s"default declared on unknown column '$c' at $root"))
       d.withColumn(c, expr(sql).cast(tpe))
+    }
+  }
+
+  /** Declared generation expressions of a manifest: logical column
+    * name → SQL expression ([[setGeneratedColumn]]). */
+  private[sources] def genColsAt(
+      meta: Map[String, String]): Map[String, String] =
+    meta.collect { case (k, v) if k.startsWith("gencol:") && v.nonEmpty =>
+      k.drop("gencol:".length) -> v }
+
+  /** ALTER TABLE ALTER COLUMN ... GENERATED ALWAYS AS (expr) — Delta's
+    * generated columns as a metadata-only commit (`gencol:<col> =
+    * <sql expr>`). From then on: an append whose batch OMITS the column
+    * materializes the expression into the written files (like a
+    * write-default, but computed per row from the batch's other
+    * columns); a batch that CARRIES the column is VALIDATED — every row
+    * must satisfy `col <=> expr` or the write is refused whole before
+    * any byte lands (Delta's consistency check, null-safe so absent
+    * inputs behave). Existing rows are validated at declaration time
+    * (an invariant the current data violates is refused); the
+    * declaration auto-carries like CHECK constraints, participates in
+    * the append commute check, and blocks rename/drop of the generated
+    * column AND of any column its expression names
+    * ([[requireUnreferenced]] — renaming an input would silently
+    * change what future writes compute). A column cannot be both
+    * DEFAULT and GENERATED, or IDENTITY and GENERATED. Applies to
+    * [[append]]/[[streamAppend]]/[[overwriteWhere]]; [[merge]] writes
+    * pre-computed rows and is gated by its CHECK-constraint pass. */
+  def setGeneratedColumn(spark: SparkSession, root: String,
+                         name: String, exprSql: String): Int = {
+    require(!exprSql.contains("\n") && exprSql.trim.nonEmpty,
+      "generation expression must be a non-empty single-line SQL expression")
+    val v = latestVersion(spark, root)
+      .getOrElse(throw new IllegalStateException(s"no table at $root"))
+    val meta = manifestMeta(spark, root, v)
+    requireNotRenamed(meta, name, "generated column")
+    val field = read(spark, root).schema.fields
+      .find(_.name.equalsIgnoreCase(name))
+      .getOrElse(throw new IllegalArgumentException(
+        s"no column '$name' at $root"))
+    require(!defaultsAt(meta).keys.exists(_.equalsIgnoreCase(name)),
+      s"column '$name' has a write-default; a column cannot be both " +
+        "DEFAULT and GENERATED")
+    require(!genColsAt(meta).keys.exists(_.equalsIgnoreCase(name)),
+      s"column '$name' is already generated")
+    identityAt(meta).foreach { case (c, _, _, _) =>
+      require(!c.equalsIgnoreCase(name),
+        s"identity column '$c' cannot be generated") }
+    // the invariant must already hold — declaring a generation rule
+    // must not silently reinterpret history (Delta refuses likewise)
+    val bad = read(spark, root)
+      .filter(not(col(field.name) <=> expr(exprSql).cast(field.dataType)))
+      .limit(1).count()
+    require(bad == 0,
+      s"cannot declare GENERATED ALWAYS AS on '$name': existing rows " +
+        s"violate col <=> ($exprSql)")
+    commitVersion(spark, root, v + 1, readManifest(spark, root, v),
+      meta - "op" + (s"gencol:${field.name}" -> exprSql) +
+        ("op" -> "set-generated"))
+  }
+
+  /** Write-side generated-column handling: materialize omitted
+    * generated columns, validate carried ones (refuse the whole batch
+    * on a mismatch). Runs after defaults, before constraints — gates
+    * see the rows as they will land. */
+  private def applyGenerated(spark: SparkSession, root: String,
+                             meta: Map[String, String],
+                             df: DataFrame): DataFrame = {
+    val gens = genColsAt(meta)
+    if (gens.isEmpty) return df
+    val schema = read(spark, root).schema
+    gens.foldLeft(df) { case (d, (c, sql)) =>
+      val tpe = schema.fields.find(_.name.equalsIgnoreCase(c))
+        .map(_.dataType)
+        .getOrElse(throw new IllegalStateException(
+          s"generation rule on unknown column '$c' at $root"))
+      if (!d.columns.exists(_.equalsIgnoreCase(c)))
+        d.withColumn(c, expr(sql).cast(tpe))
+      else {
+        val bad = d.filter(not(col(c) <=> expr(sql).cast(tpe)))
+          .limit(1).count()
+        if (bad > 0) throw new IllegalArgumentException(
+          s"batch carries generated column '$c' with values that do " +
+            s"not match GENERATED ALWAYS AS ($sql); omit the column " +
+            "or write matching values")
+        d
+      }
     }
   }
 

@@ -65,11 +65,79 @@ class GraftLakeCatalogSpec extends SparkSpec {
         spark.sql("INSERT OVERWRITE lakeC.t1 SELECT * FROM lakeC.t1")
       }
       intercept[Exception] { spark.sql("DROP TABLE lakeC.t1") }
+      // non-identity partition transforms reject (PARTITIONED BY (col)
+      // itself is supported — see the partitioned CREATE TABLE test)
       intercept[Exception] {
-        spark.sql("CREATE TABLE lakeC.t9 (x INT) PARTITIONED BY (x)")
+        spark.sql("CREATE TABLE lakeC.t9 (x INT) PARTITIONED BY (bucket(4, x))")
       }
       // nothing committed by the rejected statements
       assert(LakeTable.versions(spark, s"$wh/t1") == Seq(1))
+    }
+  }
+
+  test("SQL CREATE TABLE PARTITIONED BY: inserts route per value, " +
+    "partition filters prune directories") {
+    withWarehouse("lakePart") { wh =>
+      spark.sql("CREATE TABLE lakePart.pt (id BIGINT, region STRING) " +
+        "PARTITIONED BY (region)")
+      spark.sql(
+        "INSERT INTO lakePart.pt VALUES (1, 'emea'), (2, 'apac'), (3, 'emea')")
+      spark.sql("INSERT INTO lakePart.pt VALUES (4, 'amer')")
+      // batch 1 split into emea+apac groups, batch 2 one amer group
+      assert(LakeTable.dataDirPaths(spark, s"$wh/pt").size == 3)
+      assert(LakeTable.selectGroupsEq(spark, s"$wh/pt", "region", "emea")
+        .size == 1)
+      val df = spark.sql("SELECT id FROM lakePart.pt WHERE region = 'emea'")
+      assert(df.collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 3L))
+      assert(df.queryExecution.executedPlan.toString
+        .contains("InMemoryFileIndex(1 paths)"),
+        df.queryExecution.executedPlan.toString.take(500))
+    }
+  }
+
+  test("SQL DDL: defaults, CHECK and UNIQUE constraints, rename/drop " +
+    "column route to metadata-only commits") {
+    withWarehouse("lakeDdl") { wh =>
+      import spark.implicits._
+      val root = s"$wh/t"
+      LakeTable.create(spark, root,
+        Seq((1L, 10L, "x", "a"), (2L, 20L, "y", "b"))
+          .toDF("id", "cents", "note", "tag"))
+      // SET DEFAULT via SQL; an append omitting the column materializes
+      spark.sql("ALTER TABLE lakeDdl.t ALTER COLUMN note SET DEFAULT 'none'")
+      LakeTable.append(spark, root,
+        Seq((3L, 30L, "c")).toDF("id", "cents", "tag"))
+      assert(LakeTable.read(spark, root).filter(col("id") === 3L)
+        .head().getAs[String]("note") == "none")
+      // ADD CONSTRAINT CHECK: violating SQL INSERT refused atomically
+      spark.sql(
+        "ALTER TABLE lakeDdl.t ADD CONSTRAINT cents_pos CHECK (cents > 0)")
+      intercept[Exception] {
+        spark.sql("INSERT INTO lakeDdl.t VALUES (5, -1, 'z', 'd')")
+      }
+      // ADD CONSTRAINT UNIQUE: duplicate key refused, fresh key lands
+      spark.sql("ALTER TABLE lakeDdl.t ADD CONSTRAINT uid UNIQUE (id)")
+      intercept[Exception] {
+        spark.sql("INSERT INTO lakeDdl.t VALUES (1, 50, 'w', 'e')")
+      }
+      spark.sql("INSERT INTO lakeDdl.t VALUES (5, 50, 'w', 'e')")
+      assert(LakeTable.read(spark, root).count() == 4)
+      // DROP CONSTRAINT refused (quality gates only tighten)
+      intercept[Exception] {
+        spark.sql("ALTER TABLE lakeDdl.t DROP CONSTRAINT cents_pos")
+      }
+      // RENAME COLUMN via SQL: metadata-only column mapping
+      spark.sql("ALTER TABLE lakeDdl.t RENAME COLUMN tag TO label")
+      val colsAfterRename = LakeTable.read(spark, root).columns.toSet
+      assert(colsAfterRename == Set("id", "cents", "note", "label"),
+        colsAfterRename.toString)
+      // DROP COLUMN via SQL: metadata-only drop
+      spark.sql("ALTER TABLE lakeDdl.t DROP COLUMN label")
+      assert(LakeTable.read(spark, root).columns.toSet ==
+        Set("id", "cents", "note"))
+      // every DDL above was a metadata-only commit: v1 data groups plus
+      // the two appends are the only file groups ever written
+      assert(LakeTable.dataDirPaths(spark, root).size == 3)
     }
   }
 
@@ -221,11 +289,10 @@ class GraftLakeCatalogSpec extends SparkSpec {
       // time travel below the evolution version keeps the old shape
       assert(spark.sql("SELECT * FROM lakeH.t1 VERSION AS OF 1")
         .columns.toSeq == Seq("id", "name"))
-      // non-additive ALTERs still reject
+      // history-rewriting retypes still reject (rename/drop now route
+      // to metadata-only commits — covered by the SQL DDL test)
       intercept[Exception] {
-        spark.sql("ALTER TABLE lakeH.t1 DROP COLUMN name") }
-      intercept[Exception] {
-        spark.sql("ALTER TABLE lakeH.t1 RENAME COLUMN name TO nm") }
+        spark.sql("ALTER TABLE lakeH.t1 ALTER COLUMN id TYPE STRING") }
     }
   }
 

@@ -198,6 +198,88 @@ class GraftLakeSourceSpec extends SparkSpec {
     }
   }
 
+  test("streaming over a renamed table: logical shape from physical " +
+    "files; a mid-stream rename fails the batch by name") {
+    withTable { root =>
+      import spark.implicits._
+      LakeTable.create(spark, root,
+        Seq((1L, 10L), (2L, 20L)).toDF("id", "amount"))
+      LakeTable.renameColumn(spark, root, "amount", "price")
+      LakeTable.append(spark, root, Seq((3L, 30L)).toDF("id", "price"))
+      // batch reads still refuse while the mapping is metadata-only
+      // (now at scan execution rather than load — same contract)
+      val eb = intercept[Exception] {
+        spark.read.format("graft-lake").load(root).collect()
+      }
+      def causes(t: Throwable): Seq[Throwable] =
+        if (t == null) Nil else t +: causes(t.getCause)
+      assert(causes(eb).exists(c =>
+        c.isInstanceOf[UnsupportedOperationException] &&
+          c.getMessage.contains("rename/drop")), eb.toString)
+      // a fresh stream resolves the LOGICAL schema and decodes the
+      // physical files under the translated names
+      val q = spark.readStream.format("graft-lake").load(root)
+        .writeStream.format("memory").queryName("lake_renamed")
+        .outputMode("append").start()
+      try {
+        q.processAllAvailable()
+        val got = spark.table("lake_renamed")
+        assert(got.columns.toSeq == Seq("id", "price"))
+        assert(got.select(sum(col("price"))).head().getLong(0) == 60L)
+        // a rename committed AFTER the stream resolved its schema
+        // fails the next batch by name (restart re-resolves)
+        LakeTable.renameColumn(spark, root, "price", "cost")
+        LakeTable.append(spark, root, Seq((4L, 40L)).toDF("id", "cost"))
+        val es = intercept[
+            org.apache.spark.sql.streaming.StreamingQueryException] {
+          q.processAllAvailable()
+          q.awaitTermination(10000)
+        }
+        assert(causes(es).exists(c =>
+          c.isInstanceOf[UnsupportedOperationException] &&
+            c.getMessage.contains("restart the stream")), es.toString)
+      } finally {
+        q.stop()
+        spark.catalog.dropTempView("lake_renamed")
+      }
+    }
+  }
+
+  test("streaming admission control: maxVersionsPerTrigger bounds each " +
+    "batch; startingVersion skips history") {
+    withTable { root =>
+      import spark.implicits._
+      LakeTable.create(spark, root, Seq((1L, "a")).toDF("id", "tag"))
+      LakeTable.append(spark, root, Seq((2L, "b")).toDF("id", "tag"))
+      LakeTable.append(spark, root, Seq((3L, "c")).toDF("id", "tag"))
+      val q = spark.readStream.format("graft-lake")
+        .option("maxVersionsPerTrigger", "1").load(root)
+        .writeStream.format("memory").queryName("lake_admission")
+        .outputMode("append").start()
+      try {
+        q.processAllAvailable()
+        assert(spark.table("lake_admission").count() == 3)
+        // the three commits drained ONE per micro-batch, not in one go
+        val batches = q.recentProgress.count(_.numInputRows > 0)
+        assert(batches == 3, s"expected 3 bounded batches, saw $batches")
+      } finally {
+        q.stop(); spark.catalog.dropTempView("lake_admission")
+      }
+      // startingVersion: a fresh stream from v3 sees only v3's rows
+      val q2 = spark.readStream.format("graft-lake")
+        .option("startingVersion", "3").load(root)
+        .writeStream.format("memory").queryName("lake_startver")
+        .outputMode("append").start()
+      try {
+        q2.processAllAvailable()
+        assert(spark.table("lake_startver").select("id").as[Long]
+          .collect().toSeq == Seq(3L))
+      } finally {
+        q2.stop(); spark.catalog.dropTempView("lake_startver")
+      }
+    }
+  }
+
   test("streaming restart resumes from the checkpointed version") {
     withTable { root =>
       import spark.implicits._

@@ -761,6 +761,51 @@ class LakeTableSpec extends SparkSpec {
     }
   }
 
+  test("generated columns: omitted batches materialize, carried " +
+    "mismatches refuse whole, expression inputs are rename-protected") {
+    withTable { root =>
+      import spark.implicits._
+      LakeTable.create(spark, root,
+        Seq((1L, 100L, 110L)).toDF("id", "cents", "gross"))
+      LakeTable.setGeneratedColumn(spark, root, "gross", "cents + 10")
+      // a rule existing rows violate is refused at declaration
+      intercept[IllegalArgumentException] {
+        LakeTable.setGeneratedColumn(spark, root, "id", "cents")
+      }
+      // append omitting the column materializes the expression
+      LakeTable.append(spark, root, Seq((2L, 200L)).toDF("id", "cents"))
+      assert(LakeTable.read(spark, root).filter(col("id") === 2L)
+        .head().getAs[Long]("gross") == 210L)
+      // carried-and-matching passes; a mismatch refuses the whole batch
+      LakeTable.append(spark, root,
+        Seq((3L, 300L, 310L)).toDF("id", "cents", "gross"))
+      intercept[IllegalArgumentException] {
+        LakeTable.append(spark, root,
+          Seq((4L, 400L, 999L)).toDF("id", "cents", "gross"))
+      }
+      assert(LakeTable.read(spark, root).count() == 3)
+      // the generated column AND the expression's input are protected
+      intercept[UnsupportedOperationException] {
+        LakeTable.renameColumn(spark, root, "cents", "c2")
+      }
+      intercept[UnsupportedOperationException] {
+        LakeTable.renameColumn(spark, root, "gross", "g2")
+      }
+      // an unreferenced column still renames freely
+      LakeTable.renameColumn(spark, root, "id", "key")
+      // DEFAULT and GENERATED are mutually exclusive, both directions
+      intercept[IllegalArgumentException] {
+        LakeTable.setColumnDefault(spark, root, "gross", "0")
+      }
+      val root2 = s"$root/t2"
+      LakeTable.create(spark, root2, Seq((1L, 5L)).toDF("a", "b"))
+      LakeTable.setColumnDefault(spark, root2, "b", "7")
+      intercept[IllegalArgumentException] {
+        LakeTable.setGeneratedColumn(spark, root2, "b", "a + 1")
+      }
+    }
+  }
+
   test("KLL sidecar index: metadata-only, incremental, hybrid " +
     "quantiles, compactSmall keeps covered groups, MOR fail-fast") {
     withTable { root =>

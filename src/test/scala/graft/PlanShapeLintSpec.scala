@@ -28,6 +28,13 @@ class PlanShapeLintSpec extends SparkSpec {
       "lag over calendar MONTHS — bounded by the calendar, not rows",
     "q227_distribution_drift" ->
       "cumulative CDF over the distinct-VALUE domain (bounded), not rows",
+    "q306_stratified_sample" ->
+      ("Hamilton seat-allocation window over the source-VOCABULARY " +
+        "strata frame (one row per source, bounded like q33's dims); " +
+        "the data-sized selection pass is partitioned by source"),
+    "q307_temperature_mixture" ->
+      ("the same vocab-bounded strata frame as q306 — √n weights and " +
+        "seat ranks computed over one row per source, never per doc"),
     "q63_embed_top_pairs_lsh" ->
       ("rank-order check over the broadcast top-20 pair list — the " +
         "window input is .limit(20)-bounded upstream, 20 rows forever"),
