@@ -589,8 +589,93 @@ object ExtAggQueries {
         col("chi2s").cast("long").as("chi2_micros"))
   }
 
+  /** q308: two-sample Mann–Whitney U (Wilcoxon rank-sum, 1947) — the
+    * median-shift complement of q294's KS (KS is sensitive to ANY
+    * distributional difference; U asks specifically "does one group
+    * stochastically dominate?"): do urgent-priority orders draw
+    * LARGER totals than the rest? Kept EXACT end-to-end by the
+    * doubled-midrank identity: a tie group at value v with c_lo items
+    * below and ct tied has 2·midrank = 2·c_lo + ct + 1 — an INTEGER —
+    * so 2·R₁ = Σ_v c1(v)·(2·c_lo(v)+ct(v)+1), 2·U₁ = 2·R₁ − n₁(n₁+1),
+    * and 2·U₂ = 2n₁n₂ − 2·U₁ are all exact integers on both engines;
+    * the rank-biserial effect size r = (U₁−U₂)/(n₁n₂) reports as a
+    * sign-split ppm division (the q300 rule). Sums ride DECIMAL(38,0)
+    * (BIGINT would wrap near 10⁹ rows; this holds to ~10¹⁸).
+    *
+    * Scale shape — q294's exactly: one hash aggregate to the
+    * distinct-value frame, the cumulative count below each value from
+    * ONE [[graft.operators.PrefixScan]] range exchange, then bounded
+    * aggregates. No window, no sort of raw rows, two scalars total. */
+  def mannWhitneyU(s: SparkSession, dir: String): DataFrame = {
+    val dec38 = DecimalType(38, 0)
+    val b = graft.Tables.load(s, dir, "orders")
+      .select(
+        (col("o_totalprice").cast(DecimalType(18, 2)) * 100)
+          .cast("long").as("cents"),
+        when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+          .otherwise(0L).as("hi"))
+    val g = b.groupBy(col("cents"))
+      .agg(sum(col("hi")).as("c1"), count(lit(1)).as("ct"))
+    val cum = graft.operators.PrefixScan.withRunningSums(
+      g, Seq(col("cents")), Seq((col("ct"), "cumall")))
+    val r1x2 = cum.select(
+        (col("c1").cast(dec38) *
+          (lit(2) * (col("cumall") - col("ct")) + col("ct") + lit(1))
+            .cast(dec38)).as("t"))
+      .agg(sum(col("t")).as("r1x2"))
+    val tot = b.agg(sum(col("hi")).as("n1"),
+      (count(lit(1)) - sum(col("hi"))).as("n0"))
+    r1x2.crossJoin(broadcast(tot))
+      .select(col("n1"), col("n0"),
+        (col("r1x2") - col("n1").cast(dec38) * (col("n1") + lit(1)))
+          .as("uh"),
+        (lit(2).cast(dec38) * col("n1") * col("n0")
+          - (col("r1x2") - col("n1").cast(dec38) * (col("n1") + lit(1))))
+          .as("ul"))
+      .select(col("n1").as("n_hi"), col("n0").as("n_lo"),
+        col("uh").cast("long").as("u_hi_x2"),
+        col("ul").cast("long").as("u_lo_x2"),
+        expr("""CAST(CASE WHEN uh >= ul
+                |  THEN (uh - ul) * 1000000 div (uh + ul)
+                |  ELSE -((ul - uh) * 1000000 div (uh + ul))
+                |END AS BIGINT)""".stripMargin).as("r_rb_ppm"))
+  }
+
+  /** q309: Mann–Kendall trend test (Mann 1945 / Kendall) over monthly
+    * revenue — the nonparametric "is this series trending?" gate
+    * (robust to outliers and any monotone transform, unlike a fitted
+    * slope): S = Σ_{i<j} sign(x_j − x_i) over all month pairs, with
+    * concordant/discordant/tie counts reported. EXACT: revenue is the
+    * decimal-summed cents long, months are calendar-bounded (≤ ~84 at
+    * any SF), so the full pair enumeration is a bounded self-join
+    * (≤ 84²/2 pairs — the q263 bounded-frame class, NOT an n² device)
+    * and every count is a plain integer both engines agree on.
+    * Scale shape: one data-sized hash aggregate to the monthly frame;
+    * everything after is bounded. */
+  def mannKendall(s: SparkSession, dir: String): DataFrame = {
+    val monthly = graft.Tables.load(s, dir, "orders")
+      .groupBy((year(col("o_orderdate")) * 100 + month(col("o_orderdate")))
+        .cast("long").as("mk"))
+      .agg((sum(col("o_totalprice").cast(DecimalType(18, 2))) * 100)
+        .cast("long").as("cents"))
+    monthly.as("a").join(monthly.as("b"), col("a.mk") < col("b.mk"))
+      .agg(
+        countDistinct(col("a.mk")).as("nm1"),
+        sum(when(col("b.cents") > col("a.cents"), 1L).otherwise(0L))
+          .as("n_concordant"),
+        sum(when(col("b.cents") < col("a.cents"), 1L).otherwise(0L))
+          .as("n_discordant"),
+        sum(when(col("b.cents") === col("a.cents"), 1L).otherwise(0L))
+          .as("n_ties"))
+      .select((col("nm1") + 1).as("n_months"),
+        col("n_concordant"), col("n_discordant"), col("n_ties"),
+        (col("n_concordant") - col("n_discordant")).as("s_stat"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q294_ks_test"             -> (ksTest _),
+    "q308_mann_whitney_u"      -> (mannWhitneyU _),
+    "q309_mann_kendall"        -> (mannKendall _),
     "q295_chi2_independence"   -> (chi2Independence _),
     "q285_central_moments"     -> (centralMoments _),
     "q204_winsorized_stats"    -> (winsorizedStats _),
@@ -615,6 +700,53 @@ object ExtAggQueries {
     // the global window Spark-side PrefixScan replaces), integer
     // |cum1·n0 − cum0·n1| numerator through HUGEINT (internal only),
     // min-cents argmax, ppm by positive-operand integer division
+    // q308: doubled-midrank identity replayed over the distinct-value
+    // frame (window cumulative = the PrefixScan); HUGEINT internal,
+    // BIGINT out; sign-split ppm effect size
+    "q308_mann_whitney_u" ->
+      """WITH b AS (
+        |  SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |           AS cents,
+        |         CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+        |              THEN 1 ELSE 0 END AS hi
+        |  FROM orders),
+        |g AS (SELECT cents, sum(hi) AS c1, count(*) AS ct
+        |      FROM b GROUP BY 1),
+        |c AS (SELECT *, sum(ct) OVER (ORDER BY cents) AS cumall FROM g),
+        |t AS (SELECT sum(CAST(c1 AS HUGEINT)
+        |               * (2 * (cumall - ct) + ct + 1)) AS r1x2 FROM c),
+        |n AS (SELECT CAST(sum(hi) AS BIGINT) AS n1,
+        |             CAST(count(*) - sum(hi) AS BIGINT) AS n0 FROM b),
+        |u AS (SELECT n1, n0,
+        |        r1x2 - CAST(n1 AS HUGEINT) * (n1 + 1) AS uh,
+        |        2 * CAST(n1 AS HUGEINT) * n0
+        |          - (r1x2 - CAST(n1 AS HUGEINT) * (n1 + 1)) AS ul
+        |      FROM t, n)
+        |SELECT n1 AS n_hi, n0 AS n_lo,
+        |       CAST(uh AS BIGINT) AS u_hi_x2,
+        |       CAST(ul AS BIGINT) AS u_lo_x2,
+        |       CAST(CASE WHEN uh >= ul
+        |              THEN (uh - ul) * 1000000 // (uh + ul)
+        |              ELSE -((ul - uh) * 1000000 // (uh + ul))
+        |            END AS BIGINT) AS r_rb_ppm
+        |FROM u""".stripMargin,
+    // q309: full pair enumeration over the calendar-bounded monthly
+    // frame — plain integer counts
+    "q309_mann_kendall" ->
+      """WITH m AS (
+        |  SELECT CAST(year(o_orderdate) * 100 + month(o_orderdate)
+        |              AS BIGINT) AS mk,
+        |         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100
+        |              AS BIGINT) AS cents
+        |  FROM orders GROUP BY 1)
+        |SELECT (SELECT count(*) FROM m) AS n_months,
+        |       count(*) FILTER (b.cents > a.cents) AS n_concordant,
+        |       count(*) FILTER (b.cents < a.cents) AS n_discordant,
+        |       count(*) FILTER (b.cents = a.cents) AS n_ties,
+        |       CAST(count(*) FILTER (b.cents > a.cents)
+        |            - count(*) FILTER (b.cents < a.cents) AS BIGINT)
+        |         AS s_stat
+        |FROM m a JOIN m b ON a.mk < b.mk""".stripMargin,
     "q294_ks_test" ->
       """WITH b AS (
         |  SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)

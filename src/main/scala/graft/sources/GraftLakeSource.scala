@@ -192,6 +192,55 @@ private[sources] final class GraftLakeTable(delegate: ParquetTable,
 
   override def name(): String = delegate.name
   override def schema(): StructType = delegate.schema
+
+  /** DSv2 informational surface: the committed CHECK/UNIQUE
+    * constraints, as `DESCRIBE TABLE EXTENDED` and catalog tooling
+    * read them. Both classes are ENFORCED here (every write validates
+    * — stronger than Delta, which enforces only CHECK). Partitioning
+    * likewise reports the declared partition column. */
+  override def constraints(): Array[
+      org.apache.spark.sql.connector.catalog.constraints.Constraint] =
+    (root, version) match {
+      case (Some(r), None) =>
+        val spark = SparkSession.active
+        LakeTable.latestVersion(spark, r).map { v =>
+          val meta = LakeTable.manifestMetaAt(spark, r, v)
+          val checks = meta.collect {
+            case (k, p) if k.startsWith("check:") =>
+              org.apache.spark.sql.connector.catalog.constraints.Constraint
+                .check(k.drop("check:".length)).predicateSql(p)
+                .enforced(true).build()
+                : org.apache.spark.sql.connector.catalog.constraints.Constraint
+          }
+          val uniques = LakeTable.uniqueColsAt(meta).map { case (n, c) =>
+            org.apache.spark.sql.connector.catalog.constraints.Constraint
+              .unique(n, Array(
+                org.apache.spark.sql.connector.expressions.Expressions
+                  .column(c)))
+              .enforced(true).build()
+              : org.apache.spark.sql.connector.catalog.constraints.Constraint
+          }
+          (checks ++ uniques).toArray.sortBy(_.name)
+        }.getOrElse(Array.empty)
+      case _ => Array.empty
+    }
+
+  override def partitioning()
+      : Array[org.apache.spark.sql.connector.expressions.Transform] =
+    (root, version) match {
+      case (Some(r), None) =>
+        val spark = SparkSession.active
+        (for {
+          v <- LakeTable.latestVersion(spark, r)
+          pc <- LakeTable.partColAt(LakeTable.manifestMetaAt(spark, r, v))
+        } yield Array(
+          org.apache.spark.sql.connector.expressions.Expressions
+            .identity(pc)
+            : org.apache.spark.sql.connector.expressions.Transform))
+          .getOrElse(Array.empty)
+      case _ => Array.empty
+    }
+
   override def capabilities(): java.util.Set[TableCapability] = {
     val caps = java.util.EnumSet.of(TableCapability.BATCH_READ)
     if (root.isDefined && version.isEmpty)

@@ -215,7 +215,29 @@ object LakeTable {
     try out.write(body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
     val dest = manifestPath(root, v)
-    if (f.exists(dest) || !f.rename(tmp, dest)) {
+    // THE conflict point. On the local filesystem Hadoop's rename is
+    // POSIX rename(2), which silently REPLACES an existing destination
+    // — an exists()-then-rename pair is a TOCTOU race where two
+    // writers can both "win" and one commit vanishes (observed once
+    // under heavy thread contention: 4 racing appends, 3 surviving,
+    // zero errors). link(2) IS atomic create-exclusive, so the local
+    // path commits via hard link: exactly one writer creates dest,
+    // every other gets EEXIST. Non-local filesystems (HDFS class)
+    // keep rename, which for them fails on an existing destination.
+    val won =
+      if ("file".equalsIgnoreCase(Option(dest.toUri.getScheme)
+          .getOrElse(f.getUri.getScheme))) {
+        val tp = java.nio.file.Paths.get(tmp.toUri.getPath)
+        val dp = java.nio.file.Paths.get(dest.toUri.getPath)
+        val ok =
+          try { java.nio.file.Files.createLink(dp, tp); true }
+          catch {
+            case _: java.nio.file.FileAlreadyExistsException => false
+          }
+        f.delete(tmp, false)
+        ok
+      } else !f.exists(dest) && f.rename(tmp, dest)
+    if (!won) {
       f.delete(tmp, false)
       throw new ConcurrentCommitException(
         s"concurrent commit detected for version $v at $root")
@@ -279,13 +301,24 @@ object LakeTable {
       throw new IllegalArgumentException(
         s"null value in partition column '$partCol' refused — partition " +
           "keys must be non-null (no hidden default-partition bucket)")
+    if (df.filter(length(col(partCol).cast("string")) > 100)
+        .limit(1).count() > 0)
+      throw new IllegalArgumentException(
+        s"partition values in '$partCol' longer than 100 characters are " +
+          "unsupported as manifest-recorded keys")
     val f = fs(spark, root)
     val uuid = java.util.UUID.randomUUID().toString
     val staged = new Path(root, s"data/.pstage-$uuid")
     try {
-      // __gpart duplicates the key so partitionBy (which strips its
-      // column from the files) leaves the REAL column in every file
-      df.withColumn("__gpart", col(partCol))
+      // __gpart is a HEX surrogate of the key: one staged dir per
+      // value like partitionBy wants, but the dir name is always
+      // filesystem-safe ASCII (hex is lossless and collision-free, so
+      // non-ASCII / '=' / escape-hostile values cost nothing) — the
+      // REAL value is decoded by re-reading the landed files below,
+      // never from the dir name; the real column stays in every file
+      // because only the surrogate is the partitioning column
+      df.withColumn("__gpart",
+          hex(col(partCol).cast("string").cast("binary")))
         .repartition(col("__gpart"))
         .write.partitionBy("__gpart").parquet(staged.toString)
       val subs = f.listStatus(staged).map(_.getPath)
@@ -297,9 +330,14 @@ object LakeTable {
         val v = spark.read.parquet(new Path(root, dir).toString)
           .select(col(partCol)).head().get(0)
         val s = String.valueOf(v)
-        if (s.exists(_ < ' ')) throw new IllegalArgumentException(
-          s"partition value ${s.take(40)}... contains control characters " +
-            "— unsupported as a manifest-recorded partition key")
+        // the manifest reader trims lines, so a value with control
+        // chars or edge whitespace would round-trip DIFFERENT and make
+        // partAdmit silently prune its own group — refuse loudly
+        if (s.exists(_ < ' ') || s != s.trim)
+          throw new IllegalArgumentException(
+            s"partition value '${s.take(40)}' has control characters or " +
+              "leading/trailing whitespace — unsupported as a " +
+              "manifest-recorded partition key")
         dir -> s
       }.toSeq
     } finally f.delete(staged, true)

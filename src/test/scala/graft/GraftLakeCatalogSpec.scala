@@ -92,6 +92,13 @@ class GraftLakeCatalogSpec extends SparkSpec {
       assert(df.queryExecution.executedPlan.toString
         .contains("InMemoryFileIndex(1 paths)"),
         df.queryExecution.executedPlan.toString.take(500))
+      // the declared partition column surfaces through DSv2 metadata
+      val pt = spark.sessionState.catalogManager.catalog("lakePart")
+        .asInstanceOf[org.apache.spark.sql.connector.catalog.TableCatalog]
+        .loadTable(org.apache.spark.sql.connector.catalog.Identifier.of(
+          Array.empty[String], "pt"))
+      assert(pt.partitioning().flatMap(_.references()
+        .flatMap(_.fieldNames())).toSeq == Seq("region"))
     }
   }
 
@@ -122,6 +129,13 @@ class GraftLakeCatalogSpec extends SparkSpec {
       }
       spark.sql("INSERT INTO lakeDdl.t VALUES (5, 50, 'w', 'e')")
       assert(LakeTable.read(spark, root).count() == 4)
+      // the committed constraints surface through DSv2 Table metadata
+      val tbl = spark.sessionState.catalogManager.catalog("lakeDdl")
+        .asInstanceOf[org.apache.spark.sql.connector.catalog.TableCatalog]
+        .loadTable(org.apache.spark.sql.connector.catalog.Identifier.of(
+          Array.empty[String], "t"))
+      assert(tbl.constraints().map(_.name).sorted.toSeq ==
+        Seq("cents_pos", "uid"))
       // DROP CONSTRAINT refused (quality gates only tighten)
       intercept[Exception] {
         spark.sql("ALTER TABLE lakeDdl.t DROP CONSTRAINT cents_pos")

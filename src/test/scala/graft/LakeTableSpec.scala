@@ -558,6 +558,71 @@ class LakeTableSpec extends SparkSpec {
     }
   }
 
+  test("partition pruning property: probes equal the unpruned filter " +
+    "under random maintenance (string and long keys, 6 seeds)") {
+    import spark.implicits._
+    def check(root: String, pc: String, values: Seq[Any]): Unit = {
+      val full = LakeTable.read(spark, root)
+      values.foreach { v =>
+        val exp = full.filter(col(pc) === lit(v)).select(col("id"))
+          .as[Long].collect().sorted.toSeq
+        val got = LakeTable.readWhereEq(spark, root, pc, v)
+          .select(col("id")).as[Long].collect().sorted.toSeq
+        assert(got == exp,
+          s"$pc=$v: pruned read returned $got, full filter $exp")
+      }
+    }
+    for (seed <- 1 to 6) {
+      val rnd = new scala.util.Random(100 + seed)
+      // STRING keys, including '=' and non-ASCII (manifest round-trip
+      // hazards) and a digit-string that must not match the long 10
+      withTable { root =>
+        val vocab = Seq("emea", "apac", "x=1", "söz", "10")
+        var nextId = 0L
+        def batch(k: Int) = (1 to k).map { _ =>
+          nextId += 1
+          (nextId, vocab(rnd.nextInt(vocab.size)), rnd.nextInt(500).toLong)
+        }.toDF("id", "region", "cents")
+        LakeTable.createPartitioned(spark, root, batch(8), "region")
+        for (_ <- 1 to 3) {
+          rnd.nextInt(3) match {
+            case 1 => LakeTable.compactSmall(spark, root, Long.MaxValue)
+            case _ => LakeTable.append(spark, root,
+              batch(1 + rnd.nextInt(4)))
+          }
+          check(root, "region", vocab :+ "nope")
+        }
+        // edge-whitespace partition keys are refused loudly (the
+        // manifest reader trims lines — a trimmed round-trip would
+        // silently prune the group)
+        intercept[IllegalArgumentException] {
+          LakeTable.append(spark, root,
+            Seq((999L, "sp ", 1L)).toDF("id", "region", "cents"))
+        }
+      }
+      // LONG keys with a replaceWhere round
+      withTable { root =>
+        val vocab = Seq(1L, 2L, 10L, 0L)
+        var nextId = 0L
+        def batch(k: Int) = (1 to k).map { _ =>
+          nextId += 1
+          (nextId, vocab(rnd.nextInt(vocab.size)), rnd.nextInt(500).toLong)
+        }.toDF("id", "bucket", "cents")
+        LakeTable.createPartitioned(spark, root, batch(8), "bucket",
+          Seq("cents"))
+        LakeTable.append(spark, root, batch(4))
+        val tgt = vocab(rnd.nextInt(vocab.size))
+        val rep = { nextId += 1; Seq((nextId, tgt, 7L)) }
+          .toDF("id", "bucket", "cents")
+        LakeTable.overwriteWhere(spark, root, rep, "bucket",
+          tgt.toDouble, tgt.toDouble)
+        check(root, "bucket", vocab :+ 99L)
+        LakeTable.compactSmall(spark, root, Long.MaxValue)
+        check(root, "bucket", vocab :+ 99L)
+      }
+    }
+  }
+
   test("rename gates: readWhere projects the colmap, UNIQUE on a renamed " +
     "column is refused, and a refused stats-append leaves no orphan") {
     withTable { root =>

@@ -41,6 +41,13 @@ class OracleRulesSpec extends AnyFunSuite {
         "is exact), and every one of the nine constants sits ≥ 4e-5 " +
         "from a 6-dp rounding boundary — far beyond any ulp drift; the " +
         "inner ln(10.0) is what trips the lexical check"),
+    "q307_temperature_mixture" ->
+      ("same theorem as q285: IEEE sqrt is CORRECTLY ROUNDED (a basic " +
+        "op, unlike ln/exp), its input is an exact integer count " +
+        "identical on both engines, the ×10⁶ is one double multiply " +
+        "of identical operands, and floor() of an identical double is " +
+        "identical — the weights are bit-equal BIGINTs by spec, which " +
+        "is the whole reason τ=2 (√) is the supported temperature"),
     "q285_central_moments" ->
       ("sqrt is the one transcendental IEEE 754 requires CORRECTLY " +
         "ROUNDED (§9.2 covers ln/exp as recommended-only; sqrt is a " +
