@@ -672,10 +672,51 @@ object ExtAggQueries {
         (col("n_concordant") - col("n_discordant")).as("s_stat"))
   }
 
+  /** q310: Theil–Sen robust slope (Theil 1950 / Sen 1968) over monthly
+    * revenue — q309's Mann–Kendall says WHETHER the series trends;
+    * Theil–Sen says HOW STEEP, robustly (the median of all pairwise
+    * slopes has a 29.3% breakdown point — a third of the months can be
+    * garbage without moving it, unlike least squares' zero). Months
+    * index as year·12+month so every denominator is the true month
+    * gap; each pairwise slope quantizes EXACTLY as a sign-split ppm
+    * integer (cents/month · 10⁶, the q300 rule), and the median is the
+    * ⌈n_pairs/2⌉-th element under the total order (slope, mi_a, mi_b)
+    * — deterministic on both engines with no float anywhere.
+    *
+    * Scale shape: one data-sized hash aggregate to the calendar-
+    * bounded monthly frame; the pair enumeration is the q309 bounded
+    * self-join (≤ 84²/2 rows); the median selection is orderBy+limit —
+    * Spark plans TakeOrderedAndProject (bounded per-partition heaps,
+    * never a global sort of raw data), no window in the plan. */
+  def theilSen(s: SparkSession, dir: String): DataFrame = {
+    val monthly = graft.Tables.load(s, dir, "orders")
+      .groupBy((year(col("o_orderdate")) * 12 + month(col("o_orderdate")))
+        .cast("long").as("mi"))
+      .agg((sum(col("o_totalprice").cast(DecimalType(18, 2))) * 100)
+        .cast("long").as("cents"))
+    val pairs = monthly.as("a").join(monthly.as("b"),
+        col("a.mi") < col("b.mi"))
+      .select(col("a.mi").as("ma"), col("b.mi").as("mb"),
+        expr("""CASE WHEN b.cents >= a.cents
+                |  THEN (b.cents - a.cents) * 1000000 div (b.mi - a.mi)
+                |  ELSE -((a.cents - b.cents) * 1000000 div (b.mi - a.mi))
+                |END""".stripMargin).as("slope_ppm"))
+    val counts = pairs.agg(count(lit(1)).as("n_pairs")).head()
+    val nPairs = counts.getLong(0)
+    val k = (nPairs + 1) / 2 // lower median, 1-indexed
+    pairs.orderBy(col("slope_ppm"), col("ma"), col("mb"))
+      .limit(k.toInt)
+      .agg(max(struct(col("slope_ppm"), col("ma"), col("mb"))).as("m"))
+      .select(lit(nPairs).as("n_pairs"),
+        col("m.slope_ppm").as("sen_slope_ppm"),
+        col("m.ma").as("at_month_a"), col("m.mb").as("at_month_b"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q294_ks_test"             -> (ksTest _),
     "q308_mann_whitney_u"      -> (mannWhitneyU _),
     "q309_mann_kendall"        -> (mannKendall _),
+    "q310_theil_sen"           -> (theilSen _),
     "q295_chi2_independence"   -> (chi2Independence _),
     "q285_central_moments"     -> (centralMoments _),
     "q204_winsorized_stats"    -> (winsorizedStats _),
@@ -730,6 +771,30 @@ object ExtAggQueries {
         |              ELSE -((ul - uh) * 1000000 // (uh + ul))
         |            END AS BIGINT) AS r_rb_ppm
         |FROM u""".stripMargin,
+    // q310: identical ppm slopes and the identical total order — the
+    // k-th row under (slope, ma, mb) is the same element by
+    // construction
+    "q310_theil_sen" ->
+      """WITH m AS (
+        |  SELECT CAST(year(o_orderdate) * 12 + month(o_orderdate)
+        |              AS BIGINT) AS mi,
+        |         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100
+        |              AS BIGINT) AS cents
+        |  FROM orders GROUP BY 1),
+        |p AS (SELECT a.mi AS ma, b.mi AS mb,
+        |        CAST(CASE WHEN b.cents >= a.cents
+        |          THEN (CAST(b.cents AS HUGEINT) - a.cents) * 1000000
+        |                 // (b.mi - a.mi)
+        |          ELSE -((CAST(a.cents AS HUGEINT) - b.cents) * 1000000
+        |                 // (b.mi - a.mi))
+        |        END AS BIGINT) AS slope_ppm
+        |      FROM m a JOIN m b ON a.mi < b.mi),
+        |r AS (SELECT *, row_number()
+        |        OVER (ORDER BY slope_ppm, ma, mb) AS rk FROM p),
+        |n AS (SELECT count(*) AS n_pairs FROM p)
+        |SELECT n.n_pairs, r.slope_ppm AS sen_slope_ppm,
+        |       r.ma AS at_month_a, r.mb AS at_month_b
+        |FROM r, n WHERE r.rk = (n.n_pairs + 1) // 2""".stripMargin,
     // q309: full pair enumeration over the calendar-bounded monthly
     // frame — plain integer counts
     "q309_mann_kendall" ->
