@@ -697,9 +697,15 @@ object ExtAggQueries {
     val pairs = monthly.as("a").join(monthly.as("b"),
         col("a.mi") < col("b.mi"))
       .select(col("a.mi").as("ma"), col("b.mi").as("mb"),
+        // promote the cents delta to DECIMAL(38,0) before the ×10⁶
+        // product (q308's rule): BIGINT would silently wrap once the
+        // delta exceeds ~9.2e12 (roughly sf≳30) while the DuckDB oracle
+        // promotes through HUGEINT — the quotient fits BIGINT again
         expr("""CASE WHEN b.cents >= a.cents
-                |  THEN (b.cents - a.cents) * 1000000 div (b.mi - a.mi)
-                |  ELSE -((a.cents - b.cents) * 1000000 div (b.mi - a.mi))
+                |  THEN CAST((CAST(b.cents - a.cents AS DECIMAL(38,0)) * 1000000)
+                |       div (b.mi - a.mi) AS BIGINT)
+                |  ELSE -CAST((CAST(a.cents - b.cents AS DECIMAL(38,0)) * 1000000)
+                |       div (b.mi - a.mi) AS BIGINT)
                 |END""".stripMargin).as("slope_ppm"))
     val counts = pairs.agg(count(lit(1)).as("n_pairs")).head()
     val nPairs = counts.getLong(0)

@@ -103,8 +103,12 @@ private[sources] object GraftLakeSource {
       // maskDeletes=true (streaming opt-in): the micro-batch stream
       // applies the delete mask per batch, so a MOR table may load;
       // BATCH scans under the option still refuse at toBatch
-      // ([[GraftLakeStreamableScan]]) — raw parquet cannot honor masks
-      if (!maskDeletes && LakeTable.deleteState(
+      // ([[GraftLakeStreamableScan]]) — raw parquet cannot honor masks.
+      // The opt-in only applies to latest-version loads: time-travel
+      // loads get no stream wrapper (streamRoot=None), so honoring it
+      // there would leave NOTHING to re-gate the batch read and deleted
+      // rows would silently resurrect — keep the hard throw.
+      if (!(maskDeletes && version.isEmpty) && LakeTable.deleteState(
           LakeTable.manifestMetaAt(spark, root, v)).nonEmpty)
         throw new UnsupportedOperationException(
           s"table at $root has merge-on-read deletes (version $v); " +
@@ -272,6 +276,20 @@ private[sources] final class GraftLakeTable(delegate: ParquetTable,
       info: RowLevelOperationInfo): RowLevelOperationBuilder = {
     require(root.isDefined && version.isEmpty,
       s"${info.command} requires a latest-version catalog table, got ${name()}")
+    // group-replace reads parquet files directly, which expose PHYSICAL
+    // column names: under a pending metadata-only rename/drop the
+    // renamed column would read as all-NULL and the replace commit would
+    // persist those nulls — refuse, mirroring the toBatch gate
+    val spark = SparkSession.active
+    LakeTable.versions(spark, root.get).lastOption.foreach { v =>
+      val vMeta = LakeTable.manifestMetaAt(spark, root.get, v)
+      if (LakeTable.colMapAt(vMeta).nonEmpty ||
+          LakeTable.colDropsAt(vMeta).nonEmpty)
+        throw new UnsupportedOperationException(
+          s"table at ${root.get} has a metadata-only column rename/drop " +
+            s"(version $v); materialize it first (LakeTable.compact) " +
+            s"before ${info.command}")
+    }
     () => new GraftRowLevelOperation(root.get, info.command)
   }
 

@@ -230,9 +230,17 @@ object LakeTable {
         val tp = java.nio.file.Paths.get(tmp.toUri.getPath)
         val dp = java.nio.file.Paths.get(dest.toUri.getPath)
         val ok =
-          try { java.nio.file.Files.createLink(dp, tp); true }
+          try { Some(java.nio.file.Files.createLink(dp, tp)).isDefined }
           catch {
             case _: java.nio.file.FileAlreadyExistsException => false
+            // file:// mounts without hard-link support (FUSE, SMB/NFS
+            // variants, container overlays) throw IOException /
+            // UnsupportedOperationException — fall back to the
+            // exists()+rename path for this commit (accepting the
+            // narrower race only where links are unavailable) instead
+            // of failing every commit on such filesystems
+            case _: UnsupportedOperationException | _: java.io.IOException =>
+              !f.exists(dest) && f.rename(tmp, dest)
           }
         f.delete(tmp, false)
         ok
@@ -794,6 +802,15 @@ object LakeTable {
       case (Some(pc), Some(p)) =>
         def mine(a: String) = a.equalsIgnoreCase(pc)
         def str(v: Any) = String.valueOf(v)
+        // equality: compare numerically when BOTH sides parse as numbers
+        // (a probe like 1995.0 against a long partition recorded as
+        // "1995" must still match — falsely pruning the only matching
+        // group would silently return empty); string-exact otherwise
+        def eq(v: Any): Boolean =
+          (p.toDoubleOption, str(v).toDoubleOption) match {
+            case (Some(x), Some(d)) => x == d
+            case _ => p == str(v)
+          }
         def cmp(v: Any)(ok: (Double, Double) => Boolean): Boolean =
           (p.toDoubleOption, v match {
             case n: Number => Some(n.doubleValue()); case _ => None
@@ -802,9 +819,9 @@ object LakeTable {
             case _ => true
           }
         f match {
-          case EqualTo(a, v) if mine(a)       => p == str(v)
-          case EqualNullSafe(a, v) if mine(a) => v != null && p == str(v)
-          case In(a, vs) if mine(a)           => vs.exists(v => p == str(v))
+          case EqualTo(a, v) if mine(a)       => eq(v)
+          case EqualNullSafe(a, v) if mine(a) => v != null && eq(v)
+          case In(a, vs) if mine(a)           => vs.exists(eq)
           case GreaterThan(a, v) if mine(a)   => cmp(v)(_ > _)
           case GreaterThanOrEqual(a, v) if mine(a) => cmp(v)(_ >= _)
           case LessThan(a, v) if mine(a)      => cmp(v)(_ < _)
