@@ -297,19 +297,46 @@ private[sources] final class GraftLakeTable(delegate: ParquetTable,
     * as a DataFrame and land as a normal [[LakeTable.append]] commit —
     * executor-side parquet writing and the atomic manifest rename are
     * the same code path the programmatic API takes, so SQL inserts get
-    * the identical exactly-once/versioned semantics. `INSERT OVERWRITE`
-    * is rejected by the default WriteBuilder (no truncate support):
-    * history rewrites are not a thing this format does. */
+    * the identical exactly-once/versioned semantics.
+    *
+    * Overwrites route through the SAME commit protocol (never a history
+    * rewrite — every prior version stays time-travelable):
+    *  - `INSERT OVERWRITE t` (no predicate) / `writeTo(t).overwrite(true)`
+    *    → [[LakeTable.overwriteAll]] — one commit replacing the snapshot;
+    *  - `INSERT OVERWRITE t PARTITION (c=v)` (static mode),
+    *    `INSERT INTO t REPLACE WHERE <cond>` ([[GraftSqlParser]]) and
+    *    `writeTo(t).overwrite(cond)` → the pushed filters translate to
+    *    an inclusive single-column band and land as
+    *    [[LakeTable.overwriteWhere]] — containment-checked, stats/
+    *    partition-pruned (untouched file groups carry by name, zero
+    *    bytes rewritten). Conditions that don't reduce to one numeric
+    *    band refuse loudly (no silent full-table rewrite). */
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
-    new WriteBuilder {
+    new WriteBuilder
+      with org.apache.spark.sql.connector.write.SupportsOverwrite {
+      // None = plain append; Some(None) = full overwrite;
+      // Some(Some((col, lo, hi))) = banded replaceWhere
+      private var mode: Option[Option[(String, Double, Double)]] = None
+
+      override def truncate(): WriteBuilder = { mode = Some(None); this }
+
+      override def overwrite(filters: Array[Filter]): WriteBuilder = {
+        mode = Some(GraftLakeTable.filtersToBand(filters))
+        this
+      }
+
       override def build(): Write = new V1Write {
         override def toInsertableRelation: InsertableRelation =
           new InsertableRelation {
             override def insert(data: org.apache.spark.sql.DataFrame,
-                                overwrite: Boolean): Unit = {
-              require(!overwrite, "graft-lake: INSERT OVERWRITE is not " +
-                "supported — append or use the LakeTable API")
-              LakeTable.append(SparkSession.active, root.get, data)
+                                overwrite: Boolean): Unit = mode match {
+              case None =>
+                LakeTable.append(SparkSession.active, root.get, data)
+              case Some(None) =>
+                LakeTable.overwriteAll(SparkSession.active, root.get, data)
+              case Some(Some((c, lo, hi))) =>
+                LakeTable.overwriteWhere(
+                  SparkSession.active, root.get, data, c, lo, hi)
             }
           }
       }

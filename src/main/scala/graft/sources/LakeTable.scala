@@ -1572,6 +1572,62 @@ object LakeTable {
       keptMeta ++ newStats ++ newPartMeta + ("op" -> "replace-where"))
   }
 
+  /** `INSERT OVERWRITE` without a predicate — atomically replace the
+    * WHOLE table's rows by `df` in one commit. NOT a history rewrite:
+    * every prior version stays time-travelable; only the latest
+    * snapshot changes (Delta's overwrite-mode save has the same
+    * semantics). Declared schema/partitioning, defaults, GENERATED
+    * rules, CHECK constraints and UNIQUE keys all survive and gate the
+    * incoming batch (UNIQUE probes the batch against itself only —
+    * there are no survivors to collide with). Same preconditions as
+    * [[overwriteWhere]]: materialized MOR deletes, no pending
+    * rename/drop, no identity column.
+    * Scale shape: one data-sized write of the new batch (partition-
+    * split on a partitioned table) + one manifest commit — old file
+    * groups are dropped by reference, never read. */
+  def overwriteAll(spark: SparkSession, root: String, df: DataFrame,
+                   statsCols: Seq[String] = Nil): Int = {
+    val v = latestVersion(spark, root)
+      .getOrElse(throw new IllegalStateException(s"no table at $root"))
+    val meta = manifestMeta(spark, root, v)
+    require(deleteState(meta).isEmpty,
+      s"table at $root has merge-on-read deletes; rewriteDeletes first")
+    require(colMapAt(meta).isEmpty && colDropsAt(meta).isEmpty,
+      s"table at $root has a metadata-only rename/drop mapping; " +
+        "compact first so raw group reads see logical names")
+    identityAt(meta).foreach { case (c, _, _, _) =>
+      throw new UnsupportedOperationException(
+        s"INSERT OVERWRITE on identity table at $root unsupported " +
+          s"(replacement rows would need '$c' re-stamped)") }
+    val filled = applyGenerated(spark, root, meta,
+      applyWriteDefaults(spark, root, meta, df))
+    enforceConstraints(spark, root, v, filled)
+    enforceUnique(meta, filled, None, "by INSERT OVERWRITE")
+    val newParts = partColAt(meta) match {
+      case Some(pc) =>
+        require(filled.columns.exists(_.equalsIgnoreCase(pc)),
+          s"overwrite batch at $root must carry partition column '$pc'")
+        writePartitionedDataFiles(spark, root, pc, filled)
+          .map { case (d, pv) => (d, Some(pv)) }
+      case None => Seq((writeDataFiles(spark, root, filled), None))
+    }
+    // every per-dir sidecar of the dropped groups goes with them; only
+    // table-level metadata (rules, constraints, schema, ANN model)
+    // carries forward
+    val keptMeta = meta.filterNot { case (k, _) =>
+      k.startsWith("stat:") || k.startsWith("bloom:") ||
+        k.startsWith("anncodes:") || k.startsWith("hllsk:") ||
+        k.startsWith("kllsk:") || k.startsWith("part:") || k == "op"
+    }
+    val newDirs = newParts.map(_._1)
+    val newStats = newDirs
+      .flatMap(d => statsMeta(spark, root, d, statsCols)).toMap
+    val newPartMeta = newParts.collect {
+      case (d, Some(pv)) => s"part:$d" -> pv }.toMap
+    commitVersion(spark, root, v + 1, newDirs,
+      keptMeta ++ newStats ++ newPartMeta + ("op" -> "overwrite"))
+  }
+
   /** Merge-on-read DELETE (Iceberg equality-delete / Delta deletion-
     * vector shape): instead of rewriting every touched file group
     * (copy-on-write — [[deleteWhere]]), record the DELETED KEYS in a
