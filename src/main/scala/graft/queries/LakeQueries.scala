@@ -1777,6 +1777,203 @@ object LakeQueries {
     } }
   }
 
+  /** q311: SQL / DSv2 overwrite — the [[graft.sources.LakeTable
+    * .overwriteAll]] / [[graft.sources.LakeTable.overwriteWhere]]
+    * protocol reached the way a SQL user reaches it, through the DSv2
+    * WriteBuilder ([[graft.sources.GraftLakeTable.filtersToBand]]):
+    * (1) `df.writeTo(t).overwrite(cond)` with a single-column equality
+    * translates to the inclusive band and replaces one partition
+    * (1995 doubled), every other partition's group carried by name;
+    * (2) static `INSERT OVERWRITE t PARTITION (yk=1996)` routes the
+    * same way — the partition spec becomes the band, the SELECT
+    * supplies the remaining columns (1996 rows land with 5× cents);
+    * (3) a predicate that does NOT reduce to one band (an OR across
+    * columns) refuses LOUDLY — the table version is pinned unchanged,
+    * proving no silent full-table wipe; (4) plain `INSERT OVERWRITE t`
+    * truncates into one [[graft.sources.LakeTable.overwriteAll]]
+    * commit (only 1995 rows survive, 3× original cents); (5) an
+    * identity table refuses INSERT OVERWRITE (replacement ids would
+    * need re-stamping); (6) history stays immutable — version 0 read
+    * AFTER all three overwrites still returns the original total.
+    * Scale: each banded overwrite costs one partition write + one
+    * manifest commit; the full overwrite writes only the new batch —
+    * old groups are dropped by reference, never read. */
+  def insertOverwriteLifecycle(s: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.load(s, dir, "orders")
+      .filter(col("o_custkey") % 5 === 1)
+      .select(col("o_orderkey").as("k"),
+        year(col("o_orderdate")).cast("long").as("yk"),
+        expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)")
+          .as("cents"))
+    graft.util.LocalFrame.withConf(s, "spark.sql.shuffle.partitions", "8") {
+    graft.util.Tmp.withTempDir("graft_lake_q311") { rootPath =>
+      val wh = rootPath.toString
+      val root = s"$wh/t"
+      LakeTable.createPartitioned(s, root, orders, "yk")
+      val cat = "lake_" +
+        java.util.UUID.randomUUID().toString.replace("-", "").take(12)
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftLakeCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+      try {
+        // (1) banded DSv2 overwrite: reprocess 1995 with doubled cents
+        orders.filter(col("yk") === 1995L)
+          .withColumn("cents", col("cents") * 2)
+          .writeTo(s"$cat.t").overwrite(col("yk") === 1995L)
+        val vBand = LakeTable.latestVersion(s, root).get
+        val afterBand = LakeTable.read(s, root)
+          .agg(sum(col("cents"))).head().getLong(0)
+        // (2) static-partition SQL overwrite: 1996 relanded at 5×
+        orders.createOrReplaceTempView("q311_src")
+        s.sql(s"INSERT OVERWRITE $cat.t PARTITION (yk = 1996) " +
+          "SELECT k, cents * 5 FROM q311_src WHERE yk = 1996")
+        val afterPart = LakeTable.read(s, root)
+          .agg(sum(col("cents"))).head().getLong(0)
+        // (3) a non-band predicate REFUSES (never a silent full wipe):
+        // the version must be exactly where the last overwrite left it
+        val vBefore = LakeTable.latestVersion(s, root).get
+        val refusedNonBand =
+          try {
+            orders.limit(1).writeTo(s"$cat.t")
+              .overwrite(col("k") === 1L || col("yk") === 1995L)
+            0L
+          } catch { case _: Exception => 1L }
+        val vUnchanged =
+          if (LakeTable.latestVersion(s, root).get == vBefore) 1L else 0L
+        // (4) full truncating INSERT OVERWRITE: only 1995 survives, 3×
+        s.sql(s"INSERT OVERWRITE $cat.t " +
+          "SELECT k, yk, cents * 3 FROM q311_src WHERE yk = 1995")
+        val fin = LakeTable.read(s, root)
+          .agg(count(lit(1)).as("n"), sum(col("cents")).as("c")).head()
+        // (5) identity table refuses INSERT OVERWRITE
+        val root2 = s"$wh/t2"
+        LakeTable.create(s, root2, orders.filter(col("yk") === 1997L)
+          .select(col("k"), col("cents")))
+        LakeTable.evolveSchema(s, root2,
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("row_id",
+              org.apache.spark.sql.types.LongType))))
+        LakeTable.setIdentity(s, root2, "row_id", start = 10L, step = 5L)
+        val refusedIdentity =
+          try {
+            s.sql(s"INSERT OVERWRITE $cat.t2 SELECT k, cents, " +
+              "CAST(NULL AS BIGINT) FROM q311_src WHERE yk = 1997")
+            0L
+          } catch { case _: Exception => 1L }
+        // (6) history immutable: the create version (1) read AFTER
+        // every overwrite above still serves the original rows
+        val v0 = LakeTable.read(s, root, Some(1))
+          .agg(sum(col("cents"))).head().getLong(0)
+        val vBandStill = LakeTable.read(s, root, Some(vBand))
+          .agg(sum(col("cents"))).head().getLong(0)
+        import s.implicits._
+        graft.util.LocalFrame.materialize(Seq(
+          ("cents_after_band", afterBand),
+          ("cents_after_partition", afterPart),
+          ("cents_band_snapshot", vBandStill),
+          ("cents_final", fin.getLong(1)),
+          ("cents_v0", v0),
+          ("n_final", fin.getLong(0)),
+          ("refused_identity_overwrite", refusedIdentity),
+          ("refused_nonband_predicate", refusedNonBand),
+          ("version_unchanged_after_refusal", vUnchanged)
+        ).toDF("fact", "n").orderBy(col("fact")))
+      } finally {
+        s.catalog.dropTempView("q311_src")
+        s.conf.unset(s"spark.sql.catalog.$cat")
+        s.conf.unset(s"spark.sql.catalog.$cat.warehouse")
+      }
+    } }
+  }
+
+  /** q312: column semantics declared in SQL `CREATE TABLE` — Delta's
+    * declarative column DDL reaching the SAME manifest commits the
+    * Scala API makes ([[graft.sources.GraftLakeCatalog]] Column[]
+    * createTable): `fee BIGINT GENERATED ALWAYS AS (cents div 50 + 7)`,
+    * `row_id BIGINT GENERATED ALWAYS AS IDENTITY (START WITH 10
+    * INCREMENT BY 5)`, `src STRING DEFAULT 'bulk'`. Lifecycle: (1) two
+    * subset-column SQL INSERTs — fee materializes per row, row_id
+    * stamps the gap-free series (proven arithmetically: sum/min/max/
+    * distinct), src fills 'bulk' when omitted and honors an explicit
+    * value otherwise; (2) an INSERT carrying an explicit row_id
+    * refuses (GENERATED ALWAYS); (3) an INSERT carrying a mismatched
+    * fee refuses whole; (4) `GENERATED BY DEFAULT AS IDENTITY` refuses
+    * at CREATE (the engine's identity is ALWAYS-only). Oracle restates
+    * everything from orders; refusals pin as integers.
+    * Scale: declarations are manifest lines; each INSERT pays bounded
+    * per-batch passes (defaults/generation/stamping) — O(batch). */
+  def sqlDeclaredColumns(s: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.load(s, dir, "orders")
+      .filter(col("o_custkey") % 7 === 3)
+      .select(col("o_orderkey").as("k"),
+        expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)")
+          .as("cents"))
+    graft.util.LocalFrame.withConf(s, "spark.sql.shuffle.partitions", "8") {
+    graft.util.Tmp.withTempDir("graft_lake_q312") { rootPath =>
+      val wh = rootPath.toString
+      val cat = "lake_" +
+        java.util.UUID.randomUUID().toString.replace("-", "").take(12)
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftLakeCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+      try {
+        s.sql(s"""CREATE TABLE $cat.t (
+          |  k BIGINT,
+          |  cents BIGINT,
+          |  fee BIGINT GENERATED ALWAYS AS (cents div 50 + 7),
+          |  row_id BIGINT GENERATED ALWAYS AS IDENTITY
+          |    (START WITH 10 INCREMENT BY 5),
+          |  src STRING DEFAULT 'bulk')""".stripMargin)
+        orders.createOrReplaceTempView("q312_src")
+        // subset INSERT: fee/row_id engine-stamped, src defaulted
+        s.sql(s"INSERT INTO $cat.t (k, cents) " +
+          "SELECT k, cents FROM q312_src WHERE k % 2 = 0")
+        // explicit src overrides the default; auto columns still stamp
+        s.sql(s"INSERT INTO $cat.t (k, cents, src) " +
+          "SELECT k, cents, 'manual' FROM q312_src WHERE k % 2 = 1")
+        val refusedId =
+          try { s.sql(s"INSERT INTO $cat.t (k, cents, row_id) " +
+            "VALUES (4000000001, 5000, 99)"); 0L }
+          catch { case _: Exception => 1L }
+        val refusedFee =
+          try { s.sql(s"INSERT INTO $cat.t (k, cents, fee) " +
+            "VALUES (4000000002, 5000, 1)"); 0L }
+          catch { case _: Exception => 1L }
+        val refusedByDefault =
+          try { s.sql(s"CREATE TABLE $cat.t2 (a BIGINT, b BIGINT " +
+            "GENERATED BY DEFAULT AS IDENTITY)"); 0L }
+          catch { case _: Exception => 1L }
+        val t = LakeTable.read(s, s"$wh/t").agg(
+          count(lit(1)).as("n"),
+          sum(col("fee")).as("f"),
+          sum(when(col("fee") === expr("cents div 50 + 7"), 1L)
+            .otherwise(0L)).as("ok"),
+          sum(when(col("src") === "bulk", 1L).otherwise(0L)).as("nb"),
+          sum(when(col("src") === "manual", 1L).otherwise(0L)).as("nm"),
+          countDistinct(col("row_id")).as("d"),
+          min(col("row_id")).as("mn"), max(col("row_id")).as("mx"),
+          sum(col("row_id")).as("sm")).head()
+        import s.implicits._
+        graft.util.LocalFrame.materialize(Seq(
+          ("distinct_ids", t.getLong(5)),
+          ("fee_total", t.getLong(1)),
+          ("max_id", t.getLong(7)),
+          ("min_id", t.getLong(6)),
+          ("n_default_src", t.getLong(3)),
+          ("n_fee_ok", t.getLong(2)),
+          ("n_manual_src", t.getLong(4)),
+          ("n_total", t.getLong(0)),
+          ("refused_by_default_identity", refusedByDefault),
+          ("refused_explicit_id", refusedId),
+          ("refused_mismatched_fee", refusedFee),
+          ("sum_ids", t.getLong(8))
+        ).toDF("fact", "n").orderBy(col("fact")))
+      } finally {
+        s.catalog.dropTempView("q312_src")
+        s.conf.unset(s"spark.sql.catalog.$cat")
+        s.conf.unset(s"spark.sql.catalog.$cat.warehouse")
+      }
+    } }
+  }
+
   /** q297: identity columns ([[graft.sources.LakeTable.setIdentity]])
     * — Delta's `GENERATED ALWAYS AS IDENTITY (START WITH 10 INCREMENT
     * BY 5)` as an oracle-checked lifecycle: (1) the column arrives by
@@ -1898,6 +2095,8 @@ object LakeQueries {
     "q305_generated_column"    -> (generatedColumnLifecycle _),
     "q296_replace_where"       -> (replaceWhereLifecycle _),
     "q297_identity_column"     -> (identityLifecycle _),
+    "q311_insert_overwrite"    -> (insertOverwriteLifecycle _),
+    "q312_sql_declared_columns" -> (sqlDeclaredColumns _),
     "q282_hll_index_lake"      -> (hllIndexLifecycle _),
     "q281_unique_constraint"   -> (uniqueLifecycle _),
     "q288_column_default"      -> (defaultLifecycle _),
@@ -2032,6 +2231,63 @@ object LakeQueries {
         |  count(*) FILTER (mk = 199507) FROM f
         |UNION ALL SELECT 'n_total', count(*) FROM f
         |UNION ALL SELECT 'refused_out_of_band', CAST(1 AS BIGINT)
+        |ORDER BY fact""".stripMargin,
+    // q311: every cents total restated from orders with the per-step
+    // recomputations applied (1995 doubled, then 1996 at 5×, then the
+    // truncating overwrite keeping only 1995 at 3× of ORIGINAL cents);
+    // refusal and immutability facts pin as integers
+    "q311_insert_overwrite" ->
+      """WITH o AS (
+        |  SELECT CAST(year(o_orderdate) AS BIGINT) AS yk,
+        |         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |           AS cents
+        |  FROM orders WHERE o_custkey % 5 = 1),
+        |a AS (SELECT CAST(sum(cents) AS BIGINT) AS c_all,
+        |             CAST(sum(CASE WHEN yk = 1995 THEN cents ELSE 0 END)
+        |                  AS BIGINT) AS c95,
+        |             CAST(sum(CASE WHEN yk = 1996 THEN cents ELSE 0 END)
+        |                  AS BIGINT) AS c96,
+        |             count(*) FILTER (yk = 1995) AS n95
+        |      FROM o)
+        |SELECT 'cents_after_band' AS fact, c_all + c95 AS n FROM a
+        |UNION ALL SELECT 'cents_after_partition',
+        |  c_all + c95 + 4 * c96 FROM a
+        |UNION ALL SELECT 'cents_band_snapshot', c_all + c95 FROM a
+        |UNION ALL SELECT 'cents_final', 3 * c95 FROM a
+        |UNION ALL SELECT 'cents_v0', c_all FROM a
+        |UNION ALL SELECT 'n_final', CAST(n95 AS BIGINT) FROM a
+        |UNION ALL SELECT 'refused_identity_overwrite', CAST(1 AS BIGINT)
+        |UNION ALL SELECT 'refused_nonband_predicate', CAST(1 AS BIGINT)
+        |UNION ALL SELECT 'version_unchanged_after_refusal',
+        |  CAST(1 AS BIGINT)
+        |ORDER BY fact""".stripMargin,
+    // q312: fee recomputed exactly (integer arithmetic); the identity
+    // series proven by sum/min/max/distinct over the full row count;
+    // default-vs-manual split follows the k%2 batch keying
+    "q312_sql_declared_columns" ->
+      """WITH o AS (
+        |  SELECT o_orderkey AS k,
+        |         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |           AS cents
+        |  FROM orders WHERE o_custkey % 7 = 3),
+        |c AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |             CAST(sum(cents // 50 + 7) AS BIGINT) AS f,
+        |             count(*) FILTER (k % 2 = 0) AS n0,
+        |             count(*) FILTER (k % 2 = 1) AS n1
+        |      FROM o)
+        |SELECT 'distinct_ids' AS fact, n FROM c
+        |UNION ALL SELECT 'fee_total', f FROM c
+        |UNION ALL SELECT 'max_id', CAST(10 + 5 * (n - 1) AS BIGINT) FROM c
+        |UNION ALL SELECT 'min_id', CAST(10 AS BIGINT)
+        |UNION ALL SELECT 'n_default_src', CAST(n0 AS BIGINT) FROM c
+        |UNION ALL SELECT 'n_fee_ok', n FROM c
+        |UNION ALL SELECT 'n_manual_src', CAST(n1 AS BIGINT) FROM c
+        |UNION ALL SELECT 'n_total', n FROM c
+        |UNION ALL SELECT 'refused_by_default_identity', CAST(1 AS BIGINT)
+        |UNION ALL SELECT 'refused_explicit_id', CAST(1 AS BIGINT)
+        |UNION ALL SELECT 'refused_mismatched_fee', CAST(1 AS BIGINT)
+        |UNION ALL SELECT 'sum_ids',
+        |  CAST(10 * n + 5 * (n * (n - 1) // 2) AS BIGINT) FROM c
         |ORDER BY fact""".stripMargin,
     // q297: the identity-series facts are pure arithmetic on the
     // engine-assigned id block (start 10, step 5, n = the two stamped

@@ -24,11 +24,13 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * time-travel hook (`loadTable(ident, version)`), so the SQL syntax,
   * the format path's `versionAsOf` option and the LakeTable API all read
   * the same snapshot. SQL statements that map onto the commit protocol
-  * are supported — CREATE TABLE/CTAS, INSERT INTO, DELETE, UPDATE,
-  * MERGE INTO, ALTER TABLE ADD COLUMNS — each landing as a normal
-  * versioned commit; history-REWRITING statements (DROP/RENAME/INSERT
-  * OVERWRITE/non-additive ALTER) throw, keeping every manifest version
-  * immutable once written.
+  * are supported — CREATE TABLE/CTAS, INSERT INTO, INSERT OVERWRITE
+  * (full and banded — see [[GraftLakeTable.filtersToBand]]), DELETE,
+  * UPDATE, MERGE INTO, ALTER TABLE ADD COLUMNS — each landing as a
+  * normal versioned commit (an overwrite commits a NEW version; every
+  * prior one stays time-travelable); history-REWRITING statements
+  * (DROP/RENAME/non-additive ALTER) throw, keeping every manifest
+  * version immutable once written.
   *
   * Scale note: resolution cost is one directory listing + one manifest
   * read at planning time; the scan is the same delegated vectorized
@@ -127,10 +129,9 @@ final class GraftLakeCatalog extends TableCatalog {
     * paths apply ([[LakeTable.partAdmit]]). Bucket/expression
     * transforms reject — those layouts are the API's job
     * (`LakeTable.createClustered`, Z-order compact). */
-  override def createTable(ident: Identifier, schema: StructType,
-                           partitions: Array[Transform],
-                           properties: JMap[String, String]): Table = {
-    val partCol = partitions.toSeq match {
+  private def partColOf(ident: Identifier,
+                        partitions: Array[Transform]): Option[String] =
+    partitions.toSeq match {
       case Seq() => None
       case Seq(t) if t.name == "identity" && t.references.length == 1 =>
         val ref = t.references.head
@@ -142,7 +143,52 @@ final class GraftLakeCatalog extends TableCatalog {
           s"supported, got ${other.mkString(", ")} — use " +
           "LakeTable.createClustered for other layouts")
     }
-    LakeTable.createEmpty(SparkSession.active, rootOf(ident), schema, partCol)
+
+  override def createTable(ident: Identifier, schema: StructType,
+                           partitions: Array[Transform],
+                           properties: JMap[String, String]): Table = {
+    LakeTable.createEmpty(SparkSession.active, rootOf(ident), schema,
+      partColOf(ident, partitions))
+    loadTable(ident)
+  }
+
+  /** The Column[] overload Spark routes CREATE TABLE through when the
+    * column list carries declarative semantics — `DEFAULT <expr>`,
+    * `GENERATED ALWAYS AS (expr)`, `GENERATED ALWAYS AS IDENTITY
+    * (START WITH s INCREMENT BY i)` (the catalog declares the matching
+    * capabilities, so the parser accepts the syntax). Each declaration
+    * lands as the SAME metadata-only commit the Scala API makes
+    * ([[LakeTable.setColumnDefault]] / [[LakeTable.setGeneratedColumn]]
+    * / [[LakeTable.setIdentity]]) right after the empty create, so SQL
+    * and API tables are byte-identical in the manifest. `GENERATED BY
+    * DEFAULT AS IDENTITY` refuses: the engine's identity contract is
+    * ALWAYS (explicit ids would silently fork the high-water mark). */
+  override def createTable(ident: Identifier,
+      columns: Array[org.apache.spark.sql.connector.catalog.Column],
+      partitions: Array[Transform],
+      properties: JMap[String, String]): Table = {
+    val spark = SparkSession.active
+    val root = rootOf(ident)
+    val schema = StructType(columns.map(c =>
+      org.apache.spark.sql.types.StructField(c.name, c.dataType,
+        c.nullable)).toSeq)
+    columns.foreach { c =>
+      Option(c.identityColumnSpec()).foreach { i =>
+        if (i.isAllowExplicitInsert) throw new UnsupportedOperationException(
+          s"CREATE TABLE $ident: GENERATED BY DEFAULT AS IDENTITY is not " +
+            "supported — identity columns are GENERATED ALWAYS (engine-" +
+            "stamped; explicit inserts would fork the high-water mark)")
+      }
+    }
+    LakeTable.createEmpty(spark, root, schema, partColOf(ident, partitions))
+    columns.foreach { c =>
+      Option(c.defaultValue()).foreach(d =>
+        LakeTable.setColumnDefault(spark, root, c.name, d.getSql))
+      Option(c.generationExpression()).foreach(g =>
+        LakeTable.setGeneratedColumn(spark, root, c.name, g))
+      Option(c.identityColumnSpec()).foreach(i =>
+        LakeTable.setIdentity(spark, root, c.name, i.getStart, i.getStep))
+    }
     loadTable(ident)
   }
 
@@ -155,7 +201,11 @@ final class GraftLakeCatalog extends TableCatalog {
       org.apache.spark.sql.connector.catalog.TableCatalogCapability
         .SUPPORT_TABLE_CONSTRAINT,
       org.apache.spark.sql.connector.catalog.TableCatalogCapability
-        .SUPPORT_COLUMN_DEFAULT_VALUE)
+        .SUPPORT_COLUMN_DEFAULT_VALUE,
+      org.apache.spark.sql.connector.catalog.TableCatalogCapability
+        .SUPPORTS_CREATE_TABLE_WITH_GENERATED_COLUMNS,
+      org.apache.spark.sql.connector.catalog.TableCatalogCapability
+        .SUPPORTS_CREATE_TABLE_WITH_IDENTITY_COLUMNS)
 
   /** History-safe SQL DDL, each routed to its metadata-only commit:
     *

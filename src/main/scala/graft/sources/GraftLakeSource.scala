@@ -197,6 +197,63 @@ private[sources] final class GraftLakeTable(delegate: ParquetTable,
   override def name(): String = delegate.name
   override def schema(): StructType = delegate.schema
 
+  /** DSv2 column metadata: surface the manifest's write-defaults,
+    * generation expressions and identity spec so (a) `INSERT INTO t
+    * (subset…)` fills an omitted DEFAULT column with its declared
+    * value at analysis time (without this Spark substitutes NULL and
+    * the engine-side default never fires — SQL and API inserts would
+    * diverge), and (b) DESCRIBE shows the declared semantics. The
+    * exists-default is a typed NULL on purpose: rows that predate the
+    * declaration read NULL — history is immutable. */
+  override def columns()
+      : Array[org.apache.spark.sql.connector.catalog.Column] = {
+    import org.apache.spark.sql.connector.catalog.{Column => V2Column}
+    val base = schema()
+    (root, version) match {
+      case (Some(r), None) =>
+        val spark = SparkSession.active
+        LakeTable.latestVersion(spark, r).fold(
+            base.fields.map(f => V2Column.create(f.name, f.dataType,
+              f.nullable))) { v =>
+          val meta = LakeTable.manifestMetaAt(spark, r, v)
+          val defaults = LakeTable.defaultsAt(meta)
+          val gens = LakeTable.genColsAt(meta)
+          val ident = LakeTable.identityAt(meta)
+          base.fields.map { f =>
+            val dflt = defaults.collectFirst {
+              case (c, s) if c.equalsIgnoreCase(f.name) => s }
+            val gen = gens.collectFirst {
+              case (c, s) if c.equalsIgnoreCase(f.name) => s }
+            val id = ident.filter(_._1.equalsIgnoreCase(f.name))
+            (dflt, gen, id) match {
+              case (Some(sql), _, _) =>
+                // exists-default = typed NULL (LiteralValue is
+                // private[sql], so a minimal Literal impl)
+                val nullLit =
+                  new org.apache.spark.sql.connector.expressions.Literal[Any] {
+                    override def value(): Any = null
+                    override def dataType()
+                        : org.apache.spark.sql.types.DataType = f.dataType
+                  }
+                V2Column.create(f.name, f.dataType,
+                  f.nullable, null,
+                  new org.apache.spark.sql.connector.catalog
+                    .ColumnDefaultValue(sql, nullLit), null)
+              case (_, Some(sql), _) => V2Column.create(f.name, f.dataType,
+                f.nullable, null, sql, null)
+              case (_, _, Some((_, st, sp, _))) => V2Column.create(f.name,
+                f.dataType, f.nullable, null,
+                new org.apache.spark.sql.connector.catalog.IdentityColumnSpec(
+                  st, sp, false), null)
+              case _ => V2Column.create(f.name, f.dataType, f.nullable)
+            }
+          }
+        }
+      case _ => base.fields.map(f =>
+        V2Column.create(f.name, f.dataType, f.nullable))
+    }
+  }
+
   /** DSv2 informational surface: the committed CHECK/UNIQUE
     * constraints, as `DESCRIBE TABLE EXTENDED` and catalog tooling
     * read them. Both classes are ENFORCED here (every write validates
@@ -247,8 +304,14 @@ private[sources] final class GraftLakeTable(delegate: ParquetTable,
 
   override def capabilities(): java.util.Set[TableCapability] = {
     val caps = java.util.EnumSet.of(TableCapability.BATCH_READ)
-    if (root.isDefined && version.isEmpty)
+    if (root.isDefined && version.isEmpty) {
       caps.add(TableCapability.V1_BATCH_WRITE)
+      // INSERT OVERWRITE / writeTo(...).overwrite(cond): analysis
+      // requires the capability even though refusal happens later for
+      // conditions that don't reduce to one band (filtersToBand)
+      caps.add(TableCapability.OVERWRITE_BY_FILTER)
+      caps.add(TableCapability.TRUNCATE)
+    }
     if (streamRoot.isDefined && version.isEmpty)
       caps.add(TableCapability.MICRO_BATCH_READ)
     caps
@@ -303,10 +366,10 @@ private[sources] final class GraftLakeTable(delegate: ParquetTable,
     * rewrite — every prior version stays time-travelable):
     *  - `INSERT OVERWRITE t` (no predicate) / `writeTo(t).overwrite(true)`
     *    → [[LakeTable.overwriteAll]] — one commit replacing the snapshot;
-    *  - `INSERT OVERWRITE t PARTITION (c=v)` (static mode),
-    *    `INSERT INTO t REPLACE WHERE <cond>` ([[GraftSqlParser]]) and
+    *  - `INSERT OVERWRITE t PARTITION (c=v)` (static mode) and
     *    `writeTo(t).overwrite(cond)` → the pushed filters translate to
-    *    an inclusive single-column band and land as
+    *    an inclusive single-column band ([[GraftLakeTable.filtersToBand]])
+    *    and land as
     *    [[LakeTable.overwriteWhere]] — containment-checked, stats/
     *    partition-pruned (untouched file groups carry by name, zero
     *    bytes rewritten). Conditions that don't reduce to one numeric
@@ -329,18 +392,52 @@ private[sources] final class GraftLakeTable(delegate: ParquetTable,
         override def toInsertableRelation: InsertableRelation =
           new InsertableRelation {
             override def insert(data: org.apache.spark.sql.DataFrame,
-                                overwrite: Boolean): Unit = mode match {
-              case None =>
-                LakeTable.append(SparkSession.active, root.get, data)
-              case Some(None) =>
-                LakeTable.overwriteAll(SparkSession.active, root.get, data)
-              case Some(Some((c, lo, hi))) =>
-                LakeTable.overwriteWhere(
-                  SparkSession.active, root.get, data, c, lo, hi)
+                                overwrite: Boolean): Unit = {
+              val cleaned = dropAllNullAutoCols(data)
+              mode match {
+                case None =>
+                  LakeTable.append(SparkSession.active, root.get, cleaned)
+                case Some(None) =>
+                  LakeTable.overwriteAll(SparkSession.active, root.get, cleaned)
+                case Some(Some((c, lo, hi))) =>
+                  LakeTable.overwriteWhere(
+                    SparkSession.active, root.get, cleaned, c, lo, hi)
+              }
             }
           }
       }
     }
+
+  /** SQL INSERTs that OMIT a generated/identity column arrive with the
+    * column Spark-filled as NULL (ResolveDefaultColumns substitutes
+    * NULL when a nullable column has no declared default). The commit
+    * protocol's contract is OMISSION — the engine stamps identity ids
+    * and materializes generation expressions itself — so an auto
+    * column that is entirely NULL is treated as omitted and dropped
+    * here. A batch carrying any non-null value still refuses
+    * downstream (GENERATED ALWAYS). Cost: one aggregate over the
+    * incoming batch — in family with the constraint gates the append
+    * already pays. */
+  private def dropAllNullAutoCols(
+      data: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val spark = SparkSession.active
+    LakeTable.latestVersion(spark, root.get).fold(data) { v =>
+      val meta = LakeTable.manifestMetaAt(spark, root.get, v)
+      val auto = (LakeTable.genColsAt(meta).keys.toSeq ++
+        LakeTable.identityAt(meta).map(_._1).toSeq)
+        .flatMap(c => data.columns.find(_.equalsIgnoreCase(c)))
+      if (auto.isEmpty) data
+      else {
+        import org.apache.spark.sql.functions.count
+        val counts = data.agg(count(col(auto.head)),
+          auto.tail.map(c => count(col(c))): _*).head()
+        val allNull = auto.zipWithIndex
+          .filter { case (_, i) => counts.getLong(i) == 0L }
+          .map(_._1)
+        data.drop(allNull: _*)
+      }
+    }
+  }
 
   private def toColumn(f: Filter): Option[Column] = f match {
     case EqualTo(a, v)            => Some(col(a) === lit(v))
@@ -368,5 +465,73 @@ private[sources] final class GraftLakeTable(delegate: ParquetTable,
     val pred = filters.flatMap(toColumn(_)).reduceOption(_ && _)
       .getOrElse(lit(true))
     LakeTable.deleteWhere(SparkSession.active, root.get, pred)
+  }
+}
+
+/** Companion for the DSv2 overwrite path: translates Spark's pushed
+  * [[org.apache.spark.sql.sources.Filter]]s into the inclusive
+  * single-column numeric band [[LakeTable.overwriteWhere]] takes.
+  *
+  * Contract (deliberately strict — a replaceWhere that can't be proven
+  * band-shaped must REFUSE, never degrade to a full-table rewrite):
+  *  - empty array, or `AlwaysTrue` only → `None` = full overwrite
+  *    (the `truncate()`/`INSERT OVERWRITE t` semantics);
+  *  - a conjunction (flat array and/or `And`-nested) of
+  *    EqualTo / GreaterThan(OrEqual) / LessThan(OrEqual) filters all on
+  *    ONE column with numeric literals → `Some((col, lo, hi))`, the
+  *    tightest inclusive band (strict bounds nudge one ULP inward);
+  *  - ANYTHING else — `Or`, `Not`, `In`, null tests, a second column,
+  *    a non-numeric literal, an empty band (lo > hi) — throws
+  *    [[UnsupportedOperationException]]. A mistyped predicate must
+  *    never fall through to the `Some(None)` full-overwrite arm of
+  *    the WriteBuilder match. */
+private[graft] object GraftLakeTable {
+  import org.apache.spark.sql.sources._
+
+  def filtersToBand(
+      filters: Array[Filter]): Option[(String, Double, Double)] = {
+    def refuse(f: Any): Nothing = throw new UnsupportedOperationException(
+      s"overwrite condition does not reduce to a single-column numeric " +
+        s"band (got: $f); use INSERT OVERWRITE without a predicate for a " +
+        "full rewrite, or a conjunction of =/</<=/>/>= on one column")
+    def num(v: Any): Double = v match {
+      case n: java.lang.Number => n.doubleValue() // incl. BigDecimal
+      case other => refuse(other)
+    }
+    // flatten And-nests into leaf comparisons; refuse everything else
+    def leaves(f: Filter): Seq[Filter] = f match {
+      case And(l, r)     => leaves(l) ++ leaves(r)
+      case AlwaysTrue()  => Nil
+      // a static `PARTITION (c = v)` spec arrives as EqualNullSafe;
+      // with a non-null literal it is EqualTo (NULL <=> v is false, and
+      // the band predicate never matches NULL rows either)
+      case EqualNullSafe(a, v) if v != null => Seq(EqualTo(a, v))
+      case EqualTo(_, _) | GreaterThan(_, _) | GreaterThanOrEqual(_, _) |
+           LessThan(_, _) | LessThanOrEqual(_, _) => Seq(f)
+      case other => refuse(other)
+    }
+    val cmps = filters.toSeq.flatMap(leaves)
+    if (cmps.isEmpty) return None // AlwaysTrue / no predicate = full
+    var colName: String = null
+    var lo = Double.NegativeInfinity
+    var hi = Double.PositiveInfinity
+    def onCol(a: String): Unit = {
+      if (colName == null) colName = a
+      else if (colName != a) refuse(s"second column '$a' (band on '$colName')")
+    }
+    cmps.foreach {
+      case EqualTo(a, v) =>
+        onCol(a); val x = num(v); lo = math.max(lo, x); hi = math.min(hi, x)
+      case GreaterThan(a, v) =>
+        onCol(a); lo = math.max(lo, Math.nextUp(num(v)))
+      case GreaterThanOrEqual(a, v) => onCol(a); lo = math.max(lo, num(v))
+      case LessThan(a, v) =>
+        onCol(a); hi = math.min(hi, Math.nextDown(num(v)))
+      case LessThanOrEqual(a, v) => onCol(a); hi = math.min(hi, num(v))
+      case other => refuse(other)
+    }
+    if (lo.isNegInfinity && hi.isPosInfinity) refuse(cmps.mkString(", "))
+    if (lo > hi) refuse(s"empty band [$lo,$hi] on '$colName'")
+    Some((colName, lo, hi))
   }
 }

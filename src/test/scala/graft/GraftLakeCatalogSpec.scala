@@ -61,9 +61,8 @@ class GraftLakeCatalogSpec extends SparkSpec {
   test("DDL and history-rewriting DML through the catalog are rejected") {
     withWarehouse("lakeC") { wh =>
       LakeTable.create(spark, s"$wh/t1", Tables.load(spark, sf, "nation"))
-      intercept[Exception] {
-        spark.sql("INSERT OVERWRITE lakeC.t1 SELECT * FROM lakeC.t1")
-      }
+      // (INSERT OVERWRITE is no longer rejected — it commits a new
+      // version through overwriteAll; see the dedicated overwrite test)
       intercept[Exception] { spark.sql("DROP TABLE lakeC.t1") }
       // non-identity partition transforms reject (PARTITIONED BY (col)
       // itself is supported — see the partitioned CREATE TABLE test)
@@ -369,6 +368,89 @@ class GraftLakeCatalogSpec extends SparkSpec {
       spark.sql("UPDATE lakeM.t1 SET v = v + 1 WHERE id >= 2")
       assert(spark.sql("SELECT sum(v) FROM lakeM.t1").head.getDouble(0) == 62.0)
       spark.catalog.dropTempView("lakem_bad")
+    }
+  }
+
+  test("filtersToBand: refusals before bands — nothing non-band may " +
+    "reach the full-overwrite arm") {
+    import org.apache.spark.sql.sources._
+    import graft.sources.GraftLakeTable.filtersToBand
+    def refuses(fs: Filter*): Unit =
+      intercept[UnsupportedOperationException] { filtersToBand(fs.toArray) }
+    // every shape that must refuse (a fall-through would silently
+    // truncate the table)
+    refuses(Or(EqualTo("a", 1), EqualTo("a", 2)))
+    refuses(Not(EqualTo("a", 1)))
+    refuses(In("a", Array(1, 2)))
+    refuses(IsNull("a"))
+    refuses(IsNotNull("a"))
+    refuses(EqualTo("a", 1), EqualTo("b", 1))            // two columns
+    refuses(And(EqualTo("a", 1), LessThan("b", 9)))      // two columns
+    refuses(EqualTo("a", "july"))                        // non-numeric
+    refuses(EqualNullSafe("a", null))
+    refuses(StringStartsWith("a", "x"))
+    refuses(And(GreaterThan("a", 5), LessThan("a", 5)))  // empty band
+    refuses(AlwaysFalse())
+    // full-overwrite spellings: ONLY no-predicate / AlwaysTrue
+    assert(filtersToBand(Array.empty).isEmpty)
+    assert(filtersToBand(Array(AlwaysTrue())).isEmpty)
+    // band spellings
+    assert(filtersToBand(Array(EqualTo("mk", 199507L)))
+      .contains(("mk", 199507.0, 199507.0)))
+    // static PARTITION (c=v) specs arrive as EqualNullSafe
+    assert(filtersToBand(Array(EqualNullSafe("mk", 199507L)))
+      .contains(("mk", 199507.0, 199507.0)))
+    assert(filtersToBand(Array(
+      GreaterThanOrEqual("mk", 10), LessThanOrEqual("mk", 20)))
+      .contains(("mk", 10.0, 20.0)))
+    assert(filtersToBand(Array(And(
+      GreaterThanOrEqual("mk", 10), LessThanOrEqual("mk", 20))))
+      .contains(("mk", 10.0, 20.0)))
+    // strict bounds nudge one ULP inward (stay inclusive downstream)
+    val Some((_, lo, hi)) =
+      filtersToBand(Array(GreaterThan("mk", 10), LessThan("mk", 20)))
+    assert(lo > 10.0 && lo <= 10.0000001 && hi < 20.0 && hi >= 19.9999999)
+    // intersecting conjunction keeps the tightest band
+    assert(filtersToBand(Array(
+      GreaterThanOrEqual("mk", 5), GreaterThanOrEqual("mk", 8),
+      LessThanOrEqual("mk", 30), LessThanOrEqual("mk", 12)))
+      .contains(("mk", 8.0, 12.0)))
+  }
+
+  test("INSERT OVERWRITE / writeTo.overwrite: banded replace, full " +
+    "truncate, loud refusal, immutable history") {
+    withWarehouse("lakeOw") { wh =>
+      val nation = Tables.load(spark, sf, "nation")
+        .select(col("n_nationkey").as("id"), col("n_regionkey").as("rk"))
+      LakeTable.create(spark, s"$wh/t1", nation)
+      // non-band predicate refuses BEFORE any write; version pinned
+      intercept[Exception] {
+        nation.limit(1).writeTo("lakeOw.t1")
+          .overwrite(col("id") === 1 || col("rk") === 2)
+      }
+      assert(LakeTable.versions(spark, s"$wh/t1") == Seq(1))
+      // banded overwrite: replace rk=2 rows with one sentinel row
+      import spark.implicits._
+      Seq((100L, 2L)).toDF("id", "rk").writeTo("lakeOw.t1")
+        .overwrite(col("rk") === 2)
+      assert(spark.sql(
+        "SELECT count(*) FROM lakeOw.t1 WHERE rk = 2").head.getLong(0) == 1)
+      val nAfterBand = spark.sql("SELECT count(*) FROM lakeOw.t1")
+        .head.getLong(0)
+      assert(nAfterBand == 25 - 5 + 1) // 5 nations per region
+      // batch leaking outside the band refuses whole
+      intercept[Exception] {
+        Seq((101L, 2L), (102L, 3L)).toDF("id", "rk")
+          .writeTo("lakeOw.t1").overwrite(col("rk") === 2)
+      }
+      // full truncating overwrite via SQL
+      spark.sql("INSERT OVERWRITE lakeOw.t1 VALUES (7, 7), (8, 8)")
+      assert(spark.sql("SELECT count(*) FROM lakeOw.t1").head.getLong(0) == 2)
+      // history is immutable: both prior versions still serve
+      assert(spark.sql("SELECT count(*) FROM lakeOw.t1 VERSION AS OF 1")
+        .head.getLong(0) == 25)
+      assert(spark.sql("SELECT count(*) FROM lakeOw.t1 VERSION AS OF 2")
+        .head.getLong(0) == nAfterBand)
     }
   }
 
