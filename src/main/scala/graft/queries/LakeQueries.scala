@@ -1974,6 +1974,87 @@ object LakeQueries {
     } }
   }
 
+  /** q313: multi-column partitioning — Hive/Delta's `PARTITIONED BY
+    * (year, quarter)` as an oracle-checked lifecycle: (1) SQL CREATE
+    * with two identity transforms + INSERT routes every row to one
+    * file group per (yk, q) TUPLE (groups = distinct tuple count);
+    * (2) subset pruning — an equality probe on EITHER column alone
+    * scans exactly the groups whose component matches (counts pinned
+    * to the distinct-counterpart counts from the data), and probing
+    * both columns scans exactly one group; (3) replaceWhere on the
+    * LEADING column replaces year 1995 whole — tuple groups of 1995
+    * are containment-proven by their recorded component, every other
+    * group carries by name; (4) totals restated by the oracle with
+    * 1995 doubled. The DSv2 one-directory plan assertion lives in
+    * GraftLakeCatalogSpec. Scale: this is the reprocess-a-partition
+    * contract with hierarchical keys — the 100 TB layout where a
+    * (year, quarter) probe opens one directory of thousands. */
+  def multiColPartitionLifecycle(s: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.load(s, dir, "orders")
+      .filter(col("o_custkey") % 7 === 5)
+      .select(col("o_orderkey").as("k"),
+        year(col("o_orderdate")).cast("long").as("yk"),
+        quarter(col("o_orderdate")).cast("long").as("q"),
+        expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)")
+          .as("cents"))
+    graft.util.LocalFrame.withConf(s, "spark.sql.shuffle.partitions", "8") {
+    graft.util.Tmp.withTempDir("graft_lake_q313") { rootPath =>
+      val wh = rootPath.toString
+      val root = s"$wh/t"
+      val cat = "lake_" +
+        java.util.UUID.randomUUID().toString.replace("-", "").take(12)
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftLakeCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+      try {
+        s.sql(s"CREATE TABLE $cat.t (k BIGINT, yk BIGINT, q BIGINT, " +
+          "cents BIGINT) PARTITIONED BY (yk, q)")
+        orders.createOrReplaceTempView("q313_src")
+        s.sql(s"INSERT INTO $cat.t SELECT * FROM q313_src")
+        val groups = LakeTable.dataDirPaths(s, root).size.toLong
+        // subset probes: either column alone prunes to its component
+        val scanYk =
+          LakeTable.selectGroupsEq(s, root, "yk", 1995L).size.toLong
+        val scanQ =
+          LakeTable.selectGroupsEq(s, root, "q", 3L).size.toLong
+        val scanBoth =
+          (LakeTable.selectGroupsEq(s, root, "yk", 1995L).toSet intersect
+            LakeTable.selectGroupsEq(s, root, "q", 3L).toSet).size.toLong
+        val b = s.sql(s"SELECT count(*) AS n, sum(cents) AS c FROM $cat.t " +
+          "WHERE yk = 1995 AND q = 3").head()
+        // reprocess year 1995 (the LEADING key): tuple groups of 1995
+        // are containment-proven, everything else carries by name
+        val dirsBefore = LakeTable.dataDirPaths(s, root).toSet
+        LakeTable.overwriteWhere(s, root,
+          orders.filter(col("yk") === 1995L)
+            .withColumn("cents", col("cents") * 2),
+          "yk", 1995, 1995)
+        val carried =
+          (dirsBefore intersect LakeTable.dataDirPaths(s, root).toSet)
+            .size.toLong
+        val t = LakeTable.read(s, root)
+          .agg(sum(col("cents")).as("c"),
+            sum(when(col("yk") === 1995L, col("cents")).otherwise(0L))
+              .as("cb")).head()
+        import s.implicits._
+        graft.util.LocalFrame.materialize(Seq(
+          ("cents_total_after", t.getLong(0)),
+          ("cents_y1995_after", t.getLong(1)),
+          ("cents_y1995q3_before", b.getLong(1)),
+          ("groups", groups),
+          ("groups_carried", carried),
+          ("groups_scanned_both", scanBoth),
+          ("groups_scanned_q", scanQ),
+          ("groups_scanned_yk", scanYk),
+          ("n_y1995q3", b.getLong(0))
+        ).toDF("fact", "n").orderBy(col("fact")))
+      } finally {
+        s.catalog.dropTempView("q313_src")
+        s.conf.unset(s"spark.sql.catalog.$cat")
+        s.conf.unset(s"spark.sql.catalog.$cat.warehouse")
+      }
+    } }
+  }
+
   /** q297: identity columns ([[graft.sources.LakeTable.setIdentity]])
     * — Delta's `GENERATED ALWAYS AS IDENTITY (START WITH 10 INCREMENT
     * BY 5)` as an oracle-checked lifecycle: (1) the column arrives by
@@ -2097,6 +2178,7 @@ object LakeQueries {
     "q297_identity_column"     -> (identityLifecycle _),
     "q311_insert_overwrite"    -> (insertOverwriteLifecycle _),
     "q312_sql_declared_columns" -> (sqlDeclaredColumns _),
+    "q313_multicol_partition"  -> (multiColPartitionLifecycle _),
     "q282_hll_index_lake"      -> (hllIndexLifecycle _),
     "q281_unique_constraint"   -> (uniqueLifecycle _),
     "q288_column_default"      -> (defaultLifecycle _),
@@ -2288,6 +2370,40 @@ object LakeQueries {
         |UNION ALL SELECT 'refused_mismatched_fee', CAST(1 AS BIGINT)
         |UNION ALL SELECT 'sum_ids',
         |  CAST(10 * n + 5 * (n * (n - 1) // 2) AS BIGINT) FROM c
+        |ORDER BY fact""".stripMargin,
+    // q313: group accounting restated from the data's distinct
+    // (yk, q) tuples; totals with 1995 doubled by the replace
+    "q313_multicol_partition" ->
+      """WITH o AS (
+        |  SELECT CAST(year(o_orderdate) AS BIGINT) AS yk,
+        |         CAST(quarter(o_orderdate) AS BIGINT) AS q,
+        |         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |           AS cents
+        |  FROM orders WHERE o_custkey % 7 = 5),
+        |g AS (SELECT CAST(count(DISTINCT (yk, q)) AS BIGINT) AS ng,
+        |             CAST(count(DISTINCT CASE WHEN yk = 1995 THEN q END)
+        |                  AS BIGINT) AS n95,
+        |             CAST(count(DISTINCT CASE WHEN q = 3 THEN yk END)
+        |                  AS BIGINT) AS nq3,
+        |             CAST(count(DISTINCT CASE WHEN yk = 1995 AND q = 3
+        |                  THEN 1 END) AS BIGINT) AS nboth
+        |      FROM o),
+        |a AS (SELECT CAST(sum(cents) AS BIGINT) AS c_all,
+        |             CAST(sum(CASE WHEN yk = 1995 THEN cents ELSE 0 END)
+        |                  AS BIGINT) AS c95,
+        |             CAST(sum(CASE WHEN yk = 1995 AND q = 3 THEN cents
+        |                       ELSE 0 END) AS BIGINT) AS c953,
+        |             count(*) FILTER (yk = 1995 AND q = 3) AS n953
+        |      FROM o)
+        |SELECT 'cents_total_after' AS fact, c_all + c95 AS n FROM a
+        |UNION ALL SELECT 'cents_y1995_after', 2 * c95 FROM a
+        |UNION ALL SELECT 'cents_y1995q3_before', c953 FROM a
+        |UNION ALL SELECT 'groups', ng FROM g
+        |UNION ALL SELECT 'groups_carried', ng - n95 FROM g
+        |UNION ALL SELECT 'groups_scanned_both', nboth FROM g
+        |UNION ALL SELECT 'groups_scanned_q', nq3 FROM g
+        |UNION ALL SELECT 'groups_scanned_yk', n95 FROM g
+        |UNION ALL SELECT 'n_y1995q3', CAST(n953 AS BIGINT) FROM a
         |ORDER BY fact""".stripMargin,
     // q297: the identity-series facts are pure arithmetic on the
     // engine-assigned id block (start 10, step 5, n = the two stamped

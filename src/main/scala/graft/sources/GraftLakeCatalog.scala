@@ -123,32 +123,30 @@ final class GraftLakeCatalog extends TableCatalog {
   /** `CREATE TABLE` (and the create half of CTAS — Spark follows with a
     * write through [[GraftLakeTable.newWriteBuilder]]): version 1 holds
     * the declared schema and no data ([[LakeTable.createEmpty]]).
-    * `PARTITIONED BY (col)` — a single identity transform — declares
-    * the partition column in the v1 manifest; every later INSERT/append
-    * routes rows to one file group per value and all partition-pruning
-    * paths apply ([[LakeTable.partAdmit]]). Bucket/expression
-    * transforms reject — those layouts are the API's job
-    * (`LakeTable.createClustered`, Z-order compact). */
-  private def partColOf(ident: Identifier,
-                        partitions: Array[Transform]): Option[String] =
-    partitions.toSeq match {
-      case Seq() => None
-      case Seq(t) if t.name == "identity" && t.references.length == 1 =>
-        val ref = t.references.head
-        require(ref.fieldNames.length == 1,
-          s"nested partition column not supported: $ref")
-        Some(ref.fieldNames.head)
+    * `PARTITIONED BY (a, b, …)` — identity transforms — declares the
+    * partition columns in the v1 manifest; every later INSERT/append
+    * routes rows to one file group per value TUPLE and all
+    * partition-pruning paths apply on any subset of the columns
+    * ([[LakeTable.partAdmit]]). Bucket/expression transforms reject —
+    * those layouts are the API's job (`LakeTable.createClustered`,
+    * Z-order compact). */
+  private def partColsOf(ident: Identifier,
+                         partitions: Array[Transform]): Seq[String] =
+    partitions.toSeq.map {
+      case t if t.name == "identity" && t.references.length == 1 &&
+          t.references.head.fieldNames.length == 1 =>
+        t.references.head.fieldNames.head
       case other => throw new UnsupportedOperationException(
-        s"CREATE TABLE $ident: only PARTITIONED BY (<one column>) is " +
-          s"supported, got ${other.mkString(", ")} — use " +
-          "LakeTable.createClustered for other layouts")
+        s"CREATE TABLE $ident: only PARTITIONED BY (<plain columns>) is " +
+          s"supported, got $other — use LakeTable.createClustered for " +
+          "bucket/expression layouts")
     }
 
   override def createTable(ident: Identifier, schema: StructType,
                            partitions: Array[Transform],
                            properties: JMap[String, String]): Table = {
     LakeTable.createEmpty(SparkSession.active, rootOf(ident), schema,
-      partColOf(ident, partitions))
+      partColsOf(ident, partitions))
     loadTable(ident)
   }
 
@@ -180,7 +178,8 @@ final class GraftLakeCatalog extends TableCatalog {
             "stamped; explicit inserts would fork the high-water mark)")
       }
     }
-    LakeTable.createEmpty(spark, root, schema, partColOf(ident, partitions))
+    LakeTable.createEmpty(spark, root, schema,
+      partColsOf(ident, partitions))
     columns.foreach { c =>
       Option(c.defaultValue()).foreach(d =>
         LakeTable.setColumnDefault(spark, root, c.name, d.getSql))

@@ -291,14 +291,13 @@ private[sources] final class GraftLakeTable(delegate: ParquetTable,
     (root, version) match {
       case (Some(r), None) =>
         val spark = SparkSession.active
-        (for {
-          v <- LakeTable.latestVersion(spark, r)
-          pc <- LakeTable.partColAt(LakeTable.manifestMetaAt(spark, r, v))
-        } yield Array(
-          org.apache.spark.sql.connector.expressions.Expressions
-            .identity(pc)
-            : org.apache.spark.sql.connector.expressions.Transform))
-          .getOrElse(Array.empty)
+        LakeTable.latestVersion(spark, r).map { v =>
+          LakeTable.partColsAt(LakeTable.manifestMetaAt(spark, r, v))
+            .map(pc => org.apache.spark.sql.connector.expressions
+              .Expressions.identity(pc)
+              : org.apache.spark.sql.connector.expressions.Transform)
+            .toArray
+        }.getOrElse(Array.empty)
       case _ => Array.empty
     }
 

@@ -390,11 +390,12 @@ private[sources] final class GraftLakeStreamScanBuilder(
     val rt = indexed.map { case (meta, dirs) =>
       GraftRuntimeFilterInfo(meta, keptStatic.getOrElse(dirs),
         requested, pushedExprs, options,
-        (meta.collect {
+        (meta.toSeq.flatMap {
           case (k, _) if k.startsWith("stat:") || k.startsWith("bloom:") =>
-            k.split(':').last
-          case ("partcol", pc) => pc
-        }).toSeq.distinct)
+            Seq(k.split(':').last)
+          case ("partcol", pc) => pc.split(",", -1).toSeq
+          case _ => Nil
+        }).distinct)
     }
     // under the maskDeletes streaming opt-in a MOR table may LOAD, but
     // a batch scan of it must still refuse: the raw parquet delegate

@@ -120,7 +120,7 @@ object LakeTable {
   private def readManifest(spark: SparkSession, root: String,
                            v: Int): Seq[String] = dataDirsAt(spark, root, v)
 
-  private[sources] def manifestMetaAt(spark: SparkSession, root: String,
+  private[graft] def manifestMetaAt(spark: SparkSession, root: String,
                                       v: Int): Map[String, String] =
     manifestMeta(spark, root, v)
 
@@ -294,39 +294,45 @@ object LakeTable {
       statsMeta(spark, root, dir, statsCols) + ("op" -> "create"))
   }
 
-  /** Split `df` by its `partCol` value into one immutable file group
-    * PER VALUE (one staged `partitionBy` write — a single shuffled
-    * pass, never one job per value), registering each group's value
-    * for [[partAdmit]] pruning. The value is decoded by RE-READING the
-    * landed files (the statsMeta rule — never trust dir-name escaping
-    * round-trips). Returns (dir, valueString) pairs. */
+  /** Split `df` by its partition-column value TUPLE into one immutable
+    * file group PER TUPLE (one staged `partitionBy` write — a single
+    * shuffled pass, never one job per value), registering each group's
+    * joined value for [[partAdmit]] pruning. Values are decoded by
+    * RE-READING the landed files (the statsMeta rule — never trust
+    * dir-name escaping round-trips). Returns (dir, joinedValue)
+    * pairs, components joined by [[PartSep]]. */
   private def writePartitionedDataFiles(
-      spark: SparkSession, root: String, partCol: String,
+      spark: SparkSession, root: String, partCols: Seq[String],
       df: DataFrame): Seq[(String, String)] = {
+    require(partCols.nonEmpty, "writePartitionedDataFiles needs columns")
     require(!df.columns.exists(_.equalsIgnoreCase("__gpart")),
       "batch carries a reserved column name '__gpart'")
-    if (df.filter(col(partCol).isNull).limit(1).count() > 0)
+    val anyNull = partCols.map(col(_).isNull).reduce(_ || _)
+    if (df.filter(anyNull).limit(1).count() > 0)
       throw new IllegalArgumentException(
-        s"null value in partition column '$partCol' refused — partition " +
-          "keys must be non-null (no hidden default-partition bucket)")
-    if (df.filter(length(col(partCol).cast("string")) > 100)
-        .limit(1).count() > 0)
+        s"null value in partition column(s) ${partCols.mkString(",")} " +
+          "refused — partition keys must be non-null (no hidden " +
+          "default-partition bucket)")
+    val anyLong = partCols.map(c =>
+      length(col(c).cast("string")) > 100).reduce(_ || _)
+    if (df.filter(anyLong).limit(1).count() > 0)
       throw new IllegalArgumentException(
-        s"partition values in '$partCol' longer than 100 characters are " +
-          "unsupported as manifest-recorded keys")
+        s"partition values in ${partCols.mkString(",")} longer than 100 " +
+          "characters are unsupported as manifest-recorded keys")
     val f = fs(spark, root)
     val uuid = java.util.UUID.randomUUID().toString
     val staged = new Path(root, s"data/.pstage-$uuid")
     try {
-      // __gpart is a HEX surrogate of the key: one staged dir per
-      // value like partitionBy wants, but the dir name is always
-      // filesystem-safe ASCII (hex is lossless and collision-free, so
-      // non-ASCII / '=' / escape-hostile values cost nothing) — the
-      // REAL value is decoded by re-reading the landed files below,
-      // never from the dir name; the real column stays in every file
-      // because only the surrogate is the partitioning column
-      df.withColumn("__gpart",
-          hex(col(partCol).cast("string").cast("binary")))
+      // __gpart is a HEX surrogate of the key tuple: one staged dir
+      // per tuple like partitionBy wants, but the dir name is always
+      // filesystem-safe ASCII (per-column hex joined by '-' — hex is
+      // lossless and collision-free, and '-' can't appear inside a hex
+      // run, so tuple boundaries can't alias) — the REAL values are
+      // decoded by re-reading the landed files below, never from the
+      // dir name; the real columns stay in every file because only
+      // the surrogate is the partitioning column
+      df.withColumn("__gpart", concat_ws("-",
+          partCols.map(c => hex(col(c).cast("string").cast("binary"))): _*))
         .repartition(col("__gpart"))
         .write.partitionBy("__gpart").parquet(staged.toString)
       val subs = f.listStatus(staged).map(_.getPath)
@@ -335,18 +341,21 @@ object LakeTable {
         val dir = s"data/$uuid-p$i"
         if (!f.rename(sub, new Path(root, dir)))
           throw new IllegalStateException(s"stage rename failed for $dir")
-        val v = spark.read.parquet(new Path(root, dir).toString)
-          .select(col(partCol)).head().get(0)
-        val s = String.valueOf(v)
+        val row = spark.read.parquet(new Path(root, dir).toString)
+          .select(partCols.map(col): _*).head()
+        val comps = partCols.indices.map(j => String.valueOf(row.get(j)))
         // the manifest reader trims lines, so a value with control
         // chars or edge whitespace would round-trip DIFFERENT and make
         // partAdmit silently prune its own group — refuse loudly
-        if (s.exists(_ < ' ') || s != s.trim)
-          throw new IllegalArgumentException(
-            s"partition value '${s.take(40)}' has control characters or " +
-              "leading/trailing whitespace — unsupported as a " +
-              "manifest-recorded partition key")
-        dir -> s
+        // (this refusal is also what makes PartSep unforgeable)
+        comps.foreach { s =>
+          if (s.exists(_ < ' ') || s != s.trim)
+            throw new IllegalArgumentException(
+              s"partition value '${s.take(40)}' has control characters " +
+                "or leading/trailing whitespace — unsupported as a " +
+                "manifest-recorded partition key")
+        }
+        dir -> comps.mkString(PartSep)
       }.toSeq
     } finally f.delete(staged, true)
   }
@@ -371,25 +380,61 @@ object LakeTable {
     * keys, as every warehouse does. */
   def createPartitioned(spark: SparkSession, root: String, df: DataFrame,
                         partCol: String,
-                        statsCols: Seq[String] = Nil): Int = {
+                        statsCols: Seq[String]): Int =
+    createPartitioned(spark, root, df, Seq(partCol), statsCols)
+
+  def createPartitioned(spark: SparkSession, root: String, df: DataFrame,
+                        partCol: String): Int =
+    createPartitioned(spark, root, df, Seq(partCol), Nil)
+
+  /** Multi-column variant: `PARTITIONED BY (a, b, …)` — one file group
+    * per value TUPLE, with [[partAdmit]] pruning on ANY subset of the
+    * columns (a probe on `b` alone still skips every group whose `b`
+    * component differs — Hive/Delta semantics). */
+  def createPartitioned(spark: SparkSession, root: String, df: DataFrame,
+                        partCols: Seq[String],
+                        statsCols: Seq[String]): Int = {
     require(latestVersion(spark, root).isEmpty, s"table exists at $root")
-    val field = df.schema.fields.find(_.name.equalsIgnoreCase(partCol))
-      .getOrElse(throw new IllegalArgumentException(
-        s"no column '$partCol' in the batch"))
-    import org.apache.spark.sql.types._
-    field.dataType match {
-      case StringType | LongType | IntegerType | ShortType | ByteType |
-           DateType | BooleanType => ()
-      case dt => throw new IllegalArgumentException(
-        s"partition column '$partCol' has unsupported type ${dt.sql} — " +
-          "use string/integral/date/boolean keys")
-    }
-    val parts = writePartitionedDataFiles(spark, root, field.name, df)
+    val fields = resolvePartCols(df.schema, partCols)
+    val parts = writePartitionedDataFiles(spark, root, fields, df)
     val stats = parts.flatMap { case (d, _) =>
       statsMeta(spark, root, d, statsCols) }.toMap
     commit(spark, root, parts.map(_._1),
       stats ++ parts.map { case (d, pv) => s"part:$d" -> pv }.toMap +
-        ("partcol" -> field.name) + ("op" -> "create-partitioned"))
+        ("partcol" -> fields.mkString(",")) +
+        ("op" -> "create-partitioned"))
+  }
+
+  /** Resolve, type-check and canonicalize declared partition columns:
+    * string/integral/date/boolean keys only (float/double/decimal
+    * string round-trips are unstable), no duplicates, and no commas in
+    * names (the manifest stores the list comma-joined). */
+  private def resolvePartCols(
+      schema: org.apache.spark.sql.types.StructType,
+      partCols: Seq[String]): Seq[String] = {
+    require(partCols.nonEmpty, "at least one partition column required")
+    val fields = partCols.map { pc =>
+      schema.fields.find(_.name.equalsIgnoreCase(pc))
+        .getOrElse(throw new IllegalArgumentException(
+          s"no column '$pc' in the batch"))
+    }
+    import org.apache.spark.sql.types._
+    fields.foreach { field =>
+      field.dataType match {
+        case StringType | LongType | IntegerType | ShortType | ByteType |
+             DateType | BooleanType => ()
+        case dt => throw new IllegalArgumentException(
+          s"partition column '${field.name}' has unsupported type " +
+            s"${dt.sql} — use string/integral/date/boolean keys")
+      }
+      require(!field.name.contains(","),
+        s"partition column name '${field.name}' contains a comma — " +
+          "unsupported as a manifest-declared key")
+    }
+    val names = fields.map(_.name)
+    require(names.map(_.toLowerCase).distinct.size == names.size,
+      s"duplicate partition columns: ${names.mkString(",")}")
+    names
   }
 
   /** Clustered create: range-partition by `clusterKey` into up to
@@ -513,14 +558,15 @@ object LakeTable {
       // them that way); files land in PHYSICAL names so every group in
       // the table shares one on-disk schema under a rename mapping
       val physical = toPhysical(meta, filled)
-      val parts = partColAt(meta) match {
-        case Some(pc) =>
-          require(physical.columns.exists(_.equalsIgnoreCase(pc)),
-            s"append at $root must carry partition column '$pc'")
-          writePartitionedDataFiles(spark, root, pc, physical)
-            .map { case (d, pv) => (d, Some(pv)) }
-        case None =>
+      val parts = partColsAt(meta) match {
+        case Seq() =>
           Seq((writeDataFiles(spark, root, physical), None))
+        case pcs =>
+          pcs.foreach(pc =>
+            require(physical.columns.exists(_.equalsIgnoreCase(pc)),
+              s"append at $root must carry partition column '$pc'"))
+          writePartitionedDataFiles(spark, root, pcs, physical)
+            .map { case (d, pv) => (d, Some(pv)) }
       }
       (cur, parts)
     } finally stage.foreach(rel =>
@@ -779,58 +825,94 @@ object LakeTable {
     }
   }
 
-  /** The declared partition column of a manifest ([[createPartitioned]]),
-    * if any. */
-  private[sources] def partColAt(meta: Map[String, String]): Option[String] =
-    meta.get("partcol")
+  /** The declared partition columns of a manifest
+    * ([[createPartitioned]]), outermost first; empty when the table is
+    * unpartitioned. Stored comma-joined under `#partcol=` (column
+    * names with commas are refused at declaration), so a single-column
+    * table's manifest bytes are unchanged from the single-column era. */
+  private[graft] def partColsAt(meta: Map[String, String]): Seq[String] =
+    meta.get("partcol").map(_.split(",", -1).toSeq).getOrElse(Nil)
+
+  /** Split a recorded `#part:<dir>=` value into its per-column
+    * components. Components are joined by U+0001 — a control char,
+    * which partition VALUES refuse at write time, so the separator can
+    * never be forged by data; a single-column value round-trips
+    * byte-identical to the single-column era. */
+  private[sources] val PartSep = "\u0001"
+
+  private[sources] def partValsAt(p: String): Seq[String] =
+    p.split(PartSep, -1).toSeq
+
+  /** The recorded value of partition column `column` for group `dir`,
+    * if the table is partitioned by it and the group is tagged. */
+  private[graft] def partValFor(meta: Map[String, String], dir: String,
+                                  column: String): Option[String] = {
+    val i = partColsAt(meta).indexWhere(_.equalsIgnoreCase(column))
+    if (i < 0) None
+    else meta.get(s"part:$dir").flatMap(p => partValsAt(p).lift(i))
+  }
 
   /** Partition-value admission — the DIRECTORY-level pruning layer
     * (Delta/Hive partition pruning): every file group of a partitioned
-    * table holds exactly ONE value of the partition column, recorded
-    * verbatim in the manifest (`#part:<dir>=<value>`), so equality and
-    * IN probes prune EXACTLY (string-identical compare — no min/max
-    * approximation), and range probes prune when the value parses
-    * numeric. Groups without a recorded value (e.g. merged by a
+    * table holds exactly ONE value tuple of the partition columns,
+    * recorded verbatim in the manifest (`#part:<dir>=<v1>␁<v2>…`), so
+    * equality and IN probes on ANY subset of the columns prune at the
+    * zero-file-open manifest level — no min/max approximation. The
+    * equality compare is numeric when BOTH sides parse as doubles
+    * (a probe like 1995.0 against a long recorded as "1995" must still
+    * match), string-exact otherwise; the double path over-admits for
+    * int64 values beyond 2^53 (distinct longs that collide as doubles
+    * admit each other's groups), which is tolerated because every read
+    * path re-applies the exact row filter — over-admission costs a
+    * scan, never a wrong row. Range probes prune when the value parses
+    * numeric. Groups without a recorded value (e.g. merged by an old
     * compaction) are conservatively kept — pruning degrades, never
     * lies. Nulls can't hide anywhere: partition writes refuse null
-    * keys, so IsNull on the partition column admits nothing. */
+    * keys, so IsNull on a partition column admits nothing. */
   private[sources] def partAdmit(
       meta: Map[String, String], dir: String,
       f: org.apache.spark.sql.sources.Filter): Boolean = {
     import org.apache.spark.sql.sources._
-    (partColAt(meta), meta.get(s"part:$dir")) match {
-      case (Some(pc), Some(p)) =>
-        def mine(a: String) = a.equalsIgnoreCase(pc)
-        def str(v: Any) = String.valueOf(v)
-        // equality: compare numerically when BOTH sides parse as numbers
-        // (a probe like 1995.0 against a long partition recorded as
-        // "1995" must still match — falsely pruning the only matching
-        // group would silently return empty); string-exact otherwise
-        def eq(v: Any): Boolean =
-          (p.toDoubleOption, str(v).toDoubleOption) match {
-            case (Some(x), Some(d)) => x == d
-            case _ => p == str(v)
-          }
-        def cmp(v: Any)(ok: (Double, Double) => Boolean): Boolean =
-          (p.toDoubleOption, v match {
-            case n: Number => Some(n.doubleValue()); case _ => None
-          }) match {
-            case (Some(x), Some(d)) => ok(x, d)
-            case _ => true
-          }
-        f match {
-          case EqualTo(a, v) if mine(a)       => eq(v)
-          case EqualNullSafe(a, v) if mine(a) => v != null && eq(v)
-          case In(a, vs) if mine(a)           => vs.exists(eq)
-          case GreaterThan(a, v) if mine(a)   => cmp(v)(_ > _)
-          case GreaterThanOrEqual(a, v) if mine(a) => cmp(v)(_ >= _)
-          case LessThan(a, v) if mine(a)      => cmp(v)(_ < _)
-          case LessThanOrEqual(a, v) if mine(a) => cmp(v)(_ <= _)
-          case IsNull(a) if mine(a)           => false
-          case And(l, r) => partAdmit(meta, dir, l) && partAdmit(meta, dir, r)
-          case Or(l, r)  => partAdmit(meta, dir, l) || partAdmit(meta, dir, r)
-          case _ => true
-        }
+    val pcs = partColsAt(meta)
+    val pvs = meta.get(s"part:$dir").map(partValsAt).getOrElse(Nil)
+    // untagged group (pre-partitioning legacy / merged by an old
+    // compaction) or a component-count mismatch: conservatively keep
+    if (pcs.isEmpty || pvs.size != pcs.size) return true
+    // the recorded component for filter attribute `a`, if `a` is one
+    // of the partition columns (ANY subset of the tuple prunes)
+    def valFor(a: String): Option[String] =
+      pcs.indexWhere(_.equalsIgnoreCase(a)) match {
+        case -1 => None
+        case i  => Some(pvs(i))
+      }
+    def str(v: Any) = String.valueOf(v)
+    // equality: compare numerically when BOTH sides parse as numbers
+    // (a probe like 1995.0 against a long partition recorded as
+    // "1995" must still match — falsely pruning the only matching
+    // group would silently return empty); string-exact otherwise
+    def eq(p: String, v: Any): Boolean =
+      (p.toDoubleOption, str(v).toDoubleOption) match {
+        case (Some(x), Some(d)) => x == d
+        case _ => p == str(v)
+      }
+    def cmp(p: String, v: Any)(ok: (Double, Double) => Boolean): Boolean =
+      (p.toDoubleOption, v match {
+        case n: Number => Some(n.doubleValue()); case _ => None
+      }) match {
+        case (Some(x), Some(d)) => ok(x, d)
+        case _ => true
+      }
+    f match {
+      case EqualTo(a, v)       => valFor(a).forall(eq(_, v))
+      case EqualNullSafe(a, v) => valFor(a).forall(p => v != null && eq(p, v))
+      case In(a, vs)           => valFor(a).forall(p => vs.exists(eq(p, _)))
+      case GreaterThan(a, v)   => valFor(a).forall(cmp(_, v)(_ > _))
+      case GreaterThanOrEqual(a, v) => valFor(a).forall(cmp(_, v)(_ >= _))
+      case LessThan(a, v)      => valFor(a).forall(cmp(_, v)(_ < _))
+      case LessThanOrEqual(a, v) => valFor(a).forall(cmp(_, v)(_ <= _))
+      case IsNull(a)           => valFor(a).isEmpty
+      case And(l, r) => partAdmit(meta, dir, l) && partAdmit(meta, dir, r)
+      case Or(l, r)  => partAdmit(meta, dir, l) || partAdmit(meta, dir, r)
       case _ => true
     }
   }
@@ -845,9 +927,11 @@ object LakeTable {
     val v = latestVersion(spark, root)
       .getOrElse(throw new IllegalStateException(s"no table at $root"))
     val meta = manifestMeta(spark, root, v)
-    val partitioned = partColAt(meta).exists(_.equalsIgnoreCase(column))
+    val partitioned =
+      partColsAt(meta).exists(_.equalsIgnoreCase(column))
     readManifest(spark, root, v).filter { dir =>
-      (if (partitioned) meta.get(s"part:$dir").map(_.toDoubleOption) else None)
+      (if (partitioned) partValFor(meta, dir, column).map(_.toDoubleOption)
+       else None)
       match {
         case Some(Some(x)) => x >= lo && x <= hi
         case Some(None) => true // non-numeric partition value: keep
@@ -1043,26 +1127,15 @@ object LakeTable {
     * nulls over zero rows and the first INSERT is a plain append. */
   def createEmpty(spark: SparkSession, root: String,
                   schema: org.apache.spark.sql.types.StructType,
-                  partCol: Option[String] = None): Int = {
+                  partCols: Seq[String] = Nil): Int = {
     require(latestVersion(spark, root).isEmpty,
       s"table already exists at $root")
-    // an empty table may DECLARE its partition column up front (the
+    // an empty table may DECLARE its partition columns up front (the
     // SQL `CREATE TABLE … PARTITIONED BY` path): appends then route
-    // rows to per-value groups from the first batch on
-    val partMeta = partCol.map { c =>
-      val field = schema.fields.find(_.name.equalsIgnoreCase(c))
-        .getOrElse(throw new IllegalArgumentException(
-          s"partition column '$c' not in the declared schema"))
-      import org.apache.spark.sql.types._
-      field.dataType match {
-        case StringType | LongType | IntegerType | ShortType | ByteType |
-             DateType | BooleanType => ()
-        case dt => throw new IllegalArgumentException(
-          s"partition column '$c' has unsupported type ${dt.sql} — " +
-            "use string/integral/date/boolean keys")
-      }
-      "partcol" -> field.name
-    }
+    // rows to per-tuple groups from the first batch on
+    val partMeta =
+      if (partCols.isEmpty) None
+      else Some("partcol" -> resolvePartCols(schema, partCols).mkString(","))
     commitVersion(spark, root, 1, Seq.empty,
       Map("op" -> "create", "schema" -> schema.json) ++ partMeta)
   }
@@ -1157,7 +1230,7 @@ object LakeTable {
           ("""\b""" + java.util.regex.Pattern.quote(colName) + """\b""").r
             .findFirstIn(value).isDefined) ||
         (k == "deletekey" && named(value)) ||
-        (k == "partcol" && named(value)) ||
+        (k == "partcol" && value.split(",", -1).exists(named)) ||
         (k.startsWith("unique:") && named(value)) ||
         // value.nonEmpty: a DROP DEFAULT tombstone (empty value) no
         // longer binds the column and must not block its rename/drop
@@ -1527,11 +1600,11 @@ object LakeTable {
     // scan; only stats-admitted groups without that proof are scanned
     // for out-of-band remainders
     val touched = selectGroups(spark, root, column, lo, hi).toSet
-    val provenWhole = partColAt(meta).filter(_.equalsIgnoreCase(column))
-      .fold(Set.empty[String]) { _ =>
-        touched.filter(d => meta.get(s"part:$d")
-          .flatMap(_.toDoubleOption).exists(x => x >= lo && x <= hi))
-      }
+    val provenWhole =
+      if (!partColsAt(meta).exists(_.equalsIgnoreCase(column)))
+        Set.empty[String]
+      else touched.filter(d => partValFor(meta, d, column)
+        .flatMap(_.toDoubleOption).exists(x => x >= lo && x <= hi))
     val needScan = touched -- provenWhole
     val carried = dirs.filterNot(touched)
     // out-of-band survivors of the touched groups, rewritten once
@@ -1547,13 +1620,15 @@ object LakeTable {
       }
     // the replacement batch lands partition-split on a partitioned
     // table (same routing as append), one plain group otherwise
-    val newParts = partColAt(meta) match {
-      case Some(pc) =>
-        require(filled.columns.exists(_.equalsIgnoreCase(pc)),
-          s"replaceWhere batch at $root must carry partition column '$pc'")
-        writePartitionedDataFiles(spark, root, pc, filled)
+    val newParts = partColsAt(meta) match {
+      case Seq() => Seq((writeDataFiles(spark, root, filled), None))
+      case pcs =>
+        pcs.foreach(pc =>
+          require(filled.columns.exists(_.equalsIgnoreCase(pc)),
+            s"replaceWhere batch at $root must carry partition column " +
+              s"'$pc'"))
+        writePartitionedDataFiles(spark, root, pcs, filled)
           .map { case (d, pv) => (d, Some(pv)) }
-      case None => Seq((writeDataFiles(spark, root, filled), None))
     }
     val keptMeta = meta.filter { case (k, _) =>
       carried.exists(d =>
@@ -1603,13 +1678,14 @@ object LakeTable {
       applyWriteDefaults(spark, root, meta, df))
     enforceConstraints(spark, root, v, filled)
     enforceUnique(meta, filled, None, "by INSERT OVERWRITE")
-    val newParts = partColAt(meta) match {
-      case Some(pc) =>
-        require(filled.columns.exists(_.equalsIgnoreCase(pc)),
-          s"overwrite batch at $root must carry partition column '$pc'")
-        writePartitionedDataFiles(spark, root, pc, filled)
+    val newParts = partColsAt(meta) match {
+      case Seq() => Seq((writeDataFiles(spark, root, filled), None))
+      case pcs =>
+        pcs.foreach(pc =>
+          require(filled.columns.exists(_.equalsIgnoreCase(pc)),
+            s"overwrite batch at $root must carry partition column '$pc'"))
+        writePartitionedDataFiles(spark, root, pcs, filled)
           .map { case (d, pv) => (d, Some(pv)) }
-      case None => Seq((writeDataFiles(spark, root, filled), None))
     }
     // every per-dir sidecar of the dropped groups goes with them; only
     // table-level metadata (rules, constraints, schema, ANN model)
@@ -1738,7 +1814,10 @@ object LakeTable {
     // pruning) survives compaction; a lone small group per value
     // stays as-is. Valueless groups (pre-partitioning legacy) merge
     // together untagged.
-    val partitioned = partColAt(meta).isDefined
+    // the grouping key is the OPAQUE recorded value (the joined tuple
+    // on a multi-column table), so "within a partition" means within
+    // one value tuple — the one-tuple-per-group invariant survives
+    val partitioned = partColsAt(meta).nonEmpty
     val buckets = small.groupBy(d =>
       if (partitioned) meta.get(s"part:$d") else None)
     val (loneSmall, mergeable) = buckets.partition(_._2.size <= 1)

@@ -454,6 +454,50 @@ class GraftLakeCatalogSpec extends SparkSpec {
     }
   }
 
+  test("SQL CREATE TABLE PARTITIONED BY (a, b): tuple routing, subset " +
+    "pruning, plan-asserted one-directory scan") {
+    withWarehouse("lakeMc") { wh =>
+      spark.sql("CREATE TABLE lakeMc.pt (id BIGINT, region STRING, " +
+        "bucket BIGINT) PARTITIONED BY (region, bucket)")
+      spark.sql("INSERT INTO lakeMc.pt VALUES (1, 'emea', 1), " +
+        "(2, 'emea', 2), (3, 'apac', 1), (4, 'apac', 1)")
+      // one group per (region, bucket) tuple
+      assert(LakeTable.dataDirPaths(spark, s"$wh/pt").size == 3)
+      // subset pruning: either column alone prunes
+      assert(LakeTable.selectGroupsEq(spark, s"$wh/pt", "region", "emea")
+        .size == 2)
+      assert(LakeTable.selectGroupsEq(spark, s"$wh/pt", "bucket", 1L)
+        .size == 2)
+      // both columns: the DSv2 scan must open exactly ONE directory
+      val df = spark.sql(
+        "SELECT id FROM lakeMc.pt WHERE region = 'apac' AND bucket = 1")
+      assert(df.collect().map(_.getLong(0)).sorted.toSeq == Seq(3L, 4L))
+      assert(df.queryExecution.executedPlan.toString
+        .contains("InMemoryFileIndex(1 paths)"),
+        df.queryExecution.executedPlan.toString.take(500))
+      // declared transforms surface through DSv2 metadata, in order
+      val pt = spark.sessionState.catalogManager.catalog("lakeMc")
+        .asInstanceOf[org.apache.spark.sql.connector.catalog.TableCatalog]
+        .loadTable(org.apache.spark.sql.connector.catalog.Identifier.of(
+          Array.empty[String], "pt"))
+      assert(pt.partitioning().flatMap(_.references()
+        .flatMap(_.fieldNames())).toSeq == Seq("region", "bucket"))
+      // compaction merges within one tuple only: append a second
+      // batch (new groups per tuple), compact, and the invariant that
+      // every group holds one tuple survives
+      spark.sql("INSERT INTO lakeMc.pt VALUES (5, 'apac', 1), " +
+        "(6, 'emea', 2)")
+      LakeTable.compactSmall(spark, s"$wh/pt", Long.MaxValue)
+      val dfAfter = spark.sql(
+        "SELECT id FROM lakeMc.pt WHERE region = 'apac' AND bucket = 1")
+      assert(dfAfter.collect().map(_.getLong(0)).sorted.toSeq ==
+        Seq(3L, 4L, 5L))
+      assert(dfAfter.queryExecution.executedPlan.toString
+        .contains("InMemoryFileIndex(1 paths)"),
+        "post-compaction tuple group no longer prunes to one directory")
+    }
+  }
+
   test("SQL DELETE commits copy-on-write; time travel keeps history") {
     withWarehouse("lakeD") { wh =>
       LakeTable.create(spark, s"$wh/t1", Tables.load(spark, sf, "nation"))

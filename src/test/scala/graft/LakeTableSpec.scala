@@ -620,6 +620,56 @@ class LakeTableSpec extends SparkSpec {
         LakeTable.compactSmall(spark, root, Long.MaxValue)
         check(root, "bucket", vocab :+ 99L)
       }
+      // TWO keys (string × long): subset probes on EITHER column must
+      // equal the unpruned filter through appends and compaction, and
+      // a single-column equality probe must scan exactly the groups
+      // whose tuple component matches
+      withTable { root =>
+        val regions = Seq("emea", "apac")
+        val buckets = Seq(1L, 2L, 10L)
+        var nextId = 0L
+        def batch(k: Int) = (1 to k).map { _ =>
+          nextId += 1
+          (nextId, regions(rnd.nextInt(regions.size)),
+            buckets(rnd.nextInt(buckets.size)), rnd.nextInt(500).toLong)
+        }.toDF("id", "region", "bucket", "cents")
+        LakeTable.createPartitioned(spark, root, batch(12),
+          Seq("region", "bucket"), Nil)
+        for (_ <- 1 to 3) {
+          rnd.nextInt(3) match {
+            case 1 => LakeTable.compactSmall(spark, root, Long.MaxValue)
+            case _ => LakeTable.append(spark, root,
+              batch(1 + rnd.nextInt(4)))
+          }
+          check(root, "region", regions :+ "nope")
+          check(root, "bucket", buckets :+ 99L)
+          // exact group accounting: an equality probe on ONE column
+          // scans exactly the groups whose component matches
+          val full = LakeTable.read(spark, root)
+          regions.foreach { r =>
+            val want = full.filter(col("region") === r)
+              .select(col("bucket")).distinct().count()
+            val got = LakeTable.selectGroupsEq(spark, root, "region", r)
+            // ≥ want groups exist (appends add one group per tuple per
+            // batch; compaction merges within a tuple), but every
+            // scanned group must really hold the region
+            assert(got.size >= want.toInt || want == 0,
+              s"region=$r scanned ${got.size} < $want tuple groups")
+            val meta = graft.sources.LakeTable.manifestMetaAt(spark, root,
+              LakeTable.versions(spark, root).last)
+            got.foreach { d =>
+              assert(graft.sources.LakeTable.partValFor(meta, d, "region")
+                .contains(r), s"group $d scanned for region=$r but holds " +
+                  graft.sources.LakeTable.partValFor(meta, d, "region"))
+            }
+          }
+        }
+        // a batch missing one of the two partition columns refuses
+        intercept[IllegalArgumentException] {
+          LakeTable.append(spark, root,
+            Seq((999L, "emea", 1L)).toDF("id", "region", "cents"))
+        }
+      }
     }
   }
 
