@@ -133,5 +133,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // window-top-k rewrite + the strategy planning its target node
     e.injectOptimizerRule(_ => graft.plans.WindowTopKRewrite)
     e.injectPlannerStrategy(_ => graft.plans.TopKStrategy)
+    // lake-maintenance SQL verbs (OPTIMIZE / VACUUM / DESCRIBE HISTORY /
+    // RESTORE / INSERT INTO … REPLACE WHERE) — a pure superset of the
+    // session parser
+    e.injectParser((_, parser) =>
+      new graft.sources.GraftSqlParser(parser))
   }
 }

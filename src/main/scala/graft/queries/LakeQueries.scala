@@ -1786,7 +1786,9 @@ object LakeQueries {
     * (1995 doubled), every other partition's group carried by name;
     * (2) static `INSERT OVERWRITE t PARTITION (yk=1996)` routes the
     * same way — the partition spec becomes the band, the SELECT
-    * supplies the remaining columns (1996 rows land with 5× cents);
+    * supplies the remaining columns (1996 rows land with 5× cents) —
+    * as does Delta-dialect `INSERT INTO t REPLACE WHERE yk = 1997`
+    * through [[graft.sources.GraftSqlParser]] (1997 at 7×);
     * (3) a predicate that does NOT reduce to one band (an OR across
     * columns) refuses LOUDLY — the table version is pinned unchanged,
     * proving no silent full-table wipe; (4) plain `INSERT OVERWRITE t`
@@ -1827,6 +1829,13 @@ object LakeQueries {
         s.sql(s"INSERT OVERWRITE $cat.t PARTITION (yk = 1996) " +
           "SELECT k, cents * 5 FROM q311_src WHERE yk = 1996")
         val afterPart = LakeTable.read(s, root)
+          .agg(sum(col("cents"))).head().getLong(0)
+        // (2b) `INSERT INTO … REPLACE WHERE` through [[GraftSqlParser]]:
+        // 1997 relanded at 7× — the Delta-dialect spelling of the same
+        // banded overwrite
+        s.sql(s"INSERT INTO $cat.t REPLACE WHERE yk = 1997 " +
+          "SELECT k, yk, cents * 7 FROM q311_src WHERE yk = 1997")
+        val afterRw = LakeTable.read(s, root)
           .agg(sum(col("cents"))).head().getLong(0)
         // (3) a non-band predicate REFUSES (never a silent full wipe):
         // the version must be exactly where the last overwrite left it
@@ -1869,6 +1878,7 @@ object LakeQueries {
         graft.util.LocalFrame.materialize(Seq(
           ("cents_after_band", afterBand),
           ("cents_after_partition", afterPart),
+          ("cents_after_replacewhere", afterRw),
           ("cents_band_snapshot", vBandStill),
           ("cents_final", fin.getLong(1)),
           ("cents_v0", v0),
@@ -2055,6 +2065,79 @@ object LakeQueries {
     } }
   }
 
+  /** q314: the maintenance lifecycle a Delta operator runs, through SQL
+    * ONLY ([[graft.sources.GraftSqlParser]]): CREATE + three INSERTs
+    * accumulate three small groups; `OPTIMIZE` bin-packs them into one
+    * (totals byte-identical before/after — compaction moves bytes,
+    * never rows); `DESCRIBE HISTORY` restates the full operation log;
+    * `RESTORE … VERSION AS OF` re-references the first append's
+    * snapshot as a NEW commit (history immutable); bare `VACUUM`
+    * without RETAIN refuses (a default retention would silently
+    * truncate time travel); `VACUUM … RETAIN 3 VERSIONS` then prunes
+    * history to the window while the latest snapshot keeps serving.
+    * Scale: OPTIMIZE costs O(small churn), RESTORE/HISTORY are
+    * manifest-only, VACUUM deletes only unreferenced groups. */
+  def sqlMaintenance(s: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.load(s, dir, "orders")
+      .filter(col("o_custkey") % 7 === 6)
+      .select(col("o_orderkey").as("k"),
+        expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)")
+          .as("cents"))
+    graft.util.LocalFrame.withConf(s, "spark.sql.shuffle.partitions", "8") {
+    graft.util.Tmp.withTempDir("graft_lake_q314") { rootPath =>
+      val wh = rootPath.toString
+      val root = s"$wh/t"
+      val cat = "lake_" +
+        java.util.UUID.randomUUID().toString.replace("-", "").take(12)
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftLakeCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+      try {
+        orders.createOrReplaceTempView("q314_src")
+        s.sql(s"CREATE TABLE $cat.t (k BIGINT, cents BIGINT)")
+        (0 to 2).foreach(m => s.sql(
+          s"INSERT INTO $cat.t SELECT * FROM q314_src WHERE k % 3 = $m"))
+        val groupsBefore = LakeTable.dataDirPaths(s, root).size.toLong
+        val vOpt = s.sql(s"OPTIMIZE $cat.t").head().getLong(0)
+        val groupsAfter = LakeTable.dataDirPaths(s, root).size.toLong
+        val tOpt = LakeTable.read(s, root)
+          .agg(count(lit(1)).as("n"), sum(col("cents")).as("c")).head()
+        // restore to the FIRST append's snapshot (version 2)
+        s.sql(s"RESTORE TABLE $cat.t TO VERSION AS OF 2")
+        val nRestored = LakeTable.read(s, root).count()
+        val hist = s.sql(s"DESCRIBE HISTORY $cat.t").collect()
+        val nAppends = hist.count(_.getString(1) == "append").toLong
+        val nOptimize = hist.count(_.getString(1) == "optimize-small").toLong
+        val nRestore = hist.count(_.getString(1) == "restore").toLong
+        val refusedBareVacuum =
+          try { s.sql(s"VACUUM $cat.t"); 0L }
+          catch { case _: Exception => 1L }
+        s.sql(s"VACUUM $cat.t RETAIN 3 VERSIONS")
+        val versionsKept = LakeTable.versions(s, root).size.toLong
+        val nFinal = s.sql(s"SELECT count(*) FROM $cat.t").head().getLong(0)
+        import s.implicits._
+        graft.util.LocalFrame.materialize(Seq(
+          ("cents_total_after_optimize", tOpt.getLong(1)),
+          ("groups_after_optimize", groupsAfter),
+          ("groups_before_optimize", groupsBefore),
+          ("history_appends", nAppends),
+          ("history_optimizes", nOptimize),
+          ("history_restores", nRestore),
+          ("history_rows", hist.length.toLong),
+          ("n_after_optimize", tOpt.getLong(0)),
+          ("n_after_restore", nRestored),
+          ("n_final", nFinal),
+          ("optimize_new_version", vOpt),
+          ("refused_bare_vacuum", refusedBareVacuum),
+          ("versions_after_vacuum", versionsKept)
+        ).toDF("fact", "n").orderBy(col("fact")))
+      } finally {
+        s.catalog.dropTempView("q314_src")
+        s.conf.unset(s"spark.sql.catalog.$cat")
+        s.conf.unset(s"spark.sql.catalog.$cat.warehouse")
+      }
+    } }
+  }
+
   /** q297: identity columns ([[graft.sources.LakeTable.setIdentity]])
     * — Delta's `GENERATED ALWAYS AS IDENTITY (START WITH 10 INCREMENT
     * BY 5)` as an oracle-checked lifecycle: (1) the column arrives by
@@ -2179,6 +2262,7 @@ object LakeQueries {
     "q311_insert_overwrite"    -> (insertOverwriteLifecycle _),
     "q312_sql_declared_columns" -> (sqlDeclaredColumns _),
     "q313_multicol_partition"  -> (multiColPartitionLifecycle _),
+    "q314_sql_maintenance"     -> (sqlMaintenance _),
     "q282_hll_index_lake"      -> (hllIndexLifecycle _),
     "q281_unique_constraint"   -> (uniqueLifecycle _),
     "q288_column_default"      -> (defaultLifecycle _),
@@ -2329,11 +2413,15 @@ object LakeQueries {
         |                  AS BIGINT) AS c95,
         |             CAST(sum(CASE WHEN yk = 1996 THEN cents ELSE 0 END)
         |                  AS BIGINT) AS c96,
+        |             CAST(sum(CASE WHEN yk = 1997 THEN cents ELSE 0 END)
+        |                  AS BIGINT) AS c97,
         |             count(*) FILTER (yk = 1995) AS n95
         |      FROM o)
         |SELECT 'cents_after_band' AS fact, c_all + c95 AS n FROM a
         |UNION ALL SELECT 'cents_after_partition',
         |  c_all + c95 + 4 * c96 FROM a
+        |UNION ALL SELECT 'cents_after_replacewhere',
+        |  c_all + c95 + 4 * c96 + 6 * c97 FROM a
         |UNION ALL SELECT 'cents_band_snapshot', c_all + c95 FROM a
         |UNION ALL SELECT 'cents_final', 3 * c95 FROM a
         |UNION ALL SELECT 'cents_v0', c_all FROM a
@@ -2404,6 +2492,33 @@ object LakeQueries {
         |UNION ALL SELECT 'groups_scanned_q', nq3 FROM g
         |UNION ALL SELECT 'groups_scanned_yk', n95 FROM g
         |UNION ALL SELECT 'n_y1995q3', CAST(n953 AS BIGINT) FROM a
+        |ORDER BY fact""".stripMargin,
+    // q314: row/cents totals restated from orders (k%3=0 for the
+    // restored snapshot); the version/operation ledger facts follow
+    // from the fixed statement sequence (create, 3 appends, optimize,
+    // restore → 6 versions, optimize commits v5, RETAIN 3 keeps 3)
+    "q314_sql_maintenance" ->
+      """WITH o AS (
+        |  SELECT o_orderkey AS k,
+        |         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |           AS cents
+        |  FROM orders WHERE o_custkey % 7 = 6)
+        |SELECT 'cents_total_after_optimize' AS fact,
+        |       CAST(sum(cents) AS BIGINT) AS n FROM o
+        |UNION ALL SELECT 'groups_after_optimize', CAST(1 AS BIGINT)
+        |UNION ALL SELECT 'groups_before_optimize', CAST(3 AS BIGINT)
+        |UNION ALL SELECT 'history_appends', CAST(3 AS BIGINT)
+        |UNION ALL SELECT 'history_optimizes', CAST(1 AS BIGINT)
+        |UNION ALL SELECT 'history_restores', CAST(1 AS BIGINT)
+        |UNION ALL SELECT 'history_rows', CAST(6 AS BIGINT)
+        |UNION ALL SELECT 'n_after_optimize', count(*) FROM o
+        |UNION ALL SELECT 'n_after_restore',
+        |  count(*) FILTER (k % 3 = 0) FROM o
+        |UNION ALL SELECT 'n_final',
+        |  count(*) FILTER (k % 3 = 0) FROM o
+        |UNION ALL SELECT 'optimize_new_version', CAST(5 AS BIGINT)
+        |UNION ALL SELECT 'refused_bare_vacuum', CAST(1 AS BIGINT)
+        |UNION ALL SELECT 'versions_after_vacuum', CAST(3 AS BIGINT)
         |ORDER BY fact""".stripMargin,
     // q297: the identity-series facts are pure arithmetic on the
     // engine-assigned id block (start 10, step 5, n = the two stamped

@@ -365,7 +365,8 @@ private[sources] final class GraftLakeTable(delegate: ParquetTable,
     * rewrite — every prior version stays time-travelable):
     *  - `INSERT OVERWRITE t` (no predicate) / `writeTo(t).overwrite(true)`
     *    → [[LakeTable.overwriteAll]] — one commit replacing the snapshot;
-    *  - `INSERT OVERWRITE t PARTITION (c=v)` (static mode) and
+    *  - `INSERT OVERWRITE t PARTITION (c=v)` (static mode),
+    *    `INSERT INTO t REPLACE WHERE <cond>` ([[GraftSqlParser]]) and
     *    `writeTo(t).overwrite(cond)` → the pushed filters translate to
     *    an inclusive single-column band ([[GraftLakeTable.filtersToBand]])
     *    and land as

@@ -1,0 +1,157 @@
+package graft.sources
+
+import org.apache.spark.sql.{Row, SparkSession}
+import org.apache.spark.sql.catalyst.{FunctionIdentifier, TableIdentifier}
+import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, Expression}
+import org.apache.spark.sql.catalyst.parser.ParserInterface
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.execution.command.LeafRunnableCommand
+import org.apache.spark.sql.types.{LongType, StringType, StructType}
+
+/** SQL surface for the lake-maintenance verbs Spark's grammar lacks —
+  * the statements a Delta user types, routed to the SAME commit
+  * protocol the Scala API uses (never a side door):
+  *
+  *  - `OPTIMIZE <cat>.<t> [MIN BYTES <n>]` →
+  *    [[LakeTable.compactSmall]] (default threshold 128 MiB — groups
+  *    at or above it are already "right-sized" and never rewritten);
+  *  - `VACUUM <cat>.<t> RETAIN <n> VERSIONS` → [[LakeTable.vacuum]].
+  *    RETAIN is REQUIRED: a default would silently destroy time
+  *    travel, the one thing a vacuum must never do by surprise;
+  *  - `DESCRIBE HISTORY <cat>.<t>` → [[LakeTable.history]] rows
+  *    (version, operation, file_groups), ascending;
+  *  - `RESTORE [TABLE] <cat>.<t> [TO] VERSION AS OF <n>` →
+  *    [[LakeTable.restore]] (a NEW commit re-referencing the old
+  *    version's groups — history stays immutable);
+  *  - `INSERT INTO <cat>.<t> REPLACE WHERE <cond> <query>` → the DSv2
+  *    overwrite path ([[GraftLakeTable.filtersToBand]]): the condition
+  *    must reduce to a single-column band or the write refuses loudly.
+  *    Parsed by splitting at the first SELECT/VALUES/WITH/TABLE/FROM
+  *    keyword — a condition containing one of those words as an
+  *    identifier is out of scope (delegate a `writeTo(...).overwrite`
+  *    instead).
+  *
+  * Everything else delegates verbatim to the session parser, so the
+  * extension is a pure superset of Spark SQL. Install via
+  * `spark.sql.extensions=graft.functions.GraftExtensions`.
+  */
+class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
+  override def parsePlan(sqlText: String): LogicalPlan =
+    GraftSqlParser.intercept(sqlText, delegate)
+      .getOrElse(delegate.parsePlan(sqlText))
+  override def parseExpression(sqlText: String): Expression =
+    delegate.parseExpression(sqlText)
+  override def parseTableIdentifier(sqlText: String): TableIdentifier =
+    delegate.parseTableIdentifier(sqlText)
+  override def parseFunctionIdentifier(sqlText: String): FunctionIdentifier =
+    delegate.parseFunctionIdentifier(sqlText)
+  override def parseMultipartIdentifier(sqlText: String): Seq[String] =
+    delegate.parseMultipartIdentifier(sqlText)
+  override def parseQuery(sqlText: String): LogicalPlan =
+    delegate.parseQuery(sqlText)
+  override def parseRoutineParam(sqlText: String): StructType =
+    delegate.parseRoutineParam(sqlText)
+  override def parseTableSchema(sqlText: String): StructType =
+    delegate.parseTableSchema(sqlText)
+  override def parseDataType(sqlText: String)
+      : org.apache.spark.sql.types.DataType =
+    delegate.parseDataType(sqlText)
+}
+
+object GraftSqlParser {
+  private val OptimizeRe =
+    """(?is)^\s*OPTIMIZE\s+([\w`]+(?:\.[\w`]+)+)(?:\s+MIN\s+BYTES\s+(\d+))?\s*;?\s*$""".r
+  private val VacuumRe =
+    """(?is)^\s*VACUUM\s+([\w`]+(?:\.[\w`]+)+)\s+RETAIN\s+(\d+)\s+VERSIONS\s*;?\s*$""".r
+  private val VacuumBareRe =
+    """(?is)^\s*VACUUM\s+([\w`]+(?:\.[\w`]+)+)\s*;?\s*$""".r
+  private val HistoryRe =
+    """(?is)^\s*DESCRIBE\s+HISTORY\s+([\w`]+(?:\.[\w`]+)+)\s*;?\s*$""".r
+  private val RestoreRe =
+    """(?is)^\s*RESTORE\s+(?:TABLE\s+)?([\w`]+(?:\.[\w`]+)+)\s+(?:TO\s+)?VERSION\s+AS\s+OF\s+(\d+)\s*;?\s*$""".r
+  private val ReplaceWhereRe =
+    """(?is)^\s*INSERT\s+INTO\s+([\w`]+(?:\.[\w`]+)+)\s+REPLACE\s+WHERE\s+(.+?)\s+((?:SELECT|VALUES|WITH|TABLE|FROM)\b.*)$""".r
+
+  private def parts(ident: String): Seq[String] =
+    ident.split("\\.").toSeq.map(_.stripPrefix("`").stripSuffix("`"))
+
+  private[sources] def intercept(
+      sqlText: String, delegate: ParserInterface): Option[LogicalPlan] =
+    sqlText match {
+      case OptimizeRe(t, min) =>
+        Some(GraftMaintenanceCommand("optimize", parts(t),
+          Option(min).map(_.toLong).orElse(Some(128L * 1024 * 1024))))
+      case VacuumRe(t, n) =>
+        Some(GraftMaintenanceCommand("vacuum", parts(t), Some(n.toLong)))
+      case VacuumBareRe(t) =>
+        throw new IllegalArgumentException(
+          s"VACUUM $t requires an explicit RETAIN <n> VERSIONS clause — " +
+            "a default retention would silently truncate time travel")
+      case HistoryRe(t) =>
+        Some(GraftMaintenanceCommand("history", parts(t), None))
+      case RestoreRe(t, v) =>
+        Some(GraftMaintenanceCommand("restore", parts(t), Some(v.toLong)))
+      case ReplaceWhereRe(t, cond, query) =>
+        import org.apache.spark.sql.catalyst.analysis.UnresolvedRelation
+        import org.apache.spark.sql.catalyst.plans.logical.OverwriteByExpression
+        Some(OverwriteByExpression.byPosition(
+          UnresolvedRelation(parts(t)),
+          delegate.parseQuery(query),
+          delegate.parseExpression(cond)))
+      case _ => None
+    }
+
+  /** Resolve `<catalog>.<table>` to the table's filesystem root through
+    * the registered [[GraftLakeCatalog]] config — maintenance verbs are
+    * lake-specific, so a non-graft catalog refuses up front. */
+  private[sources] def rootFor(spark: SparkSession,
+                               nameParts: Seq[String]): String =
+    nameParts match {
+      case Seq(cat, name) =>
+        val cls = spark.conf.getOption(s"spark.sql.catalog.$cat")
+        require(cls.contains("graft.sources.GraftLakeCatalog"),
+          s"'$cat' is not a graft-lake catalog (maintenance statements " +
+            "apply to graft-lake tables only)")
+        val wh = spark.conf.get(s"spark.sql.catalog.$cat.warehouse")
+        new org.apache.hadoop.fs.Path(wh, name).toString
+      case other => throw new IllegalArgumentException(
+        "maintenance statements need a <catalog>.<table> name, got " +
+          other.mkString("."))
+    }
+}
+
+/** Eagerly-executed maintenance verb. Each run routes to the LakeTable
+  * API, so SQL and Scala maintenance are the same commits (same
+  * conflict rules, same retention safety). */
+case class GraftMaintenanceCommand(verb: String, nameParts: Seq[String],
+                                   n: Option[Long])
+    extends LeafRunnableCommand {
+
+  override val output: Seq[Attribute] = verb match {
+    case "history" => Seq(
+      AttributeReference("version", LongType, nullable = false)(),
+      AttributeReference("operation", StringType, nullable = false)(),
+      AttributeReference("file_groups", LongType, nullable = false)())
+    case _ => Seq(
+      AttributeReference("version", LongType, nullable = false)())
+  }
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val root = GraftSqlParser.rootFor(spark, nameParts)
+    verb match {
+      case "optimize" =>
+        Seq(Row(LakeTable.compactSmall(spark, root, n.get).toLong))
+      case "vacuum" =>
+        require(n.get >= 1, "RETAIN must keep at least 1 version")
+        LakeTable.vacuum(spark, root, n.get.toInt)
+        Seq(Row(LakeTable.versions(spark, root).last.toLong))
+      case "history" =>
+        LakeTable.history(spark, root).map { case (v, op, g) =>
+          Row(v.toLong, op, g.toLong) }
+      case "restore" =>
+        Seq(Row(LakeTable.restore(spark, root, n.get.toInt).toLong))
+      case other =>
+        throw new IllegalStateException(s"unknown maintenance verb $other")
+    }
+  }
+}

@@ -498,6 +498,51 @@ class GraftLakeCatalogSpec extends SparkSpec {
     }
   }
 
+  test("maintenance SQL: OPTIMIZE / VACUUM / DESCRIBE HISTORY / RESTORE " +
+    "and INSERT INTO … REPLACE WHERE through GraftSqlParser") {
+    withWarehouse("lakeMx") { wh =>
+      val nation = Tables.load(spark, sf, "nation")
+        .select(col("n_nationkey").as("id"), col("n_regionkey").as("rk"))
+      LakeTable.create(spark, s"$wh/t1", nation.filter(col("id") < 10))
+      spark.sql("INSERT INTO lakeMx.t1 SELECT * FROM lakeMx.t1 WHERE id < 3")
+      // REPLACE WHERE: banded overwrite through the parser; the band
+      // condition routes to overwriteWhere via filtersToBand
+      spark.sql("INSERT INTO lakeMx.t1 REPLACE WHERE rk = 2 " +
+        "VALUES (100, 2), (101, 2)")
+      assert(spark.sql("SELECT count(*) FROM lakeMx.t1 WHERE rk = 2")
+        .head.getLong(0) == 2)
+      // non-band REPLACE WHERE refuses, version pinned
+      val vBefore = LakeTable.versions(spark, s"$wh/t1").last
+      intercept[Exception] {
+        spark.sql("INSERT INTO lakeMx.t1 REPLACE WHERE rk = 2 OR id = 1 " +
+          "VALUES (102, 2)")
+      }
+      assert(LakeTable.versions(spark, s"$wh/t1").last == vBefore)
+      // OPTIMIZE merges the small groups into one
+      val vOpt = spark.sql("OPTIMIZE lakeMx.t1").head.getLong(0)
+      assert(vOpt > vBefore)
+      assert(LakeTable.dataDirPaths(spark, s"$wh/t1").size == 1)
+      // DESCRIBE HISTORY lists every version with its operation
+      val hist = spark.sql("DESCRIBE HISTORY lakeMx.t1").collect()
+      assert(hist.map(_.getLong(0)).toSeq == (1L to vOpt))
+      assert(hist.last.getString(1) == "optimize-small")
+      // RESTORE re-references the pre-REPLACE snapshot as a NEW commit
+      val vRest =
+        spark.sql("RESTORE TABLE lakeMx.t1 TO VERSION AS OF 2").head.getLong(0)
+      assert(vRest == vOpt + 1)
+      assert(spark.sql("SELECT count(*) FROM lakeMx.t1 WHERE rk = 2")
+        .head.getLong(0) > 2) // the original rk=2 nations are back
+      // VACUUM requires an explicit retention
+      intercept[Exception] { spark.sql("VACUUM lakeMx.t1") }
+      spark.sql(s"VACUUM lakeMx.t1 RETAIN 2 VERSIONS")
+      assert(LakeTable.versions(spark, s"$wh/t1").size == 2)
+      // a non-graft catalog refuses maintenance verbs
+      intercept[Exception] { spark.sql("OPTIMIZE spark_catalog.foo") }
+      // and ordinary SQL still parses (pure-superset contract)
+      assert(spark.sql("SELECT 1 AS optimize").head.getInt(0) == 1)
+    }
+  }
+
   test("SQL DELETE commits copy-on-write; time travel keeps history") {
     withWarehouse("lakeD") { wh =>
       LakeTable.create(spark, s"$wh/t1", Tables.load(spark, sf, "nation"))
