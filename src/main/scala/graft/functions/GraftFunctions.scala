@@ -138,5 +138,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // session parser
     e.injectParser((_, parser) =>
       new graft.sources.GraftSqlParser(parser))
+    // CDC table-valued function: FROM table_changes('cat.t', v1, v2, 'k')
+    e.injectTableFunction((
+      FunctionIdentifier("table_changes"),
+      new ExpressionInfo("graft.sources.GraftTableFunctions",
+        "table_changes"),
+      exprs => graft.sources.GraftTableFunctions.tableChanges(exprs)))
   }
 }

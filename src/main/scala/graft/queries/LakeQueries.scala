@@ -2138,6 +2138,75 @@ object LakeQueries {
     } }
   }
 
+  /** q315: the CDC feed as SQL — Delta's `table_changes` TVF
+    * ([[graft.sources.GraftTableFunctions]]) over [[graft.sources
+    * .LakeTable.changes]]: (1) create base / append late / SQL UPDATE
+    * (cents doubled for k%7=0) — the (1→3) window tags the late rows
+    * `insert` (with their POST-update values: a row born inside the
+    * window appears once, as what it became) and the updated base rows
+    * as exactly paired `update_preimage`/`update_postimage` (pre at
+    * original cents, post at 2×), while untouched base rows cancel out
+    * of the feed entirely; (2) SQL DELETE (k%5=0) — the (3→4) window
+    * tags exactly the deleted snapshot rows `delete`. Every count and
+    * cents mass restates from orders; the TVF arguments are literals
+    * and the diff reads only unshared file groups (churn-bounded).
+    * Note the deliberate deviation from Delta: the key column is the
+    * TVF's 4th argument because this feed is a snapshot diff, not a
+    * stored change log. */
+  def tableChangesTvf(s: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.load(s, dir, "orders")
+      .filter(col("o_custkey") % 9 === 4)
+      .select(col("o_orderkey").as("k"),
+        expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)")
+          .as("cents"))
+    graft.util.LocalFrame.withConf(s, "spark.sql.shuffle.partitions", "8") {
+    graft.util.Tmp.withTempDir("graft_lake_q315") { rootPath =>
+      val wh = rootPath.toString
+      val root = s"$wh/t"
+      LakeTable.create(s, root, orders.filter(col("k") % 3 =!= 0))
+      val cat = "lake_" +
+        java.util.UUID.randomUUID().toString.replace("-", "").take(12)
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftLakeCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+      try {
+        LakeTable.append(s, root, orders.filter(col("k") % 3 === 0))
+        s.sql(s"UPDATE $cat.t SET cents = cents * 2 WHERE k % 7 = 0")
+        s.sql(s"DELETE FROM $cat.t WHERE k % 5 = 0")
+        val w1 = s.sql(
+          s"""SELECT _change_type AS ct, count(*) AS n,
+             |       sum(cents) AS c
+             |FROM table_changes('$cat.t', 1, 3, 'k')
+             |GROUP BY 1""".stripMargin).collect()
+          .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+        val w2 = s.sql(
+          s"""SELECT _change_type AS ct, count(*) AS n, sum(cents) AS c
+             |FROM table_changes('$cat.t', 3, 4, 'k')
+             |GROUP BY 1""".stripMargin).collect()
+          .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+        def n(m: Map[String, (Long, Long)], k: String) =
+          m.get(k).map(_._1).getOrElse(0L)
+        def c(m: Map[String, (Long, Long)], k: String) =
+          m.get(k).map(_._2).getOrElse(0L)
+        import s.implicits._
+        graft.util.LocalFrame.materialize(Seq(
+          ("w1_cents_insert", c(w1, "insert")),
+          ("w1_cents_update_post", c(w1, "update_postimage")),
+          ("w1_cents_update_pre", c(w1, "update_preimage")),
+          ("w1_n_delete", n(w1, "delete")),
+          ("w1_n_insert", n(w1, "insert")),
+          ("w1_n_update_post", n(w1, "update_postimage")),
+          ("w1_n_update_pre", n(w1, "update_preimage")),
+          ("w2_cents_delete", c(w2, "delete")),
+          ("w2_n_delete", n(w2, "delete")),
+          ("w2_n_insert", n(w2, "insert"))
+        ).toDF("fact", "n").orderBy(col("fact")))
+      } finally {
+        s.conf.unset(s"spark.sql.catalog.$cat")
+        s.conf.unset(s"spark.sql.catalog.$cat.warehouse")
+      }
+    } }
+  }
+
   /** q297: identity columns ([[graft.sources.LakeTable.setIdentity]])
     * — Delta's `GENERATED ALWAYS AS IDENTITY (START WITH 10 INCREMENT
     * BY 5)` as an oracle-checked lifecycle: (1) the column arrives by
@@ -2263,6 +2332,7 @@ object LakeQueries {
     "q312_sql_declared_columns" -> (sqlDeclaredColumns _),
     "q313_multicol_partition"  -> (multiColPartitionLifecycle _),
     "q314_sql_maintenance"     -> (sqlMaintenance _),
+    "q315_table_changes_tvf"   -> (tableChangesTvf _),
     "q282_hll_index_lake"      -> (hllIndexLifecycle _),
     "q281_unique_constraint"   -> (uniqueLifecycle _),
     "q288_column_default"      -> (defaultLifecycle _),
@@ -2519,6 +2589,39 @@ object LakeQueries {
         |UNION ALL SELECT 'optimize_new_version', CAST(5 AS BIGINT)
         |UNION ALL SELECT 'refused_bare_vacuum', CAST(1 AS BIGINT)
         |UNION ALL SELECT 'versions_after_vacuum', CAST(3 AS BIGINT)
+        |ORDER BY fact""".stripMargin,
+    // q315: every change-feed mass restated from orders via the batch
+    // keying (base k%3≠0, late k%3=0, update k%7=0 doubled, delete
+    // k%5=0 of the updated snapshot)
+    "q315_table_changes_tvf" ->
+      """WITH o AS (
+        |  SELECT o_orderkey AS k,
+        |         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |           AS cents
+        |  FROM orders WHERE o_custkey % 9 = 4),
+        |a AS (SELECT
+        |  count(*) FILTER (k % 3 = 0) AS n_late,
+        |  CAST(sum(CASE WHEN k % 3 = 0 THEN cents ELSE 0 END)
+        |     + sum(CASE WHEN k % 3 = 0 AND k % 7 = 0 THEN cents ELSE 0
+        |           END) AS BIGINT) AS c_ins,
+        |  count(*) FILTER (k % 3 <> 0 AND k % 7 = 0) AS n_upd,
+        |  CAST(sum(CASE WHEN k % 3 <> 0 AND k % 7 = 0 THEN cents ELSE 0
+        |           END) AS BIGINT) AS c_pre,
+        |  count(*) FILTER (k % 5 = 0) AS n_del,
+        |  CAST(sum(CASE WHEN k % 5 = 0 THEN cents ELSE 0 END)
+        |     + sum(CASE WHEN k % 5 = 0 AND k % 7 = 0 THEN cents ELSE 0
+        |           END) AS BIGINT) AS c_del
+        | FROM o)
+        |SELECT 'w1_cents_insert' AS fact, c_ins AS n FROM a
+        |UNION ALL SELECT 'w1_cents_update_post', 2 * c_pre FROM a
+        |UNION ALL SELECT 'w1_cents_update_pre', c_pre FROM a
+        |UNION ALL SELECT 'w1_n_delete', CAST(0 AS BIGINT)
+        |UNION ALL SELECT 'w1_n_insert', CAST(n_late AS BIGINT) FROM a
+        |UNION ALL SELECT 'w1_n_update_post', CAST(n_upd AS BIGINT) FROM a
+        |UNION ALL SELECT 'w1_n_update_pre', CAST(n_upd AS BIGINT) FROM a
+        |UNION ALL SELECT 'w2_cents_delete', c_del FROM a
+        |UNION ALL SELECT 'w2_n_delete', CAST(n_del AS BIGINT) FROM a
+        |UNION ALL SELECT 'w2_n_insert', CAST(0 AS BIGINT)
         |ORDER BY fact""".stripMargin,
     // q297: the identity-series facts are pure arithmetic on the
     // engine-assigned id block (start 10, step 5, n = the two stamped

@@ -1442,7 +1442,7 @@ object MiscQueries {
     ).toDF("fact", "n").orderBy(col("fact")))
   }
 
-  private[queries] def coPurchasePairs(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def coPurchasePairs(s: SparkSession, dir: String): DataFrame = {
     val key = new java.io.File(dir).getCanonicalPath
     val (rows, schema) = coPairCache.computeIfAbsent(key, _ => {
       val df = graft.sources.LakeTable.read(s, coPurchaseArtifact(s, dir))
@@ -1516,34 +1516,93 @@ object MiscQueries {
     * re-paid the self-join inside the query every run (12.4 s
     * in-suite, 15.8 s isolated min-of-2); the shared cache drops the
     * query to the cost of three joins over the 7k-row local edge frame.
-    * Each round's visited set materializes as a bounded local frame
-    * (≤ reachable part vocabulary — at true corpus scale the same loop
-    * runs with a persisted distributed frame, one round deep, q236's
-    * discipline); the final left-outer histogram fold lands reach,
-    * per-hop counts, and the unreachable remainder (coalesce → −1) in
-    * a single ≤ 5-row aggregate. Distances are exact integers: both
-    * engines agree bit-for-bit with the oracle's three unrolled
-    * frontier rounds. */
+    * BOTH visited-set postures are BUILT and selected by a size guard
+    * ([[BfsDistributedMinEdges]], [[bfsHopsPath]]): small graphs run
+    * the bounded-local-frame rounds (re-scans free), large graphs run
+    * the persisted-distributed-frame loop over the lake artifact's
+    * edges with ZERO driver rows (q236's discipline) — identical
+    * results by construction, pinned equal in GraphOpsSpec. The final
+    * left-outer histogram fold lands reach, per-hop counts, and the
+    * unreachable remainder (coalesce → −1) in a single ≤ 5-row
+    * aggregate. Distances are exact integers: both engines agree
+    * bit-for-bit with the oracle's three unrolled frontier rounds. */
+  /** Edge count above which [[bfsHops]] switches from the local-frame
+    * rounds to the fully distributed loop: 2M edges ≈ tens of MB as a
+    * LocalRelation — past broadcast comfort, and past the point where
+    * re-scanning a local frame per round beats cluster-side state. */
+  private[graft] val BfsDistributedMinEdges = 2000000L
+
   def bfsHops(s: SparkSession, dir: String): DataFrame = {
-    val e = coPurchaseEdges(s, dir)
+    // the pair list is already a bounded local replay (X236); its size
+    // is the guard — no extra job
+    val nEdges = 2L * coPurchasePairs(s, dir).count()
+    bfsHopsPath(s, dir, distributed = nEdges >= BfsDistributedMinEdges)
+  }
+
+  /** Both BFS engines behind [[bfsHops]]'s size guard, identical
+    * results by construction (GraphOpsSpec pins them equal and pins
+    * the guard's selection):
+    *  - LOCAL (small graphs): the visited set materializes as a
+    *    bounded LocalRelation per round — re-scans are free, no
+    *    cluster state;
+    *  - DISTRIBUTED (the 100 TB path): edges come straight from the
+    *    shared lake artifact table (never collected), the visited
+    *    frame stays a persisted cluster-side DataFrame, and each round
+    *    is one equi-join + one anti-join + a checkpoint-grade persist
+    *    swap — driver traffic is ZERO rows (q236's discipline); the
+    *    final histogram is the only thing that leaves the cluster. */
+  private[graft] def bfsHopsPath(s: SparkSession, dir: String,
+                                   distributed: Boolean): DataFrame = {
+    val e =
+      if (!distributed) coPurchaseEdges(s, dir)
+      else {
+        val pairs = graft.sources.LakeTable
+          .read(s, coPurchaseArtifact(s, dir)).select(col("x"), col("y"))
+        pairs.select(col("x").as("u"), col("y").as("v"))
+          .unionAll(pairs.select(col("y").as("u"), col("x").as("v")))
+      }
     val nodes = e.select(col("u").as("v")).distinct()
     val src = nodes.join(broadcast(t(s, dir, "part")
         .filter(col("p_brand") === "Brand#4")
         .select(col("p_partkey").as("v"))), Seq("v"))
-    var visited = graft.util.LocalFrame.materialize(
-      src.withColumn("dist", lit(0L)))
-    for (k <- 1 to 3) {
-      val next = e.join(visited.filter(col("dist") === (k - 1))
-          .select(col("v").as("u")), Seq("u"))
-        .select(col("v")).distinct()
-        .join(visited, Seq("v"), "left_anti")
-        .withColumn("dist", lit(k.toLong))
-      visited = graft.util.LocalFrame.materialize(visited.unionAll(next))
+    if (!distributed) {
+      var visited = graft.util.LocalFrame.materialize(
+        src.withColumn("dist", lit(0L)))
+      for (k <- 1 to 3) {
+        val next = e.join(visited.filter(col("dist") === (k - 1))
+            .select(col("v").as("u")), Seq("u"))
+          .select(col("v")).distinct()
+          .join(visited, Seq("v"), "left_anti")
+          .withColumn("dist", lit(k.toLong))
+        visited = graft.util.LocalFrame.materialize(visited.unionAll(next))
+      }
+      nodes.join(visited, Seq("v"), "left_outer")
+        .groupBy(coalesce(col("dist"), lit(-1L)).as("dist"))
+        .agg(count(lit(1)).as("n_parts"))
+        .orderBy(col("dist"))
+    } else {
+      var visited = src.withColumn("dist", lit(0L)).persist()
+      visited.count() // pin before the loop references it twice
+      val retired = scala.collection.mutable.ListBuffer(visited)
+      for (k <- 1 to 3) {
+        val next = e.join(visited.filter(col("dist") === (k - 1))
+            .select(col("v").as("u")), Seq("u"))
+          .select(col("v")).distinct()
+          .join(visited, Seq("v"), "left_anti")
+          .withColumn("dist", lit(k.toLong))
+        val nv = visited.unionAll(next).persist()
+        nv.count() // cut lineage growth: each round reads ONE persist
+        retired += nv
+        visited = nv
+      }
+      val out = graft.util.LocalFrame.materialize(
+        nodes.join(visited, Seq("v"), "left_outer")
+          .groupBy(coalesce(col("dist"), lit(-1L)).as("dist"))
+          .agg(count(lit(1)).as("n_parts"))
+          .orderBy(col("dist")))
+      retired.foreach(_.unpersist())
+      out
     }
-    nodes.join(visited, Seq("v"), "left_outer")
-      .groupBy(coalesce(col("dist"), lit(-1L)).as("dist"))
-      .agg(count(lit(1)).as("n_parts"))
-      .orderBy(col("dist"))
   }
 
   /** q290: single-source WEIGHTED shortest paths by Bellman–Ford

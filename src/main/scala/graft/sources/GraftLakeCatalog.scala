@@ -318,8 +318,9 @@ private[sources] final class GatedLakeTable(
           new InsertableRelation {
             override def insert(data: org.apache.spark.sql.DataFrame,
                                 overwrite: Boolean): Unit = {
-              require(!overwrite, "graft-lake: INSERT OVERWRITE is not " +
-                "supported — append or use the LakeTable API")
+              require(!overwrite, "graft-lake: INSERT OVERWRITE on a " +
+                "gated table (pending rename/drop or MOR deletes) is " +
+                "not supported — compact/rewriteDeletes first")
               LakeTable.append(SparkSession.active, root, data)
             }
           }

@@ -177,8 +177,10 @@ private[sources] object GraftLakeSource {
   * Spark pushes the WHERE clause down as source filters, they translate
   * to a Column predicate, and the delete lands as a normal
   * [[LakeTable.deleteWhere]] copy-on-write commit — SQL DML without
-  * bypassing the commit protocol. Appends/overwrites remain API-only
-  * (`df.write.format("graft-lake")` still fails analysis), and a
+  * bypassing the commit protocol. Catalog tables also take SQL
+  * INSERT/INSERT OVERWRITE through [[newWriteBuilder]]; the bare
+  * FORMAT path stays read-only (`df.write.format("graft-lake")` still
+  * fails analysis — writes need the catalog's root), and a
   * time-travel snapshot refuses deletes (history is immutable). */
 private[sources] final class GraftLakeTable(delegate: ParquetTable,
     root: Option[String] = None, version: Option[Int] = None,

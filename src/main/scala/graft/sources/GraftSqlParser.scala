@@ -39,6 +39,15 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
   override def parsePlan(sqlText: String): LogicalPlan =
     GraftSqlParser.intercept(sqlText, delegate)
       .getOrElse(delegate.parsePlan(sqlText))
+  // the interface DEFAULT for the parameterized entry point discards
+  // the parameter context (it falls back to plain parsePlan), which
+  // unbinds every `:name` / `?` parameter in spark.sql(text, args) —
+  // delegate it explicitly so parameterized SQL keeps working
+  override def parsePlanWithParameters(sqlText: String,
+      ctx: org.apache.spark.sql.catalyst.parser.ParameterContext)
+      : LogicalPlan =
+    GraftSqlParser.intercept(sqlText, delegate)
+      .getOrElse(delegate.parsePlanWithParameters(sqlText, ctx))
   override def parseExpression(sqlText: String): Expression =
     delegate.parseExpression(sqlText)
   override def parseTableIdentifier(sqlText: String): TableIdentifier =
@@ -118,6 +127,49 @@ object GraftSqlParser {
         "maintenance statements need a <catalog>.<table> name, got " +
           other.mkString("."))
     }
+}
+
+/** SQL table-valued functions over the lake surface, registered via
+  * `SparkSessionExtensions.injectTableFunction`
+  * ([[graft.functions.GraftExtensions]]). */
+object GraftTableFunctions {
+
+  /** `table_changes('<catalog>.<table>', fromVersion, toVersion,
+    * '<keyColumn>')` — Delta's CDC TVF over [[LakeTable.changes]]:
+    * rows tagged insert / update_preimage / update_postimage / delete
+    * in `_change_type`, diffed between the two committed versions.
+    * The key column is EXPLICIT (4th argument) because the feed is a
+    * snapshot diff, not a stored change log — update pairing needs the
+    * row identity; Delta stores change files and can omit it. All four
+    * arguments must be literals (the table resolves at analysis time).
+    * Scale: the diff reads only file groups NOT shared by the two
+    * manifests — churn-bounded, never table-bounded. */
+  def tableChanges(exprs: Seq[Expression]): LogicalPlan = {
+    require(exprs.length == 4,
+      "table_changes(table, fromVersion, toVersion, keyColumn) takes " +
+        s"exactly 4 arguments, got ${exprs.length}")
+    def lit(e: Expression, what: String): Any = {
+      require(e.foldable, s"table_changes: $what must be a literal")
+      e.eval()
+    }
+    def str(e: Expression, what: String): String = lit(e, what) match {
+      case u: org.apache.spark.unsafe.types.UTF8String => u.toString
+      case other => throw new IllegalArgumentException(
+        s"table_changes: $what must be a string literal, got $other")
+    }
+    def int(e: Expression, what: String): Int = lit(e, what) match {
+      case n: java.lang.Number => n.intValue()
+      case other => throw new IllegalArgumentException(
+        s"table_changes: $what must be an integer literal, got $other")
+    }
+    val spark = SparkSession.active
+    val root = GraftSqlParser.rootFor(spark,
+      str(exprs(0), "table").split("\\.").toSeq
+        .map(_.stripPrefix("`").stripSuffix("`")))
+    LakeTable.changes(spark, root,
+      int(exprs(1), "fromVersion"), int(exprs(2), "toVersion"),
+      str(exprs(3), "keyColumn")).queryExecution.analyzed
+  }
 }
 
 /** Eagerly-executed maintenance verb. Each run routes to the LakeTable

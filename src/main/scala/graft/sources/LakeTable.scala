@@ -54,6 +54,13 @@ final class LakeConflictException(msg: String)
   */
 object LakeTable {
 
+  /** Per-table-root hard-link capability memory for the commit rename
+    * ([[commitVersion]]): TRUE after the first successful link, FALSE
+    * after a proven capability failure (UnsupportedOperation /
+    * FileSystemException), absent = not probed yet. */
+  private val linkCapable =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
+
   private def fs(spark: SparkSession, root: String): FileSystem =
     new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
@@ -229,19 +236,42 @@ object LakeTable {
           .getOrElse(f.getUri.getScheme))) {
         val tp = java.nio.file.Paths.get(tmp.toUri.getPath)
         val dp = java.nio.file.Paths.get(dest.toUri.getPath)
+        // capability memory: once a mount proves link-incapable, every
+        // later commit under this root takes the rename path directly
+        // (and the downgrade is logged ONCE, not re-probed per commit)
+        val storeKey = root
         val ok =
-          try { Some(java.nio.file.Files.createLink(dp, tp)).isDefined }
-          catch {
-            case _: java.nio.file.FileAlreadyExistsException => false
-            // file:// mounts without hard-link support (FUSE, SMB/NFS
-            // variants, container overlays) throw IOException /
-            // UnsupportedOperationException — fall back to the
-            // exists()+rename path for this commit (accepting the
-            // narrower race only where links are unavailable) instead
-            // of failing every commit on such filesystems
-            case _: UnsupportedOperationException | _: java.io.IOException =>
-              !f.exists(dest) && f.rename(tmp, dest)
-          }
+          if (java.lang.Boolean.FALSE.equals(linkCapable.get(storeKey)))
+            !f.exists(dest) && f.rename(tmp, dest)
+          else
+            try {
+              java.nio.file.Files.createLink(dp, tp)
+              linkCapable.put(storeKey, java.lang.Boolean.TRUE)
+              true
+            } catch {
+              case _: java.nio.file.FileAlreadyExistsException => false
+              // file:// mounts without hard-link support (FUSE, SMB/NFS
+              // variants, container overlays) throw
+              // UnsupportedOperationException or a FileSystemException
+              // ("operation not supported") — remember the incapacity
+              // and fall back to exists()+rename (accepting the
+              // narrower race ONLY where links are unavailable). Other
+              // IOExceptions are TRANSIENT errors on a link-capable
+              // mount: rethrow — silently downgrading exactly-once on
+              // a flaky filesystem is the one thing this path must
+              // never do.
+              case e @ (_: UnsupportedOperationException |
+                        _: java.nio.file.FileSystemException)
+                  if !e.isInstanceOf[
+                    java.nio.file.FileAlreadyExistsException] =>
+                if (linkCapable.putIfAbsent(storeKey,
+                    java.lang.Boolean.FALSE) == null)
+                  System.err.println(
+                    s"[graft-lake] hard links unavailable at $root " +
+                      s"(${e.getClass.getSimpleName}); commits downgrade " +
+                      "to exists()+rename on this mount")
+                !f.exists(dest) && f.rename(tmp, dest)
+            }
         f.delete(tmp, false)
         ok
       } else !f.exists(dest) && f.rename(tmp, dest)

@@ -64,6 +64,17 @@ class GraphOpsSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
     assert(got == expect)
     assert(got.getOrElse(0L, 0L) > 0, "no sources reached the graph")
+    // the DISTRIBUTED visited-frame path (the 100 TB posture behind
+    // the size guard) must agree bit-for-bit with the local path
+    val gotDist = graft.queries.MiscQueries
+      .bfsHopsPath(spark, sf, distributed = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(gotDist == expect, "distributed BFS diverged from local")
+    // and the guard itself picks the local path at this edge count
+    val nEdges = 2L * graft.queries.MiscQueries
+      .coPurchasePairs(spark, sf).count()
+    assert(nEdges < graft.queries.MiscQueries.BfsDistributedMinEdges,
+      "sf0.001 unexpectedly crossed the distributed-BFS guard")
   }
 
   test("q290: Spark Bellman-Ford matches a driver-side min-plus replay") {

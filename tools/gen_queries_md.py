@@ -14,7 +14,7 @@ for path in sorted(glob.glob(f"{root}/src/main/scala/graft/queries/*.scala")):
     if not m:
         raise SystemExit(f"{pack}: `val all` Map not matched — fix the "
                          "regex or the pack's formatting")
-    qs = re.findall(r'"(q\d+_\w+)"\s*->', m.group(1))
+    qs = re.findall(r'"(q\d+\w*_\w+)"\s*->', m.group(1))
     if not qs:
         raise SystemExit(f"{pack}: `val all` matched but contains no "
                          "query entries")
@@ -25,11 +25,15 @@ for path in sorted(glob.glob(f"{root}/src/main/scala/graft/queries/*.scala")):
     mo = re.search(r"val oracles:.*?=\s*Map\((.*?)\n  \)\n", src, re.S)
     if not mo:
         raise SystemExit(f"{pack}: `val oracles` Map not matched")
-    oracle_keys.update(re.findall(r'"(q\d+_\w+)"\s*->', mo.group(1)))
+    oracle_keys.update(re.findall(r'"(q\d+\w*_\w+)"\s*->', mo.group(1)))
 
 
 def qnum(name):
-    return int(name.split("_")[0][1:])
+    # "q251a_..." sorts between q251 and q252 (suffix letters are a
+    # bench-ordering device); key = (number, letter suffix)
+    head = name.split("_")[0][1:]
+    digits = "".join(c for c in head if c.isdigit())
+    return (int(digits), head[len(digits):])
 
 
 rows = sorted(packs.items(), key=lambda kv: qnum(kv[0]))
