@@ -2207,6 +2207,64 @@ object LakeQueries {
     } }
   }
 
+  /** q316: zero-copy table forking via SQL — Delta's `CREATE TABLE …
+    * SHALLOW CLONE` + `DESCRIBE DETAIL` through
+    * [[graft.sources.GraftSqlParser]]: (1) a two-group source table;
+    * (2) the clone's v1 re-references the source's file groups by
+    * absolute path — DESCRIBE DETAIL shows the same group count at
+    * zero data bytes copied; (3) the clone DIVERGES with its own
+    * INSERT while the source stays untouched (counts pinned both
+    * ways); (4) the detail row restates version / group count /
+    * partitioning / constraint count for both tables. Scale: clone is
+    * one manifest write; detail is manifest + file listing — zero
+    * data bytes read. */
+  def sqlCloneDetail(s: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.load(s, dir, "orders")
+      .filter(col("o_custkey") % 11 === 3)
+      .select(col("o_orderkey").as("k"),
+        expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)")
+          .as("cents"))
+    graft.util.LocalFrame.withConf(s, "spark.sql.shuffle.partitions", "8") {
+    graft.util.Tmp.withTempDir("graft_lake_q316") { rootPath =>
+      val wh = rootPath.toString
+      val cat = "lake_" +
+        java.util.UUID.randomUUID().toString.replace("-", "").take(12)
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftLakeCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+      try {
+        LakeTable.create(s, s"$wh/t1", orders.filter(col("k") % 2 === 0))
+        LakeTable.append(s, s"$wh/t1", orders.filter(col("k") % 2 === 1))
+        val cloneV =
+          s.sql(s"CREATE TABLE $cat.t2 SHALLOW CLONE $cat.t1")
+            .head().getLong(0)
+        val d2 = s.sql(s"DESCRIBE DETAIL $cat.t2").head()
+        // diverge the clone; the source must not move
+        s.sql(s"INSERT INTO $cat.t2 VALUES (4000000001, 123)")
+        val n1 = s.sql(s"SELECT count(*), sum(cents) FROM $cat.t1").head()
+        val n2 = s.sql(s"SELECT count(*), sum(cents) FROM $cat.t2").head()
+        val d1 = s.sql(s"DESCRIBE DETAIL $cat.t1").head()
+        val d2b = s.sql(s"DESCRIBE DETAIL $cat.t2").head()
+        import s.implicits._
+        graft.util.LocalFrame.materialize(Seq(
+          ("cents_t1", n1.getLong(1)),
+          ("cents_t2", n2.getLong(1)),
+          ("clone_version", cloneV),
+          ("t1_groups", d1.getLong(3)),
+          ("t1_version", d1.getLong(2)),
+          ("t2_constraints", d2b.getLong(6)),
+          ("t2_groups_at_clone", d2.getLong(3)),
+          ("t2_groups_diverged", d2b.getLong(3)),
+          ("t2_version_diverged", d2b.getLong(2)),
+          ("n_t1", n1.getLong(0)),
+          ("n_t2", n2.getLong(0))
+        ).toDF("fact", "n").orderBy(col("fact")))
+      } finally {
+        s.conf.unset(s"spark.sql.catalog.$cat")
+        s.conf.unset(s"spark.sql.catalog.$cat.warehouse")
+      }
+    } }
+  }
+
   /** q297: identity columns ([[graft.sources.LakeTable.setIdentity]])
     * — Delta's `GENERATED ALWAYS AS IDENTITY (START WITH 10 INCREMENT
     * BY 5)` as an oracle-checked lifecycle: (1) the column arrives by
@@ -2333,6 +2391,7 @@ object LakeQueries {
     "q313_multicol_partition"  -> (multiColPartitionLifecycle _),
     "q314_sql_maintenance"     -> (sqlMaintenance _),
     "q315_table_changes_tvf"   -> (tableChangesTvf _),
+    "q316_sql_clone_detail"    -> (sqlCloneDetail _),
     "q282_hll_index_lake"      -> (hllIndexLifecycle _),
     "q281_unique_constraint"   -> (uniqueLifecycle _),
     "q288_column_default"      -> (defaultLifecycle _),
@@ -2622,6 +2681,27 @@ object LakeQueries {
         |UNION ALL SELECT 'w2_cents_delete', c_del FROM a
         |UNION ALL SELECT 'w2_n_delete', CAST(n_del AS BIGINT) FROM a
         |UNION ALL SELECT 'w2_n_insert', CAST(0 AS BIGINT)
+        |ORDER BY fact""".stripMargin,
+    // q316: counts/cents restated from orders (+ the one divergence
+    // row on the clone); version/group protocol facts pin as integers
+    // (2-group source, clone v1 references both, diverge adds one)
+    "q316_sql_clone_detail" ->
+      """WITH o AS (
+        |  SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |           AS cents
+        |  FROM orders WHERE o_custkey % 11 = 3)
+        |SELECT 'cents_t1' AS fact, CAST(sum(cents) AS BIGINT) AS n FROM o
+        |UNION ALL SELECT 'cents_t2',
+        |  CAST(sum(cents) + 123 AS BIGINT) FROM o
+        |UNION ALL SELECT 'clone_version', CAST(1 AS BIGINT)
+        |UNION ALL SELECT 'n_t1', count(*) FROM o
+        |UNION ALL SELECT 'n_t2', count(*) + 1 FROM o
+        |UNION ALL SELECT 't1_groups', CAST(2 AS BIGINT)
+        |UNION ALL SELECT 't1_version', CAST(2 AS BIGINT)
+        |UNION ALL SELECT 't2_constraints', CAST(0 AS BIGINT)
+        |UNION ALL SELECT 't2_groups_at_clone', CAST(2 AS BIGINT)
+        |UNION ALL SELECT 't2_groups_diverged', CAST(3 AS BIGINT)
+        |UNION ALL SELECT 't2_version_diverged', CAST(2 AS BIGINT)
         |ORDER BY fact""".stripMargin,
     // q297: the identity-series facts are pure arithmetic on the
     // engine-assigned id block (start 10, step 5, n = the two stamped

@@ -23,6 +23,10 @@ import org.apache.spark.sql.types.{LongType, StringType, StructType}
   *  - `RESTORE [TABLE] <cat>.<t> [TO] VERSION AS OF <n>` →
   *    [[LakeTable.restore]] (a NEW commit re-referencing the old
   *    version's groups — history stays immutable);
+  *  - `CREATE TABLE <cat>.<t2> SHALLOW CLONE <cat>.<t1>` →
+  *    [[LakeTable.shallowClone]] (zero-copy fork by reference);
+  *  - `DESCRIBE DETAIL <cat>.<t>` → the one-row table summary
+  *    (format/location/version/groups/bytes/partitioning/constraints);
   *  - `INSERT INTO <cat>.<t> REPLACE WHERE <cond> <query>` → the DSv2
   *    overwrite path ([[GraftLakeTable.filtersToBand]]): the condition
   *    must reduce to a single-column band or the write refuses loudly.
@@ -80,6 +84,10 @@ object GraftSqlParser {
     """(?is)^\s*RESTORE\s+(?:TABLE\s+)?([\w`]+(?:\.[\w`]+)+)\s+(?:TO\s+)?VERSION\s+AS\s+OF\s+(\d+)\s*;?\s*$""".r
   private val ReplaceWhereRe =
     """(?is)^\s*INSERT\s+INTO\s+([\w`]+(?:\.[\w`]+)+)\s+REPLACE\s+WHERE\s+(.+?)\s+((?:SELECT|VALUES|WITH|TABLE|FROM)\b.*)$""".r
+  private val CloneRe =
+    """(?is)^\s*CREATE\s+TABLE\s+([\w`]+(?:\.[\w`]+)+)\s+SHALLOW\s+CLONE\s+([\w`]+(?:\.[\w`]+)+)\s*;?\s*$""".r
+  private val DetailRe =
+    """(?is)^\s*DESCRIBE\s+DETAIL\s+([\w`]+(?:\.[\w`]+)+)\s*;?\s*$""".r
 
   private def parts(ident: String): Seq[String] =
     ident.split("\\.").toSeq.map(_.stripPrefix("`").stripSuffix("`"))
@@ -98,6 +106,10 @@ object GraftSqlParser {
             "a default retention would silently truncate time travel")
       case HistoryRe(t) =>
         Some(GraftMaintenanceCommand("history", parts(t), None))
+      case CloneRe(dst, src) =>
+        Some(GraftCloneCommand(parts(dst), parts(src)))
+      case DetailRe(t) =>
+        Some(GraftDescribeDetailCommand(parts(t)))
       case RestoreRe(t, v) =>
         Some(GraftMaintenanceCommand("restore", parts(t), Some(v.toLong)))
       case ReplaceWhereRe(t, cond, query) =>
@@ -169,6 +181,54 @@ object GraftTableFunctions {
     LakeTable.changes(spark, root,
       int(exprs(1), "fromVersion"), int(exprs(2), "toVersion"),
       str(exprs(3), "keyColumn")).queryExecution.analyzed
+  }
+}
+
+/** `CREATE TABLE dst SHALLOW CLONE src` — Delta's zero-copy fork:
+  * the clone's v1 re-references the source's file groups by absolute
+  * path ([[LakeTable.shallowClone]] — foreign bytes are NEVER deleted
+  * by the clone's vacuum; only the owning table may). Both tables
+  * must live in graft-lake catalogs; they may differ. */
+case class GraftCloneCommand(dst: Seq[String], src: Seq[String])
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("version", LongType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] =
+    Seq(Row(LakeTable.shallowClone(spark,
+      GraftSqlParser.rootFor(spark, src),
+      GraftSqlParser.rootFor(spark, dst)).toLong))
+}
+
+/** `DESCRIBE DETAIL t` — Delta's one-row table summary: format,
+  * location, latest version, file-group count, total data bytes,
+  * partition columns, and the committed constraint count. Manifest +
+  * one file listing; zero data bytes read. */
+case class GraftDescribeDetailCommand(nameParts: Seq[String])
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("format", StringType, nullable = false)(),
+    AttributeReference("location", StringType, nullable = false)(),
+    AttributeReference("version", LongType, nullable = false)(),
+    AttributeReference("num_file_groups", LongType, nullable = false)(),
+    AttributeReference("size_bytes", LongType, nullable = false)(),
+    AttributeReference("partition_columns", StringType, nullable = false)(),
+    AttributeReference("num_constraints", LongType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val root = GraftSqlParser.rootFor(spark, nameParts)
+    val v = LakeTable.latestVersion(spark, root).getOrElse(
+      throw new IllegalStateException(s"no table at $root"))
+    val meta = LakeTable.manifestMetaAt(spark, root, v)
+    val dirs = LakeTable.dataDirPaths(spark, root)
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val bytes = dirs.map { d =>
+      val p = new org.apache.hadoop.fs.Path(d)
+      fs.getContentSummary(p).getLength
+    }.sum
+    val nConstraints = meta.keys.count(k =>
+      k.startsWith("check:") || k.startsWith("unique:")).toLong
+    Seq(Row("graft-lake", root, v.toLong, dirs.size.toLong, bytes,
+      LakeTable.partColsAt(meta).mkString(","), nConstraints))
   }
 }
 
