@@ -2265,6 +2265,67 @@ object LakeQueries {
     } }
   }
 
+  /** q317: `OPTIMIZE … ZORDER BY` via SQL ([[graft.sources.LakeTable
+    * .optimizeZOrder]] through [[graft.sources.GraftSqlParser]]) — the
+    * q133 two-dimensional-skipping contract reached the way a Delta
+    * operator reaches it: (1) a plain (unclustered) table; (2) one SQL
+    * statement re-lays it out as 8 Morton-range groups with fresh
+    * min/max on BOTH columns; (3) a top-decile corner probe on EITHER
+    * dimension answers exactly (SQL-restated counts) AND prunes file
+    * groups at the manifest level (pinned: kept < groups — a corner on
+    * either axis excludes the groups on the wrong side of that axis's
+    * top z-bit); (4) the rewrite is one more time-travelable version
+    * (history op pinned). Scale: one data-sized read + one range
+    * exchange — the 100 TB nightly-OPTIMIZE shape. */
+  def sqlZOrder(s: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.load(s, dir, "orders")
+      .select(col("o_orderkey").as("k"),
+        col("o_custkey").cast("long").as("ck"),
+        datediff(col("o_orderdate"), lit("1992-01-01")).cast("long")
+          .as("d"))
+    graft.util.LocalFrame.withConf(s, "spark.sql.shuffle.partitions", "8") {
+    graft.util.Tmp.withTempDir("graft_lake_q317") { rootPath =>
+      val wh = rootPath.toString
+      val root = s"$wh/t"
+      LakeTable.create(s, root, orders)
+      val cat = "lake_" +
+        java.util.UUID.randomUUID().toString.replace("-", "").take(12)
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftLakeCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+      try {
+        val vz = s.sql(s"OPTIMIZE $cat.t ZORDER BY (ck, d) INTO 8 GROUPS")
+          .head().getLong(0)
+        val nGroups = LakeTable.dataDirPaths(s, root).size
+        val bounds = orders.agg(max(col("ck")), max(col("d"))).head()
+        val ckLo = 0.9 * bounds.getLong(0)
+        val dLo = 0.9 * bounds.getLong(1)
+        val nCk = s.sql(
+          s"SELECT count(*) FROM $cat.t WHERE ck >= $ckLo").head().getLong(0)
+        val nD = s.sql(
+          s"SELECT count(*) FROM $cat.t WHERE d >= $dLo").head().getLong(0)
+        val ckPruned = LakeTable.selectGroups(s, root, "ck",
+          ckLo, Double.MaxValue).size < nGroups
+        val dPruned = LakeTable.selectGroups(s, root, "d",
+          dLo, Double.MaxValue).size < nGroups
+        val nZOps = s.sql(s"DESCRIBE HISTORY $cat.t").collect()
+          .count(_.getString(1) == "optimize-zorder").toLong
+        import s.implicits._
+        graft.util.LocalFrame.materialize(Seq(
+          ("groups", nGroups.toLong),
+          ("history_zorder_ops", nZOps),
+          ("n_corner_ck", nCk),
+          ("n_corner_d", nD),
+          ("pruned_ck", if (ckPruned) 1L else 0L),
+          ("pruned_d", if (dPruned) 1L else 0L),
+          ("version_after", vz)
+        ).toDF("fact", "n").orderBy(col("fact")))
+      } finally {
+        s.conf.unset(s"spark.sql.catalog.$cat")
+        s.conf.unset(s"spark.sql.catalog.$cat.warehouse")
+      }
+    } }
+  }
+
   /** q297: identity columns ([[graft.sources.LakeTable.setIdentity]])
     * — Delta's `GENERATED ALWAYS AS IDENTITY (START WITH 10 INCREMENT
     * BY 5)` as an oracle-checked lifecycle: (1) the column arrives by
@@ -2392,6 +2453,7 @@ object LakeQueries {
     "q314_sql_maintenance"     -> (sqlMaintenance _),
     "q315_table_changes_tvf"   -> (tableChangesTvf _),
     "q316_sql_clone_detail"    -> (sqlCloneDetail _),
+    "q317_sql_zorder"          -> (sqlZOrder _),
     "q282_hll_index_lake"      -> (hllIndexLifecycle _),
     "q281_unique_constraint"   -> (uniqueLifecycle _),
     "q288_column_default"      -> (defaultLifecycle _),
@@ -2702,6 +2764,26 @@ object LakeQueries {
         |UNION ALL SELECT 't2_groups_at_clone', CAST(2 AS BIGINT)
         |UNION ALL SELECT 't2_groups_diverged', CAST(3 AS BIGINT)
         |UNION ALL SELECT 't2_version_diverged', CAST(2 AS BIGINT)
+        |ORDER BY fact""".stripMargin,
+    // q317: corner counts restated with the same 0.9·max threshold
+    // arithmetic (both engines compute it in IEEE doubles, so the >=
+    // comparisons agree); layout/pruning/protocol facts pin
+    "q317_sql_zorder" ->
+      """WITH o AS (
+        |  SELECT o_custkey AS ck,
+        |         datediff('day', DATE '1992-01-01',
+        |                  CAST(o_orderdate AS DATE)) AS d
+        |  FROM orders),
+        |b AS (SELECT 0.9 * max(ck) AS cklo, 0.9 * max(d) AS dlo FROM o)
+        |SELECT 'groups' AS fact, CAST(8 AS BIGINT) AS n
+        |UNION ALL SELECT 'history_zorder_ops', CAST(1 AS BIGINT)
+        |UNION ALL SELECT 'n_corner_ck',
+        |  (SELECT count(*) FROM o, b WHERE ck >= cklo)
+        |UNION ALL SELECT 'n_corner_d',
+        |  (SELECT count(*) FROM o, b WHERE d >= dlo)
+        |UNION ALL SELECT 'pruned_ck', CAST(1 AS BIGINT)
+        |UNION ALL SELECT 'pruned_d', CAST(1 AS BIGINT)
+        |UNION ALL SELECT 'version_after', CAST(2 AS BIGINT)
         |ORDER BY fact""".stripMargin,
     // q297: the identity-series facts are pure arithmetic on the
     // engine-assigned id block (start 10, step 5, n = the two stamped

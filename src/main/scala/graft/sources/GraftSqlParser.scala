@@ -15,6 +15,9 @@ import org.apache.spark.sql.types.{LongType, StringType, StructType}
   *  - `OPTIMIZE <cat>.<t> [MIN BYTES <n>]` →
   *    [[LakeTable.compactSmall]] (default threshold 128 MiB — groups
   *    at or above it are already "right-sized" and never rewritten);
+  *  - `OPTIMIZE <cat>.<t> ZORDER BY (a, b) [INTO <n> GROUPS]` →
+  *    [[LakeTable.optimizeZOrder]] (whole-table Morton re-layout with
+  *    fresh two-column skipping stats);
   *  - `VACUUM <cat>.<t> RETAIN <n> VERSIONS` → [[LakeTable.vacuum]].
   *    RETAIN is REQUIRED: a default would silently destroy time
   *    travel, the one thing a vacuum must never do by surprise;
@@ -74,6 +77,8 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
 object GraftSqlParser {
   private val OptimizeRe =
     """(?is)^\s*OPTIMIZE\s+([\w`]+(?:\.[\w`]+)+)(?:\s+MIN\s+BYTES\s+(\d+))?\s*;?\s*$""".r
+  private val ZOrderRe =
+    """(?is)^\s*OPTIMIZE\s+([\w`]+(?:\.[\w`]+)+)\s+ZORDER\s+BY\s*\(\s*([\w`]+)\s*,\s*([\w`]+)\s*\)(?:\s+INTO\s+(\d+)\s+GROUPS)?\s*;?\s*$""".r
   private val VacuumRe =
     """(?is)^\s*VACUUM\s+([\w`]+(?:\.[\w`]+)+)\s+RETAIN\s+(\d+)\s+VERSIONS\s*;?\s*$""".r
   private val VacuumBareRe =
@@ -95,6 +100,11 @@ object GraftSqlParser {
   private[sources] def intercept(
       sqlText: String, delegate: ParserInterface): Option[LogicalPlan] =
     sqlText match {
+      case ZOrderRe(t, a, bCol, n) =>
+        Some(GraftZOrderCommand(parts(t),
+          Seq(a.stripPrefix("`").stripSuffix("`"),
+            bCol.stripPrefix("`").stripSuffix("`")),
+          Option(n).map(_.toInt).getOrElse(64)))
       case OptimizeRe(t, min) =>
         Some(GraftMaintenanceCommand("optimize", parts(t),
           Option(min).map(_.toLong).orElse(Some(128L * 1024 * 1024))))
@@ -182,6 +192,20 @@ object GraftTableFunctions {
       int(exprs(1), "fromVersion"), int(exprs(2), "toVersion"),
       str(exprs(3), "keyColumn")).queryExecution.analyzed
   }
+}
+
+/** `OPTIMIZE t ZORDER BY (a, b) [INTO n GROUPS]` — the
+  * multi-dimensional layout rewrite ([[LakeTable.optimizeZOrder]]):
+  * contiguous Morton ranges are rectangles in (a, b) space, so range
+  * probes on either column prune at the manifest level. */
+case class GraftZOrderCommand(nameParts: Seq[String], cols: Seq[String],
+                              numGroups: Int)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("version", LongType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] =
+    Seq(Row(LakeTable.optimizeZOrder(spark,
+      GraftSqlParser.rootFor(spark, nameParts), cols, numGroups).toLong))
 }
 
 /** `CREATE TABLE dst SHALLOW CLONE src` — Delta's zero-copy fork:

@@ -1950,6 +1950,88 @@ object LakeTable {
       Map("op" -> "optimize"))
   }
 
+  /** `OPTIMIZE … ZORDER BY (a, b)` — rewrite the WHOLE table laid out
+    * by the Morton interleave of the two columns (rank-scaled to 16
+    * bits against the live min/max), one file group per contiguous
+    * z-range with fresh min/max stats on BOTH columns: contiguous
+    * z-ranges are rectangles in (a, b) space, so range probes on
+    * EITHER column prune at the manifest level — the layout a
+    * single-column sort cannot give (see q133 for the exactness
+    * argument). One data-sized read + one range-exchange write;
+    * commits as a rewrite (`optimize-zorder`), every prior version
+    * stays time-travelable. Exactly two columns (the interleave is a
+    * bit-pair Morton code); partitioned tables refuse — their layout
+    * contract is one-group-per-value (z-order within a partition is
+    * compactSmall + a future per-partition variant); MOR deletes and
+    * pending rename/drop must be materialized first (raw group
+    * rewrite). */
+  def optimizeZOrder(spark: SparkSession, root: String,
+                     cols: Seq[String], numGroups: Int): Int = {
+    require(cols.size == 2,
+      s"ZORDER BY takes exactly two columns, got ${cols.mkString(", ")}")
+    require(numGroups >= 2, s"numGroups must be >= 2, got $numGroups")
+    val v = latestVersion(spark, root)
+      .getOrElse(throw new IllegalStateException(s"no table at $root"))
+    val meta = manifestMeta(spark, root, v)
+    require(deleteState(meta).isEmpty,
+      s"table at $root has merge-on-read deletes; rewriteDeletes first")
+    require(colMapAt(meta).isEmpty && colDropsAt(meta).isEmpty,
+      s"table at $root has a metadata-only rename/drop mapping; " +
+        "compact first")
+    require(partColsAt(meta).isEmpty,
+      s"table at $root is partitioned (${partColsAt(meta).mkString(",")})" +
+        " — z-ordering would break the one-group-per-value contract")
+    val cur = read(spark, root)
+    cols.foreach(c => require(cur.columns.exists(_.equalsIgnoreCase(c)),
+      s"no column '$c' at $root"))
+    val b = cur.agg(
+      min(col(cols.head)).cast("double"), max(col(cols.head)).cast("double"),
+      min(col(cols(1))).cast("double"), max(col(cols(1))).cast("double"))
+      .head()
+    require(!b.isNullAt(0) && !b.isNullAt(2),
+      s"ZORDER columns at $root are all-null or the table is empty")
+    def scale16(c: org.apache.spark.sql.Column, lo: Double,
+                hi: Double): org.apache.spark.sql.Column =
+      ((c.cast("double") - lo) * (65535.0 / math.max(hi - lo, 1.0)))
+        .cast("long")
+    val zkey = graft.functions.ZOrderInterleave(
+      scale16(col(cols.head), b.getDouble(0), b.getDouble(1)),
+      scale16(col(cols(1)), b.getDouble(2), b.getDouble(3)))
+    require(!cur.columns.exists(_.equalsIgnoreCase("__gz")),
+      "table carries a reserved column name '__gz'")
+    val f = fs(spark, root)
+    val uuid = java.util.UUID.randomUUID().toString
+    val staged = new Path(root, s"data/.zstage-$uuid")
+    val dirs =
+      try {
+        cur.withColumn("__gz", zkey)
+          .repartitionByRange(numGroups, col("__gz"))
+          .sortWithinPartitions(col("__gz"))
+          .drop("__gz")
+          .write.mode(SaveMode.ErrorIfExists).parquet(staged.toString)
+        val parts = f.listStatus(staged).map(_.getPath)
+          .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+        parts.zipWithIndex.map { case (p, i) =>
+          val dir = s"data/$uuid-z$i"
+          f.mkdirs(new Path(root, dir))
+          if (!f.rename(p, new Path(new Path(root, dir), p.getName)))
+            throw new IllegalStateException(s"stage rename failed for $dir")
+          dir
+        }.toSeq
+      } finally f.delete(staged, true)
+    val stats = dirs.flatMap(d => statsMeta(spark, root, d, cols)).toMap
+    // same carry rule as overwriteAll: per-dir sidecars die with their
+    // dirs; table-level contracts (schema, constraints, defaults,
+    // generation, identity, ANN model) survive
+    val keptMeta = meta.filterNot { case (k, _) =>
+      k.startsWith("stat:") || k.startsWith("bloom:") ||
+        k.startsWith("anncodes:") || k.startsWith("hllsk:") ||
+        k.startsWith("kllsk:") || k.startsWith("part:") || k == "op"
+    }
+    commitVersion(spark, root, v + 1, dirs,
+      keptMeta ++ stats + ("op" -> "optimize-zorder"))
+  }
+
   /** RESTORE: roll the table back to `toVersion`'s state as a NEW
     * commit — history is never rewritten, so readers of intermediate
     * versions are unaffected and the restore itself is time-travelable.
