@@ -2326,6 +2326,67 @@ object LakeQueries {
     } }
   }
 
+  /** q318: the STREAMING change-data feed
+    * ([[graft.sources.GraftLakeCdfSource]], Delta's `readChangeFeed`):
+    * (1) a CDF-enabled table takes an append, a COW delete and a keyed
+    * merge — the row-changing commits persist tagged sidecars
+    * ([[graft.sources.LakeTable.enableChangeFeed]]); (2) one stream
+    * over `graft-lake-cdf` drains every version as a pure FILE scan —
+    * append files tagged `insert` at read time (zero stored overhead),
+    * sidecar files carrying their own tags — into a memory sink;
+    * (3) the stream stays live across a further delete and picks up
+    * exactly that commit's feed (incremental contract); (4) counts and
+    * cents masses per (_change_type, _commit_version) restate from
+    * orders via the batch keying. Feed semantics mirror q315's TVF:
+    * delete rows are pre-images, merge emits exact pre/post pairs plus
+    * fresh-key inserts.
+    * Scale: each micro-batch reads the version range's churn (appended
+    * + sidecar files), never the table. */
+  def streamChangeFeed(s: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.load(s, dir, "orders")
+      .filter(col("o_custkey") % 11 === 7)
+      .select(col("o_orderkey").as("k"),
+        expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)")
+          .as("cents"))
+    graft.util.LocalFrame.withConf(s, "spark.sql.shuffle.partitions", "8") {
+    graft.util.Tmp.withTempDir("graft_lake_q318") { rootPath =>
+      val root = rootPath.toString
+      // v1 create, v2 set-cdf, v3 append, v4 delete, v5 merge, v6 delete
+      LakeTable.create(s, root, orders.filter(col("k") % 3 === 0))
+      LakeTable.enableChangeFeed(s, root)
+      LakeTable.append(s, root, orders.filter(col("k") % 3 === 1))
+      LakeTable.deleteWhere(s, root, col("k") % 5 === 0)
+      // merge keys k%4=1: survivors pair as updates (3× cents), keys
+      // that are fresh (k%3=2) or were deleted at v4 land as inserts
+      LakeTable.merge(s, root,
+        orders.filter(col("k") % 4 === 1)
+          .withColumn("cents", col("cents") * 3), "k")
+      val sink = "q318_sink_" +
+        java.util.UUID.randomUUID().toString.replace("-", "").take(8)
+      val q = s.readStream.format("graft-lake-cdf").load(root)
+        .groupBy(col("_change_type"), col("_commit_version"))
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("c"))
+        .writeStream.format("memory").queryName(sink)
+        .outputMode("complete").start()
+      try {
+        q.processAllAvailable()
+        // a further delete lands while the stream is live; its feed
+        // arrives incrementally
+        LakeTable.deleteWhere(s, root, col("k") % 7 === 0)
+        q.processAllAvailable()
+        val res = s.table(sink)
+          .select(concat_ws("_", col("_change_type"),
+              col("_commit_version")).as("fact"),
+            col("n"), col("c"))
+          .orderBy(col("fact"))
+        graft.util.LocalFrame.materialize(res)
+      } finally {
+        q.stop()
+        s.catalog.dropTempView(sink)
+      }
+    } }
+  }
+
   /** q297: identity columns ([[graft.sources.LakeTable.setIdentity]])
     * — Delta's `GENERATED ALWAYS AS IDENTITY (START WITH 10 INCREMENT
     * BY 5)` as an oracle-checked lifecycle: (1) the column arrives by
@@ -2454,6 +2515,7 @@ object LakeQueries {
     "q315_table_changes_tvf"   -> (tableChangesTvf _),
     "q316_sql_clone_detail"    -> (sqlCloneDetail _),
     "q317_sql_zorder"          -> (sqlZOrder _),
+    "q318_stream_change_feed"  -> (streamChangeFeed _),
     "q282_hll_index_lake"      -> (hllIndexLifecycle _),
     "q281_unique_constraint"   -> (uniqueLifecycle _),
     "q288_column_default"      -> (defaultLifecycle _),
@@ -2784,6 +2846,42 @@ object LakeQueries {
         |UNION ALL SELECT 'pruned_ck', CAST(1 AS BIGINT)
         |UNION ALL SELECT 'pruned_d', CAST(1 AS BIGINT)
         |UNION ALL SELECT 'version_after', CAST(2 AS BIGINT)
+        |ORDER BY fact""".stripMargin,
+    // q318: every (change_type, commit_version) mass restated from
+    // orders via the batch keying: v1/v3 appends are the k%3 splits;
+    // the v4 delete removes k%5=0 of the v3 snapshot; the v5 merge
+    // (keys k%4=1 at 3× cents) pairs survivors as updates and lands
+    // deleted/fresh keys as inserts; the v6 delete removes k%7=0 of
+    // the merged snapshot (original cents except the 3× merge rows)
+    "q318_stream_change_feed" ->
+      """WITH o AS (
+        |  SELECT o_orderkey AS k,
+        |         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |           AS cents
+        |  FROM orders WHERE o_custkey % 11 = 7),
+        |v5a AS (SELECT k, cents FROM o
+        |        WHERE k % 3 IN (0, 1) AND k % 5 <> 0 AND k % 4 <> 1),
+        |v5b AS (SELECT k, 3 * cents AS cents FROM o WHERE k % 4 = 1)
+        |SELECT 'delete_4' AS fact, count(*) AS n,
+        |       CAST(sum(cents) AS BIGINT) AS c
+        |FROM o WHERE k % 3 IN (0, 1) AND k % 5 = 0
+        |UNION ALL SELECT 'delete_6', count(*), CAST(sum(cents) AS BIGINT)
+        |FROM (SELECT * FROM v5a UNION ALL SELECT * FROM v5b)
+        |WHERE k % 7 = 0
+        |UNION ALL SELECT 'insert_1', count(*), CAST(sum(cents) AS BIGINT)
+        |FROM o WHERE k % 3 = 0
+        |UNION ALL SELECT 'insert_3', count(*), CAST(sum(cents) AS BIGINT)
+        |FROM o WHERE k % 3 = 1
+        |UNION ALL SELECT 'insert_5', count(*),
+        |  CAST(sum(3 * cents) AS BIGINT)
+        |FROM o WHERE k % 4 = 1
+        |  AND NOT (k % 3 IN (0, 1) AND k % 5 <> 0)
+        |UNION ALL SELECT 'update_postimage_5', count(*),
+        |  CAST(sum(3 * cents) AS BIGINT)
+        |FROM o WHERE k % 4 = 1 AND k % 3 IN (0, 1) AND k % 5 <> 0
+        |UNION ALL SELECT 'update_preimage_5', count(*),
+        |  CAST(sum(cents) AS BIGINT)
+        |FROM o WHERE k % 4 = 1 AND k % 3 IN (0, 1) AND k % 5 <> 0
         |ORDER BY fact""".stripMargin,
     // q297: the identity-series facts are pure arithmetic on the
     // engine-assigned id block (start 10, step 5, n = the two stamped

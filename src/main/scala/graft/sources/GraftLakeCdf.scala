@@ -1,0 +1,249 @@
+package graft.sources
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.paths.SparkPath
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.execution.datasources.PartitionedFile
+import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+import org.apache.spark.sql.execution.datasources.{FileFormat => DsFileFormat}
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Streaming CHANGE-DATA-FEED source over a [[LakeTable]] — Delta's
+  * `readChangeFeed` as its own format:
+  * {{{
+  *   spark.readStream.format("graft-lake-cdf")
+  *     .option("startingVersion", 2)   // optional, default: from v1
+  *     .load(tableRoot)
+  * }}}
+  * Emits every committed version's change rows with two extra columns,
+  * `_change_type` (insert / update_preimage / update_postimage /
+  * delete) and `_commit_version`. Offsets are manifest versions (the
+  * same contract as the plain streaming source), so restarts resume
+  * exactly from the checkpointed commit.
+  *
+  * Where the rows come from — always a pure FILE SCAN, never a
+  * snapshot diff at read time:
+  *  - an APPEND version's change rows ARE its appended data files,
+  *    tagged `insert` at read time (zero extra stored bytes — Delta's
+  *    optimization for the dominant op);
+  *  - a row-CHANGING version (delete / merge / replaceWhere /
+  *    overwrite) is served from the `changes/v<N>/` sidecar those
+  *    operations persist when the table opted in
+  *    ([[LakeTable.enableChangeFeed]]);
+  *  - a row-changing version WITHOUT a sidecar (CDF enabled after the
+  *    fact, or a [[LakeTable.purge]]-scrubbed erasure) refuses LOUDLY —
+  *    a visible gap, never a silent one;
+  *  - metadata-only versions (DDL, constraints, indexes) emit nothing.
+  *
+  * Scale: each micro-batch reads exactly the churn of its version
+  * range — appended files plus sidecar files — never the table.
+  * Out of scope (refused loudly): tables with a pending metadata-only
+  * rename/drop and merge-on-read delete state (materialize first). */
+final class GraftLakeCdfSource extends TableProvider with DataSourceRegister {
+
+  override def shortName(): String = "graft-lake-cdf"
+
+  private def rootOf(options: CaseInsensitiveStringMap): String =
+    Option(options.get("path")).getOrElse(
+      throw new IllegalArgumentException("graft-lake-cdf requires .load(path)"))
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    GraftLakeCdfSource.cdfSchema(SparkSession.active, rootOf(options))
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: java.util.Map[String, String]): Table =
+    new GraftLakeCdfTable(
+      Option(properties.get("path")).getOrElse(
+        throw new IllegalArgumentException(
+          "graft-lake-cdf requires .load(path)")),
+      schema)
+}
+
+object GraftLakeCdfSource {
+  val ChangeTypeCol = "_change_type"
+  val CommitVersionCol = "_commit_version"
+
+  private[sources] def cdfSchema(spark: SparkSession,
+                                 root: String): StructType = {
+    val base = LakeTable.read(spark, root).schema
+    require(!base.fieldNames.exists(n =>
+        n.equalsIgnoreCase(ChangeTypeCol) ||
+        n.equalsIgnoreCase(CommitVersionCol)),
+      s"table at $root already carries a CDF-reserved column name")
+    StructType(base.fields :+
+      StructField(ChangeTypeCol, StringType, nullable = false) :+
+      StructField(CommitVersionCol, LongType, nullable = false))
+  }
+}
+
+private[sources] final class GraftLakeCdfTable(root: String,
+                                               schema0: StructType)
+    extends Table with SupportsRead {
+  override def name(): String = s"graft-lake-cdf:$root"
+  override def schema(): StructType = schema0
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.MICRO_BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    () => new Scan {
+      override def readSchema(): StructType = schema0
+      override def toMicroBatchStream(checkpointLocation: String)
+          : MicroBatchStream =
+        new GraftLakeCdfStream(root, schema0,
+          Option(options.get("startingVersion")).map(_.toInt))
+    }
+}
+
+private[sources] final class GraftLakeCdfStream(
+    root: String, cdfSchema: StructType, startingVersion: Option[Int])
+    extends MicroBatchStream {
+
+  private def spark = SparkSession.active
+  // data columns = the CDF schema minus the two feed columns
+  private val dataSchema = StructType(cdfSchema.fields.dropRight(2))
+  private val sidecarSchema = StructType(dataSchema.fields :+
+    cdfSchema.fields(cdfSchema.length - 2)) // + _change_type
+
+  override def initialOffset(): Offset =
+    GraftLakeOffset(startingVersion.map(v => math.max(0, v - 1)).getOrElse(0))
+  override def latestOffset(): Offset =
+    GraftLakeOffset(LakeTable.latestVersion(spark, root).getOrElse(0))
+  override def deserializeOffset(json: String): Offset =
+    GraftLakeOffset(json.trim.toInt)
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+
+  override def planInputPartitions(start: Offset,
+                                   end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[GraftLakeOffset].v
+    val e = end.asInstanceOf[GraftLakeOffset].v
+    val fs = new Path(root).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    def files(dir: Path): Seq[(String, Long)] =
+      fs.listStatus(dir)
+        .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+        .sortBy(_.getPath.getName)
+        .map(f => (f.getPath.toString, f.getLen)).toSeq
+    if (e >= 1) {
+      val endMeta = LakeTable.manifestMetaAt(spark, root, e)
+      if (LakeTable.colMapAt(endMeta).nonEmpty ||
+          LakeTable.colDropsAt(endMeta).nonEmpty)
+        throw new UnsupportedOperationException(
+          s"graft-lake-cdf: table at $root has a metadata-only column " +
+            "rename/drop; materialize it (LakeTable.compact) first")
+    }
+    (s + 1 to e).flatMap { v =>
+      val cur = LakeTable.dataDirsAt(spark, root, v).toSet
+      val prev =
+        if (v <= 1) Set.empty[String]
+        else LakeTable.dataDirsAt(spark, root, v - 1).toSet
+      val meta = LakeTable.manifestMetaAt(spark, root, v)
+      val prevMeta =
+        if (v <= 1) Map.empty[String, String]
+        else LakeTable.manifestMetaAt(spark, root, v - 1)
+      LakeTable.cdcPathAt(meta) match {
+        case Some(rel) =>
+          val p = new Path(root, rel)
+          if (!fs.exists(p))
+            throw new UnsupportedOperationException(
+              s"graft-lake-cdf: version $v of $root references a change " +
+                s"sidecar ($rel) that no longer exists — it was scrubbed " +
+                "(purge erasure beats the feed); restart the stream past " +
+                "this version or re-snapshot")
+          files(p).map { case (fp, len) =>
+            GraftLakeCdfPartition(fp, len, v, fromSidecar = true) }
+        case None
+            if LakeTable.deleteState(meta) !=
+               LakeTable.deleteState(prevMeta) =>
+          throw new UnsupportedOperationException(
+            s"graft-lake-cdf: version $v of $root is a merge-on-read " +
+              "delete, which has no change sidecar; use copy-on-write " +
+              "deletes (deleteWhere) on CDF tables")
+        case None if (prev -- cur).nonEmpty =>
+          throw new UnsupportedOperationException(
+            s"graft-lake-cdf: version $v of $root " +
+              s"(op=${meta.getOrElse("op", "?")}) rewrote file groups " +
+              "without a change sidecar — enable the feed " +
+              "(LakeTable.enableChangeFeed) BEFORE row-changing commits, " +
+              "or serve this window with table_changes() instead")
+        case None =>
+          (cur -- prev).toSeq.sorted.flatMap(d => files(new Path(root, d)))
+            .map { case (fp, len) =>
+              GraftLakeCdfPartition(fp, len, v, fromSidecar = false) }
+      }
+    }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory = {
+    def readerFor(schema: StructType) =
+      new ParquetFileFormat().buildReaderWithPartitionValues(
+        sparkSession = spark,
+        dataSchema = schema,
+        partitionSchema = StructType(Nil),
+        requiredSchema = schema,
+        filters = Nil,
+        options = Map(DsFileFormat.OPTION_RETURNING_BATCH -> "false"),
+        hadoopConf = spark.sessionState.newHadoopConf())
+    new GraftLakeCdfReaderFactory(
+      readerFor(dataSchema), readerFor(sidecarSchema),
+      dataSchema, sidecarSchema)
+  }
+}
+
+private[sources] final case class GraftLakeCdfPartition(
+    path: String, length: Long, version: Int,
+    fromSidecar: Boolean) extends InputPartition
+
+/** Per-file CDF reader: appends `_change_type` (constant `insert` for
+  * append-version data files; carried in-file for sidecar rows) and
+  * the constant `_commit_version` to every row. The copy is row-at-a-
+  * time on the feed path only — feeds are churn-bounded by design. */
+private[sources] final class GraftLakeCdfReaderFactory(
+    dataFn: PartitionedFile => Iterator[InternalRow],
+    sidecarFn: PartitionedFile => Iterator[InternalRow],
+    dataSchema: StructType, sidecarSchema: StructType)
+    extends PartitionReaderFactory {
+
+  override def createReader(p: InputPartition)
+      : PartitionReader[InternalRow] = {
+    val fp = p.asInstanceOf[GraftLakeCdfPartition]
+    val pf = PartitionedFile(
+      new GenericInternalRow(Array.empty[Any]),
+      SparkPath.fromPathString(fp.path), 0, fp.length)
+    val nData = dataSchema.length
+    val dataTypes = dataSchema.fields.map(_.dataType)
+    val insertTag = UTF8String.fromString("insert")
+    val it: Iterator[InternalRow] =
+      if (fp.fromSidecar) sidecarFn(pf).map { r =>
+        val out = new GenericInternalRow(nData + 2)
+        var i = 0
+        while (i < nData) { out.update(i, r.get(i, dataTypes(i))); i += 1 }
+        out.update(nData, r.getUTF8String(nData).copy()) // _change_type
+        out.update(nData + 1, fp.version.toLong)
+        out
+      }
+      else dataFn(pf).map { r =>
+        val out = new GenericInternalRow(nData + 2)
+        var i = 0
+        while (i < nData) { out.update(i, r.get(i, dataTypes(i))); i += 1 }
+        out.update(nData, insertTag)
+        out.update(nData + 1, fp.version.toLong)
+        out
+      }
+    new PartitionReader[InternalRow] {
+      private var cur: InternalRow = _
+      override def next(): Boolean =
+        if (it.hasNext) { cur = it.next(); true } else false
+      override def get(): InternalRow = cur
+      override def close(): Unit = ()
+    }
+  }
+}

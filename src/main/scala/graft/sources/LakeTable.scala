@@ -209,7 +209,8 @@ object LakeTable {
           val checks = prev.filter { case (k, _) =>
             (k.startsWith("check:") || k.startsWith("unique:") ||
               k.startsWith("default:") || k.startsWith("identity:") ||
-              k.startsWith("gencol:") || k == "partcol") &&
+              k.startsWith("gencol:") || k == "partcol" ||
+              k == "cdf") &&
               !meta0.contains(k) }
           meta0 ++ schema ++ checks
         }
@@ -1463,8 +1464,21 @@ object LakeTable {
     latestVersion(spark, root).foreach { v =>
       enforceUnique(manifestMeta(spark, root, v), merged, None,
         "by merge result") }
-    commit(spark, root, Seq(writeDataFiles(spark, root, merged)),
-      Map("op" -> "merge") ++ meta)
+    // CDC tags match the snapshot-diff feed: keyed rows that existed
+    // pair as update pre/post images, fresh keys are inserts
+    def tagged = {
+      val curKeys = current.select(col(key)).distinct()
+      current.join(updates.select(col(key)), Seq(key), "left_semi")
+        .withColumn("_change_type", lit("update_preimage"))
+      .unionByName(updates.join(curKeys, Seq(key), "left_semi")
+        .withColumn("_change_type", lit("update_postimage")))
+      .unionByName(updates.join(curKeys, Seq(key), "left_anti")
+        .withColumn("_change_type", lit("insert")))
+    }
+    withStagedCdc(spark, root, tagged) { extra =>
+      commit(spark, root, Seq(writeDataFiles(spark, root, merged)),
+        Map("op" -> "merge") ++ meta ++ extra)
+    }
   }
 
   /** Change-data feed between two committed versions, by snapshot diff —
@@ -1567,9 +1581,80 @@ object LakeTable {
                   predicate: org.apache.spark.sql.Column): Int = {
     val remaining =
       read(spark, root).filter(not(coalesce(predicate, lit(false))))
-    commit(spark, root, Seq(writeDataFiles(spark, root, remaining)),
-      Map("op" -> "delete"))
+    val deleted = read(spark, root).filter(coalesce(predicate, lit(false)))
+    // CDC sidecar STAGES before the commit and is referenced by it
+    // (stage-then-reference — a live stream never sees a committed
+    // version whose sidecar is still in flight)
+    val cdc = withStagedCdc(spark, root,
+      deleted.withColumn("_change_type", lit("delete"))) { extra =>
+      commit(spark, root, Seq(writeDataFiles(spark, root, remaining)),
+        Map("op" -> "delete") ++ extra)
+    }
+    cdc
   }
+
+  /** Run `commitFn` with a staged change sidecar's `cdc` meta entry
+    * (empty when the table hasn't opted into CDF); a failed commit
+    * deletes the orphaned stage before rethrowing. */
+  private def withStagedCdc(spark: SparkSession, root: String,
+                            tagged: => DataFrame)(
+                            commitFn: Map[String, String] => Int): Int =
+    if (!isCdfEnabled(spark, root)) commitFn(Map.empty)
+    else {
+      val rel = stageChangeSidecar(spark, root, tagged)
+      try commitFn(Map("cdc" -> rel))
+      catch { case e: Throwable =>
+        fs(spark, root).delete(new Path(root, rel), true)
+        throw e
+      }
+    }
+
+  // ——— change-data-feed sidecars ————————————————————————————————————
+
+  /** Opt into the change-data feed (Delta's
+    * `delta.enableChangeDataFeed`): from this commit on, row-CHANGING
+    * operations (delete / merge / replaceWhere / overwrite) also
+    * persist their tagged change rows under `changes/v<N>/`, so the
+    * [[GraftLakeCdfSource streaming CDF source]] can serve every
+    * version as a pure file scan. Appends never write sidecars — their
+    * change rows ARE the appended data files, tagged `insert` at read
+    * time (Delta's optimization; an append-heavy table pays zero extra
+    * bytes). The flag is one manifest line and auto-carries. */
+  def enableChangeFeed(spark: SparkSession, root: String): Int = {
+    val v = latestVersion(spark, root)
+      .getOrElse(throw new IllegalStateException(s"no table at $root"))
+    commitVersion(spark, root, v + 1, readManifest(spark, root, v),
+      manifestMeta(spark, root, v) - "op" +
+        ("cdf" -> "true") + ("op" -> "set-cdf"))
+  }
+
+  private[sources] def cdfAt(meta: Map[String, String]): Boolean =
+    meta.get("cdf").contains("true")
+
+  private def isCdfEnabled(spark: SparkSession, root: String): Boolean =
+    latestVersion(spark, root)
+      .exists(v => cdfAt(manifestMeta(spark, root, v)))
+
+  /** Stage a version's tagged change rows (data columns +
+    * `_change_type`) as `changes/<uuid>/` parquet, BEFORE the commit
+    * that will reference it via its `#cdc=` manifest key — the same
+    * stage-then-reference protocol data files use, so a live CDF
+    * stream can never observe a committed row-changing version whose
+    * sidecar hasn't landed yet, and a LOSING commit's orphaned stage
+    * is deleted by its writer (never referenced, never served).
+    * Sidecars are owned by their version — [[vacuum]]/[[purge]] delete
+    * them with the dropped manifests. */
+  private def stageChangeSidecar(spark: SparkSession, root: String,
+                                 tagged: DataFrame): String = {
+    val rel = s"changes/${java.util.UUID.randomUUID().toString}"
+    tagged.write.mode(SaveMode.ErrorIfExists)
+      .parquet(new Path(root, rel).toString)
+    rel
+  }
+
+  /** The committed change-sidecar path of a version, if any. */
+  private[sources] def cdcPathAt(meta: Map[String, String]): Option[String] =
+    meta.get("cdc")
 
   /** Delta's `replaceWhere` — atomically replace the rows with
     * `column ∈ [lo, hi]` by `df`, in ONE commit (the partition-
@@ -1672,9 +1757,18 @@ object LakeTable {
       .flatMap(d => statsMeta(spark, root, d, statsCols)).toMap
     val newPartMeta = newParts.collect {
       case (d, Some(pv)) => s"part:$d" -> pv }.toMap
-    commitVersion(spark, root, v + 1,
-      carried ++ newDirs,
-      keptMeta ++ newStats ++ newPartMeta + ("op" -> "replace-where"))
+    // CDC: the replaced band's old rows + the replacement batch
+    // (Delta's replaceWhere feed shape — delete + insert, not update
+    // pairs), staged before the commit that references it
+    withStagedCdc(spark, root,
+      read(spark, root).filter(coalesce(inBand, lit(false)))
+        .withColumn("_change_type", lit("delete"))
+        .unionByName(filled.withColumn("_change_type", lit("insert")))) {
+      extra =>
+        commitVersion(spark, root, v + 1, carried ++ newDirs,
+          keptMeta ++ newStats ++ newPartMeta ++ extra +
+            ("op" -> "replace-where"))
+    }
   }
 
   /** `INSERT OVERWRITE` without a predicate — atomically replace the
@@ -1730,8 +1824,17 @@ object LakeTable {
       .flatMap(d => statsMeta(spark, root, d, statsCols)).toMap
     val newPartMeta = newParts.collect {
       case (d, Some(pv)) => s"part:$d" -> pv }.toMap
-    commitVersion(spark, root, v + 1, newDirs,
-      keptMeta ++ newStats ++ newPartMeta + ("op" -> "overwrite"))
+    // CDC: a full overwrite feeds as delete-everything + insert-batch
+    // (Delta's overwrite feed — data-sized on purpose; the user opted
+    // into CDF knowing rewrite feeds cost what they replace)
+    withStagedCdc(spark, root,
+      read(spark, root).withColumn("_change_type", lit("delete"))
+        .unionByName(filled.withColumn("_change_type", lit("insert")))) {
+      extra =>
+        commitVersion(spark, root, v + 1, newDirs,
+          keptMeta ++ newStats ++ newPartMeta ++ extra +
+            ("op" -> "overwrite"))
+    }
   }
 
   /** Merge-on-read DELETE (Iceberg equality-delete / Delta deletion-
@@ -1960,9 +2063,8 @@ object LakeTable {
     * argument). One data-sized read + one range-exchange write;
     * commits as a rewrite (`optimize-zorder`), every prior version
     * stays time-travelable. Exactly two columns (the interleave is a
-    * bit-pair Morton code); partitioned tables refuse — their layout
-    * contract is one-group-per-value (z-order within a partition is
-    * compactSmall + a future per-partition variant); MOR deletes and
+    * bit-pair Morton code); partitioned tables refuse — z-ordering
+    * would break their one-group-per-value contract; MOR deletes and
     * pending rename/drop must be materialized first (raw group
     * rewrite). */
   def optimizeZOrder(spark: SparkSession, root: String,
@@ -2083,6 +2185,12 @@ object LakeTable {
             predicate: org.apache.spark.sql.Column): Int = {
     val v = deleteWhere(spark, root, predicate)
     vacuum(spark, root, keepVersions = 1)
+    // erasure beats the feed: under CDF the delete commit's own change
+    // sidecar holds exactly the purged rows — scrub it too (the
+    // streaming source treats the gap as a loud refusal, never a
+    // silent skip)
+    cdcPathAt(manifestMeta(spark, root, v))
+      .foreach(rel => fs(spark, root).delete(new Path(root, rel), true))
     v
   }
 
@@ -2511,6 +2619,10 @@ object LakeTable {
         .filterNot(kept.contains)
         .filterNot(d => new Path(d).isAbsolute)
         .foreach(d => f.delete(new Path(root, d), true))
+      // a dropped version's change sidecar goes with it: the feed is
+      // only ever served for time-travelable versions
+      cdcPathAt(manifestMeta(spark, root, v))
+        .foreach(rel => f.delete(new Path(root, rel), true))
       f.delete(manifestPath(root, v), false)
     }
   }
