@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.sources.{LakeAnnIndex, LakeTable}
+import graft.sources.{LakeAnnIndex, LakeMinHashIndex, LakeTable}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -2387,6 +2387,52 @@ object LakeQueries {
     } }
   }
 
+  /** q319: ingest-time near-dup screening against a committed corpus
+    * index ([[graft.sources.LakeMinHashIndex]]) — the 100 TB corpus-
+    * build primitive: "does this new batch near-duplicate anything
+    * already ingested?" answered in O(batch). Lifecycle: (1) the
+    * corpus (docs with id%3≠0) commits as a lake table and builds its
+    * MinHash band index (one signature pass, sidecar + metadata
+    * commit); (2) the new batch (id%3=0) probes — band hashes equi-
+    * join the index, candidates verify by EXACT word-bigram Jaccard
+    * (the index prunes, the decision is exact), survivors return;
+    * (3) the oracle recomputes the drop set by ALL-PAIRS exact Jaccard
+    * batch×corpus in DuckDB — the engine's pruned answer must equal
+    * the unpruned truth (same contract as q55); (4) probing a STALE
+    * index (an append moved the table) refuses loudly. */
+  def ingestDedup(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(s, dir, "documents")
+      .select(col("doc_id"), col("text"))
+    graft.util.LocalFrame.withConf(s, "spark.sql.shuffle.partitions", "8") {
+    graft.util.Tmp.withTempDir("graft_lake_q319") { rootPath =>
+      val root = rootPath.toString
+      val corpus = docs.filter(col("doc_id") % 3 =!= 0)
+      val batch = docs.filter(col("doc_id") % 3 === 0)
+      LakeTable.create(s, root, corpus)
+      LakeMinHashIndex.indexMinHash(s, root, "doc_id", "text")
+      val kept = LakeMinHashIndex.dedupNewBatch(
+        s, root, batch, "doc_id", "text", threshold = 0.3)
+      val t = kept.agg(count(lit(1)).as("n"),
+        sum(length(col("text")).cast("long")).as("len")).head()
+      val nBatch = batch.count()
+      // a stale index refuses: the corpus moved past the indexed
+      // snapshot, so new-vs-new dedup would silently stop
+      LakeTable.append(s, root, batch.limit(1))
+      val refusedStale =
+        try { LakeMinHashIndex.dedupNewBatch(
+          s, root, batch, "doc_id", "text"); 0L }
+        catch { case _: IllegalArgumentException => 1L }
+      import s.implicits._
+      graft.util.LocalFrame.materialize(Seq(
+        ("len_kept", t.getLong(1)),
+        ("n_batch", nBatch),
+        ("n_dropped", nBatch - t.getLong(0)),
+        ("n_kept", t.getLong(0)),
+        ("refused_stale_index", refusedStale)
+      ).toDF("fact", "n").orderBy(col("fact")))
+    } }
+  }
+
   /** q297: identity columns ([[graft.sources.LakeTable.setIdentity]])
     * — Delta's `GENERATED ALWAYS AS IDENTITY (START WITH 10 INCREMENT
     * BY 5)` as an oracle-checked lifecycle: (1) the column arrives by
@@ -2516,6 +2562,7 @@ object LakeQueries {
     "q316_sql_clone_detail"    -> (sqlCloneDetail _),
     "q317_sql_zorder"          -> (sqlZOrder _),
     "q318_stream_change_feed"  -> (streamChangeFeed _),
+    "q319_ingest_dedup"        -> (ingestDedup _),
     "q282_hll_index_lake"      -> (hllIndexLifecycle _),
     "q281_unique_constraint"   -> (uniqueLifecycle _),
     "q288_column_default"      -> (defaultLifecycle _),
@@ -2882,6 +2929,34 @@ object LakeQueries {
         |UNION ALL SELECT 'update_preimage_5', count(*),
         |  CAST(sum(cents) AS BIGINT)
         |FROM o WHERE k % 4 = 1 AND k % 3 IN (0, 1) AND k % 5 <> 0
+        |ORDER BY fact""".stripMargin,
+    // q319: the drop set recomputed by UNPRUNED all-pairs exact
+    // word-bigram Jaccard batch×corpus (the q55 shingle definition);
+    // the engine's LSH-pruned, exactly-verified answer must equal it
+    "q319_ingest_dedup" ->
+      """WITH w AS (SELECT doc_id,
+        |  CASE WHEN len(ws) >= 2
+        |   THEN list_distinct(list_transform(range(1, len(ws)),
+        |                                     i -> ws[i] || ' ' || ws[i+1]))
+        |   ELSE [array_to_string(ws, ' ')] END AS sh
+        |  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws
+        |        FROM documents)),
+        |b AS (SELECT * FROM w WHERE doc_id % 3 = 0),
+        |c AS (SELECT * FROM w WHERE doc_id % 3 <> 0),
+        |drops AS (SELECT DISTINCT b.doc_id FROM b JOIN c ON
+        |  CAST(len(list_intersect(b.sh, c.sh)) AS DOUBLE) /
+        |    (len(b.sh) + len(c.sh) - len(list_intersect(b.sh, c.sh)))
+        |    >= 0.3),
+        |kept AS (SELECT doc_id, text FROM documents
+        |         WHERE doc_id % 3 = 0
+        |           AND doc_id NOT IN (SELECT doc_id FROM drops))
+        |SELECT 'len_kept' AS fact,
+        |       CAST(sum(length(text)) AS BIGINT) AS n FROM kept
+        |UNION ALL SELECT 'n_batch',
+        |  (SELECT count(*) FROM documents WHERE doc_id % 3 = 0)
+        |UNION ALL SELECT 'n_dropped', (SELECT count(*) FROM drops)
+        |UNION ALL SELECT 'n_kept', count(*) FROM kept
+        |UNION ALL SELECT 'refused_stale_index', CAST(1 AS BIGINT)
         |ORDER BY fact""".stripMargin,
     // q297: the identity-series facts are pure arithmetic on the
     // engine-assigned id block (start 10, step 5, n = the two stamped

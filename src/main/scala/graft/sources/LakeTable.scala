@@ -637,6 +637,12 @@ object LakeTable {
       k.startsWith("annmodel:") || k.startsWith("anncodes:") ||
       k.startsWith("hllsk:") || k.startsWith("kllsk:") ||
       k.startsWith("identity:") ||
+      // MinHash index keys carry so a post-append probe refuses with
+      // the EXPLICIT version-mismatch message (mhver stays behind the
+      // table version — the index is stale, not gone); rewrites drop
+      // the keys entirely, which refuses as "no index"
+      k.startsWith("mhidx:") || k.startsWith("mhparams:") ||
+      k.startsWith("mhver:") ||
       k.startsWith("part:") || k == "partcol" ||
       k == "deletes" || k == "deletekey" || k == "colmap" ||
       k == "coldrop"
