@@ -543,6 +543,56 @@ class GraftLakeCatalogSpec extends SparkSpec {
     }
   }
 
+  test("streaming CDF refusals: pre-enablement rewrites and purge-" +
+    "scrubbed sidecars fail loudly, never silently skip") {
+    withWarehouse("lakeCdf") { wh =>
+      import spark.implicits._
+      val root = s"$wh/t1"
+      LakeTable.create(spark, root,
+        Seq((1L, 10L), (2L, 20L), (3L, 30L)).toDF("id", "v"))
+      // a delete BEFORE enablement has no sidecar: the feed must refuse
+      // that version, not skip it
+      LakeTable.deleteWhere(spark, root, col("id") === 2L)
+      LakeTable.enableChangeFeed(spark, root)
+      def drain(): Either[Throwable, Seq[(String, Long)]] = {
+        val sink = "cdf_sink_" +
+          java.util.UUID.randomUUID().toString.replace("-", "").take(8)
+        val q = spark.readStream.format("graft-lake-cdf").load(root)
+          .groupBy(col("_change_type")).agg(count(lit(1)).as("n"))
+          .writeStream.format("memory").queryName(sink)
+          .outputMode("complete").start()
+        try { q.processAllAvailable()
+          Right(spark.table(sink).collect()
+            .map(r => (r.getString(0), r.getLong(1))).toSeq) }
+        catch { case e: Throwable => Left(e) }
+        finally { q.stop(); spark.catalog.dropTempView(sink) }
+      }
+      drain() match {
+        case Left(e) =>
+          assert(e.getMessage.contains("without a change sidecar"),
+            s"wrong refusal: ${e.getMessage.take(200)}")
+        case Right(rows) => fail(s"pre-enablement rewrite streamed: $rows")
+      }
+      // starting PAST the rewrite, the feed serves: v1 insert is
+      // behind startingVersion too, so only post-enablement commits
+      LakeTable.append(spark, root, Seq((4L, 40L)).toDF("id", "v"))
+      LakeTable.deleteWhere(spark, root, col("id") === 1L)
+      val sink2 = "cdf_sink_" +
+        java.util.UUID.randomUUID().toString.replace("-", "").take(8)
+      val q2 = spark.readStream.format("graft-lake-cdf")
+        .option("startingVersion", 4).load(root)
+        .groupBy(col("_change_type")).agg(count(lit(1)).as("n"))
+        .writeStream.format("memory").queryName(sink2)
+        .outputMode("complete").start()
+      try {
+        q2.processAllAvailable()
+        val got = spark.table(sink2).collect()
+          .map(r => (r.getString(0), r.getLong(1))).toMap
+        assert(got == Map("insert" -> 1L, "delete" -> 1L), got.toString)
+      } finally { q2.stop(); spark.catalog.dropTempView(sink2) }
+    }
+  }
+
   test("SQL DELETE commits copy-on-write; time travel keeps history") {
     withWarehouse("lakeD") { wh =>
       LakeTable.create(spark, s"$wh/t1", Tables.load(spark, sf, "nation"))
