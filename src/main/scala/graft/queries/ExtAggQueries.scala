@@ -718,11 +718,136 @@ object ExtAggQueries {
         col("m.ma").as("at_month_a"), col("m.mb").as("at_month_b"))
   }
 
+  /** q320: Spearman rank correlation between per-customer order COUNT
+    * and per-customer SPEND — "do frequent buyers also spend more?"
+    * asked robustly (rank correlation is invariant to any monotone
+    * transform and immune to the heavy spend tail that distorts
+    * Pearson). Ties take midranks; exactness rides the q308 doubled-
+    * midrank identity TWICE (once per variable): 2·midrank(v) =
+    * 2·c_lo(v) + ct(v) + 1 is an integer, and the centered doubled
+    * rank d = 2r − (n+1) is too (the mean doubled rank is exactly
+    * n+1), so Σdxdy / √(Σdx²·Σdy²) has integer numerator and
+    * integer radicand on both engines. The square root never
+    * happens: we report the exact integers (num, den_x, den_y) plus
+    * the SIGNED SQUARED correlation as a sign-split ppm —
+    * sign(num)·(num²·10⁶ div (den_x·den_y)) — every operand promoted
+    * through DECIMAL(38,0) (num²·10⁶ ≈ n⁶·10⁶ holds to n ≈ 2·10⁵
+    * customers; past that, consume the three exact sums and divide
+    * outside, the documented promote path).
+    *
+    * Scale shape: one hash aggregate to the per-customer frame, one
+    * bounded distinct-value frame + [[graft.operators.PrefixScan]]
+    * range exchange per variable (no window over raw rows), two
+    * shuffle joins to carry ranks back, one final aggregate. */
+  def spearmanRho(s: SparkSession, dir: String): DataFrame = {
+    val dec38 = DecimalType(38, 0)
+    val per = graft.Tables.load(s, dir, "orders")
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("x"),
+        (sum(col("o_totalprice").cast(DecimalType(18, 2))) * 100)
+          .cast("long").as("y"))
+    def rank2(v: String, out: String): DataFrame = {
+      val g = per.groupBy(col(v)).agg(count(lit(1)).as("ct"))
+      graft.operators.PrefixScan.withRunningSums(
+        g, Seq(col(v)), Seq((col("ct"), "cum")))
+        .select(col(v),
+          (lit(2) * (col("cum") - col("ct")) + col("ct") + lit(1))
+            .as(out))
+    }
+    per
+      .join(rank2("x", "rx2"), Seq("x"))
+      .join(rank2("y", "ry2"), Seq("y"))
+      .crossJoin(broadcast(per.agg(count(lit(1)).as("n"))))
+      .select(col("n"),
+        (col("rx2") - col("n") - 1).as("dx"),
+        (col("ry2") - col("n") - 1).as("dy"))
+      .agg(max(col("n")).as("n"),
+        sum(col("dx").cast(dec38) * col("dy")).as("num4"),
+        sum(col("dx").cast(dec38) * col("dx")).as("denx4"),
+        sum(col("dy").cast(dec38) * col("dy")).as("deny4"))
+      .select(col("n"),
+        col("num4").cast("long").as("spearman_num"),
+        col("denx4").cast("long").as("den_x"),
+        col("deny4").cast("long").as("den_y"),
+        expr("""CAST(CASE WHEN num4 >= 0
+                |  THEN (num4 * num4 * 1000000) div (denx4 * deny4)
+                |  ELSE -((num4 * num4 * 1000000) div (denx4 * deny4))
+                |END AS BIGINT)""".stripMargin).as("rho2_ppm"))
+  }
+
+  /** q321: Kruskal–Wallis H (1952) — q308's Mann–Whitney extended to
+    * ALL k order priorities at once: "does ANY priority class draw
+    * stochastically different order totals?" (the nonparametric
+    * one-way ANOVA). Doubled rank SUMS per group are exact by the
+    * q308 identity — 2Rᵢ = Σ_v cᵢ(v)·(2·c_lo(v)+ct(v)+1) — and H is
+    * determinized as staged integer division both engines replay
+    * verbatim: termᵢ = (2Rᵢ)² div nᵢ FIRST (Spark's IntegralDivide
+    * lands in a long, so the per-group quotient ≈ nᵢ(n+1)² must fit
+    * 2⁶³ — holds to n ≈ 3·10⁶ rows; past that, the exact per-group
+    * (nᵢ, 2Rᵢ) pairs are the promote path — k is bounded, collect
+    * them), then h_ppm = (Σterm · 3·10⁶) div (n(n+1)) − 3(n+1)·10⁶
+    * (3·10⁶ = 12·10⁶/4, the 4 from squaring the DOUBLED sum), and
+    * the tie-corrected h_corr_ppm = h_ppm·(n³−n) div ((n³−n) −
+    * Σ(t³−t)) with the tie cubes summed exactly on the
+    * distinct-value frame. Per-group truncation costs < k·3·10⁶/
+    * (n(n+1)) ppm — sub-ppm past 4k rows — and is replayed verbatim
+    * by the oracle, so equality is exact. All wide products promoted
+    * through DECIMAL(38,0); every div operand is nonnegative, so
+    * trunc (Spark) and floor (DuckDB //) agree.
+    *
+    * Scale shape: ONE data-sized hash aggregate to the (value,
+    * group) frame (k·|distinct| rows); the total-tie frame, the
+    * PrefixScan cumulative, and the k-row group fold are all bounded
+    * by the distinct-value count. No window over raw rows. */
+  def kruskalWallis(s: SparkSession, dir: String): DataFrame = {
+    val dec38 = DecimalType(38, 0)
+    val b = graft.Tables.load(s, dir, "orders")
+      .select(
+        (col("o_totalprice").cast(DecimalType(18, 2)) * 100)
+          .cast("long").as("cents"),
+        col("o_orderpriority").as("pri"))
+    val gv = b.groupBy(col("cents"), col("pri"))
+      .agg(count(lit(1)).as("ci"))
+    val gt = b.groupBy(col("cents")).agg(count(lit(1)).as("ct"))
+    val cum = graft.operators.PrefixScan.withRunningSums(
+      gt, Seq(col("cents")), Seq((col("ct"), "cum")))
+    val perGroup = gv.join(cum, Seq("cents"))
+      .groupBy(col("pri"))
+      .agg(sum(col("ci")).as("ni"),
+        sum(col("ci").cast(dec38) *
+          (lit(2) * (col("cum") - col("ct")) + col("ct") + lit(1))
+            .cast(dec38)).as("r2i"))
+    val ties = cum.agg(
+      sum((col("ct").cast(dec38) * col("ct") * col("ct") - col("ct")))
+        .as("tie_cubes"))
+    perGroup
+      .agg(sum(col("ni")).as("n"),
+        count(lit(1)).as("n_groups"),
+        sum(expr("""CAST((r2i * r2i) div CAST(ni AS DECIMAL(38,0))
+                    |     AS DECIMAL(38,0))""".stripMargin))
+          .as("terms"))
+      .crossJoin(broadcast(ties))
+      .select(col("n"), col("n_groups"),
+        expr("""(terms * 3000000) div
+                |    (CAST(n AS DECIMAL(38,0)) * (n + 1))
+                |  - 3 * (CAST(n AS DECIMAL(38,0)) + 1) * 1000000"""
+          .stripMargin).as("h4"),
+        expr("CAST(n AS DECIMAL(38,0)) * n * n - n").as("n3n"),
+        col("tie_cubes"))
+      .select(col("n"), col("n_groups"),
+        col("h4").cast("long").as("h_ppm"),
+        col("tie_cubes").cast("long").as("tie_cubes"),
+        expr("CAST((h4 * n3n) div (n3n - tie_cubes) AS BIGINT)")
+          .as("h_corr_ppm"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q294_ks_test"             -> (ksTest _),
     "q308_mann_whitney_u"      -> (mannWhitneyU _),
     "q309_mann_kendall"        -> (mannKendall _),
     "q310_theil_sen"           -> (theilSen _),
+    "q320_spearman_rho"        -> (spearmanRho _),
+    "q321_kruskal_wallis"      -> (kruskalWallis _),
     "q295_chi2_independence"   -> (chi2Independence _),
     "q285_central_moments"     -> (centralMoments _),
     "q204_winsorized_stats"    -> (winsorizedStats _),
@@ -777,6 +902,71 @@ object ExtAggQueries {
         |              ELSE -((ul - uh) * 1000000 // (uh + ul))
         |            END AS BIGINT) AS r_rb_ppm
         |FROM u""".stripMargin,
+    // q320: doubled midranks per variable via window cumulatives over
+    // the distinct-value frames (the Spark side's PrefixScan); centered
+    // doubled ranks are exact integers, HUGEINT internal, sign-split
+    // squared-rho ppm out
+    "q320_spearman_rho" ->
+      """WITH per AS (
+        |  SELECT o_custkey, CAST(count(*) AS BIGINT) AS x,
+        |         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100
+        |              AS BIGINT) AS y
+        |  FROM orders GROUP BY 1),
+        |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM per),
+        |gx AS (SELECT x, count(*) AS ct FROM per GROUP BY 1),
+        |cx AS (SELECT x, 2 * (sum(ct) OVER (ORDER BY x) - ct) + ct + 1
+        |         AS rx2 FROM gx),
+        |gy AS (SELECT y, count(*) AS ct FROM per GROUP BY 1),
+        |cy AS (SELECT y, 2 * (sum(ct) OVER (ORDER BY y) - ct) + ct + 1
+        |         AS ry2 FROM gy),
+        |d AS (SELECT CAST(cx.rx2 - nn.n - 1 AS HUGEINT) AS dx,
+        |             CAST(cy.ry2 - nn.n - 1 AS HUGEINT) AS dy
+        |      FROM per JOIN cx USING (x) JOIN cy USING (y), nn),
+        |s AS (SELECT sum(dx * dy) AS num4, sum(dx * dx) AS denx4,
+        |             sum(dy * dy) AS deny4 FROM d)
+        |SELECT nn.n AS n,
+        |       CAST(num4 AS BIGINT) AS spearman_num,
+        |       CAST(denx4 AS BIGINT) AS den_x,
+        |       CAST(deny4 AS BIGINT) AS den_y,
+        |       CAST(CASE WHEN num4 >= 0
+        |         THEN (num4 * num4 * 1000000) // (denx4 * deny4)
+        |         ELSE -((num4 * num4 * 1000000) // (denx4 * deny4))
+        |       END AS BIGINT) AS rho2_ppm
+        |FROM s, nn""".stripMargin,
+    // q321: doubled rank sums per priority over the same cumulative
+    // frame; staged integer divisions replayed verbatim (all operands
+    // nonnegative, so truncation == floor on both engines)
+    "q321_kruskal_wallis" ->
+      """WITH b AS (
+        |  SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |           AS cents,
+        |         o_orderpriority AS pri
+        |  FROM orders),
+        |gv AS (SELECT cents, pri, count(*) AS ci FROM b GROUP BY 1, 2),
+        |gt AS (SELECT cents, count(*) AS ct FROM b GROUP BY 1),
+        |c AS (SELECT cents, ct, sum(ct) OVER (ORDER BY cents) AS cum
+        |      FROM gt),
+        |pg AS (SELECT pri, CAST(sum(ci) AS HUGEINT) AS ni,
+        |              sum(CAST(ci AS HUGEINT)
+        |                  * (2 * (cum - ct) + ct + 1)) AS r2i
+        |       FROM gv JOIN c USING (cents) GROUP BY 1),
+        |ties AS (SELECT sum(CAST(ct AS HUGEINT) * ct * ct - ct)
+        |           AS tie_cubes FROM c),
+        |t AS (SELECT CAST(sum(ni) AS HUGEINT) AS n,
+        |             CAST(count(*) AS BIGINT) AS n_groups,
+        |             sum((r2i * r2i) // ni) AS terms
+        |      FROM pg),
+        |h AS (SELECT n, n_groups,
+        |             (terms * 3000000) // (n * (n + 1))
+        |               - 3 * (n + 1) * 1000000 AS h4,
+        |             n * n * n - n AS n3n, ties.tie_cubes
+        |      FROM t, ties)
+        |SELECT CAST(n AS BIGINT) AS n, n_groups,
+        |       CAST(h4 AS BIGINT) AS h_ppm,
+        |       CAST(tie_cubes AS BIGINT) AS tie_cubes,
+        |       CAST((h4 * n3n) // (n3n - tie_cubes) AS BIGINT)
+        |         AS h_corr_ppm
+        |FROM h""".stripMargin,
     // q310: identical ppm slopes and the identical total order — the
     // k-th row under (slope, ma, mb) is the same element by
     // construction

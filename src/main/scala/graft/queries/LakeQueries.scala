@@ -2547,6 +2547,103 @@ object LakeQueries {
     } }
   }
 
+  /** q322: `COPY INTO` — Databricks' idempotent bulk-ingest verb,
+    * SQL-only through [[graft.sources.GraftSqlParser]] →
+    * [[graft.sources.LakeTable.copyInto]]. The lifecycle every landing
+    * zone runs: (1) first COPY loads the three files present; (2) an
+    * identical re-run loads NOTHING and — the part schedulers depend
+    * on — does not even commit (version pinned unmoved); (3) a new
+    * file appears, the next COPY loads exactly it; (4) a PATTERN run
+    * matching only an already-loaded file skips it without a commit;
+    * (5) an already-loaded file MUTATES in place (here: doubled rows
+    * at 3× cents) — COPY refuses loudly (skip loses rows, reload
+    * double-counts; version again unmoved); (6) the explicit escape
+    * hatch `COPY_OPTIONS ('force' = 'true')` reloads all four matched
+    * files, duplicates included (the documented semantics), and
+    * re-stamps the ledger. Masses restate from orders: subsets are
+    * k%4 classes of the o_custkey%11=3 slice, the mutated f2 carries
+    * subset-2 doubled at 3× cents.
+    *
+    * Scale: each COPY lists names driver-side (O(files)), reads only
+    * NEW bytes, and appends through the standard validated path; the
+    * no-op runs cost zero commits and zero data reads. */
+  def copyIntoLifecycle(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.load(s, dir, "orders")
+      .filter(col("o_custkey") % 11 === 3)
+      .select(col("o_orderkey").as("k"),
+        expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)")
+          .as("cents"))
+    graft.util.LocalFrame.withConf(s, "spark.sql.shuffle.partitions", "8") {
+    graft.util.Tmp.withTempDir("graft_lake_q322") { rootPath =>
+      val wh = rootPath.toString
+      val landing = new org.apache.hadoop.fs.Path(wh, "landing")
+      val fsys = landing.getFileSystem(s.sparkContext.hadoopConfiguration)
+      fsys.mkdirs(landing)
+      def landFile(df: DataFrame, name: String): Unit = {
+        val stage = new org.apache.hadoop.fs.Path(wh,
+          s".stage-${java.util.UUID.randomUUID()}")
+        df.coalesce(1).write.parquet(stage.toString)
+        val part = fsys.listStatus(stage).map(_.getPath)
+          .filter(_.getName.endsWith(".parquet")).head
+        fsys.rename(part, new org.apache.hadoop.fs.Path(landing, name))
+        fsys.delete(stage, true)
+      }
+      (0 to 2).foreach(i =>
+        landFile(base.filter(col("k") % 4 === i), s"f$i.parquet"))
+      val cat = "lake_" +
+        java.util.UUID.randomUUID().toString.replace("-", "").take(12)
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftLakeCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+      try {
+        s.sql(s"CREATE TABLE $cat.t (k BIGINT, cents BIGINT)")
+        def copy(extra: String = ""): org.apache.spark.sql.Row = s.sql(
+          s"COPY INTO $cat.t FROM '${landing.toString}' " +
+            s"FILEFORMAT = PARQUET$extra").head()
+        val c1 = copy()
+        val c2 = copy()
+        landFile(base.filter(col("k") % 4 === 3), "f3.parquet")
+        val c3 = copy()
+        val cPat = copy(" PATTERN = 'f1*'")
+        // mutate f2 in place: doubled subset-2 rows at 3x cents (size
+        // must change — more rows guarantee it)
+        val mut = base.filter(col("k") % 4 === 2)
+          .withColumn("cents", col("cents") * 3)
+        fsys.delete(new org.apache.hadoop.fs.Path(landing, "f2.parquet"),
+          false)
+        landFile(mut.unionAll(mut), "f2.parquet")
+        val refused =
+          try { copy(); 0L } catch { case _: Exception => 1L }
+        val vAfterRefusal = graft.sources.LakeTable
+          .latestVersion(s, s"$wh/t").get.toLong
+        val cF = copy(" COPY_OPTIONS ('force' = 'true')")
+        val t = LakeTable.read(s, s"$wh/t")
+          .agg(count(lit(1)).as("n"), sum(col("cents")).as("c")).head()
+        import s.implicits._
+        graft.util.LocalFrame.materialize(Seq(
+          ("cents_final", t.getLong(1)),
+          ("copy1_loaded", c1.getLong(0)),
+          ("copy1_rows", c1.getLong(2)),
+          ("copy2_loaded", c2.getLong(0)),
+          ("copy2_skipped", c2.getLong(1)),
+          ("copy2_version_moved", c2.getLong(3) - c1.getLong(3)),
+          ("copy3_loaded", c3.getLong(0)),
+          ("copy3_rows", c3.getLong(2)),
+          ("force_loaded", cF.getLong(0)),
+          ("force_rows", cF.getLong(2)),
+          ("n_final", t.getLong(0)),
+          ("pattern_loaded", cPat.getLong(0)),
+          ("pattern_skipped", cPat.getLong(1)),
+          ("refused_mutated", refused),
+          ("version_after_force", cF.getLong(3)),
+          ("version_after_refusal", vAfterRefusal)
+        ).toDF("fact", "n").orderBy(col("fact")))
+      } finally {
+        s.conf.unset(s"spark.sql.catalog.$cat")
+        s.conf.unset(s"spark.sql.catalog.$cat.warehouse")
+      }
+    } }
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q302_partitioned_lake"    -> (partitionedLifecycle _),
     "q303_kll_index_lake"      -> (kllIndexLifecycle _),
@@ -2563,6 +2660,7 @@ object LakeQueries {
     "q317_sql_zorder"          -> (sqlZOrder _),
     "q318_stream_change_feed"  -> (streamChangeFeed _),
     "q319_ingest_dedup"        -> (ingestDedup _),
+    "q322_copy_into"           -> (copyIntoLifecycle _),
     "q282_hll_index_lake"      -> (hllIndexLifecycle _),
     "q281_unique_constraint"   -> (uniqueLifecycle _),
     "q288_column_default"      -> (defaultLifecycle _),
@@ -2873,6 +2971,45 @@ object LakeQueries {
         |UNION ALL SELECT 't2_groups_at_clone', CAST(2 AS BIGINT)
         |UNION ALL SELECT 't2_groups_diverged', CAST(3 AS BIGINT)
         |UNION ALL SELECT 't2_version_diverged', CAST(2 AS BIGINT)
+        |ORDER BY fact""".stripMargin,
+    // q322: masses restated from orders (k%4 subsets of the
+    // o_custkey%11=3 slice; the force pass re-loads everything with
+    // f2 as doubled subset-2 rows at 3x cents); file/version protocol
+    // facts pin as integers (create=1, copy1=2, copy3=3, force=4 —
+    // the no-op/pattern/refused runs move NOTHING)
+    "q322_copy_into" ->
+      """WITH o AS (
+        |  SELECT o_orderkey AS k,
+        |         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |           AS cents
+        |  FROM orders WHERE o_custkey % 11 = 3),
+        |a AS (SELECT
+        |  count(*) AS n_all,
+        |  CAST(sum(cents) AS BIGINT) AS c_all,
+        |  count(*) FILTER (k % 4 = 2) AS n2,
+        |  CAST(sum(CASE WHEN k % 4 = 2 THEN cents ELSE 0 END) AS BIGINT)
+        |    AS c2,
+        |  count(*) FILTER (k % 4 = 3) AS n3
+        | FROM o)
+        |SELECT 'cents_final' AS fact,
+        |       CAST(2 * c_all + 5 * c2 AS BIGINT) AS n FROM a
+        |UNION ALL SELECT 'copy1_loaded', CAST(3 AS BIGINT)
+        |UNION ALL SELECT 'copy1_rows', CAST(n_all - n3 AS BIGINT) FROM a
+        |UNION ALL SELECT 'copy2_loaded', CAST(0 AS BIGINT)
+        |UNION ALL SELECT 'copy2_skipped', CAST(3 AS BIGINT)
+        |UNION ALL SELECT 'copy2_version_moved', CAST(0 AS BIGINT)
+        |UNION ALL SELECT 'copy3_loaded', CAST(1 AS BIGINT)
+        |UNION ALL SELECT 'copy3_rows', CAST(n3 AS BIGINT) FROM a
+        |UNION ALL SELECT 'force_loaded', CAST(4 AS BIGINT)
+        |UNION ALL SELECT 'force_rows',
+        |  CAST(n_all + n2 AS BIGINT) FROM a
+        |UNION ALL SELECT 'n_final',
+        |  CAST(2 * n_all + n2 AS BIGINT) FROM a
+        |UNION ALL SELECT 'pattern_loaded', CAST(0 AS BIGINT)
+        |UNION ALL SELECT 'pattern_skipped', CAST(1 AS BIGINT)
+        |UNION ALL SELECT 'refused_mutated', CAST(1 AS BIGINT)
+        |UNION ALL SELECT 'version_after_force', CAST(4 AS BIGINT)
+        |UNION ALL SELECT 'version_after_refusal', CAST(3 AS BIGINT)
         |ORDER BY fact""".stripMargin,
     // q317: corner counts restated with the same 0.9·max threshold
     // arithmetic (both engines compute it in IEEE doubles, so the >=

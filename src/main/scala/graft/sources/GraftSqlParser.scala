@@ -30,6 +30,11 @@ import org.apache.spark.sql.types.{LongType, StringType, StructType}
   *    [[LakeTable.shallowClone]] (zero-copy fork by reference);
   *  - `DESCRIBE DETAIL <cat>.<t>` → the one-row table summary
   *    (format/location/version/groups/bytes/partitioning/constraints);
+  *  - `COPY INTO <cat>.<t> FROM '<dir>' FILEFORMAT = PARQUET
+  *    [PATTERN = '<glob>'] [COPY_OPTIONS ('force' = 'true')]` →
+  *    [[LakeTable.copyInto]] (idempotent file-level bulk ingest:
+  *    loaded files skip by ledger, nothing-new is a no-op commit-wise,
+  *    a mutated already-loaded file refuses unless forced);
   *  - `INSERT INTO <cat>.<t> REPLACE WHERE <cond> <query>` → the DSv2
   *    overwrite path ([[GraftLakeTable.filtersToBand]]): the condition
   *    must reduce to a single-column band or the write refuses loudly.
@@ -93,6 +98,8 @@ object GraftSqlParser {
     """(?is)^\s*CREATE\s+TABLE\s+([\w`]+(?:\.[\w`]+)+)\s+SHALLOW\s+CLONE\s+([\w`]+(?:\.[\w`]+)+)\s*;?\s*$""".r
   private val DetailRe =
     """(?is)^\s*DESCRIBE\s+DETAIL\s+([\w`]+(?:\.[\w`]+)+)\s*;?\s*$""".r
+  private val CopyIntoRe =
+    """(?is)^\s*COPY\s+INTO\s+([\w`]+(?:\.[\w`]+)+)\s+FROM\s+'([^']+)'\s+FILEFORMAT\s*=\s*(\w+)(?:\s+PATTERN\s*=\s*'([^']+)')?(?:\s+COPY_OPTIONS\s*\(\s*'force'\s*=\s*'(\w+)'\s*\))?\s*;?\s*$""".r
 
   private def parts(ident: String): Seq[String] =
     ident.split("\\.").toSeq.map(_.stripPrefix("`").stripSuffix("`"))
@@ -120,6 +127,17 @@ object GraftSqlParser {
         Some(GraftCloneCommand(parts(dst), parts(src)))
       case DetailRe(t) =>
         Some(GraftDescribeDetailCommand(parts(t)))
+      case CopyIntoRe(t, path, fmt, pat, force) =>
+        require(fmt.equalsIgnoreCase("PARQUET"),
+          s"COPY INTO supports FILEFORMAT = PARQUET only, got '$fmt'")
+        val forced = Option(force) match {
+          case None => false
+          case Some(v) if v.equalsIgnoreCase("true") => true
+          case Some(v) if v.equalsIgnoreCase("false") => false
+          case Some(v) => throw new IllegalArgumentException(
+            s"COPY_OPTIONS 'force' must be 'true' or 'false', got '$v'")
+        }
+        Some(GraftCopyIntoCommand(parts(t), path, Option(pat), forced))
       case RestoreRe(t, v) =>
         Some(GraftMaintenanceCommand("restore", parts(t), Some(v.toLong)))
       case ReplaceWhereRe(t, cond, query) =>
@@ -253,6 +271,28 @@ case class GraftDescribeDetailCommand(nameParts: Seq[String])
       k.startsWith("check:") || k.startsWith("unique:")).toLong
     Seq(Row("graft-lake", root, v.toLong, dirs.size.toLong, bytes,
       LakeTable.partColsAt(meta).mkString(","), nConstraints))
+  }
+}
+
+/** `COPY INTO t FROM '<dir>' FILEFORMAT = PARQUET [PATTERN = '<glob>']
+  * [COPY_OPTIONS ('force' = 'true')]` — Databricks' idempotent bulk
+  * ingest ([[LakeTable.copyInto]]): already-loaded files skip by
+  * ledger, nothing-new is a true no-op (the version does not move), a
+  * previously-loaded file that changed size refuses unless forced,
+  * and new files land through the SAME validated append path as every
+  * other write. */
+case class GraftCopyIntoCommand(nameParts: Seq[String], srcDir: String,
+                                pattern: Option[String], force: Boolean)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("num_loaded_files", LongType, nullable = false)(),
+    AttributeReference("num_skipped_files", LongType, nullable = false)(),
+    AttributeReference("num_inserted_rows", LongType, nullable = false)(),
+    AttributeReference("version", LongType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val (loaded, skipped, rows, v) = LakeTable.copyInto(spark,
+      GraftSqlParser.rootFor(spark, nameParts), srcDir, pattern, force)
+    Seq(Row(loaded, skipped, rows, v.toLong))
   }
 }
 

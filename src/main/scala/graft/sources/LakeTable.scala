@@ -210,6 +210,12 @@ object LakeTable {
             (k.startsWith("check:") || k.startsWith("unique:") ||
               k.startsWith("default:") || k.startsWith("identity:") ||
               k.startsWith("gencol:") || k == "partcol" ||
+              // the COPY INTO ledger is table-level ingest state, not
+              // file-group state — it survives every commit type so a
+              // compaction or overwrite can never silently re-open the
+              // door to double-loading (Delta parity: FORCE is the
+              // only way back in)
+              k.startsWith("copied:") ||
               k == "cdf") &&
               !meta0.contains(k) }
           meta0 ++ schema ++ checks
@@ -525,6 +531,106 @@ object LakeTable {
       case (d, Some(pv)) => s"part:$d" -> pv }.toMap
     commitAppendMulti(spark, root, base, parts.map(_._1),
       stats ++ partMeta ++ extraMeta)
+  }
+
+  /** `COPY INTO` — Databricks' idempotent bulk-ingest verb, the Scala
+    * half of `COPY INTO t FROM '<dir>' FILEFORMAT = PARQUET`
+    * ([[GraftCopyIntoCommand]]): file-level exactly-once ingest from a
+    * landing directory. Every loaded source file is keyed by its full
+    * path in a `copied:<hex(path)>=<bytes>` manifest ledger that
+    * [[commitVersion]] auto-carries through EVERY later commit
+    * (append / merge / compact / overwrite / restore — after a
+    * truncating INSERT OVERWRITE the files STAY loaded, Delta parity:
+    * re-ingesting them needs an explicit FORCE). A re-run loads only
+    * unseen files, and a run with nothing new is a TRUE no-op — no
+    * commit, the version does not move, so a scheduled hourly COPY
+    * costs zero versions on idle hours. A previously-loaded path whose
+    * SIZE changed refuses loudly: the source mutated under the ledger,
+    * and both silent choices are wrong (skip loses the new rows,
+    * reload double-counts the old ones); `force = true` is the
+    * explicit override — it reloads every matched file (duplicates
+    * included, the documented Databricks semantics) and re-stamps the
+    * ledger. New files ingest through [[appendInternal]], so declared
+    * defaults, generated columns, identity stamping, CHECK/UNIQUE
+    * constraints and partition routing gate COPY exactly as they gate
+    * appends.
+    *
+    * Scale: the listing is one driver-side names-only pass over the
+    * landing dir (O(files), no data bytes); the read is data-sized in
+    * NEW bytes only; the ledger adds one manifest line per loaded
+    * file — linear manifest growth with file count, the same per-file
+    * metadata trade Delta's JSON log makes.
+    *
+    * Returns (files_loaded, files_skipped, rows_inserted, version);
+    * `version` is the unmoved current version when nothing loads. */
+  def copyInto(spark: SparkSession, root: String, srcDir: String,
+               pattern: Option[String] = None,
+               force: Boolean = false): (Long, Long, Long, Int) = {
+    val cur = latestVersion(spark, root).getOrElse(
+      throw new IllegalStateException(s"no table at $root"))
+    val f = fs(spark, root)
+    val src = new Path(srcDir)
+    require(f.exists(src), s"COPY INTO source does not exist: $srcDir")
+    val rx = pattern.map(globToRegex)
+    val all = f.listStatus(src).toSeq
+      .filter(_.isFile)
+      .filterNot { st =>
+        val n = st.getPath.getName
+        n.startsWith("_") || n.startsWith(".")
+      }
+      .filter(st => rx.forall(r => r.matches(st.getPath.getName)))
+      .sortBy(_.getPath.getName)
+    val ledger = manifestMeta(spark, root, cur).collect {
+      case (k, v) if k.startsWith("copied:") =>
+        k.stripPrefix("copied:") -> v
+    }
+    def keyOf(st: org.apache.hadoop.fs.FileStatus): String =
+      hexStr(st.getPath.toString)
+    val (seen, fresh) = all.partition(st => ledger.contains(keyOf(st)))
+    if (!force)
+      seen.find(st => ledger(keyOf(st)) != st.getLen.toString)
+        .foreach(st => throw new IllegalStateException(
+          s"COPY INTO at $root: previously loaded file ${st.getPath} " +
+            s"changed size (${ledger(keyOf(st))} -> ${st.getLen} bytes) " +
+            "— the source mutated after load; skipping would lose the " +
+            "new rows and reloading would double-count the old ones. " +
+            "Re-run with COPY_OPTIONS ('force' = 'true') to reload " +
+            "every matched file explicitly."))
+    val toLoad = if (force) all else fresh
+    if (toLoad.isEmpty) (0L, seen.size.toLong, 0L, cur)
+    else {
+      val batch = spark.read
+        .parquet(toLoad.map(_.getPath.toString): _*)
+      // footer-count pass (no data pages) — the reported insert count
+      // must describe the files as listed, before append lands them
+      val rows = batch.count()
+      val newKeys = toLoad.map(st =>
+        s"copied:${keyOf(st)}" -> st.getLen.toString).toMap
+      val v = appendInternal(spark, root, batch, Nil,
+        newKeys + ("op" -> "copy-into"))
+      (toLoad.size.toLong, (all.size - toLoad.size).toLong, rows, v)
+    }
+  }
+
+  /** Lossless filesystem/manifest-safe encoding for ledger keys (the
+    * partition-surrogate rule: hex can't collide and can't smuggle
+    * '=' or control chars into a manifest line). */
+  private def hexStr(s: String): String =
+    s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      .map(b => f"${b & 0xff}%02x").mkString
+
+  /** PATTERN glob → anchored regex over the file NAME ('*' and '?'
+    * never cross a path separator; everything else is literal). */
+  private def globToRegex(glob: String): scala.util.matching.Regex = {
+    val sb = new StringBuilder("^")
+    glob.foreach {
+      case '*' => sb.append("[^/]*")
+      case '?' => sb.append("[^/]")
+      case c if "\\.[]{}()+-^$|".indexOf(c) >= 0 =>
+        sb.append('\\').append(c)
+      case c => sb.append(c)
+    }
+    sb.append("$").toString.r
   }
 
   /** Append phase 1: validate against the base snapshot and write the

@@ -606,4 +606,66 @@ class GraftLakeCatalogSpec extends SparkSpec {
       assert(spark.sql("SELECT count(*) FROM lakeD.t1").head.getLong(0) == 20)
     }
   }
+
+  test("COPY INTO: idempotent ledger, no-op without commit, mutation " +
+      "refusal, carry through OPTIMIZE, FORCE escape") {
+    withWarehouse("lakeCP") { wh =>
+      val fsys = new org.apache.hadoop.fs.Path(wh)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val landing = new org.apache.hadoop.fs.Path(wh, "landing")
+      fsys.mkdirs(landing)
+      def land(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+        val stage = new org.apache.hadoop.fs.Path(wh, s".st-$name")
+        df.coalesce(1).write.parquet(stage.toString)
+        val part = fsys.listStatus(stage).map(_.getPath)
+          .filter(_.getName.endsWith(".parquet")).head
+        fsys.rename(part, new org.apache.hadoop.fs.Path(landing, name))
+        fsys.delete(stage, true)
+      }
+      val nation = Tables.load(spark, sf, "nation")
+        .select(col("n_nationkey").as("k"), col("n_name").as("v"))
+      land(nation.filter(col("k") < 10), "a.parquet")
+      land(nation.filter(col("k") >= 10 && col("k") < 20), "b.parquet")
+      spark.sql("CREATE TABLE lakeCP.t (k BIGINT, v STRING)")
+      def copy(extra: String = ""): org.apache.spark.sql.Row =
+        spark.sql(s"COPY INTO lakeCP.t FROM '$landing' " +
+          s"FILEFORMAT = PARQUET$extra").head()
+      // FILEFORMAT gate refuses at parse, before any table/FS touch
+      val fmtEx = intercept[Exception](
+        spark.sql(s"COPY INTO lakeCP.t FROM '$landing' FILEFORMAT = CSV"))
+      assert(fmtEx.getMessage.contains("PARQUET only"))
+      val c1 = copy()
+      assert(c1.getLong(0) == 2 && c1.getLong(2) == 20)
+      // re-run: nothing new, NO commit — the version must not move
+      val c2 = copy()
+      assert(c2.getLong(0) == 0 && c2.getLong(1) == 2)
+      assert(c2.getLong(3) == c1.getLong(3))
+      assert(LakeTable.versions(spark, s"$wh/t") == Seq(1, 2))
+      // the ledger survives a compaction commit (copied: auto-carry):
+      // after OPTIMIZE rewrites the file groups, a re-copy still skips
+      land(nation.filter(col("k") >= 20), "c.parquet")
+      assert(copy().getLong(0) == 1)
+      spark.sql("OPTIMIZE lakeCP.t")
+      val c3 = copy()
+      assert(c3.getLong(0) == 0 && c3.getLong(1) == 3,
+        "compaction must not re-open loaded files to double-loading")
+      // in-place mutation refuses without FORCE (version unmoved) ...
+      fsys.delete(new org.apache.hadoop.fs.Path(landing, "a.parquet"), false)
+      land(nation.filter(col("k") < 10).unionAll(
+        nation.filter(col("k") < 10)), "a.parquet")
+      val vBefore = LakeTable.latestVersion(spark, s"$wh/t").get
+      val ex = intercept[IllegalStateException](copy())
+      assert(ex.getMessage.contains("changed size"))
+      assert(LakeTable.latestVersion(spark, s"$wh/t").get == vBefore)
+      // ... and FORCE reloads every matched file, duplicates included
+      // a-new 20 rows + b 10 + c 5 = 35 forced rows on top of the 25
+      val cf = copy(" COPY_OPTIONS ('force' = 'true')")
+      assert(cf.getLong(0) == 3 && cf.getLong(2) == 35)
+      assert(spark.sql("SELECT count(*) FROM lakeCP.t").head.getLong(0)
+        == 25 + 35)
+      // PATTERN restricts the match set by file name
+      val cp = copy(" PATTERN = 'b*.parquet'")
+      assert(cp.getLong(0) == 0 && cp.getLong(1) == 1)
+    }
+  }
 }
