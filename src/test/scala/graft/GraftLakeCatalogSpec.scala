@@ -668,4 +668,89 @@ class GraftLakeCatalogSpec extends SparkSpec {
       assert(cp.getLong(0) == 0 && cp.getLong(1) == 1)
     }
   }
+
+  test("CREATE OR REPLACE TABLE: staged atomic redefinition preserves " +
+      "history, resets constraints and the COPY ledger") {
+    withWarehouse("lakeRP") { wh =>
+      val nation = Tables.load(spark, sf, "nation")
+        .select(col("n_nationkey").as("k"), col("n_regionkey").as("r"))
+      nation.createOrReplaceTempView("lakerp_src")
+      spark.sql("CREATE TABLE lakeRP.t AS SELECT k, r FROM lakerp_src")
+      spark.sql("ALTER TABLE lakeRP.t ADD CONSTRAINT pos CHECK (r >= 0)")
+      assert(spark.sql("SELECT count(*) FROM lakeRP.t").head.getLong(0) == 25)
+      // the old CHECK gates the old definition...
+      intercept[Exception](
+        spark.sql("INSERT INTO lakeRP.t VALUES (99, CAST(-1 AS BIGINT))"))
+      // ...and a COPY ledger accumulates
+      val landing = new org.apache.hadoop.fs.Path(wh, "landing")
+      val fsys = landing.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fsys.mkdirs(landing)
+      val stage = new org.apache.hadoop.fs.Path(wh, ".st")
+      nation.limit(5).coalesce(1).write.parquet(stage.toString)
+      fsys.rename(
+        fsys.listStatus(stage).map(_.getPath)
+          .filter(_.getName.endsWith(".parquet")).head,
+        new org.apache.hadoop.fs.Path(landing, "x.parquet"))
+      fsys.delete(stage, true)
+      assert(spark.sql(s"COPY INTO lakeRP.t FROM '$landing' " +
+        "FILEFORMAT = PARQUET").head.getLong(0) == 1)
+      val vPre = LakeTable.latestVersion(spark, s"$wh/t").get
+      // atomic replace: new schema, next version, history intact
+      spark.sql("CREATE OR REPLACE TABLE lakeRP.t AS " +
+        "SELECT k, r * 10 AS r10 FROM lakerp_src WHERE k < 5")
+      assert(LakeTable.latestVersion(spark, s"$wh/t").get == vPre + 1)
+      assert(spark.sql("SELECT count(*) FROM lakeRP.t").head.getLong(0) == 5)
+      assert(spark.sql(s"SELECT count(*) FROM lakeRP.t VERSION AS OF $vPre")
+        .head.getLong(0) == 30)
+      // old CHECK does not bind to the new contract
+      spark.sql("INSERT INTO lakeRP.t VALUES (98, CAST(-7 AS BIGINT))")
+      // the COPY ledger reset with the contract: no copied: keys
+      // survive the replace commit (a re-ingest of the same paths is
+      // a fresh decision under the new definition)
+      val metaPost = LakeTable.manifestMetaAt(spark, s"$wh/t",
+        LakeTable.latestVersion(spark, s"$wh/t").get)
+      assert(!metaPost.keys.exists(_.startsWith("copied:")),
+        "replace must reset the ingest ledger")
+      // REPLACE TABLE on a missing table refuses; OR REPLACE creates
+      intercept[Exception](spark.sql(
+        "REPLACE TABLE lakeRP.missing AS SELECT k FROM lakerp_src"))
+      spark.sql("CREATE OR REPLACE TABLE lakeRP.fresh AS " +
+        "SELECT k FROM lakerp_src WHERE k < 3")
+      assert(spark.sql("SELECT count(*) FROM lakeRP.fresh")
+        .head.getLong(0) == 3)
+      // TRUNCATE TABLE keeps the contract the replace just declared:
+      // zero rows, same schema, and the pre-truncate snapshot (with
+      // the negative probe row) still time-travels
+      val vPreTrunc = LakeTable.latestVersion(spark, s"$wh/t").get
+      spark.sql("TRUNCATE TABLE lakeRP.t")
+      assert(LakeTable.latestVersion(spark, s"$wh/t").get == vPreTrunc + 1)
+      assert(spark.sql("SELECT count(*) FROM lakeRP.t").head.getLong(0) == 0)
+      assert(spark.sql(
+        s"SELECT count(*) FROM lakeRP.t VERSION AS OF $vPreTrunc")
+        .head.getLong(0) == 6)
+      spark.sql("INSERT INTO lakeRP.t VALUES (1, CAST(11 AS BIGINT))")
+      assert(spark.sql("SELECT sum(r10) FROM lakeRP.t").head.getLong(0) == 11)
+      // CDF tables feed truncate as delete-everything (stage-then-
+      // reference, same rule as overwrite)
+      LakeTable.create(spark, s"$wh/cdc_t",
+        nation.filter(col("k") < 4))
+      LakeTable.enableChangeFeed(spark, s"$wh/cdc_t")
+      LakeTable.truncateTable(spark, s"$wh/cdc_t")
+      val feed = LakeTable.changes(spark, s"$wh/cdc_t", 2, 3, "k")
+      assert(feed.filter(col("_change_type") === "delete").count() == 4)
+      assert(feed.count() == 4)
+      assert(LakeTable.manifestMetaAt(spark, s"$wh/cdc_t", 3)
+        .contains("cdc"), "truncate on a CDF table must stage a sidecar")
+      // partitioned replace routes per tuple and prunes by manifest
+      spark.sql("CREATE OR REPLACE TABLE lakeRP.t PARTITIONED BY (r) AS " +
+        "SELECT k, r FROM lakerp_src")
+      val meta = LakeTable.manifestMetaAt(spark, s"$wh/t",
+        LakeTable.latestVersion(spark, s"$wh/t").get)
+      assert(meta.get("partcol").contains("r"))
+      assert(spark.sql("SELECT count(*) FROM lakeRP.t WHERE r = 2")
+        .head.getLong(0) ==
+        nation.filter(col("r") === 2).count())
+      spark.catalog.dropTempView("lakerp_src")
+    }
+  }
 }

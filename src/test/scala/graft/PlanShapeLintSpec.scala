@@ -73,7 +73,12 @@ class PlanShapeLintSpec extends SparkSpec {
     "q279_cusum_alerts" ->
       ("the same calendar-bounded monthly series as q263 (≤ ~84 " +
         "entries at any SF); the CUSUM recurrence folds per group in " +
-        "one aggregate HOF, driver holds nothing"))
+        "one aggregate HOF, driver holds nothing"),
+    "q325_acf_ljung_box" ->
+      ("lag and cumulative triangle joins over the calendar-bounded " +
+        "monthly frame (≤ ~84 rows at any SF, then 6 lag rows) — the " +
+        "q309 pair-enumeration class; the only data-sized job is the " +
+        "monthly hash aggregate"))
 
   test("lint flags deliberately-bad fixtures") {
     import spark.implicits._
