@@ -2800,6 +2800,80 @@ object LakeQueries {
     } }
   }
 
+  /** q326: storage-partitioned join (Spark's V2 bucketing over
+    * [[graft.sources.GraftKeyGrouping]]) — the shuffle-elimination
+    * flagship: two lake tables partitioned by order YEAR join on the
+    * partition key with ZERO exchanges in the executed plan (each
+    * file group holds exactly one year, so co-located tasks join
+    * group-to-group), and a groupBy on the partition key aggregates
+    * with zero exchanges too. The plan facts are PINNED — 0 shuffles
+    * with the flag on, shuffles present with it off (the layout claim
+    * is opt-in, not ambient) — alongside data facts the oracle
+    * restates from orders (per-order join against its year's total;
+    * "big orders" = cents·50 ≥ year total, an exact integer compare).
+    *
+    * At 100 TB this is the fact-to-fact co-located join: neither side
+    * moves, the exchange that would shuffle BOTH tables disappears,
+    * and the join parallelism is the partition-value count. */
+  def spjYearJoin(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.load(s, dir, "orders")
+      .filter(col("o_custkey") % 7 === 2)
+      .select(col("o_orderkey").as("k"),
+        year(col("o_orderdate")).cast("long").as("yk"),
+        expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)")
+          .as("cents"))
+    graft.util.LocalFrame.withConf(s, "spark.sql.shuffle.partitions", "8") {
+    graft.util.Tmp.withTempDir("graft_lake_q326") { rootPath =>
+      val wh = rootPath.toString
+      val t1r = s"$wh/orders_by_year"
+      val t2r = s"$wh/year_totals"
+      val t2src = base.groupBy(col("yk"))
+        .agg(sum(col("cents")).as("yr_total"))
+      LakeTable.createEmpty(s, t1r, base.schema, Seq("yk"))
+      LakeTable.append(s, t1r, base)
+      LakeTable.createEmpty(s, t2r, t2src.schema, Seq("yk"))
+      LakeTable.append(s, t2r, t2src)
+      def shuffles(df: org.apache.spark.sql.DataFrame): Long = {
+        df.collect()
+        df.queryExecution.executedPlan.collect {
+          case e: org.apache.spark.sql.execution.exchange
+            .ShuffleExchangeLike => e }.size.toLong
+      }
+      def withFlags[A](on: Boolean)(body: => A): A =
+        graft.util.LocalFrame.withConf(s,
+          "spark.sql.sources.v2.bucketing.enabled", on.toString) {
+          graft.util.LocalFrame.withConf(s,
+            "spark.sql.adaptive.enabled", "false") { body }
+        }
+      val t1 = s.read.format("graft-lake").load(t1r)
+      val t2 = s.read.format("graft-lake").load(t2r)
+      val (exJoin, exAgg, joined) = withFlags(on = true) {
+        val j = t1.join(t2, "yk")
+        val ej = shuffles(j)
+        val ea = shuffles(t1.groupBy(col("yk"))
+          .agg(count(lit(1)).as("n")))
+        val agg = j.agg(count(lit(1)).as("n"), sum(col("cents")).as("c"),
+          sum(when(col("cents") * 50 >= col("yr_total"), 1L)
+            .otherwise(0L)).as("big"),
+          countDistinct(col("yk")).as("y")).head()
+        (ej, ea, agg)
+      }
+      val exOff = withFlags(on = false) {
+        math.min(shuffles(t1.join(t2, "yk")), 1L)
+      }
+      import s.implicits._
+      graft.util.LocalFrame.materialize(Seq(
+        ("cents_joined", joined.getLong(1)),
+        ("exchanges_in_agg", exAgg),
+        ("exchanges_in_join", exJoin),
+        ("flag_off_shuffles_present", exOff),
+        ("n_big_orders", joined.getLong(2)),
+        ("n_rows_joined", joined.getLong(0)),
+        ("n_years", joined.getLong(3))
+      ).toDF("fact", "n").orderBy(col("fact")))
+    } }
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q302_partitioned_lake"    -> (partitionedLifecycle _),
     "q303_kll_index_lake"      -> (kllIndexLifecycle _),
@@ -2819,6 +2893,7 @@ object LakeQueries {
     "q322_copy_into"           -> (copyIntoLifecycle _),
     "q323_replace_table"       -> (replaceTableLifecycle _),
     "q324_truncate"            -> (truncateLifecycle _),
+    "q326_spj_year_join"       -> (spjYearJoin _),
     "q282_hll_index_lake"      -> (hllIndexLifecycle _),
     "q281_unique_constraint"   -> (uniqueLifecycle _),
     "q288_column_default"      -> (defaultLifecycle _),
@@ -3200,6 +3275,32 @@ object LakeQueries {
         |UNION ALL SELECT 't2_replace_version', CAST(3 AS BIGINT)
         |UNION ALL SELECT 'v_armed', CAST(3 AS BIGINT)
         |UNION ALL SELECT 'v_replaced', CAST(4 AS BIGINT)
+        |ORDER BY fact""".stripMargin,
+    // q326: data facts restated from orders (o_custkey%7=2 slice,
+    // per-order join to its year total, big = cents*50 >= yr_total);
+    // plan facts pin — 0 exchanges for the SPJ join and the
+    // partition-key aggregate, shuffles present with the flag off
+    "q326_spj_year_join" ->
+      """WITH o AS (
+        |  SELECT o_orderkey AS k,
+        |         CAST(year(o_orderdate) AS BIGINT) AS yk,
+        |         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |           AS cents
+        |  FROM orders WHERE o_custkey % 7 = 2),
+        |t AS (SELECT yk, CAST(sum(cents) AS BIGINT) AS yr_total
+        |      FROM o GROUP BY 1),
+        |j AS (SELECT o.cents, o.yk, t.yr_total
+        |      FROM o JOIN t USING (yk))
+        |SELECT 'cents_joined' AS fact,
+        |       CAST(sum(cents) AS BIGINT) AS n FROM j
+        |UNION ALL SELECT 'exchanges_in_agg', CAST(0 AS BIGINT)
+        |UNION ALL SELECT 'exchanges_in_join', CAST(0 AS BIGINT)
+        |UNION ALL SELECT 'flag_off_shuffles_present', CAST(1 AS BIGINT)
+        |UNION ALL SELECT 'n_big_orders',
+        |  CAST(sum(CASE WHEN cents * 50 >= yr_total THEN 1 ELSE 0 END)
+        |       AS BIGINT) FROM j
+        |UNION ALL SELECT 'n_rows_joined', count(*) FROM j
+        |UNION ALL SELECT 'n_years', count(*) FROM t
         |ORDER BY fact""".stripMargin,
     // q324: masses restated from orders (the o_custkey%17=7 slice,
     // reinserted half = even k); version facts pin (create=1,

@@ -305,9 +305,16 @@ private[sources] final class GraftLakeStreamScanBuilder(
   override def supportCompletePushDown(
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
       : Boolean = d.supportCompletePushDown(agg)
+  private var aggPushed = false
   override def pushAggregation(
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
-      : Boolean = d.pushAggregation(agg)
+      : Boolean = {
+    val pushed = d.pushAggregation(agg)
+    // a pushed aggregate reshapes the scan output — the partition-value
+    // layout claim below would describe columns that no longer exist
+    aggPushed = aggPushed || pushed
+    pushed
+  }
   override def pushVariantExtractions(
       extractions: Array[org.apache.spark.sql.connector.read.VariantExtraction])
       : Array[Boolean] = d.pushVariantExtractions(extractions)
@@ -420,9 +427,37 @@ private[sources] final class GraftLakeStreamScanBuilder(
     } yield s"table at $root has a metadata-only column rename/drop " +
       s"(version $v); materialize it first (LakeTable.compact) or " +
       "read via LakeTable.read (streaming reads are supported)"
+    // storage-partitioned-join eligibility (opt-in via Spark's own V2
+    // bucketing flag): a clean partitioned snapshot whose EVERY live
+    // group is value-tagged with re-typable values, on a scan that
+    // still outputs raw rows and still contains the partition columns.
+    // Anything less reports UnknownPartitioning — a partial layout
+    // claim would be planner-visible and wrong.
+    val kgInfo: Option[GraftKeyGroupInfo] = for {
+      (meta, dirs) <- indexed
+      if spark.conf.get(
+        "spark.sql.sources.v2.bucketing.enabled", "false").toBoolean
+      if morBatchRefusal.isEmpty && colmapBatchRefusal.isEmpty
+      if !aggPushed
+      if LakeTable.deleteState(meta).isEmpty
+      pcs = LakeTable.partColsAt(meta)
+      if pcs.nonEmpty
+      keyFields = pcs.map(c =>
+        tableSchema.fields.find(_.name.equalsIgnoreCase(c)))
+      if keyFields.forall(_.exists(f =>
+        GraftKeyGrouping.supported(f.dataType)))
+      if requested.forall(rs => pcs.forall(c =>
+        rs.fieldNames.exists(_.equalsIgnoreCase(c))))
+      liveDirs = keptStatic.getOrElse(dirs)
+      if liveDirs.nonEmpty && liveDirs.forall(d => meta.contains(s"part:$d"))
+    } yield GraftKeyGroupInfo(
+      keyFields.map(_.get.name),
+      keyFields.map(_.get.dataType),
+      liveDirs.map(d => d.split('/').last ->
+        LakeTable.partValsAt(meta(s"part:$d"))).toMap)
     new GraftLakeStreamableScan(underlying, root, tableSchema,
       ignoreChanges, rt, morBatchRefusal.orElse(colmapBatchRefusal),
-      options)
+      options, kgInfo)
   }
 }
 
@@ -454,11 +489,20 @@ private[graft] final class GraftLakeStreamableScan(
     rt: Option[GraftRuntimeFilterInfo] = None,
     morBatchRefusal: Option[String] = None,
     streamOptions: java.util.Map[String, String] =
-      java.util.Collections.emptyMap[String, String]()) extends Scan
-    with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering {
+      java.util.Collections.emptyMap[String, String](),
+    kg: Option[GraftKeyGroupInfo] = None) extends Scan
+    with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering
+    with org.apache.spark.sql.connector.read.SupportsReportPartitioning {
   private var underlying: Scan = initial
   /** Observable for specs: dirs surviving the runtime re-prune. */
   private[graft] var runtimePrunedTo: Option[Int] = None
+
+  /** One InputPartition per partition-value tuple, when the snapshot
+    * is storage-partition-joinable ([[GraftKeyGrouping.regroup]]) —
+    * recomputed whenever a runtime filter rebuilds the delegate, so
+    * DPP-style group pruning and the key-grouped layout compose. */
+  private var keyedGroups: Option[Array[InputPartition]] =
+    kg.flatMap(info => GraftKeyGrouping.regroup(initial.toBatch, info))
 
   override def filterAttributes()
       : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
@@ -484,14 +528,49 @@ private[graft] final class GraftLakeStreamableScan(
         info.requested.foreach(fb.pruneColumns)
         if (info.pushedExprs.nonEmpty) fb.pushFilters(info.pushedExprs)
         underlying = fb.build()
+        if (keyedGroups.isDefined) {
+          // the runtime-kept dirs are a SUBSET of the grouped ones, so
+          // regroup cannot lose totality; if it somehow did, failing
+          // loud beats executing under a partitioning promise we broke
+          keyedGroups = Some(kg.flatMap(i =>
+            GraftKeyGrouping.regroup(underlying.toBatch, i)).getOrElse(
+            throw new IllegalStateException(
+              s"runtime re-prune at $root broke key grouping")))
+        }
       }
     }
   }
 
+  override def outputPartitioning()
+      : org.apache.spark.sql.connector.read.partitioning.Partitioning =
+    keyedGroups match {
+      case Some(groups) =>
+        new org.apache.spark.sql.connector.read.partitioning
+          .KeyGroupedPartitioning(
+            kg.get.partCols.map(c =>
+              org.apache.spark.sql.connector.expressions.Expressions
+                .identity(c): org.apache.spark.sql.connector.expressions
+                .Expression).toArray,
+            groups.length)
+      case None =>
+        new org.apache.spark.sql.connector.read.partitioning
+          .UnknownPartitioning(0)
+    }
+
   override def readSchema(): StructType = underlying.readSchema()
   override def toBatch: Batch = {
     morBatchRefusal.foreach(m => throw new UnsupportedOperationException(m))
-    underlying.toBatch
+    keyedGroups match {
+      case Some(_) => new Batch {
+        // read keyedGroups at call time — a runtime filter may have
+        // narrowed it between planning and execution
+        override def planInputPartitions(): Array[InputPartition] =
+          keyedGroups.get
+        override def createReaderFactory(): PartitionReaderFactory =
+          underlying.toBatch.createReaderFactory()
+      }
+      case None => underlying.toBatch
+    }
   }
   override def description(): String = underlying.description()
   override def columnarSupportMode(): Scan.ColumnarSupportMode =
@@ -537,4 +616,99 @@ private[graft] final class GraftRuntimePruneValue(n: Long)
     extends org.apache.spark.sql.connector.metric.CustomTaskMetric {
   override def name(): String = GraftRuntimePruneMetric.Name
   override def value(): Long = n
+}
+
+/** Everything the scan needs to report storage-partitioned layout:
+  * the declared partition columns, their catalyst types, and the
+  * manifest's dir-basename → value-tuple map (total over the live
+  * dirs — the builder only constructs this when EVERY group is
+  * value-tagged). */
+private[sources] final case class GraftKeyGroupInfo(
+    partCols: Seq[String],
+    keyTypes: Seq[org.apache.spark.sql.types.DataType],
+    dirNameToVals: Map[String, Seq[String]])
+
+/** A [[FilePartition]] that knows its partition-value tuple — the
+  * DSv2 [[org.apache.spark.sql.connector.read.HasPartitionKey]]
+  * contract storage-partitioned joins require. Subclassing keeps the
+  * delegate's [[org.apache.spark.sql.execution.datasources.v2
+  * .FilePartitionReaderFactory]] working unchanged (it matches on
+  * FilePartition). */
+private[sources] final class KeyedFilePartition(
+    idx: Int, fs: Array[PartitionedFile], key: InternalRow)
+    extends org.apache.spark.sql.execution.datasources.FilePartition(idx, fs)
+    with org.apache.spark.sql.connector.read.HasPartitionKey {
+  override def partitionKey(): InternalRow = key
+}
+
+/** Storage-partitioned-join support (Spark's V2 bucketing, the
+  * Iceberg/Delta shuffle-elimination path): a partitioned
+  * [[LakeTable]] holds exactly ONE partition-value tuple per file
+  * group, which is precisely the layout
+  * [[org.apache.spark.sql.connector.read.partitioning
+  * .KeyGroupedPartitioning]] describes — so two lake tables
+  * partitioned on the same key JOIN WITHOUT A SHUFFLE (and a groupBy
+  * on the partition key aggregates without one). At 100 TB this is
+  * the co-located fact-to-fact join: the exchange that would move
+  * both tables disappears entirely. */
+private[sources] object GraftKeyGrouping {
+
+  /** Partition-key types the manifest's string values re-type
+    * losslessly (the same family partition declarations admit). */
+  def supported(dt: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case LongType | IntegerType | ShortType | ByteType | StringType |
+           BooleanType => true
+      case _ => false
+    }
+  }
+
+  private def keyValue(raw: String,
+                       dt: org.apache.spark.sql.types.DataType): Any = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case LongType    => raw.toLong
+      case IntegerType => raw.toInt
+      case ShortType   => raw.toShort
+      case ByteType    => raw.toByte
+      case BooleanType => raw.toBoolean
+      case StringType  =>
+        org.apache.spark.unsafe.types.UTF8String.fromString(raw)
+      case other => throw new IllegalStateException(
+        s"unsupported partition key type $other")
+    }
+  }
+
+  /** Regroup a delegate batch's planned file splits into ONE
+    * [[KeyedFilePartition]] per partition-value tuple. Returns None —
+    * caller reports UnknownPartitioning — when any planned file lives
+    * in a dir the manifest didn't tag (a time-travel snapshot older
+    * than the partition declaration, or a foreign clone reference):
+    * grouping must be TOTAL or the reported layout would be a lie. */
+  def regroup(batch: Batch, info: GraftKeyGroupInfo)
+      : Option[Array[InputPartition]] = {
+    val splits = scala.collection.mutable.ArrayBuffer[PartitionedFile]()
+    batch.planInputPartitions().foreach {
+      case fp: org.apache.spark.sql.execution.datasources.FilePartition =>
+        splits ++= fp.files
+      case _ => return None
+    }
+    val byKey = scala.collection.mutable.LinkedHashMap
+      .empty[Seq[String], scala.collection.mutable.ArrayBuffer[PartitionedFile]]
+    splits.foreach { pf =>
+      info.dirNameToVals.get(pf.toPath.getParent.getName) match {
+        case Some(vals) =>
+          byKey.getOrElseUpdate(vals,
+            scala.collection.mutable.ArrayBuffer.empty) += pf
+        case None => return None
+      }
+    }
+    Some(byKey.toSeq.sortBy(_._1.mkString(LakeTable.PartSep))
+      .zipWithIndex.map { case ((vals, files), i) =>
+        val key = InternalRow.fromSeq(vals.zip(info.keyTypes).map {
+          case (raw, dt) => keyValue(raw, dt) })
+        new KeyedFilePartition(i, files.toArray, key): InputPartition
+      }.toArray)
+  }
 }

@@ -1,0 +1,72 @@
+package graft
+
+import graft.sources.LakeTable
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+import org.apache.spark.sql.functions._
+
+/** Storage-partitioned joins ([[graft.sources.GraftKeyGrouping]]):
+  * a partitioned LakeTable reports KeyGroupedPartitioning under
+  * Spark's V2-bucketing flag, so equi-joins and aggregations on the
+  * partition key plan WITHOUT a shuffle — and with the flag off, the
+  * exact same query plans the shuffle it always did (the layout claim
+  * is opt-in, never ambient). */
+class SpjSpec extends SparkSpec {
+
+  private def withSpj[A](on: Boolean)(body: => A): A =
+    graft.util.LocalFrame.withConf(spark,
+      "spark.sql.sources.v2.bucketing.enabled", on.toString) {
+      graft.util.LocalFrame.withConf(spark,
+        "spark.sql.sources.v2.bucketing.pushPartValues.enabled", "true") {
+        graft.util.LocalFrame.withConf(spark,
+          "spark.sql.adaptive.enabled", "false") { body }
+      }
+    }
+
+  private def shuffles(df: DataFrame): Int = {
+    df.collect()
+    df.queryExecution.executedPlan.collect {
+      case s: ShuffleExchangeLike => s }.size
+  }
+
+  test("co-partitioned lake tables join and aggregate without a shuffle") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_spj").toString
+    try {
+      val left = Tables.load(spark, sf, "nation")
+        .select(col("n_nationkey").cast("long").as("k"),
+          col("n_regionkey").cast("long").as("r"),
+          col("n_name").as("name"))
+      val right = Tables.load(spark, sf, "nation")
+        .select(col("n_regionkey").cast("long").as("r"),
+          (col("n_nationkey") * 10).cast("long").as("v"))
+      LakeTable.createEmpty(spark, s"$dir/t1", left.schema, Seq("r"))
+      LakeTable.append(spark, s"$dir/t1", left)
+      LakeTable.createEmpty(spark, s"$dir/t2", right.schema, Seq("r"))
+      LakeTable.append(spark, s"$dir/t2", right)
+      val t1 = spark.read.format("graft-lake").load(s"$dir/t1")
+      val t2 = spark.read.format("graft-lake").load(s"$dir/t2")
+      val nation = left
+
+      withSpj(on = true) {
+        val j = t1.join(t2, "r")
+        assert(shuffles(j) == 0,
+          s"SPJ expected, plan:\n${j.queryExecution.executedPlan}")
+        assert(j.count() ==
+          nation.groupBy("r").count().agg(sum(col("count") * col("count")))
+            .head.getLong(0))
+        val a = t1.groupBy(col("r")).agg(count(lit(1)).as("n"))
+        assert(shuffles(a) == 0,
+          s"shuffle-free agg expected, plan:\n${a.queryExecution.executedPlan}")
+        assert(a.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap ==
+          nation.groupBy("r").count().collect()
+            .map(r => r.getLong(0) -> r.getLong(1)).toMap)
+      }
+      withSpj(on = false) {
+        val j = t1.join(t2, "r")
+        assert(shuffles(j) > 0,
+          "with V2 bucketing off the join must shuffle as before")
+      }
+    } finally graft.util.Tmp.deleteRecursively(
+      java.nio.file.Paths.get(dir))
+  }
+}
