@@ -792,8 +792,10 @@ object ExtAggQueries {
     * distinct-value frame. Per-group truncation costs < k·3·10⁶/
     * (n(n+1)) ppm — sub-ppm past 4k rows — and is replayed verbatim
     * by the oracle, so equality is exact. All wide products promoted
-    * through DECIMAL(38,0); every div operand is nonnegative, so
-    * trunc (Spark) and floor (DuckDB //) agree.
+    * through DECIMAL(38,0). The slack means h4 can dip slightly
+    * NEGATIVE, so the tie-correction quotient is sign-split (trunc vs
+    * floor differ on negative dividends); every other div operand is
+    * nonnegative, so trunc (Spark) and floor (DuckDB //) agree.
     *
     * Scale shape: ONE data-sized hash aggregate to the (value,
     * group) frame (k·|distinct| rows); the total-tie frame, the
@@ -837,7 +839,14 @@ object ExtAggQueries {
       .select(col("n"), col("n_groups"),
         col("h4").cast("long").as("h_ppm"),
         col("tie_cubes").cast("long").as("tie_cubes"),
-        expr("CAST((h4 * n3n) div (n3n - tie_cubes) AS BIGINT)")
+        // h4 can be slightly NEGATIVE from the documented per-group
+        // truncation slack (h >= -k·3·10⁶/(n(n+1))), and with a negative
+        // dividend Spark's div truncates toward zero while DuckDB's //
+        // floors — sign-split like q320/q325 so both engines agree
+        expr("""CAST(CASE WHEN h4 >= 0
+                |  THEN (h4 * n3n) div (n3n - tie_cubes)
+                |  ELSE -((-h4 * n3n) div (n3n - tie_cubes))
+                |END AS BIGINT)""".stripMargin)
           .as("h_corr_ppm"))
   }
 
@@ -1022,8 +1031,10 @@ object ExtAggQueries {
         |SELECT CAST(n AS BIGINT) AS n, n_groups,
         |       CAST(h4 AS BIGINT) AS h_ppm,
         |       CAST(tie_cubes AS BIGINT) AS tie_cubes,
-        |       CAST((h4 * n3n) // (n3n - tie_cubes) AS BIGINT)
-        |         AS h_corr_ppm
+        |       CAST(CASE WHEN h4 >= 0
+        |         THEN (h4 * n3n) // (n3n - tie_cubes)
+        |         ELSE -((-h4 * n3n) // (n3n - tie_cubes))
+        |       END AS BIGINT) AS h_corr_ppm
         |FROM h""".stripMargin,
     // q325: the mean-free y = n·x − S substitution replayed verbatim
     // (HUGEINT internal, BIGINT out); lag and triangle joins over the

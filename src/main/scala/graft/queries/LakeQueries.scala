@@ -15,6 +15,22 @@ import org.apache.spark.sql.functions._
   */
 object LakeQueries {
 
+  /** Typed refusal probe: runs `body`, returns 0 when it succeeds and
+    * 1 when it throws an exception whose message — searched down the
+    * cause chain, since SQL execution paths wrap the engine's refusal —
+    * contains `expect`, the fragment the documented refusal carries.
+    * ANY other exception (an NPE, an unrelated AnalysisException)
+    * RETHROWS, so the oracle row fails loudly instead of counting a
+    * crash as the documented refusal. */
+  private def refused(expect: String)(body: => Any): Long =
+    try { body; 0L }
+    catch { case e: Exception =>
+      val msgs = Iterator.iterate(e: Throwable)(_.getCause)
+        .takeWhile(_ != null).take(10)
+        .flatMap(t => Option(t.getMessage)).mkString(" | ")
+      if (msgs.contains(expect)) 1L else throw e
+    }
+
   /** Version ordinal → row count across the four-commit history. The
     * table lives in a per-run temp dir; counts are materialized before
     * cleanup so the returned frame owns its data. */
@@ -1635,13 +1651,12 @@ object LakeQueries {
         // an append OMITTING the defaulted column materializes 'bulk';
         // pre-evolution rows keep reading NULL (history untouched)
         LakeTable.append(s, root, late)
-        val refusedCheck =
-          try { s.sql(s"INSERT INTO $cat.t VALUES (4000000001, -5, 'x')")
-            0L } catch { case _: Exception => 1L }
+        val refusedCheck = refused("CHECK constraint") {
+          s.sql(s"INSERT INTO $cat.t VALUES (4000000001, -5, 'x')") }
         val refusedDup = {
           val dupId = base.select(min(col("id"))).head().getLong(0)
-          try { s.sql(s"INSERT INTO $cat.t VALUES ($dupId, 7, 'x')")
-            0L } catch { case _: Exception => 1L }
+          refused("UNIQUE(") {
+            s.sql(s"INSERT INTO $cat.t VALUES ($dupId, 7, 'x')") }
         }
         s.sql(s"INSERT INTO $cat.t VALUES (4000000001, 123, 'manual')")
         val t = LakeTable.read(s, root).agg(
@@ -1841,11 +1856,10 @@ object LakeQueries {
         // the version must be exactly where the last overwrite left it
         val vBefore = LakeTable.latestVersion(s, root).get
         val refusedNonBand =
-          try {
+          refused("does not reduce to a single-column numeric") {
             orders.limit(1).writeTo(s"$cat.t")
               .overwrite(col("k") === 1L || col("yk") === 1995L)
-            0L
-          } catch { case _: Exception => 1L }
+          }
         val vUnchanged =
           if (LakeTable.latestVersion(s, root).get == vBefore) 1L else 0L
         // (4) full truncating INSERT OVERWRITE: only 1995 survives, 3×
@@ -1863,11 +1877,10 @@ object LakeQueries {
               org.apache.spark.sql.types.LongType))))
         LakeTable.setIdentity(s, root2, "row_id", start = 10L, step = 5L)
         val refusedIdentity =
-          try {
+          refused("identity table") {
             s.sql(s"INSERT OVERWRITE $cat.t2 SELECT k, cents, " +
               "CAST(NULL AS BIGINT) FROM q311_src WHERE yk = 1997")
-            0L
-          } catch { case _: Exception => 1L }
+          }
         // (6) history immutable: the create version (1) read AFTER
         // every overwrite above still serves the original rows
         val v0 = LakeTable.read(s, root, Some(1))
@@ -1940,17 +1953,17 @@ object LakeQueries {
         s.sql(s"INSERT INTO $cat.t (k, cents, src) " +
           "SELECT k, cents, 'manual' FROM q312_src WHERE k % 2 = 1")
         val refusedId =
-          try { s.sql(s"INSERT INTO $cat.t (k, cents, row_id) " +
-            "VALUES (4000000001, 5000, 99)"); 0L }
-          catch { case _: Exception => 1L }
+          refused("GENERATED ALWAYS AS IDENTITY") {
+            s.sql(s"INSERT INTO $cat.t (k, cents, row_id) " +
+              "VALUES (4000000001, 5000, 99)") }
         val refusedFee =
-          try { s.sql(s"INSERT INTO $cat.t (k, cents, fee) " +
-            "VALUES (4000000002, 5000, 1)"); 0L }
-          catch { case _: Exception => 1L }
+          refused("generated column") {
+            s.sql(s"INSERT INTO $cat.t (k, cents, fee) " +
+              "VALUES (4000000002, 5000, 1)") }
         val refusedByDefault =
-          try { s.sql(s"CREATE TABLE $cat.t2 (a BIGINT, b BIGINT " +
-            "GENERATED BY DEFAULT AS IDENTITY)"); 0L }
-          catch { case _: Exception => 1L }
+          refused("GENERATED BY DEFAULT") {
+            s.sql(s"CREATE TABLE $cat.t2 (a BIGINT, b BIGINT " +
+              "GENERATED BY DEFAULT AS IDENTITY)") }
         val t = LakeTable.read(s, s"$wh/t").agg(
           count(lit(1)).as("n"),
           sum(col("fee")).as("f"),
@@ -2109,8 +2122,8 @@ object LakeQueries {
         val nOptimize = hist.count(_.getString(1) == "optimize-small").toLong
         val nRestore = hist.count(_.getString(1) == "restore").toLong
         val refusedBareVacuum =
-          try { s.sql(s"VACUUM $cat.t"); 0L }
-          catch { case _: Exception => 1L }
+          refused("requires an explicit RETAIN") {
+            s.sql(s"VACUUM $cat.t") }
         s.sql(s"VACUUM $cat.t RETAIN 3 VERSIONS")
         val versionsKept = LakeTable.versions(s, root).size.toLong
         val nFinal = s.sql(s"SELECT count(*) FROM $cat.t").head().getLong(0)
@@ -2611,8 +2624,7 @@ object LakeQueries {
         fsys.delete(new org.apache.hadoop.fs.Path(landing, "f2.parquet"),
           false)
         landFile(mut.unionAll(mut), "f2.parquet")
-        val refused =
-          try { copy(); 0L } catch { case _: Exception => 1L }
+        val refusedMut = refused("mutated after load") { copy() }
         val vAfterRefusal = graft.sources.LakeTable
           .latestVersion(s, s"$wh/t").get.toLong
         val cF = copy(" COPY_OPTIONS ('force' = 'true')")
@@ -2633,7 +2645,7 @@ object LakeQueries {
           ("n_final", t.getLong(0)),
           ("pattern_loaded", cPat.getLong(0)),
           ("pattern_skipped", cPat.getLong(1)),
-          ("refused_mutated", refused),
+          ("refused_mutated", refusedMut),
           ("version_after_force", cF.getLong(3)),
           ("version_after_refusal", vAfterRefusal)
         ).toDF("fact", "n").orderBy(col("fact")))
@@ -2691,19 +2703,20 @@ object LakeQueries {
           s"SELECT count(*) AS n, sum(cents) AS c FROM $cat.t " +
             s"VERSION AS OF $vArmed").head()
         // the old CHECK must NOT bind to the new definition
-        val negOk =
-          try {
-            s.sql(s"INSERT INTO $cat.t VALUES (0, CAST(-5 AS BIGINT))")
-            1L
-          } catch { case _: Exception => 0L }
+        // inverted probe: success expected (the old CHECK must NOT
+        // bind); a CHECK refusal reads 0, anything else rethrows
+        val negOk = 1L - refused("CHECK constraint") {
+          s.sql(s"INSERT INTO $cat.t VALUES (0, CAST(-5 AS BIGINT))") }
         val t = s.sql(
           s"SELECT count(*) AS n, sum(cents2) AS c FROM $cat.t").head()
+        // refusal surfaces as the analyzer's TABLE_OR_VIEW_NOT_FOUND
+        // or the staged commit's NoSuchTableException — both carry the
+        // table name in backticks with a cannot-be-found message
         val refusedMissing =
-          try {
+          refused("cannot be found") {
             s.sql(s"REPLACE TABLE $cat.missing AS " +
               "SELECT k FROM q323_src")
-            0L
-          } catch { case _: Exception => 1L }
+          }
         // schema-only replace: declared shape, zero rows, history kept
         s.sql(s"CREATE TABLE $cat.t2 AS " +
           "SELECT k, cents FROM q323_src WHERE k % 2 = 0")
@@ -2773,11 +2786,8 @@ object LakeQueries {
           s"SELECT count(*) AS n, sum(cents) AS c FROM $cat.t " +
             s"VERSION AS OF $vFull").head()
         // the contract survived the rows: the CHECK still gates
-        val refusedNeg =
-          try {
-            s.sql(s"INSERT INTO $cat.t VALUES (0, CAST(-1 AS BIGINT))")
-            0L
-          } catch { case _: Exception => 1L }
+        val refusedNeg = refused("CHECK constraint") {
+          s.sql(s"INSERT INTO $cat.t VALUES (0, CAST(-1 AS BIGINT))") }
         s.sql(s"INSERT INTO $cat.t SELECT * FROM q324_src WHERE k % 2 = 0")
         val t = s.sql(
           s"SELECT count(*) AS n, sum(cents) AS c FROM $cat.t").head()
@@ -2834,7 +2844,9 @@ object LakeQueries {
       LakeTable.createEmpty(s, t2r, t2src.schema, Seq("yk"))
       LakeTable.append(s, t2r, t2src)
       def shuffles(df: org.apache.spark.sql.DataFrame): Long = {
-        df.collect()
+        // execute WITHOUT a driver transfer (AQE finalizes the plan on
+        // execution, so a pure .executedPlan inspection is not enough)
+        df.foreachPartition((_: Iterator[org.apache.spark.sql.Row]) => ())
         df.queryExecution.executedPlan.collect {
           case e: org.apache.spark.sql.execution.exchange
             .ShuffleExchangeLike => e }.size.toLong

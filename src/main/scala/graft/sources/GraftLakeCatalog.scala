@@ -381,8 +381,20 @@ private[sources] final class GraftStagedTable(
       case None =>
         LakeTable.replaceTableEmpty(spark, root, declaredSchema, partCols)
     } else {
+      // CTAS on a missing table publishes create + data as ONE logical
+      // unit: the table did not exist before this staged create, so if
+      // the data job fails after the empty create landed, the half-made
+      // table is torn down whole — a failed CTAS publishes nothing
+      // (Delta's staged-commit semantics; without the teardown a query
+      // error would leave a visible empty table behind).
       LakeTable.createEmpty(spark, root, declaredSchema, partCols)
-      batch.foreach(df => LakeTable.append(spark, root, df))
+      try batch.foreach(df => LakeTable.append(spark, root, df))
+      catch { case e: Throwable =>
+        val p = new Path(root)
+        p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          .delete(p, true)
+        throw e
+      }
     }
   }
 

@@ -278,7 +278,8 @@ case class GraftDescribeDetailCommand(nameParts: Seq[String])
   * [COPY_OPTIONS ('force' = 'true')]` — Databricks' idempotent bulk
   * ingest ([[LakeTable.copyInto]]): already-loaded files skip by
   * ledger, nothing-new is a true no-op (the version does not move), a
-  * previously-loaded file that changed size refuses unless forced,
+  * previously-loaded file that mutated (size or mtime) refuses unless
+  * forced,
   * and new files land through the SAME validated append path as every
   * other write. */
 case class GraftCopyIntoCommand(nameParts: Seq[String], srcDir: String,

@@ -572,8 +572,11 @@ object LakeTable {
                force: Boolean = false): (Long, Long, Long, Int) = {
     val cur = latestVersion(spark, root).getOrElse(
       throw new IllegalStateException(s"no table at $root"))
-    val f = fs(spark, root)
+    // the landing dir may live on a DIFFERENT filesystem scheme than
+    // the table (s3 table, local landing dir) — resolve its own FS or
+    // Hadoop throws "Wrong FS" and COPY INTO is unusable cross-scheme
     val src = new Path(srcDir)
+    val f = src.getFileSystem(spark.sparkContext.hadoopConfiguration)
     require(f.exists(src), s"COPY INTO source does not exist: $srcDir")
     val rx = pattern.map(globToRegex)
     val all = f.listStatus(src).toSeq
@@ -590,16 +593,29 @@ object LakeTable {
     }
     def keyOf(st: org.apache.hadoop.fs.FileStatus): String =
       hexStr(st.getPath.toString)
+    // ledger value `<bytes>:<mtimeMillis>` — size alone misses an
+    // in-place rewrite that preserves byte length, which would then be
+    // silently skipped as already-loaded (Databricks keys its ingest
+    // ledger on path + modification time for the same reason). Legacy
+    // size-only entries compare size only.
+    def stamp(st: org.apache.hadoop.fs.FileStatus): String =
+      s"${st.getLen}:${st.getModificationTime}"
+    def mutated(st: org.apache.hadoop.fs.FileStatus): Boolean =
+      ledger(keyOf(st)).split(":", 2) match {
+        case Array(sz, mt) =>
+          sz != st.getLen.toString || mt != st.getModificationTime.toString
+        case Array(sz) => sz != st.getLen.toString
+      }
     val (seen, fresh) = all.partition(st => ledger.contains(keyOf(st)))
     if (!force)
-      seen.find(st => ledger(keyOf(st)) != st.getLen.toString)
+      seen.find(mutated)
         .foreach(st => throw new IllegalStateException(
           s"COPY INTO at $root: previously loaded file ${st.getPath} " +
-            s"changed size (${ledger(keyOf(st))} -> ${st.getLen} bytes) " +
-            "— the source mutated after load; skipping would lose the " +
-            "new rows and reloading would double-count the old ones. " +
-            "Re-run with COPY_OPTIONS ('force' = 'true') to reload " +
-            "every matched file explicitly."))
+            s"changed (ledger ${ledger(keyOf(st))} -> now ${stamp(st)} " +
+            "as bytes:mtime) — the source mutated after load; skipping " +
+            "would lose the new rows and reloading would double-count " +
+            "the old ones. Re-run with COPY_OPTIONS ('force' = 'true') " +
+            "to reload every matched file explicitly."))
     val toLoad = if (force) all else fresh
     if (toLoad.isEmpty) (0L, seen.size.toLong, 0L, cur)
     else {
@@ -609,7 +625,7 @@ object LakeTable {
       // must describe the files as listed, before append lands them
       val rows = batch.count()
       val newKeys = toLoad.map(st =>
-        s"copied:${keyOf(st)}" -> st.getLen.toString).toMap
+        s"copied:${keyOf(st)}" -> stamp(st)).toMap
       val v = appendInternal(spark, root, batch, Nil,
         newKeys + ("op" -> "copy-into"))
       (toLoad.size.toLong, (all.size - toLoad.size).toLong, rows, v)
@@ -2102,6 +2118,47 @@ object LakeTable {
       (meta.getOrElse("deletekey", throw new IllegalStateException(
         "manifest lists deletes without a deletekey")),
         ps.split(",").toSeq))
+
+  /** POSITIONAL deletion-vector state of a manifest (Delta's deletion
+    * vectors / Iceberg's position deletes): sidecar parquet dirs under
+    * `_deletes/dv-*`, each holding (`__file` absolute parquet path,
+    * `__pos` row index within it, `__op` 'U'pdate|'D'elete — the op
+    * tag feeds CDC classification only; masking ignores it). Unlike
+    * the table-wide EQUALITY delete ([[deleteState]]), a positional
+    * mask names a row's physical identity, so rows appended AFTER the
+    * mask are never affected — which is what lets a MOR UPDATE commit
+    * (mask the old row + append the new one) without the replacement
+    * being swallowed by its own mask. */
+  private[sources] def dvState(meta: Map[String, String]): Seq[String] =
+    meta.get("dv").toSeq.flatMap(_.split(",")).filter(_.nonEmpty)
+
+  /** Reserved lineage column names ([[readWithLineage]]). */
+  private[sources] val FileCol = "__file"
+  private[sources] val PosCol = "__pos"
+
+  /** Stamp row lineage onto a frame read DIRECTLY from parquet files:
+    * the absolute file path and the row index within it, from Spark's
+    * `_metadata` pseudo-column — zero extra I/O, and exactly the
+    * identity the deletion-vector sidecars key on. Must run on the raw
+    * scan frame, before any projection hides the metadata column. */
+  private def withLineageCols(df: DataFrame): DataFrame = df
+    .withColumn(FileCol, col("_metadata.file_path"))
+    .withColumn(PosCol, col("_metadata.row_index"))
+
+  /** Anti-join a lineage-carrying frame against the snapshot's
+    * deletion vectors — a no-op for tables without them. The dv list
+    * is tiny (O(masked rows)); the planner broadcasts it. */
+  private def applyDvMask(spark: SparkSession, root: String,
+                          meta: Map[String, String],
+                          df: DataFrame): DataFrame =
+    dvState(meta) match {
+      case Seq() => df
+      case rels =>
+        val keys = spark.read
+          .parquet(rels.map(r => new Path(root, r).toString): _*)
+          .select(col(FileCol), col(PosCol)).distinct()
+        df.join(keys, Seq(FileCol, PosCol), "left_anti")
+    }
 
   /** Anti-join `df` against the snapshot's accumulated delete keys (a
     * no-op for tables without MOR deletes — the common path pays

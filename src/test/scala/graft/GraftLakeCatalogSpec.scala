@@ -649,13 +649,22 @@ class GraftLakeCatalogSpec extends SparkSpec {
       val c3 = copy()
       assert(c3.getLong(0) == 0 && c3.getLong(1) == 3,
         "compaction must not re-open loaded files to double-loading")
+      // a SAME-SIZE in-place rewrite is still a mutation: the ledger
+      // records bytes:mtime, so a touched file refuses even when its
+      // byte length is unchanged (size alone would silently skip it)
+      val bPath = new org.apache.hadoop.fs.Path(landing, "b.parquet")
+      val bMtime = fsys.getFileStatus(bPath).getModificationTime
+      fsys.setTimes(bPath, bMtime + 60000L, -1L)
+      val exM = intercept[IllegalStateException](copy())
+      assert(exM.getMessage.contains("mutated after load"))
+      fsys.setTimes(bPath, bMtime, -1L) // restore for the probes below
       // in-place mutation refuses without FORCE (version unmoved) ...
       fsys.delete(new org.apache.hadoop.fs.Path(landing, "a.parquet"), false)
       land(nation.filter(col("k") < 10).unionAll(
         nation.filter(col("k") < 10)), "a.parquet")
       val vBefore = LakeTable.latestVersion(spark, s"$wh/t").get
       val ex = intercept[IllegalStateException](copy())
-      assert(ex.getMessage.contains("changed size"))
+      assert(ex.getMessage.contains("mutated after load"))
       assert(LakeTable.latestVersion(spark, s"$wh/t").get == vBefore)
       // ... and FORCE reloads every matched file, duplicates included
       // a-new 20 rows + b 10 + c 5 = 35 forced rows on top of the 25

@@ -24,7 +24,8 @@ class SpjSpec extends SparkSpec {
     }
 
   private def shuffles(df: DataFrame): Int = {
-    df.collect()
+    // execute without a driver transfer (plan finalizes on execution)
+    df.foreachPartition((_: Iterator[org.apache.spark.sql.Row]) => ())
     df.queryExecution.executedPlan.collect {
       case s: ShuffleExchangeLike => s }.size
   }
