@@ -167,6 +167,17 @@ private[sources] final class GraftLakeCdfStream(
             s"graft-lake-cdf: version $v of $root is a merge-on-read " +
               "delete, which has no change sidecar; use copy-on-write " +
               "deletes (deleteWhere) on CDF tables")
+        case None
+            if LakeTable.dvState(meta) != LakeTable.dvState(prevMeta) =>
+          // a deletion-vector commit ADDS a replacement dir and masks
+          // shared-group rows; serving the dir as plain inserts would
+          // silently drop the preimage retractions — refuse loudly
+          // (with CDF enabled the commit writes a sidecar and never
+          // reaches this arm)
+          throw new UnsupportedOperationException(
+            s"graft-lake-cdf: version $v of $root is a deletion-vector " +
+              "commit without a change sidecar — enable the feed " +
+              "(LakeTable.enableChangeFeed) BEFORE row-changing commits")
         case None if (prev -- cur).nonEmpty =>
           throw new UnsupportedOperationException(
             s"graft-lake-cdf: version $v of $root " +

@@ -115,6 +115,17 @@ private[sources] object GraftLakeSource {
             "materialize them first (LakeTable.rewriteDeletes/compact), " +
             "read via LakeTable.read, or stream with " +
             "option(\"maskDeletes\", \"true\")")
+      // positional deletion vectors gate the raw delegate the same way
+      // (raw parquet would resurrect masked rows); the CATALOG path
+      // serves dv snapshots through its own masked scan instead
+      // ([[GraftDvScan]]) — this throw is caught there and rerouted
+      if (LakeTable.dvState(
+          LakeTable.manifestMetaAt(spark, root, v)).nonEmpty)
+        throw new UnsupportedOperationException(
+          s"table at $root has deletion vectors (version $v); " +
+            "materialize them first (LakeTable.rewriteDeletes/compact), " +
+            "read via LakeTable.read, or query through a graft-lake " +
+            "catalog (its scan patches deletion vectors)")
       // metadata-only column rename/drop: the raw-parquet delegate
       // would expose PHYSICAL names and silently mis-shape the table.
       // TIME-TRAVEL loads fail fast here (no scan wrapper to gate);

@@ -154,11 +154,22 @@ private[sources] final class GraftLakeMicroBatchStream(
       val cur = LakeTable.dataDirsAt(spark, root, v)
       val prev = if (v <= 1) Seq.empty else LakeTable.dataDirsAt(spark, root, v - 1)
       val removed = prev.toSet -- cur.toSet
-      if (removed.nonEmpty && !ignoreChanges) {
+      // a deletion-vector commit removes NO dirs but still CHANGES rows
+      // (it masks positions of shared groups and appends replacements);
+      // emitting its added dir as plain appends would silently skip the
+      // retractions — same append-only contract as a group rewrite
+      val dvChanged = v >= 1 &&
+        LakeTable.dvState(LakeTable.manifestMetaAt(spark, root, v)) !=
+        (if (v <= 1) Seq.empty
+         else LakeTable.dvState(LakeTable.manifestMetaAt(spark, root, v - 1)))
+      if ((removed.nonEmpty || dvChanged) && !ignoreChanges) {
         val op = LakeTable.manifestMetaAt(spark, root, v).getOrElse("op", "?")
+        val what =
+          if (removed.nonEmpty) s"removed ${removed.size} file group(s)"
+          else "masked rows via deletion vectors"
         throw new UnsupportedOperationException(
           s"graft-lake streaming reads are append-only; version $v " +
-          s"(op=$op) removed ${removed.size} file group(s). Restart the " +
+          s"(op=$op) $what. Restart the " +
           "stream from the current snapshot, or opt into " +
           "option(\"ignoreChanges\", \"true\") — rewritten groups are " +
           "then re-emitted in full (Delta's ignoreChanges contract).")

@@ -770,7 +770,7 @@ object LakeTable {
       k.startsWith("mhidx:") || k.startsWith("mhparams:") ||
       k.startsWith("mhver:") ||
       k.startsWith("part:") || k == "partcol" ||
-      k == "deletes" || k == "deletekey" || k == "colmap" ||
+      k == "deletes" || k == "deletekey" || k == "dv" || k == "colmap" ||
       k == "coldrop"
 
   private val MaxCommitRetries = 20
@@ -918,7 +918,8 @@ object LakeTable {
         "(incoming rows were materialized/validated against the old " +
         "declaration set)")
     if (bm.get("deletes") != lm.get("deletes") ||
-        bm.get("deletekey") != lm.get("deletekey"))
+        bm.get("deletekey") != lm.get("deletekey") ||
+        bm.get("dv") != lm.get("dv"))
       conflict("merge-on-read delete state changed")
     if (bm.get("colmap") != lm.get("colmap") ||
         bm.get("coldrop") != lm.get("coldrop"))
@@ -1127,10 +1128,25 @@ object LakeTable {
       // physical stat keys and admits every group (no pruning, still
       // correct); the colmap projection restores the LOGICAL shape —
       // renamed columns resolve, metadata-only drops stay dropped
-      applyDeleteMask(spark, root, meta, applyColMap(meta,
-        spark.read.option("mergeSchema", "true").parquet(dirs: _*)))
+      maskedGroupRead(spark, root, meta, dirs)
         .filter(col(column).cast("double").between(lo, hi))
     }
+  }
+
+  /** Raw group paths → masked logical frame (rename mapping, equality
+    * deletes, deletion vectors) — the pruned-read sibling of [[read]],
+    * shared by [[readWhere]]/[[readWhereEq]]. Stats/bloom pruning stays
+    * CONSERVATIVE under masks: a mask only removes rows, so a group
+    * admitted by its (pre-mask) stats over-admits, never lies. */
+  private def maskedGroupRead(spark: SparkSession, root: String,
+                              meta: Map[String, String],
+                              dirPaths: Seq[String]): DataFrame = {
+    val hasDv = dvState(meta).nonEmpty
+    val raw0 = spark.read.option("mergeSchema", "true").parquet(dirPaths: _*)
+    val raw = if (hasDv) withLineageCols(raw0) else raw0
+    val m = applyDvMask(spark, root, meta,
+      applyDeleteMask(spark, root, meta, applyColMap(meta, raw)))
+    if (hasDv) m.drop(FileCol, PosCol) else m
   }
 
   /** Build per-file-group Bloom-filter indexes for `cols` over the
@@ -1252,9 +1268,8 @@ object LakeTable {
       // a renamed column simply finds no physical stat/bloom keys and
       // admits every group — no pruning, still correct; the colmap
       // projection restores the logical shape before the exact filter
-      applyDeleteMask(spark, root, meta, applyColMap(meta,
-        spark.read.option("mergeSchema", "true")
-          .parquet(kept.map(d => new Path(root, d).toString): _*)))
+      maskedGroupRead(spark, root, meta,
+        kept.map(d => new Path(root, d).toString))
         .filter(col(column) === lit(value))
   }
 
@@ -1550,31 +1565,56 @@ object LakeTable {
     * additionally projects columns no parquet group carries yet (typed
     * nulls, declared order). */
   def read(spark: SparkSession, root: String,
-           version: Option[Int] = None): DataFrame = {
+           version: Option[Int] = None): DataFrame =
+    readInternal(spark, root, version, keepLineage = false)
+
+  /** [[read]] plus row LINEAGE: every row also carries `__file` (its
+    * physical parquet path) and `__pos` (its row index within that
+    * file) — the positional identity deletion vectors key on, served
+    * by Spark's `_metadata` pseudo-column at zero extra I/O. Masks and
+    * projections apply exactly as in [[read]]. */
+  private[sources] def readWithLineage(spark: SparkSession, root: String,
+      version: Option[Int] = None): DataFrame =
+    readInternal(spark, root, version, keepLineage = true)
+
+  private def readInternal(spark: SparkSession, root: String,
+      version: Option[Int], keepLineage: Boolean): DataFrame = {
     val dirs = dataDirPaths(spark, root, version)
     val override_ = schemaOverrideAt(spark, root, version)
     if (dirs.isEmpty) {
       // a created-empty snapshot: zero rows in the declared shape
       val schema = override_.getOrElse(throw new IllegalStateException(
         s"empty snapshot at $root has no declared schema"))
+      val shaped =
+        if (!keepLineage) schema
+        else schema
+          .add(FileCol, org.apache.spark.sql.types.StringType)
+          .add(PosCol, org.apache.spark.sql.types.LongType)
       return spark.createDataFrame(
-        spark.sparkContext.emptyRDD[Row], schema)
+        spark.sparkContext.emptyRDD[Row], shaped)
     }
     val vs = versions(spark, root)
     val meta = manifestMeta(spark, root, version.getOrElse(vs.last))
-    // physical→logical rename mapping applies FIRST (raw parquet
-    // carries physical names), so the declared-schema projection and
-    // the delete mask both see the snapshot's LOGICAL shape
-    val df = applyColMap(meta,
-      spark.read.option("mergeSchema", "true").parquet(dirs: _*))
+    val lineage = keepLineage || dvState(meta).nonEmpty
+    val raw0 = spark.read.option("mergeSchema", "true").parquet(dirs: _*)
+    // lineage stamps FIRST (only the raw scan frame exposes _metadata)
+    val raw = if (lineage) withLineageCols(raw0) else raw0
+    // physical→logical rename mapping applies next, so the declared-
+    // schema projection and the delete masks all see the snapshot's
+    // LOGICAL shape
+    val df = applyColMap(meta, raw)
     val shaped = override_.fold(df) { target =>
-      df.select(target.fields.map { f =>
+      val cols = target.fields.map { f =>
         if (df.columns.map(_.toLowerCase).contains(f.name.toLowerCase))
           col(f.name)
         else lit(null).cast(f.dataType).as(f.name)
-      }.toIndexedSeq: _*)
+      }.toIndexedSeq
+      df.select(
+        (if (lineage) cols ++ Seq(col(FileCol), col(PosCol)) else cols): _*)
     }
-    applyDeleteMask(spark, root, meta, shaped)
+    val masked =
+      applyDvMask(spark, root, meta, applyDeleteMask(spark, root, meta, shaped))
+    if (lineage && !keepLineage) masked.drop(FileCol, PosCol) else masked
   }
 
   /** MERGE (upsert): rows in `updates` replace current rows with equal
@@ -1638,10 +1678,19 @@ object LakeTable {
     // it resolves identically before and after the projection.
     def readDirs(dirs: Set[String], schemaOf: Seq[String],
                  maskMeta: Map[String, String]): DataFrame =
-      if (dirs.nonEmpty)
-        applyDeleteMask(spark, root, maskMeta, applyColMap(metaAfter,
-          spark.read.option("mergeSchema", "true").parquet(dirs.toSeq: _*)))
-      else {
+      if (dirs.nonEmpty) {
+        // each side masks with ITS OWN version's state — equality keys
+        // AND deletion vectors (a second MOR update inside the window
+        // can mask rows of the first update's replacement group)
+        val hasDv = dvState(maskMeta).nonEmpty
+        val raw0 = spark.read.option("mergeSchema", "true")
+          .parquet(dirs.toSeq: _*)
+        val raw = if (hasDv) withLineageCols(raw0) else raw0
+        val m = applyDvMask(spark, root, maskMeta,
+          applyDeleteMask(spark, root, maskMeta,
+            applyColMap(metaAfter, raw)))
+        if (hasDv) m.drop(FileCol, PosCol) else m
+      } else {
         val ref = applyColMap(metaAfter,
           spark.read.parquet(schemaOf: _*)).schema
         spark.createDataFrame(spark.sparkContext.emptyRDD[Row], ref)
@@ -1669,6 +1718,31 @@ object LakeTable {
         Some(readDirs(beforeDirs intersect afterDirs, allDirs, metaBefore)
           .join(keys, Seq(k), "left_semi"))
       }
+    // a MOR UPDATE churns only its replacement dir — its PREIMAGE rows
+    // live at dv-masked positions of SHARED dirs: read those rows with
+    // lineage (masked by the BEFORE state, so rows already gone at
+    // fromV never re-emit), semi-join the window's NEW dv keys, and
+    // feed them to the REMOVED side — the key-window classification
+    // below then pairs them with the replacement rows as
+    // update_preimage/update_postimage (or emits a lone positional
+    // delete as `delete`) with no special-casing.
+    val newDvPaths = dvState(metaAfter).toSet -- dvState(metaBefore).toSet
+    val dvPre: Option[DataFrame] = {
+      val shared = beforeDirs intersect afterDirs
+      if (newDvPaths.isEmpty || shared.isEmpty) None
+      else {
+        val keys = spark.read.parquet(
+            newDvPaths.toSeq.map(r => new Path(root, r).toString): _*)
+          .select(col(FileCol), col(PosCol)).distinct()
+        val raw = withLineageCols(spark.read
+          .option("mergeSchema", "true").parquet(shared.toSeq: _*))
+        val masked = applyDvMask(spark, root, metaBefore,
+          applyDeleteMask(spark, root, metaBefore,
+            applyColMap(metaAfter, raw)))
+        Some(masked.join(keys, Seq(FileCol, PosCol), "left_semi")
+          .drop(FileCol, PosCol))
+      }
+    }
     // single-pass signed multiset diff: one aggregation over the churned
     // rows replaces the exceptAll-per-tag formulation, whose diff subtree
     // Catalyst would re-evaluate once per change-type branch (6× the
@@ -1676,8 +1750,9 @@ object LakeTable {
     // copies in the after-version, < 0 ⇒ lost; rows COW-rewritten
     // unchanged cancel to 0 here exactly as they did under exceptAll.
     val dataCols = added.columns.toSeq
+    val removedAll = dvPre.fold(removed)(removed.unionByName(_))
     val net = added.withColumn("_side", lit(1L))
-      .unionByName(removed.withColumn("_side", lit(-1L)))
+      .unionByName(removedAll.withColumn("_side", lit(-1L)))
       .groupBy(dataCols.map(col): _*)
       .agg(sum(col("_side")).as("_net"))
       .filter(col("_net") =!= 0L)
@@ -1817,7 +1892,7 @@ object LakeTable {
     val v = latestVersion(spark, root)
       .getOrElse(throw new IllegalStateException(s"no table at $root"))
     val meta = manifestMeta(spark, root, v)
-    require(deleteState(meta).isEmpty,
+    require(deleteState(meta).isEmpty && dvState(meta).isEmpty,
       s"table at $root has merge-on-read deletes; rewriteDeletes first")
     require(colMapAt(meta).isEmpty && colDropsAt(meta).isEmpty,
       s"table at $root has a metadata-only rename/drop mapping; " +
@@ -2011,7 +2086,7 @@ object LakeTable {
     val v = latestVersion(spark, root)
       .getOrElse(throw new IllegalStateException(s"no table at $root"))
     val meta = manifestMeta(spark, root, v)
-    require(deleteState(meta).isEmpty,
+    require(deleteState(meta).isEmpty && dvState(meta).isEmpty,
       s"table at $root has merge-on-read deletes; rewriteDeletes first")
     require(colMapAt(meta).isEmpty && colDropsAt(meta).isEmpty,
       s"table at $root has a metadata-only rename/drop mapping; " +
@@ -2098,13 +2173,127 @@ object LakeTable {
         ("op" -> "delete-mor"))
   }
 
+  /** Merge-on-read UPDATE (Delta's deletion-vector update path): mark
+    * every matched row deleted POSITIONALLY — a (file, row-index)
+    * sidecar under `_deletes/dv-*`, the row's physical identity — and
+    * append the updated rows as a fresh file group, in ONE commit. A
+    * point update to one row of a 1 GB file group costs O(matches)
+    * bytes: the group is untouched on disk; every read path patches at
+    * scan time ([[read]] anti-joins the (file, pos) list, served by
+    * Spark's `_metadata` pseudo-column at zero extra scan I/O). Because
+    * the mask names physical positions, the appended replacement rows —
+    * and every later append — are never swallowed by it (the flaw a
+    * key-equality mask would have). Time travel serves each version's
+    * own delete state; CDC (when enabled) emits update_preimage /
+    * update_postimage pairs; [[rewriteDeletes]] (or any COW op)
+    * materializes the masks away. Semantics match SQL UPDATE: only rows
+    * where the predicate is TRUE update (NULL keeps); SET expressions
+    * may reference any column and are cast to the column's type;
+    * GENERATED columns recompute from the updated row (setting one
+    * directly refuses); identity values are PRESERVED (setting the
+    * identity column refuses); CHECK and UNIQUE constraints gate the
+    * replacement rows before any manifest commit. Partitioned tables
+    * route the replacements to per-value groups (a row may move
+    * partitions). Version-collision races fail fast (rewrite-class op).
+    * Returns the committed version — unchanged when nothing matches.
+    *
+    * Scale: one masked scan to find matches (manifest/stats pruning
+    * applies upstream when the caller pre-narrows), one O(matches)
+    * stage + sidecar + data write, one manifest line. The read-side
+    * cost until rewrite is one broadcast anti-join per scan — the
+    * documented MOR trade. */
+  def updateWhereMor(spark: SparkSession, root: String,
+                     predicate: org.apache.spark.sql.Column,
+                     set: Map[String, org.apache.spark.sql.Column]): Int = {
+    require(set.nonEmpty, "updateWhereMor needs at least one SET column")
+    val v = latestVersion(spark, root)
+      .getOrElse(throw new IllegalStateException(s"no table at $root"))
+    val meta = manifestMeta(spark, root, v)
+    require(colMapAt(meta).isEmpty && colDropsAt(meta).isEmpty,
+      s"table at $root has a metadata-only rename/drop mapping; " +
+        "compact first so raw group reads see logical names")
+    val schema = read(spark, root).schema
+    require(!schema.fieldNames.exists(n =>
+        n.equalsIgnoreCase(FileCol) || n.equalsIgnoreCase(PosCol)),
+      s"table at $root carries a reserved lineage column name " +
+        s"($FileCol/$PosCol)")
+    identityAt(meta).foreach { case (c, _, _, _) =>
+      require(!set.keys.exists(_.equalsIgnoreCase(c)),
+        s"cannot UPDATE identity column '$c' at $root — ids are " +
+          "engine-assigned and preserved across updates") }
+    genColsAt(meta).keys.foreach(g =>
+      require(!set.keys.exists(_.equalsIgnoreCase(g)),
+        s"cannot UPDATE generated column '$g' at $root directly — it " +
+          "recomputes from its declared expression"))
+    val setTyped = set.map { case (c, e) =>
+      val f = schema.fields.find(_.name.equalsIgnoreCase(c))
+        .getOrElse(throw new IllegalArgumentException(
+          s"no column '$c' at $root"))
+      (f.name, e.cast(f.dataType))
+    }
+    // stage the matched rows ONCE (the statsMeta rule: the dv keys and
+    // the replacement rows must describe the SAME rows even under a
+    // nondeterministic predicate/lineage)
+    val stageRel = s"data/.updstage-${java.util.UUID.randomUUID()}"
+    readWithLineage(spark, root)
+      .filter(coalesce(predicate, lit(false)))
+      .write.parquet(new Path(root, stageRel).toString)
+    try {
+      val staged = spark.read.parquet(new Path(root, stageRel).toString)
+      if (staged.isEmpty) return v
+      // the replacement rows: SETs applied, generated columns dropped
+      // then re-materialized, gates in exactly the append order —
+      // EVERY gate runs before any sidecar or data byte lands, so a
+      // refused update leaves no orphan
+      val set0 = setTyped.foldLeft(staged.drop(FileCol, PosCol)) {
+        case (d, (c, e)) => d.withColumn(c, e) }
+      val regen = genColsAt(meta).keys.foldLeft(set0) { (d, g) =>
+        d.columns.find(_.equalsIgnoreCase(g)).fold(d)(d.drop(_)) }
+      val updated = applyGenerated(spark, root, meta, regen)
+      enforceConstraints(spark, root, v, updated)
+      if (uniqueColsAt(meta).nonEmpty) {
+        // survivors = the masked snapshot MINUS the matched rows (by
+        // physical identity) — collisions with replaced rows are fine
+        val survivors = readWithLineage(spark, root)
+          .join(staged.select(col(FileCol), col(PosCol)),
+            Seq(FileCol, PosCol), "left_anti")
+          .drop(FileCol, PosCol)
+        enforceUnique(meta, updated, Some(survivors), "by MOR update")
+      }
+      // positional delete sidecar — tagged 'U' for CDC classification
+      val dvRel = s"_deletes/dv-${java.util.UUID.randomUUID()}"
+      staged.select(col(FileCol), col(PosCol), lit("U").as("__op"))
+        .coalesce(1).write.parquet(new Path(root, dvRel).toString)
+      val parts = partColsAt(meta) match {
+        case Seq() => Seq((writeDataFiles(spark, root, updated), None))
+        case pcs => writePartitionedDataFiles(spark, root, pcs, updated)
+          .map { case (d, pv) => (d, Some(pv)) }
+      }
+      val partMeta = parts.collect {
+        case (d, Some(pv)) => s"part:$d" -> pv }.toMap
+      val list = (dvState(meta) :+ dvRel).mkString(",")
+      withStagedCdc(spark, root,
+        staged.drop(FileCol, PosCol)
+          .withColumn("_change_type", lit("update_preimage"))
+          .unionByName(updated
+            .withColumn("_change_type", lit("update_postimage")))) {
+        extra =>
+          commitVersion(spark, root, v + 1,
+            readManifest(spark, root, v) ++ parts.map(_._1),
+            meta - "op" ++ partMeta ++ extra +
+              ("dv" -> list) + ("op" -> "update-mor"))
+      }
+    } finally fs(spark, root).delete(new Path(root, stageRel), true)
+  }
+
   /** Materialize accumulated merge-on-read deletes: one masked read →
     * fresh file group(s), delete sidecar metadata dropped with the old
     * dirs. The group-granular twin is [[compact]] with a cluster key. */
   def rewriteDeletes(spark: SparkSession, root: String): Int = {
     val v = latestVersion(spark, root)
       .getOrElse(throw new IllegalStateException(s"no table at $root"))
-    require(deleteState(manifestMeta(spark, root, v)).nonEmpty,
+    val m = manifestMeta(spark, root, v)
+    require(deleteState(m).nonEmpty || dvState(m).nonEmpty,
       s"no merge-on-read deletes to rewrite at $root")
     commit(spark, root, Seq(writeDataFiles(spark, root, read(spark, root))),
       Map("op" -> "rewrite-deletes"))
@@ -2197,7 +2386,7 @@ object LakeTable {
     val v = latestVersion(spark, root)
       .getOrElse(throw new IllegalStateException(s"no table at $root"))
     val meta = manifestMeta(spark, root, v)
-    require(deleteState(meta).isEmpty,
+    require(deleteState(meta).isEmpty && dvState(meta).isEmpty,
       s"table at $root has merge-on-read deletes; rewriteDeletes first")
     val f = fs(spark, root)
     def bytes(d: String): Long =
@@ -2295,7 +2484,7 @@ object LakeTable {
             colDropsAt(meta) != colDropsAt(lm))
           conflict("column rename/drop mapping changed (the merged " +
             "group baked the old physical names)")
-        if (deleteState(lm).nonEmpty)
+        if (deleteState(lm).nonEmpty || dvState(lm).nonEmpty)
           conflict("merge-on-read deletes appeared (the merged group " +
             "was read unmasked)")
         attempt = latest
@@ -2338,7 +2527,7 @@ object LakeTable {
     val v = latestVersion(spark, root)
       .getOrElse(throw new IllegalStateException(s"no table at $root"))
     val meta = manifestMeta(spark, root, v)
-    require(deleteState(meta).isEmpty,
+    require(deleteState(meta).isEmpty && dvState(meta).isEmpty,
       s"table at $root has merge-on-read deletes; rewriteDeletes first")
     require(colMapAt(meta).isEmpty && colDropsAt(meta).isEmpty,
       s"table at $root has a metadata-only rename/drop mapping; " +
@@ -2412,8 +2601,8 @@ object LakeTable {
         k.startsWith("stat:") || k.startsWith("bloom:") ||
           k.startsWith("annmodel:") || k.startsWith("anncodes:") ||
           k.startsWith("hllsk:") || k.startsWith("kllsk:") ||
-          k == "deletes" || k == "deletekey" || k == "colmap" ||
-          k == "coldrop" ||
+          k == "deletes" || k == "deletekey" || k == "dv" ||
+          k == "colmap" || k == "coldrop" ||
           // the restored version's OWN declared schema (expressed in
           // its own logical names, consistent with its colmap) — not
           // the latest version's, which a rename may have rewritten
@@ -2848,7 +3037,7 @@ object LakeTable {
       // sidecar exists (Path(root, child) ignores root for absolute
       // children, so the absolute form reads unchanged on the clone)
       val v2 =
-        if (k == "deletes")
+        if (k == "deletes" || k == "dv")
           value.split(",").map(r => new Path(srcRoot, r).toString)
             .mkString(",")
         else if (k.startsWith("bloom:") || k.startsWith("annmodel:") ||

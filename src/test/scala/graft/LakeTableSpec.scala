@@ -1724,4 +1724,129 @@ class LakeTableSpec extends SparkSpec {
       assert(ids == Seq(1L))
     }
   }
+
+  test("MOR update: deletion vectors patch reads at O(matches) bytes, " +
+    "never swallow later appends, and materialize on rewrite") {
+    withTable { root =>
+      import spark.implicits._
+      LakeTable.create(spark, root,
+        (1L to 1000L).map(i => (i, i * 10L, "init")).toDF("id", "v", "tag"))
+      val dirsBefore = LakeTable.dataDirPaths(spark, root)
+      // point update: one matched row of a 1000-row group
+      val v2 = LakeTable.updateWhereMor(spark, root, col("id") === 7L,
+        Map("v" -> lit(777L), "tag" -> lit("patched")))
+      assert(v2 == 2)
+      // original file groups untouched; ONE tiny replacement group added
+      val dirsAfter = LakeTable.dataDirPaths(spark, root)
+      assert(dirsBefore.forall(dirsAfter.contains),
+        "update-mor rewrote an existing file group")
+      assert(dirsAfter.size == dirsBefore.size + 1)
+      assert(LakeTable.history(spark, root).last._2 == "update-mor")
+      // masked + patched: count stable, new values visible, old gone
+      val after = LakeTable.read(spark, root)
+      assert(after.count() == 1000)
+      assert(after.filter(col("id") === 7L)
+        .select(col("v"), col("tag")).head() ==
+        org.apache.spark.sql.Row(777L, "patched"))
+      // positional identity: a LATER append re-using the updated key's
+      // values is NOT swallowed by the mask (the equality-mask flaw)
+      LakeTable.append(spark, root, Seq((7L, 70L, "late")).toDF("id", "v", "tag"))
+      assert(LakeTable.read(spark, root)
+        .filter(col("id") === 7L).count() == 2)
+      // second update stacks — and can hit the FIRST update's
+      // replacement group (dv entries accumulate across groups)
+      LakeTable.updateWhereMor(spark, root,
+        col("id") === 7L && col("tag") === "patched",
+        Map("v" -> lit(7777L)))
+      val twice = LakeTable.read(spark, root).filter(col("id") === 7L)
+        .select(col("v")).collect().map(_.getLong(0)).toSet
+      assert(twice == Set(7777L, 70L))
+      // time travel serves each version's own delete state
+      assert(LakeTable.read(spark, root, Some(1))
+        .filter(col("id") === 7L).select(col("v")).head().getLong(0) == 70L)
+      assert(LakeTable.read(spark, root, Some(2))
+        .filter(col("id") === 7L).select(col("v")).head().getLong(0) == 777L)
+      // pruned reads patch too
+      assert(LakeTable.readWhere(spark, root, "id", 7.0, 7.0)
+        .select(col("v")).collect().map(_.getLong(0)).toSet ==
+        Set(7777L, 70L))
+      // CDC snapshot diff classifies the pair as an update
+      val cdc = LakeTable.changes(spark, root, 1, 2, "id")
+      assert(cdc.filter(col("_change_type") === "update_preimage")
+        .select(col("v")).head().getLong(0) == 70L)
+      assert(cdc.filter(col("_change_type") === "update_postimage")
+        .select(col("v")).head().getLong(0) == 777L)
+      assert(cdc.count() == 2)
+      // rewrite materializes: dv meta gone, reads identical
+      val before = LakeTable.read(spark, root).orderBy(col("id"), col("v"))
+        .collect().toSeq
+      LakeTable.rewriteDeletes(spark, root)
+      val meta = LakeTable.manifestMetaAt(spark, root,
+        LakeTable.latestVersion(spark, root).get)
+      assert(!meta.contains("dv"))
+      assert(LakeTable.read(spark, root).orderBy(col("id"), col("v"))
+        .collect().toSeq == before)
+    }
+  }
+
+  test("MOR update races an append: the dv state change is a NAMED " +
+    "append conflict, never a silent blind rebase") {
+    withTable { root =>
+      import spark.implicits._
+      LakeTable.create(spark, root,
+        (1L to 50L).map(i => (i, i)).toDF("id", "v"))
+      // the append prepares against the pre-update snapshot
+      val (base, dir) = LakeTable.appendPrepare(spark, root,
+        Seq((51L, 51L)).toDF("id", "v"))
+      // an update-mor commit wins the version race
+      LakeTable.updateWhereMor(spark, root, col("id") === 1L,
+        Map("v" -> lit(-1L)))
+      // the loser must NOT blind-rebase: its validation snapshot never
+      // saw the mask (Delta names this conflict the same way)
+      val e = intercept[graft.sources.LakeConflictException] {
+        LakeTable.commitAppend(spark, root, base, dir, Map.empty)
+      }
+      assert(e.getMessage.contains("delete state"), e.getMessage)
+      // the table is exactly the update's outcome — nothing partial
+      val t = LakeTable.read(spark, root)
+      assert(t.count() == 50)
+      assert(t.filter(col("v") === -1L).count() == 1)
+    }
+  }
+
+  test("MOR update refusals: identity and generated columns, and " +
+    "UNIQUE collisions, all refuse before any commit") {
+    withTable { root =>
+      import spark.implicits._
+      LakeTable.create(spark, root,
+        (1L to 10L).map(i => (i, i * 2L)).toDF("id", "v"))
+      LakeTable.addUniqueConstraint(spark, root, "uid", "id")
+      val v0 = LakeTable.latestVersion(spark, root).get
+      // rewriting id into an existing key collides with a survivor
+      val e = intercept[IllegalArgumentException] {
+        LakeTable.updateWhereMor(spark, root, col("id") === 3L,
+          Map("id" -> lit(5L)))
+      }
+      assert(e.getMessage.contains("UNIQUE"), e.getMessage)
+      assert(LakeTable.latestVersion(spark, root).get == v0,
+        "refused update moved the version")
+      // ...but rewriting into a FREE key (or onto the replaced row's
+      // own key) passes (v kept consistent with the rule declared below)
+      LakeTable.updateWhereMor(spark, root, col("id") === 3L,
+        Map("id" -> lit(303L), "v" -> lit(606L)))
+      assert(LakeTable.read(spark, root)
+        .filter(col("id") === 303L).count() == 1)
+      // identity / generated columns are engine-owned
+      LakeTable.setGeneratedColumn(spark, root, "v", "id * 2")
+      intercept[IllegalArgumentException] {
+        LakeTable.updateWhereMor(spark, root, col("id") === 4L,
+          Map("v" -> lit(0L)))
+      }
+      // updating the generated column's INPUT recomputes it
+      LakeTable.updateWhereMor(spark, root, col("id") === 4L,
+        Map("id" -> lit(404L)))
+      assert(LakeTable.read(spark, root).filter(col("id") === 404L)
+        .select(col("v")).head().getLong(0) == 808L)
+    }
+  }
 }
