@@ -2886,6 +2886,429 @@ object LakeQueries {
     } }
   }
 
+  /** q327: merge-on-read UPDATE via positional deletion vectors —
+    * [[LakeTable.updateWhereMor]] patches short documents (`n_chars <
+    * 100` → source redacted, n_chars bumped by 1e6) in ONE commit that
+    * leaves every existing data file byte-identical (`files_untouched`
+    * compares dir lists; `groups_added` pins the single replacement
+    * group). Masked reads serve the patched values; CDC pairs
+    * update_preimage/update_postimage per matched row with zero file
+    * churn; [[LakeTable.rewriteDeletes]] materializes the masks and the
+    * sums stay identical (`rewrite_matches`). At 100 TB this is Delta's
+    * DV update: a point update to one row of a 1 GB group costs
+    * O(matches) bytes now and one broadcast anti-join per scan until
+    * the next compaction — never a whole-group rewrite. */
+  def morUpdate(s: SparkSession, dir: String): DataFrame = {
+    val d = graft.Tables.load(s, dir, "documents")
+    graft.util.Tmp.withTempDir("graft_lake_q327") { rootPath =>
+      val root = rootPath.toString
+      LakeTable.createClustered(s, root, d, "doc_id",
+        numGroups = 4, statsCols = Nil)
+      val dirsBefore = LakeTable.dataDirPaths(s, root)
+      val v2 = LakeTable.updateWhereMor(s, root, col("n_chars") < 100,
+        Map("source" -> lit("redacted"),
+          "n_chars" -> (col("n_chars") + lit(1000000L))))
+      val dirsAfter = LakeTable.dataDirPaths(s, root)
+      val untouched = dirsBefore.forall(dirsAfter.contains)
+      val groupsAdded = (dirsAfter.size - dirsBefore.size).toLong
+      val langs = d.select(col("lang")).distinct()
+      val after = LakeTable.read(s, root).groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("n_chars")).as("chars_after"))
+      val cdc = LakeTable.changes(s, root, v2 - 1, v2, "doc_id")
+        .filter(col("_change_type") === "update_postimage")
+        .groupBy(col("lang")).agg(count(lit(1)).as("n_updated_cdc"))
+      LakeTable.rewriteDeletes(s, root)
+      val rewritten = LakeTable.read(s, root).groupBy(col("lang"))
+        .agg(sum(col("n_chars")).as("chars_rewritten"))
+      graft.util.LocalFrame.materialize(
+        langs.join(after, Seq("lang"), "left")
+          .join(cdc, Seq("lang"), "left")
+          .join(rewritten, Seq("lang"), "left")
+          .na.fill(0L, Seq("n_rows", "chars_after", "n_updated_cdc"))
+          .select(col("lang"), col("n_rows"), col("chars_after"),
+            col("n_updated_cdc"),
+            lit(untouched).as("files_untouched"),
+            lit(groupsAdded).as("groups_added"),
+            (col("chars_rewritten") === col("chars_after"))
+              .as("rewrite_matches"))
+          .orderBy(col("lang")))
+    }
+  }
+
+  /** q328: time-based retention and restore — the two clock-facing
+    * maintenance verbs a Delta user types. Three commits land, then the
+    * first two manifests are BACKDATED (2 h / 90 min ago, the test's
+    * stand-in for a table with history); `RESTORE … TIMESTAMP AS OF
+    * <now−1 h>` resolves to the newest version committed at or before
+    * the timestamp (v2) and restores it as a NEW commit (v4), and
+    * `VACUUM … RETAIN 1 HOURS` drops exactly the two backdated versions
+    * — while v2's data groups SURVIVE because the fresh restore commit
+    * still references them (retention safety: vacuum keeps bytes any
+    * kept version names, not just recent bytes). Time travel to a
+    * dropped version refuses loudly. At 100 TB these two verbs are the
+    * ops loop: restore-by-time for incident rollback, retain-by-time to
+    * bound storage, and their interaction (a rollback pins old bytes
+    * through the next vacuum) is exactly what this query pins. */
+  def timeRetention(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.load(s, dir, "orders")
+      .select(col("o_orderkey").as("k"),
+        expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)")
+          .as("cents"))
+    graft.util.LocalFrame.withConf(s, "spark.sql.shuffle.partitions", "8") {
+    graft.util.Tmp.withTempDir("graft_lake_q328") { rootPath =>
+      val wh = rootPath.toString
+      val cat = "lake_" +
+        java.util.UUID.randomUUID().toString.replace("-", "").take(12)
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftLakeCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+      try {
+        val root = s"$wh/t"
+        LakeTable.create(s, root, o.filter(col("k") % 3 === 0))
+        LakeTable.append(s, root, o.filter(col("k") % 3 === 1))
+        LakeTable.append(s, root, o.filter(col("k") % 3 === 2))
+        val fsys = new org.apache.hadoop.fs.Path(root)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        def manifest(v: Int) = new org.apache.hadoop.fs.Path(
+          s"$root/_versions", f"v$v%08d.json")
+        val now = System.currentTimeMillis()
+        fsys.setTimes(manifest(1), now - 2L * 3600 * 1000, -1)
+        fsys.setTimes(manifest(2), now - 90L * 60 * 1000, -1)
+        val ts = new java.sql.Timestamp(now - 3600L * 1000).toString
+        val r = s.sql(
+          s"RESTORE TABLE $cat.t TO TIMESTAMP AS OF '$ts'").head()
+        val nRestored =
+          s.sql(s"SELECT count(*) FROM $cat.t").head().getLong(0)
+        val versionsBefore = LakeTable.versions(s, root).size.toLong
+        s.sql(s"VACUUM $cat.t RETAIN 1 HOURS")
+        val versionsAfter = LakeTable.versions(s, root).size.toLong
+        val refusedDropped = refused("version 1 does not exist") {
+          LakeTable.read(s, root, Some(1)).count() }
+        val nLatest =
+          s.sql(s"SELECT count(*) FROM $cat.t").head().getLong(0)
+        import s.implicits._
+        graft.util.LocalFrame.materialize(Seq(
+          ("n_latest_after_vacuum", nLatest),
+          ("n_restored", nRestored),
+          ("refused_dropped_version", refusedDropped),
+          ("restored_version", r.getLong(1)),
+          ("v_after_restore", r.getLong(0)),
+          ("versions_after_vacuum", versionsAfter),
+          ("versions_before_vacuum", versionsBefore)
+        ).toDF("fact", "n").orderBy(col("fact")))
+      } finally {
+        s.conf.unset(s"spark.sql.catalog.$cat")
+        s.conf.unset(s"spark.sql.catalog.$cat.warehouse")
+      }
+    } }
+  }
+
+  /** q329: STRING min/max data skipping — the `WHERE status = 'URGENT'`
+    * scan that used to open every group now prunes at the manifest
+    * level. Five per-language appends record verbatim string min/max
+    * (`S:`-tagged stat values, base64-wrapped; >64-char values drop the
+    * stat honestly — over-scan, never a wrong prune); an equality probe
+    * keeps exactly ONE group ([[LakeTable.selectGroupsEq]], zero file
+    * opens for the rest), and range (`lang <= 'en'`) and prefix
+    * (`lang LIKE 'e%'`) predicates pushed through the DSv2 scan plan
+    * strictly fewer parquet paths than the full table. Row results
+    * value-check against plain predicates. At 100 TB this is the
+    * high-cardinality string dimension (status, country, tenant) that
+    * numeric stats can't serve and a bloom index only serves for
+    * equality — min/max strings prune ranges and prefixes too. */
+  def stringSkipping(s: SparkSession, dir: String): DataFrame = {
+    val d = graft.Tables.load(s, dir, "documents")
+    graft.util.Tmp.withTempDir("graft_lake_q329") { rootPath =>
+      val root = rootPath.toString
+      val langs = d.select(col("lang")).distinct()
+        .collect().map(_.getString(0)).sorted // 5 values — driver-tiny
+      LakeTable.create(s, root, d.filter(col("lang") === langs.head),
+        statsCols = Seq("lang"))
+      langs.tail.foreach(l => LakeTable.append(s, root,
+        d.filter(col("lang") === l), statsCols = Seq("lang")))
+      val nGroups = LakeTable.dataDirPaths(s, root).size.toLong
+      val keptEq = LakeTable.selectGroupsEq(s, root, "lang", "es")
+        .size.toLong
+      val es = LakeTable.readWhereEq(s, root, "lang", "es")
+        .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("c")).head()
+      def plannedPaths(df: org.apache.spark.sql.DataFrame): Option[Long] =
+        "InMemoryFileIndex\\((\\d+) paths?\\)".r
+          .findFirstMatchIn(df.queryExecution.executedPlan.toString)
+          .map(_.group(1).toLong)
+      val t = s.read.format("graft-lake").load(root)
+      val full = plannedPaths(t.groupBy().agg(count(lit(1)).as("n")))
+      val le = t.filter(col("lang") <= "en")
+        .groupBy().agg(count(lit(1)).as("n"))
+      val pre = t.filter(col("lang").startsWith("e"))
+        .groupBy().agg(count(lit(1)).as("n"))
+      val prunedLe = (plannedPaths(le), full) match {
+        case (Some(a), Some(b)) if a < b => 1L; case _ => 0L }
+      val prunedPre = (plannedPaths(pre), full) match {
+        case (Some(a), Some(b)) if a < b => 1L; case _ => 0L }
+      import s.implicits._
+      graft.util.LocalFrame.materialize(Seq(
+        ("chars_es", es.getLong(1)),
+        ("kept_groups_eq", keptEq),
+        ("n_es", es.getLong(0)),
+        ("n_groups", nGroups),
+        ("n_le_en", le.head().getLong(0)),
+        ("n_prefix_e", pre.head().getLong(0)),
+        ("pruned_le_en", prunedLe),
+        ("pruned_prefix_e", prunedPre)
+      ).toDF("fact", "n").orderBy(col("fact")))
+    }
+  }
+
+  /** q330: `MERGE … WITH SCHEMA EVOLUTION` (Delta's autoMerge) — a
+    * source carrying a NEW column (`chan`) merges into a two-column
+    * table: Spark's analyzer sees the
+    * [[org.apache.spark.sql.connector.catalog.TableCapability]]
+    * `AUTOMATIC_SCHEMA_EVOLUTION` on the table, routes the new column
+    * through `alterTable(AddColumn)` → [[LakeTable.evolveSchema]] (a
+    * metadata-only commit), THEN plans the row-level merge against the
+    * evolved shape — matched rows take the source's `chan`, untouched
+    * survivors read a typed NULL, inserts land complete. WITHOUT the
+    * keyword an explicit assignment to the unknown column refuses at
+    * analysis (pinned as a fact; a star merge would silently DROP the
+    * extra source column — base Spark/Delta semantics): evolution is
+    * opt-in per statement, never ambient. Version facts
+    * pin the two-commit shape (evolve then merge). At 100 TB this is
+    * the weekly schema-drift merge: upstream adds a field and the
+    * pipeline keeps running without a manual ALTER + backfill. */
+  def mergeEvolution(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.load(s, dir, "orders")
+      .filter(col("o_custkey") % 11 === 3)
+      .select(col("o_orderkey").as("k"),
+        expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)")
+          .as("cents"))
+    graft.util.LocalFrame.withConf(s, "spark.sql.shuffle.partitions", "8") {
+    graft.util.Tmp.withTempDir("graft_lake_q330") { rootPath =>
+      val wh = rootPath.toString
+      val cat = "lake_" +
+        java.util.UUID.randomUUID().toString.replace("-", "").take(12)
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftLakeCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+      try {
+        val root = s"$wh/t"
+        LakeTable.create(s, root, o)
+        o.filter(col("k") % 2 === 0)
+          .select(col("k"), (col("cents") + 5).as("cents"),
+            lit("upd").as("chan"))
+          .unionByName(o.filter(col("k") % 5 === 0)
+            .select((col("k") + 1000000000L).as("k"), col("cents"),
+              lit("new").as("chan")))
+          .createOrReplaceTempView("q330_src")
+        // without the keyword an explicit assignment to the unknown
+        // column refuses at analysis (a star merge would silently drop
+        // it — base Spark/Delta semantics, which is why evolution is
+        // per-statement opt-in)
+        val refusedPlain =
+          try {
+            s.sql(s"""MERGE INTO $cat.t t USING q330_src u ON t.k = u.k
+                     |WHEN MATCHED THEN UPDATE SET t.chan = u.chan"""
+              .stripMargin)
+            0L
+          } catch { case _: org.apache.spark.sql.AnalysisException => 1L }
+        s.sql(
+          s"""MERGE WITH SCHEMA EVOLUTION INTO $cat.t t
+             |USING q330_src u ON t.k = u.k
+             |WHEN MATCHED THEN UPDATE SET *
+             |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+        val hist = LakeTable.history(s, root).map(_._2)
+        val evolvedThenMerged =
+          if (hist.takeRight(2) == Seq("add-columns", "merge")) 1L else 0L
+        val agg = s.sql(
+          s"""SELECT coalesce(chan, 'none') AS chan, count(*) AS n,
+             |       sum(cents) AS c
+             |FROM $cat.t GROUP BY 1""".stripMargin)
+        graft.util.LocalFrame.materialize(agg
+          .withColumn("refused_plain", lit(refusedPlain))
+          .withColumn("two_commit_shape", lit(evolvedThenMerged))
+          .orderBy(col("chan")))
+      } finally {
+        s.catalog.dropTempView("q330_src")
+        s.conf.unset(s"spark.sql.catalog.$cat")
+        s.conf.unset(s"spark.sql.catalog.$cat.warehouse")
+      }
+    } }
+  }
+
+  /** q331: the two storage-partitioned-join shapes q326 (both sides
+    * identically partitioned) can't serve — pinned plans both:
+    * (1) MISMATCHED partition-value sets (one table holds pre-1998
+    * years only, the other every year): with
+    * `v2.bucketing.pushPartValues.enabled` Spark aligns the two
+    * KeyGroupedPartitionings by merging the value lists (missing
+    * values join empty splits) — still ZERO exchanges; (2) partitioned
+    * big side ⋈ UNPARTITIONED small side (the commoner 100 TB shape —
+    * a curated dim that never got partitioned — here a driver-built
+    * 7-row frame, so the join's ONLY possible exchange is the dim's):
+    * with `v2.bucketing.shuffle.enabled` Spark shuffles ONLY the small
+    * side into the big side's key grouping (KeyGroupedShuffleSpec
+    * .canCreatePartitioning) — exactly ONE exchange total and ZERO
+    * above the lake scan (`exchanges_above_scan` pins that the fact
+    * side never moves). Broadcast is disabled so the plan facts pin
+    * the SPJ machinery, not the broadcast fallback. Data facts restate
+    * from orders. */
+  def spjPartial(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.load(s, dir, "orders")
+      .filter(col("o_custkey") % 13 === 4)
+      .select(col("o_orderkey").as("k"),
+        year(col("o_orderdate")).cast("long").as("yk"),
+        expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)")
+          .as("cents"))
+    graft.util.LocalFrame.withConf(s, "spark.sql.shuffle.partitions", "8") {
+    graft.util.Tmp.withTempDir("graft_lake_q331") { rootPath =>
+      val wh = rootPath.toString
+      val t1r = s"$wh/orders_by_year"   // every year
+      val t2r = s"$wh/early_totals"     // pre-1998 years only
+      LakeTable.createEmpty(s, t1r, base.schema, Seq("yk"))
+      LakeTable.append(s, t1r, base)
+      val t2src = base.filter(col("yk") < 1998).groupBy(col("yk"))
+        .agg(sum(col("cents")).as("yr_total"))
+      LakeTable.createEmpty(s, t2r, t2src.schema, Seq("yk"))
+      LakeTable.append(s, t2r, t2src)
+      def shuffles(df: org.apache.spark.sql.DataFrame): (Long, Long) = {
+        df.foreachPartition((_: Iterator[org.apache.spark.sql.Row]) => ())
+        val ex = df.queryExecution.executedPlan.collect {
+          case e: org.apache.spark.sql.execution.exchange
+            .ShuffleExchangeLike => e }
+        // exchanges sitting ABOVE the lake scan = the fact side moved
+        val aboveScan = ex.count(_.exists {
+          case _: org.apache.spark.sql.execution.datasources.v2
+            .BatchScanExec => true
+          case _ => false
+        })
+        (ex.size.toLong, aboveScan.toLong)
+      }
+      def withFlags[A](extra: (String, String)*)(body: => A): A = {
+        val all = Seq(
+          "spark.sql.sources.v2.bucketing.enabled" -> "true",
+          "spark.sql.adaptive.enabled" -> "false",
+          "spark.sql.autoBroadcastJoinThreshold" -> "-1") ++ extra
+        def nest(cs: List[(String, String)]): A = cs match {
+          case Nil => body
+          case (k, v) :: rest =>
+            graft.util.LocalFrame.withConf(s, k, v)(nest(rest))
+        }
+        nest(all.toList)
+      }
+      val t1 = s.read.format("graft-lake").load(t1r)
+      val t2 = s.read.format("graft-lake").load(t2r)
+      import s.implicits._
+      // (1) mismatched value sets: zero exchanges with pushPartValues
+      val (exMis, aggMis) = withFlags(
+        "spark.sql.sources.v2.bucketing.pushPartValues.enabled"
+          -> "true") {
+        val j = t1.join(t2, "yk")
+        (shuffles(j)._1, j.agg(count(lit(1)).as("n"),
+          sum(col("cents")).as("c")).head())
+      }
+      // (2) unpartitioned small side: a DRIVER-BUILT dim (7 year-total
+      // rows — the curated side table that never got partitioned);
+      // Spark shuffles ONLY it into the scan's key grouping
+      val dim = base.groupBy(col("yk"))
+        .agg(sum(col("cents")).as("yr_total"))
+        .collect().toSeq.map(r => (r.getLong(0), r.getLong(1)))
+        .toDF("yk", "yr_total")
+      val (exOne, aboveScan, aggOne) = withFlags(
+        "spark.sql.sources.v2.bucketing.pushPartValues.enabled"
+          -> "true",
+        "spark.sql.sources.v2.bucketing.shuffle.enabled" -> "true") {
+        val j = t1.join(dim, "yk")
+        val (tot, above) = shuffles(j)
+        (tot, above, j.agg(count(lit(1)).as("n"),
+          sum(when(col("cents") * 50 >= col("yr_total"), 1L)
+            .otherwise(0L)).as("big")).head())
+      }
+      graft.util.LocalFrame.materialize(Seq(
+        ("cents_mismatched", aggMis.getLong(1)),
+        ("exchanges_above_scan", aboveScan),
+        ("exchanges_mismatched", exMis),
+        ("exchanges_one_side", exOne),
+        ("n_big_one_side", aggOne.getLong(1)),
+        ("n_rows_mismatched", aggMis.getLong(0)),
+        ("n_rows_one_side", aggOne.getLong(0))
+      ).toDF("fact", "n").orderBy(col("fact")))
+    } }
+  }
+
+  /** q332: SQL `UPDATE` on the deletion-vector merge-on-read path —
+    * under `spark.graft.update.mode=mor` the parser routes the verb to
+    * [[LakeTable.updateWhereMor]]: one commit, O(matches) bytes, every
+    * pre-existing file group byte-identical (`mor_files_untouched` +
+    * exactly one replacement group). The post-update SQL read goes
+    * through the catalog's dv-masked scan
+    * ([[graft.sources.GraftDvScan]]) — masked rows never resurface —
+    * and `VERSION AS OF` still serves the pre-update values. While dv
+    * state is pending, the copy-on-write SQL UPDATE path refuses at
+    * analysis (no row-level op on a dv snapshot — pinned); after
+    * [[LakeTable.rewriteDeletes]] the default COW mode works again and
+    * REPLACES its matched group (the contrast pinned:
+    * `cow_rewrote_groups`). At 100 TB: point updates stop costing
+    * whole-group rewrites the moment a session flips one conf. */
+  def sqlUpdateMor(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.load(s, dir, "orders")
+      .filter(col("o_custkey") % 19 === 5)
+      .select(col("o_orderkey").as("k"),
+        expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)")
+          .as("cents"))
+    graft.util.LocalFrame.withConf(s, "spark.sql.shuffle.partitions", "8") {
+    graft.util.Tmp.withTempDir("graft_lake_q332") { rootPath =>
+      val wh = rootPath.toString
+      val cat = "lake_" +
+        java.util.UUID.randomUUID().toString.replace("-", "").take(12)
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftLakeCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+      try {
+        val root = s"$wh/t"
+        LakeTable.createClustered(s, root, base, "k",
+          numGroups = 4, statsCols = Nil)
+        val dirsBefore = LakeTable.dataDirPaths(s, root)
+        val vMor = graft.util.LocalFrame.withConf(s,
+          "spark.graft.update.mode", "mor") {
+          s.sql(s"UPDATE $cat.t SET cents = cents + 7 WHERE k % 10 = 3")
+            .head().getLong(0)
+        }
+        val dirsAfter = LakeTable.dataDirPaths(s, root)
+        val morUntouched =
+          if (dirsBefore.forall(dirsAfter.contains)) 1L else 0L
+        val morAdded = (dirsAfter.size - dirsBefore.size).toLong
+        // masked catalog read + time travel to the pre-update snapshot
+        val after = s.sql(
+          s"SELECT count(*) AS n, sum(cents) AS c FROM $cat.t").head()
+        val v1 = s.sql(
+          s"SELECT sum(cents) AS c FROM $cat.t VERSION AS OF ${vMor - 1}")
+          .head().getLong(0)
+        // default (copy-on-write) UPDATE refuses while dv state pends
+        val refusedCow = refused("UPDATE") {
+          s.sql(s"UPDATE $cat.t SET cents = cents + 9 WHERE k % 10 = 4") }
+        LakeTable.rewriteDeletes(s, root)
+        val dirsRewritten = LakeTable.dataDirPaths(s, root)
+        s.sql(s"UPDATE $cat.t SET cents = cents + 9 WHERE k % 10 = 4")
+        val dirsCow = LakeTable.dataDirPaths(s, root)
+        val cowRewrote =
+          if (dirsRewritten.exists(d => !dirsCow.contains(d))) 1L else 0L
+        val fin = s.sql(
+          s"SELECT sum(cents) AS c FROM $cat.t").head().getLong(0)
+        import s.implicits._
+        graft.util.LocalFrame.materialize(Seq(
+          ("cents_after_mor", after.getLong(1)),
+          ("cents_final", fin),
+          ("cents_v1", v1),
+          ("cow_rewrote_groups", cowRewrote),
+          ("mor_files_untouched", morUntouched),
+          ("mor_groups_added", morAdded),
+          ("n_rows", after.getLong(0)),
+          ("refused_cow_while_dv", refusedCow)
+        ).toDF("fact", "n").orderBy(col("fact")))
+      } finally {
+        s.conf.unset(s"spark.sql.catalog.$cat")
+        s.conf.unset(s"spark.sql.catalog.$cat.warehouse")
+      }
+    } }
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q302_partitioned_lake"    -> (partitionedLifecycle _),
     "q303_kll_index_lake"      -> (kllIndexLifecycle _),
@@ -2906,6 +3329,12 @@ object LakeQueries {
     "q323_replace_table"       -> (replaceTableLifecycle _),
     "q324_truncate"            -> (truncateLifecycle _),
     "q326_spj_year_join"       -> (spjYearJoin _),
+    "q327_mor_update"          -> (morUpdate _),
+    "q328_time_retention"      -> (timeRetention _),
+    "q329_string_skipping"     -> (stringSkipping _),
+    "q330_merge_evolution"     -> (mergeEvolution _),
+    "q331_spj_partial"         -> (spjPartial _),
+    "q332_sql_update_mor"      -> (sqlUpdateMor _),
     "q282_hll_index_lake"      -> (hllIndexLifecycle _),
     "q281_unique_constraint"   -> (uniqueLifecycle _),
     "q288_column_default"      -> (defaultLifecycle _),
@@ -3288,6 +3717,128 @@ object LakeQueries {
         |UNION ALL SELECT 'v_armed', CAST(3 AS BIGINT)
         |UNION ALL SELECT 'v_replaced', CAST(4 AS BIGINT)
         |ORDER BY fact""".stripMargin,
+    // q332: cents masses restated from orders (o_custkey%19=5 slice;
+    // MOR adds 7 to k%10=3, COW later adds 9 to k%10=4); layout facts
+    // pin (files untouched + 1 group added by MOR, COW replaces its
+    // group, COW refused while dv state pends).
+    "q332_sql_update_mor" ->
+      """WITH o AS (
+        |  SELECT o_orderkey AS k,
+        |         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |           AS cents
+        |  FROM orders WHERE o_custkey % 19 = 5)
+        |SELECT 'cents_after_mor' AS fact,
+        |  CAST(sum(cents + CASE WHEN k % 10 = 3 THEN 7 ELSE 0 END)
+        |       AS BIGINT) AS n FROM o
+        |UNION ALL SELECT 'cents_final',
+        |  CAST(sum(cents + CASE WHEN k % 10 = 3 THEN 7 ELSE 0 END
+        |                 + CASE WHEN k % 10 = 4 THEN 9 ELSE 0 END)
+        |       AS BIGINT) FROM o
+        |UNION ALL SELECT 'cents_v1', CAST(sum(cents) AS BIGINT) FROM o
+        |UNION ALL SELECT 'cow_rewrote_groups', CAST(1 AS BIGINT)
+        |UNION ALL SELECT 'mor_files_untouched', CAST(1 AS BIGINT)
+        |UNION ALL SELECT 'mor_groups_added', CAST(1 AS BIGINT)
+        |UNION ALL SELECT 'n_rows', count(*) FROM o
+        |UNION ALL SELECT 'refused_cow_while_dv', CAST(1 AS BIGINT)
+        |ORDER BY fact""".stripMargin,
+    // q331: data facts restated from orders (o_custkey%13=4 slice;
+    // mismatched join keeps pre-1998 rows; one-side join keeps all,
+    // big = cents*50 >= year total); plan facts pin (0 exchanges with
+    // pushed part values, exactly 1 when only the dim side shuffles).
+    "q331_spj_partial" ->
+      """WITH o AS (
+        |  SELECT o_orderkey AS k,
+        |         CAST(year(o_orderdate) AS BIGINT) AS yk,
+        |         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |           AS cents
+        |  FROM orders WHERE o_custkey % 13 = 4),
+        |t AS (SELECT yk, CAST(sum(cents) AS BIGINT) AS yr_total
+        |      FROM o GROUP BY 1),
+        |j AS (SELECT o.cents, o.yk, t.yr_total FROM o JOIN t USING (yk))
+        |SELECT 'cents_mismatched' AS fact,
+        |       CAST(sum(CASE WHEN yk < 1998 THEN cents ELSE 0 END)
+        |            AS BIGINT) AS n FROM o
+        |UNION ALL SELECT 'exchanges_above_scan', CAST(0 AS BIGINT)
+        |UNION ALL SELECT 'exchanges_mismatched', CAST(0 AS BIGINT)
+        |UNION ALL SELECT 'exchanges_one_side', CAST(1 AS BIGINT)
+        |UNION ALL SELECT 'n_big_one_side',
+        |  CAST(sum(CASE WHEN cents * 50 >= yr_total THEN 1 ELSE 0 END)
+        |       AS BIGINT) FROM j
+        |UNION ALL SELECT 'n_rows_mismatched',
+        |  CAST(sum(CASE WHEN yk < 1998 THEN 1 ELSE 0 END) AS BIGINT)
+        |  FROM o
+        |UNION ALL SELECT 'n_rows_one_side', count(*) FROM j
+        |ORDER BY fact""".stripMargin,
+    // q330: the evolved-merge outcome restated as three plain slices
+    // (untouched odd keys chan='none', matched even keys cents+5
+    // chan='upd', inserts keyed +1e9 chan='new'); the no-keyword
+    // refusal and the evolve-then-merge commit shape pin as constants.
+    "q330_merge_evolution" ->
+      """WITH o AS (
+        |  SELECT o_orderkey AS k,
+        |         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |           AS cents
+        |  FROM orders WHERE o_custkey % 11 = 3),
+        |fin AS (
+        |  SELECT k, cents, 'none' AS chan FROM o WHERE k % 2 = 1
+        |  UNION ALL SELECT k, cents + 5, 'upd' FROM o WHERE k % 2 = 0
+        |  UNION ALL SELECT k + 1000000000, cents, 'new' FROM o
+        |    WHERE k % 5 = 0)
+        |SELECT chan, count(*) AS n, CAST(sum(cents) AS BIGINT) AS c,
+        |       CAST(1 AS BIGINT) AS refused_plain,
+        |       CAST(1 AS BIGINT) AS two_commit_shape
+        |FROM fin GROUP BY chan ORDER BY chan""".stripMargin,
+    // q329: row masses restated from documents by plain predicates;
+    // layout facts pin (5 per-lang groups; equality keeps exactly 1;
+    // range and prefix scans plan strictly fewer paths than the full
+    // table — each kept-group set is a strict subset by construction).
+    "q329_string_skipping" ->
+      """SELECT 'chars_es' AS fact,
+        |  CAST(sum(CASE WHEN lang = 'es' THEN n_chars ELSE 0 END)
+        |       AS BIGINT) AS n FROM documents
+        |UNION ALL SELECT 'kept_groups_eq', CAST(1 AS BIGINT)
+        |UNION ALL SELECT 'n_es',
+        |  CAST(sum(CASE WHEN lang = 'es' THEN 1 ELSE 0 END) AS BIGINT)
+        |  FROM documents
+        |UNION ALL SELECT 'n_groups', CAST(5 AS BIGINT)
+        |UNION ALL SELECT 'n_le_en',
+        |  CAST(sum(CASE WHEN lang <= 'en' THEN 1 ELSE 0 END) AS BIGINT)
+        |  FROM documents
+        |UNION ALL SELECT 'n_prefix_e',
+        |  CAST(sum(CASE WHEN lang LIKE 'e%' THEN 1 ELSE 0 END) AS BIGINT)
+        |  FROM documents
+        |UNION ALL SELECT 'pruned_le_en', CAST(1 AS BIGINT)
+        |UNION ALL SELECT 'pruned_prefix_e', CAST(1 AS BIGINT)
+        |ORDER BY fact""".stripMargin,
+    // q328: row masses restated from orders (restore lands on v2 =
+    // k%3 in (0,1)); version facts pin (create=1, +2 appends, restore=4;
+    // RETAIN 1 HOURS keeps the two fresh commits, drops the two
+    // backdated ones; reading a dropped version refuses).
+    "q328_time_retention" ->
+      """SELECT 'n_latest_after_vacuum' AS fact,
+        |       count(*) AS n FROM orders WHERE o_orderkey % 3 < 2
+        |UNION ALL SELECT 'n_restored',
+        |       count(*) FROM orders WHERE o_orderkey % 3 < 2
+        |UNION ALL SELECT 'refused_dropped_version', CAST(1 AS BIGINT)
+        |UNION ALL SELECT 'restored_version', CAST(2 AS BIGINT)
+        |UNION ALL SELECT 'v_after_restore', CAST(4 AS BIGINT)
+        |UNION ALL SELECT 'versions_after_vacuum', CAST(2 AS BIGINT)
+        |UNION ALL SELECT 'versions_before_vacuum', CAST(4 AS BIGINT)
+        |ORDER BY fact""".stripMargin,
+    // q327: the MOR update's observable state restated as one plain
+    // predicate — post-update sums and CDC postimage counts both derive
+    // from n_chars < 100; the no-file-churn, single-replacement-group,
+    // and rewrite-equality facts pin as booleans/constants.
+    "q327_mor_update" ->
+      """SELECT lang, count(*) AS n_rows,
+        |  CAST(sum(CASE WHEN n_chars < 100 THEN n_chars + 1000000
+        |                ELSE n_chars END) AS BIGINT) AS chars_after,
+        |  CAST(sum(CASE WHEN n_chars < 100 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_updated_cdc,
+        |  true AS files_untouched,
+        |  CAST(1 AS BIGINT) AS groups_added,
+        |  true AS rewrite_matches
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
     // q326: data facts restated from orders (o_custkey%7=2 slice,
     // per-order join to its year total, big = cents*50 >= yr_total);
     // plan facts pin — 0 exchanges for the SPJ join and the

@@ -89,6 +89,15 @@ final class GraftLakeCatalog extends TableCatalog
       case _: IllegalStateException =>
         throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(
           ident.namespace() :+ ident.name())
+      case e: UnsupportedOperationException
+          if e.getMessage != null &&
+            e.getMessage.contains("deletion vectors") =>
+        // deletion-vector snapshots stay fully READABLE through the
+        // catalog (Delta semantics — a DV table is not degraded): the
+        // raw parquet delegate would resurrect masked rows, so scans
+        // reroute to [[GraftDvScan]], which serves the MASKED frame.
+        // Works for time travel too (each version's own dv state).
+        new GraftDvLakeTable(ident.toString, rootOf(ident), version)
       case e: UnsupportedOperationException if version.isEmpty =>
         // reader-gated state (metadata-only rename/drop, MOR deletes):
         // the table still RESOLVES — name, logical schema, appends, and
@@ -399,6 +408,76 @@ private[sources] final class GraftStagedTable(
   }
 
   override def abortStagedChanges(): Unit = { batch = None }
+}
+
+/** Catalog table for a snapshot carrying positional deletion vectors:
+  * SQL reads keep working — the scan ([[GraftDvScan]]) serves
+  * [[LakeTable.read]]'s MASKED frame through the DSv2 V1Scan bridge,
+  * so masked rows never resurface and stacked updates/time travel each
+  * see their own version's state. The trade until the next rewrite is
+  * the documented MOR one: this scan path has no file-group pruning or
+  * parquet pushdown (filters still apply above it); a compaction
+  * ([[LakeTable.rewriteDeletes]] or any COW op) restores the fully
+  * indexed delegate. Appends still land through the commit protocol
+  * (dv state changes are NAMED append conflicts). */
+private[sources] final class GraftDvLakeTable(
+    identName: String, root: String, version: Option[Int])
+    extends Table
+    with org.apache.spark.sql.connector.catalog.SupportsRead
+    with org.apache.spark.sql.connector.catalog.SupportsWrite {
+  import org.apache.spark.sql.connector.catalog.TableCapability
+  import org.apache.spark.sql.connector.read.ScanBuilder
+  import org.apache.spark.sql.connector.write.{LogicalWriteInfo, V1Write,
+    Write, WriteBuilder}
+  import org.apache.spark.sql.sources.InsertableRelation
+
+  override def name(): String = identName
+  override def schema(): StructType =
+    LakeTable.read(SparkSession.active, root, version).schema
+  override def capabilities(): java.util.Set[TableCapability] =
+    if (version.isEmpty)
+      java.util.EnumSet.of(TableCapability.BATCH_READ,
+        TableCapability.V1_BATCH_WRITE)
+    else java.util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap)
+      : ScanBuilder = () => new GraftDvScan(root, version, schema())
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new WriteBuilder {
+      override def build(): Write = new V1Write {
+        override def toInsertableRelation: InsertableRelation =
+          new InsertableRelation {
+            override def insert(data: org.apache.spark.sql.DataFrame,
+                                overwrite: Boolean): Unit = {
+              require(!overwrite, "graft-lake: INSERT OVERWRITE on a " +
+                "table with deletion vectors is not supported — " +
+                "rewriteDeletes/compact first")
+              LakeTable.append(SparkSession.active, root, data)
+            }
+          }
+      }
+    }
+}
+
+/** The deletion-vector read path for catalog scans: a DSv2
+  * [[org.apache.spark.sql.connector.read.V1Scan]] whose relation is
+  * [[LakeTable.read]] — lineage-stamped raw scan, dv anti-join
+  * (broadcast — the dv list is O(masked rows)), declared-schema
+  * projection — exactly the frame the Scala API serves. */
+private[sources] final class GraftDvScan(
+    root: String, version: Option[Int], schema0: StructType)
+    extends org.apache.spark.sql.connector.read.V1Scan {
+  override def readSchema(): StructType = schema0
+  override def toV1TableScan[T <: org.apache.spark.sql.sources.BaseRelation
+      with org.apache.spark.sql.sources.TableScan](
+      context: org.apache.spark.sql.SQLContext): T =
+    new org.apache.spark.sql.sources.BaseRelation
+        with org.apache.spark.sql.sources.TableScan {
+      override def sqlContext: org.apache.spark.sql.SQLContext = context
+      override def schema: StructType = schema0
+      override def buildScan()
+          : org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] =
+        LakeTable.read(context.sparkSession, root, version).rdd
+    }.asInstanceOf[T]
 }
 
 /** A resolvable-but-scan-gated table: stands in for a snapshot whose

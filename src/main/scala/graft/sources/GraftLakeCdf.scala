@@ -21,9 +21,16 @@ import org.apache.spark.unsafe.types.UTF8String
   * `readChangeFeed` as its own format:
   * {{{
   *   spark.readStream.format("graft-lake-cdf")
-  *     .option("startingVersion", 2)   // optional, default: from v1
+  *     .option("startingVersion", 2)        // optional, default: from v1
+  *     .option("startingTimestamp", "2026-08-16 00:00:00") // or by time
+  *     .option("maxVersionsPerTrigger", 10) // optional admission control
   *     .load(tableRoot)
   * }}}
+  * `startingTimestamp` resolves once, at stream start, to the first
+  * commit at or after the timestamp (exclusive with
+  * `startingVersion`); `maxVersionsPerTrigger` caps how many commits a
+  * micro-batch drains, so a stream starting against a long history
+  * backfills in bounded, checkpointable batches.
   * Emits every committed version's change rows with two extra columns,
   * `_change_type` (insert / update_preimage / update_postimage /
   * delete) and `_commit_version`. Offsets are manifest versions (the
@@ -96,15 +103,30 @@ private[sources] final class GraftLakeCdfTable(root: String,
     () => new Scan {
       override def readSchema(): StructType = schema0
       override def toMicroBatchStream(checkpointLocation: String)
-          : MicroBatchStream =
-        new GraftLakeCdfStream(root, schema0,
-          Option(options.get("startingVersion")).map(_.toInt))
+          : MicroBatchStream = {
+        val sv = Option(options.get("startingVersion")).map(_.toInt)
+        val st = Option(options.get("startingTimestamp"))
+        require(sv.isEmpty || st.isEmpty,
+          "graft-lake-cdf: startingVersion and startingTimestamp are " +
+            "mutually exclusive — pick one")
+        // a timestamp resolves ONCE, at stream start, to the first
+        // commit at or after it (Delta's startingTimestamp contract)
+        val resolved = st.map(ts => LakeTable.firstVersionAtOrAfter(
+          SparkSession.active, root,
+          Math.multiplyExact(LakeTable.parseTsLiteralMillis(ts), 1000L)))
+          .orElse(sv)
+        new GraftLakeCdfStream(root, schema0, resolved,
+          Option(options.get("maxVersionsPerTrigger")).map(_.toInt))
+      }
     }
 }
 
 private[sources] final class GraftLakeCdfStream(
-    root: String, cdfSchema: StructType, startingVersion: Option[Int])
-    extends MicroBatchStream {
+    root: String, cdfSchema: StructType, startingVersion: Option[Int],
+    maxVersionsPerTrigger: Option[Int] = None)
+    extends MicroBatchStream
+    with org.apache.spark.sql.connector.read.streaming
+      .SupportsAdmissionControl {
 
   private def spark = SparkSession.active
   // data columns = the CDF schema minus the two feed columns
@@ -116,6 +138,22 @@ private[sources] final class GraftLakeCdfStream(
     GraftLakeOffset(startingVersion.map(v => math.max(0, v - 1)).getOrElse(0))
   override def latestOffset(): Offset =
     GraftLakeOffset(LakeTable.latestVersion(spark, root).getOrElse(0))
+  /** Admission control, same contract as the plain source (X225):
+    * `maxVersionsPerTrigger` caps how many commits one micro-batch may
+    * drain, so a CDF stream starting against a long history backfills
+    * in bounded, checkpointable batches instead of draining every
+    * version into micro-batch 1. Without the option every available
+    * version drains in one batch (the prior contract, unchanged). */
+  override def latestOffset(start: Offset,
+      limit: org.apache.spark.sql.connector.read.streaming.ReadLimit)
+      : Offset = {
+    val s = start.asInstanceOf[GraftLakeOffset].v
+    val latest = LakeTable.latestVersion(spark, root).getOrElse(0)
+    GraftLakeOffset(maxVersionsPerTrigger match {
+      case Some(n) => math.min(latest, s + math.max(1, n))
+      case None => latest
+    })
+  }
   override def deserializeOffset(json: String): Offset =
     GraftLakeOffset(json.trim.toInt)
   override def commit(end: Offset): Unit = ()

@@ -117,8 +117,10 @@ private[sources] object GraftLakeSource {
             "option(\"maskDeletes\", \"true\")")
       // positional deletion vectors gate the raw delegate the same way
       // (raw parquet would resurrect masked rows); the CATALOG path
-      // serves dv snapshots through its own masked scan instead
-      // ([[GraftDvScan]]) — this throw is caught there and rerouted
+      // catches this throw and reroutes to its masked scan
+      // (GraftLakeCatalog.load → GraftDvLakeTable/GraftDvScan), so SQL
+      // reads of dv snapshots keep working — only the pathless
+      // format("graft-lake") read refuses
       if (LakeTable.dvState(
           LakeTable.manifestMetaAt(spark, root, v)).nonEmpty)
         throw new UnsupportedOperationException(
@@ -324,6 +326,14 @@ private[sources] final class GraftLakeTable(delegate: ParquetTable,
       // conditions that don't reduce to one band (filtersToBand)
       caps.add(TableCapability.OVERWRITE_BY_FILTER)
       caps.add(TableCapability.TRUNCATE)
+      // MERGE … WITH SCHEMA EVOLUTION: Spark's analyzer gates the
+      // syntax on this capability, then routes the new source columns
+      // through catalog.alterTable(AddColumn) → LakeTable.evolveSchema
+      // (a metadata-only commit) BEFORE planning the row-level merge —
+      // so the evolved merge is two commits, exactly like Delta's
+      // autoMerge. Without the keyword the capability is inert and an
+      // unknown source column still refuses at analysis.
+      caps.add(TableCapability.AUTOMATIC_SCHEMA_EVOLUTION)
     }
     if (streamRoot.isDefined && version.isEmpty)
       caps.add(TableCapability.MICRO_BATCH_READ)

@@ -359,6 +359,8 @@ private[sources] final class GraftLakeStreamScanBuilder(
       case ce.In(a: Attribute, vs) if vs.forall(_.isInstanceOf[Literal]) =>
         Some(sf.In(a.name,
           vs.map(v => lit(v.asInstanceOf[Literal].value)).toArray))
+      case ce.StartsWith(a: Attribute, Literal(v, _)) if v != null =>
+        Some(sf.StringStartsWith(a.name, v.toString))
       case ce.And(l, r) =>
         for { lf <- toSourceFilter(l); rf <- toSourceFilter(r) }
           yield sf.And(lf, rf)

@@ -18,14 +18,19 @@ import org.apache.spark.sql.types.{LongType, StringType, StructType}
   *  - `OPTIMIZE <cat>.<t> ZORDER BY (a, b) [INTO <n> GROUPS]` →
   *    [[LakeTable.optimizeZOrder]] (whole-table Morton re-layout with
   *    fresh two-column skipping stats);
-  *  - `VACUUM <cat>.<t> RETAIN <n> VERSIONS` → [[LakeTable.vacuum]].
-  *    RETAIN is REQUIRED: a default would silently destroy time
-  *    travel, the one thing a vacuum must never do by surprise;
+  *  - `VACUUM <cat>.<t> RETAIN <n> VERSIONS` → [[LakeTable.vacuum]];
+  *    `VACUUM <cat>.<t> RETAIN <n> HOURS` →
+  *    [[LakeTable.vacuumRetainHours]] (Delta's time-based retention —
+  *    commit mtimes decide, the latest version always survives).
+  *    RETAIN is REQUIRED either way: a default would silently destroy
+  *    time travel, the one thing a vacuum must never do by surprise;
   *  - `DESCRIBE HISTORY <cat>.<t>` → [[LakeTable.history]] rows
   *    (version, operation, file_groups), ascending;
   *  - `RESTORE [TABLE] <cat>.<t> [TO] VERSION AS OF <n>` →
   *    [[LakeTable.restore]] (a NEW commit re-referencing the old
   *    version's groups — history stays immutable);
+  *    `RESTORE [TABLE] <cat>.<t> [TO] TIMESTAMP AS OF '<ts>'` — same,
+  *    target resolved by commit time ([[LakeTable.versionAtTimestamp]]);
   *  - `CREATE TABLE <cat>.<t2> SHALLOW CLONE <cat>.<t1>` →
   *    [[LakeTable.shallowClone]] (zero-copy fork by reference);
   *  - `DESCRIBE DETAIL <cat>.<t>` → the one-row table summary
@@ -35,6 +40,11 @@ import org.apache.spark.sql.types.{LongType, StringType, StructType}
   *    [[LakeTable.copyInto]] (idempotent file-level bulk ingest:
   *    loaded files skip by ledger, nothing-new is a no-op commit-wise,
   *    a mutated already-loaded file refuses unless forced);
+  *  - `UPDATE <cat>.<t> SET a = e1, … [WHERE cond]` — ONLY under
+  *    `spark.graft.update.mode=mor` — routes to the deletion-vector
+  *    merge-on-read update ([[LakeTable.updateWhereMor]]: O(matches)
+  *    bytes, groups untouched); default mode delegates to Spark's
+  *    copy-on-write row-level plan unchanged;
   *  - `INSERT INTO <cat>.<t> REPLACE WHERE <cond> <query>` → the DSv2
   *    overwrite path ([[GraftLakeTable.filtersToBand]]): the condition
   *    must reduce to a single-column band or the write refuses loudly.
@@ -86,6 +96,12 @@ object GraftSqlParser {
     """(?is)^\s*OPTIMIZE\s+([\w`]+(?:\.[\w`]+)+)\s+ZORDER\s+BY\s*\(\s*([\w`]+)\s*,\s*([\w`]+)\s*\)(?:\s+INTO\s+(\d+)\s+GROUPS)?\s*;?\s*$""".r
   private val VacuumRe =
     """(?is)^\s*VACUUM\s+([\w`]+(?:\.[\w`]+)+)\s+RETAIN\s+(\d+)\s+VERSIONS\s*;?\s*$""".r
+  private val VacuumHoursRe =
+    """(?is)^\s*VACUUM\s+([\w`]+(?:\.[\w`]+)+)\s+RETAIN\s+(\d+)\s+HOURS\s*;?\s*$""".r
+  private val RestoreTsRe =
+    """(?is)^\s*RESTORE\s+(?:TABLE\s+)?([\w`]+(?:\.[\w`]+)+)\s+(?:TO\s+)?TIMESTAMP\s+AS\s+OF\s+'([^']+)'\s*;?\s*$""".r
+  private val UpdateRe =
+    """(?is)^\s*UPDATE\s+([\w`]+(?:\.[\w`]+)+)\s+SET\s+(.+?)(?:\s+WHERE\s+(.+?))?\s*;?\s*$""".r
   private val VacuumBareRe =
     """(?is)^\s*VACUUM\s+([\w`]+(?:\.[\w`]+)+)\s*;?\s*$""".r
   private val HistoryRe =
@@ -117,10 +133,23 @@ object GraftSqlParser {
           Option(min).map(_.toLong).orElse(Some(128L * 1024 * 1024))))
       case VacuumRe(t, n) =>
         Some(GraftMaintenanceCommand("vacuum", parts(t), Some(n.toLong)))
+      case VacuumHoursRe(t, n) =>
+        Some(GraftMaintenanceCommand("vacuum-hours", parts(t),
+          Some(n.toLong)))
+      case RestoreTsRe(t, ts) =>
+        Some(GraftRestoreTimestampCommand(parts(t), ts))
+      // SQL UPDATE routes to the deletion-vector merge-on-read path
+      // ONLY when the session opted in (spark.graft.update.mode=mor)
+      // AND the target is a graft-lake catalog table — everything else
+      // delegates to Spark's plan (the copy-on-write row-level op).
+      case UpdateRe(t, sets, where) if morUpdateTarget(t) =>
+        Some(GraftMorUpdateCommand(parts(t),
+          splitAssignments(sets), Option(where)))
       case VacuumBareRe(t) =>
         throw new IllegalArgumentException(
-          s"VACUUM $t requires an explicit RETAIN <n> VERSIONS clause — " +
-            "a default retention would silently truncate time travel")
+          s"VACUUM $t requires an explicit RETAIN <n> VERSIONS or " +
+            "RETAIN <n> HOURS clause — a default retention would " +
+            "silently truncate time travel")
       case HistoryRe(t) =>
         Some(GraftMaintenanceCommand("history", parts(t), None))
       case CloneRe(dst, src) =>
@@ -149,6 +178,53 @@ object GraftSqlParser {
           delegate.parseExpression(cond)))
       case _ => None
     }
+
+  /** True when the session opted SQL UPDATE into the merge-on-read
+    * deletion-vector path AND `ident` names a graft-lake catalog
+    * table. Checked at PARSE time so a non-graft UPDATE (or a session
+    * in the default copy-on-write mode) delegates to Spark's plan
+    * untouched. */
+  private def morUpdateTarget(ident: String): Boolean = {
+    val spark = SparkSession.active
+    spark.conf.getOption("spark.graft.update.mode").contains("mor") &&
+      (parts(ident) match {
+        case Seq(cat, _) =>
+          spark.conf.getOption(s"spark.sql.catalog.$cat")
+            .contains("graft.sources.GraftLakeCatalog")
+        case _ => false
+      })
+  }
+
+  /** Split `a = e1, b = e2, …` at top-level commas (commas inside
+    * parens, single-quoted strings, or backticks belong to the
+    * expressions) into (column, expressionSql) pairs. */
+  private[sources] def splitAssignments(
+      sets: String): Seq[(String, String)] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    val cur = new StringBuilder
+    var depth = 0; var inStr = false; var inTick = false
+    sets.foreach { ch =>
+      if (inStr) { cur += ch; if (ch == '\'') inStr = false }
+      else if (inTick) { cur += ch; if (ch == '`') inTick = false }
+      else ch match {
+        case '\'' => inStr = true; cur += ch
+        case '`'  => inTick = true; cur += ch
+        case '(' => depth += 1; cur += ch
+        case ')' => depth -= 1; cur += ch
+        case ',' if depth == 0 => out += cur.toString; cur.clear()
+        case c => cur += c
+      }
+    }
+    if (cur.nonEmpty) out += cur.toString
+    val AssignRe = """(?s)^\s*([\w`]+)\s*=(.+)$""".r
+    out.toSeq.map {
+      case AssignRe(c, e) =>
+        (c.stripPrefix("`").stripSuffix("`"), e.trim)
+      case other => throw new IllegalArgumentException(
+        s"UPDATE … SET: cannot parse assignment '$other' — expected " +
+          "<column> = <expression>")
+    }
+  }
 
   /** Resolve `<catalog>.<table>` to the table's filesystem root through
     * the registered [[GraftLakeCatalog]] config — maintenance verbs are
@@ -297,6 +373,53 @@ case class GraftCopyIntoCommand(nameParts: Seq[String], srcDir: String,
   }
 }
 
+/** `RESTORE [TABLE] t [TO] TIMESTAMP AS OF '<ts>'` — Delta's
+  * timestamp restore: the target resolves to the newest version
+  * committed at or before the timestamp ([[LakeTable.versionAtTimestamp]],
+  * manifest mtimes), then restores exactly like `VERSION AS OF`. The
+  * literal accepts `yyyy-MM-dd[ HH:mm:ss[.fff]]` in the JVM-local
+  * zone — the same round trip `java.sql.Timestamp.toString` produces. */
+case class GraftRestoreTimestampCommand(nameParts: Seq[String], ts: String)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("version", LongType, nullable = false)(),
+    AttributeReference("restored_version", LongType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val root = GraftSqlParser.rootFor(spark, nameParts)
+    val millis = LakeTable.parseTsLiteralMillis(ts)
+    val target = LakeTable.versionAtTimestamp(spark, root,
+      Math.multiplyExact(millis, 1000L))
+    Seq(Row(LakeTable.restore(spark, root, target).toLong, target.toLong))
+  }
+}
+
+/** SQL `UPDATE` on the merge-on-read deletion-vector path
+  * ([[LakeTable.updateWhereMor]]) — active only under
+  * `spark.graft.update.mode=mor`: a point update costs O(matches)
+  * bytes (positional delete sidecar + replacement rows, existing
+  * groups untouched on disk) instead of the default copy-on-write
+  * group rewrite. SET expressions and the WHERE condition are kept as
+  * SQL text and parsed by the session parser at RUN time, so they may
+  * reference any column with full Spark SQL syntax; all update gates
+  * (identity/generated refusals, CHECK/UNIQUE, partition routing)
+  * apply identically to the API path. Returns the committed version. */
+case class GraftMorUpdateCommand(nameParts: Seq[String],
+    setPairs: Seq[(String, String)], where: Option[String])
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("version", LongType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val root = GraftSqlParser.rootFor(spark, nameParts)
+    val parser = spark.sessionState.sqlParser
+    def toCol(sql: String) = org.apache.spark.sql.graftbridge
+      .ColumnBridge.column(parser.parseExpression(sql))
+    val cond = where.map(toCol).getOrElse(
+      org.apache.spark.sql.functions.lit(true))
+    val sets = setPairs.map { case (c, e) => c -> toCol(e) }.toMap
+    Seq(Row(LakeTable.updateWhereMor(spark, root, cond, sets).toLong))
+  }
+}
+
 /** Eagerly-executed maintenance verb. Each run routes to the LakeTable
   * API, so SQL and Scala maintenance are the same commits (same
   * conflict rules, same retention safety). */
@@ -321,6 +444,9 @@ case class GraftMaintenanceCommand(verb: String, nameParts: Seq[String],
       case "vacuum" =>
         require(n.get >= 1, "RETAIN must keep at least 1 version")
         LakeTable.vacuum(spark, root, n.get.toInt)
+        Seq(Row(LakeTable.versions(spark, root).last.toLong))
+      case "vacuum-hours" =>
+        LakeTable.vacuumRetainHours(spark, root, n.get)
         Seq(Row(LakeTable.versions(spark, root).last.toLong))
       case "history" =>
         LakeTable.history(spark, root).map { case (v, op, g) =>

@@ -104,6 +104,45 @@ object LakeTable {
     }
   }
 
+  /** The first version committed AT OR AFTER `tsMicros` — the
+    * streaming `startingTimestamp` resolution (Delta: "changes
+    * committed at or after"). Refuses when the timestamp is past the
+    * newest commit: a silent empty stream would read as "no changes"
+    * when the truth is "you asked for the future". */
+  def firstVersionAtOrAfter(spark: SparkSession, root: String,
+                            tsMicros: Long): Int = {
+    val f = fs(spark, root)
+    val committed = versions(spark, root).map { v =>
+      (v, f.getFileStatus(manifestPath(root, v)).getModificationTime)
+    }
+    if (committed.isEmpty)
+      throw new IllegalStateException(s"no table at $root")
+    val tsMillis = tsMicros / 1000L
+    committed.find(_._2 >= tsMillis).map(_._1).getOrElse {
+      throw new IllegalArgumentException(
+        s"startingTimestamp ${java.time.Instant.ofEpochMilli(tsMillis)} " +
+        s"is after the newest commit of $root (at ${java.time.Instant
+          .ofEpochMilli(committed.last._2)})")
+    }
+  }
+
+  /** Parse a SQL-ish timestamp literal (`yyyy-MM-dd[ HH:mm:ss[.fff]]`,
+    * JVM-local zone — the `java.sql.Timestamp.toString` round trip) to
+    * epoch millis. Shared by RESTORE TIMESTAMP AS OF and the streaming
+    * `startingTimestamp` option. */
+  private[graft] def parseTsLiteralMillis(ts: String): Long =
+    try java.sql.Timestamp.valueOf(ts).getTime
+    catch {
+      case _: IllegalArgumentException =>
+        try java.sql.Timestamp.valueOf(
+          java.time.LocalDate.parse(ts).atStartOfDay()).getTime
+        catch { case _: java.time.format.DateTimeParseException =>
+          throw new IllegalArgumentException(
+            s"cannot parse timestamp '$ts' — use yyyy-MM-dd or " +
+              "yyyy-MM-dd HH:mm:ss[.fff]")
+        }
+    }
+
   private def readManifestLines(spark: SparkSession, root: String,
                                 v: Int): Seq[String] = {
     val f = fs(spark, root)
@@ -313,14 +352,36 @@ object LakeTable {
     if (statsCols.isEmpty) Map.empty
     else {
       val written = spark.read.parquet(new Path(root, dataDir).toString)
-      val aggs = statsCols.flatMap(c => Seq(
-        min(col(c).cast("double")).as(s"min_$c"),
-        max(col(c).cast("double")).as(s"max_$c")))
+      // STRING columns keep verbatim min/max (base64-wrapped so the
+      // one-line manifest format stays trivially parseable), recorded
+      // as `S:<minB64>,<maxB64>` under the SAME stat: key — every
+      // key-lifecycle handler (clone, vacuum, rename, compact carry)
+      // works unchanged. Values longer than 64 chars DROP the stat for
+      // that group (no truncation guessing): the group admits every
+      // probe — over-scan, never a wrong prune. Comparison order is
+      // UTF8String's unsigned-byte order on both the write (Spark's
+      // min/max over strings) and probe sides, so the bound is exact.
+      val isStr = statsCols.filter(c => written.schema.fields
+        .find(_.name.equalsIgnoreCase(c))
+        .exists(_.dataType == org.apache.spark.sql.types.StringType)).toSet
+      val aggs = statsCols.flatMap(c =>
+        if (isStr(c)) Seq(min(col(c)).as(s"min_$c"),
+          max(col(c)).as(s"max_$c"))
+        else Seq(
+          min(col(c).cast("double")).as(s"min_$c"),
+          max(col(c).cast("double")).as(s"max_$c")))
       val row = written.agg(aggs.head, aggs.tail: _*).head()
+      def b64(s: String): String = java.util.Base64.getEncoder
+        .encodeToString(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
       statsCols.flatMap { c =>
         val lo = row.getAs[Any](s"min_$c")
         val hi = row.getAs[Any](s"max_$c")
         if (lo == null || hi == null) None
+        else if (isStr(c)) {
+          val (mn, mx) = (lo.toString, hi.toString)
+          if (mn.length > 64 || mx.length > 64) None
+          else Some(s"stat:$dataDir:$c" -> s"S:${b64(mn)},${b64(mx)}")
+        }
         else Some(s"stat:$dataDir:$c" -> s"$lo,$hi")
       }.toMap
     }
@@ -956,36 +1017,87 @@ object LakeTable {
       case n: Number => Some(n.doubleValue())
       case _ => None
     }
+    // string min/max (`S:<minB64>,<maxB64>` stat values): exact
+    // verbatim bounds compared in UTF8String's unsigned-byte order —
+    // the SAME order Spark's min/max used to record them
+    import org.apache.spark.unsafe.types.UTF8String
+    def srange(c: String): Option[(UTF8String, UTF8String)] =
+      meta.get(s"stat:$dir:$c").filter(_.startsWith("S:"))
+        .flatMap { s =>
+          s.drop(2).split(",", -1) match {
+            case Array(mn, mx) => scala.util.Try((
+              UTF8String.fromBytes(java.util.Base64.getDecoder.decode(mn)),
+              UTF8String.fromBytes(java.util.Base64.getDecoder.decode(mx))
+            )).toOption
+            case _ => None
+          }
+        }
+    def ustr(v: Any): Option[UTF8String] = v match {
+      case s: String => Some(UTF8String.fromString(s))
+      case u: UTF8String => Some(u)
+      case _ => None
+    }
     f match {
-      case EqualTo(a, v) => (range(a), num(v)) match {
+      case EqualTo(a, v) => ((range(a), num(v)) match {
         case (Some((mn, mx)), Some(d)) => d >= mn && d <= mx
         case _ => true
-      }
-      case GreaterThan(a, v) => (range(a), num(v)) match {
+      }) && ((srange(a), ustr(v)) match {
+        case (Some((mn, mx)), Some(u)) =>
+          u.compareTo(mn) >= 0 && u.compareTo(mx) <= 0
+        case _ => true
+      })
+      case GreaterThan(a, v) => ((range(a), num(v)) match {
         case (Some((_, mx)), Some(d)) => mx > d
         case _ => true
-      }
-      case GreaterThanOrEqual(a, v) => (range(a), num(v)) match {
+      }) && ((srange(a), ustr(v)) match {
+        case (Some((_, mx)), Some(u)) => mx.compareTo(u) > 0
+        case _ => true
+      })
+      case GreaterThanOrEqual(a, v) => ((range(a), num(v)) match {
         case (Some((_, mx)), Some(d)) => mx >= d
         case _ => true
-      }
-      case LessThan(a, v) => (range(a), num(v)) match {
+      }) && ((srange(a), ustr(v)) match {
+        case (Some((_, mx)), Some(u)) => mx.compareTo(u) >= 0
+        case _ => true
+      })
+      case LessThan(a, v) => ((range(a), num(v)) match {
         case (Some((mn, _)), Some(d)) => mn < d
         case _ => true
-      }
-      case LessThanOrEqual(a, v) => (range(a), num(v)) match {
+      }) && ((srange(a), ustr(v)) match {
+        case (Some((mn, _)), Some(u)) => mn.compareTo(u) < 0
+        case _ => true
+      })
+      case LessThanOrEqual(a, v) => ((range(a), num(v)) match {
         case (Some((mn, _)), Some(d)) => mn <= d
         case _ => true
-      }
-      case In(a, vs) => range(a) match {
+      }) && ((srange(a), ustr(v)) match {
+        case (Some((mn, _)), Some(u)) => mn.compareTo(u) <= 0
+        case _ => true
+      })
+      case In(a, vs) => (range(a) match {
         case Some((mn, mx)) =>
           val ds = vs.flatMap(v => num(v))
           ds.length != vs.length || ds.exists(d => d >= mn && d <= mx)
         case None => true
+      }) && (srange(a) match {
+        case Some((mn, mx)) =>
+          val us = vs.flatMap(v => ustr(v))
+          us.length != vs.length || us.exists(u =>
+            u.compareTo(mn) >= 0 && u.compareTo(mx) <= 0)
+        case None => true
+      })
+      case StringStartsWith(a, prefix) => srange(a) match {
+        // groups whose max < prefix, or whose min's prefix-length cut
+        // is > prefix, can hold no match
+        case Some((mn, mx)) =>
+          val p = UTF8String.fromString(prefix)
+          mx.compareTo(p) >= 0 &&
+            mn.substring(0, p.numChars()).compareTo(p) <= 0
+        case None => true
       }
       case And(l, r) => statsAdmit(meta, dir, l) && statsAdmit(meta, dir, r)
       case Or(l, r)  => statsAdmit(meta, dir, l) || statsAdmit(meta, dir, r)
-      case _ => true // Not / string ops / null checks: keep
+      case _ => true // Not / null checks / other ops: keep
     }
   }
 
@@ -1100,10 +1212,12 @@ object LakeTable {
         case Some(Some(x)) => x >= lo && x <= hi
         case Some(None) => true // non-numeric partition value: keep
         case None => meta.get(s"stat:$dir:$column") match {
-          case Some(s) =>
+          // a string-typed stat (`S:` marker) can't answer a numeric
+          // band — admit (over-scan, never a wrong prune)
+          case Some(s) if !s.startsWith("S:") =>
             val Array(mn, mx) = s.split(",").map(_.toDouble)
             mx >= lo && mn <= hi
-          case None => true
+          case _ => true
         }
       }
     }
@@ -3059,6 +3173,29 @@ object LakeTable {
     * Foreign entries (absolute paths — [[shallowClone]] references into
     * another table's root) are dropped from the manifest but their bytes
     * are never deleted: only the owning table may delete them. */
+  /** Time-based retention (Delta's `VACUUM … RETAIN n HOURS`): drop
+    * every version whose commit (manifest mtime, monotone under the
+    * single-writer protocol) is OLDER than `hours` ago — but ALWAYS
+    * keep the latest version, whatever its age (a vacuum must never
+    * delete the current snapshot). Data dirs still referenced by any
+    * kept version survive, so a fresh RESTORE pins its (old) groups
+    * alive through any retention window. Returns the number of
+    * versions kept. */
+  def vacuumRetainHours(spark: SparkSession, root: String,
+                        hours: Long): Int = {
+    require(hours >= 0, s"RETAIN $hours HOURS: retention must be >= 0")
+    val f = fs(spark, root)
+    val vs = versions(spark, root)
+    if (vs.isEmpty) throw new IllegalStateException(s"no table at $root")
+    val cutoff = System.currentTimeMillis() - hours * 3600L * 1000L
+    // mtimes are monotone, so the fresh versions form a suffix
+    val fresh = vs.count(v =>
+      f.getFileStatus(manifestPath(root, v)).getModificationTime >= cutoff)
+    val keep = math.max(fresh, 1)
+    vacuum(spark, root, keep)
+    keep
+  }
+
   def vacuum(spark: SparkSession, root: String, keepVersions: Int): Unit = {
     val vs = versions(spark, root)
     if (vs.size <= keepVersions) return

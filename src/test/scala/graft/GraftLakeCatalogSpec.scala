@@ -762,4 +762,149 @@ class GraftLakeCatalogSpec extends SparkSpec {
       spark.catalog.dropTempView("lakerp_src")
     }
   }
+
+  test("MERGE WITH SCHEMA EVOLUTION: a new source column evolves the " +
+    "target mid-merge; without the keyword it refuses at analysis; " +
+    "time travel keeps the old shape") {
+    withWarehouse("lakeEv") { wh =>
+      import spark.implicits._
+      val root = s"$wh/t"
+      LakeTable.create(spark, root,
+        Seq((1L, 10L), (2L, 20L), (3L, 30L)).toDF("id", "v"))
+      Seq((2L, 22L, "upd"), (9L, 90L, "new"))
+        .toDF("id", "v", "chan").createOrReplaceTempView("ev_src")
+      try {
+        // without the keyword an EXPLICIT assignment to the unknown
+        // column refuses at analysis, nothing committed (a star merge
+        // would silently DROP the extra source column — Spark/Delta
+        // base semantics — which is why evolution must be opt-in)
+        intercept[org.apache.spark.sql.AnalysisException] {
+          spark.sql("""MERGE INTO lakeEv.t t USING ev_src u ON t.id = u.id
+                      |WHEN MATCHED THEN UPDATE SET t.chan = u.chan"""
+            .stripMargin)
+        }
+        assert(LakeTable.latestVersion(spark, root).contains(1))
+        spark.sql(
+          """MERGE WITH SCHEMA EVOLUTION INTO lakeEv.t t
+            |USING ev_src u ON t.id = u.id
+            |WHEN MATCHED THEN UPDATE SET *
+            |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+        // two commits: the metadata-only evolve, then the merge
+        assert(LakeTable.history(spark, root).map(_._2) ==
+          Seq("create", "add-columns", "merge"))
+        val rows = spark.sql(
+          "SELECT id, v, chan FROM lakeEv.t ORDER BY id")
+          .collect().map(r => (r.getLong(0), r.getLong(1),
+            Option(r.getString(2)).getOrElse("-"))).toSeq
+        assert(rows == Seq((1L, 10L, "-"), (2L, 22L, "upd"),
+          (3L, 30L, "-"), (9L, 90L, "new")))
+        // history is immutable: v1 still reads the two-column shape
+        assert(spark.sql("SELECT * FROM lakeEv.t VERSION AS OF 1")
+          .columns.toSeq == Seq("id", "v"))
+      } finally spark.catalog.dropTempView("ev_src")
+    }
+  }
+
+  test("SQL UPDATE in mor mode: deletion-vector commit, catalog reads " +
+    "serve the masked frame, COW refuses until rewrite, default mode " +
+    "untouched") {
+    withWarehouse("lakeMu") { wh =>
+      import spark.implicits._
+      val root = s"$wh/t"
+      LakeTable.create(spark, root,
+        (1L to 100L).map(i => (i, i * 10L)).toDF("id", "v"))
+      val dirsBefore = LakeTable.dataDirPaths(spark, root)
+      // default mode: UPDATE delegates to Spark's COW row-level plan
+      spark.sql("UPDATE lakeMu.t SET v = v + 1 WHERE id = 50")
+      assert(LakeTable.history(spark, root).last._2 == "update")
+      // mor mode: the parser routes to updateWhereMor
+      spark.conf.set("spark.graft.update.mode", "mor")
+      try {
+        val v = spark.sql(
+          "UPDATE lakeMu.t SET v = v * 2 WHERE id <= 3").head().getLong(0)
+        assert(LakeTable.history(spark, root).last._2 == "update-mor")
+        // COW rewrote its group in v2; the MOR commit only ADDED one
+        val dirsAfter = LakeTable.dataDirPaths(spark, root)
+        assert(LakeTable.dataDirPaths(spark, root, Some(v.toInt - 1))
+          .forall(d => dirsAfter.contains(d)))
+        // the catalog read serves the MASKED frame (GraftDvScan) …
+        assert(spark.sql(
+          "SELECT sum(v) FROM lakeMu.t WHERE id <= 3").head().getLong(0)
+          == (10L + 20L + 30L) * 2)
+        assert(spark.sql("SELECT count(*) FROM lakeMu.t")
+          .head().getLong(0) == 100)
+        // … and time travel serves each version's own state
+        assert(spark.sql(
+          s"SELECT sum(v) FROM lakeMu.t VERSION AS OF ${v - 1} " +
+            "WHERE id <= 3").head().getLong(0) == 60L)
+        // stacked mor updates compose (the second masks the first's
+        // replacement rows)
+        spark.sql("UPDATE lakeMu.t SET v = v + 5 WHERE id = 1")
+        assert(spark.sql("SELECT v FROM lakeMu.t WHERE id = 1")
+          .head().getLong(0) == 25L)
+        // a non-graft UPDATE still parses through Spark (pure superset)
+        intercept[Exception] {
+          spark.sql("UPDATE spark_catalog.nope SET x = 1") }
+      } finally spark.conf.unset("spark.graft.update.mode")
+      // back in default mode a COW UPDATE on the dv table refuses
+      // (no row-level ops on a dv snapshot until rewrite)
+      val e = intercept[Exception] {
+        spark.sql("UPDATE lakeMu.t SET v = 0 WHERE id = 2")
+      }
+      assert(e.getMessage != null && (
+          e.getMessage.toLowerCase.contains("update") ||
+          e.getMessage.toLowerCase.contains("row-level")),
+        s"unexpected refusal: ${e.getClass.getName}: ${e.getMessage}")
+      LakeTable.rewriteDeletes(spark, root)
+      spark.sql("UPDATE lakeMu.t SET v = 0 WHERE id = 2")
+      assert(spark.sql("SELECT v FROM lakeMu.t WHERE id = 2")
+        .head().getLong(0) == 0L)
+    }
+  }
+
+  test("time-based maintenance SQL: RESTORE TIMESTAMP AS OF resolves " +
+    "by commit time; VACUUM RETAIN n HOURS drops only stale versions " +
+    "and never the latest") {
+    withWarehouse("lakeTm") { wh =>
+      import spark.implicits._
+      val root = s"$wh/t"
+      LakeTable.create(spark, root, Seq((1L, "a")).toDF("id", "s"))
+      LakeTable.append(spark, root, Seq((2L, "b")).toDF("id", "s"))
+      LakeTable.append(spark, root, Seq((3L, "c")).toDF("id", "s"))
+      val fsys = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      def manifest(v: Int) = new org.apache.hadoop.fs.Path(
+        s"$root/_versions", f"v$v%08d.json")
+      val now = System.currentTimeMillis()
+      fsys.setTimes(manifest(1), now - 3L * 3600 * 1000, -1)
+      fsys.setTimes(manifest(2), now - 2L * 3600 * 1000, -1)
+      // timestamp between v2 and v3 resolves to v2
+      val ts = new java.sql.Timestamp(now - 3600L * 1000).toString
+      val r = spark.sql(
+        s"RESTORE TABLE lakeTm.t TO TIMESTAMP AS OF '$ts'").head()
+      assert(r.getLong(1) == 2L, "wrong restore target")
+      assert(r.getLong(0) == 4L)
+      assert(spark.sql("SELECT count(*) FROM lakeTm.t").head.getLong(0) == 2)
+      // a timestamp predating the table refuses with the range
+      val e = intercept[Exception] {
+        spark.sql("RESTORE TABLE lakeTm.t TO TIMESTAMP AS OF '1999-01-01'")
+      }
+      assert(e.getMessage.contains("predates"), e.getMessage)
+      // unparseable timestamp refuses loudly
+      intercept[IllegalArgumentException] {
+        spark.sql("RESTORE TABLE lakeTm.t TO TIMESTAMP AS OF 'not-a-time'")
+      }
+      // RETAIN 1 HOURS keeps v3 + the fresh restore commit only — but
+      // v2's data groups survive because the restore references them
+      spark.sql("VACUUM lakeTm.t RETAIN 1 HOURS")
+      assert(LakeTable.versions(spark, root) == Seq(3, 4))
+      assert(spark.sql("SELECT count(*) FROM lakeTm.t").head.getLong(0) == 2)
+      // a fully-stale table still keeps its latest version
+      fsys.setTimes(manifest(3), now - 3L * 3600 * 1000, -1)
+      fsys.setTimes(manifest(4), now - 3L * 3600 * 1000, -1)
+      spark.sql("VACUUM lakeTm.t RETAIN 1 HOURS")
+      assert(LakeTable.versions(spark, root) == Seq(4))
+      assert(spark.sql("SELECT count(*) FROM lakeTm.t").head.getLong(0) == 2)
+    }
+  }
 }

@@ -519,4 +519,71 @@ class GraftLakeSourceSpec extends SparkSpec {
       assert(e.getMessage.contains("version 7"))
     }
   }
+
+  test("CDF admission control: maxVersionsPerTrigger bounds each " +
+    "batch; startingTimestamp resolves to the first commit at or " +
+    "after; both-options and future timestamps refuse") {
+    withTable { root =>
+      import spark.implicits._
+      LakeTable.create(spark, root, Seq((1L, "a")).toDF("id", "tag"))
+      LakeTable.append(spark, root, Seq((2L, "b")).toDF("id", "tag"))
+      LakeTable.append(spark, root, Seq((3L, "c")).toDF("id", "tag"))
+      val q = spark.readStream.format("graft-lake-cdf")
+        .option("maxVersionsPerTrigger", "1").load(root)
+        .writeStream.format("memory").queryName("cdf_admission")
+        .outputMode("append").start()
+      try {
+        q.processAllAvailable()
+        assert(spark.table("cdf_admission").count() == 3)
+        val batches = q.recentProgress.count(_.numInputRows > 0)
+        assert(batches == 3, s"expected 3 bounded batches, saw $batches")
+      } finally {
+        q.stop(); spark.catalog.dropTempView("cdf_admission")
+      }
+      // backdate v1/v2; a timestamp between v2 and v3 starts at v3
+      val fsys = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      def manifest(v: Int) = new org.apache.hadoop.fs.Path(
+        s"$root/_versions", f"v$v%08d.json")
+      val now = System.currentTimeMillis()
+      fsys.setTimes(manifest(1), now - 3L * 3600 * 1000, -1)
+      fsys.setTimes(manifest(2), now - 2L * 3600 * 1000, -1)
+      val ts = new java.sql.Timestamp(now - 3600L * 1000).toString
+      val q2 = spark.readStream.format("graft-lake-cdf")
+        .option("startingTimestamp", ts).load(root)
+        .writeStream.format("memory").queryName("cdf_startts")
+        .outputMode("append").start()
+      try {
+        q2.processAllAvailable()
+        assert(spark.table("cdf_startts").select("id").as[Long]
+          .collect().toSeq == Seq(3L))
+      } finally {
+        q2.stop(); spark.catalog.dropTempView("cdf_startts")
+      }
+      // both starting options at once refuse
+      val both = intercept[Exception] {
+        spark.readStream.format("graft-lake-cdf")
+          .option("startingVersion", "2").option("startingTimestamp", ts)
+          .load(root)
+          .writeStream.format("memory").queryName("cdf_both")
+          .outputMode("append").start().processAllAvailable()
+      }
+      assert(Iterator.iterate(both: Throwable)(_.getCause)
+        .takeWhile(_ != null).take(8)
+        .exists(c => Option(c.getMessage)
+          .exists(_.contains("mutually exclusive"))), both.toString)
+      // a timestamp after the newest commit refuses, never streams empty
+      val future = new java.sql.Timestamp(now + 24L * 3600 * 1000).toString
+      val fut = intercept[Exception] {
+        spark.readStream.format("graft-lake-cdf")
+          .option("startingTimestamp", future).load(root)
+          .writeStream.format("memory").queryName("cdf_future")
+          .outputMode("append").start().processAllAvailable()
+      }
+      assert(Iterator.iterate(fut: Throwable)(_.getCause)
+        .takeWhile(_ != null).take(8)
+        .exists(c => Option(c.getMessage)
+          .exists(_.contains("after the newest commit"))), fut.toString)
+    }
+  }
 }

@@ -1849,4 +1849,52 @@ class LakeTableSpec extends SparkSpec {
         .select(col("v")).head().getLong(0) == 808L)
     }
   }
+
+  test("string min/max skipping stats: equality probes prune to the " +
+    "matching group; >64-char values drop the stat honestly and " +
+    "admit everything; values stay exact") {
+    withTable { root =>
+      import spark.implicits._
+      LakeTable.create(spark, root,
+        Seq(("alpha", 1L), ("bravo", 2L)).toDF("status", "v"),
+        statsCols = Seq("status"))
+      LakeTable.append(spark, root,
+        Seq(("mike", 3L), ("november", 4L)).toDF("status", "v"),
+        statsCols = Seq("status"))
+      LakeTable.append(spark, root,
+        Seq(("xray", 5L), ("zulu", 6L)).toDF("status", "v"),
+        statsCols = Seq("status"))
+      // equality prunes to exactly one group, zero file opens elsewhere
+      assert(LakeTable.selectGroupsEq(spark, root, "status", "mike")
+        .size == 1)
+      // a value outside every [min,max] prunes ALL groups
+      assert(LakeTable.selectGroupsEq(spark, root, "status", "container")
+        .isEmpty)
+      assert(LakeTable.readWhereEq(spark, root, "status", "zulu")
+        .select(col("v")).head().getLong(0) == 6L)
+      // numeric probes on a numeric column coexist (both stat kinds
+      // in one manifest)
+      LakeTable.append(spark, root,
+        Seq(("golf", 100L)).toDF("status", "v"),
+        statsCols = Seq("status", "v"))
+      assert(LakeTable.readWhereEq(spark, root, "status", "golf")
+        .count() == 1)
+      // >64-char min/max: the stat drops for that group (over-scan,
+      // never a wrong prune) — every probe admits it, rows stay exact
+      val long1 = "a" * 80
+      LakeTable.append(spark, root,
+        Seq((long1, 7L)).toDF("status", "v"), statsCols = Seq("status"))
+      val v = LakeTable.latestVersion(spark, root).get
+      val meta = LakeTable.manifestMetaAt(spark, root, v)
+      val statKeys = meta.keys.filter(_.startsWith("stat:")).toSeq
+      // 4 groups with status stats + 1 v stat; the long-string group
+      // carries NO status stat
+      assert(statKeys.count(_.endsWith(":status")) == 4)
+      assert(LakeTable.readWhereEq(spark, root, "status", long1)
+        .select(col("v")).head().getLong(0) == 7L)
+      // the stat-less group admits every equality probe
+      assert(LakeTable.selectGroupsEq(spark, root, "status", "mike")
+        .size == 2)
+    }
+  }
 }
