@@ -907,9 +907,80 @@ object ExtAggQueries {
       .orderBy(col("lag"))
   }
 
+  /** q335: Gini coefficient of per-customer spend — the inequality /
+    * concentration gate of a corpus or revenue distribution (0 =
+    * everyone equal, →1 = one customer is the whole book; the
+    * train-data analog is source-concentration screening). EXACT
+    * cross-engine via the sorted-prefix identity on the DISTINCT-value
+    * frame: Σᵢⱼ|xᵢ−xⱼ| = Σ_v 2·c_v·(v·c<_v − s<_v) with below-count
+    * c< and below-sum s< from ONE PrefixScan range exchange (no window
+    * over raw rows), then Gini_ppm = T·10⁶ div (2·n·Σx) — every
+    * operand nonnegative, so Spark's trunc div == DuckDB's floor //,
+    * staged in DECIMAL(38,0) (prefix sums are longs: Σx ≈ 2·10¹³ at
+    * sf0.1, safe past SF1000). Plan: one data-sized hash aggregate to
+    * the per-customer frame; everything after is bounded by distinct
+    * spend values. */
+  def giniSpend(s: SparkSession, dir: String): DataFrame = {
+    val dec38 = DecimalType(38, 0)
+    val cust = graft.Tables.load(s, dir, "orders")
+      .groupBy(col("o_custkey"))
+      .agg((sum(col("o_totalprice").cast(DecimalType(18, 2))) * 100)
+        .cast("long").as("x"))
+    val g = cust.groupBy(col("x")).agg(count(lit(1)).as("ct"))
+      .withColumn("sx", col("x") * col("ct"))
+    val cum = graft.operators.PrefixScan.withRunningSums(
+      g, Seq(col("x")), Seq((col("ct"), "cumct"), (col("sx"), "cumsx")))
+    val t = cum.select(
+        (lit(2).cast(dec38) * col("ct") *
+          (col("x").cast(dec38) * (col("cumct") - col("ct"))
+            - (col("cumsx") - col("sx")).cast(dec38))).as("term"))
+      .agg(sum(col("term")).as("t"))
+    val tot = cust.agg(count(lit(1)).as("n"),
+      sum(col("x").cast(dec38)).as("sx"))
+    t.crossJoin(broadcast(tot))
+      .select(col("n").as("n_customers"),
+        expr("CAST((t * 1000000) div (2 * n * sx) AS BIGINT)")
+          .as("gini_ppm"),
+        col("sx").cast("long").as("spend_total_cents"))
+  }
+
+  /** q336: Benford first-digit screening over order amounts — the
+    * classic fabricated-data / corruption detector (natural
+    * multiplicative data follows P(d) = log₁₀(1+1/d); synthetic or
+    * truncated feeds don't). Digits come from the EXACT decimal cents
+    * (first char of the integer string — no float log anywhere);
+    * observed shares quantize to ppm by integer division (nonneg, so
+    * trunc == floor cross-engine); the Benford expectation ships as
+    * the FIXED integer-ppm table ⌊log₁₀(1+1/d)·10⁶⌋ both engines cite
+    * verbatim, so every output cell is exact. One hash aggregate over
+    * the data, a 9-row broadcast join after. */
+  def benfordDigits(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val benford = Seq(1L -> 301029L, 2L -> 176091L, 3L -> 124938L,
+      4L -> 96910L, 5L -> 79181L, 6L -> 66946L, 7L -> 57991L,
+      8L -> 51152L, 9L -> 45757L).toDF("digit", "benford_ppm")
+    val cents = graft.Tables.load(s, dir, "orders")
+      .select((col("o_totalprice").cast(DecimalType(18, 2)) * 100)
+        .cast("long").as("cents"))
+      .filter(col("cents") > 0)
+    val counts = cents
+      .select(substring(col("cents").cast("string"), 1, 1)
+        .cast("long").as("digit"))
+      .groupBy(col("digit")).agg(count(lit(1)).as("n_obs"))
+    val n = cents.count()
+    counts.join(broadcast(benford), Seq("digit"))
+      .select(col("digit"), col("n_obs"),
+        expr(s"CAST((n_obs * 1000000L) div ${n}L AS BIGINT)")
+          .as("obs_ppm"),
+        col("benford_ppm"))
+      .orderBy(col("digit"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q294_ks_test"             -> (ksTest _),
     "q308_mann_whitney_u"      -> (mannWhitneyU _),
+    "q335_gini_spend"          -> (giniSpend _),
+    "q336_benford_digits"      -> (benfordDigits _),
     "q309_mann_kendall"        -> (mannKendall _),
     "q310_theil_sen"           -> (theilSen _),
     "q320_spearman_rho"        -> (spearmanRho _),
@@ -942,6 +1013,51 @@ object ExtAggQueries {
     // q308: doubled-midrank identity replayed over the distinct-value
     // frame (window cumulative = the PrefixScan); HUGEINT internal,
     // BIGINT out; sign-split ppm effect size
+    // q336: same exact-decimal digit extraction and fixed ppm table;
+    // nonneg integer divisions, so trunc == floor.
+    "q336_benford_digits" ->
+      """WITH c AS (
+        |  SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+        |              AS BIGINT) AS cents
+        |  FROM orders
+        |  WHERE CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+        |             AS BIGINT) > 0),
+        |d AS (SELECT CAST(substr(CAST(cents AS VARCHAR), 1, 1) AS BIGINT)
+        |        AS digit, count(*) AS n_obs
+        |      FROM c GROUP BY 1),
+        |b(digit, benford_ppm) AS (VALUES (1, 301029), (2, 176091),
+        |  (3, 124938), (4, 96910), (5, 79181), (6, 66946), (7, 57991),
+        |  (8, 51152), (9, 45757)),
+        |n AS (SELECT count(*) AS n FROM c)
+        |SELECT d.digit, d.n_obs,
+        |       CAST((d.n_obs * 1000000) // n.n AS BIGINT) AS obs_ppm,
+        |       CAST(b.benford_ppm AS BIGINT) AS benford_ppm
+        |FROM d JOIN b ON d.digit = b.digit, n
+        |ORDER BY d.digit""".stripMargin,
+    // q335: the same prefix identity replayed verbatim — window sums
+    // in HUGEINT internally, every output cast BIGINT; nonneg div so
+    // floor == trunc.
+    "q335_gini_spend" ->
+      """WITH c AS (
+        |  SELECT o_custkey,
+        |         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)) * 100)
+        |              AS BIGINT) AS x
+        |  FROM orders GROUP BY 1),
+        |g AS (SELECT x, count(*) AS ct FROM c GROUP BY x),
+        |cum AS (SELECT x, ct,
+        |          sum(ct) OVER (ORDER BY x) AS cumct,
+        |          sum(x * ct) OVER (ORDER BY x) AS cumsx
+        |        FROM g),
+        |agg AS (SELECT sum(CAST(2 AS HUGEINT) * ct *
+        |          (CAST(x AS HUGEINT) * (cumct - ct)
+        |            - (cumsx - x * ct))) AS t FROM cum),
+        |tot AS (SELECT count(*) AS n, sum(CAST(x AS HUGEINT)) AS sx
+        |        FROM c)
+        |SELECT CAST(tot.n AS BIGINT) AS n_customers,
+        |       CAST((agg.t * 1000000) // (2 * tot.n * tot.sx) AS BIGINT)
+        |         AS gini_ppm,
+        |       CAST(tot.sx AS BIGINT) AS spend_total_cents
+        |FROM agg, tot""".stripMargin,
     "q308_mann_whitney_u" ->
       """WITH b AS (
         |  SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)

@@ -3309,6 +3309,149 @@ object LakeQueries {
     } }
   }
 
+  /** q333: partition-scoped `OPTIMIZE … WHERE` (Databricks' targeted
+    * compaction) — a 3-value partitioned table accumulates 3 small
+    * groups per value (micro-batch shape); `OPTIMIZE t WHERE b = 1`
+    * merges ONLY value 1's groups (3 → 1) and carries the other six by
+    * name, zero bytes of them read (`untouched_others`); a WHERE on a
+    * non-partition column refuses loudly. At 100 TB this is the
+    * nightly loop: today's hot partition compacts, yesterday's
+    * terabytes never move. */
+  def optimizeWhere(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.load(s, dir, "orders")
+      .filter(col("o_custkey") % 23 === 6)
+      .select(col("o_orderkey").as("k"),
+        expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)")
+          .as("cents"),
+        (col("o_orderkey") % 3).as("b"))
+    graft.util.LocalFrame.withConf(s, "spark.sql.shuffle.partitions", "8") {
+    graft.util.Tmp.withTempDir("graft_lake_q333") { rootPath =>
+      val wh = rootPath.toString
+      val cat = "lake_" +
+        java.util.UUID.randomUUID().toString.replace("-", "").take(12)
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftLakeCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+      try {
+        val root = s"$wh/t"
+        LakeTable.createEmpty(s, root, base.schema, Seq("b"))
+        (0 to 2).foreach(i => LakeTable.append(s, root,
+          base.filter((col("k") / 3).cast("long") % 3 === i)))
+        // manifest `part:` keys are the RELATIVE dir entries
+        // (data/<name>); recover them from the absolute read paths
+        def rel(d: String): String =
+          d.split('/').takeRight(2).mkString("/")
+        val before = LakeTable.dataDirPaths(s, root)
+        val meta = LakeTable.manifestMetaAt(s, root,
+          LakeTable.latestVersion(s, root).get)
+        val othersBefore = before.filterNot(d =>
+          meta.get(s"part:${rel(d)}").contains("1"))
+        val refusedNonPart = refused("not a partition column") {
+          s.sql(s"OPTIMIZE $cat.t WHERE cents = 5") }
+        s.sql(s"OPTIMIZE $cat.t WHERE b = 1")
+        val after = LakeTable.dataDirPaths(s, root)
+        val metaAfter = LakeTable.manifestMetaAt(s, root,
+          LakeTable.latestVersion(s, root).get)
+        val b1After = after.count(d =>
+          metaAfter.get(s"part:${rel(d)}").contains("1")).toLong
+        val untouched =
+          if (othersBefore.forall(after.contains)) 1L else 0L
+        val t = s.sql(s"SELECT count(*) AS n, sum(cents) AS c, " +
+          s"sum(CASE WHEN b = 1 THEN 1 ELSE 0 END) AS n1 FROM $cat.t")
+          .head()
+        import s.implicits._
+        graft.util.LocalFrame.materialize(Seq(
+          ("cents_total", t.getLong(1)),
+          ("groups_after", after.size.toLong),
+          ("groups_b1_after", b1After),
+          ("groups_before", before.size.toLong),
+          ("n_b1", t.getLong(2)),
+          ("n_rows", t.getLong(0)),
+          ("refused_nonpart", refusedNonPart),
+          ("untouched_others", untouched)
+        ).toDF("fact", "n").orderBy(col("fact")))
+      } finally {
+        s.conf.unset(s"spark.sql.catalog.$cat")
+        s.conf.unset(s"spark.sql.catalog.$cat.warehouse")
+      }
+    } }
+  }
+
+  /** q334: `CONVERT TO LAKE` (Delta's CONVERT TO DELTA) — an existing
+    * plain parquet directory becomes a lake table with ZERO bytes
+    * copied: v1 references the directory by absolute path
+    * (`zero_copy` pins that the table root holds no data files;
+    * `plain_unchanged` that the source listing is byte-identical), and
+    * every lake feature applies from the next commit — appends, time
+    * travel back to the converted snapshot, maintenance. The converted
+    * bytes stay FOREIGN: after a compaction drops them from the live
+    * manifest and a VACUUM tightens retention, the original directory
+    * still serves its pre-existing readers (`foreign_survive` — same
+    * ownership rule as shallow clones). A second convert refuses. At
+    * 100 TB this is the adoption path: a petabyte parquet estate joins
+    * the lake without a rewrite. */
+  def convertInPlaceQ(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.load(s, dir, "orders")
+      .filter(col("o_custkey") % 29 === 7)
+      .select(col("o_orderkey").as("k"),
+        expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)")
+          .as("cents"))
+    graft.util.LocalFrame.withConf(s, "spark.sql.shuffle.partitions", "8") {
+    graft.util.Tmp.withTempDir("graft_lake_q334") { rootPath =>
+      val wh = rootPath.toString
+      val cat = "lake_" +
+        java.util.UUID.randomUUID().toString.replace("-", "").take(12)
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftLakeCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+      try {
+        val root = s"$wh/t"
+        val plain = s"$wh/plain_orders"
+        base.write.parquet(plain)
+        val fsys = new org.apache.hadoop.fs.Path(plain)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        def listing(p: String): Seq[(String, Long)] = fsys
+          .listStatus(new org.apache.hadoop.fs.Path(p))
+          .filter(_.isFile).map(f => (f.getPath.getName, f.getLen))
+          .toSeq.sortBy(_._1)
+        val plainBefore = listing(plain)
+        s.sql(s"CONVERT TO LAKE $cat.t FROM '$plain'")
+        val zeroCopy =
+          if (!fsys.exists(new org.apache.hadoop.fs.Path(s"$root/data")))
+            1L else 0L
+        val t0 = s.sql(
+          s"SELECT count(*) AS n, sum(cents) AS c FROM $cat.t").head()
+        val plainUnchanged = if (listing(plain) == plainBefore) 1L else 0L
+        val refusedExists = refused("table exists") {
+          s.sql(s"CONVERT TO LAKE $cat.t FROM '$plain'") }
+        LakeTable.append(s, root, base.filter(col("k") % 2 === 0)
+          .select((col("k") + 1000000000L).as("k"), col("cents")))
+        val nAppended = s.sql(
+          s"SELECT count(*) FROM $cat.t").head().getLong(0)
+        val nV1 = s.sql(
+          s"SELECT count(*) FROM $cat.t VERSION AS OF 1").head().getLong(0)
+        // compact away the foreign reference, then vacuum: the
+        // converted bytes must SURVIVE (this table never owned them)
+        LakeTable.compactSmall(s, root, Long.MaxValue)
+        s.sql(s"VACUUM $cat.t RETAIN 1 VERSIONS")
+        val foreignSurvive =
+          if (s.read.parquet(plain).count() == t0.getLong(0)) 1L else 0L
+        import s.implicits._
+        graft.util.LocalFrame.materialize(Seq(
+          ("cents_total", t0.getLong(1)),
+          ("foreign_survive", foreignSurvive),
+          ("n_after_append", nAppended),
+          ("n_rows", t0.getLong(0)),
+          ("n_v1", nV1),
+          ("plain_unchanged", plainUnchanged),
+          ("refused_exists", refusedExists),
+          ("zero_copy", zeroCopy)
+        ).toDF("fact", "n").orderBy(col("fact")))
+      } finally {
+        s.conf.unset(s"spark.sql.catalog.$cat")
+        s.conf.unset(s"spark.sql.catalog.$cat.warehouse")
+      }
+    } }
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q302_partitioned_lake"    -> (partitionedLifecycle _),
     "q303_kll_index_lake"      -> (kllIndexLifecycle _),
@@ -3335,6 +3478,8 @@ object LakeQueries {
     "q330_merge_evolution"     -> (mergeEvolution _),
     "q331_spj_partial"         -> (spjPartial _),
     "q332_sql_update_mor"      -> (sqlUpdateMor _),
+    "q333_optimize_where"      -> (optimizeWhere _),
+    "q334_convert_to_lake"     -> (convertInPlaceQ _),
     "q282_hll_index_lake"      -> (hllIndexLifecycle _),
     "q281_unique_constraint"   -> (uniqueLifecycle _),
     "q288_column_default"      -> (defaultLifecycle _),
@@ -3716,6 +3861,49 @@ object LakeQueries {
         |UNION ALL SELECT 't2_replace_version', CAST(3 AS BIGINT)
         |UNION ALL SELECT 'v_armed', CAST(3 AS BIGINT)
         |UNION ALL SELECT 'v_replaced', CAST(4 AS BIGINT)
+        |ORDER BY fact""".stripMargin,
+    // q334: row masses restated from orders (o_custkey%29=7 slice;
+    // append adds the even-key half under shifted keys); the zero-copy,
+    // unchanged-listing, foreign-survival and exists-refusal facts pin.
+    "q334_convert_to_lake" ->
+      """WITH o AS (
+        |  SELECT o_orderkey AS k,
+        |         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |           AS cents
+        |  FROM orders WHERE o_custkey % 29 = 7)
+        |SELECT 'cents_total' AS fact, CAST(sum(cents) AS BIGINT) AS n
+        |FROM o
+        |UNION ALL SELECT 'foreign_survive', CAST(1 AS BIGINT)
+        |UNION ALL SELECT 'n_after_append',
+        |  count(*) + CAST(sum(CASE WHEN k % 2 = 0 THEN 1 ELSE 0 END)
+        |                  AS BIGINT) FROM o
+        |UNION ALL SELECT 'n_rows', count(*) FROM o
+        |UNION ALL SELECT 'n_v1', count(*) FROM o
+        |UNION ALL SELECT 'plain_unchanged', CAST(1 AS BIGINT)
+        |UNION ALL SELECT 'refused_exists', CAST(1 AS BIGINT)
+        |UNION ALL SELECT 'zero_copy', CAST(1 AS BIGINT)
+        |ORDER BY fact""".stripMargin,
+    // q333: row masses restated from orders (o_custkey%23=6 slice,
+    // b = k%3); layout facts pin (3 appends × 3 values = 9 groups,
+    // b=1 compacts 3→1 → 7 total, others byte-identical, non-partition
+    // WHERE refused).
+    "q333_optimize_where" ->
+      """WITH o AS (
+        |  SELECT o_orderkey AS k,
+        |         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |           AS cents,
+        |         o_orderkey % 3 AS b
+        |  FROM orders WHERE o_custkey % 23 = 6)
+        |SELECT 'cents_total' AS fact, CAST(sum(cents) AS BIGINT) AS n
+        |FROM o
+        |UNION ALL SELECT 'groups_after', CAST(7 AS BIGINT)
+        |UNION ALL SELECT 'groups_b1_after', CAST(1 AS BIGINT)
+        |UNION ALL SELECT 'groups_before', CAST(9 AS BIGINT)
+        |UNION ALL SELECT 'n_b1',
+        |  CAST(sum(CASE WHEN b = 1 THEN 1 ELSE 0 END) AS BIGINT) FROM o
+        |UNION ALL SELECT 'n_rows', count(*) FROM o
+        |UNION ALL SELECT 'refused_nonpart', CAST(1 AS BIGINT)
+        |UNION ALL SELECT 'untouched_others', CAST(1 AS BIGINT)
         |ORDER BY fact""".stripMargin,
     // q332: cents masses restated from orders (o_custkey%19=5 slice;
     // MOR adds 7 to k%10=3, COW later adds 9 to k%10=4); layout facts

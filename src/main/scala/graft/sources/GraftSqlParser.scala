@@ -18,6 +18,9 @@ import org.apache.spark.sql.types.{LongType, StringType, StructType}
   *  - `OPTIMIZE <cat>.<t> ZORDER BY (a, b) [INTO <n> GROUPS]` →
   *    [[LakeTable.optimizeZOrder]] (whole-table Morton re-layout with
   *    fresh two-column skipping stats);
+  *  - `OPTIMIZE <cat>.<t> WHERE <partcol> = <v> [MIN BYTES <n>]` →
+  *    [[LakeTable.compactSmallWhere]] (partition-scoped compaction —
+  *    only the named value's groups are touched);
   *  - `VACUUM <cat>.<t> RETAIN <n> VERSIONS` → [[LakeTable.vacuum]];
   *    `VACUUM <cat>.<t> RETAIN <n> HOURS` →
   *    [[LakeTable.vacuumRetainHours]] (Delta's time-based retention —
@@ -35,6 +38,10 @@ import org.apache.spark.sql.types.{LongType, StringType, StructType}
   *    [[LakeTable.shallowClone]] (zero-copy fork by reference);
   *  - `DESCRIBE DETAIL <cat>.<t>` → the one-row table summary
   *    (format/location/version/groups/bytes/partitioning/constraints);
+  *  - `CONVERT TO LAKE <cat>.<t> FROM '<parquetDir>'` →
+  *    [[LakeTable.convertInPlace]] (zero-copy: v1 references the
+  *    existing directory by absolute path; the bytes stay foreign —
+  *    this table's vacuum never deletes them);
   *  - `COPY INTO <cat>.<t> FROM '<dir>' FILEFORMAT = PARQUET
   *    [PATTERN = '<glob>'] [COPY_OPTIONS ('force' = 'true')]` →
   *    [[LakeTable.copyInto]] (idempotent file-level bulk ingest:
@@ -92,6 +99,8 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
 object GraftSqlParser {
   private val OptimizeRe =
     """(?is)^\s*OPTIMIZE\s+([\w`]+(?:\.[\w`]+)+)(?:\s+MIN\s+BYTES\s+(\d+))?\s*;?\s*$""".r
+  private val OptimizeWhereRe =
+    """(?is)^\s*OPTIMIZE\s+([\w`]+(?:\.[\w`]+)+)\s+WHERE\s+([\w`]+)\s*=\s*(?:'([^']*)'|([\w.\-]+))(?:\s+MIN\s+BYTES\s+(\d+))?\s*;?\s*$""".r
   private val ZOrderRe =
     """(?is)^\s*OPTIMIZE\s+([\w`]+(?:\.[\w`]+)+)\s+ZORDER\s+BY\s*\(\s*([\w`]+)\s*,\s*([\w`]+)\s*\)(?:\s+INTO\s+(\d+)\s+GROUPS)?\s*;?\s*$""".r
   private val VacuumRe =
@@ -100,6 +109,8 @@ object GraftSqlParser {
     """(?is)^\s*VACUUM\s+([\w`]+(?:\.[\w`]+)+)\s+RETAIN\s+(\d+)\s+HOURS\s*;?\s*$""".r
   private val RestoreTsRe =
     """(?is)^\s*RESTORE\s+(?:TABLE\s+)?([\w`]+(?:\.[\w`]+)+)\s+(?:TO\s+)?TIMESTAMP\s+AS\s+OF\s+'([^']+)'\s*;?\s*$""".r
+  private val ConvertRe =
+    """(?is)^\s*CONVERT\s+TO\s+LAKE\s+([\w`]+(?:\.[\w`]+)+)\s+FROM\s+'([^']+)'\s*;?\s*$""".r
   private val UpdateRe =
     """(?is)^\s*UPDATE\s+([\w`]+(?:\.[\w`]+)+)\s+SET\s+(.+?)(?:\s+WHERE\s+(.+?))?\s*;?\s*$""".r
   private val VacuumBareRe =
@@ -128,6 +139,11 @@ object GraftSqlParser {
           Seq(a.stripPrefix("`").stripSuffix("`"),
             bCol.stripPrefix("`").stripSuffix("`")),
           Option(n).map(_.toInt).getOrElse(64)))
+      case OptimizeWhereRe(t, c, qv, bv, min) =>
+        Some(GraftOptimizeWhereCommand(parts(t),
+          c.stripPrefix("`").stripSuffix("`"),
+          Option(qv).getOrElse(bv),
+          Option(min).map(_.toLong).getOrElse(128L * 1024 * 1024)))
       case OptimizeRe(t, min) =>
         Some(GraftMaintenanceCommand("optimize", parts(t),
           Option(min).map(_.toLong).orElse(Some(128L * 1024 * 1024))))
@@ -138,6 +154,8 @@ object GraftSqlParser {
           Some(n.toLong)))
       case RestoreTsRe(t, ts) =>
         Some(GraftRestoreTimestampCommand(parts(t), ts))
+      case ConvertRe(t, dir) =>
+        Some(GraftConvertCommand(parts(t), dir))
       // SQL UPDATE routes to the deletion-vector merge-on-read path
       // ONLY when the session opted in (spark.graft.update.mode=mor)
       // AND the target is a graft-lake catalog table — everything else
@@ -391,6 +409,34 @@ case class GraftRestoreTimestampCommand(nameParts: Seq[String], ts: String)
       Math.multiplyExact(millis, 1000L))
     Seq(Row(LakeTable.restore(spark, root, target).toLong, target.toLong))
   }
+}
+
+/** `CONVERT TO LAKE <cat>.<t> FROM '<parquetDir>'` — Delta's
+  * CONVERT TO DELTA: version 1 references the existing parquet
+  * directory by absolute path, zero bytes copied
+  * ([[LakeTable.convertInPlace]]). */
+case class GraftConvertCommand(nameParts: Seq[String], srcDir: String)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("version", LongType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] =
+    Seq(Row(LakeTable.convertInPlace(spark,
+      GraftSqlParser.rootFor(spark, nameParts), srcDir).toLong))
+}
+
+/** `OPTIMIZE t WHERE <partcol> = <v> [MIN BYTES n]` — partition-scoped
+  * compaction ([[LakeTable.compactSmallWhere]]): only the named
+  * partition value's small groups merge; everything else is carried by
+  * name, zero bytes read. Refuses on non-partition columns. */
+case class GraftOptimizeWhereCommand(nameParts: Seq[String],
+    column: String, value: String, minBytes: Long)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("version", LongType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] =
+    Seq(Row(LakeTable.compactSmallWhere(spark,
+      GraftSqlParser.rootFor(spark, nameParts), column, value,
+      minBytes).toLong))
 }
 
 /** SQL `UPDATE` on the merge-on-read deletion-vector path

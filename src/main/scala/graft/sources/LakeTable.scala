@@ -2496,7 +2496,31 @@ object LakeTable {
     * big clustered groups keep their skipping metadata forever.
     * No-ops (same version) when fewer than two small groups exist. */
   def compactSmall(spark: SparkSession, root: String,
-                   minBytes: Long): Int = {
+                   minBytes: Long): Int =
+    compactSmallScoped(spark, root, minBytes, None)
+
+  /** Partition-scoped OPTIMIZE (Databricks' `OPTIMIZE t WHERE part =
+    * v`): compact small groups of ONE partition value only — every
+    * group outside the scope is carried by name, zero bytes of it read
+    * or rewritten. The nightly-maintenance shape at 100 TB: today's
+    * hot partition accumulated micro-batch files; yesterday's
+    * terabytes stay untouched. Refuses on unpartitioned tables and
+    * non-partition columns (a silent full-table compact would be the
+    * lie). */
+  def compactSmallWhere(spark: SparkSession, root: String,
+                        column: String, value: String,
+                        minBytes: Long): Int = {
+    val v = latestVersion(spark, root)
+      .getOrElse(throw new IllegalStateException(s"no table at $root"))
+    val meta = manifestMeta(spark, root, v)
+    require(partColsAt(meta).exists(_.equalsIgnoreCase(column)),
+      s"OPTIMIZE … WHERE: '$column' is not a partition column of " +
+        s"$root (have ${partColsAt(meta).mkString(", ")})")
+    compactSmallScoped(spark, root, minBytes, Some((column, value)))
+  }
+
+  private def compactSmallScoped(spark: SparkSession, root: String,
+      minBytes: Long, scope: Option[(String, String)]): Int = {
     val v = latestVersion(spark, root)
       .getOrElse(throw new IllegalStateException(s"no table at $root"))
     val meta = manifestMeta(spark, root, v)
@@ -2506,7 +2530,16 @@ object LakeTable {
     def bytes(d: String): Long =
       f.listStatus(new Path(root, d)).map(_.getLen).sum
     val dirs = readManifest(spark, root, v)
-    val (small, large) = dirs.partition(bytes(_) < minBytes)
+    // out-of-scope groups are simply never "small": they survive by
+    // name through the standard carry below
+    val inScope: String => Boolean = scope match {
+      case None => _ => true
+      case Some((c, value)) => d =>
+        partAdmit(meta, d,
+          org.apache.spark.sql.sources.EqualTo(c, value))
+    }
+    val (small, large) =
+      dirs.partition(d => bytes(d) < minBytes && inScope(d))
     if (small.size <= 1) return v
     // on a partitioned table, small groups merge WITHIN a partition
     // value — the one-value-per-group invariant (and its exact
@@ -3126,6 +3159,37 @@ object LakeTable {
     * [[vacuum]]): a table never deletes absolute (foreign) entries — only
     * the source owns its bytes — so a source VACUUM past its retention
     * window invalidates clones, the same caveat Delta documents. */
+  /** Zero-copy conversion of a plain parquet directory into a lake
+    * table (Delta's `CONVERT TO DELTA`): version 1 references the
+    * directory by ABSOLUTE path — not one byte moves or rewrites, the
+    * files keep serving any reader that still points at them — and
+    * every lake feature (time travel from here on, appends, DDL,
+    * constraints, maintenance) applies from the next commit. The
+    * directory is FOREIGN, same rule as a shallow clone: this table's
+    * vacuum never deletes bytes it doesn't own. Schema is inferred
+    * from the files (mergeSchema) and declared in the manifest so
+    * later appends validate against it. Refuses when the table exists
+    * or the directory holds no parquet files — converting nothing
+    * would publish a lie. */
+  def convertInPlace(spark: SparkSession, root: String,
+                     srcDir: String): Int = {
+    require(latestVersion(spark, root).isEmpty, s"table exists at $root")
+    val src = new Path(srcDir)
+    val sfs = src.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(sfs.exists(src) && sfs.getFileStatus(src).isDirectory,
+      s"CONVERT: '$srcDir' is not a directory")
+    val files = sfs.listStatus(src).filter(f =>
+      f.isFile && f.getPath.getName.endsWith(".parquet"))
+    require(files.nonEmpty,
+      s"CONVERT: '$srcDir' holds no parquet files — nothing to convert")
+    val abs = sfs.makeQualified(src).toString
+    val schema = spark.read.option("mergeSchema", "true")
+      .parquet(abs).schema
+    commitVersion(spark, root, 1, Seq(abs),
+      Map("op" -> "convert", "schema" -> schema.json,
+        "convertSource" -> abs))
+  }
+
   def shallowClone(spark: SparkSession, srcRoot: String,
                    dstRoot: String): Int = {
     require(latestVersion(spark, dstRoot).isEmpty, s"table exists at $dstRoot")

@@ -862,6 +862,37 @@ class GraftLakeCatalogSpec extends SparkSpec {
     }
   }
 
+  test("CONVERT TO LAKE and OPTIMIZE WHERE refusals: empty dirs, " +
+    "unpartitioned tables, and existing tables all fail loudly") {
+    withWarehouse("lakeCv") { wh =>
+      import spark.implicits._
+      // converting an empty/parquet-less dir refuses
+      val empty = java.nio.file.Files
+        .createTempDirectory("graft_cv_empty").toString
+      val e1 = intercept[IllegalArgumentException] {
+        spark.sql(s"CONVERT TO LAKE lakeCv.t FROM '$empty'")
+      }
+      assert(e1.getMessage.contains("no parquet files"), e1.getMessage)
+      assert(LakeTable.latestVersion(spark, s"$wh/t").isEmpty)
+      // convert, then OPTIMIZE WHERE on the (unpartitioned) result
+      Seq((1L, "a"), (2L, "b")).toDF("id", "s").write.parquet(s"$empty/p")
+      spark.sql(s"CONVERT TO LAKE lakeCv.t FROM '$empty/p'")
+      assert(spark.sql("SELECT count(*) FROM lakeCv.t")
+        .head().getLong(0) == 2)
+      val e2 = intercept[IllegalArgumentException] {
+        spark.sql("OPTIMIZE lakeCv.t WHERE id = 1")
+      }
+      assert(e2.getMessage.contains("not a partition column"),
+        e2.getMessage)
+      // second convert refuses, version pinned
+      intercept[IllegalArgumentException] {
+        spark.sql(s"CONVERT TO LAKE lakeCv.t FROM '$empty/p'")
+      }
+      assert(LakeTable.latestVersion(spark, s"$wh/t").contains(1))
+      graft.util.Tmp.deleteRecursively(java.nio.file.Paths.get(empty))
+    }
+  }
+
   test("time-based maintenance SQL: RESTORE TIMESTAMP AS OF resolves " +
     "by commit time; VACUUM RETAIN n HOURS drops only stale versions " +
     "and never the latest") {
