@@ -3452,6 +3452,227 @@ object LakeQueries {
     } }
   }
 
+  /** q337: table properties — `ALTER TABLE … SET/UNSET TBLPROPERTIES`
+    * as metadata-only commits (`prop:` manifest keys) surfaced back
+    * through `SHOW TBLPROPERTIES` (DSv2 `Table.properties()`), with
+    * Delta's lifecycle semantics pinned: set overwrites, unset of an
+    * unknown key refuses loudly (a silent no-op would read as
+    * "removed"), and properties AUTO-CARRY through every commit type —
+    * the append + OPTIMIZE here leaves them intact. Properties are the
+    * governance channel (owner, pii flags, retention notes) a 100 TB
+    * estate hangs tooling off; losing one in a compaction would be a
+    * silent contract break. */
+  def tblProperties(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.load(s, dir, "orders")
+      .filter(col("o_custkey") % 31 === 8)
+      .select(col("o_orderkey").as("k"),
+        expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)")
+          .as("cents"))
+    graft.util.LocalFrame.withConf(s, "spark.sql.shuffle.partitions", "8") {
+    graft.util.Tmp.withTempDir("graft_lake_q337") { rootPath =>
+      val wh = rootPath.toString
+      val cat = "lake_" +
+        java.util.UUID.randomUUID().toString.replace("-", "").take(12)
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftLakeCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+      try {
+        val root = s"$wh/t"
+        LakeTable.create(s, root, base)
+        val atCreate = LakeTable.propertiesAt(
+          LakeTable.manifestMetaAt(s, root, 1)).size.toLong
+        s.sql(s"ALTER TABLE $cat.t SET TBLPROPERTIES " +
+          "('team' = 'data-eng', 'pii' = 'false')")
+        def show(): Map[String, String] =
+          s.sql(s"SHOW TBLPROPERTIES $cat.t").collect()
+            .map(r => r.getString(0) -> r.getString(1)).toMap
+        val afterSet = show()
+        s.sql(s"ALTER TABLE $cat.t UNSET TBLPROPERTIES ('pii')")
+        val refusedUnknown = refused("no such property") {
+          s.sql(s"ALTER TABLE $cat.t UNSET TBLPROPERTIES ('nope')") }
+        // properties survive data maintenance
+        LakeTable.append(s, root, base.filter(col("k") % 2 === 0)
+          .select((col("k") + 1000000000L).as("k"), col("cents")))
+        s.sql(s"OPTIMIZE $cat.t")
+        val afterMaint = show()
+        val n = s.sql(s"SELECT count(*) FROM $cat.t").head().getLong(0)
+        import s.implicits._
+        graft.util.LocalFrame.materialize(Seq(
+          ("n_rows", n.toString),
+          ("pii_after_set", afterSet.getOrElse("pii", "<absent>")),
+          ("pii_survives_unset",
+            afterMaint.contains("pii").toString),
+          ("props_at_create", atCreate.toString),
+          ("refused_unknown_unset", refusedUnknown.toString),
+          ("team_after_maintenance",
+            afterMaint.getOrElse("team", "<absent>"))
+        ).toDF("fact", "v").orderBy(col("fact")))
+      } finally {
+        s.conf.unset(s"spark.sql.catalog.$cat")
+        s.conf.unset(s"spark.sql.catalog.$cat.warehouse")
+      }
+    } }
+  }
+
+  /** q338: SQL `DELETE` on the positional deletion-vector path — under
+    * `spark.graft.update.mode=mor` the verb routes to
+    * [[LakeTable.deleteWhereDv]]: ANY predicate (no key column, unlike
+    * q182's equality-delete), one O(matches) sidecar commit, every
+    * data file byte-identical and ZERO groups added
+    * (`files_untouched`). The flagship positional fact: a LATER append
+    * whose values match the delete predicate is NOT swallowed
+    * (`late_visible` — the equality mask's documented flaw, absent
+    * here). Masked catalog reads, CDC `delete` rows, and the
+    * materializing rewrite all value-check per language against the
+    * plain predicate. */
+  def sqlDeleteDv(s: SparkSession, dir: String): DataFrame = {
+    val d = graft.Tables.load(s, dir, "documents")
+    graft.util.LocalFrame.withConf(s, "spark.sql.shuffle.partitions", "8") {
+    graft.util.Tmp.withTempDir("graft_lake_q338") { rootPath =>
+      val wh = rootPath.toString
+      val cat = "lake_" +
+        java.util.UUID.randomUUID().toString.replace("-", "").take(12)
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftLakeCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+      try {
+        val root = s"$wh/t"
+        LakeTable.createClustered(s, root, d, "doc_id",
+          numGroups = 4, statsCols = Nil)
+        val dirsBefore = LakeTable.dataDirPaths(s, root)
+        val v2 = graft.util.LocalFrame.withConf(s,
+          "spark.graft.update.mode", "mor") {
+          s.sql(s"DELETE FROM $cat.t WHERE n_chars < 100")
+            .head().getLong(0).toInt
+        }
+        val untouched = LakeTable.dataDirPaths(s, root) == dirsBefore
+        val langs = d.select(col("lang")).distinct()
+        // materialize NOW: the catalog scan reads the LATEST version at
+        // execution, and the append/rewrite below would leak in
+        val after = graft.util.LocalFrame.materialize(
+          s.table(s"$cat.t")
+            .groupBy(col("lang")).agg(count(lit(1)).as("n_after")))
+        val cdc = LakeTable.changes(s, root, v2 - 1, v2, "doc_id")
+          .filter(col("_change_type") === "delete")
+          .groupBy(col("lang")).agg(count(lit(1)).as("n_deleted_cdc"))
+        // a later append re-using predicate-matching VALUES stays
+        // visible — the mask names positions, not values
+        import s.implicits._
+        LakeTable.append(s, root, Seq(
+          (999999999L, "tiny late row", "en", "late", 50L))
+          .toDF("doc_id", "text", "lang", "source", "n_chars"))
+        val late = s.sql(
+          s"SELECT count(*) FROM $cat.t WHERE doc_id = 999999999")
+          .head().getLong(0) == 1L
+        LakeTable.rewriteDeletes(s, root)
+        val rewritten = LakeTable.read(s, root)
+          .filter(col("doc_id") =!= 999999999L)
+          .groupBy(col("lang")).agg(count(lit(1)).as("n_rewritten"))
+        graft.util.LocalFrame.materialize(
+          langs.join(after, Seq("lang"), "left")
+            .join(cdc, Seq("lang"), "left")
+            .join(rewritten, Seq("lang"), "left")
+            .na.fill(0L, Seq("n_after", "n_deleted_cdc", "n_rewritten"))
+            .select(col("lang"), col("n_after"), col("n_deleted_cdc"),
+              lit(untouched).as("files_untouched"),
+              lit(late).as("late_visible"),
+              (col("n_rewritten") === col("n_after"))
+                .as("rewrite_matches"))
+            .orderBy(col("lang")))
+      } finally {
+        s.conf.unset(s"spark.sql.catalog.$cat")
+        s.conf.unset(s"spark.sql.catalog.$cat.warehouse")
+      }
+    } }
+  }
+
+  /** q339: storage-partitioned join on a JOIN-KEY SUBSET of the
+    * partition columns — both sides laid out by (year, bucket), the
+    * join keys only year: with
+    * `v2.bucketing.allowJoinKeysSubsetOfPartitionKeys` (+ pushed part
+    * values) Spark re-groups the key-grouped partitions by the subset
+    * and the join still plans ZERO exchanges; with the flag off the
+    * same join shuffles both sides. This is the realistic 100 TB
+    * layout: tables partitioned finer than any one join's keys (day ×
+    * tenant, joined by day) — without subset support every such join
+    * loses the co-location it physically has. Data facts (a
+    * many-to-many year join) restate from orders. */
+  def spjSubsetKey(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.load(s, dir, "orders")
+      .filter(col("o_custkey") % 17 === 3)
+      .select(col("o_orderkey").as("k"),
+        year(col("o_orderdate")).cast("long").as("yk"),
+        (col("o_orderkey") % 2).as("m"),
+        expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)")
+          .as("cents"))
+    graft.util.LocalFrame.withConf(s, "spark.sql.shuffle.partitions", "8") {
+    graft.util.Tmp.withTempDir("graft_lake_q339") { rootPath =>
+      val wh = rootPath.toString
+      val t1r = s"$wh/orders_ym"
+      val t2r = s"$wh/totals_ym"
+      LakeTable.createEmpty(s, t1r, base.schema, Seq("yk", "m"))
+      LakeTable.append(s, t1r, base)
+      val t2src = base.groupBy(col("yk"), col("m"))
+        .agg(sum(col("cents")).as("ym_total"))
+      LakeTable.createEmpty(s, t2r, t2src.schema, Seq("yk", "m"))
+      LakeTable.append(s, t2r, t2src)
+      def shuffles(df: org.apache.spark.sql.DataFrame): Long = {
+        df.foreachPartition((_: Iterator[org.apache.spark.sql.Row]) => ())
+        df.queryExecution.executedPlan.collect {
+          case e: org.apache.spark.sql.execution.exchange
+            .ShuffleExchangeLike => e }.size.toLong
+      }
+      def withFlags[A](subset: Boolean)(body: => A): A = {
+        val cs = List(
+          "spark.sql.sources.v2.bucketing.enabled" -> "true",
+          "spark.sql.adaptive.enabled" -> "false",
+          "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+          "spark.sql.sources.v2.bucketing.pushPartValues.enabled"
+            -> "true",
+          ("spark.sql.sources.v2.bucketing." +
+            "allowJoinKeysSubsetOfPartitionKeys.enabled")
+            -> subset.toString,
+          // co-partition check must accept a clustering SUBSET (the
+          // default demands exact key equality, which defeats the
+          // subset feature by construction)
+          "spark.sql.requireAllClusterKeysForCoPartition"
+            -> (!subset).toString)
+        def nest(rest: List[(String, String)]): A = rest match {
+          case Nil => body
+          case (k, v) :: t => graft.util.LocalFrame.withConf(s, k, v)(
+            nest(t))
+        }
+        nest(cs)
+      }
+      val t1 = s.read.format("graft-lake").load(t1r)
+      val t2 = s.read.format("graft-lake").load(t2r)
+      // reference BOTH sides' m downstream: the reported (yk, m) key
+      // grouping must stay resolvable against each scan's (pruned)
+      // output for the subset re-grouping to engage
+      def joined = t1.as("a").join(t2.as("b"),
+        col("a.yk") === col("b.yk"))
+        .select(col("a.yk").as("yk"), col("a.cents").as("cents"),
+          (col("a.m") + col("b.m")).as("mm"))
+      val (exSub, agg) = withFlags(subset = true) {
+        val j = joined
+        (shuffles(j), j.agg(count(lit(1)).as("n"),
+          sum(col("cents")).as("c"),
+          countDistinct(col("yk")).as("y"),
+          sum(col("mm")).as("mm")).head())
+      }
+      val exOff = withFlags(subset = false) {
+        math.min(shuffles(joined), 1L)
+      }
+      import s.implicits._
+      graft.util.LocalFrame.materialize(Seq(
+        ("cents_joined", agg.getLong(1)),
+        ("exchanges_subset", exSub),
+        ("flag_off_shuffles_present", exOff),
+        ("m_pairs_sum", agg.getLong(3)),
+        ("n_rows_joined", agg.getLong(0)),
+        ("n_years", agg.getLong(2))
+      ).toDF("fact", "n").orderBy(col("fact")))
+    } }
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q302_partitioned_lake"    -> (partitionedLifecycle _),
     "q303_kll_index_lake"      -> (kllIndexLifecycle _),
@@ -3480,6 +3701,9 @@ object LakeQueries {
     "q332_sql_update_mor"      -> (sqlUpdateMor _),
     "q333_optimize_where"      -> (optimizeWhere _),
     "q334_convert_to_lake"     -> (convertInPlaceQ _),
+    "q337_tblproperties"       -> (tblProperties _),
+    "q338_sql_delete_dv"       -> (sqlDeleteDv _),
+    "q339_spj_subset_key"      -> (spjSubsetKey _),
     "q282_hll_index_lake"      -> (hllIndexLifecycle _),
     "q281_unique_constraint"   -> (uniqueLifecycle _),
     "q288_column_default"      -> (defaultLifecycle _),
@@ -3861,6 +4085,56 @@ object LakeQueries {
         |UNION ALL SELECT 't2_replace_version', CAST(3 AS BIGINT)
         |UNION ALL SELECT 'v_armed', CAST(3 AS BIGINT)
         |UNION ALL SELECT 'v_replaced', CAST(4 AS BIGINT)
+        |ORDER BY fact""".stripMargin,
+    // q339: the many-to-many year join restated from orders (each
+    // order row matches every (yk, m) total of its year — 2 m-buckets
+    // per year when both residues exist); plan facts pin.
+    "q339_spj_subset_key" ->
+      """WITH o AS (
+        |  SELECT o_orderkey AS k,
+        |         CAST(year(o_orderdate) AS BIGINT) AS yk,
+        |         o_orderkey % 2 AS m,
+        |         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |           AS cents
+        |  FROM orders WHERE o_custkey % 17 = 3),
+        |t AS (SELECT yk, m FROM o GROUP BY yk, m),
+        |j AS (SELECT o.cents, o.yk, o.m + t.m AS mm
+        |      FROM o JOIN t ON o.yk = t.yk)
+        |SELECT 'cents_joined' AS fact, CAST(sum(cents) AS BIGINT) AS n
+        |FROM j
+        |UNION ALL SELECT 'exchanges_subset', CAST(0 AS BIGINT)
+        |UNION ALL SELECT 'flag_off_shuffles_present', CAST(1 AS BIGINT)
+        |UNION ALL SELECT 'm_pairs_sum', CAST(sum(mm) AS BIGINT) FROM j
+        |UNION ALL SELECT 'n_rows_joined', count(*) FROM j
+        |UNION ALL SELECT 'n_years',
+        |  (SELECT count(DISTINCT yk) FROM o)
+        |ORDER BY fact""".stripMargin,
+    // q338: the positional delete's observable state restated as one
+    // plain predicate (n_chars < 100); the no-churn, late-append-
+    // visible, and rewrite-equality facts pin as booleans.
+    "q338_sql_delete_dv" ->
+      """SELECT lang,
+        |  CAST(sum(CASE WHEN n_chars >= 100 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_after,
+        |  CAST(sum(CASE WHEN n_chars < 100 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_deleted_cdc,
+        |  true AS files_untouched,
+        |  true AS late_visible,
+        |  true AS rewrite_matches
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    // q337: lifecycle constants pin (set→show→unset→refusal→carry);
+    // the one data fact (row count after append) restates from orders.
+    "q337_tblproperties" ->
+      """WITH o AS (
+        |  SELECT o_orderkey AS k FROM orders WHERE o_custkey % 31 = 8)
+        |SELECT 'n_rows' AS fact,
+        |  CAST(count(*) + sum(CASE WHEN k % 2 = 0 THEN 1 ELSE 0 END)
+        |       AS VARCHAR) AS v FROM o
+        |UNION ALL SELECT 'pii_after_set', 'false'
+        |UNION ALL SELECT 'pii_survives_unset', 'false'
+        |UNION ALL SELECT 'props_at_create', '0'
+        |UNION ALL SELECT 'refused_unknown_unset', '1'
+        |UNION ALL SELECT 'team_after_maintenance', 'data-eng'
         |ORDER BY fact""".stripMargin,
     // q334: row masses restated from orders (o_custkey%29=7 slice;
     // append adds the even-key half under shifted keys); the zero-copy,

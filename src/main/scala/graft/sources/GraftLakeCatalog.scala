@@ -239,6 +239,24 @@ final class GraftLakeCatalog extends TableCatalog
         s"nested $what not supported: ${fieldNames.mkString(".")}")
       fieldNames.head
     }
+    // SET/UNSET TBLPROPERTIES batch into ONE metadata-only commit each
+    val setProps = changes.collect { case p: TableChange.SetProperty => p }
+    if (setProps.nonEmpty) {
+      require(setProps.size == changes.size,
+        s"ALTER TABLE $ident: SET TBLPROPERTIES cannot mix with other " +
+          "changes")
+      LakeTable.setProperties(spark, root,
+        setProps.map(p => p.property -> p.value).toMap)
+      return loadTable(ident)
+    }
+    val rmProps = changes.collect { case p: TableChange.RemoveProperty => p }
+    if (rmProps.nonEmpty) {
+      require(rmProps.size == changes.size,
+        s"ALTER TABLE $ident: UNSET TBLPROPERTIES cannot mix with other " +
+          "changes")
+      LakeTable.unsetProperties(spark, root, rmProps.map(_.property))
+      return loadTable(ident)
+    }
     val adds = changes.collect { case a: TableChange.AddColumn => a }
     if (adds.nonEmpty) {
       require(adds.size == changes.size,

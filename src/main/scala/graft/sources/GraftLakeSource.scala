@@ -213,6 +213,21 @@ private[sources] final class GraftLakeTable(delegate: ParquetTable,
   override def name(): String = delegate.name
   override def schema(): StructType = delegate.schema
 
+  /** `SHOW TBLPROPERTIES` / DESCRIBE EXTENDED read the committed user
+    * properties ([[LakeTable.setProperties]]) off the latest manifest. */
+  override def properties(): java.util.Map[String, String] = root match {
+    case Some(r) if version.isEmpty =>
+      val spark = SparkSession.active
+      LakeTable.latestVersion(spark, r).fold(
+          java.util.Collections.emptyMap[String, String]()) { v =>
+        val m = new java.util.HashMap[String, String]()
+        LakeTable.propertiesAt(LakeTable.manifestMetaAt(spark, r, v))
+          .foreach { case (k, v2) => m.put(k, v2) }
+        m
+      }
+    case _ => java.util.Collections.emptyMap[String, String]()
+  }
+
   /** DSv2 column metadata: surface the manifest's write-defaults,
     * generation expressions and identity spec so (a) `INSERT INTO t
     * (subset…)` fills an omitted DEFAULT column with its declared

@@ -519,8 +519,14 @@ private[graft] final class GraftLakeStreamableScan(
 
   override def filterAttributes()
       : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
-    rt.map(_.columns.map(
-        org.apache.spark.sql.connector.expressions.Expressions.column).toArray)
+    rt.map(_.columns
+        // only columns the (possibly pruned) scan still OUTPUTS:
+        // Spark resolves these refs against the relation output, and
+        // advertising a pruned-away indexed column fails analysis
+        .filter(c => underlying.readSchema().fieldNames
+          .exists(_.equalsIgnoreCase(c)))
+        .map(org.apache.spark.sql.connector.expressions.Expressions
+          .column).toArray)
       .getOrElse(Array.empty)
 
   override def filter(

@@ -47,11 +47,13 @@ import org.apache.spark.sql.types.{LongType, StringType, StructType}
   *    [[LakeTable.copyInto]] (idempotent file-level bulk ingest:
   *    loaded files skip by ledger, nothing-new is a no-op commit-wise,
   *    a mutated already-loaded file refuses unless forced);
-  *  - `UPDATE <cat>.<t> SET a = e1, … [WHERE cond]` — ONLY under
-  *    `spark.graft.update.mode=mor` — routes to the deletion-vector
-  *    merge-on-read update ([[LakeTable.updateWhereMor]]: O(matches)
-  *    bytes, groups untouched); default mode delegates to Spark's
-  *    copy-on-write row-level plan unchanged;
+  *  - `UPDATE <cat>.<t> SET a = e1, … [WHERE cond]` and
+  *    `DELETE FROM <cat>.<t> [WHERE cond]` — ONLY under
+  *    `spark.graft.update.mode=mor` — route to the deletion-vector
+  *    merge-on-read paths ([[LakeTable.updateWhereMor]] /
+  *    [[LakeTable.deleteWhereDv]]: O(matches) bytes, groups
+  *    untouched); default mode delegates to Spark's copy-on-write
+  *    row-level plans unchanged;
   *  - `INSERT INTO <cat>.<t> REPLACE WHERE <cond> <query>` → the DSv2
   *    overwrite path ([[GraftLakeTable.filtersToBand]]): the condition
   *    must reduce to a single-column band or the write refuses loudly.
@@ -113,6 +115,8 @@ object GraftSqlParser {
     """(?is)^\s*CONVERT\s+TO\s+LAKE\s+([\w`]+(?:\.[\w`]+)+)\s+FROM\s+'([^']+)'\s*;?\s*$""".r
   private val UpdateRe =
     """(?is)^\s*UPDATE\s+([\w`]+(?:\.[\w`]+)+)\s+SET\s+(.+?)(?:\s+WHERE\s+(.+?))?\s*;?\s*$""".r
+  private val DeleteRe =
+    """(?is)^\s*DELETE\s+FROM\s+([\w`]+(?:\.[\w`]+)+)(?:\s+WHERE\s+(.+?))?\s*;?\s*$""".r
   private val VacuumBareRe =
     """(?is)^\s*VACUUM\s+([\w`]+(?:\.[\w`]+)+)\s*;?\s*$""".r
   private val HistoryRe =
@@ -163,6 +167,8 @@ object GraftSqlParser {
       case UpdateRe(t, sets, where) if morUpdateTarget(t) =>
         Some(GraftMorUpdateCommand(parts(t),
           splitAssignments(sets), Option(where)))
+      case DeleteRe(t, where) if morUpdateTarget(t) =>
+        Some(GraftMorDeleteCommand(parts(t), Option(where)))
       case VacuumBareRe(t) =>
         throw new IllegalArgumentException(
           s"VACUUM $t requires an explicit RETAIN <n> VERSIONS or " +
@@ -463,6 +469,25 @@ case class GraftMorUpdateCommand(nameParts: Seq[String],
       org.apache.spark.sql.functions.lit(true))
     val sets = setPairs.map { case (c, e) => c -> toCol(e) }.toMap
     Seq(Row(LakeTable.updateWhereMor(spark, root, cond, sets).toLong))
+  }
+}
+
+/** SQL `DELETE` on the positional deletion-vector path
+  * ([[LakeTable.deleteWhereDv]]) — active only under
+  * `spark.graft.update.mode=mor`: any predicate, no key column, one
+  * O(matches) sidecar commit, data files untouched. Default mode
+  * delegates to Spark's copy-on-write plan unchanged. */
+case class GraftMorDeleteCommand(nameParts: Seq[String],
+    where: Option[String]) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("version", LongType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val root = GraftSqlParser.rootFor(spark, nameParts)
+    val cond = where.map(w => org.apache.spark.sql.graftbridge
+        .ColumnBridge.column(spark.sessionState.sqlParser
+          .parseExpression(w)))
+      .getOrElse(org.apache.spark.sql.functions.lit(true))
+    Seq(Row(LakeTable.deleteWhereDv(spark, root, cond).toLong))
   }
 }
 

@@ -259,6 +259,13 @@ object LakeTable {
               // door to double-loading (Delta parity: FORCE is the
               // only way back in)
               k.startsWith("copied:") ||
+              // user table properties are table-level contract
+              // metadata — they survive every commit type EXCEPT the
+              // one that removes them (unsetProperties lists the
+              // survivors explicitly; carrying here would resurrect
+              // the removed key)
+              (k.startsWith("prop:") &&
+                !meta0.get("op").contains("unset-tblproperties")) ||
               k == "cdf") &&
               !meta0.contains(k) }
           meta0 ++ schema ++ checks
@@ -2400,6 +2407,53 @@ object LakeTable {
     } finally fs(spark, root).delete(new Path(root, stageRel), true)
   }
 
+  /** Merge-on-read DELETE by POSITION (the deletion-vector sibling of
+    * [[deleteWhereMor]], which masks by key equality): matched rows —
+    * any predicate, NO key column needed — are recorded as (file,
+    * row-index) pairs in a `_deletes/dv-*` sidecar, ONE metadata-plus-
+    * sidecar commit, every data file byte-identical. Because the mask
+    * is positional, rows appended LATER with identical values are
+    * never swallowed (the equality mask's documented trade). All read
+    * paths patch at scan time; CDC (when enabled) emits `delete` rows;
+    * [[rewriteDeletes]]/any COW op materializes. NULL-predicate rows
+    * KEEP (SQL DELETE semantics). Returns the committed version —
+    * unchanged when nothing matches. Cost: one masked scan +
+    * O(matches) sidecar bytes — the GDPR point-delete at 100 TB. */
+  def deleteWhereDv(spark: SparkSession, root: String,
+                    predicate: org.apache.spark.sql.Column): Int = {
+    val v = latestVersion(spark, root)
+      .getOrElse(throw new IllegalStateException(s"no table at $root"))
+    val meta = manifestMeta(spark, root, v)
+    require(colMapAt(meta).isEmpty && colDropsAt(meta).isEmpty,
+      s"table at $root has a metadata-only rename/drop mapping; " +
+        "compact first so raw group reads see logical names")
+    val schema = read(spark, root).schema
+    require(!schema.fieldNames.exists(n =>
+        n.equalsIgnoreCase(FileCol) || n.equalsIgnoreCase(PosCol)),
+      s"table at $root carries a reserved lineage column name " +
+        s"($FileCol/$PosCol)")
+    // stage matched rows ONCE (statsMeta rule: dv keys and CDC rows
+    // must describe the same rows under a nondeterministic predicate)
+    val stageRel = s"data/.delstage-${java.util.UUID.randomUUID()}"
+    readWithLineage(spark, root)
+      .filter(coalesce(predicate, lit(false)))
+      .write.parquet(new Path(root, stageRel).toString)
+    try {
+      val staged = spark.read.parquet(new Path(root, stageRel).toString)
+      if (staged.isEmpty) return v
+      val dvRel = s"_deletes/dv-${java.util.UUID.randomUUID()}"
+      staged.select(col(FileCol), col(PosCol), lit("D").as("__op"))
+        .coalesce(1).write.parquet(new Path(root, dvRel).toString)
+      val list = (dvState(meta) :+ dvRel).mkString(",")
+      withStagedCdc(spark, root,
+        staged.drop(FileCol, PosCol)
+          .withColumn("_change_type", lit("delete"))) { extra =>
+        commitVersion(spark, root, v + 1, readManifest(spark, root, v),
+          meta - "op" ++ extra + ("dv" -> list) + ("op" -> "delete-dv"))
+      }
+    } finally fs(spark, root).delete(new Path(root, stageRel), true)
+  }
+
   /** Materialize accumulated merge-on-read deletes: one masked read →
     * fresh file group(s), delete sidecar metadata dropped with the old
     * dirs. The group-granular twin is [[compact]] with a cluster key. */
@@ -3188,6 +3242,52 @@ object LakeTable {
     commitVersion(spark, root, 1, Seq(abs),
       Map("op" -> "convert", "schema" -> schema.json,
         "convertSource" -> abs))
+  }
+
+  /** User table properties of a snapshot (`prop:<key>` manifest meta):
+    * free-form contract metadata (owner, pii flags, retention notes)
+    * that auto-carries through every commit type. */
+  private[graft] def propertiesAt(
+      meta: Map[String, String]): Map[String, String] =
+    meta.collect { case (k, v) if k.startsWith("prop:") => k.drop(5) -> v }
+
+  /** `ALTER TABLE … SET TBLPROPERTIES` — a metadata-only commit; keys
+    * must be manifest-line safe (no '=', no control chars; values no
+    * newline). Setting an existing key overwrites it (Delta
+    * semantics). */
+  def setProperties(spark: SparkSession, root: String,
+                    props: Map[String, String]): Int = {
+    require(props.nonEmpty, "SET TBLPROPERTIES needs at least one pair")
+    props.foreach { case (k, v2) =>
+      require(k.nonEmpty && !k.contains('=') && !k.exists(_ < ' '),
+        s"property key '$k' must be non-empty without '=' or control chars")
+      require(!v2.exists(c => c == '\n' || c == '\r'),
+        s"property value for '$k' must not contain newlines")
+    }
+    val v = latestVersion(spark, root)
+      .getOrElse(throw new IllegalStateException(s"no table at $root"))
+    commitVersion(spark, root, v + 1, readManifest(spark, root, v),
+      manifestMeta(spark, root, v) - "op" ++
+        props.map { case (k, v2) => s"prop:$k" -> v2 } +
+        ("op" -> "set-tblproperties"))
+  }
+
+  /** `ALTER TABLE … UNSET TBLPROPERTIES` — refuses on unknown keys
+    * (a silent no-op would read as "removed"). */
+  def unsetProperties(spark: SparkSession, root: String,
+                      keys: Seq[String]): Int = {
+    require(keys.nonEmpty, "UNSET TBLPROPERTIES needs at least one key")
+    val v = latestVersion(spark, root)
+      .getOrElse(throw new IllegalStateException(s"no table at $root"))
+    val meta = manifestMeta(spark, root, v)
+    val missing = keys.filterNot(k => meta.contains(s"prop:$k"))
+    require(missing.isEmpty,
+      s"UNSET TBLPROPERTIES: no such property ${missing.mkString(", ")} " +
+        s"at $root (have ${propertiesAt(meta).keys.toSeq.sorted
+          .mkString(", ")})")
+    commitVersion(spark, root, v + 1, readManifest(spark, root, v),
+      meta - "op" -- keys.map(k => s"prop:$k") +
+        ("op" -> "unset-tblproperties"))
   }
 
   def shallowClone(spark: SparkSession, srcRoot: String,

@@ -1850,6 +1850,47 @@ class LakeTableSpec extends SparkSpec {
     }
   }
 
+  test("positional DV delete: any predicate, no key column, stacks " +
+    "with DV updates, each version serves its own state") {
+    withTable { root =>
+      import spark.implicits._
+      LakeTable.create(spark, root,
+        (1L to 100L).map(i => (i, i * 10L)).toDF("id", "v"))
+      val dirsBefore = LakeTable.dataDirPaths(spark, root)
+      // predicate delete — no key column involved
+      val v2 = LakeTable.deleteWhereDv(spark, root,
+        col("v") % 30L === 0L)
+      assert(v2 == 2)
+      assert(LakeTable.dataDirPaths(spark, root) == dirsBefore,
+        "dv delete touched a data file")
+      assert(LakeTable.read(spark, root).count() == 100 - 33)
+      // NULL predicate rows keep (SQL DELETE semantics)
+      LakeTable.deleteWhereDv(spark, root,
+        when(col("id") === 1L, lit(null).cast("boolean"))
+          .otherwise(col("id") === 2L))
+      assert(LakeTable.read(spark, root)
+        .filter(col("id") <= 2).select(col("id"))
+        .collect().map(_.getLong(0)).toSeq == Seq(1L))
+      // stacks with a DV update; time travel serves each state
+      LakeTable.updateWhereMor(spark, root, col("id") === 4L,
+        Map("v" -> lit(444L)))
+      assert(LakeTable.read(spark, root)
+        .filter(col("id") === 4L).select(col("v")).head().getLong(0)
+        == 444L)
+      assert(LakeTable.read(spark, root, Some(2)).count() == 67)
+      assert(LakeTable.read(spark, root, Some(1)).count() == 100)
+      // nothing-matches delete: version unchanged
+      val vSame = LakeTable.deleteWhereDv(spark, root, col("id") < 0L)
+      assert(vSame == LakeTable.latestVersion(spark, root).get)
+      // rewrite materializes everything away
+      LakeTable.rewriteDeletes(spark, root)
+      val meta = LakeTable.manifestMetaAt(spark, root,
+        LakeTable.latestVersion(spark, root).get)
+      assert(!meta.contains("dv"))
+      assert(LakeTable.read(spark, root).count() == 66)
+    }
+  }
+
   test("string min/max skipping stats: equality probes prune to the " +
     "matching group; >64-char values drop the stat honestly and " +
     "admit everything; values stay exact") {
