@@ -3673,6 +3673,125 @@ object LakeQueries {
     } }
   }
 
+  /** q340: merge-on-read MERGE (upsert) via positional deletion
+    * vectors — [[LakeTable.mergeMor]], the DV sibling of the COW
+    * merge: matched keys get their current rows masked positionally
+    * and every update row lands as ONE fresh group in ONE commit; all
+    * pre-existing data files stay byte-identical (`files_untouched`,
+    * exactly one `groups_added`). CDC pairs update pre/post images for
+    * matched keys and tags fresh keys `insert`; time travel serves the
+    * pre-merge snapshot; the materializing rewrite preserves the sums.
+    * At 100 TB this is the weekly upsert that touches 0.1% of keys
+    * costing 0.1% new bytes — not a rewrite of every matched group. */
+  def mergeMorQ(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.load(s, dir, "orders")
+      .filter(col("o_custkey") % 37 === 9)
+      .select(col("o_orderkey").as("k"),
+        expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)")
+          .as("cents"))
+    graft.util.LocalFrame.withConf(s, "spark.sql.shuffle.partitions", "8") {
+    graft.util.Tmp.withTempDir("graft_lake_q340") { rootPath =>
+      val root = rootPath.toString + "/t"
+      LakeTable.createClustered(s, root, base, "k",
+        numGroups = 4, statsCols = Nil)
+      val updates = base.filter(col("k") % 3 === 0)
+        .select(col("k"), (col("cents") + 5).as("cents"))
+        .unionByName(base.filter(col("k") % 7 === 0)
+          .select((col("k") + 1000000000L).as("k"), col("cents")))
+      val dirsBefore = LakeTable.dataDirPaths(s, root)
+      val v2 = LakeTable.mergeMor(s, root, updates, "k")
+      val dirsAfter = LakeTable.dataDirPaths(s, root)
+      val untouched =
+        if (dirsBefore.forall(dirsAfter.contains)) 1L else 0L
+      val added = (dirsAfter.size - dirsBefore.size).toLong
+      val after = LakeTable.read(s, root)
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("c")).head()
+      val cdc = LakeTable.changes(s, root, v2 - 1, v2, "k")
+        .groupBy(col("_change_type")).agg(count(lit(1)).as("n"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val v1Sum = LakeTable.read(s, root, Some(v2 - 1))
+        .agg(sum(col("cents"))).head().getLong(0)
+      LakeTable.rewriteDeletes(s, root)
+      val rw = LakeTable.read(s, root)
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("c")).head()
+      val rwMatches =
+        if (rw.getLong(0) == after.getLong(0) &&
+            rw.getLong(1) == after.getLong(1)) 1L else 0L
+      import s.implicits._
+      graft.util.LocalFrame.materialize(Seq(
+        ("cents_after", after.getLong(1)),
+        ("cents_v1", v1Sum),
+        ("files_untouched", untouched),
+        ("groups_added", added),
+        ("n_after", after.getLong(0)),
+        ("n_insert_cdc", cdc.getOrElse("insert", 0L)),
+        ("n_postimage_cdc", cdc.getOrElse("update_postimage", 0L)),
+        ("n_preimage_cdc", cdc.getOrElse("update_preimage", 0L)),
+        ("rewrite_matches", rwMatches)
+      ).toDF("fact", "n").orderBy(col("fact")))
+    } }
+  }
+
+  /** q341: streaming MOR upsert — q132's exactly-once revision stream
+    * re-run through [[LakeTable.streamMergeMor]]: each micro-batch
+    * masks its matched keys positionally and appends one group, so the
+    * BASE batch's file group survives the corrections batch
+    * byte-identical (`base_untouched` — under the COW sink it gets
+    * rewritten). Final per-type aggregates match the same oracle as
+    * the COW path: the semantics are identical, only the write
+    * amplification differs — which at 100 TB is the whole point. */
+  def streamUpsertMor(s: SparkSession, dir: String): DataFrame = {
+    import java.nio.file.Files
+    import scala.jdk.CollectionConverters._
+    graft.util.LocalFrame.withNanosAsLong(s) {
+      val path = s"$dir/events.parquet"
+      val rawSchema = s.read.parquet(path).schema
+      graft.util.Tmp.withTempDir("q341_stage_") { stage =>
+        def writeSlice(f: DataFrame, name: String, mtime: Long): Unit = {
+          val out = stage.resolve(s"${name}_out")
+          f.coalesce(1).write.parquet(out.toString)
+          val part = {
+            val l = Files.list(out)
+            try l.iterator().asScala
+              .find(_.getFileName.toString.endsWith(".parquet")).get
+            finally l.close()
+          }
+          val dest = stage.resolve(s"$name.parquet")
+          Files.move(part, dest)
+          Files.setLastModifiedTime(dest,
+            java.nio.file.attribute.FileTime.fromMillis(mtime))
+          graft.util.Tmp.deleteRecursively(out)
+        }
+        val src = s.read.parquet(path)
+        val t0 = System.currentTimeMillis() - 60000
+        writeSlice(src, "base", t0)
+        writeSlice(src.filter(col("event_id") % 10 === 0)
+            .withColumn("value", col("value") + 1000.0),
+          "corrections", t0 + 30000)
+        val streamed = Tables.normalizeTs(s.readStream.schema(rawSchema)
+          .option("maxFilesPerTrigger", "1")
+          .parquet(stage.toString))
+        graft.util.Tmp.withTempDir("q341_lake_") { rootPath =>
+          val root = rootPath.toString
+          val q = LakeTable.streamMergeMor(streamed, root, "event_id")
+          try q.processAllAvailable() finally q.stop()
+          // the base batch's group survived the corrections batch
+          val dirs = LakeTable.dataDirPaths(s, root)
+          val v1Dirs = LakeTable.dataDirPaths(s, root, Some(1))
+          val baseUntouched = v1Dirs.forall(dirs.contains)
+          val res = LakeTable.read(s, root)
+            .groupBy(col("event_type"))
+            .agg(count(lit(1)).as("n"),
+              sum(col("value").cast("decimal(18,2)")).cast("double")
+                .as("total_value"))
+            .withColumn("base_untouched", lit(baseUntouched))
+            .orderBy(col("event_type"))
+          graft.util.LocalFrame.materialize(res)
+        }
+      }
+    }
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q302_partitioned_lake"    -> (partitionedLifecycle _),
     "q303_kll_index_lake"      -> (kllIndexLifecycle _),
@@ -3704,6 +3823,8 @@ object LakeQueries {
     "q337_tblproperties"       -> (tblProperties _),
     "q338_sql_delete_dv"       -> (sqlDeleteDv _),
     "q339_spj_subset_key"      -> (spjSubsetKey _),
+    "q340_merge_mor"           -> (mergeMorQ _),
+    "q341_stream_upsert_mor"   -> (streamUpsertMor _),
     "q282_hll_index_lake"      -> (hllIndexLifecycle _),
     "q281_unique_constraint"   -> (uniqueLifecycle _),
     "q288_column_default"      -> (defaultLifecycle _),
@@ -4085,6 +4206,44 @@ object LakeQueries {
         |UNION ALL SELECT 't2_replace_version', CAST(3 AS BIGINT)
         |UNION ALL SELECT 'v_armed', CAST(3 AS BIGINT)
         |UNION ALL SELECT 'v_replaced', CAST(4 AS BIGINT)
+        |ORDER BY fact""".stripMargin,
+    // q341: same revision semantics as q132 (corrections win), plus
+    // the no-rewrite churn fact the MOR sink adds.
+    "q341_stream_upsert_mor" ->
+      """SELECT event_type, count(*) AS n,
+        |       CAST(SUM(CAST(CASE WHEN event_id % 10 = 0 THEN value + 1000
+        |                          ELSE value END AS DECIMAL(18,2)))
+        |         AS DOUBLE) AS total_value,
+        |       true AS base_untouched
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // q340: the upsert outcome restated from orders (matched k%3=0
+    // keys +5, inserts = k%7=0 under shifted keys); churn facts pin.
+    "q340_merge_mor" ->
+      """WITH o AS (
+        |  SELECT o_orderkey AS k,
+        |         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |           AS cents
+        |  FROM orders WHERE o_custkey % 37 = 9)
+        |SELECT 'cents_after' AS fact,
+        |  CAST(sum(cents + CASE WHEN k % 3 = 0 THEN 5 ELSE 0 END)
+        |       + sum(CASE WHEN k % 7 = 0 THEN cents ELSE 0 END)
+        |       AS BIGINT) AS n FROM o
+        |UNION ALL SELECT 'cents_v1', CAST(sum(cents) AS BIGINT) FROM o
+        |UNION ALL SELECT 'files_untouched', CAST(1 AS BIGINT)
+        |UNION ALL SELECT 'groups_added', CAST(1 AS BIGINT)
+        |UNION ALL SELECT 'n_after',
+        |  count(*) + CAST(sum(CASE WHEN k % 7 = 0 THEN 1 ELSE 0 END)
+        |                  AS BIGINT) FROM o
+        |UNION ALL SELECT 'n_insert_cdc',
+        |  CAST(sum(CASE WHEN k % 7 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |  FROM o
+        |UNION ALL SELECT 'n_postimage_cdc',
+        |  CAST(sum(CASE WHEN k % 3 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |  FROM o
+        |UNION ALL SELECT 'n_preimage_cdc',
+        |  CAST(sum(CASE WHEN k % 3 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |  FROM o
+        |UNION ALL SELECT 'rewrite_matches', CAST(1 AS BIGINT)
         |ORDER BY fact""".stripMargin,
     // q339: the many-to-many year join restated from orders (each
     // order row matches every (yk, m) total of its year — 2 m-buckets

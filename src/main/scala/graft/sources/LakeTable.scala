@@ -2407,6 +2407,82 @@ object LakeTable {
     } finally fs(spark, root).delete(new Path(root, stageRel), true)
   }
 
+  /** Merge-on-read MERGE (upsert) via positional deletion vectors —
+    * the DV sibling of [[merge]]'s copy-on-write rewrite: rows of
+    * `updates` whose `key` exists get their CURRENT rows masked
+    * positionally (O(matches) sidecar, every data file byte-identical)
+    * and ALL update rows land as ONE fresh appended group — one
+    * commit. A weekly upsert touching 0.1% of keys costs 0.1% new
+    * bytes instead of rewriting every matched file group. Gates match
+    * [[merge]]: CHECK validates the incoming rows, UNIQUE validates
+    * them against the surviving (masked-minus-matched) snapshot; CDC
+    * pairs update_preimage/update_postimage for matched keys and tags
+    * fresh keys `insert`; time travel/stacking/rewrite behave exactly
+    * as [[updateWhereMor]]. Returns the committed version. */
+  def mergeMor(spark: SparkSession, root: String,
+               updates: DataFrame, key: String,
+               extraMeta: Map[String, String] = Map.empty): Int = {
+    val v = latestVersion(spark, root)
+      .getOrElse(throw new IllegalStateException(s"no table at $root"))
+    val meta = manifestMeta(spark, root, v)
+    require(colMapAt(meta).isEmpty && colDropsAt(meta).isEmpty,
+      s"table at $root has a metadata-only rename/drop mapping; " +
+        "compact first so raw group reads see logical names")
+    val schema = read(spark, root).schema
+    require(!schema.fieldNames.exists(n =>
+        n.equalsIgnoreCase(FileCol) || n.equalsIgnoreCase(PosCol)),
+      s"table at $root carries a reserved lineage column name " +
+        s"($FileCol/$PosCol)")
+    require(updates.columns.exists(_.equalsIgnoreCase(key)),
+      s"mergeMor: updates carry no key column '$key'")
+    enforceConstraints(spark, root, v, updates)
+    // stage matched current rows ONCE (dv keys + CDC preimages must
+    // describe the same rows)
+    val stageRel = s"data/.mrgstage-${java.util.UUID.randomUUID()}"
+    readWithLineage(spark, root)
+      .join(updates.select(col(key)).distinct(), Seq(key), "left_semi")
+      .write.parquet(new Path(root, stageRel).toString)
+    try {
+      val staged = spark.read.parquet(new Path(root, stageRel).toString)
+      if (uniqueColsAt(meta).nonEmpty) {
+        val survivors = readWithLineage(spark, root)
+          .join(staged.select(col(FileCol), col(PosCol)),
+            Seq(FileCol, PosCol), "left_anti")
+          .drop(FileCol, PosCol)
+        enforceUnique(meta, updates, Some(survivors), "by MOR merge")
+      }
+      val hasMatches = !staged.isEmpty
+      val dvMeta =
+        if (!hasMatches) Map.empty[String, String]
+        else {
+          val dvRel = s"_deletes/dv-${java.util.UUID.randomUUID()}"
+          staged.select(col(FileCol), col(PosCol), lit("U").as("__op"))
+            .coalesce(1).write.parquet(new Path(root, dvRel).toString)
+          Map("dv" -> (dvState(meta) :+ dvRel).mkString(","))
+        }
+      val parts = partColsAt(meta) match {
+        case Seq() => Seq((writeDataFiles(spark, root, updates), None))
+        case pcs => writePartitionedDataFiles(spark, root, pcs, updates)
+          .map { case (d, pv) => (d, Some(pv)) }
+      }
+      val partMeta = parts.collect {
+        case (d, Some(pv)) => s"part:$d" -> pv }.toMap
+      val curKeys = staged.select(col(key)).distinct()
+      withStagedCdc(spark, root,
+        staged.drop(FileCol, PosCol)
+          .withColumn("_change_type", lit("update_preimage"))
+          .unionByName(updates.join(curKeys, Seq(key), "left_semi")
+            .withColumn("_change_type", lit("update_postimage")))
+          .unionByName(updates.join(curKeys, Seq(key), "left_anti")
+            .withColumn("_change_type", lit("insert")))) { extra =>
+        commitVersion(spark, root, v + 1,
+          readManifest(spark, root, v) ++ parts.map(_._1),
+          meta - "op" ++ partMeta ++ extra ++ dvMeta ++ extraMeta +
+            ("op" -> "merge-mor"))
+      }
+    } finally fs(spark, root).delete(new Path(root, stageRel), true)
+  }
+
   /** Merge-on-read DELETE by POSITION (the deletion-vector sibling of
     * [[deleteWhereMor]], which masks by key equality): matched rows —
     * any predicate, NO key column needed — are recorded as (file,
@@ -3447,6 +3523,34 @@ object LakeTable {
             val dir = writeDataFiles(spark, root, batch)
             commit(spark, root, Seq(dir), meta)
           } else merge(spark, root, batch, key, meta)
+        }
+        ()
+      }
+      .start()
+  }
+
+  /** Streaming MOR-MERGE (upsert) sink — [[streamMerge]] with the
+    * deletion-vector path: each micro-batch masks its matched keys
+    * positionally and appends one fresh group ([[mergeMor]]) instead
+    * of COW-rewriting every matched file group. At 100 TB this turns
+    * a high-frequency upsert stream from perpetual whole-group churn
+    * into O(batch) bytes per trigger, amortized into the next
+    * compaction. Replayed batches skip via the manifest batchId ledger
+    * exactly like the COW sink. */
+  def streamMergeMor(df: DataFrame, root: String, key: String)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val spark = df.sparkSession
+    df.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (lastCommittedBatchId(spark, root).exists(_ >= batchId)) {
+          // duplicate delivery after restart — already committed
+        } else {
+          val meta = Map("batchId" -> batchId.toString)
+          if (latestVersion(spark, root).isEmpty) {
+            val dir = writeDataFiles(spark, root, batch)
+            commit(spark, root, Seq(dir),
+              meta + ("op" -> "streaming-merge-mor"))
+          } else mergeMor(spark, root, batch, key, meta)
         }
         ()
       }

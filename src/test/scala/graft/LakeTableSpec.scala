@@ -1105,6 +1105,46 @@ class LakeTableSpec extends SparkSpec {
     }
   }
 
+  test("streamMergeMor upserts per batch via deletion vectors: no " +
+    "group rewrites, replayed batch ids skip, rewrite materializes") {
+    withTable { root =>
+      implicit val sq = spark.sqlContext
+      import spark.implicits._
+      val mem = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, Double)]
+      val q = LakeTable.streamMergeMor(
+        mem.toDF().toDF("id", "v"), root, "id")
+      try {
+        mem.addData((1L, 1.0), (2L, 2.0))
+        q.processAllAvailable()
+        val dirsV1 = LakeTable.dataDirPaths(spark, root)
+        mem.addData((2L, 22.0), (3L, 3.0)) // revise id=2, insert id=3
+        q.processAllAvailable()
+        // the first batch's group is untouched — the revision is a dv
+        // mask plus one appended group, never a rewrite
+        val dirs = LakeTable.dataDirPaths(spark, root)
+        assert(dirsV1.forall(d => dirs.contains(d)),
+          "streaming MOR merge rewrote a prior batch's group")
+        val state = LakeTable.read(spark, root).collect()
+          .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+        assert(state == Map(1L -> 1.0, 2L -> 22.0, 3L -> 3.0))
+      } finally q.stop()
+      // replayed batch 0 on a fresh query is a no-op
+      val mem2 = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, Double)]
+      val q2 = LakeTable.streamMergeMor(
+        mem2.toDF().toDF("id", "v"), root, "id")
+      try {
+        mem2.addData((1L, 111.0))
+        q2.processAllAvailable()
+        assert(LakeTable.read(spark, root).filter(col("id") === 1L)
+          .head().getDouble(1) == 1.0)
+      } finally q2.stop()
+      LakeTable.rewriteDeletes(spark, root)
+      assert(LakeTable.read(spark, root).count() == 3)
+    }
+  }
+
   test("compactSmall merges only small groups, carries big groups' metadata") {
     withTable { root =>
       import spark.implicits._
@@ -1847,6 +1887,53 @@ class LakeTableSpec extends SparkSpec {
         Map("id" -> lit(404L)))
       assert(LakeTable.read(spark, root).filter(col("id") === 404L)
         .select(col("v")).head().getLong(0) == 808L)
+    }
+  }
+
+  test("MOR merge: matched rows mask positionally, inserts append, " +
+    "gates and races match the COW merge") {
+    withTable { root =>
+      import spark.implicits._
+      LakeTable.create(spark, root,
+        (1L to 20L).map(i => (i, i * 10L)).toDF("id", "v"))
+      LakeTable.addUniqueConstraint(spark, root, "uid", "id")
+      val dirsBefore = LakeTable.dataDirPaths(spark, root)
+      // upsert: ids 2,3 update; 21 inserts
+      LakeTable.mergeMor(spark, root,
+        Seq((2L, 222L), (3L, 333L), (21L, 210L)).toDF("id", "v"), "id")
+      val after = LakeTable.dataDirPaths(spark, root)
+      assert(dirsBefore.forall(d => after.contains(d)))
+      assert(after.size == dirsBefore.size + 1)
+      val t = LakeTable.read(spark, root)
+      assert(t.count() == 21)
+      assert(t.filter(col("id") === 2L).select(col("v"))
+        .head().getLong(0) == 222L)
+      // unique gate: a merge keyed on ANOTHER column cannot smuggle a
+      // duplicate id past the masked-survivor check
+      val e = intercept[IllegalArgumentException] {
+        LakeTable.mergeMor(spark, root,
+          Seq((5L, 999L)).toDF("id", "v"), "v")
+      }
+      assert(e.getMessage.contains("UNIQUE"), e.getMessage)
+      // no-match merge: pure insert, NO new dv state
+      val dvBefore = LakeTable.manifestMetaAt(spark, root,
+        LakeTable.latestVersion(spark, root).get).get("dv")
+      LakeTable.mergeMor(spark, root,
+        Seq((50L, 500L)).toDF("id", "v"), "id")
+      val metaNow = LakeTable.manifestMetaAt(spark, root,
+        LakeTable.latestVersion(spark, root).get)
+      assert(metaNow.get("dv") == dvBefore,
+        "a no-match merge grew the dv state")
+      assert(LakeTable.read(spark, root).count() == 22)
+      // racing append sees the NAMED delete-state conflict
+      val (b, d) = LakeTable.appendPrepare(spark, root,
+        Seq((60L, 600L)).toDF("id", "v"))
+      LakeTable.mergeMor(spark, root,
+        Seq((1L, 111L)).toDF("id", "v"), "id")
+      val c = intercept[graft.sources.LakeConflictException] {
+        LakeTable.commitAppend(spark, root, b, d, Map.empty)
+      }
+      assert(c.getMessage.contains("delete state"), c.getMessage)
     }
   }
 
