@@ -3792,6 +3792,60 @@ object LakeQueries {
     }
   }
 
+  /** q342: `VACUUM … DRY RUN` — the pre-flight every destructive
+    * retention deserves: lists the exact paths (stale data dir +
+    * dropped manifests) the real vacuum would delete, deletes NOTHING
+    * (version count and reads pinned unchanged), and the real vacuum
+    * then removes EXACTLY the listed paths (`deleted_exactly` checks
+    * each is gone) while the live snapshot keeps serving. The history
+    * is create → overwrite → append, so one data dir is stale (only
+    * v1 references it) and two manifests drop under RETAIN 1. */
+  def vacuumDryRunQ(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.load(s, dir, "orders")
+      .filter(col("o_custkey") % 41 === 1)
+      .select(col("o_orderkey").as("k"),
+        expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)")
+          .as("cents"))
+    graft.util.LocalFrame.withConf(s, "spark.sql.shuffle.partitions", "8") {
+    graft.util.Tmp.withTempDir("graft_lake_q342") { rootPath =>
+      val wh = rootPath.toString
+      val cat = "lake_" +
+        java.util.UUID.randomUUID().toString.replace("-", "").take(12)
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftLakeCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+      try {
+        val root = s"$wh/t"
+        LakeTable.create(s, root, base.filter(col("k") % 3 === 0))
+        LakeTable.overwriteAll(s, root, base.filter(col("k") % 3 === 1))
+        LakeTable.append(s, root, base.filter(col("k") % 3 === 2))
+        val dry = s.sql(s"VACUUM $cat.t RETAIN 1 VERSIONS DRY RUN")
+          .collect().map(_.getString(0))
+        val versionsAfterDry = LakeTable.versions(s, root).size.toLong
+        val nAfterDry = s.sql(s"SELECT count(*) FROM $cat.t")
+          .head().getLong(0)
+        s.sql(s"VACUUM $cat.t RETAIN 1 VERSIONS")
+        val fsys = new org.apache.hadoop.fs.Path(root)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        val allGone = dry.forall(p =>
+          !fsys.exists(new org.apache.hadoop.fs.Path(p)))
+        val nAfterReal = s.sql(s"SELECT count(*) FROM $cat.t")
+          .head().getLong(0)
+        import s.implicits._
+        graft.util.LocalFrame.materialize(Seq(
+          ("deleted_exactly", if (allGone) 1L else 0L),
+          ("n_after_dry", nAfterDry),
+          ("n_after_real", nAfterReal),
+          ("n_listed", dry.length.toLong),
+          ("versions_after_dry", versionsAfterDry),
+          ("versions_after_real", LakeTable.versions(s, root).size.toLong)
+        ).toDF("fact", "n").orderBy(col("fact")))
+      } finally {
+        s.conf.unset(s"spark.sql.catalog.$cat")
+        s.conf.unset(s"spark.sql.catalog.$cat.warehouse")
+      }
+    } }
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q302_partitioned_lake"    -> (partitionedLifecycle _),
     "q303_kll_index_lake"      -> (kllIndexLifecycle _),
@@ -3825,6 +3879,7 @@ object LakeQueries {
     "q339_spj_subset_key"      -> (spjSubsetKey _),
     "q340_merge_mor"           -> (mergeMorQ _),
     "q341_stream_upsert_mor"   -> (streamUpsertMor _),
+    "q342_vacuum_dry_run"      -> (vacuumDryRunQ _),
     "q282_hll_index_lake"      -> (hllIndexLifecycle _),
     "q281_unique_constraint"   -> (uniqueLifecycle _),
     "q288_column_default"      -> (defaultLifecycle _),
@@ -4206,6 +4261,24 @@ object LakeQueries {
         |UNION ALL SELECT 't2_replace_version', CAST(3 AS BIGINT)
         |UNION ALL SELECT 'v_armed', CAST(3 AS BIGINT)
         |UNION ALL SELECT 'v_replaced', CAST(4 AS BIGINT)
+        |ORDER BY fact""".stripMargin,
+    // q342: row masses restated from orders (live snapshot = k%3 in
+    // (1,2) of the o_custkey%41=1 slice); dry-run facts pin (3 paths:
+    // the stale v1 dir + 2 dropped manifests; nothing moves until the
+    // real vacuum, which removes exactly the listed paths).
+    "q342_vacuum_dry_run" ->
+      """WITH o AS (
+        |  SELECT o_orderkey AS k FROM orders WHERE o_custkey % 41 = 1)
+        |SELECT 'deleted_exactly' AS fact, CAST(1 AS BIGINT) AS n
+        |UNION ALL SELECT 'n_after_dry',
+        |  (SELECT CAST(sum(CASE WHEN k % 3 > 0 THEN 1 ELSE 0 END)
+        |          AS BIGINT) FROM o)
+        |UNION ALL SELECT 'n_after_real',
+        |  (SELECT CAST(sum(CASE WHEN k % 3 > 0 THEN 1 ELSE 0 END)
+        |          AS BIGINT) FROM o)
+        |UNION ALL SELECT 'n_listed', CAST(3 AS BIGINT)
+        |UNION ALL SELECT 'versions_after_dry', CAST(3 AS BIGINT)
+        |UNION ALL SELECT 'versions_after_real', CAST(1 AS BIGINT)
         |ORDER BY fact""".stripMargin,
     // q341: same revision semantics as q132 (corrections win), plus
     // the no-rewrite churn fact the MOR sink adds.

@@ -106,9 +106,9 @@ object GraftSqlParser {
   private val ZOrderRe =
     """(?is)^\s*OPTIMIZE\s+([\w`]+(?:\.[\w`]+)+)\s+ZORDER\s+BY\s*\(\s*([\w`]+)\s*,\s*([\w`]+)\s*\)(?:\s+INTO\s+(\d+)\s+GROUPS)?\s*;?\s*$""".r
   private val VacuumRe =
-    """(?is)^\s*VACUUM\s+([\w`]+(?:\.[\w`]+)+)\s+RETAIN\s+(\d+)\s+VERSIONS\s*;?\s*$""".r
+    """(?is)^\s*VACUUM\s+([\w`]+(?:\.[\w`]+)+)\s+RETAIN\s+(\d+)\s+VERSIONS(\s+DRY\s+RUN)?\s*;?\s*$""".r
   private val VacuumHoursRe =
-    """(?is)^\s*VACUUM\s+([\w`]+(?:\.[\w`]+)+)\s+RETAIN\s+(\d+)\s+HOURS\s*;?\s*$""".r
+    """(?is)^\s*VACUUM\s+([\w`]+(?:\.[\w`]+)+)\s+RETAIN\s+(\d+)\s+HOURS(\s+DRY\s+RUN)?\s*;?\s*$""".r
   private val RestoreTsRe =
     """(?is)^\s*RESTORE\s+(?:TABLE\s+)?([\w`]+(?:\.[\w`]+)+)\s+(?:TO\s+)?TIMESTAMP\s+AS\s+OF\s+'([^']+)'\s*;?\s*$""".r
   private val ConvertRe =
@@ -151,11 +151,17 @@ object GraftSqlParser {
       case OptimizeRe(t, min) =>
         Some(GraftMaintenanceCommand("optimize", parts(t),
           Option(min).map(_.toLong).orElse(Some(128L * 1024 * 1024))))
-      case VacuumRe(t, n) =>
-        Some(GraftMaintenanceCommand("vacuum", parts(t), Some(n.toLong)))
-      case VacuumHoursRe(t, n) =>
-        Some(GraftMaintenanceCommand("vacuum-hours", parts(t),
-          Some(n.toLong)))
+      case VacuumRe(t, n, dry) =>
+        if (dry == null)
+          Some(GraftMaintenanceCommand("vacuum", parts(t), Some(n.toLong)))
+        else Some(GraftVacuumDryRunCommand(parts(t), n.toLong,
+          hours = false))
+      case VacuumHoursRe(t, n, dry) =>
+        if (dry == null)
+          Some(GraftMaintenanceCommand("vacuum-hours", parts(t),
+            Some(n.toLong)))
+        else Some(GraftVacuumDryRunCommand(parts(t), n.toLong,
+          hours = true))
       case RestoreTsRe(t, ts) =>
         Some(GraftRestoreTimestampCommand(parts(t), ts))
       case ConvertRe(t, dir) =>
@@ -469,6 +475,24 @@ case class GraftMorUpdateCommand(nameParts: Seq[String],
       org.apache.spark.sql.functions.lit(true))
     val sets = setPairs.map { case (c, e) => c -> toCol(e) }.toMap
     Seq(Row(LakeTable.updateWhereMor(spark, root, cond, sets).toLong))
+  }
+}
+
+/** `VACUUM t RETAIN n VERSIONS|HOURS DRY RUN` — Delta's pre-flight:
+  * lists every path the real vacuum would delete (stale data dirs,
+  * dropped change sidecars, dropped manifests), deleting NOTHING. The
+  * real vacuum deletes exactly this list. */
+case class GraftVacuumDryRunCommand(nameParts: Seq[String], n: Long,
+    hours: Boolean) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("path", StringType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val root = GraftSqlParser.rootFor(spark, nameParts)
+    val keep =
+      if (hours) LakeTable.retainHoursKeepCount(spark, root, n)
+      else { require(n >= 1, "RETAIN must keep at least 1 version")
+        n.toInt }
+    LakeTable.vacuumDryRun(spark, root, keep).map(Row(_))
   }
 }
 

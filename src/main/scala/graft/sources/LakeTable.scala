@@ -3423,6 +3423,16 @@ object LakeTable {
     * versions kept. */
   def vacuumRetainHours(spark: SparkSession, root: String,
                         hours: Long): Int = {
+    val keep = retainHoursKeepCount(spark, root, hours)
+    vacuum(spark, root, keep)
+    keep
+  }
+
+  /** How many (suffix) versions a RETAIN n HOURS window keeps — at
+    * least the latest, whatever its age. Shared by the real vacuum and
+    * its DRY RUN. */
+  private[graft] def retainHoursKeepCount(spark: SparkSession,
+      root: String, hours: Long): Int = {
     require(hours >= 0, s"RETAIN $hours HOURS: retention must be >= 0")
     val f = fs(spark, root)
     val vs = versions(spark, root)
@@ -3431,29 +3441,39 @@ object LakeTable {
     // mtimes are monotone, so the fresh versions form a suffix
     val fresh = vs.count(v =>
       f.getFileStatus(manifestPath(root, v)).getModificationTime >= cutoff)
-    val keep = math.max(fresh, 1)
-    vacuum(spark, root, keep)
-    keep
+    math.max(fresh, 1)
   }
 
-  def vacuum(spark: SparkSession, root: String, keepVersions: Int): Unit = {
+  /** What [[vacuum]] WOULD delete for this retention, deleting nothing
+    * (Delta's `VACUUM … DRY RUN`): data dirs referenced only by
+    * dropped versions (foreign absolute paths excluded — never this
+    * table's to delete), dropped versions' change sidecars, and the
+    * dropped manifests themselves. The real vacuum deletes EXACTLY
+    * this list, so an operator can eyeball the blast radius first. */
+  def vacuumDryRun(spark: SparkSession, root: String,
+                   keepVersions: Int): Seq[String] = {
     val vs = versions(spark, root)
-    if (vs.size <= keepVersions) return
+    if (vs.size <= keepVersions) return Seq.empty
     val keep = vs.takeRight(keepVersions)
     val drop = vs.dropRight(keepVersions)
     val kept = keep.flatMap(readManifest(spark, root, _)).toSet
-    val f = fs(spark, root)
-    drop.foreach { v =>
+    drop.flatMap { v =>
       readManifest(spark, root, v)
         .filterNot(kept.contains)
         .filterNot(d => new Path(d).isAbsolute)
-        .foreach(d => f.delete(new Path(root, d), true))
+        .map(d => new Path(root, d).toString) ++
       // a dropped version's change sidecar goes with it: the feed is
       // only ever served for time-travelable versions
       cdcPathAt(manifestMeta(spark, root, v))
-        .foreach(rel => f.delete(new Path(root, rel), true))
-      f.delete(manifestPath(root, v), false)
+        .map(rel => new Path(root, rel).toString) ++
+      Seq(manifestPath(root, v).toString)
     }
+  }
+
+  def vacuum(spark: SparkSession, root: String, keepVersions: Int): Unit = {
+    val f = fs(spark, root)
+    vacuumDryRun(spark, root, keepVersions)
+      .foreach(p => f.delete(new Path(p), true))
   }
 
   /** Streaming ingestion: each micro-batch commits one append version.
