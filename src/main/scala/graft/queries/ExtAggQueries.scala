@@ -976,11 +976,39 @@ object ExtAggQueries {
       .orderBy(col("digit"))
   }
 
+  /** q343: Herfindahl–Hirschman concentration index over per-source
+    * document mass — the antitrust-style "how concentrated is this
+    * corpus in a few sources" gate that pairs with q335's Gini (Gini
+    * measures inequality of the distribution; HHI weights the TOP
+    * shares quadratically, the number a mixture policy thresholds
+    * on). EXACT in ppm: HHI = Σ sᵢ² = (Σ xᵢ²)·10⁶ div (Σx)² with both
+    * sums staged in DECIMAL(38,0) (xᵢ ≤ ~10⁹ chars per source keeps
+    * Σxᵢ² within range past SF1000), every operand nonnegative so
+    * trunc == floor cross-engine. Plan: ONE data-sized hash aggregate
+    * to the per-source frame, one bounded fold. */
+  def hhiConcentration(s: SparkSession, dir: String): DataFrame = {
+    val dec38 = DecimalType(38, 0)
+    val src = graft.Tables.load(s, dir, "documents")
+      .groupBy(col("source"))
+      .agg(sum(col("n_chars")).as("x"))
+    src.agg(count(lit(1)).as("n_sources"),
+        sum(col("x").cast(dec38)).as("sx"),
+        sum(col("x").cast(dec38) * col("x")).as("sx2"))
+      .select(col("n_sources"),
+        expr("CAST((sx2 * 1000000) div (sx * sx) AS BIGINT)")
+          .as("hhi_ppm"),
+        // the all-equal floor 10⁶/n and the monopoly ceiling 10⁶
+        // bracket the statistic — cheap sanity both engines replay
+        expr("CAST(1000000 div n_sources AS BIGINT)").as("floor_ppm"),
+        col("sx").cast("long").as("chars_total"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q294_ks_test"             -> (ksTest _),
     "q308_mann_whitney_u"      -> (mannWhitneyU _),
     "q335_gini_spend"          -> (giniSpend _),
     "q336_benford_digits"      -> (benfordDigits _),
+    "q343_hhi_concentration"   -> (hhiConcentration _),
     "q309_mann_kendall"        -> (mannKendall _),
     "q310_theil_sen"           -> (theilSen _),
     "q320_spearman_rho"        -> (spearmanRho _),
@@ -1013,6 +1041,20 @@ object ExtAggQueries {
     // q308: doubled-midrank identity replayed over the distinct-value
     // frame (window cumulative = the PrefixScan); HUGEINT internal,
     // BIGINT out; sign-split ppm effect size
+    // q343: same staged integer quotient in HUGEINT; nonneg so // ==
+    // div.
+    "q343_hhi_concentration" ->
+      """WITH s AS (
+        |  SELECT source, CAST(sum(n_chars) AS BIGINT) AS x
+        |  FROM documents GROUP BY source),
+        |a AS (SELECT count(*) AS n,
+        |             sum(CAST(x AS HUGEINT)) AS sx,
+        |             sum(CAST(x AS HUGEINT) * x) AS sx2 FROM s)
+        |SELECT CAST(n AS BIGINT) AS n_sources,
+        |       CAST((sx2 * 1000000) // (sx * sx) AS BIGINT) AS hhi_ppm,
+        |       CAST(1000000 // n AS BIGINT) AS floor_ppm,
+        |       CAST(sx AS BIGINT) AS chars_total
+        |FROM a""".stripMargin,
     // q336: same exact-decimal digit extraction and fixed ppm table;
     // nonneg integer divisions, so trunc == floor.
     "q336_benford_digits" ->
