@@ -1118,9 +1118,17 @@ object MiscQueries {
         .schema(strict).csv(f.toString)
       val nDropped = strictRead("DROPMALFORMED")
         .agg(count(col("key"))).head().getLong(0)
+      // typed probe: FAILFAST's documented throw is a SparkException
+      // whose cause chain names the malformed records — anything else
+      // (an NPE, a misconfigured path) rethrows instead of counting
       val failfastThrows =
         try { strictRead("FAILFAST").agg(count(col("key"))).head(); false }
-        catch { case _: Exception => true }
+        catch { case e: org.apache.spark.SparkException =>
+          val msgs = Iterator.iterate(e: Throwable)(_.getCause)
+            .takeWhile(_ != null).take(10)
+            .flatMap(t => Option(t.getMessage)).mkString(" | ")
+          if (msgs.toLowerCase.contains("malformed")) true else throw e
+        }
       Seq((rows.length.toLong, nClean, nCorrupt, nDropped, failfastThrows))
         .toDF("n_rows", "n_clean", "n_corrupt", "n_dropmalformed",
           "failfast_throws")

@@ -452,6 +452,20 @@ private[sources] final class GraftDvLakeTable(
   override def name(): String = identName
   override def schema(): StructType =
     LakeTable.read(SparkSession.active, root, version).schema
+  /** `SHOW TBLPROPERTIES` / DESCRIBE EXTENDED keep working while
+    * deletion-vector state pends (and on time-travel snapshots): the
+    * committed `prop:` keys read off THIS snapshot's manifest — same
+    * surface as the non-DV path. */
+  override def properties(): java.util.Map[String, String] = {
+    val spark = SparkSession.active
+    version.orElse(LakeTable.latestVersion(spark, root)).fold(
+        java.util.Collections.emptyMap[String, String]()) { v =>
+      val m = new java.util.HashMap[String, String]()
+      LakeTable.propertiesAt(LakeTable.manifestMetaAt(spark, root, v))
+        .foreach { case (k, v2) => m.put(k, v2) }
+      m
+    }
+  }
   override def capabilities(): java.util.Set[TableCapability] =
     if (version.isEmpty)
       java.util.EnumSet.of(TableCapability.BATCH_READ,

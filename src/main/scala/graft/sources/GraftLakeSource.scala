@@ -214,11 +214,14 @@ private[sources] final class GraftLakeTable(delegate: ParquetTable,
   override def schema(): StructType = delegate.schema
 
   /** `SHOW TBLPROPERTIES` / DESCRIBE EXTENDED read the committed user
-    * properties ([[LakeTable.setProperties]]) off the latest manifest. */
+    * properties ([[LakeTable.setProperties]]) off the loaded snapshot's
+    * manifest — the latest version normally, the requested one on a
+    * time-travel load (properties are versioned state like everything
+    * else in the manifest). */
   override def properties(): java.util.Map[String, String] = root match {
-    case Some(r) if version.isEmpty =>
+    case Some(r) =>
       val spark = SparkSession.active
-      LakeTable.latestVersion(spark, r).fold(
+      version.orElse(LakeTable.latestVersion(spark, r)).fold(
           java.util.Collections.emptyMap[String, String]()) { v =>
         val m = new java.util.HashMap[String, String]()
         LakeTable.propertiesAt(LakeTable.manifestMetaAt(spark, r, v))

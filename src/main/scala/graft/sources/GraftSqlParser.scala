@@ -113,8 +113,12 @@ object GraftSqlParser {
     """(?is)^\s*RESTORE\s+(?:TABLE\s+)?([\w`]+(?:\.[\w`]+)+)\s+(?:TO\s+)?TIMESTAMP\s+AS\s+OF\s+'([^']+)'\s*;?\s*$""".r
   private val ConvertRe =
     """(?is)^\s*CONVERT\s+TO\s+LAKE\s+([\w`]+(?:\.[\w`]+)+)\s+FROM\s+'([^']+)'\s*;?\s*$""".r
+  // everything after SET is captured whole; the SET/WHERE boundary is
+  // found by the quote/paren-aware scanner (splitTopLevelWhere) — a
+  // regex split at the first " WHERE " would mis-split on the token
+  // inside a string literal or a parenthesized subexpression
   private val UpdateRe =
-    """(?is)^\s*UPDATE\s+([\w`]+(?:\.[\w`]+)+)\s+SET\s+(.+?)(?:\s+WHERE\s+(.+?))?\s*;?\s*$""".r
+    """(?is)^\s*UPDATE\s+([\w`]+(?:\.[\w`]+)+)\s+SET\s+(.+?)\s*;?\s*$""".r
   private val DeleteRe =
     """(?is)^\s*DELETE\s+FROM\s+([\w`]+(?:\.[\w`]+)+)(?:\s+WHERE\s+(.+?))?\s*;?\s*$""".r
   private val VacuumBareRe =
@@ -170,9 +174,10 @@ object GraftSqlParser {
       // ONLY when the session opted in (spark.graft.update.mode=mor)
       // AND the target is a graft-lake catalog table — everything else
       // delegates to Spark's plan (the copy-on-write row-level op).
-      case UpdateRe(t, sets, where) if morUpdateTarget(t) =>
+      case UpdateRe(t, rest) if morUpdateTarget(t) =>
+        val (sets, where) = splitTopLevelWhere(rest)
         Some(GraftMorUpdateCommand(parts(t),
-          splitAssignments(sets), Option(where)))
+          splitAssignments(sets, parts(t).lastOption), where))
       case DeleteRe(t, where) if morUpdateTarget(t) =>
         Some(GraftMorDeleteCommand(parts(t), Option(where)))
       case VacuumBareRe(t) =>
@@ -225,11 +230,47 @@ object GraftSqlParser {
       })
   }
 
+  /** Find the first TOP-LEVEL `WHERE` keyword — outside single-quoted
+    * strings, backtick identifiers, and parens, bounded by non-word
+    * chars — in the text following `SET`, returning
+    * (setsSql, whereSqlOpt). A `WHERE` inside a string literal or a
+    * parenthesized subexpression belongs to a SET expression and is
+    * never the clause boundary. */
+  private[sources] def splitTopLevelWhere(
+      rest: String): (String, Option[String]) = {
+    var depth = 0; var inStr = false; var inTick = false
+    var i = 0
+    val n = rest.length
+    def wordChar(c: Char): Boolean = c.isLetterOrDigit || c == '_'
+    while (i < n) {
+      val ch = rest.charAt(i)
+      if (inStr) { if (ch == '\'') inStr = false }
+      else if (inTick) { if (ch == '`') inTick = false }
+      else ch match {
+        case '\'' => inStr = true
+        case '`'  => inTick = true
+        case '('  => depth += 1
+        case ')'  => depth -= 1
+        case 'w' | 'W' if depth == 0 && i + 5 <= n &&
+            rest.substring(i, i + 5).equalsIgnoreCase("WHERE") &&
+            (i == 0 || !wordChar(rest.charAt(i - 1))) &&
+            (i + 5 == n || !wordChar(rest.charAt(i + 5))) =>
+          return (rest.substring(0, i).trim,
+            Some(rest.substring(i + 5).trim).filter(_.nonEmpty))
+        case _ =>
+      }
+      i += 1
+    }
+    (rest.trim, None)
+  }
+
   /** Split `a = e1, b = e2, …` at top-level commas (commas inside
     * parens, single-quoted strings, or backticks belong to the
-    * expressions) into (column, expressionSql) pairs. */
+    * expressions) into (column, expressionSql) pairs. A column may be
+    * qualified by the target TABLE's name (`SET t.col = …` — plain
+    * Spark accepts it); any other qualifier refuses by name. */
   private[sources] def splitAssignments(
-      sets: String): Seq[(String, String)] = {
+      sets: String, table: Option[String] = None): Seq[(String, String)] = {
     val out = scala.collection.mutable.ArrayBuffer.empty[String]
     val cur = new StringBuilder
     var depth = 0; var inStr = false; var inTick = false
@@ -246,10 +287,22 @@ object GraftSqlParser {
       }
     }
     if (cur.nonEmpty) out += cur.toString
-    val AssignRe = """(?s)^\s*([\w`]+)\s*=(.+)$""".r
+    val AssignRe = """(?s)^\s*([\w`]+(?:\s*\.\s*[\w`]+)?)\s*=(.+)$""".r
     out.toSeq.map {
       case AssignRe(c, e) =>
-        (c.stripPrefix("`").stripSuffix("`"), e.trim)
+        val segs = c.split("\\.").toSeq
+          .map(_.trim.stripPrefix("`").stripSuffix("`"))
+        val colName = segs match {
+          case Seq(one) => one
+          case Seq(q, col2) =>
+            require(table.exists(_.equalsIgnoreCase(q)),
+              s"UPDATE … SET: assignment qualifier '$q' does not name " +
+                s"the target table${table.fold("")(t => s" '$t'")}")
+            col2
+          case _ => throw new IllegalArgumentException(
+            s"UPDATE … SET: cannot parse assignment target '$c'")
+        }
+        (colName, e.trim)
       case other => throw new IllegalArgumentException(
         s"UPDATE … SET: cannot parse assignment '$other' — expected " +
           "<column> = <expression>")

@@ -2661,12 +2661,20 @@ object LakeTable {
       f.listStatus(new Path(root, d)).map(_.getLen).sum
     val dirs = readManifest(spark, root, v)
     // out-of-scope groups are simply never "small": they survive by
-    // name through the standard carry below
+    // name through the standard carry below. The scoped test is EXACT
+    // membership — a group with no recorded value for the column
+    // (legacy/untagged) is out of scope, NOT conservatively admitted:
+    // partAdmit's keep-on-unknown semantics are right for reads (an
+    // over-scan never lies) but wrong here, where the contract is
+    // "zero bytes of out-of-scope groups read" and an untagged group
+    // may hold any value.
     val inScope: String => Boolean = scope match {
       case None => _ => true
-      case Some((c, value)) => d =>
-        partAdmit(meta, d,
-          org.apache.spark.sql.sources.EqualTo(c, value))
+      case Some((c, value)) => d => partValFor(meta, d, c).exists(rec =>
+        rec == value || ((rec.toDoubleOption, value.toDoubleOption) match {
+          case (Some(a), Some(b)) => a == b // "1995" matches 1995.0
+          case _ => false
+        }))
     }
     val (small, large) =
       dirs.partition(d => bytes(d) < minBytes && inScope(d))
@@ -3438,9 +3446,17 @@ object LakeTable {
     val vs = versions(spark, root)
     if (vs.isEmpty) throw new IllegalStateException(s"no table at $root")
     val cutoff = System.currentTimeMillis() - hours * 3600L * 1000L
-    // mtimes are monotone, so the fresh versions form a suffix
-    val fresh = vs.count(v =>
-      f.getFileStatus(manifestPath(root, v)).getModificationTime >= cutoff)
+    // Scan newest→oldest and STOP at the first manifest older than the
+    // cutoff: the kept set is a true version suffix by construction.
+    // Counting matches across the whole list would assume mtimes are
+    // monotone — clock skew or a backup/restore of the table directory
+    // breaks that, and a stale mtime on a recent manifest could then
+    // drop versions inside the window while an old-but-fresh mtime
+    // keeps stale ones.
+    val fresh = vs.reverseIterator
+      .takeWhile(v =>
+        f.getFileStatus(manifestPath(root, v)).getModificationTime >= cutoff)
+      .size
     math.max(fresh, 1)
   }
 
@@ -3457,6 +3473,10 @@ object LakeTable {
     val keep = vs.takeRight(keepVersions)
     val drop = vs.dropRight(keepVersions)
     val kept = keep.flatMap(readManifest(spark, root, _)).toSet
+    // distinct: a stale dir or CDC sidecar referenced by SEVERAL
+    // dropped versions would otherwise list once per version — the
+    // real vacuum re-deletes idempotently, but DRY RUN output (and its
+    // count) must name each path exactly once
     drop.flatMap { v =>
       readManifest(spark, root, v)
         .filterNot(kept.contains)
@@ -3467,7 +3487,7 @@ object LakeTable {
       cdcPathAt(manifestMeta(spark, root, v))
         .map(rel => new Path(root, rel).toString) ++
       Seq(manifestPath(root, v).toString)
-    }
+    }.distinct
   }
 
   def vacuum(spark: SparkSession, root: String, keepVersions: Int): Unit = {

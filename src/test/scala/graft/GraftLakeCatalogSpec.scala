@@ -938,4 +938,111 @@ class GraftLakeCatalogSpec extends SparkSpec {
       assert(spark.sql("SELECT count(*) FROM lakeTm.t").head.getLong(0) == 2)
     }
   }
+
+  test("RETAIN n HOURS keeps a true version SUFFIX under non-monotone " +
+    "mtimes (clock skew / restored backups)") {
+    withWarehouse("lakeSk") { wh =>
+      import spark.implicits._
+      val root = s"$wh/t"
+      LakeTable.create(spark, root, Seq((1L, "a")).toDF("id", "s"))
+      LakeTable.append(spark, root, Seq((2L, "b")).toDF("id", "s"))
+      LakeTable.append(spark, root, Seq((3L, "c")).toDF("id", "s"))
+      val fsys = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      def manifest(v: Int) = new org.apache.hadoop.fs.Path(
+        s"$root/_versions", f"v$v%08d.json")
+      val now = System.currentTimeMillis()
+      // NON-monotone: v1 looks fresh (backup restored with a new
+      // mtime), v2 is stale, v3 is fresh. Counting matches would keep
+      // 2 versions — v2 (stale, inside the kept suffix) and v3 — while
+      // believing it kept v1; the suffix scan stops at v2 and keeps
+      // exactly v3.
+      fsys.setTimes(manifest(1), now, -1)
+      fsys.setTimes(manifest(2), now - 3L * 3600 * 1000, -1)
+      fsys.setTimes(manifest(3), now, -1)
+      spark.sql("VACUUM lakeSk.t RETAIN 1 HOURS")
+      assert(LakeTable.versions(spark, root) == Seq(3))
+      assert(spark.sql("SELECT count(*) FROM lakeSk.t").head.getLong(0) == 3)
+    }
+  }
+
+  test("mor UPDATE parsing: WHERE inside a string literal or parens " +
+    "is not the clause boundary; table-qualified SET targets resolve; " +
+    "foreign qualifiers refuse") {
+    withWarehouse("lakePq") { wh =>
+      import spark.implicits._
+      val root = s"$wh/t"
+      LakeTable.create(spark, root,
+        (1L to 10L).map(i => (i, i * 10L, "x")).toDF("id", "v", "s"))
+      spark.conf.set("spark.graft.update.mode", "mor")
+      try {
+        // a ' WHERE ' inside the SET string literal must not split
+        spark.sql(
+          "UPDATE lakePq.t SET s = 'a WHERE b', v = v + 1 WHERE id = 1")
+        assert(LakeTable.history(spark, root).last._2 == "update-mor")
+        val r1 = spark.sql(
+          "SELECT v, s FROM lakePq.t WHERE id = 1").head()
+        assert(r1.getLong(0) == 11L && r1.getString(1) == "a WHERE b")
+        assert(spark.sql(
+          "SELECT count(*) FROM lakePq.t WHERE s = 'x'")
+          .head().getLong(0) == 9)
+        // WHERE inside a parenthesized subexpression stays in the SET
+        spark.sql(
+          "UPDATE lakePq.t SET s = (CASE WHEN id = 2 THEN 'two' " +
+            "ELSE s END) WHERE id <= 3")
+        assert(spark.sql("SELECT s FROM lakePq.t WHERE id = 2")
+          .head().getString(0) == "two")
+        assert(spark.sql("SELECT count(*) FROM lakePq.t WHERE s = 'x'")
+          .head().getLong(0) == 8)
+        // table-qualified assignment target (plain Spark accepts it)
+        spark.sql("UPDATE lakePq.t SET t.v = 777 WHERE id = 4")
+        assert(spark.sql("SELECT v FROM lakePq.t WHERE id = 4")
+          .head().getLong(0) == 777L)
+        // a qualifier that is NOT the target table refuses by name
+        val e = intercept[IllegalArgumentException] {
+          spark.sql("UPDATE lakePq.t SET other.v = 1 WHERE id = 5")
+        }
+        assert(e.getMessage.contains("does not name the target table"),
+          e.getMessage)
+        // bare UPDATE with no WHERE still parses (all rows)
+        spark.sql("UPDATE lakePq.t SET v = v + 1000000")
+        assert(spark.sql("SELECT count(*) FROM lakePq.t WHERE v > 1000000")
+          .head().getLong(0) == 10)
+      } finally spark.conf.unset("spark.graft.update.mode")
+    }
+  }
+
+  test("SHOW TBLPROPERTIES keeps serving while deletion-vector state " +
+    "pends, and time-travel loads read the snapshot's own properties") {
+    withWarehouse("lakePp") { wh =>
+      import spark.implicits._
+      val root = s"$wh/t"
+      LakeTable.create(spark, root,
+        (1L to 10L).map(i => (i, i * 10L)).toDF("id", "v"))
+      spark.sql(
+        "ALTER TABLE lakePp.t SET TBLPROPERTIES ('team' = 'data-eng')")
+      def props(sqlSuffix: String = ""): Map[String, String] =
+        spark.sql(s"SHOW TBLPROPERTIES lakePp.t$sqlSuffix").collect()
+          .map(r => r.getString(0) -> r.getString(1)).toMap
+      assert(props().get("team").contains("data-eng"))
+      spark.conf.set("spark.graft.update.mode", "mor")
+      try spark.sql("UPDATE lakePp.t SET v = v + 1 WHERE id = 1")
+      finally spark.conf.unset("spark.graft.update.mode")
+      // dv state pends — the DV table must still surface the props
+      assert(LakeTable.history(spark, root).last._2 == "update-mor")
+      assert(props().get("team").contains("data-eng"))
+      // the pre-properties snapshot reads ITS OWN (empty) state — the
+      // DSv2 time-travel hook (SHOW TBLPROPERTIES has no AS OF syntax)
+      val cat = spark.sessionState.catalogManager.catalog("lakePp")
+        .asInstanceOf[graft.sources.GraftLakeCatalog]
+      val ident = org.apache.spark.sql.connector.catalog.Identifier.of(
+        Array.empty[String], "t")
+      assert(!cat.loadTable(ident, "1").properties().containsKey("team"))
+      // … while the post-properties snapshot reads them, even as a
+      // time-travel load
+      val latest = LakeTable.versions(spark, root).last
+      assert(cat.loadTable(ident, latest.toString).properties()
+        .get("team") == "data-eng")
+    }
+  }
 }
