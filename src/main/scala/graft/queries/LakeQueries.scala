@@ -3846,6 +3846,84 @@ object LakeQueries {
     } }
   }
 
+  /** q344: PRUNED deletion-vector catalog scans — the read path that
+    * keeps a MOR table indexed: after a SQL point update commits a dv
+    * sidecar, catalog reads route through [[graft.sources.GraftDvScan]],
+    * which runs the SAME manifest stats admission as the normal
+    * delegate before opening any parquet footer. On a 4-group clustered
+    * table + 1 stats-less replacement group, a point probe scans 2 of 5
+    * groups (hit group + replacement), a miss scans 1 (replacement
+    * only), the unfiltered aggregate scans all 5 — pinned exactly. The
+    * masked values themselves restate from `documents` (min-doc_id row
+    * updated, max-doc_id untouched, total shifted once); time travel
+    * serves the pre-update value through the PLAIN indexed delegate.
+    * At 100 TB this is the difference between one point update
+    * degrading every subsequent SQL read to a full-table scan and the
+    * read staying O(probed groups) until the next rewrite. */
+  def dvPrunedScan(s: SparkSession, dir: String): DataFrame = {
+    val d = graft.Tables.load(s, dir, "documents")
+    graft.util.LocalFrame.withConf(s, "spark.sql.shuffle.partitions", "8") {
+    graft.util.Tmp.withTempDir("graft_lake_q344") { rootPath =>
+      val wh = rootPath.toString
+      val cat = "lake_" +
+        java.util.UUID.randomUUID().toString.replace("-", "").take(12)
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftLakeCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+      try {
+        val root = s"$wh/t"
+        LakeTable.createClustered(s, root, d, "doc_id",
+          numGroups = 4, statsCols = Seq("doc_id"))
+        val b = d.agg(min(col("doc_id")), max(col("doc_id"))).head()
+        val (minId, maxId) = (b.getLong(0), b.getLong(1))
+        graft.util.LocalFrame.withConf(s,
+          "spark.graft.update.mode", "mor") {
+          s.sql(s"UPDATE $cat.t SET n_chars = n_chars + 1000000 " +
+            s"WHERE doc_id = $minId")
+        }
+        def probe(sql: String): (Long, Long, Long) = {
+          graft.sources.GraftDvScan.lastPrune = None
+          val v = s.sql(sql).head().getLong(0)
+          val (kept, total) = graft.sources.GraftDvScan.lastPrune
+            .getOrElse(throw new IllegalStateException(
+              "catalog read did not route through GraftDvScan"))
+          (v, kept.toLong, total.toLong)
+        }
+        val (hitVal, hitKept, hitTotal) = probe(
+          s"SELECT n_chars FROM $cat.t WHERE doc_id = $minId")
+        val (maxVal, maxKept, _) = probe(
+          s"SELECT n_chars FROM $cat.t WHERE doc_id = $maxId")
+        val (missN, missKept, _) = probe(
+          s"SELECT count(*) FROM $cat.t WHERE doc_id = -1")
+        val (sumAfter, fullKept, fullTotal) = probe(
+          s"SELECT sum(n_chars) FROM $cat.t")
+        val nTotal = s.sql(s"SELECT count(*) FROM $cat.t")
+          .head().getLong(0)
+        // the pre-update snapshot takes the PLAIN indexed delegate
+        graft.sources.GraftDvScan.lastPrune = None
+        val ttMin = s.sql(s"SELECT n_chars FROM $cat.t VERSION AS OF 1 " +
+          s"WHERE doc_id = $minId").head().getLong(0)
+        val ttPlain = graft.sources.GraftDvScan.lastPrune.isEmpty
+        import s.implicits._
+        graft.util.LocalFrame.materialize(Seq(
+          ("groups_scanned_full", fullKept),
+          ("groups_scanned_hit", math.max(hitKept, maxKept)),
+          ("groups_scanned_miss", missKept),
+          ("groups_total", math.max(hitTotal, fullTotal)),
+          ("n_miss", missN),
+          ("n_total", nTotal),
+          ("nchars_max_after", maxVal),
+          ("nchars_min_after", hitVal),
+          ("nchars_min_v1", ttMin),
+          ("sum_after", sumAfter),
+          ("tt_plain_delegate", if (ttPlain) 1L else 0L)
+        ).toDF("fact", "n").orderBy(col("fact")))
+      } finally {
+        s.conf.unset(s"spark.sql.catalog.$cat")
+        s.conf.unset(s"spark.sql.catalog.$cat.warehouse")
+      }
+    } }
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q302_partitioned_lake"    -> (partitionedLifecycle _),
     "q303_kll_index_lake"      -> (kllIndexLifecycle _),
@@ -3880,6 +3958,7 @@ object LakeQueries {
     "q340_merge_mor"           -> (mergeMorQ _),
     "q341_stream_upsert_mor"   -> (streamUpsertMor _),
     "q342_vacuum_dry_run"      -> (vacuumDryRunQ _),
+    "q344_dv_pruned_scan"      -> (dvPrunedScan _),
     "q282_hll_index_lake"      -> (hllIndexLifecycle _),
     "q281_unique_constraint"   -> (uniqueLifecycle _),
     "q288_column_default"      -> (defaultLifecycle _),
@@ -3917,6 +3996,30 @@ object LakeQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // q344: data facts restate from documents (min-doc row shifted by
+    // 1e6, max-doc untouched, one-row sum shift); the group-accounting
+    // facts follow from the clustered layout — 4 range groups with
+    // stats + 1 stats-less replacement, so a point probe admits 2, a
+    // miss admits 1 (the replacement), the full aggregate reads all 5
+    "q344_dv_pruned_scan" ->
+      """WITH d AS (SELECT doc_id, n_chars FROM documents),
+        |b AS (SELECT min(doc_id) AS mn, max(doc_id) AS mx FROM d)
+        |SELECT 'groups_scanned_full' AS fact, CAST(5 AS BIGINT) AS n
+        |UNION ALL SELECT 'groups_scanned_hit', CAST(2 AS BIGINT)
+        |UNION ALL SELECT 'groups_scanned_miss', CAST(1 AS BIGINT)
+        |UNION ALL SELECT 'groups_total', CAST(5 AS BIGINT)
+        |UNION ALL SELECT 'n_miss', CAST(0 AS BIGINT)
+        |UNION ALL SELECT 'n_total', count(*) FROM d
+        |UNION ALL SELECT 'nchars_max_after',
+        |  (SELECT n_chars FROM d, b WHERE doc_id = mx)
+        |UNION ALL SELECT 'nchars_min_after',
+        |  (SELECT n_chars + 1000000 FROM d, b WHERE doc_id = mn)
+        |UNION ALL SELECT 'nchars_min_v1',
+        |  (SELECT n_chars FROM d, b WHERE doc_id = mn)
+        |UNION ALL SELECT 'sum_after',
+        |  CAST(sum(n_chars) + 1000000 AS BIGINT) FROM d
+        |UNION ALL SELECT 'tt_plain_delegate', CAST(1 AS BIGINT)
+        |ORDER BY fact""".stripMargin,
     // q302: counts/sums restated from orders with the replaced year's
     // cents doubled; the group-accounting facts follow from the
     // one-group-per-value layout (groups = distinct years, an equality

@@ -432,11 +432,17 @@ private[sources] final class GraftStagedTable(
   * SQL reads keep working — the scan ([[GraftDvScan]]) serves
   * [[LakeTable.read]]'s MASKED frame through the DSv2 V1Scan bridge,
   * so masked rows never resurface and stacked updates/time travel each
-  * see their own version's state. The trade until the next rewrite is
-  * the documented MOR one: this scan path has no file-group pruning or
-  * parquet pushdown (filters still apply above it); a compaction
-  * ([[LakeTable.rewriteDeletes]] or any COW op) restores the fully
-  * indexed delegate. Appends still land through the commit protocol
+  * see their own version's state. The scan is INDEXED like the normal
+  * delegate: pushed filters run the same manifest-level admission
+  * chain (partition values, min/max stats, bloom indexes —
+  * [[LakeTable.pruneDirsForFilters]]) before any parquet footer opens,
+  * and re-apply inside the bridged plan so parquet row-group pushdown
+  * engages; the dv anti-join then masks only the surviving groups'
+  * rows ([[LakeTable.readDirsSubset]]). A point probe on a 100 TB
+  * table that took one MOR update scans one group, not N — a single
+  * deletion vector no longer degrades every SQL read to a full scan.
+  * A compaction ([[LakeTable.rewriteDeletes]] or any COW op) restores
+  * the plain delegate. Appends still land through the commit protocol
   * (dv state changes are NAMED append conflicts). */
 private[sources] final class GraftDvLakeTable(
     identName: String, root: String, version: Option[Int])
@@ -472,7 +478,7 @@ private[sources] final class GraftDvLakeTable(
         TableCapability.V1_BATCH_WRITE)
     else java.util.EnumSet.of(TableCapability.BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap)
-      : ScanBuilder = () => new GraftDvScan(root, version, schema())
+      : ScanBuilder = new GraftDvScanBuilder(root, version, schema())
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new WriteBuilder {
       override def build(): Write = new V1Write {
@@ -490,15 +496,53 @@ private[sources] final class GraftDvLakeTable(
     }
 }
 
+/** ScanBuilder for deletion-vector snapshots: records Spark's pushed
+  * source filters and required columns, then builds the pruned masked
+  * scan. EVERY filter is also returned as residual, so Spark re-applies
+  * the full predicate above the V1 bridge — the pushdown here is a
+  * strict optimization (fewer groups opened, parquet row-group pruning
+  * inside the bridged plan), never a correctness dependency. */
+private[sources] final class GraftDvScanBuilder(
+    root: String, version: Option[Int], tableSchema: StructType)
+    extends org.apache.spark.sql.connector.read.ScanBuilder
+    with org.apache.spark.sql.connector.read.SupportsPushDownFilters
+    with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns {
+  import org.apache.spark.sql.sources.Filter
+
+  private var pushed: Array[Filter] = Array.empty
+  private var required: StructType = tableSchema
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    pushed = filters
+    filters // all residual — Spark re-evaluates above the bridge
+  }
+  override def pushedFilters(): Array[Filter] = pushed
+  override def pruneColumns(requiredSchema: StructType): Unit = {
+    required = requiredSchema
+  }
+  override def build(): org.apache.spark.sql.connector.read.Scan =
+    new GraftDvScan(root, version, required, pushed.toSeq)
+}
+
 /** The deletion-vector read path for catalog scans: a DSv2
-  * [[org.apache.spark.sql.connector.read.V1Scan]] whose relation is
-  * [[LakeTable.read]] — lineage-stamped raw scan, dv anti-join
-  * (broadcast — the dv list is O(masked rows)), declared-schema
-  * projection — exactly the frame the Scala API serves. */
+  * [[org.apache.spark.sql.connector.read.V1Scan]] whose relation
+  * serves [[LakeTable.read]]'s masked frame over the PRUNED group set —
+  * manifest stats/partition/bloom admission first
+  * ([[LakeTable.pruneDirsForFilters]]), then the lineage-stamped scan
+  * of the surviving groups, dv anti-join (broadcast — the dv list is
+  * O(masked rows)) and declared-schema projection
+  * ([[LakeTable.readDirsSubset]]), with the translatable filters
+  * re-applied INSIDE the bridged plan so parquet row-group pushdown
+  * engages. Exactly the frame the Scala API serves, at the indexed
+  * path's cost. */
 private[sources] final class GraftDvScan(
-    root: String, version: Option[Int], schema0: StructType)
+    root: String, version: Option[Int], schema0: StructType,
+    filters: Seq[org.apache.spark.sql.sources.Filter] = Nil)
     extends org.apache.spark.sql.connector.read.V1Scan {
   override def readSchema(): StructType = schema0
+  override def description(): String =
+    s"GraftDvScan `$root`" + version.fold("")(v => s"@v$v") +
+      (if (filters.isEmpty) "" else filters.mkString(" [", ", ", "]"))
   override def toV1TableScan[T <: org.apache.spark.sql.sources.BaseRelation
       with org.apache.spark.sql.sources.TableScan](
       context: org.apache.spark.sql.SQLContext): T =
@@ -507,9 +551,60 @@ private[sources] final class GraftDvScan(
       override def sqlContext: org.apache.spark.sql.SQLContext = context
       override def schema: StructType = schema0
       override def buildScan()
-          : org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] =
-        LakeTable.read(context.sparkSession, root, version).rdd
+          : org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] = {
+        val spark = context.sparkSession
+        val (kept, total) =
+          LakeTable.pruneDirsForFilters(spark, root, version, filters)
+        GraftDvScan.lastPrune = Some((kept.size, total))
+        val masked = LakeTable.readDirsSubset(spark, root, version,
+          kept.toSet)
+        val filtered = filters.flatMap(GraftDvScan.toColumn)
+          .foldLeft(masked)(_.filter(_))
+        val projected =
+          if (schema0.fieldNames.sameElements(filtered.columns)) filtered
+          else filtered.select(schema0.fieldNames.toIndexedSeq.map(
+            org.apache.spark.sql.functions.col): _*)
+        projected.rdd
+      }
     }.asInstanceOf[T]
+}
+
+private[graft] object GraftDvScan {
+  import org.apache.spark.sql.{Column => SCol}
+  import org.apache.spark.sql.functions.{col, lit}
+  import org.apache.spark.sql.sources._
+
+  /** (kept, total) file-group counts of the most recent dv scan in this
+    * JVM — a test/inspection observable (the V1 bridge has no metrics
+    * channel), same role as
+    * [[GraftLakeStreamableScan.runtimePrunedTo]]. */
+  @volatile private[graft] var lastPrune: Option[(Int, Int)] = None
+
+  /** Source filters → Column, for re-applying inside the bridged plan
+    * (untranslatable shapes are skipped — Spark evaluates the full
+    * predicate above the bridge regardless). */
+  private[sources] def toColumn(f: Filter): Option[SCol] = f match {
+    case EqualTo(a, v)            => Some(col(a) === lit(v))
+    case EqualNullSafe(a, v)      => Some(col(a) <=> lit(v))
+    case GreaterThan(a, v)        => Some(col(a) > lit(v))
+    case GreaterThanOrEqual(a, v) => Some(col(a) >= lit(v))
+    case LessThan(a, v)           => Some(col(a) < lit(v))
+    case LessThanOrEqual(a, v)    => Some(col(a) <= lit(v))
+    case In(a, vs)                => Some(col(a).isin(vs.toSeq: _*))
+    case IsNull(a)                => Some(col(a).isNull)
+    case IsNotNull(a)             => Some(col(a).isNotNull)
+    case StringStartsWith(a, p)   => Some(col(a).startsWith(p))
+    case StringEndsWith(a, p)     => Some(col(a).endsWith(p))
+    case StringContains(a, p)     => Some(col(a).contains(p))
+    case And(l, r) =>
+      for { lc <- toColumn(l); rc <- toColumn(r) } yield lc && rc
+    case Or(l, r) =>
+      for { lc <- toColumn(l); rc <- toColumn(r) } yield lc || rc
+    case Not(c)        => toColumn(c).map(!_)
+    case AlwaysTrue()  => Some(lit(true))
+    case AlwaysFalse() => Some(lit(false))
+    case _ => None
+  }
 }
 
 /** A resolvable-but-scan-gated table: stands in for a snapshot whose

@@ -1699,8 +1699,23 @@ object LakeTable {
     readInternal(spark, root, version, keepLineage = true)
 
   private def readInternal(spark: SparkSession, root: String,
-      version: Option[Int], keepLineage: Boolean): DataFrame = {
-    val dirs = dataDirPaths(spark, root, version)
+      version: Option[Int], keepLineage: Boolean,
+      keepDirs: Option[Set[String]] = None): DataFrame = {
+    val dirs = keepDirs match {
+      case None => dataDirPaths(spark, root, version)
+      case Some(rels) =>
+        val v = version.getOrElse(versions(spark, root).last)
+        readManifest(spark, root, v).filter(rels)
+          .map(d => new Path(root, d).toString)
+    }
+    // a PRUNED read of a non-empty snapshot that kept zero groups is an
+    // empty frame in the full read's shape (the empty-snapshot branch
+    // below demands a declared schema the table may not have)
+    if (dirs.isEmpty && keepDirs.isDefined &&
+        dataDirPaths(spark, root, version).nonEmpty) {
+      val schema = readInternal(spark, root, version, keepLineage).schema
+      return spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
+    }
     val override_ = schemaOverrideAt(spark, root, version)
     if (dirs.isEmpty) {
       // a created-empty snapshot: zero rows in the declared shape
@@ -1737,6 +1752,39 @@ object LakeTable {
       applyDvMask(spark, root, meta, applyDeleteMask(spark, root, meta, shaped))
     if (lineage && !keepLineage) masked.drop(FileCol, PosCol) else masked
   }
+
+  /** File groups of snapshot `version` admitted by EVERY filter under
+    * the manifest's partition values, min/max stats and bloom indexes —
+    * the same admission chain the DSv2 stats-pruning path runs
+    * ([[GraftLakeStreamScanBuilder.build]]). Returns (kept relative
+    * dirs, total group count). Conservative by construction: groups
+    * without the needed metadata are kept, so a pruned read over-scans
+    * but never lies. */
+  private[sources] def pruneDirsForFilters(spark: SparkSession,
+      root: String, version: Option[Int],
+      filters: Seq[org.apache.spark.sql.sources.Filter])
+      : (Seq[String], Int) = {
+    val v = version.getOrElse(versions(spark, root).lastOption.getOrElse(
+      throw new IllegalStateException(s"no table at $root")))
+    val meta = manifestMeta(spark, root, v)
+    val dirs = readManifest(spark, root, v)
+    val kept =
+      if (filters.isEmpty) dirs
+      else dirs.filter(d => filters.forall(f =>
+        partAdmit(meta, d, f) && statsAdmit(meta, d, f) &&
+          bloomAdmit(spark, root, meta, d, f)))
+    (kept, dirs.size)
+  }
+
+  /** [[read]] restricted to a subset of the snapshot's file groups
+    * (relative manifest entries) — column mapping, declared-schema
+    * projection and BOTH merge-on-read masks apply exactly as in the
+    * full read, so a stats-pruned scan of a deletion-vector snapshot
+    * serves the same masked frame over fewer bytes. */
+  private[sources] def readDirsSubset(spark: SparkSession, root: String,
+      version: Option[Int], keptRel: Set[String]): DataFrame =
+    readInternal(spark, root, version, keepLineage = false,
+      keepDirs = Some(keptRel))
 
   /** MERGE (upsert): rows in `updates` replace current rows with equal
     * `key`; unmatched update rows are inserted. Copy-on-write: writes a

@@ -1012,6 +1012,62 @@ class GraftLakeCatalogSpec extends SparkSpec {
     }
   }
 
+  test("dv catalog scans PRUNE: a point probe on a deletion-vector " +
+    "snapshot opens only stats-admitted groups, masked rows never " +
+    "resurface, time travel and stacking intact") {
+    withWarehouse("lakeDp") { wh =>
+      import spark.implicits._
+      val root = s"$wh/t"
+      // 100 rows clustered into 4 groups by id, with min/max stats
+      LakeTable.createClustered(spark, root,
+        (1L to 100L).map(i => (i, i * 10L)).toDF("id", "v"),
+        "id", numGroups = 4, statsCols = Seq("id"))
+      spark.conf.set("spark.graft.update.mode", "mor")
+      try spark.sql("UPDATE lakeDp.t SET v = v + 1 WHERE id = 5")
+      finally spark.conf.unset("spark.graft.update.mode")
+      assert(LakeTable.history(spark, root).last._2 == "update-mor")
+      def prune(): (Int, Int) = {
+        val p = graft.sources.GraftDvScan.lastPrune
+        graft.sources.GraftDvScan.lastPrune = None
+        p.getOrElse(fail("catalog read did not route through GraftDvScan"))
+      }
+      // point probe on an UNTOUCHED key: its clustered group + the
+      // stats-less replacement group are admitted; the other 3 prune
+      val r80 = spark.sql("SELECT v FROM lakeDp.t WHERE id = 80").head()
+      assert(r80.getLong(0) == 800L)
+      val (kept80, total80) = prune()
+      assert(total80 == 5, s"expected 4 clustered + 1 replacement groups, got $total80")
+      assert(kept80 == 2, s"point probe should scan 2 of 5 groups, got $kept80")
+      // point probe on the UPDATED key: masked original never
+      // resurfaces; the replacement row serves
+      val r5 = spark.sql("SELECT v FROM lakeDp.t WHERE id = 5").collect()
+      assert(r5.map(_.getLong(0)).toSeq == Seq(51L))
+      assert(prune()._1 == 2)
+      // unfiltered aggregate still reads everything, masked
+      assert(spark.sql("SELECT count(*), sum(v) FROM lakeDp.t").head()
+        .getLong(0) == 100)
+      assert(prune() == ((5, 5)))
+      // a probe outside every range keeps only the stats-less group
+      assert(spark.sql("SELECT count(*) FROM lakeDp.t WHERE id = -1")
+        .head().getLong(0) == 0)
+      assert(prune()._1 == 1)
+      // time travel: the pre-update snapshot has 4 groups, no dv — it
+      // takes the NORMAL indexed delegate (no GraftDvScan involved)
+      assert(spark.sql(
+        "SELECT v FROM lakeDp.t VERSION AS OF 1 WHERE id = 5")
+        .head().getLong(0) == 50L)
+      assert(graft.sources.GraftDvScan.lastPrune.isEmpty)
+      // stacked update: the second masks the first's replacement row
+      spark.conf.set("spark.graft.update.mode", "mor")
+      try spark.sql("UPDATE lakeDp.t SET v = v + 100 WHERE id = 5")
+      finally spark.conf.unset("spark.graft.update.mode")
+      assert(spark.sql("SELECT v FROM lakeDp.t WHERE id = 5").collect()
+        .map(_.getLong(0)).toSeq == Seq(151L))
+      assert(spark.sql("SELECT count(*) FROM lakeDp.t")
+        .head().getLong(0) == 100)
+    }
+  }
+
   test("SHOW TBLPROPERTIES keeps serving while deletion-vector state " +
     "pends, and time-travel loads read the snapshot's own properties") {
     withWarehouse("lakePp") { wh =>
