@@ -3924,6 +3924,89 @@ object LakeQueries {
     } }
   }
 
+  /** q345: SQL `MERGE INTO … WHEN MATCHED THEN UPDATE SET * WHEN NOT
+    * MATCHED THEN INSERT *` on the deletion-vector merge-on-read path —
+    * under `spark.graft.update.mode=mor` the canonical upsert routes to
+    * [[LakeTable.mergeMor]]: one O(matches) sidecar + ONE appended
+    * group per statement, every pre-existing data file byte-identical
+    * (`files_untouched`, `groups_added` = 1, op pinned `merge-mor`).
+    * CDC pairs update pre/post images and tags fresh keys `insert`;
+    * time travel serves the pre-merge sum; the materializing rewrite
+    * preserves the totals. The SQL surface is what a Delta user types
+    * for the weekly upsert — at 100 TB routing it through DVs turns a
+    * rewrite of every matched group into 0.1% new bytes. */
+  def sqlMergeMor(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.load(s, dir, "orders")
+      .filter(col("o_custkey") % 43 === 11)
+      .select(col("o_orderkey").as("k"),
+        expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)")
+          .as("cents"))
+    graft.util.LocalFrame.withConf(s, "spark.sql.shuffle.partitions", "8") {
+    graft.util.Tmp.withTempDir("graft_lake_q345") { rootPath =>
+      val wh = rootPath.toString
+      val cat = "lake_" +
+        java.util.UUID.randomUUID().toString.replace("-", "").take(12)
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftLakeCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+      val view = "mm345_" +
+        java.util.UUID.randomUUID().toString.replace("-", "").take(12)
+      try {
+        val root = s"$wh/t"
+        LakeTable.createClustered(s, root, base, "k",
+          numGroups = 4, statsCols = Nil)
+        base.filter(col("k") % 3 === 0)
+          .select(col("k"), (col("cents") + 5).as("cents"))
+          .unionByName(base.filter(col("k") % 7 === 0)
+            .select((col("k") + 1000000000L).as("k"), col("cents")))
+          .createOrReplaceTempView(view)
+        val dirsBefore = LakeTable.dataDirPaths(s, root)
+        val v2 = graft.util.LocalFrame.withConf(s,
+          "spark.graft.update.mode", "mor") {
+          s.sql(s"MERGE INTO $cat.t AS t USING $view AS s ON t.k = s.k " +
+            "WHEN MATCHED THEN UPDATE SET * " +
+            "WHEN NOT MATCHED THEN INSERT *").head().getLong(0).toInt
+        }
+        val morOp =
+          if (LakeTable.history(s, root).last._2 == "merge-mor") 1L else 0L
+        val dirsAfter = LakeTable.dataDirPaths(s, root)
+        val untouched =
+          if (dirsBefore.forall(dirsAfter.contains)) 1L else 0L
+        val added = (dirsAfter.size - dirsBefore.size).toLong
+        val after = s.sql(
+          s"SELECT count(*), sum(cents) FROM $cat.t").head()
+        val cdc = LakeTable.changes(s, root, v2 - 1, v2, "k")
+          .groupBy(col("_change_type")).agg(count(lit(1)).as("n"))
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        val v1Sum = s.sql(
+          s"SELECT sum(cents) FROM $cat.t VERSION AS OF ${v2 - 1}")
+          .head().getLong(0)
+        LakeTable.rewriteDeletes(s, root)
+        val rw = LakeTable.read(s, root)
+          .agg(count(lit(1)), sum(col("cents"))).head()
+        val rwMatches =
+          if (rw.getLong(0) == after.getLong(0) &&
+              rw.getLong(1) == after.getLong(1)) 1L else 0L
+        import s.implicits._
+        graft.util.LocalFrame.materialize(Seq(
+          ("cents_after", after.getLong(1)),
+          ("cents_v1", v1Sum),
+          ("files_untouched", untouched),
+          ("groups_added", added),
+          ("merge_mor_op", morOp),
+          ("n_after", after.getLong(0)),
+          ("n_insert_cdc", cdc.getOrElse("insert", 0L)),
+          ("n_postimage_cdc", cdc.getOrElse("update_postimage", 0L)),
+          ("n_preimage_cdc", cdc.getOrElse("update_preimage", 0L)),
+          ("rewrite_matches", rwMatches)
+        ).toDF("fact", "n").orderBy(col("fact")))
+      } finally {
+        s.catalog.dropTempView(view)
+        s.conf.unset(s"spark.sql.catalog.$cat")
+        s.conf.unset(s"spark.sql.catalog.$cat.warehouse")
+      }
+    } }
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q302_partitioned_lake"    -> (partitionedLifecycle _),
     "q303_kll_index_lake"      -> (kllIndexLifecycle _),
@@ -3959,6 +4042,7 @@ object LakeQueries {
     "q341_stream_upsert_mor"   -> (streamUpsertMor _),
     "q342_vacuum_dry_run"      -> (vacuumDryRunQ _),
     "q344_dv_pruned_scan"      -> (dvPrunedScan _),
+    "q345_sql_merge_mor"       -> (sqlMergeMor _),
     "q282_hll_index_lake"      -> (hllIndexLifecycle _),
     "q281_unique_constraint"   -> (uniqueLifecycle _),
     "q288_column_default"      -> (defaultLifecycle _),
@@ -4019,6 +4103,35 @@ object LakeQueries {
         |UNION ALL SELECT 'sum_after',
         |  CAST(sum(n_chars) + 1000000 AS BIGINT) FROM d
         |UNION ALL SELECT 'tt_plain_delegate', CAST(1 AS BIGINT)
+        |ORDER BY fact""".stripMargin,
+    // q345: counts/sums restated from orders (matched keys shifted by
+    // 5 cents, k%7 keys re-inserted under shifted ids); the protocol
+    // facts (one group added, files untouched, op routed merge-mor,
+    // rewrite equivalence) pin as integers
+    "q345_sql_merge_mor" ->
+      """WITH o AS (
+        |  SELECT o_orderkey AS k,
+        |         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |           AS cents
+        |  FROM orders WHERE o_custkey % 43 = 11),
+        |a AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |             CAST(sum(cents) AS BIGINT) AS c,
+        |             count(*) FILTER (k % 3 = 0) AS nm,
+        |             count(*) FILTER (k % 7 = 0) AS ni
+        |      FROM o)
+        |SELECT 'cents_after' AS fact,
+        |       CAST(c + 5 * nm + (SELECT CAST(sum(cents) AS BIGINT)
+        |                          FROM o WHERE k % 7 = 0) AS BIGINT) AS n
+        |FROM a
+        |UNION ALL SELECT 'cents_v1', c FROM a
+        |UNION ALL SELECT 'files_untouched', CAST(1 AS BIGINT)
+        |UNION ALL SELECT 'groups_added', CAST(1 AS BIGINT)
+        |UNION ALL SELECT 'merge_mor_op', CAST(1 AS BIGINT)
+        |UNION ALL SELECT 'n_after', n + ni FROM a
+        |UNION ALL SELECT 'n_insert_cdc', CAST(ni AS BIGINT) FROM a
+        |UNION ALL SELECT 'n_postimage_cdc', CAST(nm AS BIGINT) FROM a
+        |UNION ALL SELECT 'n_preimage_cdc', CAST(nm AS BIGINT) FROM a
+        |UNION ALL SELECT 'rewrite_matches', CAST(1 AS BIGINT)
         |ORDER BY fact""".stripMargin,
     // q302: counts/sums restated from orders with the replaced year's
     // cents doubled; the group-accounting facts follow from the

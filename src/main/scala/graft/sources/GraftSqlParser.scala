@@ -121,6 +121,14 @@ object GraftSqlParser {
     """(?is)^\s*UPDATE\s+([\w`]+(?:\.[\w`]+)+)\s+SET\s+(.+?)\s*;?\s*$""".r
   private val DeleteRe =
     """(?is)^\s*DELETE\s+FROM\s+([\w`]+(?:\.[\w`]+)+)(?:\s+WHERE\s+(.+?))?\s*;?\s*$""".r
+  // MERGE INTO <cat>.<t> [[AS] alias] USING <rest> — the USING/ON/WHEN
+  // boundaries are found by the top-level scanner, not the regex (a
+  // subquery source may contain ON/WHEN tokens of its own)
+  private val MergeIntoRe =
+    """(?is)^\s*MERGE\s+INTO\s+([\w`]+(?:\.[\w`]+)+)(?:\s+(?:AS\s+)?([A-Za-z_]\w*))?\s+USING\s+(.+?)\s*;?\s*$""".r
+  // ON <one equality on the same-named key column of both sides>
+  private val OnEqRe =
+    """(?is)^\s*(?:([\w`]+)\s*\.\s*)?([\w`]+)\s*=\s*(?:([\w`]+)\s*\.\s*)?([\w`]+)\s*$""".r
   private val VacuumBareRe =
     """(?is)^\s*VACUUM\s+([\w`]+(?:\.[\w`]+)+)\s*;?\s*$""".r
   private val HistoryRe =
@@ -180,6 +188,19 @@ object GraftSqlParser {
           splitAssignments(sets, parts(t).lastOption), where))
       case DeleteRe(t, where) if morUpdateTarget(t) =>
         Some(GraftMorDeleteCommand(parts(t), Option(where)))
+      // SQL MERGE routes to the deletion-vector merge-on-read upsert
+      // ([[LakeTable.mergeMor]]) ONLY for the canonical whole-row
+      // upsert shape — WHEN MATCHED THEN UPDATE SET * / WHEN NOT
+      // MATCHED THEN INSERT * (Delta's dominant MERGE) — under
+      // spark.graft.update.mode=mor against a graft-lake catalog
+      // table. Any other clause form falls through to Spark's
+      // row-level plan (the copy-on-write MERGE, q155/q156), which is
+      // semantically identical and refuses on a dv snapshot until
+      // rewrite — never a silent wrong answer.
+      case MergeIntoRe(t, _, rest) if morUpdateTarget(t) &&
+          morMergeShape(rest).isDefined =>
+        val (usingSql, key) = morMergeShape(rest).get
+        Some(GraftMorMergeCommand(parts(t), usingSql, key))
       case VacuumBareRe(t) =>
         throw new IllegalArgumentException(
           s"VACUUM $t requires an explicit RETAIN <n> VERSIONS or " +
@@ -230,17 +251,14 @@ object GraftSqlParser {
       })
   }
 
-  /** Find the first TOP-LEVEL `WHERE` keyword — outside single-quoted
-    * strings, backtick identifiers, and parens, bounded by non-word
-    * chars — in the text following `SET`, returning
-    * (setsSql, whereSqlOpt). A `WHERE` inside a string literal or a
-    * parenthesized subexpression belongs to a SET expression and is
-    * never the clause boundary. */
-  private[sources] def splitTopLevelWhere(
-      rest: String): (String, Option[String]) = {
+  /** Index of the first TOP-LEVEL occurrence of keyword `kw` — outside
+    * single-quoted strings, backtick identifiers, and parens, bounded
+    * by non-word chars — in `rest`; -1 when absent. */
+  private def findTopLevel(rest: String, kw: String): Int = {
     var depth = 0; var inStr = false; var inTick = false
     var i = 0
     val n = rest.length
+    val k = kw.length
     def wordChar(c: Char): Boolean = c.isLetterOrDigit || c == '_'
     while (i < n) {
       val ch = rest.charAt(i)
@@ -251,18 +269,30 @@ object GraftSqlParser {
         case '`'  => inTick = true
         case '('  => depth += 1
         case ')'  => depth -= 1
-        case 'w' | 'W' if depth == 0 && i + 5 <= n &&
-            rest.substring(i, i + 5).equalsIgnoreCase("WHERE") &&
+        case c if depth == 0 &&
+            (c == kw.charAt(0) || c.toUpper == kw.charAt(0).toUpper) &&
+            i + k <= n && rest.substring(i, i + k).equalsIgnoreCase(kw) &&
             (i == 0 || !wordChar(rest.charAt(i - 1))) &&
-            (i + 5 == n || !wordChar(rest.charAt(i + 5))) =>
-          return (rest.substring(0, i).trim,
-            Some(rest.substring(i + 5).trim).filter(_.nonEmpty))
+            (i + k == n || !wordChar(rest.charAt(i + k))) =>
+          return i
         case _ =>
       }
       i += 1
     }
-    (rest.trim, None)
+    -1
   }
+
+  /** Split the text following `SET` at the first top-level `WHERE`
+    * keyword into (setsSql, whereSqlOpt). A `WHERE` inside a string
+    * literal or a parenthesized subexpression belongs to a SET
+    * expression and is never the clause boundary. */
+  private[sources] def splitTopLevelWhere(
+      rest: String): (String, Option[String]) =
+    findTopLevel(rest, "WHERE") match {
+      case -1 => (rest.trim, None)
+      case i => (rest.substring(0, i).trim,
+        Some(rest.substring(i + 5).trim).filter(_.nonEmpty))
+    }
 
   /** Split `a = e1, b = e2, …` at top-level commas (commas inside
     * parens, single-quoted strings, or backticks belong to the
@@ -307,6 +337,37 @@ object GraftSqlParser {
         s"UPDATE … SET: cannot parse assignment '$other' — expected " +
           "<column> = <expression>")
     }
+  }
+
+  /** The (usingSql, keyColumn) of a MERGE tail (`<source> ON <cond>
+    * WHEN …`) when — and only when — it is the canonical whole-row
+    * upsert: ON is a single equality on the same-named column of both
+    * sides, and the WHEN clauses are exactly
+    * `WHEN MATCHED THEN UPDATE SET *` + `WHEN NOT MATCHED THEN INSERT
+    * *` (either order). Anything else returns None and the statement
+    * delegates to Spark's row-level MERGE plan. */
+  private def morMergeShape(rest: String): Option[(String, String)] = {
+    val onIdx = findTopLevel(rest, "ON")
+    if (onIdx < 0) return None
+    val usingSql = rest.substring(0, onIdx).trim
+    val afterOn = rest.substring(onIdx + 2)
+    val whenIdx = findTopLevel(afterOn, "WHEN")
+    if (whenIdx < 0) return None
+    val onSql = afterOn.substring(0, whenIdx).trim
+    val whenSql = afterOn.substring(whenIdx).trim
+    def bare(s: String) = s.stripPrefix("`").stripSuffix("`")
+    val key = onSql match {
+      case OnEqRe(_, l, _, r) if bare(l).equalsIgnoreCase(bare(r)) =>
+        bare(l)
+      case _ => return None
+    }
+    val norm = whenSql.replaceAll("\\s+", " ").toLowerCase
+    val canonical =
+      norm == "when matched then update set * " +
+        "when not matched then insert *" ||
+      norm == "when not matched then insert * " +
+        "when matched then update set *"
+    if (canonical && usingSql.nonEmpty) Some((usingSql, key)) else None
   }
 
   /** Resolve `<catalog>.<table>` to the table's filesystem root through
@@ -528,6 +589,36 @@ case class GraftMorUpdateCommand(nameParts: Seq[String],
       org.apache.spark.sql.functions.lit(true))
     val sets = setPairs.map { case (c, e) => c -> toCol(e) }.toMap
     Seq(Row(LakeTable.updateWhereMor(spark, root, cond, sets).toLong))
+  }
+}
+
+/** SQL `MERGE INTO … WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED
+  * THEN INSERT *` on the merge-on-read deletion-vector path
+  * ([[LakeTable.mergeMor]]) — active only under
+  * `spark.graft.update.mode=mor`: matched keys mask positionally
+  * (O(matches) sidecar), ALL source rows land as ONE fresh group,
+  * every pre-existing data file stays byte-identical. `SET *`/`INSERT
+  * *` is a whole-row upsert, so the source must carry exactly the
+  * target's columns (any order — aligned here); a shape mismatch
+  * refuses loudly before any byte lands. The source text re-parses at
+  * RUN time (`SELECT * FROM <using>`), so table names, time-travel
+  * clauses, and parenthesized subqueries all work. */
+case class GraftMorMergeCommand(nameParts: Seq[String],
+    usingSql: String, key: String) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("version", LongType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val root = GraftSqlParser.rootFor(spark, nameParts)
+    val src = spark.sql(s"SELECT * FROM $usingSql")
+    val tCols = LakeTable.read(spark, root).columns
+    require(tCols.map(_.toLowerCase).sorted.toSeq ==
+        src.columns.map(_.toLowerCase).sorted.toSeq,
+      "MERGE … UPDATE SET * / INSERT * needs the source to carry " +
+        s"exactly the target's columns (${tCols.mkString(", ")}), " +
+        s"got ${src.columns.mkString(", ")}")
+    val aligned = src.select(tCols.toIndexedSeq.map(
+      org.apache.spark.sql.functions.col): _*)
+    Seq(Row(LakeTable.mergeMor(spark, root, aligned, key).toLong))
   }
 }
 

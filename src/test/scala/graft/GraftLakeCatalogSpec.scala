@@ -1012,6 +1012,89 @@ class GraftLakeCatalogSpec extends SparkSpec {
     }
   }
 
+  test("SQL MERGE in mor mode: the canonical upsert routes to mergeMor " +
+    "(one sidecar + one group, zero pre-existing groups rewritten); " +
+    "other clause shapes fall through to Spark's COW plan; COW mode " +
+    "untouched") {
+    withWarehouse("lakeMm") { wh =>
+      import spark.implicits._
+      val root = s"$wh/t"
+      LakeTable.createClustered(spark, root,
+        (1L to 100L).map(i => (i, i * 10L)).toDF("id", "v"),
+        "id", numGroups = 4, statsCols = Seq("id"))
+      Seq((5L, 555L), (200L, 2000L)).toDF("id", "v")
+        .createOrReplaceTempView("mm_src")
+      try {
+        // default (COW) mode first: MERGE takes Spark's row-level plan
+        spark.sql("MERGE INTO lakeMm.t AS t USING mm_src AS s " +
+          "ON t.id = s.id WHEN MATCHED THEN UPDATE SET * " +
+          "WHEN NOT MATCHED THEN INSERT *")
+        assert(LakeTable.history(spark, root).last._2 == "merge")
+        assert(spark.sql("SELECT v FROM lakeMm.t WHERE id = 5")
+          .head().getLong(0) == 555L)
+        assert(spark.sql("SELECT count(*) FROM lakeMm.t")
+          .head().getLong(0) == 101)
+        // mor mode: the SAME statement (values shifted) commits one
+        // sidecar + one appended group; every pre-existing group
+        // carries by name
+        Seq((6L, 666L), (300L, 3000L)).toDF("id", "v")
+          .createOrReplaceTempView("mm_src2")
+        spark.conf.set("spark.graft.update.mode", "mor")
+        try {
+          val dirsBefore = LakeTable.dataDirPaths(spark, root)
+          spark.sql("MERGE INTO lakeMm.t AS t USING mm_src2 AS s " +
+            "ON t.id = s.id WHEN MATCHED THEN UPDATE SET * " +
+            "WHEN NOT MATCHED THEN INSERT *")
+          assert(LakeTable.history(spark, root).last._2 == "merge-mor")
+          val dirsAfter = LakeTable.dataDirPaths(spark, root)
+          assert(dirsBefore.forall(dirsAfter.contains) &&
+            dirsAfter.size == dirsBefore.size + 1,
+            s"expected exactly one appended group: $dirsBefore -> $dirsAfter")
+          assert(spark.sql("SELECT v FROM lakeMm.t WHERE id = 6")
+            .head().getLong(0) == 666L)
+          assert(spark.sql("SELECT v FROM lakeMm.t WHERE id = 300")
+            .head().getLong(0) == 3000L)
+          assert(spark.sql("SELECT count(*) FROM lakeMm.t")
+            .head().getLong(0) == 102)
+          // a source missing target columns refuses loudly before any
+          // byte lands
+          Seq((1L, 1L, "x")).toDF("id", "v", "extra")
+            .createOrReplaceTempView("mm_bad")
+          val vBefore = LakeTable.versions(spark, root).last
+          val e = intercept[Exception] {
+            spark.sql("MERGE INTO lakeMm.t USING mm_bad ON id = id " +
+              "WHEN MATCHED THEN UPDATE SET * " +
+              "WHEN NOT MATCHED THEN INSERT *")
+          }
+          assert(e.getMessage != null &&
+            e.getMessage.contains("exactly the target's columns"),
+            s"${e.getClass.getName}: ${e.getMessage}")
+          assert(LakeTable.versions(spark, root).last == vBefore)
+          // a NON-canonical clause shape falls through to Spark's COW
+          // plan, which refuses on a dv snapshot until rewrite — loud,
+          // never silently wrong
+          intercept[Exception] {
+            spark.sql("MERGE INTO lakeMm.t AS t USING mm_src2 AS s " +
+              "ON t.id = s.id WHEN MATCHED THEN UPDATE SET v = s.v + 1")
+          }
+          assert(LakeTable.versions(spark, root).last == vBefore)
+        } finally spark.conf.unset("spark.graft.update.mode")
+        // after rewrite, COW MERGE works again in default mode
+        LakeTable.rewriteDeletes(spark, root)
+        spark.sql("MERGE INTO lakeMm.t AS t USING mm_src AS s " +
+          "ON t.id = s.id WHEN MATCHED THEN UPDATE SET * " +
+          "WHEN NOT MATCHED THEN INSERT *")
+        assert(LakeTable.history(spark, root).last._2 == "merge")
+        assert(spark.sql("SELECT count(*) FROM lakeMm.t")
+          .head().getLong(0) == 102)
+      } finally {
+        spark.catalog.dropTempView("mm_src")
+        spark.catalog.dropTempView("mm_src2")
+        spark.catalog.dropTempView("mm_bad")
+      }
+    }
+  }
+
   test("dv catalog scans PRUNE: a point probe on a deletion-vector " +
     "snapshot opens only stats-admitted groups, masked rows never " +
     "resurface, time travel and stacking intact") {
