@@ -4007,6 +4007,66 @@ object LakeQueries {
     } }
   }
 
+  /** q346: vacuum collects ORPHANED sidecars — the storage-hygiene gap
+    * every long-lived MOR table hits: a rewriteDeletes materializes the
+    * masks and a COW rewrite invalidates the bloom index, leaving their
+    * sidecar bytes referenced only by old versions; once retention
+    * drops those versions, the `_deletes` dv mask and the `_index`
+    * bloom file are garbage. `VACUUM … DRY RUN` lists them (exactly one
+    * of each here, `n_listed` pinned at 7: 2 stale data dirs + 3
+    * dropped manifests + dv + bloom), the real vacuum removes exactly
+    * the listed paths, and the live snapshot keeps serving the
+    * restated totals. Without this the sidecars accumulate forever —
+    * at 100 TB with hourly updates, that is real money. */
+  def vacuumOrphanSidecars(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.load(s, dir, "orders")
+      .filter(col("o_custkey") % 47 === 13)
+      .select(col("o_orderkey").as("k"),
+        expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)")
+          .as("cents"))
+    graft.util.LocalFrame.withConf(s, "spark.sql.shuffle.partitions", "8") {
+    graft.util.Tmp.withTempDir("graft_lake_q346") { rootPath =>
+      val wh = rootPath.toString
+      val cat = "lake_" +
+        java.util.UUID.randomUUID().toString.replace("-", "").take(12)
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftLakeCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+      try {
+        val root = s"$wh/t"
+        LakeTable.create(s, root, base)                       // v1
+        LakeTable.indexBloom(s, root, Seq("k"))               // v2
+        LakeTable.updateWhereMor(s, root, col("k") % 3 === 0, // v3 (+dv)
+          Map("cents" -> (col("cents") + 7)))
+        LakeTable.rewriteDeletes(s, root)                     // v4 (COW)
+        val dry = s.sql(s"VACUUM $cat.t RETAIN 1 VERSIONS DRY RUN")
+          .collect().map(_.getString(0))
+        val dvListed = dry.count(_.contains("/_deletes/")).toLong
+        val bloomListed = dry.count(_.contains("/_index/")).toLong
+        s.sql(s"VACUUM $cat.t RETAIN 1 VERSIONS")
+        val fsys = new org.apache.hadoop.fs.Path(root)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        val allGone = dry.forall(p =>
+          !fsys.exists(new org.apache.hadoop.fs.Path(p)))
+        val after = s.sql(s"SELECT count(*), sum(cents) FROM $cat.t")
+          .head()
+        import s.implicits._
+        graft.util.LocalFrame.materialize(Seq(
+          ("bloom_listed", bloomListed),
+          ("cents_after", after.getLong(1)),
+          ("deleted_exactly", if (allGone) 1L else 0L),
+          ("dv_listed", dvListed),
+          ("n_after_real", after.getLong(0)),
+          ("n_listed", dry.length.toLong),
+          ("versions_after_real",
+            LakeTable.versions(s, root).size.toLong)
+        ).toDF("fact", "n").orderBy(col("fact")))
+      } finally {
+        s.conf.unset(s"spark.sql.catalog.$cat")
+        s.conf.unset(s"spark.sql.catalog.$cat.warehouse")
+      }
+    } }
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q302_partitioned_lake"    -> (partitionedLifecycle _),
     "q303_kll_index_lake"      -> (kllIndexLifecycle _),
@@ -4043,6 +4103,7 @@ object LakeQueries {
     "q342_vacuum_dry_run"      -> (vacuumDryRunQ _),
     "q344_dv_pruned_scan"      -> (dvPrunedScan _),
     "q345_sql_merge_mor"       -> (sqlMergeMor _),
+    "q346_vacuum_orphan_sidecars" -> (vacuumOrphanSidecars _),
     "q282_hll_index_lake"      -> (hllIndexLifecycle _),
     "q281_unique_constraint"   -> (uniqueLifecycle _),
     "q288_column_default"      -> (defaultLifecycle _),
@@ -4132,6 +4193,26 @@ object LakeQueries {
         |UNION ALL SELECT 'n_postimage_cdc', CAST(nm AS BIGINT) FROM a
         |UNION ALL SELECT 'n_preimage_cdc', CAST(nm AS BIGINT) FROM a
         |UNION ALL SELECT 'rewrite_matches', CAST(1 AS BIGINT)
+        |ORDER BY fact""".stripMargin,
+    // q346: totals restated from orders (k%3 rows shifted by 7); the
+    // listing facts follow from the four-commit history — RETAIN 1
+    // drops 3 manifests + 2 stale data dirs and orphans exactly one dv
+    // mask and one bloom sidecar
+    "q346_vacuum_orphan_sidecars" ->
+      """WITH o AS (
+        |  SELECT o_orderkey AS k,
+        |         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |           AS cents
+        |  FROM orders WHERE o_custkey % 47 = 13)
+        |SELECT 'bloom_listed' AS fact, CAST(1 AS BIGINT) AS n
+        |UNION ALL SELECT 'cents_after',
+        |  CAST(sum(cents) + 7 * count(*) FILTER (k % 3 = 0) AS BIGINT)
+        |  FROM o
+        |UNION ALL SELECT 'deleted_exactly', CAST(1 AS BIGINT)
+        |UNION ALL SELECT 'dv_listed', CAST(1 AS BIGINT)
+        |UNION ALL SELECT 'n_after_real', count(*) FROM o
+        |UNION ALL SELECT 'n_listed', CAST(7 AS BIGINT)
+        |UNION ALL SELECT 'versions_after_real', CAST(1 AS BIGINT)
         |ORDER BY fact""".stripMargin,
     // q302: counts/sums restated from orders with the replaced year's
     // cents doubled; the group-accounting facts follow from the

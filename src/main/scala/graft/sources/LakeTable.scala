@@ -3508,12 +3508,32 @@ object LakeTable {
     math.max(fresh, 1)
   }
 
+  /** Every sidecar path a manifest's metadata references: MOR delete
+    * masks (equality `deletes` lists and positional `dv` lists under
+    * `_deletes`) and the `_index` sidecars (bloom filters, ANN model
+    * + codes, HLL/KLL sketches, the MinHash ingest index). These are
+    * the paths a vacuum must keep while ANY retained version names
+    * them — and may collect once none does (rewriteDeletes and COW
+    * invalidation drop the keys, leaving the bytes orphaned). */
+  private def sidecarRefsAt(meta: Map[String, String]): Set[String] =
+    (meta.get("deletes").toSeq.flatMap(_.split(",")) ++
+     meta.get("dv").toSeq.flatMap(_.split(",")) ++
+     meta.collect {
+       case (k, v) if k.startsWith("bloom:") || k.startsWith("annmodel:") ||
+         k.startsWith("anncodes:") || k.startsWith("hllsk:") ||
+         k.startsWith("kllsk:") || k.startsWith("mhidx:") => v
+     }).filter(_.nonEmpty).toSet
+
   /** What [[vacuum]] WOULD delete for this retention, deleting nothing
     * (Delta's `VACUUM … DRY RUN`): data dirs referenced only by
     * dropped versions (foreign absolute paths excluded — never this
-    * table's to delete), dropped versions' change sidecars, and the
-    * dropped manifests themselves. The real vacuum deletes EXACTLY
-    * this list, so an operator can eyeball the blast radius first. */
+    * table's to delete), dropped versions' change sidecars, delete
+    * masks and index sidecars no RETAINED version still references
+    * (the `_deletes` dv sidecars left behind by a rewriteDeletes, the
+    * `_index` entries dropped by a COW invalidation — without this they
+    * accumulate forever on a long-lived table), and the dropped
+    * manifests themselves. The real vacuum deletes EXACTLY this list,
+    * so an operator can eyeball the blast radius first. */
   def vacuumDryRun(spark: SparkSession, root: String,
                    keepVersions: Int): Seq[String] = {
     val vs = versions(spark, root)
@@ -3521,18 +3541,26 @@ object LakeTable {
     val keep = vs.takeRight(keepVersions)
     val drop = vs.dropRight(keepVersions)
     val kept = keep.flatMap(readManifest(spark, root, _)).toSet
-    // distinct: a stale dir or CDC sidecar referenced by SEVERAL
-    // dropped versions would otherwise list once per version — the
-    // real vacuum re-deletes idempotently, but DRY RUN output (and its
-    // count) must name each path exactly once
+    val keptSidecars =
+      keep.flatMap(v => sidecarRefsAt(manifestMeta(spark, root, v))).toSet
+    // distinct: a stale dir or sidecar referenced by SEVERAL dropped
+    // versions would otherwise list once per version — the real vacuum
+    // re-deletes idempotently, but DRY RUN output (and its count) must
+    // name each path exactly once
     drop.flatMap { v =>
+      val meta = manifestMeta(spark, root, v)
       readManifest(spark, root, v)
         .filterNot(kept.contains)
         .filterNot(d => new Path(d).isAbsolute)
         .map(d => new Path(root, d).toString) ++
       // a dropped version's change sidecar goes with it: the feed is
       // only ever served for time-travelable versions
-      cdcPathAt(manifestMeta(spark, root, v))
+      cdcPathAt(meta)
+        .map(rel => new Path(root, rel).toString) ++
+      // masks/indexes this dropped version referenced, kept by no
+      // retained version (absolute = foreign clone refs, never ours)
+      (sidecarRefsAt(meta) -- keptSidecars).toSeq.sorted
+        .filterNot(p => new Path(p).isAbsolute)
         .map(rel => new Path(root, rel).toString) ++
       Seq(manifestPath(root, v).toString)
     }.distinct

@@ -56,6 +56,9 @@ class VacuumSafetySpec extends graft.SparkSpec {
         case ("deletes", list) => list.split(",").foreach { r =>
           assert(resolves(r), s"v$v at $root references vacuumed mask $r")
         }
+        case ("dv", list) => list.split(",").foreach { r =>
+          assert(resolves(r), s"v$v at $root references vacuumed dv mask $r")
+        }
         case (k, p) if k.startsWith("bloom:") || k.startsWith("annmodel:") ||
             k.startsWith("anncodes:") || k.startsWith("hllsk:") ||
             k.startsWith("kllsk:") =>
@@ -90,7 +93,7 @@ class VacuumSafetySpec extends graft.SparkSpec {
         var cloned = false
         LakeTable.create(spark, src, mkRows(live.toSeq.sorted))
         val nOps = 5 + rnd.nextInt(4)
-        for (_ <- 1 to nOps) rnd.nextInt(9) match {
+        for (_ <- 1 to nOps) rnd.nextInt(11) match {
           case 0 => // append fresh ids
             val k = 1 + rnd.nextInt(4)
             val ids = (nextId until nextId + k)
@@ -128,6 +131,22 @@ class VacuumSafetySpec extends graft.SparkSpec {
             if (!cloned) {
               LakeTable.vacuum(spark, src, keepVersions = 1 + rnd.nextInt(3))
               assertIntegrity(src, fullReadAll = false)
+            }
+          case 9 => // positional MOR update (dv sidecar, ids unchanged)
+            val m = 2 + rnd.nextInt(3); val r = rnd.nextInt(m)
+            if (live.exists(_ % m == r)) {
+              LakeTable.updateWhereMor(spark, src, col("id") % m === r,
+                Map("qty" -> (col("qty") + 100L)))
+              hasMor = true
+            }
+          case 10 => // positional MOR delete (dv sidecar; exact model —
+            // ids are unique and later appends always use fresh ids)
+            val m = 2 + rnd.nextInt(3); val r = rnd.nextInt(m)
+            val doomed = live.filter(_ % m == r)
+            if (doomed.nonEmpty && doomed.size < live.size) {
+              LakeTable.deleteWhereDv(spark, src, col("id") % m === r)
+              live --= doomed
+              hasMor = true
             }
           case 8 => // clone once, then clone-side vacuum must not touch
             // a single source byte
