@@ -4067,6 +4067,68 @@ object LakeQueries {
     } }
   }
 
+  /** q347: deletion-vector mask COMPACTION — [[LakeTable.compactDeletes]]
+    * folds the sidecar-per-commit accumulation (here: update + delete +
+    * update = 3 sidecars) into ONE deduplicated sidecar in a
+    * metadata-only commit: zero data files touched (`files_untouched`,
+    * `compact_added_groups` = 0), reads byte-identical before/after
+    * (`reads_equal`), the pre-compaction version still serving its own
+    * 3-sidecar list. This is Delta's DV-compaction middle ground: a
+    * table taking hourly point updates folds its read-side mask union
+    * back to one broadcast at O(mask) cost, without paying
+    * rewriteDeletes' O(table) rewrite. Values restate from orders
+    * (k%5 rows +1, k%11 rows deleted, surviving k%7 rows +2). */
+  def compactDeletesQ(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.load(s, dir, "orders")
+      .filter(col("o_custkey") % 53 === 17)
+      .select(col("o_orderkey").as("k"),
+        expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)")
+          .as("cents"))
+    graft.util.LocalFrame.withConf(s, "spark.sql.shuffle.partitions", "8") {
+    graft.util.Tmp.withTempDir("graft_lake_q347") { rootPath =>
+      val root = rootPath.toString + "/t"
+      LakeTable.createClustered(s, root, base, "k",
+        numGroups = 4, statsCols = Nil)
+      LakeTable.updateWhereMor(s, root, col("k") % 5 === 0,
+        Map("cents" -> (col("cents") + 1)))
+      LakeTable.deleteWhereDv(s, root, col("k") % 11 === 0)
+      LakeTable.updateWhereMor(s, root, col("k") % 7 === 0,
+        Map("cents" -> (col("cents") + 2)))
+      val vBefore = LakeTable.latestVersion(s, root).get
+      def dvCount(v: Int): Long =
+        LakeTable.manifestMetaAt(s, root, v).get("dv")
+          .toSeq.flatMap(_.split(",")).count(_.nonEmpty).toLong
+      val sidecarsBefore = dvCount(vBefore)
+      val before = graft.util.LocalFrame.materialize(
+        LakeTable.read(s, root))
+      val dirsBefore = LakeTable.dataDirPaths(s, root)
+      val vAfter = LakeTable.compactDeletes(s, root)
+      val compactOp =
+        if (LakeTable.manifestMetaAt(s, root, vAfter)
+          .get("op").contains("compact-deletes")) 1L else 0L
+      val dirsAfter = LakeTable.dataDirPaths(s, root)
+      val untouched = if (dirsAfter == dirsBefore) 1L else 0L
+      val addedGroups = (dirsAfter.size - dirsBefore.size).toLong
+      val after = LakeTable.read(s, root)
+      val readsEqual =
+        if (before.exceptAll(after).isEmpty &&
+            after.exceptAll(before).isEmpty) 1L else 0L
+      val agg = after.agg(count(lit(1)), sum(col("cents"))).head()
+      import s.implicits._
+      graft.util.LocalFrame.materialize(Seq(
+        ("cents_after", agg.getLong(1)),
+        ("compact_added_groups", addedGroups),
+        ("compact_op", compactOp),
+        ("files_untouched", untouched),
+        ("n_after", agg.getLong(0)),
+        ("old_version_sidecars", dvCount(vBefore)),
+        ("reads_equal", readsEqual),
+        ("sidecars_after", dvCount(vAfter)),
+        ("sidecars_before", sidecarsBefore)
+      ).toDF("fact", "n").orderBy(col("fact")))
+    } }
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q302_partitioned_lake"    -> (partitionedLifecycle _),
     "q303_kll_index_lake"      -> (kllIndexLifecycle _),
@@ -4104,6 +4166,7 @@ object LakeQueries {
     "q344_dv_pruned_scan"      -> (dvPrunedScan _),
     "q345_sql_merge_mor"       -> (sqlMergeMor _),
     "q346_vacuum_orphan_sidecars" -> (vacuumOrphanSidecars _),
+    "q347_compact_deletes"     -> (compactDeletesQ _),
     "q282_hll_index_lake"      -> (hllIndexLifecycle _),
     "q281_unique_constraint"   -> (uniqueLifecycle _),
     "q288_column_default"      -> (defaultLifecycle _),
@@ -4213,6 +4276,30 @@ object LakeQueries {
         |UNION ALL SELECT 'n_after_real', count(*) FROM o
         |UNION ALL SELECT 'n_listed', CAST(7 AS BIGINT)
         |UNION ALL SELECT 'versions_after_real', CAST(1 AS BIGINT)
+        |ORDER BY fact""".stripMargin,
+    // q347: survivors' cents restated from orders (k%5 +1, k%11 gone,
+    // surviving k%7 +2); the fold facts (3 sidecars → 1, zero groups
+    // touched, reads equal) pin as integers
+    "q347_compact_deletes" ->
+      """WITH o AS (
+        |  SELECT o_orderkey AS k,
+        |         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |           AS cents
+        |  FROM orders WHERE o_custkey % 53 = 17),
+        |f AS (SELECT cents
+        |             + (CASE WHEN k % 5 = 0 THEN 1 ELSE 0 END)
+        |             + (CASE WHEN k % 7 = 0 THEN 2 ELSE 0 END) AS cents
+        |      FROM o WHERE k % 11 <> 0)
+        |SELECT 'cents_after' AS fact, CAST(sum(cents) AS BIGINT) AS n
+        |FROM f
+        |UNION ALL SELECT 'compact_added_groups', CAST(0 AS BIGINT)
+        |UNION ALL SELECT 'compact_op', CAST(1 AS BIGINT)
+        |UNION ALL SELECT 'files_untouched', CAST(1 AS BIGINT)
+        |UNION ALL SELECT 'n_after', count(*) FROM f
+        |UNION ALL SELECT 'old_version_sidecars', CAST(3 AS BIGINT)
+        |UNION ALL SELECT 'reads_equal', CAST(1 AS BIGINT)
+        |UNION ALL SELECT 'sidecars_after', CAST(1 AS BIGINT)
+        |UNION ALL SELECT 'sidecars_before', CAST(3 AS BIGINT)
         |ORDER BY fact""".stripMargin,
     // q302: counts/sums restated from orders with the replaced year's
     // cents doubled; the group-accounting facts follow from the

@@ -2409,7 +2409,8 @@ object LakeTable {
       .write.parquet(new Path(root, stageRel).toString)
     try {
       val staged = spark.read.parquet(new Path(root, stageRel).toString)
-      if (staged.isEmpty) return v
+      val nMatches = staged.count()
+      if (nMatches == 0) return v
       // the replacement rows: SETs applied, generated columns dropped
       // then re-materialized, gates in exactly the append order —
       // EVERY gate runs before any sidecar or data byte lands, so a
@@ -2430,9 +2431,9 @@ object LakeTable {
         enforceUnique(meta, updated, Some(survivors), "by MOR update")
       }
       // positional delete sidecar — tagged 'U' for CDC classification
-      val dvRel = s"_deletes/dv-${java.util.UUID.randomUUID()}"
-      staged.select(col(FileCol), col(PosCol), lit("U").as("__op"))
-        .coalesce(1).write.parquet(new Path(root, dvRel).toString)
+      val dvRel = writeDvSidecar(spark, root,
+        staged.select(col(FileCol), col(PosCol), lit("U").as("__op")),
+        nMatches)
       val parts = partColsAt(meta) match {
         case Seq() => Seq((writeDataFiles(spark, root, updated), None))
         case pcs => writePartitionedDataFiles(spark, root, pcs, updated)
@@ -2499,13 +2500,13 @@ object LakeTable {
           .drop(FileCol, PosCol)
         enforceUnique(meta, updates, Some(survivors), "by MOR merge")
       }
-      val hasMatches = !staged.isEmpty
+      val nMatches = staged.count()
       val dvMeta =
-        if (!hasMatches) Map.empty[String, String]
+        if (nMatches == 0) Map.empty[String, String]
         else {
-          val dvRel = s"_deletes/dv-${java.util.UUID.randomUUID()}"
-          staged.select(col(FileCol), col(PosCol), lit("U").as("__op"))
-            .coalesce(1).write.parquet(new Path(root, dvRel).toString)
+          val dvRel = writeDvSidecar(spark, root,
+            staged.select(col(FileCol), col(PosCol), lit("U").as("__op")),
+            nMatches)
           Map("dv" -> (dvState(meta) :+ dvRel).mkString(","))
         }
       val parts = partColsAt(meta) match {
@@ -2564,10 +2565,11 @@ object LakeTable {
       .write.parquet(new Path(root, stageRel).toString)
     try {
       val staged = spark.read.parquet(new Path(root, stageRel).toString)
-      if (staged.isEmpty) return v
-      val dvRel = s"_deletes/dv-${java.util.UUID.randomUUID()}"
-      staged.select(col(FileCol), col(PosCol), lit("D").as("__op"))
-        .coalesce(1).write.parquet(new Path(root, dvRel).toString)
+      val nMatches = staged.count()
+      if (nMatches == 0) return v
+      val dvRel = writeDvSidecar(spark, root,
+        staged.select(col(FileCol), col(PosCol), lit("D").as("__op")),
+        nMatches)
       val list = (dvState(meta) :+ dvRel).mkString(",")
       withStagedCdc(spark, root,
         staged.drop(FileCol, PosCol)
@@ -2589,6 +2591,54 @@ object LakeTable {
       s"no merge-on-read deletes to rewrite at $root")
     commit(spark, root, Seq(writeDataFiles(spark, root, read(spark, root))),
       Map("op" -> "rewrite-deletes"))
+  }
+
+  /** Rows per file a positional-delete sidecar may funnel through ONE
+    * task before the write goes parallel ([[writeDvSidecar]]). */
+  private val DvSidecarRowsPerFile = 4L * 1000 * 1000
+
+  /** Write a positional-delete sidecar. Point updates (the common
+    * case) collapse to one file; a BROAD predicate that matched
+    * millions of rows writes in parallel instead of funneling every
+    * (file, pos) pair through a single task — the mask stays O(matches)
+    * bytes either way, this only bounds the write's critical path. */
+  private def writeDvSidecar(spark: SparkSession, root: String,
+      keyed: DataFrame, nMatches: Long): String = {
+    val dvRel = s"_deletes/dv-${java.util.UUID.randomUUID()}"
+    val parts = math.max(1L,
+      (nMatches + DvSidecarRowsPerFile - 1) / DvSidecarRowsPerFile).toInt
+    keyed.coalesce(parts).write.parquet(new Path(root, dvRel).toString)
+    dvRel
+  }
+
+  /** Compact the accumulated deletion-vector sidecars into ONE
+    * deduplicated sidecar — a METADATA-ONLY commit, O(mask) bytes, no
+    * data file touched (every data dir carries by name). A table taking
+    * hourly point updates accumulates one sidecar per commit and every
+    * scan unions them all; compacting folds that read-side cost back to
+    * one broadcast without paying [[rewriteDeletes]]' O(table) rewrite.
+    * Old versions keep serving their own sidecar lists (the old
+    * sidecars stay on disk until vacuum collects them once no retained
+    * version references them). Returns the committed version; refuses
+    * when fewer than two sidecars exist (nothing to fold). */
+  def compactDeletes(spark: SparkSession, root: String): Int = {
+    val v = latestVersion(spark, root)
+      .getOrElse(throw new IllegalStateException(s"no table at $root"))
+    val meta = manifestMeta(spark, root, v)
+    val rels = dvState(meta)
+    require(rels.size >= 2,
+      s"compactDeletes at $root needs at least 2 deletion-vector " +
+        s"sidecars to fold, have ${rels.size}")
+    val all = spark.read
+      .parquet(rels.map(r => new Path(root, r).toString): _*)
+    // (file, pos) is unique across sidecars — a masked row never
+    // reappears in a later masked read, so no later commit can re-mask
+    // it — making distinct a pure safety net for hand-edited state
+    val merged = all.distinct()
+    val n = merged.count()
+    val dvRel = writeDvSidecar(spark, root, merged, n)
+    commitVersion(spark, root, v + 1, readManifest(spark, root, v),
+      meta - "op" + ("dv" -> dvRel) + ("op" -> "compact-deletes"))
   }
 
   /** Table-wide equality-delete state recorded in a manifest:

@@ -1978,6 +1978,65 @@ class LakeTableSpec extends SparkSpec {
     }
   }
 
+  test("compactDeletes: N stacked dv sidecars fold into ONE in a " +
+    "metadata-only commit — reads identical, data files untouched, " +
+    "old versions keep their own lists") {
+    withTable { root =>
+      import spark.implicits._
+      LakeTable.create(spark, root,
+        (1L to 100L).map(i => (i, i * 10L)).toDF("id", "v"))
+      // refuses with nothing to fold
+      intercept[IllegalArgumentException] {
+        LakeTable.compactDeletes(spark, root) }
+      LakeTable.updateWhereMor(spark, root, col("id") === 1L,
+        Map("v" -> lit(111L)))
+      intercept[IllegalArgumentException] {
+        LakeTable.compactDeletes(spark, root) } // one sidecar: nothing to fold
+      LakeTable.deleteWhereDv(spark, root, col("id") === 2L)
+      LakeTable.updateWhereMor(spark, root, col("id") === 3L,
+        Map("v" -> lit(333L)))
+      val vBefore = LakeTable.latestVersion(spark, root).get
+      def dvList(v: Int): Seq[String] =
+        LakeTable.manifestMetaAt(spark, root, v).get("dv")
+          .toSeq.flatMap(_.split(",")).filter(_.nonEmpty)
+      assert(dvList(vBefore).size == 3)
+      val before = LakeTable.read(spark, root)
+        .orderBy(col("id")).collect().toSeq
+      val dirsBefore = LakeTable.dataDirPaths(spark, root)
+      val vAfter = LakeTable.compactDeletes(spark, root)
+      assert(LakeTable.manifestMetaAt(spark, root, vAfter)
+        .get("op").contains("compact-deletes"))
+      // ONE sidecar now; same data dirs; byte-identical read
+      assert(dvList(vAfter).size == 1)
+      assert(LakeTable.dataDirPaths(spark, root) == dirsBefore,
+        "compactDeletes touched a data file")
+      assert(LakeTable.read(spark, root)
+        .orderBy(col("id")).collect().toSeq == before)
+      assert(LakeTable.read(spark, root).count() == 99)
+      assert(LakeTable.read(spark, root).filter(col("id") === 3L)
+        .select(col("v")).head().getLong(0) == 333L)
+      // the pre-compaction version still serves its own 3-sidecar list
+      assert(dvList(vBefore).size == 3)
+      assert(LakeTable.read(spark, root, Some(vBefore))
+        .orderBy(col("id")).collect().toSeq == before)
+      // further stacking works on the folded state
+      LakeTable.updateWhereMor(spark, root, col("id") === 3L,
+        Map("v" -> lit(334L)))
+      assert(dvList(LakeTable.latestVersion(spark, root).get).size == 2)
+      assert(LakeTable.read(spark, root).filter(col("id") === 3L)
+        .select(col("v")).head().getLong(0) == 334L)
+      // rewrite still materializes everything away
+      LakeTable.rewriteDeletes(spark, root)
+      assert(!LakeTable.manifestMetaAt(spark, root,
+        LakeTable.latestVersion(spark, root).get).contains("dv"))
+      assert(LakeTable.read(spark, root).count() == 99)
+      // vacuum now collects the folded-away sidecars: nothing retained
+      // references them
+      LakeTable.vacuum(spark, root, keepVersions = 1)
+      assert(LakeTable.read(spark, root).count() == 99)
+    }
+  }
+
   test("string min/max skipping stats: equality probes prune to the " +
     "matching group; >64-char values drop the stat honestly and " +
     "admit everything; values stay exact") {
