@@ -4129,6 +4129,79 @@ object LakeQueries {
     } }
   }
 
+  /** q348: `DESCRIBE HISTORY` commit TIMESTAMPS — each version's
+    * commit_ts is the manifest mtime, the SAME clock `RESTORE …
+    * TIMESTAMP AS OF` and `VACUUM … RETAIN n HOURS` read, so a listed
+    * time ROUND-TRIPS: restoring to v2's listed commit_ts lands on v2
+    * exactly, and a retention window measured against the listed times
+    * keeps exactly the versions it appears to. Wall-clock mtimes are
+    * nondeterministic, so the history is pinned onto a synthetic clock
+    * (3h/2h/90min ago) first — the oracle then checks the listing
+    * surfaces those exact instants and both consumers resolve them.
+    * Row counts restate from orders. */
+  def historyTimestamps(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.load(s, dir, "orders")
+      .filter(col("o_custkey") % 59 === 23)
+      .select(col("o_orderkey").as("k"),
+        expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)")
+          .as("cents"))
+    graft.util.LocalFrame.withConf(s, "spark.sql.shuffle.partitions", "8") {
+    graft.util.Tmp.withTempDir("graft_lake_q348") { rootPath =>
+      val wh = rootPath.toString
+      val cat = "lake_" +
+        java.util.UUID.randomUUID().toString.replace("-", "").take(12)
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftLakeCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+      try {
+        val root = s"$wh/t"
+        LakeTable.create(s, root, base.filter(col("k") % 3 === 0)) // v1
+        LakeTable.append(s, root, base.filter(col("k") % 3 === 1)) // v2
+        LakeTable.append(s, root, base.filter(col("k") % 3 === 2)) // v3
+        val fsys = new org.apache.hadoop.fs.Path(root)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        val now = System.currentTimeMillis()
+        val clock = Map(1 -> (now - 3L * 3600 * 1000),
+          2 -> (now - 2L * 3600 * 1000), 3 -> (now - 90L * 60 * 1000))
+        clock.foreach { case (v, ms) =>
+          fsys.setTimes(new org.apache.hadoop.fs.Path(
+            s"$root/_versions", f"v$v%08d.json"), ms, -1) }
+        val hist = s.sql(s"DESCRIBE HISTORY $cat.t").collect()
+        val nListed = hist.length.toLong
+        val tsMatch = hist.forall(r =>
+          r.getTimestamp(3).getTime == clock(r.getLong(0).toInt))
+        val tsMonotone = hist.map(_.getTimestamp(3).getTime).toSeq ==
+          hist.map(_.getTimestamp(3).getTime).toSeq.sorted
+        // round trip 1: restore to v2's LISTED commit_ts lands on v2
+        val tsV2 = hist.find(_.getLong(0) == 2L).get.getTimestamp(3)
+        val r = s.sql(
+          s"RESTORE TABLE $cat.t TO TIMESTAMP AS OF '$tsV2'").head()
+        val resolved = r.getLong(1)
+        val nAfterRestore = s.sql(s"SELECT count(*) FROM $cat.t")
+          .head().getLong(0)
+        // round trip 2: a 1-hour window measured against the listed
+        // times keeps only the (fresh) restore commit; its referenced
+        // old groups survive, so the snapshot keeps serving
+        s.sql(s"VACUUM $cat.t RETAIN 1 HOURS")
+        val versionsAfter = LakeTable.versions(s, root).size.toLong
+        val nAfterVacuum = s.sql(s"SELECT count(*) FROM $cat.t")
+          .head().getLong(0)
+        import s.implicits._
+        graft.util.LocalFrame.materialize(Seq(
+          ("n_after_restore", nAfterRestore),
+          ("n_after_vacuum", nAfterVacuum),
+          ("n_versions_listed", nListed),
+          ("restored_version", resolved),
+          ("ts_listed_match", if (tsMatch) 1L else 0L),
+          ("ts_monotone", if (tsMonotone) 1L else 0L),
+          ("versions_after_vacuum", versionsAfter)
+        ).toDF("fact", "n").orderBy(col("fact")))
+      } finally {
+        s.conf.unset(s"spark.sql.catalog.$cat")
+        s.conf.unset(s"spark.sql.catalog.$cat.warehouse")
+      }
+    } }
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q302_partitioned_lake"    -> (partitionedLifecycle _),
     "q303_kll_index_lake"      -> (kllIndexLifecycle _),
@@ -4167,6 +4240,7 @@ object LakeQueries {
     "q345_sql_merge_mor"       -> (sqlMergeMor _),
     "q346_vacuum_orphan_sidecars" -> (vacuumOrphanSidecars _),
     "q347_compact_deletes"     -> (compactDeletesQ _),
+    "q348_history_timestamps"  -> (historyTimestamps _),
     "q282_hll_index_lake"      -> (hllIndexLifecycle _),
     "q281_unique_constraint"   -> (uniqueLifecycle _),
     "q288_column_default"      -> (defaultLifecycle _),
@@ -4300,6 +4374,23 @@ object LakeQueries {
         |UNION ALL SELECT 'reads_equal', CAST(1 AS BIGINT)
         |UNION ALL SELECT 'sidecars_after', CAST(1 AS BIGINT)
         |UNION ALL SELECT 'sidecars_before', CAST(3 AS BIGINT)
+        |ORDER BY fact""".stripMargin,
+    // q348: restore lands on v2 (k%3 in {0,1}); the vacuum keeps only
+    // the restore commit, whose referenced groups keep serving the
+    // same rows; clock facts pin as integers (the engine surfaces the
+    // exact instants the query stamped)
+    "q348_history_timestamps" ->
+      """WITH o AS (
+        |  SELECT o_orderkey AS k FROM orders WHERE o_custkey % 59 = 23)
+        |SELECT 'n_after_restore' AS fact,
+        |       count(*) FILTER (k % 3 < 2) AS n FROM o
+        |UNION ALL SELECT 'n_after_vacuum',
+        |  count(*) FILTER (k % 3 < 2) FROM o
+        |UNION ALL SELECT 'n_versions_listed', CAST(3 AS BIGINT)
+        |UNION ALL SELECT 'restored_version', CAST(2 AS BIGINT)
+        |UNION ALL SELECT 'ts_listed_match', CAST(1 AS BIGINT)
+        |UNION ALL SELECT 'ts_monotone', CAST(1 AS BIGINT)
+        |UNION ALL SELECT 'versions_after_vacuum', CAST(1 AS BIGINT)
         |ORDER BY fact""".stripMargin,
     // q302: counts/sums restated from orders with the replaced year's
     // cents doubled; the group-accounting facts follow from the

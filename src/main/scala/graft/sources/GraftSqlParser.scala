@@ -27,8 +27,10 @@ import org.apache.spark.sql.types.{LongType, StringType, StructType}
   *    commit mtimes decide, the latest version always survives).
   *    RETAIN is REQUIRED either way: a default would silently destroy
   *    time travel, the one thing a vacuum must never do by surprise;
-  *  - `DESCRIBE HISTORY <cat>.<t>` → [[LakeTable.history]] rows
-  *    (version, operation, file_groups), ascending;
+  *  - `DESCRIBE HISTORY <cat>.<t>` → [[LakeTable.historyWithTimestamps]]
+  *    rows (version, operation, file_groups, commit_ts), ascending —
+  *    commit_ts is the manifest mtime, the same clock `TIMESTAMP AS
+  *    OF` and `RETAIN n HOURS` read, so listed times round-trip;
   *  - `RESTORE [TABLE] <cat>.<t> [TO] VERSION AS OF <n>` →
   *    [[LakeTable.restore]] (a NEW commit re-referencing the old
   *    version's groups — history stays immutable);
@@ -670,7 +672,9 @@ case class GraftMaintenanceCommand(verb: String, nameParts: Seq[String],
     case "history" => Seq(
       AttributeReference("version", LongType, nullable = false)(),
       AttributeReference("operation", StringType, nullable = false)(),
-      AttributeReference("file_groups", LongType, nullable = false)())
+      AttributeReference("file_groups", LongType, nullable = false)(),
+      AttributeReference("commit_ts",
+        org.apache.spark.sql.types.TimestampType, nullable = false)())
     case _ => Seq(
       AttributeReference("version", LongType, nullable = false)())
   }
@@ -688,8 +692,11 @@ case class GraftMaintenanceCommand(verb: String, nameParts: Seq[String],
         LakeTable.vacuumRetainHours(spark, root, n.get)
         Seq(Row(LakeTable.versions(spark, root).last.toLong))
       case "history" =>
-        LakeTable.history(spark, root).map { case (v, op, g) =>
-          Row(v.toLong, op, g.toLong) }
+        // commit_ts = manifest mtime, the same clock TIMESTAMP AS OF
+        // and RETAIN n HOURS read — a listed time round-trips exactly
+        LakeTable.historyWithTimestamps(spark, root).map {
+          case (v, op, g, ms) =>
+            Row(v.toLong, op, g.toLong, new java.sql.Timestamp(ms)) }
       case "restore" =>
         Seq(Row(LakeTable.restore(spark, root, n.get.toInt).toLong))
       case other =>

@@ -2999,10 +2999,25 @@ object LakeTable {
     * opened. Versions committed before operation tagging read as
     * "unknown". */
   def history(spark: SparkSession, root: String): Seq[(Int, String, Int)] =
+    historyWithTimestamps(spark, root).map { case (v, op, g, _) =>
+      (v, op, g) }
+
+  /** [[history]] plus each version's COMMIT TIME (epoch millis) — the
+    * manifest mtime, i.e. the SAME clock `TIMESTAMP AS OF` resolution
+    * ([[versionAtTimestamp]]) and `VACUUM … RETAIN n HOURS`
+    * ([[retainHoursKeepCount]]) read, so a timestamp surfaced here
+    * round-trips through both: restoring to a listed commit_ts lands
+    * on that version, and a retention window measured against the
+    * listed times keeps exactly the versions it appears to. */
+  def historyWithTimestamps(spark: SparkSession,
+      root: String): Seq[(Int, String, Int, Long)] = {
+    val f = fs(spark, root)
     versions(spark, root).map { v =>
       (v, manifestMeta(spark, root, v).getOrElse("op", "unknown"),
-        readManifest(spark, root, v).size)
+        readManifest(spark, root, v).size,
+        f.getFileStatus(manifestPath(root, v)).getModificationTime)
     }
+  }
 
   /** Right-to-be-forgotten PURGE: remove matching rows from the current
     * snapshot AND from all retained history in one operation — the
