@@ -4202,6 +4202,91 @@ object LakeQueries {
     } }
   }
 
+  /** q349: partition-scoped ZORDER — `OPTIMIZE t WHERE yk = 1995
+    * ZORDER BY (ck, cents) INTO 3 GROUPS` composes q333's scoping with
+    * q317's Morton re-layout: ONLY the named year's group rewrites (as
+    * 3 contiguous z-ranges, each still tagged yk=1995 so partition
+    * pruning stays exact — an equality probe on 1995 scans exactly the
+    * 3 z-groups, on 1996 exactly 1); every other year carries by name,
+    * zero bytes read (`carried_by_name`). The fresh two-column stats
+    * prune corner probes on EITHER z-column below the full group count
+    * (`*_corner_pruned`). Refusals: non-partition scope column and
+    * unknown value, both loud. Totals restate from orders — the
+    * re-layout moves bytes, never values. */
+  def zorderWhere(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.load(s, dir, "orders")
+      .filter(col("o_custkey") % 13 === 4)
+      .select(col("o_orderkey").as("k"),
+        year(col("o_orderdate")).cast("long").as("yk"),
+        col("o_custkey").as("ck"),
+        expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)")
+          .as("cents"))
+    graft.util.LocalFrame.withConf(s, "spark.sql.shuffle.partitions", "8") {
+    graft.util.Tmp.withTempDir("graft_lake_q349") { rootPath =>
+      val wh = rootPath.toString
+      val cat = "lake_" +
+        java.util.UUID.randomUUID().toString.replace("-", "").take(12)
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftLakeCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+      try {
+        val root = s"$wh/t"
+        LakeTable.createEmpty(s, root, base.schema, Seq("yk"))
+        LakeTable.append(s, root, base)
+        val dirsBefore = LakeTable.dataDirPaths(s, root)
+        s.sql(s"OPTIMIZE $cat.t WHERE yk = 1995 " +
+          "ZORDER BY (ck, cents) INTO 3 GROUPS")
+        val zOp = if (LakeTable.history(s, root).last._2 ==
+          "optimize-zorder-where") 1L else 0L
+        val dirsAfter = LakeTable.dataDirPaths(s, root)
+        val scoped1995 = base.filter(col("yk") === 1995)
+        val carried = dirsBefore.filter(d => dirsAfter.contains(d))
+        val carriedByName =
+          if (carried.size == dirsBefore.size - 1) 1L else 0L
+        val groupsAfter = dirsAfter.size.toLong
+        val scopeEq = LakeTable.selectGroupsEq(s, root, "yk", 1995L)
+          .size.toLong
+        val otherEq = LakeTable.selectGroupsEq(s, root, "yk", 1996L)
+          .size.toLong
+        val corners = scoped1995.agg(
+          max(col("ck")).cast("double"), max(col("cents")).cast("double"))
+          .head()
+        val ckPruned = if (LakeTable.selectGroups(s, root, "ck",
+          corners.getDouble(0), Double.MaxValue).size < dirsAfter.size)
+          1L else 0L
+        val centsPruned = if (LakeTable.selectGroups(s, root, "cents",
+          corners.getDouble(1), Double.MaxValue).size < dirsAfter.size)
+          1L else 0L
+        val agg = s.sql(
+          s"SELECT count(*), sum(cents), " +
+            s"sum(CASE WHEN yk = 1995 THEN cents ELSE 0 END) " +
+            s"FROM $cat.t").head()
+        val refusedNonPart = refused("not a partition column") {
+          s.sql(s"OPTIMIZE $cat.t WHERE ck = 5 ZORDER BY (k, cents)") }
+        val refusedUnknown = refused("no file groups carry") {
+          s.sql(s"OPTIMIZE $cat.t WHERE yk = 1890 " +
+            "ZORDER BY (ck, cents)") }
+        import s.implicits._
+        graft.util.LocalFrame.materialize(Seq(
+          ("carried_by_name", carriedByName),
+          ("cents_1995", agg.getLong(2)),
+          ("cents_corner_pruned", centsPruned),
+          ("cents_total", agg.getLong(1)),
+          ("ck_corner_pruned", ckPruned),
+          ("groups_after", groupsAfter),
+          ("n_total", agg.getLong(0)),
+          ("refused_nonpart", refusedNonPart),
+          ("refused_unknown_value", refusedUnknown),
+          ("scope_eq_groups", scopeEq),
+          ("year_other_eq_groups", otherEq),
+          ("zorder_where_op", zOp)
+        ).toDF("fact", "n").orderBy(col("fact")))
+      } finally {
+        s.conf.unset(s"spark.sql.catalog.$cat")
+        s.conf.unset(s"spark.sql.catalog.$cat.warehouse")
+      }
+    } }
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q302_partitioned_lake"    -> (partitionedLifecycle _),
     "q303_kll_index_lake"      -> (kllIndexLifecycle _),
@@ -4241,6 +4326,7 @@ object LakeQueries {
     "q346_vacuum_orphan_sidecars" -> (vacuumOrphanSidecars _),
     "q347_compact_deletes"     -> (compactDeletesQ _),
     "q348_history_timestamps"  -> (historyTimestamps _),
+    "q349_zorder_where"        -> (zorderWhere _),
     "q282_hll_index_lake"      -> (hllIndexLifecycle _),
     "q281_unique_constraint"   -> (uniqueLifecycle _),
     "q288_column_default"      -> (defaultLifecycle _),
@@ -4391,6 +4477,32 @@ object LakeQueries {
         |UNION ALL SELECT 'ts_listed_match', CAST(1 AS BIGINT)
         |UNION ALL SELECT 'ts_monotone', CAST(1 AS BIGINT)
         |UNION ALL SELECT 'versions_after_vacuum', CAST(1 AS BIGINT)
+        |ORDER BY fact""".stripMargin,
+    // q349: totals restated from orders; group accounting follows the
+    // one-group-per-year layout (scoped zorder replaces one group with
+    // 3 value-tagged z-groups → distinct_years + 2 total, equality
+    // probes scan exactly 3 / 1); pruning and refusal facts pin
+    "q349_zorder_where" ->
+      """WITH o AS (
+        |  SELECT CAST(year(o_orderdate) AS BIGINT) AS yk,
+        |         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |           AS cents
+        |  FROM orders WHERE o_custkey % 13 = 4)
+        |SELECT 'carried_by_name' AS fact, CAST(1 AS BIGINT) AS n
+        |UNION ALL SELECT 'cents_1995',
+        |  CAST(sum(CASE WHEN yk = 1995 THEN cents ELSE 0 END) AS BIGINT)
+        |  FROM o
+        |UNION ALL SELECT 'cents_corner_pruned', CAST(1 AS BIGINT)
+        |UNION ALL SELECT 'cents_total', CAST(sum(cents) AS BIGINT) FROM o
+        |UNION ALL SELECT 'ck_corner_pruned', CAST(1 AS BIGINT)
+        |UNION ALL SELECT 'groups_after',
+        |  CAST(count(DISTINCT yk) + 2 AS BIGINT) FROM o
+        |UNION ALL SELECT 'n_total', count(*) FROM o
+        |UNION ALL SELECT 'refused_nonpart', CAST(1 AS BIGINT)
+        |UNION ALL SELECT 'refused_unknown_value', CAST(1 AS BIGINT)
+        |UNION ALL SELECT 'scope_eq_groups', CAST(3 AS BIGINT)
+        |UNION ALL SELECT 'year_other_eq_groups', CAST(1 AS BIGINT)
+        |UNION ALL SELECT 'zorder_where_op', CAST(1 AS BIGINT)
         |ORDER BY fact""".stripMargin,
     // q302: counts/sums restated from orders with the replaced year's
     // cents doubled; the group-accounting facts follow from the

@@ -107,6 +107,8 @@ object GraftSqlParser {
     """(?is)^\s*OPTIMIZE\s+([\w`]+(?:\.[\w`]+)+)\s+WHERE\s+([\w`]+)\s*=\s*(?:'([^']*)'|([\w.\-]+))(?:\s+MIN\s+BYTES\s+(\d+))?\s*;?\s*$""".r
   private val ZOrderRe =
     """(?is)^\s*OPTIMIZE\s+([\w`]+(?:\.[\w`]+)+)\s+ZORDER\s+BY\s*\(\s*([\w`]+)\s*,\s*([\w`]+)\s*\)(?:\s+INTO\s+(\d+)\s+GROUPS)?\s*;?\s*$""".r
+  private val ZOrderWhereRe =
+    """(?is)^\s*OPTIMIZE\s+([\w`]+(?:\.[\w`]+)+)\s+WHERE\s+([\w`]+)\s*=\s*(?:'([^']*)'|([\w.\-]+))\s+ZORDER\s+BY\s*\(\s*([\w`]+)\s*,\s*([\w`]+)\s*\)(?:\s+INTO\s+(\d+)\s+GROUPS)?\s*;?\s*$""".r
   private val VacuumRe =
     """(?is)^\s*VACUUM\s+([\w`]+(?:\.[\w`]+)+)\s+RETAIN\s+(\d+)\s+VERSIONS(\s+DRY\s+RUN)?\s*;?\s*$""".r
   private val VacuumHoursRe =
@@ -157,6 +159,12 @@ object GraftSqlParser {
           Seq(a.stripPrefix("`").stripSuffix("`"),
             bCol.stripPrefix("`").stripSuffix("`")),
           Option(n).map(_.toInt).getOrElse(64)))
+      case ZOrderWhereRe(t, c, qv, bv, a, bCol, n) =>
+        Some(GraftZOrderWhereCommand(parts(t),
+          c.stripPrefix("`").stripSuffix("`"), Option(qv).getOrElse(bv),
+          Seq(a.stripPrefix("`").stripSuffix("`"),
+            bCol.stripPrefix("`").stripSuffix("`")),
+          Option(n).map(_.toInt).getOrElse(8)))
       case OptimizeWhereRe(t, c, qv, bv, min) =>
         Some(GraftOptimizeWhereCommand(parts(t),
           c.stripPrefix("`").stripSuffix("`"),
@@ -550,6 +558,22 @@ case class GraftConvertCommand(nameParts: Seq[String], srcDir: String)
   override def run(spark: SparkSession): Seq[Row] =
     Seq(Row(LakeTable.convertInPlace(spark,
       GraftSqlParser.rootFor(spark, nameParts), srcDir).toLong))
+}
+
+/** `OPTIMIZE t WHERE <partcol> = <v> ZORDER BY (a, b) [INTO n GROUPS]`
+  * — partition-scoped Morton re-layout
+  * ([[LakeTable.optimizeZOrderWhere]]): only the named value's groups
+  * rewrite (as z-range groups still tagged with the value); every
+  * other partition carries by name, zero bytes read. */
+case class GraftZOrderWhereCommand(nameParts: Seq[String],
+    column: String, value: String, cols: Seq[String], numGroups: Int)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("version", LongType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] =
+    Seq(Row(LakeTable.optimizeZOrderWhere(spark,
+      GraftSqlParser.rootFor(spark, nameParts), column, value, cols,
+      numGroups).toLong))
 }
 
 /** `OPTIMIZE t WHERE <partcol> = <v> [MIN BYTES n]` — partition-scoped

@@ -2768,11 +2768,8 @@ object LakeTable {
     // may hold any value.
     val inScope: String => Boolean = scope match {
       case None => _ => true
-      case Some((c, value)) => d => partValFor(meta, d, c).exists(rec =>
-        rec == value || ((rec.toDoubleOption, value.toDoubleOption) match {
-          case (Some(a), Some(b)) => a == b // "1995" matches 1995.0
-          case _ => false
-        }))
+      case Some((c, value)) => d =>
+        partValFor(meta, d, c).exists(partValueMatches(_, value))
     }
     val (small, large) =
       dirs.partition(d => bytes(d) < minBytes && inScope(d))
@@ -2921,12 +2918,33 @@ object LakeTable {
     val cur = read(spark, root)
     cols.foreach(c => require(cur.columns.exists(_.equalsIgnoreCase(c)),
       s"no column '$c' at $root"))
+    val (dirs, stats) = writeZOrderGroups(spark, root, cur, cols, numGroups)
+    // same carry rule as overwriteAll: per-dir sidecars die with their
+    // dirs; table-level contracts (schema, constraints, defaults,
+    // generation, identity, ANN model) survive
+    val keptMeta = meta.filterNot { case (k, _) =>
+      k.startsWith("stat:") || k.startsWith("bloom:") ||
+        k.startsWith("anncodes:") || k.startsWith("hllsk:") ||
+        k.startsWith("kllsk:") || k.startsWith("part:") || k == "op"
+    }
+    commitVersion(spark, root, v + 1, dirs,
+      keptMeta ++ stats + ("op" -> "optimize-zorder"))
+  }
+
+  /** The Morton re-layout write half shared by [[optimizeZOrder]] and
+    * [[optimizeZOrderWhere]]: stage `cur` into `numGroups` contiguous
+    * z-range file groups (rank-scaled 16-bit interleave against the
+    * frame's own min/max) and return (dirs, fresh two-column min/max
+    * stats). */
+  private def writeZOrderGroups(spark: SparkSession, root: String,
+      cur: DataFrame, cols: Seq[String], numGroups: Int)
+      : (Seq[String], Map[String, String]) = {
     val b = cur.agg(
       min(col(cols.head)).cast("double"), max(col(cols.head)).cast("double"),
       min(col(cols(1))).cast("double"), max(col(cols(1))).cast("double"))
       .head()
     require(!b.isNullAt(0) && !b.isNullAt(2),
-      s"ZORDER columns at $root are all-null or the table is empty")
+      s"ZORDER columns at $root are all-null or the scope is empty")
     def scale16(c: org.apache.spark.sql.Column, lo: Double,
                 hi: Double): org.apache.spark.sql.Column =
       ((c.cast("double") - lo) * (65535.0 / math.max(hi - lo, 1.0)))
@@ -2956,17 +2974,90 @@ object LakeTable {
           dir
         }.toSeq
       } finally f.delete(staged, true)
-    val stats = dirs.flatMap(d => statsMeta(spark, root, d, cols)).toMap
-    // same carry rule as overwriteAll: per-dir sidecars die with their
-    // dirs; table-level contracts (schema, constraints, defaults,
-    // generation, identity, ANN model) survive
-    val keptMeta = meta.filterNot { case (k, _) =>
-      k.startsWith("stat:") || k.startsWith("bloom:") ||
-        k.startsWith("anncodes:") || k.startsWith("hllsk:") ||
-        k.startsWith("kllsk:") || k.startsWith("part:") || k == "op"
+    (dirs, dirs.flatMap(d => statsMeta(spark, root, d, cols)).toMap)
+  }
+
+  /** Does a recorded partition value match a requested one? Exact
+    * string match, with numeric tolerance ("1995" matches "1995.0") —
+    * shared by the scoped OPTIMIZE verbs. */
+  private def partValueMatches(rec: String, value: String): Boolean =
+    rec == value || ((rec.toDoubleOption, value.toDoubleOption) match {
+      case (Some(a), Some(bv)) => a == bv
+      case _ => false
+    })
+
+  /** Partition-scoped `OPTIMIZE t WHERE part = v ZORDER BY (a, b)` —
+    * the Morton re-layout of [[optimizeZOrder]] applied INSIDE one
+    * partition value: only the named value's groups are read and
+    * rewritten (as `numGroups` contiguous z-ranges, each still tagged
+    * with the partition value, so the one-value-per-group invariant
+    * and its exact pruning survive); every other partition's groups
+    * carry by name with their stats/bloom/part tags intact, zero bytes
+    * read. The nightly shape at 100 TB: today's hot partition gets its
+    * two-dimensional skipping layout without touching yesterday's
+    * terabytes. Single-column-partitioned tables only (a one-column
+    * scope on a multi-column layout would merge distinct value tuples
+    * into one group — a broken invariant, so it refuses); refuses on
+    * non-partition columns, unknown values, MOR deletes, and pending
+    * rename/drop exactly like its siblings. */
+  def optimizeZOrderWhere(spark: SparkSession, root: String,
+                          column: String, value: String,
+                          cols: Seq[String], numGroups: Int): Int = {
+    require(cols.size == 2,
+      s"ZORDER BY takes exactly two columns, got ${cols.mkString(", ")}")
+    require(numGroups >= 2, s"numGroups must be >= 2, got $numGroups")
+    val v = latestVersion(spark, root)
+      .getOrElse(throw new IllegalStateException(s"no table at $root"))
+    val meta = manifestMeta(spark, root, v)
+    require(deleteState(meta).isEmpty && dvState(meta).isEmpty,
+      s"table at $root has merge-on-read deletes; rewriteDeletes first")
+    require(colMapAt(meta).isEmpty && colDropsAt(meta).isEmpty,
+      s"table at $root has a metadata-only rename/drop mapping; " +
+        "compact first")
+    val pcs = partColsAt(meta)
+    require(pcs.exists(_.equalsIgnoreCase(column)),
+      s"OPTIMIZE … WHERE: '$column' is not a partition column of " +
+        s"$root (have ${pcs.mkString(", ")})")
+    require(pcs.size == 1,
+      s"scoped ZORDER needs a single-column partition layout, but " +
+        s"$root is partitioned by (${pcs.mkString(", ")}) — a one-" +
+        "column scope would merge distinct value tuples into one group")
+    val dirs = readManifest(spark, root, v)
+    val inScope = dirs.filter(d =>
+      partValFor(meta, d, column).exists(partValueMatches(_, value)))
+    require(inScope.nonEmpty,
+      s"OPTIMIZE … WHERE $column = $value: no file groups carry that " +
+        s"value at $root")
+    // the recorded opaque value (what part: tags of the new z-groups
+    // must carry so partition pruning stays exact)
+    val recVal = meta(s"part:${inScope.head}")
+    val cur = spark.read.option("mergeSchema", "true")
+      .parquet(inScope.map(d => new Path(root, d).toString): _*)
+    cols.foreach(c => require(cur.columns.exists(_.equalsIgnoreCase(c)),
+      s"no column '$c' at $root"))
+    val (zDirs, zStats) = writeZOrderGroups(spark, root, cur, cols,
+      numGroups)
+    val inScopeSet = inScope.toSet
+    val survivors = dirs.filterNot(inScopeSet)
+    // per-dir keys survive only for carried groups; in-scope groups'
+    // keys die with them (the z-groups get fresh two-column stats)
+    val keptMeta = meta.filter { case (k, _) =>
+      k != "op" &&
+      (!k.startsWith("stat:") ||
+        survivors.exists(d => k.startsWith(s"stat:$d:"))) &&
+      (!k.startsWith("bloom:") ||
+        survivors.exists(d => k.startsWith(s"bloom:$d:"))) &&
+      (!k.startsWith("anncodes:") ||
+        survivors.exists(d => k.startsWith(s"anncodes:$d:"))) &&
+      (!k.startsWith("hllsk:") ||
+        survivors.exists(d => k.startsWith(s"hllsk:$d:"))) &&
+      (!k.startsWith("kllsk:") ||
+        survivors.exists(d => k.startsWith(s"kllsk:$d:"))) &&
+      (!k.startsWith("part:") || survivors.exists(d => k == s"part:$d"))
     }
-    commitVersion(spark, root, v + 1, dirs,
-      keptMeta ++ stats + ("op" -> "optimize-zorder"))
+    commitVersion(spark, root, v + 1, survivors ++ zDirs,
+      keptMeta ++ zStats ++ zDirs.map(d => s"part:$d" -> recVal) +
+        ("op" -> "optimize-zorder-where"))
   }
 
   /** RESTORE: roll the table back to `toVersion`'s state as a NEW
