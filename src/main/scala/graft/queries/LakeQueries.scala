@@ -4287,6 +4287,95 @@ object LakeQueries {
     } }
   }
 
+  /** q350: PARTIALLY-CLUSTERED storage-partitioned join — the SPJ skew
+    * variant (`v2.bucketing.partiallyClusteredDistribution`): the fact
+    * table's hot partition value spans TWO file groups (two appends),
+    * and under the flag the join keeps them as SEPARATE tasks while
+    * the dim side's matching partition replicates — 4 join partitions
+    * over 3 distinct values, still ZERO exchanges. With the flag off
+    * the same join merges back to one task per value (3 partitions),
+    * also exchange-free, with identical results. At 100 TB this is
+    * the difference between a hot day×tenant partition saturating one
+    * task and it fanning across its file count. Counts/sums restate
+    * from orders; the partition/exchange accounting pins exactly
+    * (appends write one file per value per commit). */
+  def spjPartialClustered(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.load(s, dir, "orders")
+      .filter(col("o_custkey") % 29 === 3)
+      .select(col("o_orderkey").as("k"),
+        expr("CASE WHEN o_orderkey % 2 = 0 THEN 0 ELSE o_orderkey % 4 END")
+          .as("r"),
+        expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)")
+          .as("cents"))
+    graft.util.LocalFrame.withConf(s, "spark.sql.shuffle.partitions", "8") {
+    graft.util.Tmp.withTempDir("graft_lake_q350") { rootPath =>
+      val wh = rootPath.toString
+      val fr = s"$wh/fact_r"
+      val dr = s"$wh/dim_r"
+      LakeTable.createEmpty(s, fr, base.schema, Seq("r"))
+      // the hot value r=0 lands in TWO appends = two file groups
+      LakeTable.append(s, fr,
+        base.filter(col("r") =!= 0 || col("k") % 4 === 0))
+      LakeTable.append(s, fr,
+        base.filter(col("r") === 0 && col("k") % 4 === 2))
+      val dimSrc = base.select(col("r")).distinct()
+        .withColumn("rname", concat(lit("v"), col("r")))
+      LakeTable.createEmpty(s, dr, dimSrc.schema, Seq("r"))
+      LakeTable.append(s, dr, dimSrc)
+      def shuffles(df: org.apache.spark.sql.DataFrame): Long = {
+        df.foreachPartition((_: Iterator[org.apache.spark.sql.Row]) => ())
+        df.queryExecution.executedPlan.collect {
+          case e: org.apache.spark.sql.execution.exchange
+            .ShuffleExchangeLike => e }.size.toLong
+      }
+      def withFlags[A](partial: Boolean)(body: => A): A = {
+        val cs = List(
+          "spark.sql.sources.v2.bucketing.enabled" -> "true",
+          "spark.sql.sources.v2.bucketing.pushPartValues.enabled"
+            -> "true",
+          ("spark.sql.sources.v2.bucketing." +
+            "partiallyClusteredDistribution.enabled") -> partial.toString,
+          "spark.sql.adaptive.enabled" -> "false",
+          "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+        def nest(rest: List[(String, String)]): A = rest match {
+          case Nil => body
+          case (k, v) :: t => graft.util.LocalFrame.withConf(s, k, v)(
+            nest(t))
+        }
+        nest(cs)
+      }
+      val t1 = s.read.format("graft-lake").load(fr)
+      val t2 = s.read.format("graft-lake").load(dr)
+      def joined = t1.join(t2, "r")
+      def agg(df: org.apache.spark.sql.DataFrame) = df
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("c"),
+          countDistinct(col("rname")).as("d")).head()
+      val (exP, partsP, aggP) = withFlags(partial = true) {
+        val j = joined
+        (shuffles(j), j.rdd.getNumPartitions.toLong, agg(joined))
+      }
+      val (exM, partsM, aggM) = withFlags(partial = false) {
+        val j = joined
+        (shuffles(j), j.rdd.getNumPartitions.toLong, agg(joined))
+      }
+      val resultsEqual =
+        if (aggP.getLong(0) == aggM.getLong(0) &&
+            aggP.getLong(1) == aggM.getLong(1) &&
+            aggP.getLong(2) == aggM.getLong(2)) 1L else 0L
+      import s.implicits._
+      graft.util.LocalFrame.materialize(Seq(
+        ("cents_joined", aggP.getLong(1)),
+        ("exchanges_merged", exM),
+        ("exchanges_partial", exP),
+        ("n_joined", aggP.getLong(0)),
+        ("n_values", aggP.getLong(2)),
+        ("parts_merged", partsM),
+        ("parts_partial", partsP),
+        ("results_equal", resultsEqual)
+      ).toDF("fact", "n").orderBy(col("fact")))
+    } }
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q302_partitioned_lake"    -> (partitionedLifecycle _),
     "q303_kll_index_lake"      -> (kllIndexLifecycle _),
@@ -4327,6 +4416,7 @@ object LakeQueries {
     "q347_compact_deletes"     -> (compactDeletesQ _),
     "q348_history_timestamps"  -> (historyTimestamps _),
     "q349_zorder_where"        -> (zorderWhere _),
+    "q350_spj_partial_clustered" -> (spjPartialClustered _),
     "q282_hll_index_lake"      -> (hllIndexLifecycle _),
     "q281_unique_constraint"   -> (uniqueLifecycle _),
     "q288_column_default"      -> (defaultLifecycle _),
@@ -4503,6 +4593,26 @@ object LakeQueries {
         |UNION ALL SELECT 'scope_eq_groups', CAST(3 AS BIGINT)
         |UNION ALL SELECT 'year_other_eq_groups', CAST(1 AS BIGINT)
         |UNION ALL SELECT 'zorder_where_op', CAST(1 AS BIGINT)
+        |ORDER BY fact""".stripMargin,
+    // q350: every fact row joins exactly one dim row, so n/cents
+    // restate directly; the partition accounting follows from one file
+    // per value per append — hot value r=0 spans 2 appends, so the
+    // partially-clustered join runs 4 tasks over 3 values, the merged
+    // one 3, both exchange-free
+    "q350_spj_partial_clustered" ->
+      """WITH o AS (
+        |  SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |           AS cents
+        |  FROM orders WHERE o_custkey % 29 = 3)
+        |SELECT 'cents_joined' AS fact, CAST(sum(cents) AS BIGINT) AS n
+        |FROM o
+        |UNION ALL SELECT 'exchanges_merged', CAST(0 AS BIGINT)
+        |UNION ALL SELECT 'exchanges_partial', CAST(0 AS BIGINT)
+        |UNION ALL SELECT 'n_joined', count(*) FROM o
+        |UNION ALL SELECT 'n_values', CAST(3 AS BIGINT)
+        |UNION ALL SELECT 'parts_merged', CAST(3 AS BIGINT)
+        |UNION ALL SELECT 'parts_partial', CAST(4 AS BIGINT)
+        |UNION ALL SELECT 'results_equal', CAST(1 AS BIGINT)
         |ORDER BY fact""".stripMargin,
     // q302: counts/sums restated from orders with the replaced year's
     // cents doubled; the group-accounting facts follow from the

@@ -510,11 +510,12 @@ private[graft] final class GraftLakeStreamableScan(
   /** Observable for specs: dirs surviving the runtime re-prune. */
   private[graft] var runtimePrunedTo: Option[Int] = None
 
-  /** One InputPartition per partition-value tuple, when the snapshot
-    * is storage-partition-joinable ([[GraftKeyGrouping.regroup]]) —
+  /** One keyed InputPartition per file SPLIT (plus the distinct
+    * value-tuple count for the layout report), when the snapshot is
+    * storage-partition-joinable ([[GraftKeyGrouping.regroup]]) —
     * recomputed whenever a runtime filter rebuilds the delegate, so
     * DPP-style group pruning and the key-grouped layout compose. */
-  private var keyedGroups: Option[Array[InputPartition]] =
+  private var keyedGroups: Option[(Array[InputPartition], Int)] =
     kg.flatMap(info => GraftKeyGrouping.regroup(initial.toBatch, info))
 
   override def filterAttributes()
@@ -563,14 +564,14 @@ private[graft] final class GraftLakeStreamableScan(
   override def outputPartitioning()
       : org.apache.spark.sql.connector.read.partitioning.Partitioning =
     keyedGroups match {
-      case Some(groups) =>
+      case Some((_, distinctKeys)) =>
         new org.apache.spark.sql.connector.read.partitioning
           .KeyGroupedPartitioning(
             kg.get.partCols.map(c =>
               org.apache.spark.sql.connector.expressions.Expressions
                 .identity(c): org.apache.spark.sql.connector.expressions
                 .Expression).toArray,
-            groups.length)
+            distinctKeys)
       case None =>
         new org.apache.spark.sql.connector.read.partitioning
           .UnknownPartitioning(0)
@@ -584,7 +585,7 @@ private[graft] final class GraftLakeStreamableScan(
         // read keyedGroups at call time — a runtime filter may have
         // narrowed it between planning and execution
         override def planInputPartitions(): Array[InputPartition] =
-          keyedGroups.get
+          keyedGroups.get._1
         override def createReaderFactory(): PartitionReaderFactory =
           underlying.toBatch.createReaderFactory()
       }
@@ -699,35 +700,43 @@ private[sources] object GraftKeyGrouping {
     }
   }
 
-  /** Regroup a delegate batch's planned file splits into ONE
-    * [[KeyedFilePartition]] per partition-value tuple. Returns None —
-    * caller reports UnknownPartitioning — when any planned file lives
-    * in a dir the manifest didn't tag (a time-travel snapshot older
-    * than the partition declaration, or a foreign clone reference):
-    * grouping must be TOTAL or the reported layout would be a lie. */
+  /** Re-plan a delegate batch's file splits as ONE [[KeyedFilePartition]]
+    * per SPLIT, each tagged with its partition-value tuple. Grouping
+    * splits of equal value is deliberately LEFT TO SPARK
+    * (`BatchScanExec.groupPartitions` — the DSv2 contract Iceberg
+    * follows): the planner merges them for a plain storage-partitioned
+    * join, but keeps them SEPARATE under
+    * `v2.bucketing.partiallyClusteredDistribution` — the skew path,
+    * where a hot partition value's many files stay many tasks while
+    * the other side's matching partition replicates. Pre-merging here
+    * would silently cap a skewed value at one task. Returns
+    * (partitions, distinct value-tuple count) — the count is what the
+    * connector-side layout report claims. None — caller reports
+    * UnknownPartitioning — when any planned file lives in a dir the
+    * manifest didn't tag (a time-travel snapshot older than the
+    * partition declaration, or a foreign clone reference): the claim
+    * must be TOTAL or the reported layout would be a lie. */
   def regroup(batch: Batch, info: GraftKeyGroupInfo)
-      : Option[Array[InputPartition]] = {
+      : Option[(Array[InputPartition], Int)] = {
     val splits = scala.collection.mutable.ArrayBuffer[PartitionedFile]()
     batch.planInputPartitions().foreach {
       case fp: org.apache.spark.sql.execution.datasources.FilePartition =>
         splits ++= fp.files
       case _ => return None
     }
-    val byKey = scala.collection.mutable.LinkedHashMap
-      .empty[Seq[String], scala.collection.mutable.ArrayBuffer[PartitionedFile]]
-    splits.foreach { pf =>
+    val keyed = splits.map { pf =>
       info.dirNameToVals.get(pf.toPath.getParent.getName) match {
-        case Some(vals) =>
-          byKey.getOrElseUpdate(vals,
-            scala.collection.mutable.ArrayBuffer.empty) += pf
+        case Some(vals) => (vals, pf)
         case None => return None
       }
     }
-    Some(byKey.toSeq.sortBy(_._1.mkString(LakeTable.PartSep))
-      .zipWithIndex.map { case ((vals, files), i) =>
-        val key = InternalRow.fromSeq(vals.zip(info.keyTypes).map {
-          case (raw, dt) => keyValue(raw, dt) })
-        new KeyedFilePartition(i, files.toArray, key): InputPartition
-      }.toArray)
+    val sorted = keyed.sortBy { case (vals, pf) =>
+      (vals.mkString(LakeTable.PartSep), pf.toPath.toString) }
+    val parts = sorted.zipWithIndex.map { case ((vals, pf), i) =>
+      val key = InternalRow.fromSeq(vals.zip(info.keyTypes).map {
+        case (raw, dt) => keyValue(raw, dt) })
+      new KeyedFilePartition(i, Array(pf), key): InputPartition
+    }.toArray
+    Some((parts, sorted.map(_._1).distinct.size))
   }
 }
