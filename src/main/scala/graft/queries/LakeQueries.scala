@@ -4376,6 +4376,78 @@ object LakeQueries {
     } }
   }
 
+  /** q351: THREE-column Z-order — `OPTIMIZE t ZORDER BY (ck, d, cents)`
+    * over the k-way Morton interleave ([[graft.functions
+    * .ZOrderInterleaveK]]): contiguous z-ranges are axis-aligned BOXES
+    * in 3-space, so corner range probes on ANY of the three columns
+    * prune file groups at the manifest level (pinned per column) —
+    * the layout no single- or two-column sort gives a three-filter
+    * workload. Each extra column costs per-dimension resolution (16
+    * bits here), the inherent Morton trade; a 5th column refuses
+    * loudly. Counts restate from orders; the corner-row counts are
+    * value facts, the pruning booleans pin the plan. */
+  def zorder3d(s: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.load(s, dir, "orders")
+      .select(col("o_orderkey").as("k"),
+        col("o_custkey").cast("long").as("ck"),
+        datediff(col("o_orderdate"), lit("1992-01-01")).cast("long")
+          .as("d"),
+        expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)")
+          .as("cents"))
+    graft.util.LocalFrame.withConf(s, "spark.sql.shuffle.partitions", "8") {
+    graft.util.Tmp.withTempDir("graft_lake_q351") { rootPath =>
+      val wh = rootPath.toString
+      val root = s"$wh/t"
+      LakeTable.create(s, root, orders)
+      val cat = "lake_" +
+        java.util.UUID.randomUUID().toString.replace("-", "").take(12)
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftLakeCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+      try {
+        s.sql(s"OPTIMIZE $cat.t ZORDER BY (ck, d, cents) INTO 8 GROUPS")
+        val nGroups = LakeTable.dataDirPaths(s, root).size
+        val bounds = orders.agg(max(col("ck")), max(col("d")),
+          max(col("cents"))).head()
+        val ckLo = 0.9 * bounds.getLong(0)
+        val dLo = 0.9 * bounds.getLong(1)
+        val centsLo = 0.9 * bounds.getLong(2)
+        val nCk = s.sql(
+          s"SELECT count(*) FROM $cat.t WHERE ck >= $ckLo")
+          .head().getLong(0)
+        val nD = s.sql(
+          s"SELECT count(*) FROM $cat.t WHERE d >= $dLo")
+          .head().getLong(0)
+        val nCents = s.sql(
+          s"SELECT count(*) FROM $cat.t WHERE cents >= $centsLo")
+          .head().getLong(0)
+        def pruned(c: String, lo: Double): Long =
+          if (LakeTable.selectGroups(s, root, c, lo, Double.MaxValue)
+            .size < nGroups) 1L else 0L
+        val refusedFive = refused("2 to 4 columns") {
+          LakeTable.optimizeZOrder(s, root,
+            Seq("k", "ck", "d", "cents", "k"), 8) }
+        val total = s.sql(s"SELECT count(*), sum(cents) FROM $cat.t")
+          .head()
+        import s.implicits._
+        graft.util.LocalFrame.materialize(Seq(
+          ("cents_total", total.getLong(1)),
+          ("groups", nGroups.toLong),
+          ("n_corner_ck", nCk),
+          ("n_corner_cents", nCents),
+          ("n_corner_d", nD),
+          ("n_total", total.getLong(0)),
+          ("pruned_cents", pruned("cents", centsLo)),
+          ("pruned_ck", pruned("ck", ckLo)),
+          ("pruned_d", pruned("d", dLo)),
+          ("refused_five_columns", refusedFive)
+        ).toDF("fact", "n").orderBy(col("fact")))
+      } finally {
+        s.conf.unset(s"spark.sql.catalog.$cat")
+        s.conf.unset(s"spark.sql.catalog.$cat.warehouse")
+      }
+    } }
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q302_partitioned_lake"    -> (partitionedLifecycle _),
     "q303_kll_index_lake"      -> (kllIndexLifecycle _),
@@ -4417,6 +4489,7 @@ object LakeQueries {
     "q348_history_timestamps"  -> (historyTimestamps _),
     "q349_zorder_where"        -> (zorderWhere _),
     "q350_spj_partial_clustered" -> (spjPartialClustered _),
+    "q351_zorder_3d"           -> (zorder3d _),
     "q282_hll_index_lake"      -> (hllIndexLifecycle _),
     "q281_unique_constraint"   -> (uniqueLifecycle _),
     "q288_column_default"      -> (defaultLifecycle _),
@@ -4613,6 +4686,35 @@ object LakeQueries {
         |UNION ALL SELECT 'parts_merged', CAST(3 AS BIGINT)
         |UNION ALL SELECT 'parts_partial', CAST(4 AS BIGINT)
         |UNION ALL SELECT 'results_equal', CAST(1 AS BIGINT)
+        |ORDER BY fact""".stripMargin,
+    // q351: corner-row counts and totals restate from orders (the 0.9×
+    // max bounds recompute exactly); group count and per-column
+    // pruning booleans pin the 3-D layout; the 5-column refusal pins
+    "q351_zorder_3d" ->
+      """WITH o AS (
+        |  SELECT CAST(o_custkey AS BIGINT) AS ck,
+        |         CAST(date_diff('day', DATE '1992-01-01',
+        |                        CAST(o_orderdate AS DATE)) AS BIGINT)
+        |           AS d,
+        |         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |           AS cents
+        |  FROM orders),
+        |b AS (SELECT 0.9e0 * max(ck) AS cklo, 0.9e0 * max(d) AS dlo,
+        |             0.9e0 * max(cents) AS clo FROM o)
+        |SELECT 'cents_total' AS fact, CAST(sum(cents) AS BIGINT) AS n
+        |FROM o
+        |UNION ALL SELECT 'groups', CAST(8 AS BIGINT)
+        |UNION ALL SELECT 'n_corner_ck',
+        |  (SELECT count(*) FROM o, b WHERE ck >= cklo)
+        |UNION ALL SELECT 'n_corner_cents',
+        |  (SELECT count(*) FROM o, b WHERE cents >= clo)
+        |UNION ALL SELECT 'n_corner_d',
+        |  (SELECT count(*) FROM o, b WHERE d >= dlo)
+        |UNION ALL SELECT 'n_total', count(*) FROM o
+        |UNION ALL SELECT 'pruned_cents', CAST(1 AS BIGINT)
+        |UNION ALL SELECT 'pruned_ck', CAST(1 AS BIGINT)
+        |UNION ALL SELECT 'pruned_d', CAST(1 AS BIGINT)
+        |UNION ALL SELECT 'refused_five_columns', CAST(1 AS BIGINT)
         |ORDER BY fact""".stripMargin,
     // q302: counts/sums restated from orders with the replaced year's
     // cents doubled; the group-accounting facts follow from the

@@ -539,6 +539,14 @@ private[sources] final class GraftDvScan(
     root: String, version: Option[Int], schema0: StructType,
     filters: Seq[org.apache.spark.sql.sources.Filter] = Nil)
     extends org.apache.spark.sql.connector.read.V1Scan {
+  // Join-strategy note: the V1 bridge swallows connector statistics
+  // (Spark's V1ScanWrapper implements no SupportsReportStatistics), so
+  // the static planner sees defaultSizeInBytes for a dv snapshot.
+  // Broadcast protection for a small dimension that took a MOR update
+  // therefore comes from AQE's runtime conversion — the dim's first
+  // shuffle stage materializes tiny and the join re-plans as a
+  // broadcast (spec-pinned in GraftLakeCatalogSpec); a rewrite
+  // restores full static statistics with the plain delegate.
   override def readSchema(): StructType = schema0
   override def description(): String =
     s"GraftDvScan `$root`" + version.fold("")(v => s"@v$v") +

@@ -106,9 +106,12 @@ object GraftSqlParser {
   private val OptimizeWhereRe =
     """(?is)^\s*OPTIMIZE\s+([\w`]+(?:\.[\w`]+)+)\s+WHERE\s+([\w`]+)\s*=\s*(?:'([^']*)'|([\w.\-]+))(?:\s+MIN\s+BYTES\s+(\d+))?\s*;?\s*$""".r
   private val ZOrderRe =
-    """(?is)^\s*OPTIMIZE\s+([\w`]+(?:\.[\w`]+)+)\s+ZORDER\s+BY\s*\(\s*([\w`]+)\s*,\s*([\w`]+)\s*\)(?:\s+INTO\s+(\d+)\s+GROUPS)?\s*;?\s*$""".r
+    """(?is)^\s*OPTIMIZE\s+([\w`]+(?:\.[\w`]+)+)\s+ZORDER\s+BY\s*\(\s*([\w`]+(?:\s*,\s*[\w`]+){1,3})\s*\)(?:\s+INTO\s+(\d+)\s+GROUPS)?\s*;?\s*$""".r
   private val ZOrderWhereRe =
-    """(?is)^\s*OPTIMIZE\s+([\w`]+(?:\.[\w`]+)+)\s+WHERE\s+([\w`]+)\s*=\s*(?:'([^']*)'|([\w.\-]+))\s+ZORDER\s+BY\s*\(\s*([\w`]+)\s*,\s*([\w`]+)\s*\)(?:\s+INTO\s+(\d+)\s+GROUPS)?\s*;?\s*$""".r
+    """(?is)^\s*OPTIMIZE\s+([\w`]+(?:\.[\w`]+)+)\s+WHERE\s+([\w`]+)\s*=\s*(?:'([^']*)'|([\w.\-]+))\s+ZORDER\s+BY\s*\(\s*([\w`]+(?:\s*,\s*[\w`]+){1,3})\s*\)(?:\s+INTO\s+(\d+)\s+GROUPS)?\s*;?\s*$""".r
+
+  private def zcols(list: String): Seq[String] =
+    list.split(",").toSeq.map(_.trim.stripPrefix("`").stripSuffix("`"))
   private val VacuumRe =
     """(?is)^\s*VACUUM\s+([\w`]+(?:\.[\w`]+)+)\s+RETAIN\s+(\d+)\s+VERSIONS(\s+DRY\s+RUN)?\s*;?\s*$""".r
   private val VacuumHoursRe =
@@ -154,17 +157,13 @@ object GraftSqlParser {
   private[sources] def intercept(
       sqlText: String, delegate: ParserInterface): Option[LogicalPlan] =
     sqlText match {
-      case ZOrderRe(t, a, bCol, n) =>
-        Some(GraftZOrderCommand(parts(t),
-          Seq(a.stripPrefix("`").stripSuffix("`"),
-            bCol.stripPrefix("`").stripSuffix("`")),
+      case ZOrderRe(t, colList, n) =>
+        Some(GraftZOrderCommand(parts(t), zcols(colList),
           Option(n).map(_.toInt).getOrElse(64)))
-      case ZOrderWhereRe(t, c, qv, bv, a, bCol, n) =>
+      case ZOrderWhereRe(t, c, qv, bv, colList, n) =>
         Some(GraftZOrderWhereCommand(parts(t),
           c.stripPrefix("`").stripSuffix("`"), Option(qv).getOrElse(bv),
-          Seq(a.stripPrefix("`").stripSuffix("`"),
-            bCol.stripPrefix("`").stripSuffix("`")),
-          Option(n).map(_.toInt).getOrElse(8)))
+          zcols(colList), Option(n).map(_.toInt).getOrElse(8)))
       case OptimizeWhereRe(t, c, qv, bv, min) =>
         Some(GraftOptimizeWhereCommand(parts(t),
           c.stripPrefix("`").stripSuffix("`"),

@@ -2894,15 +2894,16 @@ object LakeTable {
     * single-column sort cannot give (see q133 for the exactness
     * argument). One data-sized read + one range-exchange write;
     * commits as a rewrite (`optimize-zorder`), every prior version
-    * stays time-travelable. Exactly two columns (the interleave is a
-    * bit-pair Morton code); partitioned tables refuse — z-ordering
+    * stays time-travelable. Two to four columns (k-way Morton — each
+    * extra column trades per-dimension resolution, 16 bits down to 15
+    * at k = 4); partitioned tables refuse — z-ordering
     * would break their one-group-per-value contract; MOR deletes and
     * pending rename/drop must be materialized first (raw group
     * rewrite). */
   def optimizeZOrder(spark: SparkSession, root: String,
                      cols: Seq[String], numGroups: Int): Int = {
-    require(cols.size == 2,
-      s"ZORDER BY takes exactly two columns, got ${cols.mkString(", ")}")
+    require(cols.size >= 2 && cols.size <= 4,
+      s"ZORDER BY takes 2 to 4 columns, got ${cols.mkString(", ")}")
     require(numGroups >= 2, s"numGroups must be >= 2, got $numGroups")
     val v = latestVersion(spark, root)
       .getOrElse(throw new IllegalStateException(s"no table at $root"))
@@ -2933,25 +2934,29 @@ object LakeTable {
 
   /** The Morton re-layout write half shared by [[optimizeZOrder]] and
     * [[optimizeZOrderWhere]]: stage `cur` into `numGroups` contiguous
-    * z-range file groups (rank-scaled 16-bit interleave against the
-    * frame's own min/max) and return (dirs, fresh two-column min/max
-    * stats). */
+    * z-range file groups (rank-scaled k-way interleave against the
+    * frame's own min/max — 16 bits per coordinate for 2–3 columns, 15
+    * for 4) and return (dirs, fresh k-column min/max stats). */
   private def writeZOrderGroups(spark: SparkSession, root: String,
       cur: DataFrame, cols: Seq[String], numGroups: Int)
       : (Seq[String], Map[String, String]) = {
     val b = cur.agg(
-      min(col(cols.head)).cast("double"), max(col(cols.head)).cast("double"),
-      min(col(cols(1))).cast("double"), max(col(cols(1))).cast("double"))
+      min(col(cols.head)).cast("double"),
+      (Seq(max(col(cols.head)).cast("double")) ++ cols.tail.flatMap(c =>
+        Seq(min(col(c)).cast("double"), max(col(c)).cast("double")))): _*)
       .head()
-    require(!b.isNullAt(0) && !b.isNullAt(2),
-      s"ZORDER columns at $root are all-null or the scope is empty")
-    def scale16(c: org.apache.spark.sql.Column, lo: Double,
-                hi: Double): org.apache.spark.sql.Column =
-      ((c.cast("double") - lo) * (65535.0 / math.max(hi - lo, 1.0)))
+    cols.indices.foreach(i => require(!b.isNullAt(2 * i),
+      s"ZORDER column '${cols(i)}' at $root is all-null or the scope " +
+        "is empty"))
+    val bits = graft.functions.ZOrderInterleave.bitsFor(cols.size)
+    val top = ((1L << bits) - 1).toDouble
+    def scaled(c: org.apache.spark.sql.Column, lo: Double,
+               hi: Double): org.apache.spark.sql.Column =
+      ((c.cast("double") - lo) * (top / math.max(hi - lo, 1.0)))
         .cast("long")
-    val zkey = graft.functions.ZOrderInterleave(
-      scale16(col(cols.head), b.getDouble(0), b.getDouble(1)),
-      scale16(col(cols(1)), b.getDouble(2), b.getDouble(3)))
+    val zkey = graft.functions.ZOrderInterleaveK(
+      cols.zipWithIndex.map { case (c, i) =>
+        scaled(col(c), b.getDouble(2 * i), b.getDouble(2 * i + 1)) })
     require(!cur.columns.exists(_.equalsIgnoreCase("__gz")),
       "table carries a reserved column name '__gz'")
     val f = fs(spark, root)
@@ -3003,8 +3008,8 @@ object LakeTable {
   def optimizeZOrderWhere(spark: SparkSession, root: String,
                           column: String, value: String,
                           cols: Seq[String], numGroups: Int): Int = {
-    require(cols.size == 2,
-      s"ZORDER BY takes exactly two columns, got ${cols.mkString(", ")}")
+    require(cols.size >= 2 && cols.size <= 4,
+      s"ZORDER BY takes 2 to 4 columns, got ${cols.mkString(", ")}")
     require(numGroups >= 2, s"numGroups must be >= 2, got $numGroups")
     val v = latestVersion(spark, root)
       .getOrElse(throw new IllegalStateException(s"no table at $root"))

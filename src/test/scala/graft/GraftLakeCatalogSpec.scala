@@ -1151,6 +1151,62 @@ class GraftLakeCatalogSpec extends SparkSpec {
     }
   }
 
+  test("a small dimension that took a MOR update still BROADCASTS in " +
+    "joins via AQE runtime conversion (no silent join-strategy " +
+    "regression until rewrite)") {
+    withWarehouse("lakeDb") { wh =>
+      import spark.implicits._
+      val dimRoot = s"$wh/dim"
+      LakeTable.create(spark, dimRoot,
+        (1L to 50L).map(i => (i, s"name$i")).toDF("id", "nm"))
+      spark.conf.set("spark.graft.update.mode", "mor")
+      try spark.sql("UPDATE lakeDb.dim SET nm = 'changed' WHERE id = 7")
+      finally spark.conf.unset("spark.graft.update.mode")
+      // a fact side too big to broadcast (Range size estimate ≫ the
+      // 10 MB threshold), so the broadcast side must be the dv dim
+      val fact = spark.range(2000000L)
+        .select((col("id") % 50 + 1).as("id"), col("id").as("v"))
+      fact.createOrReplaceTempView("db_fact")
+      try {
+        val j = spark.sql(
+          "SELECT count(*) AS n, count(DISTINCT d.nm) AS d " +
+            "FROM db_fact f JOIN lakeDb.dim d ON f.id = d.id")
+        val row = j.collect().head // collect() drives THIS queryExecution
+        assert(row.getLong(0) == 2000000L && row.getLong(1) == 50L)
+        val inner = j.queryExecution.executedPlan match {
+          case a: org.apache.spark.sql.execution.adaptive
+            .AdaptiveSparkPlanExec => a.executedPlan
+          case p => p
+        }
+        // descend into query stages (their plans are members, not
+        // children, so a plain collect misses them)
+        def hasBroadcast(p: org.apache.spark.sql.execution.SparkPlan)
+            : Boolean = p match {
+          case _: org.apache.spark.sql.execution.joins
+            .BroadcastHashJoinExec => true
+          case q: org.apache.spark.sql.execution.adaptive
+            .QueryStageExec => hasBroadcast(q.plan)
+          case other => other.children.exists(hasBroadcast)
+        }
+        def hasSmj(p: org.apache.spark.sql.execution.SparkPlan): Boolean =
+          p match {
+            case _: org.apache.spark.sql.execution.joins
+              .SortMergeJoinExec => true
+            case q: org.apache.spark.sql.execution.adaptive
+              .QueryStageExec => hasSmj(q.plan)
+            case other => other.children.exists(hasSmj)
+          }
+        assert(hasBroadcast(inner) && !hasSmj(inner),
+          s"expected AQE to broadcast the dv dim, plan:\n$inner")
+        // the masked value serves through the join
+        val probe = spark.sql(
+          "SELECT d.nm FROM db_fact f JOIN lakeDb.dim d ON f.id = d.id " +
+            "WHERE f.id = 7 LIMIT 1").head()
+        assert(probe.getString(0) == "changed")
+      } finally spark.catalog.dropTempView("db_fact")
+    }
+  }
+
   test("SHOW TBLPROPERTIES keeps serving while deletion-vector state " +
     "pends, and time-travel loads read the snapshot's own properties") {
     withWarehouse("lakePp") { wh =>
