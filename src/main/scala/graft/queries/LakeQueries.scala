@@ -4448,6 +4448,100 @@ object LakeQueries {
     } }
   }
 
+  /** q352: tuple-scoped ZORDER on a MULTI-column partition layout —
+    * `OPTIMIZE t WHERE yk = 1995 AND q = 3 ZORDER BY (ck, cents) INTO
+    * 3 GROUPS`: the pins cover the full (year, quarter) tuple, so only
+    * that tuple's one group rewrites as 3 value-tagged z-ranges; every
+    * other (year, quarter) group carries by name (`carried_by_name`),
+    * both partition-pruning layers stay exact (a (1995,3) membership
+    * count reads exactly 3 groups, (1995,1) exactly 1), and the fresh
+    * two-column stats prune a ck corner probe below the group count.
+    * A PARTIAL pin refuses by the missing column's name — merging
+    * distinct tuples into one z-group would break one-value-per-group
+    * pruning, the honest boundary q349 drew for single-column layouts,
+    * now lifted for full-tuple pins. Totals restate from orders. */
+  def zorderWhereTuple(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.load(s, dir, "orders")
+      .filter(col("o_custkey") % 11 === 5)
+      .select(col("o_orderkey").as("k"),
+        year(col("o_orderdate")).cast("long").as("yk"),
+        quarter(col("o_orderdate")).cast("long").as("q"),
+        col("o_custkey").as("ck"),
+        expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)")
+          .as("cents"))
+    graft.util.LocalFrame.withConf(s, "spark.sql.shuffle.partitions", "8") {
+    graft.util.Tmp.withTempDir("graft_lake_q352") { rootPath =>
+      val wh = rootPath.toString
+      val cat = "lake_" +
+        java.util.UUID.randomUUID().toString.replace("-", "").take(12)
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftLakeCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+      try {
+        val root = s"$wh/t"
+        LakeTable.createEmpty(s, root, base.schema, Seq("yk", "q"))
+        LakeTable.append(s, root, base)
+        val dirsBefore = LakeTable.dataDirPaths(s, root)
+        s.sql(s"OPTIMIZE $cat.t WHERE yk = 1995 AND q = 3 " +
+          "ZORDER BY (ck, cents) INTO 3 GROUPS")
+        val zOp = if (LakeTable.history(s, root).last._2 ==
+          "optimize-zorder-where") 1L else 0L
+        val dirsAfter = LakeTable.dataDirPaths(s, root)
+        val carried = dirsBefore.count(dirsAfter.contains).toLong
+        val carriedByName =
+          if (carried == dirsBefore.size - 1) 1L else 0L
+        // tuple-membership accounting straight off the manifest
+        val v = LakeTable.versions(s, root).last
+        val meta = LakeTable.manifestMetaAt(s, root, v)
+        // part: keys use the RELATIVE manifest entry; dataDirPaths is
+        // absolute — strip the root prefix back off
+        val relDirs = LakeTable.dataDirPaths(s, root).map { p =>
+          val abs = new org.apache.hadoop.fs.Path(p).toUri.getPath
+          val r = new org.apache.hadoop.fs.Path(root).toUri.getPath
+          abs.stripPrefix(r).stripPrefix("/")
+        }
+        def tupleGroups(yk: String, q: String): Long =
+          relDirs.count(d =>
+            LakeTable.partValFor(meta, d, "yk").contains(yk) &&
+            LakeTable.partValFor(meta, d, "q").contains(q)).toLong
+        val scopeGroups = tupleGroups("1995", "3")
+        val otherGroups = tupleGroups("1995", "1")
+        val scoped = base.filter(col("yk") === 1995 && col("q") === 3)
+        val ckHi = scoped.agg(max(col("ck")).cast("double")).head()
+          .getDouble(0)
+        val ckPruned = if (LakeTable.selectGroups(s, root, "ck",
+          ckHi, Double.MaxValue).size < dirsAfter.size) 1L else 0L
+        val agg = s.sql(
+          s"SELECT count(*), sum(cents), " +
+            "sum(CASE WHEN yk = 1995 AND q = 3 THEN cents ELSE 0 END) " +
+            s"FROM $cat.t").head()
+        val refusedPartial = refused("pin the FULL partition tuple") {
+          s.sql(s"OPTIMIZE $cat.t WHERE yk = 1995 " +
+            "ZORDER BY (ck, cents)") }
+        val refusedNonPart = refused("not a partition column") {
+          s.sql(s"OPTIMIZE $cat.t WHERE yk = 1995 AND ck = 5 " +
+            "ZORDER BY (k, cents)") }
+        import s.implicits._
+        graft.util.LocalFrame.materialize(Seq(
+          ("carried_by_name", carriedByName),
+          ("cents_scope", agg.getLong(2)),
+          ("cents_total", agg.getLong(1)),
+          ("ck_corner_pruned", ckPruned),
+          ("groups_added_net",
+            (dirsAfter.size - dirsBefore.size).toLong),
+          ("groups_scope_tuple", scopeGroups),
+          ("groups_sibling_tuple", otherGroups),
+          ("n_total", agg.getLong(0)),
+          ("refused_nonpart", refusedNonPart),
+          ("refused_partial_pin", refusedPartial),
+          ("zorder_where_op", zOp)
+        ).toDF("fact", "n").orderBy(col("fact")))
+      } finally {
+        s.conf.unset(s"spark.sql.catalog.$cat")
+        s.conf.unset(s"spark.sql.catalog.$cat.warehouse")
+      }
+    } }
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q302_partitioned_lake"    -> (partitionedLifecycle _),
     "q303_kll_index_lake"      -> (kllIndexLifecycle _),
@@ -4490,6 +4584,7 @@ object LakeQueries {
     "q349_zorder_where"        -> (zorderWhere _),
     "q350_spj_partial_clustered" -> (spjPartialClustered _),
     "q351_zorder_3d"           -> (zorder3d _),
+    "q352_zorder_where_tuple"  -> (zorderWhereTuple _),
     "q282_hll_index_lake"      -> (hllIndexLifecycle _),
     "q281_unique_constraint"   -> (uniqueLifecycle _),
     "q288_column_default"      -> (defaultLifecycle _),
@@ -4715,6 +4810,30 @@ object LakeQueries {
         |UNION ALL SELECT 'pruned_ck', CAST(1 AS BIGINT)
         |UNION ALL SELECT 'pruned_d', CAST(1 AS BIGINT)
         |UNION ALL SELECT 'refused_five_columns', CAST(1 AS BIGINT)
+        |ORDER BY fact""".stripMargin,
+    // q352: totals restated from orders; the scoped tuple's one group
+    // becomes 3 value-tagged z-groups (net +2), every sibling tuple
+    // carries by name (1 group each); refusals and pruning pin
+    "q352_zorder_where_tuple" ->
+      """WITH o AS (
+        |  SELECT CAST(year(o_orderdate) AS BIGINT) AS yk,
+        |         CAST(quarter(o_orderdate) AS BIGINT) AS q,
+        |         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |           AS cents
+        |  FROM orders WHERE o_custkey % 11 = 5)
+        |SELECT 'carried_by_name' AS fact, CAST(1 AS BIGINT) AS n
+        |UNION ALL SELECT 'cents_scope',
+        |  CAST(sum(CASE WHEN yk = 1995 AND q = 3 THEN cents ELSE 0 END)
+        |       AS BIGINT) FROM o
+        |UNION ALL SELECT 'cents_total', CAST(sum(cents) AS BIGINT) FROM o
+        |UNION ALL SELECT 'ck_corner_pruned', CAST(1 AS BIGINT)
+        |UNION ALL SELECT 'groups_added_net', CAST(2 AS BIGINT)
+        |UNION ALL SELECT 'groups_scope_tuple', CAST(3 AS BIGINT)
+        |UNION ALL SELECT 'groups_sibling_tuple', CAST(1 AS BIGINT)
+        |UNION ALL SELECT 'n_total', count(*) FROM o
+        |UNION ALL SELECT 'refused_nonpart', CAST(1 AS BIGINT)
+        |UNION ALL SELECT 'refused_partial_pin', CAST(1 AS BIGINT)
+        |UNION ALL SELECT 'zorder_where_op', CAST(1 AS BIGINT)
         |ORDER BY fact""".stripMargin,
     // q302: counts/sums restated from orders with the replaced year's
     // cents doubled; the group-accounting facts follow from the

@@ -103,12 +103,30 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
 object GraftSqlParser {
   private val OptimizeRe =
     """(?is)^\s*OPTIMIZE\s+([\w`]+(?:\.[\w`]+)+)(?:\s+MIN\s+BYTES\s+(\d+))?\s*;?\s*$""".r
+  // one or more `<col> = <value>` pins joined by AND
+  private val PinsPat =
+    """[\w`]+\s*=\s*(?:'[^']*'|[\w.\-]+)(?:\s+AND\s+[\w`]+\s*=\s*(?:'[^']*'|[\w.\-]+))*"""
   private val OptimizeWhereRe =
-    """(?is)^\s*OPTIMIZE\s+([\w`]+(?:\.[\w`]+)+)\s+WHERE\s+([\w`]+)\s*=\s*(?:'([^']*)'|([\w.\-]+))(?:\s+MIN\s+BYTES\s+(\d+))?\s*;?\s*$""".r
+    ("""(?is)^\s*OPTIMIZE\s+([\w`]+(?:\.[\w`]+)+)\s+WHERE\s+(""" +
+      PinsPat + """)(?:\s+MIN\s+BYTES\s+(\d+))?\s*;?\s*$""").r
+  private val PinRe =
+    """(?is)^\s*([\w`]+)\s*=\s*(?:'([^']*)'|([\w.\-]+))\s*$""".r
+
+  /** Parse `a = x AND b = y …` into (column, value) pins. */
+  private def parsePins(s: String): Seq[(String, String)] =
+    s.split("(?i)\\s+AND\\s+").toSeq.map {
+      case PinRe(c, qv, bv) =>
+        (c.stripPrefix("`").stripSuffix("`"), Option(qv).getOrElse(bv))
+      case other => throw new IllegalArgumentException(
+        s"OPTIMIZE … WHERE: cannot parse pin '$other' — expected " +
+          "<partition column> = <value>")
+    }
   private val ZOrderRe =
     """(?is)^\s*OPTIMIZE\s+([\w`]+(?:\.[\w`]+)+)\s+ZORDER\s+BY\s*\(\s*([\w`]+(?:\s*,\s*[\w`]+){1,3})\s*\)(?:\s+INTO\s+(\d+)\s+GROUPS)?\s*;?\s*$""".r
-  private val ZOrderWhereRe =
-    """(?is)^\s*OPTIMIZE\s+([\w`]+(?:\.[\w`]+)+)\s+WHERE\s+([\w`]+)\s*=\s*(?:'([^']*)'|([\w.\-]+))\s+ZORDER\s+BY\s*\(\s*([\w`]+(?:\s*,\s*[\w`]+){1,3})\s*\)(?:\s+INTO\s+(\d+)\s+GROUPS)?\s*;?\s*$""".r
+  private lazy val ZOrderWhereRe =
+    ("""(?is)^\s*OPTIMIZE\s+([\w`]+(?:\.[\w`]+)+)\s+WHERE\s+(""" +
+      PinsPat +
+      """)\s+ZORDER\s+BY\s*\(\s*([\w`]+(?:\s*,\s*[\w`]+){1,3})\s*\)(?:\s+INTO\s+(\d+)\s+GROUPS)?\s*;?\s*$""").r
 
   private def zcols(list: String): Seq[String] =
     list.split(",").toSeq.map(_.trim.stripPrefix("`").stripSuffix("`"))
@@ -160,14 +178,11 @@ object GraftSqlParser {
       case ZOrderRe(t, colList, n) =>
         Some(GraftZOrderCommand(parts(t), zcols(colList),
           Option(n).map(_.toInt).getOrElse(64)))
-      case ZOrderWhereRe(t, c, qv, bv, colList, n) =>
-        Some(GraftZOrderWhereCommand(parts(t),
-          c.stripPrefix("`").stripSuffix("`"), Option(qv).getOrElse(bv),
+      case ZOrderWhereRe(t, pinsStr, colList, n) =>
+        Some(GraftZOrderWhereCommand(parts(t), parsePins(pinsStr),
           zcols(colList), Option(n).map(_.toInt).getOrElse(8)))
-      case OptimizeWhereRe(t, c, qv, bv, min) =>
-        Some(GraftOptimizeWhereCommand(parts(t),
-          c.stripPrefix("`").stripSuffix("`"),
-          Option(qv).getOrElse(bv),
+      case OptimizeWhereRe(t, pinsStr, min) =>
+        Some(GraftOptimizeWhereCommand(parts(t), parsePins(pinsStr),
           Option(min).map(_.toLong).getOrElse(128L * 1024 * 1024)))
       case OptimizeRe(t, min) =>
         Some(GraftMaintenanceCommand("optimize", parts(t),
@@ -559,34 +574,38 @@ case class GraftConvertCommand(nameParts: Seq[String], srcDir: String)
       GraftSqlParser.rootFor(spark, nameParts), srcDir).toLong))
 }
 
-/** `OPTIMIZE t WHERE <partcol> = <v> ZORDER BY (a, b) [INTO n GROUPS]`
-  * — partition-scoped Morton re-layout
-  * ([[LakeTable.optimizeZOrderWhere]]): only the named value's groups
-  * rewrite (as z-range groups still tagged with the value); every
-  * other partition carries by name, zero bytes read. */
+/** `OPTIMIZE t WHERE <partcol> = <v> [AND <partcol2> = <v2> …] ZORDER
+  * BY (a, b[, c, d]) [INTO n GROUPS]` — partition-scoped Morton
+  * re-layout ([[LakeTable.optimizeZOrderWhereTuple]]): only the pinned
+  * tuple's groups rewrite (as z-range groups still tagged with the
+  * tuple); every other partition carries by name, zero bytes read. The
+  * pins must cover the FULL partition tuple (partial pins refuse — a
+  * merge across tuples would break one-value-per-group pruning). */
 case class GraftZOrderWhereCommand(nameParts: Seq[String],
-    column: String, value: String, cols: Seq[String], numGroups: Int)
+    pins: Seq[(String, String)], cols: Seq[String], numGroups: Int)
     extends LeafRunnableCommand {
   override val output: Seq[Attribute] = Seq(
     AttributeReference("version", LongType, nullable = false)())
   override def run(spark: SparkSession): Seq[Row] =
-    Seq(Row(LakeTable.optimizeZOrderWhere(spark,
-      GraftSqlParser.rootFor(spark, nameParts), column, value, cols,
+    Seq(Row(LakeTable.optimizeZOrderWhereTuple(spark,
+      GraftSqlParser.rootFor(spark, nameParts), pins, cols,
       numGroups).toLong))
 }
 
-/** `OPTIMIZE t WHERE <partcol> = <v> [MIN BYTES n]` — partition-scoped
-  * compaction ([[LakeTable.compactSmallWhere]]): only the named
-  * partition value's small groups merge; everything else is carried by
-  * name, zero bytes read. Refuses on non-partition columns. */
+/** `OPTIMIZE t WHERE <partcol> = <v> [AND <partcol2> = <v2> …]
+  * [MIN BYTES n]` — partition-scoped compaction
+  * ([[LakeTable.compactSmallWhereTuple]]): only groups matching EVERY
+  * pin merge (within one value tuple, as always); everything else is
+  * carried by name, zero bytes read. Refuses on non-partition
+  * columns; a partial pin is fine here (unlike the scoped ZORDER). */
 case class GraftOptimizeWhereCommand(nameParts: Seq[String],
-    column: String, value: String, minBytes: Long)
+    pins: Seq[(String, String)], minBytes: Long)
     extends LeafRunnableCommand {
   override val output: Seq[Attribute] = Seq(
     AttributeReference("version", LongType, nullable = false)())
   override def run(spark: SparkSession): Seq[Row] =
-    Seq(Row(LakeTable.compactSmallWhere(spark,
-      GraftSqlParser.rootFor(spark, nameParts), column, value,
+    Seq(Row(LakeTable.compactSmallWhereTuple(spark,
+      GraftSqlParser.rootFor(spark, nameParts), pins,
       minBytes).toLong))
 }
 

@@ -2725,7 +2725,7 @@ object LakeTable {
     * No-ops (same version) when fewer than two small groups exist. */
   def compactSmall(spark: SparkSession, root: String,
                    minBytes: Long): Int =
-    compactSmallScoped(spark, root, minBytes, None)
+    compactSmallScoped(spark, root, minBytes, Nil)
 
   /** Partition-scoped OPTIMIZE (Databricks' `OPTIMIZE t WHERE part =
     * v`): compact small groups of ONE partition value only — every
@@ -2737,18 +2737,30 @@ object LakeTable {
     * lie). */
   def compactSmallWhere(spark: SparkSession, root: String,
                         column: String, value: String,
-                        minBytes: Long): Int = {
+                        minBytes: Long): Int =
+    compactSmallWhereTuple(spark, root, Seq((column, value)), minBytes)
+
+  /** [[compactSmallWhere]] with a multi-column scope (`WHERE a = x AND
+    * b = y …`): groups whose recorded tuple matches EVERY pin compact;
+    * a partial pin is fine here (unlike the scoped ZORDER) because
+    * small groups always merge within one full value tuple anyway. */
+  def compactSmallWhereTuple(spark: SparkSession, root: String,
+                             pins: Seq[(String, String)],
+                             minBytes: Long): Int = {
+    require(pins.nonEmpty, "OPTIMIZE … WHERE needs at least one " +
+      "<partcol> = <value> pin")
     val v = latestVersion(spark, root)
       .getOrElse(throw new IllegalStateException(s"no table at $root"))
     val meta = manifestMeta(spark, root, v)
-    require(partColsAt(meta).exists(_.equalsIgnoreCase(column)),
-      s"OPTIMIZE … WHERE: '$column' is not a partition column of " +
-        s"$root (have ${partColsAt(meta).mkString(", ")})")
-    compactSmallScoped(spark, root, minBytes, Some((column, value)))
+    pins.foreach { case (c, _) =>
+      require(partColsAt(meta).exists(_.equalsIgnoreCase(c)),
+        s"OPTIMIZE … WHERE: '$c' is not a partition column of " +
+          s"$root (have ${partColsAt(meta).mkString(", ")})") }
+    compactSmallScoped(spark, root, minBytes, pins)
   }
 
   private def compactSmallScoped(spark: SparkSession, root: String,
-      minBytes: Long, scope: Option[(String, String)]): Int = {
+      minBytes: Long, scope: Seq[(String, String)]): Int = {
     val v = latestVersion(spark, root)
       .getOrElse(throw new IllegalStateException(s"no table at $root"))
     val meta = manifestMeta(spark, root, v)
@@ -2767,9 +2779,9 @@ object LakeTable {
     // "zero bytes of out-of-scope groups read" and an untagged group
     // may hold any value.
     val inScope: String => Boolean = scope match {
-      case None => _ => true
-      case Some((c, value)) => d =>
-        partValFor(meta, d, c).exists(partValueMatches(_, value))
+      case Seq() => _ => true
+      case pins => d => pins.forall { case (c, value) =>
+        partValFor(meta, d, c).exists(partValueMatches(_, value)) }
     }
     val (small, large) =
       dirs.partition(d => bytes(d) < minBytes && inScope(d))
@@ -3007,10 +3019,23 @@ object LakeTable {
     * rename/drop exactly like its siblings. */
   def optimizeZOrderWhere(spark: SparkSession, root: String,
                           column: String, value: String,
-                          cols: Seq[String], numGroups: Int): Int = {
+                          cols: Seq[String], numGroups: Int): Int =
+    optimizeZOrderWhereTuple(spark, root, Seq((column, value)), cols,
+      numGroups)
+
+  /** [[optimizeZOrderWhere]] for multi-column partition layouts: the
+    * scope pins the FULL partition tuple (`WHERE a = x AND b = y …`) —
+    * pinning a subset would merge distinct value tuples into one
+    * z-group and break the one-tuple-per-group invariant, so it
+    * refuses with the missing columns named. */
+  def optimizeZOrderWhereTuple(spark: SparkSession, root: String,
+                               pins: Seq[(String, String)],
+                               cols: Seq[String], numGroups: Int): Int = {
     require(cols.size >= 2 && cols.size <= 4,
       s"ZORDER BY takes 2 to 4 columns, got ${cols.mkString(", ")}")
     require(numGroups >= 2, s"numGroups must be >= 2, got $numGroups")
+    require(pins.nonEmpty, "scoped ZORDER needs at least one " +
+      "<partcol> = <value> pin")
     val v = latestVersion(spark, root)
       .getOrElse(throw new IllegalStateException(s"no table at $root"))
     val meta = manifestMeta(spark, root, v)
@@ -3020,19 +3045,22 @@ object LakeTable {
       s"table at $root has a metadata-only rename/drop mapping; " +
         "compact first")
     val pcs = partColsAt(meta)
-    require(pcs.exists(_.equalsIgnoreCase(column)),
-      s"OPTIMIZE … WHERE: '$column' is not a partition column of " +
-        s"$root (have ${pcs.mkString(", ")})")
-    require(pcs.size == 1,
-      s"scoped ZORDER needs a single-column partition layout, but " +
-        s"$root is partitioned by (${pcs.mkString(", ")}) — a one-" +
-        "column scope would merge distinct value tuples into one group")
+    pins.foreach { case (c, _) =>
+      require(pcs.exists(_.equalsIgnoreCase(c)),
+        s"OPTIMIZE … WHERE: '$c' is not a partition column of " +
+          s"$root (have ${pcs.mkString(", ")})") }
+    val unpinned = pcs.filterNot(pc =>
+      pins.exists(_._1.equalsIgnoreCase(pc)))
+    require(unpinned.isEmpty,
+      s"scoped ZORDER must pin the FULL partition tuple of $root — " +
+        s"missing ${unpinned.mkString(", ")} (a partial pin would " +
+        "merge distinct value tuples into one group)")
     val dirs = readManifest(spark, root, v)
-    val inScope = dirs.filter(d =>
-      partValFor(meta, d, column).exists(partValueMatches(_, value)))
+    val inScope = dirs.filter(d => pins.forall { case (c, value) =>
+      partValFor(meta, d, c).exists(partValueMatches(_, value)) })
     require(inScope.nonEmpty,
-      s"OPTIMIZE … WHERE $column = $value: no file groups carry that " +
-        s"value at $root")
+      s"OPTIMIZE … WHERE ${pins.map(p => s"${p._1} = ${p._2}")
+        .mkString(" AND ")}: no file groups carry that value at $root")
     // the recorded opaque value (what part: tags of the new z-groups
     // must carry so partition pruning stays exact)
     val recVal = meta(s"part:${inScope.head}")

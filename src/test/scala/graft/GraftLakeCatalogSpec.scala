@@ -1095,6 +1095,37 @@ class GraftLakeCatalogSpec extends SparkSpec {
     }
   }
 
+  test("OPTIMIZE WHERE with AND pins: only groups matching EVERY pin " +
+    "compact; a pin on a non-partition column refuses") {
+    withWarehouse("lakeMp") { wh =>
+      import spark.implicits._
+      val root = s"$wh/t"
+      val mk = (tag: Long) => Seq((1995L, 3L, tag), (1995L, 1L, tag + 10),
+        (1996L, 3L, tag + 20)).toDF("yk", "q", "v")
+      LakeTable.createEmpty(spark, root, mk(0).schema, Seq("yk", "q"))
+      LakeTable.append(spark, root, mk(1))  // 3 tuples × 1 group
+      LakeTable.append(spark, root, mk(2))  // each tuple now 2 groups
+      val before = LakeTable.dataDirPaths(spark, root)
+      assert(before.size == 6)
+      spark.sql("OPTIMIZE lakeMp.t WHERE yk = 1995 AND q = 3 " +
+        "MIN BYTES 1000000000")
+      val after = LakeTable.dataDirPaths(spark, root)
+      // only (1995,3)'s two groups merged; the other four carried
+      assert(after.size == 5, s"$before -> $after")
+      assert(before.count(after.contains) == 4)
+      assert(spark.sql("SELECT count(*) FROM lakeMp.t").head.getLong(0)
+        == 6)
+      assert(spark.sql(
+        "SELECT sum(v) FROM lakeMp.t WHERE yk = 1995 AND q = 3")
+        .head.getLong(0) == 3)
+      val e = intercept[IllegalArgumentException] {
+        spark.sql("OPTIMIZE lakeMp.t WHERE yk = 1995 AND v = 1 " +
+          "MIN BYTES 1000000000")
+      }
+      assert(e.getMessage.contains("not a partition column"), e.getMessage)
+    }
+  }
+
   test("dv catalog scans PRUNE: a point probe on a deletion-vector " +
     "snapshot opens only stats-admitted groups, masked rows never " +
     "resurface, time travel and stacking intact") {
