@@ -112,15 +112,22 @@ object GraftSqlParser {
   private val PinRe =
     """(?is)^\s*([\w`]+)\s*=\s*(?:'([^']*)'|([\w.\-]+))\s*$""".r
 
-  /** Parse `a = x AND b = y …` into (column, value) pins. */
-  private def parsePins(s: String): Seq[(String, String)] =
-    s.split("(?i)\\s+AND\\s+").toSeq.map {
+  /** Parse `a = x AND b = y …` into (column, value) pins — split at
+    * TOP-LEVEL `AND` only (an `AND` inside a quoted value belongs to
+    * the value, same scanner the UPDATE verb uses). */
+  private def parsePins(s0: String): Seq[(String, String)] = {
+    def split(s: String): Seq[String] = findTopLevel(s, "AND") match {
+      case -1 => Seq(s)
+      case i => s.substring(0, i) +: split(s.substring(i + 3))
+    }
+    split(s0).map(_.trim).map {
       case PinRe(c, qv, bv) =>
         (c.stripPrefix("`").stripSuffix("`"), Option(qv).getOrElse(bv))
       case other => throw new IllegalArgumentException(
         s"OPTIMIZE … WHERE: cannot parse pin '$other' — expected " +
           "<partition column> = <value>")
     }
+  }
   private val ZOrderRe =
     """(?is)^\s*OPTIMIZE\s+([\w`]+(?:\.[\w`]+)+)\s+ZORDER\s+BY\s*\(\s*([\w`]+(?:\s*,\s*[\w`]+){1,3})\s*\)(?:\s+INTO\s+(\d+)\s+GROUPS)?\s*;?\s*$""".r
   private lazy val ZOrderWhereRe =
