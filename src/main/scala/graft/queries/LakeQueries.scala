@@ -3903,6 +3903,28 @@ object LakeQueries {
         val ttMin = s.sql(s"SELECT n_chars FROM $cat.t VERSION AS OF 1 " +
           s"WHERE doc_id = $minId").head().getLong(0)
         val ttPlain = graft.sources.GraftDvScan.lastPrune.isEmpty
+        // NATIVE statistics (the r14 weak item's companion fix): the dv
+        // snapshot reports its kept bytes through the native DSv2
+        // Batch, so with AQE DISABLED the STATIC planner broadcasts the
+        // dv table against a fact too big to broadcast — no runtime
+        // conversion needed (the V1-bridge era pinned the opposite)
+        val staticBcast = graft.util.LocalFrame.withConf(s,
+          "spark.sql.adaptive.enabled", "false") {
+          val fact = s.range(2000000L)
+            .select((col("id") % 50 + 1).as("doc_id"))
+          val j = fact.join(s.table(s"$cat.t"), Seq("doc_id"))
+            .agg(count(lit(1)).as("n"))
+          j.head()
+          val plan = j.queryExecution.executedPlan
+          val ok = plan.collectFirst {
+              case b: org.apache.spark.sql.execution.joins
+                .BroadcastHashJoinExec => b }.isDefined &&
+            plan.collectFirst {
+              case sm: org.apache.spark.sql.execution.joins
+                .SortMergeJoinExec => sm }.isEmpty &&
+            plan.toString.contains("GraftDvBatchScan")
+          if (ok) 1L else 0L
+        }
         import s.implicits._
         graft.util.LocalFrame.materialize(Seq(
           ("groups_scanned_full", fullKept),
@@ -3914,6 +3936,7 @@ object LakeQueries {
           ("nchars_max_after", maxVal),
           ("nchars_min_after", hitVal),
           ("nchars_min_v1", ttMin),
+          ("static_bcast", staticBcast),
           ("sum_after", sumAfter),
           ("tt_plain_delegate", if (ttPlain) 1L else 0L)
         ).toDF("fact", "n").orderBy(col("fact")))
@@ -4542,7 +4565,336 @@ object LakeQueries {
     } }
   }
 
+  /** q353: MANIFEST CHECKPOINTING at many-group scale — the metadata
+    * path that keeps a 10⁵-group table usable: each commit writes an
+    * O(change) DELTA manifest (never the O(groups) full state), every
+    * 10th commit lands a full-state checkpoint, and a cold read
+    * resolves from the nearest checkpoint + the delta tail — never the
+    * whole history. A ~479-way partitioned table (one group per
+    * partition value, 500+ groups) takes 33 single-row appends
+    * (34 commits): the latest manifest FILE is exactly 3 lines (delta
+    * header + new dir + its partition tag) where the flat format would
+    * rewrite 500+ dir lines + their part tags per commit; a cold
+    * resolution of v34 walks 4 deltas onto the v30 checkpoint
+    * (chain/checkpoint pins via [[LakeTable.lastResolve]]); VACUUM
+    * materializes a checkpoint for the oldest RETAINED version before
+    * dropping its delta base (chains never break) and collects the
+    * superseded checkpoints with the dropped manifests. Totals restate
+    * from orders — data is untouched throughout. Reference:
+    * lakehouse-workshop DE_data_preparation.py writes through Delta
+    * commits whose _delta_log works exactly this way (checkpoint
+    * parquet + JSON tail). */
+  def manifestCheckpointing(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.load(s, dir, "orders")
+      .select(col("o_orderkey").as("k"),
+        expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)")
+          .as("cents"),
+        (col("o_orderkey") % 479).as("pk"))
+    graft.util.LocalFrame.withConf(s, "spark.sql.shuffle.partitions", "8") {
+    graft.util.Tmp.withTempDir("graft_lake_q353") { rootPath =>
+      val root = s"$rootPath/t"
+      LakeTable.createPartitioned(s, root, o, "pk")            // v1
+      import s.implicits._
+      (1 to 33).foreach { i =>                                 // v2..v34
+        LakeTable.append(s, root,
+          Seq((1000000L + i, 7L * i, (1000000L + i) % 479))
+            .toDF("k", "cents", "pk"))
+      }
+      val vLatest = LakeTable.latestVersion(s, root).get       // 34
+      val groupsTotal = LakeTable.dataDirPaths(s, root).size.toLong
+      def cpVersions(): Seq[Int] =
+        new java.io.File(s"$root/_versions").listFiles().toSeq
+          .map(_.getName)
+          .filter(n => n.startsWith("v") && n.endsWith(".checkpoint"))
+          .map(n => n.substring(1, n.length - ".checkpoint".length).toInt)
+          .sorted
+      val cpsBefore = cpVersions()                             // 10,20,30
+      val tailLines = java.nio.file.Files.readAllLines(
+        java.nio.file.Paths.get(s"$root/_versions", f"v$vLatest%08d.json"))
+        .toArray.map(_.toString.trim).count(_.nonEmpty).toLong
+      // cold resolution of the latest version: checkpoint + delta tail
+      LakeTable.clearResolveCache()
+      LakeTable.manifestMetaAt(s, root, vLatest)
+      val (_, chainCold, fromCpCold) = LakeTable.lastResolve.get
+      val before = LakeTable.read(s, root)
+        .agg(count(lit(1)), sum(col("cents"))).head()
+      // vacuum to the last 4 versions: the oldest retained version's
+      // delta base is dropped — a checkpoint materializes for it first,
+      // and every superseded checkpoint goes with the dropped manifests
+      LakeTable.vacuum(s, root, keepVersions = 4)
+      val cpsAfter = cpVersions()                              // 31
+      LakeTable.clearResolveCache()
+      val after = LakeTable.read(s, root)
+        .agg(count(lit(1)), sum(col("cents"))).head()
+      LakeTable.clearResolveCache()
+      LakeTable.manifestMetaAt(s, root, vLatest)
+      val (_, chainVac, fromCpVac) = LakeTable.lastResolve.get
+      val vacuumedRefuses =
+        try { LakeTable.read(s, root, Some(30)).count(); 0L }
+        catch { case _: Exception => 1L }
+      graft.util.LocalFrame.materialize(Seq(
+        ("cents_total", before.getLong(1)),
+        ("chain_cold", chainCold.toLong),
+        ("chain_cold_from_cp", fromCpCold.toLong),
+        ("chain_postvac", chainVac.toLong),
+        ("chain_postvac_from_cp", fromCpVac.toLong),
+        ("checkpoints_after", cpsAfter.size.toLong),
+        ("checkpoints_before", cpsBefore.size.toLong),
+        ("cp_after_version", cpsAfter.headOption.getOrElse(-1).toLong),
+        ("groups_total", groupsTotal),
+        ("manifest_tail_lines", tailLines),
+        ("n_rows_total", before.getLong(0)),
+        ("vacuum_preserves",
+          if (after.getLong(0) == before.getLong(0) &&
+              after.getLong(1) == before.getLong(1)) 1L else 0L),
+        ("vacuumed_version_refuses", vacuumedRefuses)
+      ).toDF("fact", "n").orderBy(col("fact")))
+    } }
+  }
+
+  /** q354: CHANGE-DATA FEED over deletion-vector commits WITHOUT a
+    * staged change sidecar — the r14 verdict's ask #3. The table never
+    * calls enableChangeFeed, yet the stream serves every MOR commit:
+    * the dv mask itself names exactly the preimage rows (read back at
+    * the masked positions of only the touched files — O(churn)), the
+    * appended replacement group is the postimage set, a sidecar-less
+    * MERGE classifies its appended rows against the recorded merge key
+    * (masked-row keys → update_postimage, fresh keys → insert — here
+    * keys deleted at v3 and re-merged at v4 land as inserts), and the
+    * compactDeletes fold is a zero-change version. Delta's CDF serves
+    * DV commits from their DVs exactly this way; before this round the
+    * feed refused loudly. Masses restate per (type, version) —
+    * including the v4 preimages of rows whose values were REWRITTEN by
+    * v2's update (served from the replacement file, +7 each). */
+  def streamDvChangeFeed(s: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.load(s, dir, "orders")
+      .filter(col("o_custkey") % 13 === 4)
+      .select(col("o_orderkey").as("k"),
+        expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)")
+          .as("cents"))
+    graft.util.LocalFrame.withConf(s, "spark.sql.shuffle.partitions", "8") {
+    graft.util.Tmp.withTempDir("graft_lake_q354") { rootPath =>
+      val root = rootPath.toString
+      // v1 create; v2 update-mor (k%5=0 → cents+7); v3 delete-dv
+      // (k%10=3); v4 merge-mor on k (k%4=1 → cents×3, deleted keys
+      // re-insert); v5 compactDeletes — NO change feed ever enabled
+      LakeTable.create(s, root, orders)
+      LakeTable.updateWhereMor(s, root, col("k") % 5 === 0,
+        Map("cents" -> (col("cents") + 7)))
+      LakeTable.deleteWhereDv(s, root, col("k") % 10 === 3)
+      LakeTable.mergeMor(s, root,
+        orders.filter(col("k") % 4 === 1)
+          .select(col("k"), (col("cents") * 3).as("cents")), "k")
+      LakeTable.compactDeletes(s, root)
+      val sink = "q354_sink_" +
+        java.util.UUID.randomUUID().toString.replace("-", "").take(8)
+      val q = s.readStream.format("graft-lake-cdf").load(root)
+        .groupBy(col("_change_type"), col("_commit_version"))
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("c"))
+        .writeStream.format("memory").queryName(sink)
+        .outputMode("complete").start()
+      try {
+        q.processAllAvailable()
+        val res = s.table(sink)
+          .select(concat_ws("_", col("_change_type"),
+              col("_commit_version")).as("fact"),
+            col("n"), col("c"))
+          .orderBy(col("fact"))
+        graft.util.LocalFrame.materialize(res)
+      } finally {
+        q.stop()
+        s.catalog.dropTempView(sink)
+      }
+    } }
+  }
+
+  /** q355: BUCKET-transform partitioning (`PARTITIONED BY
+    * (bucket(8, ck))`) — the r14 verdict's ask #4, the layout that
+    * makes HIGH-CARDINALITY keys storage-partition-joinable: identity
+    * partitioning on custkey would mean one file group per customer,
+    * bucketing hashes them into 8 co-located groups. Both tables (one
+    * API-created, one through SQL CREATE + INSERT INTO — appends route
+    * by the same murmur3 hash) report `bucket(8, ck)` through the
+    * catalog's V2 FunctionCatalog, so the join plans with ZERO scan
+    * shuffles under Spark's v2-bucketing flag (broadcast disabled, AQE
+    * off — the co-partitioning is static and real) and shuffles as
+    * usual with the flag off. Equality probes prune to the literal's
+    * ONE bucket at the manifest level (2 after an append lands a
+    * second group in that bucket); range probes keep every group —
+    * honest, a hash layout cannot prune ranges. Totals restate from
+    * orders ⋈ customer. */
+  def bucketSpjQ(s: SparkSession, dir: String): DataFrame = {
+    val fact = Tables.load(s, dir, "orders")
+      .select(col("o_custkey").as("ck"),
+        expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)")
+          .as("cents"))
+    val dimSrc = Tables.load(s, dir, "customer")
+      .select(col("c_custkey").as("ck"),
+        col("c_nationkey").cast("long").as("nat"))
+    graft.util.LocalFrame.withConf(s, "spark.sql.shuffle.partitions", "8") {
+    graft.util.Tmp.withTempDir("graft_lake_q355") { rootPath =>
+      val wh = rootPath.toString
+      val cat = "lake_" +
+        java.util.UUID.randomUUID().toString.replace("-", "").take(12)
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftLakeCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+      val view = "bsp355_" +
+        java.util.UUID.randomUUID().toString.replace("-", "").take(12)
+      try {
+        LakeTable.createBucketed(s, s"$wh/fact", fact, "ck", 8)
+        s.sql(s"CREATE TABLE $cat.dim (ck BIGINT, nat BIGINT) " +
+          "PARTITIONED BY (bucket(8, ck))")
+        dimSrc.createOrReplaceTempView(view)
+        s.sql(s"INSERT INTO $cat.dim SELECT ck, nat FROM $view")
+        def spjConf[T](on: Boolean)(body: => T): T =
+          graft.util.LocalFrame.withConf(s,
+            "spark.sql.sources.v2.bucketing.enabled", on.toString) {
+          graft.util.LocalFrame.withConf(s,
+            "spark.sql.sources.v2.bucketing.pushPartValues.enabled",
+            "true") {
+          graft.util.LocalFrame.withConf(s,
+            "spark.sql.adaptive.enabled", "false") {
+          graft.util.LocalFrame.withConf(s,
+            "spark.sql.autoBroadcastJoinThreshold", "-1") { body } } } }
+        // exchanges INSIDE the join subtree (the final aggregate's own
+        // exchange above the join is not the co-partitioning question)
+        def joinShuffles(
+            df: org.apache.spark.sql.DataFrame): Int = {
+          df.foreachPartition(
+            (_: Iterator[org.apache.spark.sql.Row]) => ())
+          df.queryExecution.executedPlan.collectFirst {
+            case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j
+          }.toSeq.flatMap(_.collect {
+            case e: org.apache.spark.sql.execution.exchange
+              .ShuffleExchangeLike => e
+          }).size
+        }
+        val joinSql = s"SELECT count(*) AS n, sum(f.cents) AS c " +
+          s"FROM $cat.fact f JOIN $cat.dim d ON f.ck = d.ck"
+        val (nJoin, cJoin, spjSh) = spjConf(true) {
+          val j = s.sql(joinSql)
+          val sh = joinShuffles(j)
+          val r = j.head()
+          (r.getLong(0), r.getLong(1), sh)
+        }
+        val offSh = spjConf(false) { joinShuffles(s.sql(joinSql)) }
+        // manifest-level bucket pruning around a probe key
+        val mc = fact.agg(min(col("ck"))).head().getLong(0)
+        val (kept1, total1) = LakeTable.pruneProbe(s, s"$wh/fact", None,
+          Seq(org.apache.spark.sql.sources.EqualTo("ck", mc)))
+        val p1 = s.sql(
+          s"SELECT count(*), sum(cents) FROM $cat.fact WHERE ck = $mc")
+          .head()
+        import s.implicits._
+        LakeTable.append(s, s"$wh/fact",
+          Seq((mc, 12345L)).toDF("ck", "cents"))
+        val (kept2, _) = LakeTable.pruneProbe(s, s"$wh/fact", None,
+          Seq(org.apache.spark.sql.sources.EqualTo("ck", mc)))
+        val p2 = s.sql(
+          s"SELECT count(*), sum(cents) FROM $cat.fact WHERE ck = $mc")
+          .head()
+        val (rangeKept, rangeTotal) = LakeTable.pruneProbe(s, s"$wh/fact",
+          None, Seq(org.apache.spark.sql.sources.GreaterThan("ck", 0L)))
+        graft.util.LocalFrame.materialize(Seq(
+          ("cents_join", cJoin),
+          ("cents_probe", p1.getLong(1)),
+          ("cents_probe2", p2.getLong(1)),
+          ("join_shuffle_free", if (spjSh == 0) 1L else 0L),
+          ("n_join", nJoin),
+          ("off_shuffles_pos", if (offSh > 0) 1L else 0L),
+          ("probe_kept", kept1.size.toLong),
+          ("probe_kept2", kept2.size.toLong),
+          ("probe_n", p1.getLong(0)),
+          ("probe_n2", p2.getLong(0)),
+          ("probe_total_gt1", if (total1 > 1) 1L else 0L),
+          ("range_keeps_all", if (rangeKept.size == rangeTotal) 1L else 0L)
+        ).toDF("fact", "n").orderBy(col("fact")))
+      } finally {
+        s.catalog.dropTempView(view)
+        s.conf.unset(s"spark.sql.catalog.$cat")
+        s.conf.unset(s"spark.sql.catalog.$cat.warehouse")
+      }
+    } }
+  }
+
+  /** q356: INCREMENTAL (liquid-style) clustering — `OPTIMIZE t ZORDER
+    * BY (ck, cents) INTO 4 GROUPS INCREMENTAL` z-orders ONLY the file
+    * groups created since the last clustering commit: the first run
+    * clusters the whole table (nothing tagged yet), appends land fresh
+    * groups, and the second run rewrites exactly THOSE — the first
+    * generation's 4 z-groups carry BY NAME (`carried_by_name` pins the
+    * dir-identity intersection), so a steadily-appended table pays
+    * O(new data) per re-cluster instead of O(table). A nothing-new run
+    * is a TRUE no-op (version unmoved); clustering on a different
+    * column set refuses, naming the recorded one; corner probes prune
+    * below the group count across BOTH generations (each keeps its own
+    * z-locality + stats). Totals restate from orders. */
+  def incrementalZorder(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.load(s, dir, "orders")
+      .filter(col("o_custkey") % 17 === 3)
+      .select(col("o_orderkey").as("k"), col("o_custkey").as("ck"),
+        expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)")
+          .as("cents"))
+    graft.util.LocalFrame.withConf(s, "spark.sql.shuffle.partitions", "8") {
+    graft.util.Tmp.withTempDir("graft_lake_q356") { rootPath =>
+      val wh = rootPath.toString
+      val cat = "lake_" +
+        java.util.UUID.randomUUID().toString.replace("-", "").take(12)
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftLakeCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+      try {
+        val root = s"$wh/t"
+        LakeTable.create(s, root, o.filter(col("k") % 3 === 0))     // v1
+        LakeTable.append(s, root, o.filter(col("k") % 3 === 1))     // v2
+        def cluster(): Long = s.sql(s"OPTIMIZE $cat.t ZORDER BY " +
+          "(ck, cents) INTO 4 GROUPS INCREMENTAL").head().getLong(0)
+        val v3 = cluster()                                          // v3
+        val gen1 = LakeTable.dataDirPaths(s, root).toSet
+        LakeTable.append(s, root,
+          o.filter(col("k") % 3 === 2 && col("k") % 2 === 0))       // v4
+        LakeTable.append(s, root,
+          o.filter(col("k") % 3 === 2 && col("k") % 2 === 1))       // v5
+        val v6 = cluster()                                          // v6
+        val after = LakeTable.dataDirPaths(s, root).toSet
+        val vNoop = cluster()                       // no-op: still v6
+        val refused =
+          try {
+            s.sql(s"OPTIMIZE $cat.t ZORDER BY (k, cents) INCREMENTAL")
+            0L
+          } catch {
+            case e: Exception
+                if e.getMessage != null &&
+                   e.getMessage.contains("clustered on") => 1L
+          }
+        val tot = s.sql(s"SELECT count(*), sum(cents) FROM $cat.t")
+          .head()
+        val mx = o.agg(max(col("ck"))).head().getLong(0)
+        val (cornerKept, cornerTotal) = LakeTable.pruneProbe(s, root,
+          None, Seq(org.apache.spark.sql.sources
+            .GreaterThanOrEqual("ck", mx - mx / 10)))
+        import s.implicits._
+        graft.util.LocalFrame.materialize(Seq(
+          ("carried_by_name", gen1.intersect(after).size.toLong),
+          ("cents_total", tot.getLong(1)),
+          ("first_groups", gen1.size.toLong),
+          ("groups_after", after.size.toLong),
+          ("n_total", tot.getLong(0)),
+          ("noop_unmoved", if (vNoop == v6 && v6 == v3 + 3) 1L else 0L),
+          ("pruned_corner", if (cornerKept.size < cornerTotal) 1L else 0L),
+          ("refused_other_cols", refused)
+        ).toDF("fact", "n").orderBy(col("fact")))
+      } finally {
+        s.conf.unset(s"spark.sql.catalog.$cat")
+        s.conf.unset(s"spark.sql.catalog.$cat.warehouse")
+      }
+    } }
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q356_incremental_zorder"  -> (incrementalZorder _),
+    "q355_bucket_spj"          -> (bucketSpjQ _),
+    "q354_stream_dv_cdf"       -> (streamDvChangeFeed _),
+    "q353_manifest_checkpoints" -> (manifestCheckpointing _),
     "q302_partitioned_lake"    -> (partitionedLifecycle _),
     "q303_kll_index_lake"      -> (kllIndexLifecycle _),
     "q304_sql_lake_ddl"        -> (sqlLakeDdl _),
@@ -4642,6 +4994,7 @@ object LakeQueries {
         |  (SELECT n_chars + 1000000 FROM d, b WHERE doc_id = mn)
         |UNION ALL SELECT 'nchars_min_v1',
         |  (SELECT n_chars FROM d, b WHERE doc_id = mn)
+        |UNION ALL SELECT 'static_bcast', CAST(1 AS BIGINT)
         |UNION ALL SELECT 'sum_after',
         |  CAST(sum(n_chars) + 1000000 AS BIGINT) FROM d
         |UNION ALL SELECT 'tt_plain_delegate', CAST(1 AS BIGINT)
@@ -4810,6 +5163,124 @@ object LakeQueries {
         |UNION ALL SELECT 'pruned_ck', CAST(1 AS BIGINT)
         |UNION ALL SELECT 'pruned_d', CAST(1 AS BIGINT)
         |UNION ALL SELECT 'refused_five_columns', CAST(1 AS BIGINT)
+        |ORDER BY fact""".stripMargin,
+    // q356: totals restate from orders (the four slices cover the
+    // filtered set exactly); the clustering-protocol facts pin as
+    // integers — first run clusters everything into 4 z-groups, the
+    // second rewrites only the 2 fresh appends into 4 more while all 4
+    // first-generation groups carry by dir identity, a nothing-new run
+    // leaves the version unmoved, a different column set refuses, and
+    // a ck corner probe prunes below the total group count
+    "q356_incremental_zorder" ->
+      """WITH o AS (
+        |  SELECT o_orderkey AS k,
+        |         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |           AS cents
+        |  FROM orders WHERE o_custkey % 17 = 3)
+        |SELECT 'carried_by_name' AS fact, CAST(4 AS BIGINT) AS n
+        |UNION ALL SELECT 'cents_total', CAST(sum(cents) AS BIGINT) FROM o
+        |UNION ALL SELECT 'first_groups', CAST(4 AS BIGINT)
+        |UNION ALL SELECT 'groups_after', CAST(8 AS BIGINT)
+        |UNION ALL SELECT 'n_total', count(*) FROM o
+        |UNION ALL SELECT 'noop_unmoved', CAST(1 AS BIGINT)
+        |UNION ALL SELECT 'pruned_corner', CAST(1 AS BIGINT)
+        |UNION ALL SELECT 'refused_other_cols', CAST(1 AS BIGINT)
+        |ORDER BY fact""".stripMargin,
+    // q355: join totals restate from orders ⋈ customer (every orders
+    // custkey exists in customer); the probe facts restate around the
+    // min fact custkey (+1 row / +12345 cents after the routed
+    // append); the plan/pruning facts pin as integers — zero scan
+    // shuffles under SPJ, shuffles with the flag off, one bucket per
+    // equality probe (two once the append lands a second group there),
+    // ranges keep all
+    "q355_bucket_spj" ->
+      """WITH f AS (
+        |  SELECT o_custkey AS ck,
+        |         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |           AS cents
+        |  FROM orders),
+        |m AS (SELECT min(ck) AS mc FROM f),
+        |p AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |             CAST(sum(cents) AS BIGINT) AS c
+        |      FROM f, m WHERE ck = mc)
+        |SELECT 'cents_join' AS fact,
+        |       (SELECT CAST(sum(cents) AS BIGINT) FROM f
+        |        JOIN customer ON ck = c_custkey) AS n
+        |UNION ALL SELECT 'cents_probe', (SELECT c FROM p)
+        |UNION ALL SELECT 'cents_probe2', (SELECT c + 12345 FROM p)
+        |UNION ALL SELECT 'join_shuffle_free', CAST(1 AS BIGINT)
+        |UNION ALL SELECT 'n_join',
+        |       (SELECT CAST(count(*) AS BIGINT) FROM f
+        |        JOIN customer ON ck = c_custkey)
+        |UNION ALL SELECT 'off_shuffles_pos', CAST(1 AS BIGINT)
+        |UNION ALL SELECT 'probe_kept', CAST(1 AS BIGINT)
+        |UNION ALL SELECT 'probe_kept2', CAST(2 AS BIGINT)
+        |UNION ALL SELECT 'probe_n', (SELECT n FROM p)
+        |UNION ALL SELECT 'probe_n2', (SELECT n + 1 FROM p)
+        |UNION ALL SELECT 'probe_total_gt1', CAST(1 AS BIGINT)
+        |UNION ALL SELECT 'range_keeps_all', CAST(1 AS BIGINT)
+        |ORDER BY fact""".stripMargin,
+    // q354: the sidecar-less dv feed restates per (type, version) from
+    // orders — v1 inserts everything; v2 updates k%5=0 (+7 each); v3
+    // deletes k%10=3 (disjoint from k%5=0, so plain masses); v4 merges
+    // k%4=1 at ×3: still-present keys pair pre/post (preimages include
+    // v2's +7 on k≡5 mod 20), keys deleted at v3 re-insert; v5's fold
+    // emits nothing (absent from the feed entirely)
+    "q354_stream_dv_cdf" ->
+      """WITH o AS (
+        |  SELECT o_orderkey AS k,
+        |         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |           AS cents
+        |  FROM orders WHERE o_custkey % 13 = 4)
+        |SELECT 'delete_3' AS fact, count(*) AS n,
+        |       CAST(sum(cents) AS BIGINT) AS c FROM o WHERE k % 10 = 3
+        |UNION ALL SELECT 'insert_1', count(*),
+        |       CAST(sum(cents) AS BIGINT) FROM o
+        |UNION ALL SELECT 'insert_4', count(*),
+        |       CAST(3 * sum(cents) AS BIGINT)
+        |       FROM o WHERE k % 4 = 1 AND k % 10 = 3
+        |UNION ALL SELECT 'update_postimage_2', count(*),
+        |       CAST(sum(cents) + 7 * count(*) AS BIGINT)
+        |       FROM o WHERE k % 5 = 0
+        |UNION ALL SELECT 'update_postimage_4', count(*),
+        |       CAST(3 * sum(cents) AS BIGINT)
+        |       FROM o WHERE k % 4 = 1 AND k % 10 <> 3
+        |UNION ALL SELECT 'update_preimage_2', count(*),
+        |       CAST(sum(cents) AS BIGINT) FROM o WHERE k % 5 = 0
+        |UNION ALL SELECT 'update_preimage_4', count(*),
+        |       CAST(sum(cents)
+        |            + 7 * (count(*) FILTER (k % 5 = 0)) AS BIGINT)
+        |       FROM o WHERE k % 4 = 1 AND k % 10 <> 3
+        |ORDER BY fact""".stripMargin,
+    // q353: totals restated from orders (+33 single-row appends, cents
+    // 7·(1+…+33)=3927); groups = one per distinct partition value + one
+    // per append; the protocol facts pin the checkpoint design — a
+    // 3-line delta manifest per append, checkpoints at v10/20/30, cold
+    // chain of 4 deltas onto the v30 checkpoint, and post-vacuum(keep 4)
+    // exactly one checkpoint at the oldest retained version v31 with a
+    // 3-delta chain onto it
+    "q353_manifest_checkpoints" ->
+      """WITH o AS (
+        |  SELECT o_orderkey AS k,
+        |         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |           AS cents,
+        |         o_orderkey % 479 AS pk
+        |  FROM orders)
+        |SELECT 'cents_total' AS fact,
+        |       CAST(sum(cents) + 3927 AS BIGINT) AS n FROM o
+        |UNION ALL SELECT 'chain_cold', CAST(4 AS BIGINT)
+        |UNION ALL SELECT 'chain_cold_from_cp', CAST(30 AS BIGINT)
+        |UNION ALL SELECT 'chain_postvac', CAST(3 AS BIGINT)
+        |UNION ALL SELECT 'chain_postvac_from_cp', CAST(31 AS BIGINT)
+        |UNION ALL SELECT 'checkpoints_after', CAST(1 AS BIGINT)
+        |UNION ALL SELECT 'checkpoints_before', CAST(3 AS BIGINT)
+        |UNION ALL SELECT 'cp_after_version', CAST(31 AS BIGINT)
+        |UNION ALL SELECT 'groups_total',
+        |       CAST(count(DISTINCT pk) + 33 AS BIGINT) FROM o
+        |UNION ALL SELECT 'manifest_tail_lines', CAST(3 AS BIGINT)
+        |UNION ALL SELECT 'n_rows_total', count(*) + 33 FROM o
+        |UNION ALL SELECT 'vacuum_preserves', CAST(1 AS BIGINT)
+        |UNION ALL SELECT 'vacuumed_version_refuses', CAST(1 AS BIGINT)
         |ORDER BY fact""".stripMargin,
     // q352: totals restated from orders; the scoped tuple's one group
     // becomes 3 value-tagged z-groups (net +2), every sibling tuple

@@ -121,10 +121,15 @@ object DeltaLog {
     val f = fs(spark, root)
     val dest = logPath(root, manifestV - 1L)
     if (f.exists(dest)) return
-    val prev = prevDirs.flatMap(listDataFiles(spark, root, _))
-    val cur = curDirs.flatMap(listDataFiles(spark, root, _))
-    val prevPaths = prev.map(_._1).toSet
-    val curPaths = cur.map(_._1).toSet
+    // data dirs are write-once: the file-level diff is exactly the
+    // dir-level diff, so list ONLY the changed dirs — O(churn) fs ops
+    // per mirrored commit, never O(groups)
+    val prevSet = prevDirs.toSet
+    val curSet = curDirs.toSet
+    val added = curDirs.filterNot(prevSet)
+      .flatMap(listDataFiles(spark, root, _))
+    val removed = prevDirs.filterNot(curSet)
+      .flatMap(listDataFiles(spark, root, _))
     val now = System.currentTimeMillis()
     val header: Seq[String] =
       if (manifestV == 1) {
@@ -132,18 +137,20 @@ object DeltaLog {
         // (CREATE TABLE without data has no parquet to read), else
         // Spark's StructType JSON read from the data just written (one
         // footer read; never re-runs input lineage)
+        // every group shares one schema by construction — reading ONE
+        // dir's footer is the whole answer (listing all of them made
+        // the v1 mirror O(groups) on a many-partition create)
         val schemaJson = declaredSchema.getOrElse(spark.read
-          .parquet(curDirs.map(d => new Path(root, d).toString): _*)
-          .schema.json)
+          .parquet(new Path(root, curDirs.head).toString).schema.json)
         Seq(
           """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""",
           s"""{"metaData":{"id":"${java.util.UUID.randomUUID()}","format":{"provider":"parquet","options":{}},"schemaString":"${escape(schemaJson)}","partitionColumns":[],"configuration":{},"createdTime":$now}}""")
       } else Seq.empty
-    val adds = cur.filterNot(x => prevPaths.contains(x._1)).map {
+    val adds = added.map {
       case (p, size, mtime) =>
         s"""{"add":{"path":"${escape(p)}","partitionValues":{},"size":$size,"modificationTime":$mtime,"dataChange":true}}"""
     }
-    val removes = prev.filter(x => !curPaths.contains(x._1)).map {
+    val removes = removed.map {
       case (p, _, _) =>
         s"""{"remove":{"path":"${escape(p)}","deletionTimestamp":$now,"dataChange":true}}"""
     }

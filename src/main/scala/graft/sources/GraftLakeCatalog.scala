@@ -37,7 +37,8 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * parquet as the format path — the catalog adds zero per-row overhead.
   */
 final class GraftLakeCatalog extends TableCatalog
-    with org.apache.spark.sql.connector.catalog.StagingTableCatalog {
+    with org.apache.spark.sql.connector.catalog.StagingTableCatalog
+    with org.apache.spark.sql.connector.catalog.FunctionCatalog {
 
   private var catalogName: String = _
   private var warehouse: String = _
@@ -140,23 +141,75 @@ final class GraftLakeCatalog extends TableCatalog
     * ([[LakeTable.partAdmit]]). Bucket/expression transforms reject —
     * those layouts are the API's job (`LakeTable.createClustered`,
     * Z-order compact). */
+  /** FunctionCatalog: exposes the `bucket` transform function so the
+    * SPJ planner can resolve the `bucket(n, col)` layout bucketed
+    * tables report (Iceberg's system-function mechanism). */
+  override def listFunctions(namespace: Array[String]): Array[Identifier] =
+    Array(Identifier.of(namespace, "bucket"))
+  override def loadFunction(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.functions.UnboundFunction =
+    if (ident.name.equalsIgnoreCase("bucket")) GraftBucketFunction
+    else throw new org.apache.spark.sql.catalyst.analysis
+      .NoSuchFunctionException(ident)
+
+  /** The declared layout: identity partition columns OR one
+    * `bucket(n, col)` transform (never both). */
+  private def layoutOf(ident: Identifier, partitions: Array[Transform])
+      : (Seq[String], Option[(String, Int)]) = {
+    val bucket = partitions.toSeq.collectFirst {
+      case t if t.name == "bucket" && t.references.length == 1 &&
+          t.references.head.fieldNames.length == 1 =>
+        val n = t.arguments.collectFirst {
+          case l: org.apache.spark.sql.connector.expressions.Literal[_] =>
+            l.value() match {
+              case i: java.lang.Integer => i.toInt
+              case l2: java.lang.Long => l2.toInt
+              case other => throw new UnsupportedOperationException(
+                s"CREATE TABLE $ident: bucket count must be an integer " +
+                  s"literal, got $other")
+            }
+        }.getOrElse(throw new UnsupportedOperationException(
+          s"CREATE TABLE $ident: bucket transform needs a literal count"))
+        (t.references.head.fieldNames.head, n)
+    }
+    bucket match {
+      case Some(b) =>
+        require(partitions.length == 1, s"CREATE TABLE $ident: a bucket " +
+          "layout cannot combine with other partition transforms")
+        (Nil, Some(b))
+      case None =>
+        (partitions.toSeq.map {
+          case t if t.name == "identity" && t.references.length == 1 &&
+              t.references.head.fieldNames.length == 1 =>
+            t.references.head.fieldNames.head
+          case other => throw new UnsupportedOperationException(
+            s"CREATE TABLE $ident: only PARTITIONED BY (<plain columns>)" +
+              s" or (bucket(n, col)) is supported, got $other — use " +
+              "LakeTable.createClustered for expression layouts")
+        }, None)
+    }
+  }
+
   private def partColsOf(ident: Identifier,
                          partitions: Array[Transform]): Seq[String] =
-    partitions.toSeq.map {
-      case t if t.name == "identity" && t.references.length == 1 &&
-          t.references.head.fieldNames.length == 1 =>
-        t.references.head.fieldNames.head
-      case other => throw new UnsupportedOperationException(
-        s"CREATE TABLE $ident: only PARTITIONED BY (<plain columns>) is " +
-          s"supported, got $other — use LakeTable.createClustered for " +
-          "bucket/expression layouts")
+    layoutOf(ident, partitions) match {
+      case (cols, None) => cols
+      case (_, Some(_)) => throw new UnsupportedOperationException(
+        s"$ident: bucket layouts are not supported on this statement " +
+          "path — use plain CREATE TABLE … PARTITIONED BY (bucket(n, c))")
     }
 
   override def createTable(ident: Identifier, schema: StructType,
                            partitions: Array[Transform],
                            properties: JMap[String, String]): Table = {
-    LakeTable.createEmpty(SparkSession.active, rootOf(ident), schema,
-      partColsOf(ident, partitions))
+    layoutOf(ident, partitions) match {
+      case (_, Some((bc, n))) =>
+        LakeTable.createEmptyBucketed(SparkSession.active, rootOf(ident),
+          schema, bc, n)
+      case (cols, None) =>
+        LakeTable.createEmpty(SparkSession.active, rootOf(ident), schema,
+          cols)
+    }
     loadTable(ident)
   }
 
@@ -188,8 +241,12 @@ final class GraftLakeCatalog extends TableCatalog
             "stamped; explicit inserts would fork the high-water mark)")
       }
     }
-    LakeTable.createEmpty(spark, root, schema,
-      partColsOf(ident, partitions))
+    layoutOf(ident, partitions) match {
+      case (_, Some((bc, n))) =>
+        LakeTable.createEmptyBucketed(spark, root, schema, bc, n)
+      case (cols, None) =>
+        LakeTable.createEmpty(spark, root, schema, cols)
+    }
     columns.foreach { c =>
       Option(c.defaultValue()).foreach(d =>
         LakeTable.setColumnDefault(spark, root, c.name, d.getSql))
@@ -520,8 +577,28 @@ private[sources] final class GraftDvScanBuilder(
   override def pruneColumns(requiredSchema: StructType): Unit = {
     required = requiredSchema
   }
-  override def build(): org.apache.spark.sql.connector.read.Scan =
-    new GraftDvScan(root, version, required, pushed.toSeq)
+  override def build(): org.apache.spark.sql.connector.read.Scan = {
+    val spark = SparkSession.active
+    // the NATIVE Batch serves the common dv shape (plain masked scan);
+    // exotic snapshots — rename/drop mappings, ALTER-declared schema
+    // overrides, equality deletes, masks past the ship-with-partition
+    // bound — keep the V1 bridge, whose readDirsSubset reproduces the
+    // full read semantics
+    val meta = version.orElse(LakeTable.latestVersion(spark, root))
+      .map(v => LakeTable.manifestMetaAt(spark, root, v))
+      .getOrElse(Map.empty[String, String])
+    val nativeOk =
+      LakeTable.colMapAt(meta).isEmpty &&
+      LakeTable.colDropsAt(meta).isEmpty &&
+      LakeTable.deleteState(meta).isEmpty &&
+      !meta.contains("schema") &&
+      LakeTable.dvSidecarBytes(spark, root, meta) <=
+        GraftDvBatchScan.MaxMaskBytes
+    if (nativeOk)
+      new GraftDvBatchScan(root, version, tableSchema, required,
+        pushed.toSeq)
+    else new GraftDvScan(root, version, required, pushed.toSeq)
+  }
 }
 
 /** The deletion-vector read path for catalog scans: a DSv2
@@ -541,12 +618,14 @@ private[sources] final class GraftDvScan(
     extends org.apache.spark.sql.connector.read.V1Scan {
   // Join-strategy note: the V1 bridge swallows connector statistics
   // (Spark's V1ScanWrapper implements no SupportsReportStatistics), so
-  // the static planner sees defaultSizeInBytes for a dv snapshot.
-  // Broadcast protection for a small dimension that took a MOR update
-  // therefore comes from AQE's runtime conversion — the dim's first
-  // shuffle stage materializes tiny and the join re-plans as a
-  // broadcast (spec-pinned in GraftLakeCatalogSpec); a rewrite
-  // restores full static statistics with the plain delegate.
+  // the static planner sees defaultSizeInBytes for a BRIDGE-served
+  // snapshot and broadcast protection is AQE's runtime conversion.
+  // The COMMON dv shape no longer takes this path: GraftDvBatchScan
+  // (native DSv2 Batch) reports kept bytes and the static planner
+  // broadcasts directly — the bridge remains only for exotic snapshots
+  // (rename/drop mappings, declared schema overrides, equality
+  // deletes, oversized masks), where readDirsSubset's full semantics
+  // are worth the statistics gap.
   override def readSchema(): StructType = schema0
   override def description(): String =
     s"GraftDvScan `$root`" + version.fold("")(v => s"@v$v") +

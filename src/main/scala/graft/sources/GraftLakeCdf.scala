@@ -46,15 +46,23 @@ import org.apache.spark.unsafe.types.UTF8String
   *    overwrite) is served from the `changes/v<N>/` sidecar those
   *    operations persist when the table opted in
   *    ([[LakeTable.enableChangeFeed]]);
-  *  - a row-changing version WITHOUT a sidecar (CDF enabled after the
-  *    fact, or a [[LakeTable.purge]]-scrubbed erasure) refuses LOUDLY —
-  *    a visible gap, never a silent one;
+  *  - a DELETION-VECTOR commit without a sidecar (updateWhereMor /
+  *    deleteWhereDv / mergeMor on a table that never opted in)
+  *    RECONSTRUCTS from the dv mask itself — the mask names exactly
+  *    the preimage rows, the appended group(s) are the postimages
+  *    (merge rows classify per the recorded merge key), and a
+  *    compactDeletes fold is a zero-change version (Delta serves DV
+  *    commits from their DVs the same way);
+  *  - a COW rewrite WITHOUT a sidecar (CDF enabled after the fact, or
+  *    a [[LakeTable.purge]]-scrubbed erasure) refuses LOUDLY — a
+  *    visible gap, never a silent one;
   *  - metadata-only versions (DDL, constraints, indexes) emit nothing.
   *
   * Scale: each micro-batch reads exactly the churn of its version
-  * range — appended files plus sidecar files — never the table.
+  * range — appended files, sidecar files, dv masks — never the table.
   * Out of scope (refused loudly): tables with a pending metadata-only
-  * rename/drop and merge-on-read delete state (materialize first). */
+  * rename/drop and EQUALITY (keyed) merge-on-read delete state
+  * (materialize first). */
 final class GraftLakeCdfSource extends TableProvider with DataSourceRegister {
 
   override def shortName(): String = "graft-lake-cdf"
@@ -199,6 +207,14 @@ private[sources] final class GraftLakeCdfStream(
           files(p).map { case (fp, len) =>
             GraftLakeCdfPartition(fp, len, v, fromSidecar = true) }
         case None
+            if meta.get("op").contains("compact-deletes") &&
+               cur == prev =>
+          // a deletion-vector FOLD: the dv sidecar list is rewritten to
+          // one deduplicated sidecar but every data dir carries by name
+          // and the masked row set is identical — a zero-change version
+          // (the dv-differs arm below must not fire on it)
+          Seq.empty
+        case None
             if LakeTable.deleteState(meta) !=
                LakeTable.deleteState(prevMeta) =>
           throw new UnsupportedOperationException(
@@ -206,12 +222,91 @@ private[sources] final class GraftLakeCdfStream(
               "delete, which has no change sidecar; use copy-on-write " +
               "deletes (deleteWhere) on CDF tables")
         case None
+            if LakeTable.dvState(meta) != LakeTable.dvState(prevMeta) &&
+               LakeTable.dvState(prevMeta).toSet.subsetOf(
+                 LakeTable.dvState(meta).toSet) &&
+               (meta.get("op").contains("update-mor") ||
+                meta.get("op").contains("delete-dv") ||
+                (meta.get("op").contains("merge-mor") &&
+                 meta.contains("mergekey"))) =>
+          // a deletion-vector commit WITHOUT a staged change sidecar:
+          // the dv mask itself names exactly the preimage rows, so the
+          // feed reconstructs from the mask + the appended replacement
+          // group(s) — churn-bounded, zero extra stored bytes (Delta
+          // serves DV commits from their DVs the same way). The op
+          // classifies the preimages: update-mor/merge-mor masks are
+          // update_preimage, delete-dv masks are delete; update-mor's
+          // appended rows are ALL update_postimage; merge-mor's split
+          // per row on the recorded merge key (masked-row keys →
+          // update_postimage, fresh keys → insert).
+          val op = meta("op")
+          val newRels = LakeTable.dvState(meta)
+            .filterNot(LakeTable.dvState(prevMeta).toSet)
+          val masks =
+            GraftDvBatchScan.loadMasksFromRels(spark, root, newRels)
+          val preTag =
+            if (op == "delete-dv") "delete" else "update_preimage"
+          val pre = masks.toSeq.sortBy(_._1).map { case (fp, m) =>
+            GraftLakeCdfPartition(fp,
+              fs.getFileStatus(new Path(fp)).getLen, v,
+              fromSidecar = false, tag = preTag, mask = m)
+          }
+          val addedFiles = (cur -- prev).toSeq.sorted
+            .flatMap(d => files(new Path(root, d)))
+          val post: Seq[GraftLakeCdfPartition] = op match {
+            case "update-mor" => addedFiles.map { case (fp, len) =>
+              GraftLakeCdfPartition(fp, len, v, fromSidecar = false,
+                tag = "update_postimage") }
+            case "merge-mor" =>
+              val key = meta("mergekey")
+              val kf = dataSchema.fields
+                .find(_.name.equalsIgnoreCase(key))
+                .getOrElse(throw new UnsupportedOperationException(
+                  s"graft-lake-cdf: version $v of $root merged on " +
+                    s"'$key', which the current schema lacks"))
+              kf.dataType match {
+                case org.apache.spark.sql.types.ByteType |
+                     org.apache.spark.sql.types.ShortType |
+                     org.apache.spark.sql.types.IntegerType |
+                     org.apache.spark.sql.types.LongType |
+                     org.apache.spark.sql.types.StringType => ()
+                case t => throw new UnsupportedOperationException(
+                  s"graft-lake-cdf: version $v of $root merged on " +
+                    s"'$key' of type ${t.simpleString} — sidecar-less " +
+                    "merge feeds support integral/string keys (enable " +
+                    "the feed for other key types)")
+              }
+              // key values of the REPLACED rows — scan only the masked
+              // files, keep masked positions (O(churn))
+              import org.apache.spark.sql.functions.{col => fcol}
+              val sp = spark
+              import sp.implicits._
+              val pairs = masks.toSeq.flatMap { case (fp, m) =>
+                val csr = new DvMaskCodec.Cursor(m)
+                val buf = scala.collection.mutable.ArrayBuffer.empty[
+                  (String, Long)]
+                while (csr.hasNext) buf += ((fp, csr.next()))
+                buf
+              }.toDF("__mf", "__mp")
+              val matchedKeys =
+                if (masks.isEmpty) Array.empty[String]
+                else sp.read.parquet(masks.keys.toSeq.sorted: _*)
+                  .withColumn("__mf", fcol("_metadata.file_path"))
+                  .withColumn("__mp", fcol("_metadata.row_index"))
+                  .join(pairs, Seq("__mf", "__mp"), "left_semi")
+                  .select(fcol(kf.name).cast("string")).distinct()
+                  .collect().map(_.getString(0))
+              addedFiles.map { case (fp, len) =>
+                GraftLakeCdfPartition(fp, len, v, fromSidecar = false,
+                  tag = "insert", postKeys = matchedKeys,
+                  keyCol = kf.name) }
+            case _ => Seq.empty
+          }
+          pre ++ post
+        case None
             if LakeTable.dvState(meta) != LakeTable.dvState(prevMeta) =>
-          // a deletion-vector commit ADDS a replacement dir and masks
-          // shared-group rows; serving the dir as plain inserts would
-          // silently drop the preimage retractions — refuse loudly
-          // (with CDF enabled the commit writes a sidecar and never
-          // reaches this arm)
+          // a dv REWRITE shape this feed can't reconstruct (sidecars
+          // dropped or an op without a recorded key) — refuse loudly
           throw new UnsupportedOperationException(
             s"graft-lake-cdf: version $v of $root is a deletion-vector " +
               "commit without a change sidecar — enable the feed " +
@@ -247,9 +342,17 @@ private[sources] final class GraftLakeCdfStream(
   }
 }
 
+/** One CDF file read. `fromSidecar` rows carry their own tag in-file;
+  * otherwise `tag` applies — filtered to the masked positions when
+  * `mask` is set (dv preimages), and re-classified per row against
+  * `postKeys` on `keyCol` for sidecar-less merge postimages. */
 private[sources] final case class GraftLakeCdfPartition(
     path: String, length: Long, version: Int,
-    fromSidecar: Boolean) extends InputPartition
+    fromSidecar: Boolean,
+    tag: String = "insert",
+    mask: Array[Byte] = null,
+    postKeys: Array[String] = null,
+    keyCol: String = null) extends InputPartition
 
 /** Per-file CDF reader: appends `_change_type` (constant `insert` for
   * append-version data files; carried in-file for sidecar rows) and
@@ -269,7 +372,6 @@ private[sources] final class GraftLakeCdfReaderFactory(
       SparkPath.fromPathString(fp.path), 0, fp.length)
     val nData = dataSchema.length
     val dataTypes = dataSchema.fields.map(_.dataType)
-    val insertTag = UTF8String.fromString("insert")
     val it: Iterator[InternalRow] =
       if (fp.fromSidecar) sidecarFn(pf).map { r =>
         val out = new GenericInternalRow(nData + 2)
@@ -279,13 +381,51 @@ private[sources] final class GraftLakeCdfReaderFactory(
         out.update(nData + 1, fp.version.toLong)
         out
       }
-      else dataFn(pf).map { r =>
-        val out = new GenericInternalRow(nData + 2)
-        var i = 0
-        while (i < nData) { out.update(i, r.get(i, dataTypes(i))); i += 1 }
-        out.update(nData, insertTag)
-        out.update(nData + 1, fp.version.toLong)
-        out
+      else {
+        val base0 = dataFn(pf)
+        // dv preimages: keep EXACTLY the masked positions (the reader
+        // scans the whole file, so the row counter is the dv position
+        // space — same recipe as GraftDvBatchScan, inverted)
+        val base =
+          if (fp.mask == null) base0
+          else {
+            val cursor = new DvMaskCodec.Cursor(fp.mask)
+            var nextMasked = if (cursor.hasNext) cursor.next() else -1L
+            var idx = -1L
+            base0.filter { _ =>
+              idx += 1
+              if (idx == nextMasked) {
+                nextMasked = if (cursor.hasNext) cursor.next() else -1L
+                true
+              } else false
+            }
+          }
+        val tagU = UTF8String.fromString(fp.tag)
+        val postU = UTF8String.fromString("update_postimage")
+        val keySet: java.util.HashSet[String] =
+          if (fp.postKeys == null) null
+          else {
+            val hs = new java.util.HashSet[String](fp.postKeys.length * 2)
+            fp.postKeys.foreach(hs.add)
+            hs
+          }
+        val keyIdx =
+          if (fp.keyCol == null) -1 else dataSchema.fieldIndex(fp.keyCol)
+        base.map { r =>
+          val out = new GenericInternalRow(nData + 2)
+          var i = 0
+          while (i < nData) { out.update(i, r.get(i, dataTypes(i))); i += 1 }
+          val tag =
+            if (keySet == null) tagU
+            else {
+              val kv = r.get(keyIdx, dataTypes(keyIdx))
+              if (kv != null && keySet.contains(kv.toString)) postU
+              else tagU
+            }
+          out.update(nData, tag)
+          out.update(nData + 1, fp.version.toLong)
+          out
+        }
       }
     new PartitionReader[InternalRow] {
       private var cur: InternalRow = _

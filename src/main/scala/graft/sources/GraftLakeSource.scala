@@ -326,11 +326,19 @@ private[sources] final class GraftLakeTable(delegate: ParquetTable,
       case (Some(r), None) =>
         val spark = SparkSession.active
         LakeTable.latestVersion(spark, r).map { v =>
-          LakeTable.partColsAt(LakeTable.manifestMetaAt(spark, r, v))
-            .map(pc => org.apache.spark.sql.connector.expressions
-              .Expressions.identity(pc)
-              : org.apache.spark.sql.connector.expressions.Transform)
-            .toArray
+          val meta = LakeTable.manifestMetaAt(spark, r, v)
+          LakeTable.bucketSpecAt(meta) match {
+            case Some((bc, n)) => Array(
+              org.apache.spark.sql.connector.expressions.Expressions
+                .bucket(n, bc)
+                : org.apache.spark.sql.connector.expressions.Transform)
+            case None =>
+              LakeTable.partColsAt(meta)
+                .map(pc => org.apache.spark.sql.connector.expressions
+                  .Expressions.identity(pc)
+                  : org.apache.spark.sql.connector.expressions.Transform)
+                .toArray
+          }
         }.getOrElse(Array.empty)
       case _ => Array.empty
     }

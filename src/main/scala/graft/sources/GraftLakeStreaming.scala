@@ -387,7 +387,8 @@ private[sources] final class GraftLakeStreamScanBuilder(
       v <- LakeTable.latestVersion(spark, root)
       meta = LakeTable.manifestMetaAt(spark, root, v)
       if meta.keys.exists(k =>
-        k.startsWith("stat:") || k.startsWith("bloom:") || k == "partcol")
+        k.startsWith("stat:") || k.startsWith("bloom:") ||
+          k == "partcol" || k == "bucketcol")
     } yield (meta, LakeTable.dataDirsAt(spark, root, v))
     val keptStatic = indexed.map { case (meta, dirs) =>
       if (v1.isEmpty) dirs
@@ -453,21 +454,40 @@ private[sources] final class GraftLakeStreamScanBuilder(
       if morBatchRefusal.isEmpty && colmapBatchRefusal.isEmpty
       if !aggPushed
       if LakeTable.deleteState(meta).isEmpty
-      pcs = LakeTable.partColsAt(meta)
-      if pcs.nonEmpty
-      keyFields = pcs.map(c =>
-        tableSchema.fields.find(_.name.equalsIgnoreCase(c)))
-      if keyFields.forall(_.exists(f =>
-        GraftKeyGrouping.supported(f.dataType)))
-      if requested.forall(rs => pcs.forall(c =>
-        rs.fieldNames.exists(_.equalsIgnoreCase(c))))
       liveDirs = keptStatic.getOrElse(dirs)
       if liveDirs.nonEmpty && liveDirs.forall(d => meta.contains(s"part:$d"))
-    } yield GraftKeyGroupInfo(
-      keyFields.map(_.get.name),
-      keyFields.map(_.get.dataType),
-      liveDirs.map(d => d.split('/').last ->
-        LakeTable.partValsAt(meta(s"part:$d"))).toMap)
+      info <- LakeTable.bucketSpecAt(meta) match {
+        case Some((bc, n)) =>
+          // bucket layout: key = the bucket id (INT), report =
+          // bucket(n, col) — what makes HIGH-cardinality keys SPJ-able
+          val kf = tableSchema.fields.find(_.name.equalsIgnoreCase(bc))
+          if (kf.isDefined && requested.forall(
+              _.fieldNames.exists(_.equalsIgnoreCase(bc))))
+            Some(GraftKeyGroupInfo(
+              Seq(kf.get.name),
+              Seq(org.apache.spark.sql.types.IntegerType: org.apache
+                .spark.sql.types.DataType),
+              liveDirs.map(d => d.split('/').last ->
+                Seq(meta(s"part:$d"))).toMap,
+              bucketN = Some(n)))
+          else None
+        case None =>
+          val pcs = LakeTable.partColsAt(meta)
+          val keyFields = pcs.map(c =>
+            tableSchema.fields.find(_.name.equalsIgnoreCase(c)))
+          if (pcs.nonEmpty &&
+              keyFields.forall(_.exists(f =>
+                GraftKeyGrouping.supported(f.dataType))) &&
+              requested.forall(rs => pcs.forall(c =>
+                rs.fieldNames.exists(_.equalsIgnoreCase(c)))))
+            Some(GraftKeyGroupInfo(
+              keyFields.map(_.get.name),
+              keyFields.map(_.get.dataType),
+              liveDirs.map(d => d.split('/').last ->
+                LakeTable.partValsAt(meta(s"part:$d"))).toMap))
+          else None
+      }
+    } yield info
     new GraftLakeStreamableScan(underlying, root, tableSchema,
       ignoreChanges, rt, morBatchRefusal.orElse(colmapBatchRefusal),
       options, kgInfo)
@@ -565,13 +585,20 @@ private[graft] final class GraftLakeStreamableScan(
       : org.apache.spark.sql.connector.read.partitioning.Partitioning =
     keyedGroups match {
       case Some((_, distinctKeys)) =>
-        new org.apache.spark.sql.connector.read.partitioning
-          .KeyGroupedPartitioning(
+        val exprs: Array[org.apache.spark.sql.connector.expressions
+            .Expression] = kg.get.bucketN match {
+          case Some(n) => Array(
+            org.apache.spark.sql.connector.expressions.Expressions
+              .bucket(n, kg.get.partCols.head)
+              : org.apache.spark.sql.connector.expressions.Expression)
+          case None =>
             kg.get.partCols.map(c =>
               org.apache.spark.sql.connector.expressions.Expressions
                 .identity(c): org.apache.spark.sql.connector.expressions
-                .Expression).toArray,
-            distinctKeys)
+                .Expression).toArray
+        }
+        new org.apache.spark.sql.connector.read.partitioning
+          .KeyGroupedPartitioning(exprs, distinctKeys)
       case None =>
         new org.apache.spark.sql.connector.read.partitioning
           .UnknownPartitioning(0)
@@ -646,7 +673,10 @@ private[graft] final class GraftRuntimePruneValue(n: Long)
 private[sources] final case class GraftKeyGroupInfo(
     partCols: Seq[String],
     keyTypes: Seq[org.apache.spark.sql.types.DataType],
-    dirNameToVals: Map[String, Seq[String]])
+    dirNameToVals: Map[String, Seq[String]],
+    /** Set for BUCKET layouts: the layout reports `bucket(n, col)`
+      * instead of identity transforms, keys are bucket ids (INT). */
+    bucketN: Option[Int] = None)
 
 /** A [[FilePartition]] that knows its partition-value tuple — the
   * DSv2 [[org.apache.spark.sql.connector.read.HasPartitionKey]]

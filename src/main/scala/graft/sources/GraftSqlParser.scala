@@ -129,7 +129,7 @@ object GraftSqlParser {
     }
   }
   private val ZOrderRe =
-    """(?is)^\s*OPTIMIZE\s+([\w`]+(?:\.[\w`]+)+)\s+ZORDER\s+BY\s*\(\s*([\w`]+(?:\s*,\s*[\w`]+){1,3})\s*\)(?:\s+INTO\s+(\d+)\s+GROUPS)?\s*;?\s*$""".r
+    """(?is)^\s*OPTIMIZE\s+([\w`]+(?:\.[\w`]+)+)\s+ZORDER\s+BY\s*\(\s*([\w`]+(?:\s*,\s*[\w`]+){1,3})\s*\)(?:\s+INTO\s+(\d+)\s+GROUPS)?(\s+INCREMENTAL)?\s*;?\s*$""".r
   private lazy val ZOrderWhereRe =
     ("""(?is)^\s*OPTIMIZE\s+([\w`]+(?:\.[\w`]+)+)\s+WHERE\s+(""" +
       PinsPat +
@@ -182,9 +182,11 @@ object GraftSqlParser {
   private[sources] def intercept(
       sqlText: String, delegate: ParserInterface): Option[LogicalPlan] =
     sqlText match {
-      case ZOrderRe(t, colList, n) =>
+      case ZOrderRe(t, colList, n, incr) =>
         Some(GraftZOrderCommand(parts(t), zcols(colList),
-          Option(n).map(_.toInt).getOrElse(64)))
+          Option(n).map(_.toInt).getOrElse(
+            if (incr != null) 8 else 64),
+          incremental = incr != null))
       case ZOrderWhereRe(t, pinsStr, colList, n) =>
         Some(GraftZOrderWhereCommand(parts(t), parsePins(pinsStr),
           zcols(colList), Option(n).map(_.toInt).getOrElse(8)))
@@ -293,7 +295,12 @@ object GraftSqlParser {
     def wordChar(c: Char): Boolean = c.isLetterOrDigit || c == '_'
     while (i < n) {
       val ch = rest.charAt(i)
-      if (inStr) { if (ch == '\'') inStr = false }
+      // inside a string literal a backslash escapes the next char
+      // (Spark's '\'' escape) — without tracking it, an escaped quote
+      // would close the literal and an embedded keyword mis-split
+      if (inStr) {
+        if (ch == '\\') i += 1 else if (ch == '\'') inStr = false
+      }
       else if (inTick) { if (ch == '`') inTick = false }
       else ch match {
         case '\'' => inStr = true
@@ -334,9 +341,14 @@ object GraftSqlParser {
       sets: String, table: Option[String] = None): Seq[(String, String)] = {
     val out = scala.collection.mutable.ArrayBuffer.empty[String]
     val cur = new StringBuilder
-    var depth = 0; var inStr = false; var inTick = false
+    var depth = 0; var inStr = false; var inTick = false; var esc = false
     sets.foreach { ch =>
-      if (inStr) { cur += ch; if (ch == '\'') inStr = false }
+      if (inStr) {
+        cur += ch
+        if (esc) esc = false
+        else if (ch == '\\') esc = true
+        else if (ch == '\'') inStr = false
+      }
       else if (inTick) { cur += ch; if (ch == '`') inTick = false }
       else ch match {
         case '\'' => inStr = true; cur += ch
@@ -348,11 +360,12 @@ object GraftSqlParser {
       }
     }
     if (cur.nonEmpty) out += cur.toString
-    val AssignRe = """(?s)^\s*([\w`]+(?:\s*\.\s*[\w`]+)?)\s*=(.+)$""".r
+    val AssignRe = """(?s)^\s*((?:`[^`]*`|[\w]+)(?:\s*\.\s*(?:`[^`]*`|[\w]+))?)\s*=(.+)$""".r
     out.toSeq.map {
       case AssignRe(c, e) =>
-        val segs = c.split("\\.").toSeq
-          .map(_.trim.stripPrefix("`").stripSuffix("`"))
+        // split the target on dots OUTSIDE backticks only — a backticked
+        // column literally named `a.b` is one segment, not a qualifier
+        val segs = splitQualifiedTarget(c)
         val colName = segs match {
           case Seq(one) => one
           case Seq(q, col2) =>
@@ -368,6 +381,22 @@ object GraftSqlParser {
         s"UPDATE … SET: cannot parse assignment '$other' — expected " +
           "<column> = <expression>")
     }
+  }
+
+  /** Split an assignment target on '.' OUTSIDE backticks, stripping the
+    * backticks as it goes — `` `a.b` `` is ONE segment (a column whose
+    * name contains a dot), `t.col` and `` t.`col` `` are two. */
+  private def splitQualifiedTarget(c: String): Seq[String] = {
+    val segs = scala.collection.mutable.ArrayBuffer.empty[String]
+    val cur = new StringBuilder
+    var inTick = false
+    c.foreach {
+      case '`' => inTick = !inTick
+      case '.' if !inTick => segs += cur.toString.trim; cur.clear()
+      case ch => cur += ch
+    }
+    segs += cur.toString.trim
+    segs.toSeq
   }
 
   /** The (usingSql, keyColumn) of a MERGE tail (`<source> ON <cond>
@@ -463,18 +492,25 @@ object GraftTableFunctions {
   }
 }
 
-/** `OPTIMIZE t ZORDER BY (a, b) [INTO n GROUPS]` — the
+/** `OPTIMIZE t ZORDER BY (a, b) [INTO n GROUPS] [INCREMENTAL]` — the
   * multi-dimensional layout rewrite ([[LakeTable.optimizeZOrder]]):
   * contiguous Morton ranges are rectangles in (a, b) space, so range
-  * probes on either column prune at the manifest level. */
+  * probes on either column prune at the manifest level. INCREMENTAL
+  * clusters only groups created since the last clustering commit
+  * ([[LakeTable.optimizeZOrderIncremental]] — liquid-style, O(new
+  * data) per run). */
 case class GraftZOrderCommand(nameParts: Seq[String], cols: Seq[String],
-                              numGroups: Int)
+                              numGroups: Int,
+                              incremental: Boolean = false)
     extends LeafRunnableCommand {
   override val output: Seq[Attribute] =
     Seq(AttributeReference("version", LongType, nullable = false)())
-  override def run(spark: SparkSession): Seq[Row] =
-    Seq(Row(LakeTable.optimizeZOrder(spark,
-      GraftSqlParser.rootFor(spark, nameParts), cols, numGroups).toLong))
+  override def run(spark: SparkSession): Seq[Row] = {
+    val root = GraftSqlParser.rootFor(spark, nameParts)
+    Seq(Row((if (incremental)
+      LakeTable.optimizeZOrderIncremental(spark, root, cols, numGroups)
+    else LakeTable.optimizeZOrder(spark, root, cols, numGroups)).toLong))
+  }
 }
 
 /** `CREATE TABLE dst SHALLOW CLONE src` — Delta's zero-copy fork:

@@ -189,7 +189,7 @@ object LakeAnnIndex {
       codesKey(dir, vecCol) -> rel
     }.toMap
     LakeTable.commitVersion(spark, root, v + 1, dirs,
-      meta - "op" ++ modelAdded ++ added + ("op" -> "index-ann"))
+      LakeTable.carryMeta(meta) ++ modelAdded ++ added + ("op" -> "index-ann"))
   }
 
   /** Serve approximate top-k neighbors from the COMMITTED index: probe

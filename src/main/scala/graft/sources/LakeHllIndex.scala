@@ -56,7 +56,7 @@ object LakeHllIndex {
     }
     if (added.isEmpty) return v
     LakeTable.commitVersion(spark, root, v + 1, dirs,
-      meta - "op" ++ added + ("op" -> "index-hll"))
+      LakeTable.carryMeta(meta) ++ added + ("op" -> "index-hll"))
   }
 
   /** (covered dirs, uncovered dirs) for `colName` at the latest

@@ -61,7 +61,7 @@ object LakeKllIndex {
     }
     if (added.isEmpty) return v
     LakeTable.commitVersion(spark, root, v + 1, dirs,
-      meta - "op" ++ added + ("op" -> "index-kll"))
+      LakeTable.carryMeta(meta) ++ added + ("op" -> "index-kll"))
   }
 
   /** (covered dirs, uncovered dirs) for `colName` at the latest

@@ -70,7 +70,7 @@ object LakeMinHashIndex {
       .write.parquet(new Path(root, rel).toString)
     val nv = LakeTable.commitVersion(spark, root, v + 1,
       LakeTable.dataDirsAt(spark, root, v),
-      meta - "op" +
+      LakeTable.carryMeta(meta) +
         (idxKey(textCol) -> rel) +
         (paramsKey(textCol) -> s"$shingleN,$bands,$rowsPerBand") +
         (verKey(textCol) -> (v + 1).toString) +

@@ -64,6 +64,23 @@ object LakeTable {
   private def fs(spark: SparkSession, root: String): FileSystem =
     new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
+  private[sources] def fileSystem(spark: SparkSession,
+                                  root: String): FileSystem = fs(spark, root)
+
+  /** Total on-disk bytes of a snapshot's dv sidecars — the native dv
+    * batch's mask-shipping budget ([[GraftDvBatchScan]]). Missing dirs
+    * count as unbounded (fall back to the distributed mask join). */
+  private[sources] def dvSidecarBytes(spark: SparkSession, root: String,
+      meta: Map[String, String]): Long = {
+    val f = fs(spark, root)
+    dvState(meta).foldLeft(0L) { (acc, r) =>
+      if (acc == Long.MaxValue) acc
+      else scala.util.Try(
+        acc + f.listStatus(new Path(root, r)).filter(_.isFile)
+          .map(_.getLen).sum).getOrElse(Long.MaxValue)
+    }
+  }
+
   private def versionsDir(root: String) = new Path(root, "_versions")
 
   private def manifestPath(root: String, v: Int) =
@@ -143,10 +160,8 @@ object LakeTable {
         }
     }
 
-  private def readManifestLines(spark: SparkSession, root: String,
-                                v: Int): Seq[String] = {
-    val f = fs(spark, root)
-    val in = f.open(manifestPath(root, v))
+  private def readLinesAt(f: FileSystem, p: Path): Seq[String] = {
+    val in = f.open(p)
     try {
       val txt = new String(in.readAllBytes(),
         java.nio.charset.StandardCharsets.UTF_8)
@@ -154,14 +169,197 @@ object LakeTable {
     } finally in.close()
   }
 
-  /** Data-dir entries of a manifest. Format: one data-dir name per line;
-    * lines starting with '#' are key=value metadata (kept trivially
-    * parseable without a JSON lib on the read path). Package-visible:
-    * the streaming source diffs consecutive manifests for its batches
+  // ——— manifest resolution: delta commits + checkpoints ——————————————
+  //
+  // A manifest version file is either FULL format (one data-dir name
+  // per line; '#key=value' metadata lines) or DELTA format (first line
+  // '#~delta=<base>', then '#+k=v' meta set / '#-k' meta remove /
+  // '+dir' add / '-dir' remove against the resolved state of <base>,
+  // always the previous version). Deltas make each commit O(change)
+  // bytes instead of O(groups); every CheckpointInterval-th commit
+  // additionally lands its FULL state as `v<N>.checkpoint`, so a cold
+  // read resolves from checkpoint + delta tail — never the whole
+  // history. There is no _last_checkpoint pointer file: resolution
+  // walks the (≤ interval-long) delta chain and probes each rung's own
+  // checkpoint, which is the same discovery with one fewer write to
+  // keep consistent. Vacuum materializes a checkpoint for the oldest
+  // RETAINED version before dropping its base, so chains never break.
+
+  /** Every N-th commit lands a full-state checkpoint. */
+  private[sources] val CheckpointInterval = 10
+
+  private[sources] def checkpointPath(root: String, v: Int) =
+    new Path(versionsDir(root), f"v$v%08d.checkpoint")
+
+  private val DeltaHeader = "#~delta="
+
+  /** Resolved (dataDirs, meta) keyed by manifest FILE identity —
+    * (path, mtime, length). Manifests are immutable once committed,
+    * and keying on the FileStatus means a deleted-and-recreated table
+    * at the same root can never serve a stale state. Bounded: cleared
+    * wholesale past 1024 entries (the working set is the latest few
+    * versions of the live tables). */
+  private val resolveCache = new java.util.concurrent.ConcurrentHashMap[
+    (String, Long, Long), (Seq[String], Map[String, String])]()
+
+  /** Last resolution's (version, delta-chain length walked, checkpoint
+    * version used or -1) — the oracle/test observable that reads
+    * resolve from checkpoint + tail, never the whole history. */
+  @volatile private[graft] var lastResolve: Option[(Int, Int, Int)] = None
+
+  /** Drop every cached resolution (test/oracle hook: force the next
+    * read to walk the physical checkpoint + tail). */
+  private[graft] def clearResolveCache(): Unit = resolveCache.clear()
+
+  private def parseFull(lines: Seq[String])
+      : (Seq[String], Map[String, String]) = {
+    val dirs = lines.filterNot(_.startsWith("#"))
+    val meta = lines.filter(_.startsWith("#")).flatMap { l =>
+      l.drop(1).split("=", 2) match {
+        case Array(k, v2) => Some(k -> v2)
+        case _ => None
+      }
+    }.toMap
+    (dirs, meta)
+  }
+
+  private def applyDelta(base: (Seq[String], Map[String, String]),
+                         lines: Seq[String])
+      : (Seq[String], Map[String, String]) = {
+    val rmDirs = lines.iterator
+      .filter(l => l.startsWith("-")).map(_.drop(1)).toSet
+    val addDirs = lines.filter(l => l.startsWith("+"))
+      .map(_.drop(1))
+    var meta = base._2
+    lines.foreach { l =>
+      if (l.startsWith("#+")) l.drop(2).split("=", 2) match {
+        case Array(k, v2) => meta += (k -> v2)
+        case _ =>
+      }
+      else if (l.startsWith("#-")) meta -= l.drop(2)
+    }
+    (base._1.filterNot(rmDirs) ++ addDirs, meta)
+  }
+
+  /** Delta-encode a commit against the previous resolved state — None
+    * when the new dir sequence is not expressible as survivors (in
+    * carried order) plus an appended tail (a reorder: full format
+    * then), which keeps resolution order-exact for every commit. */
+  private def encodeDelta(prev: (Seq[String], Map[String, String]),
+                          dirs: Seq[String], meta: Map[String, String])
+      : Option[Seq[String]] = {
+    val (pDirs, pMeta) = prev
+    val dSet = dirs.toSet
+    val pSet = pDirs.toSet
+    val removed = pDirs.filterNot(dSet)
+    val added = dirs.filterNot(pSet)
+    if ((pDirs.filter(dSet) ++ added) != dirs) return None
+    val metaSets = meta.toSeq
+      .filter { case (k, v2) => !pMeta.get(k).contains(v2) }.sorted
+    val metaRms = (pMeta.keySet -- meta.keySet).toSeq.sorted
+    Some(metaSets.map { case (k, v2) => s"#+$k=$v2" } ++
+      metaRms.map(k => s"#-$k") ++
+      removed.map("-" + _) ++ added.map("+" + _))
+  }
+
+  /** Resolve a version's full (dataDirs, meta) state: walk the delta
+    * chain back until a cached rung, a full-format manifest, or a
+    * checkpoint, then fold the collected deltas forward (caching each
+    * rung so the next read is O(1)). Missing version ⇒ the same
+    * FileNotFoundException the flat read threw. */
+  private def resolveState(spark: SparkSession, root: String,
+                           v: Int): (Seq[String], Map[String, String]) = {
+    val f = fs(spark, root)
+    def keyOf(p: Path) = {
+      val st = f.getFileStatus(p)
+      (p.toString, st.getModificationTime, st.getLen)
+    }
+    var pending = List.empty[((String, Long, Long), Seq[String])]
+    var state: (Seq[String], Map[String, String]) = null
+    var fromCp = -1
+    var cur = v
+    while (state == null) {
+      val p = manifestPath(root, cur)
+      val key =
+        try keyOf(p)
+        catch {
+          case e: java.io.FileNotFoundException if cur != v =>
+            throw new IllegalStateException(
+              s"manifest delta chain broken at $root: resolving version " +
+                s"$v needs version $cur, but neither its manifest nor a " +
+                "checkpoint exists", e)
+        }
+      val hit = resolveCache.get(key)
+      if (hit != null) state = hit
+      else {
+        val lines = readLinesAt(f, p)
+        lines.headOption match {
+          case Some(h) if h.startsWith(DeltaHeader) =>
+            // prefer THIS rung's checkpoint (vacuum materializes one
+            // for the oldest retained version; every interval-th
+            // commit lands one) — else walk to the delta's base
+            val cpState =
+              try {
+                val ck = keyOf(checkpointPath(root, cur))
+                val cHit = resolveCache.get(ck)
+                if (cHit != null) Some(cHit)
+                else {
+                  val s0 = parseFull(readLinesAt(f, checkpointPath(root, cur)))
+                  resolveCache.put(ck, s0)
+                  Some(s0)
+                }
+              } catch { case _: java.io.IOException => None }
+            cpState match {
+              case Some(s0) =>
+                state = s0; fromCp = cur
+                resolveCache.put(key, s0)
+              case None =>
+                pending = (key -> lines.tail) :: pending
+                cur = h.drop(DeltaHeader.length).trim.toInt
+            }
+          case _ =>
+            state = parseFull(lines)
+            resolveCache.put(key, state)
+        }
+      }
+    }
+    if (resolveCache.size > 1024) resolveCache.clear()
+    val chainLen = pending.size
+    pending.foreach { case (k, delta) =>
+      state = applyDelta(state, delta)
+      resolveCache.put(k, state)
+    }
+    lastResolve = Some((v, chainLen, fromCp))
+    state
+  }
+
+  /** Land `v`'s full state as its checkpoint (atomic tmp + rename;
+    * content is deterministic, so a racing duplicate is harmless and
+    * an existing file short-circuits). */
+  private def writeCheckpoint(spark: SparkSession, root: String, v: Int,
+                              dirs: Seq[String],
+                              meta: Map[String, String]): Unit = {
+    val f = fs(spark, root)
+    val dest = checkpointPath(root, v)
+    if (f.exists(dest)) return
+    val tmp = new Path(versionsDir(root), s".cptmp-$v-${System.nanoTime()}")
+    val out = f.create(tmp, true)
+    val body = (meta.toSeq.sorted.map { case (k, v2) => s"#$k=$v2" } ++
+      dirs).mkString("\n")
+    try out.write(body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    if (!f.rename(tmp, dest)) f.delete(tmp, false)
+  }
+
+  /** Data-dir entries of a manifest. Full format: one data-dir name per
+    * line; lines starting with '#' are key=value metadata (kept
+    * trivially parseable without a JSON lib on the read path). Delta
+    * manifests resolve through [[resolveState]]. Package-visible: the
+    * streaming source diffs consecutive manifests for its batches
     * ([[GraftLakeMicroBatchStream]]). */
   private[sources] def dataDirsAt(spark: SparkSession, root: String,
                                   v: Int): Seq[String] =
-    readManifestLines(spark, root, v).filterNot(_.startsWith("#"))
+    resolveState(spark, root, v)._1
 
   private def readManifest(spark: SparkSession, root: String,
                            v: Int): Seq[String] = dataDirsAt(spark, root, v)
@@ -172,14 +370,7 @@ object LakeTable {
 
   private def manifestMeta(spark: SparkSession, root: String,
                            v: Int): Map[String, String] =
-    readManifestLines(spark, root, v)
-      .filter(_.startsWith("#"))
-      .flatMap { l =>
-        l.drop(1).split("=", 2) match {
-          case Array(k, v2) => Some(k -> v2)
-          case _ => None
-        }
-      }.toMap
+    resolveState(spark, root, v)._2
 
   private def writeDataFiles(spark: SparkSession, root: String,
                              df: DataFrame): String = {
@@ -195,6 +386,45 @@ object LakeTable {
     commitVersion(spark, root,
       latestVersion(spark, root).getOrElse(0) + 1, dataDirs, meta)
 
+  /** Key prefixes whose manifest entries are PER-DIR sidecar state
+    * (`<prefix>:<dir>:<suffix>`); the dir is always the second
+    * ':'-segment — group dir names are `data/<uuid or hex>` and never
+    * contain a ':'. */
+  private val PerDirKeyPrefixes =
+    Set("stat", "bloom", "anncodes", "hllsk", "kllsk")
+
+  /** Whether per-dir sidecar key `k` names a dir in `live`:
+    * Some(verdict) for per-dir keys ([[PerDirKeyPrefixes]]-prefixed
+    * plus exact `part:<dir>`), None for table-level keys (caller
+    * decides those). O(1) per key — the dir is parsed out of the key
+    * and tested against a Set, never `dirs.exists(startsWith)`, which
+    * made meta carry O(keys × dirs) ≈ O(groups² · cols) of driver
+    * string scans per commit on a many-group table. */
+  private def perDirKeyLives(k: String,
+                             live: Set[String]): Option[Boolean] = {
+    val c1 = k.indexOf(':')
+    if (c1 < 0) None
+    else {
+      val pfx = k.substring(0, c1)
+      if (pfx == "part" || pfx == "zc")
+        Some(live.contains(k.substring(c1 + 1)))
+      else if (PerDirKeyPrefixes(pfx)) {
+        val c2 = k.indexOf(':', c1 + 1)
+        Some(c2 > 0 && live.contains(k.substring(c1 + 1, c2)))
+      } else None
+    }
+  }
+
+  /** The carryable portion of a version's meta: everything except the
+    * PER-VERSION keys — `op` (each commit names its own), `cdc` (names
+    * THIS version's change sidecar; a carried copy would re-serve the
+    * previous version's change rows at a version that changed no rows)
+    * and `batchId` (names the streaming batch that produced THIS
+    * version; the idempotency ledger scans history newest-back and
+    * never needs a carried copy). */
+  private[sources] def carryMeta(m: Map[String, String]): Map[String, String] =
+    m - "op" - "cdc" - "batchId" - "mergekey"
+
   /** Publish a group-replace result as the next version: the kept
     * (pruned) dirs plus the freshly written group — the commit half of
     * the DSv2 row-level write ([[GraftReplaceBatchWrite]]); same shape
@@ -207,23 +437,11 @@ object LakeTable {
     // scan feeding row-level ops fails fast on MOR tables). The ANN
     // model survives as long as any codes do; replaced dirs drop their
     // codes with the dirs (the rewritten rows re-index on the next run).
+    val live = dataDirs.toSet
     val carried = latestVersion(spark, root)
       .map(v => manifestMetaAt(spark, root, v)).getOrElse(Map.empty)
       .filter { case (k, _) =>
-        (k.startsWith("stat:") &&
-          dataDirs.exists(d => k.startsWith(s"stat:$d:"))) ||
-        (k.startsWith("bloom:") &&
-          dataDirs.exists(d => k.startsWith(s"bloom:$d:"))) ||
-        k.startsWith("annmodel:") ||
-        (k.startsWith("anncodes:") &&
-          dataDirs.exists(d => k.startsWith(s"anncodes:$d:"))) ||
-        (k.startsWith("hllsk:") &&
-          dataDirs.exists(d => k.startsWith(s"hllsk:$d:"))) ||
-        (k.startsWith("kllsk:") &&
-          dataDirs.exists(d => k.startsWith(s"kllsk:$d:"))) ||
-        (k.startsWith("part:") &&
-          dataDirs.exists(d => k == s"part:$d"))
-      }
+        perDirKeyLives(k, live).getOrElse(k.startsWith("annmodel:")) }
     commit(spark, root, dataDirs, Map("op" -> op) ++ carried)
   }
 
@@ -253,6 +471,7 @@ object LakeTable {
             (k.startsWith("check:") || k.startsWith("unique:") ||
               k.startsWith("default:") || k.startsWith("identity:") ||
               k.startsWith("gencol:") || k == "partcol" ||
+              k == "bucketcol" || k == "bucketn" ||
               // the COPY INTO ledger is table-level ingest state, not
               // file-group state — it survives every commit type so a
               // compaction or overwrite can never silently re-open the
@@ -274,8 +493,20 @@ object LakeTable {
     f.mkdirs(versionsDir(root))
     val tmp = new Path(versionsDir(root), s".tmp-$v-${System.nanoTime()}")
     val out = f.create(tmp, false)
-    val body = (meta.toSeq.sorted.map { case (k, v2) => s"#$k=$v2" } ++
-      dataDirs).mkString("\n")
+    // delta-encode against the previous resolved state when possible —
+    // the manifest write (and its read) is then O(change), not
+    // O(groups); reorders and shrink-below-full cases keep full format
+    val prevState =
+      if (v <= 1) None
+      else scala.util.Try(resolveState(spark, root, v - 1)).toOption
+    val fullLines = meta.toSeq.sorted.map { case (k, v2) => s"#$k=$v2" } ++
+      dataDirs
+    val bodyLines = prevState.flatMap(encodeDelta(_, dataDirs, meta)) match {
+      case Some(delta) if delta.size + 1 < fullLines.size =>
+        s"$DeltaHeader${v - 1}" +: delta
+      case _ => fullLines
+    }
+    val body = bodyLines.mkString("\n")
     try out.write(body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
     val dest = manifestPath(root, v)
@@ -343,6 +574,11 @@ object LakeTable {
     val prevDirs = if (v > 1) readManifest(spark, root, v - 1) else Seq.empty
     DeltaLog.mirrorCommit(spark, root, v, prevDirs, dataDirs,
       meta.get("schema"))
+    // land the periodic full-state checkpoint (only the WINNING writer
+    // reaches here; content is deterministic, failure is harmless —
+    // resolution just walks a longer tail until the next one)
+    if (v % CheckpointInterval == 0)
+      scala.util.Try(writeCheckpoint(spark, root, v, dataDirs, meta))
     v
   }
 
@@ -417,14 +653,20 @@ object LakeTable {
     require(!df.columns.exists(_.equalsIgnoreCase("__gpart")),
       "batch carries a reserved column name '__gpart'")
     val anyNull = partCols.map(col(_).isNull).reduce(_ || _)
-    if (df.filter(anyNull).limit(1).count() > 0)
+    val anyLong = partCols.map(c =>
+      length(col(c).cast("string")) > 100).reduce(_ || _)
+    // one validation job, not one per gate — at one commit per
+    // micro-batch the per-append job count is the latency floor
+    val gates = df.agg(
+      coalesce(max(when(anyNull, 1).otherwise(0)), lit(0)).as("nulls"),
+      coalesce(max(when(anyLong, 1).otherwise(0)), lit(0)).as("long"))
+      .head()
+    if (gates.getInt(0) > 0)
       throw new IllegalArgumentException(
         s"null value in partition column(s) ${partCols.mkString(",")} " +
           "refused — partition keys must be non-null (no hidden " +
           "default-partition bucket)")
-    val anyLong = partCols.map(c =>
-      length(col(c).cast("string")) > 100).reduce(_ || _)
-    if (df.filter(anyLong).limit(1).count() > 0)
+    if (gates.getInt(1) > 0)
       throw new IllegalArgumentException(
         s"partition values in ${partCols.mkString(",")} longer than 100 " +
           "characters are unsupported as manifest-recorded keys")
@@ -440,19 +682,44 @@ object LakeTable {
       // decoded by re-reading the landed files below, never from the
       // dir name; the real columns stay in every file because only
       // the surrogate is the partitioning column
+      // hash-repartition BY KEY (one file per value dir), but at the
+      // CLUSTER's width, not spark.sql.shuffle.partitions — a many-
+      // partition write is bounded by per-file parquet writer open/
+      // close, so the task count is the parallelism of that
+      val width = math.max(spark.sparkContext.defaultParallelism,
+        spark.sessionState.conf.numShufflePartitions)
       df.withColumn("__gpart", concat_ws("-",
           partCols.map(c => hex(col(c).cast("string").cast("binary"))): _*))
-        .repartition(col("__gpart"))
+        .repartition(width, col("__gpart"))
         .write.partitionBy("__gpart").parquet(staged.toString)
       val subs = f.listStatus(staged).map(_.getPath)
         .filter(_.getName.startsWith("__gpart=")).sortBy(_.getName)
+      val localRoot =
+        if ("file".equalsIgnoreCase(Option(new Path(root).toUri.getScheme)
+            .getOrElse(f.getUri.getScheme))) Some(root) else None
       subs.zipWithIndex.map { case (sub, i) =>
         val dir = s"data/$uuid-p$i"
-        if (!f.rename(sub, new Path(root, dir)))
-          throw new IllegalStateException(s"stage rename failed for $dir")
-        val row = spark.read.parquet(new Path(root, dir).toString)
-          .select(partCols.map(col): _*).head()
-        val comps = partCols.indices.map(j => String.valueOf(row.get(j)))
+        // local fast path: one nio move per dir — Hadoop's LocalFS
+        // rename costs ~10-20 ms of checksum bookkeeping per call,
+        // which at many partitions dominates the whole write
+        localRoot match {
+          case Some(r) =>
+            java.nio.file.Files.move(
+              java.nio.file.Paths.get(sub.toUri.getPath),
+              java.nio.file.Paths.get(new Path(r, dir).toUri.getPath))
+          case None =>
+            if (!f.rename(sub, new Path(root, dir)))
+              throw new IllegalStateException(s"stage rename failed for $dir")
+        }
+        // decode the value tuple from the SURROGATE dir name — hex is
+        // lossless per column and '-' can never appear inside a hex
+        // run, so this is exactly the tuple the landed rows carry. The
+        // old per-dir read-back was O(dirs) driver-side Spark jobs per
+        // partitioned write — the dominant cost at many partitions.
+        val comps = sub.getName.drop("__gpart=".length).split("-", -1)
+          .toIndexedSeq.map(h => new String(
+            h.grouped(2).map(b => Integer.parseInt(b, 16).toByte).toArray,
+            java.nio.charset.StandardCharsets.UTF_8))
         // the manifest reader trims lines, so a value with control
         // chars or edge whitespace would round-trip DIFFERENT and make
         // partAdmit silently prune its own group — refuse loudly
@@ -556,6 +823,148 @@ object LakeTable {
     * pass; each output partition becomes its own manifest group so the
     * skipping happens at the zero-file-open manifest level, above
     * parquet row-group pruning. */
+  /** The BUCKET-transform layout of a manifest, if declared:
+    * (source column, bucket count). Iceberg's `bucket(n, col)` — file
+    * groups key on `pmod(murmur3(col), n)` instead of the raw value,
+    * which is what makes HIGH-CARDINALITY keys storage-partition-
+    * joinable: two tables bucketed `bucket(8, custkey)` co-locate by
+    * bucket id and join with zero exchanges, where an identity layout
+    * on custkey would mean one group per customer. */
+  private[graft] def bucketSpecAt(
+      meta: Map[String, String]): Option[(String, Int)] =
+    for { c <- meta.get("bucketcol"); n <- meta.get("bucketn") }
+      yield (c, n.toInt)
+
+  /** The write-side bucket id column: `pmod(hash(col), n)` — Spark's
+    * `hash` is Murmur3 seed 42, the SAME function
+    * [[GraftBucketFunction]] exposes to the SPJ planner and
+    * [[bucketIdOfLiteral]] evaluates for manifest pruning. */
+  private def bucketIdCol(c: String, n: Int): org.apache.spark.sql.Column =
+    pmod(hash(col(c)), lit(n))
+
+  /** Bucket id of a pushed-filter literal, driver-side — None for
+    * types the bucket layout doesn't admit (then the probe keeps every
+    * group; conservative, never wrong). Must agree bit-for-bit with
+    * [[bucketIdCol]]: Spark's Murmur3 hashes a column's NATIVE type,
+    * and pushed filter literals arrive typed to the column. */
+  private[sources] def bucketIdOfLiteral(v: Any, n: Int): Option[Int] = {
+    import org.apache.spark.unsafe.hash.Murmur3_x86_32
+    val h: Option[Int] = v match {
+      case l: java.lang.Long    => Some(Murmur3_x86_32.hashLong(l, 42))
+      case i: java.lang.Integer => Some(Murmur3_x86_32.hashInt(i, 42))
+      case s: java.lang.Short   => Some(Murmur3_x86_32.hashInt(s.toInt, 42))
+      case b: java.lang.Byte    => Some(Murmur3_x86_32.hashInt(b.toInt, 42))
+      case s: String =>
+        val u = org.apache.spark.unsafe.types.UTF8String.fromString(s)
+        Some(Murmur3_x86_32.hashUnsafeBytes(
+          u.getBaseObject, u.getBaseOffset, u.numBytes(), 42))
+      case u: org.apache.spark.unsafe.types.UTF8String =>
+        Some(Murmur3_x86_32.hashUnsafeBytes(
+          u.getBaseObject, u.getBaseOffset, u.numBytes(), 42))
+      case _ => None
+    }
+    h.map(x => ((x % n) + n) % n)
+  }
+
+  /** CREATE TABLE … PARTITIONED BY (bucket(n, col)) — the hash-bucket
+    * layout: each file group holds ONE bucket id's rows
+    * (`#part:<dir>=<id>`), appends route batches by the same hash, an
+    * equality/IN probe on the bucket column prunes to its value's one
+    * bucket at the manifest level, and the DSv2 scan reports
+    * `bucket(n, col)` KeyGroupedPartitioning so equal-bucketed tables
+    * join storage-partitioned (zero exchanges) on keys far too
+    * high-cardinality for identity partitioning. Integral/string
+    * columns only (the hash contract must be reproducible from pushed
+    * literals); nulls hash like Spark's `hash(NULL)` and land in a
+    * deterministic bucket. */
+  def createBucketed(spark: SparkSession, root: String, df: DataFrame,
+                     bucketCol: String, nBuckets: Int,
+                     statsCols: Seq[String] = Nil): Int = {
+    require(latestVersion(spark, root).isEmpty, s"table exists at $root")
+    require(nBuckets >= 2 && nBuckets <= 4096,
+      s"bucket($nBuckets, $bucketCol): bucket count must be in [2, 4096]")
+    val field = resolveBucketCol(df.schema, bucketCol)
+    val parts = writeBucketedDataFiles(spark, root, field, nBuckets, df)
+    val stats = parts.flatMap { case (d, _) =>
+      statsMeta(spark, root, d, statsCols) }.toMap
+    commit(spark, root, parts.map(_._1),
+      stats ++ parts.map { case (d, id) => s"part:$d" -> id.toString }.toMap
+        + ("bucketcol" -> field) + ("bucketn" -> nBuckets.toString)
+        + ("op" -> "create-bucketed"))
+  }
+
+  /** Empty-create variant (the SQL `CREATE TABLE … PARTITIONED BY
+    * (bucket(n, col))` path): declares the layout, appends route from
+    * the first batch on. */
+  def createEmptyBucketed(spark: SparkSession, root: String,
+                          schema: org.apache.spark.sql.types.StructType,
+                          bucketCol: String, nBuckets: Int): Int = {
+    require(latestVersion(spark, root).isEmpty,
+      s"table already exists at $root")
+    require(nBuckets >= 2 && nBuckets <= 4096,
+      s"bucket($nBuckets, $bucketCol): bucket count must be in [2, 4096]")
+    val field = resolveBucketCol(schema, bucketCol)
+    commitVersion(spark, root, 1, Seq.empty,
+      Map("op" -> "create", "schema" -> schema.json,
+        "bucketcol" -> field, "bucketn" -> nBuckets.toString))
+  }
+
+  private def resolveBucketCol(
+      schema: org.apache.spark.sql.types.StructType,
+      bucketCol: String): String = {
+    import org.apache.spark.sql.types._
+    val field = schema.fields.find(_.name.equalsIgnoreCase(bucketCol))
+      .getOrElse(throw new IllegalArgumentException(
+        s"no column '$bucketCol' to bucket on"))
+    field.dataType match {
+      case ByteType | ShortType | IntegerType | LongType | StringType => ()
+      case t => throw new IllegalArgumentException(
+        s"bucket column '$bucketCol' has type ${t.simpleString} — " +
+          "bucket layouts take integral/string keys (the hash must be " +
+          "reproducible from pushed literals)")
+    }
+    field.name
+  }
+
+  /** One staged write → one dir per OCCUPIED bucket id (empty buckets
+    * have no dir — SPJ against a fuller table needs Spark's
+    * `pushPartValues`, the documented conf). Returns (dir, bucketId).
+    */
+  private def writeBucketedDataFiles(spark: SparkSession, root: String,
+      c: String, n: Int, df: DataFrame): Seq[(String, Int)] = {
+    require(!df.columns.exists(_.equalsIgnoreCase("__gpart")),
+      "batch carries a reserved column name '__gpart'")
+    val f = fs(spark, root)
+    val uuid = java.util.UUID.randomUUID().toString
+    val staged = new Path(root, s"data/.bstage-$uuid")
+    try {
+      val width = math.max(spark.sparkContext.defaultParallelism,
+        spark.sessionState.conf.numShufflePartitions)
+      df.withColumn("__gpart", bucketIdCol(c, n).cast("string"))
+        .repartition(width, col("__gpart"))
+        .write.partitionBy("__gpart").parquet(staged.toString)
+      val subs = f.listStatus(staged).map(_.getPath)
+        .filter(_.getName.startsWith("__gpart=")).sortBy(_.getName)
+      val localRoot =
+        if ("file".equalsIgnoreCase(Option(new Path(root).toUri.getScheme)
+            .getOrElse(f.getUri.getScheme))) Some(root) else None
+      subs.zipWithIndex.map { case (sub, i) =>
+        val dir = s"data/$uuid-b$i"
+        localRoot match {
+          case Some(r) =>
+            java.nio.file.Files.move(
+              java.nio.file.Paths.get(sub.toUri.getPath),
+              java.nio.file.Paths.get(new Path(r, dir).toUri.getPath))
+          case None =>
+            if (!f.rename(sub, new Path(root, dir)))
+              throw new IllegalStateException(
+                s"stage rename failed for $dir")
+        }
+        dir -> sub.getName.drop("__gpart=".length).toInt
+      }.toSeq
+    } finally f.delete(staged, true)
+  }
+
   def createClustered(spark: SparkSession, root: String, df: DataFrame,
                       clusterKey: String, numGroups: Int,
                       statsCols: Seq[String]): Int = {
@@ -783,15 +1192,23 @@ object LakeTable {
       // them that way); files land in PHYSICAL names so every group in
       // the table shares one on-disk schema under a rename mapping
       val physical = toPhysical(meta, filled)
-      val parts = partColsAt(meta) match {
-        case Seq() =>
-          Seq((writeDataFiles(spark, root, physical), None))
-        case pcs =>
-          pcs.foreach(pc =>
-            require(physical.columns.exists(_.equalsIgnoreCase(pc)),
-              s"append at $root must carry partition column '$pc'"))
-          writePartitionedDataFiles(spark, root, pcs, physical)
-            .map { case (d, pv) => (d, Some(pv)) }
+      // bucket layouts route by hash id; identity layouts by value
+      val parts = bucketSpecAt(meta) match {
+        case Some((bc, n)) =>
+          require(physical.columns.exists(_.equalsIgnoreCase(bc)),
+            s"append at $root must carry bucket column '$bc'")
+          writeBucketedDataFiles(spark, root, bc, n, physical)
+            .map { case (d, id) => (d, Some(id.toString)) }
+        case None => partColsAt(meta) match {
+          case Seq() =>
+            Seq((writeDataFiles(spark, root, physical), None))
+          case pcs =>
+            pcs.foreach(pc =>
+              require(physical.columns.exists(_.equalsIgnoreCase(pc)),
+                s"append at $root must carry partition column '$pc'"))
+            writePartitionedDataFiles(spark, root, pcs, physical)
+              .map { case (d, pv) => (d, Some(pv)) }
+        }
       }
       (cur, parts)
     } finally stage.foreach(rel =>
@@ -838,6 +1255,10 @@ object LakeTable {
       k.startsWith("mhidx:") || k.startsWith("mhparams:") ||
       k.startsWith("mhver:") ||
       k.startsWith("part:") || k == "partcol" ||
+      k == "bucketcol" || k == "bucketn" ||
+      // incremental-clustering membership: appended groups are "fresh"
+      // (untagged) by construction; clustered groups stay tagged
+      k.startsWith("zc:") || k == "zcols" ||
       k == "deletes" || k == "deletekey" || k == "dv" || k == "colmap" ||
       k == "coldrop"
 
@@ -1156,6 +1577,28 @@ object LakeTable {
       meta: Map[String, String], dir: String,
       f: org.apache.spark.sql.sources.Filter): Boolean = {
     import org.apache.spark.sql.sources._
+    // bucket layouts prune EQUALITY/IN probes to the literal's one
+    // bucket (ranges can't prune a hash layout — stats still can);
+    // untagged groups (post-compaction) conservatively keep
+    bucketSpecAt(meta) match {
+      case Some((bc, n)) =>
+        val tagged = meta.get(s"part:$dir").flatMap(_.toIntOption)
+        def admit(v: Any): Boolean = tagged.forall(id =>
+          bucketIdOfLiteral(v, n).forall(_ == id))
+        return f match {
+          case EqualTo(a, v) if a.equalsIgnoreCase(bc)       => admit(v)
+          case EqualNullSafe(a, v)
+              if a.equalsIgnoreCase(bc) && v != null         => admit(v)
+          case In(a, vs) if a.equalsIgnoreCase(bc)           =>
+            vs.exists(admit)
+          case And(l, r) =>
+            partAdmit(meta, dir, l) && partAdmit(meta, dir, r)
+          case Or(l, r) =>
+            partAdmit(meta, dir, l) || partAdmit(meta, dir, r)
+          case _ => true
+        }
+      case None => ()
+    }
     val pcs = partColsAt(meta)
     val pvs = meta.get(s"part:$dir").map(partValsAt).getOrElse(Nil)
     // untagged group (pre-partitioning legacy / merged by an old
@@ -1309,7 +1752,7 @@ object LakeTable {
       s"bloom:$dir:$c" -> rel
     }
     commitVersion(spark, root, v + 1, dirs,
-      meta - "op" ++ added + ("op" -> "index"))
+      carryMeta(meta) ++ added + ("op" -> "index"))
   }
 
   /** Planning-time bloom sidecars are tiny and immutable (COW dirs) —
@@ -1467,7 +1910,7 @@ object LakeTable {
     // stays valid, so carry the whole manifest state — carrying only a
     // subset here once DROPPED the MOR delete list, silently
     // resurrecting deleted rows on the next read (regression-tested)
-    val carried = manifestMeta(spark, root, v) - "op" - "schema"
+    val carried = carryMeta(manifestMeta(spark, root, v)) - "schema"
     commitVersion(spark, root, v + 1, readManifest(spark, root, v),
       carried + ("op" -> "add-columns") + ("schema" -> evolved.json))
   }
@@ -1619,7 +2062,7 @@ object LakeTable {
       }).json
     }
     commitVersion(spark, root, v + 1, readManifest(spark, root, v),
-      meta - "op" - "colmap" - "schema" ++ schemaMeta +
+      carryMeta(meta) - "colmap" - "schema" ++ schemaMeta +
         ("colmap" -> mapped.map { case (p, l) => s"$p=$l" }.mkString(",")) +
         ("op" -> "rename-column"))
   }
@@ -1659,7 +2102,7 @@ object LakeTable {
         st.fields.filterNot(_.name.equalsIgnoreCase(name))).json
     }
     commitVersion(spark, root, v + 1, readManifest(spark, root, v),
-      meta - "op" - "colmap" - "coldrop" - "schema" ++ schemaMeta ++
+      carryMeta(meta) - "colmap" - "coldrop" - "schema" ++ schemaMeta ++
         (if (remainingMap.nonEmpty)
           Map("colmap" -> remainingMap
             .map { case (p, l) => s"$p=$l" }.mkString(","))
@@ -1775,6 +2218,13 @@ object LakeTable {
           bloomAdmit(spark, root, meta, d, f)))
     (kept, dirs.size)
   }
+
+  /** Test/inspection forwarder for [[pruneDirsForFilters]]. */
+  private[graft] def pruneProbe(spark: SparkSession, root: String,
+      version: Option[Int],
+      filters: Seq[org.apache.spark.sql.sources.Filter])
+      : (Seq[String], Int) =
+    pruneDirsForFilters(spark, root, version, filters)
 
   /** [[read]] restricted to a subset of the snapshot's file groups
     * (relative manifest entries) — column mapping, declared-schema
@@ -2000,7 +2450,7 @@ object LakeTable {
     val v = latestVersion(spark, root)
       .getOrElse(throw new IllegalStateException(s"no table at $root"))
     commitVersion(spark, root, v + 1, readManifest(spark, root, v),
-      manifestMeta(spark, root, v) - "op" +
+      carryMeta(manifestMeta(spark, root, v)) +
         ("cdf" -> "true") + ("op" -> "set-cdf"))
   }
 
@@ -2121,13 +2571,9 @@ object LakeTable {
         writePartitionedDataFiles(spark, root, pcs, filled)
           .map { case (d, pv) => (d, Some(pv)) }
     }
+    val carriedSet = carried.toSet
     val keptMeta = meta.filter { case (k, _) =>
-      carried.exists(d =>
-        k.startsWith(s"stat:$d:") || k.startsWith(s"bloom:$d:") ||
-          k.startsWith(s"anncodes:$d:") || k.startsWith(s"hllsk:$d:") ||
-          k.startsWith(s"kllsk:$d:") || k == s"part:$d") ||
-        k.startsWith("annmodel:")
-    }
+      perDirKeyLives(k, carriedSet).getOrElse(k.startsWith("annmodel:")) }
     val newDirs = remDir.toSeq ++ newParts.map(_._1)
     val newStats = newDirs
       .flatMap(d => statsMeta(spark, root, d, statsCols)).toMap
@@ -2279,11 +2725,14 @@ object LakeTable {
     }
     // every per-dir sidecar of the dropped groups goes with them; only
     // table-level metadata (rules, constraints, schema, ANN model)
-    // carries forward
+    // carries forward — never the per-version cdc/batchId keys, and
+    // never clustering state (the overwritten layout is gone)
     val keptMeta = meta.filterNot { case (k, _) =>
       k.startsWith("stat:") || k.startsWith("bloom:") ||
         k.startsWith("anncodes:") || k.startsWith("hllsk:") ||
-        k.startsWith("kllsk:") || k.startsWith("part:") || k == "op"
+        k.startsWith("kllsk:") || k.startsWith("part:") ||
+        k.startsWith("zc:") || k == "zcols" || k == "op" ||
+        k == "cdc" || k == "batchId"
     }
     val newDirs = newParts.map(_._1)
     val newStats = newDirs
@@ -2338,7 +2787,7 @@ object LakeTable {
     doomed.coalesce(1).write.parquet(new Path(root, rel).toString)
     val list = meta.get("deletes").fold(rel)(old => s"$old,$rel")
     commitVersion(spark, root, v + 1, readManifest(spark, root, v),
-      meta - "op" + ("deletes" -> list) + ("deletekey" -> keyCol) +
+      carryMeta(meta) + ("deletes" -> list) + ("deletekey" -> keyCol) +
         ("op" -> "delete-mor"))
   }
 
@@ -2450,7 +2899,7 @@ object LakeTable {
         extra =>
           commitVersion(spark, root, v + 1,
             readManifest(spark, root, v) ++ parts.map(_._1),
-            meta - "op" ++ partMeta ++ extra +
+            carryMeta(meta) ++ partMeta ++ extra +
               ("dv" -> list) + ("op" -> "update-mor"))
       }
     } finally fs(spark, root).delete(new Path(root, stageRel), true)
@@ -2526,7 +2975,12 @@ object LakeTable {
             .withColumn("_change_type", lit("insert")))) { extra =>
         commitVersion(spark, root, v + 1,
           readManifest(spark, root, v) ++ parts.map(_._1),
-          meta - "op" ++ partMeta ++ extra ++ dvMeta ++ extraMeta +
+          carryMeta(meta) ++ partMeta ++ extra ++ dvMeta ++ extraMeta +
+            // the merge key is per-version feed metadata: it lets the
+            // CDF source classify this commit's appended rows
+            // (postimage vs insert) when no change sidecar was staged
+            ("mergekey" -> schema.fields
+              .find(_.name.equalsIgnoreCase(key)).fold(key)(_.name)) +
             ("op" -> "merge-mor"))
       }
     } finally fs(spark, root).delete(new Path(root, stageRel), true)
@@ -2575,7 +3029,7 @@ object LakeTable {
         staged.drop(FileCol, PosCol)
           .withColumn("_change_type", lit("delete"))) { extra =>
         commitVersion(spark, root, v + 1, readManifest(spark, root, v),
-          meta - "op" ++ extra + ("dv" -> list) + ("op" -> "delete-dv"))
+          carryMeta(meta) ++ extra + ("dv" -> list) + ("op" -> "delete-dv"))
       }
     } finally fs(spark, root).delete(new Path(root, stageRel), true)
   }
@@ -2607,7 +3061,13 @@ object LakeTable {
     val dvRel = s"_deletes/dv-${java.util.UUID.randomUUID()}"
     val parts = math.max(1L,
       (nMatches + DvSidecarRowsPerFile - 1) / DvSidecarRowsPerFile).toInt
-    keyed.coalesce(parts).write.parquet(new Path(root, dvRel).toString)
+    // coalesce can only REDUCE partition count — a staged frame that
+    // arrives narrower than the computed width must repartition or the
+    // broad write still funnels through its few tasks
+    val sized =
+      if (parts > keyed.rdd.getNumPartitions) keyed.repartition(parts)
+      else keyed.coalesce(parts)
+    sized.write.parquet(new Path(root, dvRel).toString)
     dvRel
   }
 
@@ -2635,10 +3095,16 @@ object LakeTable {
     // reappears in a later masked read, so no later commit can re-mask
     // it — making distinct a pure safety net for hand-edited state
     val merged = all.distinct()
-    val n = merged.count()
-    val dvRel = writeDvSidecar(spark, root, merged, n)
+    // size the fold's write from the INPUT file count (each input file
+    // holds at most DvSidecarRowsPerFile rows by construction, and
+    // dedup only shrinks) — one job for the fold, not a count + write
+    val f = fs(spark, root)
+    val nFiles = rels.map(r => f.listStatus(new Path(root, r))
+      .count(s => s.isFile && s.getPath.getName.endsWith(".parquet"))).sum
+    val dvRel = writeDvSidecar(spark, root, merged,
+      math.max(1L, nFiles.toLong) * DvSidecarRowsPerFile)
     commitVersion(spark, root, v + 1, readManifest(spark, root, v),
-      meta - "op" + ("dv" -> dvRel) + ("op" -> "compact-deletes"))
+      carryMeta(meta) + ("dv" -> dvRel) + ("op" -> "compact-deletes"))
   }
 
   /** Table-wide equality-delete state recorded in a manifest:
@@ -2815,25 +3281,16 @@ object LakeTable {
     // groups are disjoint from the merged set by construction, so both
     // commit. An overlapping rewrite (the winner removed a group this
     // compaction merged) stays a named fail-fast — its inputs are gone.
-    def carriedFrom(m: Map[String, String], survivors: Seq[String]) =
+    def carriedFrom(m: Map[String, String], survivors: Seq[String]) = {
+      val live = survivors.toSet
       m.filter { case (k, _) =>
-        (k.startsWith("stat:") &&
-          survivors.exists(d => k.startsWith(s"stat:$d:"))) ||
-        (k.startsWith("bloom:") &&
-          survivors.exists(d => k.startsWith(s"bloom:$d:"))) ||
-        k.startsWith("annmodel:") ||
-        (k.startsWith("anncodes:") &&
-          survivors.exists(d => k.startsWith(s"anncodes:$d:"))) ||
-        (k.startsWith("hllsk:") &&
-          survivors.exists(d => k.startsWith(s"hllsk:$d:"))) ||
-        (k.startsWith("kllsk:") &&
-          survivors.exists(d => k.startsWith(s"kllsk:$d:"))) ||
-        (k.startsWith("part:") &&
-          survivors.exists(d => k == s"part:$d")) ||
-        // merged groups are read raw and re-written raw — physical
-        // names — so rename/drop mappings stay exactly as valid
-        k == "colmap" || k == "coldrop"
+        perDirKeyLives(k, live).getOrElse(
+          k.startsWith("annmodel:") ||
+          // merged groups are read raw and re-written raw — physical
+          // names — so rename/drop mappings stay exactly as valid
+          k == "colmap" || k == "coldrop")
       }
+    }
     var attempt = v
     var tries = 0
     while (true) {
@@ -2938,10 +3395,70 @@ object LakeTable {
     val keptMeta = meta.filterNot { case (k, _) =>
       k.startsWith("stat:") || k.startsWith("bloom:") ||
         k.startsWith("anncodes:") || k.startsWith("hllsk:") ||
-        k.startsWith("kllsk:") || k.startsWith("part:") || k == "op"
+        k.startsWith("kllsk:") || k.startsWith("part:") ||
+        k.startsWith("zc:") || k == "zcols" || k == "op" ||
+        k == "cdc" || k == "batchId"
     }
     commitVersion(spark, root, v + 1, dirs,
       keptMeta ++ stats + ("op" -> "optimize-zorder"))
+  }
+
+  /** INCREMENTAL (liquid-style) clustering — `OPTIMIZE … ZORDER BY …
+    * INCREMENTAL`: z-order ONLY the file groups created since the last
+    * clustering commit; already-clustered groups carry BY NAME (zero
+    * bytes read or moved). A steadily-appended table pays O(new data)
+    * per re-cluster instead of [[optimizeZOrder]]'s O(table); each
+    * clustered group keeps its own z-locality and its fresh min/max
+    * stats, so corner probes prune across ALL clustering generations.
+    * Cluster membership is the per-dir `zc:<dir>` manifest tag (dies
+    * with its dir on any rewrite — a compacted group becomes "new"
+    * again, which is the honest answer) and the clustering column set
+    * is pinned by `zcols` — a different column set refuses, naming the
+    * recorded one (re-cluster fully with [[optimizeZOrder]] first).
+    * Nothing-new runs are TRUE no-ops: no commit, version unmoved.
+    * Gates match [[optimizeZOrder]]. */
+  def optimizeZOrderIncremental(spark: SparkSession, root: String,
+      cols: Seq[String], numGroups: Int): Int = {
+    require(cols.size >= 2 && cols.size <= 4,
+      s"ZORDER BY takes 2 to 4 columns, got ${cols.mkString(", ")}")
+    require(numGroups >= 2, s"numGroups must be >= 2, got $numGroups")
+    val v = latestVersion(spark, root)
+      .getOrElse(throw new IllegalStateException(s"no table at $root"))
+    val meta = manifestMeta(spark, root, v)
+    require(deleteState(meta).isEmpty && dvState(meta).isEmpty,
+      s"table at $root has merge-on-read deletes; rewriteDeletes first")
+    require(colMapAt(meta).isEmpty && colDropsAt(meta).isEmpty,
+      s"table at $root has a metadata-only rename/drop mapping; " +
+        "compact first")
+    require(partColsAt(meta).isEmpty && bucketSpecAt(meta).isEmpty,
+      s"table at $root is partitioned/bucketed — z-ordering would " +
+        "break the one-group-per-value contract")
+    val colsKey = cols.map(_.toLowerCase).mkString(",")
+    meta.get("zcols").foreach(rec => require(rec == colsKey,
+      s"table at $root is incrementally clustered on ($rec); " +
+        s"re-clustering on ($colsKey) needs a FULL optimizeZOrder first"))
+    val dirs = readManifest(spark, root, v)
+    val clustered = dirs.filter(d => meta.contains(s"zc:$d"))
+    val fresh = dirs.filterNot(d => meta.contains(s"zc:$d"))
+    if (fresh.isEmpty) return v // true no-op: nothing new since last run
+    val cur = spark.read.option("mergeSchema", "true")
+      .parquet(fresh.map(d => new Path(root, d).toString): _*)
+    cols.foreach(c => require(cur.columns.exists(_.equalsIgnoreCase(c)),
+      s"no column '$c' at $root"))
+    val (zDirs, zStats) = writeZOrderGroups(spark, root, cur, cols,
+      numGroups)
+    // clustered groups carry by name with their per-dir keys; the
+    // rewritten fresh groups' keys die with them
+    val keptMeta = {
+      val live = clustered.toSet
+      meta.filter { case (k, _) =>
+        k != "op" && k != "cdc" && k != "batchId" && k != "mergekey" &&
+          perDirKeyLives(k, live).getOrElse(true) }
+    }
+    commitVersion(spark, root, v + 1, clustered ++ zDirs,
+      keptMeta ++ zStats ++
+        (clustered ++ zDirs).map(d => s"zc:$d" -> "1").toMap +
+        ("zcols" -> colsKey) + ("op" -> "optimize-zorder-incremental"))
   }
 
   /** The Morton re-layout write half shared by [[optimizeZOrder]] and
@@ -3073,20 +3590,13 @@ object LakeTable {
     val inScopeSet = inScope.toSet
     val survivors = dirs.filterNot(inScopeSet)
     // per-dir keys survive only for carried groups; in-scope groups'
-    // keys die with them (the z-groups get fresh two-column stats)
-    val keptMeta = meta.filter { case (k, _) =>
-      k != "op" &&
-      (!k.startsWith("stat:") ||
-        survivors.exists(d => k.startsWith(s"stat:$d:"))) &&
-      (!k.startsWith("bloom:") ||
-        survivors.exists(d => k.startsWith(s"bloom:$d:"))) &&
-      (!k.startsWith("anncodes:") ||
-        survivors.exists(d => k.startsWith(s"anncodes:$d:"))) &&
-      (!k.startsWith("hllsk:") ||
-        survivors.exists(d => k.startsWith(s"hllsk:$d:"))) &&
-      (!k.startsWith("kllsk:") ||
-        survivors.exists(d => k.startsWith(s"kllsk:$d:"))) &&
-      (!k.startsWith("part:") || survivors.exists(d => k == s"part:$d"))
+    // keys die with them (the z-groups get fresh two-column stats);
+    // per-version keys (op/cdc/batchId) never carry
+    val keptMeta = {
+      val live = survivors.toSet
+      meta.filter { case (k, _) =>
+        k != "op" && k != "cdc" && k != "batchId" &&
+          perDirKeyLives(k, live).getOrElse(true) }
     }
     commitVersion(spark, root, v + 1, survivors ++ zDirs,
       keptMeta ++ zStats ++ zDirs.map(d => s"part:$d" -> recVal) +
@@ -3240,7 +3750,7 @@ object LakeTable {
     if (dup > 0) throw new IllegalArgumentException(
       s"cannot add UNIQUE($colName) at $root: existing rows violate it")
     commitVersion(spark, root, v + 1, readManifest(spark, root, v),
-      meta - "op" + (s"unique:$name" -> colName) +
+      carryMeta(meta) + (s"unique:$name" -> colName) +
         ("op" -> "add-unique"))
   }
 
@@ -3285,7 +3795,7 @@ object LakeTable {
     spark.sql(s"SELECT CAST(($defaultSql) AS ${field.dataType.sql})")
       .collect()
     commitVersion(spark, root, v + 1, readManifest(spark, root, v),
-      manifestMeta(spark, root, v) - "op" +
+      carryMeta(manifestMeta(spark, root, v)) +
         (s"default:${field.name}" -> defaultSql) + ("op" -> "set-default"))
   }
 
@@ -3303,7 +3813,7 @@ object LakeTable {
       .getOrElse(throw new IllegalArgumentException(
         s"no DEFAULT declared on '$name' at $root"))
     commitVersion(spark, root, v + 1, readManifest(spark, root, v),
-      meta - "op" + (key -> "") + ("op" -> "drop-default"))
+      carryMeta(meta) + (key -> "") + ("op" -> "drop-default"))
   }
 
   /** The table's identity column, if declared:
@@ -3355,7 +3865,7 @@ object LakeTable {
       s"'${field.name}' has a column DEFAULT; identity and DEFAULT are " +
         "mutually exclusive")
     commitVersion(spark, root, v + 1, readManifest(spark, root, v),
-      meta - "op" +
+      carryMeta(meta) +
         (s"identity:${field.name}" -> s"$start,$step,${start - step}") +
         ("op" -> "set-identity"))
   }
@@ -3436,7 +3946,7 @@ object LakeTable {
       s"cannot declare GENERATED ALWAYS AS on '$name': existing rows " +
         s"violate col <=> ($exprSql)")
     commitVersion(spark, root, v + 1, readManifest(spark, root, v),
-      meta - "op" + (s"gencol:${field.name}" -> exprSql) +
+      carryMeta(meta) + (s"gencol:${field.name}" -> exprSql) +
         ("op" -> "set-generated"))
   }
 
@@ -3474,16 +3984,22 @@ object LakeTable {
     * NULL keys exempt. */
   private[sources] def enforceUnique(meta: Map[String, String],
                                      df: DataFrame,
-                                     against: Option[DataFrame],
-                                     where: String): Unit =
-    uniqueColsAt(meta).foreach { case (name, c) =>
+                                     against: => Option[DataFrame],
+                                     where: String): Unit = {
+    val uniques = uniqueColsAt(meta)
+    if (uniques.isEmpty) return
+    // by-name + lazy: building the live-snapshot frame lists every
+    // file group on the driver — a table with no UNIQUE constraint
+    // must not pay that on every append
+    lazy val curSnap = against
+    uniques.foreach { case (name, c) =>
       val keys = df.filter(col(c).isNotNull).select(col(c))
       val selfDup = keys.groupBy(col(c)).agg(count(lit(1)).as("n"))
         .filter(col("n") > 1).limit(1).count()
       if (selfDup > 0) throw new IllegalArgumentException(
         s"UNIQUE($c) [$name] violated $where: duplicate keys within " +
           "the batch")
-      against.foreach { cur =>
+      curSnap.foreach { cur =>
         val hit = keys
           .join(cur.filter(col(c).isNotNull).select(col(c)), Seq(c),
             "left_semi")
@@ -3493,6 +4009,7 @@ object LakeTable {
             "in the table")
       }
     }
+  }
 
   /** Validate an incoming batch against the table's CHECK constraints;
     * throws before any data is written. Package-visible: the DSv2
@@ -3588,7 +4105,7 @@ object LakeTable {
     val v = latestVersion(spark, root)
       .getOrElse(throw new IllegalStateException(s"no table at $root"))
     commitVersion(spark, root, v + 1, readManifest(spark, root, v),
-      manifestMeta(spark, root, v) - "op" ++
+      carryMeta(manifestMeta(spark, root, v)) ++
         props.map { case (k, v2) => s"prop:$k" -> v2 } +
         ("op" -> "set-tblproperties"))
   }
@@ -3607,7 +4124,7 @@ object LakeTable {
         s"at $root (have ${propertiesAt(meta).keys.toSeq.sorted
           .mkString(", ")})")
     commitVersion(spark, root, v + 1, readManifest(spark, root, v),
-      meta - "op" -- keys.map(k => s"prop:$k") +
+      carryMeta(meta) -- keys.map(k => s"prop:$k") +
         ("op" -> "unset-tblproperties"))
   }
 
@@ -3727,6 +4244,7 @@ object LakeTable {
                    keepVersions: Int): Seq[String] = {
     val vs = versions(spark, root)
     if (vs.size <= keepVersions) return Seq.empty
+    val f = fs(spark, root)
     val keep = vs.takeRight(keepVersions)
     val drop = vs.dropRight(keepVersions)
     val kept = keep.flatMap(readManifest(spark, root, _)).toSet
@@ -3751,14 +4269,28 @@ object LakeTable {
       (sidecarRefsAt(meta) -- keptSidecars).toSeq.sorted
         .filterNot(p => new Path(p).isAbsolute)
         .map(rel => new Path(root, rel).toString) ++
-      Seq(manifestPath(root, v).toString)
+      Seq(manifestPath(root, v).toString) ++
+      // a dropped version's checkpoint is superseded with it — no
+      // retained resolution can start below the oldest kept version
+      (if (f.exists(checkpointPath(root, v)))
+         Seq(checkpointPath(root, v).toString) else Nil)
     }.distinct
   }
 
   def vacuum(spark: SparkSession, root: String, keepVersions: Int): Unit = {
     val f = fs(spark, root)
-    vacuumDryRun(spark, root, keepVersions)
-      .foreach(p => f.delete(new Path(p), true))
+    val doomed = vacuumDryRun(spark, root, keepVersions)
+    if (doomed.nonEmpty) {
+      // the oldest RETAINED version's delta base is about to go —
+      // materialize its full state as a checkpoint FIRST, so the chain
+      // stays resolvable (kept versions above it chain within the
+      // retained suffix by construction)
+      val oldestKept = versions(spark, root)
+        .takeRight(math.max(keepVersions, 1)).head
+      val (dirs, meta) = resolveState(spark, root, oldestKept)
+      writeCheckpoint(spark, root, oldestKept, dirs, meta)
+    }
+    doomed.foreach(p => f.delete(new Path(p), true))
   }
 
   /** Streaming ingestion: each micro-batch commits one append version.

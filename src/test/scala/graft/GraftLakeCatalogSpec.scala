@@ -64,10 +64,22 @@ class GraftLakeCatalogSpec extends SparkSpec {
       // (INSERT OVERWRITE is no longer rejected — it commits a new
       // version through overwriteAll; see the dedicated overwrite test)
       intercept[Exception] { spark.sql("DROP TABLE lakeC.t1") }
-      // non-identity partition transforms reject (PARTITIONED BY (col)
-      // itself is supported — see the partitioned CREATE TABLE test)
+      // non-identity/non-bucket partition transforms reject
+      // (PARTITIONED BY (col) and (bucket(n, col)) are supported —
+      // see the partitioned CREATE TABLE test and SpjSpec)
       intercept[Exception] {
-        spark.sql("CREATE TABLE lakeC.t9 (x INT) PARTITIONED BY (bucket(4, x))")
+        spark.sql("CREATE TABLE lakeC.t9 (x INT, ts TIMESTAMP) " +
+          "PARTITIONED BY (years(ts))")
+      }
+      // bucket on a non-reproducible key type rejects too
+      intercept[Exception] {
+        spark.sql(
+          "CREATE TABLE lakeC.t8 (x DOUBLE) PARTITIONED BY (bucket(4, x))")
+      }
+      // a bucket layout cannot combine with identity transforms
+      intercept[Exception] {
+        spark.sql("CREATE TABLE lakeC.t7 (x INT, y INT) " +
+          "PARTITIONED BY (y, bucket(4, x))")
       }
       // nothing committed by the rejected statements
       assert(LakeTable.versions(spark, s"$wh/t1") == Seq(1))
@@ -862,6 +874,39 @@ class GraftLakeCatalogSpec extends SparkSpec {
     }
   }
 
+  test("mor UPDATE parser hardening: a backslash-escaped quote never " +
+    "mis-splits the WHERE boundary and a backticked dotted column is " +
+    "ONE literal target, not a qualifier") {
+    withWarehouse("lakeEsc") { wh =>
+      import spark.implicits._
+      val root = s"$wh/t"
+      LakeTable.create(spark, root,
+        Seq((1L, "x", 0L), (2L, "y", 0L)).toDF("id", "s", "a.b"))
+      spark.conf.set("spark.graft.update.mode", "mor")
+      try {
+        // the \' inside the literal must not close it — the embedded
+        // WHERE belongs to the SET expression, the trailing one splits
+        spark.sql(
+          "UPDATE lakeEsc.t SET s = 'it\\'s a WHERE trap' WHERE id = 1")
+        assert(LakeTable.history(spark, root).last._2 == "update-mor")
+        assert(spark.sql("SELECT s FROM lakeEsc.t WHERE id = 1")
+          .head().getString(0) == "it's a WHERE trap")
+        assert(spark.sql("SELECT s FROM lakeEsc.t WHERE id = 2")
+          .head().getString(0) == "y")
+        // `a.b` is a column literally named a.b — not qualifier 'a'
+        spark.sql("UPDATE lakeEsc.t SET `a.b` = 7 WHERE id = 2")
+        val ab = LakeTable.read(spark, root)
+          .select(col("id"), col("`a.b`").as("ab"))
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        assert(ab == Map(1L -> 0L, 2L -> 7L), ab.toString)
+        // a foreign qualifier still refuses by name
+        val e = intercept[Exception] {
+          spark.sql("UPDATE lakeEsc.t SET other.s = 'z' WHERE id = 1") }
+        assert(e.getMessage.contains("qualifier"), e.getMessage)
+      } finally spark.conf.unset("spark.graft.update.mode")
+    }
+  }
+
   test("CONVERT TO LAKE and OPTIMIZE WHERE refusals: empty dirs, " +
     "unpartitioned tables, and existing tables all fail loudly") {
     withWarehouse("lakeCv") { wh =>
@@ -1235,6 +1280,62 @@ class GraftLakeCatalogSpec extends SparkSpec {
             "WHERE f.id = 7 LIMIT 1").head()
         assert(probe.getString(0) == "changed")
       } finally spark.catalog.dropTempView("db_fact")
+    }
+  }
+
+  test("a dv dim reports NATIVE statistics: the STATIC planner " +
+    "broadcasts it with AQE disabled (the V1-bridge era pinned the " +
+    "opposite), and the masked row serves through the join") {
+    withWarehouse("lakeSb") { wh =>
+      import spark.implicits._
+      val dimRoot = s"$wh/dim"
+      LakeTable.create(spark, dimRoot,
+        (1L to 50L).map(i => (i, s"name$i")).toDF("id", "nm"))
+      spark.conf.set("spark.graft.update.mode", "mor")
+      try spark.sql("UPDATE lakeSb.dim SET nm = 'changed' WHERE id = 7")
+      finally spark.conf.unset("spark.graft.update.mode")
+      val fact = spark.range(2000000L)
+        .select((col("id") % 50 + 1).as("id"), col("id").as("v"))
+      fact.createOrReplaceTempView("sb_fact")
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      try {
+        val j = spark.sql(
+          "SELECT count(*) AS n, count(DISTINCT d.nm) AS d " +
+            "FROM sb_fact f JOIN lakeSb.dim d ON f.id = d.id")
+        val row = j.collect().head
+        assert(row.getLong(0) == 2000000L && row.getLong(1) == 50L)
+        val plan = j.queryExecution.executedPlan
+        // AQE off: the broadcast MUST be the static planner's choice
+        assert(plan.collectFirst { case _: org.apache.spark.sql.execution
+          .adaptive.AdaptiveSparkPlanExec => () }.isEmpty)
+        assert(plan.collectFirst { case b: org.apache.spark.sql.execution
+          .joins.BroadcastHashJoinExec => b }.isDefined &&
+          plan.collectFirst { case s: org.apache.spark.sql.execution
+            .joins.SortMergeJoinExec => s }.isEmpty,
+          s"expected a STATIC BroadcastHashJoin on the dv dim:\n$plan")
+        // the scan is the native Batch (statistics can only come from it)
+        assert(plan.toString.contains("GraftDvBatchScan"), plan.toString)
+        val probe = spark.sql(
+          "SELECT d.nm FROM sb_fact f JOIN lakeSb.dim d ON f.id = d.id " +
+            "WHERE f.id = 7 LIMIT 1").head()
+        assert(probe.getString(0) == "changed")
+      } finally {
+        spark.conf.unset("spark.sql.adaptive.enabled")
+        spark.catalog.dropTempView("sb_fact")
+      }
+      // exotic snapshots keep the V1 bridge: an ALTER-declared schema
+      // routes the scan back through GraftDvScan (typed-null projection
+      // is readDirsSubset's job) and still reads right
+      LakeTable.evolveSchema(spark, dimRoot,
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("note",
+            org.apache.spark.sql.types.StringType))))
+      val again = spark.sql("SELECT count(*), count(note) FROM lakeSb.dim")
+      val r2 = again.head()
+      assert(r2.getLong(0) == 50L && r2.getLong(1) == 0L)
+      assert(!again.queryExecution.executedPlan.toString
+        .contains("GraftDvBatchScan"),
+        "declared-schema snapshots must take the V1 bridge")
     }
   }
 

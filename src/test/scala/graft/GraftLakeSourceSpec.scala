@@ -498,6 +498,41 @@ class GraftLakeSourceSpec extends SparkSpec {
         collectScans(q.plan)
     }.flatten
 
+  test("CDF across compactDeletes: the fold is a zero-change version, " +
+    "no prior change sidecar is re-served, and the fold's manifest " +
+    "carries no stale cdc/batchId key") {
+    withTable { root =>
+      import spark.implicits._
+      LakeTable.create(spark, root,
+        (1L to 10L).map(i => (i, i * 10L)).toDF("id", "v"))
+      LakeTable.enableChangeFeed(spark, root)                 // v2
+      LakeTable.deleteWhereDv(spark, root, col("id") === 1L)  // v3
+      LakeTable.deleteWhereDv(spark, root, col("id") === 2L)  // v4
+      val vFold = LakeTable.compactDeletes(spark, root)       // v5
+      val meta = LakeTable.manifestMetaAt(spark, root, vFold)
+      assert(!meta.contains("cdc") && !meta.contains("batchId"),
+        s"fold carried per-version keys: $meta")
+      val q = spark.readStream.format("graft-lake-cdf").load(root)
+        .writeStream.format("memory").queryName("cdf_fold")
+        .outputMode("append").start()
+      try {
+        q.processAllAvailable()
+        val rows = spark.table("cdf_fold")
+          .select("id", "_change_type", "_commit_version")
+          .as[(Long, String, Long)].collect().toSeq
+        assert(rows.count(_._2 == "insert") == 10)
+        // each dv delete served EXACTLY once, at its own version
+        assert(rows.filter(_._2 == "delete").map(r => (r._1, r._3)).sorted
+          == Seq((1L, 3L), (2L, 4L)))
+        // the fold itself is a zero-change version
+        assert(!rows.exists(_._3 == vFold.toLong),
+          s"fold version $vFold served change rows")
+      } finally { q.stop(); spark.catalog.dropTempView("cdf_fold") }
+      // reads after the fold still serve the masked snapshot
+      assert(LakeTable.read(spark, root).count() == 8)
+    }
+  }
+
   test("writes through the format are rejected") {
     withTable { root =>
       val nation = Tables.load(spark, sf, "nation")

@@ -70,4 +70,65 @@ class SpjSpec extends SparkSpec {
     } finally graft.util.Tmp.deleteRecursively(
       java.nio.file.Paths.get(dir))
   }
+
+  test("BUCKET-transform layout: two bucket(8, k) lake tables join " +
+    "with zero exchanges, equality probes prune to one bucket, and " +
+    "appends route by the same hash") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_spjb").toString
+    try {
+      import spark.implicits._
+      val left = (1L to 400L).map(i => (i, i * 10L)).toDF("k", "v")
+      val right = (1L to 400L).filter(_ % 2 == 0)
+        .map(i => (i, s"n$i")).toDF("k", "nm")
+      LakeTable.createBucketed(spark, s"$dir/t1", left, "k", 8)
+      LakeTable.createBucketed(spark, s"$dir/t2", right, "k", 8)
+      // appends route by the same hash: one new dir per occupied bucket
+      LakeTable.append(spark, s"$dir/t1",
+        Seq((1000L, 1L), (1001L, 2L)).toDF("k", "v"))
+      // the bucket transform resolves through the catalog's V2
+      // FunctionCatalog — path loads have no function catalog, so
+      // bucketed SPJ is a CATALOG-table feature (Iceberg's posture too)
+      spark.conf.set("spark.sql.catalog.spjb",
+        "graft.sources.GraftLakeCatalog")
+      spark.conf.set("spark.sql.catalog.spjb.warehouse", dir)
+      val t1 = spark.table("spjb.t1")
+      val t2 = spark.table("spjb.t2")
+      withSpj(on = true) {
+       graft.util.LocalFrame.withConf(spark,
+         "spark.sql.autoBroadcastJoinThreshold", "-1") {
+        val j = t1.join(t2, "k")
+        assert(shuffles(j) == 0,
+          s"bucketed SPJ expected, plan:\n${j.queryExecution.executedPlan}")
+        assert(j.count() == 200L)
+        // values agree through the join
+        assert(j.filter(col("k") === 6L).select(col("v"), col("nm"))
+          .head() == org.apache.spark.sql.Row(60L, "n6"))
+       }
+      }
+      withSpj(on = false) {
+        val j = t1.join(t2, "k")
+        assert(shuffles(j) > 0,
+          "with V2 bucketing off the bucketed join must shuffle")
+      }
+      // manifest-level bucket pruning: an equality probe keeps only
+      // dirs tagged with the literal's bucket (plus none others)
+      val probe = org.apache.spark.sql.sources.EqualTo("k", 6L)
+      val (keptDirs, total) = graft.sources.LakeTable
+        .pruneProbe(spark, s"$dir/t2", None, Seq(probe))
+      assert(total >= 7 && keptDirs.size == 1,
+        s"bucket probe kept ${keptDirs.size} of $total")
+      // the kept dir really contains k=6
+      assert(spark.read.parquet(keptDirs.map(d =>
+          s"$dir/t2/$d"): _*).filter(col("k") === 6L).count() == 1)
+      // range probes cannot prune a hash layout (conservative keep-all)
+      val (rk, rt) = graft.sources.LakeTable.pruneProbe(
+        spark, s"$dir/t2", None,
+        Seq(org.apache.spark.sql.sources.GreaterThan("k", 100L)))
+      assert(rk.size == rt)
+    } finally {
+      spark.conf.unset("spark.sql.catalog.spjb")
+      spark.conf.unset("spark.sql.catalog.spjb.warehouse")
+      graft.util.Tmp.deleteRecursively(java.nio.file.Paths.get(dir))
+    }
+  }
 }

@@ -48,6 +48,19 @@ class VacuumSafetySpec extends graft.SparkSpec {
     }
     val vs = LakeTable.versions(spark, root)
     assert(vs.nonEmpty, s"no retained versions at $root")
+    // checkpoint hygiene: every on-disk checkpoint names a RETAINED
+    // version (vacuum collects superseded ones with their manifests)
+    val vDir = java.nio.file.Paths.get(root, "_versions")
+    if (java.nio.file.Files.isDirectory(vDir)) {
+      import scala.jdk.CollectionConverters._
+      val st = java.nio.file.Files.list(vDir)
+      val cps = try st.iterator().asScala.map(_.getFileName.toString)
+        .filter(n => n.startsWith("v") && n.endsWith(".checkpoint"))
+        .map(n => n.substring(1, n.length - ".checkpoint".length).toInt)
+        .toSeq finally st.close()
+      cps.foreach(c => assert(vs.contains(c),
+        s"superseded checkpoint v$c survives at $root (retained: $vs)"))
+    }
     vs.foreach { v =>
       LakeTable.dataDirsAt(spark, root, v).foreach { d =>
         assert(resolves(d), s"v$v at $root references vacuumed dir $d")
