@@ -4125,7 +4125,25 @@ object LakeQueries {
       val before = graft.util.LocalFrame.materialize(
         LakeTable.read(s, root))
       val dirsBefore = LakeTable.dataDirPaths(s, root)
+      // compact BINARY sidecar form (the roaring-bitmap role): every
+      // point-update mask is ONE small varint-encoded file, not a
+      // parquet directory + checksum litter
+      def rels(v: Int): Seq[String] =
+        LakeTable.manifestMetaAt(s, root, v).get("dv")
+          .toSeq.flatMap(_.split(",")).filter(_.nonEmpty)
+      val relsBefore = rels(vBefore)
+      def relBytes(rel: String): Long = {
+        val p = java.nio.file.Paths.get(root, rel)
+        if (java.nio.file.Files.isRegularFile(p))
+          java.nio.file.Files.size(p)
+        else Long.MaxValue
+      }
+      val binForm = if (relsBefore.nonEmpty &&
+        relsBefore.forall(_.endsWith(".bin"))) 1L else 0L
+      val binSmall =
+        if (relsBefore.forall(relBytes(_) <= 4096L)) 1L else 0L
       val vAfter = LakeTable.compactDeletes(s, root)
+      val foldBin = if (rels(vAfter).forall(_.endsWith(".bin"))) 1L else 0L
       val compactOp =
         if (LakeTable.manifestMetaAt(s, root, vAfter)
           .get("op").contains("compact-deletes")) 1L else 0L
@@ -4139,10 +4157,13 @@ object LakeQueries {
       val agg = after.agg(count(lit(1)), sum(col("cents"))).head()
       import s.implicits._
       graft.util.LocalFrame.materialize(Seq(
+        ("bin_sidecar_form", binForm),
+        ("bin_sidecars_le_4096", binSmall),
         ("cents_after", agg.getLong(1)),
         ("compact_added_groups", addedGroups),
         ("compact_op", compactOp),
         ("files_untouched", untouched),
+        ("fold_bin_form", foldBin),
         ("n_after", agg.getLong(0)),
         ("old_version_sidecars", dvCount(vBefore)),
         ("reads_equal", readsEqual),
@@ -4890,7 +4911,93 @@ object LakeQueries {
     } }
   }
 
+  /** q357: the FULL MERGE clause surface — conditional `WHEN MATCHED …
+    * THEN DELETE`, `WHEN MATCHED THEN UPDATE SET *`, `WHEN NOT MATCHED
+    * THEN INSERT *`, `WHEN NOT MATCHED BY SOURCE … THEN DELETE` —
+    * under `spark.graft.update.mode = mor`: q156's exact statement,
+    * but through Spark's DELTA-based row-level protocol
+    * ([[graft.sources.GraftDeltaOperation]]) instead of the group
+    * replace. ONE deletion-vector commit: every pre-existing data file
+    * byte-identical (`files_untouched`), ONE appended group
+    * (update postimages + inserts), ONE dv sidecar (matched deletes +
+    * update preimages + not-matched-by-source deletes), op pinned
+    * `merge-mor`, and [[LakeTable.rewriteDeletes]] materializes to the
+    * same per-status totals. The r14 verdict's ask #7: a weekly upsert
+    * with business-rule clauses costs O(churn) at 100 TB, not a
+    * rewrite of every matched group. */
+  def sqlMergeClausesMor(s: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.load(s, dir, "orders")
+    val view = "q357_src_" +
+      java.util.UUID.randomUUID().toString.replace("-", "").take(12)
+    orders.createOrReplaceTempView(view)
+    graft.util.LocalFrame.withConf(s, "spark.sql.shuffle.partitions", "8") {
+    graft.util.Tmp.withTempDir("graft_lake_q357") { whPath =>
+      val wh = whPath.toString
+      val root = s"$wh/orders_t"
+      LakeTable.create(s, root, orders)
+      val cat = "lake_" +
+        java.util.UUID.randomUUID().toString.replace("-", "").take(12)
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftLakeCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+      try {
+        val dirsBefore = LakeTable.dataDirPaths(s, root)
+        graft.util.LocalFrame.withConf(s,
+          "spark.graft.update.mode", "mor") {
+          s.sql(s"""MERGE INTO $cat.orders_t t
+                   |USING (SELECT o_orderkey, o_custkey, o_orderstatus,
+                   |              o_totalprice + 1000 AS o_totalprice,
+                   |              o_orderdate, o_orderpriority
+                   |       FROM $view WHERE o_custkey % 50 = 0
+                   |       UNION ALL
+                   |       SELECT o_orderkey + 2000000000, o_custkey,
+                   |              o_orderstatus, o_totalprice + 1000,
+                   |              o_orderdate, o_orderpriority
+                   |       FROM $view WHERE o_custkey % 101 = 0) u
+                   |ON t.o_orderkey = u.o_orderkey
+                   |WHEN MATCHED AND u.o_totalprice > 200000 THEN DELETE
+                   |WHEN MATCHED THEN UPDATE SET *
+                   |WHEN NOT MATCHED THEN INSERT *
+                   |WHEN NOT MATCHED BY SOURCE AND t.o_orderstatus = 'P'
+                   |  THEN DELETE""".stripMargin)
+        }
+        val v = LakeTable.versions(s, root).last
+        val meta = LakeTable.manifestMetaAt(s, root, v)
+        val dirsAfter = LakeTable.dataDirPaths(s, root)
+        val morOp =
+          if (LakeTable.history(s, root).last._2 == "merge-mor") 1L else 0L
+        val untouched =
+          if (dirsBefore.forall(dirsAfter.contains)) 1L else 0L
+        val added = (dirsAfter.size - dirsBefore.size).toLong
+        val dvs = meta.get("dv").map(_.split(",").length).getOrElse(0).toLong
+        def agg() = s.sql(
+          s"""SELECT o_orderstatus, count(*) AS n,
+             |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+             |            AS DOUBLE) AS revenue
+             |FROM $cat.orders_t
+             |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
+        val before = agg().collect().toSeq
+        LakeTable.rewriteDeletes(s, root)
+        val rwMatches = if (agg().collect().toSeq == before) 1L else 0L
+        import s.implicits._
+        graft.util.LocalFrame.materialize(
+          s.createDataFrame(s.sparkContext.parallelize(before, 1),
+            agg().schema)
+            .withColumn("dv_sidecars", lit(dvs))
+            .withColumn("files_untouched", lit(untouched))
+            .withColumn("groups_added", lit(added))
+            .withColumn("merge_mor_op", lit(morOp))
+            .withColumn("rewrite_matches", lit(rwMatches))
+            .orderBy(col("o_orderstatus")))
+      } finally {
+        s.catalog.dropTempView(view)
+        s.conf.unset(s"spark.sql.catalog.$cat")
+        s.conf.unset(s"spark.sql.catalog.$cat.warehouse")
+      }
+    } }
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q357_merge_clauses_mor"   -> (sqlMergeClausesMor _),
     "q356_incremental_zorder"  -> (incrementalZorder _),
     "q355_bucket_spj"          -> (bucketSpjQ _),
     "q354_stream_dv_cdf"       -> (streamDvChangeFeed _),
@@ -5061,11 +5168,13 @@ object LakeQueries {
         |             + (CASE WHEN k % 5 = 0 THEN 1 ELSE 0 END)
         |             + (CASE WHEN k % 7 = 0 THEN 2 ELSE 0 END) AS cents
         |      FROM o WHERE k % 11 <> 0)
-        |SELECT 'cents_after' AS fact, CAST(sum(cents) AS BIGINT) AS n
-        |FROM f
+        |SELECT 'bin_sidecar_form' AS fact, CAST(1 AS BIGINT) AS n
+        |UNION ALL SELECT 'bin_sidecars_le_4096', CAST(1 AS BIGINT)
+        |UNION ALL SELECT 'cents_after', CAST(sum(cents) AS BIGINT) FROM f
         |UNION ALL SELECT 'compact_added_groups', CAST(0 AS BIGINT)
         |UNION ALL SELECT 'compact_op', CAST(1 AS BIGINT)
         |UNION ALL SELECT 'files_untouched', CAST(1 AS BIGINT)
+        |UNION ALL SELECT 'fold_bin_form', CAST(1 AS BIGINT)
         |UNION ALL SELECT 'n_after', count(*) FROM f
         |UNION ALL SELECT 'old_version_sidecars', CAST(3 AS BIGINT)
         |UNION ALL SELECT 'reads_equal', CAST(1 AS BIGINT)
@@ -5164,6 +5273,34 @@ object LakeQueries {
         |UNION ALL SELECT 'pruned_d', CAST(1 AS BIGINT)
         |UNION ALL SELECT 'refused_five_columns', CAST(1 AS BIGINT)
         |ORDER BY fact""".stripMargin,
+    // q357: q156's CASE-pipeline restatement (identical clause
+    // semantics, now merge-on-read) + the MOR protocol facts as
+    // constant columns — one dv sidecar, one added group, every prior
+    // file untouched, op merge-mor, rewrite equivalence
+    "q357_merge_clauses_mor" ->
+      """WITH survivors AS (
+        |  SELECT o_orderstatus,
+        |         CASE WHEN o_custkey % 50 = 0
+        |              THEN o_totalprice + 1000 ELSE o_totalprice END AS price
+        |  FROM orders
+        |  WHERE NOT (o_custkey % 50 = 0 AND o_totalprice + 1000 > 200000)
+        |    AND NOT (o_custkey % 50 <> 0 AND o_orderstatus = 'P')
+        |),
+        |inserted AS (
+        |  SELECT o_orderstatus, o_totalprice + 1000 AS price FROM orders
+        |  WHERE o_custkey % 101 = 0),
+        |final AS (SELECT * FROM survivors
+        |          UNION ALL SELECT * FROM inserted)
+        |SELECT o_orderstatus, count(*) AS n,
+        |       CAST(sum(CAST(price AS DECIMAL(18,2))) AS DOUBLE)
+        |         AS revenue,
+        |       CAST(1 AS BIGINT) AS dv_sidecars,
+        |       CAST(1 AS BIGINT) AS files_untouched,
+        |       CAST(1 AS BIGINT) AS groups_added,
+        |       CAST(1 AS BIGINT) AS merge_mor_op,
+        |       CAST(1 AS BIGINT) AS rewrite_matches
+        |FROM final GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin,
     // q356: totals restate from orders (the four slices cover the
     // filtered set exactly); the clustering-protocol facts pin as
     // integers — first run clusters everything into 4 z-groups, the

@@ -134,7 +134,7 @@ private[sources] object GraftDvBatchScan {
   private[sources] def loadMasksFromRels(spark: SparkSession,
       root: String, rels: Seq[String]): Map[String, Array[Byte]] = {
     if (rels.isEmpty) return Map.empty
-    spark.read.parquet(rels.map(r => new Path(root, r).toString): _*)
+    LakeTable.dvMaskFrame(spark, root, rels)
       .groupBy(col(LakeTable.FileCol))
       .agg(sort_array(collect_set(col(LakeTable.PosCol))).as("ps"))
       .collect()
@@ -171,6 +171,17 @@ private[sources] object DvMaskCodec {
     out.toByteArray
   }
 
+  /** Encoded position count — one pass over the bytes (a position ends
+    * at each byte with the continuation bit clear). */
+  def count(bytes: Array[Byte]): Int = {
+    var i = 0; var n = 0
+    while (i < bytes.length) {
+      if ((bytes(i) & 0x80) == 0) n += 1
+      i += 1
+    }
+    n
+  }
+
   /** Streaming decoder — O(1) memory, positions come back in order. */
   final class Cursor(bytes: Array[Byte]) {
     private var i = 0
@@ -185,6 +196,75 @@ private[sources] object DvMaskCodec {
       cur += d
       cur
     }
+  }
+}
+
+/** COMPACT single-file deletion-vector sidecar (the roaring-bitmap
+  * role in Delta): `_deletes/dv-<uuid>.bin` holding, per masked data
+  * file, its op tag and varint-delta-encoded sorted positions
+  * ([[DvMaskCodec]]) — a point update's mask is one ~150-byte FILE
+  * where the parquet form was a directory of ~1–2 KB plus checksum
+  * litter. Small masks ([[LakeTable]]'s write threshold) take this
+  * form; large masks stay parquet so reads and folds stay distributed.
+  * Layout: magic "GDV1", varint entry count, then per entry
+  * (varint pathLen, UTF-8 path, 1 op byte, varint maskLen, mask). */
+private[sources] object DvBinarySidecar {
+  private val Magic = "GDV1".getBytes(java.nio.charset.StandardCharsets.UTF_8)
+
+  private def writeVarint(out: java.io.DataOutputStream, v0: Long): Unit = {
+    var v = v0
+    while ((v & ~0x7fL) != 0L) {
+      out.writeByte(((v & 0x7fL) | 0x80L).toInt); v >>>= 7
+    }
+    out.writeByte(v.toInt)
+  }
+  private def readVarint(in: java.io.DataInputStream): Long = {
+    var shift = 0; var v = 0L; var b = 0
+    do {
+      b = in.readUnsignedByte()
+      v |= (b & 0x7fL) << shift; shift += 7
+    } while ((b & 0x80) != 0)
+    v
+  }
+
+  def write(f: org.apache.hadoop.fs.FileSystem, path: Path,
+            perFile: Seq[(String, String, Array[Long])]): Unit = {
+    val raw = f.create(path, false)
+    val out = new java.io.DataOutputStream(
+      new java.io.BufferedOutputStream(raw))
+    try {
+      out.write(Magic)
+      writeVarint(out, perFile.size.toLong)
+      perFile.foreach { case (fp, op, positions) =>
+        val pb = fp.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        writeVarint(out, pb.length.toLong); out.write(pb)
+        out.writeByte(op.charAt(0).toInt)
+        val mask = DvMaskCodec.encode(positions)
+        writeVarint(out, mask.length.toLong); out.write(mask)
+      }
+      out.flush()
+    } finally out.close()
+  }
+
+  /** (data file path, op, ENCODED mask) entries. */
+  def read(f: org.apache.hadoop.fs.FileSystem,
+           path: Path): Seq[(String, String, Array[Byte])] = {
+    val in = new java.io.DataInputStream(
+      new java.io.BufferedInputStream(f.open(path)))
+    try {
+      val m = new Array[Byte](Magic.length); in.readFully(m)
+      require(java.util.Arrays.equals(m, Magic),
+        s"bad dv sidecar magic at $path")
+      val n = readVarint(in).toInt
+      (0 until n).map { _ =>
+        val pl = readVarint(in).toInt
+        val pb = new Array[Byte](pl); in.readFully(pb)
+        val op = in.readUnsignedByte().toChar.toString
+        val ml = readVarint(in).toInt
+        val mb = new Array[Byte](ml); in.readFully(mb)
+        (new String(pb, java.nio.charset.StandardCharsets.UTF_8), op, mb)
+      }
+    } finally in.close()
   }
 }
 

@@ -505,7 +505,9 @@ private[sources] final class GraftDvLakeTable(
     identName: String, root: String, version: Option[Int])
     extends Table
     with org.apache.spark.sql.connector.catalog.SupportsRead
-    with org.apache.spark.sql.connector.catalog.SupportsWrite {
+    with org.apache.spark.sql.connector.catalog.SupportsWrite
+    with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations
+    with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns {
   import org.apache.spark.sql.connector.catalog.TableCapability
   import org.apache.spark.sql.connector.read.ScanBuilder
   import org.apache.spark.sql.connector.write.{LogicalWriteInfo, V1Write,
@@ -513,6 +515,30 @@ private[sources] final class GraftDvLakeTable(
   import org.apache.spark.sql.sources.InsertableRelation
 
   override def name(): String = identName
+
+  override def metadataColumns()
+      : Array[org.apache.spark.sql.connector.catalog.MetadataColumn] =
+    GraftLakeTable.LineageMetadataColumns
+
+  /** Row-level DML on a deletion-vector snapshot: MOR statements STACK
+    * (the delta operation's scan skips already-masked rows); copy-on-
+    * write refuses until [[LakeTable.rewriteDeletes]] materializes —
+    * a COW group replace would read raw files and resurrect masked
+    * rows. */
+  override def newRowLevelOperationBuilder(
+      info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
+      : org.apache.spark.sql.connector.write.RowLevelOperationBuilder = {
+    require(version.isEmpty,
+      s"${info.command} requires a latest-version table, got $identName")
+    val spark = SparkSession.active
+    if (!spark.conf.getOption("spark.graft.update.mode").contains("mor"))
+      throw new UnsupportedOperationException(
+        s"${info.command}: no copy-on-write row-level ops on a " +
+          s"deletion-vector snapshot at $root — set " +
+          "spark.graft.update.mode=mor (statements stack as dv commits) " +
+          "or rewriteDeletes first")
+    () => new GraftDeltaOperation(root, info.command)
+  }
   override def schema(): StructType =
     LakeTable.read(SparkSession.active, root, version).schema
   /** `SHOW TBLPROPERTIES` / DESCRIBE EXTENDED keep working while

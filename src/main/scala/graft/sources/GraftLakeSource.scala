@@ -202,6 +202,7 @@ private[sources] final class GraftLakeTable(delegate: ParquetTable,
     with org.apache.spark.sql.connector.catalog.SupportsDelete
     with org.apache.spark.sql.connector.catalog.SupportsWrite
     with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations
+    with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns
     with org.apache.spark.sql.connector.catalog.TruncatableTable {
   import org.apache.spark.sql.Column
   import org.apache.spark.sql.functions.{col, lit}
@@ -212,6 +213,13 @@ private[sources] final class GraftLakeTable(delegate: ParquetTable,
 
   override def name(): String = delegate.name
   override def schema(): StructType = delegate.schema
+
+  /** Row LINEAGE metadata columns — the identity the delta row-level
+    * operation's rowId names ([[GraftDeltaOperation]]). Served by the
+    * delta operation's own scan; plain reads never request them. */
+  override def metadataColumns()
+      : Array[org.apache.spark.sql.connector.catalog.MetadataColumn] =
+    GraftLakeTable.LineageMetadataColumns
 
   /** `SHOW TBLPROPERTIES` / DESCRIBE EXTENDED read the committed user
     * properties ([[LakeTable.setProperties]]) off the loaded snapshot's
@@ -402,7 +410,14 @@ private[sources] final class GraftLakeTable(delegate: ParquetTable,
             s"(version $v); materialize it first (LakeTable.compact) " +
             s"before ${info.command}")
     }
-    () => new GraftRowLevelOperation(root.get, info.command)
+    () =>
+      // under the MOR opt-in the FULL row-level surface (conditional
+      // MERGE clauses, NOT MATCHED BY SOURCE, non-canonical UPDATEs)
+      // lands as ONE deletion-vector commit via Spark's delta-based
+      // protocol; copy-on-write group replace stays the default
+      if (spark.conf.getOption("spark.graft.update.mode").contains("mor"))
+        new GraftDeltaOperation(root.get, info.command)
+      else new GraftRowLevelOperation(root.get, info.command)
   }
 
   /** `INSERT INTO` through the V1Write bridge: the appended rows arrive
@@ -548,6 +563,27 @@ private[sources] final class GraftLakeTable(delegate: ParquetTable,
   *    the WriteBuilder match. */
 private[graft] object GraftLakeTable {
   import org.apache.spark.sql.sources._
+
+  /** `__file` (string) + `__pos` (long) — the row identity deletion
+    * vectors key on, exposed as DSv2 metadata columns so the delta
+    * row-level rewrite can resolve them. */
+  val LineageMetadataColumns
+      : Array[org.apache.spark.sql.connector.catalog.MetadataColumn] =
+    Array(
+      new org.apache.spark.sql.connector.catalog.MetadataColumn {
+        override def name(): String = LakeTable.FileCol
+        override def dataType(): org.apache.spark.sql.types.DataType =
+          org.apache.spark.sql.types.StringType
+        override def isNullable: Boolean = false
+        override def comment(): String = "physical parquet file path"
+      },
+      new org.apache.spark.sql.connector.catalog.MetadataColumn {
+        override def name(): String = LakeTable.PosCol
+        override def dataType(): org.apache.spark.sql.types.DataType =
+          org.apache.spark.sql.types.LongType
+        override def isNullable: Boolean = false
+        override def comment(): String = "row index within its file"
+      })
 
   def filtersToBand(
       filters: Array[Filter]): Option[(String, Double, Double)] = {

@@ -2350,8 +2350,7 @@ object LakeTable {
       val shared = beforeDirs intersect afterDirs
       if (newDvPaths.isEmpty || shared.isEmpty) None
       else {
-        val keys = spark.read.parquet(
-            newDvPaths.toSeq.map(r => new Path(root, r).toString): _*)
+        val keys = dvMaskFrame(spark, root, newDvPaths.toSeq)
           .select(col(FileCol), col(PosCol)).distinct()
         val raw = withLineageCols(spark.read
           .option("mergeSchema", "true").parquet(shared.toSeq: _*))
@@ -3051,6 +3050,57 @@ object LakeTable {
     * task before the write goes parallel ([[writeDvSidecar]]). */
   private val DvSidecarRowsPerFile = 4L * 1000 * 1000
 
+  /** Masks at or below this many rows land as ONE compact binary file
+    * ([[DvBinarySidecar]] — varint-delta positions, ~1–2 bytes/row)
+    * instead of a parquet directory; the point-update sidecar drops
+    * from ~1–2 KB of parquet + checksum litter to ~150 bytes, and the
+    * driver-side encode is bounded by this cap. Bigger masks stay
+    * parquet so writes, reads and folds stay distributed. */
+  private val DvBinaryMaxRows = 100000L
+
+  /** The (file, pos, op) rows of a snapshot's dv sidecars — parquet
+    * dirs read distributed, compact `.bin` sidecars decoded driver-side
+    * (small by the write threshold) — as ONE DataFrame. */
+  private[sources] def dvMaskFrame(spark: SparkSession, root: String,
+      rels: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, StringType,
+      StructField, StructType}
+    val (bins, parqs) = rels.partition(_.endsWith(".bin"))
+    val schema = StructType(Seq(
+      StructField(FileCol, StringType, nullable = false),
+      StructField(PosCol, LongType, nullable = false),
+      StructField("__op", StringType, nullable = false)))
+    val binDf =
+      if (bins.isEmpty) None
+      else {
+        val f = fs(spark, root)
+        val rows = bins.flatMap { r =>
+          DvBinarySidecar.read(f, new Path(root, r)).flatMap {
+            case (fp, op, mask) =>
+              val c = new DvMaskCodec.Cursor(mask)
+              val buf = scala.collection.mutable.ArrayBuffer.empty[Row]
+              while (c.hasNext) buf += Row(fp, c.next(), op)
+              buf
+          }
+        }
+        Some(spark.createDataFrame(
+          spark.sparkContext.parallelize(rows,
+            math.max(1, (rows.size / 500000) + 1)), schema))
+      }
+    val pqDf =
+      if (parqs.isEmpty) None
+      else Some(spark.read
+        .parquet(parqs.map(r => new Path(root, r).toString): _*)
+        .select(col(FileCol), col(PosCol), col("__op")))
+    (binDf, pqDf) match {
+      case (Some(b), Some(p)) => b.unionByName(p)
+      case (Some(b), None)    => b
+      case (None, Some(p))    => p
+      case (None, None) =>
+        spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
+    }
+  }
+
   /** Write a positional-delete sidecar. Point updates (the common
     * case) collapse to one file; a BROAD predicate that matched
     * millions of rows writes in parallel instead of funneling every
@@ -3058,6 +3108,20 @@ object LakeTable {
     * bytes either way, this only bounds the write's critical path. */
   private def writeDvSidecar(spark: SparkSession, root: String,
       keyed: DataFrame, nMatches: Long): String = {
+    if (nMatches <= DvBinaryMaxRows) {
+      // the common (point-update) shape: one compact binary file —
+      // the collect is bounded by the threshold, never data-sized
+      val rows = keyed.collect()
+      val perFile = rows.groupBy(_.getString(0)).toSeq.sortBy(_._1)
+        .map { case (fp, rs) =>
+          (fp, rs.head.getString(2),
+            rs.map(_.getLong(1)).distinct.sorted.toArray)
+        }
+      val dvRel = s"_deletes/dv-${java.util.UUID.randomUUID()}.bin"
+      DvBinarySidecar.write(fs(spark, root), new Path(root, dvRel),
+        perFile)
+      return dvRel
+    }
     val dvRel = s"_deletes/dv-${java.util.UUID.randomUUID()}"
     val parts = math.max(1L,
       (nMatches + DvSidecarRowsPerFile - 1) / DvSidecarRowsPerFile).toInt
@@ -3089,20 +3153,23 @@ object LakeTable {
     require(rels.size >= 2,
       s"compactDeletes at $root needs at least 2 deletion-vector " +
         s"sidecars to fold, have ${rels.size}")
-    val all = spark.read
-      .parquet(rels.map(r => new Path(root, r).toString): _*)
     // (file, pos) is unique across sidecars — a masked row never
     // reappears in a later masked read, so no later commit can re-mask
     // it — making distinct a pure safety net for hand-edited state
-    val merged = all.distinct()
-    // size the fold's write from the INPUT file count (each input file
-    // holds at most DvSidecarRowsPerFile rows by construction, and
-    // dedup only shrinks) — one job for the fold, not a count + write
+    val merged = dvMaskFrame(spark, root, rels).distinct()
+    // size the fold's write without a count job: binary sidecars know
+    // their exact row counts (cheap driver decode), parquet inputs
+    // bound at DvSidecarRowsPerFile per file (dedup only shrinks) —
+    // an all-binary accumulation folds back to one binary file
     val f = fs(spark, root)
-    val nFiles = rels.map(r => f.listStatus(new Path(root, r))
+    val (bins, parqs) = rels.partition(_.endsWith(".bin"))
+    val nParquetFiles = parqs.map(r => f.listStatus(new Path(root, r))
       .count(s => s.isFile && s.getPath.getName.endsWith(".parquet"))).sum
+    val binRows = bins.map(r =>
+      DvBinarySidecar.read(f, new Path(root, r))
+        .map { case (_, _, m) => DvMaskCodec.count(m).toLong }.sum).sum
     val dvRel = writeDvSidecar(spark, root, merged,
-      math.max(1L, nFiles.toLong) * DvSidecarRowsPerFile)
+      nParquetFiles.toLong * DvSidecarRowsPerFile + binRows)
     commitVersion(spark, root, v + 1, readManifest(spark, root, v),
       carryMeta(meta) + ("dv" -> dvRel) + ("op" -> "compact-deletes"))
   }
@@ -3151,8 +3218,7 @@ object LakeTable {
     dvState(meta) match {
       case Seq() => df
       case rels =>
-        val keys = spark.read
-          .parquet(rels.map(r => new Path(root, r).toString): _*)
+        val keys = dvMaskFrame(spark, root, rels)
           .select(col(FileCol), col(PosCol)).distinct()
         df.join(keys, Seq(FileCol, PosCol), "left_anti")
     }

@@ -1059,8 +1059,8 @@ class GraftLakeCatalogSpec extends SparkSpec {
 
   test("SQL MERGE in mor mode: the canonical upsert routes to mergeMor " +
     "(one sidecar + one group, zero pre-existing groups rewritten); " +
-    "other clause shapes fall through to Spark's COW plan; COW mode " +
-    "untouched") {
+    "other clause shapes take the DELTA row-level path and stack; " +
+    "COW mode untouched") {
     withWarehouse("lakeMm") { wh =>
       import spark.implicits._
       val root = s"$wh/t"
@@ -1115,14 +1115,18 @@ class GraftLakeCatalogSpec extends SparkSpec {
             e.getMessage.contains("exactly the target's columns"),
             s"${e.getClass.getName}: ${e.getMessage}")
           assert(LakeTable.versions(spark, root).last == vBefore)
-          // a NON-canonical clause shape falls through to Spark's COW
-          // plan, which refuses on a dv snapshot until rewrite — loud,
-          // never silently wrong
-          intercept[Exception] {
-            spark.sql("MERGE INTO lakeMm.t AS t USING mm_src2 AS s " +
-              "ON t.id = s.id WHEN MATCHED THEN UPDATE SET v = s.v + 1")
-          }
-          assert(LakeTable.versions(spark, root).last == vBefore)
+          // a NON-canonical clause shape falls through to Spark's
+          // row-level plan, which in mor mode is the DELTA operation —
+          // it STACKS another dv commit on the snapshot (pre-r15 this
+          // refused; GraftDeltaOperation serves it now)
+          spark.sql("MERGE INTO lakeMm.t AS t USING mm_src2 AS s " +
+            "ON t.id = s.id WHEN MATCHED THEN UPDATE SET v = s.v + 1")
+          assert(LakeTable.versions(spark, root).last == vBefore + 1)
+          assert(LakeTable.history(spark, root).last._2 == "merge-mor")
+          assert(spark.sql("SELECT v FROM lakeMm.t WHERE id = 6")
+            .head().getLong(0) == 667L)
+          assert(spark.sql("SELECT count(*) FROM lakeMm.t")
+            .head().getLong(0) == 102)
         } finally spark.conf.unset("spark.graft.update.mode")
         // after rewrite, COW MERGE works again in default mode
         LakeTable.rewriteDeletes(spark, root)
@@ -1336,6 +1340,76 @@ class GraftLakeCatalogSpec extends SparkSpec {
       assert(!again.queryExecution.executedPlan.toString
         .contains("GraftDvBatchScan"),
         "declared-schema snapshots must take the V1 bridge")
+    }
+  }
+
+  test("delta row-level ops: the FULL MERGE clause surface lands as " +
+    "ONE deletion-vector commit in mor mode, stacks on existing dv " +
+    "state, and rewriteDeletes preserves the result") {
+    withWarehouse("lakeDl") { wh =>
+      import spark.implicits._
+      val root = s"$wh/t"
+      LakeTable.create(spark, root,
+        (1L to 100L).map(i =>
+          (i, i * 10L, if (i % 2 == 0) "P" else "F")).toDF("id", "v", "st"))
+      spark.conf.set("spark.graft.update.mode", "mor")
+      try {
+        // seed dv state via the parser-level canonical path (v2)
+        spark.sql("UPDATE lakeDl.t SET v = v + 1 WHERE id = 50")
+        val dirsBefore = LakeTable.dataDirPaths(spark, root)
+        val dvBefore = LakeTable.manifestMetaAt(spark, root,
+          LakeTable.versions(spark, root).last)
+          .get("dv").map(_.split(",").length).getOrElse(0)
+        // non-canonical clause matrix: falls through the parser to
+        // Spark's row-level MERGE plan → the DELTA operation
+        ((1L to 80L) ++ (101L to 110L)).map(i => (i, i * 1000L))
+          .toDF("id", "nv").createOrReplaceTempView("dl_src")
+        spark.sql(
+          """MERGE INTO lakeDl.t t USING dl_src s ON t.id = s.id
+            |WHEN MATCHED AND t.id <= 10 THEN DELETE
+            |WHEN MATCHED AND t.id <= 30 THEN UPDATE SET v = s.nv
+            |WHEN NOT MATCHED THEN INSERT (id, v, st)
+            |  VALUES (s.id, s.nv, 'N')
+            |WHEN NOT MATCHED BY SOURCE AND t.st = 'P' THEN DELETE
+            |""".stripMargin)
+        val vAfter = LakeTable.versions(spark, root).last
+        assert(LakeTable.history(spark, root).last._2 == "merge-mor")
+        // every pre-existing file untouched, exactly one group added
+        val dirsAfter = LakeTable.dataDirPaths(spark, root)
+        assert(dirsBefore.forall(dirsAfter.contains) &&
+          dirsAfter.size == dirsBefore.size + 1,
+          s"expected one added group: $dirsBefore -> $dirsAfter")
+        val dvAfter = LakeTable.manifestMetaAt(spark, root, vAfter)
+          .get("dv").map(_.split(",").length).getOrElse(0)
+        assert(dvAfter == dvBefore + 1, s"dv $dvBefore -> $dvAfter")
+        // semantics: deletes 1..10, updates 11..30 to 1000·id, keeps
+        // 31..100 (id 50 carries v2's +1) minus evens 82..100 (st='P'
+        // not-matched-by-source deletes), inserts 101..110
+        val got = spark.sql("SELECT id, v FROM lakeDl.t").collect()
+          .map(r => r.getLong(0) -> r.getLong(1)).toMap
+        assert(got.size == 90, s"rows ${got.size}")
+        assert(!got.contains(1L) && !got.contains(10L))
+        assert(got(11L) == 11000L && got(30L) == 30000L)
+        assert(got(31L) == 310L && got(50L) == 501L)
+        assert(!got.contains(82L) && !got.contains(100L) &&
+          got.contains(81L) && got(81L) == 810L)
+        assert(got(101L) == 101000L && got(110L) == 110000L)
+        assert(spark.sql(
+          "SELECT count(*) FROM lakeDl.t WHERE st = 'N'")
+          .head().getLong(0) == 10L)
+        // time travel serves the pre-merge snapshot
+        assert(spark.sql(
+          s"SELECT count(*) FROM lakeDl.t VERSION AS OF ${vAfter - 1}")
+          .head().getLong(0) == 100L)
+        // materialization preserves the result exactly
+        LakeTable.rewriteDeletes(spark, root)
+        val after = spark.sql("SELECT id, v FROM lakeDl.t").collect()
+          .map(r => r.getLong(0) -> r.getLong(1)).toMap
+        assert(after == got)
+      } finally {
+        spark.conf.unset("spark.graft.update.mode")
+        spark.catalog.dropTempView("dl_src")
+      }
     }
   }
 
