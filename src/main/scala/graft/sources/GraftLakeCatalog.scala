@@ -540,7 +540,7 @@ private[sources] final class GraftDvLakeTable(
     () => new GraftDeltaOperation(root, info.command)
   }
   override def schema(): StructType =
-    LakeTable.read(SparkSession.active, root, version).schema
+    LakeTable.snapshotSchema(SparkSession.active, root, version)
   /** `SHOW TBLPROPERTIES` / DESCRIBE EXTENDED keep working while
     * deletion-vector state pends (and on time-travel snapshots): the
     * committed `prop:` keys read off THIS snapshot's manifest — same

@@ -71,7 +71,7 @@ private[sources] final class GraftGroupScanBuilder(
   import org.apache.spark.sql.sources.Filter
 
   private val spark = SparkSession.active
-  private val tableSchema = LakeTable.read(spark, root).schema
+  private val tableSchema = LakeTable.snapshotSchema(spark, root)
   private var required: StructType = tableSchema
   private var pushed: Array[Filter] = Array.empty
 

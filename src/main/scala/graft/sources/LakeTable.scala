@@ -2123,6 +2123,18 @@ object LakeTable {
         .asInstanceOf[org.apache.spark.sql.types.StructType])
   }
 
+  /** The snapshot's LOGICAL schema without building a read frame when
+    * possible: an ALTER/DDL-declared schema (the `schema` manifest key)
+    * IS the read projection — served straight from the (cached)
+    * manifest, no O(groups) file listing at analysis time. Tables
+    * without a declared schema (API-created, footer-inferred) fall back
+    * to the full read's schema. */
+  private[graft] def snapshotSchema(spark: SparkSession, root: String,
+      version: Option[Int] = None)
+      : org.apache.spark.sql.types.StructType =
+    schemaOverrideAt(spark, root, version)
+      .getOrElse(read(spark, root, version).schema)
+
   /** Snapshot read; `version = None` → latest (time travel otherwise).
     * mergeSchema handles additive schema evolution: groups written
     * before a column existed read it as null; an ALTER-declared schema
