@@ -90,6 +90,42 @@ class VacuumSafetySpec extends graft.SparkSpec {
     try w.iterator().asScala.map(_.toString).toSet finally w.close()
   }
 
+  test("DvBinarySidecar round-trips paths, ops and positions exactly " +
+    "(50 seeds, incl. empty masks, huge positions, non-ASCII paths)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_dvbin")
+    try {
+      val fs = new org.apache.hadoop.fs.Path(dir.toString)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      for (seed <- 1 to 50) {
+        val rnd = new scala.util.Random(seed)
+        val entries = (0 until rnd.nextInt(6)).map { i =>
+          val path = s"/tmp/å-${seed}_$i/data/π-part-$i.parquet"
+          val op = if (rnd.nextBoolean()) "U" else "D"
+          val n = rnd.nextInt(200)
+          val positions = Iterator
+            .continually(math.abs(rnd.nextLong()) % (1L << 40))
+            .take(n).toArray.distinct.sorted
+          (path, op, positions)
+        }
+        val p = new org.apache.hadoop.fs.Path(dir.toString, s"m$seed.bin")
+        DvBinarySidecar.write(fs, p, entries)
+        val back = DvBinarySidecar.read(fs, p).map {
+          case (path, op, mask) =>
+            val c = new DvMaskCodec.Cursor(mask)
+            val buf = scala.collection.mutable.ArrayBuffer.empty[Long]
+            while (c.hasNext) buf += c.next()
+            assert(DvMaskCodec.count(mask) == buf.size)
+            (path, op, buf.toArray)
+        }
+        assert(back.size == entries.size, s"seed $seed")
+        back.zip(entries).foreach { case ((bp, bo, bm), (ep, eo, em)) =>
+          assert(bp == ep && bo == eo && bm.sameElements(em),
+            s"seed $seed: $ep diverged")
+        }
+      }
+    } finally graft.util.Tmp.deleteRecursively(dir)
+  }
+
   test("random op sequences never leave a manifest referencing a " +
     "vacuumed path (100 seeds)") {
     for (seed <- 1 to 100) {
